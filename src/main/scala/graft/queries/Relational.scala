@@ -1,0 +1,411 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** The relational operator surface of the reference (SURVEY.md §2.B) —
+  * module SQL there delegates to SQLite; here each category is expressed
+  * Spark-first with the DataFrame API and verified against a DuckDB oracle.
+  *
+  * Float determinism: any aggregated arithmetic is routed through
+  * DECIMAL(10,2) on BOTH sides (Spark + DuckDB oracle SQL). Decimal math is
+  * exact in both engines (no precision cap is hit at these widths), so
+  * results hash-match regardless of aggregation order — a raw double sum
+  * would differ in ULPs between engines. Per-row double arithmetic is fine
+  * (IEEE ops on identical inputs are deterministic).
+  */
+object Relational {
+
+  case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+  private def dec(c: Column): Column = c.cast(DecimalType(10, 2))
+  private def dbl(c: Column): Column = c.cast("double")
+  /** DuckDB-side equivalent of dec() */
+  private def sqlDec(col: String) = s"CAST($col AS DECIMAL(10,2))"
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.df(s, dir, name)
+
+  val all: Map[String, Q] = Map(
+
+    // ---- aggregation: GROUP BY + sum/avg/count (TPC-H Q1 shape) ----
+    "q1_agg" -> Q(
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        l.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dbl(sum(dec(col("l_quantity")))).as("sum_qty"),
+            dbl(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+            dbl(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("sum_disc_price"),
+            dbl(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) * (lit(1) + dec(col("l_tax"))))).as("sum_charge"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  CAST(sum(${sqlDec("l_quantity")}) AS DOUBLE) AS sum_qty,
+              |  CAST(sum(${sqlDec("l_extendedprice")}) AS DOUBLE) AS sum_base_price,
+              |  CAST(sum(${sqlDec("l_extendedprice")} * (1 - ${sqlDec("l_discount")})) AS DOUBLE) AS sum_disc_price,
+              |  CAST(sum(${sqlDec("l_extendedprice")} * (1 - ${sqlDec("l_discount")}) * (1 + ${sqlDec("l_tax")})) AS DOUBLE) AS sum_charge,
+              |  count(*) AS count_order
+              |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+              |GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- projection + filter + per-row expression (pushdown check) ----
+    "q_proj_filter" -> Q(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_quantity") > 30 &&
+            col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  l_extendedprice * (1.0 - l_discount) AS revenue
+             |FROM lineitem
+             |WHERE l_quantity > 30 AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- inner equi-join, small side broadcast ----
+    "q_join_inner" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+          .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, c_name, o_totalprice
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- left outer join + grouped agg with COALESCE(total) semantics ----
+    "q_join_left" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(
+            count(col("o_orderkey")).as("n_orders"),
+            coalesce(dbl(sum(dec(col("o_totalprice")))), lit(0.0)).as("total_spent"))
+          .orderBy(col("c_custkey"))
+      },
+      Some(s"""SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+              |  COALESCE(CAST(sum(${sqlDec("o_totalprice")}) AS DOUBLE), 0.0) AS total_spent
+              |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              |GROUP BY c_custkey, c_name
+              |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- left semi join (EXISTS) ----
+    "q_join_semi" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+        c.join(o, Seq("c_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- left anti join (NOT EXISTS) ----
+    "q_join_anti" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+        c.join(o, Seq("c_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- multi-way join through dims (TPC-H Q5 shape, dims broadcast) ----
+    "q_join_multi" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(dbl(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some(s"""SELECT r_name, n_name,
+              |  CAST(sum(${sqlDec("l_extendedprice")} * (1 - ${sqlDec("l_discount")})) AS DOUBLE) AS revenue,
+              |  count(*) AS n_items
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY r_name, n_name
+              |ORDER BY r_name, n_name""".stripMargin)),
+
+    // ---- ORDER BY + LIMIT (top-k) ----
+    "q_topk" -> Q(
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // ---- DISTINCT ----
+    "q_distinct" -> Q(
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_mktsegment")).distinct()
+          .orderBy(col("c_mktsegment")),
+      Some("SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment")),
+
+    // ---- group_concat (SQLite whitelist fn) => sorted collect_list join ----
+    "q_group_concat" -> Q(
+      (s, dir) => {
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+            count(lit(1)).as("n_nations"))
+          .orderBy(col("r_name"))
+      },
+      Some("""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+             |  count(*) AS n_nations
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // ---- global aggregate: min/max/count/count distinct/avg ----
+    "q_agg_stats" -> Q(
+      (s, dir) =>
+        t(s, dir, "orders").agg(
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("o_custkey")).as("n_customers"),
+          (dbl(sum(dec(col("o_totalprice")))) / count(lit(1))).as("avg_price")),
+      Some(s"""SELECT min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+              |  count(*) AS n_rows, count(DISTINCT o_custkey) AS n_customers,
+              |  CAST(sum(${sqlDec("o_totalprice")}) AS DOUBLE) / count(*) AS avg_price
+              |FROM orders""".stripMargin)),
+
+    // ---- window: row_number ranking within partition ----
+    "q_window_rank" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        t(s, dir, "customer")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("c_mktsegment"), col("rn"), col("c_custkey"), col("c_name"), col("c_acctbal"))
+          .orderBy(col("c_mktsegment"), col("rn"))
+      },
+      Some("""SELECT c_mktsegment, rn, c_custkey, c_name, c_acctbal FROM (
+             |  SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+             |    row_number() OVER (PARTITION BY c_mktsegment
+             |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+             |  FROM customer) WHERE rn <= 3
+             |ORDER BY c_mktsegment, rn""".stripMargin)),
+
+    // ---- window: running aggregate over deterministic row order ----
+    // (pre-aggregate to a unique (l_suppkey, l_orderkey) key first: the raw
+    // (l_orderkey, l_linenumber) pairs are not unique in the synthetic data,
+    // so a running sum ordered by them would be tie-order-dependent)
+    "q_window_running" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "lineitem")
+          .groupBy(col("l_suppkey"), col("l_orderkey"))
+          .agg(sum(dec(col("l_quantity"))).as("qty"))
+          .select(col("l_suppkey"), col("l_orderkey"),
+            dbl(sum(col("qty")).over(w)).as("running_qty"))
+          .orderBy(col("l_suppkey"), col("l_orderkey"))
+      },
+      Some(s"""SELECT l_suppkey, l_orderkey,
+              |  CAST(sum(qty) OVER (
+              |    PARTITION BY l_suppkey ORDER BY l_orderkey
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+              |FROM (SELECT l_suppkey, l_orderkey, sum(${sqlDec("l_quantity")}) AS qty
+              |      FROM lineitem GROUP BY 1, 2)
+              |ORDER BY l_suppkey, l_orderkey""".stripMargin)),
+
+    // ---- set op: INTERSECT ----
+    "q_setop_intersect" -> Q(
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_custkey").as("k"))
+          .intersect(t(s, dir, "orders").select(col("o_custkey").as("k")))
+          .orderBy(col("k")),
+      Some("""SELECT c_custkey AS k FROM customer
+             |INTERSECT SELECT o_custkey FROM orders ORDER BY k""".stripMargin)),
+
+    // ---- set op: EXCEPT ----
+    "q_setop_except" -> Q(
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_custkey").as("k"))
+          .except(t(s, dir, "orders").select(col("o_custkey").as("k")))
+          .orderBy(col("k")),
+      Some("""SELECT c_custkey AS k FROM customer
+             |EXCEPT SELECT o_custkey FROM orders ORDER BY k""".stripMargin)),
+
+    // ---- set op: UNION ALL + re-aggregate ----
+    "q_union_all" -> Q(
+      (s, dir) =>
+        t(s, dir, "events").select(col("event_type").as("tag"))
+          .unionAll(t(s, dir, "orders").select(col("o_orderstatus").as("tag")))
+          .groupBy(col("tag")).agg(count(lit(1)).as("n"))
+          .orderBy(col("tag")),
+      Some("""SELECT tag, count(*) AS n FROM (
+             |  SELECT event_type AS tag FROM events
+             |  UNION ALL SELECT o_orderstatus FROM orders)
+             |GROUP BY tag ORDER BY tag""".stripMargin)),
+
+    // ---- scalar string/numeric functions (SQLite whitelist surface) ----
+    "q_scalar_funcs" -> Q(
+      (s, dir) =>
+        t(s, dir, "part").select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up_name"),
+          length(col("p_name")).cast("long").as("name_len"),
+          substring(col("p_type"), 1, 5).as("type5"),
+          regexp_replace(col("p_brand"), "#", "-").as("brand2"),
+          instr(col("p_name"), "a").cast("long").as("a_pos"),
+          coalesce(nullif(col("p_size"), lit(0)), lit(-1)).as("size2"),
+          abs(col("p_retailprice") * lit(-1.0)).as("abs_price"))
+          .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey, upper(p_name) AS up_name, length(p_name) AS name_len,
+             |  substring(p_type, 1, 5) AS type5, replace(p_brand, '#', '-') AS brand2,
+             |  instr(p_name, 'a') AS a_pos, coalesce(nullif(p_size, 0), -1) AS size2,
+             |  abs(p_retailprice * -1.0) AS abs_price
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // ---- date functions (strftime/date/unixepoch family) ----
+    "q_date_funcs" -> Q(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(year(col("l_shipdate")).cast("long").as("y"),
+            month(col("l_shipdate")).cast("long").as("m"))
+          .agg(count(lit(1)).as("n"),
+            dbl(sum(dec(col("l_quantity")))).as("qty"))
+          .orderBy(col("y"), col("m")),
+      Some(s"""SELECT year(l_shipdate) AS y, month(l_shipdate) AS m,
+              |  count(*) AS n, CAST(sum(${sqlDec("l_quantity")}) AS DOUBLE) AS qty
+              |FROM lineitem GROUP BY 1, 2 ORDER BY y, m""".stripMargin)),
+
+    // ---- JSON extraction (-> / ->> / json_extract family) ----
+    "q_json_extract" -> Q(
+      (s, dir) =>
+        t(s, dir, "events").select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .orderBy(col("event_id")),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---- HAVING ----
+    "q_having" -> Q(
+      (s, dir) =>
+        t(s, dir, "customer")
+          .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > 3)
+          .orderBy(col("c_nationkey")),
+      Some("""SELECT c_nationkey, count(*) AS n FROM customer
+             |GROUP BY c_nationkey HAVING count(*) > 3
+             |ORDER BY c_nationkey""".stripMargin)),
+
+    // ---- IN subquery (rewrites to semi join) ----
+    "q_subquery_in" -> Q(
+      (s, dir) => {
+        val rich = t(s, dir, "customer")
+          .filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+        t(s, dir, "orders")
+          .join(rich, col("o_custkey") === col("c_custkey"), "left_semi")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+             |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- correlated-aggregate comparison (above-brand-average), exact ----
+    "q_above_avg" -> Q(
+      (s, dir) => {
+        val p = t(s, dir, "part")
+        val stats = p.groupBy(col("p_brand").as("b"))
+          .agg(sum(dec(col("p_retailprice"))).as("s"), count(lit(1)).as("n"))
+        p.join(broadcast(stats), p("p_brand") === stats("b"))
+          .filter(dec(col("p_retailprice")) * col("n") > col("s"))
+          .select(col("p_partkey"), col("p_name"), col("p_brand"))
+          .orderBy(col("p_partkey"))
+      },
+      Some(s"""SELECT p_partkey, p_name, p_brand
+              |FROM part JOIN (
+              |  SELECT p_brand AS b, sum(${sqlDec("p_retailprice")}) AS s, count(*) AS n
+              |  FROM part GROUP BY 1) ON p_brand = b
+              |WHERE ${sqlDec("p_retailprice")} * n > s
+              |ORDER BY p_partkey""".stripMargin)),
+
+    // ---- CTE (WITH clause) through the SQL front-end ----
+    "q_cte" -> Q(
+      (s, dir) => {
+        Tables.load(s, dir)
+        s.sql(s"""WITH spend AS (
+                 |  SELECT o_custkey, sum(${sqlDec("o_totalprice")}) AS spent
+                 |  FROM orders GROUP BY o_custkey)
+                 |SELECT c_custkey, c_name, CAST(spent AS DOUBLE) AS spent
+                 |FROM customer JOIN spend ON c_custkey = o_custkey
+                 |WHERE spent > 400000
+                 |ORDER BY c_custkey""".stripMargin)
+      },
+      Some(s"""WITH spend AS (
+              |  SELECT o_custkey, sum(${sqlDec("o_totalprice")}) AS spent
+              |  FROM orders GROUP BY o_custkey)
+              |SELECT c_custkey, c_name, CAST(spent AS DOUBLE) AS spent
+              |FROM customer JOIN spend ON c_custkey = o_custkey
+              |WHERE spent > 400000
+              |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- CASE expression ----
+    "q_case_expr" -> Q(
+      (s, dir) =>
+        t(s, dir, "orders").select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 400000, "big")
+            .when(col("o_totalprice") > 150000, "mid")
+            .otherwise("small").as("bucket"))
+          .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_totalprice > 400000 THEN 'big'
+             |       WHEN o_totalprice > 150000 THEN 'mid'
+             |       ELSE 'small' END AS bucket
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- time-bucketed aggregation over the event stream table ----
+    "q_events_hourly" -> Q(
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            dbl(sum(dec(col("value")))).as("total_value"))
+          .orderBy(col("h"), col("event_type")),
+      Some(s"""SELECT date_trunc('hour', ts) AS h, event_type,
+              |  count(*) AS n, CAST(sum(${sqlDec("value")}) AS DOUBLE) AS total_value
+              |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin))
+  )
+}
