@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.udf
+
+import graft.drisl.{DValue, Drisl, DrislPath}
+import graft.types.LeafAuthException
+
+/** Host function surface of the engine, registered on a SparkSession.
+  *
+  * The reference exposes exactly four host UDFs to module SQL —
+  * drisl_extract, drisl_exists, throw, unauthorized
+  * (/root/reference/leaf-stream/src/module/basic.rs:250-349) — plus a
+  * whitelisted set of SQLite builtins (lib.rs:1104-1110). Spark covers the
+  * builtin surface natively; the few names SQLite spells differently are
+  * registered here as inlined SQL UDFs (they fold into Catalyst expressions,
+  * so they stay inside whole-stage codegen).
+  *
+  * `drisl_extract` in the reference returns a dynamically-typed SQLite value
+  * (drisl_extract.rs:17-30). Spark expressions are statically typed, so the
+  * generic form returns STRING with SQLite text-affinity-style rendering
+  * (Map/Array → JSON, matching the reference), and typed variants
+  * (_long/_double/_bool/_blob) return native types for use in typed
+  * comparisons. Absent paths and DRISL null both yield SQL NULL, exactly as
+  * the reference collapses them (basic.rs:325); `drisl_exists` distinguishes
+  * presence (basic.rs:343-345).
+  */
+object LeafFunctions {
+
+  private def extractOpt(payload: Array[Byte], path: String): Option[DValue] =
+    if (payload == null || path == null) None
+    else DrislPath.extract(Drisl.decode(payload), path)
+
+  private def renderText(v: DValue): String = v match {
+    case DValue.DInt(i) => i.toString
+    case DValue.DFloat(f) => f.toString
+    case DValue.DText(s) => s
+    case DValue.DBool(b) => if (b) "1" else "0"
+    case DValue.DNull => null
+    case DValue.DBytes(b) => b.map("%02x".format(_)).mkString
+    case DValue.DCid(b) => b.map("%02x".format(_)).mkString
+    case m: DValue.DMap => Drisl.toJson(m)
+    case a: DValue.DArray => Drisl.toJson(a)
+  }
+
+  private def fmtArg(v: Any): String = v match {
+    case null => "NULL"
+    case b: Array[Byte] => b.map("%02X".format(_)).mkString // blobs hex-uppercase (basic.rs:271-276)
+    case other => other.toString
+  }
+
+  /** Register all host functions; idempotent per session. */
+  def register(spark: SparkSession): Unit = {
+    val marker = "graft.functions.registered"
+    if (spark.conf.getOption(marker).contains("true")) return
+
+    spark.udf.register("drisl_extract",
+      udf((p: Array[Byte], path: String) => extractOpt(p, path).map(renderText).orNull))
+    spark.udf.register("drisl_extract_long",
+      udf((p: Array[Byte], path: String) => extractOpt(p, path).flatMap {
+        case DValue.DInt(i) => Some(i)
+        case DValue.DBool(b) => Some(if (b) 1L else 0L)
+        case DValue.DFloat(f) => Some(f.toLong)
+        case DValue.DText(s) => s.toLongOption
+        case _ => None
+      }))
+    spark.udf.register("drisl_extract_double",
+      udf((p: Array[Byte], path: String) => extractOpt(p, path).flatMap {
+        case DValue.DFloat(f) => Some(f)
+        case DValue.DInt(i) => Some(i.toDouble)
+        case DValue.DText(s) => s.toDoubleOption
+        case _ => None
+      }))
+    spark.udf.register("drisl_extract_blob",
+      udf((p: Array[Byte], path: String) => extractOpt(p, path).flatMap {
+        case DValue.DBytes(b) => Some(b)
+        case DValue.DCid(b) => Some(b)
+        case _ => None
+      }.orNull))
+    spark.udf.register("drisl_exists",
+      udf((p: Array[Byte], path: String) =>
+        if (extractOpt(p, path).isDefined) 1L else 0L))
+
+    // Control-flow UDFs: always raise; SQL uses them inside CASE/IIF to veto
+    // an event (authorizer) or hide rows (query). 1- and 2-arg arities cover
+    // all in-reference usage; wrap more args with concat_ws.
+    spark.udf.register("throw",
+      udf((a: Any) => { throw new LeafAuthException(fmtArg(a)); 0L }: Long))
+    spark.udf.register("throw2",
+      udf((a: Any, b: Any) => { throw new LeafAuthException(fmtArg(a) + " " + fmtArg(b)); 0L }: Long))
+    spark.udf.register("unauthorized",
+      udf((a: Any) => { throw new LeafAuthException("unauthorized: " + fmtArg(a)); 0L }: Long))
+
+    // SQLite-dialect shim: names the whitelist spells differently
+    // (lib.rs:1104-1110). SQL UDFs inline into the plan at analysis time.
+    val shims = Seq(
+      "CREATE OR REPLACE TEMPORARY FUNCTION iif(c BOOLEAN, a STRING, b STRING) RETURNS STRING RETURN IF(c, a, b)",
+      "CREATE OR REPLACE TEMPORARY FUNCTION ifnull_long(a BIGINT, b BIGINT) RETURNS BIGINT RETURN COALESCE(a, b)",
+      "CREATE OR REPLACE TEMPORARY FUNCTION total(x DOUBLE) RETURNS DOUBLE RETURN COALESCE(x, 0.0D)",
+      "CREATE OR REPLACE TEMPORARY FUNCTION unixepoch(t TIMESTAMP) RETURNS BIGINT RETURN unix_timestamp(t)",
+      "CREATE OR REPLACE TEMPORARY FUNCTION strftime(fmt STRING, t TIMESTAMP) RETURNS STRING RETURN date_format(t, replace(replace(replace(replace(fmt, '%Y', 'yyyy'), '%m', 'MM'), '%d', 'dd'), '%H', 'HH'))",
+      "CREATE OR REPLACE TEMPORARY FUNCTION group_concat_sorted(xs ARRAY<STRING>) RETURNS STRING RETURN array_join(sort_array(xs), ',')")
+    shims.foreach(spark.sql(_))
+
+    spark.conf.set(marker, "true")
+  }
+
+  /** Unwrap Spark's UDF exception wrapping to find a LeafAuthException. */
+  def authFailure(t: Throwable): Option[LeafAuthException] = {
+    var cur: Throwable = t
+    var depth = 0
+    while (cur != null && depth < 20) {
+      cur match {
+        case l: LeafAuthException => return Some(l)
+        case _ => cur = cur.getCause; depth += 1
+      }
+    }
+    None
+  }
+}

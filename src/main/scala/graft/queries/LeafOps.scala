@@ -1,0 +1,151 @@
+package graft.queries
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.drisl.DValue._
+import graft.drisl.Drisl
+import graft.stream._
+import graft.types._
+
+/** Engine-level operators (SURVEY.md §2.A) surfaced through the driver's
+  * correctness gate. Each entry drives the REAL lifecycle end-to-end: the
+  * sf events table is encoded to DRISL payloads, bulk-imported into a
+  * stream log, folded through a module's materializer (set-based), and read
+  * back via named parameterized queries — while the DuckDB oracle computes
+  * the same answer directly from the parquet + JSON props. A value mismatch
+  * anywhere in codec → extraction → materialization → query binding would
+  * fail the hash compare.
+  */
+object LeafOps {
+
+  private val streams = TrieMap.empty[(String, String), StreamHandle]
+
+  private val demoModule = ModuleDef(
+    initSql = """CREATE TABLE IF NOT EXISTS acts
+                 |(idx BIGINT, user STRING, etype STRING, k BIGINT, value DOUBLE)
+                 |USING PARQUET""".stripMargin,
+    materializer = """INSERT INTO acts
+                      |SELECT idx, user, drisl_extract(payload, '.type'),
+                      |       drisl_extract_long(payload, '.k'),
+                      |       drisl_extract_double(payload, '.value')
+                      |FROM event""".stripMargin,
+    queries = Map(
+      "by_type" -> QueryDef(
+        """SELECT etype, count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total
+          |FROM acts GROUP BY etype ORDER BY etype""".stripMargin),
+      "big_values" -> QueryDef(
+        """SELECT idx, etype, value FROM acts
+          |WHERE value > $min_value ORDER BY idx""".stripMargin,
+        Seq(ParamDef("min_value", ParamKind.PReal))),
+      "fields" -> QueryDef(
+        "SELECT idx, user, k FROM acts ORDER BY idx"),
+      "page" -> QueryDef(
+        """SELECT idx, etype FROM acts
+          |WHERE idx BETWEEN $start AND $start + $limit - 1
+          |ORDER BY idx""".stripMargin)))
+
+  private val userTotalsModule = demoModule.copy(
+    initSql = """CREATE TABLE IF NOT EXISTS user_totals
+                 |(user STRING, value DOUBLE) USING PARQUET""".stripMargin,
+    materializer = """INSERT INTO user_totals
+                      |SELECT user, drisl_extract_double(payload, '.value') FROM event""".stripMargin,
+    queries = Map("totals" -> QueryDef(
+      """SELECT user, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total
+        |FROM user_totals GROUP BY user ORDER BY user""".stripMargin)))
+
+  /** Encode the sf events table into DRISL event payloads (one UDF pass)
+    * and bulk-import into a fresh stream. idx = event_id + 1 (contiguous). */
+  private def ingest(s: SparkSession, dir: String, streamId: String): StreamHandle = {
+    val store = new StreamStore(s,
+      java.nio.file.Files.createTempDirectory("graft-leafops").toString)
+    val h = store.open(streamId)
+    h.setModule(demoModule)
+    val enc = udf((etype: String, value: Double, k: Long) =>
+      Drisl.encode(obj("type" -> text(etype), "value" -> DFloat(value), "k" -> int(k))))
+    val ev = Tables.df(s, dir, "events")
+      .select(
+        (col("event_id") + 1).as("idx"),
+        concat(lit("u"), col("user_id")).as("user"),
+        enc(col("event_type"), col("value"),
+          get_json_object(col("props"), "$.k").cast("long")).as("payload"),
+        lit(Array.empty[Byte]).as("signature"))
+    h.bulkImport(ev)
+    h
+  }
+
+  private def demo(s: SparkSession, dir: String): StreamHandle =
+    streams.synchronized {
+      streams.getOrElseUpdate((dir, "demo"), ingest(s, dir, s"did:graft:demo"))
+    }
+
+  val all: Map[String, Relational.Q] = Map(
+
+    // ---- A2/A4/A6/A7: ingest → set-based materialize → grouped query ----
+    "leaf_materialize_agg" -> Relational.Q(
+      (s, dir) => demo(s, dir).query(None, LeafQuery("by_type")),
+      Some("""SELECT event_type AS etype, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total
+             |FROM events GROUP BY 1 ORDER BY etype""".stripMargin)),
+
+    // ---- A14: drisl_extract round-trip of every field through CBOR ----
+    "leaf_extract_fields" -> Relational.Q(
+      (s, dir) => demo(s, dir).query(None, LeafQuery("fields", limit = Long.MaxValue)),
+      Some("""SELECT event_id + 1 AS idx, 'u' || CAST(user_id AS VARCHAR) AS user,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |FROM events ORDER BY idx""".stripMargin)),
+
+    // ---- A7/A16: parameterized named query with validation + binding ----
+    "leaf_query_param" -> Relational.Q(
+      (s, dir) => demo(s, dir).query(None,
+        LeafQuery("big_values", Map("min_value" -> SqlValue.SqlReal(180.0)))),
+      Some("""SELECT event_id + 1 AS idx, event_type AS etype, value
+             |FROM events WHERE value > 180.0 ORDER BY idx""".stripMargin)),
+
+    // ---- A7: $start/$limit event-index windowing convention ----
+    "leaf_query_window" -> Relational.Q(
+      (s, dir) => demo(s, dir).query(None,
+        LeafQuery("page", start = Some(101), limit = 50)),
+      Some("""SELECT event_id + 1 AS idx, event_type AS etype FROM events
+             |WHERE event_id + 1 BETWEEN 101 AND 150 ORDER BY idx""".stripMargin)),
+
+    // ---- A13+A6: module swap triggers full replay through new module ----
+    "leaf_module_swap" -> Relational.Q(
+      (s, dir) => {
+        val h = streams.synchronized {
+          streams.getOrElseUpdate((dir, "swap"), ingest(s, dir, s"did:graft:swap"))
+        }
+        h.setModule(userTotalsModule)
+        h.query(None, LeafQuery("totals"))
+      },
+      Some("""SELECT 'u' || CAST(user_id AS VARCHAR) AS user, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total
+             |FROM events GROUP BY 1 ORDER BY user""".stripMargin)),
+
+    // ---- A8: subscription backfill pages cover the log exactly once ----
+    "leaf_subscribe_backfill" -> Relational.Q(
+      (s, dir) => {
+        val h = demo(s, dir)
+        val engine = new SubscriptionEngine(h)
+        var out = Vector.empty[(Long, String)]
+        engine.subscribe(None, LeafQuery("page", start = Some(1), limit = 1000)) { d =>
+          out ++= d.rows.map(r => (
+            r("idx").asInstanceOf[SqlValue.SqlInteger].v,
+            r("etype").asInstanceOf[SqlValue.SqlText].v))
+        }
+        engine.drain()
+        val schema = StructType(Seq(
+          StructField("idx", LongType), StructField("etype", StringType)))
+        s.createDataFrame(
+          java.util.Arrays.asList(out.map(t => Row(t._1, t._2)): _*), schema)
+      },
+      Some("""SELECT event_id + 1 AS idx, event_type AS etype
+             |FROM events ORDER BY idx""".stripMargin))
+  )
+}

@@ -1,0 +1,408 @@
+package graft.stream
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.LeafFunctions
+import graft.types._
+
+/** Per-stream append-only event log + materialized tables on Spark.
+  *
+  * Capability map (reference behavior, Spark-first design):
+  *  - open/attach      A1  (lib.rs:239-330)   → `StreamStore.open`
+  *  - append batch     A2  (lib.rs:597-719)   → `StreamHandle.addEvents`
+  *  - authorize        A3  (module/basic.rs:134-158) → set-based authorizer run
+  *  - materialize      A4  (module/basic.rs:76-105)  → batch or per-event SQL
+  *  - state events     A5  (lib.rs:729-773)   → `addStateEvents`
+  *  - catch-up/replay  A6  (lib.rs:476-590)   → `catchUp`
+  *  - named query      A7  (module/basic.rs:160-246) → `query`
+  *  - raw range scan   A10 (lib.rs:782-817)   → `rawGetEvents`
+  *  - raw import       A11 (lib.rs:823-840)   → `rawImportEvents` / `bulkImport`
+  *  - clear state      A12 (lib.rs:176-217)   → `clearState`
+  *  - module swap      A13 (lib.rs:222-235)   → `setModule`
+  *
+  * Scale design: the log is a directory of parquet files whose `idx` column
+  * carries per-file min/max stats, so `idx`-range queries prune files; the
+  * materialized tables are ordinary catalog parquet tables, so everything
+  * downstream gets Catalyst + AQE untouched. Bulk ingest (`bulkImport`) is
+  * one distributed write plus one set-based materializer pass — no
+  * driver-side per-event loop on the hot path. Per-event materialization
+  * exists only as the semantic fallback for modules whose SQL is not
+  * provably batch-safe (cross-event reads of their own output).
+  *
+  * Atomicity: the reference wraps {authorize, append, materialize, cursor}
+  * in one SQLite transaction (lib.rs:617-705). Spark has no multi-table
+  * transaction, so appends are staged: authorizers run first (reject =
+  * nothing written), and on materializer failure the files added to the log
+  * and to each table during the batch are deleted (file-level snapshot
+  * rollback) before the error is rethrown.
+  */
+class StreamStore(val spark: SparkSession, val root: String) {
+  LeafFunctions.register(spark)
+  Files.createDirectories(Paths.get(root))
+
+  private val handles = mutable.Map.empty[String, StreamHandle]
+  private val modules = mutable.Map.empty[String, ModuleDef]
+
+  def registerModule(m: ModuleDef): String = synchronized {
+    modules(m.cid) = m; m.cid
+  }
+  def module(cid: String): Option[ModuleDef] = synchronized(modules.get(cid))
+
+  /** A1: open or create the stream with the given id. */
+  def open(id: String): StreamHandle = synchronized {
+    handles.getOrElseUpdate(id, new StreamHandle(this, id))
+  }
+
+  def dbNameFor(id: String): String = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(id.getBytes(UTF_8)).take(8).map("%02x".format(_)).mkString
+    s"graft_$digest"
+  }
+}
+
+object StreamStore {
+  val eventSchema: StructType = StructType(Seq(
+    StructField("idx", LongType, nullable = false),
+    StructField("user", StringType, nullable = true),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("signature", BinaryType, nullable = true)))
+}
+
+class StreamHandle(store: StreamStore, val id: String) {
+  import StreamStore.eventSchema
+  private val spark = store.spark
+  val dbName: String = store.dbNameFor(id)
+  private val dir: Path = Paths.get(store.root, dbName)
+  private val logDir: Path = dir.resolve("log")
+  private val metaPath: Path = dir.resolve("meta.json")
+
+  // single writer per stream, mirroring the reference's write lock (lib.rs:607)
+  private val lock = new Object
+
+  @volatile private var latestIdx: Long = 0L
+  @volatile private var cursor: Long = 0L
+  @volatile private var moduleCid: Option[String] = None
+
+  init()
+
+  private def init(): Unit = lock.synchronized {
+    Files.createDirectories(logDir)
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $dbName")
+    if (Files.exists(metaPath)) loadMeta()
+    if (!Files.list(logDir).iterator().asScala.exists(_.toString.endsWith(".parquet"))) {
+      // seed an empty file so the external events table always has a schema
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], eventSchema)
+        .write.mode(SaveMode.Append).parquet(logDir.toString)
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $dbName.events")
+    spark.sql(
+      s"""CREATE TABLE $dbName.events (idx BIGINT, user STRING, payload BINARY, signature BINARY)
+         |USING PARQUET LOCATION '${logDir.toUri}'""".stripMargin)
+  }
+
+  // ---------------- metadata ----------------
+
+  private def saveMeta(): Unit = {
+    val json = s"""{"latestIdx":$latestIdx,"cursor":$cursor,"moduleCid":${
+      moduleCid.map("\"" + _ + "\"").getOrElse("null")}}"""
+    val tmp = dir.resolve("meta.json.tmp")
+    Files.write(tmp, json.getBytes(UTF_8))
+    Files.move(tmp, metaPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def loadMeta(): Unit = {
+    val s = new String(Files.readAllBytes(metaPath), UTF_8)
+    def num(k: String): Long =
+      ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
+    latestIdx = num("latestIdx"); cursor = num("cursor")
+    moduleCid = "\"moduleCid\":\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1))
+  }
+
+  def latest: Long = latestIdx
+  def moduleCursor: Long = cursor
+  def currentModule: Option[ModuleDef] = moduleCid.flatMap(store.module)
+
+  def eventsDF: DataFrame = spark.table(s"$dbName.events")
+
+  private def refreshEvents(): Unit = spark.sql(s"REFRESH TABLE $dbName.events")
+
+  // ---------------- module lifecycle (A13 + A6) ----------------
+
+  /** Point the stream at a module; cursor resets to 0 and the whole log is
+    * replayed through the new module's materializer (reference semantics:
+    * lib.rs:222-235 + streams.rs:86-98 + lib.rs:499-590). */
+  def setModule(m: ModuleDef): Unit = lock.synchronized {
+    store.registerModule(m)
+    // drop previous module tables (everything except the events view);
+    // state tables survive module swaps (separate state DB in the reference)
+    listTables().filterNot(t => t == "events" || t.startsWith("state_"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $dbName.$t"))
+    moduleCid = Some(m.cid)
+    cursor = 0L
+    runStatements(m.initSql, Map.empty)
+    if (stateTables().isEmpty) runStatements(m.stateInitSql, Map.empty)
+    saveMeta()
+    catchUp()
+  }
+
+  private def listTables(): Seq[String] =
+    spark.sql(s"SHOW TABLES IN $dbName").collect().map(_.getString(1)).toSeq
+  private def stateTables(): Seq[String] = listTables().filter(_.startsWith("state_"))
+
+  // ---------------- append path (A2/A3/A4) ----------------
+
+  /** Append a batch of events: authorize all (any failure rejects the whole
+    * batch, nothing written), then append to the log and fold through the
+    * materializer. Returns Right(newLatestIdx) or Left(rejection message). */
+  def addEvents(batch: Seq[IncomingEvent]): Either[String, Long] = lock.synchronized {
+    if (batch.isEmpty) return Right(latestIdx)
+    catchUp()
+    val m = currentModule.getOrElse(return Left("no module installed"))
+
+    val rows = batch.zipWithIndex.map { case (e, i) =>
+      Row(latestIdx + i + 1, e.user, e.payload, Array.empty[Byte])
+    }
+    val batchDF = spark.createDataFrame(rows.asJava, eventSchema)
+
+    // A3: set-based authorize — the whole batch is visible as `event`; any
+    // throw()/unauthorized() raised by any row rejects the whole batch,
+    // which is exactly the reference's all-or-nothing outcome (lib.rs:696-705).
+    if (m.authorizer.trim.nonEmpty) {
+      batchDF.select(col("idx"), col("user"), col("payload"))
+        .createOrReplaceTempView("event")
+      try SqlText.prepare(m.authorizer).foreach(s => execInDb(s, Map.empty).foreach(_.count()))
+      catch {
+        case t: Throwable =>
+          LeafFunctions.authFailure(t) match {
+            case Some(l) => return Left(l.getMessage)
+            case None => throw t
+          }
+      } finally spark.catalog.dropTempView("event")
+    }
+
+    val logBefore = listFiles(logDir)
+    val snap = snapshotTables()
+    try {
+      batchDF.write.mode(SaveMode.Append).parquet(logDir.toString)
+      refreshEvents()
+      materialize(m, batchDF.select(col("idx"), col("user"), col("payload")))
+      latestIdx += batch.size
+      cursor = latestIdx
+      saveMeta()
+      Right(latestIdx)
+    } catch {
+      case t: Throwable =>
+        rollback(logBefore, snap)
+        LeafFunctions.authFailure(t) match {
+          case Some(l) => Left(l.getMessage)
+          case None => throw t
+        }
+    }
+  }
+
+  /** A11 + bulk-ingest fast path: append pre-indexed events as one
+    * distributed write (idx must continue the sequence), then one set-based
+    * materializer pass. This is the 100 TB ingest path. */
+  def bulkImport(events: DataFrame): Long = lock.synchronized {
+    val stats = events.agg(min("idx"), max("idx"), count(lit(1))).head()
+    val (lo, hi, n) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    require(lo == latestIdx + 1, s"import must start at ${latestIdx + 1}, got $lo")
+    require(hi - lo + 1 == n, s"import range [$lo,$hi] not contiguous ($n rows)")
+    events.select(col("idx").cast("long"), col("user").cast("string"),
+        col("payload").cast("binary"),
+        coalesce(col("signature"), lit(Array.empty[Byte])).cast("binary").as("signature"))
+      .write.mode(SaveMode.Append).parquet(logDir.toString)
+    refreshEvents()
+    latestIdx = hi
+    saveMeta()
+    catchUp()
+    latestIdx
+  }
+
+  /** A10: raw range scan, pruned by parquet min/max stats on idx. */
+  def rawGetEvents(minIdx: Long, maxIdx: Long): DataFrame =
+    eventsDF.filter(col("idx").between(minIdx, maxIdx)).orderBy("idx")
+
+  // ---------------- materialization (A4/A6) ----------------
+
+  /** A6: replay unapplied events through the materializer. */
+  def catchUp(): Long = lock.synchronized {
+    val m = currentModule.getOrElse(return cursor)
+    if (cursor >= latestIdx) return cursor
+    val pending = eventsDF
+      .filter(col("idx") > cursor && col("idx") <= latestIdx)
+      .select(col("idx"), col("user"), col("payload"))
+    materialize(m, pending)
+    cursor = latestIdx
+    saveMeta()
+    cursor
+  }
+
+  /** Run the materializer over a set of events. Batch-safe modules (every
+    * statement an INSERT whose source never reads a table the materializer
+    * writes) run set-based — one pass over the whole set. Others replay
+    * per event in idx order, the reference's exact model. */
+  private def materialize(m: ModuleDef, events: DataFrame): Unit = {
+    if (m.materializer.trim.isEmpty) return
+    val stmts = SqlText.prepare(m.materializer)
+    if (isBatchSafe(stmts)) {
+      events.createOrReplaceTempView("event")
+      try stmts.foreach(s => execInDb(s, Map.empty))
+      finally spark.catalog.dropTempView("event")
+    } else {
+      val rows = events.orderBy("idx").collect()
+      rows.foreach { r =>
+        spark.createDataFrame(java.util.List.of(r), events.schema)
+          .createOrReplaceTempView("event")
+        try stmts.foreach(s => execInDb(s, Map.empty))
+        finally spark.catalog.dropTempView("event")
+      }
+    }
+  }
+
+  /** A statement set is batch-safe iff each statement is an INSERT and no
+    * statement's source references a table that the set writes. */
+  private def isBatchSafe(stmts: Seq[String]): Boolean = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
+    try {
+      val parsed = stmts.map(spark.sessionState.sqlParser.parsePlan)
+      val targets = parsed.collect {
+        case ins: InsertIntoStatement => ins.table match {
+          case UnresolvedRelation(parts, _, _) => parts.last.toLowerCase
+          case _ => return false
+        }
+        case _ => return false
+      }.toSet
+      parsed.forall {
+        case ins: InsertIntoStatement =>
+          val reads = ins.query.collect { case UnresolvedRelation(p, _, _) => p.last.toLowerCase }
+          reads.toSet.intersect(targets).isEmpty
+        case _ => false
+      }
+    } catch { case _: Throwable => false }
+  }
+
+  // ---------------- state events (A5/A12) ----------------
+
+  /** A5: fold state events into `state_*` tables; nothing touches the log. */
+  def addStateEvents(batch: Seq[IncomingEvent]): Either[String, Unit] = lock.synchronized {
+    val m = currentModule.getOrElse(return Left("no module installed"))
+    if (m.stateMaterializer.trim.isEmpty) return Right(())
+    val rows = batch.map(e => Row(e.user, e.payload))
+    val schema = StructType(Seq(
+      StructField("user", StringType), StructField("payload", BinaryType)))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    df.createOrReplaceTempView("event")
+    try {
+      SqlText.prepare(m.stateMaterializer).foreach(s => execInDb(s, Map.empty))
+      Right(())
+    } catch {
+      case t: Throwable => LeafFunctions.authFailure(t) match {
+        case Some(l) => Left(l.getMessage)
+        case None => throw t
+      }
+    } finally spark.catalog.dropTempView("event")
+  }
+
+  /** A12: drop all state tables and re-run the module's state init SQL. */
+  def clearState(): Unit = lock.synchronized {
+    stateTables().foreach(t => spark.sql(s"DROP TABLE IF EXISTS $dbName.$t"))
+    currentModule.foreach(m => runStatements(m.stateInitSql, Map.empty))
+  }
+
+  // ---------------- query path (A7 + A16) ----------------
+
+  /** A7: run a named query. All statements execute; the last one's result is
+    * returned. Binds $-params plus $start (default 1), $limit, and
+    * $requesting_user (null when anonymous) — reference: basic.rs:160-246. */
+  def query(user: Option[String], q: LeafQuery): DataFrame = {
+    catchUp()
+    val m = currentModule.getOrElse(
+      throw new IllegalStateException("no module installed"))
+    val defn = m.queries.getOrElse(q.name,
+      throw new IllegalArgumentException(s"no query named '${q.name}'"))
+    QueryValidation.validate(defn, q).left.foreach(e =>
+      throw new IllegalArgumentException(e))
+    val args: Map[String, Any] =
+      defn.params.flatMap(p => q.params.get(p.name).map(v => p.name -> sqlValueToAny(v))).toMap ++
+        Map(
+          "start" -> q.start.getOrElse(1L),
+          "limit" -> q.limit,
+          "requesting_user" -> user.orNull)
+    val stmts = SqlText.prepare(defn.sql)
+    if (stmts.isEmpty) throw new IllegalArgumentException("Query did not return a result")
+    var last: Option[DataFrame] = None
+    stmts.foreach(s => last = execInDb(s, args))
+    last.getOrElse(throw new IllegalArgumentException("Query did not return a result"))
+  }
+
+  /** Collect a query result as dynamically-typed tagged rows (the wire
+    * format of the reference: SqlRows, lib.rs:226-227). */
+  def queryTagged(user: Option[String], q: LeafQuery): Vector[Map[String, SqlValue]] = {
+    val df = query(user, q)
+    val names = df.schema.fieldNames
+    df.collect().toVector.map(r =>
+      names.zipWithIndex.map { case (n, i) => n -> SqlValue.fromAny(r.get(i)) }.toMap)
+  }
+
+  private def sqlValueToAny(v: SqlValue): Any = v match {
+    case SqlValue.SqlNull => null
+    case SqlValue.SqlInteger(i) => i
+    case SqlValue.SqlReal(d) => d
+    case SqlValue.SqlText(s) => s
+    case SqlValue.SqlBlob(b) => b
+  }
+
+  // ---------------- execution helpers ----------------
+
+  /** Execute one statement with the stream's database as the resolution
+    * context. DDL/DML return None; SELECT-shaped statements return the df. */
+  private def execInDb(stmt: String, args: Map[String, Any]): Option[DataFrame] =
+    store.synchronized { // current-database is session state; serialize across streams
+      spark.sql(s"USE $dbName")
+      try {
+        val df = if (args.nonEmpty) spark.sql(stmt, args) else spark.sql(stmt)
+        if (df.schema.nonEmpty) Some(df) else { df.collect(); None }
+      } finally spark.sql("USE default")
+    }
+
+  private def runStatements(sql: String, args: Map[String, Any]): Unit =
+    SqlText.prepare(sql).foreach(s => execInDb(s, args))
+
+  // ---------------- rollback machinery ----------------
+
+  private def listFiles(p: Path): Set[Path] =
+    if (!Files.exists(p)) Set.empty
+    else Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_)).toSet
+
+  private def tableLocation(t: String): Option[Path] = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(t, Some(dbName)))
+    Option(meta.location).map(u => Paths.get(u))
+  }
+
+  private def snapshotTables(): Map[String, (Path, Set[Path])] =
+    listTables().filterNot(_ == "events").flatMap { t =>
+      tableLocation(t).map(loc => t -> (loc, listFiles(loc)))
+    }.toMap
+
+  private def rollback(logBefore: Set[Path], snap: Map[String, (Path, Set[Path])]): Unit = {
+    (listFiles(logDir) -- logBefore).foreach(Files.deleteIfExists(_))
+    refreshEvents()
+    snap.foreach { case (t, (loc, before)) =>
+      (listFiles(loc) -- before).foreach(Files.deleteIfExists(_))
+      spark.sql(s"REFRESH TABLE $dbName.$t")
+    }
+  }
+}

@@ -1,0 +1,91 @@
+package graft.stream
+
+import scala.collection.mutable
+
+import graft.types.{LeafQuery, SqlValue}
+
+/** Live-query subscriptions over a stream (A8/A9).
+  *
+  * Behavioral spec: /root/reference/leaf-stream/src/lib.rs —
+  * registration 344-379 (initial cursor = start-1 if given, else the stream's
+  * current latest: a subscription without `start` only sees NEW events),
+  * worker loop 873-986, window math in leaf-stream-types/src/lib.rs:195-212,
+  * `has_more` when the query window ends before the stream's latest (937-939).
+  *
+  * The engine itself never diffs results: "incremental" is purely the moving
+  * `$start`/`$limit` contract — each delivery re-runs the named query with
+  * `start = cursor + 1` and advances the cursor to the end of the delivered
+  * window. Delivery here is a synchronous driver-side pump (`drain`) driven
+  * by append notifications; a server layer can call it from any scheduler.
+  */
+class SubscriptionEngine(handle: StreamHandle) {
+
+  case class Delivery(rows: Vector[Map[String, SqlValue]], hasMore: Boolean)
+
+  private case class Sub(
+      id: Long,
+      user: Option[String],
+      query: LeafQuery,
+      sink: Delivery => Unit,
+      var cursor: Long,
+      var closed: Boolean = false)
+
+  private val subs = mutable.LinkedHashMap.empty[Long, Sub]
+  private var nextId = 0L
+  private val pending = mutable.Queue.empty[Long]
+
+  /** Register a subscription; returns its id. Queues an immediate update so
+    * a subscriber with an explicit `start` backfills history first. */
+  def subscribe(user: Option[String], q: LeafQuery)(sink: Delivery => Unit): Long =
+    synchronized {
+      val cursor = q.start.map(_ - 1).getOrElse(handle.latest)
+      nextId += 1
+      subs(nextId) = Sub(nextId, user, q, sink, cursor)
+      pending.enqueue(nextId)
+      nextId
+    }
+
+  def unsubscribe(id: Long): Unit = synchronized {
+    subs.get(id).foreach(_.closed = true)
+    subs.remove(id)
+  }
+
+  /** A9: notification that new events landed — wake every subscription. */
+  def notifyNewEvents(): Unit = synchronized {
+    subs.keysIterator.foreach(pending.enqueue(_))
+  }
+
+  /** Pump all pending subscription updates until every live subscription is
+    * caught up with the stream (the reference's worker self-scheduling on
+    * `has_more`, lib.rs:952-963). Returns number of deliveries made. */
+  def drain(): Int = {
+    var deliveries = 0
+    var next: Option[Sub] = dequeue()
+    while (next.isDefined) {
+      val sub = next.get
+      if (!sub.closed && sub.cursor < handle.latest) {
+        val q = sub.query.updateForSubscription(sub.cursor + 1)
+        val windowEnd = math.min(q.lastEvent, handle.latest)
+        val rows = handle.queryTagged(sub.user, q)
+        val hasMore = windowEnd < handle.latest
+        sub.sink(Delivery(rows, hasMore))
+        deliveries += 1
+        sub.cursor = windowEnd
+        if (hasMore) synchronized(pending.enqueue(sub.id))
+      }
+      next = dequeue()
+    }
+    deliveries
+  }
+
+  private def dequeue(): Option[Sub] = synchronized {
+    while (pending.nonEmpty) {
+      val id = pending.dequeue()
+      subs.get(id) match {
+        case Some(s) => return Some(s)
+        case None => // pruned
+      }
+    }
+    None
+  }
+}

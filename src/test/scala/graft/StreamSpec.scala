@@ -1,0 +1,186 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.drisl.DValue._
+import graft.drisl.Drisl
+import graft.stream._
+import graft.types._
+
+/** Lifecycle spec for the stream engine: append/authorize/materialize/
+  * replay/state/query/subscription semantics from SURVEY.md §2.A/§3 and
+  * Appendix A. */
+class StreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private lazy val store = new StreamStore(spark,
+    java.nio.file.Files.createTempDirectory("graft-streams").toString)
+
+  private def payload(kind: String, content: String, n: Long = 0): Array[Byte] =
+    Drisl.encode(obj("kind" -> text(kind), "content" -> text(content), "n" -> int(n)))
+
+  private val chatModule = ModuleDef(
+    initSql = """CREATE TABLE IF NOT EXISTS messages
+                 |(idx BIGINT, author STRING, content STRING, n BIGINT) USING PARQUET""".stripMargin,
+    authorizer = """SELECT CASE WHEN drisl_extract(payload, '.kind') = 'banned'
+                    |THEN unauthorized(user) ELSE 1 END AS ok FROM event""".stripMargin,
+    materializer = """INSERT INTO messages
+                      |SELECT idx, user, drisl_extract(payload, '.content'),
+                      |       drisl_extract_long(payload, '.n') FROM event""".stripMargin,
+    stateInitSql = "CREATE TABLE IF NOT EXISTS state_presence (user STRING, status STRING) USING PARQUET",
+    stateMaterializer = """INSERT INTO state_presence
+                           |SELECT user, drisl_extract(payload, '.content') FROM event""".stripMargin,
+    queries = Map(
+      "list" -> QueryDef(
+        """SELECT idx, author, content, n FROM messages
+          |WHERE idx BETWEEN $start AND $start + $limit - 1
+          |ORDER BY idx""".stripMargin),
+      "by_author" -> QueryDef(
+        "SELECT content FROM messages WHERE author = $who ORDER BY idx",
+        Seq(ParamDef("who", ParamKind.PText))),
+      "whoami" -> QueryDef("SELECT $requesting_user AS me")))
+
+  test("e2e: create stream, install module, append, query (§7.2 slice)") {
+    val h = store.open("did:test:alpha")
+    h.setModule(chatModule)
+    val r = h.addEvents(Seq(
+      IncomingEvent("alice", payload("msg", "hello", 1)),
+      IncomingEvent("bob", payload("msg", "world", 2)),
+      IncomingEvent("alice", payload("msg", "!", 3))))
+    assert(r == Right(3L))
+    val rows = h.queryTagged(None, LeafQuery("list"))
+    assert(rows.map(_("content")) ==
+      Vector(SqlValue.SqlText("hello"), SqlValue.SqlText("world"), SqlValue.SqlText("!")))
+    assert(rows.map(_("idx")) == Vector(SqlValue.SqlInteger(1), SqlValue.SqlInteger(2), SqlValue.SqlInteger(3)))
+  }
+
+  test("authorizer rejection vetoes the whole batch atomically (lib.rs:696-705)") {
+    val h = store.open("did:test:atomic")
+    h.setModule(chatModule)
+    assert(h.addEvents(Seq(IncomingEvent("a", payload("msg", "ok")))) == Right(1L))
+    val r = h.addEvents(Seq(
+      IncomingEvent("a", payload("msg", "fine")),
+      IncomingEvent("evil", payload("banned", "nope"))))
+    assert(r.isLeft, "batch with banned event must be rejected")
+    assert(h.latest == 1L, "rejected batch must not advance the log")
+    val rows = h.queryTagged(None, LeafQuery("list"))
+    assert(rows.size == 1, "no partial materialization from the rejected batch")
+  }
+
+  test("query params: validation + binding (A16, types lib.rs:268-320)") {
+    val h = store.open("did:test:params")
+    h.setModule(chatModule)
+    h.addEvents(Seq(
+      IncomingEvent("alice", payload("msg", "one")),
+      IncomingEvent("bob", payload("msg", "two"))))
+    val rows = h.queryTagged(None,
+      LeafQuery("by_author", Map("who" -> SqlValue.SqlText("bob"))))
+    assert(rows.map(_("content")) == Vector(SqlValue.SqlText("two")))
+    // unknown param rejected
+    assertThrows[IllegalArgumentException](
+      h.query(None, LeafQuery("by_author", Map("nope" -> SqlValue.SqlText("x")))))
+    // missing required param rejected
+    assertThrows[IllegalArgumentException](h.query(None, LeafQuery("by_author")))
+    // wrong kind rejected
+    assertThrows[IllegalArgumentException](
+      h.query(None, LeafQuery("by_author", Map("who" -> SqlValue.SqlInteger(3)))))
+    // unknown query name
+    assertThrows[IllegalArgumentException](h.query(None, LeafQuery("nah")))
+  }
+
+  test("$requesting_user binds; NULL when anonymous (basic.rs:200-213)") {
+    val h = store.open("did:test:user")
+    h.setModule(chatModule)
+    assert(h.queryTagged(Some("carol"), LeafQuery("whoami")).head("me") ==
+      SqlValue.SqlText("carol"))
+    assert(h.queryTagged(None, LeafQuery("whoami")).head("me") == SqlValue.SqlNull)
+  }
+
+  test("$start/$limit window the query (defaults 1/1000)") {
+    val h = store.open("did:test:window")
+    h.setModule(chatModule)
+    h.addEvents((1 to 10).map(i => IncomingEvent("u", payload("msg", s"m$i", i))))
+    val page = h.queryTagged(None, LeafQuery("list", start = Some(4), limit = 3))
+    assert(page.map(_("idx")) ==
+      Vector(SqlValue.SqlInteger(4), SqlValue.SqlInteger(5), SqlValue.SqlInteger(6)))
+    assert(h.queryTagged(None, LeafQuery("list")).size == 10)
+  }
+
+  test("module swap resets cursor and replays the whole log (A13+A6)") {
+    val h = store.open("did:test:swap")
+    h.setModule(chatModule)
+    h.addEvents(Seq(
+      IncomingEvent("a", payload("msg", "x", 10)),
+      IncomingEvent("b", payload("msg", "y", 20))))
+    val counting = chatModule.copy(
+      initSql = "CREATE TABLE IF NOT EXISTS totals (author STRING, total BIGINT) USING PARQUET",
+      materializer = """INSERT INTO totals
+                        |SELECT user, drisl_extract_long(payload, '.n') FROM event""".stripMargin,
+      queries = Map("sum" -> QueryDef(
+        "SELECT CAST(sum(total) AS BIGINT) AS s FROM totals")))
+    assert(counting.cid != chatModule.cid)
+    h.setModule(counting)
+    assert(h.moduleCursor == 2L, "replay must catch the cursor up")
+    assert(h.queryTagged(None, LeafQuery("sum")).head("s") == SqlValue.SqlInteger(30))
+  }
+
+  test("state events bypass the log and land in state_* (A5); clearState (A12)") {
+    val h = store.open("did:test:state")
+    h.setModule(chatModule)
+    h.addEvents(Seq(IncomingEvent("a", payload("msg", "hi"))))
+    assert(h.addStateEvents(Seq(
+      IncomingEvent("a", payload("presence", "online")),
+      IncomingEvent("b", payload("presence", "away")))).isRight)
+    assert(h.latest == 1L, "state events must not be appended to the log")
+    val st = spark.sql(s"SELECT status FROM ${h.dbName}.state_presence ORDER BY status")
+      .collect().map(_.getString(0)).toSeq
+    assert(st == Seq("away", "online"))
+    h.clearState()
+    assert(spark.sql(s"SELECT count(*) FROM ${h.dbName}.state_presence").head().getLong(0) == 0L)
+  }
+
+  test("raw range scan prunes by idx (A10) and raw import validates contiguity (A11)") {
+    val h = store.open("did:test:raw")
+    h.setModule(chatModule)
+    h.addEvents((1 to 5).map(i => IncomingEvent("u", payload("msg", s"m$i"))))
+    assert(h.rawGetEvents(2, 4).collect().map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L))
+    import spark.implicits._
+    val bad = Seq((99L, "u", payload("msg", "gap"), Array.empty[Byte]))
+      .toDF("idx", "user", "payload", "signature")
+    assertThrows[IllegalArgumentException](h.bulkImport(bad))
+    val good = Seq((6L, "u", payload("msg", "m6"), Array.empty[Byte]))
+      .toDF("idx", "user", "payload", "signature")
+    assert(h.bulkImport(good) == 6L)
+    assert(h.queryTagged(None, LeafQuery("list")).size == 6)
+  }
+
+  test("subscription: backfill, has_more, only-new-events default (A8)") {
+    val h = store.open("did:test:subs")
+    h.setModule(chatModule)
+    h.addEvents((1 to 7).map(i => IncomingEvent("u", payload("msg", s"m$i", i))))
+    val engine = new SubscriptionEngine(h)
+
+    // explicit start=1, window limit=3 → backfill in pages with has_more
+    var deliveries = Vector.empty[engine.Delivery]
+    engine.subscribe(None, LeafQuery("list", start = Some(1), limit = 3))(d => deliveries :+= d)
+    engine.drain()
+    assert(deliveries.map(_.rows.size) == Vector(3, 3, 1))
+    assert(deliveries.map(_.hasMore) == Vector(true, true, false))
+    assert(deliveries.flatMap(_.rows).map(_("idx")).map {
+      case SqlValue.SqlInteger(i) => i; case _ => -1L
+    } == (1L to 7L).toVector, "backfill must deliver every event exactly once")
+
+    // no start → subscription only sees NEW events (lib.rs:358-362)
+    var fresh = Vector.empty[engine.Delivery]
+    engine.subscribe(None, LeafQuery("list", limit = 100))(d => fresh :+= d)
+    assert(engine.drain() == 0, "nothing to deliver before new events")
+    h.addEvents(Seq(IncomingEvent("u", payload("msg", "m8", 8))))
+    engine.notifyNewEvents()
+    engine.drain()
+    assert(fresh.size == 1 && fresh.head.rows.map(_("idx")) == Vector(SqlValue.SqlInteger(8)))
+  }
+
+  test("module cid is content-addressed and stable") {
+    assert(chatModule.cid == chatModule.copy().cid)
+    assert(chatModule.cid != chatModule.copy(initSql = chatModule.initSql + " ").cid)
+  }
+}
