@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.queries.Relational.Q
+
+/** Deduplication operators for a training-data pipeline, over `documents`
+  * and `embeddings`. The corpus is augmented with deterministic clones
+  * (doc_id + 1_000_000 for every 10th doc) so every dedup stage has true
+  * positives to find; the DuckDB oracle builds the identical corpus.
+  *
+  * Scale design (the point of each operator):
+  *  - exact:    one hash-shuffle on md5(text) — the trivially-scalable base.
+  *  - minhash:  shingle → per-doc signature is a map-side explode + one
+  *              groupBy(doc_id); signatures are tiny (6 hashes/doc), so the
+  *              LSH band self-join shuffles only O(docs) rows, never O(text).
+  *  - lsh:      candidate pairs come from band-hash equality (equi-join ⇒
+  *              hash-partitioned, no cross product); exact Jaccard runs only
+  *              on candidates. At 1000× data the band join stays an
+  *              equi-join; clique skew is handled by raising rows-per-band
+  *              (here 3) — the knob that trades recall for join fan-out.
+  *  - simhash:  per-token 32-bit hash folded bit-wise into per-doc sums —
+  *              pure map-side arithmetic + one groupBy; near-dup lookup is
+  *              then an equality (or small-Hamming-ball) join on a LONG.
+  *  - ngram:    exact n-gram Jaccard as the *scoring* stage over an
+  *              already-bounded candidate list (linear in candidates).
+  *  - embedding: cosine near-dup bucketed by a coarse quantizer (label) so
+  *              the pair space is per-bucket, not global; per-pair dot
+  *              products are decimal-summed for cross-engine determinism.
+  *
+  * All hashing is md5 (bit-identical hex in Spark and DuckDB); ratios are
+  * single IEEE double ops on exact ints/decimals — no float-sum ordering
+  * anywhere, so results hash-match the oracle exactly.
+  */
+object Dedup {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(25, 10))
+
+  /** documents + clones: every 10th doc duplicated under doc_id+1e6. */
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.df(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionAll(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
+  private val corpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** char n-gram shingles of the trimmed text (map-side explode). */
+  private def shingles(c: DataFrame, n: Int): DataFrame =
+    c.select(col("doc_id"), trim(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), length(col("t")) - (n - 1))).as("i"))
+      .select(col("doc_id"), col("t").substr(col("i"), lit(n)).as("sh"))
+
+  private def shinglesSql(n: Int) =
+    s"""sh AS (
+       |  SELECT doc_id, substr(trim(text), unnest(generate_series(1, length(trim(text))-${n - 1})), $n) AS sh
+       |  FROM corpus)""".stripMargin
+
+  private val K = 6 // minhash signature width; banded 2 x 3 for LSH
+
+  private def sigs(s: SparkSession, dir: String): DataFrame = {
+    val aggs = (0 until K).map(k =>
+      min(md5(concat(lit(s"$k|"), col("sh")))).as(s"h$k"))
+    shingles(corpus(s, dir), 5).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  private val sigsSql =
+    s"""sig AS (
+       |  SELECT doc_id, ${(0 until K).map(k => s"min(md5('$k|' || sh)) AS h$k").mkString(", ")}
+       |  FROM sh GROUP BY doc_id)""".stripMargin
+
+  val all: Map[String, Q] = Map(
+
+    // ---- exact dedup: hash-groupBy on content fingerprint ----
+    "q_dedup_exact" -> Q(
+      (s, dir) =>
+        corpus(s, dir)
+          .groupBy(md5(col("text")).as("fp"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("canonical"))
+          .filter(col("n") > 1)
+          .orderBy(col("fp")),
+      Some(s"""WITH $corpusSql
+              |SELECT md5(text) AS fp, count(*) AS n, min(doc_id) AS canonical
+              |FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""".stripMargin)),
+
+    // ---- minhash signatures: shingle -> k-way min-hash per doc ----
+    "q_dedup_minhash" -> Q(
+      (s, dir) => sigs(s, dir).orderBy(col("doc_id")),
+      Some(s"""WITH $corpusSql, ${shinglesSql(5)}, $sigsSql
+              |SELECT * FROM sig ORDER BY doc_id""".stripMargin)),
+
+    // ---- LSH: band buckets -> candidate pairs -> exact Jaccard verify ----
+    "q_dedup_lsh" -> Q(
+      (s, dir) => {
+        val sg = sigs(s, dir)
+        val bands = sg.select(col("doc_id"), posexplode(array(
+            md5(concat(col("h0"), col("h1"), col("h2"))),
+            md5(concat(col("h3"), col("h4"), col("h5"))))).as(Seq("band_id", "bh")))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band_id") === col("y.band_id") && col("x.bh") === col("y.bh") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+        val dsh = shingles(corpus(s, dir), 5).distinct()
+        val sz = dsh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val inter = cand
+          .join(dsh.as("sa"), col("a") === col("sa.doc_id"))
+          .join(dsh.as("sb"), col("b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+        inter
+          .join(sz.as("za"), col("a") === col("za.doc_id"))
+          .join(sz.as("zb"), col("b") === col("zb.doc_id"))
+          .select(col("a"), col("b"),
+            (col("inter").cast("double") / (col("za.sz") + col("zb.sz") - col("inter"))).as("jac"))
+          .filter(col("jac") >= 0.9)
+          .orderBy(col("a"), col("b"))
+      },
+      Some(s"""WITH $corpusSql, ${shinglesSql(5)}, $sigsSql,
+              |bands AS (
+              |  SELECT doc_id, 0 AS band_id, md5(h0||h1||h2) AS bh FROM sig
+              |  UNION ALL SELECT doc_id, 1, md5(h3||h4||h5) FROM sig),
+              |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y
+              |         ON x.band_id = y.band_id AND x.bh = y.bh AND x.doc_id < y.doc_id),
+              |dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+              |sz AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY 1),
+              |inter AS (SELECT a, b, count(*) AS inter FROM cand
+              |          JOIN dsh sa ON sa.doc_id = a
+              |          JOIN dsh sb ON sb.doc_id = b AND sa.sh = sb.sh
+              |          GROUP BY a, b)
+              |SELECT a, b, jac FROM (
+              |  SELECT a, b, CAST(inter AS DOUBLE)/(za.sz + zb.sz - inter) AS jac
+              |  FROM inter JOIN sz za ON za.doc_id = a JOIN sz zb ON zb.doc_id = b)
+              |WHERE jac >= 0.9 ORDER BY a, b""".stripMargin)),
+
+    // ---- simhash: 32-bit per-doc signature from per-token hash bits ----
+    "q_dedup_simhash" -> Q(
+      (s, dir) => {
+        val tok = corpus(s, dir)
+          .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+          .select(col("doc_id"),
+            conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("v"))
+        val bitSums = (0 until 32).map(j =>
+          sum(shiftright(col("v"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$j"))
+        val folded = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        val simhash = (0 until 32).map(j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+        folded.select(col("doc_id"), simhash.as("simhash")).orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $corpusSql,
+              |tok AS (
+              |  SELECT doc_id, ('0x' || substr(md5(unnest(regexp_split_to_array(trim(text), '\\s+'))), 1, 8))::BIGINT AS v
+              |  FROM corpus),
+              |folded AS (
+              |  SELECT doc_id, ${(0 until 32).map(j => s"sum(((v >> $j) & 1) * 2 - 1) AS s$j").mkString(", ")}
+              |  FROM tok GROUP BY doc_id)
+              |SELECT doc_id, ${(0 until 32).map(j => s"(CASE WHEN s$j > 0 THEN (1::BIGINT << $j) ELSE 0 END)").mkString(" + ")} AS simhash
+              |FROM folded ORDER BY doc_id""".stripMargin)),
+
+    // ---- n-gram Jaccard scoring over a bounded candidate list ----
+    "q_dedup_ngram" -> Q(
+      (s, dir) => {
+        val base = Tables.df(s, dir, "documents").select(col("doc_id"))
+        val clonePairs = base.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("a"), (col("doc_id") + 1000000).as("b"))
+        val adjacent = base.as("x").join(base.as("y"),
+            col("y.doc_id") === col("x.doc_id") + 1)
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        val cand = clonePairs.unionAll(adjacent)
+        val dsh = shingles(corpus(s, dir), 3).distinct()
+        val sz = dsh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val inter = cand
+          .join(dsh.as("sa"), col("a") === col("sa.doc_id"))
+          .join(dsh.as("sb"), col("b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+        cand
+          .join(inter, Seq("a", "b"), "left_outer")
+          .join(sz.as("za"), col("a") === col("za.doc_id"))
+          .join(sz.as("zb"), col("b") === col("zb.doc_id"))
+          .select(col("a"), col("b"),
+            (coalesce(col("inter"), lit(0L)).cast("double") /
+              (col("za.sz") + col("zb.sz") - coalesce(col("inter"), lit(0L)))).as("jac"))
+          .orderBy(col("a"), col("b"))
+      },
+      Some(s"""WITH $corpusSql, ${shinglesSql(3)},
+              |cand AS (
+              |  SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents WHERE doc_id % 10 = 0
+              |  UNION ALL
+              |  SELECT x.doc_id AS a, y.doc_id AS b FROM documents x JOIN documents y
+              |    ON y.doc_id = x.doc_id + 1),
+              |dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+              |sz AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY 1),
+              |inter AS (SELECT a, b, count(*) AS inter FROM cand
+              |          JOIN dsh sa ON sa.doc_id = a
+              |          JOIN dsh sb ON sb.doc_id = b AND sa.sh = sb.sh
+              |          GROUP BY a, b)
+              |SELECT c.a, c.b,
+              |  CAST(COALESCE(inter, 0) AS DOUBLE)/(za.sz + zb.sz - COALESCE(inter, 0)) AS jac
+              |FROM cand c
+              |LEFT JOIN inter ON inter.a = c.a AND inter.b = c.b
+              |JOIN sz za ON za.doc_id = c.a JOIN sz zb ON zb.doc_id = c.b
+              |ORDER BY c.a, c.b""".stripMargin)),
+
+    // ---- embedding cosine near-dup, bucketed by coarse quantizer ----
+    "q_dedup_embedding" -> Q(
+      (s, dir) => {
+        val e = Tables.df(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding"))
+        val corpusE = e.unionAll(e.filter(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + 1000000).as("vec_id"), col("label"), col("embedding")))
+        val dims = corpusE.select(col("vec_id"),
+            posexplode(col("embedding")).as(Seq("i", "x")))
+          .select(col("vec_id"), col("i"), col("x").cast("double").as("x"))
+        val norms = dims.groupBy("vec_id")
+          .agg(sum(dec(col("x") * col("x"))).cast("double").as("n2"))
+        val pairs = corpusE.as("p").join(corpusE.as("q"),
+            col("p.label") === col("q.label") && col("p.vec_id") < col("q.vec_id"))
+          .select(col("p.vec_id").as("a"), col("q.vec_id").as("b"))
+        val dots = pairs
+          .join(dims.as("da"), col("a") === col("da.vec_id"))
+          .join(dims.as("db"), col("b") === col("db.vec_id") && col("da.i") === col("db.i"))
+          .groupBy(col("a"), col("b"))
+          .agg(sum(dec(col("da.x") * col("db.x"))).cast("double").as("dot"))
+        dots
+          .join(norms.as("na"), col("a") === col("na.vec_id"))
+          .join(norms.as("nb"), col("b") === col("nb.vec_id"))
+          .select(col("a"), col("b"),
+            (col("dot") / (sqrt(col("na.n2")) * sqrt(col("nb.n2")))).as("cos"))
+          .filter(col("cos") >= 0.999)
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT vec_id, label, embedding FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 1000000, label, embedding FROM embeddings WHERE vec_id % 20 = 0),
+             |dims AS (
+             |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             |         CAST(unnest(embedding) AS DOUBLE) AS x
+             |  FROM corpus),
+             |norms AS (
+             |  SELECT vec_id, CAST(sum(CAST(x * x AS DECIMAL(25,10))) AS DOUBLE) AS n2
+             |  FROM dims GROUP BY vec_id),
+             |pairs AS (
+             |  SELECT p.vec_id AS a, q.vec_id AS b FROM corpus p JOIN corpus q
+             |  ON p.label = q.label AND p.vec_id < q.vec_id),
+             |dots AS (
+             |  SELECT a, b, CAST(sum(CAST(da.x * db.x AS DECIMAL(25,10))) AS DOUBLE) AS dot
+             |  FROM pairs
+             |  JOIN dims da ON da.vec_id = a
+             |  JOIN dims db ON db.vec_id = b AND da.i = db.i
+             |  GROUP BY a, b)
+             |SELECT a, b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
+             |FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b
+             |WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.999
+             |ORDER BY a, b""".stripMargin))
+  )
+}

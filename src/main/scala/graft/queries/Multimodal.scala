@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.Relational.Q
+
+/** Multimodal-column plumbing: image/audio/video as opaque BINARY columns
+  * with typed metadata, processed by per-partition batch operators.
+  *
+  * The container has no codec libraries, so the *decode* step is a
+  * clearly-marked deterministic STUB (`FakeCodec`) — the Spark-side shape
+  * is the real thing: a BINARY payload column, a typed metadata struct,
+  * `mapPartitions` batch processing with case-class Encoders (the Scala
+  * analog of mapInPandas batches: one iterator per partition, vectorizable
+  * per-batch work, no per-row driver involvement), and frame sampling as a
+  * pure codegen expression pipeline. Swapping `FakeCodec` for a real
+  * decoder changes no schema, partitioning, or operator structure.
+  *
+  * These entries have no SQL oracle (byte-level ops aren't expressible in
+  * the oracle dialect) — the driver records rows-only checks; exact-value
+  * assertions live in MultimodalSpec.
+  */
+object Multimodal {
+
+  case class Media(media_id: Long, fmt: String, data: Array[Byte])
+  case class Decoded(media_id: Long, fmt: String, width: Int, height: Int,
+      n_bytes: Long, ok: Boolean)
+  case class Features(media_id: Long, mean_byte: Double, h0: Long, h1: Long,
+      h2: Long, h3: Long)
+
+  /** STUB decoder: deterministic pseudo-metadata from the payload bytes.
+    * A real implementation calls an image/audio library here, per batch. */
+  object FakeCodec {
+    def decode(m: Media): Decoded = {
+      val b = m.data
+      if (b == null || b.isEmpty) Decoded(m.media_id, m.fmt, 0, 0, 0L, ok = false)
+      else Decoded(m.media_id, m.fmt,
+        width = 64 + ((b(0) & 0xff) % 192),
+        height = 64 + ((b(b.length - 1) & 0xff) % 192),
+        n_bytes = b.length.toLong, ok = true)
+    }
+
+    def features(m: Media): Features = {
+      val b = m.data
+      var sum = 0L
+      val hist = new Array[Long](4)
+      var i = 0
+      while (i < b.length) {
+        val v = b(i) & 0xff
+        sum += v
+        hist(v >> 6) += 1
+        i += 1
+      }
+      Features(m.media_id, sum.toDouble / b.length, hist(0), hist(1), hist(2), hist(3))
+    }
+  }
+
+  /** Synthesize a media table from `documents`: payload = utf-8 bytes of
+    * the text (an opaque blob as far as the pipeline is concerned). */
+  private def media(s: SparkSession, dir: String): DataFrame =
+    Tables.df(s, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      element_at(lit(Array("jpeg", "png", "webp")), (col("doc_id") % 3 + 1).cast("int")).as("fmt"),
+      encode(col("text"), "utf-8").as("data"))
+
+  val all: Map[String, Q] = Map(
+
+    // ---- decode: per-partition batch metadata extraction (STUB codec) ----
+    "q_mm_decode" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        media(s, dir).as[Media]
+          .mapPartitions(_.map(FakeCodec.decode))
+          .toDF()
+          .orderBy(col("media_id"))
+      }, None),
+
+    // ---- feature extraction: byte histogram + mean per media blob ----
+    "q_mm_features" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        media(s, dir).as[Media]
+          .mapPartitions(_.map(FakeCodec.features))
+          .toDF()
+          .orderBy(col("media_id"))
+      }, None),
+
+    // ---- frame sampling: every 4th 16-byte window, pure codegen ----
+    "q_mm_frames" -> Q(
+      (s, dir) =>
+        media(s, dir)
+          .select(col("media_id"),
+            explode(sequence(lit(0), ((length(col("data")) - 1) / 64).cast("int"))).as("frame_no"))
+          .join(media(s, dir), Seq("media_id"))
+          .select(col("media_id"), col("frame_no"),
+            md5(col("data").substr(col("frame_no") * 64 + 1, lit(16))).as("frame_md5"))
+          .orderBy(col("media_id"), col("frame_no")), None)
+  )
+}

@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.queries.Relational.Q
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (Array[Float], dim 64).
+  *
+  * - `q_knn_brute` is the exact baseline: one scan, per-row dot products,
+  *   top-k. Distributed cost is O(N·d) map-side + a tiny top-k shuffle —
+  *   at 100 TB this is a single pass with no join blow-up (the query
+  *   vector is a broadcast).
+  * - `q_knn_ivf` is the scale path: a coarse quantizer (here the `label`
+  *   column as the cell id; k-means centroids in a real pipeline) maps the
+  *   query to its nearest cell, and only that cell is scanned — the
+  *   classic IVF probe-1 trade: ~1/|cells| of the data touched.
+  *
+  * Determinism: every dot product / norm is a sum of per-dimension
+  * products cast to DECIMAL(25,10) — decimal addition is exact and
+  * order-independent, so Spark's partial aggregation and DuckDB's
+  * single-threaded sum agree bit-for-bit; the final cosine is a fixed
+  * sequence of IEEE double ops on identical inputs.
+  */
+object Similarity {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(25, 10))
+
+  /** (vec_id, label, i, x) exploded view of the embeddings. */
+  private def dims(s: SparkSession, dir: String): DataFrame =
+    Tables.df(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("label"), col("i"), col("x").cast("double").as("x"))
+
+  private val dimsSql =
+    """dims AS (
+      |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings)""".stripMargin
+
+  val all: Map[String, Q] = Map(
+
+    // ---- brute-force cosine top-k against the vec_id=0 query vector ----
+    "q_knn_brute" -> Q(
+      (s, dir) => {
+        val d = dims(s, dir)
+        val q = d.filter(col("vec_id") === 0)
+          .select(col("i").as("qi"), col("x").as("qx"))
+        val norms = d.groupBy("vec_id")
+          .agg(sum(dec(col("x") * col("x"))).cast("double").as("n2"))
+        val qNorm = norms.filter(col("vec_id") === 0)
+          .select(col("n2").as("qn2"))
+        val dots = d.filter(col("vec_id") =!= 0)
+          .join(broadcast(q), col("i") === col("qi"))
+          .groupBy("vec_id")
+          .agg(sum(dec(col("x") * col("qx"))).cast("double").as("dot"))
+        dots.join(norms, "vec_id").crossJoin(broadcast(qNorm))
+          .select(col("vec_id"),
+            (col("dot") / (sqrt(col("n2")) * sqrt(col("qn2")))).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH $dimsSql,
+              |norms AS (
+              |  SELECT vec_id, CAST(sum(CAST(x * x AS DECIMAL(25,10))) AS DOUBLE) AS n2
+              |  FROM dims GROUP BY vec_id),
+              |q AS (SELECT i AS qi, x AS qx FROM dims WHERE vec_id = 0),
+              |qn AS (SELECT n2 AS qn2 FROM norms WHERE vec_id = 0),
+              |dots AS (
+              |  SELECT vec_id, CAST(sum(CAST(x * qx AS DECIMAL(25,10))) AS DOUBLE) AS dot
+              |  FROM dims JOIN q ON i = qi WHERE vec_id <> 0 GROUP BY vec_id)
+              |SELECT vec_id, dot / (sqrt(n2) * sqrt(qn2)) AS cos
+              |FROM dots JOIN norms USING (vec_id), qn
+              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // ---- IVF-style: probe nearest coarse cell, scan only that cell ----
+    "q_knn_ivf" -> Q(
+      (s, dir) => {
+        val d = dims(s, dir)
+        val q = d.filter(col("vec_id") === 0)
+          .select(col("i").as("qi"), col("x").as("qx"))
+        // coarse cells: per-label centroids (decimal mean per dimension)
+        val cent = d.groupBy(col("label"), col("i"))
+          .agg((sum(dec(col("x"))).cast("double") / count(lit(1))).as("c"))
+        val centNorm = cent.groupBy("label")
+          .agg(sum(dec(col("c") * col("c"))).cast("double").as("cn2"))
+        val centDot = cent.join(broadcast(q), col("i") === col("qi"))
+          .groupBy("label")
+          .agg(sum(dec(col("c") * col("qx"))).cast("double").as("cdot"))
+        val best = centDot.join(centNorm, "label")
+          .select(col("label"), (col("cdot") / sqrt(col("cn2"))).as("score"))
+          .orderBy(col("score").desc, col("label")).limit(1)
+          .select(col("label").as("best_label"))
+        // scan only the probed cell
+        val norms = d.groupBy(col("vec_id"), col("label"))
+          .agg(sum(dec(col("x") * col("x"))).cast("double").as("n2"))
+        val qNorm = norms.filter(col("vec_id") === 0)
+          .select(col("n2").as("qn2"))
+        val dots = d.filter(col("vec_id") =!= 0)
+          .join(broadcast(best), col("label") === col("best_label"))
+          .join(broadcast(q), col("i") === col("qi"))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(sum(dec(col("x") * col("qx"))).cast("double").as("dot"))
+        dots.join(norms, Seq("vec_id", "label")).crossJoin(broadcast(qNorm))
+          .select(col("vec_id"), col("label"),
+            (col("dot") / (sqrt(col("n2")) * sqrt(col("qn2")))).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH $dimsSql,
+              |q AS (SELECT i AS qi, x AS qx FROM dims WHERE vec_id = 0),
+              |cent AS (
+              |  SELECT label, i, CAST(sum(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / count(*) AS c
+              |  FROM dims GROUP BY label, i),
+              |centnorm AS (
+              |  SELECT label, CAST(sum(CAST(c * c AS DECIMAL(25,10))) AS DOUBLE) AS cn2
+              |  FROM cent GROUP BY label),
+              |centdot AS (
+              |  SELECT label, CAST(sum(CAST(c * qx AS DECIMAL(25,10))) AS DOUBLE) AS cdot
+              |  FROM cent JOIN q ON i = qi GROUP BY label),
+              |best AS (
+              |  SELECT label AS best_label FROM centdot JOIN centnorm USING (label)
+              |  ORDER BY cdot / sqrt(cn2) DESC, label LIMIT 1),
+              |norms AS (
+              |  SELECT vec_id, label, CAST(sum(CAST(x * x AS DECIMAL(25,10))) AS DOUBLE) AS n2
+              |  FROM dims GROUP BY vec_id, label),
+              |qn AS (SELECT n2 AS qn2 FROM norms WHERE vec_id = 0),
+              |dots AS (
+              |  SELECT vec_id, dims.label, CAST(sum(CAST(x * qx AS DECIMAL(25,10))) AS DOUBLE) AS dot
+              |  FROM dims JOIN best ON dims.label = best_label JOIN q ON i = qi
+              |  WHERE vec_id <> 0 GROUP BY vec_id, dims.label)
+              |SELECT vec_id, label, dot / (sqrt(n2) * sqrt(qn2)) AS cos
+              |FROM dots JOIN norms USING (vec_id, label), qn
+              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin))
+  )
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.Relational.Q
+
+/** Text-analysis operators for a large-scale training-data pipeline, over
+  * the `documents` table. Everything is a narrow projection + per-row
+  * expression pipeline (whole-stage codegen, no UDFs, no shuffle except
+  * where aggregation is the point), so it scales linearly with input
+  * splits: at 100 TB these are embarrassingly parallel scans.
+  *
+  * Cross-engine determinism: token features use md5 (identical hex in Spark
+  * and DuckDB); ratios are single IEEE double divisions on exact integer
+  * inputs, which are bit-identical in both engines.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.df(s, dir, "documents")
+
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  val all: Map[String, Q] = Map(
+
+    // ---- token counting: whitespace tokens + distinct + BPE-ish subunits ----
+    // The regex token count approximates BPE pre-tokenization: runs of
+    // word chars or single non-space symbols.
+    "q_text_tokens" -> Q(
+      (s, dir) =>
+        docs(s, dir).select(
+          col("doc_id"),
+          size(toks(col("text"))).cast("long").as("n_tokens"),
+          size(array_distinct(toks(col("text")))).cast("long").as("n_distinct"),
+          size(split(trim(col("text")), "[a-z0-9]+")).minus(1).cast("long").as("n_word_runs"),
+          length(col("text")).cast("long").as("n_chars_m"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             |  len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct,
+             |  len(regexp_split_to_array(trim(text), '[a-z0-9]+')) - 1 AS n_word_runs,
+             |  length(text) AS n_chars_m
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- quality scoring: length/stopword/diversity ratios ----
+    "q_text_quality" -> Q(
+      (s, dir) => {
+        val t = toks(col("text"))
+        val nTok = size(t).cast("double")
+        val nStop = size(filter(t, x => x.isin(stopwords.map(lit(_)): _*))).cast("double")
+        val nDis = size(array_distinct(t)).cast("double")
+        val avgLen = length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nTok
+        // no rounding: all inputs are exact integers, so each division /
+        // fixed-order double expression is bit-identical across engines
+        docs(s, dir).select(
+          col("doc_id"),
+          (nStop / nTok).as("stopword_ratio"),
+          (nDis / nTok).as("distinct_ratio"),
+          avgLen.as("avg_token_len"),
+          (nStop / nTok * 0.3 + nDis / nTok * 0.4 +
+            least(nTok, lit(100.0)) / 100.0 * 0.3).as("quality_score"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH f AS (
+              |  SELECT doc_id,
+              |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+              |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+              |         x -> x IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) AS n_stop,
+              |    CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE) AS n_dis,
+              |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) AS n_alpha
+              |  FROM documents)
+              |SELECT doc_id,
+              |  n_stop / n_tok AS stopword_ratio,
+              |  n_dis / n_tok AS distinct_ratio,
+              |  n_alpha / n_tok AS avg_token_len,
+              |  n_stop / n_tok * 0.3 + n_dis / n_tok * 0.4 +
+              |        least(n_tok, 100.0) / 100.0 * 0.3 AS quality_score
+              |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // ---- language ID: marker-token scores + deterministic argmax ----
+    "q_text_langid" -> Q(
+      (s, dir) => {
+        val t = toks(col("text"))
+        def score(ws: Seq[String]): Column =
+          size(filter(t, x => x.isin(ws.map(lit(_)): _*))).cast("long")
+        val sEn = score(Seq("the", "of", "and"))
+        val sDe = score(Seq("der", "und", "das"))
+        val sEs = score(Seq("el", "la", "y"))
+        val sFr = score(Seq("le", "et", "les"))
+        docs(s, dir).select(
+          col("doc_id"), col("lang"),
+          sEn.as("s_en"), sDe.as("s_de"), sEs.as("s_es"), sFr.as("s_fr"),
+          when(sEn >= greatest(sDe, sEs, sFr), "en")
+            .when(sDe >= greatest(sEs, sFr), "de")
+            .when(sEs >= sFr, "es")
+            .otherwise("fr").as("pred_lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, lang,
+             |    regexp_split_to_array(trim(text), '\s+') AS t
+             |  FROM documents),
+             |sc AS (
+             |  SELECT doc_id, lang,
+             |    len(list_filter(t, x -> x IN ('the','of','and'))) AS s_en,
+             |    len(list_filter(t, x -> x IN ('der','und','das'))) AS s_de,
+             |    len(list_filter(t, x -> x IN ('el','la','y'))) AS s_es,
+             |    len(list_filter(t, x -> x IN ('le','et','les'))) AS s_fr
+             |  FROM f)
+             |SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
+             |  CASE WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+             |       WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+             |       WHEN s_es >= s_fr THEN 'es'
+             |       ELSE 'fr' END AS pred_lang
+             |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // ---- document fingerprinting: md5 of normalized text + 60-bit prefix ----
+    "q_text_fingerprint" -> Q(
+      (s, dir) => {
+        val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+        val fp = md5(norm)
+        docs(s, dir).select(
+          col("doc_id"),
+          fp.as("fp"),
+          conv(substring(fp, 1, 15), 16, 10).cast("long").as("fp60"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             |  ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp60
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -96,7 +96,11 @@ class StreamHandle(store: StreamStore, val id: String) {
 
   private def init(): Unit = lock.synchronized {
     Files.createDirectories(logDir)
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS $dbName")
+    // anchor the database (and thus every managed table) inside the store
+    // root — otherwise tables land in the session-global warehouse dir,
+    // where stale files from a previous run collide with CREATE TABLE
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $dbName " +
+      s"LOCATION '${dir.resolve("warehouse").toUri}'")
     if (Files.exists(metaPath)) loadMeta()
     if (!Files.list(logDir).iterator().asScala.exists(_.toString.endsWith(".parquet"))) {
       // seed an empty file so the external events table always has a schema

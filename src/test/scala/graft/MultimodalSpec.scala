@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Multimodal
+
+/** Exact-value checks for the multimodal plumbing (no SQL oracle exists for
+  * byte-level ops, so assertions live here instead of the driver gate). */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("decode stub: typed metadata from binary payloads, deterministic") {
+    val df = Multimodal.all("q_mm_decode").fn(spark, dir)
+    assert(df.columns.toSeq == Seq("media_id", "fmt", "width", "height", "n_bytes", "ok"))
+    val rows = df.limit(3).collect()
+    assert(rows.nonEmpty && rows.forall(_.getBoolean(5)))
+    // deterministic: same input -> same metadata on re-run
+    val again = Multimodal.all("q_mm_decode").fn(spark, dir).limit(3).collect()
+    assert(rows.map(_.toSeq.toList).toSeq == again.map(_.toSeq.toList).toSeq)
+    // width/height derived from payload bytes stay in the declared range
+    rows.foreach { r =>
+      assert(r.getInt(2) >= 64 && r.getInt(2) < 256)
+      assert(r.getInt(3) >= 64 && r.getInt(3) < 256)
+    }
+  }
+
+  test("features: histogram buckets partition the byte count") {
+    val df = Multimodal.all("q_mm_features").fn(spark, dir)
+    val r = df.limit(5).collect()
+    r.foreach { row =>
+      val total = row.getLong(2) + row.getLong(3) + row.getLong(4) + row.getLong(5)
+      assert(total > 0)
+      assert(row.getDouble(1) > 0 && row.getDouble(1) < 256)
+    }
+  }
+
+  test("frame sampling: frame count tracks payload length") {
+    val media = spark.read.parquet(s"$dir/documents.parquet")
+    val expected = media.selectExpr("sum(cast((length(text) - 1) / 64 as bigint) + 1)")
+      .head().getLong(0)
+    val df = Multimodal.all("q_mm_frames").fn(spark, dir)
+    assert(df.count() == expected)
+    assert(df.columns.toSeq == Seq("media_id", "frame_no", "frame_md5"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.drisl.DValue._
+import graft.drisl.Drisl
+import graft.stream._
+import graft.streaming.EventStreamPipeline
+import graft.types._
+
+/** Structured Streaming over the event log: incremental delivery with a
+  * durable checkpoint cursor, and event-time windowed aggregation with a
+  * watermark. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private lazy val store = new StreamStore(spark,
+    Files.createTempDirectory("graft-streaming").toString)
+
+  private def payload(etype: String, value: Double): Array[Byte] =
+    Drisl.encode(obj("type" -> text(etype), "value" -> DFloat(value)))
+
+  private val module = ModuleDef(
+    initSql = "CREATE TABLE IF NOT EXISTS noop (x BIGINT) USING PARQUET",
+    queries = Map("all" -> QueryDef("SELECT idx FROM events ORDER BY idx")))
+
+  test("incremental log tailing: second run delivers only new events") {
+    val h = store.open("did:test:tail")
+    h.setModule(module)
+    h.addEvents((1 to 5).map(i => IncomingEvent("u", payload("click", i.toDouble))))
+
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    spark.sql("DROP TABLE IF EXISTS default.tail_sink")
+    val n1 = EventStreamPipeline.deliverOnce(spark, store, "did:test:tail", ckpt, "default.tail_sink")
+    assert(n1 == 5L)
+    assert(spark.table("default.tail_sink").count() == 5L)
+
+    h.addEvents((6 to 8).map(i => IncomingEvent("u", payload("view", i.toDouble))))
+    val n2 = EventStreamPipeline.deliverOnce(spark, store, "did:test:tail", ckpt, "default.tail_sink")
+    assert(n2 == 3L, s"second run must deliver only the 3 new events, got $n2")
+    val sink = spark.table("default.tail_sink")
+    assert(sink.count() == 8L)
+    assert(sink.agg(max("idx")).head().getLong(0) == 8L)
+    // values round-tripped through DRISL into the streaming pipeline
+    assert(sink.agg(sum("value")).head().getDouble(0) == (1 to 8).sum.toDouble)
+  }
+
+  test("windowed aggregation with watermark over the event stream") {
+    val h = store.open("did:test:windowed")
+    h.setModule(module)
+    // events with embedded epoch-second timestamps, 2 windows of 1 minute
+    val evs = Seq(
+      (0L, "click"), (10L, "click"), (30L, "view"),
+      (70L, "click"), (80L, "view"), (90L, "view"))
+    h.addEvents(evs.map { case (sec, t) =>
+      IncomingEvent("u", Drisl.encode(obj(
+        "type" -> text(t), "value" -> DFloat(1.0), "sec" -> int(sec))))
+    })
+
+    val q = EventStreamPipeline.windowedCounts(
+        EventStreamPipeline.readLog(spark, store, "did:test:windowed")
+          .select(
+            timestamp_seconds(expr("drisl_extract_long(payload, '.sec')")).as("ts"),
+            expr("drisl_extract(payload, '.type')").as("etype"),
+            expr("drisl_extract_double(payload, '.value')").as("value")),
+        "ts", "1 minute", "10 seconds")
+      .select(col("window.start").cast("long").as("w"), col("etype"), col("n"), col("total"))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("complete")
+      .format("memory")
+      .queryName("win_sink")
+      .start()
+    q.awaitTermination()
+
+    val rows = spark.table("win_sink")
+      .orderBy("w", "etype")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows == Seq(
+      (0L, "click", 2L, 2.0), (0L, "view", 1L, 1.0),
+      (60L, "click", 1L, 1.0), (60L, "view", 2L, 2.0)))
+  }
+}
