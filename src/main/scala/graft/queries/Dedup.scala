@@ -98,27 +98,54 @@ object Dedup {
               |SELECT * FROM sig ORDER BY doc_id""".stripMargin)),
 
     // ---- LSH: band buckets -> candidate pairs -> exact Jaccard verify ----
+    // Shape for scale: ONE shuffle of the shingle stream (groupBy doc_id)
+    // folds each doc to a sorted distinct-shingle array; signatures are
+    // computed in-row from that array (no second pass); the band self-join
+    // moves only O(docs) signature rows; and the exact-Jaccard verify is a
+    // broadcast of the per-doc arrays + a tight sorted-merge intersection
+    // per candidate pair — the O(pairs x shingles) shuffle join a naive
+    // formulation would do never materializes.
     "q_dedup_lsh" -> Q(
       (s, dir) => {
-        val sg = sigs(s, dir)
+        val shArr = shingles(corpus(s, dir), 5)
+          .groupBy("doc_id").agg(sort_array(collect_set(col("sh"))).as("shs"))
+          .persist()
+        shArr.count() // materialize NOW: three consumers below (two broadcast
+        // threads + the main stage) would otherwise race to build the cache
+        // and each recompute the full shingle pass
+        val sigCols = (0 until K).map(k =>
+          array_min(transform(col("shs"), x => md5(concat(lit(s"$k|"), x)))).as(s"h$k"))
+        val sg = shArr.select((col("doc_id") +: sigCols): _*)
         val bands = sg.select(col("doc_id"), posexplode(array(
             md5(concat(col("h0"), col("h1"), col("h2"))),
             md5(concat(col("h3"), col("h4"), col("h5"))))).as(Seq("band_id", "bh")))
+          .persist() // self-joined: avoid recomputing the signature pass twice
+        bands.count()
         val cand = bands.as("x").join(bands.as("y"),
             col("x.band_id") === col("y.band_id") && col("x.bh") === col("y.bh") &&
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-        val dsh = shingles(corpus(s, dir), 5).distinct()
-        val sz = dsh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        val inter = cand
-          .join(dsh.as("sa"), col("a") === col("sa.doc_id"))
-          .join(dsh.as("sb"), col("b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-        inter
-          .join(sz.as("za"), col("a") === col("za.doc_id"))
-          .join(sz.as("zb"), col("b") === col("zb.doc_id"))
+          .persist()
+        cand.count() // settle the candidate set before the verify stage so
+        // its two broadcast builds don't re-run the band join
+        val interCount = udf((a: Seq[String], b: Seq[String]) => {
+          var i = 0; var j = 0; var n = 0L
+          while (i < a.length && j < b.length) {
+            val c = a(i).compareTo(b(j))
+            if (c == 0) { n += 1; i += 1; j += 1 }
+            else if (c < 0) i += 1 else j += 1
+          }
+          n
+        })
+        cand
+          .join(broadcast(shArr.as("za")), col("a") === col("za.doc_id"))
+          .join(broadcast(shArr.as("zb")), col("b") === col("zb.doc_id"))
           .select(col("a"), col("b"),
-            (col("inter").cast("double") / (col("za.sz") + col("zb.sz") - col("inter"))).as("jac"))
+            interCount(col("za.shs"), col("zb.shs")).as("inter"),
+            size(col("za.shs")).cast("long").as("sza"),
+            size(col("zb.shs")).cast("long").as("szb"))
+          .select(col("a"), col("b"),
+            (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jac"))
           .filter(col("jac") >= 0.9)
           .orderBy(col("a"), col("b"))
       },
@@ -208,30 +235,32 @@ object Dedup {
               |ORDER BY c.a, c.b""".stripMargin)),
 
     // ---- embedding cosine near-dup, bucketed by coarse quantizer ----
+    // Two-stage, the shape that survives scale: the label bucket bounds the
+    // pair space; a cheap double-precision cosine prunes candidates with a
+    // wide safety margin (double vs exact differ < 1e-9, the margin is
+    // 4e-3); only survivors pay the exact decimal fold whose result is
+    // bit-identical to the oracle's explode+group-sum. No per-dimension
+    // explode or O(pairs x dims) shuffle ever materializes.
     "q_dedup_embedding" -> Q(
       (s, dir) => {
         val e = Tables.df(s, dir, "embeddings")
           .select(col("vec_id"), col("label"), col("embedding"))
         val corpusE = e.unionAll(e.filter(col("vec_id") % 20 === 0)
           .select((col("vec_id") + 1000000).as("vec_id"), col("label"), col("embedding")))
-        val dims = corpusE.select(col("vec_id"),
-            posexplode(col("embedding")).as(Seq("i", "x")))
-          .select(col("vec_id"), col("i"), col("x").cast("double").as("x"))
-        val norms = dims.groupBy("vec_id")
-          .agg(sum(dec(col("x") * col("x"))).cast("double").as("n2"))
-        val pairs = corpusE.as("p").join(corpusE.as("q"),
+        val fastCos = udf((a: Seq[Float], b: Seq[Float]) => {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            val x = a(i).toDouble; val y = b(i).toDouble
+            dot += x * y; na += x * x; nb += y * y; i += 1
+          }
+          dot / math.sqrt(na * nb)
+        })
+        corpusE.as("p").join(broadcast(corpusE.as("q")),
             col("p.label") === col("q.label") && col("p.vec_id") < col("q.vec_id"))
-          .select(col("p.vec_id").as("a"), col("q.vec_id").as("b"))
-        val dots = pairs
-          .join(dims.as("da"), col("a") === col("da.vec_id"))
-          .join(dims.as("db"), col("b") === col("db.vec_id") && col("da.i") === col("db.i"))
-          .groupBy(col("a"), col("b"))
-          .agg(sum(dec(col("da.x") * col("db.x"))).cast("double").as("dot"))
-        dots
-          .join(norms.as("na"), col("a") === col("na.vec_id"))
-          .join(norms.as("nb"), col("b") === col("nb.vec_id"))
-          .select(col("a"), col("b"),
-            (col("dot") / (sqrt(col("na.n2")) * sqrt(col("nb.n2")))).as("cos"))
+          .filter(fastCos(col("p.embedding"), col("q.embedding")) >= 0.995)
+          .select(col("p.vec_id").as("a"), col("q.vec_id").as("b"),
+            Vec.cosine(col("p.embedding"), col("q.embedding"),
+              Vec.norm2(col("p.embedding")), Vec.norm2(col("q.embedding"))).as("cos"))
           .filter(col("cos") >= 0.999)
           .orderBy(col("a"), col("b"))
       },

@@ -134,7 +134,7 @@ object LeafOps {
         val h = demo(s, dir)
         val engine = new SubscriptionEngine(h)
         var out = Vector.empty[(Long, String)]
-        engine.subscribe(None, LeafQuery("page", start = Some(1), limit = 1000)) { d =>
+        engine.subscribe(None, LeafQuery("page", start = Some(1), limit = 25000)) { d =>
           out ++= d.rows.map(r => (
             r("idx").asInstanceOf[SqlValue.SqlInteger].v,
             r("etype").asInstanceOf[SqlValue.SqlText].v))

@@ -10,30 +10,34 @@ import graft.queries.Relational.Q
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (Array[Float], dim 64).
   *
-  * - `q_knn_brute` is the exact baseline: one scan, per-row dot products,
-  *   top-k. Distributed cost is O(N·d) map-side + a tiny top-k shuffle —
-  *   at 100 TB this is a single pass with no join blow-up (the query
-  *   vector is a broadcast).
+  * - `q_knn_brute` is the exact baseline: the query vector is broadcast as
+  *   a 1-row literal, the scan computes one in-row zip_with/aggregate dot
+  *   product per candidate (whole-stage codegen, no explode), and a tiny
+  *   top-k shuffle finishes. Distributed cost is O(N·d) map-side — at
+  *   100 TB this is a single pass with no join blow-up.
   * - `q_knn_ivf` is the scale path: a coarse quantizer (here the `label`
   *   column as the cell id; k-means centroids in a real pipeline) maps the
-  *   query to its nearest cell, and only that cell is scanned — the
-  *   classic IVF probe-1 trade: ~1/|cells| of the data touched.
+  *   query to its nearest cell and only that cell is scanned — the classic
+  *   IVF probe-1 trade: ~1/|cells| of the data touched. Centroid
+  *   construction is the only exploded (per-dimension) aggregation, and it
+  *   is O(cells·d), not O(N·d).
   *
-  * Determinism: every dot product / norm is a sum of per-dimension
-  * products cast to DECIMAL(25,10) — decimal addition is exact and
-  * order-independent, so Spark's partial aggregation and DuckDB's
-  * single-threaded sum agree bit-for-bit; the final cosine is a fixed
+  * Determinism: all dot products/norms fold per-dimension products through
+  * exact decimal addition (see Vec), so Spark's fold order and DuckDB's
+  * explode+GROUP BY SUM agree bit-for-bit; the final cosine is a fixed
   * sequence of IEEE double ops on identical inputs.
   */
 object Similarity {
 
   private def dec(c: Column): Column = c.cast(DecimalType(25, 10))
 
-  /** (vec_id, label, i, x) exploded view of the embeddings. */
-  private def dims(s: SparkSession, dir: String): DataFrame =
-    Tables.df(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .select(col("vec_id"), col("label"), col("i"), col("x").cast("double").as("x"))
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.df(s, dir, "embeddings").select(col("vec_id"), col("label"), col("embedding"))
+
+  /** 1-row DataFrame with the query vector (vec_id = 0) and its norm. */
+  private def queryVec(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"), Vec.norm2(col("embedding")).as("qn2"))
 
   private val dimsSql =
     """dims AS (
@@ -45,24 +49,14 @@ object Similarity {
 
     // ---- brute-force cosine top-k against the vec_id=0 query vector ----
     "q_knn_brute" -> Q(
-      (s, dir) => {
-        val d = dims(s, dir)
-        val q = d.filter(col("vec_id") === 0)
-          .select(col("i").as("qi"), col("x").as("qx"))
-        val norms = d.groupBy("vec_id")
-          .agg(sum(dec(col("x") * col("x"))).cast("double").as("n2"))
-        val qNorm = norms.filter(col("vec_id") === 0)
-          .select(col("n2").as("qn2"))
-        val dots = d.filter(col("vec_id") =!= 0)
-          .join(broadcast(q), col("i") === col("qi"))
-          .groupBy("vec_id")
-          .agg(sum(dec(col("x") * col("qx"))).cast("double").as("dot"))
-        dots.join(norms, "vec_id").crossJoin(broadcast(qNorm))
+      (s, dir) =>
+        emb(s, dir).filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(queryVec(s, dir)))
           .select(col("vec_id"),
-            (col("dot") / (sqrt(col("n2")) * sqrt(col("qn2")))).as("cos"))
+            Vec.cosine(col("embedding"), col("q_emb"),
+              Vec.norm2(col("embedding")), col("qn2")).as("cos"))
           .orderBy(col("cos").desc, col("vec_id"))
-          .limit(10)
-      },
+          .limit(10),
       Some(s"""WITH $dimsSql,
               |norms AS (
               |  SELECT vec_id, CAST(sum(CAST(x * x AS DECIMAL(25,10))) AS DOUBLE) AS n2
@@ -79,7 +73,9 @@ object Similarity {
     // ---- IVF-style: probe nearest coarse cell, scan only that cell ----
     "q_knn_ivf" -> Q(
       (s, dir) => {
-        val d = dims(s, dir)
+        val d = emb(s, dir)
+          .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .select(col("vec_id"), col("label"), col("i"), col("x").cast("double").as("x"))
         val q = d.filter(col("vec_id") === 0)
           .select(col("i").as("qi"), col("x").as("qx"))
         // coarse cells: per-label centroids (decimal mean per dimension)
@@ -94,19 +90,13 @@ object Similarity {
           .select(col("label"), (col("cdot") / sqrt(col("cn2"))).as("score"))
           .orderBy(col("score").desc, col("label")).limit(1)
           .select(col("label").as("best_label"))
-        // scan only the probed cell
-        val norms = d.groupBy(col("vec_id"), col("label"))
-          .agg(sum(dec(col("x") * col("x"))).cast("double").as("n2"))
-        val qNorm = norms.filter(col("vec_id") === 0)
-          .select(col("n2").as("qn2"))
-        val dots = d.filter(col("vec_id") =!= 0)
+        // scan only the probed cell, array-native
+        emb(s, dir).filter(col("vec_id") =!= 0)
           .join(broadcast(best), col("label") === col("best_label"))
-          .join(broadcast(q), col("i") === col("qi"))
-          .groupBy(col("vec_id"), col("label"))
-          .agg(sum(dec(col("x") * col("qx"))).cast("double").as("dot"))
-        dots.join(norms, Seq("vec_id", "label")).crossJoin(broadcast(qNorm))
+          .crossJoin(broadcast(queryVec(s, dir)))
           .select(col("vec_id"), col("label"),
-            (col("dot") / (sqrt(col("n2")) * sqrt(col("qn2")))).as("cos"))
+            Vec.cosine(col("embedding"), col("q_emb"),
+              Vec.norm2(col("embedding")), col("qn2")).as("cos"))
           .orderBy(col("cos").desc, col("vec_id"))
           .limit(10)
       },

@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.drisl.DValue._
+import graft.drisl.Drisl
+import graft.stream._
+import graft.types._
+
+/** Dev profiling harness for the bulk-ingest path (not part of the API). */
+object ProfileIngest {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    time("warmup")(spark.range(100).count())
+    val store = new StreamStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-prof").toString)
+    val h = time("open")(store.open("did:prof"))
+    val m = ModuleDef(
+      initSql = "CREATE TABLE IF NOT EXISTS acts (idx BIGINT, user STRING, etype STRING, k BIGINT, value DOUBLE) USING PARQUET",
+      materializer = """INSERT INTO acts
+                        |SELECT idx, user, drisl_extract(payload, '.type'),
+                        |       drisl_extract_long(payload, '.k'),
+                        |       drisl_extract_double(payload, '.value')
+                        |FROM event""".stripMargin,
+      queries = Map("n" -> QueryDef("SELECT count(*) AS n FROM acts")))
+    time("setModule")(h.setModule(m))
+    val enc = udf((etype: String, value: Double, k: Long) =>
+      Drisl.encode(obj("type" -> text(etype), "value" -> DFloat(value), "k" -> int(k))))
+    val ev = time("build ev df")(Tables.df(spark, dir, "events")
+      .select((col("event_id") + 1).as("idx"),
+        concat(lit("u"), col("user_id")).as("user"),
+        enc(col("event_type"), col("value"),
+          get_json_object(col("props"), "$.k").cast("long")).as("payload"),
+        lit(Array.empty[Byte]).as("signature")))
+    time("bulkImport total")(h.bulkImport(ev))
+    time("query")(h.query(None, LeafQuery("n")).collect())
+    spark.stop()
+  }
+}

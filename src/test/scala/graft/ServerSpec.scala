@@ -1,0 +1,114 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.util.Base64
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.drisl.DValue._
+import graft.drisl.Drisl
+import graft.server.{Json, LeafServer}
+import graft.stream.StreamStore
+
+/** End-to-end RPC surface test: upload module → create stream → events →
+  * query → subscription poll → state → admin, over real HTTP. */
+class ServerSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private lazy val store = new StreamStore(spark,
+    java.nio.file.Files.createTempDirectory("graft-server").toString)
+  private lazy val server = {
+    val s = new LeafServer(store, 0, authToken = Some("testtoken"))
+    s.start(); s
+  }
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def post(path: String, body: Map[String, Any],
+      token: Option[String] = Some("testtoken")): Map[String, Any] = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${server.boundPort}$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(Json.render(body)))
+    token.foreach(t => b.header("Authorization", s"Bearer $t"))
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    Json.parse(resp.body()).asInstanceOf[Map[String, Any]]
+  }
+
+  private def ok(resp: Map[String, Any]): Map[String, Any] = {
+    assert(!resp.contains("err"), s"rpc error: ${resp.get("err")}")
+    resp("ok") match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case other => Map("value" -> other)
+    }
+  }
+
+  private def payload(content: String, n: Long): String =
+    Base64.getEncoder.encodeToString(
+      Drisl.encode(obj("content" -> text(content), "n" -> int(n))))
+
+  test("full RPC lifecycle over HTTP") {
+    // module upload
+    val cid = ok(post("/module/upload", Map("module" -> Map(
+      "init_sql" -> "CREATE TABLE IF NOT EXISTS notes (idx BIGINT, who STRING, content STRING, n BIGINT) USING PARQUET",
+      "materializer" -> "INSERT INTO notes SELECT idx, user, drisl_extract(payload, '.content'), drisl_extract_long(payload, '.n') FROM event",
+      "queries" -> Map(
+        "list" -> Map("sql" -> "SELECT idx, who, content, n FROM notes WHERE idx BETWEEN $start AND $start + $limit - 1 ORDER BY idx"),
+        "over" -> Map(
+          "sql" -> "SELECT content FROM notes WHERE n > $min ORDER BY idx",
+          "params" -> Vector(Map("name" -> "min", "kind" -> "integer")))))))
+    )("cid").asInstanceOf[String]
+    assert(cid.startsWith("b"))
+    assert(ok(post("/module/exists", Map("cid" -> cid)))("exists") == true)
+    assert(ok(post("/module/exists", Map("cid" -> "bogus")))("exists") == false)
+
+    // stream create + info
+    val sid = ok(post("/stream/create", Map("id" -> "did:graft:rpc", "module_cid" -> cid)))("id").toString
+    val info0 = ok(post("/stream/info", Map("id" -> sid)))
+    assert(info0("module_cid") == cid && info0("latest_idx") == 0L)
+
+    // event batch
+    val r1 = ok(post("/stream/event_batch", Map("id" -> sid, "events" -> Vector(
+      Map("user" -> "ann", "payload_b64" -> payload("alpha", 1)),
+      Map("user" -> "bob", "payload_b64" -> payload("beta", 5))))))
+    assert(r1("latest_idx") == 2L)
+
+    // one-shot query
+    val rows = ok(post("/stream/query", Map("id" -> sid,
+      "query" -> Map("name" -> "list"))))("rows").asInstanceOf[Vector[Any]]
+    assert(rows.size == 2)
+    val row0 = rows(0).asInstanceOf[Map[String, Any]]
+    assert(row0("content").asInstanceOf[Map[String, Any]]("v") == "alpha")
+    assert(row0("idx").asInstanceOf[Map[String, Any]]("t") == "integer")
+
+    // parameterized query
+    val over = ok(post("/stream/query", Map("id" -> sid,
+      "query" -> Map("name" -> "over", "params" -> Map("min" -> 2L)))))("rows")
+      .asInstanceOf[Vector[Any]]
+    assert(over.size == 1)
+
+    // param validation error surfaces as err
+    val bad = post("/stream/query", Map("id" -> sid,
+      "query" -> Map("name" -> "over", "params" -> Map("nope" -> 1L))))
+    assert(bad.contains("err"))
+
+    // subscription: backfill + incremental poll
+    val subId = ok(post("/stream/subscribe_events", Map("id" -> sid,
+      "query" -> Map("name" -> "list", "start" -> 1L))))("sub_id").asInstanceOf[Long]
+    val d1 = ok(post("/stream/poll", Map("id" -> sid, "sub_id" -> subId)))("deliveries")
+      .asInstanceOf[Vector[Any]]
+    assert(d1.size == 1)
+    assert(d1(0).asInstanceOf[Map[String, Any]]("rows").asInstanceOf[Vector[Any]].size == 2)
+    ok(post("/stream/event_batch", Map("id" -> sid, "events" -> Vector(
+      Map("user" -> "cyd", "payload_b64" -> payload("gamma", 9))))))
+    val d2 = ok(post("/stream/poll", Map("id" -> sid, "sub_id" -> subId)))("deliveries")
+      .asInstanceOf[Vector[Any]]
+    assert(d2.size == 1)
+    val newRows = d2(0).asInstanceOf[Map[String, Any]]("rows").asInstanceOf[Vector[Any]]
+    assert(newRows.size == 1, "poll after new events must deliver only the new row")
+    ok(post("/stream/unsubscribe", Map("id" -> sid, "sub_id" -> subId)))
+
+    // admin + auth
+    val streams = ok(post("/admin/list_streams", Map.empty))("streams").asInstanceOf[Vector[Any]]
+    assert(streams.contains(sid))
+    assert(post("/stream/info", Map("id" -> sid), token = None).contains("err"))
+    assert(post("/stream/info", Map("id" -> sid), token = Some("wrong")).contains("err"))
+  }
+}
