@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.udf
 
-import graft.drisl.{DValue, Drisl, DrislPath}
 import graft.types.LeafAuthException
 
 /** Host function surface of the engine, registered on a SparkSession.
@@ -27,22 +26,6 @@ import graft.types.LeafAuthException
   */
 object LeafFunctions {
 
-  private def extractOpt(payload: Array[Byte], path: String): Option[DValue] =
-    if (payload == null || path == null) None
-    else DrislPath.extract(Drisl.decode(payload), path)
-
-  private def renderText(v: DValue): String = v match {
-    case DValue.DInt(i) => i.toString
-    case DValue.DFloat(f) => f.toString
-    case DValue.DText(s) => s
-    case DValue.DBool(b) => if (b) "1" else "0"
-    case DValue.DNull => null
-    case DValue.DBytes(b) => b.map("%02x".format(_)).mkString
-    case DValue.DCid(b) => b.map("%02x".format(_)).mkString
-    case m: DValue.DMap => Drisl.toJson(m)
-    case a: DValue.DArray => Drisl.toJson(a)
-  }
-
   private def fmtArg(v: Any): String = v match {
     case null => "NULL"
     case b: Array[Byte] => b.map("%02X".format(_)).mkString // blobs hex-uppercase (basic.rs:271-276)
@@ -54,32 +37,9 @@ object LeafFunctions {
     val marker = "graft.functions.registered"
     if (spark.conf.getOption(marker).contains("true")) return
 
-    spark.udf.register("drisl_extract",
-      udf((p: Array[Byte], path: String) => extractOpt(p, path).map(renderText).orNull))
-    spark.udf.register("drisl_extract_long",
-      udf((p: Array[Byte], path: String) => extractOpt(p, path).flatMap {
-        case DValue.DInt(i) => Some(i)
-        case DValue.DBool(b) => Some(if (b) 1L else 0L)
-        case DValue.DFloat(f) => Some(f.toLong)
-        case DValue.DText(s) => s.toLongOption
-        case _ => None
-      }))
-    spark.udf.register("drisl_extract_double",
-      udf((p: Array[Byte], path: String) => extractOpt(p, path).flatMap {
-        case DValue.DFloat(f) => Some(f)
-        case DValue.DInt(i) => Some(i.toDouble)
-        case DValue.DText(s) => s.toDoubleOption
-        case _ => None
-      }))
-    spark.udf.register("drisl_extract_blob",
-      udf((p: Array[Byte], path: String) => extractOpt(p, path).flatMap {
-        case DValue.DBytes(b) => Some(b)
-        case DValue.DCid(b) => Some(b)
-        case _ => None
-      }.orNull))
-    spark.udf.register("drisl_exists",
-      udf((p: Array[Byte], path: String) =>
-        if (extractOpt(p, path).isDefined) 1L else 0L))
+    // drisl_extract family: native Catalyst expressions (no UDF round-trip,
+    // parsed-path caching for literal paths)
+    DrislExpressions.register(spark)
 
     // Control-flow UDFs: always raise; SQL uses them inside CASE/IIF to veto
     // an event (authorizer) or hide rows (query). 1- and 2-arg arities cover

@@ -1,0 +1,64 @@
+package graft.stream
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan}
+
+/** Per-context statement gate — the engine's replacement for the
+  * reference's SQL authorizer callback.
+  *
+  * The reference installs a per-action authorizer on each connection whose
+  * whitelists document the INTENDED surface (read-only queries; module
+  * tables writable from materializers; only state tables writable from
+  * state materializers) even though every arm short-circuits to Allow
+  * (/root/reference/leaf-stream/src/lib.rs:997-1121 — see SURVEY.md §2.B).
+  * Spark has no authorizer hook, so the same contract is enforced by
+  * classifying each parsed statement before execution.
+  */
+object SqlClassifier {
+
+  sealed trait Ctx
+  /** Named queries: read-only — no commands, no DML. */
+  case object QueryCtx extends Ctx
+  /** Materializer/init: DML + DDL on the module database. */
+  case object MaterializerCtx extends Ctx
+  /** State materializer: writes must target state_* tables only. */
+  case object StateCtx extends Ctx
+
+  /** Validate one statement for a context; Left(reason) to reject. */
+  def check(spark: SparkSession, ctx: Ctx, stmt: String): Either[String, Unit] = {
+    val plan: LogicalPlan =
+      try spark.sessionState.sqlParser.parsePlan(stmt)
+      catch { case e: Exception => return Left(s"unparseable statement: ${e.getMessage}") }
+    ctx match {
+      case QueryCtx => plan match {
+        case _: InsertIntoStatement => Left("queries are read-only: INSERT rejected")
+        case _: Command => Left("queries are read-only: command statements rejected")
+        case c if c.getClass.getSimpleName.contains("Command") =>
+          Left(s"queries are read-only: ${c.getClass.getSimpleName} rejected")
+        case _ => Right(())
+      }
+      case MaterializerCtx => Right(()) // full DML/DDL surface, as intended
+      case StateCtx => plan match {
+        case ins: InsertIntoStatement =>
+          ins.table match {
+            case UnresolvedRelation(parts, _, _) if parts.last.toLowerCase.startsWith("state_") =>
+              Right(())
+            case UnresolvedRelation(parts, _, _) =>
+              Left(s"state materializer may only write state_* tables, not ${parts.mkString(".")}")
+            case _ => Left("state materializer: unsupported insert target")
+          }
+        case _: Command =>
+          Left("state materializer: only INSERT into state_* tables allowed")
+        case _ => Right(()) // bare SELECTs are harmless
+      }
+    }
+  }
+
+  /** Validate a whole statement list; first rejection wins. */
+  def checkAll(spark: SparkSession, ctx: Ctx, stmts: Seq[String]): Either[String, Unit] =
+    stmts.foldLeft[Either[String, Unit]](Right(())) {
+      case (l @ Left(_), _) => l
+      case (Right(()), s) => check(spark, ctx, s)
+    }
+}

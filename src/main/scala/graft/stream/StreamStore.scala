@@ -160,7 +160,10 @@ class StreamHandle(store: StreamStore, val id: String) {
   }
 
   private def listTables(): Seq[String] =
-    spark.sql(s"SHOW TABLES IN $dbName").collect().map(_.getString(1)).toSeq
+    // filter out session temp views — SHOW TABLES includes them, but they
+    // are not part of the stream's database
+    spark.sql(s"SHOW TABLES IN $dbName").collect()
+      .filterNot(_.getBoolean(2)).map(_.getString(1)).toSeq
   private def stateTables(): Seq[String] = listTables().filter(_.startsWith("state_"))
 
   // ---------------- append path (A2/A3/A4) ----------------
@@ -307,9 +310,14 @@ class StreamHandle(store: StreamStore, val id: String) {
     val schema = StructType(Seq(
       StructField("user", StringType), StructField("payload", BinaryType)))
     val df = spark.createDataFrame(rows.asJava, schema)
+    val stmts = SqlText.prepare(m.stateMaterializer)
+    SqlClassifier.checkAll(spark, SqlClassifier.StateCtx, stmts) match {
+      case Left(e) => return Left(e)
+      case Right(()) =>
+    }
     df.createOrReplaceTempView("event")
     try {
-      SqlText.prepare(m.stateMaterializer).foreach(s => execInDb(s, Map.empty))
+      stmts.foreach(s => execInDb(s, Map.empty))
       Right(())
     } catch {
       case t: Throwable => LeafFunctions.authFailure(t) match {
@@ -346,6 +354,8 @@ class StreamHandle(store: StreamStore, val id: String) {
           "requesting_user" -> user.orNull)
     val stmts = SqlText.prepare(defn.sql)
     if (stmts.isEmpty) throw new IllegalArgumentException("Query did not return a result")
+    SqlClassifier.checkAll(spark, SqlClassifier.QueryCtx, stmts).left.foreach(e =>
+      throw new IllegalArgumentException(e))
     var last: Option[DataFrame] = None
     stmts.foreach(s => last = execInDb(s, args))
     last.getOrElse(throw new IllegalArgumentException("Query did not return a result"))

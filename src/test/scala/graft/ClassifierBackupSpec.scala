@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.drisl.DValue._
+import graft.drisl.Drisl
+import graft.stream._
+import graft.types._
+
+/** Statement classifier (read-only queries, state-scoped writes) and
+  * backup/restore round-trip. */
+class ClassifierBackupSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private lazy val store = new StreamStore(spark,
+    java.nio.file.Files.createTempDirectory("graft-cb").toString)
+
+  private def payload(content: String, n: Long = 0): Array[Byte] =
+    Drisl.encode(obj("content" -> text(content), "n" -> int(n)))
+
+  private val module = ModuleDef(
+    initSql = "CREATE TABLE IF NOT EXISTS notes (idx BIGINT, who STRING, content STRING) USING PARQUET",
+    materializer = "INSERT INTO notes SELECT idx, user, drisl_extract(payload, '.content') FROM event",
+    stateInitSql = "CREATE TABLE IF NOT EXISTS state_flags (who STRING, flag STRING) USING PARQUET",
+    stateMaterializer = "INSERT INTO state_flags SELECT user, drisl_extract(payload, '.content') FROM event",
+    queries = Map(
+      "list" -> QueryDef("SELECT idx, who, content FROM notes ORDER BY idx"),
+      "evil_insert" -> QueryDef("INSERT INTO notes SELECT 99, 'x', 'pwned'"),
+      "evil_ddl" -> QueryDef("DROP TABLE notes"),
+      "evil_multi" -> QueryDef("SELECT 1; DELETE FROM notes; SELECT 2")))
+
+  test("query context is read-only: INSERT/DDL/DML statements rejected") {
+    val h = store.open("did:test:classifier")
+    h.setModule(module)
+    h.addEvents(Seq(IncomingEvent("a", payload("keep"))))
+    for (bad <- Seq("evil_insert", "evil_ddl", "evil_multi")) {
+      val e = intercept[IllegalArgumentException](h.query(None, LeafQuery(bad)))
+      assert(e.getMessage.contains("read-only"), s"$bad: ${e.getMessage}")
+    }
+    // table untouched by the rejected statements
+    assert(h.queryTagged(None, LeafQuery("list")).size == 1)
+  }
+
+  test("state materializer may only write state_* tables") {
+    val h = store.open("did:test:stateonly")
+    h.setModule(module.copy(
+      stateMaterializer = "INSERT INTO notes SELECT 1, user, 'sneak' FROM event"))
+    val r = h.addStateEvents(Seq(IncomingEvent("a", payload("x"))))
+    assert(r.isLeft && r.left.exists(_.contains("state_")))
+    // the legit state materializer works
+    val h2 = store.open("did:test:stateok")
+    h2.setModule(module)
+    assert(h2.addStateEvents(Seq(IncomingEvent("a", payload("on")))).isRight)
+  }
+
+  test("backup -> restore round-trip rebuilds tables by replay") {
+    val h = store.open("did:test:bak")
+    h.setModule(module)
+    h.addEvents((1 to 5).map(i => IncomingEvent(s"u$i", payload(s"m$i", i))))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bakdir").toString
+    BackupService.backup(h, dir)
+
+    val r = BackupService.restore(store, "did:test:restored", dir)
+    assert(r.latest == 5L)
+    assert(r.currentModule.map(_.cid) == Some(module.cid),
+      "module definition must round-trip with identical content address")
+    val rows = r.queryTagged(None, LeafQuery("list"))
+    assert(rows.map(_("content")) == (1 to 5).map(i => SqlValue.SqlText(s"m$i")).toVector)
+  }
+
+  test("restore refuses a non-empty target") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bakdir2").toString
+    val h = store.open("did:test:bak")
+    BackupService.backup(h, dir)
+    assertThrows[IllegalArgumentException](
+      BackupService.restore(store, "did:test:bak", dir))
+  }
+}
