@@ -14,7 +14,12 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // untimed hygiene between queries: drop persisted intermediates and
+      // let finished broadcasts get cleaned so one query's memory footprint
+      // doesn't tax the next one's timing
+      try { spark.catalog.clearCache(); System.gc() } catch { case _: Throwable => }
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

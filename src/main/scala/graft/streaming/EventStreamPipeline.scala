@@ -63,6 +63,24 @@ object EventStreamPipeline {
       .groupBy(window(col(tsCol), window_), col("etype"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
 
+  case class UserCount(user: String, n: Long)
+
+  /** Keyed running state: per-user event counts via mapGroupsWithState.
+    * State lives in the checkpoint, so successive Trigger.AvailableNow runs
+    * resume exactly where the previous run left off — the engine-native
+    * analog of the reference's durable per-subscription cursors. */
+  def userCounts(events: Dataset[UserEvent]): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user)
+      .mapGroupsWithState[Long, UserCount](GroupStateTimeout.NoTimeout()) {
+        (user, it, state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + it.size
+          state.update(n)
+          UserCount(user, n)
+      }
+  }
+
   // ---- keyed state: sessionization via flatMapGroupsWithState ----
 
   case class UserEvent(user: String, ts: java.sql.Timestamp, etype: String)

@@ -48,6 +48,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(sink.agg(sum("value")).head().getDouble(0) == (1 to 8).sum.toDouble)
   }
 
+  test("keyed state survives across checkpointed AvailableNow runs") {
+    import spark.implicits._
+    val h = store.open("did:test:counts")
+    h.setModule(module)
+    h.addEvents(Seq(
+      IncomingEvent("u", payload("click", 1)), IncomingEvent("u", payload("view", 2)),
+      IncomingEvent("v", payload("click", 3))))
+
+    val ckpt = Files.createTempDirectory("graft-ckpt-st").toString
+    def runOnce(): Map[String, Long] = {
+      val out = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+      val src = EventStreamPipeline.readLog(spark, store, "did:test:counts")
+        .select(col("user"),
+          timestamp_seconds(col("idx")).as("ts"),
+          expr("drisl_extract(payload, '.type')").as("etype"))
+        .as[EventStreamPipeline.UserEvent]
+      val q = EventStreamPipeline.userCounts(src)
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[EventStreamPipeline.UserCount], _: Long) =>
+          batch.collect().foreach(c => out.merge(c.user, c.n, math.max(_, _)))
+        }
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      out.asScala.toMap
+    }
+
+    assert(runOnce() == Map("u" -> 2L, "v" -> 1L))
+    h.addEvents(Seq(
+      IncomingEvent("u", payload("click", 4)), IncomingEvent("w", payload("view", 5))))
+    // second run resumes from checkpointed state: u continues at 2, not 0
+    assert(runOnce() == Map("u" -> 3L, "w" -> 1L))
+  }
+
   test("windowed aggregation with watermark over the event stream") {
     val h = store.open("did:test:windowed")
     h.setModule(module)
