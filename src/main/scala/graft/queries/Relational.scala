@@ -396,6 +396,43 @@ object Relational {
              |       ELSE 'small' END AS bucket
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- recursive CTE (WITH RECURSIVE; SURVEY §7.4 hard-part) ----
+    // a recursive month spine drives a left join over lineitem — recursion
+    // plus join/aggregation in one plan, identical SQL on both engines
+    "q_recursive_cte" -> Q(
+      (s, dir) => {
+        Tables.load(s, dir)
+        s.sql(s"""WITH RECURSIVE m(n) AS (
+                 |  SELECT 1 UNION ALL SELECT n + 1 FROM m WHERE n < 12)
+                 |SELECT n, count(l_orderkey) AS cnt,
+                 |  CAST(sum(${sqlDec("l_quantity")}) AS DOUBLE) AS qty
+                 |FROM m LEFT JOIN lineitem
+                 |  ON month(l_shipdate) = n AND year(l_shipdate) = 1996
+                 |GROUP BY n ORDER BY n""".stripMargin)
+      },
+      Some(s"""WITH RECURSIVE m(n) AS (
+              |  SELECT 1 UNION ALL SELECT n + 1 FROM m WHERE n < 12)
+              |SELECT n, count(l_orderkey) AS cnt,
+              |  CAST(sum(${sqlDec("l_quantity")}) AS DOUBLE) AS qty
+              |FROM m LEFT JOIN lineitem
+              |  ON month(l_shipdate) = n AND year(l_shipdate) = 1996
+              |GROUP BY n ORDER BY n""".stripMargin)),
+
+    // ---- json_each analog: iterate a JSON object into key/value rows ----
+    // (SQLite's json_each is a table-valued function; the Spark-native
+    // form is explode over a parsed map. DuckDB 1.0 lacks the json_each
+    // TVF, so the oracle enumerates the single key this dataset carries.)
+    "q_json_each" -> Q(
+      (s, dir) =>
+        t(s, dir, "events").select(
+          col("event_id"),
+          explode(from_json(col("props"), "map<string,bigint>", Map.empty[String, String]))
+            .as(Seq("key", "val")))
+          .orderBy(col("event_id"), col("key")),
+      Some("""SELECT event_id, 'k' AS key,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS val
+             |FROM events ORDER BY event_id, key""".stripMargin)),
+
     // ---- time-bucketed aggregation over the event stream table ----
     "q_events_hourly" -> Q(
       (s, dir) =>

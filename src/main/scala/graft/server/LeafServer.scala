@@ -129,12 +129,19 @@ class LeafServer(store: StreamStore, port: Int, authToken: Option[String] = None
       }
     }.getOrElse(Seq.empty)
 
+  /** Tagged wire values, keeping the reference's `$type` convention
+    * (clients/typescript/src/codec.ts:32-44). */
   private def tagValue(v: SqlValue): Map[String, Any] = v match {
-    case SqlValue.SqlNull => Map("t" -> "null", "v" -> null)
-    case SqlValue.SqlInteger(i) => Map("t" -> "integer", "v" -> i)
-    case SqlValue.SqlReal(d) => Map("t" -> "real", "v" -> d)
-    case SqlValue.SqlText(s) => Map("t" -> "text", "v" -> s)
-    case SqlValue.SqlBlob(b) => Map("t" -> "blob", "v" -> Base64.getEncoder.encodeToString(b))
+    case SqlValue.SqlNull => Map("$type" -> "muni.town.sqliteValue.null")
+    case SqlValue.SqlInteger(i) =>
+      Map("$type" -> "muni.town.sqliteValue.integer", "value" -> i)
+    case SqlValue.SqlReal(d) =>
+      Map("$type" -> "muni.town.sqliteValue.real", "value" -> d)
+    case SqlValue.SqlText(s) =>
+      Map("$type" -> "muni.town.sqliteValue.text", "value" -> s)
+    case SqlValue.SqlBlob(b) =>
+      Map("$type" -> "muni.town.sqliteValue.blob",
+        "value" -> Base64.getEncoder.encodeToString(b))
   }
 
   private def queryFromJson(args: Map[String, Any]): LeafQuery = {

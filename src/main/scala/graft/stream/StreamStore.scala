@@ -386,10 +386,46 @@ class StreamHandle(store: StreamStore, val id: String) {
     store.synchronized { // current-database is session state; serialize across streams
       spark.sql(s"USE $dbName")
       try {
-        val df = if (args.nonEmpty) spark.sql(stmt, args) else spark.sql(stmt)
-        if (df.schema.nonEmpty) Some(df) else { df.collect(); None }
+        selfOverwrite(stmt) match {
+          case Some((target, selectSql)) =>
+            // upsert-shaped state updates ("merge current table with the new
+            // events, overwrite"): Spark refuses to overwrite a table it is
+            // reading, so snapshot the merged result first (localCheckpoint
+            // severs the file lineage), then overwrite the target
+            val snap = spark.sql(selectSql).localCheckpoint(true)
+            snap.write.mode(SaveMode.Overwrite).insertInto(s"$dbName.$target")
+            None
+          case None =>
+            val df = if (args.nonEmpty) spark.sql(stmt, args) else spark.sql(stmt)
+            if (df.schema.nonEmpty) Some(df) else { df.collect(); None }
+        }
       } finally spark.sql("USE default")
     }
+
+  /** Detect `INSERT OVERWRITE t SELECT ... FROM ... t ...` (the reference's
+    * ON CONFLICT upsert shape re-expressed for immutable storage); returns
+    * (target, bare select text). */
+  private def selfOverwrite(stmt: String): Option[(String, String)] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
+    val prefix = "(?is)^\\s*INSERT\\s+OVERWRITE\\s+(?:TABLE\\s+)?([A-Za-z0-9_.]+)\\s+(.*)$".r
+    try {
+      spark.sessionState.sqlParser.parsePlan(stmt) match {
+        case ins: InsertIntoStatement if ins.overwrite =>
+          val target = ins.table match {
+            case UnresolvedRelation(parts, _, _) => parts.last
+            case _ => return None
+          }
+          val reads = ins.query.collect { case UnresolvedRelation(p, _, _) => p.last.toLowerCase }
+          if (!reads.contains(target.toLowerCase)) return None
+          stmt match {
+            case prefix(_, select) => Some((target, select))
+            case _ => None
+          }
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+  }
 
   private def runStatements(sql: String, args: Map[String, Any]): Unit =
     SqlText.prepare(sql).foreach(s => execInDb(s, args))

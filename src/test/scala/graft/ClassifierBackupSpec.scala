@@ -52,6 +52,33 @@ class ClassifierBackupSpec extends AnyFunSuite {
     assert(h2.addStateEvents(Seq(IncomingEvent("a", payload("on")))).isRight)
   }
 
+  test("upsert-style state via INSERT OVERWRITE (reference's ON CONFLICT shape)") {
+    // the reference fixture upserts last_read per user with ON CONFLICT
+    // (FIXTURES.md §2); Spark has no v1 upsert, but INSERT OVERWRITE of the
+    // merged view expresses the same last-write-wins state contract
+    val h = store.open("did:test:upsert")
+    h.setModule(ModuleDef(
+      initSql = "CREATE TABLE IF NOT EXISTS noop (x BIGINT) USING PARQUET",
+      stateInitSql = "CREATE TABLE IF NOT EXISTS state_last_read (who STRING, last_idx BIGINT) USING PARQUET",
+      stateMaterializer =
+        """INSERT OVERWRITE state_last_read
+          |SELECT who, max(last_idx) FROM (
+          |  SELECT who, last_idx FROM state_last_read
+          |  UNION ALL
+          |  SELECT user AS who, drisl_extract_long(payload, '.lastRead') AS last_idx FROM event)
+          |GROUP BY who""".stripMargin,
+      queries = Map("reads" -> QueryDef(
+        "SELECT who, last_idx FROM state_last_read ORDER BY who"))))
+    def lastRead(n: Long) = Drisl.encode(obj("lastRead" -> int(n)))
+    assert(h.addStateEvents(Seq(
+      IncomingEvent("ann", lastRead(2)), IncomingEvent("bob", lastRead(1)))).isRight)
+    assert(h.addStateEvents(Seq(IncomingEvent("ann", lastRead(7)))).isRight)
+    val rows = h.queryTagged(None, LeafQuery("reads"))
+    assert(rows.map(r => (r("who"), r("last_idx"))) == Vector(
+      (SqlValue.SqlText("ann"), SqlValue.SqlInteger(7)),
+      (SqlValue.SqlText("bob"), SqlValue.SqlInteger(1))))
+  }
+
   test("backup -> restore round-trip rebuilds tables by replay") {
     val h = store.open("did:test:bak")
     h.setModule(module)

@@ -75,8 +75,9 @@ class ServerSpec extends AnyFunSuite {
       "query" -> Map("name" -> "list"))))("rows").asInstanceOf[Vector[Any]]
     assert(rows.size == 2)
     val row0 = rows(0).asInstanceOf[Map[String, Any]]
-    assert(row0("content").asInstanceOf[Map[String, Any]]("v") == "alpha")
-    assert(row0("idx").asInstanceOf[Map[String, Any]]("t") == "integer")
+    assert(row0("content").asInstanceOf[Map[String, Any]]("value") == "alpha")
+    assert(row0("idx").asInstanceOf[Map[String, Any]]("$type") ==
+      "muni.town.sqliteValue.integer")
 
     // parameterized query
     val over = ok(post("/stream/query", Map("id" -> sid,
