@@ -8,6 +8,9 @@ object SparkFixture {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // the config-based injection path: drisl_* functions come from here
+      // for any newSession() that never calls LeafFunctions.register
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
