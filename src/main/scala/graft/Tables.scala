@@ -17,9 +17,11 @@ object Tables {
       // read nanos as long and rebuild a micros-precision timestamp column.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
+      // integral DIV, not `/`: epoch nanos (~1.7e18) exceed double's 2^53
+      // mantissa, so float division is off by +-1 microsecond
       raw.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
