@@ -91,6 +91,28 @@ class StreamHandle(store: StreamStore, val id: String) {
   @volatile private var latestIdx: Long = 0L
   @volatile private var cursor: Long = 0L
   @volatile private var moduleCid: Option[String] = None
+  @volatile private var signingKey: Option[Array[Byte]] = None
+
+  /** Install a batch-signing key: every accepted batch is HMAC-SHA256
+    * signed over the deterministic encoding of its (user, payload) pairs,
+    * and the one batch signature is stamped on every event of the batch —
+    * the reference's signing discipline (lib.rs:621-632; empty signature
+    * when no key, 628-632). */
+  def setSigningKey(key: Array[Byte]): Unit = { signingKey = Some(key) }
+
+  private def signBatch(batch: Seq[IncomingEvent]): Array[Byte] =
+    signingKey match {
+      case None => Array.empty[Byte]
+      case Some(key) =>
+        import graft.drisl.{DValue, Drisl}
+        val body = Drisl.encode(DValue.DArray(batch.toVector.map(e =>
+          DValue.obj(
+            "user" -> DValue.text(if (e.user == null) "" else e.user),
+            "payload" -> DValue.DBytes(e.payload)))))
+        val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+        mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+        mac.doFinal(body)
+    }
 
   init()
 
@@ -176,8 +198,9 @@ class StreamHandle(store: StreamStore, val id: String) {
     catchUp()
     val m = currentModule.getOrElse(return Left("no module installed"))
 
+    val signature = signBatch(batch)
     val rows = batch.zipWithIndex.map { case (e, i) =>
-      Row(latestIdx + i + 1, e.user, e.payload, Array.empty[Byte])
+      Row(latestIdx + i + 1, e.user, e.payload, signature)
     }
     val batchDF = spark.createDataFrame(rows.asJava, eventSchema)
 

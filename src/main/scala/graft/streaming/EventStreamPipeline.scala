@@ -87,33 +87,47 @@ object EventStreamPipeline {
   case class SessionState(start: Long, last: Long, n: Long)
   case class SessionOut(user: String, start_ms: Long, end_ms: Long, n_events: Long)
 
-  /** Close a user's session after `gapMs` of inactivity (processing-time
-    * timeout). Demonstrates KeyValueGroupedDataset.flatMapGroupsWithState —
-    * the engine-native path for custom per-key streaming state. */
-  def sessionize(events: Dataset[UserEvent], gapMs: Long): Dataset[SessionOut] = {
+  /** Gap-based sessionization via flatMapGroupsWithState: a user's events
+    * split into sessions wherever consecutive timestamps are more than
+    * `gapMs` apart. Sessions closed BY THE DATA (a later event proves the
+    * gap) emit immediately and deterministically; the trailing open
+    * session stays in state, merged with the next batch's events.
+    * `flushOnTimeout` arms a processing-time timeout that force-closes
+    * quiet sessions — for continuously-running queries only (a pending
+    * timeout keeps Trigger.AvailableNow scheduling batches forever). */
+  def sessionize(events: Dataset[UserEvent], gapMs: Long,
+      flushOnTimeout: Boolean = false): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (flushOnTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.user)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (user, it, state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
+          if (flushOnTimeout && state.hasTimedOut) {
             val s = state.get
             state.remove()
             Iterator(SessionOut(user, s.start, s.last, s.n))
           } else {
-            val times = it.map(_.ts.getTime).toSeq
-            if (times.isEmpty) Iterator.empty
+            val incoming = it.map(_.ts.getTime).toVector
+            if (incoming.isEmpty) Iterator.empty
             else {
-              val cur = state.getOption.getOrElse(
-                SessionState(times.min, times.max, 0))
-              val merged = SessionState(
-                math.min(cur.start, times.min), math.max(cur.last, times.max),
-                cur.n + times.size)
-              // close-out if the batch itself spans the gap; else keep open
-              state.update(merged)
-              state.setTimeoutDuration(gapMs)
-              Iterator.empty
+              // extend the open session (if any) with the new events in
+              // time order, splitting on gaps; every run except the
+              // trailing one is proven closed and emits now
+              val times = incoming.sorted
+              var runs = Vector.empty[SessionState]
+              var cur: SessionState = state.getOption.orNull
+              times.foreach { t =>
+                if (cur == null) cur = SessionState(t, t, 1)
+                else if (t - cur.last > gapMs) { runs :+= cur; cur = SessionState(t, t, 1) }
+                else cur = SessionState(math.min(cur.start, t), math.max(cur.last, t), cur.n + 1)
+              }
+              state.update(cur)
+              if (flushOnTimeout) state.setTimeoutDuration(gapMs)
+              runs.iterator.map(s => SessionOut(user, s.start, s.last, s.n))
             }
           }
       }

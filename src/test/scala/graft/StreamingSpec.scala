@@ -85,6 +85,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(runOnce() == Map("u" -> 3L, "w" -> 1L))
   }
 
+  test("gap sessionization: data-proven sessions emit, open session carries over") {
+    import spark.implicits._
+    val h = store.open("did:test:sess")
+    h.setModule(module)
+    // user u: sessions [0,10s], [2000,2010s], open [5000s]; v: open [3s]
+    val evs = Seq(("u", 0L), ("u", 10L), ("u", 2000L), ("u", 2010L), ("u", 5000L), ("v", 3L))
+    h.addEvents(evs.map { case (who, sec) =>
+      IncomingEvent(who, Drisl.encode(obj("type" -> text("click"), "sec" -> int(sec))))
+    })
+    val ckpt = Files.createTempDirectory("graft-ckpt-sess").toString
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Long)]()
+    val src = EventStreamPipeline.readLog(spark, store, "did:test:sess")
+      .select(col("user"),
+        timestamp_seconds(expr("drisl_extract_long(payload, '.sec')")).as("ts"),
+        expr("drisl_extract(payload, '.type')").as("etype"))
+      .as[EventStreamPipeline.UserEvent]
+    val q = EventStreamPipeline.sessionize(src, gapMs = 1000 * 1000) // 1000s gap
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[EventStreamPipeline.SessionOut], _: Long) =>
+        batch.collect().foreach(s => out.add((s.user, s.start_ms, s.end_ms, s.n_events)))
+      }
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val sessions = out.asScala.toVector.sorted
+    // only the two data-proven closed sessions of u emit; open tails stay in state
+    assert(sessions == Vector(
+      ("u", 0L, 10000L, 2L), ("u", 2000000L, 2010000L, 2L)))
+  }
+
   test("windowed aggregation with watermark over the event stream") {
     val h = store.open("did:test:windowed")
     h.setModule(module)
