@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.queries.Relational.Q
@@ -37,7 +36,6 @@ import graft.queries.Relational.Q
   */
 object Dedup {
 
-  private def dec(c: Column): Column = c.cast(DecimalType(25, 10))
 
   /** documents + clones: every 10th doc duplicated under doc_id+1e6. */
   private def corpus(s: SparkSession, dir: String): DataFrame = {
