@@ -152,6 +152,13 @@ class StreamHandle(store: StreamStore, val id: String) {
       ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
     latestIdx = num("latestIdx"); cursor = num("cursor")
     moduleCid = "\"moduleCid\":\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1))
+    // re-register the persisted module definition so a fresh process can
+    // serve queries without a new setModule call
+    val modPath = dir.resolve("module.json")
+    if (moduleCid.isDefined && Files.exists(modPath)) {
+      val m = BackupService.moduleFromJson(new String(Files.readAllBytes(modPath), UTF_8))
+      if (moduleCid.contains(m.cid)) store.registerModule(m)
+    }
   }
 
   def latest: Long = latestIdx
@@ -169,10 +176,23 @@ class StreamHandle(store: StreamStore, val id: String) {
     * lib.rs:222-235 + streams.rs:86-98 + lib.rs:499-590). */
   def setModule(m: ModuleDef): Unit = lock.synchronized {
     store.registerModule(m)
+    // persist the definition next to the log so a fresh process can reload
+    // the stream (the reference content-addresses module blobs server-side)
+    Files.write(dir.resolve("module.json"),
+      BackupService.moduleToJson(m).getBytes(UTF_8))
     // drop previous module tables (everything except the events view);
     // state tables survive module swaps (separate state DB in the reference)
     listTables().filterNot(t => t == "events" || t.startsWith("state_"))
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $dbName.$t"))
+    // purge orphaned table directories (left by a previous process or a
+    // dropped table) so CREATE TABLE never trips over a stale location
+    val live = listTables().toSet
+    val wh = dir.resolve("warehouse")
+    if (Files.exists(wh)) {
+      Files.list(wh).iterator().asScala
+        .filter(p => Files.isDirectory(p) && !live.contains(p.getFileName.toString))
+        .foreach(deleteRecursively)
+    }
     moduleCid = Some(m.cid)
     cursor = 0L
     runStatements(m.initSql, Map.empty)
@@ -245,6 +265,7 @@ class StreamHandle(store: StreamStore, val id: String) {
     * materializer pass. This is the 100 TB ingest path. */
   def bulkImport(events: DataFrame): Long = lock.synchronized {
     val stats = events.agg(min("idx"), max("idx"), count(lit(1))).head()
+    if (stats.isNullAt(0)) return latestIdx // empty import is a no-op
     val (lo, hi, n) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
     require(lo == latestIdx + 1, s"import must start at ${latestIdx + 1}, got $lo")
     require(hi - lo + 1 == n, s"import range [$lo,$hi] not contiguous ($n rows)")
@@ -454,6 +475,12 @@ class StreamHandle(store: StreamStore, val id: String) {
     SqlText.prepare(sql).foreach(s => execInDb(s, args))
 
   // ---------------- rollback machinery ----------------
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
 
   private def listFiles(p: Path): Set[Path] =
     if (!Files.exists(p)) Set.empty

@@ -94,6 +94,23 @@ class ClassifierBackupSpec extends AnyFunSuite {
     assert(rows.map(_("content")) == (1 to 5).map(i => SqlValue.SqlText(s"m$i")).toVector)
   }
 
+  test("reopening a stream from a fresh store reloads the persisted module") {
+    val root = java.nio.file.Files.createTempDirectory("graft-reopen").toString
+    val store1 = new StreamStore(spark, root)
+    val h1 = store1.open("did:test:reopen")
+    h1.setModule(module)
+    h1.addEvents(Seq(IncomingEvent("a", payload("persisted"))))
+
+    // a brand-new store over the same root (fresh module registry) must
+    // recover the module definition from disk and keep serving queries
+    val store2 = new StreamStore(spark, root)
+    val h2 = store2.open("did:test:reopen")
+    assert(h2.latest == 1L)
+    assert(h2.currentModule.map(_.cid) == Some(module.cid))
+    val rows = h2.queryTagged(None, LeafQuery("list"))
+    assert(rows.map(_("content")) == Vector(SqlValue.SqlText("persisted")))
+  }
+
   test("restore refuses a non-empty target") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bakdir2").toString
     val h = store.open("did:test:bak")
