@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.EventSource
+import graft.stream.StreamStore
+import graft.types._
+
+/** File → stream ingestion and export round-trips. */
+class EventSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private lazy val store = new StreamStore(spark,
+    Files.createTempDirectory("graft-src").toString)
+
+  private val module = ModuleDef(
+    initSql = """CREATE TABLE IF NOT EXISTS acts
+                 |(idx BIGINT, user STRING, kind STRING, amount DOUBLE, n BIGINT)
+                 |USING PARQUET""".stripMargin,
+    materializer = """INSERT INTO acts SELECT idx, user,
+                      |  drisl_extract(payload, '.kind'),
+                      |  drisl_extract_double(payload, '.amount'),
+                      |  drisl_extract_long(payload, '.n') FROM event""".stripMargin,
+    queries = Map("all" -> QueryDef(
+      "SELECT idx, user, kind, amount, n FROM acts ORDER BY idx")))
+
+  test("json file -> bulk ingest -> materialized query; csv export round-trip") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ing").toString
+    Seq(
+      ("ann", "buy", 12.5, 1L), ("bob", "sell", 3.25, 2L), ("ann", "buy", 7.0, 3L))
+      .toDF("who", "kind", "amount", "n")
+      .write.json(s"$dir/in")
+
+    val h = store.open("did:test:filesrc")
+    h.setModule(module)
+    val latest = EventSource.ingest(h, s"$dir/in", "json", "who", Seq("n"))
+    assert(latest == 3L)
+
+    val rows = h.queryTagged(None, LeafQuery("all"))
+    assert(rows.map(_("user")) == Vector("ann", "bob", "ann").map(SqlValue.SqlText))
+    assert(rows.map(_("amount")) == Vector(12.5, 3.25, 7.0).map(SqlValue.SqlReal))
+    assert(rows.map(_("n")) == Vector(1L, 2L, 3L).map(SqlValue.SqlInteger))
+
+    // appendable: a second file continues the idx sequence
+    Seq(("cyd", "buy", 1.0, 4L)).toDF("who", "kind", "amount", "n")
+      .write.json(s"$dir/in2")
+    assert(EventSource.ingest(h, s"$dir/in2", "json", "who", Seq("n")) == 4L)
+    assert(h.queryTagged(None, LeafQuery("all")).size == 4)
+
+    // export the query result and read it back
+    EventSource.export(h.query(None, LeafQuery("all")), s"$dir/out", "csv")
+    val back = spark.read.option("header", "true").csv(s"$dir/out")
+    assert(back.count() == 4L)
+    assert(back.columns.toSeq == Seq("idx", "user", "kind", "amount", "n"))
+  }
+}
