@@ -64,6 +64,13 @@ object Dedup {
 
   private val K = 6 // minhash signature width; banded 2 x 3 for LSH
 
+  /** Fixed 60-bit XOR constants acting as the K minhash "permutations"
+    * over the shingle-hash space (deterministic, oracle-replicable). */
+  private def xorConst(k: Int): Long =
+    Seq(0L, 0x5bd1e995L * 2654435761L, 0x9e3779b97f4a7c15L >>> 4,
+      0x2545f4914f6cdd1dL >>> 4, 0x27d4eb2f165667c5L >>> 4,
+      0x165667b19e3779f9L >>> 4)(k) & 0x0fffffffffffffffL
+
   private def sigs(s: SparkSession, dir: String): DataFrame = {
     val aggs = (0 until K).map(k =>
       min(md5(concat(lit(s"$k|"), col("sh")))).as(s"h$k"))
@@ -96,27 +103,33 @@ object Dedup {
               |SELECT * FROM sig ORDER BY doc_id""".stripMargin)),
 
     // ---- LSH: band buckets -> candidate pairs -> exact Jaccard verify ----
-    // Shape for scale: ONE shuffle of the shingle stream (groupBy doc_id)
-    // folds each doc to a sorted distinct-shingle array; signatures are
-    // computed in-row from that array (no second pass); the band self-join
-    // moves only O(docs) signature rows; and the exact-Jaccard verify is a
-    // broadcast of the per-doc arrays + a tight sorted-merge intersection
-    // per candidate pair — the O(pairs x shingles) shuffle join a naive
-    // formulation would do never materializes.
+    // Shape for scale: shingles hash to 60-bit longs AT SCAN TIME (md5+conv
+    // stay inside codegen), so the one groupBy shuffle moves longs, not
+    // text; minhash "permutations" are XOR with fixed constants — pure
+    // in-row arithmetic over the per-doc hash array, no re-hashing pass;
+    // the band self-join moves only O(docs) signature rows; and the exact
+    // Jaccard verify is a broadcast of the sorted long arrays + a
+    // primitive sorted-merge intersection per candidate pair. The
+    // O(pairs x shingles) shuffle join a naive formulation would do never
+    // materializes, and every quantity is computed identically by the
+    // oracle (Jaccard is over the same 60-bit hash sets on both sides).
     "q_dedup_lsh" -> Q(
       (s, dir) => {
-        val shArr = shingles(corpus(s, dir), 5)
-          .groupBy("doc_id").agg(sort_array(collect_set(col("sh"))).as("shs"))
+        val hashed = shingles(corpus(s, dir), 5)
+          .select(col("doc_id"),
+            conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+        val shArr = hashed
+          .groupBy("doc_id").agg(sort_array(collect_set(col("h"))).as("shs"))
           .persist()
         shArr.count() // materialize NOW: three consumers below (two broadcast
         // threads + the main stage) would otherwise race to build the cache
         // and each recompute the full shingle pass
         val sigCols = (0 until K).map(k =>
-          array_min(transform(col("shs"), x => md5(concat(lit(s"$k|"), x)))).as(s"h$k"))
+          array_min(transform(col("shs"), v => v.bitwiseXOR(lit(xorConst(k))))).as(s"h$k"))
         val sg = shArr.select((col("doc_id") +: sigCols): _*)
         val bands = sg.select(col("doc_id"), posexplode(array(
-            md5(concat(col("h0"), col("h1"), col("h2"))),
-            md5(concat(col("h3"), col("h4"), col("h5"))))).as(Seq("band_id", "bh")))
+            md5(concat_ws("|", col("h0"), col("h1"), col("h2"))),
+            md5(concat_ws("|", col("h3"), col("h4"), col("h5"))))).as(Seq("band_id", "bh")))
           .persist() // self-joined: avoid recomputing the signature pass twice
         bands.count()
         val cand = bands.as("x").join(bands.as("y"),
@@ -126,12 +139,12 @@ object Dedup {
           .persist()
         cand.count() // settle the candidate set before the verify stage so
         // its two broadcast builds don't re-run the band join
-        val interCount = udf((a: Seq[String], b: Seq[String]) => {
+        val interCount = udf((a: Seq[Long], b: Seq[Long]) => {
           var i = 0; var j = 0; var n = 0L
           while (i < a.length && j < b.length) {
-            val c = a(i).compareTo(b(j))
-            if (c == 0) { n += 1; i += 1; j += 1 }
-            else if (c < 0) i += 1 else j += 1
+            val x = a(i); val y = b(j)
+            if (x == y) { n += 1; i += 1; j += 1 }
+            else if (x < y) i += 1 else j += 1
           }
           n
         })
@@ -147,17 +160,22 @@ object Dedup {
           .filter(col("jac") >= 0.9)
           .orderBy(col("a"), col("b"))
       },
-      Some(s"""WITH $corpusSql, ${shinglesSql(5)}, $sigsSql,
+      Some(s"""WITH $corpusSql, ${shinglesSql(5)},
+              |hashed AS (
+              |  SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh),
+              |dsh AS (SELECT DISTINCT doc_id, h FROM hashed),
+              |sig AS (
+              |  SELECT doc_id, ${(0 until K).map(k => s"min(xor(h, ${xorConst(k)})) AS h$k").mkString(", ")}
+              |  FROM dsh GROUP BY doc_id),
               |bands AS (
-              |  SELECT doc_id, 0 AS band_id, md5(h0||h1||h2) AS bh FROM sig
-              |  UNION ALL SELECT doc_id, 1, md5(h3||h4||h5) FROM sig),
+              |  SELECT doc_id, 0 AS band_id, md5(h0 || '|' || h1 || '|' || h2) AS bh FROM sig
+              |  UNION ALL SELECT doc_id, 1, md5(h3 || '|' || h4 || '|' || h5) FROM sig),
               |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y
               |         ON x.band_id = y.band_id AND x.bh = y.bh AND x.doc_id < y.doc_id),
-              |dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
               |sz AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY 1),
               |inter AS (SELECT a, b, count(*) AS inter FROM cand
               |          JOIN dsh sa ON sa.doc_id = a
-              |          JOIN dsh sb ON sb.doc_id = b AND sa.sh = sb.sh
+              |          JOIN dsh sb ON sb.doc_id = b AND sa.h = sb.h
               |          GROUP BY a, b)
               |SELECT a, b, jac FROM (
               |  SELECT a, b, CAST(inter AS DOUBLE)/(za.sz + zb.sz - inter) AS jac
