@@ -3,8 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, BinaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -23,11 +22,39 @@ import graft.drisl.{DValue, Drisl, DrislPath}
   * drisl_extract.rs and module/basic.rs:311-346): absent path and DRISL
   * null both yield SQL NULL for extract; exists returns 1/0 on presence.
   */
-abstract class DrislPathExpression extends BinaryExpression with CodegenFallback {
+abstract class DrislPathExpression extends BinaryExpression {
   override def left: Expression = payload
   override def right: Expression = path
   def payload: Expression
   def path: Expression
+
+  /** Codegen: emit a call on this expression instance (carried as a
+    * reference object, so the literal-path cache survives) instead of
+    * falling back to interpreted eval — the surrounding operators stay in
+    * one whole-stage-codegen pipeline. */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("drislExpr", this,
+      classOf[DrislPathExpression].getName)
+    val javaT = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      .javaType(dataType)
+    val unbox = dataType match {
+      case LongType => "((java.lang.Long) r).longValue()"
+      case DoubleType => "((java.lang.Double) r).doubleValue()"
+      case BinaryType => "(byte[]) r"
+      case _ => "(org.apache.spark.unsafe.types.UTF8String) r"
+    }
+    nullSafeCodeGen(ctx, ev, (p, pa) =>
+      s"""Object r = $ref.evalPath($p, $pa);
+         |if (r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ($javaT) ($unbox);
+         |}""".stripMargin)
+  }
+
+  /** Public bridge for generated code (nullSafeEval is protected). */
+  def evalPath(p: Object, pa: Object): Object =
+    nullSafeEval(p, pa).asInstanceOf[Object]
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
