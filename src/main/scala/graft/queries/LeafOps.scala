@@ -119,7 +119,17 @@ object LeafOps {
     "leaf_module_swap" -> Relational.Q(
       (s, dir) => {
         val h = streams.synchronized {
-          streams.getOrElseUpdate((dir, "swap"), ingest(s, dir, s"did:graft:swap"))
+          streams.getOrElseUpdate((dir, "swap"), {
+            // reuse the demo stream's already-encoded log: the swap stream
+            // imports the same events without re-running the CBOR encoding
+            val src = demo(s, dir).eventsDF
+            val store = new StreamStore(s,
+              java.nio.file.Files.createTempDirectory("graft-leafops").toString)
+            val fresh = store.open("did:graft:swap")
+            fresh.setModule(demoModule)
+            fresh.bulkImport(src.filter(col("idx") > 0))
+            fresh
+          })
         }
         h.setModule(userTotalsModule)
         h.query(None, LeafQuery("totals"))

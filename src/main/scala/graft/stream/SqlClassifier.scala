@@ -31,13 +31,20 @@ object SqlClassifier {
       try spark.sessionState.sqlParser.parsePlan(stmt)
       catch { case e: Exception => return Left(s"unparseable statement: ${e.getMessage}") }
     ctx match {
-      case QueryCtx => plan match {
-        case _: InsertIntoStatement => Left("queries are read-only: INSERT rejected")
-        case _: Command => Left("queries are read-only: command statements rejected")
-        case c if c.getClass.getSimpleName.contains("Command") =>
-          Left(s"queries are read-only: ${c.getClass.getSimpleName} rejected")
-        case _ => Right(())
-      }
+      case QueryCtx =>
+        // multi-statement queries may stage TEMP VIEWS for the final SELECT
+        // (A7 semantics: all statements run, last result returned); any
+        // other command/DML is rejected
+        val tempView =
+          "(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TEMP(ORARY)?\\s+VIEW\\b".r
+        if (tempView.findFirstIn(stmt).isDefined) Right(())
+        else plan match {
+          case _: InsertIntoStatement => Left("queries are read-only: INSERT rejected")
+          case _: Command => Left("queries are read-only: command statements rejected")
+          case c if c.getClass.getSimpleName.contains("Command") =>
+            Left(s"queries are read-only: ${c.getClass.getSimpleName} rejected")
+          case _ => Right(())
+        }
       case MaterializerCtx => Right(()) // full DML/DDL surface, as intended
       case StateCtx => plan match {
         case ins: InsertIntoStatement =>

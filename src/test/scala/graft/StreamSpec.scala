@@ -37,7 +37,11 @@ class StreamSpec extends AnyFunSuite {
       "by_author" -> QueryDef(
         "SELECT content FROM messages WHERE author = $who ORDER BY idx",
         Seq(ParamDef("who", ParamKind.PText))),
-      "whoami" -> QueryDef("SELECT $requesting_user AS me")))
+      "whoami" -> QueryDef("SELECT $requesting_user AS me"),
+      "top_author" -> QueryDef(
+        """CREATE OR REPLACE TEMPORARY VIEW q_tmp AS
+          |  SELECT author, count(*) AS n FROM messages GROUP BY author;
+          |SELECT author, n FROM q_tmp ORDER BY n DESC, author LIMIT 1""".stripMargin)))
 
   test("e2e: create stream, install module, append, query (§7.2 slice)") {
     val h = store.open("did:test:alpha")
@@ -51,6 +55,11 @@ class StreamSpec extends AnyFunSuite {
     assert(rows.map(_("content")) ==
       Vector(SqlValue.SqlText("hello"), SqlValue.SqlText("world"), SqlValue.SqlText("!")))
     assert(rows.map(_("idx")) == Vector(SqlValue.SqlInteger(1), SqlValue.SqlInteger(2), SqlValue.SqlInteger(3)))
+    // multi-statement query: earlier statements stage temp views, the last
+    // statement's rows are the result (A7 semantics)
+    val top = h.queryTagged(None, LeafQuery("top_author"))
+    assert(top == Vector(Map(
+      "author" -> SqlValue.SqlText("alice"), "n" -> SqlValue.SqlInteger(2))))
   }
 
   test("authorizer rejection vetoes the whole batch atomically (lib.rs:696-705)") {
