@@ -71,16 +71,25 @@ object Dedup {
       0x2545f4914f6cdd1dL >>> 4, 0x27d4eb2f165667c5L >>> 4,
       0x165667b19e3779f9L >>> 4)(k) & 0x0fffffffffffffffL
 
+  /** One-pass MinHash signatures via the typed Aggregator (O(K) buffer,
+    * map-side partial aggregation) over scan-time-hashed shingles. */
   private def sigs(s: SparkSession, dir: String): DataFrame = {
-    val aggs = (0 until K).map(k =>
-      min(md5(concat(lit(s"$k|"), col("sh")))).as(s"h$k"))
-    shingles(corpus(s, dir), 5).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val minhash = udaf(new graft.functions.MinHashAgg(
+      K, (0 until K).map(xorConst).toArray))
+    shingles(corpus(s, dir), 5)
+      .select(col("doc_id"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy("doc_id").agg(minhash(col("h")).as("sig"))
+      .select((col("doc_id") +: (0 until K).map(k =>
+        element_at(col("sig"), k + 1).as(s"h$k"))): _*)
   }
 
   private val sigsSql =
-    s"""sig AS (
-       |  SELECT doc_id, ${(0 until K).map(k => s"min(md5('$k|' || sh)) AS h$k").mkString(", ")}
-       |  FROM sh GROUP BY doc_id)""".stripMargin
+    s"""hashed AS (
+       |  SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh),
+       |sig AS (
+       |  SELECT doc_id, ${(0 until K).map(k => s"min(xor(h, ${xorConst(k)})) AS h$k").mkString(", ")}
+       |  FROM hashed GROUP BY doc_id)""".stripMargin
 
   val all: Map[String, Q] = Map(
 
