@@ -396,6 +396,39 @@ object Relational {
              |       ELSE 'small' END AS bucket
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- exact ordered statistics: interpolated percentiles per group ----
+    "q_percentiles" -> Q(
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            expr("percentile(o_totalprice, 0.5)").as("p50"),
+            expr("percentile(o_totalprice, 0.9)").as("p90"),
+            count(lit(1)).as("n"))
+          .orderBy(col("o_orderstatus")),
+      Some("""SELECT o_orderstatus,
+             |  quantile_cont(o_totalprice, 0.5) AS p50,
+             |  quantile_cont(o_totalprice, 0.9) AS p90,
+             |  count(*) AS n
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ---- ROLLUP with grouping() markers (subtotal hierarchy) ----
+    "q_rollup" -> Q(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dbl(sum(dec(col("l_quantity")))).as("qty"),
+            count(lit(1)).as("n"),
+            grouping(col("l_returnflag")).cast("long").as("g_rf"),
+            grouping(col("l_linestatus")).cast("long").as("g_ls"))
+          .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  CAST(sum(${sqlDec("l_quantity")}) AS DOUBLE) AS qty, count(*) AS n,
+              |  GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls
+              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+              |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin)),
+
     // ---- recursive CTE (WITH RECURSIVE; SURVEY §7.4 hard-part) ----
     // a recursive month spine drives a left join over lineitem — recursion
     // plus join/aggregation in one plan, identical SQL on both engines
