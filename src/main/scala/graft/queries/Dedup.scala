@@ -259,6 +259,41 @@ object Dedup {
               |JOIN sz za ON za.doc_id = c.a JOIN sz zb ON zb.doc_id = c.b
               |ORDER BY c.a, c.b""".stripMargin)),
 
+    // ---- fuzzy matching: edit-distance scoring over candidate pairs ----
+    // (levenshtein is exact integer DP — bit-identical across engines; the
+    // similarity ratio is one double division on exact ints)
+    "q_dedup_fuzzy" -> Q(
+      (s, dir) => {
+        val base = Tables.df(s, dir, "documents").select(col("doc_id"))
+        val cand = base.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("a"), (col("doc_id") + 1000000).as("b"))
+          .unionAll(base.as("x").join(base.as("y"),
+              col("y.doc_id") === col("x.doc_id") + 1)
+            .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")))
+        val c = corpus(s, dir)
+        cand
+          .join(c.as("ca"), col("a") === col("ca.doc_id"))
+          .join(c.as("cb"), col("b") === col("cb.doc_id"))
+          .select(col("a"), col("b"),
+            levenshtein(col("ca.text"), col("cb.text")).cast("long").as("dist"),
+            greatest(length(col("ca.text")), length(col("cb.text"))).cast("long").as("mx"))
+          .select(col("a"), col("b"), col("dist"),
+            (lit(1.0) - col("dist").cast("double") / col("mx")).as("sim"))
+          .orderBy(col("a"), col("b"))
+      },
+      Some(s"""WITH $corpusSql,
+              |cand AS (
+              |  SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents WHERE doc_id % 10 = 0
+              |  UNION ALL
+              |  SELECT x.doc_id, y.doc_id FROM documents x JOIN documents y
+              |    ON y.doc_id = x.doc_id + 1),
+              |scored AS (
+              |  SELECT a, b, levenshtein(ca.text, cb.text) AS dist,
+              |    greatest(length(ca.text), length(cb.text)) AS mx
+              |  FROM cand JOIN corpus ca ON ca.doc_id = a JOIN corpus cb ON cb.doc_id = b)
+              |SELECT a, b, dist, 1.0 - CAST(dist AS DOUBLE) / mx AS sim
+              |FROM scored ORDER BY a, b""".stripMargin)),
+
     // ---- embedding cosine near-dup, bucketed by coarse quantizer ----
     // Two-stage, the shape that survives scale: the label bucket bounds the
     // pair space; a cheap double-precision cosine prunes candidates with a

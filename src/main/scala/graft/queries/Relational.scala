@@ -246,6 +246,25 @@ object Relational {
               |      FROM lineitem GROUP BY 1, 2)
               |ORDER BY l_suppkey, l_orderkey""".stripMargin)),
 
+    // ---- window: lag/lead + ntile over a unique ordering ----
+    "q_window_lag" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        t(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"),
+          ntile(4).over(w).cast("long").as("quartile"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  lag(o_orderkey, 1) OVER w AS prev_order,
+             |  lead(o_orderkey, 1) OVER w AS next_order,
+             |  ntile(4) OVER w AS quartile
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // ---- set op: INTERSECT ----
     "q_setop_intersect" -> Q(
       (s, dir) =>
