@@ -50,16 +50,19 @@ object Dedup {
       |  UNION ALL
       |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
-  /** char n-gram shingles of the trimmed text (map-side explode). */
-  private def shingles(c: DataFrame, n: Int): DataFrame =
+  /** char n-gram shingles of the trimmed text (map-side explode).
+    * `stride` samples every stride-th start position — the standard volume
+    * knob for LSH at scale (halves every downstream stage at stride 2
+    * while identical docs still collide on every shingle). */
+  private def shingles(c: DataFrame, n: Int, stride: Int = 1): DataFrame =
     c.select(col("doc_id"), trim(col("text")).as("t"))
       .select(col("doc_id"), col("t"),
-        explode(sequence(lit(1), length(col("t")) - (n - 1))).as("i"))
+        explode(sequence(lit(1), length(col("t")) - (n - 1), lit(stride))).as("i"))
       .select(col("doc_id"), col("t").substr(col("i"), lit(n)).as("sh"))
 
-  private def shinglesSql(n: Int) =
+  private def shinglesSql(n: Int, stride: Int = 1) =
     s"""sh AS (
-       |  SELECT doc_id, substr(trim(text), unnest(generate_series(1, length(trim(text))-${n - 1})), $n) AS sh
+       |  SELECT doc_id, substr(trim(text), unnest(generate_series(1, length(trim(text))-${n - 1}, $stride)), $n) AS sh
        |  FROM corpus)""".stripMargin
 
   private val K = 6 // minhash signature width; banded 2 x 3 for LSH
@@ -124,7 +127,7 @@ object Dedup {
     // oracle (Jaccard is over the same 60-bit hash sets on both sides).
     "q_dedup_lsh" -> Q(
       (s, dir) => {
-        val hashed = shingles(corpus(s, dir), 5)
+        val hashed = shingles(corpus(s, dir), 5, stride = 2)
           .select(col("doc_id"),
             conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
         val shArr = hashed
@@ -169,7 +172,7 @@ object Dedup {
           .filter(col("jac") >= 0.9)
           .orderBy(col("a"), col("b"))
       },
-      Some(s"""WITH $corpusSql, ${shinglesSql(5)},
+      Some(s"""WITH $corpusSql, ${shinglesSql(5, stride = 2)},
               |hashed AS (
               |  SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh),
               |dsh AS (SELECT DISTINCT doc_id, h FROM hashed),
