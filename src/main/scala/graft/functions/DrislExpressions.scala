@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, BinaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -157,7 +158,14 @@ case class DrislExtractBlobExpr(payload: Expression, path: Expression)
 }
 
 /** drisl_exists(payload, path) → BIGINT 1/0: present (even if DRISL null)
-  * vs absent — the distinction extract collapses (basic.rs:343-345). */
+  * vs absent — the distinction extract collapses (basic.rs:343-345).
+  *
+  * Never null: a NULL payload or path means "nothing there" → 0. The
+  * inherited BinaryExpression null propagation would instead return NULL
+  * (contradicting nullable=false) and its nullSafeCodeGen would assign to
+  * an undeclared ev.isNull in the non-nullable branch, so both eval and
+  * doGenCode are overridden here.
+  */
 case class DrislExistsExpr(payload: Expression, path: Expression)
     extends DrislPathExpression {
   override def dataType: DataType = LongType
@@ -165,6 +173,29 @@ case class DrislExistsExpr(payload: Expression, path: Expression)
 
   override def nullSafeEval(p: Any, pa: Any): Any =
     Long.box(if (extract(p, pa).isDefined) 1L else 0L)
+
+  override def eval(input: InternalRow): Any = {
+    val p = payload.eval(input)
+    val pa = path.eval(input)
+    if (p == null || pa == null) 0L else nullSafeEval(p, pa)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("drislExpr", this,
+      classOf[DrislPathExpression].getName)
+    val l = payload.genCode(ctx)
+    val r = path.genCode(ctx)
+    val resultCode =
+      code"""
+         |${l.code}
+         |${r.code}
+         |long ${ev.value} = 0L;
+         |if (!(${l.isNull}) && !(${r.isNull})) {
+         |  ${ev.value} = ((java.lang.Long) $ref.evalPath(${l.value}, ${r.value})).longValue();
+         |}
+         |""".stripMargin
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(payload = l, path = r)

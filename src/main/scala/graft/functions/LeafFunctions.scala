@@ -53,12 +53,16 @@ object LeafFunctions {
 
     // SQLite-dialect shim: names the whitelist spells differently
     // (lib.rs:1104-1110). SQL UDFs inline into the plan at analysis time.
+    // `iif` (polymorphic) and `total` (aggregate) cannot be SQL UDFs — they
+    // are rewritten at the SQL-text layer instead (SqlText.dialectRewrite).
+    val strftimeMap = Seq(
+      "%Y" -> "yyyy", "%m" -> "MM", "%d" -> "dd",
+      "%H" -> "HH", "%M" -> "mm", "%S" -> "ss", "%j" -> "DDD")
+      .foldLeft("fmt") { case (e, (a, b)) => s"replace($e, '$a', '$b')" }
     val shims = Seq(
-      "CREATE OR REPLACE TEMPORARY FUNCTION iif(c BOOLEAN, a STRING, b STRING) RETURNS STRING RETURN IF(c, a, b)",
       "CREATE OR REPLACE TEMPORARY FUNCTION ifnull_long(a BIGINT, b BIGINT) RETURNS BIGINT RETURN COALESCE(a, b)",
-      "CREATE OR REPLACE TEMPORARY FUNCTION total(x DOUBLE) RETURNS DOUBLE RETURN COALESCE(x, 0.0D)",
       "CREATE OR REPLACE TEMPORARY FUNCTION unixepoch(t TIMESTAMP) RETURNS BIGINT RETURN unix_timestamp(t)",
-      "CREATE OR REPLACE TEMPORARY FUNCTION strftime(fmt STRING, t TIMESTAMP) RETURNS STRING RETURN date_format(t, replace(replace(replace(replace(fmt, '%Y', 'yyyy'), '%m', 'MM'), '%d', 'dd'), '%H', 'HH'))",
+      s"CREATE OR REPLACE TEMPORARY FUNCTION strftime(fmt STRING, t TIMESTAMP) RETURNS STRING RETURN date_format(t, $strftimeMap)",
       "CREATE OR REPLACE TEMPORARY FUNCTION group_concat_sorted(xs ARRAY<STRING>) RETURNS STRING RETURN array_join(sort_array(xs), ',')")
     shims.foreach(spark.sql(_))
 

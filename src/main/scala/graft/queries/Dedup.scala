@@ -56,6 +56,10 @@ object Dedup {
     * while identical docs still collide on every shingle). */
   private def shingles(c: DataFrame, n: Int, stride: Int = 1): DataFrame =
     c.select(col("doc_id"), trim(col("text")).as("t"))
+      // docs shorter than one shingle yield no rows (the oracle's empty
+      // generate_series); without the filter sequence() throws
+      // "Illegal sequence boundaries" on them
+      .filter(length(col("t")) >= n)
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(1), length(col("t")) - (n - 1), lit(stride))).as("i"))
       .select(col("doc_id"), col("t").substr(col("i"), lit(n)).as("sh"))
@@ -63,7 +67,7 @@ object Dedup {
   private def shinglesSql(n: Int, stride: Int = 1) =
     s"""sh AS (
        |  SELECT doc_id, substr(trim(text), unnest(generate_series(1, length(trim(text))-${n - 1}, $stride)), $n) AS sh
-       |  FROM corpus)""".stripMargin
+       |  FROM corpus WHERE length(trim(text)) >= $n)""".stripMargin
 
   private val K = 6 // minhash signature width; banded 2 x 3 for LSH
 
@@ -160,9 +164,18 @@ object Dedup {
           }
           n
         })
+        // verify stage: reduce the per-doc shingle arrays to candidate docs
+        // FIRST (left_semi on the tiny candidate-id set), then plain
+        // shuffle equi-joins. Broadcasting shArr itself would put the whole
+        // corpus's shingle arrays on the build side — O(corpus) driver/exec
+        // memory, an OOM at 100x scale; the semi-joined side is O(candidates)
+        // and AQE is free to broadcast it if it is actually small.
+        val candIds = cand.select(col("a").as("doc_id"))
+          .unionAll(cand.select(col("b").as("doc_id"))).distinct()
+        val candArr = shArr.join(candIds, Seq("doc_id"), "left_semi")
         cand
-          .join(broadcast(shArr.as("za")), col("a") === col("za.doc_id"))
-          .join(broadcast(shArr.as("zb")), col("b") === col("zb.doc_id"))
+          .join(candArr.as("za"), col("a") === col("za.doc_id"))
+          .join(candArr.as("zb"), col("b") === col("zb.doc_id"))
           .select(col("a"), col("b"),
             interCount(col("za.shs"), col("zb.shs")).as("inter"),
             size(col("za.shs")).cast("long").as("sza"),
@@ -297,11 +310,17 @@ object Dedup {
               |SELECT a, b, dist, 1.0 - CAST(dist AS DOUBLE) / mx AS sim
               |FROM scored ORDER BY a, b""".stripMargin)),
 
-    // ---- embedding cosine near-dup, bucketed by coarse quantizer ----
-    // Two-stage, the shape that survives scale: the label bucket bounds the
-    // pair space; a cheap double-precision cosine prunes candidates with a
-    // wide safety margin (double vs exact differ < 1e-9, the margin is
-    // 4e-3); only survivors pay the exact decimal fold whose result is
+    // ---- embedding cosine near-dup, bucketed by quantizer cells ----
+    // Two-stage, the shape that survives scale: the bucket key is
+    // (label, cell) where cell packs the sign bits of the first 4
+    // dimensions — 16 sub-cells per label, so per-bucket pair counts shrink
+    // 16x and keep shrinking with more sign dims as the corpus grows (the
+    // recall/volume knob; exact duplicates always share every cell). The
+    // bucket join is a plain shuffle equi-join — broadcasting the corpus
+    // would put O(corpus) embeddings on the build side and OOM at 100x. A
+    // cheap double-precision cosine then prunes candidates with a wide
+    // safety margin (double vs exact differ < 1e-9, the margin is 4e-3);
+    // only survivors pay the exact decimal fold whose result is
     // bit-identical to the oracle's explode+group-sum. No per-dimension
     // explode or O(pairs x dims) shuffle ever materializes.
     "q_dedup_embedding" -> Q(
@@ -310,6 +329,10 @@ object Dedup {
           .select(col("vec_id"), col("label"), col("embedding"))
         val corpusE = e.unionAll(e.filter(col("vec_id") % 20 === 0)
           .select((col("vec_id") + 1000000).as("vec_id"), col("label"), col("embedding")))
+        val cell = (0 until 4).map(i =>
+          when(element_at(col("embedding"), i + 1) >= 0, lit(1 << i))
+            .otherwise(lit(0))).reduce(_ + _)
+        val bucketed = corpusE.withColumn("cell", cell)
         val fastCos = udf((a: Seq[Float], b: Seq[Float]) => {
           var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
           while (i < a.length) {
@@ -318,8 +341,9 @@ object Dedup {
           }
           dot / math.sqrt(na * nb)
         })
-        corpusE.as("p").join(broadcast(corpusE.as("q")),
-            col("p.label") === col("q.label") && col("p.vec_id") < col("q.vec_id"))
+        bucketed.as("p").join(bucketed.as("q"),
+            col("p.label") === col("q.label") && col("p.cell") === col("q.cell") &&
+              col("p.vec_id") < col("q.vec_id"))
           .filter(fastCos(col("p.embedding"), col("q.embedding")) >= 0.995)
           .select(col("p.vec_id").as("a"), col("q.vec_id").as("b"),
             Vec.cosine(col("p.embedding"), col("q.embedding"),
@@ -331,6 +355,13 @@ object Dedup {
              |  SELECT vec_id, label, embedding FROM embeddings
              |  UNION ALL
              |  SELECT vec_id + 1000000, label, embedding FROM embeddings WHERE vec_id % 20 = 0),
+             |bucketed AS (
+             |  SELECT vec_id, label, embedding,
+             |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+             |    + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+             |    + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+             |    + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS cell
+             |  FROM corpus),
              |dims AS (
              |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
              |         CAST(unnest(embedding) AS DOUBLE) AS x
@@ -339,8 +370,8 @@ object Dedup {
              |  SELECT vec_id, CAST(sum(CAST(x * x AS DECIMAL(25,10))) AS DOUBLE) AS n2
              |  FROM dims GROUP BY vec_id),
              |pairs AS (
-             |  SELECT p.vec_id AS a, q.vec_id AS b FROM corpus p JOIN corpus q
-             |  ON p.label = q.label AND p.vec_id < q.vec_id),
+             |  SELECT p.vec_id AS a, q.vec_id AS b FROM bucketed p JOIN bucketed q
+             |  ON p.label = q.label AND p.cell = q.cell AND p.vec_id < q.vec_id),
              |dots AS (
              |  SELECT a, b, CAST(sum(CAST(da.x * db.x AS DECIMAL(25,10))) AS DOUBLE) AS dot
              |  FROM pairs

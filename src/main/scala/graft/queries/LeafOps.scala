@@ -48,7 +48,12 @@ object LeafOps {
       "page" -> QueryDef(
         """SELECT idx, etype FROM acts
           |WHERE idx BETWEEN $start AND $start + $limit - 1
-          |ORDER BY idx""".stripMargin)))
+          |ORDER BY idx""".stripMargin),
+      // SQLite total(): never-null float aggregate, rewritten by
+      // SqlText.dialectRewrite to coalesce(sum(cast(.. as double)), 0.0).
+      // k is integer-valued, so the double sum is order-independent (exact)
+      "total_by_type" -> QueryDef(
+        "SELECT etype, total(k) AS tk FROM acts GROUP BY etype ORDER BY etype")))
 
   private val userTotalsModule = demoModule.copy(
     initSql = """CREATE TABLE IF NOT EXISTS user_totals
@@ -137,6 +142,13 @@ object LeafOps {
       Some("""SELECT 'u' || CAST(user_id AS VARCHAR) AS user, count(*) AS n,
              |  CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total
              |FROM events GROUP BY 1 ORDER BY user""".stripMargin)),
+
+    // ---- dialect shim: SQLite total() aggregate through module SQL ----
+    "leaf_total_agg" -> Relational.Q(
+      (s, dir) => demo(s, dir).query(None, LeafQuery("total_by_type")),
+      Some("""SELECT event_type AS etype,
+             |  coalesce(sum(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DOUBLE)), 0.0) AS tk
+             |FROM events GROUP BY 1 ORDER BY etype""".stripMargin)),
 
     // ---- A8: subscription backfill pages cover the log exactly once ----
     "leaf_subscribe_backfill" -> Relational.Q(

@@ -2,7 +2,7 @@ package graft.stream
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoDir, InsertIntoStatement, LogicalPlan}
 
 /** Per-context statement gate — the engine's replacement for the
   * reference's SQL authorizer callback.
@@ -25,6 +25,27 @@ object SqlClassifier {
   /** State materializer: writes must target state_* tables only. */
   case object StateCtx extends Ctx
 
+  /** First write/command node found anywhere in the plan tree, or None if
+    * the statement is a pure query. Walks the whole tree (not just the
+    * root) so write nodes that are plain UnaryNodes — e.g. InsertIntoDir,
+    * which is neither a Command nor an InsertIntoStatement in Spark 4 —
+    * cannot slip past a root-only match.
+    */
+  private def findWriteNode(plan: LogicalPlan): Option[String] = {
+    var hit: Option[String] = None
+    plan.foreach { p =>
+      if (hit.isEmpty) p match {
+        case _: InsertIntoStatement => hit = Some("INSERT")
+        case _: InsertIntoDir      => hit = Some("INSERT OVERWRITE DIRECTORY")
+        case _: Command            => hit = Some(p.getClass.getSimpleName)
+        case c if c.getClass.getSimpleName.contains("Command") =>
+          hit = Some(c.getClass.getSimpleName)
+        case _ =>
+      }
+    }
+    hit
+  }
+
   /** Validate one statement for a context; Left(reason) to reject. */
   def check(spark: SparkSession, ctx: Ctx, stmt: String): Either[String, Unit] = {
     val plan: LogicalPlan =
@@ -38,12 +59,9 @@ object SqlClassifier {
         val tempView =
           "(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TEMP(ORARY)?\\s+VIEW\\b".r
         if (tempView.findFirstIn(stmt).isDefined) Right(())
-        else plan match {
-          case _: InsertIntoStatement => Left("queries are read-only: INSERT rejected")
-          case _: Command => Left("queries are read-only: command statements rejected")
-          case c if c.getClass.getSimpleName.contains("Command") =>
-            Left(s"queries are read-only: ${c.getClass.getSimpleName} rejected")
-          case _ => Right(())
+        else findWriteNode(plan) match {
+          case Some(what) => Left(s"queries are read-only: $what rejected")
+          case None       => Right(())
         }
       case MaterializerCtx => Right(()) // full DML/DDL surface, as intended
       case StateCtx => plan match {
@@ -55,9 +73,10 @@ object SqlClassifier {
               Left(s"state materializer may only write state_* tables, not ${parts.mkString(".")}")
             case _ => Left("state materializer: unsupported insert target")
           }
-        case _: Command =>
-          Left("state materializer: only INSERT into state_* tables allowed")
-        case _ => Right(()) // bare SELECTs are harmless
+        case _ => findWriteNode(plan) match {
+          case Some(_) => Left("state materializer: only INSERT into state_* tables allowed")
+          case None    => Right(()) // bare SELECTs are harmless
+        }
       }
     }
   }

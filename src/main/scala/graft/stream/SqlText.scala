@@ -64,8 +64,67 @@ object SqlText {
     sb.toString
   }
 
+  /** Index of the ')' matching the '(' at `open`, skipping quoted strings;
+    * -1 if unbalanced. */
+  private def matchingClose(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Rewrite every call of `fn(...)` (case-insensitive, outside string
+    * literals, nested calls included) via `render(argText)`. */
+  private def rewriteCall(sql: String, fn: String)(render: String => String): String = {
+    val lower = sql.toLowerCase
+    val sb = new StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { sb.append(c); if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { inStr = true; sb.append(c); i += 1 }
+      else if (lower.startsWith(fn, i) &&
+        (i == 0 || { val p = sql.charAt(i - 1); !p.isLetterOrDigit && p != '_' && p != '.' })) {
+        var j = i + fn.length
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        if (j < sql.length && sql.charAt(j) == '(') {
+          val close = matchingClose(sql, j)
+          if (close > 0) {
+            val inner = rewriteCall(sql.substring(j + 1, close), fn)(render)
+            sb.append(render(inner))
+            i = close + 1
+          } else { sb.append(sql.charAt(i)); i += 1 }
+        } else { sb.append(sql.charAt(i)); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** SQLite-dialect calls that cannot be SQL UDFs, rewritten at the text
+    * layer (whitelist: /root/reference/leaf-stream/src/lib.rs:1104-1110):
+    *  - total(x): SQLite's never-null float *aggregate* — a scalar UDF would
+    *    coalesce per row instead of summing the group
+    *  - iif(c,a,b): polymorphic — a typed SQL UDF would stringify numerics
+    */
+  def dialectRewrite(sql: String): String = {
+    val t = rewriteCall(sql, "total")(a => s"coalesce(sum(cast(($a) as double)), 0.0d)")
+    rewriteCall(t, "iif")(a => s"if($a)")
+  }
+
   /** Statement names referenced as plain relations (crude but sufficient for
     * the batch-safety classifier: unresolved relation idents in FROM/JOIN). */
   def prepare(sql: String): Seq[String] =
-    split(stripComments(sql)).map(rewriteParams)
+    split(stripComments(sql)).map(s => dialectRewrite(rewriteParams(s)))
 }

@@ -79,7 +79,13 @@ object StreamStore {
 
 class StreamHandle(store: StreamStore, val id: String) {
   import StreamStore.eventSchema
-  private val spark = store.spark
+  // Per-stream session: shares the SparkContext and external catalog with
+  // the store's session (cheap), but owns its session state — current
+  // database, temp views ("event"), registered functions. This is what lets
+  // every stream execute concurrently: no global lock, no USE flip-flop on
+  // a shared session (SURVEY §7.4.6).
+  private val spark = store.spark.newSession()
+  LeafFunctions.register(spark)
   val dbName: String = store.dbNameFor(id)
   private val dir: Path = Paths.get(store.root, dbName)
   private val logDir: Path = dir.resolve("log")
@@ -123,8 +129,11 @@ class StreamHandle(store: StreamStore, val id: String) {
     // where stale files from a previous run collide with CREATE TABLE
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $dbName " +
       s"LOCATION '${dir.resolve("warehouse").toUri}'")
+    // the stream's database is this session's resolution context for its
+    // whole lifetime — module SQL uses unqualified names
+    spark.sql(s"USE $dbName")
     if (Files.exists(metaPath)) loadMeta()
-    if (!Files.list(logDir).iterator().asScala.exists(_.toString.endsWith(".parquet"))) {
+    if (!withList(logDir)(_.exists(_.toString.endsWith(".parquet")))) {
       // seed an empty file so the external events table always has a schema
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], eventSchema)
         .write.mode(SaveMode.Append).parquet(logDir.toString)
@@ -167,7 +176,16 @@ class StreamHandle(store: StreamStore, val id: String) {
 
   def eventsDF: DataFrame = spark.table(s"$dbName.events")
 
-  private def refreshEvents(): Unit = spark.sql(s"REFRESH TABLE $dbName.events")
+  /** Invalidate a table's cached file listing on this stream's session AND
+    * the store's public session. Relation caches are per-session; with the
+    * handle running on its own session, a drop/recreate or overwrite here
+    * would otherwise leave readers on the store session pointing at files
+    * that no longer exist. */
+  private def refreshBoth(t: String): Unit =
+    Seq(spark, store.spark).foreach(s =>
+      try s.sql(s"REFRESH TABLE $dbName.$t") catch { case _: Exception => })
+
+  private def refreshEvents(): Unit = refreshBoth("events")
 
   // ---------------- module lifecycle (A13 + A6) ----------------
 
@@ -189,9 +207,9 @@ class StreamHandle(store: StreamStore, val id: String) {
     val live = listTables().toSet
     val wh = dir.resolve("warehouse")
     if (Files.exists(wh)) {
-      Files.list(wh).iterator().asScala
-        .filter(p => Files.isDirectory(p) && !live.contains(p.getFileName.toString))
-        .foreach(deleteRecursively)
+      withList(wh)(_.filter(p =>
+          Files.isDirectory(p) && !live.contains(p.getFileName.toString))
+        .toList).foreach(deleteRecursively)
     }
     moduleCid = Some(m.cid)
     cursor = 0L
@@ -199,6 +217,7 @@ class StreamHandle(store: StreamStore, val id: String) {
     if (stateTables().isEmpty) runStatements(m.stateInitSql, Map.empty)
     saveMeta()
     catchUp()
+    listTables().foreach(refreshBoth)
   }
 
   private def listTables(): Seq[String] =
@@ -249,6 +268,11 @@ class StreamHandle(store: StreamStore, val id: String) {
       latestIdx += batch.size
       cursor = latestIdx
       saveMeta()
+      commitBaks()
+      // the store session may hold cached listings of the tables this batch
+      // appended to (writes on the handle session only refresh it)
+      snap.keys.foreach(t =>
+        try store.spark.sql(s"REFRESH TABLE $dbName.$t") catch { case _: Exception => })
       Right(latestIdx)
     } catch {
       case t: Throwable =>
@@ -293,7 +317,8 @@ class StreamHandle(store: StreamStore, val id: String) {
     val pending = eventsDF
       .filter(col("idx") > cursor && col("idx") <= latestIdx)
       .select(col("idx"), col("user"), col("payload"))
-    materialize(m, pending)
+    try { materialize(m, pending); commitBaks() }
+    catch { case t: Throwable => restoreBaks(); throw t }
     cursor = latestIdx
     saveMeta()
     cursor
@@ -303,6 +328,10 @@ class StreamHandle(store: StreamStore, val id: String) {
     * statement an INSERT whose source never reads a table the materializer
     * writes) run set-based — one pass over the whole set. Others replay
     * per event in idx order, the reference's exact model. */
+  /** Events replayed through the per-event fallback loop since this handle
+    * opened — exposed so tests can assert a module took the set-based path. */
+  @volatile var perEventReplays: Long = 0L
+
   private def materialize(m: ModuleDef, events: DataFrame): Unit = {
     if (m.materializer.trim.isEmpty) return
     val stmts = SqlText.prepare(m.materializer)
@@ -312,6 +341,7 @@ class StreamHandle(store: StreamStore, val id: String) {
       finally spark.catalog.dropTempView("event")
     } else {
       val rows = events.orderBy("idx").collect()
+      perEventReplays += rows.length
       rows.foreach { r =>
         spark.createDataFrame(java.util.List.of(r), events.schema)
           .createOrReplaceTempView("event")
@@ -322,7 +352,12 @@ class StreamHandle(store: StreamStore, val id: String) {
   }
 
   /** A statement set is batch-safe iff each statement is an INSERT and no
-    * statement's source references a table that the set writes. */
+    * statement's source references a table that the set writes — except the
+    * self-overwrite upsert shape (`INSERT OVERWRITE t SELECT ... FROM t
+    * ... event ...`), which reads only its *own* target to merge it with
+    * the new events and is therefore set-idempotent: applying the whole
+    * event set at once produces the same final table as per-event replay,
+    * because each application folds the current table with the events. */
   private def isBatchSafe(stmts: Seq[String]): Boolean = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
     import org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
@@ -337,8 +372,13 @@ class StreamHandle(store: StreamStore, val id: String) {
       }.toSet
       parsed.forall {
         case ins: InsertIntoStatement =>
+          val target = ins.table match {
+            case UnresolvedRelation(parts, _, _) => parts.last.toLowerCase
+            case _ => return false
+          }
           val reads = ins.query.collect { case UnresolvedRelation(p, _, _) => p.last.toLowerCase }
-          reads.toSet.intersect(targets).isEmpty
+          val conflicts = reads.toSet.intersect(targets)
+          conflicts.isEmpty || (ins.overwrite && conflicts == Set(target))
         case _ => false
       }
     } catch { case _: Throwable => false }
@@ -362,12 +402,16 @@ class StreamHandle(store: StreamStore, val id: String) {
     df.createOrReplaceTempView("event")
     try {
       stmts.foreach(s => execInDb(s, Map.empty))
+      commitBaks()
+      stateTables().foreach(refreshBoth)
       Right(())
     } catch {
-      case t: Throwable => LeafFunctions.authFailure(t) match {
-        case Some(l) => Left(l.getMessage)
-        case None => throw t
-      }
+      case t: Throwable =>
+        restoreBaks()
+        LeafFunctions.authFailure(t) match {
+          case Some(l) => Left(l.getMessage)
+          case None => throw t
+        }
     } finally spark.catalog.dropTempView("event")
   }
 
@@ -375,6 +419,7 @@ class StreamHandle(store: StreamStore, val id: String) {
   def clearState(): Unit = lock.synchronized {
     stateTables().foreach(t => spark.sql(s"DROP TABLE IF EXISTS $dbName.$t"))
     currentModule.foreach(m => runStatements(m.stateInitSql, Map.empty))
+    stateTables().foreach(refreshBoth)
   }
 
   // ---------------- query path (A7 + A16) ----------------
@@ -425,25 +470,29 @@ class StreamHandle(store: StreamStore, val id: String) {
   // ---------------- execution helpers ----------------
 
   /** Execute one statement with the stream's database as the resolution
-    * context. DDL/DML return None; SELECT-shaped statements return the df. */
+    * context (this session's current database, set once at init — streams
+    * never contend on shared session state). DDL/DML return None;
+    * SELECT-shaped statements return the df. */
   private def execInDb(stmt: String, args: Map[String, Any]): Option[DataFrame] =
-    store.synchronized { // current-database is session state; serialize across streams
-      spark.sql(s"USE $dbName")
-      try {
-        selfOverwrite(stmt) match {
-          case Some((target, selectSql)) =>
-            // upsert-shaped state updates ("merge current table with the new
-            // events, overwrite"): Spark refuses to overwrite a table it is
-            // reading, so snapshot the merged result first (localCheckpoint
-            // severs the file lineage), then overwrite the target
-            val snap = spark.sql(selectSql).localCheckpoint(true)
-            snap.write.mode(SaveMode.Overwrite).insertInto(s"$dbName.$target")
-            None
-          case None =>
-            val df = if (args.nonEmpty) spark.sql(stmt, args) else spark.sql(stmt)
-            if (df.schema.nonEmpty) Some(df) else { df.collect(); None }
-        }
-      } finally spark.sql("USE default")
+    lock.synchronized { // per-stream: temp-view staging must not interleave
+      selfOverwrite(stmt) match {
+        case Some((target, selectSql)) =>
+          // upsert-shaped state updates ("merge current table with the new
+          // events, overwrite"): Spark refuses to overwrite a table it is
+          // reading, so snapshot the merged result first (localCheckpoint
+          // severs the file lineage), then overwrite the target. The old
+          // files are moved aside (not deleted) so a later failure in the
+          // same batch can restore them — the overwrite physically removes
+          // them, which an add-only file snapshot cannot undo.
+          val snap = spark.sql(selectSql).localCheckpoint(true)
+          stashTableFiles(target)
+          snap.write.mode(SaveMode.Overwrite).insertInto(s"$dbName.$target")
+          refreshBoth(target)
+          None
+        case None =>
+          val df = if (args.nonEmpty) spark.sql(stmt, args) else spark.sql(stmt)
+          if (df.schema.nonEmpty) Some(df) else { df.collect(); None }
+      }
     }
 
   /** Detect `INSERT OVERWRITE t SELECT ... FROM ... t ...` (the reference's
@@ -476,15 +525,68 @@ class StreamHandle(store: StreamStore, val id: String) {
 
   // ---------------- rollback machinery ----------------
 
+  /** Consume a Files.list stream with a guaranteed close (each unclosed
+    * stream leaks one file descriptor — this sits on the hot append path). */
+  private def withList[T](p: Path)(f: Iterator[Path] => T): T = {
+    val s = Files.list(p)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+      withList(p)(_.toList).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 
   private def listFiles(p: Path): Set[Path] =
     if (!Files.exists(p)) Set.empty
-    else Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_)).toSet
+    else {
+      val s = Files.walk(p)
+      try s.iterator().asScala.filter(Files.isRegularFile(_)).toSet
+      finally s.close()
+    }
+
+  // Overwrite staging: files displaced by a self-overwrite during the
+  // current batch, held in a .bak dir until the batch commits. Guarded by
+  // `lock` like every mutation path.
+  private val pendingBaks =
+    mutable.ListBuffer.empty[(String, Path, Map[Path, Path])]
+
+  /** Move the target table's current files into a fresh .bak dir before an
+    * overwrite, recording how to put them back. */
+  private def stashTableFiles(target: String): Unit =
+    tableLocation(target).foreach { loc =>
+      val files = listFiles(loc)
+      if (files.nonEmpty) {
+        val bak = Files.createTempDirectory(dir, ".overwrite_bak_")
+        val moved = files.map { f =>
+          val dest = bak.resolve(loc.relativize(f).toString)
+          Files.createDirectories(dest.getParent)
+          Files.move(f, dest)
+          f -> dest
+        }.toMap
+        pendingBaks += ((target, bak, moved))
+      }
+    }
+
+  /** Batch succeeded: the displaced files are garbage. */
+  private def commitBaks(): Unit = lock.synchronized {
+    pendingBaks.foreach { case (_, bak, _) => deleteRecursively(bak) }
+    pendingBaks.clear()
+  }
+
+  /** Batch failed: put every displaced file back (newest overwrite first). */
+  private def restoreBaks(): Unit = lock.synchronized {
+    pendingBaks.toList.reverse.foreach { case (t, bak, moved) =>
+      moved.foreach { case (orig, stashed) =>
+        Files.createDirectories(orig.getParent)
+        Files.move(stashed, orig, StandardCopyOption.REPLACE_EXISTING)
+      }
+      deleteRecursively(bak)
+      refreshBoth(t)
+    }
+    pendingBaks.clear()
+  }
 
   private def tableLocation(t: String): Option[Path] = {
     val meta = spark.sessionState.catalog
@@ -502,7 +604,10 @@ class StreamHandle(store: StreamStore, val id: String) {
     refreshEvents()
     snap.foreach { case (t, (loc, before)) =>
       (listFiles(loc) -- before).foreach(Files.deleteIfExists(_))
-      spark.sql(s"REFRESH TABLE $dbName.$t")
+      refreshBoth(t)
     }
+    // overwritten tables: deleting added files is not enough — the
+    // overwrite removed the pre-batch files; move them back from the stash
+    restoreBaks()
   }
 }

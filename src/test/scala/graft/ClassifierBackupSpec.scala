@@ -79,6 +79,78 @@ class ClassifierBackupSpec extends AnyFunSuite {
       (SqlValue.SqlText("bob"), SqlValue.SqlInteger(1))))
   }
 
+  test("INSERT OVERWRITE DIRECTORY is rejected in query and state contexts") {
+    // InsertIntoDir is neither a Command nor an InsertIntoStatement in
+    // Spark 4 — a root-only match would let it write arbitrary paths
+    val h = store.open("did:test:dirwrite")
+    h.setModule(module.copy(queries = module.queries + ("evil_dir" -> QueryDef(
+      "INSERT OVERWRITE DIRECTORY '/tmp/graft-pwn' USING PARQUET SELECT * FROM notes"))))
+    val e = intercept[IllegalArgumentException](h.query(None, LeafQuery("evil_dir")))
+    assert(e.getMessage.contains("read-only"), e.getMessage)
+
+    val h2 = store.open("did:test:dirstate")
+    h2.setModule(module.copy(stateMaterializer =
+      "INSERT OVERWRITE DIRECTORY '/tmp/graft-pwn2' USING PARQUET SELECT user FROM event"))
+    val r = h2.addStateEvents(Seq(IncomingEvent("a", payload("x"))))
+    assert(r.isLeft && r.left.exists(_.contains("state_")), r.toString)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get("/tmp/graft-pwn")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get("/tmp/graft-pwn2")))
+  }
+
+  test("upsert-shaped log materializer takes the set-based path (no per-event collect)") {
+    val h = store.open("did:test:upsertlog")
+    h.setModule(ModuleDef(
+      initSql = "CREATE TABLE IF NOT EXISTS last_n (who STRING, n BIGINT) USING PARQUET",
+      materializer =
+        """INSERT OVERWRITE last_n
+          |SELECT who, max(n) FROM (
+          |  SELECT who, n FROM last_n
+          |  UNION ALL
+          |  SELECT user AS who, drisl_extract_long(payload, '.n') AS n FROM event)
+          |GROUP BY who""".stripMargin,
+      queries = Map("ns" -> QueryDef("SELECT who, n FROM last_n ORDER BY who"))))
+    assert(h.addEvents(Seq(
+      IncomingEvent("ann", payload("a", 3)),
+      IncomingEvent("bob", payload("b", 5)),
+      IncomingEvent("ann", payload("c", 9)))).isRight)
+    assert(h.perEventReplays == 0L,
+      "self-overwrite upsert must be classified batch-safe (one set-based pass)")
+    val rows = h.queryTagged(None, LeafQuery("ns"))
+    assert(rows.map(r => (r("who"), r("n"))) == Vector(
+      (SqlValue.SqlText("ann"), SqlValue.SqlInteger(9)),
+      (SqlValue.SqlText("bob"), SqlValue.SqlInteger(5))))
+  }
+
+  test("failed batch restores tables overwritten earlier in the same batch") {
+    val h = store.open("did:test:owrollback")
+    h.setModule(ModuleDef(
+      initSql = """CREATE TABLE IF NOT EXISTS last_n (who STRING, n BIGINT) USING PARQUET;
+                   |CREATE TABLE IF NOT EXISTS probe (n BIGINT) USING PARQUET""".stripMargin,
+      materializer =
+        """INSERT OVERWRITE last_n
+          |SELECT who, max(n) FROM (
+          |  SELECT who, n FROM last_n
+          |  UNION ALL
+          |  SELECT user AS who, drisl_extract_long(payload, '.n') AS n FROM event)
+          |GROUP BY who;
+          |INSERT INTO probe
+          |SELECT CASE WHEN drisl_extract_long(payload, '.n') > 100
+          |       THEN throw('too big') ELSE drisl_extract_long(payload, '.n') END
+          |FROM event""".stripMargin,
+      queries = Map("ns" -> QueryDef("SELECT who, n FROM last_n ORDER BY who"))))
+    assert(h.addEvents(Seq(IncomingEvent("ann", payload("a", 3)))).isRight)
+    // second batch: the overwrite succeeds first, then the probe INSERT
+    // throws — rollback must bring back the pre-batch last_n files, which
+    // the overwrite physically deleted
+    val r = h.addEvents(Seq(IncomingEvent("ann", payload("b", 999))))
+    assert(r.isLeft, r.toString)
+    assert(h.latest == 1L)
+    val rows = h.queryTagged(None, LeafQuery("ns"))
+    assert(rows.map(r => (r("who"), r("n"))) ==
+      Vector((SqlValue.SqlText("ann"), SqlValue.SqlInteger(3))),
+      "overwritten table must be restored to its pre-batch contents")
+  }
+
   test("backup -> restore round-trip rebuilds tables by replay") {
     val h = store.open("did:test:bak")
     h.setModule(module)

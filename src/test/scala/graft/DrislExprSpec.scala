@@ -72,6 +72,18 @@ class DrislExprSpec extends AnyFunSuite {
     assert(got == Seq("41", "ada"))
   }
 
+  test("drisl_exists on NULL payload is 0, never NULL (nullable=false contract)") {
+    import spark.implicits._
+    Seq(Tuple1(null: Array[Byte]), Tuple1(sample)).toDF("payload")
+      .createOrReplaceTempView("pmix")
+    val got = spark.sql("SELECT drisl_exists(payload, '.name') AS e FROM pmix")
+      .collect().map(_.get(0)).toSeq
+    assert(!got.contains(null) && got.map(_.asInstanceOf[Long]).sorted == Seq(0L, 1L))
+    // usable in a filter: the optimizer may fold on nullable=false
+    assert(spark.sql(
+      "SELECT count(*) FROM pmix WHERE drisl_exists(payload, '.name') = 0").head().getLong(0) == 1L)
+  }
+
   test("null payload yields null, malformed path raises") {
     import spark.implicits._
     Seq(Tuple1(null: Array[Byte])).toDF("payload").createOrReplaceTempView("pnull")

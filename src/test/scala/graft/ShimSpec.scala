@@ -3,6 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.LeafFunctions
+import graft.stream.SqlText
 import graft.types.LeafAuthException
 
 /** SQLite-dialect shim functions + control-flow UDFs through SQL. */
@@ -13,8 +14,12 @@ class ShimSpec extends AnyFunSuite {
     s
   }
 
+  // module SQL reaches the engine through SqlText.prepare, which applies
+  // the dialect rewrite for calls that cannot be SQL UDFs (total, iif)
+  private def sqlPrepared(q: String) = spark.sql(SqlText.dialectRewrite(q))
+
   test("dialect shims evaluate like their SQLite namesakes") {
-    val r = spark.sql(
+    val r = sqlPrepared(
       """SELECT
         |  iif(1 < 2, 'yes', 'no') AS a,
         |  total(CAST(NULL AS DOUBLE)) AS b,
@@ -28,6 +33,34 @@ class ShimSpec extends AnyFunSuite {
     assert(r.getLong(3) == 86400L)
     assert(r.getString(4) == "1996-03-05")
     assert(r.getString(5) == "a,b,c")
+  }
+
+  test("total() is an aggregate: sums the group, 0.0 when empty/all-NULL") {
+    val r = sqlPrepared(
+      """SELECT k, total(v) AS t FROM VALUES
+        |  (1, 2.5D), (1, NULL), (1, 1.5D), (2, NULL) AS t(k, v)
+        |GROUP BY k ORDER BY k""".stripMargin).collect()
+    assert(r.map(x => (x.getInt(0), x.getDouble(1))).toSeq == Seq((1, 4.0), (2, 0.0)))
+    // whole-table aggregate, no GROUP BY
+    assert(sqlPrepared("SELECT total(x) AS t FROM VALUES (CAST(NULL AS DOUBLE)) AS t(x)")
+      .head().getDouble(0) == 0.0)
+  }
+
+  test("iif is polymorphic: numeric and nested calls survive the rewrite") {
+    val r = sqlPrepared(
+      "SELECT iif(1 < 2, 1, 2) AS a, iif(1 > 2, 1.5D, iif(true, 2.5D, 3.5D)) AS b").head()
+    assert(r.getInt(0) == 1)
+    assert(r.getDouble(1) == 2.5)
+    // calls inside string literals are left alone
+    assert(sqlPrepared("SELECT 'total(x)' AS s").head().getString(0) == "total(x)")
+  }
+
+  test("strftime covers %M/%S/%j (full SQLite format map)") {
+    val r = sqlPrepared(
+      """SELECT strftime('%Y-%m-%d %H:%M:%S', TIMESTAMP '1996-03-05 10:07:09') AS a,
+        |       strftime('%j', TIMESTAMP '1996-02-01 00:00:00') AS b""".stripMargin).head()
+    assert(r.getString(0) == "1996-03-05 10:07:09")
+    assert(r.getString(1) == "032")
   }
 
   test("throw/unauthorized raise catchable auth failures from SQL") {

@@ -188,6 +188,28 @@ class StreamSpec extends AnyFunSuite {
     assert(fresh.size == 1 && fresh.head.rows.map(_("idx")) == Vector(SqlValue.SqlInteger(8)))
   }
 
+  test("two streams execute queries concurrently (per-stream sessions, no global lock)") {
+    val h1 = store.open("did:test:conc1"); h1.setModule(chatModule)
+    val h2 = store.open("did:test:conc2"); h2.setModule(chatModule)
+    h1.addEvents(Seq(IncomingEvent("a", payload("msg", "one", 1))))
+    h2.addEvents(Seq(
+      IncomingEvent("b", payload("msg", "two", 2)),
+      IncomingEvent("b", payload("msg", "three", 3))))
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // interleave queries on both streams from many threads; each stream's
+    // current database and temp views are session-private, so results must
+    // never bleed across streams
+    val futs = (0 until 12).map { i =>
+      Future {
+        val (h, expected) = if (i % 2 == 0) (h1, 1) else (h2, 2)
+        h.queryTagged(None, LeafQuery("list")).size == expected
+      }
+    }
+    assert(Await.result(Future.sequence(futs), 120.seconds).forall(identity))
+  }
+
   test("module cid is content-addressed and stable") {
     assert(chatModule.cid == chatModule.copy().cid)
     assert(chatModule.cid != chatModule.copy(initSql = chatModule.initSql + " ").cid)
