@@ -88,12 +88,13 @@ object Multimodal {
       }, None),
 
     // ---- frame sampling: every 4th 16-byte window, pure codegen ----
+    // the payload column rides through the explode — re-joining media to
+    // re-fetch `data` would add a whole shuffle join for nothing
     "q_mm_frames" -> Q(
       (s, dir) =>
         media(s, dir)
-          .select(col("media_id"),
+          .select(col("media_id"), col("data"),
             explode(sequence(lit(0), ((length(col("data")) - 1) / 64).cast("int"))).as("frame_no"))
-          .join(media(s, dir), Seq("media_id"))
           .select(col("media_id"), col("frame_no"),
             md5(col("data").substr(col("frame_no") * 64 + 1, lit(16))).as("frame_md5"))
           .orderBy(col("media_id"), col("frame_no")), None)

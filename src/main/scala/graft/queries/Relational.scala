@@ -72,12 +72,14 @@ object Relational {
              |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
-    // ---- inner equi-join, small side broadcast ----
+    // ---- inner equi-join; customer is data-proportional (not a dim), so
+    // no broadcast hint: AQE picks broadcast at small SF and switches to a
+    // shuffle join when the build side would not fit at scale ----
     "q_join_inner" -> Q(
       (s, dir) => {
         val o = t(s, dir, "orders")
         val c = t(s, dir, "customer")
-        o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+        o.join(c, o("o_custkey") === c("c_custkey"), "inner")
           .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
           .orderBy(col("o_orderkey"))
       },
@@ -137,8 +139,10 @@ object Relational {
         val l = t(s, dir, "lineitem")
         val n = t(s, dir, "nation")
         val r = t(s, dir, "region")
+        // nation/region are true fixed-size dims → broadcast; customer
+        // grows with the data → let AQE decide the build side at runtime
         l.join(o, l("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))

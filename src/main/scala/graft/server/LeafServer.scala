@@ -37,15 +37,34 @@ import graft.types._
   *                          → {rows: [{col: {t, v}}]}
   *   /stream/subscribe_events {id, user?, query} → {sub_id}
   *   /stream/poll           {id, sub_id} → {deliveries: [{rows, has_more}]}
+  *   /stream/events_push    {id, sub_id, timeout_ms?} → {deliveries: [...]}
+  *                          (long-poll: parks until a delivery exists)
   *   /stream/unsubscribe    {id, sub_id} → {}
+  *   /stream/set_handle     {id, handle} → {}        (owner-gated)
   *   /admin/list_streams    {} → {streams: [...]}   (auth-gated)
   *
   * Auth: a bearer token configured at construction (the reference's
   * `--unsafe-auth-token` bootstrap path, connection.rs:171-180); ATProto
   * JWT verification would slot into `authenticate` without touching
-  * handlers.
+  * handlers. A bearer-authenticated connection is "trusted" in the
+  * reference's sense, so it may claim a caller identity with an
+  * `X-Graft-Did` header (the analog of unsafe-auth user_override,
+  * connection.rs:233-241).
+  *
+  * ACLs (connection.rs:189-200, 365-369, 604-608): the creating DID is
+  * recorded as the stream's owner; update_module is owner-or-module-admin,
+  * clear_state and set_handle are owner-only. A stream created with no
+  * caller identity (pure bootstrap) has no owner and stays open — the
+  * moment an owner exists, gating is enforced.
+  *
+  * Delivery: the reference pushes subscription responses over the socket
+  * with an exponential-backoff retry when the client is overwhelmed
+  * (connection.rs:447-485). Over HTTP the analog is long-poll
+  * (/stream/events_push): deliveries buffer server-side and the client
+  * consumes at its own pace — backpressure is inherent, nothing is dropped.
   */
-class LeafServer(store: StreamStore, port: Int, authToken: Option[String] = None) {
+class LeafServer(store: StreamStore, port: Int,
+    authToken: Option[String] = None, moduleAdmins: Set[String] = Set.empty) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.setExecutor(Executors.newFixedThreadPool(8))
@@ -54,21 +73,32 @@ class LeafServer(store: StreamStore, port: Int, authToken: Option[String] = None
   private val pendingDeliveries =
     mutable.Map.empty[(String, Long), mutable.Buffer[Map[String, Any]]]
   private val createdStreams = mutable.LinkedHashSet.empty[String]
+  private val owners = mutable.Map.empty[String, Set[String]]
+  private val handles = mutable.Map.empty[String, String]
+
+  /** Module uploads are capped like the reference (connection.rs:55-57). */
+  private val maxModuleBytes = 10 * 1024 * 1024
 
   def boundPort: Int = server.getAddress.getPort
 
   // ---------------- handlers ----------------
 
-  private def handle(path: String)(f: Map[String, Any] => Map[String, Any]): Unit =
+  private def handle(path: String, maxBody: Int = Int.MaxValue)(
+      f: (Option[String], Map[String, Any]) => Map[String, Any]): Unit =
     server.createContext(path, (ex: HttpExchange) => {
       val resp =
         try {
           if (!authenticate(ex)) Map("err" -> "unauthorized")
           else {
-            val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-            val args = if (body.isBlank) Map.empty[String, Any]
-              else Json.parse(body).asInstanceOf[Map[String, Any]]
-            Map("ok" -> f(args))
+            val raw = ex.getRequestBody.readAllBytes()
+            if (raw.length > maxBody)
+              Map("err" -> s"request larger than $maxBody byte maximum size")
+            else {
+              val body = new String(raw, UTF_8)
+              val args = if (body.isBlank) Map.empty[String, Any]
+                else Json.parse(body).asInstanceOf[Map[String, Any]]
+              Map("ok" -> f(callerDid(ex), args))
+            }
           }
         } catch {
           case t: Throwable => Map("err" -> Option(t.getMessage).getOrElse(t.toString))
@@ -85,6 +115,24 @@ class LeafServer(store: StreamStore, port: Int, authToken: Option[String] = None
     case Some(tok) =>
       Option(ex.getRequestHeaders.getFirst("Authorization"))
         .contains(s"Bearer $tok")
+  }
+
+  /** Caller identity: the DID claimed on this (trusted) connection. */
+  private def callerDid(ex: HttpExchange): Option[String] =
+    Option(ex.getRequestHeaders.getFirst("X-Graft-Did")).filter(_.nonEmpty)
+
+  /** Owner gate for mutating RPCs. A stream with no recorded owner stays
+    * open (bootstrap); otherwise the caller must be an owner — or, when
+    * `admins` is true, one of the server's module admins. */
+  private def requireOwner(did: Option[String], id: String, action: String,
+      admins: Boolean = false): Unit = {
+    val os = owners.synchronized(owners.getOrElse(id, Set.empty))
+    if (os.nonEmpty) {
+      val d = did.getOrElse(
+        throw new LeafAuthException(s"Only the stream creator can $action"))
+      if (!os.contains(d) && !(admins && moduleAdmins.contains(d)))
+        throw new LeafAuthException(s"Only a stream owner can $action")
+    }
   }
 
   private def str(m: Map[String, Any], k: String): String = m.get(k) match {
@@ -166,16 +214,16 @@ class LeafServer(store: StreamStore, port: Int, authToken: Option[String] = None
 
   // ---------------- routes ----------------
 
-  handle("/module/upload") { args =>
+  handle("/module/upload", maxBody = maxModuleBytes) { (_, args) =>
     val m = moduleFromJson(args("module").asInstanceOf[Map[String, Any]])
     Map("cid" -> store.registerModule(m))
   }
 
-  handle("/module/exists") { args =>
+  handle("/module/exists") { (_, args) =>
     Map("exists" -> store.module(str(args, "cid")).isDefined)
   }
 
-  handle("/stream/create") { args =>
+  handle("/stream/create") { (did, args) =>
     val id = args.get("id").map(_.toString)
       .getOrElse("did:graft:" + java.util.UUID.randomUUID().toString.take(12))
     val m = store.module(str(args, "module_cid"))
@@ -183,83 +231,134 @@ class LeafServer(store: StreamStore, port: Int, authToken: Option[String] = None
     val h = store.open(id)
     h.setModule(m)
     createdStreams.synchronized(createdStreams += id)
+    // the creating DID owns the stream (storage.rs:581: did_owners at create)
+    did.foreach(d => owners.synchronized {
+      owners(id) = owners.getOrElse(id, Set.empty) + d
+    })
     Map("id" -> id)
   }
 
-  handle("/stream/info") { args =>
+  handle("/stream/info") { (_, args) =>
     val h = store.open(str(args, "id"))
     Map("id" -> str(args, "id"),
       "module_cid" -> h.currentModule.map(_.cid).orNull,
-      "latest_idx" -> h.latest)
+      "latest_idx" -> h.latest,
+      "handle" -> handles.synchronized(handles.get(str(args, "id")).orNull))
   }
 
-  handle("/stream/update_module") { args =>
+  handle("/stream/update_module") { (did, args) =>
+    requireOwner(did, str(args, "id"), "update its module", admins = true)
     val m = store.module(str(args, "module_cid"))
       .getOrElse(throw new IllegalArgumentException("module not uploaded"))
     store.open(str(args, "id")).setModule(m)
     Map.empty
   }
 
-  handle("/stream/event_batch") { args =>
-    store.open(str(args, "id")).addEvents(eventsFromJson(args)) match {
+  handle("/stream/event_batch") { (did, args) =>
+    // per-event user fields are the unsafe-auth user_override; absent ones
+    // default to the caller's DID (connection.rs:233-241)
+    val evs = eventsFromJson(args).map(e =>
+      if (e.user == null) e.copy(user = did.orNull) else e)
+    store.open(str(args, "id")).addEvents(evs) match {
       case Right(latest) =>
-        engines.synchronized(engines.get(str(args, "id"))).foreach(_.notifyNewEvents())
+        // eager push: compute deliveries now so parked long-pollers wake;
+        // a failing subscription query must not fail the append
+        engines.synchronized(engines.get(str(args, "id"))).foreach { e =>
+          e.notifyNewEvents()
+          try e.drain() catch { case _: Exception => }
+        }
         Map("latest_idx" -> latest)
       case Left(err) => throw new LeafAuthException(err)
     }
   }
 
-  handle("/stream/state_event_batch") { args =>
-    store.open(str(args, "id")).addStateEvents(eventsFromJson(args)) match {
+  handle("/stream/state_event_batch") { (did, args) =>
+    val evs = eventsFromJson(args).map(e =>
+      if (e.user == null) e.copy(user = did.orNull) else e)
+    store.open(str(args, "id")).addStateEvents(evs) match {
       case Right(_) => Map.empty
       case Left(err) => throw new LeafAuthException(err)
     }
   }
 
-  handle("/stream/clear_state") { args =>
+  handle("/stream/clear_state") { (did, args) =>
+    requireOwner(did, str(args, "id"), "clear its state")
     store.open(str(args, "id")).clearState(); Map.empty
   }
 
-  handle("/stream/query") { args =>
+  handle("/stream/set_handle") { (did, args) =>
+    requireOwner(did, str(args, "id"), "set its handle")
+    // the reference updates the stream's DID document via PLC
+    // (did.rs:49-147); without a PLC directory the handle is recorded
+    // locally and surfaced through /stream/info
+    handles.synchronized(handles(str(args, "id")) = str(args, "handle"))
+    Map.empty
+  }
+
+  handle("/stream/query") { (did, args) =>
     val rows = store.open(str(args, "id"))
-      .queryTagged(args.get("user").map(_.toString), queryFromJson(args))
+      .queryTagged(args.get("user").map(_.toString).orElse(did), queryFromJson(args))
     Map("rows" -> rows.map(_.map { case (k, v) => k -> tagValue(v) }))
   }
 
-  handle("/stream/subscribe_events") { args =>
+  handle("/stream/subscribe_events") { (did, args) =>
     val id = str(args, "id")
     val h = store.open(id)
     val engine = engines.synchronized(
       engines.getOrElseUpdate(id, new SubscriptionEngine(h)))
-    val user = args.get("user").map(_.toString)
+    val user = args.get("user").map(_.toString).orElse(did)
     var subId = 0L
     subId = engine.subscribe(user, queryFromJson(args)) { d =>
       pendingDeliveries.synchronized {
         pendingDeliveries.getOrElseUpdate((id, subId), mutable.Buffer.empty) +=
           Map("rows" -> d.rows.map(_.map { case (k, v) => k -> tagValue(v) }),
             "has_more" -> d.hasMore)
+        pendingDeliveries.notifyAll()
       }
     }
+    engine.drain() // backfill deliveries are available immediately
     Map("sub_id" -> subId)
   }
 
-  handle("/stream/poll") { args =>
+  private def takeDeliveries(key: (String, Long)): Vector[Map[String, Any]] =
+    pendingDeliveries.synchronized {
+      pendingDeliveries.remove(key).map(_.toVector).getOrElse(Vector.empty)
+    }
+
+  handle("/stream/poll") { (_, args) =>
     val id = str(args, "id")
     engines.synchronized(engines.get(id)).foreach(_.drain())
+    Map("deliveries" -> takeDeliveries((id, args("sub_id").asInstanceOf[Long])))
+  }
+
+  /** Push-style delivery over HTTP: parks until a delivery is buffered for
+    * the subscription (or the timeout passes), then returns everything
+    * pending. Producers (event_batch) drain eagerly and notify. */
+  handle("/stream/events_push") { (_, args) =>
+    val id = str(args, "id")
     val key = (id, args("sub_id").asInstanceOf[Long])
-    val out = pendingDeliveries.synchronized {
-      pendingDeliveries.remove(key).map(_.toVector).getOrElse(Vector.empty)
+    val timeoutMs = args.get("timeout_ms").collect { case l: Long => l }
+      .getOrElse(25000L).min(60000L).max(1L)
+    engines.synchronized(engines.get(id)).foreach(_.drain())
+    val deadline = System.nanoTime + timeoutMs * 1000000L
+    var out = takeDeliveries(key)
+    pendingDeliveries.synchronized {
+      while (out.isEmpty && System.nanoTime < deadline) {
+        val waitMs = ((deadline - System.nanoTime) / 1000000L).max(1L)
+        pendingDeliveries.wait(waitMs)
+        out = pendingDeliveries.remove(key).map(_.toVector).getOrElse(Vector.empty)
+      }
     }
     Map("deliveries" -> out)
   }
 
-  handle("/stream/unsubscribe") { args =>
+  handle("/stream/unsubscribe") { (_, args) =>
     engines.synchronized(engines.get(str(args, "id")))
       .foreach(_.unsubscribe(args("sub_id").asInstanceOf[Long]))
     Map.empty
   }
 
-  handle("/admin/list_streams") { _ =>
+  handle("/admin/list_streams") { (_, _) =>
     Map("streams" -> createdStreams.synchronized(createdStreams.toVector))
   }
 

@@ -52,22 +52,34 @@ object EventSource {
       case "boolean" => "boolean"
       case _ => "string"
     })
-    // dense idx needs a total order; an unpartitioned window is exact but
-    // single-reducer. For huge one-shot imports, switch to per-partition
-    // counts + offset (zipWithIndex pattern) — idx stays dense, no global
-    // sort. The window form is kept here because ingest batches are
-    // incremental, not whole-corpus.
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(orderBy.map(col): _*)
-    raw.select(
-        col(userCol).cast("string").as("user"),
-        enc(col(userCol).cast("string"),
-          array(payloadCols.map(lit(_)): _*),
-          array(payloadCols.map(c => col(c).cast("string")): _*),
-          array(kinds.map(lit(_)): _*)).as("payload"),
-        row_number().over(w).cast("long").as("rn"))
-      .select((col("rn") + startIdx).as("idx"), col("user"), col("payload"),
-        lit(Array.empty[Byte]).as("signature"))
+    // dense idx needs a total order, but an unpartitioned row_number window
+    // funnels the whole import through ONE reducer. Instead: range-partition
+    // on the ordering key (global order across partitions, parallel sort
+    // within), persist the sorted batch (both the sizing pass and the final
+    // write must see identical partitions), and assign idx as per-partition
+    // offsets + local position — the zipWithIndex pattern. Dense, exact,
+    // and every stage is parallel.
+    val sorted = raw.select(
+        (orderBy.map(col) :+
+          col(userCol).cast("string").as("user") :+
+          enc(col(userCol).cast("string"),
+            array(payloadCols.map(lit(_)): _*),
+            array(payloadCols.map(c => col(c).cast("string")): _*),
+            array(kinds.map(lit(_)): _*)).as("payload")): _*)
+      .repartitionByRange(orderBy.map(col): _*)
+      .sortWithinPartitions(orderBy.map(col): _*)
+      .select(col("user"), col("payload"))
+      .persist()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("idx", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("signature", org.apache.spark.sql.types.BinaryType)))
+    val rows = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(
+        i + 1 + startIdx, r.getString(0), r.getAs[Array[Byte]](1), Array.empty[Byte])
+    }
+    spark.createDataFrame(rows, schema)
   }
 
   /** Ingest a file into a stream: one distributed import + materialize. */

@@ -35,6 +35,30 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  /** Stable digest of a deterministic-ordered result (nulls and floats
+    * rendered explicitly). */
+  private def digest(df: org.apache.spark.sql.DataFrame): String = {
+    val s = df.collect().map(_.toSeq.map {
+      case null => ""
+      case other => other.toString
+    }.mkString("|")).mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  test("golden hashes: full 500-row outputs are byte-stable") {
+    // the driver gate has no oracle for byte-level ops; these digests pin
+    // the exact output of every multimodal operator at sf0.001
+    val d = digest(Multimodal.all("q_mm_decode").fn(spark, dir))
+    val f = digest(Multimodal.all("q_mm_features").fn(spark, dir))
+    val fr = digest(Multimodal.all("q_mm_frames").fn(spark, dir))
+    assert((d, f, fr) == (
+      "32aa279214cf5f14b3ff5d8cf0452295",
+      "0c5afa4398105b4b8829df18fbd7ce57",
+      "b415d8d6e8d38428da6cb79b930a5b9a"),
+      s"digests: decode=$d features=$f frames=$fr")
+  }
+
   test("frame sampling: frame count tracks payload length") {
     val media = spark.read.parquet(s"$dir/documents.parquet")
     val expected = media.selectExpr("sum(cast((length(text) - 1) / 64 as bigint) + 1)")

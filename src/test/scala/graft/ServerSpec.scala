@@ -24,10 +24,12 @@ class ServerSpec extends AnyFunSuite {
   private lazy val client = HttpClient.newHttpClient()
 
   private def post(path: String, body: Map[String, Any],
-      token: Option[String] = Some("testtoken")): Map[String, Any] = {
+      token: Option[String] = Some("testtoken"),
+      did: Option[String] = None): Map[String, Any] = {
     val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${server.boundPort}$path"))
       .POST(HttpRequest.BodyPublishers.ofString(Json.render(body)))
     token.foreach(t => b.header("Authorization", s"Bearer $t"))
+    did.foreach(d => b.header("X-Graft-Did", d))
     val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
     Json.parse(resp.body()).asInstanceOf[Map[String, Any]]
   }
@@ -111,5 +113,73 @@ class ServerSpec extends AnyFunSuite {
     assert(streams.contains(sid))
     assert(post("/stream/info", Map("id" -> sid), token = None).contains("err"))
     assert(post("/stream/info", Map("id" -> sid), token = Some("wrong")).contains("err"))
+  }
+
+  private def uploadModule(): String =
+    ok(post("/module/upload", Map("module" -> Map(
+      "init_sql" -> "CREATE TABLE IF NOT EXISTS notes (idx BIGINT, who STRING, content STRING, n BIGINT) USING PARQUET",
+      "materializer" -> "INSERT INTO notes SELECT idx, user, drisl_extract(payload, '.content'), drisl_extract_long(payload, '.n') FROM event",
+      "queries" -> Map("list" -> Map(
+        "sql" -> "SELECT idx, who, content, n FROM notes WHERE idx BETWEEN $start AND $start + $limit - 1 ORDER BY idx"))))))(
+      "cid").asInstanceOf[String]
+
+  test("push delivery: long-poll receives new events without /stream/poll") {
+    val cid = uploadModule()
+    val sid = ok(post("/stream/create",
+      Map("id" -> "did:graft:push", "module_cid" -> cid)))("id").toString
+    val subId = ok(post("/stream/subscribe_events", Map("id" -> sid,
+      "query" -> Map("name" -> "list"))))("sub_id").asInstanceOf[Long]
+
+    // park a long-poll BEFORE any events exist, then append concurrently
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val parked = Future(post("/stream/events_push",
+      Map("id" -> sid, "sub_id" -> subId, "timeout_ms" -> 30000L)))
+    Thread.sleep(300) // let the long-poll park
+    ok(post("/stream/event_batch", Map("id" -> sid, "events" -> Vector(
+      Map("user" -> "ann", "payload_b64" -> payload("pushed", 1))))))
+    val deliveries = ok(Await.result(parked, 60.seconds))("deliveries")
+      .asInstanceOf[Vector[Any]]
+    assert(deliveries.nonEmpty, "long-poll must wake on the new event")
+    val rows = deliveries(0).asInstanceOf[Map[String, Any]]("rows").asInstanceOf[Vector[Any]]
+    assert(rows.size == 1)
+    // an immediate long-poll with nothing pending returns empty at timeout
+    val empty = ok(post("/stream/events_push",
+      Map("id" -> sid, "sub_id" -> subId, "timeout_ms" -> 200L)))("deliveries")
+      .asInstanceOf[Vector[Any]]
+    assert(empty.isEmpty)
+  }
+
+  test("owner ACLs gate update_module, clear_state and set_handle") {
+    val cid = uploadModule()
+    val sid = ok(post("/stream/create",
+      Map("id" -> "did:graft:owned", "module_cid" -> cid),
+      did = Some("did:plc:alice")))("id").toString
+
+    // a different DID cannot mutate
+    for (bad <- Seq(
+        post("/stream/update_module", Map("id" -> sid, "module_cid" -> cid),
+          did = Some("did:plc:mallory")),
+        post("/stream/clear_state", Map("id" -> sid), did = Some("did:plc:mallory")),
+        post("/stream/set_handle", Map("id" -> sid, "handle" -> "evil.example"),
+          did = Some("did:plc:mallory")),
+        post("/stream/clear_state", Map("id" -> sid)))) // no identity at all
+      assert(bad.get("err").exists(_.toString.contains("owner") ||
+        bad("err").toString.contains("creator")), bad.toString)
+
+    // the owner can
+    ok(post("/stream/update_module", Map("id" -> sid, "module_cid" -> cid),
+      did = Some("did:plc:alice")))
+    ok(post("/stream/set_handle", Map("id" -> sid, "handle" -> "alice.example"),
+      did = Some("did:plc:alice")))
+    assert(ok(post("/stream/info", Map("id" -> sid)))("handle") == "alice.example")
+    ok(post("/stream/clear_state", Map("id" -> sid), did = Some("did:plc:alice")))
+  }
+
+  test("module upload larger than 10MB is rejected") {
+    val big = "x" * (10 * 1024 * 1024 + 100)
+    val r = post("/module/upload", Map("module" -> Map("init_sql" -> big)))
+    assert(r.get("err").exists(_.toString.contains("maximum size")), r.toString)
   }
 }
