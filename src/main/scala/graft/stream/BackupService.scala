@@ -1,10 +1,10 @@
 package graft.stream
 
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Path, Paths}
 
-import org.apache.spark.sql.{SaveMode, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+import org.apache.spark.sql.SaveMode
 
 import graft.server.Json
 import graft.types.{ModuleDef, ParamDef, ParamKind, QueryDef}
@@ -15,40 +15,73 @@ import graft.types.{ModuleDef, ParamDef, ParamKind, QueryDef}
   * to S3 and restores by validating range contiguity then replaying
   * (/root/reference/leaf-server/src/storage.rs:635-1056). Here the
   * append-only parquet log IS the archive format: a backup is one
-  * idx-sorted parquet write of the full log plus the module definition;
-  * restore validates contiguity (the same check as raw import), replays
-  * the log through the module, and rebuilds every derived table. Pointing
-  * the destination at an object store path distributes the copy for free.
+  * idx-sorted parquet write of the full log, a snapshot of each `state_*`
+  * table (state events bypass the log, so replay cannot rebuild them), and
+  * the module definition; restore validates contiguity (the same check as
+  * raw import), replays the log through the module to rebuild every
+  * derived table, then reinstates the state snapshots.
+  *
+  * All paths go through the Hadoop FileSystem API, so the destination can
+  * be `file:/...`, `hdfs://...`, or `s3a://bucket/...` — object-store
+  * backup is a URI (plus the usual credentials config), not new code, and
+  * the parquet copy itself is a distributed write.
   */
 object BackupService {
 
-  /** Export a stream's log + module definition to `destDir`. */
+  private def fsFor(h: StreamHandle, uri: String): (FileSystem, HPath) = {
+    val p = new HPath(uri)
+    (p.getFileSystem(
+      h.eventsDF.sparkSession.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def writeText(fs: FileSystem, p: HPath, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(UTF_8)) finally out.close()
+  }
+
+  private def readText(fs: FileSystem, p: HPath): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), UTF_8) finally in.close()
+  }
+
+  /** Export a stream's log + state snapshots + module def to `destDir`. */
   def backup(h: StreamHandle, destDir: String): Unit = {
-    val dest = Paths.get(destDir)
-    Files.createDirectories(dest)
+    val (fs, root) = fsFor(h, destDir)
+    fs.mkdirs(root)
     h.eventsDF.orderBy("idx").write.mode(SaveMode.Overwrite)
-      .parquet(dest.resolve("events").toString)
+      .parquet(new HPath(root, "events").toString)
+    val stateTables = h.stateTableNames
+    stateTables.foreach(t =>
+      h.tableDF(t).write.mode(SaveMode.Overwrite)
+        .parquet(new HPath(root, s"state/$t").toString))
     val m = h.currentModule.getOrElse(ModuleDef())
-    Files.write(dest.resolve("module.json"), moduleToJson(m).getBytes(UTF_8))
-    Files.write(dest.resolve("meta.json"),
-      s"""{"latest_idx":${h.latest}}""".getBytes(UTF_8))
+    writeText(fs, new HPath(root, "module.json"), moduleToJson(m))
+    writeText(fs, new HPath(root, "meta.json"), Json.render(Map(
+      "latest_idx" -> h.latest, "state_tables" -> stateTables)))
   }
 
   /** Restore a backup into a fresh stream id; replays the log through the
-    * module (contiguity validated by the import path). */
+    * module (contiguity validated by the import path), then reinstates the
+    * archived state tables. */
   def restore(store: StreamStore, newId: String, srcDir: String): StreamHandle = {
-    val src = Paths.get(srcDir)
     val h = store.open(newId)
+    val (fs, root) = fsFor(h, srcDir)
     require(h.latest == 0, s"restore target $newId is not empty")
-    val m = moduleFromJson(new String(Files.readAllBytes(src.resolve("module.json")), UTF_8))
+    val m = moduleFromJson(readText(fs, new HPath(root, "module.json")))
     h.setModule(m)
-    val events = store.spark.read.parquet(src.resolve("events").toString)
+    val events = store.spark.read.parquet(new HPath(root, "events").toString)
     if (!events.isEmpty) h.bulkImport(events)
+    val meta = readText(fs, new HPath(root, "meta.json"))
     val expected = "\"latest_idx\":(\\d+)".r
-      .findFirstMatchIn(new String(Files.readAllBytes(src.resolve("meta.json")), UTF_8))
-      .map(_.group(1).toLong).getOrElse(0L)
+      .findFirstMatchIn(meta).map(_.group(1).toLong).getOrElse(0L)
     require(h.latest == expected,
       s"restore incomplete: expected latest_idx=$expected, got ${h.latest}")
+    val stateTables = "\"state_tables\":\\[([^\\]]*)\\]".r
+      .findFirstMatchIn(meta).map(_.group(1)).toSeq
+      .flatMap(_.split(',')).map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty)
+    stateTables.foreach(t => h.restoreStateTable(t,
+      store.spark.read.parquet(new HPath(root, s"state/$t").toString)))
     h
   }
 

@@ -52,10 +52,67 @@ class StreamStore(val spark: SparkSession, val root: String) {
   private val handles = mutable.Map.empty[String, StreamHandle]
   private val modules = mutable.Map.empty[String, ModuleDef]
 
+  // Content-addressed module blob store (the staging/GC analog of the
+  // reference's module upload path, storage.rs:492-546): every registered
+  // module is staged to disk under its cid (tmp file + atomic move), so a
+  // fresh process can resolve any previously-uploaded cid, and unreferenced
+  // blobs can be collected.
+  private val modulesDir = Paths.get(root, "modules")
+
   def registerModule(m: ModuleDef): String = synchronized {
-    modules(m.cid) = m; m.cid
+    modules(m.cid) = m
+    Files.createDirectories(modulesDir)
+    val blob = modulesDir.resolve(m.cid + ".json")
+    if (!Files.exists(blob)) {
+      val tmp = modulesDir.resolve(m.cid + ".json.tmp")
+      Files.write(tmp, BackupService.moduleToJson(m).getBytes(UTF_8))
+      Files.move(tmp, blob, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    m.cid
   }
-  def module(cid: String): Option[ModuleDef] = synchronized(modules.get(cid))
+
+  def module(cid: String): Option[ModuleDef] = synchronized {
+    modules.get(cid).orElse {
+      val blob = modulesDir.resolve(cid + ".json")
+      if (!Files.exists(blob)) None
+      else {
+        val m = BackupService.moduleFromJson(
+          new String(Files.readAllBytes(blob), UTF_8))
+        if (m.cid != cid) None else { modules(cid) = m; Some(m) }
+      }
+    }
+  }
+
+  /** Delete module blobs referenced by no stream in this store root
+    * (each stream's meta.json names its current module). Returns the
+    * number of blobs collected. */
+  def gcModuleBlobs(): Int = synchronized {
+    if (!Files.exists(modulesDir)) return 0
+    val referenced: Set[String] = {
+      val rootDir = Paths.get(root)
+      val dirs = Files.list(rootDir)
+      try dirs.iterator().asScala
+        .filter(p => Files.isDirectory(p) && Files.exists(p.resolve("meta.json")))
+        .flatMap { p =>
+          val meta = new String(Files.readAllBytes(p.resolve("meta.json")), UTF_8)
+          "\"moduleCid\":\"([^\"]+)\"".r.findFirstMatchIn(meta).map(_.group(1))
+        }.toSet
+      finally dirs.close()
+    }
+    val blobs = Files.list(modulesDir)
+    val dead =
+      try blobs.iterator().asScala
+        .filter(_.toString.endsWith(".json"))
+        .filterNot(p => referenced.contains(
+          p.getFileName.toString.stripSuffix(".json"))).toList
+      finally blobs.close()
+    dead.foreach { p =>
+      modules.remove(p.getFileName.toString.stripSuffix(".json"))
+      Files.deleteIfExists(p)
+    }
+    dead.size
+  }
 
   /** A1: open or create the stream with the given id. */
   def open(id: String): StreamHandle = synchronized {
@@ -226,6 +283,24 @@ class StreamHandle(store: StreamStore, val id: String) {
     spark.sql(s"SHOW TABLES IN $dbName").collect()
       .filterNot(_.getBoolean(2)).map(_.getString(1)).toSeq
   private def stateTables(): Seq[String] = listTables().filter(_.startsWith("state_"))
+
+  /** Names of the stream's state tables (for backup snapshots). */
+  def stateTableNames: Seq[String] = stateTables()
+
+  /** Read one of the stream's tables through the stream's own session. */
+  def tableDF(t: String): DataFrame = spark.table(s"$dbName.$t")
+
+  /** Reinstate an archived state table from a snapshot (restore path). */
+  def restoreStateTable(name: String, df: DataFrame): Unit = lock.synchronized {
+    require(name.startsWith("state_"), s"not a state table: $name")
+    if (!listTables().contains(name))
+      df.write.mode(SaveMode.Overwrite).saveAsTable(s"$dbName.$name")
+    else {
+      val snap = df.localCheckpoint(true)
+      snap.write.mode(SaveMode.Overwrite).insertInto(s"$dbName.$name")
+    }
+    refreshBoth(name)
+  }
 
   // ---------------- append path (A2/A3/A4) ----------------
 

@@ -151,11 +151,17 @@ class ClassifierBackupSpec extends AnyFunSuite {
       "overwritten table must be restored to its pre-batch contents")
   }
 
-  test("backup -> restore round-trip rebuilds tables by replay") {
+  test("backup -> restore round-trip rebuilds tables by replay (Hadoop FS URI)") {
     val h = store.open("did:test:bak")
     h.setModule(module)
     h.addEvents((1 to 5).map(i => IncomingEvent(s"u$i", payload(s"m$i", i))))
-    val dir = java.nio.file.Files.createTempDirectory("graft-bakdir").toString
+    // state events bypass the log — restore must come from the snapshot
+    assert(h.addStateEvents(Seq(
+      IncomingEvent("ann", payload("flagA")),
+      IncomingEvent("bob", payload("flagB")))).isRight)
+    // destination through the Hadoop FileSystem API: file: here, s3a:// in
+    // production — same code path
+    val dir = "file:" + java.nio.file.Files.createTempDirectory("graft-bakdir")
     BackupService.backup(h, dir)
 
     val r = BackupService.restore(store, "did:test:restored", dir)
@@ -164,6 +170,26 @@ class ClassifierBackupSpec extends AnyFunSuite {
       "module definition must round-trip with identical content address")
     val rows = r.queryTagged(None, LeafQuery("list"))
     assert(rows.map(_("content")) == (1 to 5).map(i => SqlValue.SqlText(s"m$i")).toVector)
+    val flags = r.tableDF("state_flags").collect()
+      .map(x => (x.getString(0), x.getString(1))).sorted.toSeq
+    assert(flags == Seq(("ann", "flagA"), ("bob", "flagB")),
+      "state snapshot must be reinstated on restore")
+  }
+
+  test("module blobs are staged to disk and GC collects unreferenced ones") {
+    val root = java.nio.file.Files.createTempDirectory("graft-gc").toString
+    val store1 = new StreamStore(spark, root)
+    val kept = module
+    val orphan = module.copy(initSql = module.initSql + " ")
+    store1.registerModule(kept)
+    store1.registerModule(orphan)
+    val h = store1.open("did:test:gc")
+    h.setModule(kept)
+    assert(store1.gcModuleBlobs() == 1, "exactly the orphan blob is dead")
+    // a fresh store over the same root resolves the kept cid from disk
+    val store2 = new StreamStore(spark, root)
+    assert(store2.module(kept.cid).isDefined)
+    assert(store2.module(orphan.cid).isEmpty)
   }
 
   test("reopening a stream from a fresh store reloads the persisted module") {
