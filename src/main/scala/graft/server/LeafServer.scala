@@ -18,9 +18,13 @@ import graft.types._
   * The reference serves the same operations over socket.io + msgpack with
   * DRISL-encoded bodies (/root/reference/leaf-server/src/http/connection.rs;
   * RPC table in SURVEY.md §2.D). This re-expression keeps the operation
-  * names, argument shapes, and Result-or-error ack contract, but uses
-  * plain JSON over HTTP (binary payloads base64-encoded) — the transport
-  * is an integration detail, the API shape is the compatibility surface.
+  * names, argument shapes, and Result-or-error ack contract, but serves
+  * them over HTTP — the transport is an integration detail, the API shape
+  * is the compatibility surface. Bodies are JSON by default (binary
+  * payloads base64-encoded); a client sending `Content-Type:
+  * application/drisl` gets the reference's native body encoding — DRISL
+  * both ways (`Accept: application/drisl`), with event payloads as raw
+  * bytes.
   *
   * Endpoints (POST JSON body → {"ok": ...} | {"err": "..."}):
   *   /module/upload         {module: {init_sql, authorizer, materializer,
@@ -64,7 +68,8 @@ import graft.types._
   * consumes at its own pace — backpressure is inherent, nothing is dropped.
   */
 class LeafServer(store: StreamStore, port: Int,
-    authToken: Option[String] = None, moduleAdmins: Set[String] = Set.empty) {
+    authToken: Option[String] = None, moduleAdmins: Set[String] = Set.empty,
+    jwt: Option[JwtAuth] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.setExecutor(Executors.newFixedThreadPool(8))
@@ -86,40 +91,89 @@ class LeafServer(store: StreamStore, port: Int,
   private def handle(path: String, maxBody: Int = Int.MaxValue)(
       f: (Option[String], Map[String, Any]) => Map[String, Any]): Unit =
     server.createContext(path, (ex: HttpExchange) => {
+      val wantDrisl = Option(ex.getRequestHeaders.getFirst("Accept"))
+        .exists(_.contains("application/drisl"))
       val resp =
-        try {
-          if (!authenticate(ex)) Map("err" -> "unauthorized")
-          else {
+        try authenticate(ex) match {
+          case Left(reason) => Map("err" -> reason)
+          case Right(did) =>
             val raw = ex.getRequestBody.readAllBytes()
             if (raw.length > maxBody)
               Map("err" -> s"request larger than $maxBody byte maximum size")
             else {
-              val body = new String(raw, UTF_8)
-              val args = if (body.isBlank) Map.empty[String, Any]
-                else Json.parse(body).asInstanceOf[Map[String, Any]]
-              Map("ok" -> f(callerDid(ex), args))
+              val isDrisl = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+                .exists(_.contains("application/drisl"))
+              val args =
+                if (raw.isEmpty) Map.empty[String, Any]
+                else if (isDrisl)
+                  dvalueToAny(graft.drisl.Drisl.decode(raw)).asInstanceOf[Map[String, Any]]
+                else Json.parse(new String(raw, UTF_8)).asInstanceOf[Map[String, Any]]
+              Map("ok" -> f(did, args))
             }
-          }
         } catch {
           case t: Throwable => Map("err" -> Option(t.getMessage).getOrElse(t.toString))
         }
-      val bytes = Json.render(resp).getBytes(UTF_8)
-      ex.getResponseHeaders.set("Content-Type", "application/json")
+      val bytes =
+        if (wantDrisl) graft.drisl.Drisl.encode(anyToDValue(resp))
+        else Json.render(resp).getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type",
+        if (wantDrisl) "application/drisl" else "application/json")
       ex.sendResponseHeaders(200, bytes.length)
       ex.getResponseBody.write(bytes)
       ex.close()
     })
 
-  private def authenticate(ex: HttpExchange): Boolean = authToken match {
-    case None => true
-    case Some(tok) =>
-      Option(ex.getRequestHeaders.getFirst("Authorization"))
-        .contains(s"Bearer $tok")
+  /** Authenticate the connection: Left(reason) to reject, Right(callerDid)
+    * to proceed. Order mirrors the reference (http.rs:165-242): the unsafe
+    * shared token short-circuits as a *trusted* connection (which may claim
+    * any identity via X-Graft-Did — the user_override channel); otherwise a
+    * JWT must verify, and the identity is the verified issuer only. */
+  private def authenticate(ex: HttpExchange): Either[String, Option[String]] = {
+    val bearer = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .collect { case a if a.startsWith("Bearer ") => a.stripPrefix("Bearer ") }
+    val claimed = Option(ex.getRequestHeaders.getFirst("X-Graft-Did")).filter(_.nonEmpty)
+    (authToken, jwt) match {
+      case (Some(tok), _) if bearer.contains(tok) => Right(claimed)
+      case (_, Some(j)) => bearer match {
+        case None => Left("unauthorized")
+        case Some(token) => j.verify(token).map(did => Some(did))
+      }
+      case (Some(_), None) => Left("unauthorized")
+      case (None, None) => Right(claimed) // open dev server
+    }
   }
 
-  /** Caller identity: the DID claimed on this (trusted) connection. */
-  private def callerDid(ex: HttpExchange): Option[String] =
-    Option(ex.getRequestHeaders.getFirst("X-Graft-Did")).filter(_.nonEmpty)
+  private def dvalueToAny(v: graft.drisl.DValue): Any = {
+    import graft.drisl.DValue._
+    v match {
+      case DMap(m) => m.map { case (k, x) => k -> dvalueToAny(x) }
+      case DArray(a) => a.map(dvalueToAny)
+      case DInt(i) => i
+      case DFloat(d) => d
+      case DText(s) => s
+      case DBool(b) => b
+      case DNull => null
+      case DBytes(b) => b
+      case DCid(b) => b
+    }
+  }
+
+  private def anyToDValue(v: Any): graft.drisl.DValue = {
+    import graft.drisl.DValue._
+    v match {
+      case null => DNull
+      case m: Map[_, _] =>
+        DMap(m.asInstanceOf[Map[String, Any]].map { case (k, x) => k -> anyToDValue(x) })
+      case s: Seq[_] => DArray(s.toVector.map(anyToDValue))
+      case b: Array[Byte] => DBytes(b)
+      case i: Long => DInt(i)
+      case i: Int => DInt(i.toLong)
+      case d: Double => DFloat(d)
+      case b: Boolean => DBool(b)
+      case s: String => DText(s)
+      case other => DText(other.toString)
+    }
+  }
 
   /** Owner gate for mutating RPCs. A stream with no recorded owner stays
     * open (bootstrap); otherwise the caller must be an owner — or, when
@@ -171,9 +225,12 @@ class LeafServer(store: StreamStore, port: Int,
     args.get("events").collect { case evs: Vector[_] =>
       evs.map { e =>
         val em = e.asInstanceOf[Map[String, Any]]
-        IncomingEvent(
-          em.get("user").map(_.toString).orNull,
-          Base64.getDecoder.decode(str(em.asInstanceOf[Map[String, Any]], "payload_b64")))
+        // DRISL bodies carry the payload as native bytes; JSON base64s it
+        val payload = em.get("payload") match {
+          case Some(b: Array[Byte]) => b
+          case _ => Base64.getDecoder.decode(str(em, "payload_b64"))
+        }
+        IncomingEvent(em.get("user").map(_.toString).orNull, payload)
       }
     }.getOrElse(Seq.empty)
 

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.{KeyPairGenerator, Signature}
+import java.security.spec.ECGenParameterSpec
+import java.util.Base64
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.server.{Json, JwtAuth}
+
+/** ATProto-shaped JWT verification: claim checks + ES256 signatures
+  * (behavioral spec: leaf-server/src/http.rs:160-242). */
+class JwtAuthSpec extends AnyFunSuite {
+
+  private val kpg = KeyPairGenerator.getInstance("EC")
+  kpg.initialize(new ECGenParameterSpec("secp256r1"))
+  private val alice = kpg.generateKeyPair()
+  private val mallory = kpg.generateKeyPair()
+
+  private val serverDid = "did:web:leaf.test"
+  private val auth = new JwtAuth(serverDid,
+    did => if (did == "did:plc:alice") Some(alice.getPublic) else None)
+
+  private def b64url(b: Array[Byte]): String =
+    Base64.getUrlEncoder.withoutPadding.encodeToString(b)
+
+  /** DER ECDSA signature → JOSE raw r||s (32-byte halves). */
+  private def derToJose(der: Array[Byte]): Array[Byte] = {
+    def readInt(at: Int): (Array[Byte], Int) = {
+      require(der(at) == 2)
+      val len = der(at + 1) & 0xff
+      (der.slice(at + 2, at + 2 + len).dropWhile(_ == 0), at + 2 + len)
+    }
+    val (r, next) = readInt(2)
+    val (s, _) = readInt(next)
+    def pad(b: Array[Byte]) = Array.fill[Byte](32 - b.length)(0) ++ b
+    pad(r) ++ pad(s)
+  }
+
+  private def token(claims: Map[String, Any],
+      key: java.security.PrivateKey = alice.getPrivate,
+      alg: String = "ES256"): String = {
+    val h = b64url(Json.render(Map("alg" -> alg, "typ" -> "JWT")).getBytes(UTF_8))
+    val c = b64url(Json.render(claims).getBytes(UTF_8))
+    val signer = Signature.getInstance("SHA256withECDSA")
+    signer.initSign(key)
+    signer.update(s"$h.$c".getBytes(UTF_8))
+    s"$h.$c.${b64url(derToJose(signer.sign()))}"
+  }
+
+  private val goodClaims = Map(
+    "iss" -> "did:plc:alice", "aud" -> serverDid,
+    "lxm" -> "town.muni.leaf.authenticate",
+    "exp" -> (System.currentTimeMillis() / 1000 + 600))
+
+  test("valid token verifies to the issuer DID") {
+    assert(auth.verify(token(goodClaims)) == Right("did:plc:alice"))
+  }
+
+  test("aud/lxm/exp/iss claim violations are rejected") {
+    assert(auth.verify(token(goodClaims + ("aud" -> "did:web:other")))
+      .left.exists(_.contains("audience")))
+    assert(auth.verify(token(goodClaims + ("lxm" -> "evil.method")))
+      .left.exists(_.contains("lxm")))
+    assert(auth.verify(token(goodClaims + ("exp" -> 1000L)))
+      .left.exists(_.contains("expired")))
+    assert(auth.verify(token(goodClaims - "iss"))
+      .left.exists(_.contains("issuer")))
+  }
+
+  test("wrong key, unknown did, bad alg, malformed token are rejected") {
+    assert(auth.verify(token(goodClaims, key = mallory.getPrivate))
+      .left.exists(_.contains("signature")))
+    assert(auth.verify(token(goodClaims + ("iss" -> "did:plc:unknown")))
+      .left.exists(_.contains("signing key")))
+    assert(auth.verify(token(goodClaims, alg = "none"))
+      .left.exists(_.contains("alg")))
+    assert(auth.verify("not.a-jwt").isLeft)
+    assert(auth.verify("a.b").isLeft)
+  }
+}

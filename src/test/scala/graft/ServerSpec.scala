@@ -177,6 +177,92 @@ class ServerSpec extends AnyFunSuite {
     ok(post("/stream/clear_state", Map("id" -> sid), did = Some("did:plc:alice")))
   }
 
+  test("DRISL request/response bodies round-trip (reference wire encoding)") {
+    val cid = uploadModule()
+    val sid = ok(post("/stream/create",
+      Map("id" -> "did:graft:drisl", "module_cid" -> cid)))("id").toString
+    // event batch as a DRISL body: payload carried as raw bytes, no base64
+    val body = Drisl.encode(obj(
+      "id" -> text(sid),
+      "events" -> arr(obj(
+        "user" -> text("dru"),
+        "payload" -> graft.drisl.DValue.DBytes(
+          Drisl.encode(obj("content" -> text("wire"), "n" -> int(7))))))))
+    val req = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${server.boundPort}/stream/event_batch"))
+      .POST(HttpRequest.BodyPublishers.ofByteArray(body))
+      .header("Authorization", "Bearer testtoken")
+      .header("Content-Type", "application/drisl")
+      .header("Accept", "application/drisl")
+      .build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+    val dec = Drisl.decode(resp.body()).asInstanceOf[graft.drisl.DValue.DMap]
+    val okMap = dec.v("ok").asInstanceOf[graft.drisl.DValue.DMap]
+    assert(okMap.v("latest_idx") == graft.drisl.DValue.DInt(1L), dec.toString)
+    // the event landed with its payload intact
+    val rows = ok(post("/stream/query", Map("id" -> sid,
+      "query" -> Map("name" -> "list"))))("rows").asInstanceOf[Vector[Any]]
+    assert(rows.size == 1)
+    assert(rows(0).asInstanceOf[Map[String, Any]]("content")
+      .asInstanceOf[Map[String, Any]]("value") == "wire")
+  }
+
+  test("JWT auth verifies identity end-to-end and feeds the ACLs") {
+    import java.security.KeyPairGenerator
+    import java.security.spec.ECGenParameterSpec
+    val kpg = KeyPairGenerator.getInstance("EC")
+    kpg.initialize(new ECGenParameterSpec("secp256r1"))
+    val alice = kpg.generateKeyPair()
+    val bob = kpg.generateKeyPair()
+    val keys = Map("did:plc:alice" -> alice.getPublic, "did:plc:bob" -> bob.getPublic)
+    val jwtServer = new graft.server.LeafServer(store, 0,
+      jwt = Some(new graft.server.JwtAuth("did:web:graft.test", keys.get)))
+    jwtServer.start()
+    try {
+      def tok(did: String, key: java.security.PrivateKey): String = {
+        val b64 = (b: Array[Byte]) =>
+          java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(b)
+        val h = b64(Json.render(Map("alg" -> "ES256")).getBytes("UTF-8"))
+        val c = b64(Json.render(Map(
+          "iss" -> did, "aud" -> "did:web:graft.test",
+          "lxm" -> "town.muni.leaf.authenticate")).getBytes("UTF-8"))
+        val signer = java.security.Signature.getInstance("SHA256withECDSA")
+        signer.initSign(key); signer.update(s"$h.$c".getBytes("UTF-8"))
+        val der = signer.sign()
+        // DER -> raw r||s
+        def readInt(at: Int): (Array[Byte], Int) = {
+          val len = der(at + 1) & 0xff
+          (der.slice(at + 2, at + 2 + len).dropWhile(_ == 0), at + 2 + len)
+        }
+        val (r, next) = readInt(2); val (s, _) = readInt(next)
+        def pad(b: Array[Byte]) = Array.fill[Byte](32 - b.length)(0) ++ b
+        s"$h.$c.${b64(pad(r) ++ pad(s))}"
+      }
+      def jpost(path: String, body: Map[String, Any], bearer: Option[String]): Map[String, Any] = {
+        val b = HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${jwtServer.boundPort}$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(Json.render(body)))
+        bearer.foreach(t => b.header("Authorization", s"Bearer $t"))
+        Json.parse(client.send(b.build(),
+          HttpResponse.BodyHandlers.ofString()).body()).asInstanceOf[Map[String, Any]]
+      }
+      val cid = uploadModule()
+      // no/invalid token rejected
+      assert(jpost("/stream/info", Map("id" -> "x"), None).contains("err"))
+      assert(jpost("/stream/info", Map("id" -> "x"), Some("garbage")).contains("err"))
+      // alice creates (JWT identity becomes the owner), bob cannot mutate
+      val sid = jpost("/stream/create",
+        Map("id" -> "did:graft:jwt", "module_cid" -> cid),
+        Some(tok("did:plc:alice", alice.getPrivate)))("ok")
+        .asInstanceOf[Map[String, Any]]("id").toString
+      val denied = jpost("/stream/clear_state", Map("id" -> sid),
+        Some(tok("did:plc:bob", bob.getPrivate)))
+      assert(denied.get("err").exists(_.toString.contains("owner")), denied.toString)
+      assert(!jpost("/stream/clear_state", Map("id" -> sid),
+        Some(tok("did:plc:alice", alice.getPrivate))).contains("err"))
+    } finally jwtServer.stop()
+  }
+
   test("module upload larger than 10MB is rejected") {
     val big = "x" * (10 * 1024 * 1024 + 100)
     val r = post("/module/upload", Map("module" -> Map("init_sql" -> big)))
