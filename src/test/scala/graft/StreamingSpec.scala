@@ -118,6 +118,36 @@ class StreamingSpec extends AnyFunSuite {
       ("u", 0L, 10000L, 2L), ("u", 2000000L, 2010000L, 2L)))
   }
 
+  test("flushOnTimeout force-closes the quiet open session (continuous trigger)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(user: String, ms: Long) =
+      EventStreamPipeline.UserEvent(user, new java.sql.Timestamp(ms), "click")
+    val in = MemoryStream[EventStreamPipeline.UserEvent]
+    val q = EventStreamPipeline.sessionize(in.toDS(), gapMs = 300, flushOnTimeout = true)
+      .writeStream
+      .queryName("sess_timeout")
+      .outputMode("append")
+      .format("memory")
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      // one open session; no later event ever proves the gap — only the
+      // processing-time timeout can close it
+      in.addData(ev("u", 1000L), ev("u", 1200L))
+      val deadline = System.currentTimeMillis() + 60000
+      var rows = Array.empty[org.apache.spark.sql.Row]
+      while (rows.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        rows = spark.table("sess_timeout").collect()
+      }
+      assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+        Seq(("u", 1000L, 1200L, 2L)),
+        "timeout must flush the open session exactly once with its true bounds")
+    } finally q.stop()
+  }
+
   test("windowed aggregation with watermark over the event stream") {
     val h = store.open("did:test:windowed")
     h.setModule(module)
