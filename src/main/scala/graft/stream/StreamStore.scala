@@ -190,11 +190,8 @@ class StreamHandle(store: StreamStore, val id: String) {
     // whole lifetime — module SQL uses unqualified names
     spark.sql(s"USE $dbName")
     if (Files.exists(metaPath)) loadMeta()
-    if (!withList(logDir)(_.exists(_.toString.endsWith(".parquet")))) {
-      // seed an empty file so the external events table always has a schema
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], eventSchema)
-        .write.mode(SaveMode.Append).parquet(logDir.toString)
-    }
+    // no seed file needed: the events table declares its schema explicitly,
+    // and scanning an empty log dir yields zero rows
     spark.sql(s"DROP TABLE IF EXISTS $dbName.events")
     spark.sql(
       s"""CREATE TABLE $dbName.events (idx BIGINT, user STRING, payload BINARY, signature BINARY)
@@ -361,22 +358,35 @@ class StreamHandle(store: StreamStore, val id: String) {
 
   /** A11 + bulk-ingest fast path: append pre-indexed events as one
     * distributed write (idx must continue the sequence), then one set-based
-    * materializer pass. This is the 100 TB ingest path. */
+    * materializer pass. This is the 100 TB ingest path.
+    *
+    * The batch is staged: the source pipeline is evaluated ONCE into a
+    * staging dir (a second evaluation for the contiguity stats would re-run
+    * arbitrarily expensive upstream work — encoding UDFs, joins); the
+    * stats come from a cheap idx-only columnar re-read of the staged files,
+    * and only a validated batch is moved into the log (a failed check
+    * leaves the log untouched). */
   def bulkImport(events: DataFrame): Long = lock.synchronized {
-    val stats = events.agg(min("idx"), max("idx"), count(lit(1))).head()
-    if (stats.isNullAt(0)) return latestIdx // empty import is a no-op
-    val (lo, hi, n) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
-    require(lo == latestIdx + 1, s"import must start at ${latestIdx + 1}, got $lo")
-    require(hi - lo + 1 == n, s"import range [$lo,$hi] not contiguous ($n rows)")
-    events.select(col("idx").cast("long"), col("user").cast("string"),
-        col("payload").cast("binary"),
-        coalesce(col("signature"), lit(Array.empty[Byte])).cast("binary").as("signature"))
-      .write.mode(SaveMode.Append).parquet(logDir.toString)
-    refreshEvents()
-    latestIdx = hi
-    saveMeta()
-    catchUp()
-    latestIdx
+    val staging = Files.createTempDirectory(dir, ".import_")
+    try {
+      events.select(col("idx").cast("long"), col("user").cast("string"),
+          col("payload").cast("binary"),
+          coalesce(col("signature"), lit(Array.empty[Byte])).cast("binary").as("signature"))
+        .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      val stats = spark.read.parquet(staging.toString)
+        .agg(min("idx"), max("idx"), count(lit(1))).head()
+      if (stats.isNullAt(0)) return latestIdx // empty import is a no-op
+      val (lo, hi, n) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+      require(lo == latestIdx + 1, s"import must start at ${latestIdx + 1}, got $lo")
+      require(hi - lo + 1 == n, s"import range [$lo,$hi] not contiguous ($n rows)")
+      withList(staging)(_.filter(_.toString.endsWith(".parquet")).toList)
+        .foreach(f => Files.move(f, logDir.resolve(f.getFileName.toString)))
+      refreshEvents()
+      latestIdx = hi
+      saveMeta()
+      catchUp()
+      latestIdx
+    } finally deleteRecursively(staging)
   }
 
   /** A10: raw range scan, pruned by parquet min/max stats on idx. */
