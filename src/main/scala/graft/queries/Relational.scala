@@ -250,6 +250,43 @@ object Relational {
               |      FROM lineitem GROUP BY 1, 2)
               |ORDER BY l_suppkey, l_orderkey""".stripMargin)),
 
+    // ---- gap sessionization, batch form (the oracle-checked twin of the
+    // streaming flatMapGroupsWithState sessionize): lag marks session
+    // starts, a running sum numbers them, one groupBy folds the bounds.
+    // Tie-safety: tied timestamps diff to 0, which never marks a boundary,
+    // and the RANGE-default running sum gives tied rows the same sid — so
+    // the result is order-independent without a unique tiebreak column ----
+    "q_sessionize" -> Q(
+      (s, dir) => {
+        val gapUs = 3600L * 1000000L
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+        val e = t(s, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+        val prev = lag(col("tus"), 1).over(w)
+        val marks = e.withColumn("new_sess",
+          when(prev.isNull || col("tus") - prev > gapUs, 1L).otherwise(0L))
+        marks.withColumn("sid", sum(col("new_sess")).over(w))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("tus")).as("session_start"),
+            max(col("tus")).as("session_end"),
+            count(lit(1)).as("n_events"))
+          .orderBy(col("user_id"), col("sid"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+             |marks AS (
+             |  SELECT user_id, tus,
+             |    CASE WHEN lag(tus) OVER w IS NULL
+             |           OR tus - lag(tus) OVER w > 3600000000 THEN 1 ELSE 0 END AS new_sess
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+             |sess AS (
+             |  SELECT user_id, tus,
+             |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus) AS BIGINT) AS sid
+             |  FROM marks)
+             |SELECT user_id, sid, min(tus) AS session_start,
+             |  max(tus) AS session_end, count(*) AS n_events
+             |FROM sess GROUP BY 1, 2 ORDER BY user_id, sid""".stripMargin)),
+
     // ---- window: lag/lead + ntile over a unique ordering ----
     "q_window_lag" -> Q(
       (s, dir) => {

@@ -47,13 +47,12 @@ import graft.types._
   *   /stream/set_handle     {id, handle} → {}        (owner-gated)
   *   /admin/list_streams    {} → {streams: [...]}   (auth-gated)
   *
-  * Auth: a bearer token configured at construction (the reference's
-  * `--unsafe-auth-token` bootstrap path, connection.rs:171-180); ATProto
-  * JWT verification would slot into `authenticate` without touching
-  * handlers. A bearer-authenticated connection is "trusted" in the
-  * reference's sense, so it may claim a caller identity with an
-  * `X-Graft-Did` header (the analog of unsafe-auth user_override,
-  * connection.rs:233-241).
+  * Auth: a shared bearer token (the reference's `--unsafe-auth-token`
+  * bootstrap path, connection.rs:171-180) marks the connection *trusted* —
+  * it may claim any identity via `X-Graft-Did` and override per-event
+  * users (connection.rs:233-241). Alternatively an ATProto-shaped ES256
+  * JWT (`JwtAuth`) authenticates an untrusted connection whose identity is
+  * the verified issuer only: user overrides and admin RPCs are rejected.
   *
   * ACLs (connection.rs:189-200, 365-369, 604-608): the creating DID is
   * recorded as the stream's owner; update_module is owner-or-module-admin,
@@ -88,15 +87,20 @@ class LeafServer(store: StreamStore, port: Int,
 
   // ---------------- handlers ----------------
 
+  /** Caller identity + whether the connection is trusted (unsafe-token /
+    * open-dev). Only trusted connections may override event users or call
+    * admin RPCs — the reference's unsafe_auth distinction. */
+  case class Caller(did: Option[String], trusted: Boolean)
+
   private def handle(path: String, maxBody: Int = Int.MaxValue)(
-      f: (Option[String], Map[String, Any]) => Map[String, Any]): Unit =
+      f: (Caller, Map[String, Any]) => Map[String, Any]): Unit =
     server.createContext(path, (ex: HttpExchange) => {
       val wantDrisl = Option(ex.getRequestHeaders.getFirst("Accept"))
         .exists(_.contains("application/drisl"))
       val resp =
         try authenticate(ex) match {
           case Left(reason) => Map("err" -> reason)
-          case Right(did) =>
+          case Right(caller) =>
             val raw = ex.getRequestBody.readAllBytes()
             if (raw.length > maxBody)
               Map("err" -> s"request larger than $maxBody byte maximum size")
@@ -108,7 +112,7 @@ class LeafServer(store: StreamStore, port: Int,
                 else if (isDrisl)
                   dvalueToAny(graft.drisl.Drisl.decode(raw)).asInstanceOf[Map[String, Any]]
                 else Json.parse(new String(raw, UTF_8)).asInstanceOf[Map[String, Any]]
-              Map("ok" -> f(did, args))
+              Map("ok" -> f(caller, args))
             }
         } catch {
           case t: Throwable => Map("err" -> Option(t.getMessage).getOrElse(t.toString))
@@ -128,18 +132,18 @@ class LeafServer(store: StreamStore, port: Int,
     * shared token short-circuits as a *trusted* connection (which may claim
     * any identity via X-Graft-Did — the user_override channel); otherwise a
     * JWT must verify, and the identity is the verified issuer only. */
-  private def authenticate(ex: HttpExchange): Either[String, Option[String]] = {
+  private def authenticate(ex: HttpExchange): Either[String, Caller] = {
     val bearer = Option(ex.getRequestHeaders.getFirst("Authorization"))
       .collect { case a if a.startsWith("Bearer ") => a.stripPrefix("Bearer ") }
     val claimed = Option(ex.getRequestHeaders.getFirst("X-Graft-Did")).filter(_.nonEmpty)
     (authToken, jwt) match {
-      case (Some(tok), _) if bearer.contains(tok) => Right(claimed)
+      case (Some(tok), _) if bearer.contains(tok) => Right(Caller(claimed, trusted = true))
       case (_, Some(j)) => bearer match {
         case None => Left("unauthorized")
-        case Some(token) => j.verify(token).map(did => Some(did))
+        case Some(token) => j.verify(token).map(did => Caller(Some(did), trusted = false))
       }
       case (Some(_), None) => Left("unauthorized")
-      case (None, None) => Right(claimed) // open dev server
+      case (None, None) => Right(Caller(claimed, trusted = true)) // open dev server
     }
   }
 
@@ -280,7 +284,7 @@ class LeafServer(store: StreamStore, port: Int,
     Map("exists" -> store.module(str(args, "cid")).isDefined)
   }
 
-  handle("/stream/create") { (did, args) =>
+  handle("/stream/create") { (c, args) =>
     val id = args.get("id").map(_.toString)
       .getOrElse("did:graft:" + java.util.UUID.randomUUID().toString.take(12))
     val m = store.module(str(args, "module_cid"))
@@ -289,7 +293,7 @@ class LeafServer(store: StreamStore, port: Int,
     h.setModule(m)
     createdStreams.synchronized(createdStreams += id)
     // the creating DID owns the stream (storage.rs:581: did_owners at create)
-    did.foreach(d => owners.synchronized {
+    c.did.foreach(d => owners.synchronized {
       owners(id) = owners.getOrElse(id, Set.empty) + d
     })
     Map("id" -> id)
@@ -303,19 +307,24 @@ class LeafServer(store: StreamStore, port: Int,
       "handle" -> handles.synchronized(handles.get(str(args, "id")).orNull))
   }
 
-  handle("/stream/update_module") { (did, args) =>
-    requireOwner(did, str(args, "id"), "update its module", admins = true)
+  handle("/stream/update_module") { (c, args) =>
+    requireOwner(c.did, str(args, "id"), "update its module", admins = true)
     val m = store.module(str(args, "module_cid"))
       .getOrElse(throw new IllegalArgumentException("module not uploaded"))
     store.open(str(args, "id")).setModule(m)
     Map.empty
   }
 
-  handle("/stream/event_batch") { (did, args) =>
-    // per-event user fields are the unsafe-auth user_override; absent ones
-    // default to the caller's DID (connection.rs:233-241)
-    val evs = eventsFromJson(args).map(e =>
-      if (e.user == null) e.copy(user = did.orNull) else e)
+  handle("/stream/event_batch") { (c, args) =>
+    // per-event user fields are the unsafe-auth user_override — rejected on
+    // non-trusted (JWT) connections; absent ones default to the caller's
+    // DID (connection.rs:233-241)
+    val raw = eventsFromJson(args)
+    if (!c.trusted && raw.exists(e => e.user != null && !c.did.contains(e.user)))
+      throw new LeafAuthException(
+        "user_override is only allowed for trusted (unsafe_auth_token) connections")
+    val evs = raw.map(e =>
+      if (e.user == null) e.copy(user = c.did.orNull) else e)
     store.open(str(args, "id")).addEvents(evs) match {
       case Right(latest) =>
         // eager push: compute deliveries now so parked long-pollers wake;
@@ -329,22 +338,26 @@ class LeafServer(store: StreamStore, port: Int,
     }
   }
 
-  handle("/stream/state_event_batch") { (did, args) =>
-    val evs = eventsFromJson(args).map(e =>
-      if (e.user == null) e.copy(user = did.orNull) else e)
+  handle("/stream/state_event_batch") { (c, args) =>
+    val raw = eventsFromJson(args)
+    if (!c.trusted && raw.exists(e => e.user != null && !c.did.contains(e.user)))
+      throw new LeafAuthException(
+        "user_override is only allowed for trusted (unsafe_auth_token) connections")
+    val evs = raw.map(e =>
+      if (e.user == null) e.copy(user = c.did.orNull) else e)
     store.open(str(args, "id")).addStateEvents(evs) match {
       case Right(_) => Map.empty
       case Left(err) => throw new LeafAuthException(err)
     }
   }
 
-  handle("/stream/clear_state") { (did, args) =>
-    requireOwner(did, str(args, "id"), "clear its state")
+  handle("/stream/clear_state") { (c, args) =>
+    requireOwner(c.did, str(args, "id"), "clear its state")
     store.open(str(args, "id")).clearState(); Map.empty
   }
 
-  handle("/stream/set_handle") { (did, args) =>
-    requireOwner(did, str(args, "id"), "set its handle")
+  handle("/stream/set_handle") { (c, args) =>
+    requireOwner(c.did, str(args, "id"), "set its handle")
     // the reference updates the stream's DID document via PLC
     // (did.rs:49-147); without a PLC directory the handle is recorded
     // locally and surfaced through /stream/info
@@ -352,18 +365,19 @@ class LeafServer(store: StreamStore, port: Int,
     Map.empty
   }
 
-  handle("/stream/query") { (did, args) =>
-    val rows = store.open(str(args, "id"))
-      .queryTagged(args.get("user").map(_.toString).orElse(did), queryFromJson(args))
+  handle("/stream/query") { (c, args) =>
+    // a $requesting_user override is itself a user impersonation — trusted only
+    val user = args.get("user").map(_.toString).filter(_ => c.trusted).orElse(c.did)
+    val rows = store.open(str(args, "id")).queryTagged(user, queryFromJson(args))
     Map("rows" -> rows.map(_.map { case (k, v) => k -> tagValue(v) }))
   }
 
-  handle("/stream/subscribe_events") { (did, args) =>
+  handle("/stream/subscribe_events") { (c, args) =>
     val id = str(args, "id")
     val h = store.open(id)
     val engine = engines.synchronized(
       engines.getOrElseUpdate(id, new SubscriptionEngine(h)))
-    val user = args.get("user").map(_.toString).orElse(did)
+    val user = args.get("user").map(_.toString).filter(_ => c.trusted).orElse(c.did)
     var subId = 0L
     subId = engine.subscribe(user, queryFromJson(args)) { d =>
       pendingDeliveries.synchronized {
@@ -415,7 +429,10 @@ class LeafServer(store: StreamStore, port: Int,
     Map.empty
   }
 
-  handle("/admin/list_streams") { (_, _) =>
+  handle("/admin/list_streams") { (c, _) =>
+    // server-operator only (reference: server-DID gated, connection.rs:554-588)
+    if (!c.trusted && !c.did.exists(moduleAdmins.contains))
+      throw new LeafAuthException("admin RPCs require a trusted connection")
     Map("streams" -> createdStreams.synchronized(createdStreams.toVector))
   }
 

@@ -260,6 +260,19 @@ class ServerSpec extends AnyFunSuite {
       assert(denied.get("err").exists(_.toString.contains("owner")), denied.toString)
       assert(!jpost("/stream/clear_state", Map("id" -> sid),
         Some(tok("did:plc:alice", alice.getPrivate))).contains("err"))
+      // a JWT (untrusted) connection may not override event users...
+      val overr = jpost("/stream/event_batch", Map("id" -> sid, "events" -> Vector(
+        Map("user" -> "someone-else", "payload_b64" -> payload("x", 1)))),
+        Some(tok("did:plc:alice", alice.getPrivate)))
+      assert(overr.get("err").exists(_.toString.contains("user_override")), overr.toString)
+      // ...but its own events land under the verified issuer identity
+      assert(!jpost("/stream/event_batch", Map("id" -> sid, "events" -> Vector(
+        Map("payload_b64" -> payload("mine", 2)))),
+        Some(tok("did:plc:alice", alice.getPrivate))).contains("err"))
+      // admin RPCs are trusted-connection only
+      val adm = jpost("/admin/list_streams", Map.empty,
+        Some(tok("did:plc:alice", alice.getPrivate)))
+      assert(adm.get("err").exists(_.toString.contains("trusted")), adm.toString)
     } finally jwtServer.stop()
   }
 
