@@ -403,6 +403,50 @@ object Relational {
              |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- correlated EXISTS through spark.sql (Catalyst decorrelates to a
+    // semi join — the declarative form, distinct from q_subquery_in's
+    // explicit left_semi) ----
+    "q_subquery_exists" -> Q(
+      (s, dir) => {
+        Tables.load(s, dir)
+        s.sql("""SELECT s_suppkey, s_name FROM supplier s
+                |WHERE EXISTS (SELECT 1 FROM lineitem l
+                |              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45)
+                |ORDER BY s_suppkey""".stripMargin)
+      },
+      Some("""SELECT s_suppkey, s_name FROM supplier s
+             |WHERE EXISTS (SELECT 1 FROM lineitem l
+             |              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // ---- skew-salted join: the big side routes each row to one of S
+    // sub-keys, the small side is replicated S ways, so one hot join key
+    // (event_type has a handful of values over ALL events — maximal skew)
+    // spreads over S reducers instead of one. The salt is pure routing:
+    // the result is identical to the plain join the oracle runs ----
+    "q_join_skew_salt" -> Q(
+      (s, dir) => {
+        val S = 8
+        val dim = t(s, dir, "events").groupBy(col("event_type"))
+          .agg(dbl(min(col("value"))).as("base"))
+        val saltedDim = dim.crossJoin(
+          s.range(S).select(col("id").cast("int").as("salt")))
+        val ev = t(s, dir, "events").select(col("event_type"), col("value"),
+          pmod(col("event_id"), lit(S)).cast("int").as("salt"))
+        ev.join(saltedDim, Seq("event_type", "salt"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            dbl(sum(dec(col("value")) - dec(col("base")))).as("excess"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH dim AS (
+              |  SELECT event_type, CAST(min(value) AS DOUBLE) AS base
+              |  FROM events GROUP BY 1)
+              |SELECT e.event_type, count(*) AS n,
+              |  CAST(sum(${sqlDec("e.value")} - ${sqlDec("d.base")}) AS DOUBLE) AS excess
+              |FROM events e JOIN dim d ON e.event_type = d.event_type
+              |GROUP BY 1 ORDER BY e.event_type""".stripMargin)),
+
     // ---- correlated-aggregate comparison (above-brand-average), exact ----
     "q_above_avg" -> Q(
       (s, dir) => {
