@@ -48,6 +48,22 @@ object ProfileIngest {
         lit(Array.empty[Byte]).as("signature")))
     time("bulkImport total")(h.bulkImport(ev))
     time("query")(h.query(None, LeafQuery("n")).collect())
+
+    // EventSource file-ingest path: dense idx must come from range
+    // partitioning + per-partition offsets, never a 1-reducer global window
+    val h2 = store.open("did:prof:file")
+    h2.setModule(m.copy(materializer = ""))
+    // (documents.parquet — events.parquet carries TIMESTAMP(NANOS), which
+    // only Tables.df handles; fromFile reads generic files)
+    val imported = time("EventSource.ingest")(
+      graft.sources.EventSource.ingest(h2, s"$dir/documents.parquet", "parquet",
+        userCol = "doc_id", orderBy = Seq("doc_id")))
+    println(s"[profile] imported latest_idx=$imported")
+    val plan = graft.sources.EventSource.fromFile(spark, s"$dir/documents.parquet",
+      "parquet", "doc_id", Seq("doc_id"), 0L)
+      .queryExecution.executedPlan.toString
+    val globalWindow = "Window \\[row_number".r.findFirstIn(plan).isDefined
+    println(s"[profile] single-reducer window in plan: $globalWindow (must be false)")
     spark.stop()
   }
 }
