@@ -143,11 +143,13 @@ object Dedup {
         val sigCols = (0 until K).map(k =>
           array_min(transform(col("shs"), v => v.bitwiseXOR(lit(xorConst(k))))).as(s"h$k"))
         val sg = shArr.select((col("doc_id") +: sigCols): _*)
+        // bands is NOT persisted: each self-join side recomputes it as a
+        // pure in-row map over the cached shArr — cheaper than the extra
+        // materialization action, and race-free because the expensive
+        // upstream is already pinned
         val bands = sg.select(col("doc_id"), posexplode(array(
             md5(concat_ws("|", col("h0"), col("h1"), col("h2"))),
             md5(concat_ws("|", col("h3"), col("h4"), col("h5"))))).as(Seq("band_id", "bh")))
-          .persist() // self-joined: avoid recomputing the signature pass twice
-        bands.count()
         val cand = bands.as("x").join(bands.as("y"),
             col("x.band_id") === col("y.band_id") && col("x.bh") === col("y.bh") &&
               col("x.doc_id") < col("y.doc_id"))
