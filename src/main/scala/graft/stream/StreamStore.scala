@@ -393,6 +393,33 @@ class StreamHandle(store: StreamStore, val id: String) {
   def rawGetEvents(minIdx: Long, maxIdx: Long): DataFrame =
     eventsDF.filter(col("idx").between(minIdx, maxIdx)).orderBy("idx")
 
+  /** Maintenance: compact the accumulated per-batch log files. Every append
+    * adds at least one parquet file, so a long-lived stream degrades into
+    * the classic small-files problem (per-file open cost dominates scans at
+    * scale). Compaction rewrites the log range-partitioned on idx into
+    * ~128MB files — idx-disjoint, so per-file min/max pruning gets strictly
+    * better — and swaps the file set under the write lock. Returns the new
+    * file count. */
+  def compactLog(): Int = lock.synchronized {
+    val parts = listFiles(logDir).filter(_.toString.endsWith(".parquet")).toSeq
+    if (parts.size <= 1) return parts.size
+    val bytes = parts.map(Files.size(_)).sum
+    val target = math.max(1, math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
+    val staging = Files.createTempDirectory(dir, ".compact_")
+    try {
+      eventsDF.repartitionByRange(target, col("idx"))
+        .sortWithinPartitions("idx")
+        .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      val bak = Files.createTempDirectory(dir, ".compact_old_")
+      parts.foreach(f => Files.move(f, bak.resolve(f.getFileName.toString)))
+      withList(staging)(_.filter(_.toString.endsWith(".parquet")).toList)
+        .foreach(f => Files.move(f, logDir.resolve(f.getFileName.toString)))
+      refreshEvents()
+      deleteRecursively(bak)
+      target
+    } finally deleteRecursively(staging)
+  }
+
   // ---------------- materialization (A4/A6) ----------------
 
   /** A6: replay unapplied events through the materializer. */

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.drisl.DValue._
@@ -160,6 +162,29 @@ class StreamSpec extends AnyFunSuite {
       .toDF("idx", "user", "payload", "signature")
     assert(h.bulkImport(good) == 6L)
     assert(h.queryTagged(None, LeafQuery("list")).size == 6)
+  }
+
+  test("log compaction rewrites per-batch files without changing the data") {
+    val h = store.open("did:test:compact")
+    h.setModule(chatModule)
+    (1 to 4).foreach(b => h.addEvents(
+      Seq(IncomingEvent("u", payload("msg", s"b$b", b.toLong)))))
+    val logDir = java.nio.file.Paths.get(store.root, h.dbName, "log")
+    def parquetFiles = {
+      val s = java.nio.file.Files.list(logDir)
+      try s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    assert(parquetFiles >= 4, "each batch appends at least one file")
+    val before = h.queryTagged(None, LeafQuery("list"))
+    assert(h.compactLog() == 1)
+    assert(parquetFiles == 1)
+    assert(h.queryTagged(None, LeafQuery("list")) == before,
+      "compaction must be a pure rewrite")
+    assert(h.rawGetEvents(2, 3).collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    // the stream keeps appending normally after compaction
+    assert(h.addEvents(Seq(IncomingEvent("u", payload("msg", "b5", 5)))) == Right(5L))
+    assert(h.queryTagged(None, LeafQuery("list")).size == 5)
   }
 
   test("subscription: backfill, has_more, only-new-events default (A8)") {
