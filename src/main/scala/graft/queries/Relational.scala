@@ -29,6 +29,11 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.df(s, dir, name)
 
+  /** HLL numerator alpha_64 * m^2 * 2^55, computed once and inlined as the
+    * SAME literal on both engines (shortest round-trip repr → identical
+    * double after parsing). */
+  private val hllC: Double = 0.709 * 4096.0 * math.pow(2.0, 55)
+
   val all: Map[String, Q] = Map(
 
     // ---- aggregation: GROUP BY + sum/avg/count (TPC-H Q1 shape) ----
@@ -249,6 +254,45 @@ object Relational {
               |FROM (SELECT l_suppkey, l_orderkey, sum(${sqlDec("l_quantity")}) AS qty
               |      FROM lineitem GROUP BY 1, 2)
               |ORDER BY l_suppkey, l_orderkey""".stripMargin)),
+
+    // ---- HLL-style distinct sketch, bit-exact across engines: 64 buckets
+    // from a 60-bit md5 hash, rank = leading-zero count of the remaining
+    // 54 bits via an integer CASE ladder (no float logs — both engines
+    // compare exact integers), per-bucket max rank folds map-side, and the
+    // 2^-rank sum is scaled to an exact BIGINT before the one double
+    // division. O(m) state per aggregation: the way you count distincts
+    // over 100 TB without a count-distinct shuffle ----
+    "q_distinct_sketch" -> Q(
+      (s, dir) => {
+        val h = conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
+          .cast("long")
+        val w = shiftright(col("h"), 6)
+        // rho = leading zeros of the 54-bit w + 1; w = 0 -> 55
+        val rho = (0 until 54).foldLeft[Column](lit(null)) { (acc, i) =>
+          if (i == 0) when(w >= (1L << 53), 1)
+          else acc.when(w >= (1L << (53 - i)), i + 1)
+        }.otherwise(55)
+        t(s, dir, "lineitem").select(h.as("h"))
+          .select((col("h") % 64).as("bucket"), rho.cast("long").as("rho"))
+          .groupBy("bucket").agg(max(col("rho")).as("r"))
+          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - r AS INT))")).as("z"),
+            count(lit(1)).as("filled"))
+          .select((lit(hllC) / col("z").cast("double")).as("est_distinct"),
+            col("filled"))
+      },
+      Some(s"""WITH hashed AS (
+              |  SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+              |  FROM lineitem),
+              |ranked AS (
+              |  SELECT h % 64 AS bucket,
+              |    CASE ${(0 until 54).map(i =>
+                     s"WHEN (h >> 6) >= ${1L << (53 - i)} THEN ${i + 1}").mkString(" ")}
+              |    ELSE 55 END AS rho
+              |  FROM hashed),
+              |folded AS (SELECT bucket, max(rho) AS r FROM ranked GROUP BY bucket)
+              |SELECT $hllC / CAST(sum(1::BIGINT << (55 - r)) AS DOUBLE) AS est_distinct,
+              |  count(*) AS filled
+              |FROM folded""".stripMargin)),
 
     // ---- gap sessionization, batch form (the oracle-checked twin of the
     // streaming flatMapGroupsWithState sessionize): lag marks session
