@@ -132,6 +132,36 @@ object TextAnalysis {
       Some("""SELECT doc_id,
              |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
              |  ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp60
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- deterministic train/val/test split by content-stable hash ----
+    // The pipeline staple: each doc's split is a pure function of its id's
+    // md5 (stable across runs, machines, and engines — no RNG, no state),
+    // ~80/10/10 by hash range. Per-split counts + exact length stats prove
+    // the assignment is identical in both engines.
+    "q_split_sample" -> Q(
+      (s, dir) => {
+        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long")
+        val split_ = when(col("h") % 10 < 8, "train")
+          .when(col("h") % 10 === 8, "val").otherwise("test")
+        docs(s, dir)
+          .select(col("doc_id"), length(col("text")).cast("long").as("len"), h.as("h"))
+          .select(split_.as("split"), col("len"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n"), sum(col("len")).as("total_chars"),
+            min(col("len")).as("min_len"), max(col("len")).as("max_len"))
+          .orderBy(col("split"))
+      },
+      Some("""WITH assigned AS (
+             |  SELECT CASE WHEN h % 10 < 8 THEN 'train'
+             |              WHEN h % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+             |         len FROM (
+             |    SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+             |           length(text) AS len
+             |    FROM documents))
+             |SELECT split, count(*) AS n, CAST(sum(len) AS BIGINT) AS total_chars,
+             |  min(len) AS min_len, max(len) AS max_len
+             |FROM assigned GROUP BY 1 ORDER BY split""".stripMargin))
   )
 }
