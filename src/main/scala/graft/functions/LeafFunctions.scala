@@ -40,6 +40,8 @@ object LeafFunctions {
     // drisl_extract family: native Catalyst expressions (no UDF round-trip,
     // parsed-path caching for literal paths)
     DrislExpressions.register(spark)
+    // array kernels for dedup/similarity module SQL
+    VectorExpressions.register(spark)
 
     // Control-flow UDFs: always raise; SQL uses them inside CASE/IIF to veto
     // an event (authorizer) or hide rows (query). 1- and 2-arg arities cover

@@ -157,15 +157,9 @@ object Dedup {
           .persist()
         cand.count() // settle the candidate set before the verify stage so
         // its two broadcast builds don't re-run the band join
-        val interCount = udf((a: Seq[Long], b: Seq[Long]) => {
-          var i = 0; var j = 0; var n = 0L
-          while (i < a.length && j < b.length) {
-            val x = a(i); val y = b(j)
-            if (x == y) { n += 1; i += 1; j += 1 }
-            else if (x < y) i += 1 else j += 1
-          }
-          n
-        })
+        // native codegen expression, not a UDF: evaluates on ArrayData with
+        // primitive getLong, no per-pair Seq deserialization
+        graft.functions.VectorExpressions.register(s)
         // verify stage: reduce the per-doc shingle arrays to candidate docs
         // FIRST (left_semi on the tiny candidate-id set), then plain
         // shuffle equi-joins. Broadcasting shArr itself would put the whole
@@ -179,7 +173,7 @@ object Dedup {
           .join(candArr.as("za"), col("a") === col("za.doc_id"))
           .join(candArr.as("zb"), col("b") === col("zb.doc_id"))
           .select(col("a"), col("b"),
-            interCount(col("za.shs"), col("zb.shs")).as("inter"),
+            expr("sorted_intersect_count(za.shs, zb.shs)").as("inter"),
             size(col("za.shs")).cast("long").as("sza"),
             size(col("zb.shs")).cast("long").as("szb"))
           .select(col("a"), col("b"),
@@ -335,18 +329,13 @@ object Dedup {
           when(element_at(col("embedding"), i + 1) >= 0, lit(1 << i))
             .otherwise(lit(0))).reduce(_ + _)
         val bucketed = corpusE.withColumn("cell", cell)
-        val fastCos = udf((a: Seq[Float], b: Seq[Float]) => {
-          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-          while (i < a.length) {
-            val x = a(i).toDouble; val y = b(i).toDouble
-            dot += x * y; na += x * x; nb += y * y; i += 1
-          }
-          dot / math.sqrt(na * nb)
-        })
+        // native codegen expression (same accumulation order as the scalar
+        // loop, so the prefilter threshold behaves identically)
+        graft.functions.VectorExpressions.register(s)
         bucketed.as("p").join(bucketed.as("q"),
             col("p.label") === col("q.label") && col("p.cell") === col("q.cell") &&
               col("p.vec_id") < col("q.vec_id"))
-          .filter(fastCos(col("p.embedding"), col("q.embedding")) >= 0.995)
+          .filter(expr("cosine_sim(p.embedding, q.embedding)") >= 0.995)
           .select(col("p.vec_id").as("a"), col("q.vec_id").as("b"),
             Vec.cosine(col("p.embedding"), col("q.embedding"),
               Vec.norm2(col("p.embedding")), Vec.norm2(col("q.embedding"))).as("cos"))
