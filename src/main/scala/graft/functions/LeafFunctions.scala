@@ -65,8 +65,21 @@ object LeafFunctions {
       "CREATE OR REPLACE TEMPORARY FUNCTION ifnull_long(a BIGINT, b BIGINT) RETURNS BIGINT RETURN COALESCE(a, b)",
       "CREATE OR REPLACE TEMPORARY FUNCTION unixepoch(t TIMESTAMP) RETURNS BIGINT RETURN unix_timestamp(t)",
       s"CREATE OR REPLACE TEMPORARY FUNCTION strftime(fmt STRING, t TIMESTAMP) RETURNS STRING RETURN date_format(t, $strftimeMap)",
-      "CREATE OR REPLACE TEMPORARY FUNCTION group_concat_sorted(xs ARRAY<STRING>) RETURNS STRING RETURN array_join(sort_array(xs), ',')")
+      "CREATE OR REPLACE TEMPORARY FUNCTION group_concat_sorted(xs ARRAY<STRING>) RETURNS STRING RETURN array_join(sort_array(xs), ',')",
+      // SQLite names Spark lacks; JSON docs are text, so STRING-typed SQL
+      // UDFs preserve semantics exactly
+      "CREATE OR REPLACE TEMPORARY FUNCTION json_extract(doc STRING, p STRING) RETURNS STRING RETURN get_json_object(doc, p)",
+      "CREATE OR REPLACE TEMPORARY FUNCTION datetime(t TIMESTAMP) RETURNS STRING RETURN date_format(t, 'yyyy-MM-dd HH:mm:ss')")
     shims.foreach(spark.sql(_))
+
+    // SQLite json_set / json_patch (RFC 7386 merge): no Spark equivalent —
+    // implemented over the engine's JSON codec. Object-key paths ($.a.b);
+    // the value argument is parsed as JSON when valid, else taken as text
+    // (matching SQLite's SQL-value-to-JSON coercion for strings/numbers).
+    spark.udf.register("json_set",
+      udf((doc: String, path: String, value: String) => JsonShims.jsonSet(doc, path, value)))
+    spark.udf.register("json_patch",
+      udf((a: String, b: String) => JsonShims.jsonPatch(a, b)))
 
     spark.conf.set(marker, "true")
   }

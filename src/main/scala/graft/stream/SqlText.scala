@@ -112,15 +112,89 @@ object SqlText {
     sb.toString
   }
 
+  /** True iff the argument text contains a top-level comma (two or more
+    * arguments), respecting parens and string literals. */
+  private def hasTopLevelComma(s: String): Boolean = {
+    var depth = 0; var inStr = false
+    s.foreach { c =>
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => return true
+        case _ =>
+      }
+    }
+    false
+  }
+
+  /** true for positions inside single-quoted literals. */
+  private def literalMask(s: String): Array[Boolean] = {
+    val a = new Array[Boolean](s.length)
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') { a(i) = true; inStr = !inStr }
+      else a(i) = inStr
+      i += 1
+    }
+    a
+  }
+
+  // SQLite JSON operators `->` / `->>` with an identifier lhs and a
+  // literal rhs (the shapes module SQL uses); bare keys get the '$.'
+  // prefix, integer rhs selects an array element
+  private val jsonOp =
+    "([A-Za-z_][A-Za-z0-9_$\\.]*)\\s*(->>|->)\\s*('(?:[^'])*'|\\d+)".r
+
+  /** Rewrite `col ->> '$.x'` / `col -> 'x'` / `col -> 0` to
+    * get_json_object (which unquotes scalars, SQLite's ->> semantics). */
+  def rewriteJsonOps(sql: String): String = {
+    val mask = literalMask(sql)
+    val m = jsonOp.pattern.matcher(sql)
+    val sb = new StringBuffer
+    while (m.find()) {
+      val repl =
+        if (mask(m.start())) m.group(0)
+        else {
+          val lhs = m.group(1)
+          val rhs = m.group(3)
+          val path =
+            if (rhs.startsWith("'")) {
+              val inner = rhs.substring(1, rhs.length - 1)
+              if (inner.startsWith("$")) s"'$inner'" else s"'$$.$inner'"
+            } else s"'$$[$rhs]'"
+          s"get_json_object($lhs, $path)"
+        }
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(repl))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
   /** SQLite-dialect calls that cannot be SQL UDFs, rewritten at the text
     * layer (whitelist: /root/reference/leaf-stream/src/lib.rs:1104-1110):
     *  - total(x): SQLite's never-null float *aggregate* — a scalar UDF would
     *    coalesce per row instead of summing the group
     *  - iif(c,a,b): polymorphic — a typed SQL UDF would stringify numerics
+    *  - group_concat: aggregate → listagg (default separator ',')
+    *  - format → printf (same C-style formatting, different name)
+    *  - json_object/json_array/json_group_array → to_json over
+    *    named_struct/array/collect_list
+    *  - `->` / `->>` operators → get_json_object
     */
   def dialectRewrite(sql: String): String = {
-    val t = rewriteCall(sql, "total")(a => s"coalesce(sum(cast(($a) as double)), 0.0d)")
-    rewriteCall(t, "iif")(a => s"if($a)")
+    var t = rewriteJsonOps(sql)
+    t = rewriteCall(t, "total")(a => s"coalesce(sum(cast(($a) as double)), 0.0d)")
+    t = rewriteCall(t, "iif")(a => s"if($a)")
+    t = rewriteCall(t, "format")(a => s"printf($a)")
+    t = rewriteCall(t, "group_concat")(a =>
+      if (hasTopLevelComma(a)) s"listagg($a)" else s"listagg($a, ',')")
+    t = rewriteCall(t, "json_group_array")(a => s"to_json(collect_list($a))")
+    t = rewriteCall(t, "json_object")(a => s"to_json(named_struct($a))")
+    t = rewriteCall(t, "json_array")(a => s"to_json(array($a))")
+    t
   }
 
   /** Statement names referenced as plain relations (crude but sufficient for

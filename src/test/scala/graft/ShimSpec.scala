@@ -55,6 +55,43 @@ class ShimSpec extends AnyFunSuite {
     assert(sqlPrepared("SELECT 'total(x)' AS s").head().getString(0) == "total(x)")
   }
 
+  test("json operators and missing-name shims cover the whitelist") {
+    // -> / ->> operators rewrite to get_json_object; bare keys get $.
+    val r = sqlPrepared(
+      """SELECT doc ->> '$.a' AS a, doc -> 'b' AS b
+        |FROM (SELECT '{"a": 1, "b": "x"}' AS doc)""".stripMargin).head()
+    assert(r.getString(0) == "1" && r.getString(1) == "x")
+    // operators inside string literals are untouched
+    assert(sqlPrepared("SELECT 'a ->> b' AS s").head().getString(0) == "a ->> b")
+    // format -> printf; date_format must NOT be rewritten
+    val f = sqlPrepared(
+      """SELECT format('%d-%s', 7, 'x') AS a,
+        |       date_format(TIMESTAMP '1996-03-05 00:00:00', 'yyyy') AS b""".stripMargin).head()
+    assert(f.getString(0) == "7-x" && f.getString(1) == "1996")
+    // group_concat -> listagg (default ',', explicit separator honored)
+    val g = sqlPrepared(
+      """SELECT group_concat(x) AS a, group_concat(x, '|') AS b
+        |FROM (SELECT explode(array('p')) AS x)""".stripMargin).head()
+    assert(g.getString(0) == "p" && g.getString(1) == "p")
+    // json constructors
+    val j = sqlPrepared(
+      "SELECT json_object('k', 5) AS o, json_array(1, 2) AS a").head()
+    assert(j.getString(0) == "{\"k\":5}" && j.getString(1) == "[1,2]")
+    assert(sqlPrepared(
+      "SELECT json_group_array(x) AS g FROM (SELECT explode(array(3)) AS x)")
+      .head().getString(0) == "[3]")
+    // json_extract / json_set / json_patch
+    val je = sqlPrepared(
+      """SELECT json_extract('{"a": {"b": 2}}', '$.a.b') AS e,
+        |       json_set('{"a": 1}', '$.c', 5) AS s,
+        |       json_patch('{"a": 1, "b": 2}', '{"b": null, "c": 3}') AS p""".stripMargin).head()
+    assert(je.getString(0) == "2")
+    assert(graft.server.Json.parse(je.getString(1)) ==
+      Map("a" -> 1L, "c" -> 5L))
+    assert(graft.server.Json.parse(je.getString(2)) ==
+      Map("a" -> 1L, "c" -> 3L))
+  }
+
   test("strftime covers %M/%S/%j (full SQLite format map)") {
     val r = sqlPrepared(
       """SELECT strftime('%Y-%m-%d %H:%M:%S', TIMESTAMP '1996-03-05 10:07:09') AS a,
