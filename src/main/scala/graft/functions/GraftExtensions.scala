@@ -30,5 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("drisl_extract_double", e => DrislExtractDoubleExpr(e(0), e(1)))
     inject("drisl_extract_blob", e => DrislExtractBlobExpr(e(0), e(1)))
     inject("drisl_exists", e => DrislExistsExpr(e(0), e(1)))
+    inject("sorted_intersect_count",
+      e => VectorExpressions.SortedIntersectCount(e(0), e(1)))
+    inject("cosine_sim", e => VectorExpressions.CosineSim(e(0), e(1)))
   }
 }

@@ -25,5 +25,7 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(0) == 5L)
     assert(r.getString(1) == "hi")
     assert(r.getLong(2) == 0L)
+    assert(s2.sql("SELECT sorted_intersect_count(array(1L,2L), array(2L,3L))")
+      .head().getLong(0) == 1L)
   }
 }
