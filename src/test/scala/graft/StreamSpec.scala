@@ -235,6 +235,32 @@ class StreamSpec extends AnyFunSuite {
     assert(Await.result(Future.sequence(futs), 120.seconds).forall(identity))
   }
 
+  test("dialect rewrites reach module SQL through the full lifecycle") {
+    val h = store.open("did:test:dialect")
+    h.setModule(ModuleDef(
+      initSql = "CREATE TABLE IF NOT EXISTS docs (idx BIGINT, j STRING) USING PARQUET",
+      materializer =
+        "INSERT INTO docs SELECT idx, drisl_extract(payload, '.content') FROM event",
+      queries = Map(
+        "fields" -> QueryDef(
+          """SELECT idx, j ->> 'name' AS name, json_extract(j, '$.n') AS n,
+            |       iif(j ->> 'name' = 'ada', 1, 0) AS is_ada
+            |FROM docs ORDER BY idx""".stripMargin),
+        "totals" -> QueryDef(
+          "SELECT total(CAST(json_extract(j, '$.n') AS BIGINT)) AS t FROM docs"))))
+    def jdoc(name: String, n: Long) =
+      Drisl.encode(obj("kind" -> text("j"),
+        "content" -> text(s"""{"name": "$name", "n": $n}""")))
+    h.addEvents(Seq(
+      IncomingEvent("u", jdoc("ada", 2)), IncomingEvent("u", jdoc("bob", 3))))
+    val rows = h.queryTagged(None, LeafQuery("fields"))
+    assert(rows.map(r => (r("name"), r("n"), r("is_ada"))) == Vector(
+      (SqlValue.SqlText("ada"), SqlValue.SqlText("2"), SqlValue.SqlInteger(1)),
+      (SqlValue.SqlText("bob"), SqlValue.SqlText("3"), SqlValue.SqlInteger(0))))
+    assert(h.queryTagged(None, LeafQuery("totals")).head("t") ==
+      SqlValue.SqlReal(5.0))
+  }
+
   test("module cid is content-addressed and stable") {
     assert(chatModule.cid == chatModule.copy().cid)
     assert(chatModule.cid != chatModule.copy(initSql = chatModule.initSql + " ").cid)
