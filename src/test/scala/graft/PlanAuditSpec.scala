@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the plan properties the engine's scale story depends on — a
+  * regression here would still pass the value gates but ship a plan that
+  * falls over at 100x data.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def physical(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def analyzed(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.analyzed.toString
+
+  test("filters and projections reach the parquet scan") {
+    val plan = physical("q_proj_filter")
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
+      s"no pushed filters in:\n$plan")
+    // column pruning: the scan must not read columns the query never uses
+    assert(!plan.contains("l_comment"), "scan reads an unused column")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    assert(physical("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("aggregation is partial (map-side combine) before the shuffle") {
+    val plan = physical("q1_agg")
+    assert("partial_".r.findFirstIn(plan).isDefined,
+      s"no partial aggregation in:\n$plan")
+  }
+
+  test("dedup pipelines carry no broadcast hints (planner stays free to pick)") {
+    // an explicit broadcast() pins a corpus-proportional build side at any
+    // scale; these plans must leave the join strategy to cost + AQE
+    for (q <- Seq("q_dedup_lsh", "q_dedup_embedding")) {
+      assert(!analyzed(q).contains("ResolvedHint"),
+        s"$q still carries a broadcast hint")
+    }
+  }
+
+  test("idx range scans prune by parquet min/max stats") {
+    // rawGetEvents filters land in the scan as pushed gte/lte on idx
+    val store = new graft.stream.StreamStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-plan").toString)
+    val h = store.open("did:test:planaudit")
+    val plan = h.rawGetEvents(10, 20).queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(idx,10)") &&
+      plan.contains("LessThanOrEqual(idx,20)"),
+      s"idx range not pushed:\n$plan")
+  }
+}
