@@ -29,6 +29,8 @@ object Multimodal {
       n_bytes: Long, ok: Boolean)
   case class Features(media_id: Long, mean_byte: Double, h0: Long, h1: Long,
       h2: Long, h3: Long)
+  case class Resized(media_id: Long, fmt: String, orig_bytes: Long,
+      new_bytes: Long, data: Array[Byte])
 
   /** STUB decoder: deterministic pseudo-metadata from the payload bytes.
     * A real implementation calls an image/audio library here, per batch. */
@@ -40,6 +42,17 @@ object Multimodal {
         width = 64 + ((b(0) & 0xff) % 192),
         height = 64 + ((b(b.length - 1) & 0xff) % 192),
         n_bytes = b.length.toLong, ok = true)
+    }
+
+    /** STUB resize: deterministic downsample to <= targetBytes by keeping
+      * every ceil(n/target)-th byte — a real codec scales pixels here; the
+      * operator contract (binary in, smaller binary + size metadata out,
+      * per-partition batches) is what the pipeline depends on. */
+    def resize(m: Media, targetBytes: Int): Resized = {
+      val b = if (m.data == null) Array.empty[Byte] else m.data
+      val step = math.max(1, math.ceil(b.length.toDouble / targetBytes).toInt)
+      val out = b.indices.collect { case i if i % step == 0 => b(i) }.toArray
+      Resized(m.media_id, m.fmt, b.length.toLong, out.length.toLong, out)
     }
 
     def features(m: Media): Features = {
@@ -84,6 +97,18 @@ object Multimodal {
         media(s, dir).as[Media]
           .mapPartitions(_.map(FakeCodec.features))
           .toDF()
+          .orderBy(col("media_id"))
+      }, None),
+
+    // ---- resize: per-partition batch downsample to a target byte budget ----
+    "q_mm_resize" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        media(s, dir).as[Media]
+          .mapPartitions(_.map(FakeCodec.resize(_, targetBytes = 64)))
+          .toDF()
+          .select(col("media_id"), col("fmt"), col("orig_bytes"),
+            col("new_bytes"), md5(col("data")).as("data_md5"))
           .orderBy(col("media_id"))
       }, None),
 

@@ -46,17 +46,30 @@ class MultimodalSpec extends AnyFunSuite {
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
+  test("resize stub: byte budget respected, deterministic, shrinking") {
+    val df = Multimodal.all("q_mm_resize").fn(spark, dir)
+    assert(df.columns.toSeq ==
+      Seq("media_id", "fmt", "orig_bytes", "new_bytes", "data_md5"))
+    val rows = df.limit(10).collect()
+    rows.foreach { r =>
+      assert(r.getLong(3) <= 64L, "resized payload exceeds the byte budget")
+      assert(r.getLong(3) <= r.getLong(2))
+    }
+  }
+
   test("golden hashes: full 500-row outputs are byte-stable") {
     // the driver gate has no oracle for byte-level ops; these digests pin
     // the exact output of every multimodal operator at sf0.001
     val d = digest(Multimodal.all("q_mm_decode").fn(spark, dir))
     val f = digest(Multimodal.all("q_mm_features").fn(spark, dir))
     val fr = digest(Multimodal.all("q_mm_frames").fn(spark, dir))
-    assert((d, f, fr) == (
+    val rz = digest(Multimodal.all("q_mm_resize").fn(spark, dir))
+    assert((d, f, fr, rz) == (
       "32aa279214cf5f14b3ff5d8cf0452295",
       "0c5afa4398105b4b8829df18fbd7ce57",
-      "b415d8d6e8d38428da6cb79b930a5b9a"),
-      s"digests: decode=$d features=$f frames=$fr")
+      "b415d8d6e8d38428da6cb79b930a5b9a",
+      "cdbab9c2bd7de8392b9be921235218a9"),
+      s"digests: decode=$d features=$f frames=$fr resize=$rz")
   }
 
   test("frame sampling: frame count tracks payload length") {
