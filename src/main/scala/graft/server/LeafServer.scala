@@ -436,6 +436,12 @@ class LeafServer(store: StreamStore, port: Int,
     Map("streams" -> createdStreams.synchronized(createdStreams.toVector))
   }
 
+  handle("/admin/compact") { (c, args) =>
+    if (!c.trusted && !c.did.exists(moduleAdmins.contains))
+      throw new LeafAuthException("admin RPCs require a trusted connection")
+    Map("files" -> store.open(str(args, "id")).compactLog())
+  }
+
   def start(): Unit = server.start()
   def stop(): Unit = server.stop(0)
 }

@@ -54,6 +54,14 @@ object EventStreamPipeline {
     }
   }
 
+  /** Stream-static enrichment: join the live event stream against a static
+    * dimension on `key`. Spark plans this as a per-micro-batch join — the
+    * static side is re-resolved each batch (so a refreshed dim parquet is
+    * picked up) and broadcast when small; no state store is involved, so
+    * it scales with the stream alone. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(dim, Seq(key), "left_outer")
+
   /** Event-time windowed aggregation with a watermark: counts + sums per
     * (window, event type), late data beyond the watermark dropped. */
   def windowedCounts(events: DataFrame, tsCol: String, window_ : String,

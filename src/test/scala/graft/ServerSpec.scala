@@ -276,6 +276,18 @@ class ServerSpec extends AnyFunSuite {
     } finally jwtServer.stop()
   }
 
+  test("admin compaction RPC rewrites a stream's log files") {
+    val cid = uploadModule()
+    val sid = ok(post("/stream/create",
+      Map("id" -> "did:graft:compact", "module_cid" -> cid)))("id").toString
+    (1 to 3).foreach(i => ok(post("/stream/event_batch", Map("id" -> sid,
+      "events" -> Vector(Map("user" -> "u", "payload_b64" -> payload(s"m$i", i)))))))
+    assert(ok(post("/admin/compact", Map("id" -> sid)))("files") == 1L)
+    val rows = ok(post("/stream/query", Map("id" -> sid,
+      "query" -> Map("name" -> "list"))))("rows").asInstanceOf[Vector[Any]]
+    assert(rows.size == 3)
+  }
+
   test("module upload larger than 10MB is rejected") {
     val big = "x" * (10 * 1024 * 1024 + 100)
     val r = post("/module/upload", Map("module" -> Map("init_sql" -> big)))

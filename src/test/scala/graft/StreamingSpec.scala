@@ -118,6 +118,30 @@ class StreamingSpec extends AnyFunSuite {
       ("u", 0L, 10000L, 2L), ("u", 2000000L, 2010000L, 2L)))
   }
 
+  test("stream-static enrichment joins live events against a dimension") {
+    import spark.implicits._
+    val h = store.open("did:test:enrich")
+    h.setModule(module)
+    h.addEvents(Seq(
+      IncomingEvent("u1", payload("click", 1)), IncomingEvent("u2", payload("view", 2)),
+      IncomingEvent("u3", payload("click", 3))))
+    val dim = Seq(("u1", "pro"), ("u2", "free")).toDF("user", "tier")
+    val ckpt = Files.createTempDirectory("graft-ckpt-enrich").toString
+    spark.sql("DROP TABLE IF EXISTS default.enrich_sink")
+    val q = EventStreamPipeline.enrich(
+        EventStreamPipeline.readLog(spark, store, "did:test:enrich"), dim, "user")
+      .select(col("idx"), col("user"), col("tier"))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .toTable("default.enrich_sink")
+    q.awaitTermination()
+    val got = spark.table("default.enrich_sink")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "u1", "pro"), (2L, "u2", "free"), (3L, "u3", null)),
+      "left join must keep unmatched events with a null tier")
+  }
+
   test("flushOnTimeout force-closes the quiet open session (continuous trigger)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
