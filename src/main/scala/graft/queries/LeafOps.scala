@@ -143,6 +143,54 @@ object LeafOps {
              |  CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total
              |FROM events GROUP BY 1 ORDER BY user""".stripMargin)),
 
+    // ---- A10: raw range scan, file-pruned by idx min/max stats ----
+    "leaf_raw_scan" -> Relational.Q(
+      (s, dir) => demo(s, dir).rawGetEvents(101, 150)
+        .select(col("idx"), col("user")),
+      Some("""SELECT event_id + 1 AS idx, 'u' || CAST(user_id AS VARCHAR) AS user
+             |FROM events WHERE event_id + 1 BETWEEN 101 AND 150
+             |ORDER BY idx""".stripMargin)),
+
+    // ---- A5: state events fold into state_* tables without touching the
+    // log; the oracle recomputes the same fold from the source rows ----
+    "leaf_state_agg" -> Relational.Q(
+      (s, dir) => {
+        val h = streams.synchronized {
+          streams.getOrElseUpdate((dir, "state"), {
+            val store = new StreamStore(s,
+              java.nio.file.Files.createTempDirectory("graft-leafops").toString)
+            val fresh = store.open("did:graft:state")
+            fresh.setModule(demoModule.copy(
+              stateInitSql = """CREATE TABLE IF NOT EXISTS state_user_vals
+                                |(user STRING, value DOUBLE) USING PARQUET""".stripMargin,
+              stateMaterializer = """INSERT INTO state_user_vals
+                                     |SELECT user, drisl_extract_double(payload, '.value')
+                                     |FROM event""".stripMargin,
+              queries = Map("state_totals" -> QueryDef(
+                """SELECT user, count(*) AS n,
+                  |  CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total
+                  |FROM state_user_vals GROUP BY user ORDER BY user""".stripMargin))))
+            val evs = Tables.df(s, dir, "events")
+              .filter(col("event_id") < 500)
+              .select(concat(lit("u"), col("user_id")).as("user"),
+                col("event_type"), col("value"),
+                get_json_object(col("props"), "$.k").cast("long").as("k"))
+              .collect()
+            val batch = evs.map(r => IncomingEvent(r.getString(0),
+              Drisl.encode(obj("type" -> text(r.getString(1)),
+                "value" -> DFloat(r.getDouble(2)), "k" -> int(r.getLong(3))))))
+            require(fresh.addStateEvents(batch.toSeq).isRight)
+            require(fresh.latest == 0L, "state events must not append to the log")
+            fresh
+          })
+        }
+        h.query(None, LeafQuery("state_totals"))
+      },
+      Some("""SELECT 'u' || CAST(user_id AS VARCHAR) AS user, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total
+             |FROM events WHERE event_id < 500
+             |GROUP BY 1 ORDER BY user""".stripMargin)),
+
     // ---- dialect shim: SQLite total() aggregate through module SQL ----
     "leaf_total_agg" -> Relational.Q(
       (s, dir) => demo(s, dir).query(None, LeafQuery("total_by_type")),
