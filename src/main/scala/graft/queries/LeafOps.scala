@@ -143,6 +143,28 @@ object LeafOps {
              |  CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total
              |FROM events GROUP BY 1 ORDER BY user""".stripMargin)),
 
+    // ---- A17: backup -> restore round-trip; the restored stream replays
+    // the archived log through the module, so its query results must equal
+    // the source's (oracle = the same aggregate over the source rows) ----
+    "leaf_backup_restore" -> Relational.Q(
+      (s, dir) => {
+        val h = streams.synchronized {
+          streams.getOrElseUpdate((dir, "bakres"), {
+            val src = demo(s, dir)
+            val bak = "file:" +
+              java.nio.file.Files.createTempDirectory("graft-leafops-bak")
+            BackupService.backup(src, bak)
+            val store = new StreamStore(s,
+              java.nio.file.Files.createTempDirectory("graft-leafops").toString)
+            BackupService.restore(store, "did:graft:restored", bak)
+          })
+        }
+        h.query(None, LeafQuery("by_type"))
+      },
+      Some("""SELECT event_type AS etype, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total
+             |FROM events GROUP BY 1 ORDER BY etype""".stripMargin)),
+
     // ---- A10: raw range scan, file-pruned by idx min/max stats ----
     "leaf_raw_scan" -> Relational.Q(
       (s, dir) => demo(s, dir).rawGetEvents(101, 150)
