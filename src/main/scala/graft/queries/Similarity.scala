@@ -89,6 +89,52 @@ object Similarity {
               |FROM dots JOIN norms USING (vec_id), qn
               |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // ---- LSH-bucketed ANN: sign-bit hyperplane hash (the axis-aligned
+    // special case), probe ONLY the query's bucket. 16 cells here; the
+    // knob scales with corpus (more sign dims → smaller buckets). Recall
+    // is the LSH trade — the oracle applies the identical restriction, so
+    // the answer set matches bit-for-bit ----
+    "q_knn_lsh" -> Q(
+      (s, dir) => {
+        val cell = (0 until 4).map(i =>
+          when(element_at(col("embedding"), i + 1) >= 0, lit(1 << i))
+            .otherwise(lit(0))).reduce(_ + _)
+        val e = emb(s, dir).withColumn("cell", cell)
+        val qcell = e.filter(col("vec_id") === 0)
+          .select(col("cell").as("qcell"),
+            col("embedding").as("q_emb"), Vec.norm2(col("embedding")).as("qn2"))
+        e.filter(col("vec_id") =!= 0)
+          .join(broadcast(qcell), col("cell") === col("qcell"))
+          .select(col("vec_id"),
+            Vec.cosine(col("embedding"), col("q_emb"),
+              Vec.norm2(col("embedding")), col("qn2")).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH $dimsSql,
+              |cells AS (
+              |  SELECT vec_id,
+              |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+              |    + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+              |    + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+              |    + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS cell
+              |  FROM embeddings),
+              |qc AS (SELECT cell AS qcell FROM cells WHERE vec_id = 0),
+              |cand AS (
+              |  SELECT c.vec_id FROM cells c, qc WHERE c.cell = qc.qcell AND c.vec_id <> 0),
+              |norms AS (
+              |  SELECT vec_id, CAST(sum(CAST(x * x AS DECIMAL(25,10))) AS DOUBLE) AS n2
+              |  FROM dims GROUP BY vec_id),
+              |q AS (SELECT i AS qi, x AS qx FROM dims WHERE vec_id = 0),
+              |qn AS (SELECT n2 AS qn2 FROM norms WHERE vec_id = 0),
+              |dots AS (
+              |  SELECT vec_id, CAST(sum(CAST(x * qx AS DECIMAL(25,10))) AS DOUBLE) AS dot
+              |  FROM dims JOIN q ON i = qi
+              |  WHERE vec_id IN (SELECT vec_id FROM cand) GROUP BY vec_id)
+              |SELECT vec_id, dot / (sqrt(n2) * sqrt(qn2)) AS cos
+              |FROM dots JOIN norms USING (vec_id), qn
+              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
     // ---- IVF-style: probe nearest coarse cell, scan only that cell ----
     "q_knn_ivf" -> Q(
       (s, dir) => {
