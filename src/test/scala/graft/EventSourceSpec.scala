@@ -25,6 +25,25 @@ class EventSourceSpec extends AnyFunSuite {
     queries = Map("all" -> QueryDef(
       "SELECT idx, user, kind, amount, n FROM acts ORDER BY idx")))
 
+  test("dense idx assignment holds across many input partitions") {
+    import spark.implicits._
+    graft.functions.LeafFunctions.register(spark)
+    val dir = Files.createTempDirectory("graft-ing-big").toString
+    // 5000 rows over 16 partitions with a shuffled ordering key
+    (1 to 5000).map(i => (s"u${i % 7}", 5000 - i)).toDF("who", "k")
+      .repartition(16).write.parquet(s"$dir/big")
+    val df = EventSource.fromFile(spark, s"$dir/big", "parquet", "who", Seq("k"), 100L)
+    val idx = df.select("idx").collect().map(_.getLong(0)).sorted.toSeq
+    assert(idx == (101L to 5100L), "idx must be dense and offset by startIdx")
+    // the assignment respects the global orderBy(k): decoding k back in idx
+    // order must be ascending
+    df.createOrReplaceTempView("imp")
+    val ks = spark.sql(
+      "SELECT drisl_extract_long(payload, '.k') FROM imp ORDER BY idx")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ks == ks.sorted, "idx order must follow the ordering key globally")
+  }
+
   test("json file -> bulk ingest -> materialized query; csv export round-trip") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-ing").toString
