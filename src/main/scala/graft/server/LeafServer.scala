@@ -179,6 +179,15 @@ class LeafServer(store: StreamStore, port: Int,
     }
   }
 
+  /** Resolve an existing stream; unknown ids error instead of silently
+    * creating an empty stream (the reference's STREAMS.load contract —
+    * only stream/create mints streams). */
+  private def openExisting(id: String): graft.stream.StreamHandle = {
+    if (!store.exists(id))
+      throw new IllegalArgumentException(s"stream not found: $id")
+    store.open(id)
+  }
+
   /** Owner gate for mutating RPCs. A stream with no recorded owner stays
     * open (bootstrap); otherwise the caller must be an owner — or, when
     * `admins` is true, one of the server's module admins. */
@@ -300,7 +309,7 @@ class LeafServer(store: StreamStore, port: Int,
   }
 
   handle("/stream/info") { (_, args) =>
-    val h = store.open(str(args, "id"))
+    val h = openExisting(str(args, "id"))
     Map("id" -> str(args, "id"),
       "module_cid" -> h.currentModule.map(_.cid).orNull,
       "latest_idx" -> h.latest,
@@ -311,7 +320,7 @@ class LeafServer(store: StreamStore, port: Int,
     requireOwner(c.did, str(args, "id"), "update its module", admins = true)
     val m = store.module(str(args, "module_cid"))
       .getOrElse(throw new IllegalArgumentException("module not uploaded"))
-    store.open(str(args, "id")).setModule(m)
+    openExisting(str(args, "id")).setModule(m)
     Map.empty
   }
 
@@ -325,7 +334,7 @@ class LeafServer(store: StreamStore, port: Int,
         "user_override is only allowed for trusted (unsafe_auth_token) connections")
     val evs = raw.map(e =>
       if (e.user == null) e.copy(user = c.did.orNull) else e)
-    store.open(str(args, "id")).addEvents(evs) match {
+    openExisting(str(args, "id")).addEvents(evs) match {
       case Right(latest) =>
         // eager push: compute deliveries now so parked long-pollers wake;
         // a failing subscription query must not fail the append
@@ -345,7 +354,7 @@ class LeafServer(store: StreamStore, port: Int,
         "user_override is only allowed for trusted (unsafe_auth_token) connections")
     val evs = raw.map(e =>
       if (e.user == null) e.copy(user = c.did.orNull) else e)
-    store.open(str(args, "id")).addStateEvents(evs) match {
+    openExisting(str(args, "id")).addStateEvents(evs) match {
       case Right(_) => Map.empty
       case Left(err) => throw new LeafAuthException(err)
     }
@@ -353,7 +362,7 @@ class LeafServer(store: StreamStore, port: Int,
 
   handle("/stream/clear_state") { (c, args) =>
     requireOwner(c.did, str(args, "id"), "clear its state")
-    store.open(str(args, "id")).clearState(); Map.empty
+    openExisting(str(args, "id")).clearState(); Map.empty
   }
 
   handle("/stream/set_handle") { (c, args) =>
@@ -368,13 +377,13 @@ class LeafServer(store: StreamStore, port: Int,
   handle("/stream/query") { (c, args) =>
     // a $requesting_user override is itself a user impersonation — trusted only
     val user = args.get("user").map(_.toString).filter(_ => c.trusted).orElse(c.did)
-    val rows = store.open(str(args, "id")).queryTagged(user, queryFromJson(args))
+    val rows = openExisting(str(args, "id")).queryTagged(user, queryFromJson(args))
     Map("rows" -> rows.map(_.map { case (k, v) => k -> tagValue(v) }))
   }
 
   handle("/stream/subscribe_events") { (c, args) =>
     val id = str(args, "id")
-    val h = store.open(id)
+    val h = openExisting(id)
     val engine = engines.synchronized(
       engines.getOrElseUpdate(id, new SubscriptionEngine(h)))
     val user = args.get("user").map(_.toString).filter(_ => c.trusted).orElse(c.did)
@@ -439,7 +448,7 @@ class LeafServer(store: StreamStore, port: Int,
   handle("/admin/compact") { (c, args) =>
     if (!c.trusted && !c.did.exists(moduleAdmins.contains))
       throw new LeafAuthException("admin RPCs require a trusted connection")
-    Map("files" -> store.open(str(args, "id")).compactLog())
+    Map("files" -> openExisting(str(args, "id")).compactLog())
   }
 
   def start(): Unit = server.start()

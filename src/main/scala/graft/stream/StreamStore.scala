@@ -119,6 +119,13 @@ class StreamStore(val spark: SparkSession, val root: String) {
     handles.getOrElseUpdate(id, new StreamHandle(this, id))
   }
 
+  /** True iff the stream exists — open in this process or persisted on
+    * disk (every created stream saves meta.json at module install). */
+  def exists(id: String): Boolean = synchronized {
+    handles.contains(id) ||
+      Files.exists(Paths.get(root, dbNameFor(id), "meta.json"))
+  }
+
   def dbNameFor(id: String): String = {
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest(id.getBytes(UTF_8)).take(8).map("%02x".format(_)).mkString

@@ -113,6 +113,12 @@ class ServerSpec extends AnyFunSuite {
     assert(streams.contains(sid))
     assert(post("/stream/info", Map("id" -> sid), token = None).contains("err"))
     assert(post("/stream/info", Map("id" -> sid), token = Some("wrong")).contains("err"))
+
+    // unknown stream ids error instead of silently creating a stream
+    val missing = post("/stream/info", Map("id" -> "did:graft:nope"))
+    assert(missing.get("err").exists(_.toString.contains("not found")), missing.toString)
+    assert(post("/stream/event_batch", Map("id" -> "did:graft:nope2",
+      "events" -> Vector())).contains("err"))
   }
 
   private def uploadModule(): String =

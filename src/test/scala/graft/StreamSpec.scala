@@ -213,6 +213,27 @@ class StreamSpec extends AnyFunSuite {
     assert(fresh.size == 1 && fresh.head.rows.map(_("idx")) == Vector(SqlValue.SqlInteger(8)))
   }
 
+  test("parallel appends on independent streams land completely") {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val hs = (1 to 3).map { i =>
+      val h = store.open(s"did:test:par$i"); h.setModule(chatModule); h
+    }
+    // 3 streams x 4 batches x 2 events, all appending concurrently
+    val futs = for (h <- hs; b <- 1 to 4) yield Future {
+      h.addEvents(Seq(
+        IncomingEvent("u", payload("msg", s"b$b-1", b)),
+        IncomingEvent("u", payload("msg", s"b$b-2", b))))
+    }
+    val results = Await.result(Future.sequence(futs), 180.seconds)
+    assert(results.forall(_.isRight), results.filter(_.isLeft).toString)
+    hs.foreach { h =>
+      assert(h.latest == 8L, s"${h.id}: ${h.latest}")
+      assert(h.queryTagged(None, LeafQuery("list")).size == 8)
+    }
+  }
+
   test("two streams execute queries concurrently (per-stream sessions, no global lock)") {
     val h1 = store.open("did:test:conc1"); h1.setModule(chatModule)
     val h2 = store.open("did:test:conc2"); h2.setModule(chatModule)
