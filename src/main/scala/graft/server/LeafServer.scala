@@ -45,7 +45,8 @@ import graft.types._
   *                          (long-poll: parks until a delivery exists)
   *   /stream/unsubscribe    {id, sub_id} → {}
   *   /stream/set_handle     {id, handle} → {}        (owner-gated)
-  *   /admin/list_streams    {} → {streams: [...]}   (auth-gated)
+  *   /admin/list_streams    {} → {streams: [...]}    (trusted only)
+  *   /admin/compact         {id} → {files}           (trusted only)
   *
   * Auth: a shared bearer token (the reference's `--unsafe-auth-token`
   * bootstrap path, connection.rs:171-180) marks the connection *trusted* —
@@ -433,8 +434,15 @@ class LeafServer(store: StreamStore, port: Int,
   }
 
   handle("/stream/unsubscribe") { (_, args) =>
-    engines.synchronized(engines.get(str(args, "id")))
-      .foreach(_.unsubscribe(args("sub_id").asInstanceOf[Long]))
+    val id = str(args, "id")
+    val subId = args("sub_id").asInstanceOf[Long]
+    engines.synchronized(engines.get(id)).foreach(_.unsubscribe(subId))
+    // drop anything buffered for the dead subscription and wake any parked
+    // long-poll so it returns instead of waiting out its timeout
+    pendingDeliveries.synchronized {
+      pendingDeliveries.remove((id, subId))
+      pendingDeliveries.notifyAll()
+    }
     Map.empty
   }
 
