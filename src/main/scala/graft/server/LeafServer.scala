@@ -422,13 +422,17 @@ class LeafServer(store: StreamStore, port: Int,
       .getOrElse(25000L).min(60000L).max(1L)
     engines.synchronized(engines.get(id)).foreach(_.drain())
     val deadline = System.nanoTime + timeoutMs * 1000000L
-    var out = takeDeliveries(key)
-    pendingDeliveries.synchronized {
-      while (out.isEmpty && System.nanoTime < deadline) {
+    // take and wait under ONE monitor hold: a delivery arriving between a
+    // bare take and entering the monitor would otherwise sleep out the
+    // full timeout (its notifyAll fires before this thread waits)
+    val out = pendingDeliveries.synchronized {
+      var got = pendingDeliveries.remove(key).map(_.toVector).getOrElse(Vector.empty)
+      while (got.isEmpty && System.nanoTime < deadline) {
         val waitMs = ((deadline - System.nanoTime) / 1000000L).max(1L)
         pendingDeliveries.wait(waitMs)
-        out = pendingDeliveries.remove(key).map(_.toVector).getOrElse(Vector.empty)
+        got = pendingDeliveries.remove(key).map(_.toVector).getOrElse(Vector.empty)
       }
+      got
     }
     Map("deliveries" -> out)
   }

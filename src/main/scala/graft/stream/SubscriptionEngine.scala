@@ -55,10 +55,15 @@ class SubscriptionEngine(handle: StreamHandle) {
     subs.keysIterator.foreach(pending.enqueue(_))
   }
 
+  // one pump at a time: concurrent drains (append handler + pollers) would
+  // dequeue the same subscription twice before either advances its cursor
+  // and deliver the same window twice
+  private val drainLock = new Object
+
   /** Pump all pending subscription updates until every live subscription is
     * caught up with the stream (the reference's worker self-scheduling on
     * `has_more`, lib.rs:952-963). Returns number of deliveries made. */
-  def drain(): Int = {
+  def drain(): Int = drainLock.synchronized {
     var deliveries = 0
     var next: Option[Sub] = dequeue()
     while (next.isDefined) {
