@@ -67,7 +67,11 @@ class JwtAuth(serverDid: String, resolveKey: String => Option[PublicKey]) {
         return Left(s"Invalid lxm in JWT: `$lxm`")
       case _ =>
     }
-    claims.get("exp").collect { case l: Long => l } match {
+    // NumericDate may arrive as integer or float
+    claims.get("exp").collect {
+      case l: Long => l
+      case d: Double => d.toLong
+    } match {
       case Some(exp) if exp < System.currentTimeMillis() / 1000 =>
         return Left("JWT expired")
       case _ =>
