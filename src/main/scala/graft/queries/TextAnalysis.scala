@@ -134,6 +134,41 @@ object TextAnalysis {
              |  ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp60
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- winnowing fingerprints: rolling 5-gram hashes, min per window ----
+    // The plagiarism/near-dup fingerprint scheme: every 5-char window rolls
+    // a 60-bit hash (computed at scan time), consecutive positions group
+    // into windows of 4, and each window keeps its MINIMUM hash — a
+    // document is represented by O(len/4) stable fingerprints that survive
+    // local edits outside the touched windows. Map-side explode + one
+    // groupBy; selecting distinct fingerprints bounds the output.
+    "q_text_winnow" -> Q(
+      (s, dir) => {
+        val win = 4
+        docs(s, dir)
+          .select(col("doc_id"), trim(col("text")).as("t"))
+          .filter(length(col("t")) >= 5)
+          .select(col("doc_id"),
+            explode(sequence(lit(1), length(col("t")) - 4)).as("i"),
+            col("t"))
+          .select(col("doc_id"), expr(s"CAST((i - 1) DIV $win AS BIGINT)").as("w"),
+            conv(substring(md5(col("t").substr(col("i"), lit(5))), 1, 15), 16, 10)
+              .cast("long").as("h"))
+          .groupBy(col("doc_id"), col("w"))
+          .agg(min(col("h")).as("fp"))
+          .orderBy(col("doc_id"), col("w"))
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id,
+             |    unnest(generate_series(1, length(trim(text)) - 4)) AS i,
+             |    trim(text) AS t
+             |  FROM documents WHERE length(trim(text)) >= 5),
+             |hashed AS (
+             |  SELECT doc_id, CAST((i - 1) // 4 AS BIGINT) AS w,
+             |    ('0x' || substr(md5(substr(t, i, 5)), 1, 15))::BIGINT AS h
+             |  FROM sh)
+             |SELECT doc_id, w, min(h) AS fp FROM hashed
+             |GROUP BY 1, 2 ORDER BY doc_id, w""".stripMargin)),
+
     // ---- deterministic train/val/test split by content-stable hash ----
     // The pipeline staple: each doc's split is a pure function of its id's
     // md5 (stable across runs, machines, and engines — no RNG, no state),
