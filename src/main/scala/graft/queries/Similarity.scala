@@ -89,6 +89,61 @@ object Similarity {
               |FROM dots JOIN norms USING (vec_id), qn
               |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // ---- multi-probe IVF: scan the TOP-2 cells. Probe-1's recall cliff
+    // (the true neighbor sits just across a cell boundary) is the known
+    // IVF failure mode; probing P cells trades P/cells of the data for
+    // recall — the standard production knob ----
+    "q_knn_ivf2" -> Q(
+      (s, dir) => {
+        val q = emb(s, dir)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .filter(col("vec_id") === 0)
+          .select(col("i").as("qi"), col("x").cast("double").as("qx"))
+        val cent = centroidIndex(s, dir)
+        val centNorm = cent.groupBy("label")
+          .agg(sum(dec(col("c") * col("c"))).cast("double").as("cn2"))
+        val centDot = cent.join(broadcast(q), col("i") === col("qi"))
+          .groupBy("label")
+          .agg(sum(dec(col("c") * col("qx"))).cast("double").as("cdot"))
+        val best2 = centDot.join(centNorm, "label")
+          .select(col("label"), (col("cdot") / sqrt(col("cn2"))).as("score"))
+          .orderBy(col("score").desc, col("label")).limit(2)
+          .select(col("label").as("best_label"))
+        emb(s, dir).filter(col("vec_id") =!= 0)
+          .join(broadcast(best2), col("label") === col("best_label"))
+          .crossJoin(broadcast(queryVec(s, dir)))
+          .select(col("vec_id"), col("label"),
+            Vec.cosine(col("embedding"), col("q_emb"),
+              Vec.norm2(col("embedding")), col("qn2")).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH $dimsSql,
+              |q AS (SELECT i AS qi, x AS qx FROM dims WHERE vec_id = 0),
+              |cent AS (
+              |  SELECT label, i, CAST(sum(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / count(*) AS c
+              |  FROM dims GROUP BY label, i),
+              |centnorm AS (
+              |  SELECT label, CAST(sum(CAST(c * c AS DECIMAL(25,10))) AS DOUBLE) AS cn2
+              |  FROM cent GROUP BY label),
+              |centdot AS (
+              |  SELECT label, CAST(sum(CAST(c * qx AS DECIMAL(25,10))) AS DOUBLE) AS cdot
+              |  FROM cent JOIN q ON i = qi GROUP BY label),
+              |best AS (
+              |  SELECT label AS best_label FROM centdot JOIN centnorm USING (label)
+              |  ORDER BY cdot / sqrt(cn2) DESC, label LIMIT 2),
+              |norms AS (
+              |  SELECT vec_id, label, CAST(sum(CAST(x * x AS DECIMAL(25,10))) AS DOUBLE) AS n2
+              |  FROM dims GROUP BY vec_id, label),
+              |qn AS (SELECT n2 AS qn2 FROM norms WHERE vec_id = 0),
+              |dots AS (
+              |  SELECT vec_id, dims.label, CAST(sum(CAST(x * qx AS DECIMAL(25,10))) AS DOUBLE) AS dot
+              |  FROM dims JOIN best ON dims.label = best_label JOIN q ON i = qi
+              |  WHERE vec_id <> 0 GROUP BY vec_id, dims.label)
+              |SELECT vec_id, label, dot / (sqrt(n2) * sqrt(qn2)) AS cos
+              |FROM dots JOIN norms USING (vec_id, label), qn
+              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
     // ---- LSH-bucketed ANN: sign-bit hyperplane hash (the axis-aligned
     // special case), probe ONLY the query's bucket. 16 cells here; the
     // knob scales with corpus (more sign dims → smaller buckets). Recall
