@@ -85,16 +85,20 @@ object Temporal {
         val ev = events(s, dir)
         val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("event_id").as("p_id"), col("user_id"), col("ts_us").as("p_ts"))
+        // banding MUST be exact integer division: epoch micros (~1.7e18)
+        // exceed double's 2^53 mantissa, so floor(x / band) in float can
+        // band a boundary-aligned timestamp off by one and silently drop a
+        // matching pair
         val errors = ev.filter(col("event_type") === "error")
           .select(col("event_id").as("e_id"), col("user_id").as("e_user"),
-            col("ts_us").as("e_ts"), floor(col("ts_us") / bandUs).as("e_band"))
+            col("ts_us").as("e_ts"), expr(s"ts_us DIV $bandUs").as("e_band"))
         // each purchase probes its own band plus both neighbors: any error
         // within +-band is guaranteed to land in one of the three
         val probed = purchases
           .withColumn("band", explode(array(
-            floor(col("p_ts") / bandUs) - 1,
-            floor(col("p_ts") / bandUs),
-            floor(col("p_ts") / bandUs) + 1)))
+            expr(s"p_ts DIV $bandUs") - 1,
+            expr(s"p_ts DIV $bandUs"),
+            expr(s"p_ts DIV $bandUs") + 1)))
         probed.join(errors,
             probed("user_id") === errors("e_user") && probed("band") === errors("e_band"))
           .filter(abs(col("p_ts") - col("e_ts")) <= bandUs)
