@@ -294,6 +294,46 @@ class ServerSpec extends AnyFunSuite {
     assert(rows.size == 3)
   }
 
+  test("full user journey: upload -> create -> events -> subscribe -> swap -> backup -> restore") {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val cid = uploadModule()
+    val sid = ok(post("/stream/create",
+      Map("id" -> "did:graft:journey", "module_cid" -> cid),
+      did = Some("did:plc:journey")))("id").toString
+    // live subscription with backfill from the start
+    val subId = ok(post("/stream/subscribe_events", Map("id" -> sid,
+      "query" -> Map("name" -> "list", "start" -> 1L))))("sub_id").asInstanceOf[Long]
+    ok(post("/stream/event_batch", Map("id" -> sid, "events" -> Vector(
+      Map("user" -> "j1", "payload_b64" -> payload("first", 1)),
+      Map("user" -> "j2", "payload_b64" -> payload("second", 2))))))
+    val pushed = ok(post("/stream/events_push",
+      Map("id" -> sid, "sub_id" -> subId, "timeout_ms" -> 30000L)))("deliveries")
+      .asInstanceOf[Vector[Any]]
+    assert(pushed.flatMap(_.asInstanceOf[Map[String, Any]]("rows")
+      .asInstanceOf[Vector[Any]]).size == 2)
+    // swap to a counting module (owner-gated), full replay
+    val cid2 = ok(post("/module/upload", Map("module" -> Map(
+      "init_sql" -> "CREATE TABLE IF NOT EXISTS totals (n BIGINT) USING PARQUET",
+      "materializer" -> "INSERT INTO totals SELECT drisl_extract_long(payload, '.n') FROM event",
+      "queries" -> Map("sum" -> Map(
+        "sql" -> "SELECT CAST(sum(n) AS BIGINT) AS s FROM totals"))))))("cid").toString
+    ok(post("/stream/update_module", Map("id" -> sid, "module_cid" -> cid2),
+      did = Some("did:plc:journey")))
+    val s1 = ok(post("/stream/query", Map("id" -> sid,
+      "query" -> Map("name" -> "sum"))))("rows").asInstanceOf[Vector[Any]]
+    assert(s1.head.asInstanceOf[Map[String, Any]]("s")
+      .asInstanceOf[Map[String, Any]]("value") == 3L)
+    // backup server-side, restore as a new stream, same answers
+    val bak = "file:" + java.nio.file.Files.createTempDirectory("graft-journey-bak")
+    graft.stream.BackupService.backup(store.open(sid), bak)
+    graft.stream.BackupService.restore(store, "did:graft:journey2", bak)
+    val s2 = ok(post("/stream/query", Map("id" -> "did:graft:journey2",
+      "query" -> Map("name" -> "sum"))))("rows").asInstanceOf[Vector[Any]]
+    assert(s2 == s1, "restored stream must answer identically")
+  }
+
   test("module upload larger than 10MB is rejected") {
     val big = "x" * (10 * 1024 * 1024 + 100)
     val r = post("/module/upload", Map("module" -> Map("init_sql" -> big)))
