@@ -44,10 +44,13 @@ object Similarity {
     * A real pipeline would store this as a catalog table refreshed on
     * ingest; rebuilding it inside every query execution is the
     * anti-pattern this cache removes. O(cells·d) rows — tiny. */
+  // keyed by (session, dir): a cached DataFrame is bound to the session
+  // that built it — handing it to a different (possibly stopped) session
+  // is the cross-session cache-contamination trap
   private val centroids =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def centroidIndex(s: SparkSession, dir: String): DataFrame =
-    centroids.getOrElseUpdate(dir, {
+    centroids.getOrElseUpdate((s, dir), {
       val d = emb(s, dir)
         .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
         .select(col("label"), col("i"), col("x").cast("double").as("x"))

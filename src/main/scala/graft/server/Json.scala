@@ -88,8 +88,16 @@ object Json {
           val start = i
           while (i < s.length && "+-0123456789.eE".indexOf(s.charAt(i)) >= 0) i += 1
           val tok = s.substring(start, i)
-          if (tok.exists(c => c == '.' || c == 'e' || c == 'E')) tok.toDouble
-          else tok.toLong
+          // integers beyond Long range degrade to Double instead of blowing
+          // up the whole request; non-numeric garbage is a parse error
+          try {
+            if (tok.exists(c => c == '.' || c == 'e' || c == 'E')) tok.toDouble
+            else tok.toLong
+          } catch {
+            case _: NumberFormatException =>
+              try tok.toDouble
+              catch { case _: NumberFormatException => fail(s"bad number '$tok'") }
+          }
       }
     }
 

@@ -68,14 +68,24 @@ class JwtAuth(serverDid: String, resolveKey: String => Option[PublicKey]) {
       case _ =>
     }
     // NumericDate may arrive as integer or float
-    claims.get("exp").collect {
+    def numericDate(k: String): Option[Long] = claims.get(k).collect {
       case l: Long => l
       case d: Double => d.toLong
-    } match {
-      case Some(exp) if exp < System.currentTimeMillis() / 1000 =>
-        return Left("JWT expired")
+    }
+    val now = System.currentTimeMillis() / 1000
+    val skew = 60L // clock-skew allowance for nbf/iat, the usual JOSE grace
+    // exp is REQUIRED: a token that never expires is a stolen-credential
+    // forever-key (the reference's jsonwebtoken validation requires exp by
+    // default — a missing claim fails verification there too)
+    numericDate("exp") match {
+      case None => return Left("JWT missing exp claim")
+      case Some(exp) if exp < now => return Left("JWT expired")
       case _ =>
     }
+    numericDate("nbf").foreach(nbf =>
+      if (nbf > now + skew) return Left("JWT not yet valid (nbf in the future)"))
+    numericDate("iat").foreach(iat =>
+      if (iat > now + skew) return Left("JWT issued in the future"))
     val did = jsonStr(claims, "iss").getOrElse(
       return Left("JWT token issuer is missing"))
 

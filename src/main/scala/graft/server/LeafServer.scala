@@ -69,14 +69,27 @@ import graft.types._
   */
 class LeafServer(store: StreamStore, port: Int,
     authToken: Option[String] = None, moduleAdmins: Set[String] = Set.empty,
-    jwt: Option[JwtAuth] = None) {
+    jwt: Option[JwtAuth] = None,
+    maxBufferedDeliveries: Int = 12,
+    subIdleTtlMs: Long = 10 * 60 * 1000L,
+    maxParkedPolls: Int = 64) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-  server.setExecutor(Executors.newFixedThreadPool(8))
+  // long-polls park their handler thread; a fixed pool the size of the park
+  // cap would let pollers starve every other RPC (including the event_batch
+  // that would wake them), so the pool grows on demand and the park count is
+  // capped separately below
+  server.setExecutor(Executors.newCachedThreadPool())
 
   private val engines = mutable.Map.empty[String, SubscriptionEngine]
   private val pendingDeliveries =
     mutable.Map.empty[(String, Long), mutable.Buffer[Map[String, Any]]]
+  // subscription registry: creating caller (poll/unsubscribe are bound to
+  // the identity that subscribed — the reference scopes subscriptions to
+  // the socket connection) and last client activity for idle eviction
+  private val subOwners = mutable.Map.empty[(String, Long), Caller]
+  private val subLastSeen = mutable.Map.empty[(String, Long), Long]
+  private val parkedPolls = new java.util.concurrent.atomic.AtomicInteger(0)
   private val createdStreams = mutable.LinkedHashSet.empty[String]
   private val owners = mutable.Map.empty[String, Set[String]]
   private val handles = mutable.Map.empty[String, String]
@@ -295,7 +308,20 @@ class LeafServer(store: StreamStore, port: Int,
   }
 
   handle("/stream/create") { (c, args) =>
-    val id = args.get("id").map(_.toString)
+    // caller-chosen ids are a trusted-connection privilege, and creating an
+    // id that already exists is always an error: store.open would attach to
+    // the EXISTING stream, so an attacker who knows a stream id could swap
+    // its module (wiping its tables) and mint themselves owner rights. The
+    // reference mints the DID server-side and its INSERT fails on a
+    // duplicate (connection.rs:111-113, storage.rs create_stream).
+    val requested = args.get("id").map(_.toString)
+    if (requested.isDefined && !c.trusted)
+      throw new LeafAuthException(
+        "caller-chosen stream ids require a trusted connection")
+    requested.filter(r => store.exists(r) ||
+        createdStreams.synchronized(createdStreams.contains(r)))
+      .foreach(r => throw new IllegalArgumentException(s"stream already exists: $r"))
+    val id = requested
       .getOrElse("did:graft:" + java.util.UUID.randomUUID().toString.take(12))
     val m = store.module(str(args, "module_cid"))
       .getOrElse(throw new IllegalArgumentException("module not uploaded"))
@@ -339,6 +365,7 @@ class LeafServer(store: StreamStore, port: Int,
       case Right(latest) =>
         // eager push: compute deliveries now so parked long-pollers wake;
         // a failing subscription query must not fail the append
+        evictIdleSubs()
         engines.synchronized(engines.get(str(args, "id"))).foreach { e =>
           e.notifyNewEvents()
           try e.drain() catch { case _: Exception => }
@@ -384,12 +411,20 @@ class LeafServer(store: StreamStore, port: Int,
 
   handle("/stream/subscribe_events") { (c, args) =>
     val id = str(args, "id")
-    val h = openExisting(id)
+    openExisting(id)
+    evictIdleSubs()
     val engine = engines.synchronized(
-      engines.getOrElseUpdate(id, new SubscriptionEngine(h)))
+      engines.getOrElseUpdate(id, new SubscriptionEngine(store, id)))
     val user = args.get("user").map(_.toString).filter(_ => c.trusted).orElse(c.did)
     var subId = 0L
-    subId = engine.subscribe(user, queryFromJson(args)) { d =>
+    // backpressure valve: while this subscription already has
+    // maxBufferedDeliveries (reference: 12, lib.rs:337,355) waiting for the
+    // client, the engine stops pumping it — a subscriber that never polls
+    // costs a bounded buffer, not the whole log materialized driver-side
+    val hasRoom = () => pendingDeliveries.synchronized {
+      pendingDeliveries.get((id, subId)).forall(_.size < maxBufferedDeliveries)
+    }
+    subId = engine.subscribe(user, queryFromJson(args), hasRoom) { d =>
       pendingDeliveries.synchronized {
         pendingDeliveries.getOrElseUpdate((id, subId), mutable.Buffer.empty) +=
           Map("rows" -> d.rows.map(_.map { case (k, v) => k -> tagValue(v) }),
@@ -397,56 +432,119 @@ class LeafServer(store: StreamStore, port: Int,
         pendingDeliveries.notifyAll()
       }
     }
+    subOwners.synchronized { subOwners((id, subId)) = c }
+    touchSub(id, subId)
     engine.drain() // backfill deliveries are available immediately
     Map("sub_id" -> subId)
   }
 
-  private def takeDeliveries(key: (String, Long)): Vector[Map[String, Any]] =
-    pendingDeliveries.synchronized {
-      pendingDeliveries.remove(key).map(_.toVector).getOrElse(Vector.empty)
-    }
-
-  handle("/stream/poll") { (_, args) =>
-    val id = str(args, "id")
-    engines.synchronized(engines.get(id)).foreach(_.drain())
-    Map("deliveries" -> takeDeliveries((id, args("sub_id").asInstanceOf[Long])))
+  /** Poll/push/unsubscribe are bound to the identity that subscribed —
+    * without this, any authenticated caller could consume another user's
+    * buffered deliveries (rows computed under that user's $requesting_user
+    * view) or kill their subscription. The reference scopes subscriptions
+    * to the socket connection, making cross-client access impossible. */
+  private def requireSub(c: Caller, id: String, subId: Long): Unit = {
+    val owner = subOwners.synchronized(subOwners.get((id, subId))).getOrElse(
+      throw new IllegalArgumentException(s"unknown subscription: $subId"))
+    if (!c.trusted && (owner.did.isEmpty || c.did != owner.did))
+      throw new LeafAuthException("subscription belongs to a different caller")
   }
 
-  /** Push-style delivery over HTTP: parks until a delivery is buffered for
-    * the subscription (or the timeout passes), then returns everything
-    * pending. Producers (event_batch) drain eagerly and notify. */
-  handle("/stream/events_push") { (_, args) =>
-    val id = str(args, "id")
-    val key = (id, args("sub_id").asInstanceOf[Long])
-    val timeoutMs = args.get("timeout_ms").collect { case l: Long => l }
-      .getOrElse(25000L).min(60000L).max(1L)
-    engines.synchronized(engines.get(id)).foreach(_.drain())
-    val deadline = System.nanoTime + timeoutMs * 1000000L
-    // take and wait under ONE monitor hold: a delivery arriving between a
-    // bare take and entering the monitor would otherwise sleep out the
-    // full timeout (its notifyAll fires before this thread waits)
-    val out = pendingDeliveries.synchronized {
-      var got = pendingDeliveries.remove(key).map(_.toVector).getOrElse(Vector.empty)
-      while (got.isEmpty && System.nanoTime < deadline) {
-        val waitMs = ((deadline - System.nanoTime) / 1000000L).max(1L)
-        pendingDeliveries.wait(waitMs)
-        got = pendingDeliveries.remove(key).map(_.toVector).getOrElse(Vector.empty)
-      }
-      got
+  private def touchSub(id: String, subId: Long): Unit =
+    subLastSeen.synchronized { subLastSeen((id, subId)) = System.nanoTime }
+
+  /** Drop subscriptions whose client has not polled within the TTL — the
+    * buffers they pin must not outlive a departed consumer (the reference's
+    * channels die with their socket connection; long-poll needs a clock). */
+  private def evictIdleSubs(): Unit = {
+    val cutoff = System.nanoTime - subIdleTtlMs * 1000000L
+    val stale = subLastSeen.synchronized {
+      subLastSeen.filter(_._2 < cutoff).keys.toVector
     }
-    Map("deliveries" -> out)
+    stale.foreach { case (sid, subId) => dropSub(sid, subId) }
   }
 
-  handle("/stream/unsubscribe") { (_, args) =>
-    val id = str(args, "id")
-    val subId = args("sub_id").asInstanceOf[Long]
+  private def dropSub(id: String, subId: Long): Unit = {
     engines.synchronized(engines.get(id)).foreach(_.unsubscribe(subId))
+    subOwners.synchronized(subOwners.remove((id, subId)))
+    subLastSeen.synchronized(subLastSeen.remove((id, subId)))
     // drop anything buffered for the dead subscription and wake any parked
     // long-poll so it returns instead of waiting out its timeout
     pendingDeliveries.synchronized {
       pendingDeliveries.remove((id, subId))
       pendingDeliveries.notifyAll()
     }
+  }
+
+  /** Number of deliveries currently buffered for a subscription (test
+    * observability for the backpressure cap). */
+  def bufferedDeliveries(id: String, subId: Long): Int =
+    pendingDeliveries.synchronized {
+      pendingDeliveries.get((id, subId)).map(_.size).getOrElse(0)
+    }
+
+  private def takeDeliveries(key: (String, Long)): Vector[Map[String, Any]] =
+    pendingDeliveries.synchronized {
+      pendingDeliveries.remove(key).map(_.toVector).getOrElse(Vector.empty)
+    }
+
+  /** The consumer freed buffer space: resume the paused catch-up so the
+    * next windows are computed and buffered for the following poll. */
+  private def refill(id: String, subId: Long): Unit =
+    engines.synchronized(engines.get(id)).foreach { e =>
+      e.resume(subId)
+      try e.drain() catch { case _: Exception => }
+    }
+
+  handle("/stream/poll") { (c, args) =>
+    val id = str(args, "id")
+    val subId = args("sub_id").asInstanceOf[Long]
+    requireSub(c, id, subId)
+    touchSub(id, subId)
+    engines.synchronized(engines.get(id)).foreach(_.drain())
+    val got = takeDeliveries((id, subId))
+    if (got.nonEmpty) refill(id, subId)
+    Map("deliveries" -> got)
+  }
+
+  /** Push-style delivery over HTTP: parks until a delivery is buffered for
+    * the subscription (or the timeout passes), then returns everything
+    * pending. Producers (event_batch) drain eagerly and notify. The number
+    * of concurrently parked pollers is capped: each one pins a thread and a
+    * buffer, so past the cap the call degrades to an immediate poll. */
+  handle("/stream/events_push") { (c, args) =>
+    val id = str(args, "id")
+    val subId = args("sub_id").asInstanceOf[Long]
+    val key = (id, subId)
+    requireSub(c, id, subId)
+    touchSub(id, subId)
+    val timeoutMs = args.get("timeout_ms").collect { case l: Long => l }
+      .getOrElse(25000L).min(60000L).max(1L)
+    engines.synchronized(engines.get(id)).foreach(_.drain())
+    val deadline = System.nanoTime + timeoutMs * 1000000L
+    val mayPark = parkedPolls.incrementAndGet() <= maxParkedPolls
+    // take and wait under ONE monitor hold: a delivery arriving between a
+    // bare take and entering the monitor would otherwise sleep out the
+    // full timeout (its notifyAll fires before this thread waits)
+    val out =
+      try pendingDeliveries.synchronized {
+        var got = pendingDeliveries.remove(key).map(_.toVector).getOrElse(Vector.empty)
+        while (mayPark && got.isEmpty && System.nanoTime < deadline) {
+          val waitMs = ((deadline - System.nanoTime) / 1000000L).max(1L)
+          pendingDeliveries.wait(waitMs)
+          got = pendingDeliveries.remove(key).map(_.toVector).getOrElse(Vector.empty)
+        }
+        got
+      } finally parkedPolls.decrementAndGet()
+    if (out.nonEmpty) refill(id, subId)
+    Map("deliveries" -> out)
+  }
+
+  handle("/stream/unsubscribe") { (c, args) =>
+    val id = str(args, "id")
+    val subId = args("sub_id").asInstanceOf[Long]
+    requireSub(c, id, subId)
+    dropSub(id, subId)
     Map.empty
   }
 

@@ -59,16 +59,7 @@ object EventSource {
     // write must see identical partitions), and assign idx as per-partition
     // offsets + local position — the zipWithIndex pattern. Dense, exact,
     // and every stage is parallel.
-    val sorted = raw.select(
-        (orderBy.map(col) :+
-          col(userCol).cast("string").as("user") :+
-          enc(col(userCol).cast("string"),
-            array(payloadCols.map(lit(_)): _*),
-            array(payloadCols.map(c => col(c).cast("string")): _*),
-            array(kinds.map(lit(_)): _*)).as("payload")): _*)
-      .repartitionByRange(orderBy.map(col): _*)
-      .sortWithinPartitions(orderBy.map(col): _*)
-      .select(col("user"), col("payload"))
+    val sorted = sortedStage(raw, userCol, orderBy, payloadCols, kinds, enc)
       .persist()
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("idx", org.apache.spark.sql.types.LongType),
@@ -80,6 +71,38 @@ object EventSource {
         i + 1 + startIdx, r.getString(0), r.getAs[Array[Byte]](1), Array.empty[Byte])
     }
     spark.createDataFrame(rows, schema)
+  }
+
+  private def sortedStage(raw: DataFrame, userCol: String, orderBy: Seq[String],
+      payloadCols: Seq[String], kinds: Seq[String],
+      enc: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame =
+    raw.select(
+        (orderBy.map(col) :+
+          col(userCol).cast("string").as("user") :+
+          enc(col(userCol).cast("string"),
+            array(payloadCols.map(lit(_)): _*),
+            array(payloadCols.map(c => col(c).cast("string")): _*),
+            array(kinds.map(lit(_)): _*)).as("payload")): _*)
+      .repartitionByRange(orderBy.map(col): _*)
+      .sortWithinPartitions(orderBy.map(col): _*)
+      .select(col("user"), col("payload"))
+
+  /** The distributed stage of `fromFile` BEFORE the zipWithIndex idx
+    * assignment — exposed so tests and profiling can assert its physical
+    * plan (range partitioning, no single-reducer window): the final
+    * DataFrame is an ExistingRDD scan whose plan hides the upstream. */
+  private[graft] def sortedStagePlan(spark: SparkSession, path: String,
+      format: String, userCol: String, orderBy: Seq[String]): String = {
+    val raw = format match {
+      case "parquet" => spark.read.parquet(path)
+      case "json" => spark.read.json(path)
+      case other => throw new IllegalArgumentException(s"unsupported format $other")
+    }
+    val payloadCols = raw.columns.filterNot(_ == userCol).toSeq
+    val enc = udf((user: String, keys: Seq[String], vals: Seq[String], kinds: Seq[String]) =>
+      Array.empty[Byte])
+    sortedStage(raw, userCol, orderBy, payloadCols, payloadCols.map(_ => "string"), enc)
+      .queryExecution.executedPlan.toString
   }
 
   /** Ingest a file into a stream: one distributed import + materialize. */

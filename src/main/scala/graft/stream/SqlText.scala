@@ -112,22 +112,28 @@ object SqlText {
     sb.toString
   }
 
-  /** True iff the argument text contains a top-level comma (two or more
-    * arguments), respecting parens and string literals. */
-  private def hasTopLevelComma(s: String): Boolean = {
-    var depth = 0; var inStr = false
-    s.foreach { c =>
+  /** Index of the first top-level comma, respecting parens and string
+    * literals; -1 when the argument list has a single argument. */
+  private def firstTopLevelComma(s: String): Int = {
+    var depth = 0; var inStr = false; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
       if (inStr) { if (c == '\'') inStr = false }
       else c match {
         case '\'' => inStr = true
         case '(' => depth += 1
         case ')' => depth -= 1
-        case ',' if depth == 0 => return true
+        case ',' if depth == 0 => return i
         case _ =>
       }
+      i += 1
     }
-    false
+    -1
   }
+
+  /** True iff the argument text contains a top-level comma (two or more
+    * arguments), respecting parens and string literals. */
+  private def hasTopLevelComma(s: String): Boolean = firstTopLevelComma(s) >= 0
 
   /** true for positions inside single-quoted literals. */
   private def literalMask(s: String): Array[Boolean] = {
@@ -187,7 +193,16 @@ object SqlText {
   def dialectRewrite(sql: String): String = {
     var t = rewriteJsonOps(sql)
     t = rewriteCall(t, "total")(a => s"coalesce(sum(cast(($a) as double)), 0.0d)")
-    t = rewriteCall(t, "iif")(a => s"if($a)")
+    // SQLite coerces a numeric condition (nonzero = true); Spark's `if`
+    // demands BOOLEAN, so the condition gets an explicit cast — without it
+    // `iif(count(*), a, b)` fails analysis instead of coercing
+    t = rewriteCall(t, "iif") { a =>
+      firstTopLevelComma(a) match {
+        case -1 => s"if($a)"
+        case cut =>
+          s"if(cast((${a.substring(0, cut)}) as boolean),${a.substring(cut + 1)})"
+      }
+    }
     t = rewriteCall(t, "format")(a => s"printf($a)")
     t = rewriteCall(t, "group_concat")(a =>
       if (hasTopLevelComma(a)) s"listagg($a)" else s"listagg($a, ',')")

@@ -45,12 +45,27 @@ import graft.types._
   * and to each table during the batch are deleted (file-level snapshot
   * rollback) before the error is rethrown.
   */
-class StreamStore(val spark: SparkSession, val root: String) {
+class StreamStore(val spark: SparkSession, val root: String,
+    maxOpenHandles: Int = 256) {
   LeafFunctions.register(spark)
   Files.createDirectories(Paths.get(root))
 
-  private val handles = mutable.Map.empty[String, StreamHandle]
+  // access-ordered LRU: open() refreshes a stream's position, overflow
+  // evicts the least-recently-used handle (each pins a SparkSession child
+  // with its own session state — at many thousands of streams a forever-map
+  // accumulates driver memory without bound; the reference caches streams
+  // by weak ref and lets idle ones drop, leaf-server/src/streams.rs:19-84)
+  private val handles =
+    new java.util.LinkedHashMap[String, StreamHandle](16, 0.75f, true)
   private val modules = mutable.Map.empty[String, ModuleDef]
+
+  // per-stream write locks live on the STORE, not the handle: an evicted
+  // handle still referenced somewhere shares the lock with its replacement,
+  // so two handle instances for one stream can never write concurrently
+  private val streamLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private[stream] def lockFor(id: String): Object =
+    streamLocks.getOrElseUpdate(id, new Object)
 
   // Content-addressed module blob store (the staging/GC analog of the
   // reference's module upload path, storage.rs:492-546): every registered
@@ -85,10 +100,15 @@ class StreamStore(val spark: SparkSession, val root: String) {
   }
 
   /** Delete module blobs referenced by no stream in this store root
-    * (each stream's meta.json names its current module). Returns the
-    * number of blobs collected. */
-  def gcModuleBlobs(): Int = synchronized {
+    * (each stream's meta.json names its current module). Only blobs staged
+    * longer than `minAgeMs` ago are eligible — a freshly-uploaded module is
+    * typically unreferenced for the window between upload and stream
+    * create, and must not be swept out from under that create (the
+    * reference GCs staged-but-unreferenced blobs after 500s,
+    * storage.rs:492-546). Returns the number of blobs collected. */
+  def gcModuleBlobs(minAgeMs: Long = 500 * 1000L): Int = synchronized {
     if (!Files.exists(modulesDir)) return 0
+    val staleBefore = System.currentTimeMillis() - minAgeMs
     val referenced: Set[String] = {
       val rootDir = Paths.get(root)
       val dirs = Files.list(rootDir)
@@ -104,6 +124,7 @@ class StreamStore(val spark: SparkSession, val root: String) {
     val dead =
       try blobs.iterator().asScala
         .filter(_.toString.endsWith(".json"))
+        .filter(p => Files.getLastModifiedTime(p).toMillis < staleBefore)
         .filterNot(p => referenced.contains(
           p.getFileName.toString.stripSuffix(".json"))).toList
       finally blobs.close()
@@ -114,15 +135,45 @@ class StreamStore(val spark: SparkSession, val root: String) {
     dead.size
   }
 
-  /** A1: open or create the stream with the given id. */
-  def open(id: String): StreamHandle = synchronized {
-    handles.getOrElseUpdate(id, new StreamHandle(this, id))
+  /** A1: open or create the stream with the given id. A previously evicted
+    * stream transparently reopens from its on-disk meta. Construction and
+    * eviction happen OUTSIDE the store monitor: handle init and close both
+    * take the stream's write lock, and a lock holder may call back into
+    * synchronized store methods (module resolution) — nesting the two
+    * orders would deadlock. */
+  def open(id: String): StreamHandle = {
+    val cached = synchronized(Option(handles.get(id)))
+    cached match {
+      case Some(h) if !h.isClosed => h
+      case _ => lockFor(id).synchronized {
+        synchronized(Option(handles.get(id))) match {
+          case Some(h) if !h.isClosed => h
+          case _ =>
+            val h = new StreamHandle(this, id)
+            val evicted = synchronized {
+              handles.put(id, h)
+              val out = mutable.ListBuffer.empty[StreamHandle]
+              val it = handles.entrySet().iterator()
+              while (handles.size > maxOpenHandles && it.hasNext) {
+                out += it.next().getValue
+                it.remove()
+              }
+              out.toList
+            }
+            evicted.foreach(_.close())
+            h
+        }
+      }
+    }
   }
+
+  /** Number of handles currently cached (test observability for the LRU). */
+  def openHandleCount: Int = synchronized(handles.size)
 
   /** True iff the stream exists — open in this process or persisted on
     * disk (every created stream saves meta.json at module install). */
   def exists(id: String): Boolean = synchronized {
-    handles.contains(id) ||
+    handles.containsKey(id) ||
       Files.exists(Paths.get(root, dbNameFor(id), "meta.json"))
   }
 
@@ -141,7 +192,7 @@ object StreamStore {
     StructField("signature", BinaryType, nullable = true)))
 }
 
-class StreamHandle(store: StreamStore, val id: String) {
+class StreamHandle(val store: StreamStore, val id: String) {
   import StreamStore.eventSchema
   // Per-stream session: shares the SparkContext and external catalog with
   // the store's session (cheap), but owns its session state — current
@@ -152,11 +203,36 @@ class StreamHandle(store: StreamStore, val id: String) {
   LeafFunctions.register(spark)
   val dbName: String = store.dbNameFor(id)
   private val dir: Path = Paths.get(store.root, dbName)
-  private val logDir: Path = dir.resolve("log")
   private val metaPath: Path = dir.resolve("meta.json")
 
-  // single writer per stream, mirroring the reference's write lock (lib.rs:607)
-  private val lock = new Object
+  // single writer per stream, mirroring the reference's write lock
+  // (lib.rs:607) — owned by the STORE so a stale handle instance and its
+  // replacement serialize against each other
+  private val lock = store.lockFor(id)
+
+  // The log directory is versioned: compaction writes the rewritten file
+  // set into the NEXT version dir and flips the table location, so a reader
+  // mid-scan (or holding a cached plan on another session) keeps a complete
+  // file set — never the half-swapped view a move-out/move-in would show.
+  // Version 0 is the unversioned "log" dir (original layout, still the
+  // default until the first compaction).
+  @volatile private var logVersion: Long = 0L
+  private def logDir: Path =
+    if (logVersion == 0) dir.resolve("log") else dir.resolve(s"log_v$logVersion")
+
+  @volatile private var closedFlag = false
+  def isClosed: Boolean = closedFlag
+  private def ensureOpen(): Unit =
+    if (closedFlag) throw new IllegalStateException(
+      s"stream handle for $id is closed (evicted) — reopen via store.open")
+
+  /** Release this handle: waits for any in-flight operation (shared write
+    * lock), then marks the handle unusable. All durable state is already on
+    * disk (meta.json is saved on every mutation), so close drops only
+    * driver-side session state; store.open(id) reopens from disk. */
+  def close(): Unit = lock.synchronized {
+    closedFlag = true
+  }
 
   @volatile private var latestIdx: Long = 0L
   @volatile private var cursor: Long = 0L
@@ -187,6 +263,16 @@ class StreamHandle(store: StreamStore, val id: String) {
   init()
 
   private def init(): Unit = lock.synchronized {
+    // resolve the current log version left by a previous process or an
+    // evicted predecessor handle
+    if (Files.exists(dir)) {
+      val vre = "log_v(\\d+)".r
+      logVersion = withList(dir)(_.flatMap(p =>
+        p.getFileName.toString match {
+          case vre(v) => Some(v.toLong)
+          case _ => None
+        }).maxOption).getOrElse(0L)
+    }
     Files.createDirectories(logDir)
     // anchor the database (and thus every managed table) inside the store
     // root — otherwise tables land in the session-global warehouse dir,
@@ -237,6 +323,9 @@ class StreamHandle(store: StreamStore, val id: String) {
 
   def eventsDF: DataFrame = spark.table(s"$dbName.events")
 
+  /** Current log directory (versioned after the first compaction). */
+  def logDirectory: Path = logDir
+
   /** Invalidate a table's cached file listing on this stream's session AND
     * the store's public session. Relation caches are per-session; with the
     * handle running on its own session, a drop/recreate or overwrite here
@@ -254,6 +343,7 @@ class StreamHandle(store: StreamStore, val id: String) {
     * replayed through the new module's materializer (reference semantics:
     * lib.rs:222-235 + streams.rs:86-98 + lib.rs:499-590). */
   def setModule(m: ModuleDef): Unit = lock.synchronized {
+    ensureOpen()
     store.registerModule(m)
     // persist the definition next to the log so a fresh process can reload
     // the stream (the reference content-addresses module blobs server-side)
@@ -312,6 +402,7 @@ class StreamHandle(store: StreamStore, val id: String) {
     * batch, nothing written), then append to the log and fold through the
     * materializer. Returns Right(newLatestIdx) or Left(rejection message). */
   def addEvents(batch: Seq[IncomingEvent]): Either[String, Long] = lock.synchronized {
+    ensureOpen()
     if (batch.isEmpty) return Right(latestIdx)
     catchUp()
     val m = currentModule.getOrElse(return Left("no module installed"))
@@ -374,6 +465,7 @@ class StreamHandle(store: StreamStore, val id: String) {
     * and only a validated batch is moved into the log (a failed check
     * leaves the log untouched). */
   def bulkImport(events: DataFrame): Long = lock.synchronized {
+    ensureOpen()
     val staging = Files.createTempDirectory(dir, ".import_")
     try {
       events.select(col("idx").cast("long"), col("user").cast("string"),
@@ -405,32 +497,46 @@ class StreamHandle(store: StreamStore, val id: String) {
     * the classic small-files problem (per-file open cost dominates scans at
     * scale). Compaction rewrites the log range-partitioned on idx into
     * ~128MB files — idx-disjoint, so per-file min/max pruning gets strictly
-    * better — and swaps the file set under the write lock. Returns the new
-    * file count. */
+    * better — and flips the events table to the new version directory.
+    *
+    * Snapshot isolation: the old file set is left fully intact until the
+    * NEXT compaction (one retained version), so a reader that resolved the
+    * table before the flip — including one on another session with a cached
+    * file listing — scans a complete, consistent log; it never sees the
+    * half-swapped state a move-out/move-in of individual files would
+    * expose. Returns the new file count. */
   def compactLog(): Int = lock.synchronized {
+    ensureOpen()
     val parts = listFiles(logDir).filter(_.toString.endsWith(".parquet")).toSeq
     if (parts.size <= 1) return parts.size
     val bytes = parts.map(Files.size(_)).sum
     val target = math.max(1, math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
-    val staging = Files.createTempDirectory(dir, ".compact_")
-    try {
-      eventsDF.repartitionByRange(target, col("idx"))
-        .sortWithinPartitions("idx")
-        .write.mode(SaveMode.Overwrite).parquet(staging.toString)
-      val bak = Files.createTempDirectory(dir, ".compact_old_")
-      parts.foreach(f => Files.move(f, bak.resolve(f.getFileName.toString)))
-      withList(staging)(_.filter(_.toString.endsWith(".parquet")).toList)
-        .foreach(f => Files.move(f, logDir.resolve(f.getFileName.toString)))
-      refreshEvents()
-      deleteRecursively(bak)
-      target
-    } finally deleteRecursively(staging)
+    val oldDir = logDir
+    val newDir = dir.resolve(s"log_v${logVersion + 1}")
+    eventsDF.repartitionByRange(target, col("idx"))
+      .sortWithinPartitions("idx")
+      .write.mode(SaveMode.Overwrite).parquet(newDir.toString)
+    // catalog location flip is a single metadata update — readers resolve
+    // either the complete old set or the complete new set
+    spark.sql(s"ALTER TABLE $dbName.events SET LOCATION '${newDir.toUri}'")
+    logVersion += 1
+    refreshEvents()
+    // retain exactly one previous version for in-flight readers; anything
+    // older than that has had a full compaction cycle to finish
+    val keep = Set(oldDir.getFileName.toString, newDir.getFileName.toString)
+    val vre = "log(_v\\d+)?".r
+    withList(dir)(_.filter { p =>
+      val n = p.getFileName.toString
+      vre.pattern.matcher(n).matches() && !keep.contains(n)
+    }.toList).foreach(deleteRecursively)
+    target
   }
 
   // ---------------- materialization (A4/A6) ----------------
 
   /** A6: replay unapplied events through the materializer. */
   def catchUp(): Long = lock.synchronized {
+    ensureOpen()
     val m = currentModule.getOrElse(return cursor)
     if (cursor >= latestIdx) return cursor
     val pending = eventsDF
@@ -451,6 +557,9 @@ class StreamHandle(store: StreamStore, val id: String) {
     * opened — exposed so tests can assert a module took the set-based path. */
   @volatile var perEventReplays: Long = 0L
 
+  /** Warnings emitted by the fallback loop (one per 10k replayed events). */
+  @volatile var perEventWarnings: Long = 0L
+
   private def materialize(m: ModuleDef, events: DataFrame): Unit = {
     if (m.materializer.trim.isEmpty) return
     val stmts = SqlText.prepare(m.materializer)
@@ -460,7 +569,18 @@ class StreamHandle(store: StreamStore, val id: String) {
       finally spark.catalog.dropTempView("event")
     } else {
       val rows = events.orderBy("idx").collect()
+      // a non-batch-safe module at bulk-ingest scale is a driver loop over
+      // every event — semantically required, but it must be VISIBLE before
+      // it dominates a 100 TB ingest: one warning per 10k replayed events
+      val before = perEventReplays
       perEventReplays += rows.length
+      if (perEventReplays / 10000 > before / 10000) {
+        perEventWarnings += 1
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"stream $id: module ${m.cid} is not batch-safe — " +
+            s"$perEventReplays events replayed one at a time on the driver; " +
+            "rewrite its materializer as pure INSERTs for set-based ingest")
+      }
       rows.foreach { r =>
         spark.createDataFrame(java.util.List.of(r), events.schema)
           .createOrReplaceTempView("event")
@@ -507,6 +627,7 @@ class StreamHandle(store: StreamStore, val id: String) {
 
   /** A5: fold state events into `state_*` tables; nothing touches the log. */
   def addStateEvents(batch: Seq[IncomingEvent]): Either[String, Unit] = lock.synchronized {
+    ensureOpen()
     val m = currentModule.getOrElse(return Left("no module installed"))
     if (m.stateMaterializer.trim.isEmpty) return Right(())
     val rows = batch.map(e => Row(e.user, e.payload))
@@ -536,6 +657,7 @@ class StreamHandle(store: StreamStore, val id: String) {
 
   /** A12: drop all state tables and re-run the module's state init SQL. */
   def clearState(): Unit = lock.synchronized {
+    ensureOpen()
     stateTables().foreach(t => spark.sql(s"DROP TABLE IF EXISTS $dbName.$t"))
     currentModule.foreach(m => runStatements(m.stateInitSql, Map.empty))
     stateTables().foreach(refreshBoth)

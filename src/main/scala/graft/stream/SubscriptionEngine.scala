@@ -18,7 +18,15 @@ import graft.types.{LeafQuery, SqlValue}
   * window. Delivery here is a synchronous driver-side pump (`drain`) driven
   * by append notifications; a server layer can call it from any scheduler.
   */
-class SubscriptionEngine(handle: StreamHandle) {
+class SubscriptionEngine(store: StreamStore, streamId: String) {
+
+  /** Convenience for callers already holding a handle. */
+  def this(h: StreamHandle) = this(h.store, h.id)
+
+  // resolved through the store on every pump so an LRU-evicted handle is
+  // transparently reopened (and the stream stays hot in the store's cache
+  // while it has active subscribers)
+  private def handle: StreamHandle = store.open(streamId)
 
   case class Delivery(rows: Vector[Map[String, SqlValue]], hasMore: Boolean)
 
@@ -26,6 +34,7 @@ class SubscriptionEngine(handle: StreamHandle) {
       id: Long,
       user: Option[String],
       query: LeafQuery,
+      hasRoom: () => Boolean,
       sink: Delivery => Unit,
       var cursor: Long,
       var closed: Boolean = false)
@@ -35,12 +44,19 @@ class SubscriptionEngine(handle: StreamHandle) {
   private val pending = mutable.Queue.empty[Long]
 
   /** Register a subscription; returns its id. Queues an immediate update so
-    * a subscriber with an explicit `start` backfills history first. */
-  def subscribe(user: Option[String], q: LeafQuery)(sink: Delivery => Unit): Long =
+    * a subscriber with an explicit `start` backfills history first.
+    *
+    * `hasRoom` is the backpressure valve (the reference bounds its
+    * subscription channels at 12 entries and parks the worker when full,
+    * lib.rs:337,355): while it returns false the pump skips this
+    * subscription — nothing is computed, nothing is buffered — until the
+    * consumer frees space and calls `resume`. */
+  def subscribe(user: Option[String], q: LeafQuery,
+      hasRoom: () => Boolean = () => true)(sink: Delivery => Unit): Long =
     synchronized {
       val cursor = q.start.map(_ - 1).getOrElse(handle.latest)
       nextId += 1
-      subs(nextId) = Sub(nextId, user, q, sink, cursor)
+      subs(nextId) = Sub(nextId, user, q, hasRoom, sink, cursor)
       pending.enqueue(nextId)
       nextId
     }
@@ -48,6 +64,15 @@ class SubscriptionEngine(handle: StreamHandle) {
   def unsubscribe(id: Long): Unit = synchronized {
     subs.get(id).foreach(_.closed = true)
     subs.remove(id)
+  }
+
+  /** True iff the subscription is still registered. */
+  def has(id: Long): Boolean = synchronized(subs.contains(id))
+
+  /** Re-queue a subscription whose consumer just freed buffer space, so the
+    * next drain resumes its catch-up where backpressure paused it. */
+  def resume(id: Long): Unit = synchronized {
+    if (subs.contains(id)) pending.enqueue(id)
   }
 
   /** A9: notification that new events landed — wake every subscription. */
@@ -68,11 +93,12 @@ class SubscriptionEngine(handle: StreamHandle) {
     var next: Option[Sub] = dequeue()
     while (next.isDefined) {
       val sub = next.get
-      if (!sub.closed && sub.cursor < handle.latest) {
+      val h = handle
+      if (!sub.closed && sub.cursor < h.latest && sub.hasRoom()) {
         val q = sub.query.updateForSubscription(sub.cursor + 1)
-        val windowEnd = math.min(q.lastEvent, handle.latest)
-        val rows = handle.queryTagged(sub.user, q)
-        val hasMore = windowEnd < handle.latest
+        val windowEnd = math.min(q.lastEvent, h.latest)
+        val rows = h.queryTagged(sub.user, q)
+        val hasMore = windowEnd < h.latest
         sub.sink(Delivery(rows, hasMore))
         deliveries += 1
         sub.cursor = windowEnd

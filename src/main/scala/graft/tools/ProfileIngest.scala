@@ -9,10 +9,15 @@ import graft.drisl.Drisl
 import graft.stream._
 import graft.types._
 
-/** Dev profiling harness for the bulk-ingest path (not part of the API). */
+/** Dev profiling harness for the bulk-ingest path (not part of the API).
+  *
+  * Usage: ProfileIngest [dir] [copies]. `copies` > 1 replicates the events
+  * table with shifted ids to emulate a larger scale factor (10 × sf0.1 ≈
+  * sf1) — profiling input only, never gate-query input. */
 object ProfileIngest {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).map(_.toInt).getOrElse(1)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -40,12 +45,19 @@ object ProfileIngest {
     time("setModule")(h.setModule(m))
     val enc = udf((etype: String, value: Double, k: Long) =>
       Drisl.encode(obj("type" -> text(etype), "value" -> DFloat(value), "k" -> int(k))))
-    val ev = time("build ev df")(Tables.df(spark, dir, "events")
-      .select((col("event_id") + 1).as("idx"),
+    val base = Tables.df(spark, dir, "events")
+    val baseN = base.count()
+    val scaled =
+      if (copies <= 1) base.withColumn("rep", lit(0L))
+      else base.crossJoin(
+        spark.range(copies).select(col("id").as("rep")))
+    val ev = time("build ev df")(scaled
+      .select((col("event_id") + col("rep") * baseN + 1).as("idx"),
         concat(lit("u"), col("user_id")).as("user"),
         enc(col("event_type"), col("value"),
           get_json_object(col("props"), "$.k").cast("long")).as("payload"),
         lit(Array.empty[Byte]).as("signature")))
+    println(s"[profile] events to ingest: ${baseN * math.max(copies, 1)} (base $baseN x $copies)")
     time("bulkImport total")(h.bulkImport(ev))
     time("query")(h.query(None, LeafQuery("n")).collect())
 
@@ -59,11 +71,11 @@ object ProfileIngest {
       graft.sources.EventSource.ingest(h2, s"$dir/documents.parquet", "parquet",
         userCol = "doc_id", orderBy = Seq("doc_id")))
     println(s"[profile] imported latest_idx=$imported")
-    val plan = graft.sources.EventSource.fromFile(spark, s"$dir/documents.parquet",
-      "parquet", "doc_id", Seq("doc_id"), 0L)
-      .queryExecution.executedPlan.toString
+    val plan = graft.sources.EventSource.sortedStagePlan(spark,
+      s"$dir/documents.parquet", "parquet", "doc_id", Seq("doc_id"))
     val globalWindow = "Window \\[row_number".r.findFirstIn(plan).isDefined
     println(s"[profile] single-reducer window in plan: $globalWindow (must be false)")
+    println(s"[profile] range-partitioned: ${plan.toLowerCase.contains("rangepartitioning")} (must be true)")
     spark.stop()
   }
 }

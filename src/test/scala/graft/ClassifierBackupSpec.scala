@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.drisl.DValue._
@@ -176,6 +178,87 @@ class ClassifierBackupSpec extends AnyFunSuite {
       "state snapshot must be reinstated on restore")
   }
 
+  test("incremental backup: 3-range chain round-trips, old ranges untouched") {
+    val h = store.open("did:test:incbak")
+    h.setModule(module)
+    h.addEvents((1 to 2).map(i => IncomingEvent(s"u$i", payload(s"m$i", i))))
+    val dirP = java.nio.file.Files.createTempDirectory("graft-incbak")
+    val dir = "file:" + dirP
+    assert(BackupService.backup(h, dir) == Some((1L, 2L)))
+    // second backup archives ONLY the new events as a new range...
+    h.addEvents((3 to 5).map(i => IncomingEvent(s"u$i", payload(s"m$i", i))))
+    def filesOf(rel: String) = {
+      val s = java.nio.file.Files.list(dirP.resolve(rel))
+      try s.iterator().asScala.map(p =>
+        p.getFileName.toString -> java.nio.file.Files.getLastModifiedTime(p))
+        .toMap
+      finally s.close()
+    }
+    val firstRange = filesOf("events/1-2")
+    assert(BackupService.backup(h, dir) == Some((3L, 5L)))
+    // ...leaving the already-archived range byte-for-byte alone (this is
+    // what makes backup O(new events) instead of O(corpus))
+    assert(filesOf("events/1-2") == firstRange,
+      "an incremental backup must not rewrite prior range archives")
+    h.addEvents(Seq(IncomingEvent("u6", payload("m6", 6))))
+    assert(BackupService.backup(h, dir) == Some((6L, 6L)))
+    // a current destination is a no-op (no new range)
+    assert(BackupService.backup(h, dir).isEmpty)
+    assert(java.nio.file.Files.isDirectory(dirP.resolve("events/1-2")) &&
+      java.nio.file.Files.isDirectory(dirP.resolve("events/3-5")) &&
+      java.nio.file.Files.isDirectory(dirP.resolve("events/6-6")))
+    // restore stitches the chain back together
+    val r = BackupService.restore(store, "did:test:increstored", dir)
+    assert(r.latest == 6L)
+    assert(r.queryTagged(None, LeafQuery("list")).map(_("content")) ==
+      (1 to 6).map(i => SqlValue.SqlText(s"m$i")).toVector)
+  }
+
+  test("restore rejects a gapped or non-1-based backup chain") {
+    val h = store.open("did:test:gapbak")
+    h.setModule(module)
+    h.addEvents((1 to 6).map(i => IncomingEvent(s"u$i", payload(s"m$i", i))))
+    val dirP = java.nio.file.Files.createTempDirectory("graft-gapbak")
+    val dir = "file:" + dirP
+    assert(BackupService.backup(h, dir) == Some((1L, 6L)))
+    // tampering outside the Hadoop fs invalidates its sidecar checksum
+    def tamper(json: String): Unit = {
+      java.nio.file.Files.write(dirP.resolve("meta.json"), json.getBytes("UTF-8"))
+      java.nio.file.Files.deleteIfExists(dirP.resolve(".meta.json.crc"))
+    }
+    // a manifest with a hole between ranges must be refused outright
+    tamper("""{"latest_idx":6,"state_tables":[],"ranges":[[1,2],[4,6]]}""")
+    val gap = intercept[IllegalArgumentException](
+      BackupService.restore(store, "did:test:gaprest1", dir))
+    assert(gap.getMessage.contains("gap"), gap.getMessage)
+    // ...as must a chain that does not start at idx 1
+    tamper("""{"latest_idx":6,"state_tables":[],"ranges":[[2,6]]}""")
+    val off = intercept[IllegalArgumentException](
+      BackupService.restore(store, "did:test:gaprest2", dir))
+    assert(off.getMessage.contains("start at idx 1"), off.getMessage)
+  }
+
+  test("background sweep archives new ranges on its own") {
+    val h = store.open("did:test:sweep")
+    h.setModule(module)
+    h.addEvents(Seq(IncomingEvent("a", payload("s1", 1))))
+    val dirP = java.nio.file.Files.createTempDirectory("graft-sweep")
+    val sweep = BackupService.scheduleSweep(h, "file:" + dirP, intervalMs = 250)
+    try {
+      def covered: Long =
+        if (!java.nio.file.Files.exists(dirP.resolve("meta.json"))) 0L
+        else "\"latest_idx\":(\\d+)".r.findFirstMatchIn(new String(
+          java.nio.file.Files.readAllBytes(dirP.resolve("meta.json")), "UTF-8"))
+          .map(_.group(1).toLong).getOrElse(0L)
+      val deadline = System.nanoTime + 30L * 1000000000L
+      while (covered < 1L && System.nanoTime < deadline) Thread.sleep(100)
+      assert(covered == 1L, "sweep must archive the first event")
+      h.addEvents(Seq(IncomingEvent("a", payload("s2", 2))))
+      while (covered < 2L && System.nanoTime < deadline) Thread.sleep(100)
+      assert(covered == 2L, "sweep must pick up new events incrementally")
+    } finally sweep.close()
+  }
+
   test("module blobs are staged to disk and GC collects unreferenced ones") {
     val root = java.nio.file.Files.createTempDirectory("graft-gc").toString
     val store1 = new StreamStore(spark, root)
@@ -185,6 +268,17 @@ class ClassifierBackupSpec extends AnyFunSuite {
     store1.registerModule(orphan)
     val h = store1.open("did:test:gc")
     h.setModule(kept)
+    // a freshly-staged blob is inside the staging TTL: the sweep must not
+    // collect it out from under an in-flight stream create
+    assert(store1.gcModuleBlobs() == 0, "fresh blobs are within the staging TTL")
+    // age the blobs past the TTL; now exactly the unreferenced one dies
+    val modsDir = java.nio.file.Paths.get(root, "modules")
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 600 * 1000L)
+    val ls = java.nio.file.Files.list(modsDir)
+    try ls.iterator().asScala.foreach(p =>
+      java.nio.file.Files.setLastModifiedTime(p, old))
+    finally ls.close()
     assert(store1.gcModuleBlobs() == 1, "exactly the orphan blob is dead")
     // a fresh store over the same root resolves the kept cid from disk
     val store2 = new StreamStore(spark, root)

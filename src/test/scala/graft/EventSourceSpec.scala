@@ -44,6 +44,21 @@ class EventSourceSpec extends AnyFunSuite {
     assert(ks == ks.sorted, "idx order must follow the ordering key globally")
   }
 
+  test("idx assignment plan has no single-reducer exchange") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ing-plan").toString
+    (1 to 100).map(i => (s"u$i", i)).toDF("who", "k")
+      .repartition(4).write.parquet(s"$dir/p")
+    val plan = EventSource.sortedStagePlan(spark, s"$dir/p", "parquet", "who", Seq("k"))
+    // a row_number window over an empty partition spec would funnel the
+    // whole import through ONE reducer — the zipWithIndex design must never
+    // regress to it (SCALE.md §ingest)
+    assert(!plan.contains("Window [row_number"),
+      s"single-reducer window in ingest plan:\n$plan")
+    assert(plan.toLowerCase.contains("rangepartitioning"),
+      s"ingest must range-partition on the ordering key:\n$plan")
+  }
+
   test("json file -> bulk ingest -> materialized query; csv export round-trip") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-ing").toString

@@ -69,6 +69,20 @@ class JwtAuthSpec extends AnyFunSuite {
       .left.exists(_.contains("issuer")))
   }
 
+  test("missing exp and future nbf/iat are rejected; sane nbf/iat pass") {
+    // a token with no exp would be valid forever — required, like the
+    // reference's jsonwebtoken default validation
+    assert(auth.verify(token(goodClaims - "exp"))
+      .left.exists(_.contains("exp")))
+    val now = System.currentTimeMillis() / 1000
+    assert(auth.verify(token(goodClaims + ("nbf" -> (now + 3600))))
+      .left.exists(_.contains("not yet valid")))
+    assert(auth.verify(token(goodClaims + ("iat" -> (now + 3600))))
+      .left.exists(_.contains("issued in the future")))
+    assert(auth.verify(token(goodClaims ++ Map(
+      "nbf" -> (now - 10), "iat" -> (now - 10)))) == Right("did:plc:alice"))
+  }
+
   test("wrong key, unknown did, bad alg, malformed token are rejected") {
     assert(auth.verify(token(goodClaims, key = mallory.getPrivate))
       .left.exists(_.contains("signature")))

@@ -231,7 +231,8 @@ class ServerSpec extends AnyFunSuite {
         val h = b64(Json.render(Map("alg" -> "ES256")).getBytes("UTF-8"))
         val c = b64(Json.render(Map(
           "iss" -> did, "aud" -> "did:web:graft.test",
-          "lxm" -> "town.muni.leaf.authenticate")).getBytes("UTF-8"))
+          "lxm" -> "town.muni.leaf.authenticate",
+          "exp" -> (System.currentTimeMillis() / 1000 + 600))).getBytes("UTF-8"))
         val signer = java.security.Signature.getInstance("SHA256withECDSA")
         signer.initSign(key); signer.update(s"$h.$c".getBytes("UTF-8"))
         val der = signer.sign()
@@ -256,9 +257,15 @@ class ServerSpec extends AnyFunSuite {
       // no/invalid token rejected
       assert(jpost("/stream/info", Map("id" -> "x"), None).contains("err"))
       assert(jpost("/stream/info", Map("id" -> "x"), Some("garbage")).contains("err"))
-      // alice creates (JWT identity becomes the owner), bob cannot mutate
-      val sid = jpost("/stream/create",
+      // an untrusted (JWT) caller may not choose the stream id — that is
+      // the takeover-by-create channel (attach to an existing stream,
+      // swap its module, mint owner rights)
+      val chose = jpost("/stream/create",
         Map("id" -> "did:graft:jwt", "module_cid" -> cid),
+        Some(tok("did:plc:alice", alice.getPrivate)))
+      assert(chose.get("err").exists(_.toString.contains("trusted")), chose.toString)
+      // alice creates (JWT identity becomes the owner), bob cannot mutate
+      val sid = jpost("/stream/create", Map("module_cid" -> cid),
         Some(tok("did:plc:alice", alice.getPrivate)))("ok")
         .asInstanceOf[Map[String, Any]]("id").toString
       val denied = jpost("/stream/clear_state", Map("id" -> sid),
@@ -332,6 +339,158 @@ class ServerSpec extends AnyFunSuite {
     val s2 = ok(post("/stream/query", Map("id" -> "did:graft:journey2",
       "query" -> Map("name" -> "sum"))))("rows").asInstanceOf[Vector[Any]]
     assert(s2 == s1, "restored stream must answer identically")
+  }
+
+  test("create of an existing stream id is rejected (takeover-by-create)") {
+    val cid = uploadModule()
+    val sid = ok(post("/stream/create",
+      Map("id" -> "did:graft:victim", "module_cid" -> cid),
+      did = Some("did:plc:victim")))("id").toString
+    (1 to 2).foreach(i => ok(post("/stream/event_batch", Map("id" -> sid,
+      "events" -> Vector(Map("user" -> "v", "payload_b64" -> payload(s"v$i", i)))))))
+    // re-creating the same id would attach to the existing stream, swap its
+    // module (dropping its tables) and add the caller as an owner
+    val hijack = post("/stream/create",
+      Map("id" -> sid, "module_cid" -> cid), did = Some("did:plc:mallory"))
+    assert(hijack.get("err").exists(_.toString.contains("already exists")), hijack.toString)
+    // the victim's data and ownership are intact
+    val rows = ok(post("/stream/query", Map("id" -> sid,
+      "query" -> Map("name" -> "list"))))("rows").asInstanceOf[Vector[Any]]
+    assert(rows.size == 2)
+    assert(post("/stream/clear_state", Map("id" -> sid),
+      did = Some("did:plc:mallory")).contains("err"))
+  }
+
+  test("slow consumer: delivery buffer is capped and resumes after a poll") {
+    val tight = new LeafServer(store, 0, authToken = Some("testtoken"),
+      maxBufferedDeliveries = 3)
+    tight.start()
+    try {
+      def tpost(path: String, body: Map[String, Any]): Map[String, Any] = {
+        val b = HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${tight.boundPort}$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(Json.render(body)))
+          .header("Authorization", "Bearer testtoken")
+        Json.parse(client.send(b.build(),
+          HttpResponse.BodyHandlers.ofString()).body()).asInstanceOf[Map[String, Any]]
+      }
+      def tok2(r: Map[String, Any]) = { assert(!r.contains("err"), r.toString); r("ok").asInstanceOf[Map[String, Any]] }
+      val cid = uploadModule()
+      val sid = tok2(tpost("/stream/create",
+        Map("id" -> "did:graft:slow", "module_cid" -> cid)))("id").toString
+      // limit=1 → one event per delivery window: 10 events = 10 windows
+      val subId = tok2(tpost("/stream/subscribe_events", Map("id" -> sid,
+        "query" -> Map("name" -> "list", "start" -> 1L, "limit" -> 1L))))("sub_id")
+        .asInstanceOf[Long]
+      tok2(tpost("/stream/event_batch", Map("id" -> sid, "events" ->
+        (1 to 10).map(i => Map("user" -> "u", "payload_b64" -> payload(s"m$i", i.toLong))).toVector)))
+      // the eager push pumped until the cap, then paused — NOT 10 windows
+      assert(tight.bufferedDeliveries(sid, subId) == 3,
+        s"buffer must stop at the cap, got ${tight.bufferedDeliveries(sid, subId)}")
+      // each poll takes the buffer and resumes the catch-up for the next one
+      var total = 0
+      for (_ <- 1 to 4) {
+        val ds = tok2(tpost("/stream/poll", Map("id" -> sid, "sub_id" -> subId)))(
+          "deliveries").asInstanceOf[Vector[Any]]
+        assert(ds.size <= 3, s"a poll must never see more than the cap, got ${ds.size}")
+        total += ds.map(_.asInstanceOf[Map[String, Any]]("rows")
+          .asInstanceOf[Vector[Any]].size).sum
+      }
+      assert(total == 10, s"backpressure must not lose rows, got $total")
+    } finally tight.stop()
+  }
+
+  test("idle subscriptions are evicted after the TTL") {
+    val ttl = new LeafServer(store, 0, authToken = Some("testtoken"),
+      subIdleTtlMs = 300)
+    ttl.start()
+    try {
+      def tpost(path: String, body: Map[String, Any]): Map[String, Any] = {
+        val b = HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${ttl.boundPort}$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(Json.render(body)))
+          .header("Authorization", "Bearer testtoken")
+        Json.parse(client.send(b.build(),
+          HttpResponse.BodyHandlers.ofString()).body()).asInstanceOf[Map[String, Any]]
+      }
+      def tok2(r: Map[String, Any]) = { assert(!r.contains("err"), r.toString); r("ok").asInstanceOf[Map[String, Any]] }
+      val cid = uploadModule()
+      val sid = tok2(tpost("/stream/create",
+        Map("id" -> "did:graft:idle", "module_cid" -> cid)))("id").toString
+      val subId = tok2(tpost("/stream/subscribe_events", Map("id" -> sid,
+        "query" -> Map("name" -> "list"))))("sub_id").asInstanceOf[Long]
+      Thread.sleep(500) // past the TTL with no client activity
+      // any append sweeps idle subs before pumping
+      tok2(tpost("/stream/event_batch", Map("id" -> sid, "events" -> Vector(
+        Map("user" -> "u", "payload_b64" -> payload("late", 1))))))
+      val gone = tpost("/stream/poll", Map("id" -> sid, "sub_id" -> subId))
+      assert(gone.get("err").exists(_.toString.contains("unknown subscription")),
+        gone.toString)
+      assert(ttl.bufferedDeliveries(sid, subId) == 0)
+    } finally ttl.stop()
+  }
+
+  test("poll/unsubscribe are bound to the subscribing caller") {
+    import java.security.KeyPairGenerator
+    import java.security.spec.ECGenParameterSpec
+    val kpg = KeyPairGenerator.getInstance("EC")
+    kpg.initialize(new ECGenParameterSpec("secp256r1"))
+    val alice = kpg.generateKeyPair()
+    val bob = kpg.generateKeyPair()
+    val keys = Map("did:plc:suba" -> alice.getPublic, "did:plc:subb" -> bob.getPublic)
+    val jsrv = new LeafServer(store, 0,
+      jwt = Some(new graft.server.JwtAuth("did:web:graft.test", keys.get)))
+    jsrv.start()
+    try {
+      def tok(did: String, key: java.security.PrivateKey): String = {
+        val b64 = (b: Array[Byte]) =>
+          java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(b)
+        val h = b64(Json.render(Map("alg" -> "ES256")).getBytes("UTF-8"))
+        val c = b64(Json.render(Map(
+          "iss" -> did, "aud" -> "did:web:graft.test",
+          "lxm" -> "town.muni.leaf.authenticate",
+          "exp" -> (System.currentTimeMillis() / 1000 + 600))).getBytes("UTF-8"))
+        val signer = java.security.Signature.getInstance("SHA256withECDSA")
+        signer.initSign(key); signer.update(s"$h.$c".getBytes("UTF-8"))
+        val der = signer.sign()
+        def readInt(at: Int): (Array[Byte], Int) = {
+          val len = der(at + 1) & 0xff
+          (der.slice(at + 2, at + 2 + len).dropWhile(_ == 0), at + 2 + len)
+        }
+        val (r, next) = readInt(2); val (s, _) = readInt(next)
+        def pad(b: Array[Byte]) = Array.fill[Byte](32 - b.length)(0) ++ b
+        s"$h.$c.${b64(pad(r) ++ pad(s))}"
+      }
+      def jpost(path: String, body: Map[String, Any], bearer: String): Map[String, Any] = {
+        val b = HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${jsrv.boundPort}$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(Json.render(body)))
+          .header("Authorization", s"Bearer $bearer")
+        Json.parse(client.send(b.build(),
+          HttpResponse.BodyHandlers.ofString()).body()).asInstanceOf[Map[String, Any]]
+      }
+      val aliceTok = tok("did:plc:suba", alice.getPrivate)
+      val bobTok = tok("did:plc:subb", bob.getPrivate)
+      val cid = uploadModule()
+      val sid = jpost("/stream/create", Map("module_cid" -> cid), aliceTok)("ok")
+        .asInstanceOf[Map[String, Any]]("id").toString
+      val subId = jpost("/stream/subscribe_events", Map("id" -> sid,
+        "query" -> Map("name" -> "list", "start" -> 1L)), aliceTok)("ok")
+        .asInstanceOf[Map[String, Any]]("sub_id").asInstanceOf[Long]
+      // bob can neither read alice's deliveries nor kill her subscription
+      for (stolen <- Seq(
+          jpost("/stream/poll", Map("id" -> sid, "sub_id" -> subId), bobTok),
+          jpost("/stream/events_push",
+            Map("id" -> sid, "sub_id" -> subId, "timeout_ms" -> 100L), bobTok),
+          jpost("/stream/unsubscribe", Map("id" -> sid, "sub_id" -> subId), bobTok)))
+        assert(stolen.get("err").exists(_.toString.contains("different caller")),
+          stolen.toString)
+      // alice still can
+      assert(!jpost("/stream/poll",
+        Map("id" -> sid, "sub_id" -> subId), aliceTok).contains("err"))
+      assert(!jpost("/stream/unsubscribe",
+        Map("id" -> sid, "sub_id" -> subId), aliceTok).contains("err"))
+    } finally jsrv.stop()
   }
 
   test("module upload larger than 10MB is rejected") {

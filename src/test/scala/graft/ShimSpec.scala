@@ -55,6 +55,18 @@ class ShimSpec extends AnyFunSuite {
     assert(sqlPrepared("SELECT 'total(x)' AS s").head().getString(0) == "total(x)")
   }
 
+  test("iif coerces numeric conditions like SQLite (nonzero = true)") {
+    // SQLite treats any nonzero numeric condition as true; Spark's `if`
+    // demands BOOLEAN — the rewrite inserts the cast
+    val r = sqlPrepared(
+      """SELECT iif(count(*), 'y', 'n') AS a, iif(0, 'y', 'n') AS b,
+        |       iif(sum(x) - 3, 'y', 'n') AS c
+        |FROM VALUES (1), (2) AS t(x)""".stripMargin).head()
+    assert(r.getString(0) == "y")
+    assert(r.getString(1) == "n")
+    assert(r.getString(2) == "n")
+  }
+
   test("json operators and missing-name shims cover the whitelist") {
     // -> / ->> operators rewrite to get_json_object; bare keys get $.
     val r = sqlPrepared(

@@ -169,9 +169,8 @@ class StreamSpec extends AnyFunSuite {
     h.setModule(chatModule)
     (1 to 4).foreach(b => h.addEvents(
       Seq(IncomingEvent("u", payload("msg", s"b$b", b.toLong)))))
-    val logDir = java.nio.file.Paths.get(store.root, h.dbName, "log")
     def parquetFiles = {
-      val s = java.nio.file.Files.list(logDir)
+      val s = java.nio.file.Files.list(h.logDirectory)
       try s.iterator().asScala.count(_.toString.endsWith(".parquet"))
       finally s.close()
     }
@@ -185,6 +184,71 @@ class StreamSpec extends AnyFunSuite {
     // the stream keeps appending normally after compaction
     assert(h.addEvents(Seq(IncomingEvent("u", payload("msg", "b5", 5)))) == Right(5L))
     assert(h.queryTagged(None, LeafQuery("list")).size == 5)
+  }
+
+  test("LRU eviction closes idle handles and reopen recovers from disk") {
+    val evStore = new StreamStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-evict").toString,
+      maxOpenHandles = 2)
+    val h1 = evStore.open("did:test:ev1")
+    h1.setModule(chatModule)
+    h1.addEvents(Seq(IncomingEvent("a", payload("msg", "one", 1))))
+    val h2 = evStore.open("did:test:ev2")
+    h2.setModule(chatModule)
+    // opening a third stream overflows the cap and evicts the LRU (ev1)
+    evStore.open("did:test:ev3").setModule(chatModule)
+    assert(evStore.openHandleCount == 2)
+    assert(h1.isClosed, "the least-recently-used handle must be closed")
+    assert(!h2.isClosed && !evStore.open("did:test:ev3").isClosed)
+    // a stale reference is unusable — no silent write through a zombie
+    assertThrows[IllegalStateException](
+      h1.addEvents(Seq(IncomingEvent("a", payload("msg", "late", 9)))))
+    // reopening recovers everything from disk meta (and evicts another LRU)
+    val h1b = evStore.open("did:test:ev1")
+    assert(!(h1b eq h1) && h1b.latest == 1L)
+    assert(h1b.queryTagged(None, LeafQuery("list")).map(_("content")) ==
+      Vector(SqlValue.SqlText("one")))
+    assert(h1b.addEvents(Seq(IncomingEvent("b", payload("msg", "two", 2)))) == Right(2L))
+    assert(evStore.openHandleCount == 2)
+  }
+
+  test("compaction is snapshot-safe: concurrent readers never see a dip") {
+    val h = store.open("did:test:snapsafe")
+    h.setModule(chatModule)
+    (1 to 6).foreach(b => h.addEvents(
+      Seq(IncomingEvent("u", payload("msg", s"c$b", b.toLong)))))
+    @volatile var stop = false
+    @volatile var worst = Long.MaxValue
+    val counts = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    // reader on the STORE session (a different session than the handle's):
+    // the round-2 design had a window where old files were moved out before
+    // new ones moved in, so a concurrent count could transiently dip
+    val readErrors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val reader = new Thread(() => {
+      while (!stop) {
+        try {
+          val c = store.spark.table(s"${h.dbName}.events").count()
+          counts.add(c)
+          if (c < worst) worst = c
+        } catch { case t: Throwable => readErrors.add(t); stop = true }
+      }
+    })
+    reader.start()
+    try {
+      var expected = 6L
+      (1 to 3).foreach { round =>
+        assert(h.compactLog() >= 1)
+        h.addEvents(Seq(IncomingEvent("u", payload("msg", s"r$round", 100L + round))))
+        expected += 1
+      }
+      stop = true
+      reader.join(10000)
+      assert(counts.size() > 0, "reader must have sampled during compaction")
+      assert(readErrors.isEmpty, s"concurrent reader failed: ${readErrors.peek()}")
+      assert(worst >= 6L,
+        s"a concurrent reader observed a transient row-count dip to $worst")
+      assert(h.queryTagged(None, LeafQuery("list")).size == expected)
+    } finally { stop = true; reader.join(10000) }
   }
 
   test("subscription: backfill, has_more, only-new-events default (A8)") {
