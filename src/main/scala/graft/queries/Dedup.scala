@@ -308,26 +308,34 @@ object Dedup {
 
     // ---- embedding cosine near-dup, bucketed by quantizer cells ----
     // Two-stage, the shape that survives scale: the bucket key is
-    // (label, cell) where cell packs the sign bits of the first 4
-    // dimensions — 16 sub-cells per label, so per-bucket pair counts shrink
-    // 16x and keep shrinking with more sign dims as the corpus grows (the
-    // recall/volume knob; exact duplicates always share every cell). The
-    // bucket join is a plain shuffle equi-join — broadcasting the corpus
-    // would put O(corpus) embeddings on the build side and OOM at 100x. A
-    // cheap double-precision cosine then prunes candidates with a wide
-    // safety margin (double vs exact differ < 1e-9, the margin is 4e-3);
-    // only survivors pay the exact decimal fold whose result is
-    // bit-identical to the oracle's explode+group-sum. No per-dimension
-    // explode or O(pairs x dims) shuffle ever materializes.
+    // (label, cell) where cell packs the sign bits of the first `bits`
+    // dimensions. `bits` is DERIVED from the corpus size —
+    // clamp(4, 16, floor(log2(n/32))) — so per-bucket pair counts stay
+    // bounded as the corpus grows: every corpus doubling past 512 rows adds
+    // a sign bit, halving expected bucket occupancy (exact duplicates
+    // always share every cell, so recall on true dups is unaffected). The
+    // count() that sizes the quantizer is one metadata-cheap pass, paid
+    // once per query. The bucket join is a plain shuffle equi-join —
+    // broadcasting the corpus would put O(corpus) embeddings on the build
+    // side and OOM at 100x. A cheap double-precision cosine then prunes
+    // candidates with a wide safety margin (double vs exact differ < 1e-9,
+    // the margin is 4e-3); only survivors pay the exact decimal fold whose
+    // result is bit-identical to the oracle's explode+group-sum. No
+    // per-dimension explode or O(pairs x dims) shuffle ever materializes.
     "q_dedup_embedding" -> Q(
       (s, dir) => {
         val e = Tables.df(s, dir, "embeddings")
           .select(col("vec_id"), col("label"), col("embedding"))
         val corpusE = e.unionAll(e.filter(col("vec_id") % 20 === 0)
           .select((col("vec_id") + 1000000).as("vec_id"), col("label"), col("embedding")))
-        val cell = (0 until 4).map(i =>
-          when(element_at(col("embedding"), i + 1) >= 0, lit(1 << i))
-            .otherwise(lit(0))).reduce(_ + _)
+        // the oracle derives the identical bit count from count(*), so the
+        // bucketing — and therefore the candidate set — matches exactly
+        val n = corpusE.count()
+        val bits = math.min(16, math.max(4,
+          math.floor(math.log(n / 32.0) / math.log(2.0)).toInt))
+        val cell = (0 until bits).map(i =>
+          when(element_at(col("embedding"), i + 1) >= 0, lit(1L << i))
+            .otherwise(lit(0L))).reduce(_ + _)
         val bucketed = corpusE.withColumn("cell", cell)
         // native codegen expression (same accumulation order as the scalar
         // loop, so the prefilter threshold behaves identically)
@@ -346,13 +354,14 @@ object Dedup {
              |  SELECT vec_id, label, embedding FROM embeddings
              |  UNION ALL
              |  SELECT vec_id + 1000000, label, embedding FROM embeddings WHERE vec_id % 20 = 0),
+             |b AS (
+             |  SELECT least(16, greatest(4, CAST(floor(log2(count(*) / 32.0)) AS INT))) AS bits
+             |  FROM corpus),
              |bucketed AS (
              |  SELECT vec_id, label, embedding,
-             |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
-             |    + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
-             |    + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
-             |    + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS cell
-             |  FROM corpus),
+             |    list_sum(list_transform(range(1, bits + 1),
+             |      i -> CASE WHEN embedding[i] >= 0 THEN CAST(pow(2, i - 1) AS BIGINT) ELSE 0 END)) AS cell
+             |  FROM corpus, b),
              |dims AS (
              |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
              |         CAST(unnest(embedding) AS DOUBLE) AS x

@@ -13,10 +13,22 @@ import java.util.Base64
   * the issuer's PLC-resolved DID document. This implementation performs the
   * same claim checks and signature verification; key resolution is a
   * pluggable function (`resolveKey`) so a PLC directory client can slot in
-  * where this offline build registers keys directly. Signatures are JOSE
-  * ES256 (P-256, raw r||s), the curve the JDK ships.
+  * where this offline build registers keys directly. Two JOSE algorithms
+  * are supported, both raw r||s signatures over SHA-256:
+  *   - ES256  (P-256, via the JDK provider)
+  *   - ES256K (secp256k1 — the curve ATProto signing keys actually use,
+  *     verified by the pure-JVM `Secp256k1` since the JDK lacks it)
   */
-class JwtAuth(serverDid: String, resolveKey: String => Option[PublicKey]) {
+object JwtAuth {
+  /** A resolvable verification key, tagged by curve. */
+  sealed trait Key
+  /** P-256 (JDK `EC` provider key) for ES256 tokens. */
+  final case class P256(key: PublicKey) extends Key
+  /** secp256k1 for ES256K tokens (SEC1 bytes via `Secp256k1.decodePoint`). */
+  final case class K256(key: Secp256k1.PubKey) extends Key
+}
+
+class JwtAuth(serverDid: String, resolveKey: String => Option[JwtAuth.Key]) {
 
   private def b64url(s: String): Array[Byte] = Base64.getUrlDecoder.decode(s)
 
@@ -49,7 +61,8 @@ class JwtAuth(serverDid: String, resolveKey: String => Option[PublicKey]) {
     val header =
       try Json.parse(new String(headB, UTF_8)).asInstanceOf[Map[String, Any]]
       catch { case _: Exception => return Left("Invalid JWT header") }
-    if (!jsonStr(header, "alg").contains("ES256"))
+    val alg = jsonStr(header, "alg").getOrElse("")
+    if (alg != "ES256" && alg != "ES256K")
       return Left(s"Unsupported JWT alg: ${header.get("alg")}")
     val claims =
       try Json.parse(new String(claimB, UTF_8)).asInstanceOf[Map[String, Any]]
@@ -91,12 +104,25 @@ class JwtAuth(serverDid: String, resolveKey: String => Option[PublicKey]) {
 
     val key = resolveKey(did).getOrElse(
       return Left(s"Could not find signing key for DID: $did"))
-    val verifier = Signature.getInstance("SHA256withECDSA")
-    verifier.initVerify(key)
-    verifier.update(s"${parts(0)}.${parts(1)}".getBytes(UTF_8))
-    val valid =
-      try verifier.verify(joseToDer(sigB))
-      catch { case _: Exception => false }
+    val signingInput = s"${parts(0)}.${parts(1)}".getBytes(UTF_8)
+    val valid = (alg, key) match {
+      case ("ES256", JwtAuth.P256(k)) =>
+        val verifier = Signature.getInstance("SHA256withECDSA")
+        verifier.initVerify(k)
+        verifier.update(signingInput)
+        try verifier.verify(joseToDer(sigB))
+        catch { case _: Exception => false }
+      case ("ES256K", JwtAuth.K256(k)) =>
+        sigB.length == 64 && {
+          val hash = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(signingInput)
+          Secp256k1.verify(k, hash,
+            new java.math.BigInteger(1, sigB.take(32)),
+            new java.math.BigInteger(1, sigB.drop(32)))
+        }
+      case _ =>
+        return Left(s"JWT alg $alg does not match the issuer's key type")
+    }
     if (valid) Right(did) else Left("JWT signature verification failed")
   }
 }

@@ -1,0 +1,111 @@
+package graft.server
+
+import java.math.BigInteger
+
+/** ECDSA signature verification over secp256k1, from the public SEC 2
+  * curve parameters — pure JVM BigInteger arithmetic, no provider needed.
+  *
+  * Why this exists: ATProto service JWTs are signed with secp256k1
+  * (ES256K) keys (behavioral spec: /root/reference/leaf-server/src/
+  * http.rs:165-242, which delegates to atproto_oauth's k256 verifier), but
+  * the stock JDK ships P-256 and not this curve, so `Signature.getInstance`
+  * cannot verify them. Verification needs only point arithmetic — a few
+  * hundred modular operations per token, microseconds on a modern JVM —
+  * so implementing it directly is simpler than requiring a native
+  * provider. Verification only: the server never signs with user keys.
+  *
+  * Curve: y² = x³ + 7 over F_p,
+  *   p  = 2²⁵⁶ − 2³² − 977
+  *   n  = group order, G = base point (SEC 2 §2.4.1).
+  */
+object Secp256k1 {
+
+  private val p = new BigInteger(
+    "fffffffffffffffffffffffffffffffffffffffffffffffffffffffefffffc2f", 16)
+  val n: BigInteger = new BigInteger(
+    "fffffffffffffffffffffffffffffffffffffffffffffffebaaedce6af48a03bbfd25e8cd0364141", 16)
+  private val gx = new BigInteger(
+    "79be667ef9dcbbac55a06295ce870b07029bfcdb2dce28d959f2815b16f81798", 16)
+  private val gy = new BigInteger(
+    "483ada7726a3c4655da4fbfc0e1108a8fd17b448a68554199c47d08ffb10d4b8", 16)
+  private val seven = BigInteger.valueOf(7)
+
+  /** Affine point; None = point at infinity. */
+  final case class Point(x: BigInteger, y: BigInteger)
+  val G: Point = Point(gx, gy)
+
+  /** A secp256k1 public key (affine coordinates, validated on curve). */
+  final case class PubKey(x: BigInteger, y: BigInteger) {
+    require(onCurve(Point(x, y)), "point is not on secp256k1")
+  }
+
+  private def onCurve(pt: Point): Boolean =
+    pt.y.modPow(BigInteger.TWO, p) ==
+      pt.x.modPow(BigInteger.valueOf(3), p).add(seven).mod(p)
+
+  private def add(a: Option[Point], b: Option[Point]): Option[Point] = (a, b) match {
+    case (None, r) => r
+    case (l, None) => l
+    case (Some(l), Some(r)) =>
+      if (l.x == r.x && l.y != r.y) None // P + (−P) = ∞
+      else {
+        val lam =
+          if (l == r) {
+            if (l.y.signum == 0) return None
+            // λ = 3x² / 2y  (a = 0 on this curve)
+            l.x.pow(2).multiply(BigInteger.valueOf(3))
+              .multiply(l.y.shiftLeft(1).modInverse(p)).mod(p)
+          } else
+            r.y.subtract(l.y)
+              .multiply(r.x.subtract(l.x).mod(p).modInverse(p)).mod(p)
+        val x3 = lam.pow(2).subtract(l.x).subtract(r.x).mod(p)
+        val y3 = lam.multiply(l.x.subtract(x3)).subtract(l.y).mod(p)
+        Some(Point(x3, y3))
+      }
+  }
+
+  /** Double-and-add scalar multiplication (verification is public-input
+    * only, so constant-time hardening is not required here). */
+  private def mul(k: BigInteger, pt: Point): Option[Point] = {
+    var acc: Option[Point] = None
+    var addend: Option[Point] = Some(pt)
+    var scalar = k.mod(n)
+    while (scalar.signum > 0) {
+      if (scalar.testBit(0)) acc = add(acc, addend)
+      addend = add(addend, addend)
+      scalar = scalar.shiftRight(1)
+    }
+    acc
+  }
+
+  /** Standard ECDSA verification: with w = s⁻¹, the point
+    * u₁G + u₂Q (u₁ = zw, u₂ = rw) must land on x ≡ r (mod n). */
+  def verify(key: PubKey, msgHash: Array[Byte], r: BigInteger, s: BigInteger): Boolean = {
+    if (r.signum <= 0 || r.compareTo(n) >= 0) return false
+    if (s.signum <= 0 || s.compareTo(n) >= 0) return false
+    val z = new BigInteger(1, msgHash)
+    val w = s.modInverse(n)
+    val u1 = z.multiply(w).mod(n)
+    val u2 = r.multiply(w).mod(n)
+    add(mul(u1, G), mul(u2, Point(key.x, key.y))) match {
+      case Some(pt) => pt.x.mod(n) == r
+      case None => false
+    }
+  }
+
+  /** Decode a SEC1 public key: 33-byte compressed (02/03 ‖ x, the form
+    * ATProto did:key uses) or 65-byte uncompressed (04 ‖ x ‖ y).
+    * Compressed keys recover y via y = (x³+7)^((p+1)/4) — valid because
+    * p ≡ 3 (mod 4). */
+  def decodePoint(sec1: Array[Byte]): PubKey = sec1.length match {
+    case 65 if sec1(0) == 0x04 =>
+      PubKey(new BigInteger(1, sec1.slice(1, 33)), new BigInteger(1, sec1.slice(33, 65)))
+    case 33 if sec1(0) == 0x02 || sec1(0) == 0x03 =>
+      val x = new BigInteger(1, sec1.tail)
+      val alpha = x.modPow(BigInteger.valueOf(3), p).add(seven).mod(p)
+      val beta = alpha.modPow(p.add(BigInteger.ONE).shiftRight(2), p)
+      val y = if (beta.testBit(0) == (sec1(0) == 0x03)) beta else p.subtract(beta)
+      PubKey(x, y)
+    case l => throw new IllegalArgumentException(s"bad SEC1 key length $l")
+  }
+}

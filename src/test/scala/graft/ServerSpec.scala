@@ -220,7 +220,9 @@ class ServerSpec extends AnyFunSuite {
     kpg.initialize(new ECGenParameterSpec("secp256r1"))
     val alice = kpg.generateKeyPair()
     val bob = kpg.generateKeyPair()
-    val keys = Map("did:plc:alice" -> alice.getPublic, "did:plc:bob" -> bob.getPublic)
+    val keys = Map(
+      "did:plc:alice" -> graft.server.JwtAuth.P256(alice.getPublic),
+      "did:plc:bob" -> graft.server.JwtAuth.P256(bob.getPublic))
     val jwtServer = new graft.server.LeafServer(store, 0,
       jwt = Some(new graft.server.JwtAuth("did:web:graft.test", keys.get)))
     jwtServer.start()
@@ -437,7 +439,9 @@ class ServerSpec extends AnyFunSuite {
     kpg.initialize(new ECGenParameterSpec("secp256r1"))
     val alice = kpg.generateKeyPair()
     val bob = kpg.generateKeyPair()
-    val keys = Map("did:plc:suba" -> alice.getPublic, "did:plc:subb" -> bob.getPublic)
+    val keys = Map(
+      "did:plc:suba" -> graft.server.JwtAuth.P256(alice.getPublic),
+      "did:plc:subb" -> graft.server.JwtAuth.P256(bob.getPublic))
     val jsrv = new LeafServer(store, 0,
       jwt = Some(new graft.server.JwtAuth("did:web:graft.test", keys.get)))
     jsrv.start()
