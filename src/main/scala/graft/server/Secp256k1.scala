@@ -23,7 +23,7 @@ object Secp256k1 {
   private val p = new BigInteger(
     "fffffffffffffffffffffffffffffffffffffffffffffffffffffffefffffc2f", 16)
   val n: BigInteger = new BigInteger(
-    "fffffffffffffffffffffffffffffffffffffffffffffffebaaedce6af48a03bbfd25e8cd0364141", 16)
+    "fffffffffffffffffffffffffffffffebaaedce6af48a03bbfd25e8cd0364141", 16)
   private val gx = new BigInteger(
     "79be667ef9dcbbac55a06295ce870b07029bfcdb2dce28d959f2815b16f81798", 16)
   private val gy = new BigInteger(
