@@ -36,4 +36,23 @@ object Cid {
     if (bits > 0) sb.append(B32(((buf << (5 - bits)) & 0x1f).toInt))
     sb.toString
   }
+
+  /** Inverse of `render`: multibase base32-lower string → CID bytes. */
+  def parse(s: String): Array[Byte] = {
+    require(s.nonEmpty && s(0) == 'b', s"not a base32-lower multibase CID: $s")
+    val out = Array.newBuilder[Byte]
+    var buf = 0L
+    var bits = 0
+    s.drop(1).foreach { c =>
+      val v = B32.indexOf(c)
+      require(v >= 0, s"bad base32 character '$c' in CID")
+      buf = (buf << 5) | v
+      bits += 5
+      if (bits >= 8) {
+        bits -= 8
+        out += ((buf >> bits) & 0xff).toByte
+      }
+    }
+    out.result()
+  }
 }

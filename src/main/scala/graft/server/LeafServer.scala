@@ -72,7 +72,9 @@ class LeafServer(store: StreamStore, port: Int,
     jwt: Option[JwtAuth] = None,
     maxBufferedDeliveries: Int = 12,
     subIdleTtlMs: Long = 10 * 60 * 1000L,
-    maxParkedPolls: Int = 64) {
+    maxParkedPolls: Int = 64,
+    serverDid: String = "did:graft:server",
+    plc: Option[LocalPlcDirectory] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   // long-polls park their handler thread; a fixed pool the size of the park
@@ -106,8 +108,37 @@ class LeafServer(store: StreamStore, port: Int,
     * admin RPCs — the reference's unsafe_auth distinction. */
   case class Caller(did: Option[String], trusted: Boolean)
 
+  /** RPC bodies by path, shared between the HTTP contexts and the
+    * socket.io transport (which dispatches the same operations by their
+    * reference event names — the path without the leading slash). */
+  private[server] val routes =
+    mutable.LinkedHashMap.empty[String, (Caller, Map[String, Any]) => Map[String, Any]]
+
+  private[server] def streamStore: StreamStore = store
+
+  /** Shared SubscriptionEngine per stream — socket.io subscriptions ride
+    * the same engines, so an event_batch from either transport pumps both. */
+  private[server] def engineFor(id: String): SubscriptionEngine =
+    engines.synchronized(engines.getOrElseUpdate(id, new SubscriptionEngine(store, id)))
+
+  /** Authenticate a connection-level token (the socket.io handshake path,
+    * http.rs:165-180): the shared unsafe token marks a trusted connection
+    * whose identity is the server's own DID (the reference's appserver-proxy
+    * model); a JWT authenticates as its verified issuer; no token at all is
+    * an anonymous untrusted connection (allowed — per-RPC gates apply). */
+  private[server] def tokenCaller(token: Option[String]): Either[String, Caller] =
+    token match {
+      case None => Right(Caller(None, trusted = authToken.isEmpty && jwt.isEmpty))
+      case Some(t) => (authToken, jwt) match {
+        case (Some(tok), _) if t == tok => Right(Caller(Some(serverDid), trusted = true))
+        case (_, Some(j)) => j.verify(t).map(d => Caller(Some(d), trusted = false))
+        case _ => Left("unauthorized")
+      }
+    }
+
   private def handle(path: String, maxBody: Int = Int.MaxValue)(
-      f: (Caller, Map[String, Any]) => Map[String, Any]): Unit =
+      f: (Caller, Map[String, Any]) => Map[String, Any]): Unit = {
+    routes(path) = f
     server.createContext(path, (ex: HttpExchange) => {
       val wantDrisl = Option(ex.getRequestHeaders.getFirst("Accept"))
         .exists(_.contains("application/drisl"))
@@ -140,6 +171,7 @@ class LeafServer(store: StreamStore, port: Int,
       ex.getResponseBody.write(bytes)
       ex.close()
     })
+  }
 
   /** Authenticate the connection: Left(reason) to reject, Right(callerDid)
     * to proceed. Order mirrors the reference (http.rs:165-242): the unsafe
@@ -161,7 +193,7 @@ class LeafServer(store: StreamStore, port: Int,
     }
   }
 
-  private def dvalueToAny(v: graft.drisl.DValue): Any = {
+  private[server] def dvalueToAny(v: graft.drisl.DValue): Any = {
     import graft.drisl.DValue._
     v match {
       case DMap(m) => m.map { case (k, x) => k -> dvalueToAny(x) }
@@ -176,7 +208,7 @@ class LeafServer(store: StreamStore, port: Int,
     }
   }
 
-  private def anyToDValue(v: Any): graft.drisl.DValue = {
+  private[server] def anyToDValue(v: Any): graft.drisl.DValue = {
     import graft.drisl.DValue._
     v match {
       case null => DNull
@@ -196,7 +228,7 @@ class LeafServer(store: StreamStore, port: Int,
   /** Resolve an existing stream; unknown ids error instead of silently
     * creating an empty stream (the reference's STREAMS.load contract —
     * only stream/create mints streams). */
-  private def openExisting(id: String): graft.stream.StreamHandle = {
+  private[server] def openExisting(id: String): graft.stream.StreamHandle = {
     if (!store.exists(id))
       throw new IllegalArgumentException(s"stream not found: $id")
     store.open(id)
@@ -221,7 +253,7 @@ class LeafServer(store: StreamStore, port: Int,
     case other => throw new IllegalArgumentException(s"missing/bad '$k': $other")
   }
 
-  private def moduleFromJson(m: Map[String, Any]): ModuleDef = {
+  private[server] def moduleFromJson(m: Map[String, Any]): ModuleDef = {
     def s(k: String) = m.get(k).collect { case v: String => v }.getOrElse("")
     val queries = m.get("queries").collect { case q: Map[_, _] =>
       q.asInstanceOf[Map[String, Any]].map { case (name, defn) =>
@@ -248,7 +280,7 @@ class LeafServer(store: StreamStore, port: Int,
       s("state_init_sql"), s("state_materializer"), queries)
   }
 
-  private def eventsFromJson(args: Map[String, Any]): Seq[IncomingEvent] =
+  private[server] def eventsFromJson(args: Map[String, Any]): Seq[IncomingEvent] =
     args.get("events").collect { case evs: Vector[_] =>
       evs.map { e =>
         val em = e.asInstanceOf[Map[String, Any]]
@@ -263,7 +295,7 @@ class LeafServer(store: StreamStore, port: Int,
 
   /** Tagged wire values, keeping the reference's `$type` convention
     * (clients/typescript/src/codec.ts:32-44). */
-  private def tagValue(v: SqlValue): Map[String, Any] = v match {
+  private[server] def tagValue(v: SqlValue): Map[String, Any] = v match {
     case SqlValue.SqlNull => Map("$type" -> "muni.town.sqliteValue.null")
     case SqlValue.SqlInteger(i) =>
       Map("$type" -> "muni.town.sqliteValue.integer", "value" -> i)
@@ -276,7 +308,7 @@ class LeafServer(store: StreamStore, port: Int,
         "value" -> Base64.getEncoder.encodeToString(b))
   }
 
-  private def queryFromJson(args: Map[String, Any]): LeafQuery = {
+  private[server] def queryFromJson(args: Map[String, Any]): LeafQuery = {
     val qm = args("query").asInstanceOf[Map[String, Any]]
     val params = qm.get("params").collect { case pm: Map[_, _] =>
       pm.asInstanceOf[Map[String, Any]].map { case (k, v) =>
@@ -321,8 +353,12 @@ class LeafServer(store: StreamStore, port: Int,
     requested.filter(r => store.exists(r) ||
         createdStreams.synchronized(createdStreams.contains(r)))
       .foreach(r => throw new IllegalArgumentException(s"stream already exists: $r"))
-    val id = requested
-      .getOrElse("did:graft:" + java.util.UUID.randomUUID().toString.take(12))
+    // with a PLC directory, mint a real did:plc backed by a signed genesis
+    // op and a custodied secp256k1 key (did.rs:11-47); otherwise an opaque id
+    val id = requested.getOrElse(plc match {
+      case Some(dir) => dir.createDid(s"http://127.0.0.1:$port/")
+      case None => "did:graft:" + java.util.UUID.randomUUID().toString.take(12)
+    })
     val m = store.module(str(args, "module_cid"))
       .getOrElse(throw new IllegalArgumentException("module not uploaded"))
     val h = store.open(id)
@@ -396,9 +432,20 @@ class LeafServer(store: StreamStore, port: Int,
   handle("/stream/set_handle") { (c, args) =>
     requireOwner(c.did, str(args, "id"), "set its handle")
     // the reference updates the stream's DID document via PLC
-    // (did.rs:49-147); without a PLC directory the handle is recorded
-    // locally and surfaced through /stream/info
-    handles.synchronized(handles(str(args, "id")) = str(args, "handle"))
+    // (did.rs:49-147). With a directory configured, append the signed
+    // alsoKnownAs update op; the local record mirrors it either way and
+    // surfaces through /stream/info. A null handle clears it (the wire
+    // shape is `handle: string | null`, codec.ts:132-135).
+    val id = str(args, "id")
+    val handle = args.get("handle").collect { case h: String => h }
+    plc.filter(_ => id.startsWith("did:plc:")).foreach { dir =>
+      dir.updateHandle(id, handle).left.foreach(err =>
+        throw new IllegalStateException(err))
+    }
+    handle match {
+      case Some(h) => handles.synchronized(handles(id) = h)
+      case None => handles.synchronized(handles.remove(id))
+    }
     Map.empty
   }
 
@@ -561,6 +608,32 @@ class LeafServer(store: StreamStore, port: Int,
     Map("files" -> openExisting(str(args, "id")).compactLog())
   }
 
+  // ---------------- wire-protocol surface ----------------
+
+  /** The server's DID document (reference: .well-known/did.json endpoint,
+    * http.rs:244-262) — how a client discovers the DID to use as the JWT
+    * `aud` claim. */
+  server.createContext("/.well-known/did.json", (ex: HttpExchange) => {
+    val body = Json.render(Map(
+      "@context" -> Vector("https://www.w3.org/ns/did/v1"),
+      "id" -> serverDid,
+      "service" -> Vector(Map(
+        "id" -> "#leaf_server",
+        "type" -> "LeafServer",
+        "serviceEndpoint" -> s"http://127.0.0.1:$port/")))).getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(200, body.length)
+    ex.getResponseBody.write(body)
+    ex.close()
+  })
+
+  /** The reference's native client transport: Socket.IO over Engine.IO
+    * long-polling with msgpack packet framing and DRISL event payloads —
+    * what the shipped TypeScript client actually speaks. Mounted last so
+    * the route table above is complete when the dispatcher binds to it. */
+  private[server] val socketIo = new SocketIoTransport(this)
+  socketIo.mount(server)
+
   def start(): Unit = server.start()
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { socketIo.shutdown(); server.stop(0) }
 }

@@ -93,6 +93,80 @@ object Secp256k1 {
     }
   }
 
+  // ---------------- signing (for locally-minted stream DIDs) ----------------
+
+  /** Public key for a private scalar d: Q = dG. */
+  def publicKey(d: BigInteger): PubKey = {
+    val pt = mul(d.mod(n), G).getOrElse(
+      throw new IllegalArgumentException("private scalar is 0 mod n"))
+    PubKey(pt.x, pt.y)
+  }
+
+  /** SEC1 compressed encoding (02/03 ‖ x) — the form did:key uses. */
+  def compress(key: PubKey): Array[Byte] = {
+    val x = key.x.toByteArray.dropWhile(_ == 0)
+    (if (key.y.testBit(0)) Array[Byte](0x03) else Array[Byte](0x02)) ++
+      (Array.fill[Byte](32 - x.length)(0) ++ x)
+  }
+
+  private def hmacSha256(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data)
+  }
+
+  private def int32(v: BigInteger): Array[Byte] = {
+    val raw = v.toByteArray.dropWhile(_ == 0)
+    Array.fill[Byte](32 - raw.length)(0) ++ raw
+  }
+
+  /** Deterministic nonce per RFC 6979 §3.2 (HMAC-SHA256): signing must
+    * never depend on an RNG — a repeated or biased k leaks the key. */
+  private def rfc6979K(d: BigInteger, hash: Array[Byte]): BigInteger = {
+    val h1 = int32(new BigInteger(1, hash).mod(n)) // bits2octets for 256-bit curve
+    var v = Array.fill[Byte](32)(0x01)
+    var k = Array.fill[Byte](32)(0x00)
+    k = hmacSha256(k, v ++ Array[Byte](0x00) ++ int32(d) ++ h1)
+    v = hmacSha256(k, v)
+    k = hmacSha256(k, v ++ Array[Byte](0x01) ++ int32(d) ++ h1)
+    v = hmacSha256(k, v)
+    while (true) {
+      v = hmacSha256(k, v)
+      val cand = new BigInteger(1, v)
+      if (cand.signum > 0 && cand.compareTo(n) < 0) return cand
+      k = hmacSha256(k, v ++ Array[Byte](0x00))
+      v = hmacSha256(k, v)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** ECDSA sign with deterministic k; s is canonicalized low (s ≤ n/2),
+    * the form ATProto requires and every verifier accepts. */
+  def sign(d: BigInteger, msgHash: Array[Byte]): (BigInteger, BigInteger) = {
+    val z = new BigInteger(1, msgHash)
+    var k = rfc6979K(d, msgHash)
+    while (true) {
+      val rp = mul(k, G).getOrElse(throw new IllegalStateException("k*G = infinity"))
+      val r = rp.x.mod(n)
+      if (r.signum != 0) {
+        var s = k.modInverse(n).multiply(z.add(r.multiply(d))).mod(n)
+        if (s.signum != 0) {
+          if (s.compareTo(n.shiftRight(1)) > 0) s = n.subtract(s)
+          return (r, s)
+        }
+      }
+      // vanishing r/s: derive the next candidate nonce (never in practice)
+      k = rfc6979K(d, hmacSha256(int32(k), msgHash))
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Raw 64-byte r ‖ s form (JOSE / PLC signature encoding). */
+  def signRaw(d: BigInteger, msgHash: Array[Byte]): Array[Byte] = {
+    val (r, s) = sign(d, msgHash)
+    int32(r) ++ int32(s)
+  }
+
   /** Decode a SEC1 public key: 33-byte compressed (02/03 ‖ x, the form
     * ATProto did:key uses) or 65-byte uncompressed (04 ‖ x ‖ y).
     * Compressed keys recover y via y = (x³+7)^((p+1)/4) — valid because

@@ -1,0 +1,172 @@
+package graft
+
+import java.util.Base64
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.drisl.DValue._
+import graft.server.{Json, JwtAuth, LeafServer, LocalPlcDirectory, Plc, Secp256k1}
+import graft.stream.StreamStore
+
+/** did:plc identity from the public PLC spec: key encoding, operation
+  * signing/verification, DID derivation, the local directory's chain
+  * validation, and the full offline ATProto auth loop (mint a DID, sign
+  * an ES256K service JWT with its key, resolve + verify through JwtAuth).
+  * Behavioral spec: /root/reference/leaf-server/src/did.rs. */
+class PlcSpec extends AnyFunSuite {
+
+  test("base58btc round-trips, including leading zeros") {
+    val cases = Vector(
+      Array[Byte](0, 0, 1, 2, 3),
+      Array[Byte](-1, -2, -3),
+      Array[Byte](0),
+      "hello world".getBytes("UTF-8"))
+    cases.foreach { b =>
+      assert(Plc.base58Decode(Plc.base58Encode(b)).toSeq == b.toSeq)
+    }
+    // the canonical public test vector
+    assert(Plc.base58Encode("Hello World!".getBytes("UTF-8")) == "2NEpo7TZRRrLZSi2U")
+  }
+
+  test("did:key encodes the secp256k1 multicodec and round-trips") {
+    val key = Plc.SigningKey.generate()
+    val dk = key.didKey
+    assert(dk.startsWith("did:key:z"))
+    val parsed = Plc.keyFromDidKey(dk)
+    assert(parsed == key.pub)
+    // compressed SEC1 round-trip independently of did:key
+    assert(Secp256k1.decodePoint(Secp256k1.compress(key.pub)) == key.pub)
+  }
+
+  test("deterministic signing: RFC 6979 nonce, low-S, verifiable") {
+    val key = Plc.SigningKey.generate()
+    val msg = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("leaf".getBytes("UTF-8"))
+    val s1 = key.sign(msg)
+    val s2 = key.sign(msg)
+    assert(s1.toSeq == s2.toSeq, "deterministic k must reproduce the signature")
+    val (r, s) = (BigInt(1, s1.take(32)), BigInt(1, s1.drop(32)))
+    assert(s <= BigInt(Secp256k1.n) / 2, "s must be canonicalized low")
+    assert(Secp256k1.verify(key.pub, msg, r.bigInteger, s.bigInteger))
+    // a different message must not verify under the same signature
+    val other = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("evil".getBytes("UTF-8"))
+    assert(!Secp256k1.verify(key.pub, other, r.bigInteger, s.bigInteger))
+  }
+
+  test("genesis op: signs, verifies, hashes to a well-formed did:plc") {
+    val key = Plc.SigningKey.generate()
+    val signed = Plc.signOp(Plc.genesisOp(key, "http://leaf.test/"), key)
+    assert(Plc.verifyOp(signed, Seq(key.didKey)))
+    val did = Plc.didForOp(signed)
+    assert(did.matches("did:plc:[a-z2-7]{24}"), did)
+    // deterministic: the same op hashes to the same did
+    assert(Plc.didForOp(signed) == did)
+    // tampering with any field breaks the signature
+    val tampered = DMap(signed.v + ("alsoKnownAs" -> arr(text("leaf://evil"))))
+    assert(!Plc.verifyOp(tampered, Seq(key.didKey)))
+    // a foreign key is not a valid signer
+    val mallory = Plc.SigningKey.generate()
+    assert(!Plc.verifyOp(signed, Seq(mallory.didKey)))
+  }
+
+  test("directory: handle updates chain by prev CID and rewrite the alias") {
+    val dir = new LocalPlcDirectory
+    val did = dir.createDid("http://leaf.test/")
+    assert(did.startsWith("did:plc:"))
+    assert(dir.alsoKnownAs(did) == Vector.empty)
+
+    assert(dir.updateHandle(did, Some("my-stream")).isRight)
+    assert(dir.alsoKnownAs(did) == Vector("leaf://my-stream"))
+    assert(dir.auditLog(did).size == 2)
+
+    // replacing rewrites (the reference retains non-leaf aliases only)
+    assert(dir.updateHandle(did, Some("renamed")).isRight)
+    assert(dir.alsoKnownAs(did) == Vector("leaf://renamed"))
+
+    // clearing drops the alias
+    assert(dir.updateHandle(did, None).isRight)
+    assert(dir.alsoKnownAs(did) == Vector.empty)
+
+    // a stale prev (replayed first update) is rejected
+    val stale = dir.auditLog(did)(1)
+    assert(dir.submit(did, stale).isLeft)
+
+    // an update signed by a non-rotation key is rejected
+    val latest = dir.auditLog(did).last
+    val mallory = Plc.SigningKey.generate()
+    val forged = Plc.signOp(
+      Plc.updateHandleOp(latest, Plc.opCid(latest), Some("stolen")), mallory)
+    assert(dir.submit(did, forged).isLeft)
+    assert(dir.updateHandle("did:plc:unknown000000000000000000", Some("x")).isLeft)
+  }
+
+  test("offline ATProto auth loop: did:plc key signs an ES256K JWT that verifies") {
+    val dir = new LocalPlcDirectory
+    val userDid = dir.createDid("http://leaf.test/")
+    val serverDid = "did:web:leaf.test"
+    // the caller's key — normally the user's own; here the custody key the
+    // directory minted, fetched via its audit log + resolveKey seam
+    val auth = new JwtAuth(serverDid, dir.resolveKey)
+
+    def b64(b: Array[Byte]) =
+      Base64.getUrlEncoder.withoutPadding.encodeToString(b)
+    val header = b64(Json.render(Map("alg" -> "ES256K", "typ" -> "JWT")).getBytes("UTF-8"))
+    val claims = b64(Json.render(Map(
+      "iss" -> userDid, "aud" -> serverDid,
+      "lxm" -> "town.muni.leaf.authenticate",
+      "exp" -> (System.currentTimeMillis() / 1000 + 600))).getBytes("UTF-8"))
+    val signingInput = s"$header.$claims".getBytes("UTF-8")
+    val hash = java.security.MessageDigest.getInstance("SHA-256").digest(signingInput)
+
+    // sign with the did's custodied key (white-box: replay the audit log key)
+    val keyField = dir.getClass.getDeclaredField("keys")
+    keyField.setAccessible(true)
+    val key = keyField.get(dir).asInstanceOf[
+      scala.collection.mutable.Map[String, Plc.SigningKey]](userDid)
+    val token = s"$header.$claims.${b64(key.sign(hash))}"
+
+    assert(auth.verify(token) == Right(userDid))
+    // resolution failure for unknown DIDs
+    val bad = token.replace(claims, b64(Json.render(Map(
+      "iss" -> "did:plc:aaaaaaaaaaaaaaaaaaaaaaaa", "aud" -> serverDid,
+      "exp" -> (System.currentTimeMillis() / 1000 + 600))).getBytes("UTF-8")))
+    assert(auth.verify(bad).left.exists(_.contains("signing key")))
+  }
+
+  test("server integration: streams mint did:plc ids; set_handle updates the directory") {
+    val spark = SparkFixture.spark
+    val store = new StreamStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-plc").toString)
+    val dir = new LocalPlcDirectory
+    val server = new LeafServer(store, 0, authToken = Some("tok"), plc = Some(dir))
+    server.start()
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      def post(path: String, body: Map[String, Any]): Map[String, Any] = {
+        val req = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:${server.boundPort}$path"))
+          .header("Authorization", "Bearer tok")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(Json.render(body)))
+          .build()
+        Json.parse(http.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString()).body())
+          .asInstanceOf[Map[String, Any]]
+      }
+      val cid = post("/module/upload", Map("module" -> Map(
+        "init_sql" -> "CREATE TABLE IF NOT EXISTS t (idx BIGINT) USING PARQUET",
+        "materializer" -> "INSERT INTO t SELECT idx FROM event")))("ok")
+        .asInstanceOf[Map[String, Any]]("cid").toString
+      val sid = post("/stream/create", Map("module_cid" -> cid))("ok")
+        .asInstanceOf[Map[String, Any]]("id").toString
+      assert(sid.matches("did:plc:[a-z2-7]{24}"), sid)
+      assert(dir.auditLog(sid).size == 1)
+
+      post("/stream/set_handle", Map("id" -> sid, "handle" -> "prod-stream"))
+      assert(dir.alsoKnownAs(sid) == Vector("leaf://prod-stream"))
+      val info = post("/stream/info", Map("id" -> sid))("ok")
+        .asInstanceOf[Map[String, Any]]
+      assert(info("handle") == "prod-stream")
+    } finally server.stop()
+  }
+}

@@ -1,0 +1,365 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.security.{KeyPairGenerator, Signature}
+import java.security.spec.ECGenParameterSpec
+import java.util.Base64
+
+import scala.collection.mutable
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.drisl.{Cid, Drisl, DValue}
+import graft.drisl.DValue._
+import graft.server.{Json, JwtAuth, LeafServer, Msgpack}
+import graft.stream.StreamStore
+
+/** The reference's native wire protocol end-to-end: Socket.IO over
+  * Engine.IO polling with msgpack packets and DRISL payloads — the exact
+  * flow the shipped TypeScript client drives (clients/typescript/src/
+  * index.ts): connect+auth → authenticated → module/upload →
+  * stream/create → event_batch → query → subscribe → push notification →
+  * unsubscribe. The mini client here performs the same protocol steps
+  * socket.io-client + socket.io-msgpack-parser would. */
+class SocketIoSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkFixture.spark
+  private lazy val store = new StreamStore(spark,
+    java.nio.file.Files.createTempDirectory("graft-sio").toString)
+
+  // ES256 JWT for the untrusted-caller tests (P-256: the JDK can sign)
+  private val kpg = KeyPairGenerator.getInstance("EC")
+  kpg.initialize(new ECGenParameterSpec("secp256r1"))
+  private val alice = kpg.generateKeyPair()
+  private val serverDid = "did:web:graft.test"
+
+  private lazy val server = {
+    val s = new LeafServer(store, 0, authToken = Some("testtoken"),
+      jwt = Some(new JwtAuth(serverDid,
+        did => if (did == "did:plc:alice") Some(JwtAuth.P256(alice.getPublic)) else None)),
+      serverDid = serverDid)
+    s.start(); s
+  }
+
+  private def aliceJwt(): String = {
+    def b64(b: Array[Byte]) = Base64.getUrlEncoder.withoutPadding.encodeToString(b)
+    def derToJose(der: Array[Byte]): Array[Byte] = {
+      def readInt(at: Int): (Array[Byte], Int) = {
+        val len = der(at + 1) & 0xff
+        (der.slice(at + 2, at + 2 + len).dropWhile(_ == 0), at + 2 + len)
+      }
+      val (r, next) = readInt(2)
+      val (s, _) = readInt(next)
+      def pad(b: Array[Byte]) = Array.fill[Byte](32 - b.length)(0) ++ b
+      pad(r) ++ pad(s)
+    }
+    val h = b64(Json.render(Map("alg" -> "ES256", "typ" -> "JWT")).getBytes("UTF-8"))
+    val c = b64(Json.render(Map(
+      "iss" -> "did:plc:alice", "aud" -> serverDid,
+      "lxm" -> "town.muni.leaf.authenticate",
+      "exp" -> (System.currentTimeMillis() / 1000 + 600))).getBytes("UTF-8"))
+    val signer = Signature.getInstance("SHA256withECDSA")
+    signer.initSign(alice.getPrivate)
+    signer.update(s"$h.$c".getBytes("UTF-8"))
+    s"$h.$c.${b64(derToJose(signer.sign()))}"
+  }
+
+  // ---------------- mini socket.io client ----------------
+
+  private def dToAny(v: DValue): Any = v match {
+    case DMap(m) => m.map { case (k, x) => k -> dToAny(x) }
+    case DArray(a) => a.map(dToAny)
+    case DInt(i) => i
+    case DFloat(d) => d
+    case DText(s) => s
+    case DBool(b) => b
+    case DNull => null
+    case DBytes(b) => b
+    case DCid(b) => "cid:" + Cid.render(b)
+  }
+
+  private class SioClient {
+    private val http = HttpClient.newHttpClient()
+    private def base = s"http://127.0.0.1:${server.boundPort}/socket.io/?EIO=4&transport=polling"
+    var sid: String = _
+    val events = mutable.Queue.empty[Vector[Any]] // EVENT packets' data arrays
+    val acks = mutable.Map.empty[Long, Any] // ackId -> DRISL-decoded result
+    var disconnected = false
+    private var nextAck = 0L
+
+    def open(): Map[String, Any] = {
+      val body = getRaw(base)
+      assert(body.startsWith("0"), s"expected open packet, got: $body")
+      val hs = Json.parse(body.drop(1)).asInstanceOf[Map[String, Any]]
+      sid = hs("sid").toString
+      hs
+    }
+
+    private def getRaw(url: String): String =
+      http.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+
+    def post(raw: String): Unit = {
+      val resp = http.send(
+        HttpRequest.newBuilder(URI.create(base + s"&sid=$sid"))
+          .POST(HttpRequest.BodyPublishers.ofString(raw)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.body() == "ok", s"POST not acked: ${resp.body()}")
+    }
+
+    def sendSio(pkt: Map[String, Any]): Unit =
+      post("b" + Base64.getEncoder.encodeToString(Msgpack.encode(pkt)))
+
+    /** One GET; decode every packet into events/acks. Returns raw count. */
+    def poll(): Int = {
+      val body = getRaw(base + s"&sid=$sid")
+      val packets = body.split('\u001e').toVector.filter(_.nonEmpty)
+      packets.foreach { p =>
+        p.head match {
+          case 'b' =>
+            val sio = Msgpack.decode(Base64.getDecoder.decode(p.tail))
+              .asInstanceOf[Map[String, Any]]
+            sio("type") match {
+              case 0L => // CONNECT ack
+              case 1L => disconnected = true
+              case 2L =>
+                events += sio("data").asInstanceOf[Vector[Any]]
+              case 3L =>
+                val data = sio("data").asInstanceOf[Vector[Any]]
+                acks(sio("id").asInstanceOf[Long]) =
+                  dToAny(Drisl.decode(data(0).asInstanceOf[Array[Byte]]))
+              case _ =>
+            }
+          case '2' => post("3") // server ping → pong
+          case _ =>
+        }
+      }
+      packets.size
+    }
+
+    def connect(token: Option[String]): Unit = {
+      open()
+      sendSio(Map("type" -> 0L, "nsp" -> "/",
+        "data" -> token.map(t => Map("token" -> t)).getOrElse(Map.empty[String, Any])))
+      poll() // CONNECT ack + authenticated (or error+disconnect)
+    }
+
+    def emitWithAck(name: String, args: DValue): Any = {
+      nextAck += 1
+      val id = nextAck
+      sendSio(Map("type" -> 2L, "nsp" -> "/", "id" -> id,
+        "data" -> Vector(name, Drisl.encode(args))))
+      poll()
+      assert(acks.contains(id), s"no ack for $name (id $id)")
+      acks.remove(id).get
+    }
+
+    def takeEvent(name: String): Option[Vector[Any]] =
+      events.dequeueFirst(_.headOption.contains(name))
+
+    /** Take an already-received event, or run one poll to fetch it —
+      * never polls when the event is queued (a GET with an empty outbox
+      * parks until the ping clock). */
+    def awaitEvent(name: String): Option[Vector[Any]] =
+      takeEvent(name).orElse { poll(); takeEvent(name) }
+  }
+
+  private def assertOk(result: Any): Any = {
+    val m = result.asInstanceOf[Map[String, Any]]
+    assert(!m.contains("Err"), s"wire Err: ${m.get("Err")}")
+    m("Ok")
+  }
+
+  private val wireModule: DValue = obj(
+    "$type" -> text("muni.town.leaf.module.basic.v0"),
+    "initSql" -> text("CREATE TABLE IF NOT EXISTS notes (idx BIGINT, who STRING, content STRING, n BIGINT) USING PARQUET"),
+    "authorizer" -> text(""),
+    "materializer" -> text("INSERT INTO notes SELECT idx, user, drisl_extract(payload, '.content'), drisl_extract_long(payload, '.n') FROM event"),
+    "stateInitSql" -> text(""),
+    "stateMaterializer" -> text(""),
+    "queries" -> arr(
+      obj("name" -> text("list"),
+        "sql" -> text("SELECT idx, who, content, n FROM notes WHERE idx BETWEEN $start AND $start + $limit - 1 ORDER BY idx"),
+        "params" -> arr()),
+      obj("name" -> text("over"),
+        "sql" -> text("SELECT content FROM notes WHERE n > $min ORDER BY idx"),
+        "params" -> arr(obj("name" -> text("min"), "kind" -> text("integer"),
+          "optional" -> DBool(false))))))
+
+  private def eventPayload(content: String, n: Long): DValue =
+    DBytes(Drisl.encode(obj("content" -> text(content), "n" -> int(n))))
+
+  test("engine.io handshake advertises polling-only v4 parameters") {
+    val c = new SioClient
+    val hs = c.open()
+    assert(hs("upgrades") == Vector())
+    assert(hs("pingInterval") == 25000L && hs("pingTimeout") == 20000L)
+  }
+
+  test("full TypeScript-client journey over the wire protocol") {
+    val c = new SioClient
+    c.connect(Some("testtoken"))
+    val auth = c.takeEvent("authenticated")
+    assert(auth.isDefined, "expected authenticated event after connect")
+    assert(auth.get(1).asInstanceOf[Map[String, Any]]("did") == serverDid)
+
+    // module upload: the server's wire CID must equal the CID the client
+    // computes over its own DRISL encoding (LeafClient.moduleCid)
+    val up = assertOk(c.emitWithAck("module/upload", obj("module" -> wireModule)))
+      .asInstanceOf[Map[String, Any]]
+    val wireCid = up("moduleCid").toString.stripPrefix("cid:")
+    assert(wireCid == Cid.render(Cid.of(Drisl.encode(wireModule))))
+
+    val exists = assertOk(c.emitWithAck("module/exists",
+      obj("moduleCid" -> DCid(Cid.parse(wireCid))))).asInstanceOf[Map[String, Any]]
+    assert(exists("moduleExists") == true)
+
+    // create + info
+    val created = assertOk(c.emitWithAck("stream/create",
+      obj("moduleCid" -> DCid(Cid.parse(wireCid))))).asInstanceOf[Map[String, Any]]
+    val streamDid = created("streamDid").toString
+    assert(streamDid.startsWith("did:"))
+    val info = assertOk(c.emitWithAck("stream/info",
+      obj("streamDid" -> text(streamDid)))).asInstanceOf[Map[String, Any]]
+    assert(info("moduleCid").toString.stripPrefix("cid:") == wireCid)
+
+    // event batch: raw DRISL byte payloads, unit Ok response
+    assert(assertOk(c.emitWithAck("stream/event_batch", obj(
+      "streamDid" -> text(streamDid),
+      "events" -> arr(eventPayload("alpha", 1), eventPayload("beta", 5))))) == null)
+
+    // one-shot query with $type-tagged rows
+    val rows = assertOk(c.emitWithAck("stream/query", obj(
+      "streamDid" -> text(streamDid),
+      "query" -> obj("name" -> text("list"))))).asInstanceOf[Vector[Any]]
+    assert(rows.size == 2)
+    val row0 = rows(0).asInstanceOf[Map[String, Any]]
+    assert(row0("content").asInstanceOf[Map[String, Any]]("value") == "alpha")
+    assert(row0("idx").asInstanceOf[Map[String, Any]]("$type") ==
+      "muni.town.sqliteValue.integer")
+
+    // parameterized query: wire params are $type-tagged SqlValueRaw
+    val over = assertOk(c.emitWithAck("stream/query", obj(
+      "streamDid" -> text(streamDid),
+      "query" -> obj("name" -> text("over"), "params" -> obj(
+        "min" -> obj("$type" -> text("muni.town.sqliteValue.integer"),
+          "value" -> int(2))))))).asInstanceOf[Vector[Any]]
+    assert(over.size == 1)
+
+    // subscribe: ack carries the subscriptionId; the backfill notification
+    // arrives as a stream/subscription_response event AFTER the ack
+    val sub = assertOk(c.emitWithAck("stream/subscribe_events", obj(
+      "streamDid" -> text(streamDid),
+      "query" -> obj("name" -> text("list"), "start" -> int(1)))))
+      .asInstanceOf[Map[String, Any]]
+    val subId = sub("subscriptionId").toString
+    assert(subId.length == 26)
+    val note1 = c.awaitEvent("stream/subscription_response")
+    assert(note1.isDefined, "expected backfill notification")
+    val n1 = dToAny(Drisl.decode(note1.get(1).asInstanceOf[Array[Byte]]))
+      .asInstanceOf[Map[String, Any]]
+    assert(n1("subscriptionId") == subId)
+    val resp1 = n1("response").asInstanceOf[Map[String, Any]]("Ok")
+      .asInstanceOf[Map[String, Any]]
+    assert(resp1("rows").asInstanceOf[Vector[Any]].size == 2)
+    assert(resp1("has_more") == false)
+
+    // new events trigger an incremental notification with only the new row
+    assert(assertOk(c.emitWithAck("stream/event_batch", obj(
+      "streamDid" -> text(streamDid),
+      "events" -> arr(eventPayload("gamma", 9))))) == null)
+    val note2 = c.awaitEvent("stream/subscription_response")
+    assert(note2.isDefined, "expected incremental notification")
+    val n2rows = dToAny(Drisl.decode(note2.get(1).asInstanceOf[Array[Byte]]))
+      .asInstanceOf[Map[String, Any]]("response")
+      .asInstanceOf[Map[String, Any]]("Ok")
+      .asInstanceOf[Map[String, Any]]("rows").asInstanceOf[Vector[Any]]
+    assert(n2rows.size == 1)
+
+    // unsubscribe is idempotent-with-report, like the reference
+    val un1 = assertOk(c.emitWithAck("stream/unsubscribe",
+      obj("subscriptionId" -> text(subId)))).asInstanceOf[Map[String, Any]]
+    assert(un1("wasSubscribed") == true)
+    val un2 = assertOk(c.emitWithAck("stream/unsubscribe",
+      obj("subscriptionId" -> text(subId)))).asInstanceOf[Map[String, Any]]
+    assert(un2("wasSubscribed") == false)
+
+    // admin surface (trusted connection)
+    val ls = assertOk(c.emitWithAck("admin/list_streams", obj()))
+      .asInstanceOf[Map[String, Any]]("streams").asInstanceOf[Vector[Any]]
+    assert(ls.exists(_.asInstanceOf[Map[String, Any]]("did") == streamDid))
+  }
+
+  test("bad token: error event then server disconnect, like the reference") {
+    val c = new SioClient
+    c.connect(Some("wrong-token"))
+    val err = c.takeEvent("error")
+    assert(err.isDefined)
+    assert(err.get(1).toString.contains("Error validating auth token"))
+    assert(c.disconnected)
+  }
+
+  test("anonymous connections are allowed but gated per-RPC") {
+    val c = new SioClient
+    c.connect(None)
+    val auth = c.takeEvent("authenticated")
+    assert(auth.isDefined)
+    assert(auth.get(1).asInstanceOf[Map[String, Any]]("did") == null)
+    val up = c.emitWithAck("module/upload", obj("module" -> wireModule))
+      .asInstanceOf[Map[String, Any]]
+    assert(up.get("Err").exists(_.toString.contains("Only authenticated users")))
+  }
+
+  test("JWT caller: authenticated as issuer; userOverride rejected") {
+    val c = new SioClient
+    c.connect(Some(aliceJwt()))
+    val auth = c.takeEvent("authenticated")
+    assert(auth.get(1).asInstanceOf[Map[String, Any]]("did") == "did:plc:alice")
+
+    // bootstrap a stream via a trusted connection for alice to write to
+    val t = new SioClient
+    t.connect(Some("testtoken"))
+    val cid = assertOk(t.emitWithAck("module/upload", obj("module" -> wireModule)))
+      .asInstanceOf[Map[String, Any]]("moduleCid").toString.stripPrefix("cid:")
+    val streamDid = assertOk(t.emitWithAck("stream/create",
+      obj("moduleCid" -> DCid(Cid.parse(cid))))).asInstanceOf[Map[String, Any]]("streamDid").toString
+
+    // ANY userOverride on an untrusted connection is rejected
+    val denied = c.emitWithAck("stream/event_batch", obj(
+      "streamDid" -> text(streamDid),
+      "events" -> arr(eventPayload("x", 1)),
+      "userOverride" -> text("did:plc:alice"))).asInstanceOf[Map[String, Any]]
+    assert(denied.get("Err").exists(_.toString.contains("user_override")))
+
+    // without override the batch lands as the verified caller
+    assert(assertOk(c.emitWithAck("stream/event_batch", obj(
+      "streamDid" -> text(streamDid),
+      "events" -> arr(eventPayload("mine", 2))))) == null)
+    val rows = assertOk(c.emitWithAck("stream/query", obj(
+      "streamDid" -> text(streamDid),
+      "query" -> obj("name" -> text("list"))))).asInstanceOf[Vector[Any]]
+    assert(rows.size == 1)
+    assert(rows(0).asInstanceOf[Map[String, Any]]("who")
+      .asInstanceOf[Map[String, Any]]("value") == "did:plc:alice")
+  }
+
+  test("disconnect packet tears the session's subscriptions down") {
+    val c = new SioClient
+    c.connect(Some("testtoken"))
+    val cid = assertOk(c.emitWithAck("module/upload", obj("module" -> wireModule)))
+      .asInstanceOf[Map[String, Any]]("moduleCid").toString.stripPrefix("cid:")
+    val streamDid = assertOk(c.emitWithAck("stream/create",
+      obj("moduleCid" -> DCid(Cid.parse(cid))))).asInstanceOf[Map[String, Any]]("streamDid").toString
+    assertOk(c.emitWithAck("stream/subscribe_events", obj(
+      "streamDid" -> text(streamDid),
+      "query" -> obj("name" -> text("list"), "start" -> int(1)))))
+    c.post("1") // engine.io close
+    // the session is gone: polling it reports an unknown sid
+    val resp = HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${server.boundPort}/socket.io/?EIO=4&transport=polling&sid=${c.sid}"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+    assert(resp.body().contains("Session ID unknown"))
+  }
+}
