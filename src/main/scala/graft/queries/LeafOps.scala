@@ -69,7 +69,7 @@ object LeafOps {
     * and bulk-import into a fresh stream. idx = event_id + 1 (contiguous). */
   private def ingest(s: SparkSession, dir: String, streamId: String): StreamHandle = {
     val store = new StreamStore(s,
-      java.nio.file.Files.createTempDirectory("graft-leafops").toString)
+      graft.TempDirs.create("graft-leafops").toString)
     val h = store.open(streamId)
     h.setModule(demoModule)
     val enc = udf((etype: String, value: Double, k: Long) =>
@@ -129,7 +129,7 @@ object LeafOps {
             // imports the same events without re-running the CBOR encoding
             val src = demo(s, dir).eventsDF
             val store = new StreamStore(s,
-              java.nio.file.Files.createTempDirectory("graft-leafops").toString)
+              graft.TempDirs.create("graft-leafops").toString)
             val fresh = store.open("did:graft:swap")
             fresh.setModule(demoModule)
             fresh.bulkImport(src.filter(col("idx") > 0))
@@ -152,10 +152,10 @@ object LeafOps {
           streams.getOrElseUpdate((dir, "bakres"), {
             val src = demo(s, dir)
             val bak = "file:" +
-              java.nio.file.Files.createTempDirectory("graft-leafops-bak")
+              graft.TempDirs.create("graft-leafops-bak")
             BackupService.backup(src, bak)
             val store = new StreamStore(s,
-              java.nio.file.Files.createTempDirectory("graft-leafops").toString)
+              graft.TempDirs.create("graft-leafops").toString)
             BackupService.restore(store, "did:graft:restored", bak)
           })
         }
@@ -180,7 +180,7 @@ object LeafOps {
         val h = streams.synchronized {
           streams.getOrElseUpdate((dir, "state"), {
             val store = new StreamStore(s,
-              java.nio.file.Files.createTempDirectory("graft-leafops").toString)
+              graft.TempDirs.create("graft-leafops").toString)
             val fresh = store.open("did:graft:state")
             fresh.setModule(demoModule.copy(
               stateInitSql = """CREATE TABLE IF NOT EXISTS state_user_vals

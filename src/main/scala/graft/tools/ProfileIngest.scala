@@ -32,7 +32,7 @@ object ProfileIngest {
     }
     time("warmup")(spark.range(100).count())
     val store = new StreamStore(spark,
-      java.nio.file.Files.createTempDirectory("graft-prof").toString)
+      graft.TempDirs.create("graft-prof").toString)
     val h = time("open")(store.open("did:prof"))
     val m = ModuleDef(
       initSql = "CREATE TABLE IF NOT EXISTS acts (idx BIGINT, user STRING, etype STRING, k BIGINT, value DOUBLE) USING PARQUET",

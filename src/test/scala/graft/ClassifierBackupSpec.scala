@@ -14,7 +14,7 @@ import graft.types._
 class ClassifierBackupSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
   private lazy val store = new StreamStore(spark,
-    java.nio.file.Files.createTempDirectory("graft-cb").toString)
+    graft.TempDirs.create("graft-cb").toString)
 
   private def payload(content: String, n: Long = 0): Array[Byte] =
     Drisl.encode(obj("content" -> text(content), "n" -> int(n)))
@@ -163,7 +163,7 @@ class ClassifierBackupSpec extends AnyFunSuite {
       IncomingEvent("bob", payload("flagB")))).isRight)
     // destination through the Hadoop FileSystem API: file: here, s3a:// in
     // production — same code path
-    val dir = "file:" + java.nio.file.Files.createTempDirectory("graft-bakdir")
+    val dir = "file:" + graft.TempDirs.create("graft-bakdir")
     BackupService.backup(h, dir)
 
     val r = BackupService.restore(store, "did:test:restored", dir)
@@ -182,7 +182,7 @@ class ClassifierBackupSpec extends AnyFunSuite {
     val h = store.open("did:test:incbak")
     h.setModule(module)
     h.addEvents((1 to 2).map(i => IncomingEvent(s"u$i", payload(s"m$i", i))))
-    val dirP = java.nio.file.Files.createTempDirectory("graft-incbak")
+    val dirP = graft.TempDirs.create("graft-incbak")
     val dir = "file:" + dirP
     assert(BackupService.backup(h, dir) == Some((1L, 2L)))
     // second backup archives ONLY the new events as a new range...
@@ -218,7 +218,7 @@ class ClassifierBackupSpec extends AnyFunSuite {
     val h = store.open("did:test:gapbak")
     h.setModule(module)
     h.addEvents((1 to 6).map(i => IncomingEvent(s"u$i", payload(s"m$i", i))))
-    val dirP = java.nio.file.Files.createTempDirectory("graft-gapbak")
+    val dirP = graft.TempDirs.create("graft-gapbak")
     val dir = "file:" + dirP
     assert(BackupService.backup(h, dir) == Some((1L, 6L)))
     // tampering outside the Hadoop fs invalidates its sidecar checksum
@@ -242,7 +242,7 @@ class ClassifierBackupSpec extends AnyFunSuite {
     val h = store.open("did:test:sweep")
     h.setModule(module)
     h.addEvents(Seq(IncomingEvent("a", payload("s1", 1))))
-    val dirP = java.nio.file.Files.createTempDirectory("graft-sweep")
+    val dirP = graft.TempDirs.create("graft-sweep")
     val sweep = BackupService.scheduleSweep(h, "file:" + dirP, intervalMs = 250)
     try {
       def covered: Long =
@@ -260,7 +260,7 @@ class ClassifierBackupSpec extends AnyFunSuite {
   }
 
   test("module blobs are staged to disk and GC collects unreferenced ones") {
-    val root = java.nio.file.Files.createTempDirectory("graft-gc").toString
+    val root = graft.TempDirs.create("graft-gc").toString
     val store1 = new StreamStore(spark, root)
     val kept = module
     val orphan = module.copy(initSql = module.initSql + " ")
@@ -287,7 +287,7 @@ class ClassifierBackupSpec extends AnyFunSuite {
   }
 
   test("reopening a stream from a fresh store reloads the persisted module") {
-    val root = java.nio.file.Files.createTempDirectory("graft-reopen").toString
+    val root = graft.TempDirs.create("graft-reopen").toString
     val store1 = new StreamStore(spark, root)
     val h1 = store1.open("did:test:reopen")
     h1.setModule(module)
@@ -304,7 +304,7 @@ class ClassifierBackupSpec extends AnyFunSuite {
   }
 
   test("restore refuses a non-empty target") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-bakdir2").toString
+    val dir = graft.TempDirs.create("graft-bakdir2").toString
     val h = store.open("did:test:bak")
     BackupService.backup(h, dir)
     assertThrows[IllegalArgumentException](

@@ -12,7 +12,7 @@ import graft.types._
 class EventSourceSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
   private lazy val store = new StreamStore(spark,
-    Files.createTempDirectory("graft-src").toString)
+    graft.TempDirs.create("graft-src").toString)
 
   private val module = ModuleDef(
     initSql = """CREATE TABLE IF NOT EXISTS acts
@@ -28,7 +28,7 @@ class EventSourceSpec extends AnyFunSuite {
   test("dense idx assignment holds across many input partitions") {
     import spark.implicits._
     graft.functions.LeafFunctions.register(spark)
-    val dir = Files.createTempDirectory("graft-ing-big").toString
+    val dir = graft.TempDirs.create("graft-ing-big").toString
     // 5000 rows over 16 partitions with a shuffled ordering key
     (1 to 5000).map(i => (s"u${i % 7}", 5000 - i)).toDF("who", "k")
       .repartition(16).write.parquet(s"$dir/big")
@@ -46,7 +46,7 @@ class EventSourceSpec extends AnyFunSuite {
 
   test("idx assignment plan has no single-reducer exchange") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("graft-ing-plan").toString
+    val dir = graft.TempDirs.create("graft-ing-plan").toString
     (1 to 100).map(i => (s"u$i", i)).toDF("who", "k")
       .repartition(4).write.parquet(s"$dir/p")
     val plan = EventSource.sortedStagePlan(spark, s"$dir/p", "parquet", "who", Seq("k"))
@@ -61,7 +61,7 @@ class EventSourceSpec extends AnyFunSuite {
 
   test("json file -> bulk ingest -> materialized query; csv export round-trip") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("graft-ing").toString
+    val dir = graft.TempDirs.create("graft-ing").toString
     Seq(
       ("ann", "buy", 12.5, 1L), ("bob", "sell", 3.25, 2L), ("ann", "buy", 7.0, 3L))
       .toDF("who", "kind", "amount", "n")

@@ -46,7 +46,7 @@ class PlanAuditSpec extends AnyFunSuite {
   test("idx range scans prune by parquet min/max stats") {
     // rawGetEvents filters land in the scan as pushed gte/lte on idx
     val store = new graft.stream.StreamStore(spark,
-      java.nio.file.Files.createTempDirectory("graft-plan").toString)
+      graft.TempDirs.create("graft-plan").toString)
     val h = store.open("did:test:planaudit")
     val plan = h.rawGetEvents(10, 20).queryExecution.executedPlan.toString
     assert(plan.contains("GreaterThanOrEqual(idx,10)") &&

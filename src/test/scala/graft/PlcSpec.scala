@@ -137,7 +137,7 @@ class PlcSpec extends AnyFunSuite {
   test("server integration: streams mint did:plc ids; set_handle updates the directory") {
     val spark = SparkFixture.spark
     val store = new StreamStore(spark,
-      java.nio.file.Files.createTempDirectory("graft-plc").toString)
+      graft.TempDirs.create("graft-plc").toString)
     val dir = new LocalPlcDirectory
     val server = new LeafServer(store, 0, authToken = Some("tok"), plc = Some(dir))
     server.start()

@@ -16,7 +16,7 @@ import graft.stream.StreamStore
 class ServerSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
   private lazy val store = new StreamStore(spark,
-    java.nio.file.Files.createTempDirectory("graft-server").toString)
+    graft.TempDirs.create("graft-server").toString)
   private lazy val server = {
     val s = new LeafServer(store, 0, authToken = Some("testtoken"))
     s.start(); s
@@ -335,7 +335,7 @@ class ServerSpec extends AnyFunSuite {
     assert(s1.head.asInstanceOf[Map[String, Any]]("s")
       .asInstanceOf[Map[String, Any]]("value") == 3L)
     // backup server-side, restore as a new stream, same answers
-    val bak = "file:" + java.nio.file.Files.createTempDirectory("graft-journey-bak")
+    val bak = "file:" + graft.TempDirs.create("graft-journey-bak")
     graft.stream.BackupService.backup(store.open(sid), bak)
     graft.stream.BackupService.restore(store, "did:graft:journey2", bak)
     val s2 = ok(post("/stream/query", Map("id" -> "did:graft:journey2",

@@ -12,7 +12,7 @@ import graft.types._
 class SigningSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
   private lazy val store = new StreamStore(spark,
-    java.nio.file.Files.createTempDirectory("graft-sign").toString)
+    graft.TempDirs.create("graft-sign").toString)
 
   private val module = ModuleDef(
     initSql = "CREATE TABLE IF NOT EXISTS noop (x BIGINT) USING PARQUET",

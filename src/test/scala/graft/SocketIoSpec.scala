@@ -26,7 +26,7 @@ class SocketIoSpec extends AnyFunSuite {
 
   private lazy val spark = SparkFixture.spark
   private lazy val store = new StreamStore(spark,
-    java.nio.file.Files.createTempDirectory("graft-sio").toString)
+    graft.TempDirs.create("graft-sio").toString)
 
   // ES256 JWT for the untrusted-caller tests (P-256: the JDK can sign)
   private val kpg = KeyPairGenerator.getInstance("EC")

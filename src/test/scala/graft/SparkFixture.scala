@@ -15,7 +15,7 @@ object SparkFixture {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-wh").toString)
+        graft.TempDirs.create("graft-wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -15,7 +15,7 @@ import graft.types._
 class StreamSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
   private lazy val store = new StreamStore(spark,
-    java.nio.file.Files.createTempDirectory("graft-streams").toString)
+    graft.TempDirs.create("graft-streams").toString)
 
   private def payload(kind: String, content: String, n: Long = 0): Array[Byte] =
     Drisl.encode(obj("kind" -> text(kind), "content" -> text(content), "n" -> int(n)))
@@ -188,7 +188,7 @@ class StreamSpec extends AnyFunSuite {
 
   test("LRU eviction closes idle handles and reopen recovers from disk") {
     val evStore = new StreamStore(spark,
-      java.nio.file.Files.createTempDirectory("graft-evict").toString,
+      graft.TempDirs.create("graft-evict").toString,
       maxOpenHandles = 2)
     val h1 = evStore.open("did:test:ev1")
     h1.setModule(chatModule)

@@ -18,7 +18,7 @@ import graft.types._
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
   private lazy val store = new StreamStore(spark,
-    Files.createTempDirectory("graft-streaming").toString)
+    graft.TempDirs.create("graft-streaming").toString)
 
   private def payload(etype: String, value: Double): Array[Byte] =
     Drisl.encode(obj("type" -> text(etype), "value" -> DFloat(value)))
@@ -32,7 +32,7 @@ class StreamingSpec extends AnyFunSuite {
     h.setModule(module)
     h.addEvents((1 to 5).map(i => IncomingEvent("u", payload("click", i.toDouble))))
 
-    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val ckpt = graft.TempDirs.create("graft-ckpt").toString
     spark.sql("DROP TABLE IF EXISTS default.tail_sink")
     val n1 = EventStreamPipeline.deliverOnce(spark, store, "did:test:tail", ckpt, "default.tail_sink")
     assert(n1 == 5L)
@@ -56,7 +56,7 @@ class StreamingSpec extends AnyFunSuite {
       IncomingEvent("u", payload("click", 1)), IncomingEvent("u", payload("view", 2)),
       IncomingEvent("v", payload("click", 3))))
 
-    val ckpt = Files.createTempDirectory("graft-ckpt-st").toString
+    val ckpt = graft.TempDirs.create("graft-ckpt-st").toString
     def runOnce(): Map[String, Long] = {
       val out = new java.util.concurrent.ConcurrentHashMap[String, Long]()
       val src = EventStreamPipeline.readLog(spark, store, "did:test:counts")
@@ -94,7 +94,7 @@ class StreamingSpec extends AnyFunSuite {
     h.addEvents(evs.map { case (who, sec) =>
       IncomingEvent(who, Drisl.encode(obj("type" -> text("click"), "sec" -> int(sec))))
     })
-    val ckpt = Files.createTempDirectory("graft-ckpt-sess").toString
+    val ckpt = graft.TempDirs.create("graft-ckpt-sess").toString
     val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Long)]()
     val src = EventStreamPipeline.readLog(spark, store, "did:test:sess")
       .select(col("user"),
@@ -126,7 +126,7 @@ class StreamingSpec extends AnyFunSuite {
       IncomingEvent("u1", payload("click", 1)), IncomingEvent("u2", payload("view", 2)),
       IncomingEvent("u3", payload("click", 3))))
     val dim = Seq(("u1", "pro"), ("u2", "free")).toDF("user", "tier")
-    val ckpt = Files.createTempDirectory("graft-ckpt-enrich").toString
+    val ckpt = graft.TempDirs.create("graft-ckpt-enrich").toString
     spark.sql("DROP TABLE IF EXISTS default.enrich_sink")
     val q = EventStreamPipeline.enrich(
         EventStreamPipeline.readLog(spark, store, "did:test:enrich"), dim, "user")
