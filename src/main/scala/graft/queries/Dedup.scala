@@ -38,13 +38,13 @@ object Dedup {
 
 
   /** documents + clones: every 10th doc duplicated under doc_id+1e6. */
-  private def corpus(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def corpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.df(s, dir, "documents").select(col("doc_id"), col("text"))
     d.unionAll(d.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
   }
 
-  private val corpusSql =
+  private[queries] val corpusSql =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL

@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.Relational.Q
+
+/** Training-data pipeline operators beyond per-document scoring: dedup
+  * clustering, benchmark decontamination, stratified sampling, context
+  * chunking, PII redaction. All over `documents`, all oracle-checked.
+  *
+  * Scale design:
+  *  - cluster:       connected components over near-dup edges as BSP
+  *                   min-label propagation — O(diameter) shuffle rounds,
+  *                   each a plain equi-join; dup-cluster graphs have tiny
+  *                   diameters, and the same loop upgrades to
+  *                   large-star/small-star if they ever don't. Edges are
+  *                   star-shaped per duplicate group (min-id hub), so a
+  *                   group of n contributes n-1 edges, never O(n²).
+  *  - decontaminate: the eval side of the n-gram join is DISTINCT over a
+  *                   benchmark (tiny by construction), so Spark broadcasts
+  *                   it and the 100-TB train side never shuffles — the
+  *                   standard decontamination shape.
+  *  - stratified:    pure map-side hash-threshold per stratum; no shuffle
+  *                   at all beyond the final order for the gate.
+  *  - chunks:        map-side explode; output is O(total chars / step).
+  *  - redact:        map-side regexp_replace (codegen'd), no shuffle.
+  */
+object Pipeline {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.df(s, dir, "documents")
+
+  val all: Map[String, Q] = Map(
+
+    // ---- near-dup clustering: connected components over dup edges ----
+    // Edges: exact-text duplicates and 64-char-prefix duplicates, each as
+    // a star to the group's min doc_id. Components emerge when the two
+    // relations chain through different hubs (A≡B exactly, B~C by prefix).
+    // Spark: BSP min-label propagation (monotone, so the per-round
+    // sum(label) is a convergence witness); oracle: recursive CTE
+    // computing min reachable id — both sides see the identical edge set.
+    "q_dedup_cluster" -> Q(
+      (s, dir) => {
+        val c = Dedup.corpus(s, dir)
+        def starEdges(key: org.apache.spark.sql.Column) = c
+          .withColumn("m", min(col("doc_id")).over(Window.partitionBy(key)))
+          .filter(col("doc_id") =!= col("m"))
+          .select(col("m").as("a"), col("doc_id").as("b"))
+        val edges = starEdges(md5(col("text")))
+          .union(starEdges(md5(substring(trim(col("text")), 1, 64))))
+          .distinct().persist()
+        val und = edges.select(col("a").as("src"), col("b").as("dst"))
+          .union(edges.select(col("b").as("src"), col("a").as("dst")))
+        var labels = und.select(col("src").as("id")).distinct()
+          .select(col("id"), col("id").as("label")).persist()
+        // min-label only ever decreases, so an unchanged sum is a fixpoint
+        var sum = labels.agg(org.apache.spark.sql.functions.sum("label")).head.getLong(0)
+        var converged = false
+        var iter = 0
+        while (!converged && iter < 15) {
+          val prop = labels.join(und, col("id") === col("src"))
+            .select(col("dst").as("id"), col("label"))
+          val next = labels.unionByName(prop)
+            .groupBy("id").agg(min(col("label")).as("label")).persist()
+          val nextSum = next.agg(org.apache.spark.sql.functions.sum("label")).head.getLong(0)
+          labels.unpersist()
+          labels = next
+          converged = nextSum == sum
+          sum = nextSum
+          iter += 1
+        }
+        labels.select(col("id").as("doc_id"), col("label").as("component"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE ${Dedup.corpusSql},
+              |edges AS (
+              |  SELECT m AS a, doc_id AS b FROM (
+              |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS m FROM corpus)
+              |  WHERE doc_id != m
+              |  UNION
+              |  SELECT m, doc_id FROM (
+              |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(substr(trim(text), 1, 64))) AS m FROM corpus)
+              |  WHERE doc_id != m),
+              |und AS (SELECT a AS src, b AS dst FROM edges UNION SELECT b, a FROM edges),
+              |reach(node, label) AS (
+              |  SELECT DISTINCT src, src FROM und
+              |  UNION
+              |  SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.node)
+              |SELECT node AS doc_id, min(label) AS component
+              |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)),
+
+    // ---- benchmark decontamination: char-20-gram overlap vs an eval set ----
+    // Eval set = every 97th doc (stand-in for a held-out benchmark). A
+    // train doc is contaminated if it shares any 20-gram with any eval
+    // doc; the gate reports the distinct shared-gram count per doc.
+    "q_decontaminate" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"), trim(col("text")).as("t"))
+          .filter(length(col("t")) >= 20)
+        def grams(df: DataFrame) = df
+          .select(col("doc_id"),
+            explode(sequence(lit(1), length(col("t")) - 19, lit(5))).as("i"),
+            col("t"))
+          .select(col("doc_id"),
+            conv(substring(md5(col("t").substr(col("i"), lit(20))), 1, 15), 16, 10)
+              .cast("long").as("h"))
+        val evalG = grams(d.filter(col("doc_id") % 97 === 0)).select("h").distinct()
+        val trainG = grams(d.filter(col("doc_id") % 97 =!= 0)).distinct()
+        trainG.join(evalG, "h")
+          .groupBy("doc_id").agg(count(lit(1)).as("shared_ngrams"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, ('0x' || substr(md5(substr(trim(text), i, 20)), 1, 15))::BIGINT AS h
+             |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(trim(text)) - 19, 5)) AS i
+             |        FROM documents WHERE length(trim(text)) >= 20)),
+             |evalg AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0),
+             |traing AS (SELECT DISTINCT doc_id, h FROM g WHERE doc_id % 97 != 0)
+             |SELECT doc_id, count(*) AS shared_ngrams
+             |FROM traing JOIN evalg USING (h)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- stratified sampling: per-language rates, hash-deterministic ----
+    // The per-stratum keep decision is an integer compare on a doc_id
+    // hash — no RNG, no shuffle; rerunning at any scale keeps the same
+    // rows. Rates in basis points of 1000 (en 50%, zh 10%, rest 30%).
+    "q_sample_stratified" -> Q(
+      (s, dir) => {
+        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 1000
+        val rate = when(col("lang") === "en", 500)
+          .when(col("lang") === "zh", 100).otherwise(300)
+        docs(s, dir)
+          .select(col("doc_id"), col("lang"), h.as("hb"), rate.as("rate"))
+          .filter(col("hb") < col("rate"))
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang FROM (
+             |  SELECT doc_id, lang,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS hb,
+             |    CASE WHEN lang = 'en' THEN 500 WHEN lang = 'zh' THEN 100 ELSE 300 END AS rate
+             |  FROM documents)
+             |WHERE hb < rate ORDER BY doc_id""".stripMargin)),
+
+    // ---- context chunking: 200-char windows, 50-char overlap ----
+    // The RAG/training prep shape: explode each document into fixed-size
+    // overlapping chunks with stable ids. Output carries the chunk md5
+    // (content proof) instead of the text to keep the gate thin.
+    "q_text_chunks" -> Q(
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), greatest(length(col("text")), lit(1)), lit(150))).as("i"))
+        .select(
+          col("doc_id"),
+          expr("CAST((i - 1) DIV 150 AS BIGINT)").as("chunk_id"),
+          col("i").cast("long").as("start"),
+          md5(col("text").substr(col("i"), lit(200))).as("chunk_md5"),
+          length(col("text").substr(col("i"), lit(200))).cast("long").as("chunk_len"))
+        .orderBy(col("doc_id"), col("chunk_id")),
+      Some("""SELECT doc_id, (i - 1) // 150 AS chunk_id, CAST(i AS BIGINT) AS start,
+             |  md5(substr(text, i, 200)) AS chunk_md5,
+             |  length(substr(text, i, 200)) AS chunk_len
+             |FROM (SELECT doc_id, text,
+             |        unnest(generate_series(1, greatest(length(text), 1), 150)) AS i
+             |      FROM documents)
+             |ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // ---- PII redaction: regex scrub of emails/phones ----
+    // The corpus gets deterministic synthetic PII injected (every 7th
+    // doc) so the scrub provably fires; patterns stay in the Java∩RE2
+    // regex subset so both engines replace identically. Map-side only.
+    "q_text_redact" -> Q(
+      (s, dir) => {
+        val injected = when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact: user"), col("doc_id"),
+            lit("@example.com ph +1-555-0"), (col("doc_id") % 100).cast("string")))
+          .otherwise(col("text"))
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\+1-555-0[0-9]+"
+        docs(s, dir)
+          .select(col("doc_id"), injected.as("t"))
+          .select(col("doc_id"),
+            md5(regexp_replace(regexp_replace(col("t"), emailRe, "[EMAIL]"),
+              phoneRe, "[PHONE]")).as("redacted_md5"),
+            (length(col("t")) - length(regexp_replace(col("t"), emailRe, "")))
+              .cast("long").as("email_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  md5(regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             |      '\+1-555-0[0-9]+', '[PHONE]', 'g')) AS redacted_md5,
+             |  CAST(length(t) - length(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g')) AS BIGINT) AS email_chars
+             |FROM (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 7 = 0
+             |         THEN text || ' contact: user' || CAST(doc_id AS VARCHAR)
+             |              || '@example.com ph +1-555-0' || CAST(doc_id % 100 AS VARCHAR)
+             |         ELSE text END AS t
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin))
+  )
+}
