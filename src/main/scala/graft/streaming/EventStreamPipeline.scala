@@ -71,6 +71,19 @@ object EventStreamPipeline {
       .groupBy(window(col(tsCol), window_), col("etype"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
 
+  /** Streaming exact dedup on a content fingerprint: the first event with
+    * a given payload digest passes, later copies inside the watermark
+    * horizon are dropped, and — the part that matters at scale — the
+    * dedup state store holds only fingerprints YOUNGER than the
+    * watermark, so state is bounded by the horizon instead of growing
+    * with the log (a plain dropDuplicates would pin every fingerprint
+    * ever seen). The batch analog is `q_dedup_exact`. */
+  def dedupByPayload(events: DataFrame, tsCol: String, watermark: String): DataFrame =
+    events
+      .withColumn("fp", md5(col("payload")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   case class UserCount(user: String, n: Long)
 
   /** Keyed running state: per-user event counts via mapGroupsWithState.

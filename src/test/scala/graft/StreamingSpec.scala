@@ -172,6 +172,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: duplicate payloads within the watermark drop") {
+    val h = store.open("did:test:dedup")
+    h.setModule(module)
+    // payloads a,b,a,c,b,a — 3 distinct contents, duplicates seconds apart
+    // (event time derives from idx so identical contents stay identical)
+    val evs = Seq("a", "b", "a", "c", "b", "a")
+    h.addEvents(evs.map(t =>
+      IncomingEvent("u", Drisl.encode(obj("type" -> text(t))))))
+
+    val q = EventStreamPipeline.dedupByPayload(
+        EventStreamPipeline.readLog(spark, store, "did:test:dedup")
+          .withColumn("ts", timestamp_seconds(col("idx"))),
+        "ts", "10 minutes")
+      .select(col("idx"), expr("drisl_extract(payload, '.type')").as("etype"))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .format("memory")
+      .queryName("dedup_sink")
+      .start()
+    q.awaitTermination()
+
+    val kept = spark.table("dedup_sink")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    // exactly one survivor per distinct payload (which copy survives within
+    // a single micro-batch is processing-order-defined, not event-time)
+    assert(kept.size == 3, kept.toString)
+    assert(kept.map(_._2).toSet == Set("a", "b", "c"), kept.toString)
+  }
+
   test("windowed aggregation with watermark over the event stream") {
     val h = store.open("did:test:windowed")
     h.setModule(module)
