@@ -27,6 +27,17 @@ import graft.queries.Relational.Q
   *                   at all beyond the final order for the gate.
   *  - chunks:        map-side explode; output is O(total chars / step).
   *  - redact:        map-side regexp_replace (codegen'd), no shuffle.
+  *  - repetition:    per-doc signals are a doc_id-keyed groupBy over the
+  *                   exploded bigrams — partial aggregation collapses each
+  *                   doc inside its input partition, so the shuffle carries
+  *                   ~one row per (doc, distinct bigram) cap, not the text.
+  *  - vocab:         map-side explode + partial count + TakeOrdered: the
+  *                   reducer sees one row per distinct token per partition.
+  *  - pack:          greedy first-fit-in-order packing is sequential by
+  *                   nature, so it runs per hash-group: repartition on grp,
+  *                   sortWithinPartitions, one O(1)-state pass per
+  *                   partition. Groups are independent — 100 TB packs as
+  *                   wide as the group count with zero cross-group traffic.
   */
 object Pipeline {
 
@@ -201,6 +212,115 @@ object Pipeline {
              |              || '@example.com ph +1-555-0' || CAST(doc_id % 100 AS VARCHAR)
              |         ELSE text END AS t
              |  FROM documents)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- repetition quality signals (Gopher-style filters) ----
+    // Per-document word count, distinct-word count, and the frequency of
+    // the most repeated bigram — the standard "is this doc boilerplate /
+    // a keyword-stuffing page" inputs. Integer outputs only, so the gate
+    // is float-free.
+    "q_quality_repetition" -> Q(
+      (s, dir) => {
+        val w = docs(s, dir).select(col("doc_id"),
+          split(lower(trim(col("text"))), "\\s+").as("ws"))
+        val base = w.select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_words"),
+          size(array_distinct(col("ws"))).cast("long").as("n_distinct_words"))
+        val bigrams = w.filter(size(col("ws")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))"))
+            .as("bg"))
+        val top = bigrams.groupBy("doc_id", "bg").count()
+          .groupBy("doc_id").agg(max(col("count")).as("top_bigram_n"))
+        base.join(top, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+            coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+             |  FROM documents),
+             |base AS (
+             |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+             |         CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words
+             |  FROM w),
+             |bg AS (
+             |  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg
+             |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+             |        FROM w WHERE len(ws) >= 2)),
+             |bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+             |top AS (SELECT doc_id, max(c) AS top_bigram_n FROM bgc GROUP BY doc_id)
+             |SELECT b.doc_id, b.n_words, b.n_distinct_words,
+             |       coalesce(t.top_bigram_n, 0) AS top_bigram_n
+             |FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
+             |ORDER BY b.doc_id""".stripMargin)),
+
+    // ---- corpus vocabulary: global top-50 tokens ----
+    // The tokenizer-training / corpus-stats shape: one map-side explode,
+    // partial counts per partition, and a top-k that ships only the
+    // per-partition survivors (TakeOrderedAndProject).
+    "q_corpus_vocab" -> Q(
+      (s, dir) => docs(s, dir)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(50),
+      Some("""SELECT token, count(*) AS n
+             |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+             |      FROM documents)
+             |WHERE length(token) > 0
+             |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin)),
+
+    // ---- sequence packing: greedy first-fit-in-order into 256-token bins ----
+    // The pretraining batch-prep op: concatenate documents (in stable
+    // doc_id order within a hash group) into fixed-capacity training
+    // sequences. A doc that overflows the open bin starts the next one;
+    // oversized docs get a bin of their own. The oracle replays the same
+    // greedy recurrence as a recursive CTE — both sides see identical
+    // (grp, order, n_tok) inputs, so bin assignment matches exactly.
+    "q_pack_sequences" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val cap = 256L
+        val packed = docs(s, dir)
+          .select(col("doc_id"), (col("doc_id") % 8).as("grp"),
+            size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_tok"))
+          .repartition(col("grp"))
+          .sortWithinPartitions(col("grp"), col("doc_id"))
+          .as[(Long, Long, Long)]
+          .mapPartitions { it =>
+            // several groups hash to one partition; rows arrive sorted by
+            // (grp, doc_id), so a group switch resets the running bin
+            var curGrp = Long.MinValue
+            var bin = 0L
+            var fill = Long.MaxValue // forces "new group" on the first row
+            it.map { case (id, grp, tok) =>
+              if (grp != curGrp || curGrp == Long.MinValue) {
+                curGrp = grp; bin = 0L; fill = tok
+              } else if (fill + tok <= cap) {
+                fill += tok
+              } else {
+                bin += 1L; fill = tok
+              }
+              (id, grp, bin, tok)
+            }
+          }
+          .toDF("doc_id", "grp", "seq_id", "n_tok")
+        packed.orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE d AS (
+             |  SELECT doc_id, doc_id % 8 AS grp,
+             |         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok,
+             |         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+             |  FROM documents),
+             |pack(grp, rn, doc_id, n_tok, seq_id, fill) AS (
+             |  SELECT grp, rn, doc_id, n_tok, CAST(0 AS BIGINT), n_tok
+             |  FROM d WHERE rn = 1
+             |  UNION ALL
+             |  SELECT d.grp, d.rn, d.doc_id, d.n_tok,
+             |         CASE WHEN p.fill + d.n_tok <= 256 THEN p.seq_id ELSE p.seq_id + 1 END,
+             |         CASE WHEN p.fill + d.n_tok <= 256 THEN p.fill + d.n_tok ELSE d.n_tok END
+             |  FROM pack p JOIN d ON d.grp = p.grp AND d.rn = p.rn + 1)
+             |SELECT doc_id, grp, seq_id, n_tok FROM pack ORDER BY doc_id""".stripMargin))
   )
 }

@@ -245,6 +245,48 @@ object Similarity {
               |  WHERE vec_id <> 0 GROUP BY vec_id, dims.label)
               |SELECT vec_id, label, dot / (sqrt(n2) * sqrt(qn2)) AS cos
               |FROM dots JOIN norms USING (vec_id, label), qn
-              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin))
+              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // ---- batched kNN join: top-5 neighbors for EVERY query in a batch ----
+    // The pipeline shape (dedup against a seed set, retrieval eval): the
+    // query batch is broadcast (bounded by construction), each corpus row
+    // scores against all queries map-side, and the per-query top-k runs
+    // as a rank-filtered window — Spark 4's InferWindowGroupLimit turns
+    // that into a map-side partial group-limit before the qid shuffle, so
+    // the exchange carries O(queries · k · partitions) rows, not N·Q.
+    "q_knn_join" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val qs = emb(s, dir).filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+            Vec.norm2(col("embedding")).as("qn2"))
+        emb(s, dir).filter(col("vec_id") % 100 =!= 0)
+          .crossJoin(broadcast(qs))
+          .select(col("qid"), col("vec_id"),
+            Vec.cosine(col("embedding"), col("q_emb"),
+              Vec.norm2(col("embedding")), col("qn2")).as("cos"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rk") <= 5)
+          .select(col("qid"), col("rk").cast("long").as("rk"),
+            col("vec_id"), col("cos"))
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some(s"""WITH $dimsSql,
+              |norms AS (
+              |  SELECT vec_id, CAST(sum(CAST(x * x AS DECIMAL(25,10))) AS DOUBLE) AS n2
+              |  FROM dims GROUP BY vec_id),
+              |q AS (SELECT vec_id AS qid, i AS qi, x AS qx FROM dims WHERE vec_id % 100 = 0),
+              |qn AS (SELECT vec_id AS qid, n2 AS qn2 FROM norms WHERE vec_id % 100 = 0),
+              |dots AS (
+              |  SELECT qid, vec_id, CAST(sum(CAST(x * qx AS DECIMAL(25,10))) AS DOUBLE) AS dot
+              |  FROM dims JOIN q ON i = qi WHERE vec_id % 100 <> 0 GROUP BY qid, vec_id),
+              |ranked AS (
+              |  SELECT qid, vec_id, dot / (sqrt(n2) * sqrt(qn2)) AS cos,
+              |         row_number() OVER (PARTITION BY qid
+              |           ORDER BY dot / (sqrt(n2) * sqrt(qn2)) DESC, vec_id) AS rk
+              |  FROM dots JOIN norms USING (vec_id) JOIN qn USING (qid))
+              |SELECT qid, rk, vec_id, cos FROM ranked WHERE rk <= 5
+              |ORDER BY qid, rk""".stripMargin))
   )
 }

@@ -43,6 +43,24 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("knn join's per-query top-k is limited map-side before the shuffle") {
+    // InferWindowGroupLimit must split the rank filter into Partial (map
+    // side) + Final — without it the qid exchange carries all N·Q scored
+    // pairs instead of O(queries · k) survivors per partition
+    val plan = physical("q_knn_join")
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"no partial window group limit in:\n$plan")
+  }
+
+  test("sequence packing shuffles once on grp and sorts within partitions") {
+    val plan = physical("q_pack_sequences")
+    // one hashpartitioning exchange for grp; the per-group scan order comes
+    // from a partition-local sort, never a global one
+    assert(plan.contains("hashpartitioning(grp"), s"no grp exchange:\n$plan")
+    assert("Sort \\[grp[^\\n]*\\], false".r.findFirstIn(plan).isDefined,
+      s"no partition-local sort:\n$plan")
+  }
+
   test("idx range scans prune by parquet min/max stats") {
     // rawGetEvents filters land in the scan as pushed gte/lte on idx
     val store = new graft.stream.StreamStore(spark,
