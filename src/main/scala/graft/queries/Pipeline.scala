@@ -321,6 +321,34 @@ object Pipeline {
              |         CASE WHEN p.fill + d.n_tok <= 256 THEN p.seq_id ELSE p.seq_id + 1 END,
              |         CASE WHEN p.fill + d.n_tok <= 256 THEN p.fill + d.n_tok ELSE d.n_tok END
              |  FROM pack p JOIN d ON d.grp = p.grp AND d.rn = p.rn + 1)
-             |SELECT doc_id, grp, seq_id, n_tok FROM pack ORDER BY doc_id""".stripMargin))
+             |SELECT doc_id, grp, seq_id, n_tok FROM pack ORDER BY doc_id""".stripMargin)),
+
+    // ---- canonical selection: keep the BEST copy of each near-dup group ----
+    // Dedup that keeps an arbitrary survivor throws away the longest /
+    // cleanest version; production pipelines rank within the group. Group
+    // key = 64-char-prefix hash (same relation the clusterer uses); the
+    // canonical doc is the longest text, doc_id as tie-break. One window
+    // over the group key — a single shuffle, O(1) state per group.
+    "q_dedup_canonical" -> Q(
+      (s, dir) => {
+        val c = Dedup.corpus(s, dir)
+          .select(col("doc_id"), col("text"),
+            md5(substring(trim(col("text")), 1, 64)).as("gk"))
+        val w = Window.partitionBy(col("gk"))
+          .orderBy(length(col("text")).desc, col("doc_id"))
+        c.withColumn("canonical_id", first(col("doc_id")).over(w))
+          .select(col("doc_id"), col("canonical_id"),
+            (col("doc_id") === col("canonical_id")).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${Dedup.corpusSql},
+              |g AS (
+              |  SELECT doc_id,
+              |         first_value(doc_id) OVER (
+              |           PARTITION BY md5(substr(trim(text), 1, 64))
+              |           ORDER BY length(text) DESC, doc_id) AS canonical_id
+              |  FROM corpus)
+              |SELECT doc_id, canonical_id, doc_id = canonical_id AS keep
+              |FROM g ORDER BY doc_id""".stripMargin))
   )
 }

@@ -287,6 +287,45 @@ object Similarity {
               |           ORDER BY dot / (sqrt(n2) * sqrt(qn2)) DESC, vec_id) AS rk
               |  FROM dots JOIN norms USING (vec_id) JOIN qn USING (qid))
               |SELECT qid, rk, vec_id, cos FROM ranked WHERE rk <= 5
-              |ORDER BY qid, rk""".stripMargin))
+              |ORDER BY qid, rk""".stripMargin)),
+
+    // ---- int8 symmetric quantization: the embedding-storage op ----
+    // scale = 127 / max|x| per vector, q_i = ⌊x_i·scale + 0.5⌋ — 4× the
+    // density of float32 for ANN at 100 TB. Entirely in-row codegen
+    // (transform/aggregate over the array — no explode, no shuffle); the
+    // gate reports integer digests (plain, L1, position-weighted sums), so
+    // the check is float-free. floor(x+0.5) is the rounding both engines
+    // compute identically; float→double widening is exact, so scale and
+    // products are the same IEEE doubles on both sides.
+    "q_emb_quantize" -> Q(
+      (s, dir) => {
+        val absmax = array_max(transform(col("embedding"),
+          x => abs(x.cast("double"))))
+        val scale = lit(127.0) / col("absmax")
+        val qarr = transform(col("embedding"),
+          (x, _) => floor(x.cast("double") * scale + lit(0.5)).cast("long"))
+        def isum(arr: Column) =
+          aggregate(arr, lit(0L), (acc, v) => acc + v)
+        emb(s, dir)
+          .withColumn("absmax", absmax)
+          .filter(col("absmax") > 0)
+          .withColumn("q", qarr)
+          .select(col("vec_id"),
+            isum(col("q")).as("qsum"),
+            isum(transform(col("q"), v => abs(v))).as("l1"),
+            isum(transform(col("q"),
+              (q, i) => q * (i + 1).cast("long"))).as("wsum"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH $dimsSql,
+              |m AS (SELECT vec_id, max(abs(x)) AS absmax FROM dims GROUP BY vec_id),
+              |q AS (
+              |  SELECT dims.vec_id, i,
+              |         CAST(floor(x * (127.0 / absmax) + 0.5) AS BIGINT) AS qv
+              |  FROM dims JOIN m USING (vec_id) WHERE absmax > 0)
+              |SELECT vec_id, CAST(sum(qv) AS BIGINT) AS qsum,
+              |       CAST(sum(abs(qv)) AS BIGINT) AS l1,
+              |       CAST(sum(qv * i) AS BIGINT) AS wsum
+              |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin))
   )
 }
