@@ -68,23 +68,38 @@ object Pipeline {
         var labels = und.select(col("src").as("id")).distinct()
           .select(col("id"), col("id").as("label")).persist()
         // min-label only ever decreases, so an unchanged sum is a fixpoint
-        var sum = labels.agg(org.apache.spark.sql.functions.sum("label")).head.getLong(0)
+        // (coalesce: an edgeless corpus has an empty frontier, sum NULL)
+        def labelSum(df: DataFrame): Long =
+          df.agg(coalesce(org.apache.spark.sql.functions.sum("label"), lit(0L)))
+            .head.getLong(0)
+        var chk = labelSum(labels)
         var converged = false
         var iter = 0
-        while (!converged && iter < 15) {
+        while (!converged && iter < 30) {
           val prop = labels.join(und, col("id") === col("src"))
             .select(col("dst").as("id"), col("label"))
           val next = labels.unionByName(prop)
             .groupBy("id").agg(min(col("label")).as("label")).persist()
-          val nextSum = next.agg(org.apache.spark.sql.functions.sum("label")).head.getLong(0)
+          val nextChk = labelSum(next)
           labels.unpersist()
           labels = next
-          converged = nextSum == sum
-          sum = nextSum
+          converged = nextChk == chk
+          chk = nextChk
           iter += 1
         }
-        labels.select(col("id").as("doc_id"), col("label").as("component"))
-          .orderBy(col("doc_id"))
+        // a silent non-converged exit would return WRONG labels — fail loud
+        if (!converged) throw new IllegalStateException(
+          s"component propagation did not converge in $iter rounds " +
+            "(component diameter exceeds the cap — raise it or switch " +
+            "this loop to large-star/small-star)")
+        // sever lineage so the loop's cached generations can be released
+        // (the result no longer references them once checkpointed)
+        val out = labels
+          .select(col("id").as("doc_id"), col("label").as("component"))
+          .localCheckpoint(true)
+        labels.unpersist()
+        edges.unpersist()
+        out.orderBy(col("doc_id"))
       },
       Some(s"""WITH RECURSIVE ${Dedup.corpusSql},
               |edges AS (

@@ -260,11 +260,14 @@ object Similarity {
         val qs = emb(s, dir).filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
             Vec.norm2(col("embedding")).as("qn2"))
+        // each candidate's norm is query-independent: fold it ONCE per row
+        // before the cross join, not once per (row, query) pair
         emb(s, dir).filter(col("vec_id") % 100 =!= 0)
+          .withColumn("n2", Vec.norm2(col("embedding")))
           .crossJoin(broadcast(qs))
           .select(col("qid"), col("vec_id"),
             Vec.cosine(col("embedding"), col("q_emb"),
-              Vec.norm2(col("embedding")), col("qn2")).as("cos"))
+              col("n2"), col("qn2")).as("cos"))
           .withColumn("rk", row_number().over(
             Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
           .filter(col("rk") <= 5)

@@ -67,7 +67,7 @@ import graft.types._
   * (/stream/events_push): deliveries buffer server-side and the client
   * consumes at its own pace — backpressure is inherent, nothing is dropped.
   */
-class LeafServer(store: StreamStore, port: Int,
+class LeafServer(private[server] val store: StreamStore, port: Int,
     authToken: Option[String] = None, moduleAdmins: Set[String] = Set.empty,
     jwt: Option[JwtAuth] = None,
     maxBufferedDeliveries: Int = 12,
@@ -356,7 +356,7 @@ class LeafServer(store: StreamStore, port: Int,
     // with a PLC directory, mint a real did:plc backed by a signed genesis
     // op and a custodied secp256k1 key (did.rs:11-47); otherwise an opaque id
     val id = requested.getOrElse(plc match {
-      case Some(dir) => dir.createDid(s"http://127.0.0.1:$port/")
+      case Some(dir) => dir.createDid(s"http://127.0.0.1:$boundPort/")
       case None => "did:graft:" + java.util.UUID.randomUUID().toString.take(12)
     })
     val m = store.module(str(args, "module_cid"))
@@ -437,7 +437,16 @@ class LeafServer(store: StreamStore, port: Int,
     // surfaces through /stream/info. A null handle clears it (the wire
     // shape is `handle: string | null`, codec.ts:132-135).
     val id = str(args, "id")
-    val handle = args.get("handle").collect { case h: String => h }
+    // only an EXPLICIT null clears; a missing key or a non-string value is
+    // a malformed request, not a clear (a typo'd field must not append a
+    // signed alsoKnownAs-clearing op to the permanent PLC log)
+    val handle = args.get("handle") match {
+      case Some(h: String) => Some(h)
+      case Some(null) => None
+      case Some(other) => throw new IllegalArgumentException(
+        s"handle must be a string or null, got: $other")
+      case None => throw new IllegalArgumentException("missing handle")
+    }
     plc.filter(_ => id.startsWith("did:plc:")).foreach { dir =>
       dir.updateHandle(id, handle).left.foreach(err =>
         throw new IllegalStateException(err))
@@ -620,7 +629,7 @@ class LeafServer(store: StreamStore, port: Int,
       "service" -> Vector(Map(
         "id" -> "#leaf_server",
         "type" -> "LeafServer",
-        "serviceEndpoint" -> s"http://127.0.0.1:$port/")))).getBytes(UTF_8)
+        "serviceEndpoint" -> s"http://127.0.0.1:$boundPort/")))).getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(200, body.length)
     ex.getResponseBody.write(body)

@@ -90,19 +90,23 @@ object Msgpack {
     v
   }
 
-  /** Decode one value starting at `offset`; returns (value, bytesConsumed). */
-  def decodeOne(bytes: Array[Byte], offset: Int): (Any, Int) = {
-    val r = new Reader(bytes); r.pos = offset
-    val v = r.read()
-    (v, r.pos - offset)
-  }
-
   private final class Reader(bytes: Array[Byte]) {
     var pos = 0
 
-    private def u8(): Int = { val b = bytes(pos) & 0xff; pos += 1; b }
+    /** Every length claimed by the wire is validated against the bytes
+      * actually present BEFORE any allocation sized by it — a 6-byte
+      * packet claiming a 2 GB bin must fail as "truncated", not allocate. */
+    private def need(n: Int): Int = {
+      if (n < 0 || n > bytes.length - pos)
+        throw new IllegalArgumentException(
+          s"msgpack truncated: need $n bytes, have ${bytes.length - pos}")
+      n
+    }
+
+    private def u8(): Int = { need(1); val b = bytes(pos) & 0xff; pos += 1; b }
 
     private def be(n: Int): Long = {
+      need(n)
       var v = 0L
       var i = 0
       while (i < n) { v = (v << 8) | (bytes(pos + i) & 0xffL); i += 1 }
@@ -111,17 +115,24 @@ object Msgpack {
     }
 
     private def str(len: Int): String = {
+      need(len)
       val s = new String(bytes, pos, len, UTF_8); pos += len; s
     }
 
     private def bin(len: Int): Array[Byte] = {
+      need(len)
       val b = java.util.Arrays.copyOfRange(bytes, pos, pos + len); pos += len; b
     }
 
-    private def arr(len: Int): Vector[Any] =
+    private def arr(len: Int): Vector[Any] = {
+      // each element is at least one byte, so a count beyond the remaining
+      // bytes is provably corrupt — reject before Vector.fill allocates
+      need(len)
       Vector.fill(len)(read())
+    }
 
     private def map(len: Int): Map[String, Any] = {
+      if (len > 0) need(len) // ≥1 byte per key alone
       val b = Map.newBuilder[String, Any]
       var i = 0
       while (i < len) {

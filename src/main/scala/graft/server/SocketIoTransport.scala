@@ -68,12 +68,6 @@ class SocketIoTransport(srv: LeafServer,
   // sessions are few and short-locked, contention is not a concern here
   private val monitor = new Object
 
-  // module CID aliasing: the wire CID is content-addressed over the
-  // client's DRISL encoding of the module (what LeafClient.moduleCid
-  // computes, index.ts:158-162); internally modules are addressed by the
-  // engine's canonical encoding. Both name the same module.
-  private val wireToInternal = mutable.Map.empty[String, String]
-  private val internalToWire = mutable.Map.empty[String, String]
 
   def mount(http: HttpServer): Unit =
     http.createContext("/socket.io", (ex: HttpExchange) => {
@@ -210,9 +204,21 @@ class SocketIoTransport(srv: LeafServer,
     case _ => // noop/upgrade chatter: ignore
   }
 
+  // hasRoom bounds SUBSCRIPTION deliveries; this caps everything else
+  // (acks, errors): a client that fires requests but never polls its
+  // outbox is buffering server memory with no intent to read it —
+  // disconnect it rather than grow without bound
+  private val maxOutboxPackets = 256
+
   private def push(sess: Session, pkt: Either[String, Array[Byte]]): Unit =
     monitor.synchronized {
-      if (!sess.closed) { sess.outbox += pkt; monitor.notifyAll() }
+      if (!sess.closed) {
+        if (sess.outbox.size >= maxOutboxPackets) {
+          teardown(sess)
+          sessions.remove(sess.sid)
+        } else sess.outbox += pkt
+        monitor.notifyAll()
+      }
     }
 
   private def pushSio(sess: Session, pkt: Map[String, Any]): Unit =
@@ -350,16 +356,18 @@ class SocketIoTransport(srv: LeafServer,
       val internal = route(sess, "/module/upload",
         Map("module" -> moduleFromWire(srv.dvalueToAny(moduleD))))
       val internalCid = internal("cid").toString
-      monitor.synchronized {
-        wireToInternal(Cid.render(wireCid)) = internalCid
-        internalToWire(internalCid) = Cid.render(wireCid)
-      }
+      // module CID aliasing: the wire CID is content-addressed over the
+      // client's DRISL encoding (what LeafClient.moduleCid computes,
+      // index.ts:158-162); internally modules are addressed by the
+      // engine's canonical encoding. The alias persists as a sidecar next
+      // to the blob so client CID equality survives a server restart.
+      srv.store.recordModuleAlias(Cid.render(wireCid), internalCid)
       (ok(obj("moduleCid" -> DCid(wireCid))), None)
 
     case "module/exists" =>
       val args = decodeArgs(payload)
       val wire = cidStr(args("moduleCid"))
-      val internal = monitor.synchronized(wireToInternal.getOrElse(wire, wire))
+      val internal = srv.store.moduleAlias(wire).getOrElse(wire)
       val resp = route(sess, "/module/exists", Map("cid" -> internal))
       (ok(obj("moduleExists" -> DBool(resp("exists") == true))), None)
 
@@ -367,7 +375,7 @@ class SocketIoTransport(srv: LeafServer,
       requireDid(sess, "create_streams")
       val args = decodeArgs(payload)
       val wire = cidStr(args("moduleCid"))
-      val internal = monitor.synchronized(wireToInternal.getOrElse(wire, wire))
+      val internal = srv.store.moduleAlias(wire).getOrElse(wire)
       val resp = route(sess, "/stream/create", Map("module_cid" -> internal))
       (ok(obj("streamDid" -> text(resp("id").toString))), None)
 
@@ -375,14 +383,14 @@ class SocketIoTransport(srv: LeafServer,
       val args = decodeArgs(payload)
       val resp = route(sess, "/stream/info", Map("id" -> args("streamDid").toString))
       val cid = Option(resp.getOrElse("module_cid", null)).map(_.toString)
-        .map(c => monitor.synchronized(internalToWire.getOrElse(c, c)))
+        .map(c => srv.store.wireAliasFor(c).getOrElse(c))
       (ok(obj("moduleCid" -> cid.map(c => DCid(Cid.parse(c))).getOrElse(DNull))), None)
 
     case "stream/update_module" =>
       requireDid(sess, "update modules")
       val args = decodeArgs(payload)
       val wire = cidStr(args("moduleCid"))
-      val internal = monitor.synchronized(wireToInternal.getOrElse(wire, wire))
+      val internal = srv.store.moduleAlias(wire).getOrElse(wire)
       route(sess, "/stream/update_module",
         Map("id" -> args("streamDid").toString, "module_cid" -> internal))
       (ok(DNull), None)

@@ -87,6 +87,38 @@ class StreamStore(val spark: SparkSession, val root: String,
     m.cid
   }
 
+  /** Wire-CID alias sidecars: a native-transport client addresses a module
+    * by the CID of ITS OWN encoding; the wire→internal mapping persists
+    * next to the blob so client CID equality survives a server restart
+    * (an in-memory map alone breaks stream/info equality after a bounce). */
+  def recordModuleAlias(wireCid: String, internalCid: String): Unit = synchronized {
+    Files.createDirectories(modulesDir)
+    val f = modulesDir.resolve(wireCid + ".alias")
+    if (!Files.exists(f)) {
+      val tmp = modulesDir.resolve(wireCid + ".alias.tmp")
+      Files.write(tmp, internalCid.getBytes(UTF_8))
+      Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  def moduleAlias(wireCid: String): Option[String] = synchronized {
+    val f = modulesDir.resolve(wireCid + ".alias")
+    if (Files.exists(f)) Some(new String(Files.readAllBytes(f), UTF_8)) else None
+  }
+
+  /** Reverse lookup (internal → wire) for surfacing the client's own CID
+    * in stream/info; a directory scan, fine at module-count scale. */
+  def wireAliasFor(internalCid: String): Option[String] = synchronized {
+    if (!Files.exists(modulesDir)) return None
+    val l = Files.list(modulesDir)
+    try l.iterator().asScala
+      .filter(_.toString.endsWith(".alias"))
+      .find(p => new String(Files.readAllBytes(p), UTF_8) == internalCid)
+      .map(_.getFileName.toString.stripSuffix(".alias"))
+    finally l.close()
+  }
+
   def module(cid: String): Option[ModuleDef] = synchronized {
     modules.get(cid).orElse {
       val blob = modulesDir.resolve(cid + ".json")
@@ -132,6 +164,17 @@ class StreamStore(val spark: SparkSession, val root: String,
       modules.remove(p.getFileName.toString.stripSuffix(".json"))
       Files.deleteIfExists(p)
     }
+    // alias sidecars follow their blob: collect any (stale) alias whose
+    // internal module no longer exists
+    val aliases = Files.list(modulesDir)
+    val orphaned =
+      try aliases.iterator().asScala
+        .filter(_.toString.endsWith(".alias"))
+        .filter(p => Files.getLastModifiedTime(p).toMillis < staleBefore)
+        .filterNot(p => Files.exists(modulesDir.resolve(
+          new String(Files.readAllBytes(p), UTF_8) + ".json"))).toList
+      finally aliases.close()
+    orphaned.foreach(Files.deleteIfExists(_))
     dead.size
   }
 

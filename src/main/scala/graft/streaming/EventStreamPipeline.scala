@@ -80,9 +80,10 @@ object EventStreamPipeline {
     * ever seen). The batch analog is `q_dedup_exact`. */
   def dedupByPayload(events: DataFrame, tsCol: String, watermark: String): DataFrame =
     events
-      .withColumn("fp", md5(col("payload")))
+      .withColumn("__graft_fp", md5(col("payload")))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("fp")
+      .dropDuplicatesWithinWatermark("__graft_fp")
+      .drop("__graft_fp") // internal fingerprint, not part of the output
 
   case class UserCount(user: String, n: Long)
 

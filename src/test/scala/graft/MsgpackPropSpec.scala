@@ -57,4 +57,22 @@ class MsgpackPropSpec extends AnyFunSuite {
         java.lang.Double.doubleToRawLongBits(d), s"double: $d")
     }
   }
+
+  test("hostile length prefixes are rejected before any allocation") {
+    // a tiny packet claiming a ~2GB payload must fail as truncated input,
+    // not allocate (bin32/str32/array32/map32, plus a negative length)
+    val bombs = Seq(
+      Array(0xc6, 0x7f, 0xff, 0xff, 0xff), // bin32, 2^31-1
+      Array(0xc6, 0xff, 0xff, 0xff, 0x00), // bin32, negative as Int
+      Array(0xdb, 0x7f, 0xff, 0xff, 0xff), // str32
+      Array(0xdd, 0x7f, 0xff, 0xff, 0xff), // array32
+      Array(0xde, 0x7f, 0xff),             // map16
+      Array(0xc5, 0xff, 0xff),             // bin16 beyond input
+      Array(0xc4, 0x10))                   // bin8 beyond input
+    bombs.foreach { b =>
+      val ex = intercept[IllegalArgumentException](
+        Msgpack.decode(b.map(_.toByte)))
+      assert(ex.getMessage.contains("truncated"), s"$ex for ${b.toSeq}")
+    }
+  }
 }

@@ -79,9 +79,9 @@ class SocketIoSpec extends AnyFunSuite {
     case DCid(b) => "cid:" + Cid.render(b)
   }
 
-  private class SioClient {
+  private class SioClient(port: => Int = server.boundPort) {
     private val http = HttpClient.newHttpClient()
-    private def base = s"http://127.0.0.1:${server.boundPort}/socket.io/?EIO=4&transport=polling"
+    private def base = s"http://127.0.0.1:$port/socket.io/?EIO=4&transport=polling"
     var sid: String = _
     val events = mutable.Queue.empty[Vector[Any]] // EVENT packets' data arrays
     val acks = mutable.Map.empty[Long, Any] // ackId -> DRISL-decoded result
@@ -361,5 +361,56 @@ class SocketIoSpec extends AnyFunSuite {
         s"http://127.0.0.1:${server.boundPort}/socket.io/?EIO=4&transport=polling&sid=${c.sid}"))
         .GET().build(), HttpResponse.BodyHandlers.ofString())
     assert(resp.body().contains("Session ID unknown"))
+  }
+
+  test("module CID aliasing survives a server restart (persisted sidecar)") {
+    val c1 = new SioClient
+    c1.connect(Some("testtoken"))
+    val wireCid = assertOk(c1.emitWithAck("module/upload", obj("module" -> wireModule)))
+      .asInstanceOf[Map[String, Any]]("moduleCid").toString.stripPrefix("cid:")
+    // a fresh server over the same store: no in-memory alias state — the
+    // wire↔internal mapping must come back from the sidecar on disk
+    val s2 = new LeafServer(store, 0, authToken = Some("testtoken"),
+      serverDid = serverDid)
+    s2.start()
+    try {
+      val c2 = new SioClient(s2.boundPort)
+      c2.connect(Some("testtoken"))
+      val exists = assertOk(c2.emitWithAck("module/exists",
+        obj("moduleCid" -> DCid(Cid.parse(wireCid))))).asInstanceOf[Map[String, Any]]
+      assert(exists("moduleExists") == true)
+      val created = assertOk(c2.emitWithAck("stream/create",
+        obj("moduleCid" -> DCid(Cid.parse(wireCid))))).asInstanceOf[Map[String, Any]]
+      val info = assertOk(c2.emitWithAck("stream/info",
+        obj("streamDid" -> text(created("streamDid").toString))))
+        .asInstanceOf[Map[String, Any]]
+      // the client still sees ITS OWN CID, not the internal encoding's
+      assert(info("moduleCid").toString.stripPrefix("cid:") == wireCid)
+    } finally s2.stop()
+  }
+
+  test("a session that never polls is disconnected at the outbox cap") {
+    val c = new SioClient
+    c.connect(Some("testtoken"))
+    // fire ack-bearing requests WITHOUT ever polling: each queues an ack
+    // packet; at the cap the server must drop the session rather than
+    // buffer without bound — visible as POSTs no longer acking "ok"
+    val http = HttpClient.newHttpClient()
+    var i = 0
+    var cut = false
+    while (i < 400 && !cut) {
+      val pkt = Map("type" -> 2L, "id" -> (1000L + i), "nsp" -> "/",
+        "data" -> Vector("module/exists",
+          Drisl.encode(obj("moduleCid" -> text("cid-not-there")))))
+      val body = "b" + Base64.getEncoder.encodeToString(Msgpack.encode(pkt))
+      val resp = http.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${server.boundPort}/socket.io/?EIO=4&transport=polling&sid=${c.sid}"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      cut = resp.body() != "ok"
+      i += 1
+    }
+    assert(cut, s"outbox never hit the cap after $i requests")
   }
 }
