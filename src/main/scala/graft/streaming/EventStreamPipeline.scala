@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -84,6 +84,35 @@ object EventStreamPipeline {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__graft_fp")
       .drop("__graft_fp") // internal fingerprint, not part of the output
+
+  /** Streaming NEAR-dup dedup: each document is 5-gram shingled and
+    * min-hashed into one `lanes`-wide band key, entirely map-side
+    * (transform/aggregate expressions — no UDF, no state), then the band
+    * key dedups within the watermark like the exact variant. Two texts
+    * with identical min-shingles per lane collide; the batch analog is
+    * `q_dedup_minhash`/`q_dedup_lsh`. State = one band key per surviving
+    * document inside the horizon. */
+  def nearDedupByBand(events: DataFrame, textCol: String, tsCol: String,
+      watermark: String, lanes: Int = 8): DataFrame = {
+    val key = bandKey(col(textCol), lanes)
+    events
+      .withColumn("__graft_band", key)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__graft_band")
+      .drop("__graft_band")
+  }
+
+  /** The band key expression: min(xxhash64(shingle, lane)) per lane,
+    * lanes joined into one string key. Exposed so tests (and batch
+    * callers) can compute the same key. */
+  def bandKey(text: Column, lanes: Int): Column = {
+    val t = lower(trim(text))
+    val shingles = transform(
+      sequence(lit(1), greatest(length(t) - 4, lit(1))),
+      i => t.substr(i, lit(5)))
+    concat_ws("|", (0 until lanes).map(l =>
+      array_min(transform(shingles, s => xxhash64(s, lit(l))))): _*)
+  }
 
   case class UserCount(user: String, n: Long)
 

@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, Tables, TempDirs}
+
+/** Dev harness: replicate the documents/embeddings corpus N× (ids offset,
+  * text salted per replica so the duplicate DENSITY stays what the base
+  * corpus has, instead of every doc gaining N-1 exact copies) and time the
+  * corpus-heavy pipeline operators against the blown-up input. The point
+  * is the growth CURVE: an operator whose cost is candidate-bounded should
+  * scale ~linearly in N; anything quadratic surfaces immediately.
+  *
+  * GRAFT_REPLICATE=10 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *   sbt "runMain graft.tools.ProfilePipeline q_dedup_lsh q_dedup_cluster"
+  */
+object ProfilePipeline {
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("GRAFT_REPLICATE", "10").toInt
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = TempDirs.create("graft-scaleprof").toString
+    val d = Tables.df(spark, base, "documents")
+    val docN = d.agg(max("doc_id")).head.getLong(0) + 1
+    val reps = spark.range(mult).select(col("id").as("r"))
+    // each replica rewrites most characters (alphabet rotation keyed by r),
+    // so cross-replica shingle overlap is ~zero and the base corpus's dup
+    // structure repeats N times WITHOUT replicas near-duplicating each
+    // other (a suffix salt leaves Jaccard ≈ 1 and manufactures O(N²)
+    // true pairs per base doc — output-bound, not a scaling signal)
+    val alpha = "abcdefghijklmnopqrst"
+    val whens = (0 until mult).map { r =>
+      val rot = alpha.drop(r % alpha.length) + alpha.take(r % alpha.length)
+      when(col("r") === r, translate(col("text"), alpha, rot))
+    }
+    val salted = whens.init.foldRight(whens.last: org.apache.spark.sql.Column)(
+      (w, acc) => w.otherwise(acc))
+    d.crossJoin(reps)
+      .select((col("doc_id") + col("r") * docN).as("doc_id"),
+        coalesce(salted, col("text")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = Tables.df(spark, base, "embeddings")
+    val vecN = e.agg(max("vec_id")).head.getLong(0) + 1
+    e.crossJoin(reps)
+      .select((col("vec_id") + col("r") * vecN).as("vec_id"),
+        col("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val nd = spark.read.parquet(s"$dir/documents.parquet").count()
+    val ne = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    println(s"[scaleprof] corpus ×$mult: $nd documents, $ne embeddings at $dir")
+
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "q_dedup_exact", "q_dedup_minhash", "q_dedup_lsh", "q_dedup_cluster",
+      "q_dedup_canonical", "q_decontaminate", "q_pack_sequences",
+      "q_corpus_vocab", "q_quality_repetition", "q_emb_quantize")
+    names.foreach { name =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      println(f"[scaleprof] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+    }
+    spark.stop()
+  }
+}

@@ -202,6 +202,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept.map(_._2).toSet == Set("a", "b", "c"), kept.toString)
   }
 
+  test("streaming near-dup: band-key collisions drop within the watermark") {
+    val h = store.open("did:test:neardup")
+    h.setModule(module)
+    // three "documents": A, a superset of A (same min-shingles → collides
+    // unless an added shingle hashes lower in some lane), and distinct B
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val a2 = a + "." // appended char: shingle set is a superset of A's
+    val b = "completely different content with nothing shared at all here"
+    h.addEvents(Seq(a, a2, b).map(t =>
+      IncomingEvent("u", Drisl.encode(obj("type" -> text(t))))))
+
+    // ground truth from the SAME key expression, computed in batch
+    val spark0 = spark
+    import spark0.implicits._
+    val expected = Seq(a, a2, b).toDF("t")
+      .select(EventStreamPipeline.bandKey(col("t"), 8).as("k"))
+      .distinct().count()
+
+    val q = EventStreamPipeline.nearDedupByBand(
+        EventStreamPipeline.readLog(spark, store, "did:test:neardup")
+          .withColumn("t", expr("drisl_extract(payload, '.type')"))
+          .withColumn("ts", timestamp_seconds(col("idx"))),
+        "t", "ts", "10 minutes")
+      .select(col("idx"))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .format("memory")
+      .queryName("neardup_sink")
+      .start()
+    q.awaitTermination()
+
+    val kept = spark.table("neardup_sink").count()
+    assert(kept == expected, s"kept $kept of 3, expected $expected")
+    assert(kept >= 2, "distinct content must never collapse to one")
+  }
+
   test("windowed aggregation with watermark over the event stream") {
     val h = store.open("did:test:windowed")
     h.setModule(module)
