@@ -577,6 +577,32 @@ object Relational {
               |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
               |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin)),
 
+    // ---- explicit GROUPING SETS: disjoint subtotal shapes in one pass ----
+    // (rollup covers the prefix lattice; this is the general form — the
+    // planner expands the sets into one Expand + single aggregation, so a
+    // 100 TB input is scanned ONCE for all three groupings)
+    "q_grouping_sets" -> Q(
+      (s, dir) => {
+        Tables.load(s, dir)
+        s.sql(s"""SELECT l_returnflag, l_linestatus,
+                 |  CAST(sum(${sqlDec("l_quantity")}) AS DOUBLE) AS qty,
+                 |  count(*) AS n,
+                 |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+                 |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+                 |FROM lineitem
+                 |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                 |                        (l_linestatus), ())
+                 |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin)
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  CAST(sum(${sqlDec("l_quantity")}) AS DOUBLE) AS qty,
+              |  count(*) AS n,
+              |  GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls
+              |FROM lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+              |                        (l_linestatus), ())
+              |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin)),
+
     // ---- recursive CTE (WITH RECURSIVE; SURVEY §7.4 hard-part) ----
     // a recursive month spine drives a left join over lineitem — recursion
     // plus join/aggregation in one plan, identical SQL on both engines

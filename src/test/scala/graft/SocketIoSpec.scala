@@ -363,6 +363,35 @@ class SocketIoSpec extends AnyFunSuite {
     assert(resp.body().contains("Session ID unknown"))
   }
 
+  test("hostile wire bytes never crash the server (fuzz the transport)") {
+    val http = HttpClient.newHttpClient()
+    val rnd = new scala.util.Random(42) // deterministic fuzz corpus
+    def post(sid: String, body: Array[Byte]): Int = http.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${server.boundPort}/socket.io/?EIO=4&transport=polling&sid=$sid"))
+        .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+      HttpResponse.BodyHandlers.ofString()).statusCode()
+    // random garbage at a live session + at bogus sessions: every request
+    // must come back as an orderly HTTP status, never a hung/killed server
+    val c = new SioClient
+    c.connect(Some("testtoken"))
+    (1 to 60).foreach { i =>
+      val len = rnd.nextInt(200)
+      val garbage = Array.fill(len)(rnd.nextInt(256).toByte)
+      val sid = if (i % 3 == 0) "nosuchsid" else c.sid
+      val code = post(sid, garbage)
+      assert(code >= 200 && code < 500, s"got $code on fuzz #$i")
+      // b-prefixed base64 of random bytes exercises the msgpack decoder
+      val b64 = "b" + Base64.getEncoder.encodeToString(garbage)
+      val code2 = post(sid, b64.getBytes("UTF-8"))
+      assert(code2 >= 200 && code2 < 500, s"got $code2 on b64 fuzz #$i")
+    }
+    // the server is still fully functional afterwards
+    val c2 = new SioClient
+    c2.connect(Some("testtoken"))
+    assert(c2.takeEvent("authenticated").isDefined)
+  }
+
   test("module CID aliasing survives a server restart (persisted sidecar)") {
     val c1 = new SioClient
     c1.connect(Some("testtoken"))
