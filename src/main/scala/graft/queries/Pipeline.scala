@@ -364,6 +364,110 @@ object Pipeline {
               |           ORDER BY length(text) DESC, doc_id) AS canonical_id
               |  FROM corpus)
               |SELECT doc_id, canonical_id, doc_id = canonical_id AS keep
-              |FROM g ORDER BY doc_id""".stripMargin))
+              |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // ---- the whole funnel, one declarative plan ----
+    // quality gate → canonical dedup → decontamination → split assignment:
+    // the stages a real corpus passes through before training, composed as
+    // ONE DataFrame so Catalyst sees the whole thing (filters push into
+    // the scan; the only shuffles are the dedup-group window and the
+    // eval-gram anti-join whose right side stays broadcast-small). The
+    // gate reports per-split survivor stats, proving the exact same rows
+    // fell out of every stage on both engines.
+    "q_pipeline_funnel" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"), trim(col("text")).as("t"))
+        // stage 1: quality — enough words, not bigram-stuffed (exploded
+        // bigram counts collapse in partial aggregation: the shuffle is
+        // one row per (doc, distinct bigram), linear in doc length)
+        val withWords = d.withColumn("ws", split(lower(col("t")), "\\s+"))
+          .filter(size(col("ws")) >= 20)
+        val topBg = withWords
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))"))
+            .as("b"))
+          .groupBy("doc_id", "b").count()
+          .groupBy("doc_id").agg(max(col("count")).as("top_bg"))
+        val quality = withWords.join(topBg, "doc_id")
+          .filter(col("top_bg") <= 8)
+          .select(col("doc_id"), col("t"))
+        // stage 2: canonical dedup on the 64-char prefix (longest wins)
+        val w = Window.partitionBy(md5(substring(col("t"), 1, 64)))
+          .orderBy(length(col("t")).desc, col("doc_id"))
+        val deduped = quality
+          .withColumn("canon", first(col("doc_id")).over(w))
+          .filter(col("doc_id") === col("canon"))
+        // stage 3: decontamination — drop docs sharing a 20-gram with the
+        // eval slice (doc_id % 97 == 0); eval grams are DISTINCT + tiny
+        val evalG = d.filter(col("doc_id") % 97 === 0)
+          .filter(length(col("t")) >= 20)
+          .select(explode(sequence(lit(1), length(col("t")) - 19, lit(5))).as("i"),
+            col("t"))
+          .select(md5(col("t").substr(col("i"), lit(20))).as("g")).distinct()
+        val trainG = deduped.filter(col("doc_id") % 97 =!= 0)
+          .filter(length(col("t")) >= 20)
+          .select(col("doc_id"), col("t"),
+            explode(sequence(lit(1), length(col("t")) - 19, lit(5))).as("i"))
+          .select(col("doc_id"), md5(col("t").substr(col("i"), lit(20))).as("g"))
+        val clean = deduped.filter(col("doc_id") % 97 =!= 0)
+          .join(trainG.join(evalG, "g").select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+        // stage 4: deterministic split
+        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long")
+        clean
+          .select(col("doc_id"), length(col("t")).cast("long").as("len"), h.as("h"))
+          .select(when(col("h") % 10 < 8, "train")
+            .when(col("h") % 10 === 8, "val").otherwise("test").as("split"),
+            col("doc_id"), col("len"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n"), sum(col("len")).as("total_chars"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+          .orderBy(col("split"))
+      },
+      Some("""WITH d AS (SELECT doc_id, trim(text) AS t FROM documents),
+             |q AS (
+             |  SELECT doc_id, t, string_split_regex(lower(t), '\s+') AS ws FROM d),
+             |bg AS (
+             |  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS b
+             |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+             |        FROM q WHERE len(ws) >= 20)),
+             |quality AS (
+             |  SELECT q.doc_id, q.t FROM q
+             |  JOIN (SELECT doc_id, max(c) AS top_bg FROM (
+             |          SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b)
+             |        GROUP BY doc_id) m ON q.doc_id = m.doc_id
+             |  WHERE len(q.ws) >= 20 AND m.top_bg <= 8),
+             |deduped AS (
+             |  SELECT doc_id, t FROM (
+             |    SELECT doc_id, t, first_value(doc_id) OVER (
+             |      PARTITION BY md5(substr(t, 1, 64))
+             |      ORDER BY length(t) DESC, doc_id) AS canon
+             |    FROM quality)
+             |  WHERE doc_id = canon),
+             |evalg AS (
+             |  SELECT DISTINCT md5(substr(t, i, 20)) AS g
+             |  FROM (SELECT t, unnest(generate_series(1, length(t) - 19, 5)) AS i
+             |        FROM d WHERE doc_id % 97 = 0 AND length(t) >= 20)),
+             |traing AS (
+             |  SELECT doc_id, md5(substr(t, i, 20)) AS g
+             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 19, 5)) AS i
+             |        FROM deduped WHERE doc_id % 97 != 0 AND length(t) >= 20)),
+             |contaminated AS (
+             |  SELECT DISTINCT doc_id FROM traing JOIN evalg USING (g)),
+             |clean AS (
+             |  SELECT doc_id, t FROM deduped
+             |  WHERE doc_id % 97 != 0
+             |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+             |assigned AS (
+             |  SELECT CASE WHEN h % 10 < 8 THEN 'train'
+             |              WHEN h % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+             |         doc_id, length(t) AS len
+             |  FROM (SELECT doc_id, t,
+             |          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+             |        FROM clean))
+             |SELECT split, count(*) AS n, CAST(sum(len) AS BIGINT) AS total_chars,
+             |       min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM assigned GROUP BY split ORDER BY split""".stripMargin))
   )
 }

@@ -363,6 +363,60 @@ class SocketIoSpec extends AnyFunSuite {
     assert(resp.body().contains("Session ID unknown"))
   }
 
+  test("cross-transport: an HTTP event_batch wakes a socket.io subscriber") {
+    val c = new SioClient
+    c.connect(Some("testtoken"))
+    val cid = assertOk(c.emitWithAck("module/upload", obj("module" -> wireModule)))
+      .asInstanceOf[Map[String, Any]]("moduleCid").toString.stripPrefix("cid:")
+    val streamDid = assertOk(c.emitWithAck("stream/create",
+      obj("moduleCid" -> DCid(Cid.parse(cid)))))
+      .asInstanceOf[Map[String, Any]]("streamDid").toString
+    // seed one event so the subscription has a backfill page (an empty
+    // stream legitimately pushes nothing)
+    assert(assertOk(c.emitWithAck("stream/event_batch", obj(
+      "streamDid" -> text(streamDid),
+      "events" -> arr(eventPayload("seed", 1))))) == null)
+    val subId = assertOk(c.emitWithAck("stream/subscribe_events", obj(
+      "streamDid" -> text(streamDid),
+      "query" -> obj("name" -> text("list"), "start" -> int(1)))))
+      .asInstanceOf[Map[String, Any]]("subscriptionId").toString
+    // each poll's GET parks until a packet (or ping) arrives, so a couple
+    // of rounds suffice — do NOT busy-loop long here
+    def awaitNote(): Option[Vector[Any]] = {
+      var note: Option[Vector[Any]] = None
+      var tries = 0
+      while (note.isEmpty && tries < 3) {
+        note = c.awaitEvent("stream/subscription_response")
+        tries += 1
+      }
+      note
+    }
+    assert(awaitNote().isDefined, "no backfill notification")
+
+    // append over PLAIN HTTP/JSON — the other transport entirely
+    val payload = Base64.getEncoder.encodeToString(
+      Drisl.encode(obj("content" -> text("from-http"), "n" -> int(7))))
+    val resp = HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${server.boundPort}/stream/event_batch"))
+        .header("Authorization", "Bearer testtoken")
+        .POST(HttpRequest.BodyPublishers.ofString(Json.render(Map(
+          "id" -> streamDid,
+          "events" -> Vector(Map("user" -> "h", "payload_b64" -> payload))))))
+        .build(), HttpResponse.BodyHandlers.ofString())
+    assert(resp.body().contains("ok"), s"http append failed: ${resp.body()}")
+
+    // the shared SubscriptionEngine pumps the socket.io side too
+    val note = awaitNote()
+    assert(note.isDefined, "no push after cross-transport append")
+    val n = dToAny(Drisl.decode(note.get(1).asInstanceOf[Array[Byte]]))
+      .asInstanceOf[Map[String, Any]]
+    assert(n("subscriptionId") == subId)
+    val rows = n("response").asInstanceOf[Map[String, Any]]("Ok")
+      .asInstanceOf[Map[String, Any]]("rows").asInstanceOf[Vector[Any]]
+    assert(rows.size == 1, s"expected the one new row, got $rows")
+  }
+
   test("hostile wire bytes never crash the server (fuzz the transport)") {
     val http = HttpClient.newHttpClient()
     val rnd = new scala.util.Random(42) // deterministic fuzz corpus
