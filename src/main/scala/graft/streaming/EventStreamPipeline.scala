@@ -94,7 +94,12 @@ object EventStreamPipeline {
     * document inside the horizon. */
   def nearDedupByBand(events: DataFrame, textCol: String, tsCol: String,
       watermark: String, lanes: Int = 8): DataFrame = {
-    val key = bandKey(col(textCol), lanes)
+    // a NULL text must BYPASS dedup, not join a universal collision
+    // bucket: xxhash64 ignores null args, so bandKey(null) is the same
+    // constant for every null-text row — salt those with a unique key so
+    // each one survives on its own
+    val key = when(col(textCol).isNotNull, bandKey(col(textCol), lanes))
+      .otherwise(concat(lit("__null__"), expr("uuid()")))
     events
       .withColumn("__graft_band", key)
       .withWatermark(tsCol, watermark)

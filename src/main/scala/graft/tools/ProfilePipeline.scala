@@ -36,6 +36,12 @@ object ProfilePipeline {
     // other (a suffix salt leaves Jaccard ≈ 1 and manufactures O(N²)
     // true pairs per base doc — output-bound, not a scaling signal)
     val alpha = "abcdefghijklmnopqrst"
+    // the rotation is the whole point: replicas r and r+|alpha| would
+    // apply the IDENTICAL translate and manufacture exact cross-replica
+    // dups, inflating the dedup curves the tool exists to measure
+    require(mult >= 1 && mult <= alpha.length,
+      s"GRAFT_REPLICATE must be in [1, ${alpha.length}] (got $mult); " +
+        "extend the rotation alphabet for more replicas")
     val whens = (0 until mult).map { r =>
       val rot = alpha.drop(r % alpha.length) + alpha.take(r % alpha.length)
       when(col("r") === r, translate(col("text"), alpha, rot))

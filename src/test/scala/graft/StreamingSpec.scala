@@ -212,6 +212,10 @@ class StreamingSpec extends AnyFunSuite {
     val b = "completely different content with nothing shared at all here"
     h.addEvents(Seq(a, a2, b).map(t =>
       IncomingEvent("u", Drisl.encode(obj("type" -> text(t))))))
+    // two events WITHOUT the text field: null text must bypass dedup
+    // (each survives) instead of colliding into one universal bucket
+    h.addEvents(Seq(1L, 2L).map(n =>
+      IncomingEvent("u", Drisl.encode(obj("other" -> int(n))))))
 
     // ground truth from the SAME key expression, computed in batch
     val spark0 = spark
@@ -235,8 +239,9 @@ class StreamingSpec extends AnyFunSuite {
     q.awaitTermination()
 
     val kept = spark.table("neardup_sink").count()
-    assert(kept == expected, s"kept $kept of 3, expected $expected")
-    assert(kept >= 2, "distinct content must never collapse to one")
+    // distinct-band texts survive once each; BOTH null-text events survive
+    assert(kept == expected + 2, s"kept $kept of 5, expected ${expected + 2}")
+    assert(kept >= 4, "null-text events must bypass dedup, not collapse")
   }
 
   test("windowed aggregation with watermark over the event stream") {
