@@ -212,6 +212,46 @@ class StreamSpec extends AnyFunSuite {
     assert(evStore.openHandleCount == 2)
   }
 
+  test("concurrent opens beyond the LRU cap: every stream's data lands intact") {
+    // 12 streams hammered from 12 threads against a 4-handle cap: evictions
+    // race live appends, and the store-level per-stream locks + stale-handle
+    // errors must keep every write exactly-once (a zombie handle throws
+    // instead of silently writing)
+    val lruStore = new StreamStore(spark,
+      graft.TempDirs.create("graft-lruhammer").toString,
+      maxOpenHandles = 4)
+    val n = 12
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to n).map { i =>
+      new Thread(() => {
+        try {
+          var done = false
+          while (!done) {
+            // the handle may be evicted between open and use; reopen+retry
+            // is the documented client contract for stale references
+            try {
+              val h = lruStore.open(s"did:test:lru$i")
+              // setModule before any append is idempotent (replays an
+              // empty log), so the retry path can just run it again
+              h.setModule(chatModule)
+              h.addEvents(Seq(IncomingEvent("u", payload("msg", s"m$i", i))))
+              done = true
+            } catch { case _: IllegalStateException => /* evicted; retry */ }
+          }
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"worker failures: ${errs.toArray.mkString("; ")}")
+    assert(lruStore.openHandleCount <= 4)
+    (1 to n).foreach { i =>
+      val rows = lruStore.open(s"did:test:lru$i").queryTagged(None, LeafQuery("list"))
+      assert(rows.map(_("content")) == Vector(SqlValue.SqlText(s"m$i")),
+        s"stream $i: $rows")
+    }
+  }
+
   test("compaction is snapshot-safe: concurrent readers never see a dip") {
     val h = store.open("did:test:snapsafe")
     h.setModule(chatModule)
