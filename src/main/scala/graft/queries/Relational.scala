@@ -255,6 +255,55 @@ object Relational {
               |      FROM lineitem GROUP BY 1, 2)
               |ORDER BY l_suppkey, l_orderkey""".stripMargin)),
 
+    // ---- single-pass quantile sketch: 64-bin integer histogram ----
+    // The scale alternative to exact percentiles (q_percentiles sorts per
+    // group): one map-side binned count with O(bins) state, then p50/p95/
+    // p99 read off the cumulative histogram. All binning is BIGINT
+    // arithmetic on exact cents, so both engines place every row in the
+    // same bin and the answer is bit-identical. Error is bounded by one
+    // bin width — the knob a 100 TB profile turns (more bins, same state
+    // story) ----
+    "q_quantile_sketch" -> Q(
+      (s, dir) => {
+        val cents = (col("l_extendedprice")
+          .cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+          .cast("long")
+        val c = t(s, dir, "lineitem").select(cents.as("c"))
+        val bounds = c.agg(min(col("c")).as("mn"), max(col("c")).as("mx"),
+          count(lit(1)).as("total"))
+        val hist = c.crossJoin(broadcast(bounds))
+          .select(expr("(c - mn) DIV ((mx - mn) DIV 64 + 1)").as("bin"),
+            col("mn"), expr("(mx - mn) DIV 64 + 1").as("w"), col("total"))
+          .groupBy("bin", "mn", "w", "total").agg(count(lit(1)).as("n"))
+        // ≤65 rows: the global window is over the HISTOGRAM, not the data
+        val cum = hist.withColumn("cum", sum(col("n")).over(
+          Window.orderBy(col("bin"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val pcts = {
+          import s.implicits._
+          Seq(50L, 95L, 99L).toDF("pct")
+        }
+        cum.crossJoin(broadcast(pcts))
+          .filter(col("cum") * 100 >= col("total") * col("pct"))
+          .groupBy("pct")
+          .agg(min(col("mn") + col("bin") * col("w")).as("approx_cents"))
+          .orderBy(col("pct"))
+      },
+      Some("""WITH c AS (
+             |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+             |  FROM lineitem),
+             |bounds AS (SELECT min(c) AS mn, max(c) AS mx, count(*) AS total FROM c),
+             |hist AS (
+             |  SELECT (c - mn) // ((mx - mn) // 64 + 1) AS bin, mn,
+             |         (mx - mn) // 64 + 1 AS w, total, count(*) AS n
+             |  FROM c, bounds GROUP BY 1, 2, 3, 4),
+             |cum AS (
+             |  SELECT bin, mn, w, total, sum(n) OVER (ORDER BY bin) AS cum FROM hist),
+             |pcts AS (SELECT CAST(unnest([50, 95, 99]) AS BIGINT) AS pct)
+             |SELECT pct, min(mn + bin * w) AS approx_cents
+             |FROM cum, pcts WHERE cum * 100 >= total * pct
+             |GROUP BY pct ORDER BY pct""".stripMargin)),
+
     // ---- HLL-style distinct sketch, bit-exact across engines: 64 buckets
     // from a 60-bit md5 hash, rank = leading-zero count of the remaining
     // 54 bits via an integer CASE ladder (no float logs — both engines
