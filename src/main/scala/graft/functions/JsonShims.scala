@@ -34,15 +34,27 @@ object JsonShims {
   }
 
   /** json_set(doc, '$.a.b', value): sets an object path, creating
-    * intermediate objects; the value parses as JSON when valid, else it is
-    * a string (SQLite's SQL-value coercion). */
+    * intermediate objects. SQL-value coercion follows SQLite: numeric and
+    * boolean SQL values (which reach the string-typed UDF as their literal
+    * forms) become JSON numbers/booleans, but a TEXT value is ALWAYS
+    * inserted as a JSON string — even when it happens to look like a JSON
+    * object or array (json_set('{}','$.c','{"e":5}') yields
+    * {"c":"{\"e\":5}"} in SQLite; composite values only enter via the
+    * json() function, which the whitelist does not expose). */
   def jsonSet(doc: String, path: String, value: String): String = {
     if (doc == null || path == null) return null
     require(path.startsWith("$"), s"json path must start with $$: $path")
     val segs = path.stripPrefix("$").split('.').toList.filter(_.nonEmpty)
     val v: Any =
       if (value == null) null
-      else try parse(value) catch { case _: Exception => value }
+      else try {
+        parse(value) match {
+          case n: Long => n
+          case d: Double => d
+          case b: Boolean => b
+          case _ => value // objects/arrays/strings: SQL TEXT stays TEXT
+        }
+      } catch { case _: Exception => value }
     Json.render(set(parse(doc), segs, v))
   }
 

@@ -36,6 +36,11 @@ import graft.queries.Relational.Q
   */
 object Dedup {
 
+  // one generation of LSH intermediate caches per (session, corpus); the
+  // next invocation sweeps the last (see q_dedup_lsh)
+  private val lshCaches = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[DataFrame]]
+
 
   /** documents + clones: every 10th doc duplicated under doc_id+1e6. */
   private[queries] def corpus(s: SparkSession, dir: String): DataFrame = {
@@ -131,6 +136,13 @@ object Dedup {
     // oracle (Jaccard is over the same 60-bit hash sets on both sides).
     "q_dedup_lsh" -> Q(
       (s, dir) => {
+        // the persists below are load-bearing (they stop three consumers
+        // from racing to rebuild the shingle pass), but they are consumed
+        // lazily by the returned plan, so they cannot be unpersisted here.
+        // Instead, sweep the PREVIOUS invocation's caches — retention is
+        // bounded to one run per (session, corpus) instead of growing with
+        // every execution.
+        lshCaches.remove((s, dir)).foreach(_.foreach(_.unpersist(false)))
         val hashed = shingles(corpus(s, dir), 5, stride = 2)
           .select(col("doc_id"),
             conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
@@ -157,6 +169,7 @@ object Dedup {
           .persist()
         cand.count() // settle the candidate set before the verify stage so
         // its two broadcast builds don't re-run the band join
+        lshCaches((s, dir)) = Seq(shArr, cand)
         // native codegen expression, not a UDF: evaluates on ArrayData with
         // primitive getLong, no per-pair Seq deserialization
         graft.functions.VectorExpressions.register(s)

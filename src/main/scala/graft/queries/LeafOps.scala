@@ -23,7 +23,10 @@ import graft.types._
   */
 object LeafOps {
 
-  private val streams = TrieMap.empty[(String, String), StreamHandle]
+  // keyed by (session, dir, tag): a cached StreamHandle is bound to the
+  // session that built it — handing it to a later/different session is the
+  // cross-session cache-contamination trap (see Similarity.centroids)
+  private val streams = TrieMap.empty[(SparkSession, String, String), StreamHandle]
 
   private val demoModule = ModuleDef(
     initSql = """CREATE TABLE IF NOT EXISTS acts
@@ -87,7 +90,7 @@ object LeafOps {
 
   private def demo(s: SparkSession, dir: String): StreamHandle =
     streams.synchronized {
-      streams.getOrElseUpdate((dir, "demo"), ingest(s, dir, s"did:graft:demo"))
+      streams.getOrElseUpdate((s, dir, "demo"), ingest(s, dir, s"did:graft:demo"))
     }
 
   val all: Map[String, Relational.Q] = Map(
@@ -124,7 +127,7 @@ object LeafOps {
     "leaf_module_swap" -> Relational.Q(
       (s, dir) => {
         val h = streams.synchronized {
-          streams.getOrElseUpdate((dir, "swap"), {
+          streams.getOrElseUpdate((s, dir, "swap"), {
             // reuse the demo stream's already-encoded log: the swap stream
             // imports the same events without re-running the CBOR encoding
             val src = demo(s, dir).eventsDF
@@ -149,7 +152,7 @@ object LeafOps {
     "leaf_backup_restore" -> Relational.Q(
       (s, dir) => {
         val h = streams.synchronized {
-          streams.getOrElseUpdate((dir, "bakres"), {
+          streams.getOrElseUpdate((s, dir, "bakres"), {
             val src = demo(s, dir)
             val bak = "file:" +
               graft.TempDirs.create("graft-leafops-bak")
@@ -178,7 +181,7 @@ object LeafOps {
     "leaf_state_agg" -> Relational.Q(
       (s, dir) => {
         val h = streams.synchronized {
-          streams.getOrElseUpdate((dir, "state"), {
+          streams.getOrElseUpdate((s, dir, "state"), {
             val store = new StreamStore(s,
               graft.TempDirs.create("graft-leafops").toString)
             val fresh = store.open("did:graft:state")

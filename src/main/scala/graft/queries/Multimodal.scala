@@ -57,6 +57,7 @@ object Multimodal {
 
     def features(m: Media): Features = {
       val b = m.data
+      if (b == null || b.isEmpty) return Features(m.media_id, 0.0, 0L, 0L, 0L, 0L)
       var sum = 0L
       val hist = new Array[Long](4)
       var i = 0
@@ -118,8 +119,13 @@ object Multimodal {
     "q_mm_frames" -> Q(
       (s, dir) =>
         media(s, dir)
+          // integer DIV for the frame count, and an empty payload yields
+          // ZERO frames (explode of an empty array drops the row) instead
+          // of a phantom frame 0 from truncated double division
           .select(col("media_id"), col("data"),
-            explode(sequence(lit(0), ((length(col("data")) - 1) / 64).cast("int"))).as("frame_no"))
+            explode(when(length(col("data")) > 0,
+              sequence(lit(0), expr("CAST((length(data) - 1) DIV 64 AS INT)")))
+              .otherwise(array().cast("array<int>"))).as("frame_no"))
           .select(col("media_id"), col("frame_no"),
             md5(col("data").substr(col("frame_no") * 64 + 1, lit(16))).as("frame_md5"))
           .orderBy(col("media_id"), col("frame_no")), None)

@@ -412,13 +412,12 @@ object Pipeline {
         val clean = deduped.filter(col("doc_id") % 97 =!= 0)
           .join(trainG.join(evalG, "g").select(col("doc_id")).distinct(),
             Seq("doc_id"), "left_anti")
-        // stage 4: deterministic split
-        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-          .cast("long")
+        // stage 4: deterministic split (the same hash + rule as
+        // q_split_sample — shared helper, cannot desynchronize)
         clean
-          .select(col("doc_id"), length(col("t")).cast("long").as("len"), h.as("h"))
-          .select(when(col("h") % 10 < 8, "train")
-            .when(col("h") % 10 === 8, "val").otherwise("test").as("split"),
+          .select(col("doc_id"), length(col("t")).cast("long").as("len"),
+            TextAnalysis.docSplitHash.as("h"))
+          .select(TextAnalysis.splitOf(col("h")).as("split"),
             col("doc_id"), col("len"))
           .groupBy("split")
           .agg(count(lit(1)).as("n"), sum(col("len")).as("total_chars"),

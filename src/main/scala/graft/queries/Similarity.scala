@@ -49,7 +49,12 @@ object Similarity {
   // is the cross-session cache-contamination trap
   private val centroids =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def centroidIndex(s: SparkSession, dir: String): DataFrame =
+  private def centroidIndex(s: SparkSession, dir: String): DataFrame = {
+    // entries for stopped sessions are dead weight (and their cached
+    // blocks unreachable): sweep them on access so the map is bounded by
+    // LIVE sessions × corpora
+    centroids.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(centroids.remove)
     centroids.getOrElseUpdate((s, dir), {
       val d = emb(s, dir)
         .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
@@ -60,6 +65,7 @@ object Similarity {
       cent.count() // materialize eagerly: consumers fork the plan 3 ways
       cent
     })
+  }
 
   private val dimsSql =
     """dims AS (

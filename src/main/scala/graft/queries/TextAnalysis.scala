@@ -18,6 +18,15 @@ import graft.queries.Relational.Q
   */
 object TextAnalysis {
 
+  /** Deterministic doc-split hash + the train/val/test rule — shared by
+    * q_split_sample and the funnel (Pipeline) so the ratios can never
+    * desynchronize between the standalone operator and the composition. */
+  private[queries] val docSplitHash: Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+  private[queries] def splitOf(h: Column): Column =
+    when(h % 10 < 8, "train").when(h % 10 === 8, "val").otherwise("test")
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.df(s, dir, "documents")
 
@@ -176,13 +185,10 @@ object TextAnalysis {
     // the assignment is identical in both engines.
     "q_split_sample" -> Q(
       (s, dir) => {
-        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-          .cast("long")
-        val split_ = when(col("h") % 10 < 8, "train")
-          .when(col("h") % 10 === 8, "val").otherwise("test")
         docs(s, dir)
-          .select(col("doc_id"), length(col("text")).cast("long").as("len"), h.as("h"))
-          .select(split_.as("split"), col("len"))
+          .select(col("doc_id"), length(col("text")).cast("long").as("len"),
+            docSplitHash.as("h"))
+          .select(splitOf(col("h")).as("split"), col("len"))
           .groupBy("split")
           .agg(count(lit(1)).as("n"), sum(col("len")).as("total_chars"),
             min(col("len")).as("min_len"), max(col("len")).as("max_len"))

@@ -100,6 +100,14 @@ class ShimSpec extends AnyFunSuite {
     assert(je.getString(0) == "2")
     assert(graft.server.Json.parse(je.getString(1)) ==
       Map("a" -> 1L, "c" -> 5L))
+    // SQLite inserts TEXT values as JSON STRINGS even when they look like
+    // JSON (json1 docs: json_set('{}','$.c','{"e":5}') → {"c":"{\"e\":5}"});
+    // composite values only enter via json(), which the whitelist omits
+    val js = sqlPrepared(
+      """SELECT json_set('{}', '$.c', '{"e":5}') AS a,
+        |       json_set('{}', '$.c', '[1,2]') AS b""".stripMargin).head()
+    assert(graft.server.Json.parse(js.getString(0)) == Map("c" -> "{\"e\":5}"))
+    assert(graft.server.Json.parse(js.getString(1)) == Map("c" -> "[1,2]"))
     assert(graft.server.Json.parse(je.getString(2)) ==
       Map("a" -> 1L, "c" -> 3L))
   }
