@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.Relational.Q
+
+/** Product-analytics and data-layout operators a training-data platform
+  * runs alongside the prep pipeline: cohort retention, ordered conversion
+  * funnels, collocation mining, and Z-order locality keys.
+  *
+  * Scale notes (100 TB):
+  *  - retention/funnel are one shuffle each on `user_id` — the natural
+  *    partition key for event logs; per-user state is O(1).
+  *  - collocations explode to bigram space but aggregate map-side first
+  *    (partial aggregation), so the shuffle carries distinct bigrams, not
+  *    token instances.
+  *  - the Z-order key is a pure per-row expression; at scale it feeds
+  *    `repartitionByRange(zkey)` + parquet write so multi-dimensional
+  *    range predicates prune files (the layout trick Delta/Iceberg OPTIMIZE
+  *    ZORDER uses).
+  *
+  * Determinism: all arithmetic is integer (counts, bit interleaves) or a
+  * single double division of exact integers — bit-identical across engines
+  * per the repo's oracle rules. No ln()/log() anywhere: libm rounding is
+  * not pinned across engines, so PMI-style scores use the linear lift
+  * `c_xy * N / (c_x * c_y)` instead of its logarithm (same ranking).
+  */
+object Analytics {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.df(s, dir, name)
+
+  val all: Map[String, Q] = Map(
+
+    // ---- cohort retention triangle over the event log ----
+    // Cohort = the user's first active day; each (cohort_day, day_offset)
+    // cell counts users active that many days after their first touch.
+    // One shuffle keyed on user_id for the cohort assignment, then a
+    // bounded aggregate (days × days cells). At 100 TB the events scan
+    // prunes to (user_id, ts) and partial-aggregates per day before the
+    // exchange.
+    "q_events_retention" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+        val cohort = ev.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+        ev.join(cohort, "user_id")
+          .groupBy(col("cohort_day"),
+            datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("active_users"))
+          .filter(col("day_offset") <= 7)
+          .orderBy(col("cohort_day"), col("day_offset"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+             |cohort AS (
+             |  SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY 1)
+             |SELECT c.cohort_day,
+             |  CAST(datediff('day', c.cohort_day, e.d) AS BIGINT) AS day_offset,
+             |  count(DISTINCT e.user_id) AS active_users
+             |FROM ev e JOIN cohort c USING (user_id)
+             |GROUP BY 1, 2 HAVING day_offset <= 7
+             |ORDER BY cohort_day, day_offset""".stripMargin)),
+
+    // ---- strictly-ordered conversion funnel: view -> click -> purchase ----
+    // Stage k counts users whose earliest stage-k event happens AFTER their
+    // earliest stage-(k-1) event. Implemented as one conditional-aggregation
+    // pass per user (min ts per type), so the whole funnel is a single
+    // shuffle on user_id with O(1) state per user — no self-joins, no
+    // per-user event sorting. Epoch micros are compared as integers.
+    "q_events_funnel" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        def firstOf(tpe: String): Column =
+          min(when(col("event_type") === tpe, col("us"))).as(s"t_$tpe")
+        val perUser = ev.groupBy("user_id")
+          .agg(firstOf("view"), firstOf("click"), firstOf("purchase"))
+        perUser.agg(
+          count(lit(1)).as("n_users"),
+          count(col("t_view")).as("n_view"),
+          count(when(col("t_click") > col("t_view"), 1)).as("n_view_click"),
+          count(when(col("t_click") > col("t_view") &&
+            col("t_purchase") > col("t_click"), 1)).as("n_full_funnel"))
+      },
+      Some("""WITH per_user AS (
+             |  SELECT user_id,
+             |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+             |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+             |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+             |  FROM events GROUP BY 1)
+             |SELECT count(*) AS n_users,
+             |  count(t_view) AS n_view,
+             |  count(CASE WHEN t_click > t_view THEN 1 END) AS n_view_click,
+             |  count(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 END)
+             |    AS n_full_funnel
+             |FROM per_user""".stripMargin)),
+
+    // ---- collocation mining: adjacent-bigram lift over the corpus ----
+    // The PMI-style collocation score with the log dropped (identical
+    // ranking, no libm): lift = c_xy * N_bigrams / (c_x * c_y) where the
+    // unigram counts come from the same token stream. Bigrams aggregate
+    // map-side before the exchange; the two unigram joins are on the
+    // bounded distinct-token set. Output: top-25 collocations among bigrams
+    // seen >= 5 times, ties broken lexicographically.
+    "q_text_collocations" -> Q(
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("ts"))
+        val bigrams = toks
+          .select(posexplode(col("ts")).as(Seq("i", "w")),
+            col("ts"), size(col("ts")).as("n"))
+          .filter(col("i") < col("n") - 1)
+          .select(col("w").as("w1"), element_at(col("ts"), col("i") + 2).as("w2"))
+        val big = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+          .persist()
+        big.count() // settle: three consumers below (N, two joins) fork the plan
+        val uni = bigrams.select(explode(array(col("w1"), col("w2"))).as("w"))
+        // unigram counts measured over bigram slots on BOTH engines so the
+        // denominators agree exactly
+        val u1 = bigrams.groupBy(col("w1").as("w")).agg(count(lit(1)).as("c1"))
+        val u2 = bigrams.groupBy(col("w2").as("w")).agg(count(lit(1)).as("c2"))
+        val nTot = big.agg(sum(col("c_xy"))).head().getLong(0)
+        big.filter(col("c_xy") >= 5)
+          .join(u1, big("w1") === u1("w")).drop("w")
+          .join(u2, big("w2") === u2("w")).drop("w")
+          .select(col("w1"), col("w2"), col("c_xy"),
+            (col("c_xy").cast("double") * lit(nTot.toDouble) /
+              (col("c1") * col("c2")).cast("double")).as("lift"))
+          .orderBy(col("lift").desc, col("w1"), col("w2"))
+          .limit(25)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             |  FROM documents),
+             |bigrams AS (
+             |  SELECT ts[i] AS w1, ts[i+1] AS w2
+             |  FROM (SELECT ts, unnest(generate_series(1, len(ts)-1)) AS i FROM toks)),
+             |big AS (SELECT w1, w2, count(*) AS c_xy FROM bigrams GROUP BY 1,2),
+             |u1 AS (SELECT w1 AS w, count(*) AS c1 FROM bigrams GROUP BY 1),
+             |u2 AS (SELECT w2 AS w, count(*) AS c2 FROM bigrams GROUP BY 1),
+             |n AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_tot FROM big)
+             |SELECT w1, w2, c_xy,
+             |  CAST(c_xy AS DOUBLE) * CAST(n_tot AS DOUBLE)
+             |    / CAST(c1 * c2 AS DOUBLE) AS lift
+             |FROM big, n
+             |JOIN u1 ON big.w1 = u1.w JOIN u2 ON big.w2 = u2.w
+             |WHERE c_xy >= 5
+             |ORDER BY lift DESC, w1, w2 LIMIT 25""".stripMargin)),
+
+    // ---- Z-order locality key: Morton-interleave (custkey, price) ----
+    // The multi-dimensional clustering key behind OPTIMIZE ZORDER: both
+    // dimensions quantize to 8-bit ranks and the bits interleave, so rows
+    // close in EITHER dimension land close in the sort order. Per-row bit
+    // arithmetic only (codegen); at scale the key feeds
+    // repartitionByRange + sortWithinPartitions before the parquet write,
+    // and min/max file stats then prune 2-D range predicates. The gate
+    // aggregates per z-bucket to prove both engines interleave identically.
+    "q_zorder" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        // 8-bit quantization of each dimension (custkey dense ranks are
+        // uniform; price spans [~850, ~560k] — fixed bounds, clamped)
+        // floor + truncating cast on BOTH engines: DuckDB's bare
+        // double->BIGINT cast ROUNDS while Spark's truncates
+        val cq = least(greatest(col("o_custkey") % 256, lit(0)), lit(255))
+        val pq = least(floor(col("o_totalprice") / lit(2500.0)).cast("long"), lit(255))
+        // interleave 8+8 bits: custkey bits even positions, price bits odd
+        val z = (0 until 8).map { b =>
+          (shiftleft(shiftright(cq, b) % 2, 2 * b) +
+            shiftleft(shiftright(pq, b) % 2, 2 * b + 1)): Column
+        }.reduce(_ + _)
+        o.select(col("o_orderkey"), z.as("zkey"))
+          .groupBy(expr("zkey DIV 4096").as("zbucket"))
+          .agg(count(lit(1)).as("n"), min(col("zkey")).as("zmin"),
+            max(col("zkey")).as("zmax"))
+          .orderBy(col("zbucket"))
+      },
+      Some {
+        val cq = "least(greatest(o_custkey % 256, 0), 255)"
+        val pq = "least(CAST(floor(o_totalprice / 2500.0) AS BIGINT), 255)"
+        val z = (0 until 8).map { b =>
+          s"((($cq >> $b) % 2) << ${2 * b}) + ((($pq >> $b) % 2) << ${2 * b + 1})"
+        }.mkString(" + ")
+        s"""WITH zk AS (SELECT o_orderkey, $z AS zkey FROM orders)
+           |SELECT zkey // 4096 AS zbucket, count(*) AS n,
+           |  min(zkey) AS zmin, max(zkey) AS zmax
+           |FROM zk GROUP BY 1 ORDER BY zbucket""".stripMargin
+      })
+  )
+}
