@@ -117,12 +117,12 @@ object Analytics {
           .select(col("w").as("w1"), element_at(col("ts"), col("i") + 2).as("w2"))
         val big = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
           .persist()
-        big.count() // settle: three consumers below (N, two joins) fork the plan
-        val uni = bigrams.select(explode(array(col("w1"), col("w2"))).as("w"))
-        // unigram counts measured over bigram slots on BOTH engines so the
-        // denominators agree exactly
-        val u1 = bigrams.groupBy(col("w1").as("w")).agg(count(lit(1)).as("c1"))
-        val u2 = bigrams.groupBy(col("w2").as("w")).agg(count(lit(1)).as("c2"))
+        big.count() // settle: four consumers below fork the plan
+        // unigram slot counts DERIVE from the aggregated bigram table
+        // (c1(w) = Σ c_xy over w1=w) — the token explode runs once, and
+        // the marginals aggregate the already-tiny distinct-bigram set
+        val u1 = big.groupBy(col("w1").as("w")).agg(sum(col("c_xy")).as("c1"))
+        val u2 = big.groupBy(col("w2").as("w")).agg(sum(col("c_xy")).as("c2"))
         val nTot = big.agg(sum(col("c_xy"))).head().getLong(0)
         big.filter(col("c_xy") >= 5)
           .join(u1, big("w1") === u1("w")).drop("w")
@@ -140,8 +140,8 @@ object Analytics {
              |  SELECT ts[i] AS w1, ts[i+1] AS w2
              |  FROM (SELECT ts, unnest(generate_series(1, len(ts)-1)) AS i FROM toks)),
              |big AS (SELECT w1, w2, count(*) AS c_xy FROM bigrams GROUP BY 1,2),
-             |u1 AS (SELECT w1 AS w, count(*) AS c1 FROM bigrams GROUP BY 1),
-             |u2 AS (SELECT w2 AS w, count(*) AS c2 FROM bigrams GROUP BY 1),
+             |u1 AS (SELECT w1 AS w, CAST(sum(c_xy) AS BIGINT) AS c1 FROM big GROUP BY 1),
+             |u2 AS (SELECT w2 AS w, CAST(sum(c_xy) AS BIGINT) AS c2 FROM big GROUP BY 1),
              |n AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_tot FROM big)
              |SELECT w1, w2, c_xy,
              |  CAST(c_xy AS DOUBLE) * CAST(n_tot AS DOUBLE)
@@ -150,6 +150,103 @@ object Analytics {
              |JOIN u1 ON big.w1 = u1.w JOIN u2 ON big.w2 = u2.w
              |WHERE c_xy >= 5
              |ORDER BY lift DESC, w1, w2 LIMIT 25""".stripMargin)),
+
+    // ---- 3-sigma anomaly counts per metric group, exactly ----
+    // The metric-quality gate (flag value outliers per event_type) with a
+    // twist that makes it hash-checkable: values quantize to exact
+    // micro-units (floor(v*1e6+0.5) — identical rounding both engines) and
+    // the 3-sigma test cross-multiplies to pure integer arithmetic,
+    //   (n·v − S1)²·(n−1) > 9·n·(n·S2 − S1²),
+    // so no engine ever rounds. mean/stddev are reported as one double
+    // division/sqrt each on identical integer inputs (sqrt is
+    // correctly-rounded IEEE). DECIMAL(38,0) holds the cross-products up
+    // to ~10M rows per group; past that a production run switches the
+    // REPORTING to doubles while the flag logic stays integral per split.
+    // Two linear scans (tiny stats table broadcast back), no wide shuffle.
+    "q_events_anomaly" -> Q(
+      (s, dir) => {
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val iv = floor(col("value") * 1000000d + 0.5).cast("long")
+        val ev = t(s, dir, "events").select(col("event_type"), iv.as("iv"))
+        val stats = ev.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(col("iv").cast(d38)).cast(d38).as("s1"),
+          sum(col("iv").cast(d38) * col("iv")).cast(d38).as("s2"))
+        val dev = col("n").cast(d38) * col("iv") - col("s1")
+        val varNum = col("n").cast(d38) * col("s2") - col("s1") * col("s1")
+        ev.join(broadcast(stats), "event_type")
+          .groupBy("event_type")
+          .agg(
+            first(col("n")).as("n"),
+            (first(col("s1")).cast("double") / first(col("n"))).as("mean"),
+            sqrt(first(varNum).cast("double") /
+              (first(col("n")).cast("double") * (first(col("n")) - 1))).as("sd"),
+            count(when(dev * dev * (col("n") - 1).cast(d38) >
+              lit(9).cast(d38) * col("n") * varNum, 1)).as("n_outliers"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type,
+             |         CAST(floor(value * 1000000 + 0.5) AS HUGEINT) AS iv
+             |  FROM events),
+             |stats AS (
+             |  SELECT event_type, count(*) AS n,
+             |         CAST(sum(iv) AS HUGEINT) AS s1,
+             |         CAST(sum(iv * iv) AS HUGEINT) AS s2
+             |  FROM ev GROUP BY 1)
+             |SELECT ev.event_type, any_value(n) AS n,
+             |  CAST(any_value(s1) AS DOUBLE) / any_value(n) AS mean,
+             |  sqrt(CAST(any_value(n) * any_value(s2) - any_value(s1) * any_value(s1) AS DOUBLE)
+             |       / (CAST(any_value(n) AS DOUBLE) * (any_value(n) - 1))) AS sd,
+             |  count(CASE WHEN (n * iv - s1) * (n * iv - s1) * (n - 1)
+             |                  > 9 * n * (n * s2 - s1 * s1) THEN 1 END) AS n_outliers
+             |FROM ev JOIN stats USING (event_type)
+             |GROUP BY ev.event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- rare-ngram novelty scoring: the hapax-ratio quality signal ----
+    // Per-doc fraction of bigrams that occur exactly ONCE in the whole
+    // corpus (doc-unique n-grams — the Gopher-style rarity signal) plus
+    // the mean corpus frequency of the doc's bigrams. Corpus counts come
+    // from one aggregated bigram table equi-joined back to the per-doc
+    // instances — partial-aggregated shuffles only, integers throughout,
+    // one double division per output row.
+    "q_text_novelty" -> Q(
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("ts"))
+        val inst = toks
+          .select(col("doc_id"), posexplode(col("ts")).as(Seq("i", "w")),
+            col("ts"), size(col("ts")).as("n"))
+          .filter(col("i") < col("n") - 1)
+          .select(col("doc_id"), col("w").as("w1"),
+            element_at(col("ts"), col("i") + 2).as("w2"))
+          .persist()
+        inst.count() // two consumers: corpus counts + the instance join
+        val corpus = inst.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+        inst.join(corpus, Seq("w1", "w2"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            count(when(col("c_xy") === 1, 1)).as("n_hapax"),
+            (count(when(col("c_xy") === 1, 1)).cast("double") /
+              count(lit(1))).as("hapax_ratio"),
+            (sum(col("c_xy")).cast("double") / count(lit(1))).as("mean_freq"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             |  FROM documents),
+             |inst AS (
+             |  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+             |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts)-1)) AS i
+             |        FROM toks)),
+             |corpus AS (SELECT w1, w2, count(*) AS c_xy FROM inst GROUP BY 1, 2)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  count(CASE WHEN c_xy = 1 THEN 1 END) AS n_hapax,
+             |  CAST(count(CASE WHEN c_xy = 1 THEN 1 END) AS DOUBLE) / count(*)
+             |    AS hapax_ratio,
+             |  CAST(sum(c_xy) AS DOUBLE) / count(*) AS mean_freq
+             |FROM inst JOIN corpus USING (w1, w2)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ---- Z-order locality key: Morton-interleave (custkey, price) ----
     // The multi-dimensional clustering key behind OPTIMIZE ZORDER: both

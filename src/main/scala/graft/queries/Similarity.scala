@@ -298,6 +298,103 @@ object Similarity {
               |SELECT qid, rk, vec_id, cos FROM ranked WHERE rk <= 5
               |ORDER BY qid, rk""".stripMargin)),
 
+    // ---- k-means (Lloyd, 2 iterations) over integer-quantized vectors ----
+    // The IVF-training step the probe queries assume: embeddings quantize
+    // to small ints (floor(x*64+0.5) — identical rounding both engines),
+    // the K=8 lowest vec_ids seed the centroids, and each iteration is
+    //   assign: one map-only pass computing K in-row squared distances
+    //           (argmin via array_min over (d, j) structs — ties break to
+    //           the lower centroid id on both engines);
+    //   update: one (cl, dim) shuffle with partial aggregation, then an
+    //           O(K·d) collect to refresh the broadcast centroids — the
+    //           same driver-sync MLlib's k-means does; empty clusters
+    //           keep their previous centroid.
+    // All arithmetic is integer (squared L2 on ints, truncating DIV for
+    // the mean), so 2 unrolled iterations match the oracle exactly. At
+    // 100 TB the per-iteration cost is a linear scan + one bounded
+    // shuffle; nothing grows with corpus size except the scan.
+    "q_emb_kmeans" -> Q(
+      (s, dir) => {
+        val K = 8
+        val qv = emb(s, dir).select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
+          .persist()
+        qv.count() // settle: 3 assignment passes + 2 updates fork the plan
+        var cents: Seq[(Int, Seq[Long])] = qv.orderBy("vec_id").limit(K)
+          .collect().toSeq.zipWithIndex
+          .map { case (r, j) => (j, r.getSeq[Long](1)) }
+        def assign(cs: Seq[(Int, Seq[Long])]): DataFrame = {
+          val dists = cs.map { case (j, v) =>
+            struct(
+              aggregate(zip_with(col("v"), typedlit(v), (a, b) => (a - b) * (a - b)),
+                lit(0L), (acc, x) => acc + x).as("d"),
+              lit(j).as("j"))
+          }
+          qv.select(col("vec_id"), col("v"), array_min(array(dists: _*)).as("best"))
+            .select(col("vec_id"), col("v"),
+              col("best.j").as("cl"), col("best.d").as("d"))
+        }
+        for (_ <- 1 to 2) {
+          val upd = assign(cents)
+            .select(col("cl"), posexplode(col("v")).as(Seq("i", "x")))
+            .groupBy("cl", "i")
+            .agg(expr("sum(x) DIV count(1)").as("cx"))
+            .collect()
+          val byCl = upd.groupBy(_.getInt(0)).map { case (cl, rows) =>
+            cl -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+          }
+          cents = cents.map { case (j, old) => (j, byCl.getOrElse(j, old)) }
+        }
+        assign(cents)
+          .groupBy(col("cl").cast("long").as("cl"))
+          .agg(count(lit(1)).as("n"), sum(col("d")).as("distortion"),
+            min(col("vec_id")).as("min_member"))
+          .orderBy(col("cl"))
+      },
+      Some {
+        def iter(prev: String, n: Int): String =
+          s"""a$n AS (
+             |  SELECT vec_id, j, d,
+             |         row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+             |  FROM (SELECT q.vec_id, c.j,
+             |          list_aggregate(list_transform(generate_series(1, 64),
+             |            i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])), 'sum') AS d
+             |        FROM q CROSS JOIN $prev c)),
+             |m$n AS (SELECT vec_id, j AS cl, d FROM a$n WHERE rn = 1),
+             |u$n AS (
+             |  SELECT cl, i, CAST(sum(x) AS BIGINT) // count(*) AS cx
+             |  FROM (SELECT m$n.cl, generate_subscripts(q.v, 1) AS i,
+             |               unnest(q.v) AS x
+             |        FROM q JOIN m$n USING (vec_id))
+             |  GROUP BY 1, 2),
+             |c$n AS (
+             |  SELECT $prev.j, coalesce(nv.v, $prev.v) AS v
+             |  FROM $prev LEFT JOIN (SELECT cl AS j, list(cx ORDER BY i) AS v
+             |                        FROM u$n GROUP BY 1) nv USING (j))""".stripMargin
+        s"""WITH q AS (
+           |  SELECT vec_id, list_transform(embedding,
+           |    x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT)) AS v
+           |  FROM embeddings),
+           |c0 AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+           |  FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 8)),
+           |${iter("c0", 1)},
+           |${iter("c1", 2)},
+           |a3 AS (
+           |  SELECT vec_id, j, d,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+           |  FROM (SELECT q.vec_id, c.j,
+           |          list_aggregate(list_transform(generate_series(1, 64),
+           |            i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])), 'sum') AS d
+           |        FROM q CROSS JOIN c2 c))
+           |SELECT CAST(cl AS BIGINT) AS cl, count(*) AS n,
+           |       CAST(sum(d) AS BIGINT) AS distortion,
+           |       min(vec_id) AS min_member
+           |FROM (SELECT vec_id, j AS cl, d FROM a3 WHERE rn = 1)
+           |GROUP BY 1 ORDER BY cl""".stripMargin
+      }),
+
     // ---- int8 symmetric quantization: the embedding-storage op ----
     // scale = 127 / max|x| per vector, q_i = ⌊x_i·scale + 0.5⌋ — 4× the
     // density of float32 for ANN at 100 TB. Entirely in-row codegen

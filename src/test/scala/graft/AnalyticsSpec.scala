@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral invariants of the analytics operators (Analytics.scala and
+  * the k-means trainer in Similarity.scala) — the oracle gate proves
+  * cross-engine equality; these pin the semantics themselves.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, dir).collect()
+
+  test("retention: offsets stay in [0,7] and day 0 dominates its cohort") {
+    val rows = run("q_events_retention")
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, off, _) => off >= 0 && off <= 7 })
+    // a user is by definition active on their cohort day, so offset 0
+    // carries every user of the cohort — no later offset can exceed it
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (c, rs) =>
+      val day0 = rs.find(_._2 == 0L).map(_._3)
+        .getOrElse(fail(s"cohort $c has no day-0 row"))
+      assert(rs.forall(_._3 <= day0), s"cohort $c: offset beats day 0")
+    }
+  }
+
+  test("funnel: stage counts are monotone non-increasing") {
+    val r = run("q_events_funnel").head
+    val (users, view, vc, full) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(users >= view && view >= vc && vc >= full && full >= 0)
+    assert(users > 0)
+  }
+
+  test("collocations: support floor and positive lift hold for all rows") {
+    val rows = run("q_text_collocations")
+    assert(rows.length <= 25 && rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 5, "bigram below support floor")
+      assert(r.getDouble(3) > 0.0, "non-positive lift")
+    }
+    // ranked descending by lift
+    val lifts = rows.map(_.getDouble(3))
+    assert(lifts.sameElements(lifts.sortBy(-_)))
+  }
+
+  test("zorder: bucket stats stay inside the bucket's key range") {
+    val rows = run("q_zorder")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b, zmin, zmax) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(zmin >= b * 4096 && zmax < (b + 1) * 4096 && zmin <= zmax)
+      // 8+8 interleaved bits can never exceed 16 bits
+      assert(zmax < 65536)
+    }
+  }
+
+  test("kmeans: clusters partition the corpus and assignments are stable") {
+    val rows = run("q_emb_kmeans")
+    val total = rows.map(_.getLong(1)).sum
+    val n = SparkEntry.queries("q_emb_quantize")(spark, dir).count()
+    assert(total == n, s"cluster sizes sum to $total, corpus is $n")
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 8))
+    assert(rows.forall(_.getLong(2) >= 0), "negative distortion")
+    // determinism: a second run returns the identical table
+    val again = run("q_emb_kmeans")
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+}

@@ -61,6 +61,38 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no partition-local sort:\n$plan")
   }
 
+  test("funnel is one aggregation pass: no self-joins over the event log") {
+    val plan = physical("q_events_funnel")
+    assert(!plan.contains("Join"), s"funnel plans a join:\n$plan")
+    assert("partial_".r.findFirstIn(plan).isDefined,
+      s"no partial aggregation in:\n$plan")
+    // the scan reads only what the funnel needs — not value/props
+    assert(!plan.contains("props") && !plan.contains("value"),
+      "funnel scan reads unused event columns")
+  }
+
+  test("retention and collocations partial-aggregate before their shuffles") {
+    for (q <- Seq("q_events_retention", "q_text_collocations")) {
+      assert("partial_".r.findFirstIn(physical(q)).isDefined,
+        s"$q has no map-side combine")
+    }
+  }
+
+  test("zorder key is computed in the scan stage (no join, pruned columns)") {
+    val plan = physical("q_zorder")
+    assert(!plan.contains("Join"), s"zorder plans a join:\n$plan")
+    assert(!plan.contains("o_comment"), "zorder scan reads unused columns")
+  }
+
+  test("kmeans assignment is a map-only pass over broadcast-free literals") {
+    // centroids ride in the expression tree as literals, so the scored
+    // scan must contain neither a join nor a broadcast exchange
+    val plan = physical("q_emb_kmeans")
+    assert(!plan.contains("Join"), s"kmeans assignment joins:\n$plan")
+    assert(!plan.contains("BroadcastExchange"),
+      s"kmeans assignment broadcasts:\n$plan")
+  }
+
   test("idx range scans prune by parquet min/max stats") {
     // rawGetEvents filters land in the scan as pushed gte/lte on idx
     val store = new graft.stream.StreamStore(spark,
