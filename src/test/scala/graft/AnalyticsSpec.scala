@@ -59,6 +59,32 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("anomaly: group counts reconcile and outliers are a strict minority") {
+    val rows = run("q_events_anomaly")
+    val totalEvents = graft.Tables.df(spark, dir, "events").count()
+    assert(rows.map(_.getLong(1)).sum == totalEvents)
+    rows.foreach { r =>
+      val (n, mean, sd, out) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+      assert(out >= 0 && out < n, "outliers must be a strict subset")
+      assert(mean >= 0 && sd >= 0)
+      // Chebyshev: at most 1/9 of any distribution sits beyond 3 sigma
+      assert(out.toDouble / n <= 1.0 / 9.0 + 1e-9)
+    }
+  }
+
+  test("novelty: hapax ratio is a proper fraction and frequencies are >= 1") {
+    val rows = run("q_text_novelty")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nb, nh, ratio, mf) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(nh <= nb && ratio >= 0.0 && ratio <= 1.0)
+      assert(math.abs(ratio - nh.toDouble / nb) < 1e-12)
+      assert(mf >= 1.0, "every bigram occurs at least once in the corpus")
+    }
+  }
+
   test("kmeans: clusters partition the corpus and assignments are stable") {
     val rows = run("q_emb_kmeans")
     val total = rows.map(_.getLong(1)).sum
