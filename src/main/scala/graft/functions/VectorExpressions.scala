@@ -2,10 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the per-pair array math on the dedup /
   * similarity hot paths. A Scala UDF deserializes both arrays to
@@ -116,6 +117,34 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** md5_60(s): the first 60 bits of md5(s) as a non-negative BIGINT —
+    * numerically identical to `conv(substring(md5(s), 1, 15), 16, 10)`
+    * (the oracle's `('0x' || substr(md5(s), 1, 15))::BIGINT`), but one
+    * thread-local digest call with no hex-string round-trip. Spark's
+    * built-in md5() looks up a fresh MessageDigest per row and renders a
+    * 32-char hex string that conv() then re-parses; on shingle/window
+    * hash passes that run millions of times per partition this kernel is
+    * the difference between the hash being free and being the stage. */
+  case class Md5Prefix60(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"expected STRING, got ${child.dataType}")
+
+    override def nullSafeEval(input: Any): Any =
+      Md5Hash.h60(input.asInstanceOf[UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Md5Hash.h60($c)")
+
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
   /** SQL names; DSL call sites go through expr("...") after register. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -129,5 +158,38 @@ object VectorExpressions {
         })
     add("sorted_intersect_count", SortedIntersectCount(_, _))
     add("cosine_sim", CosineSim(_, _))
+    reg.registerFunction(
+      FunctionIdentifier("md5_60"),
+      new ExpressionInfo("graft.functions.VectorExpressions", "md5_60"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "md5_60 takes 1 argument")
+        Md5Prefix60(exprs.head)
+      })
+  }
+
+  /** DSL shorthand: register on the session, return the md5_60 column. */
+  def md5_60(s: SparkSession, c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    register(s)
+    org.apache.spark.sql.functions.call_function("md5_60", c)
+  }
+}
+
+/** Static home for the md5_60 kernel (generated Java calls it directly). */
+object Md5Hash {
+  private val mdTl: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 60 bits of md5(utf8 bytes) as a long (matches the hex-prefix
+    * parse: 15 hex digits = top 60 bits of the big-endian first 8 bytes). */
+  def h60(s: UTF8String): Long = {
+    val d = mdTl.get()
+    d.reset()
+    val o = d.digest(s.getBytes)
+    val top = ((o(0) & 0xffL) << 56) | ((o(1) & 0xffL) << 48) |
+      ((o(2) & 0xffL) << 40) | ((o(3) & 0xffL) << 32) |
+      ((o(4) & 0xffL) << 24) | ((o(5) & 0xffL) << 16) |
+      ((o(6) & 0xffL) << 8) | (o(7) & 0xffL)
+    top >>> 4
   }
 }

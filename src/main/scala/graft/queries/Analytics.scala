@@ -110,11 +110,18 @@ object Analytics {
       (s, dir) => {
         val toks = t(s, dir, "documents")
           .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("ts"))
+        // bigrams build as zip(ts[0..n-2], ts[1..n-1]) INSIDE the array
+        // before the explode — the exploded rows carry one 2-field struct
+        // each, never the whole token array (a posexplode + element_at
+        // formulation drags the full array through every token row:
+        // O(doc_len²) bytes per doc, quadratic in document length)
         val bigrams = toks
-          .select(posexplode(col("ts")).as(Seq("i", "w")),
-            col("ts"), size(col("ts")).as("n"))
-          .filter(col("i") < col("n") - 1)
-          .select(col("w").as("w1"), element_at(col("ts"), col("i") + 2).as("w2"))
+          .filter(size(col("ts")) >= 2)
+          .select(explode(zip_with(
+            slice(col("ts"), lit(1), size(col("ts")) - 1),
+            slice(col("ts"), lit(2), size(col("ts")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+          .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
         val big = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
           .persist()
         big.count() // settle: four consumers below fork the plan

@@ -54,16 +54,16 @@ object Corpus {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.df(s, dir, "documents")
 
-  private def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  private def h60(s: SparkSession, c: Column): Column =
+    graft.functions.VectorExpressions.md5_60(s, c)
 
   // ---- shared 20-char stride-5 gram pass (same shape as
   // q_decontaminate, so bloom-vs-exact results are comparable) ----
-  private def grams20(d: DataFrame): DataFrame = d
+  private def grams20(s: SparkSession, d: DataFrame): DataFrame = d
     .select(col("doc_id"),
       explode(sequence(lit(1), length(col("t")) - 19, lit(5))).as("i"),
       col("t"))
-    .select(col("doc_id"), h60(col("t").substr(col("i"), lit(20))).as("h"))
+    .select(col("doc_id"), h60(s, col("t").substr(col("i"), lit(20))).as("h"))
 
   private val grams20Sql =
     """g AS (
@@ -140,7 +140,7 @@ object Corpus {
           .filter(size(col("t")) >= W)
         val wins = tok.select(col("doc_id"),
             posexplode(transform(sequence(lit(0), size(col("t")) - W),
-              i => h60(concat_ws(" ", slice(col("t"), i + 1, lit(W))))))
+              i => h60(s, concat_ws(" ", slice(col("t"), i + 1, lit(W))))))
               .as(Seq("pos", "h")))
         val dupH = wins.groupBy("h")
           .agg(countDistinct(col("doc_id")).as("nd"))
@@ -183,7 +183,7 @@ object Corpus {
       (s, dir) => {
         val d = docs(s, dir).select(col("doc_id"), trim(col("text")).as("t"))
           .filter(length(col("t")) >= 20)
-        val g = grams20(d)
+        val g = grams20(s, d)
         val evalG = g.filter(col("doc_id") % 97 === 0).select("h").distinct()
         val trainG = g.filter(col("doc_id") % 97 =!= 0).distinct()
         def bitsOf(h: Column) = array(h % 65536,
@@ -252,7 +252,7 @@ object Corpus {
     "q_sketch_merge" -> Q(
       (s, dir) => {
         val ranked = Tables.df(s, dir, "events")
-          .select(col("event_type"), h60(col("user_id").cast("string")).as("h"))
+          .select(col("event_type"), h60(s, col("user_id").cast("string")).as("h"))
           .select(col("event_type"), (col("h") % 64).as("bucket"),
             rhoOf(shiftright(col("h"), 6)).cast("long").as("rho"))
         val sk = ranked.groupBy("event_type", "bucket")

@@ -90,7 +90,7 @@ object Dedup {
       K, (0 until K).map(xorConst).toArray))
     shingles(corpus(s, dir), 5)
       .select(col("doc_id"),
-        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+        graft.functions.VectorExpressions.md5_60(s, col("sh")).as("h"))
       .groupBy("doc_id").agg(minhash(col("h")).as("sig"))
       .select((col("doc_id") +: (0 until K).map(k =>
         element_at(col("sig"), k + 1).as(s"h$k"))): _*)
@@ -145,7 +145,7 @@ object Dedup {
         lshCaches.remove((s, dir)).foreach(_.foreach(_.unpersist(false)))
         val hashed = shingles(corpus(s, dir), 5, stride = 2)
           .select(col("doc_id"),
-            conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+            graft.functions.VectorExpressions.md5_60(s, col("sh")).as("h"))
         val shArr = hashed
           .groupBy("doc_id").agg(sort_array(collect_set(col("h"))).as("shs"))
           .persist()

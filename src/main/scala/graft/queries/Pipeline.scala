@@ -131,8 +131,8 @@ object Pipeline {
             explode(sequence(lit(1), length(col("t")) - 19, lit(5))).as("i"),
             col("t"))
           .select(col("doc_id"),
-            conv(substring(md5(col("t").substr(col("i"), lit(20))), 1, 15), 16, 10)
-              .cast("long").as("h"))
+            graft.functions.VectorExpressions
+              .md5_60(s, col("t").substr(col("i"), lit(20))).as("h"))
         val evalG = grams(d.filter(col("doc_id") % 97 === 0)).select("h").distinct()
         val trainG = grams(d.filter(col("doc_id") % 97 =!= 0)).distinct()
         trainG.join(evalG, "h")

@@ -313,8 +313,8 @@ object Relational {
     // over 100 TB without a count-distinct shuffle ----
     "q_distinct_sketch" -> Q(
       (s, dir) => {
-        val h = conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
-          .cast("long")
+        val h = graft.functions.VectorExpressions
+          .md5_60(s, col("l_partkey").cast("string"))
         val w = shiftright(col("h"), 6)
         // rho = leading zeros of the 54-bit w + 1; w = 0 -> 55
         val rho = (0 until 54).foldLeft[Column](lit(null)) { (acc, i) =>

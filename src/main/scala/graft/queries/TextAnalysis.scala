@@ -160,8 +160,8 @@ object TextAnalysis {
             explode(sequence(lit(1), length(col("t")) - 4)).as("i"),
             col("t"))
           .select(col("doc_id"), expr(s"CAST((i - 1) DIV $win AS BIGINT)").as("w"),
-            conv(substring(md5(col("t").substr(col("i"), lit(5))), 1, 15), 16, 10)
-              .cast("long").as("h"))
+            graft.functions.VectorExpressions
+              .md5_60(s, col("t").substr(col("i"), lit(5))).as("h"))
           .groupBy(col("doc_id"), col("w"))
           .agg(min(col("h")).as("fp"))
           .orderBy(col("doc_id"), col("w"))

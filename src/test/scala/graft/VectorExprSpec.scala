@@ -43,4 +43,18 @@ class VectorExprSpec extends AnyFunSuite {
       s"SELECT cosine_sim(CAST(NULL AS ARRAY<FLOAT>), array(${f("1.0")}))")
       .head().isNullAt(0))
   }
+
+  test("md5_60 equals the conv(substring(md5)) hex-prefix formula") {
+    // mixed lengths incl. empty, unicode, and long strings — the kernel
+    // must agree bit-for-bit with the expression it replaces (which is
+    // also what the DuckDB oracle computes)
+    import spark.implicits._
+    val rows = (0 until 500).map(i => "s" * (i % 97) + s"payload$i") ++
+      Seq("", "a", "日本語テキスト", "x" * 10000)
+    val diff = rows.toDF("s").selectExpr(
+      "md5_60(s) AS fast",
+      "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) AS ref")
+      .filter("fast != ref OR fast IS NULL OR fast < 0").count()
+    assert(diff == 0L)
+  }
 }
