@@ -293,6 +293,87 @@ object Analytics {
            |SELECT zkey // 4096 AS zbucket, count(*) AS n,
            |  min(zkey) AS zmin, max(zkey) AS zmax
            |FROM zk GROUP BY 1 ORDER BY zbucket""".stripMargin
+      }),
+
+    // ---- weighted PageRank over the nation trade graph, exact ----
+    // Iterative graph computation as repeated join+aggregate — the BSP
+    // shape GraphX/Pregel lowers to, expressed so Catalyst plans each
+    // superstep. Edges: customer-nation → supplier-nation weighted by
+    // lineitem count (one wide join pass, aggregated before anything
+    // iterates; persisted because 3 supersteps + marginals reuse it).
+    // Ranks live in integer units of 1e-12 and every update is BIGINT
+    // floor arithmetic — (r·w) DIV wout, 85·Σ DIV 100 — so the result
+    // is bit-identical across engines and iteration order: no float
+    // sum-order anywhere. At 100 TB the edge build dominates (the
+    // iteration space is |nodes|); ranks broadcast to the edge join per
+    // superstep. DECIMAL(38) is the headroom knob if r·w ever nears
+    // 2^63 (r ≤ 1e12 · w ≤ 1e6 here).
+    "q_graph_pagerank" -> Q(
+      (s, dir) => {
+        prCaches.remove((s, dir)).foreach(_.foreach(_.unpersist(false)))
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val ords = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+        val supp = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        val edges = li
+          .join(ords, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("c_nationkey").cast("long").as("src"),
+            col("s_nationkey").cast("long").as("dst"))
+          .agg(count(lit(1)).as("w"))
+          .persist()
+        val nodes = edges.select(col("src").as("nk"))
+          .unionAll(edges.select(col("dst").as("nk"))).distinct().persist()
+        val n = nodes.count() // one action settles edges + nodes
+        prCaches((s, dir)) = Seq(edges, nodes)
+        val wout = edges.groupBy("src").agg(sum(col("w")).as("wout"))
+        var ranks = nodes.select(col("nk"), lit(1000000000000L / n).as("r"))
+        for (_ <- 1 to 3) {
+          val contrib = edges.join(wout, "src")
+            .join(ranks, col("src") === col("nk"))
+            .select(col("dst"), expr("(r * w) DIV wout").as("c"))
+            .groupBy("dst").agg(sum(col("c")).as("c"))
+          ranks = nodes.join(contrib, col("nk") === col("dst"), "left_outer")
+            .select(col("nk"),
+              (lit(150000000000L / n) + expr("(85 * coalesce(c, CAST(0 AS BIGINT))) DIV 100")).as("r"))
+        }
+        ranks.select(col("nk").as("nation"), col("r").as("rank_units"))
+          .orderBy(col("rank_units").desc, col("nation"))
+      },
+      Some {
+        def iter(prev: String, i: Int) =
+          s"""r$i AS (
+             |  SELECT no.nk, 150000000000 // nn.n
+             |      + (85 * coalesce(sc.c, 0)) // 100 AS r
+             |  FROM nodes no CROSS JOIN nn
+             |  LEFT JOIN (SELECT e.dst AS nk,
+             |               CAST(sum((r.r * e.w) // wo.wout) AS BIGINT) AS c
+             |             FROM edges e JOIN $prev r ON e.src = r.nk
+             |             JOIN wout wo ON e.src = wo.src
+             |             GROUP BY 1) sc ON no.nk = sc.nk)""".stripMargin
+        s"""WITH edges AS (
+           |  SELECT CAST(c_nationkey AS BIGINT) AS src,
+           |    CAST(s_nationkey AS BIGINT) AS dst, count(*) AS w
+           |  FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  GROUP BY 1, 2),
+           |nodes AS (SELECT src AS nk FROM edges UNION SELECT dst FROM edges),
+           |nn AS (SELECT count(*) AS n FROM nodes),
+           |wout AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY 1),
+           |r0 AS (SELECT nk, 1000000000000 // n AS r FROM nodes CROSS JOIN nn),
+           |${iter("r0", 1)},
+           |${iter("r1", 2)},
+           |${iter("r2", 3)}
+           |SELECT nk AS nation, CAST(r AS BIGINT) AS rank_units
+           |FROM r3 ORDER BY rank_units DESC, nation""".stripMargin
       })
   )
+
+  // previous invocation's persisted edge/node frames, swept on re-entry
+  // (same retention discipline as Dedup.lshCaches)
+  private val prCaches = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[DataFrame]]
 }

@@ -96,4 +96,25 @@ class AnalyticsSpec extends AnyFunSuite {
     val again = run("q_emb_kmeans")
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("pagerank: probability mass conserves up to floor leakage and " +
+    "every node keeps at least the teleport mass") {
+    val rows = run("q_graph_pagerank").map(r => (r.getLong(0), r.getLong(1)))
+    val n = rows.length
+    assert(n > 1)
+    assert(rows.map(_._1).distinct.length == n, "duplicate node rows")
+    val scale = 1000000000000L
+    val tele = 150000000000L / n
+    rows.foreach { case (nk, r) =>
+      assert(r >= tele, s"node $nk rank $r below teleport floor $tele")
+    }
+    val total = rows.map(_._2).sum
+    // integer floors only ever LOSE mass: total ≤ SCALE, and with ≤ a
+    // few hundred floor ops the loss stays well under 1%
+    assert(total <= scale, s"rank mass $total exceeds scale")
+    assert(total > scale * 99 / 100, s"rank mass $total leaked > 1%")
+    // ranks differ across nodes (the graph is not regular) — the op
+    // computed something beyond the uniform initialization
+    assert(rows.map(_._2).distinct.length > 1)
+  }
 }
