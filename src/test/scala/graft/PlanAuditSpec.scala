@@ -93,6 +93,46 @@ class PlanAuditSpec extends AnyFunSuite {
       s"kmeans assignment broadcasts:\n$plan")
   }
 
+  test("bloom decontamination broadcasts the bit set, never the train side") {
+    // the filter side is bounded by 2^16 bits regardless of benchmark
+    // size — it MUST broadcast; the train gram stream must not
+    val plan = physical("q_decontaminate_bloom")
+    assert(plan.contains("BroadcastExchange"),
+      s"bloom bit set not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"bloom decontamination degenerated to a product join:\n$plan")
+  }
+
+  test("substring-span dedup joins only on window hashes (no products, " +
+    "partial-aggregated)") {
+    val plan = physical("q_dedup_substring")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"substring dedup plans a product join:\n$plan")
+    assert("partial_".r.findFirstIn(plan).isDefined,
+      s"window-hash dup count has no map-side combine:\n$plan")
+  }
+
+  test("tfidf carries no broadcast hint — the vocabulary join stays " +
+    "planner-chosen") {
+    assert(!analyzed("q_text_tfidf").contains("ResolvedHint"),
+      "tfidf pins a broadcast on the df side")
+  }
+
+  test("pagerank supersteps join pre-aggregated edges, not raw lineitem") {
+    // the edge build pays the wide join ONCE; each superstep joins the
+    // ~|nations|² aggregated edge table (InMemoryRelation after persist)
+    val plan = physical("q_graph_pagerank")
+    val scanCount = "Scan parquet".r.findAllIn(plan).length
+    assert(plan.contains("InMemoryTableScan") || scanCount <= 5,
+      s"supersteps re-scan base tables:\n$plan")
+  }
+
+  test("range window partitions by user (no global single-partition frame)") {
+    val plan = physical("q_window_range_time")
+    assert(plan.contains("hashpartitioning(user_id"),
+      s"range window not partitioned by user_id:\n$plan")
+  }
+
   test("idx range scans prune by parquet min/max stats") {
     // rawGetEvents filters land in the scan as pushed gte/lte on idx
     val store = new graft.stream.StreamStore(spark,
