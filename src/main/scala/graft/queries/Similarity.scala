@@ -263,19 +263,40 @@ object Similarity {
     "q_knn_join" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
+        graft.functions.VectorExpressions.register(s)
         val qs = emb(s, dir).filter(col("vec_id") % 100 === 0)
-          .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
-            Vec.norm2(col("embedding")).as("qn2"))
-        // each candidate's norm is query-independent: fold it ONCE per row
-        // before the cross join, not once per (row, query) pair
-        emb(s, dir).filter(col("vec_id") % 100 =!= 0)
-          .withColumn("n2", Vec.norm2(col("embedding")))
+          .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+        // two-stage scoring, same contract as q_dedup_embedding: the
+        // codegen double cosine scores every (row, query) pair (cheap),
+        // and only the per-query threshold band d5 − 1e-6 pays the exact
+        // decimal fold. |double − exact| < 1e-9 per pair, so every true
+        // top-5 member clears the band: the 5 double-best rows have
+        // exact ≥ d5 − 1e-9, while anything under the band has
+        // exact < d5 − 1e-6 + 1e-9 — strictly dominated. The final
+        // ranking (and the emitted cos) is the exact fold, identical to
+        // the oracle's explode+group-sum.
+        val wq = Window.partitionBy(col("qid"))
+        val scored = emb(s, dir).filter(col("vec_id") % 100 =!= 0)
           .crossJoin(broadcast(qs))
+          .select(col("qid"), col("vec_id"), col("embedding"), col("q_emb"),
+            expr("cosine_sim(embedding, q_emb)").as("dbl"))
+        // the rank-≤50 precut keeps the rank-filter shape Spark's
+        // InferWindowGroupLimit rewrites into a MAP-SIDE partial group
+        // limit, so the qid exchange carries O(queries · 50) rows per
+        // partition, never N·Q. 50 ⊇ the top-5 band unless 46+ pairs sit
+        // within 2e-9 of the 5th cosine — and exact ties rank by the
+        // same vec_id tiebreak on both sides of the gate anyway.
+        scored
+          .withColumn("rk_d", row_number().over(
+            wq.orderBy(col("dbl").desc, col("vec_id"))))
+          .filter(col("rk_d") <= 50)
+          .withColumn("d5", min(when(col("rk_d") <= 5, col("dbl"))).over(wq))
+          .filter(col("dbl") >= col("d5") - 1e-6)
           .select(col("qid"), col("vec_id"),
             Vec.cosine(col("embedding"), col("q_emb"),
-              col("n2"), col("qn2")).as("cos"))
+              Vec.norm2(col("embedding")), Vec.norm2(col("q_emb"))).as("cos"))
           .withColumn("rk", row_number().over(
-            Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+            wq.orderBy(col("cos").desc, col("vec_id"))))
           .filter(col("rk") <= 5)
           .select(col("qid"), col("rk").cast("long").as("rk"),
             col("vec_id"), col("cos"))
