@@ -172,6 +172,35 @@ object Pipeline {
              |  FROM documents)
              |WHERE hb < rate ORDER BY doc_id""".stripMargin)),
 
+    // ---- per-domain quota sampling: deterministic cap per source ----
+    // Domain balancing, the counterpart of stratified rates: every
+    // source keeps at most 10 docs, chosen by hash order (no RNG, same
+    // survivors on every rerun at any scale). The rank-filter shape
+    // compiles to a map-side partial WindowGroupLimit, so the source
+    // exchange carries ≤ 10 rows per source per partition — a 100-TB
+    // domain with millions of pages ships 10 rows to the reducer, not
+    // the domain. Emits (source, doc_id, rk) for the kept rows.
+    "q_sample_domain_quota" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long")
+        docs(s, dir)
+          .select(col("source"), col("doc_id"), h.as("hk"))
+          .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
+            .orderBy(col("hk"), col("doc_id"))))
+          .filter(col("rk") <= 10)
+          .select(col("source"), col("doc_id"), col("rk").cast("long").as("rk"))
+          .orderBy(col("source"), col("rk"))
+      },
+      Some("""SELECT source, doc_id, rk FROM (
+             |  SELECT source, doc_id,
+             |    row_number() OVER (PARTITION BY source ORDER BY
+             |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+             |      doc_id) AS rk
+             |  FROM documents)
+             |WHERE rk <= 10 ORDER BY source, rk""".stripMargin)),
+
     // ---- context chunking: 200-char windows, 50-char overlap ----
     // The RAG/training prep shape: explode each document into fixed-size
     // overlapping chunks with stable ids. Output carries the chunk md5

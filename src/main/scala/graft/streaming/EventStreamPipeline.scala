@@ -107,6 +107,46 @@ object EventStreamPipeline {
       .drop("__graft_band")
   }
 
+  /** Streaming distinct-count sketch: per-(event-time window, bucket)
+    * HLL max-rho state via plain incremental aggregation — the streaming
+    * twin of the batch `q_sketch_merge` gate, same 60-bit md5 hash, same
+    * 64-bucket/rho ladder, so a batch fold over identical rows produces
+    * the identical sketch. State is O(windows-in-horizon × 64) rows no
+    * matter how many events arrive (a streaming COUNT(DISTINCT) would
+    * buffer every distinct key); the watermark retires window state. The
+    * returned frame is the mergeable sketch itself — fold it with
+    * `sketchEstimate`. */
+  def distinctSketch(events: DataFrame, keyCol: String, tsCol: String,
+      window_ : String, watermark: String): DataFrame = {
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val ev = events.withWatermark(tsCol, watermark).withColumn("__h", h)
+    val w = shiftright(col("__h"), 6)
+    val rho = (0 until 54).foldLeft[Column](lit(null)) { (acc, i) =>
+      if (i == 0) when(w >= (1L << 53), 1)
+      else acc.when(w >= (1L << (53 - i)), i + 1)
+    }.otherwise(55)
+    ev.groupBy(window(col(tsCol), window_).as("win"),
+        (col("__h") % 64).as("bucket"))
+      .agg(max(rho).cast("long").as("r"))
+  }
+
+  /** Fold sketch rows (bucket, r) into the cardinality estimate — the
+    * identical empty-bucket + linear-counting arithmetic as the batch
+    * gate, so stream- and batch-built sketches estimate identically. */
+  def sketchEstimate(sk: DataFrame, groupCols: String*): DataFrame = {
+    val hllC = 0.709 * 4096.0 * math.pow(2.0, 55)
+    sk.groupBy(groupCols.map(col): _*)
+      .agg(
+        (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - r AS INT))")) +
+          (lit(64L) - count(lit(1))) * (1L << 55)).as("z"),
+        (lit(64L) - count(lit(1))).as("empty"))
+      .select(groupCols.map(col) :+
+        round(when((lit(hllC) / col("z").cast("double")) <= 160.0 && col("empty") > 0,
+          lit(64.0) * log(lit(64.0) / col("empty").cast("double")))
+          .otherwise(lit(hllC) / col("z").cast("double")), 6).as("est_distinct"): _*)
+  }
+
   /** The band key expression: min(xxhash64(shingle, lane)) per lane,
     * lanes joined into one string key. Exposed so tests (and batch
     * callers) can compute the same key. */

@@ -279,4 +279,51 @@ class StreamingSpec extends AnyFunSuite {
       (0L, "click", 2L, 2.0), (0L, "view", 1L, 1.0),
       (60L, "click", 1L, 1.0), (60L, "view", 2L, 2.0)))
   }
+
+  test("streaming distinct sketch equals the batch fold over the same rows") {
+    val h = store.open("did:test:sketch")
+    h.setModule(module)
+    // 40 events, 25 distinct users overall, 20 per 1-minute window
+    val evs = (0 until 40).map { i =>
+      IncomingEvent(s"u${i % 25}", Drisl.encode(obj(
+        "type" -> text("click"), "value" -> DFloat(1.0),
+        "sec" -> int(if (i < 20) i else 60 + i))))
+    }
+    h.addEvents(evs)
+
+    def shaped(df: org.apache.spark.sql.DataFrame) = df.select(
+      timestamp_seconds(expr("drisl_extract_long(payload, '.sec')")).as("ts"),
+      col("user"))
+
+    val q = EventStreamPipeline.distinctSketch(
+        shaped(EventStreamPipeline.readLog(spark, store, "did:test:sketch")),
+        "user", "ts", "1 minute", "10 seconds")
+      .select(col("win.start").cast("long").as("w"), col("bucket"), col("r"))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("complete")
+      .format("memory")
+      .queryName("sketch_sink")
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("sketch_sink")
+
+    // the batch-built sketch over the identical rows must be IDENTICAL
+    // (same hash, same buckets, same max-rho) — mergeability means the
+    // incremental path cannot drift from the one-shot path
+    val batch = EventStreamPipeline.distinctSketch(
+        shaped(h.eventsDF), "user", "ts", "1 minute", "10 seconds")
+      .select(col("win.start").cast("long").as("w"), col("bucket"), col("r"))
+    val sRows = streamed.orderBy("w", "bucket").collect().map(_.toString).toSeq
+    val bRows = batch.orderBy("w", "bucket").collect().map(_.toString).toSeq
+    assert(sRows.nonEmpty && sRows == bRows)
+
+    // the folded estimate lands near the true 20 distinct users per
+    // window (64-bucket HLL + linear counting: well within 2x here)
+    val est = EventStreamPipeline.sketchEstimate(
+        streamed.withColumnRenamed("w", "win_s"), "win_s")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(est.keySet == Set(0L, 60L))
+    est.values.foreach(e => assert(e > 10.0 && e < 40.0, s"estimate $e vs true 20"))
+  }
 }
