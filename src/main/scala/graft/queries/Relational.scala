@@ -110,6 +110,29 @@ object Relational {
               |GROUP BY c_custkey, c_name
               |ORDER BY c_custkey""".stripMargin)),
 
+    // ---- full outer join: both null directions exercised ----
+    // per-user event counts vs a customer band chosen so the result has
+    // matched rows, user-only rows AND customer-only rows; keys coalesce
+    // into one output column
+    "q_join_full" -> Q(
+      (s, dir) => {
+        val u = t(s, dir, "events").groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+        val c = t(s, dir, "customer")
+          .filter(col("c_custkey") >= 100 && col("c_custkey") < 200)
+          .select(col("c_custkey"), col("c_name"))
+        u.join(c, col("user_id") === col("c_custkey"), "full_outer")
+          .select(coalesce(col("user_id"), col("c_custkey")).as("k"),
+            col("n_events"), col("c_name"))
+          .orderBy(col("k"))
+      },
+      Some("""SELECT coalesce(user_id, c_custkey) AS k, n_events, c_name
+             |FROM (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1) u
+             |FULL JOIN (SELECT c_custkey, c_name FROM customer
+             |           WHERE c_custkey >= 100 AND c_custkey < 200) c
+             |  ON user_id = c_custkey
+             |ORDER BY k""".stripMargin)),
+
     // ---- left semi join (EXISTS) ----
     "q_join_semi" -> Q(
       (s, dir) => {
@@ -230,6 +253,37 @@ object Relational {
              |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
              |  FROM customer) WHERE rn <= 3
              |ORDER BY c_mktsegment, rn""".stripMargin)),
+
+    // ---- window: rank-family surface (ntile / percent_rank / cume_dist /
+    // first+last value). Ratios are single divisions of exact integers
+    // ((rank−1)/(n−1), rows≤/n) — deterministic across engines; the order
+    // key includes c_custkey so ties can't reshuffle frames ----
+    "q_window_ntile" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "customer")
+          .filter(col("c_custkey") < 200)
+          .select(col("c_mktsegment"), col("c_custkey"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"),
+            first(col("c_custkey")).over(wf).as("poorest"),
+            last(col("c_custkey")).over(wf).as("richest"))
+          .orderBy(col("c_mktsegment"), col("c_custkey"))
+      },
+      Some("""SELECT c_mktsegment, c_custkey,
+             |  ntile(4) OVER w AS quartile,
+             |  percent_rank() OVER w AS pr,
+             |  cume_dist() OVER w AS cd,
+             |  first_value(c_custkey) OVER wf AS poorest,
+             |  last_value(c_custkey) OVER wf AS richest
+             |FROM customer WHERE c_custkey < 200
+             |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey),
+             |  wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY c_mktsegment, c_custkey""".stripMargin)),
 
     // ---- window: running aggregate over deterministic row order ----
     // (pre-aggregate to a unique (l_suppkey, l_orderkey) key first: the raw
