@@ -186,6 +186,53 @@ object Corpus {
               |  count(*) AS n_win
               |FROM sp GROUP BY doc_id, grp ORDER BY doc_id, start_tok""".stripMargin)),
 
+    // ---- doc-level duplication fraction (containment) ----
+    // For each doc: what share of its 8-token windows also occur in at
+    // least one OTHER doc — the filter signal pipelines threshold to drop
+    // mostly-duplicated documents (clones score 1.0, untouched docs 0).
+    // Same shuffle budget as the span gate: one groupBy over window
+    // hashes + a semi-join back + one per-doc count; the ratio is a
+    // single division of exact counts.
+    "q_dedup_containment" -> Q(
+      (s, dir) => {
+        val W = 8
+        val tok = Dedup.corpus(s, dir)
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+          .filter(size(col("t")) >= W)
+        val wins = tok.select(col("doc_id"),
+            posexplode(transform(sequence(lit(0), size(col("t")) - W),
+              i => h60(s, concat_ws(" ", slice(col("t"), i + 1, lit(W))))))
+              .as(Seq("pos", "h")))
+        val dupH = wins.groupBy("h")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select("h")
+        val nd = wins.join(dupH, Seq("h"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+        wins.groupBy("doc_id").agg(count(lit(1)).as("n_win"))
+          .join(nd, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n_win"),
+            coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+            (coalesce(col("n_dup"), lit(0L)).cast("double") /
+              col("n_win").cast("double")).as("dup_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${Dedup.corpusSql},
+              |tk AS (
+              |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              |  FROM corpus WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 8),
+              |w AS (
+              |  SELECT doc_id, i AS pos,
+              |    ('0x' || substr(md5(array_to_string(t[i+1:i+8], ' ')), 1, 15))::BIGINT AS h
+              |  FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 8)) AS i FROM tk)),
+              |dup AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+              |nd AS (SELECT doc_id, count(*) AS n_dup FROM w
+              |       WHERE h IN (SELECT h FROM dup) GROUP BY 1),
+              |nw AS (SELECT doc_id, count(*) AS n_win FROM w GROUP BY 1)
+              |SELECT nw.doc_id, n_win, coalesce(n_dup, 0) AS n_dup,
+              |  CAST(coalesce(n_dup, 0) AS DOUBLE) / CAST(n_win AS DOUBLE) AS dup_frac
+              |FROM nw LEFT JOIN nd ON nw.doc_id = nd.doc_id
+              |ORDER BY nw.doc_id""".stripMargin)),
+
     // ---- Bloom-filter decontamination (m = 2^16 bits, k = 3) ----
     // n_flagged counts train grams whose k bits are all set (Bloom
     // positive); n_exact is true membership on the same gram pass —

@@ -54,6 +54,22 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("containment: clones score 1.0 and fractions are proper") {
+    val rows = run("q_dedup_containment").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, nw, ndup, f) =>
+      assert(ndup >= 0 && ndup <= nw, s"doc $d: n_dup out of range")
+      assert(f >= 0.0 && f <= 1.0, s"doc $d: dup_frac $f not a fraction")
+    }
+    // every clone is a full copy: 100% of its windows exist in the source
+    val clones = rows.filter(_._1 >= 1000000L)
+    assert(clones.nonEmpty)
+    clones.foreach { case (d, _, _, f) =>
+      assert(f == 1.0, s"clone $d dup_frac $f != 1.0")
+    }
+  }
+
   test("bloom decontamination: flagged ⊇ exact (no false negatives)") {
     val rows = run("q_decontaminate_bloom").map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2)))
