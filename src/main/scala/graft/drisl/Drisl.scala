@@ -88,9 +88,32 @@ object Drisl {
 
   private final class Decoder(bytes: Array[Byte]) {
     private var pos = 0
-    private def u8(): Int = { val b = bytes(pos) & 0xff; pos += 1; b }
+    // container recursion cap — prevents a stack overflow (an Error, not
+    // an Exception) from a packet of nested array/map heads
+    private var depth = 0
+    private def u8(): Int = {
+      if (pos >= bytes.length)
+        throw new IllegalArgumentException("CBOR truncated")
+      val b = bytes(pos) & 0xff; pos += 1; b
+    }
+    /** Validated length: must fit in the REMAINING bytes before any
+      * allocation. Arrays.copyOfRange would otherwise zero-PAD past the
+      * end — a truncated buffer must fail, not decode fabricated bytes —
+      * and a forged multi-GB length must not allocate. */
+    private def len(v: Long): Int = {
+      if (v < 0 || v > bytes.length - pos)
+        throw new IllegalArgumentException(
+          s"CBOR length $v exceeds remaining ${bytes.length - pos} bytes")
+      v.toInt
+    }
     private def take(n: Int): Array[Byte] = {
       val r = java.util.Arrays.copyOfRange(bytes, pos, pos + n); pos += n; r
+    }
+    private def descend[A](body: => A): A = {
+      depth += 1
+      if (depth > 128)
+        throw new IllegalArgumentException("CBOR nesting deeper than 128")
+      try body finally depth -= 1
     }
     private def readArg(info: Int): Long = info match {
       case n if n < 24 => n.toLong
@@ -110,13 +133,13 @@ object Drisl {
       major match {
         case 0 => DInt(readArg(info))
         case 1 => DInt(-1L - readArg(info))
-        case 2 => DBytes(take(readArg(info).toInt))
-        case 3 => DText(new String(take(readArg(info).toInt), UTF_8))
+        case 2 => DBytes(take(len(readArg(info))))
+        case 3 => DText(new String(take(len(readArg(info))), UTF_8))
         case 4 =>
-          val n = readArg(info).toInt
-          DArray(Vector.fill(n)(readValue()))
-        case 5 =>
-          val n = readArg(info).toInt
+          val n = len(readArg(info)) // ≥1 byte per element
+          descend(DArray(Vector.fill(n)(readValue())))
+        case 5 => descend {
+          val n = len(readArg(info)) // ≥1 byte per key alone
           val b = Vector.newBuilder[(String, DValue)]
           var i = 0
           while (i < n) {
@@ -127,13 +150,15 @@ object Drisl {
             b += (k -> readValue()); i += 1
           }
           DMap(b.result().toMap)
-        case 6 =>
+        }
+        case 6 => descend {
           val tag = readArg(info)
           if (tag != 42) throw new IllegalArgumentException(s"unsupported CBOR tag $tag")
           readValue() match {
             case DBytes(b) if b.nonEmpty && b(0) == 0 => DCid(b.drop(1))
             case other => throw new IllegalArgumentException(s"bad CID content: $other")
           }
+        }
         case 7 => info match {
           case 20 => DBool(false)
           case 21 => DBool(true)

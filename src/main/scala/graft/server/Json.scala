@@ -41,6 +41,10 @@ object Json {
 
   private final class P(s: String) {
     private var i = 0
+    // container recursion cap: "[[[[..." drives stack depth linearly with
+    // input length, and the resulting StackOverflowError is an Error the
+    // request handlers' Exception recovery would not catch
+    private var depth = 0
     private def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
     private def fail(msg: String) =
       throw new IllegalArgumentException(s"json error at $i: $msg")
@@ -48,6 +52,12 @@ object Json {
     def parseValue(): Any = {
       ws()
       if (i >= s.length) fail("eof")
+      depth += 1
+      if (depth > 128) fail("nesting deeper than 128")
+      try parseValue0() finally depth -= 1
+    }
+
+    private def parseValue0(): Any = {
       s.charAt(i) match {
         case '{' =>
           i += 1; ws()

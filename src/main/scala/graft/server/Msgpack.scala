@@ -92,6 +92,18 @@ object Msgpack {
 
   private final class Reader(bytes: Array[Byte]) {
     var pos = 0
+    // nesting cap: each container level recurses read(), so a packet of
+    // repeated array/map headers drives stack depth linearly with input
+    // size — a StackOverflowError is an Error, not an Exception, and
+    // would escape the handler's recovery. 128 matches the de-facto
+    // limit of mainstream decoders (serde, msgpack-java).
+    private var depth = 0
+    private def descend[A](body: => A): A = {
+      depth += 1
+      if (depth > 128)
+        throw new IllegalArgumentException("msgpack nesting deeper than 128")
+      try body finally depth -= 1
+    }
 
     /** Every length claimed by the wire is validated against the bytes
       * actually present BEFORE any allocation sized by it — a 6-byte
@@ -124,14 +136,14 @@ object Msgpack {
       val b = java.util.Arrays.copyOfRange(bytes, pos, pos + len); pos += len; b
     }
 
-    private def arr(len: Int): Vector[Any] = {
+    private def arr(len: Int): Vector[Any] = descend {
       // each element is at least one byte, so a count beyond the remaining
       // bytes is provably corrupt — reject before Vector.fill allocates
       need(len)
       Vector.fill(len)(read())
     }
 
-    private def map(len: Int): Map[String, Any] = {
+    private def map(len: Int): Map[String, Any] = descend {
       if (len > 0) need(len) // ≥1 byte per key alone
       val b = Map.newBuilder[String, Any]
       var i = 0

@@ -34,8 +34,13 @@ object Secp256k1 {
   final case class Point(x: BigInteger, y: BigInteger)
   val G: Point = Point(gx, gy)
 
-  /** A secp256k1 public key (affine coordinates, validated on curve). */
+  /** A secp256k1 public key (affine coordinates, validated on curve).
+    * Coordinates must be REDUCED field elements: the group law compares
+    * affine x/y directly (P + (−P), doubling), so an unreduced x ≥ p
+    * aliasing a valid point would corrupt those equality checks. */
   final case class PubKey(x: BigInteger, y: BigInteger) {
+    require(x.signum >= 0 && x.compareTo(p) < 0 &&
+      y.signum >= 0 && y.compareTo(p) < 0, "coordinate out of field range")
     require(onCurve(Point(x, y)), "point is not on secp256k1")
   }
 

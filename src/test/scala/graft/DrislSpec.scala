@@ -148,4 +148,23 @@ class DrislSpec extends AnyFunSuite {
     assert(c1 == c2); assert(c1 != c3); assert(c1.startsWith("b"))
     assert(c1.length == 59) // b + ceil(36*8/5)
   }
+
+  test("decoder rejects hostile input: truncation, forged lengths, deep nesting") {
+    def bad(bytes: Array[Byte]): Unit = {
+      val e = intercept[IllegalArgumentException](Drisl.decode(bytes))
+      assert(e.getMessage != null)
+    }
+    // truncated byte string: 5 claimed, 2 present — must FAIL, not decode
+    // with fabricated zero padding (Arrays.copyOfRange pads past the end)
+    bad(Array[Byte](0x45, 1, 2))
+    // forged 2 GB length in a 6-byte buffer — must fail before allocating
+    bad(Array[Byte](0x5a.toByte, 0x7f, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0))
+    // array claiming 2^31-ish elements with no payload
+    bad(Array[Byte](0x9a.toByte, 0x7f, 0xff.toByte, 0xff.toByte, 0xff.toByte))
+    // 1000 nested single-element arrays: depth cap, not a StackOverflowError
+    bad(Array.fill[Byte](1000)(0x81.toByte) :+ 0x01.toByte)
+    // the valid shallow form still decodes
+    assert(Drisl.decode(Array[Byte](0x81.toByte, 0x01)) ==
+      DArray(Vector(DInt(1))))
+  }
 }

@@ -86,4 +86,14 @@ class MsgpackSpec extends AnyFunSuite {
       Msgpack.decode(Array[Byte](0xd4.toByte, 0x01, 0x00))
     }
   }
+
+  test("nesting cap: 1000 nested arrays fail cleanly, shallow ones pass") {
+    // 0x91 = fixarray(1): a packet of repeated heads would otherwise
+    // recurse once per byte and overflow the stack (an Error, which the
+    // transport's Exception recovery cannot catch)
+    intercept[IllegalArgumentException] {
+      Msgpack.decode(Array.fill[Byte](1000)(0x91.toByte) :+ 0x01.toByte)
+    }
+    assert(Msgpack.decode(Array[Byte](0x91.toByte, 0x05)) == Vector(5L))
+  }
 }

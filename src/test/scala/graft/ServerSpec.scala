@@ -502,4 +502,13 @@ class ServerSpec extends AnyFunSuite {
     val r = post("/module/upload", Map("module" -> Map("init_sql" -> big)))
     assert(r.get("err").exists(_.toString.contains("maximum size")), r.toString)
   }
+
+  test("json parser caps container nesting (no stack overflow on [[[…)") {
+    val hostile = "[" * 100000 + "]" * 100000
+    val e = intercept[IllegalArgumentException](graft.server.Json.parse(hostile))
+    assert(e.getMessage.contains("nesting"))
+    // shallow documents still parse
+    assert(graft.server.Json.parse("[[[1]]]") ==
+      Vector(Vector(Vector(1L))))
+  }
 }
