@@ -295,6 +295,41 @@ object Analytics {
            |FROM zk GROUP BY 1 ORDER BY zbucket""".stripMargin
       }),
 
+    // ---- event-transition matrix (Markov "paths" primitive) ----
+    // For each user's time-ordered event stream, count (from → to)
+    // adjacent transitions corpus-wide and report each row's share of
+    // its from-state (single division of exact counts). One user_id
+    // shuffle for the lag window + one bounded aggregate (|types|²
+    // cells); ties on (ts, event_id) are ordered by the unique event_id
+    // so both engines see the same adjacency.
+    "q_events_transitions" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val t2 = t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        t2.withColumn("from_total",
+            sum(col("n")).over(Window.partitionBy(col("from_type"))))
+          .select(col("from_type"), col("to_type"), col("n"),
+            (col("n").cast("double") / col("from_total").cast("double")).as("share"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH seq AS (
+             |  SELECT event_type AS from_type,
+             |    lead(event_type, 1) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |m AS (SELECT from_type, to_type, count(*) AS n FROM seq
+             |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_type, to_type, n,
+             |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS share
+             |FROM m ORDER BY from_type, to_type""".stripMargin)),
+
     // ---- weighted PageRank over the nation trade graph, exact ----
     // Iterative graph computation as repeated join+aggregate — the BSP
     // shape GraphX/Pregel lowers to, expressed so Catalyst plans each

@@ -97,6 +97,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("transitions: per-from shares sum to 1 and counts reconcile " +
+    "with the event total") {
+    val rows = run("q_events_transitions").map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (from, rs) =>
+      val total = rs.map(_._4).sum
+      assert(math.abs(total - 1.0) < 1e-9, s"$from shares sum to $total")
+    }
+    // every event except each user's last contributes one transition
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val nUsers = ev.select("user_id").distinct().count()
+    val nEvents = ev.count()
+    assert(rows.map(_._3).sum == nEvents - nUsers)
+  }
+
   test("pagerank: probability mass conserves up to floor leakage and " +
     "every node keeps at least the teleport mass") {
     val rows = run("q_graph_pagerank").map(r => (r.getLong(0), r.getLong(1)))
