@@ -295,6 +295,42 @@ object Analytics {
            |FROM zk GROUP BY 1 ORDER BY zbucket""".stripMargin
       }),
 
+    // ---- time-decayed engagement scoring, exact ----
+    // Recency weighting without a single float: age buckets by 7-day
+    // half-life from the corpus max timestamp (a deterministic anchor —
+    // wall clock would unpin the oracle), and the decay is an integer
+    // right-shift of exact cents: weight halves per bucket, sums are
+    // BIGINT, order-independent. One map pass + one user_id aggregate.
+    "q_events_decay" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            floor(col("value") * 100).cast("long").as("cents"))
+        val maxUs = ev.agg(max(col("us"))).head().getLong(0)
+        val weekUs = 7L * 86400L * 1000000L
+        ev.select(col("user_id"),
+            col("cents"), ((lit(maxUs) - col("us")) / weekUs).cast("long").as("age_w"))
+          .select(col("user_id"),
+            expr("shiftright(cents, CAST(age_w AS INT))").as("dec"), col("cents"))
+          .groupBy("user_id")
+          .agg(sum(col("dec")).as("decayed_cents"),
+            sum(col("cents")).as("raw_cents"), count(lit(1)).as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(ts) AS us,
+             |    CAST(floor(value * 100) AS BIGINT) AS cents
+             |  FROM events),
+             |aged AS (
+             |  SELECT user_id, cents,
+             |    ((SELECT max(us) FROM ev) - us) // 604800000000 AS age_w
+             |  FROM ev)
+             |SELECT user_id,
+             |  CAST(sum(cents >> age_w) AS BIGINT) AS decayed_cents,
+             |  CAST(sum(cents) AS BIGINT) AS raw_cents,
+             |  count(*) AS n_events
+             |FROM aged GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // ---- event-transition matrix (Markov "paths" primitive) ----
     // For each user's time-ordered event stream, count (from → to)
     // adjacent transitions corpus-wide and report each row's share of

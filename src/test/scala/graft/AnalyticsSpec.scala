@@ -97,6 +97,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("decay: decayed score never exceeds raw and event counts reconcile") {
+    val rows = run("q_events_decay").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, dec, raw, n) =>
+      assert(n > 0)
+      assert(dec <= raw, s"user $u: decayed $dec exceeds raw $raw")
+      assert(dec >= (raw >> 10), s"user $u: decay beyond the possible bucket range")
+    }
+    val nEvents = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(rows.map(_._4).sum == nEvents)
+  }
+
   test("transitions: per-from shares sum to 1 and counts reconcile " +
     "with the event total") {
     val rows = run("q_events_transitions").map(r =>
