@@ -454,6 +454,63 @@ object Relational {
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
     // ---- set op: INTERSECT ----
+    // ---- set ops: ALL variants (duplicate-preserving bag semantics) ----
+    "q_setop_all" -> Q(
+      (s, dir) => {
+        val a = t(s, dir, "lineitem").select(col("l_suppkey").as("k"))
+        val b = t(s, dir, "orders").select((col("o_custkey") % 100).as("k"))
+        a.intersectAll(b).groupBy("k").agg(count(lit(1)).as("n_inter"))
+          .join(a.exceptAll(b).groupBy("k").agg(count(lit(1)).as("n_except")),
+            Seq("k"), "full_outer")
+          .select(col("k"), coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+            coalesce(col("n_except"), lit(0L)).as("n_except"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH a AS (SELECT l_suppkey AS k FROM lineitem),
+             |b AS (SELECT o_custkey % 100 AS k FROM orders),
+             |i AS (SELECT k, count(*) AS n_inter FROM (
+             |        SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY 1),
+             |e AS (SELECT k, count(*) AS n_except FROM (
+             |        SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY 1)
+             |SELECT k, coalesce(n_inter, 0) AS n_inter,
+             |  coalesce(n_except, 0) AS n_except
+             |FROM i FULL JOIN e USING (k) ORDER BY k""".stripMargin)),
+
+    // ---- TPC-H Q3 shape: shipping-priority flagship (3-table join →
+    // grouped revenue → top-10). The classic OLAP plan: both filters
+    // push to their scans, customer broadcasts, revenue aggregates
+    // partially, and the top-10 compiles to TakeOrderedAndProject ----
+    "q_tpch_q3" -> Q(
+      (s, dir) => {
+        val cut = "1996-06-30"
+        val c = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") < lit(cut).cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        val l = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") > lit(cut).cast("timestamp"))
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(dbl(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(10, 2)) -
+            dec(col("l_discount"))))).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey, o_orderdate,
+              |  CAST(sum(${sqlDec("l_extendedprice")} *
+              |       (CAST(1 AS DECIMAL(10,2)) - ${sqlDec("l_discount")})) AS DOUBLE) AS revenue
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |WHERE c_mktsegment = 'BUILDING'
+              |  AND o_orderdate < TIMESTAMP '1996-06-30'
+              |  AND l_shipdate > TIMESTAMP '1996-06-30'
+              |GROUP BY l_orderkey, o_orderdate
+              |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
     "q_setop_intersect" -> Q(
       (s, dir) =>
         t(s, dir, "customer").select(col("c_custkey").as("k"))

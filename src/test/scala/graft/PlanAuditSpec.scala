@@ -133,6 +133,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"range window not partitioned by user_id:\n$plan")
   }
 
+  test("tpch q3 flagship: filters pushed, customer broadcast, top-10 as " +
+    "TakeOrderedAndProject") {
+    val plan = physical("q_tpch_q3")
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast dim join:\n$plan")
+    assert("PushedFilters: \\[[^\\]]".r.findAllIn(plan).size >= 2,
+      s"date/segment filters not pushed:\n$plan")
+    assert(!plan.contains("l_comment") && !plan.contains("o_orderpriority"),
+      "q3 scans unused columns")
+  }
+
   test("idx range scans prune by parquet min/max stats") {
     // rawGetEvents filters land in the scan as pushed gte/lte on idx
     val store = new graft.stream.StreamStore(spark,
