@@ -33,5 +33,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("sorted_intersect_count",
       e => VectorExpressions.SortedIntersectCount(e(0), e(1)))
     inject("cosine_sim", e => VectorExpressions.CosineSim(e(0), e(1)))
+    ext.injectFunction((
+      FunctionIdentifier("md5_60"),
+      new ExpressionInfo("graft.functions.VectorExpressions", "md5_60"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "md5_60 takes 1 argument")
+        VectorExpressions.Md5Prefix60(exprs.head)
+      }))
   }
 }

@@ -27,5 +27,9 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(2) == 0L)
     assert(s2.sql("SELECT sorted_intersect_count(array(1L,2L), array(2L,3L))")
       .head().getLong(0) == 1L)
+    assert(s2.sql(
+      """SELECT md5_60('abc') =
+        |  CAST(conv(substring(md5('abc'), 1, 15), 16, 10) AS BIGINT)""".stripMargin)
+      .head().getBoolean(0))
   }
 }
