@@ -467,6 +467,12 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
 
   handle("/stream/subscribe_events") { (c, args) =>
     val id = str(args, "id")
+    // an untrusted caller with no DID could only mint an orphan: requireSub
+    // binds poll/push/unsubscribe to the subscribing identity, so a did-less
+    // subscription would be uncollectable until the idle TTL — reject the
+    // subscribe instead of pinning dead buffers
+    if (!c.trusted && c.did.isEmpty)
+      throw new LeafAuthException("subscriptions require an authenticated identity")
     openExisting(id)
     evictIdleSubs()
     val engine = engines.synchronized(
