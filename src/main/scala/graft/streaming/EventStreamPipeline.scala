@@ -107,6 +107,23 @@ object EventStreamPipeline {
       .drop("__graft_band")
   }
 
+  /** Stream-stream interval join: correlate two live event streams on a
+    * key within a bounded event-time interval (right event lands within
+    * [left.ts, left.ts + horizon]). BOTH sides carry watermarks, and the
+    * time-bound join condition lets the state store retire rows once the
+    * watermark passes their joinable horizon — the textbook
+    * click-after-view correlation whose state is bounded by the horizon,
+    * never the stream length. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      horizon: String, watermark: String): DataFrame = {
+    val l = left.withWatermark("lts", watermark)
+    val r = right.withWatermark("rts", watermark)
+    l.join(r,
+      col(key) === col(s"r_$key") &&
+        col("rts") >= col("lts") &&
+        col("rts") <= col("lts") + expr(s"INTERVAL $horizon"))
+  }
+
   /** Streaming distinct-count sketch: per-(event-time window, bucket)
     * HLL max-rho state via plain incremental aggregation — the streaming
     * twin of the batch `q_sketch_merge` gate, same 60-bit md5 hash, same

@@ -280,6 +280,49 @@ class StreamingSpec extends AnyFunSuite {
       (60L, "click", 1L, 1.0), (60L, "view", 2L, 2.0)))
   }
 
+  test("stream-stream interval join correlates within the horizon only") {
+    val h = store.open("did:test:ssjoin")
+    h.setModule(module)
+    // views at t=0,100,300; clicks at t=30,130,1000 — with a 60s horizon
+    // the first two correlate, the stray click (1000) matches nothing.
+    // BASE shifts everything off epoch 0: the initial watermark is epoch
+    // 0, and an event AT the watermark is already late
+    val BASE = 1000000L
+    val evs =
+      Seq(("view", BASE + 0L), ("view", BASE + 100L), ("view", BASE + 300L),
+        ("click", BASE + 30L), ("click", BASE + 130L), ("click", BASE + 1000L))
+    h.addEvents(evs.map { case (t, sec) =>
+      IncomingEvent("u", Drisl.encode(obj(
+        "type" -> text(t), "value" -> DFloat(1.0), "sec" -> int(sec))))
+    })
+
+    def side(etype: String, tsName: String) =
+      EventStreamPipeline.readLog(spark, store, "did:test:ssjoin")
+        .select(
+          expr("drisl_extract(payload, '.type')").as("etype"),
+          col("user"),
+          timestamp_seconds(expr("drisl_extract_long(payload, '.sec')")).as(tsName))
+        .filter(col("etype") === etype)
+
+    val joined = EventStreamPipeline.intervalJoin(
+        side("view", "lts").select(col("user"), col("lts")),
+        side("click", "rts").select(col("user").as("r_user"), col("rts")),
+        "user", "60 SECONDS", "10 seconds")
+      .select(col("lts").cast("long").as("v"), col("rts").cast("long").as("c"))
+
+    val q = joined.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .format("memory")
+      .queryName("ssjoin_sink")
+      .start()
+    q.awaitTermination()
+    val got = spark.table("ssjoin_sink").collect()
+      .map(r => (r.getLong(0) - BASE, r.getLong(1) - BASE)).toSet
+    assert(got == Set((0L, 30L), (100L, 130L)),
+      s"interval join produced $got")
+  }
+
   test("streaming distinct sketch equals the batch fold over the same rows") {
     val h = store.open("did:test:sketch")
     h.setModule(module)
