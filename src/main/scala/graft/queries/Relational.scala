@@ -511,6 +511,51 @@ object Relational {
               |GROUP BY l_orderkey, o_orderdate
               |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
 
+    // ---- TPC-H Q5 shape: local-supplier volume (6-table join graph).
+    // The join-order stress gate: two tiny dims broadcast through
+    // nation/region, customer and supplier hash-join the fact pipeline,
+    // and the same-nation predicate (c_nationkey = s_nationkey) prunes
+    // cross-nation pairs inside the join, not in a post-filter ----
+    "q_tpch_q5" -> Q(
+      (s, dir) => {
+        val lo = "1996-01-01"; val hi = "1997-01-01"
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+            col("o_orderdate") < lit(hi).cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val l = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            col("l_extendedprice"), col("l_discount"))
+        val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+        val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+          .select(col("r_regionkey"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(dbl(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(10, 2)) -
+            dec(col("l_discount"))))).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some(s"""SELECT n_name,
+              |  CAST(sum(${sqlDec("l_extendedprice")} *
+              |       (CAST(1 AS DECIMAL(10,2)) - ${sqlDec("l_discount")})) AS DOUBLE) AS revenue
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              |JOIN nation ON s_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |WHERE r_name = 'ASIA'
+              |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+              |  AND o_orderdate < TIMESTAMP '1997-01-01'
+              |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
+
     "q_setop_intersect" -> Q(
       (s, dir) =>
         t(s, dir, "customer").select(col("c_custkey").as("k"))
