@@ -201,6 +201,41 @@ object Pipeline {
              |  FROM documents)
              |WHERE rk <= 10 ORDER BY source, rk""".stripMargin)),
 
+    // ---- training-mix resampling: per-language integer upsampling ----
+    // The data-mixing step of a training run: low-resource/high-value
+    // slices repeat an integer number of times (en×3, de×2, rest ×1),
+    // each copy with a STABLE derived id (doc_id·10 + copy) so reruns and
+    // downstream shuffles see identical rows — no RNG, map-side explode,
+    // output volume = Σ weights. The gate reports per-language doc/copy
+    // counts plus the id range as evidence of stable assignment.
+    "q_sample_mixture" -> Q(
+      (s, dir) => {
+        val rep = when(col("lang") === "en", 3)
+          .when(col("lang") === "de", 2).otherwise(1)
+        docs(s, dir)
+          .select(col("doc_id"), col("lang"), rep.as("rep"))
+          .select(col("doc_id"), col("lang"),
+            explode(sequence(lit(1), col("rep"))).as("copy"))
+          .select(col("lang"), col("doc_id"),
+            (col("doc_id") * 10 + col("copy")).as("sample_id"))
+          .groupBy("lang")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_copies"),
+            min(col("sample_id")).as("min_sid"),
+            max(col("sample_id")).as("max_sid"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH m AS (
+             |  SELECT lang, doc_id,
+             |    doc_id * 10 + unnest(generate_series(1,
+             |      CASE WHEN lang = 'en' THEN 3 WHEN lang = 'de' THEN 2
+             |           ELSE 1 END)) AS sample_id
+             |  FROM documents)
+             |SELECT lang, count(DISTINCT doc_id) AS n_docs,
+             |  count(*) AS n_copies,
+             |  min(sample_id) AS min_sid, max(sample_id) AS max_sid
+             |FROM m GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // ---- context chunking: 200-char windows, 50-char overlap ----
     // The RAG/training prep shape: explode each document into fixed-size
     // overlapping chunks with stable ids. Output carries the chunk md5
