@@ -455,12 +455,20 @@ object Pipeline {
         val quality = withWords.join(topBg, "doc_id")
           .filter(col("top_bg") <= 8)
           .select(col("doc_id"), col("t"))
-        // stage 2: canonical dedup on the 64-char prefix (longest wins)
+        // stage 2: canonical dedup on the 64-char prefix (longest wins).
+        // Persisted: both the decontamination gram stream and the final
+        // survivor pipeline read it — unpinned, stages 1-2 (including
+        // the bigram explode) run twice. Doc-level rows, so the cache is
+        // O(docs), not O(tokens); previous run's pin swept on re-entry.
         val w = Window.partitionBy(md5(substring(col("t"), 1, 64)))
           .orderBy(length(col("t")).desc, col("doc_id"))
+        funnelCaches.remove((s, dir)).foreach(_.unpersist(false))
         val deduped = quality
           .withColumn("canon", first(col("doc_id")).over(w))
           .filter(col("doc_id") === col("canon"))
+          .select(col("doc_id"), col("t"))
+          .persist()
+        funnelCaches((s, dir)) = deduped
         // stage 3: decontamination — drop docs sharing a 20-gram with the
         // eval slice (doc_id % 97 == 0); eval grams are DISTINCT + tiny
         val evalG = d.filter(col("doc_id") % 97 === 0)
@@ -533,4 +541,8 @@ object Pipeline {
              |       min(doc_id) AS min_id, max(doc_id) AS max_id
              |FROM assigned GROUP BY split ORDER BY split""".stripMargin))
   )
+
+  // previous invocation's persisted funnel survivors, swept on re-entry
+  private val funnelCaches = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
 }
