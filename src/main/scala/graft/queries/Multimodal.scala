@@ -81,6 +81,28 @@ object Multimodal {
 
   val all: Map[String, Q] = Map(
 
+    // ---- byte-level media stats: the ORACLE-CHECKED member of the
+    // multimodal family. Payload sizes/grouping are pure byte arithmetic
+    // both engines express (octet_length over the same utf-8 encoding),
+    // so unlike the codec-stub gates this one hash-checks end to end —
+    // it pins the media mapping (id/fmt/payload) the rows-only gates
+    // build on ----
+    "q_mm_stats" -> Q(
+      (s, dir) => media(s, dir)
+        .groupBy(col("fmt"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("data"))).cast("long").as("total_bytes"),
+          max(length(col("data"))).cast("long").as("max_bytes"),
+          min(col("media_id")).as("first_id"))
+        .orderBy(col("fmt")),
+      Some("""SELECT CASE CAST(doc_id % 3 AS INT)
+             |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS fmt,
+             |  count(*) AS n,
+             |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+             |  CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+             |  min(doc_id) AS first_id
+             |FROM documents GROUP BY 1 ORDER BY fmt""".stripMargin)),
+
     // ---- decode: per-partition batch metadata extraction (STUB codec) ----
     "q_mm_decode" -> Q(
       (s, dir) => {
