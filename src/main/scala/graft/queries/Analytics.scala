@@ -295,6 +295,53 @@ object Analytics {
            |FROM zk GROUP BY 1 ORDER BY zbucket""".stripMargin
       }),
 
+    // ---- winsorization: robust p5/p95 clipping, exact ----
+    // Feature clipping for training: per event type, values clamp to the
+    // [p5, p95] band. The percentile is percentile_disc semantics
+    // computed by INTEGER rank — the value at sorted position
+    // ceil(q·n) — so ties and engine sort order cannot move it, and the
+    // clamped sums are exact cents. One shuffle for the rank window,
+    // one bounded threshold join.
+    "q_events_winsorize" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+        val ranked = t(s, dir, "events")
+          .select(col("event_type"), floor(col("value") * 100).cast("long").as("cents"))
+          .withColumn("rn", row_number().over(w.orderBy(col("cents"))))
+          .withColumn("n", count(lit(1)).over(w))
+        val thresholds = ranked
+          .filter(col("rn") === expr("(n * 5 + 99) DIV 100") ||
+            col("rn") === expr("(n * 95 + 99) DIV 100"))
+          .groupBy("event_type")
+          .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+        ranked.join(thresholds, "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("cents") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+            sum(when(col("cents") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+            min(col("lo")).as("p5_cents"), min(col("hi")).as("p95_cents"),
+            sum(least(greatest(col("cents"), col("lo")), col("hi"))).as("sum_clipped"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH ranked AS (
+             |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM events),
+             |th AS (
+             |  SELECT event_type, min(cents) AS lo, max(cents) AS hi
+             |  FROM ranked
+             |  WHERE rn = (n * 5 + 99) // 100 OR rn = (n * 95 + 99) // 100
+             |  GROUP BY 1)
+             |SELECT event_type, count(*) AS n,
+             |  CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+             |  CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+             |  min(lo) AS p5_cents, min(hi) AS p95_cents,
+             |  CAST(sum(least(greatest(cents, lo), hi)) AS BIGINT) AS sum_clipped
+             |FROM ranked JOIN th USING (event_type)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // ---- time-decayed engagement scoring, exact ----
     // Recency weighting without a single float: age buckets by 7-day
     // half-life from the corpus max timestamp (a deterministic anchor —
