@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral invariants of the sampling/robust-stats/flagship gates —
+  * the oracle proves cross-engine equality; these pin the semantics.
+  */
+class GatesSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, dir).collect()
+
+  test("domain quota: never more than 10 docs per source, ranks dense") {
+    val rows = run("q_sample_domain_quota").map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      assert(rs.length <= 10, s"source $src kept ${rs.length} docs")
+      assert(rs.map(_._3).sorted.sameElements(1L to rs.length),
+        s"source $src ranks not dense")
+    }
+    // determinism: the same survivors on a rerun
+    val again = run("q_sample_domain_quota").map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("mixture: copies equal docs x weight per language") {
+    val rows = run("q_sample_mixture").map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, nDocs, nCopies) =>
+      val w = lang match { case "en" => 3L; case "de" => 2L; case _ => 1L }
+      assert(nCopies == nDocs * w, s"$lang: $nCopies != $nDocs x $w")
+    }
+  }
+
+  test("winsorize: thresholds ordered, clip counts bounded by the tails") {
+    val rows = run("q_events_winsorize").map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (ty, n, lo, hi, p5, p95) =>
+      assert(p5 <= p95, s"$ty: p5 $p5 > p95 $p95")
+      // strictly-below-p5 rows number < ceil(5n/100); same above p95
+      assert(lo < (n * 5 + 99) / 100, s"$ty: clip_lo $lo too large for n=$n")
+      assert(hi <= n - (n * 95 + 99) / 100, s"$ty: clip_hi $hi too large")
+    }
+  }
+
+  test("tpch q3: at most 10 rows, revenue non-increasing") {
+    val rows = run("q_tpch_q3").map(r => (r.getLong(0), r.getDouble(2)))
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val revs = rows.map(_._2)
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    assert(revs.forall(_ > 0))
+  }
+}
