@@ -56,10 +56,19 @@ object Pipeline {
     "q_dedup_cluster" -> Q(
       (s, dir) => {
         val c = Dedup.corpus(s, dir)
+        // star edges via groupBy on the content hash, NOT a window over
+        // the corpus: a window partitioned by md5(text) shuffles FULL
+        // rows (text included) to line up each doc with its group min —
+        // the aggregate shape ships only (hash, id) pairs through the
+        // exchange and partial aggregation collapses groups map-side.
+        // Dup groups are small by nature, so collect_set stays tiny.
         def starEdges(key: org.apache.spark.sql.Column) = c
-          .withColumn("m", min(col("doc_id")).over(Window.partitionBy(key)))
-          .filter(col("doc_id") =!= col("m"))
-          .select(col("m").as("a"), col("doc_id").as("b"))
+          .select(key.as("k"), col("doc_id"))
+          .groupBy(col("k"))
+          .agg(min(col("doc_id")).as("m"), collect_set(col("doc_id")).as("ids"))
+          .select(col("m"), explode(col("ids")).as("b"))
+          .filter(col("b") =!= col("m"))
+          .select(col("m").as("a"), col("b"))
         val edges = starEdges(md5(col("text")))
           .union(starEdges(md5(substring(trim(col("text")), 1, 64))))
           .distinct().persist()
@@ -410,11 +419,14 @@ object Pipeline {
     // over the group key — a single shuffle, O(1) state per group.
     "q_dedup_canonical" -> Q(
       (s, dir) => {
+        // the window needs only (group key, length, id) — computing both
+        // at scan time keeps the text OUT of the group-key shuffle
         val c = Dedup.corpus(s, dir)
-          .select(col("doc_id"), col("text"),
-            md5(substring(trim(col("text")), 1, 64)).as("gk"))
+          .select(col("doc_id"),
+            md5(substring(trim(col("text")), 1, 64)).as("gk"),
+            length(col("text")).as("len"))
         val w = Window.partitionBy(col("gk"))
-          .orderBy(length(col("text")).desc, col("doc_id"))
+          .orderBy(col("len").desc, col("doc_id"))
         c.withColumn("canonical_id", first(col("doc_id")).over(w))
           .select(col("doc_id"), col("canonical_id"),
             (col("doc_id") === col("canonical_id")).as("keep"))
