@@ -295,6 +295,37 @@ object Analytics {
            |FROM zk GROUP BY 1 ORDER BY zbucket""".stripMargin
       }),
 
+    // ---- DAU / WAU / stickiness, exact ----
+    // The engagement staple: per calendar day, distinct active users
+    // (DAU), the distinct users of the trailing 7-day window ending that
+    // day (WAU), and DAU/WAU stickiness as one double division of exact
+    // counts. The WAU join is day×7 fan-out over the ALREADY-aggregated
+    // (day, user) pairs — the event volume never re-shuffles.
+    "q_events_dau_wau" -> Q(
+      (s, dir) => {
+        val du = t(s, dir, "events")
+          .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+        val dau = du.groupBy("d").agg(countDistinct(col("user_id")).as("dau"))
+        val wau = du.select(explode(sequence(lit(0), lit(6))).as("off"),
+            col("d"), col("user_id"))
+          .select(date_add(col("d"), col("off")).as("d"), col("user_id"))
+          .groupBy("d").agg(countDistinct(col("user_id")).as("wau"))
+        dau.join(wau, "d")
+          .select(col("d"), col("dau"), col("wau"),
+            (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+          .orderBy(col("d"))
+      },
+      Some("""WITH du AS (
+             |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+             |dau AS (SELECT d, count(DISTINCT user_id) AS dau FROM du GROUP BY 1),
+             |wau AS (
+             |  SELECT d + to_days(CAST(off AS INTEGER)) AS d, count(DISTINCT user_id) AS wau
+             |  FROM (SELECT unnest(generate_series(0, 6)) AS off, d, user_id FROM du)
+             |  GROUP BY 1)
+             |SELECT d, dau, wau,
+             |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+             |FROM dau JOIN wau USING (d) ORDER BY d""".stripMargin)),
+
     // ---- winsorization: robust p5/p95 clipping, exact ----
     // Feature clipping for training: per event type, values clamp to the
     // [p5, p95] band. The percentile is percentile_disc semantics
