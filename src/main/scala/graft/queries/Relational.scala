@@ -491,8 +491,12 @@ object Relational {
         val l = t(s, dir, "lineitem")
           .filter(col("l_shipdate") > lit(cut).cast("timestamp"))
           .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        // customer is NOT hint-broadcast: it is a real dimension that
+        // grows with scale — the planner/AQE picks broadcast when the
+        // filtered side is actually small (round-1 lesson: pin only
+        // bounded dims)
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"))
           .agg(dbl(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(10, 2)) -
             dec(col("l_discount"))))).as("revenue"))
@@ -531,9 +535,12 @@ object Relational {
         val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
         val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
           .select(col("r_regionkey"))
+        // only nation/region are pinned broadcasts (bounded forever);
+        // supplier and customer scale with the data, so their join
+        // strategy stays planner-chosen
         l.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(c, col("o_custkey") === col("c_custkey"))
-          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          .join(sup, col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
