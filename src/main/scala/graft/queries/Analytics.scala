@@ -466,8 +466,10 @@ object Analytics {
         val supp = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
         val edges = li
           .join(ords, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          // customer/supplier grow with scale — join strategy stays
+          // planner-chosen (AQE broadcasts them at test SF on its own)
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("c_nationkey").cast("long").as("src"),
             col("s_nationkey").cast("long").as("dst"))
           .agg(count(lit(1)).as("w"))
