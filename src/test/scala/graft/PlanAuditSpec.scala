@@ -144,6 +144,30 @@ class PlanAuditSpec extends AnyFunSuite {
       "q3 scans unused columns")
   }
 
+  test("broadcast hints appear ONLY on provably bounded sides") {
+    // every hinted side must be bounded by construction, independent of
+    // data volume: nation/region (fixed), single/“few”-row stats frames,
+    // the ≤64K bloom bit set, O(cells·d) centroid tables, the bounded
+    // query batch. A new hint on a scale-growing side (customer,
+    // supplier, corpus text, vocabulary…) fails this audit by showing
+    // up as an unexpected name.
+    val expected = Set(
+      "q_join_multi",        // nation + region
+      "q_group_concat",      // region
+      "q_tpch_q5",           // nation + region
+      "q_quantile_sketch",   // 1-row bounds + 3-row percentiles
+      "q_above_avg",         // 1-row global average
+      "q_events_anomaly",    // per-type stats (bounded by |types|)
+      "q_decontaminate_bloom", // ≤64K set-bit rows
+      "q_knn_brute", "q_knn_ivf", "q_knn_ivf2", "q_knn_lsh", // query vec + cells
+      "q_knn_join"           // bounded query batch
+    )
+    val actual = HintAuditHelper.hinted(spark, dir)
+    assert(actual == expected,
+      s"hinted-query set drifted:\n  unexpected: ${(actual -- expected).toSeq.sorted}" +
+        s"\n  missing: ${(expected -- actual).toSeq.sorted}")
+  }
+
   test("idx range scans prune by parquet min/max stats") {
     // rawGetEvents filters land in the scan as pushed gte/lte on idx
     val store = new graft.stream.StreamStore(spark,
