@@ -79,6 +79,58 @@ object Temporal {
              |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
              |ORDER BY p.event_id""".stripMargin)),
 
+    // ---- forward as-of join: EARLIEST view at-or-after each purchase ----
+    // The mirror of q_asof_join (which DuckDB's native ASOF only does
+    // backward): same union + one-pass window shape, frame flipped to
+    // [current, ∞) and first() instead of last(). Views sort after
+    // purchases at equal ts, so the pick is at-or-after inclusive. Two
+    // first() calls go non-null on exactly the same rows, so they read
+    // the same view — no struct needed.
+    "q_asof_forward" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir)
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts_us"))
+          .agg(min(col("event_id")).as("view_id"))
+          .select(col("user_id"), col("ts_us"), col("view_id"),
+            lit(1).as("tag"), lit(null).cast("long").as("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us"),
+            lit(null).cast("long").as("view_id"), lit(0).as("tag"), col("event_id"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("tag"), col("view_id"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        views.unionAll(purchases)
+          .withColumn("next_ts",
+            first(when(col("tag") === 1, col("ts_us")), ignoreNulls = true).over(w))
+          .withColumn("next_id",
+            first(when(col("tag") === 1, col("view_id")), ignoreNulls = true).over(w))
+          .filter(col("tag") === 0)
+          .select(col("event_id"), col("user_id"),
+            col("next_id").as("view_id"), col("next_ts").as("view_ts_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+             |views AS (
+             |  SELECT user_id, ts_us, min(event_id) AS view_id
+             |  FROM ev WHERE event_type = 'view' GROUP BY user_id, ts_us),
+             |u AS (
+             |  SELECT user_id, ts_us, view_id, 1 AS tag, NULL AS event_id FROM views
+             |  UNION ALL
+             |  SELECT user_id, ts_us, NULL, 0, event_id
+             |  FROM ev WHERE event_type = 'purchase'),
+             |m AS (
+             |  SELECT user_id, ts_us, tag, event_id,
+             |    first_value(CASE WHEN tag = 1 THEN ts_us END IGNORE NULLS) OVER w AS next_ts,
+             |    first_value(CASE WHEN tag = 1 THEN view_id END IGNORE NULLS) OVER w AS next_id
+             |  FROM u
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, tag, view_id
+             |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |SELECT CAST(event_id AS BIGINT) AS event_id, user_id,
+             |  CAST(next_id AS BIGINT) AS view_id, next_ts AS view_ts_us
+             |FROM m WHERE tag = 0 ORDER BY event_id""".stripMargin)),
+
     // ---- banded range join: purchase/error pairs within +-6h per user ----
     "q_range_join" -> Q(
       (s, dir) => {
