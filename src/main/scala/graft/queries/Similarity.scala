@@ -422,6 +422,68 @@ object Similarity {
     // (transform/aggregate over the array — no explode, no shuffle); the
     // gate reports integer digests (plain, L1, position-weighted sums), so
     // the check is float-free. floor(x+0.5) is the rounding both engines
+    // ---- embedding outlier detection, exact ----
+    // Quality assurance for an embedding corpus: flag vectors whose
+    // squared distance to their LABEL centroid exceeds 2× the label
+    // mean. All comparisons cross-multiply to integers over the
+    // floor(x·64+½) quantization — d²(v)·n² = Σ_i (qᵢ·n − Sᵢ)² with
+    // per-label counts n and dim sums Sᵢ — so no mean is ever
+    // materialized as a float and both engines flag identical rows.
+    // Scale shape: ONE explode pass builds the bounded centroid-sum
+    // table (partial-aggregated; |labels|·d rows), which broadcasts
+    // back; the flagging pass is in-row zip_with over the broadcast
+    // arrays. Headroom: |qᵢ·n| ≤ 64·n — DECIMAL(38) is the knob past
+    // ~10⁸ rows per label.
+    "q_emb_outliers" -> Q(
+      (s, dir) => {
+        val q = emb(s, dir).select(col("vec_id"), col("label"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
+        val sums = q.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+          .groupBy(col("label"), col("i")).agg(sum(col("x")).as("s1"))
+          .groupBy(col("label"))
+          .agg(transform(sort_array(collect_list(struct(col("i"), col("s1")))),
+            p => p.getField("s1")).as("sarr"))
+        val n = q.groupBy(col("label")).agg(count(lit(1)).as("n"))
+        val d2 = q.join(broadcast(sums), "label").join(broadcast(n), "label")
+          .select(col("vec_id"), col("label"), col("n"),
+            aggregate(zip_with(col("v"), col("sarr"),
+              (x, sv) => (x * col("n") - sv) * (x * col("n") - sv)),
+              lit(0L), (acc, t) => acc + t).as("d2n2"))
+        val lblStats = d2.groupBy("label")
+          .agg(sum(col("d2n2")).as("tot"), count(lit(1)).as("cnt"))
+        d2.join(broadcast(lblStats), "label")
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("d2n2") * col("cnt") > col("tot") * 2, 1L)
+              .otherwise(0L)).as("n_outliers"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id, label,
+             |    list_transform(embedding,
+             |      x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT)) AS v
+             |  FROM embeddings),
+             |dims AS (
+             |  SELECT label, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM q),
+             |sums AS (SELECT label, i, CAST(sum(x) AS BIGINT) AS s1
+             |         FROM dims GROUP BY 1, 2),
+             |cents AS (SELECT label, list(s1 ORDER BY i) AS sarr FROM sums GROUP BY 1),
+             |nn AS (SELECT label, count(*) AS n FROM q GROUP BY 1),
+             |d2 AS (
+             |  SELECT vec_id, q.label,
+             |    CAST(list_aggregate(list_transform(generate_series(1, len(v)),
+             |      i -> (v[i] * n - sarr[i]) * (v[i] * n - sarr[i])), 'sum') AS BIGINT) AS d2n2
+             |  FROM q JOIN cents ON q.label = cents.label
+             |  JOIN nn ON q.label = nn.label),
+             |st AS (SELECT label, CAST(sum(d2n2) AS BIGINT) AS tot, count(*) AS cnt
+             |       FROM d2 GROUP BY 1)
+             |SELECT d2.label, count(*) AS n_vecs,
+             |  CAST(sum(CASE WHEN d2n2 * cnt > tot * 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_outliers
+             |FROM d2 JOIN st ON d2.label = st.label
+             |GROUP BY d2.label ORDER BY d2.label""".stripMargin)),
+
     // compute identically; float→double widening is exact, so scale and
     // products are the same IEEE doubles on both sides.
     "q_emb_quantize" -> Q(

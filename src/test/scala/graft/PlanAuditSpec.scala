@@ -160,7 +160,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_events_anomaly",    // per-type stats (bounded by |types|)
       "q_decontaminate_bloom", // ≤64K set-bit rows
       "q_knn_brute", "q_knn_ivf", "q_knn_ivf2", "q_knn_lsh", // query vec + cells
-      "q_knn_join"           // bounded query batch
+      "q_knn_join",          // bounded query batch
+      "q_emb_outliers"       // |labels|·d centroid sums + per-label stats
     )
     val actual = HintAuditHelper.hinted(spark, dir)
     assert(actual == expected,
