@@ -188,25 +188,33 @@ class StreamStore(val spark: SparkSession, val root: String,
     val cached = synchronized(Option(handles.get(id)))
     cached match {
       case Some(h) if !h.isClosed => h
-      case _ => lockFor(id).synchronized {
-        synchronized(Option(handles.get(id))) match {
-          case Some(h) if !h.isClosed => h
-          case _ =>
-            val h = new StreamHandle(this, id)
-            val evicted = synchronized {
-              handles.put(id, h)
-              val out = mutable.ListBuffer.empty[StreamHandle]
-              val it = handles.entrySet().iterator()
-              while (handles.size > maxOpenHandles && it.hasNext) {
-                out += it.next().getValue
-                it.remove()
+      case _ =>
+        // evicted handles close AFTER this stream's lock is released:
+        // close() takes the EVICTED stream's write lock, so closing
+        // while holding lockFor(id) orders two different stream locks —
+        // two concurrent opens evicting each other's streams would
+        // deadlock ABBA. Deferring the close breaks hold-and-wait.
+        var toClose: List[StreamHandle] = Nil
+        val opened = lockFor(id).synchronized {
+          synchronized(Option(handles.get(id))) match {
+            case Some(h) if !h.isClosed => h
+            case _ =>
+              val h = new StreamHandle(this, id)
+              toClose = synchronized {
+                handles.put(id, h)
+                val out = mutable.ListBuffer.empty[StreamHandle]
+                val it = handles.entrySet().iterator()
+                while (handles.size > maxOpenHandles && it.hasNext) {
+                  out += it.next().getValue
+                  it.remove()
+                }
+                out.toList
               }
-              out.toList
-            }
-            evicted.foreach(_.close())
-            h
+              h
+          }
         }
-      }
+        toClose.foreach(_.close())
+        opened
     }
   }
 
