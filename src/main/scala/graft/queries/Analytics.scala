@@ -464,15 +464,22 @@ object Analytics {
         val ords = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
         val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
         val supp = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
-        val edges = li
-          .join(ords, col("l_orderkey") === col("o_orderkey"))
-          // customer/supplier grow with scale — join strategy stays
-          // planner-chosen (AQE broadcasts them at test SF on its own)
-          .join(cust, col("o_custkey") === col("c_custkey"))
+        // pre-aggregate the fact side BEFORE the orderkey shuffle: after
+        // the (planner-chosen) supplier join, lineitem collapses to one
+        // row per (order, supplier-nation) with a count — partial
+        // aggregation runs map-side, so the wide exchange carries the
+        // aggregated rows, not every lineitem. customer/supplier joins
+        // stay hint-free (they grow with scale; AQE broadcasts at test SF)
+        val liAgg = li
           .join(supp, col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_orderkey"), col("s_nationkey"))
+          .agg(count(lit(1)).as("cnt"))
+        val edges = liAgg
+          .join(ords, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_nationkey").cast("long").as("src"),
             col("s_nationkey").cast("long").as("dst"))
-          .agg(count(lit(1)).as("w"))
+          .agg(sum(col("cnt")).as("w"))
           .persist()
         val nodes = edges.select(col("src").as("nk"))
           .unionAll(edges.select(col("dst").as("nk"))).distinct().persist()
