@@ -59,9 +59,24 @@ object ProfilePipeline {
       .select((col("vec_id") + col("r") * vecN).as("vec_id"),
         col("embedding"), col("label"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // events replicate with shifted event/user ids: per-user adjacency,
+    // per-type value distributions, and the active-day windows all keep
+    // their structure while user and event volume grow ×mult. The raw
+    // nanos LONG ts column rides through unchanged, so Tables.df's
+    // micros conversion applies to replicas exactly as to the original.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawEv = spark.read.parquet(s"$base/events.parquet")
+    val evN = rawEv.agg(max("event_id")).head.getLong(0) + 1
+    val userN = rawEv.agg(max("user_id")).head.getLong(0) + 1
+    rawEv.crossJoin(reps)
+      .select((col("event_id") + col("r") * evN).as("event_id"), col("ts"),
+        (col("user_id") + col("r") * userN).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val nd = spark.read.parquet(s"$dir/documents.parquet").count()
     val ne = spark.read.parquet(s"$dir/embeddings.parquet").count()
-    println(s"[scaleprof] corpus ×$mult: $nd documents, $ne embeddings at $dir")
+    val nv = spark.read.parquet(s"$dir/events.parquet").count()
+    println(s"[scaleprof] corpus ×$mult: $nd documents, $ne embeddings, $nv events at $dir")
 
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q_dedup_exact", "q_dedup_minhash", "q_dedup_lsh", "q_dedup_cluster",
