@@ -240,6 +240,63 @@ object Dedup {
               |SELECT doc_id, ${(0 until 32).map(j => s"(CASE WHEN s$j > 0 THEN (1::BIGINT << $j) ELSE 0 END)").mkString(" + ")} AS simhash
               |FROM folded ORDER BY doc_id""".stripMargin)),
 
+    // ---- Hamming-banded simhash join (the simhash-dedup lookup) ----
+    // q_dedup_simhash computes fingerprints; this is the LOOKUP that
+    // makes them useful: pairs within Hamming distance ≤ 3. Pigeonhole
+    // banding — the 32-bit fingerprint splits into 4 bytes, and any two
+    // hashes ≤3 bits apart must agree on ≥1 whole byte — so candidates
+    // come from an equi-join on (byte_index, byte_value) and only they
+    // pay the popcount verify. Everything is integer bit arithmetic; at
+    // scale the band join shuffles 4 rows per doc (id + two small ints),
+    // never O(N²) pairs.
+    "q_dedup_simhash_pairs" -> Q(
+      (s, dir) => {
+        val tok = corpus(s, dir)
+          .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+          .select(col("doc_id"),
+            conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("v"))
+        val bitSums = (0 until 32).map(j =>
+          sum(shiftright(col("v"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$j"))
+        val folded = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        val simhash = (0 until 32).map(j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+        val sh = folded.select(col("doc_id"), simhash.as("sh"))
+        val bands = sh.select(col("doc_id"), col("sh"),
+          explode(array((0 until 4).map(j =>
+            struct(lit(j).as("j"),
+              shiftright(col("sh"), 8 * j).bitwiseAND(lit(255L)).as("b"))): _*)).as("band"))
+          .select(col("doc_id"), col("sh"),
+            col("band.j").as("j"), col("band.b").as("b"))
+        bands.as("x").join(bands.as("y"),
+            col("x.j") === col("y.j") && col("x.b") === col("y.b") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b_id"),
+            bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long").as("dist"))
+          .distinct()
+          .filter(col("dist") <= 3)
+          .orderBy(col("a"), col("b_id"))
+      },
+      Some(s"""WITH $corpusSql,
+              |tok AS (
+              |  SELECT doc_id, ('0x' || substr(md5(unnest(regexp_split_to_array(trim(text), '\\s+'))), 1, 8))::BIGINT AS v
+              |  FROM corpus),
+              |folded AS (
+              |  SELECT doc_id, ${(0 until 32).map(j => s"sum(((v >> $j) & 1) * 2 - 1) AS s$j").mkString(", ")}
+              |  FROM tok GROUP BY doc_id),
+              |sh AS (
+              |  SELECT doc_id, ${(0 until 32).map(j => s"(CASE WHEN s$j > 0 THEN (1::BIGINT << $j) ELSE 0 END)").mkString(" + ")} AS sh
+              |  FROM folded),
+              |bands AS (
+              |  SELECT doc_id, sh, j, (sh >> (8 * j)) & 255 AS b
+              |  FROM sh, (SELECT unnest(generate_series(0, 3)) AS j)),
+              |cand AS (
+              |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b_id,
+              |    bit_count(xor(x.sh, y.sh)) AS dist
+              |  FROM bands x JOIN bands y
+              |    ON x.j = y.j AND x.b = y.b AND x.doc_id < y.doc_id)
+              |SELECT a, b_id, CAST(dist AS BIGINT) AS dist
+              |FROM cand WHERE dist <= 3 ORDER BY a, b_id""".stripMargin)),
+
     // ---- n-gram Jaccard scoring over a bounded candidate list ----
     "q_dedup_ngram" -> Q(
       (s, dir) => {

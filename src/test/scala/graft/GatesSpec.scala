@@ -50,6 +50,24 @@ class GatesSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash pairs: clones land at distance 0, all pairs within 3 bits") {
+    val rows = run("q_dedup_simhash_pairs").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, d) =>
+      assert(a < b, s"unordered pair ($a,$b)")
+      assert(d >= 0 && d <= 3, s"pair ($a,$b) distance $d outside the band")
+    }
+    // every clone has an identical token stream — simhash distance 0
+    val pairSet = rows.map(t => (t._1, t._2, t._3)).toSet
+    val clones = rows.filter(t => t._2 == t._1 + 1000000L)
+    assert(clones.nonEmpty, "no clone pair found")
+    clones.foreach { case (a, b, d) =>
+      assert(d == 0, s"clone pair ($a,$b) at distance $d")
+    }
+    assert(pairSet.size == rows.length, "duplicate pair rows")
+  }
+
   test("tpch q3: at most 10 rows, revenue non-increasing") {
     val rows = run("q_tpch_q3").map(r => (r.getLong(0), r.getDouble(2)))
     assert(rows.length <= 10 && rows.nonEmpty)
