@@ -389,7 +389,10 @@ object Analytics {
         ev.select(col("user_id"),
             col("cents"), ((lit(maxUs) - col("us")) / weekUs).cast("long").as("age_w"))
           .select(col("user_id"),
-            expr("shiftright(cents, CAST(age_w AS INT))").as("dec"), col("cents"))
+            // Clamp the bucket: Java shifts mask the amount to 6 bits, so an
+            // unclamped age_w >= 64 would wrap (cents >> 64 == cents) while the
+            // oracle's shift does not. 63 already floors positive cents to 0.
+            expr("shiftright(cents, CAST(least(age_w, 63) AS INT))").as("dec"), col("cents"))
           .groupBy("user_id")
           .agg(sum(col("dec")).as("decayed_cents"),
             sum(col("cents")).as("raw_cents"), count(lit(1)).as("n_events"))
@@ -404,7 +407,7 @@ object Analytics {
              |    ((SELECT max(us) FROM ev) - us) // 604800000000 AS age_w
              |  FROM ev)
              |SELECT user_id,
-             |  CAST(sum(cents >> age_w) AS BIGINT) AS decayed_cents,
+             |  CAST(sum(cents >> LEAST(age_w, 63)) AS BIGINT) AS decayed_cents,
              |  CAST(sum(cents) AS BIGINT) AS raw_cents,
              |  count(*) AS n_events
              |FROM aged GROUP BY user_id ORDER BY user_id""".stripMargin)),

@@ -196,6 +196,10 @@ object Corpus {
     "q_dedup_containment" -> Q(
       (s, dir) => {
         val W = 8
+        // THREE consumers read the window pass (dup-hash aggregate,
+        // semi-join probe, per-doc n_win count) — pin it like the span
+        // gate does; (doc_id, pos, h) is fixed-width, so the pin is cheap
+        ssCaches.remove((s, dir)).foreach(_.unpersist(false))
         val tok = Dedup.corpus(s, dir)
           .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
           .filter(size(col("t")) >= W)
@@ -203,6 +207,8 @@ object Corpus {
             posexplode(transform(sequence(lit(0), size(col("t")) - W),
               i => h60(s, concat_ws(" ", slice(col("t"), i + 1, lit(W))))))
               .as(Seq("pos", "h")))
+          .persist()
+        ssCaches((s, dir)) = wins
         val dupH = wins.groupBy("h")
           .agg(countDistinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= 2).select("h")

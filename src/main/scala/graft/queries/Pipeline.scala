@@ -56,19 +56,22 @@ object Pipeline {
     "q_dedup_cluster" -> Q(
       (s, dir) => {
         val c = Dedup.corpus(s, dir)
-        // star edges via groupBy on the content hash, NOT a window over
-        // the corpus: a window partitioned by md5(text) shuffles FULL
-        // rows (text included) to line up each doc with its group min —
-        // the aggregate shape ships only (hash, id) pairs through the
-        // exchange and partial aggregation collapses groups map-side.
-        // Dup groups are small by nature, so collect_set stays tiny.
-        def starEdges(key: org.apache.spark.sql.Column) = c
-          .select(key.as("k"), col("doc_id"))
-          .groupBy(col("k"))
-          .agg(min(col("doc_id")).as("m"), collect_set(col("doc_id")).as("ids"))
-          .select(col("m"), explode(col("ids")).as("b"))
-          .filter(col("b") =!= col("m"))
-          .select(col("m").as("a"), col("b"))
+        // star edges via min-per-hash + an equi-join back, NOT a window
+        // over the corpus (a window partitioned by md5(text) shuffles
+        // FULL rows, text included) and NOT collect_set (a boilerplate
+        // string duplicated millions of times in a web crawl would
+        // buffer the whole mega-group's id array in ONE aggregation
+        // buffer). Here both shuffles carry only fixed-width (hash, id)
+        // pairs: the min aggregate collapses map-side, and the join
+        // back streams the pair side against one min row per key — a
+        // mega-group costs throughput, never per-task memory.
+        def starEdges(key: org.apache.spark.sql.Column) = {
+          val kv = c.select(key.as("k"), col("doc_id"))
+          val minPerKey = kv.groupBy(col("k")).agg(min(col("doc_id")).as("m"))
+          kv.join(minPerKey, Seq("k"))
+            .filter(col("doc_id") =!= col("m"))
+            .select(col("m").as("a"), col("doc_id").as("b"))
+        }
         val edges = starEdges(md5(col("text")))
           .union(starEdges(md5(substring(trim(col("text")), 1, 64))))
           .distinct().persist()

@@ -276,21 +276,27 @@ object Similarity {
         // ranking (and the emitted cos) is the exact fold, identical to
         // the oracle's explode+group-sum.
         val wq = Window.partitionBy(col("qid"))
-        val scored = emb(s, dir).filter(col("vec_id") % 100 =!= 0)
+        def scored = emb(s, dir).filter(col("vec_id") % 100 =!= 0)
           .crossJoin(broadcast(qs))
           .select(col("qid"), col("vec_id"), col("embedding"), col("q_emb"),
             expr("cosine_sim(embedding, q_emb)").as("dbl"))
-        // the rank-≤50 precut keeps the rank-filter shape Spark's
-        // InferWindowGroupLimit rewrites into a MAP-SIDE partial group
-        // limit, so the qid exchange carries O(queries · 50) rows per
-        // partition, never N·Q. 50 ⊇ the top-5 band unless 46+ pairs sit
-        // within 2e-9 of the 5th cosine — and exact ties rank by the
-        // same vec_id tiebreak on both sides of the gate anyway.
-        scored
+        // Pass 1 finds each query's 5th-best DOUBLE cosine: the rank-≤5
+        // filter is the shape Spark's InferWindowGroupLimit rewrites into
+        // a MAP-SIDE partial group limit, and the rows are projected to
+        // (qid, vec_id, dbl) first, so the qid exchange carries O(Q·5)
+        // fixed-width rows — never N·Q, never an embedding.
+        val d5 = scored.select(col("qid"), col("vec_id"), col("dbl"))
           .withColumn("rk_d", row_number().over(
             wq.orderBy(col("dbl").desc, col("vec_id"))))
-          .filter(col("rk_d") <= 50)
-          .withColumn("d5", min(when(col("rk_d") <= 5, col("dbl"))).over(wq))
+          .filter(col("rk_d") <= 5)
+          .groupBy("qid").agg(min(col("dbl")).as("d5"))
+        // Pass 2 re-scans and keeps EVERY row within 1e-6 of that
+        // threshold — the band is adaptive, so dense cosine ties (the
+        // near-duplicate corpus case) can never evict a true top-5 row,
+        // unlike a fixed rank-K precut. The threshold table is one row
+        // per query in the batch — it rides the same boundedness as the
+        // broadcast query batch itself.
+        scored.join(broadcast(d5), Seq("qid"))
           .filter(col("dbl") >= col("d5") - 1e-6)
           .select(col("qid"), col("vec_id"),
             Vec.cosine(col("embedding"), col("q_emb"),
@@ -416,12 +422,6 @@ object Similarity {
            |GROUP BY 1 ORDER BY cl""".stripMargin
       }),
 
-    // ---- int8 symmetric quantization: the embedding-storage op ----
-    // scale = 127 / max|x| per vector, q_i = ⌊x_i·scale + 0.5⌋ — 4× the
-    // density of float32 for ANN at 100 TB. Entirely in-row codegen
-    // (transform/aggregate over the array — no explode, no shuffle); the
-    // gate reports integer digests (plain, L1, position-weighted sums), so
-    // the check is float-free. floor(x+0.5) is the rounding both engines
     // ---- embedding outlier detection, exact ----
     // Quality assurance for an embedding corpus: flag vectors whose
     // squared distance to their LABEL centroid exceeds 2× the label
@@ -484,6 +484,12 @@ object Similarity {
              |FROM d2 JOIN st ON d2.label = st.label
              |GROUP BY d2.label ORDER BY d2.label""".stripMargin)),
 
+    // ---- int8 symmetric quantization: the embedding-storage op ----
+    // scale = 127 / max|x| per vector, q_i = ⌊x_i·scale + 0.5⌋ — 4× the
+    // density of float32 for ANN at 100 TB. Entirely in-row codegen
+    // (transform/aggregate over the array — no explode, no shuffle); the
+    // gate reports integer digests (plain, L1, position-weighted sums), so
+    // the check is float-free. floor(x+0.5) is the rounding both engines
     // compute identically; float→double widening is exact, so scale and
     // products are the same IEEE doubles on both sides.
     "q_emb_quantize" -> Q(
