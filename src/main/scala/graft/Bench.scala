@@ -1,6 +1,32 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+  /** Times every query; returns (name -> seconds) plus the names that threw.
+    * Failures are NOT swallowed into a sentinel time — a regression between
+    * correctness runs must surface as a nonzero exit, not hide as -1s in
+    * the BENCH numbers.
+    */
+  def runAll(spark: SparkSession, sfDir: String,
+             queries: Seq[(String, (SparkSession, String) => DataFrame)])
+      : (Seq[(String, Double)], Seq[String]) = {
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = queries.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // untimed hygiene between queries: drop persisted intermediates and
+      // let finished broadcasts get cleaned so one query's memory footprint
+      // doesn't tax the next one's timing
+      try { spark.catalog.clearCache(); System.gc() } catch { case _: Throwable => }
+      name -> dt
+    }
+    (results, failed.toSeq)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -17,23 +43,19 @@ object Bench {
     // work), and map-order shifts between rounds would move that cost
     // across gate names. Build it untimed so every gate times its own
     // operator, and iterate in sorted order so attribution is stable
-    // round over round.
+    // round over round. (A warmup throw is deliberately ignored: the
+    // gate's own timed run will report and fail it below.)
     try SparkEntry.queries("leaf_raw_scan")(spark, sfDir).count()
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // untimed hygiene between queries: drop persisted intermediates and
-      // let finished broadcasts get cleaned so one query's memory footprint
-      // doesn't tax the next one's timing
-      try { spark.catalog.clearCache(); System.gc() } catch { case _: Throwable => }
-      name -> dt
-    }
+    val (results, failed) = runAll(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"BENCH: ${failed.size} queries failed: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }
