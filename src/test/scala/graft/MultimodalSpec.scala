@@ -3,35 +3,97 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.queries.Multimodal
+import graft.queries.Multimodal.{ImageCodec, Media}
 
-/** Exact-value checks for the multimodal plumbing (no SQL oracle exists for
-  * byte-level ops, so assertions live here instead of the driver gate). */
+/** Exact-value checks for the multimodal operators (no SQL oracle exists
+  * for image codecs, so assertions live here instead of the driver gate).
+  * The codec itself is pinned against a hand-authored PNG with known RGB
+  * values — bytes built from the PNG spec, not by ImageIO — so a decoder
+  * regression cannot hide behind an encode/decode round-trip. */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
   private val dir = "/root/testdata/sf0.001"
 
-  test("decode stub: typed metadata from binary payloads, deterministic") {
-    val df = Multimodal.all("q_mm_decode").fn(spark, dir)
-    assert(df.columns.toSeq == Seq("media_id", "fmt", "width", "height", "n_bytes", "ok"))
-    val rows = df.limit(3).collect()
-    assert(rows.nonEmpty && rows.forall(_.getBoolean(5)))
-    // deterministic: same input -> same metadata on re-run
-    val again = Multimodal.all("q_mm_decode").fn(spark, dir).limit(3).collect()
-    assert(rows.map(_.toSeq.toList).toSeq == again.map(_.toSeq.toList).toSeq)
-    // width/height derived from payload bytes stay in the declared range
-    rows.foreach { r =>
-      assert(r.getInt(2) >= 64 && r.getInt(2) < 256)
-      assert(r.getInt(3) >= 64 && r.getInt(3) < 256)
+  /** 2x2 RGB PNG, hand-assembled from the spec (IHDR/IDAT/IEND + CRCs):
+    * pixels (255,0,0) (0,255,0) / (0,0,255) (255,255,255). */
+  private val pinnedPng: Array[Byte] = Array(
+    0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, 0x00, 0x00, 0x00, 0x0d,
+    0x49, 0x48, 0x44, 0x52, 0x00, 0x00, 0x00, 0x02, 0x00, 0x00, 0x00, 0x02,
+    0x08, 0x02, 0x00, 0x00, 0x00, 0xfd, 0xd4, 0x9a, 0x73, 0x00, 0x00, 0x00,
+    0x12, 0x49, 0x44, 0x41, 0x54, 0x78, 0x9c, 0x63, 0xf8, 0xcf, 0xc0, 0xc0,
+    0x00, 0xc2, 0x0c, 0xff, 0x81, 0x00, 0x00, 0x1f, 0xee, 0x05, 0xfb, 0x0b,
+    0xd9, 0x68, 0x8b, 0x00, 0x00, 0x00, 0x00, 0x49, 0x45, 0x4e, 0x44, 0xae,
+    0x42, 0x60, 0x82).map(_.toByte)
+
+  test("codec decodes a spec-pinned PNG to known dimensions and RGB values") {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(pinnedPng))
+    assert(img != null && img.getWidth == 2 && img.getHeight == 2)
+    assert((img.getRGB(0, 0) & 0xffffff) == 0xff0000)
+    assert((img.getRGB(1, 0) & 0xffffff) == 0x00ff00)
+    assert((img.getRGB(0, 1) & 0xffffff) == 0x0000ff)
+    assert((img.getRGB(1, 1) & 0xffffff) == 0xffffff)
+    val d = ImageCodec.decode(Media(7L, "png", pinnedPng))
+    assert(d == Multimodal.Decoded(7L, "png", 2, 2, pinnedPng.length.toLong, ok = true))
+  }
+
+  test("codec features on the pinned PNG: exact luminance histogram") {
+    // BT.601 integer luminance: red=76, green=149, blue=29, white=255
+    // buckets (lum >> 6): 29->0, 76->1, 149->2, 255->3; mean=(76+149+29+255)/4
+    val f = ImageCodec.features(Media(7L, "png", pinnedPng))
+    assert(f == Multimodal.Features(7L, (76 + 149 + 29 + 255) / 4.0, 1L, 1L, 1L, 1L))
+  }
+
+  test("codec is total: garbage and empty payloads decode to ok=false") {
+    assert(!ImageCodec.decode(Media(1L, "png", Array[Byte](1, 2, 3))).ok)
+    assert(!ImageCodec.decode(Media(2L, "png", Array.empty[Byte])).ok)
+    assert(!ImageCodec.decode(Media(3L, "png", null)).ok)
+    assert(ImageCodec.features(Media(4L, "png", Array[Byte](9))) ==
+      Multimodal.Features(4L, 0.0, 0L, 0L, 0L, 0L))
+    val r = ImageCodec.resize(Media(5L, "png", Array[Byte](9)), 64)
+    assert(r.new_bytes == 0L && r.width == 0 && r.height == 0)
+  }
+
+  test("encode/decode round-trip across all three container formats") {
+    val seed = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    for (fmt <- Seq("png", "jpeg", "bmp")) {
+      val bytes = ImageCodec.encode(fmt, seed)
+      assert(bytes.nonEmpty)
+      val d = ImageCodec.decode(Media(1L, fmt, bytes))
+      assert(d.ok, s"$fmt payload failed to decode")
+      // dimensions are a pure function of the seed, independent of format
+      assert(d.width == 16 + (seed(0) & 0xff) % 24)
+      assert(d.height == 16 + (seed(seed.length - 1) & 0xff) % 24)
+      // PNG is lossless: decoded pixels must equal the synthesized pattern
+      if (fmt == "png") {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        val v = seed((1 * d.width + 2) % seed.length) & 0xff
+        val expected = (v << 16) | (((v + 5 * 2) & 0xff) << 8) | ((v + 11 * 1) & 0xff)
+        assert((img.getRGB(2, 1) & 0xffffff) == expected)
+      }
     }
   }
 
-  test("features: histogram buckets partition the byte count") {
-    val df = Multimodal.all("q_mm_features").fn(spark, dir)
-    val r = df.limit(5).collect()
-    r.foreach { row =>
+  test("decode gate: real container metadata for every document") {
+    val df = Multimodal.all("q_mm_decode").fn(spark, dir)
+    assert(df.columns.toSeq == Seq("media_id", "fmt", "width", "height", "n_bytes", "ok"))
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getBoolean(5)), "every synthesized image must decode")
+    // dimensions come from the real decoder and stay in the synth range
+    rows.foreach { r =>
+      assert(r.getInt(2) >= 16 && r.getInt(2) < 40)
+      assert(r.getInt(3) >= 16 && r.getInt(3) < 40)
+      assert(r.getLong(4) > 0L, "n_bytes is the real compressed payload size")
+    }
+  }
+
+  test("features gate: histogram buckets partition the pixel count") {
+    val dec = Multimodal.all("q_mm_decode").fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2).toLong * r.getInt(3))).toMap
+    val rows = Multimodal.all("q_mm_features").fn(spark, dir).collect()
+    rows.foreach { row =>
       val total = row.getLong(2) + row.getLong(3) + row.getLong(4) + row.getLong(5)
-      assert(total > 0)
-      assert(row.getDouble(1) > 0 && row.getDouble(1) < 256)
+      assert(total == dec(row.getLong(0)), "histogram must cover every pixel exactly once")
+      assert(row.getDouble(1) >= 0 && row.getDouble(1) < 256)
     }
   }
 
@@ -46,29 +108,35 @@ class MultimodalSpec extends AnyFunSuite {
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
-  test("resize stub: byte budget respected, deterministic, shrinking") {
+  test("resize gate: pixel budget respected, real re-encoded thumbnails") {
     val df = Multimodal.all("q_mm_resize").fn(spark, dir)
     assert(df.columns.toSeq ==
-      Seq("media_id", "fmt", "orig_bytes", "new_bytes", "data_md5"))
-    val rows = df.limit(10).collect()
+      Seq("media_id", "fmt", "orig_bytes", "new_bytes", "width", "height", "data_md5"))
+    val rows = df.collect()
     rows.foreach { r =>
-      assert(r.getLong(3) <= 64L, "resized payload exceeds the byte budget")
-      assert(r.getLong(3) <= r.getLong(2))
+      assert(r.getInt(4).toLong * r.getInt(5) <= 64L, "thumbnail exceeds the pixel budget")
+      assert(r.getInt(4) > 0 && r.getInt(5) > 0)
+      assert(r.getLong(3) > 0L, "thumbnail is a real PNG payload")
     }
+    // the thumbnail itself decodes, at the declared dimensions
+    val seed = "round trip".getBytes("UTF-8")
+    val rz = ImageCodec.resize(Media(1L, "png", ImageCodec.encode("png", seed)), 64)
+    val back = ImageCodec.decode(Media(1L, "png", rz.data))
+    assert(back.ok && back.width == rz.width && back.height == rz.height)
   }
 
   test("golden hashes: full 500-row outputs are byte-stable") {
-    // the driver gate has no oracle for byte-level ops; these digests pin
+    // the driver gate has no oracle for image codecs; these digests pin
     // the exact output of every multimodal operator at sf0.001
     val d = digest(Multimodal.all("q_mm_decode").fn(spark, dir))
     val f = digest(Multimodal.all("q_mm_features").fn(spark, dir))
     val fr = digest(Multimodal.all("q_mm_frames").fn(spark, dir))
     val rz = digest(Multimodal.all("q_mm_resize").fn(spark, dir))
     assert((d, f, fr, rz) == (
-      "32aa279214cf5f14b3ff5d8cf0452295",
-      "0c5afa4398105b4b8829df18fbd7ce57",
+      "8b0e2f5173e7da02d544fc59d91ee540",
+      "f1d32a995b22add9caeeee63a0cd6831",
       "b415d8d6e8d38428da6cb79b930a5b9a",
-      "cdbab9c2bd7de8392b9be921235218a9"),
+      "c9bfb70ef5db2b295f38eee764dddb8e"),
       s"digests: decode=$d features=$f frames=$fr resize=$rz")
   }
 
