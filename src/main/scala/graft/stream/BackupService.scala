@@ -180,6 +180,199 @@ object BackupService {
     h
   }
 
+  // ---------------- reference-format archive interop ----------------
+  //
+  // The reference's bucket layout (leaf-server/src/storage.rs:640-825):
+  //   streams/{did}/{start}-{end}.events.drisl.zstd   event range archives
+  //   streams/{did}/metadata.drisl                    stream metadata
+  // where an event archive is zstd-compressed DRISL of
+  //   {"events": [{"idx": i, "user": s, "payload": bytes, "signature": bytes}, ...]}
+  // (EventArchive/Event, storage.rs:1071-1073 + leaf-stream-types/src/
+  // lib.rs:165-172) and metadata is {"did", "did_key", "owners",
+  // "module_cid"} (storage.rs:1076-1081). Restore validates that the
+  // collected ranges form one contiguous chain from idx 1
+  // (storage.rs:986-996) — mirrored here by `validateChain`.
+  //
+  // Export is incremental like the reference sweep: only events past the
+  // highest archived idx are written, split into <= `chunkEvents` archives
+  // so the per-object driver materialization stays bounded no matter how
+  // far behind the destination is (each object is a single compressed blob,
+  // so SOME single-process encode is inherent to the format — the chunk cap
+  // is what makes it scale-safe). zstd codec is the zstd-jni already on
+  // Spark's classpath; DRISL bytes come from the existing codec.
+
+  private val EventsArchiveExt = ".events.drisl.zstd"
+
+  private def referenceStreamDir(root: HPath, id: String): HPath =
+    new HPath(root, s"streams/$id")
+
+  private def listReferenceRanges(fs: FileSystem, dir: HPath): Vector[(Long, Long)] =
+    if (!fs.exists(dir)) Vector.empty
+    else fs.listStatus(dir).toVector.flatMap { st =>
+      val n = st.getPath.getName
+      if (!n.endsWith(EventsArchiveExt)) None
+      else n.stripSuffix(EventsArchiveExt).split("-") match {
+        case Array(a, b) =>
+          for (lo <- a.toLongOption; hi <- b.toLongOption) yield (lo, hi)
+        case _ => None
+      }
+    }.sortBy(_._1)
+
+  private def writeBytes(fs: FileSystem, p: HPath, b: Array[Byte]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(b) finally out.close()
+  }
+
+  private def readBytes(fs: FileSystem, p: HPath): Array[Byte] = {
+    val in = fs.open(p)
+    try in.readAllBytes() finally in.close()
+  }
+
+  private def zstdCompress(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new com.github.luben.zstd.ZstdOutputStream(bos)
+    try z.write(b) finally z.close()
+    bos.toByteArray
+  }
+
+  private def zstdDecompress(b: Array[Byte]): Array[Byte] = {
+    val z = new com.github.luben.zstd.ZstdInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try z.readAllBytes() finally z.close()
+  }
+
+  import graft.drisl.{Cid, Drisl, DValue}
+  import DValue._
+
+  /** Incrementally export the stream's events as reference-format
+    * `{start}-{end}.events.drisl.zstd` archives plus `metadata.drisl`
+    * under `destRoot/streams/{id}/`. Returns the newly written ranges. */
+  def exportReference(h: StreamHandle, destRoot: String,
+      owners: Seq[String] = Nil, chunkEvents: Int = 100000): Vector[(Long, Long)] = {
+    require(chunkEvents > 0, "chunkEvents must be positive")
+    val (fs, root) = fsFor(h, destRoot)
+    val dir = referenceStreamDir(root, h.id)
+    fs.mkdirs(dir)
+    val prior = validateChain(listReferenceRanges(fs, dir))
+    val lastBacked = prior.lastOption.map(_._2).getOrElse(0L)
+    val latest = h.latest
+    require(latest >= lastBacked,
+      s"archive destination is ahead of the stream ($lastBacked > $latest)")
+    val written = Vector.newBuilder[(Long, Long)]
+    var lo = lastBacked + 1
+    while (lo <= latest) {
+      val hi = math.min(lo + chunkEvents - 1, latest)
+      // min/max parquet stats prune the log read to the new range's files
+      val rows = h.eventsDF.filter(col("idx").between(lo, hi))
+        .select(col("idx"), col("user"), col("payload"), col("signature"))
+        .orderBy("idx").collect()
+      require(rows.length == (hi - lo + 1).toInt,
+        s"log range [$lo,$hi] is not contiguous (${rows.length} rows)")
+      val events = DArray(rows.toVector.map { r =>
+        obj(
+          "idx" -> DInt(r.getLong(0)),
+          "user" -> DText(if (r.isNullAt(1)) "" else r.getString(1)),
+          "payload" -> DBytes(
+            if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)),
+          "signature" -> DBytes(
+            if (r.isNullAt(3)) Array.empty[Byte] else r.getAs[Array[Byte]](3)))
+      })
+      val bytes = zstdCompress(Drisl.encode(obj("events" -> events)))
+      writeBytes(fs, new HPath(dir, s"$lo-$hi$EventsArchiveExt"), bytes)
+      written += ((lo, hi))
+      lo = hi + 1
+    }
+    // metadata.drisl: the module CID is the stream's wire-format module id
+    // when one is known, else the internal content address (reference
+    // module blobs are engine-specific, so the module BODY is not
+    // exported); no key material leaves the server. An ownerless call
+    // preserves the owners already archived — the sweep path passes no
+    // owners and must not clobber what the server layer recorded.
+    val moduleCid = h.currentModuleCid
+      .map(c => h.store.wireAliasFor(c).getOrElse(c))
+      .map(c => DCid(Cid.parse(c)))
+    val metaPath = new HPath(dir, "metadata.drisl")
+    val effOwners =
+      if (owners.nonEmpty || !fs.exists(metaPath)) owners.toVector
+      else Drisl.decode(readBytes(fs, metaPath)) match {
+        case DMap(m) => m.get("owners").collect { case DArray(os) =>
+          os.collect { case DText(o) => o } }.getOrElse(Vector.empty)
+        case _ => Vector.empty
+      }
+    writeBytes(fs, metaPath, Drisl.encode(obj(
+      "did" -> DText(h.id),
+      "did_key" -> DNull,
+      "owners" -> DArray(effOwners.map(DText(_))),
+      "module_cid" -> moduleCid.getOrElse(DNull))))
+    written.result()
+  }
+
+  case class ReferenceMeta(did: String, owners: Vector[String],
+      moduleCid: Option[String])
+
+  /** Restore a reference-format archive chain from
+    * `srcRoot/streams/{srcId}/` into the fresh stream `newId`. The chain
+    * must be contiguous from idx 1 (the reference's continuity rule);
+    * returns the handle plus the decoded stream metadata so the server
+    * layer can reinstate owners. */
+  def importReference(store: StreamStore, newId: String, srcRoot: String,
+      srcId: String): (StreamHandle, ReferenceMeta) = {
+    val h = store.open(newId)
+    require(h.latest == 0, s"restore target $newId is not empty")
+    val (fs, root) = fsFor(h, srcRoot)
+    val dir = referenceStreamDir(root, srcId)
+    require(fs.exists(dir), s"no reference archive at $dir")
+    val meta = Drisl.decode(readBytes(fs, new HPath(dir, "metadata.drisl"))) match {
+      case DMap(m) =>
+        val did = m.get("did").collect { case DText(t) => t }.getOrElse(srcId)
+        require(did == srcId,
+          s"stream metadata DID '$did' does not match its folder '$srcId'")
+        ReferenceMeta(
+          did,
+          m.get("owners").collect { case DArray(os) =>
+            os.collect { case DText(o) => o } }.getOrElse(Vector.empty),
+          m.get("module_cid").collect { case DCid(b) => Cid.render(b) })
+      case other => throw new IllegalArgumentException(
+        s"metadata.drisl is not a map: $other")
+    }
+    // install the module BEFORE replay when its CID resolves in this
+    // store's registry (the reference restores the module blob by CID
+    // first for the same reason: import must materialize as it goes)
+    meta.moduleCid.foreach { c =>
+      store.module(c).orElse(store.moduleAlias(c).flatMap(store.module))
+        .foreach(h.setModule)
+    }
+    val ranges = validateChain(listReferenceRanges(fs, dir))
+    require(ranges.nonEmpty, s"reference archive at $dir has no event ranges")
+    import scala.jdk.CollectionConverters._
+    ranges.foreach { case (lo, hi) =>
+      val decoded = Drisl.decode(zstdDecompress(
+        readBytes(fs, new HPath(dir, s"$lo-$hi$EventsArchiveExt"))))
+      val events = decoded match {
+        case DMap(m) => m.get("events") match {
+          case Some(DArray(es)) => es
+          case _ => throw new IllegalArgumentException(
+            s"archive $lo-$hi has no events array")
+        }
+        case other => throw new IllegalArgumentException(
+          s"archive $lo-$hi is not a map: $other")
+      }
+      val rows: java.util.List[org.apache.spark.sql.Row] = events.map {
+        case DMap(e) => org.apache.spark.sql.Row(
+          e.get("idx").collect { case DInt(i) => i }.getOrElse(
+            throw new IllegalArgumentException("event without idx")),
+          e.get("user").collect { case DText(u) => u }.getOrElse(""),
+          e.get("payload").collect { case DBytes(b) => b }.getOrElse(Array.empty[Byte]),
+          e.get("signature").collect { case DBytes(b) => b }.getOrElse(Array.empty[Byte]))
+        case other => throw new IllegalArgumentException(s"non-map event: $other")
+      }.asJava
+      // one bounded-size batch per archive object; bulkImport re-validates
+      // contiguity row-wise and replays the module over the new events
+      h.bulkImport(store.spark.createDataFrame(rows, StreamStore.eventSchema))
+    }
+    (h, meta)
+  }
+
   // ---------------- module (de)serialization ----------------
 
   def moduleToJson(m: ModuleDef): String = Json.render(Map(

@@ -371,6 +371,7 @@ class StreamHandle(val store: StreamStore, val id: String) {
   def latest: Long = latestIdx
   def moduleCursor: Long = cursor
   def currentModule: Option[ModuleDef] = moduleCid.flatMap(store.module)
+  def currentModuleCid: Option[String] = moduleCid
 
   def eventsDF: DataFrame = spark.table(s"$dbName.events")
 
