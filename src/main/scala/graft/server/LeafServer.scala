@@ -3,14 +3,14 @@ package graft.server
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util.Base64
-import java.util.concurrent.Executors
+import java.util.concurrent.{Executors, TimeUnit}
 
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
-import graft.stream.{StreamStore, SubscriptionEngine}
+import graft.stream.{BackupService, StreamStore, SubscriptionEngine}
 import graft.types._
 
 /** HTTP/JSON server exposing the engine's RPC surface.
@@ -74,9 +74,17 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     subIdleTtlMs: Long = 10 * 60 * 1000L,
     maxParkedPolls: Int = 64,
     serverDid: String = "did:graft:server",
-    plc: Option[LocalPlcDirectory] = None) {
+    plc: Option[LocalPlcDirectory] = None,
+    backupDest: Option[String] = None,
+    backupSweepMs: Long = 60 * 1000L,
+    blobGcMs: Long = 500 * 1000L,
+    blobGcMinAgeMs: Long = 500 * 1000L) {
 
-  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  // the HTTP routes bind to an INTERNAL loopback port; the public port is
+  // a JDK-socket frontend (PublicFrontend) that serves websocket upgrades
+  // for /socket.io in-process and byte-relays everything else here —
+  // com.sun.net.httpserver cannot hand a connection over after a 101
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   // long-polls park their handler thread; a fixed pool the size of the park
   // cap would let pollers starve every other RPC (including the event_batch
   // that would wake them), so the pool grows on demand and the park count is
@@ -92,14 +100,13 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
   private val subOwners = mutable.Map.empty[(String, Long), Caller]
   private val subLastSeen = mutable.Map.empty[(String, Long), Long]
   private val parkedPolls = new java.util.concurrent.atomic.AtomicInteger(0)
-  private val createdStreams = mutable.LinkedHashSet.empty[String]
   private val owners = mutable.Map.empty[String, Set[String]]
   private val handles = mutable.Map.empty[String, String]
 
   /** Module uploads are capped like the reference (connection.rs:55-57). */
   private val maxModuleBytes = 10 * 1024 * 1024
 
-  def boundPort: Int = server.getAddress.getPort
+  def boundPort: Int = frontend.boundPort
 
   // ---------------- handlers ----------------
 
@@ -350,9 +357,6 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     if (requested.isDefined && !c.trusted)
       throw new LeafAuthException(
         "caller-chosen stream ids require a trusted connection")
-    requested.filter(r => store.exists(r) ||
-        createdStreams.synchronized(createdStreams.contains(r)))
-      .foreach(r => throw new IllegalArgumentException(s"stream already exists: $r"))
     // with a PLC directory, mint a real did:plc backed by a signed genesis
     // op and a custodied secp256k1 key (did.rs:11-47); otherwise an opaque id
     val id = requested.getOrElse(plc match {
@@ -361,9 +365,10 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     })
     val m = store.module(str(args, "module_cid"))
       .getOrElse(throw new IllegalArgumentException("module not uploaded"))
-    val h = store.open(id)
-    h.setModule(m)
-    createdStreams.synchronized(createdStreams += id)
+    // the takeover guard lives in the store: `exists` is disk-backed (the
+    // on-disk catalog), so a duplicate create is rejected even across a
+    // server restart, and the per-id lock serializes racing creates
+    val h = store.createStream(id, m)
     // the creating DID owns the stream (storage.rs:581: did_owners at create)
     c.did.foreach(d => owners.synchronized {
       owners(id) = owners.getOrElse(id, Set.empty) + d
@@ -614,7 +619,7 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     // server-operator only (reference: server-DID gated, connection.rs:554-588)
     if (!c.trusted && !c.did.exists(moduleAdmins.contains))
       throw new LeafAuthException("admin RPCs require a trusted connection")
-    Map("streams" -> createdStreams.synchronized(createdStreams.toVector))
+    Map("streams" -> store.listStreams())
   }
 
   handle("/admin/compact") { (c, args) =>
@@ -649,6 +654,48 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
   private[server] val socketIo = new SocketIoTransport(this)
   socketIo.mount(server)
 
-  def start(): Unit = server.start()
-  def stop(): Unit = { socketIo.shutdown(); server.stop(0) }
+  private val frontend = new PublicFrontend(
+    port, server.getAddress.getPort, socketIo.handleWebSocket)
+
+  // ---------------- lifecycle background tasks ----------------
+  // The reference server starts its staged-blob GC and backup sweep at
+  // boot (storage.rs:1123-1136) — an operator gets backups and bounded
+  // blob staging without knowing to call anything. Mirrored here: one
+  // daemon scheduler, started with the server, stopped with it.
+  private var lifecycleExec: Option[java.util.concurrent.ScheduledExecutorService] = None
+  private val lifecycleLog = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private def startLifecycleTasks(): Unit = {
+    val exec = Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-server-lifecycle"); t.setDaemon(true); t
+    }
+    exec.scheduleWithFixedDelay(() =>
+      try store.gcModuleBlobs(blobGcMinAgeMs)
+      catch { case t: Throwable =>
+        lifecycleLog.warn(s"module blob GC failed: ${t.getMessage}") },
+      blobGcMs, blobGcMs, TimeUnit.MILLISECONDS)
+    backupDest.foreach { dest =>
+      exec.scheduleWithFixedDelay(() =>
+        try store.listStreams().foreach { id =>
+          try BackupService.backup(store.open(id), s"$dest/streams/$id")
+          catch { case t: Throwable =>
+            lifecycleLog.warn(s"backup sweep of $id failed: ${t.getMessage}") }
+        }
+        catch { case t: Throwable =>
+          lifecycleLog.warn(s"backup sweep failed: ${t.getMessage}") },
+        backupSweepMs, backupSweepMs, TimeUnit.MILLISECONDS)
+    }
+    lifecycleExec = Some(exec)
+  }
+
+  def start(): Unit = {
+    server.start(); frontend.start(); startLifecycleTasks()
+  }
+  def stop(): Unit = {
+    lifecycleExec.foreach(_.shutdownNow())
+    lifecycleExec = None
+    frontend.stop()
+    socketIo.shutdown()
+    server.stop(0)
+  }
 }

@@ -57,6 +57,9 @@ class SocketIoTransport(srv: LeafServer,
     var caller: Option[srv.Caller] = None
     var connected = false
     var closed = false
+    // true once a websocket owns delivery (fresh ws connect, or a polling
+    // session that completed the probe/upgrade); parked polls flush noop
+    var wsAttached = false
     // wire subscriptionId (ULID) -> (stream id, engine sub id)
     val subs = mutable.LinkedHashMap.empty[String, (String, Long)]
     var lastSeen: Long = System.nanoTime
@@ -138,15 +141,18 @@ class SocketIoTransport(srv: LeafServer,
       case None => respond(ex, 400, """{"code":1,"message":"Session ID unknown"}""")
     }
 
+  private def openPacket(sid: String, upgrades: Vector[String]): String =
+    "0" + Json.render(Map(
+      "sid" -> sid,
+      "upgrades" -> upgrades,
+      "pingInterval" -> pingIntervalMs,
+      "pingTimeout" -> pingTimeoutMs,
+      "maxPayload" -> 1000000L))
+
   private def handshake(ex: HttpExchange): Unit = {
     val sid = newUlid()
     monitor.synchronized { sessions(sid) = new Session(sid) }
-    respond(ex, 200, "0" + Json.render(Map(
-      "sid" -> sid,
-      "upgrades" -> Vector.empty[String],
-      "pingInterval" -> pingIntervalMs,
-      "pingTimeout" -> pingTimeoutMs,
-      "maxPayload" -> 1000000L)))
+    respond(ex, 200, openPacket(sid, Vector("websocket")))
   }
 
   /** Long-poll: park until the outbox has packets, the ping clock comes
@@ -162,6 +168,7 @@ class SocketIoTransport(srv: LeafServer,
         if (sess.outbox.nonEmpty) {
           out = sess.outbox.dequeueAll(_ => true).toVector; done = true
         } else if (sess.closed) { sessions.remove(sess.sid); done = true }
+        else if (sess.wsAttached) done = true // ws owns delivery: flush noop
         else {
           val pingDue = sess.lastPing + pingIntervalMs * 1000000L - System.nanoTime
           if (pingDue <= 0) {
@@ -250,6 +257,144 @@ class SocketIoTransport(srv: LeafServer,
       val engine = srv.engineFor(streamId)
       subs.foreach { case (_, subId) => engine.resume(subId) }
       try engine.drain() catch { case _: Exception => }
+    }
+  }
+
+  // ---------------- engine.io websocket transport ----------------
+
+  /** Serve one websocket connection (already routed here by the public
+    * frontend with the 6455 upgrade request parsed, socket untouched past
+    * the head). Two engine.io entry shapes:
+    *   - `?transport=websocket` fresh: open a new session directly on ws;
+    *   - `?transport=websocket&sid=...`: the probe/upgrade dance for an
+    *     existing polling session — `2probe` → `3probe`, then `5` switches
+    *     delivery to this socket and a parked poll flushes noop.
+    * This thread runs the frame reader; a writer thread drains the same
+    * outbox the poller used (identical backpressure + refill semantics).
+    */
+  def handleWebSocket(sock: java.net.Socket,
+      head: PublicFrontend.RequestHead): Unit = {
+    val out = sock.getOutputStream
+    val in = sock.getInputStream
+    val key = head.header("sec-websocket-key").getOrElse {
+      out.write("HTTP/1.1 400 Bad Request\r\nContent-Length: 0\r\n\r\n".getBytes(UTF_8))
+      sock.close(); return
+    }
+    out.write(("HTTP/1.1 101 Switching Protocols\r\n" +
+      "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+      s"Sec-WebSocket-Accept: ${Ws.acceptKey(key)}\r\n\r\n").getBytes(UTF_8))
+    out.flush()
+    val wsLock = new Object // single writer lock: frames never interleave
+    def send(pkt: Either[String, Array[Byte]]): Unit = wsLock.synchronized {
+      pkt match {
+        case Left(t) => Ws.writeText(out, t)
+        case Right(b) => Ws.writeBinary(out, b)
+      }
+    }
+    val q = head.query
+    if (!q.get("transport").contains("websocket")) {
+      wsLock.synchronized(Ws.writeClose(out, 1002)); sock.close(); return
+    }
+    evictDeadSessions()
+    val sess = q.get("sid") match {
+      case Some(sid) => monitor.synchronized(sessions.get(sid)) match {
+        case Some(s) => s
+        case None =>
+          send(Left("""{"code":1,"message":"Session ID unknown"}"""))
+          wsLock.synchronized(Ws.writeClose(out, 1008)); sock.close(); return
+      }
+      case None =>
+        val s = new Session(newUlid())
+        monitor.synchronized { sessions(s.sid) = s }
+        // fresh ws session: no further upgrade to offer
+        send(Left(openPacket(s.sid, Vector.empty)))
+        attachWs(s, send)
+        s
+    }
+    try {
+      var running = true
+      while (running) {
+        val msg = Ws.readMessage(in,
+          ping => wsLock.synchronized(Ws.writePong(out, ping)))
+        monitor.synchronized { sess.lastSeen = System.nanoTime }
+        msg match {
+          case Ws.Text("2probe") => send(Left("3probe"))
+          case Ws.Text("5") => // upgrade complete: this socket owns delivery
+            attachWs(sess, send)
+          case Ws.Text(pkt) if pkt.nonEmpty => handleEioPacket(sess, pkt)
+          case Ws.Text(_) => // empty frame: ignore
+          case Ws.Binary(b) => handleSioPacket(sess, Msgpack.decode(b))
+          case Ws.Close(_) => running = false
+        }
+        if (monitor.synchronized(sess.closed)) running = false
+      }
+    } catch { case _: Exception => } // broken socket: fall through to cleanup
+    finally {
+      // the channel dies with the socket (reference semantics) — but only
+      // when this ws OWNED the session; a failed probe leaves polling alone
+      if (monitor.synchronized(sess.wsAttached)) {
+        monitor.synchronized {
+          teardown(sess); sessions.remove(sess.sid); monitor.notifyAll()
+        }
+      }
+      try wsLock.synchronized(Ws.writeClose(out, 1001)) catch { case _: Exception => }
+      try sock.close() catch { case _: Exception => }
+    }
+  }
+
+  /** Switch the session's delivery to the websocket: parked polls flush
+    * noop, and a writer thread drains the outbox (ping clock included,
+    * exactly the poller's contract — including refilling paused
+    * subscription pumps after each flush). */
+  private def attachWs(sess: Session,
+      send: Either[String, Array[Byte]] => Unit): Unit = {
+    val already = monitor.synchronized {
+      val was = sess.wsAttached
+      sess.wsAttached = true
+      monitor.notifyAll()
+      was
+    }
+    if (already) return
+    val t = new Thread(() => wsWriterLoop(sess, send), s"graft-ws-${sess.sid}")
+    t.setDaemon(true)
+    t.start()
+  }
+
+  private def wsWriterLoop(sess: Session,
+      send: Either[String, Array[Byte]] => Unit): Unit = {
+    var alive = true
+    while (alive) {
+      val taken: Vector[Either[String, Array[Byte]]] = monitor.synchronized {
+        var outPkts = Vector.empty[Either[String, Array[Byte]]]
+        var done = false
+        while (!done) {
+          if (sess.outbox.nonEmpty) {
+            outPkts = sess.outbox.dequeueAll(_ => true).toVector
+            done = true
+            if (sess.closed) alive = false
+          } else if (sess.closed) {
+            sessions.remove(sess.sid); done = true; alive = false
+          } else {
+            val pingDue = sess.lastPing + pingIntervalMs * 1000000L - System.nanoTime
+            if (pingDue <= 0) {
+              sess.lastPing = System.nanoTime
+              outPkts = Vector(Left("2")); done = true
+            } else monitor.wait((pingDue / 1000000L).max(1L))
+          }
+        }
+        outPkts
+      }
+      if (taken.nonEmpty) {
+        try taken.foreach(send)
+        catch {
+          case _: Exception => // socket died: the session dies with it
+            monitor.synchronized {
+              teardown(sess); sessions.remove(sess.sid); monitor.notifyAll()
+            }
+            alive = false
+        }
+        if (alive) refillSubs(sess)
+      }
     }
   }
 

@@ -228,6 +228,38 @@ class StreamStore(val spark: SparkSession, val root: String,
       Files.exists(Paths.get(root, dbNameFor(id), "meta.json"))
   }
 
+  /** Create a stream that must not already exist: the store-level takeover
+    * guard. The per-id lock serializes racing creates, and `exists` is
+    * disk-backed, so the guard holds across server restarts — no
+    * driver-resident registry of every stream ever created is needed. */
+  def createStream(id: String, m: ModuleDef): StreamHandle =
+    lockFor(id).synchronized {
+      if (exists(id))
+        throw new IllegalArgumentException(s"stream already exists: $id")
+      val h = open(id)
+      h.setModule(m)
+      h
+    }
+
+  /** The on-disk stream catalog: every persisted stream's id, recovered
+    * from the meta.json each stream writes at module install (dir names
+    * are id digests, so the id itself rides in the meta). O(streams)
+    * directory scan — an admin/background-sweep operation, not a hot
+    * path. Sorted for deterministic listings. */
+  def listStreams(): Vector[String] = synchronized {
+    val rootDir = Paths.get(root)
+    if (!Files.exists(rootDir)) return Vector.empty
+    val dirs = Files.list(rootDir)
+    try dirs.iterator().asScala
+      .filter(p => Files.isDirectory(p) && Files.exists(p.resolve("meta.json")))
+      .flatMap { p =>
+        val meta = new String(Files.readAllBytes(p.resolve("meta.json")), UTF_8)
+        "\"id\":\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(meta)
+          .map(m => StreamStore.unescapeJson(m.group(1)))
+      }.toVector.sorted
+    finally dirs.close()
+  }
+
   def dbNameFor(id: String): String = {
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest(id.getBytes(UTF_8)).take(8).map("%02x".format(_)).mkString
@@ -236,6 +268,14 @@ class StreamStore(val spark: SparkSession, val root: String,
 }
 
 object StreamStore {
+  /** Minimal JSON string escaping for stream ids in meta.json (ids are
+    * DIDs/opaque tokens; quote and backslash are the only metacharacters
+    * the regex-based meta reader must survive). */
+  def escapeJson(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  def unescapeJson(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
   val eventSchema: StructType = StructType(Seq(
     StructField("idx", LongType, nullable = false),
     StructField("user", StringType, nullable = true),
@@ -345,7 +385,7 @@ class StreamHandle(val store: StreamStore, val id: String) {
   // ---------------- metadata ----------------
 
   private def saveMeta(): Unit = {
-    val json = s"""{"latestIdx":$latestIdx,"cursor":$cursor,"moduleCid":${
+    val json = s"""{"id":"${StreamStore.escapeJson(id)}","latestIdx":$latestIdx,"cursor":$cursor,"moduleCid":${
       moduleCid.map("\"" + _ + "\"").getOrElse("null")}}"""
     val tmp = dir.resolve("meta.json.tmp")
     Files.write(tmp, json.getBytes(UTF_8))
@@ -370,7 +410,23 @@ class StreamHandle(val store: StreamStore, val id: String) {
 
   def latest: Long = latestIdx
   def moduleCursor: Long = cursor
-  def currentModule: Option[ModuleDef] = moduleCid.flatMap(store.module)
+  /** The stream's module. Resolution falls back to the dir-local
+    * module.json copy written at install: a stream OWNS its module (the
+    * reference keeps it in the stream's own DB row), so the staged-blob
+    * GC collecting the store-level copy — e.g. a tick racing an in-flight
+    * create before the stream's meta records the reference — can never
+    * orphan a stream. The fallback re-registers the blob. */
+  def currentModule: Option[ModuleDef] = moduleCid.flatMap { c =>
+    store.module(c).orElse {
+      val modPath = dir.resolve("module.json")
+      if (!Files.exists(modPath)) None
+      else {
+        val m = BackupService.moduleFromJson(
+          new String(Files.readAllBytes(modPath), UTF_8))
+        if (m.cid != c) None else { store.registerModule(m); Some(m) }
+      }
+    }
+  }
   def currentModuleCid: Option[String] = moduleCid
 
   def eventsDF: DataFrame = spark.table(s"$dbName.events")

@@ -363,6 +363,102 @@ class ServerSpec extends AnyFunSuite {
       did = Some("did:plc:mallory")).contains("err"))
   }
 
+  test("takeover guard survives a server restart (disk-backed catalog)") {
+    val rstore = new StreamStore(spark,
+      graft.TempDirs.create("graft-restartguard").toString)
+    def boot(): LeafServer = {
+      val s = new LeafServer(rstore, 0, authToken = Some("testtoken"))
+      s.start(); s
+    }
+    def postTo(srv: LeafServer, path: String, body: Map[String, Any],
+        did: Option[String] = None): Map[String, Any] = {
+      val b = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${srv.boundPort}$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(Json.render(body)))
+        .header("Authorization", "Bearer testtoken")
+      did.foreach(d => b.header("X-Graft-Did", d))
+      Json.parse(client.send(b.build(),
+        HttpResponse.BodyHandlers.ofString()).body()).asInstanceOf[Map[String, Any]]
+    }
+    val first = boot()
+    val cid = try {
+      val c = postTo(first, "/module/upload", Map("module" -> Map(
+        "init_sql" -> "CREATE TABLE IF NOT EXISTS notes (idx BIGINT) USING PARQUET",
+        "materializer" -> "INSERT INTO notes SELECT idx FROM event")))(
+        "ok").asInstanceOf[Map[String, Any]]("cid").toString
+      assert(!postTo(first, "/stream/create", Map(
+        "id" -> "did:graft:persisted", "module_cid" -> c),
+        did = Some("did:plc:victim")).contains("err"))
+      c
+    } finally first.stop()
+    // a FRESH server on the same store has no in-memory create history —
+    // the guard must come from the on-disk catalog
+    val second = boot()
+    try {
+      val hijack = postTo(second, "/stream/create", Map(
+        "id" -> "did:graft:persisted", "module_cid" -> cid),
+        did = Some("did:plc:mallory"))
+      assert(hijack.get("err").exists(_.toString.contains("already exists")),
+        hijack.toString)
+      // and the admin list is rebuilt from disk, not from driver memory
+      val listed = postTo(second, "/admin/list_streams", Map.empty)("ok")
+        .asInstanceOf[Map[String, Any]]("streams").asInstanceOf[Vector[Any]]
+      assert(listed.contains("did:graft:persisted"), listed.toString)
+    } finally second.stop()
+  }
+
+  test("boot lifecycle: backup sweep and blob GC tick without explicit calls") {
+    val lstore = new StreamStore(spark,
+      graft.TempDirs.create("graft-lifecycle").toString)
+    val dest = graft.TempDirs.create("graft-lifecycle-bak")
+    val srv = new LeafServer(lstore, 0, authToken = Some("testtoken"),
+      backupDest = Some("file:" + dest), backupSweepMs = 250,
+      blobGcMs = 250, blobGcMinAgeMs = 1)
+    srv.start()
+    try {
+      def lpost(path: String, body: Map[String, Any]): Map[String, Any] = {
+        val b = HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${srv.boundPort}$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(Json.render(body)))
+          .header("Authorization", "Bearer testtoken")
+        Json.parse(client.send(b.build(),
+          HttpResponse.BodyHandlers.ofString()).body()).asInstanceOf[Map[String, Any]]
+      }
+      def lok(r: Map[String, Any]) = {
+        assert(!r.contains("err"), r.toString)
+        r("ok").asInstanceOf[Map[String, Any]]
+      }
+      // an uploaded-but-never-referenced module is an orphaned staged blob
+      val orphanCid = lok(lpost("/module/upload", Map("module" -> Map(
+        "init_sql" -> "CREATE TABLE IF NOT EXISTS orphan_t (x BIGINT) USING PARQUET",
+        "materializer" -> "INSERT INTO orphan_t SELECT idx FROM event"))))("cid").toString
+      val usedCid = lok(lpost("/module/upload", Map("module" -> Map(
+        "init_sql" -> "CREATE TABLE IF NOT EXISTS notes (idx BIGINT) USING PARQUET",
+        "materializer" -> "INSERT INTO notes SELECT idx FROM event"))))("cid").toString
+      val sid = lok(lpost("/stream/create", Map(
+        "id" -> "did:graft:swept", "module_cid" -> usedCid)))("id").toString
+      lok(lpost("/stream/event_batch", Map("id" -> sid, "events" ->
+        Vector(Map("user" -> "u", "payload_b64" -> payload("swept", 1))))))
+      val storeRoot = java.nio.file.Paths.get(lstore.root)
+      val orphanBlob = storeRoot.resolve(s"modules/$orphanCid.json")
+      val backupMeta = dest.resolve(s"streams/$sid/meta.json")
+      val deadline = System.nanoTime + 30L * 1000000000L
+      def covered = java.nio.file.Files.exists(backupMeta) &&
+        "\"latest_idx\":(\\d+)".r.findFirstMatchIn(new String(
+          java.nio.file.Files.readAllBytes(backupMeta), "UTF-8"))
+          .exists(_.group(1).toLong >= 1L)
+      def done = covered && !java.nio.file.Files.exists(orphanBlob)
+      while (!done && System.nanoTime < deadline) Thread.sleep(100)
+      assert(covered,
+        "the boot-started sweep must archive the stream's event unprompted")
+      assert(!java.nio.file.Files.exists(orphanBlob),
+        "the boot-started GC must collect the orphaned staged blob")
+      // the referenced module must survive the GC
+      assert(java.nio.file.Files.exists(
+        storeRoot.resolve(s"modules/$usedCid.json")))
+    } finally srv.stop()
+  }
+
   test("slow consumer: delivery buffer is capped and resumes after a poll") {
     val tight = new LeafServer(store, 0, authToken = Some("testtoken"),
       maxBufferedDeliveries = 3)

@@ -190,11 +190,149 @@ class SocketIoSpec extends AnyFunSuite {
   private def eventPayload(content: String, n: Long): DValue =
     DBytes(Drisl.encode(obj("content" -> text(content), "n" -> int(n))))
 
-  test("engine.io handshake advertises polling-only v4 parameters") {
+  test("engine.io handshake advertises the websocket upgrade") {
     val c = new SioClient
     val hs = c.open()
-    assert(hs("upgrades") == Vector())
+    assert(hs("upgrades") == Vector("websocket"))
     assert(hs("pingInterval") == 25000L && hs("pingTimeout") == 20000L)
+  }
+
+  // ---------------- mini websocket client (JDK java.net.http) ----------------
+  // The JDK's RFC 6455 client implementation independently validates the
+  // server's hand-rolled handshake + framing: any accept-key or frame
+  // encoding bug fails the buildAsync/join, not just our own reader.
+
+  private class WsClient(sid: Option[String]) {
+    import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
+    val texts = new LinkedBlockingQueue[String]
+    val bins = new LinkedBlockingQueue[Array[Byte]]
+    private val sb = new StringBuilder
+    private val bb = new java.io.ByteArrayOutputStream
+    private val listener = new java.net.http.WebSocket.Listener {
+      override def onText(w: java.net.http.WebSocket, data: CharSequence,
+          last: Boolean): java.util.concurrent.CompletionStage[_] = {
+        sb.append(data)
+        if (last) { texts.add(sb.toString); sb.setLength(0) }
+        w.request(1); null
+      }
+      override def onBinary(w: java.net.http.WebSocket, data: java.nio.ByteBuffer,
+          last: Boolean): java.util.concurrent.CompletionStage[_] = {
+        val a = new Array[Byte](data.remaining()); data.get(a); bb.write(a)
+        if (last) { bins.add(bb.toByteArray); bb.reset() }
+        w.request(1); null
+      }
+    }
+    val ws: java.net.http.WebSocket = HttpClient.newHttpClient()
+      .newWebSocketBuilder()
+      .buildAsync(URI.create(
+        s"ws://127.0.0.1:${server.boundPort}/socket.io/?EIO=4&transport=websocket" +
+          sid.map(s => s"&sid=$s").getOrElse("")), listener)
+      .join()
+    def sendText(s: String): Unit = ws.sendText(s, true).join()
+    def sendSio(pkt: Map[String, Any]): Unit =
+      ws.sendBinary(java.nio.ByteBuffer.wrap(Msgpack.encode(pkt)), true).join()
+    def nextText(): String = {
+      val t = texts.poll(15, TimeUnit.SECONDS)
+      assert(t != null, "timed out waiting for a websocket text frame")
+      t
+    }
+    def nextSio(): Map[String, Any] = {
+      val b = bins.poll(15, TimeUnit.SECONDS)
+      assert(b != null, "timed out waiting for a websocket binary frame")
+      Msgpack.decode(b).asInstanceOf[Map[String, Any]]
+    }
+    val events = mutable.Queue.empty[Vector[Any]]
+    /** EVENT-with-ack over the socket; buffers interleaved EVENT pushes. */
+    def emitWithAck(name: String, args: DValue, id: Long): Any = {
+      sendSio(Map("type" -> 2L, "nsp" -> "/", "id" -> id,
+        "data" -> Vector(name, Drisl.encode(args))))
+      while (true) {
+        val pkt = nextSio()
+        pkt("type") match {
+          case 3L if pkt.get("id").contains(id) =>
+            val data = pkt("data").asInstanceOf[Vector[Any]]
+            return dToAny(Drisl.decode(data(0).asInstanceOf[Array[Byte]]))
+          case 2L => events += pkt("data").asInstanceOf[Vector[Any]]
+          case _ =>
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+    def awaitEvent(name: String): Vector[Any] = {
+      events.dequeueFirst(_.headOption.contains(name)).foreach(return _)
+      while (true) {
+        val pkt = nextSio()
+        if (pkt("type") == 2L) {
+          val data = pkt("data").asInstanceOf[Vector[Any]]
+          if (data.headOption.contains(name)) return data
+          events += data
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+  }
+
+  test("websocket upgrade: probe, switch, full journey, subscription push") {
+    // start on polling, authenticate there (the TS client's default order)
+    val c = new SioClient
+    val hs = c.open()
+    assert(hs("upgrades") == Vector("websocket"))
+    c.sendSio(Map("type" -> 0L, "nsp" -> "/",
+      "data" -> Map("token" -> "testtoken")))
+    c.poll()
+    // engine.io upgrade dance on the SAME session
+    val w = new WsClient(Some(c.sid))
+    w.sendText("2probe")
+    assert(w.nextText() == "3probe", "probe must answer 3probe on the socket")
+    w.sendText("5") // upgrade: delivery switches to this socket
+    // the whole RPC journey now rides the websocket
+    val cid = assertOk(w.emitWithAck("module/upload",
+      obj("module" -> wireModule), 1L)).asInstanceOf[Map[String, Any]]("moduleCid")
+    val sid2 = assertOk(w.emitWithAck("stream/create",
+      obj("moduleCid" -> text(cid.toString.stripPrefix("cid:"))), 2L))
+      .asInstanceOf[Map[String, Any]]("streamDid").toString
+    assertOk(w.emitWithAck("stream/event_batch", obj(
+      "streamDid" -> text(sid2),
+      "events" -> arr(eventPayload("ws-one", 1))), 3L))
+    val rows = assertOk(w.emitWithAck("stream/query", obj(
+      "streamDid" -> text(sid2),
+      "query" -> obj("name" -> text("list"))), 4L)).asInstanceOf[Vector[Any]]
+    assert(rows.size == 1)
+    val subId = assertOk(w.emitWithAck("stream/subscribe_events", obj(
+      "streamDid" -> text(sid2),
+      "query" -> obj("name" -> text("list"))), 5L))
+      .asInstanceOf[Map[String, Any]]("subscriptionId").toString
+    // a new event must be PUSHED over the websocket, unpolled
+    assertOk(w.emitWithAck("stream/event_batch", obj(
+      "streamDid" -> text(sid2),
+      "events" -> arr(eventPayload("ws-two", 2))), 6L))
+    val push = w.awaitEvent("stream/subscription_response")
+    val resp = dToAny(Drisl.decode(push(1).asInstanceOf[Array[Byte]]))
+      .asInstanceOf[Map[String, Any]]
+    assert(resp("subscriptionId").toString == subId)
+    val ok = resp("response").asInstanceOf[Map[String, Any]]("Ok")
+      .asInstanceOf[Map[String, Any]]
+    assert(ok("rows").asInstanceOf[Vector[Any]].nonEmpty)
+    w.ws.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "done").join()
+  }
+
+  test("fresh websocket session: no polling round at all") {
+    val w = new WsClient(None)
+    val open = w.nextText()
+    assert(open.startsWith("0"), s"expected open packet, got: $open")
+    val hs = Json.parse(open.drop(1)).asInstanceOf[Map[String, Any]]
+    assert(hs("upgrades") == Vector(), "already on websocket: nothing to upgrade to")
+    w.sendSio(Map("type" -> 0L, "nsp" -> "/",
+      "data" -> Map("token" -> "testtoken")))
+    // CONNECT ack then the authenticated event, all over the socket
+    assert(w.nextSio()("type") == 0L)
+    val auth = w.awaitEvent("authenticated")
+    assert(auth.lift(1).map(_.asInstanceOf[Map[String, Any]]("did").toString)
+      .contains(serverDid))
+    val exists = assertOk(w.emitWithAck("module/exists",
+      obj("moduleCid" -> text(Cid.render(Cid.ofValue(text("nope"))))), 1L))
+    assert(exists.asInstanceOf[Map[String, Any]]("moduleExists") == false)
+    w.ws.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "done").join()
   }
 
   test("full TypeScript-client journey over the wire protocol") {
