@@ -87,6 +87,29 @@ object Corpus {
   private val ssCaches = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
+  /** Bloom sizing, derived from the eval-set gram count with integer
+    * thresholds only (no float logs — both engines must agree exactly):
+    * the smallest p in [16,24] with 2^p >= 10n, i.e. ~10 bits per
+    * inserted gram. */
+  private[queries] def bloomLog2m(n: Long): Int = {
+    var p = 16
+    while (p < 24 && (1L << p) < 10L * n) p += 1
+    p
+  }
+  // thresholds are floor(2^p / 10): p applies iff n <= that
+  private[queries] val bloomLog2mSql =
+    "(CASE WHEN n <= 6553 THEN 16 WHEN n <= 13107 THEN 17 " +
+      "WHEN n <= 26214 THEN 18 WHEN n <= 52428 THEN 19 " +
+      "WHEN n <= 104857 THEN 20 WHEN n <= 209715 THEN 21 " +
+      "WHEN n <= 419430 THEN 22 WHEN n <= 838860 THEN 23 ELSE 24 END)"
+
+  /** k = floor(ln2 * m / n) = (693 * m DIV n) DIV 1000, clamped to [2,7] —
+    * exact integer arithmetic (693 * 2^24 is far below Long overflow). */
+  private[queries] def bloomK(m: Long, n: Long): Int =
+    math.min(7L, math.max(2L, (693L * m / n) / 1000L)).toInt
+  private[queries] val bloomKSql =
+    "LEAST(7, GREATEST(2, ((693 * m) // n) // 1000))"
+
   val all: Map[String, Q] = Map(
 
     // ---- TF-IDF top-3 keywords per document ----
@@ -239,11 +262,20 @@ object Corpus {
               |FROM nw LEFT JOIN nd ON nw.doc_id = nd.doc_id
               |ORDER BY nw.doc_id""".stripMargin)),
 
-    // ---- Bloom-filter decontamination (m = 2^16 bits, k = 3) ----
+    // ---- Bloom-filter decontamination (derived m, k) ----
     // n_flagged counts train grams whose k bits are all set (Bloom
     // positive); n_exact is true membership on the same gram pass —
     // flagged ⊇ exact always (no false negatives), and the gap is the
-    // FP overshoot.
+    // FP overshoot. The filter SIZE is derived from the eval-set gram
+    // count the way the embedding quantizer derives its cell width:
+    // m = 2^p with the smallest p in [16,24] giving ~10 bits per inserted
+    // gram (integer thresholds, no float logs), k = floor(ln2 * m / n)
+    // clamped to [2,7] in exact integer arithmetic — so the FP rate stays
+    // ~1% as the benchmark suite grows instead of saturating a fixed
+    // 2^16 filter, while the bit set stays broadcastable (2^24 bits =
+    // 2MB as a bitmap; here the set of SET bits is what ships, bounded
+    // by k * n_eval longs). Both engines derive identical (m, k) from
+    // the same count, so the gate stays hash-exact.
     "q_decontaminate_bloom" -> Q(
       (s, dir) => {
         val d = docs(s, dir).select(col("doc_id"), trim(col("text")).as("t"))
@@ -251,14 +283,22 @@ object Corpus {
         val g = grams20(s, d)
         val evalG = g.filter(col("doc_id") % 97 === 0).select("h").distinct()
         val trainG = g.filter(col("doc_id") % 97 =!= 0).distinct()
-        def bitsOf(h: Column) = array(h % 65536,
-          shiftright(h, 16) % 65536, shiftright(h, 32) % 65536)
+        val nEval = math.max(1L, evalG.count())
+        val m = 1L << Corpus.bloomLog2m(nEval)
+        val k = Corpus.bloomK(m, nEval)
+        // k bit positions per gram: shifted-xor mixes of the 60-bit hash
+        // (j+1 so the j=0 mix is not xor(h,h)=0). A gram is Bloom-positive
+        // iff EVERY probe index j hits a set bit — count(distinct j), so a
+        // within-gram bit collision neither double-counts nor undercounts
+        def bitsOf(h: Column) = array((0 until k).map(j =>
+          shiftright(h, 7 * (j + 1)).bitwiseXOR(h) % m): _*)
         val bits = evalG.select(explode(bitsOf(col("h"))).as("b")).distinct()
         val flagged = trainG
-          .select(col("doc_id"), col("h"), explode(bitsOf(col("h"))).as("b"))
+          .select(col("doc_id"), col("h"),
+            posexplode(bitsOf(col("h"))).as(Seq("j", "b")))
           .join(broadcast(bits), "b")
-          .groupBy("doc_id", "h").agg(count(lit(1)).as("k"))
-          .filter(col("k") === 3)
+          .groupBy("doc_id", "h").agg(countDistinct(col("j")).as("hits"))
+          .filter(col("hits") === k)
           .groupBy("doc_id").agg(count(lit(1)).as("n_flagged"))
         val exact = trainG.join(evalG, "h")
           .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
@@ -270,12 +310,21 @@ object Corpus {
       Some(s"""WITH $grams20Sql,
               |evalg AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0),
               |traing AS (SELECT DISTINCT doc_id, h FROM g WHERE doc_id % 97 != 0),
-              |bits AS (SELECT DISTINCT unnest([h % 65536, (h >> 16) % 65536,
-              |                                 (h >> 32) % 65536]) AS b FROM evalg),
-              |tb AS (SELECT doc_id, h, unnest([h % 65536, (h >> 16) % 65536,
-              |                                 (h >> 32) % 65536]) AS b FROM traing),
+              |p AS (
+              |  SELECT n, m, ${Corpus.bloomKSql} AS k
+              |  FROM (SELECT n, (1::BIGINT << ${Corpus.bloomLog2mSql}) AS m
+              |        FROM (SELECT GREATEST(1, count(*)) AS n FROM evalg))),
+              |bits AS (
+              |  SELECT DISTINCT xor(h >> (7*(j+1)), h) % m AS b
+              |  FROM evalg, p, (SELECT unnest(generate_series(0, 6)) AS j)
+              |  WHERE j < k),
+              |tb AS (
+              |  SELECT doc_id, h, j, k, xor(h >> (7*(j+1)), h) % m AS b
+              |  FROM traing, p, (SELECT unnest(generate_series(0, 6)) AS j)
+              |  WHERE j < k),
               |hit AS (SELECT doc_id, h FROM tb JOIN bits USING (b)
-              |        GROUP BY doc_id, h HAVING count(*) = 3),
+              |        GROUP BY doc_id, h
+              |        HAVING count(DISTINCT j) = max(k)),
               |fl AS (SELECT doc_id, count(*) AS n_flagged FROM hit GROUP BY 1),
               |ex AS (SELECT doc_id, count(*) AS n_exact
               |       FROM traing JOIN evalg USING (h) GROUP BY 1)

@@ -74,14 +74,36 @@ object Dedup {
        |  SELECT doc_id, substr(trim(text), unnest(generate_series(1, length(trim(text))-${n - 1}, $stride)), $n) AS sh
        |  FROM corpus WHERE length(trim(text)) >= $n)""".stripMargin
 
-  private val K = 6 // minhash signature width; banded 2 x 3 for LSH
+  // minhash signature width; the LSH banding over it is DERIVED from the
+  // corpus size (see lshRowsPerBand) — K=12 factors as 4x3, 3x4, and 2x6,
+  // so every derived (bands, rows) split uses the whole signature or a
+  // contiguous prefix of it
+  private val K = 12
+
+  /** Rows per LSH band, derived from the corpus size the way the embedding
+    * quantizer derives its cell width: more docs → stricter bands (longer
+    * row runs), so the candidate-pair volume stays verify-bounded instead
+    * of growing with n² x a fixed collision rate. Integer thresholds so the
+    * oracle derives the IDENTICAL value from count(*) with a CASE — no
+    * float logs anywhere. Bands = K / r (4, 3, 2, 2 as n grows);
+    * candidate recall at the 0.9 Jaccard gate: 0.995 / 0.96 / 0.83 / 0.78.
+    */
+  private[queries] def lshRowsPerBand(n: Long): Int =
+    if (n < 4096L) 3 else if (n < 131072L) 4 else if (n < 4194304L) 5 else 6
+
+  private[queries] val lshRowsPerBandSql =
+    "CASE WHEN n < 4096 THEN 3 WHEN n < 131072 THEN 4 " +
+      "WHEN n < 4194304 THEN 5 ELSE 6 END"
 
   /** Fixed 60-bit XOR constants acting as the K minhash "permutations"
     * over the shingle-hash space (deterministic, oracle-replicable). */
   private def xorConst(k: Int): Long =
     Seq(0L, 0x5bd1e995L * 2654435761L, 0x9e3779b97f4a7c15L >>> 4,
       0x2545f4914f6cdd1dL >>> 4, 0x27d4eb2f165667c5L >>> 4,
-      0x165667b19e3779f9L >>> 4)(k) & 0x0fffffffffffffffL
+      0x165667b19e3779f9L >>> 4, 0x85ebca6b0c2b2ae3L >>> 4,
+      0xc2b2ae3d27d4eb4fL >>> 4, 0x94d049bb133111ebL >>> 4,
+      0xbf58476d1ce4e5b9L >>> 4, 0xff51afd7ed558ccdL >>> 4,
+      0xc4ceb9fe1a85ec53L >>> 4)(k) & 0x0fffffffffffffffL
 
   /** One-pass MinHash signatures via the typed Aggregator (O(K) buffer,
     * map-side partial aggregation) over scan-time-hashed shingles. */
@@ -155,13 +177,18 @@ object Dedup {
         val sigCols = (0 until K).map(k =>
           array_min(transform(col("shs"), v => v.bitwiseXOR(lit(xorConst(k))))).as(s"h$k"))
         val sg = shArr.select((col("doc_id") +: sigCols): _*)
+        // banding is corpus-size-derived: r rows per band, b = K/r bands
+        // (the count is one cheap action over the already-persisted shArr)
+        val r = lshRowsPerBand(corpus(s, dir).count())
+        val b = K / r
         // bands is NOT persisted: each self-join side recomputes it as a
         // pure in-row map over the cached shArr — cheaper than the extra
         // materialization action, and race-free because the expensive
         // upstream is already pinned
-        val bands = sg.select(col("doc_id"), posexplode(array(
-            md5(concat_ws("|", col("h0"), col("h1"), col("h2"))),
-            md5(concat_ws("|", col("h3"), col("h4"), col("h5"))))).as(Seq("band_id", "bh")))
+        val bandCols = (0 until b).map(i =>
+          md5(concat_ws("|", (i * r until (i + 1) * r).map(k => col(s"h$k")): _*)))
+        val bands = sg.select(col("doc_id"),
+          posexplode(array(bandCols: _*)).as(Seq("band_id", "bh")))
         val cand = bands.as("x").join(bands.as("y"),
             col("x.band_id") === col("y.band_id") && col("x.bh") === col("y.bh") &&
               col("x.doc_id") < col("y.doc_id"))
@@ -201,9 +228,16 @@ object Dedup {
               |sig AS (
               |  SELECT doc_id, ${(0 until K).map(k => s"min(xor(h, ${xorConst(k)})) AS h$k").mkString(", ")}
               |  FROM dsh GROUP BY doc_id),
+              |p AS (
+              |  SELECT n, $lshRowsPerBandSql AS r
+              |  FROM (SELECT count(*) AS n FROM corpus)),
+              |sigl AS (
+              |  SELECT doc_id, [${(0 until K).map(k => s"h$k").mkString(", ")}] AS sl FROM sig),
               |bands AS (
-              |  SELECT doc_id, 0 AS band_id, md5(h0 || '|' || h1 || '|' || h2) AS bh FROM sig
-              |  UNION ALL SELECT doc_id, 1, md5(h3 || '|' || h4 || '|' || h5) FROM sig),
+              |  SELECT doc_id, i AS band_id,
+              |    md5(array_to_string(sl[i*r+1 : i*r+r], '|')) AS bh
+              |  FROM sigl, p, (SELECT unnest(generate_series(0, ${K / 2 - 1})) AS i)
+              |  WHERE i < $K // r),
               |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y
               |         ON x.band_id = y.band_id AND x.bh = y.bh AND x.doc_id < y.doc_id),
               |sz AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY 1),

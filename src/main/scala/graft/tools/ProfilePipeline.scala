@@ -26,33 +26,53 @@ object ProfilePipeline {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val dir = TempDirs.create("graft-scaleprof").toString
+    val dir = sys.env.getOrElse("GRAFT_SCALE_DIR",
+      TempDirs.create("graft-scaleprof").toString)
+    val skew = sys.env.getOrElse("GRAFT_SKEW", "0").toInt
     val d = Tables.df(spark, base, "documents")
     val docN = d.agg(max("doc_id")).head.getLong(0) + 1
     val reps = spark.range(mult).select(col("id").as("r"))
-    // each replica rewrites most characters (alphabet rotation keyed by r),
-    // so cross-replica shingle overlap is ~zero and the base corpus's dup
-    // structure repeats N times WITHOUT replicas near-duplicating each
-    // other (a suffix salt leaves Jaccard ≈ 1 and manufactures O(N²)
-    // true pairs per base doc — output-bound, not a scaling signal)
+    // each replica rewrites most characters (a distinct alphabet
+    // permutation keyed by r), so cross-replica shingle overlap is ~zero
+    // and the base corpus's dup structure repeats N times WITHOUT replicas
+    // near-duplicating each other (a suffix salt leaves Jaccard ≈ 1 and
+    // manufactures O(N²) true pairs per base doc — output-bound, not a
+    // scaling signal)
     val alpha = "abcdefghijklmnopqrst"
-    // the rotation is the whole point: replicas r and r+|alpha| would
-    // apply the IDENTICAL translate and manufacture exact cross-replica
-    // dups, inflating the dedup curves the tool exists to measure
-    require(mult >= 1 && mult <= alpha.length,
-      s"GRAFT_REPLICATE must be in [1, ${alpha.length}] (got $mult); " +
+    // distinct permutations: rotations of the alphabet, then rotations of
+    // the REVERSED alphabet — 2·|alpha| total. Replicas must never share a
+    // permutation, or the translate manufactures exact cross-replica dups
+    // and inflates the dedup curves the tool exists to measure.
+    require(mult >= 1 && mult <= 2 * alpha.length,
+      s"GRAFT_REPLICATE must be in [1, ${2 * alpha.length}] (got $mult); " +
         "extend the rotation alphabet for more replicas")
-    val whens = (0 until mult).map { r =>
-      val rot = alpha.drop(r % alpha.length) + alpha.take(r % alpha.length)
-      when(col("r") === r, translate(col("text"), alpha, rot))
+    def perm(r: Int): String = {
+      val base = if (r < alpha.length) alpha else alpha.reverse
+      val k = r % alpha.length
+      base.drop(k) + base.take(k)
     }
+    val whens = (0 until mult).map(r =>
+      when(col("r") === r, translate(col("text"), alpha, perm(r))))
     val salted = whens.init.foldRight(whens.last: org.apache.spark.sql.Column)(
       (w, acc) => w.otherwise(acc))
-    d.crossJoin(reps)
+    val replicated = d.crossJoin(reps)
       .select((col("doc_id") + col("r") * docN).as("doc_id"),
         coalesce(salted, col("text")).as("text"),
         col("lang"), col("source"), col("n_chars"))
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // optional adversarial skew: ONE boilerplate text duplicated `skew`
+    // times (the mega dup group of a web crawl) appended after the
+    // replicas — the dedup family must complete with flat per-task memory,
+    // never buffering the group in one aggregation state
+    val boiler = "this page is a mirror of the original content " * 4
+    val withSkew =
+      if (skew == 0) replicated
+      else replicated.unionByName(
+        spark.range(skew).select(
+          (col("id") + lit(mult.toLong * docN)).as("doc_id"),
+          lit(boiler).as("text"), lit("en").as("lang"),
+          lit("boilerplate").as("source"),
+          lit(boiler.length.toLong).as("n_chars")))
+    withSkew.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val e = Tables.df(spark, base, "embeddings")
     val vecN = e.agg(max("vec_id")).head.getLong(0) + 1
     e.crossJoin(reps)

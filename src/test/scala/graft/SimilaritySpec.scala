@@ -47,4 +47,54 @@ class SimilaritySpec extends AnyFunSuite {
       }
     }
   }
+
+  /** CLUSTERED synthetic corpus: 10 tight label clusters (center from
+    * hash(label, dim), noise amplitude 0.15 of unit center scale) — the
+    * real-world embedding geometry the isotropic driver table can't
+    * provide, making recall MEASURABLE instead of scan-fraction-bound.
+    * Deterministic: centers and noise are pure hash functions, no RNG. */
+  private lazy val clusteredDir: String = {
+    import org.apache.spark.sql.functions._
+    val d = graft.TempDirs.create("graft-clustered").toString
+    spark.range(2000)
+      .select(col("id").as("vec_id"), (col("id") % 10).cast("int").as("label"))
+      .select(col("vec_id"), expr(
+        "transform(sequence(0, 63), i -> CAST(" +
+          "(pmod(hash(label, i), 2001) - 1000) / 1000.0 + " +
+          "(pmod(hash(vec_id, i, 7), 201) - 100) / 100.0 * 0.15 AS FLOAT))")
+        .as("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private def clusteredIds(name: String): Seq[Long] =
+    SparkEntry.queries(name)(spark, clusteredDir).collect()
+      .map(_.getLong(0)).toSeq
+
+  test("clustered corpus: IVF and LSH recall targets at declared scan fractions") {
+    import org.apache.spark.sql.functions._
+    val truth = clusteredIds("q_knn_brute").toSet
+    assert(truth.size == 10)
+    def recall(name: String): Double =
+      (clusteredIds(name).toSet & truth).size / 10.0
+    val r1 = recall("q_knn_ivf")
+    val r2 = recall("q_knn_ivf2")
+    val rl = recall("q_knn_lsh")
+    // scan fractions: probe-1 reads one cell (~1/10 of the corpus),
+    // probe-2 two cells (~1/5); on clustered data that buys near-total
+    // recall — the declared targets the isotropic table cannot measure
+    info(f"clustered recall@10: ivf=$r1%.2f ivf2=$r2%.2f lsh=$rl%.2f")
+    assert(r1 >= 0.8, f"probe-1 IVF recall $r1%.2f below 0.8 at ~10%% scan")
+    assert(r2 >= 0.9, f"probe-2 IVF recall $r2%.2f below 0.9 at ~20%% scan")
+    assert(r2 >= r1, "probe-2 recall must not fall below probe-1")
+    assert(rl >= 0.5, f"LSH recall $rl%.2f below 0.5")
+    // the probed cell really is ~a tenth of the corpus (the scan-fraction
+    // half of the recall-at-scan-fraction claim)
+    val emb = graft.Tables.df(spark, clusteredDir, "embeddings")
+    val total = emb.count().toDouble
+    val largestCell = emb.groupBy("label").count()
+      .agg(max("count")).head().getLong(0).toDouble
+    assert(largestCell / total <= 0.15,
+      f"largest IVF cell is ${largestCell / total}%.2f of the corpus")
+  }
 }

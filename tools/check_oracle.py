@@ -26,10 +26,16 @@ def norm(v):
 
 
 def main(sf_dir, out_dir):
+    import os
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata are single parquet FILES; Spark-written replicas
+        # (the scale profiler's output) are DIRECTORIES of part files
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
