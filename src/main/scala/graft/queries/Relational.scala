@@ -50,11 +50,16 @@ object Relational {
             count(lit(1)).as("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       },
+      // the final DOUBLE casts hop through VARCHAR: DuckDB's direct
+      // DECIMAL→DOUBLE cast double-rounds once the unscaled value exceeds
+      // 2^53 (hugeint→double, then /10^scale), which surfaces at sf1-scale
+      // sums with scale-6 money products; string parsing is correctly
+      // rounded, matching Spark's (already correctly rounded) cast
       Some(s"""SELECT l_returnflag, l_linestatus,
-              |  CAST(sum(${sqlDec("l_quantity")}) AS DOUBLE) AS sum_qty,
-              |  CAST(sum(${sqlDec("l_extendedprice")}) AS DOUBLE) AS sum_base_price,
-              |  CAST(sum(${sqlDec("l_extendedprice")} * (1 - ${sqlDec("l_discount")})) AS DOUBLE) AS sum_disc_price,
-              |  CAST(sum(${sqlDec("l_extendedprice")} * (1 - ${sqlDec("l_discount")}) * (1 + ${sqlDec("l_tax")})) AS DOUBLE) AS sum_charge,
+              |  CAST(CAST(sum(${sqlDec("l_quantity")}) AS VARCHAR) AS DOUBLE) AS sum_qty,
+              |  CAST(CAST(sum(${sqlDec("l_extendedprice")}) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+              |  CAST(CAST(sum(${sqlDec("l_extendedprice")} * (1 - ${sqlDec("l_discount")})) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+              |  CAST(CAST(sum(${sqlDec("l_extendedprice")} * (1 - ${sqlDec("l_discount")}) * (1 + ${sqlDec("l_tax")})) AS VARCHAR) AS DOUBLE) AS sum_charge,
               |  count(*) AS count_order
               |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
               |GROUP BY l_returnflag, l_linestatus

@@ -584,6 +584,69 @@ class SocketIoSpec extends AnyFunSuite {
     assert(c2.takeEvent("authenticated").isDefined)
   }
 
+  test("hostile websocket bytes never crash the server (fuzz the ws layer)") {
+    val rnd = new scala.util.Random(1337) // deterministic fuzz corpus
+    def rawSocket(): java.net.Socket =
+      new java.net.Socket("127.0.0.1", server.boundPort)
+    // 1. upgrade request with no Sec-WebSocket-Key: orderly 400, no hang
+    locally {
+      val s = rawSocket()
+      s.getOutputStream.write(
+        ("GET /socket.io/?EIO=4&transport=websocket HTTP/1.1\r\n" +
+          "Host: x\r\nUpgrade: websocket\r\nConnection: Upgrade\r\n\r\n").getBytes("UTF-8"))
+      val line = new String(s.getInputStream.readNBytes(12), "UTF-8")
+      assert(line.contains("400"), s"want 400, got: $line")
+      s.close()
+    }
+    // 2. valid handshake then garbage frame bytes (including UNMASKED
+    // frames, which RFC 6455 requires the server to refuse): the
+    // connection must die cleanly, the server must survive
+    (1 to 10).foreach { i =>
+      val s = rawSocket()
+      s.setSoTimeout(5000)
+      s.getOutputStream.write(
+        ("GET /socket.io/?EIO=4&transport=websocket HTTP/1.1\r\n" +
+          "Host: x\r\nUpgrade: websocket\r\nConnection: Upgrade\r\n" +
+          "Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n\r\n").getBytes("UTF-8"))
+      // swallow the 101 + open-packet frame, then write garbage
+      Thread.sleep(50)
+      s.getInputStream.skip(s.getInputStream.available())
+      val garbage = Array.fill(20 + rnd.nextInt(100))(rnd.nextInt(256).toByte)
+      if (i % 2 == 0) { garbage(0) = 0x81.toByte; garbage(1) = 0x05 } // unmasked text
+      try {
+        s.getOutputStream.write(garbage)
+        s.getOutputStream.flush()
+        // server either closes or keeps the socket; both are orderly
+        s.getInputStream.read()
+      } catch { case _: Exception => } // reset is an acceptable outcome
+      finally s.close()
+    }
+    // 3. a frame claiming a 2GB payload must be refused, not buffered
+    locally {
+      val s = rawSocket()
+      s.setSoTimeout(5000)
+      s.getOutputStream.write(
+        ("GET /socket.io/?EIO=4&transport=websocket HTTP/1.1\r\n" +
+          "Host: x\r\nUpgrade: websocket\r\nConnection: Upgrade\r\n" +
+          "Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n\r\n").getBytes("UTF-8"))
+      Thread.sleep(50)
+      s.getInputStream.skip(s.getInputStream.available())
+      // FIN+binary, masked, 64-bit length = 2^31
+      s.getOutputStream.write(Array[Byte](0x82.toByte, 0xff.toByte,
+        0, 0, 0, 0, 0x80.toByte, 0, 0, 0, 1, 2, 3, 4))
+      s.getOutputStream.flush()
+      try s.getInputStream.read() catch { case _: Exception => }
+      s.close()
+    }
+    // the server is still fully functional afterwards, on both transports
+    val c = new SioClient
+    c.connect(Some("testtoken"))
+    assert(c.takeEvent("authenticated").isDefined)
+    val w = new WsClient(None)
+    assert(w.nextText().startsWith("0"))
+    w.ws.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "done").join()
+  }
+
   test("module CID aliasing survives a server restart (persisted sidecar)") {
     val c1 = new SioClient
     c1.connect(Some("testtoken"))

@@ -36,6 +36,18 @@ def main(sf_dir, out_dir):
             path = f"{path}/*.parquet"
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    # replicated events (BuildScaledSf/ProfilePipeline) carry ts as raw
+    # BIGINT nanos (Spark cannot write TIMESTAMP(NANOS) parquet); the
+    # driver testdata reads as TIMESTAMP_NS. Normalize to the same
+    # micros-precision TIMESTAMP the oracle SQL expects.
+    ts_type = con.execute("DESCRIBE SELECT ts FROM events").fetchall()[0][1]
+    if ts_type == "BIGINT":
+        con.execute("CREATE OR REPLACE VIEW events AS "
+                    "SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
+                    "FROM read_parquet('" +
+                    (f"{sf_dir}/events.parquet/*.parquet"
+                     if os.path.isdir(f"{sf_dir}/events.parquet")
+                     else f"{sf_dir}/events.parquet") + "')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
