@@ -507,6 +507,9 @@ class SocketIoTransport(srv: LeafServer,
       // engine's canonical encoding. The alias persists as a sidecar next
       // to the blob so client CID equality survives a server restart.
       srv.store.recordModuleAlias(Cid.render(wireCid), internalCid)
+      // stash the client's own encoding: reference-format backup export
+      // ships module blobs byte-identical to what was uploaded
+      srv.store.recordWireModule(Cid.render(wireCid), Drisl.encode(moduleD))
       (ok(obj("moduleCid" -> DCid(wireCid))), None)
 
     case "module/exists" =>

@@ -244,6 +244,60 @@ object BackupService {
   import graft.drisl.{Cid, Drisl, DValue}
   import DValue._
 
+  private val ModuleArchiveExt = ".module.drisl.zstd"
+
+  /** The wire module encoding (camelCase, queries as a list) — what the
+    * shipped TypeScript client uploads and content-addresses
+    * (clients/typescript/src/codec.ts:12-30); reference buckets store
+    * module blobs in exactly this shape. */
+  def moduleToWire(m: ModuleDef): DValue = obj(
+    "$type" -> DText("muni.town.leaf.module.basic.v0"),
+    "initSql" -> DText(m.initSql),
+    "authorizer" -> DText(m.authorizer),
+    "materializer" -> DText(m.materializer),
+    "stateInitSql" -> DText(m.stateInitSql),
+    "stateMaterializer" -> DText(m.stateMaterializer),
+    "queries" -> DArray(m.queries.toVector.sortBy(_._1).map { case (name, q) =>
+      obj("name" -> DText(name), "sql" -> DText(q.sql),
+        "params" -> DArray(q.params.toVector.map(p => obj(
+          "name" -> DText(p.name),
+          "kind" -> DText(p.kind.toString.stripPrefix("P").toLowerCase),
+          "optional" -> DBool(p.optional)))))
+    }))
+
+  def moduleFromWire(d: DValue): ModuleDef = d match {
+    case DMap(m) =>
+      def s(k: String) = m.get(k).collect { case DText(t) => t }.getOrElse("")
+      val tpe = m.get("$type").collect { case DText(t) => t }
+        .getOrElse("muni.town.leaf.module.basic.v0")
+      require(tpe == "muni.town.leaf.module.basic.v0",
+        s"unsupported module codec: $tpe")
+      val queries = m.get("queries").collect { case DArray(qs) =>
+        qs.collect { case DMap(qm) =>
+          val params = qm.get("params").collect { case DArray(ps) =>
+            ps.collect { case DMap(pm) =>
+              ParamDef(
+                pm.get("name").collect { case DText(t) => t }.getOrElse(""),
+                pm.get("kind").collect { case DText(t) => t }.getOrElse("any") match {
+                  case "integer" => ParamKind.PInteger
+                  case "real" => ParamKind.PReal
+                  case "text" => ParamKind.PText
+                  case "blob" => ParamKind.PBlob
+                  case _ => ParamKind.PAny
+                },
+                pm.get("optional").contains(DBool(true)))
+            }
+          }.getOrElse(Vector.empty)
+          qm.get("name").collect { case DText(t) => t }.getOrElse("") ->
+            QueryDef(qm.get("sql").collect { case DText(t) => t }.getOrElse(""),
+              params)
+        }.toMap
+      }.getOrElse(Map.empty[String, QueryDef])
+      ModuleDef(s("initSql"), s("authorizer"), s("materializer"),
+        s("stateInitSql"), s("stateMaterializer"), queries)
+    case other => throw new IllegalArgumentException(s"module blob is not a map: $other")
+  }
+
   /** Incrementally export the stream's events as reference-format
     * `{start}-{end}.events.drisl.zstd` archives plus `metadata.drisl`
     * under `destRoot/streams/{id}/`. Returns the newly written ranges. */
@@ -282,15 +336,38 @@ object BackupService {
       written += ((lo, hi))
       lo = hi + 1
     }
-    // metadata.drisl: the module CID is the stream's wire-format module id
-    // when one is known, else the internal content address (reference
-    // module blobs are engine-specific, so the module BODY is not
-    // exported); no key material leaves the server. An ownerless call
-    // preserves the owners already archived — the sweep path passes no
-    // owners and must not clobber what the server layer recorded.
-    val moduleCid = h.currentModuleCid
-      .map(c => h.store.wireAliasFor(c).getOrElse(c))
-      .map(c => DCid(Cid.parse(c)))
+    // module blob: reference buckets carry modules/{cid}.module.drisl.zstd
+    // in the WIRE encoding (storage.rs:660-673). Ship the client's stashed
+    // upload bytes when the module arrived over the wire (byte-identical,
+    // so the client's content address still verifies), else wire-encode
+    // the module here — either way metadata.module_cid names the blob and
+    // a restore installs it. No key material leaves the server. An
+    // ownerless call preserves the owners already archived — the sweep
+    // path passes no owners and must not clobber what the server recorded.
+    val moduleCid = h.currentModule.map { m =>
+      val (wireCid, bytes) = h.currentModuleCid
+        .flatMap(c => h.store.wireAliasFor(c))
+        .flatMap(wc => h.store.wireModuleBytes(wc).map(wc -> _))
+        .getOrElse {
+          val b = Drisl.encode(moduleToWire(m))
+          (Cid.render(Cid.of(b)), b)
+        }
+      val modDir = new HPath(root, "modules")
+      fs.mkdirs(modDir)
+      val blobPath = new HPath(modDir, s"$wireCid$ModuleArchiveExt")
+      if (!fs.exists(blobPath)) writeBytes(fs, blobPath, zstdCompress(bytes))
+      DCid(Cid.parse(wireCid))
+    }
+    // state snapshots: state events bypass the log, so replay cannot
+    // rebuild state_* tables. The reference ships a vacuumed sqlite
+    // `state.db.zstd` (engine-specific); this engine ships parquet
+    // snapshots under `state/` and lists them via an EXTRA metadata key —
+    // serde ignores unknown struct fields, so a reference restore still
+    // reads the archive chain and metadata untouched.
+    val stateTables = h.stateTableNames.toVector
+    stateTables.foreach(t =>
+      h.tableDF(t).write.mode(SaveMode.Overwrite)
+        .parquet(new HPath(dir, s"state/$t").toString))
     val metaPath = new HPath(dir, "metadata.drisl")
     val effOwners =
       if (owners.nonEmpty || !fs.exists(metaPath)) owners.toVector
@@ -303,12 +380,13 @@ object BackupService {
       "did" -> DText(h.id),
       "did_key" -> DNull,
       "owners" -> DArray(effOwners.map(DText(_))),
-      "module_cid" -> moduleCid.getOrElse(DNull))))
+      "module_cid" -> moduleCid.getOrElse(DNull),
+      "state_tables" -> DArray(stateTables.map(DText(_))))))
     written.result()
   }
 
   case class ReferenceMeta(did: String, owners: Vector[String],
-      moduleCid: Option[String])
+      moduleCid: Option[String], stateTables: Vector[String] = Vector.empty)
 
   /** Restore a reference-format archive chain from
     * `srcRoot/streams/{srcId}/` into the fresh stream `newId`. The chain
@@ -322,6 +400,25 @@ object BackupService {
     val (fs, root) = fsFor(h, srcRoot)
     val dir = referenceStreamDir(root, srcId)
     require(fs.exists(dir), s"no reference archive at $dir")
+    // install the bucket's module blobs first (the reference's restore
+    // order, storage.rs:867-878): wire-decode → register → alias, so the
+    // stream metadata's wire CID resolves locally before replay
+    val modDir = new HPath(root, "modules")
+    if (fs.exists(modDir)) fs.listStatus(modDir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(ModuleArchiveExt)) {
+        val wireCid = n.stripSuffix(ModuleArchiveExt)
+        try {
+          val bytes = zstdDecompress(readBytes(fs, st.getPath))
+          val internal = store.registerModule(moduleFromWire(Drisl.decode(bytes)))
+          store.recordModuleAlias(wireCid, internal)
+          store.recordWireModule(wireCid, bytes)
+        } catch {
+          case e: Exception => org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"skipping undecodable module blob $n: ${e.getMessage}")
+        }
+      }
+    }
     val meta = Drisl.decode(readBytes(fs, new HPath(dir, "metadata.drisl"))) match {
       case DMap(m) =>
         val did = m.get("did").collect { case DText(t) => t }.getOrElse(srcId)
@@ -331,7 +428,9 @@ object BackupService {
           did,
           m.get("owners").collect { case DArray(os) =>
             os.collect { case DText(o) => o } }.getOrElse(Vector.empty),
-          m.get("module_cid").collect { case DCid(b) => Cid.render(b) })
+          m.get("module_cid").collect { case DCid(b) => Cid.render(b) },
+          m.get("state_tables").collect { case DArray(ts) =>
+            ts.collect { case DText(t) => t } }.getOrElse(Vector.empty))
       case other => throw new IllegalArgumentException(
         s"metadata.drisl is not a map: $other")
     }
@@ -370,6 +469,11 @@ object BackupService {
       // contiguity row-wise and replays the module over the new events
       h.bulkImport(store.spark.createDataFrame(rows, StreamStore.eventSchema))
     }
+    // reinstate the parquet state snapshots this engine's export records
+    // (state events bypass the log; a reference-written bucket simply has
+    // no such key and this loop is empty)
+    meta.stateTables.foreach(t => h.restoreStateTable(t,
+      store.spark.read.parquet(new HPath(dir, s"state/$t").toString)))
     (h, meta)
   }
 

@@ -107,6 +107,26 @@ class StreamStore(val spark: SparkSession, val root: String,
     if (Files.exists(f)) Some(new String(Files.readAllBytes(f), UTF_8)) else None
   }
 
+  /** Stash the client's own DRISL encoding of an uploaded module next to
+    * its alias — reference backup buckets carry module blobs in exactly
+    * this encoding (`modules/{cid}.module.drisl.zstd`), so export can ship
+    * the byte-identical blob the client content-addressed. */
+  def recordWireModule(wireCid: String, bytes: Array[Byte]): Unit = synchronized {
+    Files.createDirectories(modulesDir)
+    val f = modulesDir.resolve(wireCid + ".wire")
+    if (!Files.exists(f)) {
+      val tmp = modulesDir.resolve(wireCid + ".wire.tmp")
+      Files.write(tmp, bytes)
+      Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  def wireModuleBytes(wireCid: String): Option[Array[Byte]] = synchronized {
+    val f = modulesDir.resolve(wireCid + ".wire")
+    if (Files.exists(f)) Some(Files.readAllBytes(f)) else None
+  }
+
   /** Reverse lookup (internal → wire) for surfacing the client's own CID
     * in stream/info; a directory scan, fine at module-count scale. */
   def wireAliasFor(internalCid: String): Option[String] = synchronized {
@@ -175,6 +195,16 @@ class StreamStore(val spark: SparkSession, val root: String,
           new String(Files.readAllBytes(p), UTF_8) + ".json"))).toList
       finally aliases.close()
     orphaned.foreach(Files.deleteIfExists(_))
+    // wire-encoding stashes follow their alias (one tick behind)
+    val wires = Files.list(modulesDir)
+    val wireOrphans =
+      try wires.iterator().asScala
+        .filter(_.toString.endsWith(".wire"))
+        .filter(p => Files.getLastModifiedTime(p).toMillis < staleBefore)
+        .filterNot(p => Files.exists(modulesDir.resolve(
+          p.getFileName.toString.stripSuffix(".wire") + ".alias"))).toList
+      finally wires.close()
+    wireOrphans.foreach(Files.deleteIfExists(_))
     dead.size
   }
 

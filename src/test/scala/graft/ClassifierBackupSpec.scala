@@ -242,6 +242,8 @@ class ClassifierBackupSpec extends AnyFunSuite {
     val h = store.open("did:test:refarc")
     h.setModule(module)
     h.addEvents((1 to 7).map(i => IncomingEvent(s"u$i", payload(s"m$i", i))))
+    // state events bypass the log — the export must snapshot them
+    assert(h.addStateEvents(Seq(IncomingEvent("ann", payload("flagR")))).isRight)
     val dirP = graft.TempDirs.create("graft-refarc")
     val dir = "file:" + dirP
     // chunked export: 7 events at chunk 3 -> objects 1-3, 4-6, 7-7
@@ -260,14 +262,32 @@ class ClassifierBackupSpec extends AnyFunSuite {
     assert(java.nio.file.Files.getLastModifiedTime(
       sdir.resolve("1-3.events.drisl.zstd")) == before,
       "incremental export must not rewrite prior archives")
-    // import the chain into a fresh stream: events replay through the
-    // module, and the decoded metadata carries the owners
+    // the bucket must carry the module blob in wire encoding
+    val wireBytes = {
+      val mods = java.nio.file.Files.list(dirP.resolve("modules"))
+      val blobs = try mods.iterator().asScala
+        .filterNot(_.getFileName.toString.startsWith("."))  // hadoop .crc
+        .toVector finally mods.close()
+      assert(blobs.size == 1 &&
+        blobs.head.getFileName.toString.endsWith(".module.drisl.zstd"))
+      java.nio.file.Files.readAllBytes(blobs.head)
+    }
+    assert(wireBytes.nonEmpty)
+    // import the chain into a FRESH store (no pre-registered module): the
+    // module must install from the bucket blob, then events replay
+    val store2 = new StreamStore(spark,
+      graft.TempDirs.create("graft-refarc-restore").toString)
     val (r, meta) = BackupService.importReference(
-      store, "did:test:refarc-restored", dir, h.id)
+      store2, "did:test:refarc-restored", dir, h.id)
     assert(r.latest == 8L)
     assert(meta.owners == Vector("did:plc:owner1"))
+    assert(r.currentModule.map(_.cid) == Some(module.cid),
+      "module must round-trip through the wire blob with identical content")
     assert(r.queryTagged(None, LeafQuery("list")).map(_("content")) ==
       (1 to 8).map(i => SqlValue.SqlText(s"m$i")).toVector)
+    assert(r.tableDF("state_flags").collect()
+      .map(x => (x.getString(0), x.getString(1))).toSeq == Seq(("ann", "flagR")),
+      "state snapshot must be reinstated from the archive")
     // signatures survive byte-for-byte (the archive carries them verbatim)
     val sigs = h.rawGetEvents(1, 8).select("idx", "signature").collect()
       .map(x => x.getLong(0) -> x.getAs[Array[Byte]](1).toSeq).toMap
@@ -297,14 +317,27 @@ class ClassifierBackupSpec extends AnyFunSuite {
           "signature" -> graft.drisl.DValue.DBytes(Array[Byte](i.toByte))))))))
     java.nio.file.Files.write(sdir.resolve("1-2.events.drisl.zstd"), archive(1, 2))
     java.nio.file.Files.write(sdir.resolve("3-4.events.drisl.zstd"), archive(3, 4))
+    // a module blob in the bucket's wire encoding, named by its CID —
+    // import must install it and attach it via the metadata CID
+    val wireModBytes = Drisl.encode(BackupService.moduleToWire(module))
+    val wireModCid = graft.drisl.Cid.render(graft.drisl.Cid.of(wireModBytes))
+    val mdir = dirP.resolve("modules")
+    java.nio.file.Files.createDirectories(mdir)
+    java.nio.file.Files.write(mdir.resolve(s"$wireModCid.module.drisl.zstd"), zstd(wireModBytes))
     java.nio.file.Files.write(sdir.resolve("metadata.drisl"), Drisl.encode(obj(
       "did" -> text("did:test:fromref"),
       "did_key" -> graft.drisl.DValue.DNull,
       "owners" -> graft.drisl.DValue.DArray(Vector(text("did:plc:refowner"))),
-      "module_cid" -> graft.drisl.DValue.DNull)))
+      "module_cid" -> graft.drisl.DValue.DCid(graft.drisl.Cid.parse(wireModCid)))))
+    val freshStore = new StreamStore(spark,
+      graft.TempDirs.create("graft-fromref-store").toString)
     val (r, meta) = BackupService.importReference(
-      store, "did:test:fromref-local", "file:" + dirP, "did:test:fromref")
+      freshStore, "did:test:fromref-local", "file:" + dirP, "did:test:fromref")
     assert(r.latest == 4L && meta.owners == Vector("did:plc:refowner"))
+    assert(meta.moduleCid == Some(wireModCid))
+    // the module installed from the blob and replayed the imported events
+    assert(r.currentModule.map(_.cid) == Some(module.cid))
+    assert(r.queryTagged(None, LeafQuery("list")).size == 4)
     val got = r.rawGetEvents(1, 4).collect().map(x =>
       (x.getLong(0), x.getString(1))).toSeq
     assert(got == (1 to 4).map(i => (i.toLong, s"ref$i")))
