@@ -76,6 +76,7 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     serverDid: String = "did:graft:server",
     plc: Option[LocalPlcDirectory] = None,
     backupDest: Option[String] = None,
+    backupReferenceFormat: Boolean = false,
     backupSweepMs: Long = 60 * 1000L,
     blobGcMs: Long = 500 * 1000L,
     blobGcMinAgeMs: Long = 500 * 1000L) {
@@ -675,10 +676,17 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
         lifecycleLog.warn(s"module blob GC failed: ${t.getMessage}") },
       blobGcMs, blobGcMs, TimeUnit.MILLISECONDS)
     backupDest.foreach { dest =>
+      // native = parquet ranges under dest/streams/{id} (restorable by
+      // BackupService.restore); reference = the reference server's own
+      // bucket layout (events.drisl.zstd chains + module blobs), so the
+      // sweep target is a bucket the reference could restore from
       exec.scheduleWithFixedDelay(() =>
         try store.listStreams().foreach { id =>
-          try BackupService.backup(store.open(id), s"$dest/streams/$id")
-          catch { case t: Throwable =>
+          try {
+            val h = store.open(id)
+            if (backupReferenceFormat) BackupService.exportReference(h, dest)
+            else BackupService.backup(h, s"$dest/streams/$id")
+          } catch { case t: Throwable =>
             lifecycleLog.warn(s"backup sweep of $id failed: ${t.getMessage}") }
         }
         catch { case t: Throwable =>

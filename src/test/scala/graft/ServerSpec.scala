@@ -459,6 +459,50 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("boot sweep can write reference-format buckets") {
+    val lstore = new StreamStore(spark,
+      graft.TempDirs.create("graft-refsweep").toString)
+    val dest = graft.TempDirs.create("graft-refsweep-bak")
+    val srv = new LeafServer(lstore, 0, authToken = Some("testtoken"),
+      backupDest = Some("file:" + dest), backupReferenceFormat = true,
+      backupSweepMs = 250)
+    srv.start()
+    try {
+      def lpost(path: String, body: Map[String, Any]): Map[String, Any] = {
+        val b = HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${srv.boundPort}$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(Json.render(body)))
+          .header("Authorization", "Bearer testtoken")
+        Json.parse(client.send(b.build(),
+          HttpResponse.BodyHandlers.ofString()).body()).asInstanceOf[Map[String, Any]]
+      }
+      def lok(r: Map[String, Any]) = {
+        assert(!r.contains("err"), r.toString)
+        r("ok").asInstanceOf[Map[String, Any]]
+      }
+      val cid = lok(lpost("/module/upload", Map("module" -> Map(
+        "init_sql" -> "CREATE TABLE IF NOT EXISTS notes (idx BIGINT) USING PARQUET",
+        "materializer" -> "INSERT INTO notes SELECT idx FROM event"))))("cid").toString
+      val sid = lok(lpost("/stream/create", Map(
+        "id" -> "did:graft:refswept", "module_cid" -> cid)))("id").toString
+      lok(lpost("/stream/event_batch", Map("id" -> sid, "events" ->
+        Vector(Map("user" -> "u", "payload_b64" -> payload("rs", 1))))))
+      val archive = dest.resolve(s"streams/$sid/1-1.events.drisl.zstd")
+      val deadline = System.nanoTime + 30L * 1000000000L
+      while (!java.nio.file.Files.exists(archive) && System.nanoTime < deadline)
+        Thread.sleep(100)
+      assert(java.nio.file.Files.exists(archive),
+        "the sweep must write a reference-format event archive unprompted")
+      assert(java.nio.file.Files.exists(dest.resolve(s"streams/$sid/metadata.drisl")))
+      // ...and the bucket restores into a fresh store, module included
+      val rstore = new StreamStore(spark,
+        graft.TempDirs.create("graft-refsweep-restore").toString)
+      val (r, _) = graft.stream.BackupService.importReference(
+        rstore, "did:graft:refswept-restored", "file:" + dest, sid)
+      assert(r.latest == 1L && r.currentModule.isDefined)
+    } finally srv.stop()
+  }
+
   test("slow consumer: delivery buffer is capped and resumes after a poll") {
     val tight = new LeafServer(store, 0, authToken = Some("testtoken"),
       maxBufferedDeliveries = 3)
