@@ -168,6 +168,31 @@ object LeafOps {
              |  CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total
              |FROM events GROUP BY 1 ORDER BY etype""".stripMargin)),
 
+    // ---- A17 interop: the REFERENCE bucket layout round-trips — export
+    // the demo stream as {start}-{end}.events.drisl.zstd chains + wire
+    // module blob + metadata, import into a FRESH store (module installs
+    // from the bucket), and the restored stream's query must equal the
+    // oracle aggregate over the source rows ----
+    "leaf_backup_reference" -> Relational.Q(
+      (s, dir) => {
+        val h = streams.synchronized {
+          streams.getOrElseUpdate((s, dir, "bakref"), {
+            val src = demo(s, dir)
+            val bak = "file:" +
+              graft.TempDirs.create("graft-leafops-refbak")
+            BackupService.exportReference(src, bak, chunkEvents = 4000)
+            val store = new StreamStore(s,
+              graft.TempDirs.create("graft-leafops").toString)
+            BackupService.importReference(
+              store, "did:graft:ref-restored", bak, src.id)._1
+          })
+        }
+        h.query(None, LeafQuery("by_type"))
+      },
+      Some("""SELECT event_type AS etype, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total
+             |FROM events GROUP BY 1 ORDER BY etype""".stripMargin)),
+
     // ---- A10: raw range scan, file-pruned by idx min/max stats ----
     "leaf_raw_scan" -> Relational.Q(
       (s, dir) => demo(s, dir).rawGetEvents(101, 150)
