@@ -74,6 +74,22 @@ object Dedup {
        |  SELECT doc_id, substr(trim(text), unnest(generate_series(1, length(trim(text))-${n - 1}, $stride)), $n) AS sh
        |  FROM corpus WHERE length(trim(text)) >= $n)""".stripMargin
 
+  /** Per-doc sorted distinct 60-bit shingle-hash array, built ENTIRELY
+    * in-row (transform + md5_60 + array_distinct + sort_array): the
+    * grouping key is the doc itself, so exploding shingles through a
+    * groupBy shuffle just to rebuild per-doc arrays is a pure waste —
+    * this shape is map-only, zero exchange, and identical to
+    * sort_array(collect_set(h)) over the exploded rows. */
+  private def shingleHashArr(s: SparkSession, n: Int, stride: Int)(
+      c: DataFrame): DataFrame =
+    c.select(col("doc_id"), trim(col("text")).as("t"))
+      .filter(length(col("t")) >= n)
+      .select(col("doc_id"),
+        sort_array(array_distinct(transform(
+          sequence(lit(1), length(col("t")) - (n - 1), lit(stride)),
+          i => graft.functions.VectorExpressions.md5_60(s, col("t").substr(i, lit(n))))))
+          .as("shs"))
+
   // minhash signature width; the LSH banding over it is DERIVED from the
   // corpus size (see lshRowsPerBand) — K=12 factors as 4x3, 3x4, and 2x6,
   // so every derived (bands, rows) split uses the whole signature or a
@@ -146,9 +162,11 @@ object Dedup {
               |SELECT * FROM sig ORDER BY doc_id""".stripMargin)),
 
     // ---- LSH: band buckets -> candidate pairs -> exact Jaccard verify ----
-    // Shape for scale: shingles hash to 60-bit longs AT SCAN TIME (md5+conv
-    // stay inside codegen), so the one groupBy shuffle moves longs, not
-    // text; minhash "permutations" are XOR with fixed constants — pure
+    // Shape for scale: the per-doc shingle-hash arrays are built ENTIRELY
+    // in-row (shingleHashArr — transform + native md5_60 + distinct +
+    // sort inside one codegen projection), so the signature build is
+    // MAP-ONLY: no shingle ever crosses an exchange, not even as a long;
+    // minhash "permutations" are XOR with fixed constants — pure
     // in-row arithmetic over the per-doc hash array, no re-hashing pass;
     // the band self-join moves only O(docs) signature rows; and the exact
     // Jaccard verify is a broadcast of the sorted long arrays + a
@@ -165,11 +183,7 @@ object Dedup {
         // bounded to one run per (session, corpus) instead of growing with
         // every execution.
         lshCaches.remove((s, dir)).foreach(_.foreach(_.unpersist(false)))
-        val hashed = shingles(corpus(s, dir), 5, stride = 2)
-          .select(col("doc_id"),
-            graft.functions.VectorExpressions.md5_60(s, col("sh")).as("h"))
-        val shArr = hashed
-          .groupBy("doc_id").agg(sort_array(collect_set(col("h"))).as("shs"))
+        val shArr = shingleHashArr(s, 5, stride = 2)(corpus(s, dir))
           .persist()
         shArr.count() // materialize NOW: three consumers below (two broadcast
         // threads + the main stage) would otherwise race to build the cache
@@ -341,19 +355,23 @@ object Dedup {
             col("y.doc_id") === col("x.doc_id") + 1)
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         val cand = clonePairs.unionAll(adjacent)
-        val dsh = shingles(corpus(s, dir), 3).distinct()
-        val sz = dsh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        val inter = cand
-          .join(dsh.as("sa"), col("a") === col("sa.doc_id"))
-          .join(dsh.as("sb"), col("b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+        // per-doc sorted trigram-HASH arrays built in-row (map-only, no
+        // trigram string ever crosses an exchange), then each candidate
+        // pair intersects with the native sorted-merge kernel — the same
+        // verify shape as LSH, replacing two (doc, trigram)-string
+        // shuffle joins with two doc_id joins carrying array payloads
+        graft.functions.VectorExpressions.register(s)
+        val shs = shingleHashArr(s, 3, stride = 1)(corpus(s, dir))
         cand
-          .join(inter, Seq("a", "b"), "left_outer")
-          .join(sz.as("za"), col("a") === col("za.doc_id"))
-          .join(sz.as("zb"), col("b") === col("zb.doc_id"))
+          .join(shs.as("za"), col("a") === col("za.doc_id"))
+          .join(shs.as("zb"), col("b") === col("zb.doc_id"))
           .select(col("a"), col("b"),
-            (coalesce(col("inter"), lit(0L)).cast("double") /
-              (col("za.sz") + col("zb.sz") - coalesce(col("inter"), lit(0L)))).as("jac"))
+            expr("sorted_intersect_count(za.shs, zb.shs)").as("inter"),
+            size(col("za.shs")).cast("long").as("sza"),
+            size(col("zb.shs")).cast("long").as("szb"))
+          .select(col("a"), col("b"),
+            (col("inter").cast("double") /
+              (col("sza") + col("szb") - col("inter"))).as("jac"))
           .orderBy(col("a"), col("b"))
       },
       Some(s"""WITH $corpusSql, ${shinglesSql(3)},
@@ -362,11 +380,12 @@ object Dedup {
               |  UNION ALL
               |  SELECT x.doc_id AS a, y.doc_id AS b FROM documents x JOIN documents y
               |    ON y.doc_id = x.doc_id + 1),
-              |dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+              |dsh AS (SELECT DISTINCT doc_id,
+              |          ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh),
               |sz AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY 1),
               |inter AS (SELECT a, b, count(*) AS inter FROM cand
               |          JOIN dsh sa ON sa.doc_id = a
-              |          JOIN dsh sb ON sb.doc_id = b AND sa.sh = sb.sh
+              |          JOIN dsh sb ON sb.doc_id = b AND sa.h = sb.h
               |          GROUP BY a, b)
               |SELECT c.a, c.b,
               |  CAST(COALESCE(inter, 0) AS DOUBLE)/(za.sz + zb.sz - COALESCE(inter, 0)) AS jac
