@@ -180,7 +180,9 @@ object LeafOps {
             val src = demo(s, dir)
             val bak = "file:" +
               graft.TempDirs.create("graft-leafops-refbak")
-            BackupService.exportReference(src, bak, chunkEvents = 4000)
+            // default chunking: the gate measures the round-trip, not the
+            // chunk loop (ClassifierBackupSpec pins multi-chunk chains)
+            BackupService.exportReference(src, bak)
             val store = new StreamStore(s,
               graft.TempDirs.create("graft-leafops").toString)
             BackupService.importReference(

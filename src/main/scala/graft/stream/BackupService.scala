@@ -203,6 +203,25 @@ object BackupService {
 
   private val EventsArchiveExt = ".events.drisl.zstd"
 
+  /** RFC 8949 shortest-form head for an array (major type 4) — matches the
+    * codec's canonical encoding so hand-assembled containers are
+    * byte-identical to whole-tree encodes. */
+  private def writeCborArrayHead(o: java.io.OutputStream, n: Long): Unit = {
+    val m = 4 << 5
+    if (n < 24) o.write(m | n.toInt)
+    else if (n < 0x100) { o.write(m | 24); o.write(n.toInt) }
+    else if (n < 0x10000) { o.write(m | 25); o.write((n >> 8).toInt); o.write((n & 0xff).toInt) }
+    else if (n < 0x100000000L) {
+      o.write(m | 26)
+      var i = 3
+      while (i >= 0) { o.write(((n >> (i * 8)) & 0xff).toInt); i -= 1 }
+    } else {
+      o.write(m | 27)
+      var i = 7
+      while (i >= 0) { o.write(((n >> (i * 8)) & 0xff).toInt); i -= 1 }
+    }
+  }
+
   private def referenceStreamDir(root: HPath, id: String): HPath =
     new HPath(root, s"streams/$id")
 
@@ -316,22 +335,37 @@ object BackupService {
     var lo = lastBacked + 1
     while (lo <= latest) {
       val hi = math.min(lo + chunkEvents - 1, latest)
-      // min/max parquet stats prune the log read to the new range's files
-      val rows = h.eventsDF.filter(col("idx").between(lo, hi))
+      // min/max parquet stats prune the log read to the new range's files.
+      // Per-event DRISL encoding runs ON THE EXECUTORS — a CBOR array is
+      // just a head + concatenated element encodings, so the driver's
+      // single-threaded share of each archive object is a header write
+      // plus memcpys, not 100k tree encodes. Order is the sort order:
+      // map() preserves it and collect() concatenates partitions in order.
+      import org.apache.spark.sql.Encoders
+      val elems: Array[Array[Byte]] = h.eventsDF
+        .filter(col("idx").between(lo, hi))
         .select(col("idx"), col("user"), col("payload"), col("signature"))
-        .orderBy("idx").collect()
-      require(rows.length == (hi - lo + 1).toInt,
-        s"log range [$lo,$hi] is not contiguous (${rows.length} rows)")
-      val events = DArray(rows.toVector.map { r =>
-        obj(
-          "idx" -> DInt(r.getLong(0)),
-          "user" -> DText(if (r.isNullAt(1)) "" else r.getString(1)),
-          "payload" -> DBytes(
-            if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)),
-          "signature" -> DBytes(
-            if (r.isNullAt(3)) Array.empty[Byte] else r.getAs[Array[Byte]](3)))
-      })
-      val bytes = zstdCompress(Drisl.encode(obj("events" -> events)))
+        .orderBy("idx")
+        .as[(Long, String, Array[Byte], Array[Byte])](Encoders.tuple(
+          Encoders.scalaLong, Encoders.STRING, Encoders.BINARY, Encoders.BINARY))
+        .map { case (i, u, p, sg) => Drisl.encode(obj(
+          "idx" -> DInt(i),
+          "user" -> DText(Option(u).getOrElse("")),
+          "payload" -> DBytes(Option(p).getOrElse(Array.empty[Byte])),
+          "signature" -> DBytes(Option(sg).getOrElse(Array.empty[Byte]))))
+        }(Encoders.BINARY)
+        .collect()
+      require(elems.length == (hi - lo + 1).toInt,
+        s"log range [$lo,$hi] is not contiguous (${elems.length} rows)")
+      // hand-assemble {"events": [...]} — byte-identical to encoding the
+      // whole tree (single map key, so canonical order is trivial)
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(0xa1) // map(1)
+      bos.write(0x66) // text(6)
+      bos.write("events".getBytes(UTF_8))
+      writeCborArrayHead(bos, elems.length.toLong)
+      elems.foreach(bos.write)
+      val bytes = zstdCompress(bos.toByteArray)
       writeBytes(fs, new HPath(dir, s"$lo-$hi$EventsArchiveExt"), bytes)
       written += ((lo, hi))
       lo = hi + 1
@@ -456,7 +490,7 @@ object BackupService {
         case other => throw new IllegalArgumentException(
           s"archive $lo-$hi is not a map: $other")
       }
-      val rows: java.util.List[org.apache.spark.sql.Row] = events.map {
+      val rows = events.map {
         case DMap(e) => org.apache.spark.sql.Row(
           e.get("idx").collect { case DInt(i) => i }.getOrElse(
             throw new IllegalArgumentException("event without idx")),
@@ -464,10 +498,14 @@ object BackupService {
           e.get("payload").collect { case DBytes(b) => b }.getOrElse(Array.empty[Byte]),
           e.get("signature").collect { case DBytes(b) => b }.getOrElse(Array.empty[Byte]))
         case other => throw new IllegalArgumentException(s"non-map event: $other")
-      }.asJava
-      // one bounded-size batch per archive object; bulkImport re-validates
-      // contiguity row-wise and replays the module over the new events
-      h.bulkImport(store.spark.createDataFrame(rows, StreamStore.eventSchema))
+      }
+      // one bounded-size batch per archive object, parallelized so the
+      // staging parquet write is distributed instead of a single local
+      // task; bulkImport re-validates contiguity row-wise and replays the
+      // module over the new events
+      val rdd = store.spark.sparkContext.parallelize(
+        rows, math.max(1, math.min(32, rows.size / 8192)))
+      h.bulkImport(store.spark.createDataFrame(rdd, StreamStore.eventSchema))
     }
     // reinstate the parquet state snapshots this engine's export records
     // (state events bypass the log; a reference-written bucket simply has
