@@ -61,19 +61,24 @@ object Pipeline {
         // FULL rows, text included) and NOT collect_set (a boilerplate
         // string duplicated millions of times in a web crawl would
         // buffer the whole mega-group's id array in ONE aggregation
-        // buffer). Here both shuffles carry only fixed-width (hash, id)
-        // pairs: the min aggregate collapses map-side, and the join
-        // back streams the pair side against one min row per key — a
-        // mega-group costs throughput, never per-task memory.
-        def starEdges(key: org.apache.spark.sql.Column) = {
-          val kv = c.select(key.as("k"), col("doc_id"))
-          val minPerKey = kv.groupBy(col("k")).agg(min(col("doc_id")).as("m"))
-          kv.join(minPerKey, Seq("k"))
-            .filter(col("doc_id") =!= col("m"))
-            .select(col("m").as("a"), col("doc_id").as("b"))
-        }
-        val edges = starEdges(md5(col("text")))
-          .union(starEdges(md5(substring(trim(col("text")), 1, 64))))
+        // buffer). BOTH relations (exact-text and 64-char-prefix) come
+        // from ONE corpus scan — each doc emits its two (relation, hash)
+        // keys in-row — so the build is one scan + one (rel, k) shuffle
+        // + one join, all carrying fixed-width pairs: the min aggregate
+        // collapses map-side, and the join back streams the pair side
+        // against one min row per key — a mega-group costs throughput,
+        // never per-task memory.
+        val pairs = c.select(col("doc_id"),
+            explode(array(
+              struct(lit(0).as("rel"), md5(col("text")).as("k")),
+              struct(lit(1).as("rel"),
+                md5(substring(trim(col("text")), 1, 64)).as("k")))).as("rk"))
+          .select(col("rk.rel").as("rel"), col("rk.k").as("k"), col("doc_id"))
+        val minPerKey = pairs.groupBy(col("rel"), col("k"))
+          .agg(min(col("doc_id")).as("m"))
+        val edges = pairs.join(minPerKey, Seq("rel", "k"))
+          .filter(col("doc_id") =!= col("m"))
+          .select(col("m").as("a"), col("doc_id").as("b"))
           .distinct().persist()
         val und = edges.select(col("a").as("src"), col("b").as("dst"))
           .union(edges.select(col("b").as("src"), col("a").as("dst")))
