@@ -14,13 +14,14 @@ import graft.queries.Relational.Q
   * Scale design (the point of each operator):
   *  - exact:    one hash-shuffle on md5(text) — the trivially-scalable base.
   *  - minhash:  shingle → per-doc signature is a map-side explode + one
-  *              groupBy(doc_id); signatures are tiny (6 hashes/doc), so the
+  *              groupBy(doc_id); signatures are tiny (12 hashes/doc), so the
   *              LSH band self-join shuffles only O(docs) rows, never O(text).
   *  - lsh:      candidate pairs come from band-hash equality (equi-join ⇒
   *              hash-partitioned, no cross product); exact Jaccard runs only
   *              on candidates. At 1000× data the band join stays an
-  *              equi-join; clique skew is handled by raising rows-per-band
-  *              (here 3) — the knob that trades recall for join fan-out.
+  *              equi-join; clique skew is handled by rows-per-band, which
+  *              DERIVES from the corpus count (lshRowsPerBand) — the knob
+  *              that trades recall for join fan-out now turns itself.
   *  - simhash:  per-token 32-bit hash folded bit-wise into per-doc sums —
   *              pure map-side arithmetic + one groupBy; near-dup lookup is
   *              then an equality (or small-Hamming-ball) join on a LONG.
@@ -43,7 +44,7 @@ object Dedup {
 
 
   /** documents + clones: every 10th doc duplicated under doc_id+1e6. */
-  private[queries] def corpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def corpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.df(s, dir, "documents").select(col("doc_id"), col("text"))
     d.unionAll(d.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
@@ -80,7 +81,7 @@ object Dedup {
     * groupBy shuffle just to rebuild per-doc arrays is a pure waste —
     * this shape is map-only, zero exchange, and identical to
     * sort_array(collect_set(h)) over the exploded rows. */
-  private def shingleHashArr(s: SparkSession, n: Int, stride: Int)(
+  private[graft] def shingleHashArr(s: SparkSession, n: Int, stride: Int)(
       c: DataFrame): DataFrame =
     c.select(col("doc_id"), trim(col("text")).as("t"))
       .filter(length(col("t")) >= n)

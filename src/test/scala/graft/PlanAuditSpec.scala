@@ -43,6 +43,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH signature build is map-only: no exchange anywhere in the pass") {
+    // per-doc shingle-hash arrays assemble in-row (transform + md5_60 +
+    // distinct + sort); an Exchange creeping back in means shingles are
+    // being shuffled again — the round-5 regression this pin forbids
+    val plan = graft.queries.Dedup.shingleHashArr(spark, 5, 2)(
+      graft.queries.Dedup.corpus(spark, dir))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"shingle pass shuffles:\n$plan")
+  }
+
   test("knn join's per-query top-k is limited map-side before the shuffle") {
     // InferWindowGroupLimit must split the rank filter into Partial (map
     // side) + Final — without it the qid exchange carries all N·Q scored
