@@ -178,6 +178,134 @@ object Drisl {
     }
   }
 
+  // ---------------- incremental decode (archive import) ----------------
+
+  /** Incremental CBOR reader over an InputStream. The archive-import path
+    * uses this to walk a `{"events": [...]}` object of unbounded length
+    * without materializing it: the caller reads the container heads, then
+    * pulls one element at a time and flushes batches. Unlike the array
+    * decoder above there is no "remaining bytes" to validate lengths
+    * against, so every single-value allocation (text/bytes) is capped at
+    * `maxValueBytes` instead — a forged multi-GB length fails before
+    * allocating, and a truncated stream fails with "CBOR truncated", never
+    * zero-padded data. Container element counts are NOT pre-allocated
+    * (each element costs ≥1 input byte, so memory tracks actual input,
+    * which the caller bounds with a counting wrapper on the raw stream). */
+  final class StreamDecoder(in: java.io.InputStream,
+      maxValueBytes: Int = 64 << 20) {
+    private var depth = 0
+    private def u8(): Int = {
+      val b = in.read()
+      if (b < 0) throw new IllegalArgumentException("CBOR truncated")
+      b
+    }
+    private def take(n: Int): Array[Byte] = {
+      val r = in.readNBytes(n)
+      if (r.length != n) throw new IllegalArgumentException("CBOR truncated")
+      r
+    }
+    private def len(v: Long): Int = {
+      if (v < 0 || v > maxValueBytes)
+        throw new IllegalArgumentException(
+          s"CBOR value length $v exceeds the $maxValueBytes-byte cap")
+      v.toInt
+    }
+    private def descend[A](body: => A): A = {
+      depth += 1
+      if (depth > 128)
+        throw new IllegalArgumentException("CBOR nesting deeper than 128")
+      try body finally depth -= 1
+    }
+    private def readArg(info: Int): Long = info match {
+      case n if n < 24 => n.toLong
+      case 24 => u8().toLong
+      case 25 => (u8() << 8 | u8()).toLong
+      case 26 => ((u8().toLong << 24) | (u8() << 16) | (u8() << 8) | u8())
+      case 27 =>
+        var r = 0L; var i = 0
+        while (i < 8) { r = (r << 8) | u8(); i += 1 }; r
+      case other => throw new IllegalArgumentException(
+        s"indefinite/invalid CBOR head info $other")
+    }
+
+    /** Expect a map head; returns its entry count. */
+    def readMapHead(): Int = {
+      val head = u8()
+      require(head >> 5 == 5, s"expected CBOR map, got major type ${head >> 5}")
+      val n = readArg(head & 0x1f)
+      if (n < 0 || n > Int.MaxValue)
+        throw new IllegalArgumentException(s"CBOR map claims $n entries")
+      n.toInt
+    }
+
+    /** Expect an array head; returns its claimed element count (read that
+      * many values — a lie fails at truncation, not with an allocation). */
+    def readArrayHead(): Long = {
+      val head = u8()
+      require(head >> 5 == 4, s"expected CBOR array, got major type ${head >> 5}")
+      val n = readArg(head & 0x1f)
+      if (n < 0) throw new IllegalArgumentException(s"CBOR array claims $n elements")
+      n
+    }
+
+    /** Expect a text value (a map key). */
+    def readTextKey(): String = readValue() match {
+      case DText(s) => s
+      case other => throw new IllegalArgumentException(s"non-text map key: $other")
+    }
+
+    def readValue(): DValue = {
+      val head = u8()
+      val major = head >> 5
+      val info = head & 0x1f
+      major match {
+        case 0 => DInt(readArg(info))
+        case 1 => DInt(-1L - readArg(info))
+        case 2 => DBytes(take(len(readArg(info))))
+        case 3 => DText(new String(take(len(readArg(info))), UTF_8))
+        case 4 => descend {
+          val n = readArg(info)
+          if (n < 0) throw new IllegalArgumentException(s"CBOR array claims $n elements")
+          val b = Vector.newBuilder[DValue]
+          var i = 0L
+          while (i < n) { b += readValue(); i += 1 }
+          DArray(b.result())
+        }
+        case 5 => descend {
+          val n = readArg(info)
+          if (n < 0) throw new IllegalArgumentException(s"CBOR map claims $n entries")
+          val b = Vector.newBuilder[(String, DValue)]
+          var i = 0L
+          while (i < n) { b += (readTextKey() -> readValue()); i += 1 }
+          DMap(b.result().toMap)
+        }
+        case 6 => descend {
+          val tag = readArg(info)
+          if (tag != 42) throw new IllegalArgumentException(s"unsupported CBOR tag $tag")
+          readValue() match {
+            case DBytes(b) if b.nonEmpty && b(0) == 0 => DCid(b.drop(1))
+            case other => throw new IllegalArgumentException(s"bad CID content: $other")
+          }
+        }
+        case 7 => info match {
+          case 20 => DBool(false)
+          case 21 => DBool(true)
+          case 22 => DNull
+          case 27 =>
+            var r = 0L; var i = 0
+            while (i < 8) { r = (r << 8) | u8(); i += 1 }
+            DFloat(java.lang.Double.longBitsToDouble(r))
+          case 26 =>
+            var r = 0; var i = 0
+            while (i < 4) { r = (r << 8) | u8(); i += 1 }
+            DFloat(java.lang.Float.intBitsToFloat(r).toDouble)
+          case other => throw new IllegalArgumentException(s"unsupported simple value $other")
+        }
+        case other => throw new IllegalArgumentException(s"bad major type $other")
+      }
+    }
+  }
+
   // ---------------- JSON rendering (for Map/Array → SQL text) ----------------
 
   /** Render a DValue as JSON text — the reference converts Map/Array extract

@@ -191,6 +191,35 @@ object Multimodal {
              |  min(doc_id) AS first_id
              |FROM documents GROUP BY 1 ORDER BY fmt""".stripMargin)),
 
+    // ---- decode geometry: the ORACLE-CHECKED slice of the decode gate.
+    // The encoder derives width/height from the seed text's first/last
+    // byte (ImageCodec.encode: 16 + b(0)%24, 16 + b(last)%24) — pure byte
+    // arithmetic the oracle dialect can replicate, even though pixel
+    // decode itself can't be. The Spark side still runs the REAL ImageIO
+    // container parse, so a hash match pins that a genuine PNG/JPEG/BMP
+    // round-trips exactly the geometry the encoder wrote ----
+    "q_mm_decode_dims" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        mediaImages(s, dir).as[Media]
+          .mapPartitions(_.map(ImageCodec.decode))
+          .toDF()
+          .select(col("media_id"), col("fmt"),
+            col("width").cast("int").as("width"),
+            col("height").cast("int").as("height"),
+            col("ok").cast("int").as("ok"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CASE CAST(doc_id % 3 AS INT)
+             |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'bmp' END AS fmt,
+             |  CAST(16 + (CASE WHEN octet_length(encode(text)) = 0 THEN 0
+             |    ELSE ascii(substr(text, 1, 1)) END % 24) AS INT) AS width,
+             |  CAST(16 + (CASE WHEN octet_length(encode(text)) = 0 THEN 0
+             |    ELSE ascii(substr(text, length(text), 1)) END % 24) AS INT) AS height,
+             |  CAST(1 AS INT) AS ok
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
     // ---- decode: per-partition batch container parse (real ImageIO) ----
     "q_mm_decode" -> Q(
       (s, dir) => {

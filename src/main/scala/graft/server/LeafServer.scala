@@ -77,6 +77,11 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     plc: Option[LocalPlcDirectory] = None,
     backupDest: Option[String] = None,
     backupReferenceFormat: Boolean = false,
+    // opt-in: ship each stream's custodied signing key in the bucket's
+    // metadata (the reference's did_key, storage.rs:1076-1081). Off by
+    // default — no key material leaves the server unless the operator
+    // explicitly accepts that a readable bucket can mint signatures.
+    backupExportKeys: Boolean = false,
     backupSweepMs: Long = 60 * 1000L,
     blobGcMs: Long = 500 * 1000L,
     blobGcMinAgeMs: Long = 500 * 1000L) {
@@ -679,13 +684,41 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
       // native = parquet ranges under dest/streams/{id} (restorable by
       // BackupService.restore); reference = the reference server's own
       // bucket layout (events.drisl.zstd chains + module blobs), so the
-      // sweep target is a bucket the reference could restore from
+      // sweep target is a bucket the reference could restore from.
+      //
+      // Staleness probe before open: store.persistedMeta reads the
+      // stream's (latestIdx, stateVer) off disk without constructing a
+      // handle, and a stream already exported at that exact pair is
+      // skipped — otherwise a sweep over thousands of mostly-idle streams
+      // would reopen (and LRU-evict) every hot handle every tick. The
+      // reference's sweep keeps the same books server-side
+      // (events/state/metadata *_backed_up_at columns, storage.rs:680-698).
+      val sweepExported = mutable.Map.empty[String, (Long, Long)]
       exec.scheduleWithFixedDelay(() =>
         try store.listStreams().foreach { id =>
           try {
+            val probe = store.persistedMeta(id)
+            if (probe.isDefined && sweepExported.get(id) == probe) ()
+            else {
             val h = store.open(id)
-            if (backupReferenceFormat) BackupService.exportReference(h, dest)
+            if (backupReferenceFormat)
+              // ship the server's recorded owners — the reference records
+              // did_owners in StreamMetadata (storage.rs:711-717), so an
+              // ownerless export would make a reference-side restore
+              // silently lose stream ownership. Sorted for deterministic
+              // metadata bytes.
+              BackupService.exportReference(h, dest,
+                owners.synchronized(owners.getOrElse(id, Set.empty)).toSeq.sorted,
+                didKey =
+                  if (backupExportKeys)
+                    plc.flatMap(_.custodiedSecret(id))
+                      .map(BackupService.DidKey("K256", _))
+                  else None)
             else BackupService.backup(h, s"$dest/streams/$id")
+            // record what was on disk BEFORE the export: a concurrent
+            // append between probe and export re-sweeps next tick
+            probe.foreach(p => sweepExported(id) = p)
+            }
           } catch { case t: Throwable =>
             lifecycleLog.warn(s"backup sweep of $id failed: ${t.getMessage}") }
         }

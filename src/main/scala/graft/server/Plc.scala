@@ -240,6 +240,31 @@ class LocalPlcDirectory {
       }
     }
 
+  /** The custodied signing-key scalar as 32 big-endian bytes (the shape a
+    * reference bucket's `did_key: {"K256": ...}` carries) — only for the
+    * opt-in key-bearing backup export. */
+  def custodiedSecret(did: String): Option[Array[Byte]] = synchronized {
+    keys.get(did).map { k =>
+      val raw = k.d.toByteArray.dropWhile(_ == 0)
+      require(raw.length <= 32, "secp256k1 scalar wider than 32 bytes")
+      val out = new Array[Byte](32)
+      System.arraycopy(raw, 0, out, 32 - raw.length, raw.length)
+      out
+    }
+  }
+
+  /** Reinstate custody of an imported key (the reference's
+    * create_did-on-restore, storage.rs:933-935). The DID's op log, if it
+    * exists elsewhere, is not rewritten — this only restores the ability
+    * to sign with the key. */
+  def installKey(did: String, secret: Array[Byte]): Unit = synchronized {
+    require(secret.length == 32, s"expected a 32-byte scalar, got ${secret.length}")
+    val d = new BigInteger(1, secret)
+    require(d.signum > 0 && d.compareTo(Secp256k1.n) < 0,
+      "imported key scalar out of curve order")
+    keys(did) = Plc.SigningKey(d)
+  }
+
   def auditLog(did: String): Vector[DMap] = synchronized(logs.getOrElse(did, Vector.empty))
 
   def alsoKnownAs(did: String): Vector[String] = synchronized {

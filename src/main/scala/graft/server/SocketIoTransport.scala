@@ -25,8 +25,10 @@ import graft.drisl.{Cid, Drisl, DValue}
   *     GETs long-poll for packets and POSTs deliver client packets. A
   *     payload is packets joined by 0x1e; a binary packet travels as
   *     `b<base64>`. The server pings (`2`), the client pongs (`3`) —
-  *     the v4 direction. No websocket upgrade is offered (`upgrades: []`,
-  *     which the client honors by staying on polling).
+  *     the v4 direction. The handshake advertises
+  *     `upgrades: ["websocket"]`; `handleWebSocket` serves both a fresh
+  *     `?transport=websocket` connect and the 2probe/3probe/5 upgrade of
+  *     an existing polling session over an RFC 6455 socket (`Ws.scala`).
   *   - Socket.IO v5 packets, each one msgpack map {type, nsp, data, id?}:
   *     CONNECT(0) carries the auth token, EVENT(2) carries
   *     [eventName, drislArgs] with an ack id, ACK(3) answers it with
@@ -296,6 +298,12 @@ class SocketIoTransport(srv: LeafServer,
       wsLock.synchronized(Ws.writeClose(out, 1002)); sock.close(); return
     }
     evictDeadSessions()
+    // ownership is PER CONNECTION: only the socket whose attachWs actually
+    // transitioned the session to ws delivery may tear it down. A second
+    // websocket that opens with the same sid and dies before (or after a
+    // failed) upgrade must leave the owning connection's session alone —
+    // checking sess.wsAttached here would let the interloper destroy it.
+    var ownsDelivery = false
     val sess = q.get("sid") match {
       case Some(sid) => monitor.synchronized(sessions.get(sid)) match {
         case Some(s) => s
@@ -308,7 +316,7 @@ class SocketIoTransport(srv: LeafServer,
         monitor.synchronized { sessions(s.sid) = s }
         // fresh ws session: no further upgrade to offer
         send(Left(openPacket(s.sid, Vector.empty)))
-        attachWs(s, send)
+        ownsDelivery = attachWs(s, send)
         s
     }
     try {
@@ -320,7 +328,7 @@ class SocketIoTransport(srv: LeafServer,
         msg match {
           case Ws.Text("2probe") => send(Left("3probe"))
           case Ws.Text("5") => // upgrade complete: this socket owns delivery
-            attachWs(sess, send)
+            ownsDelivery ||= attachWs(sess, send)
           case Ws.Text(pkt) if pkt.nonEmpty => handleEioPacket(sess, pkt)
           case Ws.Text(_) => // empty frame: ignore
           case Ws.Binary(b) => handleSioPacket(sess, Msgpack.decode(b))
@@ -331,8 +339,9 @@ class SocketIoTransport(srv: LeafServer,
     } catch { case _: Exception => } // broken socket: fall through to cleanup
     finally {
       // the channel dies with the socket (reference semantics) — but only
-      // when this ws OWNED the session; a failed probe leaves polling alone
-      if (monitor.synchronized(sess.wsAttached)) {
+      // when THIS connection owned delivery; a failed probe or an
+      // interloping second socket leaves the live session alone
+      if (ownsDelivery) {
         monitor.synchronized {
           teardown(sess); sessions.remove(sess.sid); monitor.notifyAll()
         }
@@ -345,19 +354,22 @@ class SocketIoTransport(srv: LeafServer,
   /** Switch the session's delivery to the websocket: parked polls flush
     * noop, and a writer thread drains the outbox (ping clock included,
     * exactly the poller's contract — including refilling paused
-    * subscription pumps after each flush). */
+    * subscription pumps after each flush). Returns true iff THIS call
+    * transitioned the session to ws delivery — the caller that gets true
+    * owns the session and is the only one allowed to tear it down. */
   private def attachWs(sess: Session,
-      send: Either[String, Array[Byte]] => Unit): Unit = {
+      send: Either[String, Array[Byte]] => Unit): Boolean = {
     val already = monitor.synchronized {
       val was = sess.wsAttached
       sess.wsAttached = true
       monitor.notifyAll()
       was
     }
-    if (already) return
+    if (already) return false
     val t = new Thread(() => wsWriterLoop(sess, send), s"graft-ws-${sess.sid}")
     t.setDaemon(true)
     t.start()
+    true
   }
 
   private def wsWriterLoop(sess: Session,

@@ -260,6 +260,36 @@ object BackupService {
     try z.readAllBytes() finally z.close()
   }
 
+  /** zstd-bomb guard for whole-object decompression (small objects only —
+    * metadata, module blobs, state snapshots). The event archives never
+    * come through here; they stream through a BoundedInputStream. */
+  private def zstdDecompressBounded(b: Array[Byte], cap: Long): Array[Byte] = {
+    val bounded = new BoundedInputStream(
+      new com.github.luben.zstd.ZstdInputStream(
+        new java.io.ByteArrayInputStream(b)), cap)
+    try bounded.readAllBytes() finally bounded.close()
+  }
+
+  /** Throws once more than `cap` bytes have been read — the guard that
+    * keeps a forged archive (1 KB of zstd claiming a terabyte) from
+    * expanding without limit. */
+  private final class BoundedInputStream(in: java.io.InputStream, cap: Long)
+      extends java.io.InputStream {
+    private var count = 0L
+    private def note(n: Int): Int = {
+      if (n > 0) {
+        count += n
+        if (count > cap) throw new IllegalArgumentException(
+          s"archive decompresses past the $cap-byte cap")
+      }
+      n
+    }
+    override def read(): Int = { val b = in.read(); if (b >= 0) note(1); b }
+    override def read(b: Array[Byte], off: Int, len: Int): Int =
+      note(in.read(b, off, len))
+    override def close(): Unit = in.close()
+  }
+
   import graft.drisl.{Cid, Drisl, DValue}
   import DValue._
 
@@ -317,11 +347,32 @@ object BackupService {
     case other => throw new IllegalArgumentException(s"module blob is not a map: $other")
   }
 
+  /** A stream signing key riding a reference bucket: the reference's
+    * `StreamMetadataDidKey` enum (storage.rs:1083-1090), which serde
+    * serializes externally tagged — `{"P256": <32 bytes>}` or
+    * `{"K256": <32 bytes>}`. */
+  case class DidKey(kind: String, secret: Array[Byte]) {
+    require(kind == "P256" || kind == "K256",
+      s"unsupported did_key kind '$kind' (P256 or K256)")
+    require(secret.length == 32,
+      s"did_key secret must be 32 bytes, got ${secret.length}")
+  }
+
   /** Incrementally export the stream's events as reference-format
     * `{start}-{end}.events.drisl.zstd` archives plus `metadata.drisl`
-    * under `destRoot/streams/{id}/`. Returns the newly written ranges. */
+    * under `destRoot/streams/{id}/`. Returns the newly written ranges.
+    *
+    * `didKey` opts key material INTO the bucket the way the reference's
+    * metadata carries it (storage.rs:1076-1081) so a reference server (or
+    * this one) restoring the bucket signs events again afterwards. The
+    * default None is a deliberate custody stance — backups routinely land
+    * on third-party object stores, and a bucket that can be read must not
+    * mint valid signatures — so a keyless restore imports history but
+    * writes `did_key: null`, exactly the reference's no-key warning path
+    * (storage.rs:936-942). */
   def exportReference(h: StreamHandle, destRoot: String,
-      owners: Seq[String] = Nil, chunkEvents: Int = 100000): Vector[(Long, Long)] = {
+      owners: Seq[String] = Nil, chunkEvents: Int = 100000,
+      didKey: Option[DidKey] = None): Vector[(Long, Long)] = {
     require(chunkEvents > 0, "chunkEvents must be positive")
     val (fs, root) = fsFor(h, destRoot)
     val dir = referenceStreamDir(root, h.id)
@@ -342,21 +393,30 @@ object BackupService {
       // plus memcpys, not 100k tree encodes. Order is the sort order:
       // map() preserves it and collect() concatenates partitions in order.
       import org.apache.spark.sql.Encoders
-      val elems: Array[Array[Byte]] = h.eventsDF
+      val elems: Array[(Long, Array[Byte])] = h.eventsDF
         .filter(col("idx").between(lo, hi))
         .select(col("idx"), col("user"), col("payload"), col("signature"))
         .orderBy("idx")
         .as[(Long, String, Array[Byte], Array[Byte])](Encoders.tuple(
           Encoders.scalaLong, Encoders.STRING, Encoders.BINARY, Encoders.BINARY))
-        .map { case (i, u, p, sg) => Drisl.encode(obj(
+        .map { case (i, u, p, sg) => (i, Drisl.encode(obj(
           "idx" -> DInt(i),
           "user" -> DText(Option(u).getOrElse("")),
           "payload" -> DBytes(Option(p).getOrElse(Array.empty[Byte])),
-          "signature" -> DBytes(Option(sg).getOrElse(Array.empty[Byte]))))
-        }(Encoders.BINARY)
+          "signature" -> DBytes(Option(sg).getOrElse(Array.empty[Byte])))))
+        }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
         .collect()
       require(elems.length == (hi - lo + 1).toInt,
         s"log range [$lo,$hi] is not contiguous (${elems.length} rows)")
+      // positional check: a count match alone passes a duplicate-plus-gap
+      // log (e.g. idx 1,1,3 for [1,3]) and writes a corrupt archive
+      var ei = 0
+      while (ei < elems.length) {
+        require(elems(ei)._1 == lo + ei,
+          s"log range [$lo,$hi] has idx ${elems(ei)._1} at position $ei " +
+            s"(expected ${lo + ei}): duplicate or gap in the log")
+        ei += 1
+      }
       // hand-assemble {"events": [...]} — byte-identical to encoding the
       // whole tree (single map key, so canonical order is trivial)
       val bos = new java.io.ByteArrayOutputStream()
@@ -364,7 +424,7 @@ object BackupService {
       bos.write(0x66) // text(6)
       bos.write("events".getBytes(UTF_8))
       writeCborArrayHead(bos, elems.length.toLong)
-      elems.foreach(bos.write)
+      elems.foreach(e => bos.write(e._2))
       val bytes = zstdCompress(bos.toByteArray)
       writeBytes(fs, new HPath(dir, s"$lo-$hi$EventsArchiveExt"), bytes)
       written += ((lo, hi))
@@ -412,7 +472,8 @@ object BackupService {
       }
     writeBytes(fs, metaPath, Drisl.encode(obj(
       "did" -> DText(h.id),
-      "did_key" -> DNull,
+      "did_key" -> didKey.map(k => obj(k.kind -> DBytes(k.secret)): DValue)
+        .getOrElse(DNull),
       "owners" -> DArray(effOwners.map(DText(_))),
       "module_cid" -> moduleCid.getOrElse(DNull),
       "state_tables" -> DArray(stateTables.map(DText(_))))))
@@ -420,30 +481,85 @@ object BackupService {
   }
 
   case class ReferenceMeta(did: String, owners: Vector[String],
-      moduleCid: Option[String], stateTables: Vector[String] = Vector.empty)
+      moduleCid: Option[String], stateTables: Vector[String] = Vector.empty,
+      didKey: Option[DidKey] = None, importBatches: Int = 0)
 
   /** Restore a reference-format archive chain from
     * `srcRoot/streams/{srcId}/` into the fresh stream `newId`. The chain
     * must be contiguous from idx 1 (the reference's continuity rule);
     * returns the handle plus the decoded stream metadata so the server
-    * layer can reinstate owners. */
+    * layer can reinstate owners (and key custody, when the bucket carries
+    * a `did_key`).
+    *
+    * Memory discipline: the reference's sweep writes ONE archive object
+    * per interval regardless of size (storage.rs:660-760), so a genuine
+    * foreign bucket can hold a multi-million-event object. Each object is
+    * therefore STREAM-decoded — zstd → incremental CBOR reader — and
+    * imported in `batchRows`-event batches; driver allocation is bounded
+    * by one batch, never by the object. `maxDecompressedBytes` caps what
+    * one object may expand to (zstd-bomb guard) and `maxValueBytes` caps
+    * any single decoded value, matching the hardened wire decoders.
+    *
+    * Validation (metadata DID, chain contiguity) runs BEFORE the target
+    * stream is created, and any failure during replay deletes the
+    * partially-created stream — a failed import never leaves an empty or
+    * half-filled stream behind. */
   def importReference(store: StreamStore, newId: String, srcRoot: String,
-      srcId: String): (StreamHandle, ReferenceMeta) = {
-    val h = store.open(newId)
-    require(h.latest == 0, s"restore target $newId is not empty")
-    val (fs, root) = fsFor(h, srcRoot)
+      srcId: String, batchRows: Int = 100000,
+      maxDecompressedBytes: Long = 8L << 30,
+      maxValueBytes: Int = 64 << 20): (StreamHandle, ReferenceMeta) = {
+    require(batchRows > 0, "batchRows must be positive")
+    val root = new HPath(srcRoot)
+    val fs = root.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
     val dir = referenceStreamDir(root, srcId)
     require(fs.exists(dir), s"no reference archive at $dir")
-    // install the bucket's module blobs first (the reference's restore
-    // order, storage.rs:867-878): wire-decode → register → alias, so the
-    // stream metadata's wire CID resolves locally before replay
+    require(!store.exists(newId), s"restore target $newId is not empty")
+    // validate BEFORE creating any stream state (a failed import must not
+    // leave a partially-created stream): metadata decodes, DID matches the
+    // folder, and the range chain is contiguous from idx 1
+    val meta0 = Drisl.decode(zstdIfNeeded(
+      readBytes(fs, new HPath(dir, "metadata.drisl")))) match {
+      case DMap(m) =>
+        val did = m.get("did").collect { case DText(t) => t }.getOrElse(srcId)
+        require(did == srcId,
+          s"stream metadata DID '$did' does not match its folder '$srcId'")
+        val didKey = m.get("did_key") match {
+          case Some(DMap(k)) =>
+            require(k.size == 1, s"malformed did_key: ${k.keys.mkString(",")}")
+            k.head match {
+              case (kind, DBytes(secret)) => Some(DidKey(kind, secret))
+              case (kind, other) => throw new IllegalArgumentException(
+                s"did_key $kind payload is not bytes: $other")
+            }
+          case Some(DNull) | None => None
+          case Some(other) => throw new IllegalArgumentException(
+            s"malformed did_key: $other")
+        }
+        ReferenceMeta(
+          did,
+          m.get("owners").collect { case DArray(os) =>
+            os.collect { case DText(o) => o } }.getOrElse(Vector.empty),
+          m.get("module_cid").collect { case DCid(b) => Cid.render(b) },
+          m.get("state_tables").collect { case DArray(ts) =>
+            ts.collect { case DText(t) => t } }.getOrElse(Vector.empty),
+          didKey)
+      case other => throw new IllegalArgumentException(
+        s"metadata.drisl is not a map: $other")
+    }
+    val ranges = validateChain(listReferenceRanges(fs, dir))
+    require(ranges.nonEmpty, s"reference archive at $dir has no event ranges")
+    // install the bucket's module blobs (the reference's restore order,
+    // storage.rs:867-878): wire-decode → register → alias, so the stream
+    // metadata's wire CID resolves locally before replay. Store-level,
+    // content-addressed, GC-collected if unreferenced — safe before open.
     val modDir = new HPath(root, "modules")
     if (fs.exists(modDir)) fs.listStatus(modDir).foreach { st =>
       val n = st.getPath.getName
       if (n.endsWith(ModuleArchiveExt)) {
         val wireCid = n.stripSuffix(ModuleArchiveExt)
         try {
-          val bytes = zstdDecompress(readBytes(fs, st.getPath))
+          val bytes = zstdDecompressBounded(
+            readBytes(fs, st.getPath), maxDecompressedBytes)
           val internal = store.registerModule(moduleFromWire(Drisl.decode(bytes)))
           store.recordModuleAlias(wireCid, internal)
           store.recordWireModule(wireCid, bytes)
@@ -453,66 +569,193 @@ object BackupService {
         }
       }
     }
-    val meta = Drisl.decode(readBytes(fs, new HPath(dir, "metadata.drisl"))) match {
-      case DMap(m) =>
-        val did = m.get("did").collect { case DText(t) => t }.getOrElse(srcId)
-        require(did == srcId,
-          s"stream metadata DID '$did' does not match its folder '$srcId'")
-        ReferenceMeta(
-          did,
-          m.get("owners").collect { case DArray(os) =>
-            os.collect { case DText(o) => o } }.getOrElse(Vector.empty),
-          m.get("module_cid").collect { case DCid(b) => Cid.render(b) },
-          m.get("state_tables").collect { case DArray(ts) =>
-            ts.collect { case DText(t) => t } }.getOrElse(Vector.empty))
-      case other => throw new IllegalArgumentException(
-        s"metadata.drisl is not a map: $other")
-    }
-    // install the module BEFORE replay when its CID resolves in this
-    // store's registry (the reference restores the module blob by CID
-    // first for the same reason: import must materialize as it goes)
-    meta.moduleCid.foreach { c =>
-      store.module(c).orElse(store.moduleAlias(c).flatMap(store.module))
-        .foreach(h.setModule)
-    }
-    val ranges = validateChain(listReferenceRanges(fs, dir))
-    require(ranges.nonEmpty, s"reference archive at $dir has no event ranges")
-    import scala.jdk.CollectionConverters._
-    ranges.foreach { case (lo, hi) =>
-      val decoded = Drisl.decode(zstdDecompress(
-        readBytes(fs, new HPath(dir, s"$lo-$hi$EventsArchiveExt"))))
-      val events = decoded match {
-        case DMap(m) => m.get("events") match {
-          case Some(DArray(es)) => es
-          case _ => throw new IllegalArgumentException(
-            s"archive $lo-$hi has no events array")
+    val h = store.open(newId)
+    var batches = 0
+    try {
+      require(h.latest == 0, s"restore target $newId is not empty")
+      // install the module BEFORE replay when its CID resolves in this
+      // store's registry (the reference restores the module blob by CID
+      // first for the same reason: import must materialize as it goes)
+      meta0.moduleCid.foreach { c =>
+        store.module(c).orElse(store.moduleAlias(c).flatMap(store.module))
+          .foreach(h.setModule)
+      }
+      ranges.foreach { case (lo, hi) =>
+        batches += importArchiveObject(store, h, fs,
+          new HPath(dir, s"$lo-$hi$EventsArchiveExt"), lo, hi,
+          batchRows, maxDecompressedBytes, maxValueBytes)
+      }
+      restoreState(store, h, fs, dir, meta0, maxDecompressedBytes)
+      // reinstate append-signing with the bucket's key: our engine's
+      // signing discipline is the per-batch HMAC (A2'), keyed by the
+      // stream key — a key-bearing bucket restores to a stream whose
+      // appends verify again, the reference's create_did-on-restore path
+      meta0.didKey.foreach(k => h.setSigningKey(k.secret))
+    } catch {
+      case t: Throwable =>
+        // undo the partial creation — an import that failed validation
+        // mid-replay must not leave an empty/half-filled stream behind
+        try store.dropStream(newId) catch {
+          case e: Exception => org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"cleanup of failed import $newId failed: ${e.getMessage}")
         }
-        case other => throw new IllegalArgumentException(
-          s"archive $lo-$hi is not a map: $other")
-      }
-      val rows = events.map {
-        case DMap(e) => org.apache.spark.sql.Row(
-          e.get("idx").collect { case DInt(i) => i }.getOrElse(
-            throw new IllegalArgumentException("event without idx")),
-          e.get("user").collect { case DText(u) => u }.getOrElse(""),
-          e.get("payload").collect { case DBytes(b) => b }.getOrElse(Array.empty[Byte]),
-          e.get("signature").collect { case DBytes(b) => b }.getOrElse(Array.empty[Byte]))
-        case other => throw new IllegalArgumentException(s"non-map event: $other")
-      }
-      // one bounded-size batch per archive object, parallelized so the
-      // staging parquet write is distributed instead of a single local
-      // task; bulkImport re-validates contiguity row-wise and replays the
-      // module over the new events
-      val rdd = store.spark.sparkContext.parallelize(
-        rows, math.max(1, math.min(32, rows.size / 8192)))
-      h.bulkImport(store.spark.createDataFrame(rdd, StreamStore.eventSchema))
+        throw t
     }
-    // reinstate the parquet state snapshots this engine's export records
-    // (state events bypass the log; a reference-written bucket simply has
-    // no such key and this loop is empty)
-    meta.stateTables.foreach(t => h.restoreStateTable(t,
-      store.spark.read.parquet(new HPath(dir, s"state/$t").toString)))
-    (h, meta)
+    (h, meta0.copy(importBatches = batches))
+  }
+
+  /** Accept both raw and zstd-wrapped metadata bytes: the reference writes
+    * `metadata.drisl` uncompressed, but tolerate a compressed variant. */
+  private def zstdIfNeeded(b: Array[Byte]): Array[Byte] =
+    if (b.length >= 4 && (b(0) & 0xff) == 0x28 && (b(1) & 0xff) == 0xb5 &&
+      (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd) zstdDecompress(b)
+    else b
+
+  /** Stream one `{start}-{end}.events.drisl.zstd` object into the stream
+    * in bounded batches. Returns the number of batches applied. Validates
+    * per-event idx against the expected position — a gap or duplicate
+    * INSIDE the object fails here with a precise message rather than a
+    * generic contiguity error after a partial batch. */
+  private def importArchiveObject(store: StreamStore, h: StreamHandle,
+      fs: FileSystem, path: HPath, lo: Long, hi: Long, batchRows: Int,
+      maxDecompressedBytes: Long, maxValueBytes: Int): Int = {
+    val raw = fs.open(path)
+    try {
+      val dec = new Drisl.StreamDecoder(
+        new BoundedInputStream(
+          new com.github.luben.zstd.ZstdInputStream(
+            new java.io.BufferedInputStream(raw, 1 << 16)),
+          maxDecompressedBytes),
+        maxValueBytes)
+      val entries = dec.readMapHead()
+      var batches = 0
+      var seenEvents = false
+      val batch = new scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.sql.Row](math.min(batchRows, 1 << 16))
+      def flush(): Unit = if (batch.nonEmpty) {
+        // parallelize so the staging parquet write is distributed instead
+        // of a single local task; bulkImport re-validates contiguity and
+        // replays the module over the new events before the next batch
+        // is decoded — driver holds at most one batch of rows at a time
+        val rows = batch.toVector
+        batch.clear()
+        val rdd = store.spark.sparkContext.parallelize(
+          rows, math.max(1, math.min(32, rows.size / 8192)))
+        h.bulkImport(store.spark.createDataFrame(rdd, StreamStore.eventSchema))
+        batches += 1
+      }
+      var entry = 0
+      while (entry < entries) {
+        val key = dec.readTextKey()
+        if (key == "events") {
+          seenEvents = true
+          val n = dec.readArrayHead()
+          require(n == hi - lo + 1,
+            s"archive $lo-$hi claims $n events for ${hi - lo + 1} idx slots")
+          var expect = lo
+          var i = 0L
+          while (i < n) {
+            dec.readValue() match {
+              case DMap(e) =>
+                val idx = e.get("idx").collect { case DInt(x) => x }.getOrElse(
+                  throw new IllegalArgumentException(
+                    s"archive $lo-$hi: event without idx"))
+                require(idx == expect,
+                  s"archive $lo-$hi has idx $idx where $expect was expected " +
+                    "(gap or duplicate inside the object)")
+                expect += 1
+                batch += org.apache.spark.sql.Row(
+                  idx,
+                  e.get("user").collect { case DText(u) => u }.getOrElse(""),
+                  e.get("payload").collect { case DBytes(b) => b }
+                    .getOrElse(Array.empty[Byte]),
+                  e.get("signature").collect { case DBytes(b) => b }
+                    .getOrElse(Array.empty[Byte]))
+                if (batch.size >= batchRows) flush()
+              case other => throw new IllegalArgumentException(
+                s"archive $lo-$hi: non-map event: $other")
+            }
+            i += 1
+          }
+        } else dec.readValue() // tolerate unknown envelope keys
+        entry += 1
+      }
+      require(seenEvents, s"archive $lo-$hi has no events array")
+      flush()
+      batches
+    } finally raw.close()
+  }
+
+  /** Reinstate stream state from the bucket. Two formats: this engine's
+    * parquet snapshots (listed in the metadata's `state_tables` key), or
+    * the reference's `state.db.zstd` — a vacuumed SQLite file
+    * (storage.rs:781-815) parsed by [[SqliteFile]] into the module's
+    * `state_*` tables. Restore-or-reject: a state snapshot that cannot be
+    * fully mapped onto the module's state DDL raises, which unwinds the
+    * whole import — never a silent partial restore. */
+  private def restoreState(store: StreamStore, h: StreamHandle,
+      fs: FileSystem, dir: HPath, meta: ReferenceMeta,
+      maxDecompressedBytes: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (meta.stateTables.nonEmpty) {
+      meta.stateTables.foreach(t => h.restoreStateTable(t,
+        store.spark.read.parquet(new HPath(dir, s"state/$t").toString)))
+      return
+    }
+    val stateDb = new HPath(dir, "state.db.zstd")
+    if (!fs.exists(stateDb)) return
+    val tables = SqliteFile.parse(zstdDecompressBounded(
+      readBytes(fs, stateDb), maxDecompressedBytes))
+    val stateNames = h.stateTableNames.toSet
+    tables.foreach { t =>
+      require(stateNames.contains(t.name),
+        s"state.db.zstd contains table '${t.name}' that the module's state " +
+          s"DDL does not declare (module state tables: " +
+          s"${if (stateNames.isEmpty) "<none — is a module installed?>"
+            else stateNames.mkString(", ")}) — refusing a partial state restore")
+    }
+    tables.foreach { t =>
+      val target = h.tableDF(t.name).schema
+      val byName = t.columns.map(_.name.toLowerCase).zipWithIndex.toMap
+      target.fields.foreach(f => require(byName.contains(f.name.toLowerCase),
+        s"state.db.zstd table '${t.name}' lacks column '${f.name}' that the " +
+          "module's state DDL declares — refusing a partial state restore"))
+      val rows = t.rows.map { r =>
+        org.apache.spark.sql.Row.fromSeq(target.fields.toSeq.map { f =>
+          coerceSqlite(r(byName(f.name.toLowerCase)), f.dataType, t.name, f.name)
+        })
+      }
+      h.restoreStateTable(t.name,
+        store.spark.createDataFrame(rows.asJava, target))
+    }
+  }
+
+  /** SQLite storage classes → the Spark state-table schema. SQLite columns
+    * are dynamically typed, so integer-vs-real coercions are routine; a
+    * genuinely unmappable value (text in a numeric column) raises. */
+  private def coerceSqlite(v: Any, dt: org.apache.spark.sql.types.DataType,
+      table: String, col: String): Any = {
+    import org.apache.spark.sql.types._
+    (v, dt) match {
+      case (null, _) => null
+      case (l: java.lang.Long, LongType) => l
+      case (l: java.lang.Long, IntegerType) => java.lang.Integer.valueOf(l.intValue)
+      case (l: java.lang.Long, ShortType) => java.lang.Short.valueOf(l.shortValue)
+      case (l: java.lang.Long, ByteType) => java.lang.Byte.valueOf(l.byteValue)
+      case (l: java.lang.Long, DoubleType) => java.lang.Double.valueOf(l.doubleValue)
+      case (l: java.lang.Long, FloatType) => java.lang.Float.valueOf(l.floatValue)
+      case (l: java.lang.Long, BooleanType) => java.lang.Boolean.valueOf(l != 0L)
+      case (l: java.lang.Long, StringType) => l.toString
+      case (l: java.lang.Long, _: DecimalType) => new java.math.BigDecimal(l)
+      case (d: java.lang.Double, DoubleType) => d
+      case (d: java.lang.Double, FloatType) => java.lang.Float.valueOf(d.floatValue)
+      case (d: java.lang.Double, StringType) => d.toString
+      case (s: String, StringType) => s
+      case (b: Array[Byte], BinaryType) => b
+      case (other, t) => throw new IllegalArgumentException(
+        s"state.db.zstd: cannot restore $table.$col value of type " +
+          s"${other.getClass.getSimpleName} into $t")
+    }
   }
 
   // ---------------- module (de)serialization ----------------

@@ -67,6 +67,9 @@ class StreamStore(val spark: SparkSession, val root: String,
   private[stream] def lockFor(id: String): Object =
     streamLocks.getOrElseUpdate(id, new Object)
 
+  private val openTallies =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
   // Content-addressed module blob store (the staging/GC analog of the
   // reference's module upload path, storage.rs:492-546): every registered
   // module is staged to disk under its cid (tmp file + atomic move), so a
@@ -230,6 +233,7 @@ class StreamStore(val spark: SparkSession, val root: String,
             case Some(h) if !h.isClosed => h
             case _ =>
               val h = new StreamHandle(this, id)
+              openTallies.updateWith(id)(c => Some(c.getOrElse(0L) + 1))
               toClose = synchronized {
                 handles.put(id, h)
                 val out = mutable.ListBuffer.empty[StreamHandle]
@@ -251,6 +255,30 @@ class StreamStore(val spark: SparkSession, val root: String,
   /** Number of handles currently cached (test observability for the LRU). */
   def openHandleCount: Int = synchronized(handles.size)
 
+  /** Times a handle was CONSTRUCTED for this id (test observability: a
+    * backup sweep that thrashes the LRU shows up as this count growing
+    * tick over tick with no new work). */
+  def handleOpens(id: String): Long = openTallies.getOrElse(id, 0L)
+  def totalHandleOpens: Long = openTallies.values.sum
+
+  /** The persisted (latestIdx, stateVer) of a stream, read straight from
+    * its meta.json WITHOUT opening a handle (no session init, no LRU
+    * promotion, no eviction). This is the backup sweep's staleness probe:
+    * at thousands of streams with a small handle LRU, opening every
+    * cataloged stream each tick would evict every hot handle every sweep
+    * interval — the probe lets the sweep touch only streams with new
+    * events or state. */
+  def persistedMeta(id: String): Option[(Long, Long)] = {
+    val p = Paths.get(root, dbNameFor(id), "meta.json")
+    if (!Files.exists(p)) None
+    else {
+      val s = new String(Files.readAllBytes(p), UTF_8)
+      def num(k: String): Long = ("\"" + k + "\":(-?\\d+)").r
+        .findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
+      Some((num("latestIdx"), num("stateVer")))
+    }
+  }
+
   /** True iff the stream exists — open in this process or persisted on
     * disk (every created stream saves meta.json at module install). */
   def exists(id: String): Boolean = synchronized {
@@ -271,6 +299,31 @@ class StreamStore(val spark: SparkSession, val root: String,
       h
     }
 
+  /** Remove a stream entirely: evict and close its handle, drop its
+    * database from the catalog, and delete its directory. Used to undo a
+    * partially-created stream when an import fails partway — a failed
+    * restore must not leave an empty stream squatting on the id. */
+  def dropStream(id: String): Unit = lockFor(id).synchronized {
+    val h = synchronized(Option(handles.remove(id)))
+    h.foreach(_.close())
+    val dbName = dbNameFor(id)
+    // external `events` table: DROP leaves the log files, the directory
+    // delete below removes them; managed state tables live under the
+    // stream dir's warehouse and go with CASCADE + the delete
+    try spark.sql(s"DROP DATABASE IF EXISTS $dbName CASCADE")
+    catch { case e: Exception =>
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"dropping database $dbName failed: ${e.getMessage}") }
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val l = Files.list(p)
+        try l.iterator().asScala.toList.foreach(rm) finally l.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    rm(Paths.get(root, dbName))
+  }
+
   /** The on-disk stream catalog: every persisted stream's id, recovered
     * from the meta.json each stream writes at module install (dir names
     * are id digests, so the id itself rides in the meta). O(streams)
@@ -284,8 +337,15 @@ class StreamStore(val spark: SparkSession, val root: String,
       .filter(p => Files.isDirectory(p) && Files.exists(p.resolve("meta.json")))
       .flatMap { p =>
         val meta = new String(Files.readAllBytes(p.resolve("meta.json")), UTF_8)
-        "\"id\":\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(meta)
+        val id = "\"id\":\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(meta)
           .map(m => StreamStore.unescapeJson(m.group(1)))
+        // a pre-id meta self-heals on its next open (loadMeta rewrites);
+        // until then the stream is invisible here — say so rather than
+        // silently skipping it
+        if (id.isEmpty) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"stream dir ${p.getFileName} has a legacy meta.json without an " +
+            "id field; it is skipped from listings until next open")
+        id
       }.toVector.sorted
     finally dirs.close()
   }
@@ -359,6 +419,11 @@ class StreamHandle(val store: StreamStore, val id: String) {
   @volatile private var cursor: Long = 0L
   @volatile private var moduleCid: Option[String] = None
   @volatile private var signingKey: Option[Array[Byte]] = None
+  // monotone counter bumped on every state-DB mutation (state events
+  // bypass the log, so latestIdx alone can't tell a backup sweep whether
+  // anything changed — the reference tracks the same thing as
+  // state_db_updated_at, storage.rs:89-90/281)
+  @volatile private var stateVer: Long = 0L
 
   /** Install a batch-signing key: every accepted batch is HMAC-SHA256
     * signed over the deterministic encoding of its (user, payload) pairs,
@@ -415,7 +480,7 @@ class StreamHandle(val store: StreamStore, val id: String) {
   // ---------------- metadata ----------------
 
   private def saveMeta(): Unit = {
-    val json = s"""{"id":"${StreamStore.escapeJson(id)}","latestIdx":$latestIdx,"cursor":$cursor,"moduleCid":${
+    val json = s"""{"id":"${StreamStore.escapeJson(id)}","latestIdx":$latestIdx,"cursor":$cursor,"stateVer":$stateVer,"moduleCid":${
       moduleCid.map("\"" + _ + "\"").getOrElse("null")}}"""
     val tmp = dir.resolve("meta.json.tmp")
     Files.write(tmp, json.getBytes(UTF_8))
@@ -428,7 +493,14 @@ class StreamHandle(val store: StreamStore, val id: String) {
     def num(k: String): Long =
       ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
     latestIdx = num("latestIdx"); cursor = num("cursor")
+    stateVer = num("stateVer")
     moduleCid = "\"moduleCid\":\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1))
+    // self-heal metas written before the id field existed: the catalog
+    // (listStreams) recovers ids from meta.json, so a legacy stream would
+    // otherwise vanish from admin listings and the backup sweep even
+    // though exists(id) still returns true. The handle knows its id —
+    // rewrite once on open and the stream is cataloged forever after.
+    if (!s.contains("\"id\":")) saveMeta()
     // re-register the persisted module definition so a fresh process can
     // serve queries without a new setModule call
     val modPath = dir.resolve("module.json")
@@ -440,6 +512,9 @@ class StreamHandle(val store: StreamStore, val id: String) {
 
   def latest: Long = latestIdx
   def moduleCursor: Long = cursor
+  /** State-DB mutation counter (see `stateVer`) — with `latest`, the pair
+    * a backup sweep compares to skip streams with nothing new. */
+  def stateVersion: Long = stateVer
   /** The stream's module. Resolution falls back to the dir-local
     * module.json copy written at install: a stream OWNS its module (the
     * reference keeps it in the stream's own DB row), so the staged-blob
@@ -532,6 +607,8 @@ class StreamHandle(val store: StreamStore, val id: String) {
       snap.write.mode(SaveMode.Overwrite).insertInto(s"$dbName.$name")
     }
     refreshBoth(name)
+    stateVer += 1
+    saveMeta()
   }
 
   // ---------------- append path (A2/A3/A4) ----------------
@@ -782,6 +859,8 @@ class StreamHandle(val store: StreamStore, val id: String) {
       stmts.foreach(s => execInDb(s, Map.empty))
       commitBaks()
       stateTables().foreach(refreshBoth)
+      stateVer += 1
+      saveMeta()
       Right(())
     } catch {
       case t: Throwable =>
@@ -799,6 +878,8 @@ class StreamHandle(val store: StreamStore, val id: String) {
     stateTables().foreach(t => spark.sql(s"DROP TABLE IF EXISTS $dbName.$t"))
     currentModule.foreach(m => runStatements(m.stateInitSql, Map.empty))
     stateTables().foreach(refreshBoth)
+    stateVer += 1
+    saveMeta()
   }
 
   // ---------------- query path (A7 + A16) ----------------

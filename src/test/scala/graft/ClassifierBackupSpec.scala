@@ -425,6 +425,149 @@ class ClassifierBackupSpec extends AnyFunSuite {
     assert(rows.map(_("content")) == Vector(SqlValue.SqlText("persisted")))
   }
 
+  test("a single 500k-event archive object imports in bounded batches") {
+    // the reference's sweep writes ONE object per interval regardless of
+    // size (storage.rs:660-760) — a genuine foreign bucket can carry a
+    // multi-hundred-k-event object. Import must stream it: the batch-count
+    // witness proves the driver never materialized the whole object.
+    import org.apache.spark.sql.functions._
+    val n = 500000
+    val h = store.open("did:test:bigarc")
+    h.setModule(ModuleDef(queries = Map(
+      "n" -> QueryDef("SELECT count(*) AS c FROM events"))))
+    h.bulkImport(spark.range(1, n + 1).select(
+      col("id").as("idx"),
+      concat(lit("u"), col("id") % 97).as("user"),
+      concat(lit("payload-"), col("id")).cast("binary").as("payload"),
+      lit(Array.empty[Byte]).as("signature")))
+    assert(h.latest == n.toLong)
+    val dir = "file:" + graft.TempDirs.create("graft-bigarc")
+    assert(BackupService.exportReference(h, dir, chunkEvents = n) ==
+      Vector((1L, n.toLong)), "export must produce exactly one object")
+    val store2 = new StreamStore(spark,
+      graft.TempDirs.create("graft-bigarc-restore").toString)
+    val (r, meta) = BackupService.importReference(
+      store2, "did:test:bigarc-in", dir, h.id)
+    assert(r.latest == n.toLong)
+    assert(meta.importBatches == 5,
+      s"a $n-event object must apply as ceil($n/100000) = 5 bounded batches, " +
+        s"got ${meta.importBatches}")
+    // spot-check the round-trip at the batch seams and ends
+    val got = r.rawGetEvents(1, n).filter(
+      col("idx").isin(1L, 99999L, 100000L, 100001L, 250000L, n.toLong))
+      .collect().map(x => x.getLong(0) ->
+        new String(x.getAs[Array[Byte]](2), "UTF-8")).toMap
+    assert(got == Map(1L -> "payload-1", 99999L -> "payload-99999",
+      100000L -> "payload-100000", 100001L -> "payload-100001",
+      250000L -> "payload-250000", n.toLong -> s"payload-$n"))
+  }
+
+  private def zstdBytes(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new com.github.luben.zstd.ZstdOutputStream(bos)
+    try z.write(b) finally z.close()
+    bos.toByteArray
+  }
+
+  private def sqliteFixture: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/state_fixture.db")
+    require(in != null, "state_fixture.db test resource missing")
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** Assemble a reference-shaped bucket by hand: one event archive, a wire
+    * module blob, metadata pointing at it. Returns the bucket root. */
+  private def refBucket(did: String, m: ModuleDef,
+      stateDb: Option[Array[Byte]]): java.nio.file.Path = {
+    val dirP = graft.TempDirs.create("graft-refstate")
+    val sdir = dirP.resolve(s"streams/$did")
+    java.nio.file.Files.createDirectories(sdir)
+    java.nio.file.Files.write(sdir.resolve("1-2.events.drisl.zstd"),
+      zstdBytes(Drisl.encode(obj("events" -> graft.drisl.DValue.DArray(
+        (1 to 2).toVector.map(i => obj(
+          "idx" -> int(i), "user" -> text(s"ref$i"),
+          "payload" -> graft.drisl.DValue.DBytes(payload(s"r$i", i)),
+          "signature" -> graft.drisl.DValue.DBytes(Array.empty[Byte]))))))))
+    val wire = Drisl.encode(BackupService.moduleToWire(m))
+    val wireCid = graft.drisl.Cid.render(graft.drisl.Cid.of(wire))
+    val mdir = dirP.resolve("modules")
+    java.nio.file.Files.createDirectories(mdir)
+    java.nio.file.Files.write(mdir.resolve(s"$wireCid.module.drisl.zstd"),
+      zstdBytes(wire))
+    java.nio.file.Files.write(sdir.resolve("metadata.drisl"), Drisl.encode(obj(
+      "did" -> text(did),
+      "did_key" -> graft.drisl.DValue.DNull,
+      "owners" -> graft.drisl.DValue.DArray(Vector.empty),
+      "module_cid" -> graft.drisl.DValue.DCid(graft.drisl.Cid.parse(wireCid)))))
+    stateDb.foreach(db => java.nio.file.Files.write(
+      sdir.resolve("state.db.zstd"), zstdBytes(db)))
+    dirP
+  }
+
+  test("reference state.db.zstd (real SQLite file) restores into state tables") {
+    // module whose state DDL matches the committed fixture's tables — the
+    // reference archives state as the module's own DDL in a vacuumed
+    // SQLite file (storage.rs:781-815)
+    val m = module.copy(stateInitSql =
+      """CREATE TABLE IF NOT EXISTS state_counts (k STRING, n BIGINT, avg DOUBLE) USING PARQUET;
+        |CREATE TABLE IF NOT EXISTS state_sessions (sid BIGINT, who STRING, blob_v BINARY, note STRING) USING PARQUET""".stripMargin)
+    val dirP = refBucket("did:test:sdb", m, Some(sqliteFixture))
+    val store2 = new StreamStore(spark,
+      graft.TempDirs.create("graft-sdb-store").toString)
+    val (r, _) = BackupService.importReference(
+      store2, "did:test:sdb-local", "file:" + dirP, "did:test:sdb")
+    assert(r.latest == 2L)
+    val counts = r.tableDF("state_counts").collect()
+    assert(counts.length == 301)
+    val byK = counts.filterNot(_.isNullAt(0))
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(byK("key_0123") == ((123L * 7, 123 / 3.0)))
+    val nullRow = counts.find(_.isNullAt(0)).get
+    assert(nullRow.getLong(1) == -42L && nullRow.isNullAt(2))
+    val sess = r.tableDF("state_sessions").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(sess.keySet == Set(7L, 9001L, 9002L))
+    assert(sess(7L).getString(1) == "alice" &&
+      sess(7L).getAs[Array[Byte]](2).toSeq == Seq[Byte](1, 2, 3, 4, 5))
+    assert(sess(9001L).getString(3) == "x" * 5000,
+      "overflow-chain payload must reassemble whole")
+  }
+
+  test("state.db.zstd that cannot map onto the module is refused, no stream left") {
+    // module WITHOUT the fixture's state tables: restore-or-reject means
+    // the import fails loudly and leaves nothing behind — never a stream
+    // with silently-missing state
+    val dirP = refBucket("did:test:sdbbad", module, Some(sqliteFixture))
+    val store2 = new StreamStore(spark,
+      graft.TempDirs.create("graft-sdbbad-store").toString)
+    val e = intercept[IllegalArgumentException](BackupService.importReference(
+      store2, "did:test:sdbbad-local", "file:" + dirP, "did:test:sdbbad"))
+    assert(e.getMessage.contains("refusing a partial state restore"), e.getMessage)
+    assert(!store2.exists("did:test:sdbbad-local"),
+      "a failed import must not leave a partially-created stream")
+    assert(store2.listStreams().isEmpty)
+  }
+
+  test("failed mid-replay import cleans up the partial stream") {
+    // chain validates (1-2 then 3-4) but the SECOND object's contents are
+    // corrupt — the failure happens after batches of the first object
+    // already imported, and the partial stream must be deleted
+    val dirP = refBucket("did:test:midfail", module, None)
+    val sdir = dirP.resolve("streams/did:test:midfail")
+    java.nio.file.Files.write(sdir.resolve("3-4.events.drisl.zstd"),
+      zstdBytes(Drisl.encode(obj("events" -> graft.drisl.DValue.DArray(
+        Vector(obj("idx" -> int(3), "user" -> text("x"),
+          "payload" -> graft.drisl.DValue.DBytes(Array.empty[Byte]),
+          "signature" -> graft.drisl.DValue.DBytes(Array.empty[Byte])),
+          text("not-an-event")))))))
+    val store2 = new StreamStore(spark,
+      graft.TempDirs.create("graft-midfail-store").toString)
+    val e = intercept[IllegalArgumentException](BackupService.importReference(
+      store2, "did:test:midfail-local", "file:" + dirP, "did:test:midfail"))
+    assert(e.getMessage.contains("non-map event"), e.getMessage)
+    assert(!store2.exists("did:test:midfail-local"))
+  }
+
   test("restore refuses a non-empty target") {
     val dir = graft.TempDirs.create("graft-bakdir2").toString
     val h = store.open("did:test:bak")

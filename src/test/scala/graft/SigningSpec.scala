@@ -39,4 +39,51 @@ class SigningSpec extends AnyFunSuite {
     assert(!rows(1)._2.sameElements(rows(3)._2),
       "different batches sign differently")
   }
+
+  test("did_key round-trips a key-bearing bucket: restored stream signs again") {
+    import graft.stream.BackupService
+    val secret = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("stream-key-fixture".getBytes)
+    val h = store.open("did:test:keyring")
+    h.setModule(module)
+    h.setSigningKey(secret)
+    assert(h.addEvents(Seq(IncomingEvent("a", payload("k1")))).isRight)
+    val dir = "file:" + graft.TempDirs.create("graft-keyring")
+    // default export keeps custody: did_key is null in the bucket
+    BackupService.exportReference(h, dir)
+    val metaPath = java.nio.file.Paths.get(dir.stripPrefix("file:"))
+      .resolve(s"streams/${h.id}/metadata.drisl")
+    def metaDidKey(): graft.drisl.DValue = Drisl.decode(
+      java.nio.file.Files.readAllBytes(metaPath)) match {
+      case DMap(m) => m("did_key")
+      case other => fail(s"metadata not a map: $other")
+    }
+    assert(metaDidKey() == DNull, "default export must not ship key material")
+    // opt-in export ships it in the reference's enum shape (compare via
+    // canonical encoding — DBytes holds an Array, which != by reference)
+    BackupService.exportReference(h, dir,
+      didKey = Some(BackupService.DidKey("K256", secret)))
+    assert(Drisl.encode(metaDidKey()).toSeq ==
+      Drisl.encode(obj("K256" -> DBytes(secret))).toSeq)
+    val store2 = new StreamStore(spark,
+      graft.TempDirs.create("graft-keyring-restore").toString)
+    val (r, meta) = BackupService.importReference(
+      store2, "did:test:keyring-local", dir, h.id)
+    assert(meta.didKey.map(k => (k.kind, k.secret.toSeq)) ==
+      Some(("K256", secret.toSeq)))
+    // the restored stream signs appends with the bucket key — the batch
+    // HMAC matches one computed with the same secret over the same body
+    assert(r.addEvents(Seq(IncomingEvent("b", payload("k2")))).isRight)
+    val sig = r.eventsDF.orderBy("idx").collect().last.getAs[Array[Byte]]("signature")
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(secret, "HmacSHA256"))
+    val expected = mac.doFinal(Drisl.encode(DArray(Vector(obj(
+      "user" -> text("b"), "payload" -> DBytes(payload("k2")))))))
+    assert(sig.sameElements(expected),
+      "restored stream must sign with the imported key")
+    // PLC custody round-trip: a 32-byte scalar survives install/export
+    val plc = new graft.server.LocalPlcDirectory
+    plc.installKey("did:test:keyring", secret)
+    assert(plc.custodiedSecret("did:test:keyring").map(_.toSeq) == Some(secret.toSeq))
+  }
 }

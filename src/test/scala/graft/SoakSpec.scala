@@ -1,0 +1,147 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.server.LeafServer
+import graft.stream._
+import graft.types._
+
+/** Multi-stream concurrency soak: many streams over a deliberately tiny
+  * handle LRU, concurrent appenders + queriers + a live subscriber, with
+  * the server's 1s backup sweep running the whole time. Asserts the three
+  * fleet-scale failure modes stay absent:
+  *   - no deadlock (every worker thread joins),
+  *   - no lost events (per-stream latest == appended count),
+  *   - no sweep-induced handle thrash (once quiesced, further sweep ticks
+  *     construct ZERO new handles — the staleness probe skips unchanged
+  *     streams instead of reopening and LRU-evicting them every tick).
+  * Duration is GRAFT_SOAK_MS (default 8s of active churn) so CI stays
+  * fast while a manual run can soak for minutes. */
+class SoakSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def payload(s: String): Array[Byte] = {
+    import graft.drisl.DValue._
+    graft.drisl.Drisl.encode(obj("v" -> text(s)))
+  }
+
+  /** Retry on the inherent open-evict race: with a 4-handle LRU under 30+
+    * streams, a handle can be evicted between `store.open` and its use —
+    * callers reopen, exactly like any client retrying a 5xx. */
+  private def retrying[A](what: String, errors: ConcurrentLinkedQueue[Throwable])(
+      f: => A): Option[A] = {
+    var attempts = 0
+    while (attempts < 50) {
+      try return Some(f)
+      catch {
+        case _: IllegalStateException => attempts += 1 // evicted: reopen
+        case t: Throwable => errors.add(new RuntimeException(s"$what: $t", t)); return None
+      }
+    }
+    errors.add(new RuntimeException(s"$what: still evicted after 50 reopens"))
+    None
+  }
+
+  test("32 streams / LRU 4: appenders + queriers + subscriber + 1s sweep") {
+    val store = new StreamStore(spark,
+      graft.TempDirs.create("graft-soak").toString, maxOpenHandles = 4)
+    val module = ModuleDef(
+      initSql = "CREATE TABLE IF NOT EXISTS notes (idx BIGINT, who STRING) USING PARQUET",
+      materializer = "INSERT INTO notes SELECT idx, user FROM event",
+      queries = Map("cnt" -> QueryDef("SELECT count(*) AS c FROM notes")))
+    val n = 32
+    val ids = (0 until n).map(i => f"did:soak:$i%02d")
+    ids.foreach(id => store.open(id).setModule(module))
+    val server = new LeafServer(store, 0,
+      backupDest = Some("file:" + graft.TempDirs.create("graft-soak-bak")),
+      backupSweepMs = 1000)
+    server.start()
+    val stop = new AtomicBoolean(false)
+    val errors = new ConcurrentLinkedQueue[Throwable]()
+    val appended = Array.fill(n)(new AtomicLong(0))
+    val delivered = new AtomicLong(0)
+    try {
+      val appenders = (0 until 4).map { t =>
+        new Thread(() => {
+          var k = t
+          while (!stop.get()) {
+            val i = k % n
+            retrying(s"append ${ids(i)}", errors)(
+              store.open(ids(i)).addEvents(Seq(
+                IncomingEvent(s"u$t", payload(s"e$k"))))) match {
+              case Some(Right(_)) => appended(i).incrementAndGet()
+              case Some(Left(m)) =>
+                errors.add(new RuntimeException(s"append rejected: $m"))
+              case None =>
+            }
+            k += 7 // co-prime stride: every appender visits every stream
+          }
+        }, s"soak-app-$t")
+      }
+      val queriers = (0 until 2).map { t =>
+        new Thread(() => {
+          var k = t
+          while (!stop.get()) {
+            val i = (k * 5) % n
+            retrying(s"query ${ids(i)}", errors)(
+              store.open(ids(i)).queryTagged(None, LeafQuery("cnt")))
+            k += 1
+          }
+        }, s"soak-qry-$t")
+      }
+      // a live subscriber on one stream, drained on its own clock — holds
+      // an engine across evictions of its underlying handle
+      val engine = new SubscriptionEngine(store, ids(0))
+      engine.subscribe(None, LeafQuery("cnt"))(d => delivered.addAndGet(1L + d.rows.size))
+      val subscriber = new Thread(() => {
+        while (!stop.get()) {
+          // store-level appends don't route through a server RPC, so the
+          // subscriber polls the notify+drain pair itself (the server's
+          // delivery loop does exactly this on its own clock)
+          try { engine.notifyNewEvents(); engine.drain(); Thread.sleep(300) }
+          catch { case t: Throwable => errors.add(t) }
+        }
+      }, "soak-sub")
+      val workers = appenders ++ queriers :+ subscriber
+      workers.foreach(_.start())
+      Thread.sleep(sys.env.get("GRAFT_SOAK_MS").map(_.toLong).getOrElse(8000L))
+      stop.set(true)
+      workers.foreach(_.join(120000))
+      assert(workers.forall(!_.isAlive), "worker thread stuck: deadlock/stall")
+      assert(errors.isEmpty, s"soak errors: ${errors.size} first=${errors.peek()}")
+      assert(appended.map(_.get()).sum > 0, "soak must have appended something")
+      assert(delivered.get() > 0, "subscriber must have received deliveries")
+      // no lost events
+      ids.zipWithIndex.foreach { case (id, i) =>
+        val latest = retrying(s"latest $id", errors)(store.open(id).latest)
+        assert(latest.contains(appended(i).get()),
+          s"$id: appended ${appended(i).get()} but latest=$latest")
+      }
+      assert(store.openHandleCount <= 4, "LRU cap must hold")
+      // thrash check: wait until the sweep has drained the backlog (no new
+      // handle constructions across a full tick), then assert further
+      // ticks construct ZERO handles — unchanged streams must be skipped
+      // by the staleness probe, not reopened every interval
+      val deadline = System.nanoTime + 60L * 1000000000L
+      var stable = store.totalHandleOpens
+      var settled = false
+      while (!settled && System.nanoTime < deadline) {
+        Thread.sleep(2500) // > 2 sweep ticks
+        val cur = store.totalHandleOpens
+        if (cur == stable) settled = true else stable = cur
+      }
+      assert(settled, "sweep never quiesced: handle churn on every tick")
+      val baseline = store.totalHandleOpens
+      Thread.sleep(3500) // 3+ further ticks
+      assert(store.totalHandleOpens == baseline,
+        s"sweep reopened handles on unchanged streams " +
+          s"(${store.totalHandleOpens - baseline} reopens across idle ticks)")
+    } finally {
+      stop.set(true)
+      server.stop()
+    }
+  }
+}
