@@ -39,17 +39,21 @@ object ProfilePipeline {
     // manufactures O(N²) true pairs per base doc — output-bound, not a
     // scaling signal)
     val alpha = "abcdefghijklmnopqrst"
-    // distinct permutations: rotations of the alphabet, then rotations of
-    // the REVERSED alphabet — 2·|alpha| total. Replicas must never share a
-    // permutation, or the translate manufactures exact cross-replica dups
-    // and inflates the dedup curves the tool exists to measure.
-    require(mult >= 1 && mult <= 2 * alpha.length,
-      s"GRAFT_REPLICATE must be in [1, ${2 * alpha.length}] (got $mult); " +
-        "extend the rotation alphabet for more replicas")
+    // distinct permutations: affine index maps k -> (a·k + b) mod 20 with
+    // `a` a unit mod 20 — 8 units × 20 offsets = 160 distinct maps (two
+    // affine maps agree everywhere only when (a,b) are equal). Replicas
+    // must never share a permutation, or the translate manufactures exact
+    // cross-replica dups and inflates the dedup curves the tool exists to
+    // measure. r=0 is (a=1,b=0): the identity — replica 0 IS the base
+    // corpus, and r in [0,19] reproduces the old pure-rotation decade.
+    val units = Vector(1, 3, 7, 9, 11, 13, 17, 19)
+    require(mult >= 1 && mult <= units.length * alpha.length,
+      s"GRAFT_REPLICATE must be in [1, ${units.length * alpha.length}] " +
+        s"(got $mult); extend the affine family for more replicas")
     def perm(r: Int): String = {
-      val base = if (r < alpha.length) alpha else alpha.reverse
-      val k = r % alpha.length
-      base.drop(k) + base.take(k)
+      val a = units(r / alpha.length)
+      val b = r % alpha.length
+      (0 until alpha.length).map(k => alpha((a * k + b) % alpha.length)).mkString
     }
     val whens = (0 until mult).map(r =>
       when(col("r") === r, translate(col("text"), alpha, perm(r))))
