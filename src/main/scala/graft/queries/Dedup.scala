@@ -265,6 +265,146 @@ object Dedup {
               |  FROM inter JOIN sz za ON za.doc_id = a JOIN sz zb ON zb.doc_id = b)
               |WHERE jac >= 0.9 ORDER BY a, b""".stripMargin)),
 
+    // ---- incremental dedup: a fresh crawl increment vs a PRIOR corpus ----
+    // The production shape at 100 TB: snapshots arrive daily and are
+    // deduped against the existing corpus, never against themselves with
+    // a full recompute. Stage 1 is an exact content-hash lookup against
+    // the prior fingerprint index (one hash equi-join); stage 2 LSH-bands
+    // ONLY the surviving fresh docs and joins them against the prior
+    // band index (in production both prior-side tables are persisted
+    // artifacts of the last run — the per-increment cost is O(increment),
+    // not O(corpus)); stage 3 verifies candidates with the exact Jaccard
+    // kernel. Verdicts: 'exact' | 'near' (>= 0.9 Jaccard) | 'new'. The
+    // synthetic increment (clones, suffix-mutated, reversed) is pure
+    // text arithmetic both engines express, so the whole three-verdict
+    // pipeline hash-checks against the oracle, including the docs whose
+    // suffix mutation drops them below the 0.9 gate.
+    "q_dedup_incremental" -> Q(
+      (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
+        val d = Tables.df(s, dir, "documents").select(col("doc_id"), col("text"))
+        val prior = d
+        val fresh =
+          d.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+          .unionAll(d.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 2000000).as("doc_id"),
+              concat(col("text"), lit(" refreshed")).as("text")))
+          .unionAll(d.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 3000000).as("doc_id"),
+              reverse(col("text")).as("text")))
+        // stage 1: exact content-hash lookup (dup_of = min matching prior)
+        val priorFp = prior.groupBy(md5(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("dup_of"))
+        val exact = fresh.select(col("doc_id"), md5(col("text")).as("fp"))
+          .join(priorFp, Seq("fp")).select(col("doc_id"), col("dup_of"))
+        // stage 2: band only the fresh docs that survived stage 1, join
+        // against the prior band index (same derived banding as q_dedup_lsh,
+        // n = the whole post-increment corpus so the knob can only tighten)
+        val rest = fresh.join(exact.select("doc_id"), Seq("doc_id"), "left_anti")
+        val r = lshRowsPerBand(prior.count() + fresh.count())
+        val b = K / r
+        def arrAndBands(c: DataFrame): (DataFrame, DataFrame) = {
+          val arr = shingleHashArr(s, 5, stride = 2)(c)
+          val sigCols = (0 until K).map(k =>
+            array_min(transform(col("shs"), v => v.bitwiseXOR(lit(xorConst(k))))).as(s"h$k"))
+          val sg = arr.select((col("doc_id") +: sigCols): _*)
+          val bandCols = (0 until b).map(i =>
+            md5(concat_ws("|", (i * r until (i + 1) * r).map(k => col(s"h$k")): _*)))
+          (arr, sg.select(col("doc_id"),
+            posexplode(array(bandCols: _*)).as(Seq("band_id", "bh"))))
+        }
+        val (priorArr, priorBands) = arrAndBands(prior)
+        val (restArr, restBands) = arrAndBands(rest)
+        val cand = restBands.as("x").join(priorBands.as("y"),
+            col("x.band_id") === col("y.band_id") && col("x.bh") === col("y.bh"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+        // stage 3: exact Jaccard verify over candidates only (semi-joined
+        // shingle arrays, native sorted-merge intersect — never O(N²))
+        val candPrior = priorArr.join(
+          cand.select(col("b").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+        val candRest = restArr.join(
+          cand.select(col("a").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+        val near = cand
+          .join(candRest.as("za"), col("a") === col("za.doc_id"))
+          .join(candPrior.as("zb"), col("b") === col("zb.doc_id"))
+          .select(col("a"), col("b"),
+            expr("sorted_intersect_count(za.shs, zb.shs)").as("inter"),
+            size(col("za.shs")).cast("long").as("sza"),
+            size(col("zb.shs")).cast("long").as("szb"))
+          .filter(col("inter").cast("double") /
+            (col("sza") + col("szb") - col("inter")) >= 0.9)
+          .groupBy(col("a").as("doc_id")).agg(min(col("b")).as("near_of"))
+        fresh.select(col("doc_id"))
+          .join(exact.withColumnRenamed("dup_of", "e"), Seq("doc_id"), "left")
+          .join(near, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("e").isNotNull, lit("exact"))
+              .when(col("near_of").isNotNull, lit("near"))
+              .otherwise(lit("new")).as("verdict"),
+            coalesce(col("e"), col("near_of")).cast("long").as("dup_of"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH prior AS (SELECT doc_id, text FROM documents),
+              |fresh AS (
+              |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+              |  UNION ALL
+              |  SELECT doc_id + 2000000 AS doc_id, text || ' refreshed' AS text FROM documents WHERE doc_id % 7 = 0
+              |  UNION ALL
+              |  SELECT doc_id + 3000000 AS doc_id, reverse(text) AS text FROM documents WHERE doc_id % 13 = 0),
+              |pfp AS (SELECT md5(text) AS fp, min(doc_id) AS dup_of FROM prior GROUP BY 1),
+              |exact AS (
+              |  SELECT f.doc_id, p.dup_of
+              |  FROM (SELECT doc_id, md5(text) AS fp FROM fresh) f JOIN pfp p USING (fp)),
+              |rest AS (SELECT * FROM fresh WHERE doc_id NOT IN (SELECT doc_id FROM exact)),
+              |icorpus AS (
+              |  SELECT 'p' AS side, doc_id, text FROM prior
+              |  UNION ALL SELECT 'f' AS side, doc_id, text FROM rest),
+              |sh AS (
+              |  SELECT side, doc_id, substr(trim(text), unnest(generate_series(1, length(trim(text))-4, 2)), 5) AS sh
+              |  FROM icorpus WHERE length(trim(text)) >= 5),
+              |hashed AS (SELECT side, doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh),
+              |dsh AS (SELECT DISTINCT side, doc_id, h FROM hashed),
+              |sig AS (
+              |  SELECT side, doc_id, ${(0 until K).map(k => s"min(xor(h, ${xorConst(k)})) AS h$k").mkString(", ")}
+              |  FROM dsh GROUP BY side, doc_id),
+              |p AS (
+              |  SELECT n, $lshRowsPerBandSql AS r
+              |  FROM (SELECT (SELECT count(*) FROM prior) + (SELECT count(*) FROM fresh) AS n)),
+              |sigl AS (
+              |  SELECT side, doc_id, [${(0 until K).map(k => s"h$k").mkString(", ")}] AS sl FROM sig),
+              |bands AS (
+              |  SELECT side, doc_id, i AS band_id,
+              |    md5(array_to_string(sl[i*r+1 : i*r+r], '|')) AS bh
+              |  FROM sigl, p, (SELECT unnest(generate_series(0, ${K / 2 - 1})) AS i)
+              |  WHERE i < $K // r),
+              |cand AS (
+              |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              |  FROM bands x JOIN bands y ON x.band_id = y.band_id AND x.bh = y.bh
+              |  WHERE x.side = 'f' AND y.side = 'p'),
+              |sz AS (SELECT side, doc_id, count(*) AS sz FROM dsh GROUP BY 1, 2),
+              |inter AS (
+              |  SELECT a, b, count(*) AS inter FROM cand
+              |  JOIN dsh sa ON sa.side = 'f' AND sa.doc_id = a
+              |  JOIN dsh sb ON sb.side = 'p' AND sb.doc_id = b AND sa.h = sb.h
+              |  GROUP BY a, b),
+              |near AS (
+              |  SELECT a AS doc_id, min(b) AS near_of FROM (
+              |    SELECT a, b FROM inter
+              |    JOIN sz za ON za.side = 'f' AND za.doc_id = a
+              |    JOIN sz zb ON zb.side = 'p' AND zb.doc_id = b
+              |    WHERE CAST(inter AS DOUBLE)/(za.sz + zb.sz - inter) >= 0.9)
+              |  GROUP BY a)
+              |SELECT f.doc_id,
+              |  CASE WHEN e.dup_of IS NOT NULL THEN 'exact'
+              |       WHEN nr.near_of IS NOT NULL THEN 'near'
+              |       ELSE 'new' END AS verdict,
+              |  coalesce(e.dup_of, nr.near_of) AS dup_of
+              |FROM fresh f
+              |LEFT JOIN exact e ON e.doc_id = f.doc_id
+              |LEFT JOIN near nr ON nr.doc_id = f.doc_id
+              |ORDER BY f.doc_id""".stripMargin)),
+
     // ---- simhash: 32-bit per-doc signature from per-token hash bits ----
     "q_dedup_simhash" -> Q(
       (s, dir) => {

@@ -68,6 +68,33 @@ class GatesSpec extends AnyFunSuite {
     assert(pairSet.size == rows.length, "duplicate pair rows")
   }
 
+  test("incremental dedup: clones exact with provenance, verdicts total") {
+    val rows = run("q_dedup_incremental").map(r =>
+      (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(rows.nonEmpty)
+    // verdicts are total; dup_of is set exactly when the doc is a dup
+    rows.foreach { case (id, v, dup) =>
+      assert(Set("exact", "near", "new")(v), s"$id: unknown verdict $v")
+      assert((v == "new") == (dup == -1L), s"$id: $v with dup_of=$dup")
+      if (dup != -1L) assert(dup < 1000000L, s"$id: dup_of $dup is not a prior doc")
+    }
+    // every exact clone (+1e6) resolves 'exact' against the prior corpus
+    val clones = rows.filter(r => r._1 >= 1000000L && r._1 < 2000000L)
+    assert(clones.nonEmpty)
+    clones.foreach { case (id, v, dup) =>
+      assert(v == "exact", s"clone $id got verdict $v")
+      assert(dup <= id - 1000000L, s"clone $id: dup_of $dup after its source")
+    }
+    // at least one suffix-mutated doc lands 'near' AND points at its own
+    // source; reversed docs can never be exact copies of a prior
+    assert(rows.exists(r => r._1 >= 2000000L && r._1 < 3000000L &&
+      r._2 == "near" && r._3 == r._1 - 2000000L),
+      "no suffixed doc resolved near to its source")
+    rows.filter(_._1 >= 3000000L).foreach { case (id, v, _) =>
+      assert(v != "exact", s"reversed doc $id cannot be an exact dup")
+    }
+  }
+
   test("tpch q3: at most 10 rows, revenue non-increasing") {
     val rows = run("q_tpch_q3").map(r => (r.getLong(0), r.getDouble(2)))
     assert(rows.length <= 10 && rows.nonEmpty)
