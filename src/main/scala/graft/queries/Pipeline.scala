@@ -44,17 +44,10 @@ object Pipeline {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.df(s, dir, "documents")
 
-  val all: Map[String, Q] = Map(
-
-    // ---- near-dup clustering: connected components over dup edges ----
-    // Edges: exact-text duplicates and 64-char-prefix duplicates, each as
-    // a star to the group's min doc_id. Components emerge when the two
-    // relations chain through different hubs (A≡B exactly, B~C by prefix).
-    // Spark: BSP min-label propagation (monotone, so the per-round
-    // sum(label) is a convergence witness); oracle: recursive CTE
-    // computing min reachable id — both sides see the identical edge set.
-    "q_dedup_cluster" -> Q(
-      (s, dir) => {
+  /** Connected components over the dup-edge relations (the body of
+    * `q_dedup_cluster`, shared with the leakage-safe split): returns
+    * (doc_id, component) for every doc belonging to a dup cluster. */
+  private def componentsDF(s: SparkSession, dir: String): DataFrame = {
         val c = Dedup.corpus(s, dir)
         // star edges via min-per-hash + an equi-join back, NOT a window
         // over the corpus (a window partitioned by md5(text) shuffles
@@ -116,24 +109,80 @@ object Pipeline {
           .localCheckpoint(true)
         labels.unpersist()
         edges.unpersist()
-        out.orderBy(col("doc_id"))
+        out
+  }
+
+  /** The recursive-CTE oracle mirror of [[componentsDF]]: ends with a
+    * `comp(doc_id, component)` CTE. Prefix with `WITH RECURSIVE `. */
+  private val componentsSqlCtes =
+    s"""${Dedup.corpusSql},
+       |edges AS (
+       |  SELECT m AS a, doc_id AS b FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS m FROM corpus)
+       |  WHERE doc_id != m
+       |  UNION
+       |  SELECT m, doc_id FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(substr(trim(text), 1, 64))) AS m FROM corpus)
+       |  WHERE doc_id != m),
+       |und AS (SELECT a AS src, b AS dst FROM edges UNION SELECT b, a FROM edges),
+       |reach(node, label) AS (
+       |  SELECT DISTINCT src, src FROM und
+       |  UNION
+       |  SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.node),
+       |comp AS (
+       |  SELECT node AS doc_id, min(label) AS component
+       |  FROM reach GROUP BY node)""".stripMargin
+
+  val all: Map[String, Q] = Map(
+
+    // ---- near-dup clustering: connected components over dup edges ----
+    // Edges: exact-text duplicates and 64-char-prefix duplicates, each as
+    // a star to the group's min doc_id. Components emerge when the two
+    // relations chain through different hubs (A≡B exactly, B~C by prefix).
+    // Spark: BSP min-label propagation (monotone, so the per-round
+    // sum(label) is a convergence witness); oracle: recursive CTE
+    // computing min reachable id — both sides see the identical edge set.
+    "q_dedup_cluster" -> Q(
+      (s, dir) => componentsDF(s, dir).orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE $componentsSqlCtes
+              |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin)),
+
+    // ---- leakage-safe train/valid/test split ----
+    // Hash-splitting DOCS leaks: two near-duplicates can land one in
+    // train and one in eval, and the eval set silently scores memorized
+    // content. The split unit must be the dup CLUSTER: every doc maps to
+    // its component label (its own id when unclustered), and the split
+    // decision hashes the UNIT — members of a cluster inherit one
+    // decision by construction, so no dup pair can ever straddle splits.
+    // At scale this adds one left join against the component table (a
+    // persisted artifact of the clustering run) to the plain hash split;
+    // the 80/10/10 bucketing stays pure md5 integer arithmetic both
+    // engines replicate.
+    "q_split_leakage_safe" -> Q(
+      (s, dir) => {
+        val unit = Dedup.corpus(s, dir).select(col("doc_id"))
+          .join(componentsDF(s, dir), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("unit"))
+        val h = conv(substring(md5(col("unit").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 100
+        unit.select(col("doc_id"), col("unit"),
+            when(h < 80, lit("train")).when(h < 90, lit("valid"))
+              .otherwise(lit("test")).as("split"))
+          .orderBy(col("doc_id"))
       },
-      Some(s"""WITH RECURSIVE ${Dedup.corpusSql},
-              |edges AS (
-              |  SELECT m AS a, doc_id AS b FROM (
-              |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS m FROM corpus)
-              |  WHERE doc_id != m
-              |  UNION
-              |  SELECT m, doc_id FROM (
-              |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(substr(trim(text), 1, 64))) AS m FROM corpus)
-              |  WHERE doc_id != m),
-              |und AS (SELECT a AS src, b AS dst FROM edges UNION SELECT b, a FROM edges),
-              |reach(node, label) AS (
-              |  SELECT DISTINCT src, src FROM und
-              |  UNION
-              |  SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.node)
-              |SELECT node AS doc_id, min(label) AS component
-              |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)),
+      Some(s"""WITH RECURSIVE $componentsSqlCtes,
+              |unit AS (
+              |  SELECT c.doc_id, coalesce(p.component, c.doc_id) AS unit
+              |  FROM corpus c LEFT JOIN comp p ON p.doc_id = c.doc_id)
+              |SELECT doc_id, unit,
+              |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'valid'
+              |       ELSE 'test' END AS split
+              |FROM (
+              |  SELECT doc_id, unit,
+              |    ('0x' || substr(md5(CAST(unit AS VARCHAR)), 1, 15))::BIGINT % 100 AS h
+              |  FROM unit)
+              |ORDER BY doc_id""".stripMargin)),
 
     // ---- benchmark decontamination: char-20-gram overlap vs an eval set ----
     // Eval set = every 97th doc (stand-in for a held-out benchmark). A

@@ -95,6 +95,25 @@ class GatesSpec extends AnyFunSuite {
     }
   }
 
+  test("leakage-safe split: dup-cluster members never straddle splits") {
+    val rows = run("q_split_leakage_safe").map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, _, s) =>
+      assert(Set("train", "valid", "test")(s), s"$id: unknown split $s") }
+    // one decision per unit — members of a cluster inherit it
+    rows.groupBy(_._2).foreach { case (u, rs) =>
+      assert(rs.map(_._3).distinct.length == 1, s"unit $u straddles splits") }
+    // the concrete leakage case: every exact clone lands with its source
+    val byId = rows.map(r => r._1 -> r._3).toMap
+    val clones = rows.filter(_._1 >= 1000000L)
+    assert(clones.nonEmpty)
+    clones.foreach { case (id, _, s) =>
+      assert(byId(id - 1000000L) == s,
+        s"clone $id split '$s' differs from its source's " +
+          s"'${byId(id - 1000000L)}' — eval leakage") }
+  }
+
   test("tpch q3: at most 10 rows, revenue non-increasing") {
     val rows = run("q_tpch_q3").map(r => (r.getLong(0), r.getDouble(2)))
     assert(rows.length <= 10 && rows.nonEmpty)
