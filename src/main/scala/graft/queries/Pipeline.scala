@@ -44,10 +44,20 @@ object Pipeline {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.df(s, dir, "documents")
 
+  // the component table is consumed by BOTH q_dedup_cluster and
+  // q_split_leakage_safe; the BSP loop ends in an eager localCheckpoint,
+  // so one (session, corpus) computes it once and both gates read the
+  // checkpointed frame (a corpus dir is immutable for a session's life)
+  private val compCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
   /** Connected components over the dup-edge relations (the body of
     * `q_dedup_cluster`, shared with the leakage-safe split): returns
     * (doc_id, component) for every doc belonging to a dup cluster. */
-  private def componentsDF(s: SparkSession, dir: String): DataFrame = {
+  private def componentsDF(s: SparkSession, dir: String): DataFrame =
+    compCache.getOrElseUpdate((s, dir), buildComponents(s, dir))
+
+  private def buildComponents(s: SparkSession, dir: String): DataFrame = {
         val c = Dedup.corpus(s, dir)
         // star edges via min-per-hash + an equi-join back, NOT a window
         // over the corpus (a window partitioned by md5(text) shuffles
