@@ -210,13 +210,18 @@ object Multimodal {
             col("ok").cast("int").as("ok"))
           .orderBy(col("media_id"))
       },
+      // first/last BYTE of the utf-8 encoding (hex-sliced from the blob),
+      // not the first/last CHARACTER: ascii() would read the code point,
+      // which diverges from the encoder's seed bytes the moment a
+      // non-ASCII character appears; NULL text encodes from the [0]
+      // fallback seed → 16×16
       Some("""SELECT doc_id AS media_id,
              |  CASE CAST(doc_id % 3 AS INT)
              |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'bmp' END AS fmt,
-             |  CAST(16 + (CASE WHEN octet_length(encode(text)) = 0 THEN 0
-             |    ELSE ascii(substr(text, 1, 1)) END % 24) AS INT) AS width,
-             |  CAST(16 + (CASE WHEN octet_length(encode(text)) = 0 THEN 0
-             |    ELSE ascii(substr(text, length(text), 1)) END % 24) AS INT) AS height,
+             |  CAST(16 + (CASE WHEN text IS NULL OR octet_length(encode(text)) = 0 THEN 0
+             |    ELSE ('0x' || substr(hex(encode(text)), 1, 2))::INT END % 24) AS INT) AS width,
+             |  CAST(16 + (CASE WHEN text IS NULL OR octet_length(encode(text)) = 0 THEN 0
+             |    ELSE ('0x' || substr(hex(encode(text)), octet_length(encode(text)) * 2 - 1, 2))::INT END % 24) AS INT) AS height,
              |  CAST(1 AS INT) AS ok
              |FROM documents ORDER BY media_id""".stripMargin)),
 

@@ -693,7 +693,7 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
       // would reopen (and LRU-evict) every hot handle every tick. The
       // reference's sweep keeps the same books server-side
       // (events/state/metadata *_backed_up_at columns, storage.rs:680-698).
-      val sweepExported = mutable.Map.empty[String, (Long, Long)]
+      val sweepExported = mutable.Map.empty[String, (Long, Long, Long)]
       exec.scheduleWithFixedDelay(() =>
         try store.listStreams().foreach { id =>
           try {

@@ -287,7 +287,10 @@ object BackupService {
     override def read(): Int = { val b = in.read(); if (b >= 0) note(1); b }
     override def read(b: Array[Byte], off: Int, len: Int): Int =
       note(in.read(b, off, len))
-    override def close(): Unit = in.close()
+    // close() failures must not mask the original error on the unwind
+    // path; the underlying FS stream is also closed by the zstd wrapper
+    override def close(): Unit =
+      try in.close() catch { case _: java.io.IOException => }
   }
 
   import graft.drisl.{Cid, Drisl, DValue}
@@ -463,17 +466,29 @@ object BackupService {
       h.tableDF(t).write.mode(SaveMode.Overwrite)
         .parquet(new HPath(dir, s"state/$t").toString))
     val metaPath = new HPath(dir, "metadata.drisl")
-    val effOwners =
-      if (owners.nonEmpty || !fs.exists(metaPath)) owners.toVector
+    // a parameterless call must PRESERVE what the bucket already records —
+    // owners (the sweep path passes none) and, symmetrically, a
+    // previously-shipped did_key: a later keyless export must not clobber
+    // the bucket's only copy of key custody back to null
+    val priorMeta: Option[DMap] =
+      if (!fs.exists(metaPath)) None
       else Drisl.decode(readBytes(fs, metaPath)) match {
-        case DMap(m) => m.get("owners").collect { case DArray(os) =>
-          os.collect { case DText(o) => o } }.getOrElse(Vector.empty)
-        case _ => Vector.empty
+        case m: DMap => Some(m)
+        case _ => None
       }
+    val effOwners =
+      if (owners.nonEmpty) owners.toVector
+      else priorMeta.flatMap(_.v.get("owners")).collect { case DArray(os) =>
+        os.collect { case DText(o) => o } }.getOrElse(Vector.empty)
+    val effDidKey: DValue = didKey
+      .map(k => obj(k.kind -> DBytes(k.secret)): DValue)
+      .orElse(priorMeta.flatMap(_.v.get("did_key")).collect {
+        case k: DMap => k: DValue
+      })
+      .getOrElse(DNull)
     writeBytes(fs, metaPath, Drisl.encode(obj(
       "did" -> DText(h.id),
-      "did_key" -> didKey.map(k => obj(k.kind -> DBytes(k.secret)): DValue)
-        .getOrElse(DNull),
+      "did_key" -> effDidKey,
       "owners" -> DArray(effOwners.map(DText(_))),
       "module_cid" -> moduleCid.getOrElse(DNull),
       "state_tables" -> DArray(stateTables.map(DText(_))))))
@@ -504,11 +519,29 @@ object BackupService {
     * stream is created, and any failure during replay deletes the
     * partially-created stream — a failed import never leaves an empty or
     * half-filled stream behind. */
+  // one import per target stream id at a time: the destructive
+  // failed-import cleanup (dropStream) must only ever delete state the
+  // SAME import created — a second concurrent import of the id fails
+  // fast here instead of racing the first and then deleting its work
+  private val importClaims =
+    scala.collection.concurrent.TrieMap.empty[(StreamStore, String), Unit]
+
   def importReference(store: StreamStore, newId: String, srcRoot: String,
       srcId: String, batchRows: Int = 100000,
       maxDecompressedBytes: Long = 8L << 30,
       maxValueBytes: Int = 64 << 20): (StreamHandle, ReferenceMeta) = {
     require(batchRows > 0, "batchRows must be positive")
+    require(importClaims.putIfAbsent((store, newId), ()).isEmpty,
+      s"an import into $newId is already in progress")
+    try importReferenceClaimed(store, newId, srcRoot, srcId, batchRows,
+      maxDecompressedBytes, maxValueBytes)
+    finally importClaims.remove((store, newId))
+  }
+
+  private def importReferenceClaimed(store: StreamStore, newId: String,
+      srcRoot: String, srcId: String, batchRows: Int,
+      maxDecompressedBytes: Long,
+      maxValueBytes: Int): (StreamHandle, ReferenceMeta) = {
     val root = new HPath(srcRoot)
     val fs = root.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
     val dir = referenceStreamDir(root, srcId)
@@ -620,13 +653,15 @@ object BackupService {
       fs: FileSystem, path: HPath, lo: Long, hi: Long, batchRows: Int,
       maxDecompressedBytes: Long, maxValueBytes: Int): Int = {
     val raw = fs.open(path)
+    // close the OUTERMOST stream: ZstdInputStream holds native zstd
+    // buffers that only a close releases promptly — closing just `raw`
+    // would leak one native context per archive object until finalization
+    val bounded = new BoundedInputStream(
+      new com.github.luben.zstd.ZstdInputStream(
+        new java.io.BufferedInputStream(raw, 1 << 16)),
+      maxDecompressedBytes)
     try {
-      val dec = new Drisl.StreamDecoder(
-        new BoundedInputStream(
-          new com.github.luben.zstd.ZstdInputStream(
-            new java.io.BufferedInputStream(raw, 1 << 16)),
-          maxDecompressedBytes),
-        maxValueBytes)
+      val dec = new Drisl.StreamDecoder(bounded, maxValueBytes)
       val entries = dec.readMapHead()
       var batches = 0
       var seenEvents = false
@@ -683,7 +718,7 @@ object BackupService {
       require(seenEvents, s"archive $lo-$hi has no events array")
       flush()
       batches
-    } finally raw.close()
+    } finally bounded.close()
   }
 
   /** Reinstate stream state from the bucket. Two formats: this engine's
@@ -747,6 +782,9 @@ object BackupService {
       case (l: java.lang.Long, BooleanType) => java.lang.Boolean.valueOf(l != 0L)
       case (l: java.lang.Long, StringType) => l.toString
       case (l: java.lang.Long, _: DecimalType) => new java.math.BigDecimal(l)
+      // SQLite NUMERIC affinity keeps non-integral values as REAL: 2 in a
+      // DECIMAL column arrives as Long, 2.5 as Double — both must restore
+      case (d: java.lang.Double, _: DecimalType) => java.math.BigDecimal.valueOf(d)
       case (d: java.lang.Double, DoubleType) => d
       case (d: java.lang.Double, FloatType) => java.lang.Float.valueOf(d.floatValue)
       case (d: java.lang.Double, StringType) => d.toString

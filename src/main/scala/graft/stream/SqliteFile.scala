@@ -225,11 +225,12 @@ object SqliteFile {
 
     // ---------------- schema ----------------
 
-    /** Parse column names/types out of CREATE TABLE text: the segment
+    /** Parse column definitions out of CREATE TABLE text: the segment
       * between the outer parens, split on top-level commas, first
       * (possibly quoted) token of each definition; table-level constraint
-      * clauses (PRIMARY/UNIQUE/CHECK/FOREIGN/CONSTRAINT) are skipped. */
-    private[stream] def columnsOf(sql: String): Vector[Column] = {
+      * clauses (PRIMARY/UNIQUE/CHECK/FOREIGN/CONSTRAINT) are skipped.
+      * The flag marks the INTEGER PRIMARY KEY column (the rowid alias). */
+    private[stream] def columnsOf(sql: String): Vector[(Column, Boolean)] = {
       val open = sql.indexOf('(')
       require(open >= 0, s"CREATE TABLE without a column list: $sql")
       var depth2 = 0; var i = open; var close = -1
@@ -279,21 +280,22 @@ object SqliteFile {
             (defn.substring(0, end), defn.substring(end))
         }
         if (constraintKw.contains(name.toUpperCase)) None
-        else Some(Column(name, rest.trim.split("\\s+").takeWhile(t =>
-          !Set("PRIMARY", "NOT", "UNIQUE", "CHECK", "DEFAULT", "REFERENCES",
-            "COLLATE", "GENERATED", "AS").contains(t.toUpperCase))
-          .mkString(" ").trim))
-      }
-    }
-
-    /** Index of the INTEGER PRIMARY KEY column (the rowid alias, stored
-      * NULL in records), if the DDL declares one column-level. */
-    private def rowidAliasIdx(sql: String, cols: Vector[Column]): Int = {
-      val up = sql.toUpperCase
-      cols.indexWhere { c =>
-        c.declType.equalsIgnoreCase("INTEGER") && {
-          val at = up.indexOf(c.name.toUpperCase + " INTEGER PRIMARY KEY")
-          at >= 0
+        else {
+          val toks = rest.trim.split("\\s+").toVector.filter(_.nonEmpty)
+          val declType = toks.takeWhile(t =>
+            !Set("PRIMARY", "NOT", "UNIQUE", "CHECK", "DEFAULT", "REFERENCES",
+              "COLLATE", "GENERATED", "AS").contains(t.toUpperCase))
+            .mkString(" ").trim
+          // the rowid-alias rule applies per COLUMN DEFINITION: declared
+          // type INTEGER with a column-level PRIMARY KEY clause. Decided
+          // on this definition's own tokens — a raw-SQL substring search
+          // would false-match suffix column names ("id" inside
+          // "session_id") and miss quoted or oddly-spaced declarations.
+          val up = toks.map(_.toUpperCase)
+          val isIpk = declType.equalsIgnoreCase("INTEGER") &&
+            up.indices.dropRight(1).exists(i =>
+              up(i) == "PRIMARY" && up(i + 1) == "KEY")
+          Some((Column(name, declType), isIpk))
         }
       }
     }
@@ -307,8 +309,9 @@ object SqliteFile {
               Some(sql: String)) if !name.startsWith("sqlite_") =>
             require(!sql.toUpperCase.contains("WITHOUT ROWID"),
               s"table $name is WITHOUT ROWID — not supported")
-            val cols = columnsOf(sql)
-            val ipk = rowidAliasIdx(sql, cols)
+            val parsed = columnsOf(sql)
+            val cols = parsed.map(_._1)
+            val ipk = parsed.indexWhere(_._2)
             // REAL-affinity read conversion: SQLite stores integral float
             // values as INTEGER serial types on disk and converts back on
             // read (the spec's "Type Affinity" optimization) — mirror it,

@@ -261,21 +261,25 @@ class StreamStore(val spark: SparkSession, val root: String,
   def handleOpens(id: String): Long = openTallies.getOrElse(id, 0L)
   def totalHandleOpens: Long = openTallies.values.sum
 
-  /** The persisted (latestIdx, stateVer) of a stream, read straight from
-    * its meta.json WITHOUT opening a handle (no session init, no LRU
-    * promotion, no eviction). This is the backup sweep's staleness probe:
-    * at thousands of streams with a small handle LRU, opening every
-    * cataloged stream each tick would evict every hot handle every sweep
-    * interval — the probe lets the sweep touch only streams with new
-    * events or state. */
-  def persistedMeta(id: String): Option[(Long, Long)] = {
+  /** The persisted (latestIdx, stateVer, metaMtimeMs) of a stream, read
+    * straight from its meta.json WITHOUT opening a handle (no session
+    * init, no LRU promotion, no eviction). This is the backup sweep's
+    * staleness probe: at thousands of streams with a small handle LRU,
+    * opening every cataloged stream each tick would evict every hot
+    * handle every sweep interval — the probe lets the sweep touch only
+    * streams with new events or state. The mtime is part of the identity:
+    * a stream dropped and recreated can reach the same (latestIdx,
+    * stateVer) pair as its predecessor, and a module swap changes neither
+    * — the fresh meta.json write is what distinguishes both. */
+  def persistedMeta(id: String): Option[(Long, Long, Long)] = {
     val p = Paths.get(root, dbNameFor(id), "meta.json")
     if (!Files.exists(p)) None
     else {
       val s = new String(Files.readAllBytes(p), UTF_8)
       def num(k: String): Long = ("\"" + k + "\":(-?\\d+)").r
         .findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
-      Some((num("latestIdx"), num("stateVer")))
+      Some((num("latestIdx"), num("stateVer"),
+        Files.getLastModifiedTime(p).toMillis))
     }
   }
 

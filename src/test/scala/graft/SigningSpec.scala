@@ -65,6 +65,12 @@ class SigningSpec extends AnyFunSuite {
       didKey = Some(BackupService.DidKey("K256", secret)))
     assert(Drisl.encode(metaDidKey()).toSeq ==
       Drisl.encode(obj("K256" -> DBytes(secret))).toSeq)
+    // a LATER keyless export must preserve the shipped key, exactly like
+    // the ownerless sweep preserves owners — not clobber it back to null
+    BackupService.exportReference(h, dir)
+    assert(Drisl.encode(metaDidKey()).toSeq ==
+      Drisl.encode(obj("K256" -> DBytes(secret))).toSeq,
+      "keyless re-export clobbered the bucket's key custody")
     val store2 = new StreamStore(spark,
       graft.TempDirs.create("graft-keyring-restore").toString)
     val (r, meta) = BackupService.importReference(
