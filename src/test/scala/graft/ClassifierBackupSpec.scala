@@ -533,6 +533,34 @@ class ClassifierBackupSpec extends AnyFunSuite {
       "overflow-chain payload must reassemble whole")
   }
 
+  test("state.db.zstd with DECIMAL columns and a quoted rowid alias restores") {
+    val tricky = {
+      val in = getClass.getResourceAsStream("/state_tricky.db")
+      require(in != null, "state_tricky.db test resource missing")
+      try in.readAllBytes() finally in.close()
+    }
+    val m = module.copy(stateInitSql =
+      """CREATE TABLE IF NOT EXISTS state_tricky (id BIGINT, session_id BIGINT, note STRING) USING PARQUET;
+        |CREATE TABLE IF NOT EXISTS state_prices (k STRING, price DECIMAL(10,2)) USING PARQUET""".stripMargin)
+    val dirP = refBucket("did:test:tricky", m, Some(tricky))
+    val store2 = new StreamStore(spark,
+      graft.TempDirs.create("graft-tricky-store").toString)
+    val (r, _) = BackupService.importReference(
+      store2, "did:test:tricky-local", "file:" + dirP, "did:test:tricky")
+    val t = r.tableDF("state_tricky").collect()
+      .map(x => x.getString(2) -> ((x.getLong(0), x.getLong(1)))).toMap
+    assert(t("a") == ((5L, 42L)),
+      "quoted session_id must carry the rowid alias; id must keep its value")
+    assert(t("b")._1 == 6L && t("b")._2 > 42L)
+    val prices = r.tableDF("state_prices").collect()
+      .map(x => x.getString(0) ->
+        (if (x.isNullAt(1)) null else x.getDecimal(1))).toMap
+    assert(prices("int") == new java.math.BigDecimal("2.00"))
+    assert(prices("frac") == new java.math.BigDecimal("2.50"),
+      "non-integral NUMERIC value must restore into the DECIMAL column")
+    assert(prices("none") == null)
+  }
+
   test("state.db.zstd that cannot map onto the module is refused, no stream left") {
     // module WITHOUT the fixture's state tables: restore-or-reject means
     // the import fails loudly and leaves nothing behind — never a stream

@@ -55,6 +55,39 @@ class SqliteFileSpec extends AnyFunSuite {
     assert(bySid(9002L)(1) == "carol" && bySid(9002L)(3) == "auto-rowid")
   }
 
+  private lazy val tricky: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/state_tricky.db")
+    require(in != null, "state_tricky.db test resource missing")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("rowid alias: quoted IPK declaration, suffix-named sibling column") {
+    // "session_id" INTEGER PRIMARY KEY is quoted AND has a sibling column
+    // "id" whose name is its suffix — the alias must attach to session_id
+    // only (a substring match over the raw DDL would pick "id")
+    val t = SqliteFile.parse(tricky).find(_.name == "state_tricky").get
+    assert(t.columns.map(_.name) == Vector("id", "session_id", "note"))
+    val rows = t.rows.map(r => r(2).asInstanceOf[String] -> r).toMap
+    // explicit IPK value comes back through the alias; plain "id" keeps
+    // its stored value (would be clobbered if misattributed)
+    assert(rows("a")(1) == java.lang.Long.valueOf(42L))
+    assert(rows("a")(0) == java.lang.Long.valueOf(5L))
+    // auto-assigned rowid materializes for the row that omitted the IPK
+    assert(rows("b")(1).asInstanceOf[java.lang.Long].longValue > 42L)
+    assert(rows("b")(0) == java.lang.Long.valueOf(6L))
+  }
+
+  test("NUMERIC affinity: integral and fractional values both decode") {
+    // SQLite stores 2 (integral) as an INTEGER serial type and 2.5 as
+    // REAL in the same DECIMAL column — both must surface, types intact
+    val t = SqliteFile.parse(tricky).find(_.name == "state_prices").get
+    assert(t.columns.map(_.declType) == Vector("TEXT", "DECIMAL(10,2)"))
+    val byK = t.rows.map(r => r(0).asInstanceOf[String] -> r(1)).toMap
+    assert(byK("int") == java.lang.Long.valueOf(2L))
+    assert(byK("frac") == java.lang.Double.valueOf(2.5))
+    assert(byK("none") == null)
+  }
+
   test("rejects non-SQLite and truncated input with clean errors") {
     val junk = intercept[IllegalArgumentException](
       SqliteFile.parse(Array.fill[Byte](200)(0x41)))
