@@ -316,6 +316,38 @@ class SocketIoSpec extends AnyFunSuite {
     w.ws.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "done").join()
   }
 
+  test("an interloping second websocket cannot tear down the live session") {
+    // owner: polling session upgraded to ws delivery
+    val c = new SioClient
+    c.open()
+    c.sendSio(Map("type" -> 0L, "nsp" -> "/",
+      "data" -> Map("token" -> "testtoken")))
+    c.poll()
+    val w = new WsClient(Some(c.sid))
+    w.sendText("2probe")
+    assert(w.nextText() == "3probe")
+    w.sendText("5")
+    val probe1 = assertOk(w.emitWithAck("module/exists",
+      obj("moduleCid" -> text(Cid.render(Cid.ofValue(text("x"))))), 1L))
+    assert(probe1.asInstanceOf[Map[String, Any]]("moduleExists") == false)
+    // interloper: a SECOND websocket with the same sid that dies after a
+    // failed probe dance, never sending '5'. Its cleanup must not destroy
+    // the owning connection's session — teardown belongs to the socket
+    // that actually transitioned delivery, not to anyone who can quote
+    // the sid while sess.wsAttached happens to be true
+    val w2 = new WsClient(Some(c.sid))
+    w2.sendText("2probe")
+    assert(w2.nextText() == "3probe")
+    w2.ws.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "bail").join()
+    Thread.sleep(300) // let the server's reader loop run the dead socket's cleanup
+    // the owner's session is still alive, still delivering over ITS socket
+    val probe2 = assertOk(w.emitWithAck("module/exists",
+      obj("moduleCid" -> text(Cid.render(Cid.ofValue(text("y"))))), 2L))
+    assert(probe2.asInstanceOf[Map[String, Any]]("moduleExists") == false,
+      "owner websocket died after an interloper's disconnect")
+    w.ws.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "done").join()
+  }
+
   test("fresh websocket session: no polling round at all") {
     val w = new WsClient(None)
     val open = w.nextText()
