@@ -37,9 +37,21 @@ class PlanAuditSpec extends AnyFunSuite {
   test("dedup pipelines carry no broadcast hints (planner stays free to pick)") {
     // an explicit broadcast() pins a corpus-proportional build side at any
     // scale; these plans must leave the join strategy to cost + AQE
-    for (q <- Seq("q_dedup_lsh", "q_dedup_embedding")) {
+    for (q <- Seq("q_dedup_lsh", "q_dedup_embedding", "q_dedup_incremental")) {
       assert(!analyzed(q).contains("ResolvedHint"),
         s"$q still carries a broadcast hint")
+    }
+  }
+
+  test("incremental dedup and the leakage-safe split carry no products") {
+    // the prior-vs-fresh stages must stay equi-joins on hashes/band keys —
+    // a cartesian or nested-loop anywhere here is the O(N·increment)
+    // failure the banding exists to prevent
+    for (q <- Seq("q_dedup_incremental", "q_split_leakage_safe")) {
+      val plan = physical(q)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoop"),
+        s"$q plans a product join:\n$plan")
     }
   }
 
