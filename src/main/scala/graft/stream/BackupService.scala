@@ -6,7 +6,7 @@ import java.util.concurrent.{Executors, TimeUnit}
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 import org.apache.spark.sql.SaveMode
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, length, lit}
 
 import graft.server.Json
 import graft.types.{ModuleDef, ParamDef, ParamKind, QueryDef}
@@ -375,8 +375,10 @@ object BackupService {
     * (storage.rs:936-942). */
   def exportReference(h: StreamHandle, destRoot: String,
       owners: Seq[String] = Nil, chunkEvents: Int = 100000,
-      didKey: Option[DidKey] = None): Vector[(Long, Long)] = {
+      didKey: Option[DidKey] = None,
+      maxChunkBytes: Long = 256L << 20): Vector[(Long, Long)] = {
     require(chunkEvents > 0, "chunkEvents must be positive")
+    require(maxChunkBytes > 0, "maxChunkBytes must be positive")
     val (fs, root) = fsFor(h, destRoot)
     val dir = referenceStreamDir(root, h.id)
     fs.mkdirs(dir)
@@ -385,10 +387,28 @@ object BackupService {
     val latest = h.latest
     require(latest >= lastBacked,
       s"archive destination is ahead of the stream ($lastBacked > $latest)")
+    // the chunk cap is what bounds the driver's per-object materialization,
+    // but an event-COUNT cap alone is blind to payload size: 100k events of
+    // 1 MB each would stage 100 GB. Derive a byte-aware chunk size from the
+    // pending range's mean encoded event size (one cheap columnar agg over
+    // the pruned range) and take the tighter of the two caps.
+    val effChunk: Int =
+      if (latest <= lastBacked) chunkEvents
+      else {
+        val avgRow = h.eventsDF
+          .filter(col("idx") > lastBacked && col("idx") <= latest)
+          .agg(org.apache.spark.sql.functions.avg(
+            length(coalesce(col("payload"), lit(Array.empty[Byte]))) +
+              length(coalesce(col("signature"), lit(Array.empty[Byte]))) + 64))
+          .head()
+        val avg = if (avgRow.isNullAt(0)) 64.0 else math.max(64.0, avgRow.getDouble(0))
+        val byBytes = math.max(1L, (maxChunkBytes / avg).toLong)
+        math.min(chunkEvents.toLong, byBytes).toInt
+      }
     val written = Vector.newBuilder[(Long, Long)]
     var lo = lastBacked + 1
     while (lo <= latest) {
-      val hi = math.min(lo + chunkEvents - 1, latest)
+      val hi = math.min(lo + effChunk - 1, latest)
       // min/max parquet stats prune the log read to the new range's files.
       // Per-event DRISL encoding runs ON THE EXECUTORS — a CBOR array is
       // just a head + concatenated element encodings, so the driver's

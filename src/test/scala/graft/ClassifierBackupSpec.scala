@@ -462,6 +462,29 @@ class ClassifierBackupSpec extends AnyFunSuite {
       250000L -> "payload-250000", n.toLong -> s"payload-$n"))
   }
 
+  test("export chunking is byte-aware: fat payloads split into more objects") {
+    // 6 events of ~2 KB each: a 4 KB byte cap must override the 1000-event
+    // count cap and split the archive into multiple objects, so payload
+    // size can never pile an unbounded object onto the driver
+    val h = store.open("did:test:fatchunk")
+    h.setModule(ModuleDef(queries = Map(
+      "n" -> QueryDef("SELECT count(*) AS c FROM events"))))
+    val fat = "x" * 2048
+    h.addEvents((1 to 6).map(i => IncomingEvent(s"u$i", payload(fat, i))))
+    val dirP = graft.TempDirs.create("graft-fatchunk")
+    val ranges = BackupService.exportReference(h, "file:" + dirP,
+      chunkEvents = 1000, maxChunkBytes = 4096)
+    assert(ranges.length > 1,
+      s"byte cap ignored: 6 fat events exported as ${ranges.mkString(",")}")
+    assert(ranges.head._1 == 1L && ranges.last._2 == 6L)
+    // and the chain still restores whole
+    val store2 = new StreamStore(spark,
+      graft.TempDirs.create("graft-fatchunk-restore").toString)
+    val (r, _) = BackupService.importReference(
+      store2, "did:test:fatchunk-in", "file:" + dirP, h.id)
+    assert(r.latest == 6L)
+  }
+
   private def zstdBytes(b: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val z = new com.github.luben.zstd.ZstdOutputStream(bos)
