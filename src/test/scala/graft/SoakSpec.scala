@@ -124,8 +124,11 @@ class SoakSpec extends AnyFunSuite {
       // thrash check: wait until the sweep has drained the backlog (no new
       // handle constructions across a full tick), then assert further
       // ticks construct ZERO handles — unchanged streams must be skipped
-      // by the staleness probe, not reopened every interval
-      val deadline = System.nanoTime + 60L * 1000000000L
+      // by the staleness probe, not reopened every interval. The drain
+      // deadline is generous: under a full parallel test run the 32
+      // catch-up exports contend with every other suite for the local
+      // cluster, and a slow drain is not the pathology this test hunts
+      val deadline = System.nanoTime + 240L * 1000000000L
       var stable = store.totalHandleOpens
       var settled = false
       while (!settled && System.nanoTime < deadline) {
