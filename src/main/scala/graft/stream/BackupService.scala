@@ -254,15 +254,13 @@ object BackupService {
     bos.toByteArray
   }
 
-  private def zstdDecompress(b: Array[Byte]): Array[Byte] = {
-    val z = new com.github.luben.zstd.ZstdInputStream(
-      new java.io.ByteArrayInputStream(b))
-    try z.readAllBytes() finally z.close()
-  }
-
   /** zstd-bomb guard for whole-object decompression (small objects only —
     * metadata, module blobs, state snapshots). The event archives never
-    * come through here; they stream through a BoundedInputStream. */
+    * come through here; they stream through a BoundedInputStream. The cap
+    * must stay well under the JVM's ~2 GiB array ceiling: these paths
+    * materialize ONE `Array[Byte]`, so a larger cap would die as an
+    * `OutOfMemoryError` in `readAllBytes` before the cap exception could
+    * fire — the clean-failure discipline requires cap < array ceiling. */
   private def zstdDecompressBounded(b: Array[Byte], cap: Long): Array[Byte] = {
     val bounded = new BoundedInputStream(
       new com.github.luben.zstd.ZstdInputStream(
@@ -539,29 +537,22 @@ object BackupService {
     * stream is created, and any failure during replay deletes the
     * partially-created stream — a failed import never leaves an empty or
     * half-filled stream behind. */
-  // one import per target stream id at a time: the destructive
-  // failed-import cleanup (dropStream) must only ever delete state the
-  // SAME import created — a second concurrent import of the id fails
-  // fast here instead of racing the first and then deleting its work
-  private val importClaims =
-    scala.collection.concurrent.TrieMap.empty[(StreamStore, String), Unit]
-
   def importReference(store: StreamStore, newId: String, srcRoot: String,
       srcId: String, batchRows: Int = 100000,
       maxDecompressedBytes: Long = 8L << 30,
-      maxValueBytes: Int = 64 << 20): (StreamHandle, ReferenceMeta) = {
+      maxValueBytes: Int = 64 << 20,
+      // whole-object paths (metadata, module blobs, state.db.zstd)
+      // decompress into ONE driver array, so their cap must sit under the
+      // JVM's ~2 GiB array ceiling for the cap exception to fire before
+      // an OutOfMemoryError can — 1 GiB is generous for vacuumed state
+      // DBs and 10 MB-capped modules. The 8 GiB maxDecompressedBytes
+      // applies only to the STREAMED event path, which never materializes
+      // an object-sized array.
+      maxObjectBytes: Long = 1L << 30): (StreamHandle, ReferenceMeta) = {
     require(batchRows > 0, "batchRows must be positive")
-    require(importClaims.putIfAbsent((store, newId), ()).isEmpty,
-      s"an import into $newId is already in progress")
-    try importReferenceClaimed(store, newId, srcRoot, srcId, batchRows,
-      maxDecompressedBytes, maxValueBytes)
-    finally importClaims.remove((store, newId))
-  }
-
-  private def importReferenceClaimed(store: StreamStore, newId: String,
-      srcRoot: String, srcId: String, batchRows: Int,
-      maxDecompressedBytes: Long,
-      maxValueBytes: Int): (StreamHandle, ReferenceMeta) = {
+    require(maxObjectBytes > 0 && maxObjectBytes < Int.MaxValue.toLong - 8,
+      "maxObjectBytes must fit a single JVM array (cap < ~2 GiB) so the " +
+        "cap exception fires before an OutOfMemoryError can")
     val root = new HPath(srcRoot)
     val fs = root.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
     val dir = referenceStreamDir(root, srcId)
@@ -571,7 +562,7 @@ object BackupService {
     // leave a partially-created stream): metadata decodes, DID matches the
     // folder, and the range chain is contiguous from idx 1
     val meta0 = Drisl.decode(zstdIfNeeded(
-      readBytes(fs, new HPath(dir, "metadata.drisl")))) match {
+      readBytes(fs, new HPath(dir, "metadata.drisl")), maxObjectBytes)) match {
       case DMap(m) =>
         val did = m.get("did").collect { case DText(t) => t }.getOrElse(srcId)
         require(did == srcId,
@@ -612,7 +603,7 @@ object BackupService {
         val wireCid = n.stripSuffix(ModuleArchiveExt)
         try {
           val bytes = zstdDecompressBounded(
-            readBytes(fs, st.getPath), maxDecompressedBytes)
+            readBytes(fs, st.getPath), maxObjectBytes)
           val internal = store.registerModule(moduleFromWire(Drisl.decode(bytes)))
           store.recordModuleAlias(wireCid, internal)
           store.recordWireModule(wireCid, bytes)
@@ -622,10 +613,13 @@ object BackupService {
         }
       }
     }
-    val h = store.open(newId)
+    // atomic claim + create under the store's per-id lock: no concurrent
+    // create can slip between the exists-check and the creation, and while
+    // the claim is held client opens of the id fail — so the destructive
+    // cleanup below can only ever delete state THIS import created
+    val h = store.beginImport(newId)
     var batches = 0
     try {
-      require(h.latest == 0, s"restore target $newId is not empty")
       // install the module BEFORE replay when its CID resolves in this
       // store's registry (the reference restores the module blob by CID
       // first for the same reason: import must materialize as it goes)
@@ -638,7 +632,7 @@ object BackupService {
           new HPath(dir, s"$lo-$hi$EventsArchiveExt"), lo, hi,
           batchRows, maxDecompressedBytes, maxValueBytes)
       }
-      restoreState(store, h, fs, dir, meta0, maxDecompressedBytes)
+      restoreState(store, h, fs, dir, meta0, maxObjectBytes)
       // reinstate append-signing with the bucket's key: our engine's
       // signing discipline is the per-batch HMAC (A2'), keyed by the
       // stream key — a key-bearing bucket restores to a stream whose
@@ -647,21 +641,25 @@ object BackupService {
     } catch {
       case t: Throwable =>
         // undo the partial creation — an import that failed validation
-        // mid-replay must not leave an empty/half-filled stream behind
+        // mid-replay must not leave an empty/half-filled stream behind.
+        // Safe to be destructive: beginImport proved the stream did not
+        // exist before this import and blocked concurrent opens since.
         try store.dropStream(newId) catch {
           case e: Exception => org.slf4j.LoggerFactory.getLogger(getClass)
             .warn(s"cleanup of failed import $newId failed: ${e.getMessage}")
         }
         throw t
-    }
+    } finally store.endImport(newId)
     (h, meta0.copy(importBatches = batches))
   }
 
   /** Accept both raw and zstd-wrapped metadata bytes: the reference writes
-    * `metadata.drisl` uncompressed, but tolerate a compressed variant. */
-  private def zstdIfNeeded(b: Array[Byte]): Array[Byte] =
+    * `metadata.drisl` uncompressed, but tolerate a compressed variant —
+    * bounded like every other whole-object decompress. */
+  private def zstdIfNeeded(b: Array[Byte], cap: Long): Array[Byte] =
     if (b.length >= 4 && (b(0) & 0xff) == 0x28 && (b(1) & 0xff) == 0xb5 &&
-      (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd) zstdDecompress(b)
+      (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd)
+      zstdDecompressBounded(b, cap)
     else b
 
   /** Stream one `{start}-{end}.events.drisl.zstd` object into the stream
@@ -750,7 +748,7 @@ object BackupService {
     * whole import — never a silent partial restore. */
   private def restoreState(store: StreamStore, h: StreamHandle,
       fs: FileSystem, dir: HPath, meta: ReferenceMeta,
-      maxDecompressedBytes: Long): Unit = {
+      maxObjectBytes: Long): Unit = {
     import scala.jdk.CollectionConverters._
     if (meta.stateTables.nonEmpty) {
       meta.stateTables.foreach(t => h.restoreStateTable(t,
@@ -760,7 +758,7 @@ object BackupService {
     val stateDb = new HPath(dir, "state.db.zstd")
     if (!fs.exists(stateDb)) return
     val tables = SqliteFile.parse(zstdDecompressBounded(
-      readBytes(fs, stateDb), maxDecompressedBytes))
+      readBytes(fs, stateDb), maxObjectBytes))
     val stateNames = h.stateTableNames.toSet
     tables.foreach { t =>
       require(stateNames.contains(t.name),

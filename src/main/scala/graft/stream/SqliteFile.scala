@@ -225,6 +225,12 @@ object SqliteFile {
 
     // ---------------- schema ----------------
 
+    /** 'Not inside a string literal' sentinel for the DDL scanners below —
+      * written with the escape (not a raw NUL byte) so text tooling never
+      * classifies this source file as binary. NUL cannot appear in the
+      * schema's CREATE TABLE text, which SQLite stores as a UTF-8 string. */
+    private val NotInString = '\u0000'
+
     /** Parse column definitions out of CREATE TABLE text: the segment
       * between the outer parens, split on top-level commas, first
       * (possibly quoted) token of each definition; table-level constraint
@@ -234,10 +240,10 @@ object SqliteFile {
       val open = sql.indexOf('(')
       require(open >= 0, s"CREATE TABLE without a column list: $sql")
       var depth2 = 0; var i = open; var close = -1
-      var inStr = ' '
+      var inStr = NotInString
       while (i < sql.length && close < 0) {
         val c = sql.charAt(i)
-        if (inStr != ' ') { if (c == inStr) inStr = ' ' }
+        if (inStr != NotInString) { if (c == inStr) inStr = NotInString }
         else c match {
           case '\'' | '"' | '`' => inStr = c
           case '(' => depth2 += 1
@@ -250,10 +256,10 @@ object SqliteFile {
       val body = sql.substring(open + 1, close)
       // split top-level commas
       val parts = Vector.newBuilder[String]
-      var start = 0; var d = 0; inStr = ' '
+      var start = 0; var d = 0; inStr = NotInString
       for (j <- 0 until body.length) {
         val c = body.charAt(j)
-        if (inStr != ' ') { if (c == inStr) inStr = ' ' }
+        if (inStr != NotInString) { if (c == inStr) inStr = NotInString }
         else c match {
           case '\'' | '"' | '`' => inStr = c
           case '(' => d += 1
@@ -264,21 +270,51 @@ object SqliteFile {
       }
       parts += body.substring(start)
       val constraintKw = Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
-      parts.result().map(_.trim).filter(_.nonEmpty).flatMap { defn =>
-        val (name, rest) = defn.charAt(0) match {
-          case q @ ('"' | '`' | '\'') =>
-            val end = defn.indexOf(q, 1)
-            require(end > 0, s"unterminated quoted identifier in: $defn")
-            (defn.substring(1, end), defn.substring(end + 1))
-          case '[' =>
-            val end = defn.indexOf(']', 1)
-            require(end > 0, s"unterminated [identifier] in: $defn")
-            (defn.substring(1, end), defn.substring(end + 1))
-          case _ =>
-            val end0 = defn.indexWhere(c => c.isWhitespace || c == '(')
-            val end = if (end0 < 0) defn.length else end0
-            (defn.substring(0, end), defn.substring(end))
+      def leadingIdent(defn: String): (String, String) = defn.charAt(0) match {
+        case q @ ('"' | '`' | '\'') =>
+          val end = defn.indexOf(q, 1)
+          require(end > 0, s"unterminated quoted identifier in: $defn")
+          (defn.substring(1, end), defn.substring(end + 1))
+        case '[' =>
+          val end = defn.indexOf(']', 1)
+          require(end > 0, s"unterminated [identifier] in: $defn")
+          (defn.substring(1, end), defn.substring(end + 1))
+        case _ =>
+          val end0 = defn.indexWhere(c => c.isWhitespace || c == '(')
+          val end = if (end0 < 0) defn.length else end0
+          (defn.substring(0, end), defn.substring(end))
+      }
+      val entries = parts.result().map(_.trim).filter(_.nonEmpty)
+      // a table-level `PRIMARY KEY(x)` / `CONSTRAINT c PRIMARY KEY(x)` on a
+      // single INTEGER column ALSO aliases the rowid — such tables store the
+      // key as NULL in every record, so missing this form would silently
+      // restore the column as all NULLs. Per the spec's quirks list, the
+      // table-constraint form aliases for both ASC and DESC; only the
+      // COLUMN-level `INTEGER PRIMARY KEY DESC` form is excluded.
+      var tablePkCols: Option[Vector[String]] = None
+      entries.foreach { defn =>
+        val (name, rest0) = leadingIdent(defn)
+        val up = name.toUpperCase
+        val rest =
+          if (up == "CONSTRAINT") {
+            val t = rest0.trim
+            if (t.isEmpty) "" else leadingIdent(t)._2 // skip the constraint name
+          } else rest0
+        if ((up == "PRIMARY" || up == "CONSTRAINT") &&
+          rest.trim.toUpperCase.startsWith(if (up == "PRIMARY") "KEY" else "PRIMARY")) {
+          val inner0 = rest.indexOf('(')
+          require(inner0 >= 0 && rest.endsWith(")"),
+            s"unrecognized table-level PRIMARY KEY shape: $defn")
+          val cols = rest.substring(inner0 + 1, rest.length - 1).split(",")
+            .toVector.map(_.trim).filter(_.nonEmpty)
+            .map(e => leadingIdent(e)._1) // strips quotes; drops ASC/DESC/COLLATE
+          require(cols.nonEmpty,
+            s"table-level PRIMARY KEY with no columns: $defn")
+          tablePkCols = Some(cols)
         }
+      }
+      val defs = entries.flatMap { defn =>
+        val (name, rest) = leadingIdent(defn)
         if (constraintKw.contains(name.toUpperCase)) None
         else {
           val toks = rest.trim.split("\\s+").toVector.filter(_.nonEmpty)
@@ -291,12 +327,25 @@ object SqliteFile {
           // on this definition's own tokens — a raw-SQL substring search
           // would false-match suffix column names ("id" inside
           // "session_id") and miss quoted or oddly-spaced declarations.
+          // `INTEGER PRIMARY KEY DESC` is the spec's documented exception:
+          // that one spelling does NOT alias the rowid.
           val up = toks.map(_.toUpperCase)
           val isIpk = declType.equalsIgnoreCase("INTEGER") &&
             up.indices.dropRight(1).exists(i =>
-              up(i) == "PRIMARY" && up(i + 1) == "KEY")
+              up(i) == "PRIMARY" && up(i + 1) == "KEY" &&
+                !up.lift(i + 2).contains("DESC"))
           Some((Column(name, declType), isIpk))
         }
+      }
+      tablePkCols match {
+        case Some(Vector(pk)) if !defs.exists(_._2) =>
+          val idx = defs.indexWhere(_._1.name.equalsIgnoreCase(pk))
+          require(idx >= 0,
+            s"table-level PRIMARY KEY names unknown column '$pk' in: $sql")
+          if (defs(idx)._1.declType.equalsIgnoreCase("INTEGER"))
+            defs.updated(idx, (defs(idx)._1, true))
+          else defs
+        case _ => defs
       }
     }
 

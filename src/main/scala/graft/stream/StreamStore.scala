@@ -211,6 +211,32 @@ class StreamStore(val spark: SparkSession, val root: String,
     dead.size
   }
 
+  // streams currently being restored by an import: while claimed, client
+  // opens and creates of the id fail loudly. This is what makes the
+  // failed-import cleanup (dropStream) provably safe — the only stream
+  // state that can exist under a claimed id is state the import itself
+  // created, never a concurrent caller's racing create or append.
+  private val importOwned =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** Atomically claim `id` for an import and create its handle: the
+    * exists-check and the creation happen under the per-id write lock, so
+    * no concurrent create can slip between them, and the claim makes
+    * later client opens fail until [[endImport]]. One import per id at a
+    * time — a second concurrent import fails fast instead of racing the
+    * first and then deleting its work. */
+  private[stream] def beginImport(id: String): StreamHandle = {
+    require(importOwned.putIfAbsent(id, ()).isEmpty,
+      s"an import into $id is already in progress")
+    try lockFor(id).synchronized {
+      require(!exists(id), s"restore target $id is not empty")
+      openUnguarded(id)
+    } catch { case t: Throwable => importOwned.remove(id); throw t }
+  }
+
+  /** Release an import claim (success or after cleanup). */
+  private[stream] def endImport(id: String): Unit = importOwned.remove(id)
+
   /** A1: open or create the stream with the given id. A previously evicted
     * stream transparently reopens from its on-disk meta. Construction and
     * eviction happen OUTSIDE the store monitor: handle init and close both
@@ -218,6 +244,13 @@ class StreamStore(val spark: SparkSession, val root: String,
     * synchronized store methods (module resolution) — nesting the two
     * orders would deadlock. */
   def open(id: String): StreamHandle = {
+    if (importOwned.contains(id))
+      throw new IllegalStateException(
+        s"stream $id is being restored by an import — retry when it completes")
+    openUnguarded(id)
+  }
+
+  private def openUnguarded(id: String): StreamHandle = {
     val cached = synchronized(Option(handles.get(id)))
     cached match {
       case Some(h) if !h.isClosed => h

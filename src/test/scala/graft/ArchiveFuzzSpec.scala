@@ -47,9 +47,9 @@ class ArchiveFuzzSpec extends AnyFunSuite {
 
   private def importOf(dirP: java.nio.file.Path, did: String,
       batchRows: Int = 100000, maxDecompressed: Long = 8L << 30,
-      maxValue: Int = 64 << 20) =
+      maxValue: Int = 64 << 20, maxObject: Long = 1L << 30) =
     BackupService.importReference(store, s"$did-local", "file:" + dirP, did,
-      batchRows, maxDecompressed, maxValue)
+      batchRows, maxDecompressed, maxValue, maxObject)
 
   private def assertClean(did: String): Unit =
     assert(!store.exists(s"$did-local"),
@@ -138,6 +138,29 @@ class ArchiveFuzzSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       importOf(dirP, did, maxDecompressed = 1 << 20))
     assert(e.getMessage.contains("decompresses past"), e.getMessage)
+    assertClean(did)
+  }
+
+  test("forged state.db.zstd hits the whole-object cap, never an OOM") {
+    // the whole-object paths (state.db.zstd, module blobs, metadata)
+    // materialize ONE driver array, so their cap is separate from (and far
+    // below) the streamed event path's: the cap exception must fire during
+    // bounded decompression, before any array near the claimed size exists
+    val did = "did:fz:statebomb"
+    val dirP = bucket(did, "1-1.events.drisl.zstd" -> archiveOf(eventObj(1)))
+    val bomb = zstd(new Array[Byte](4 << 20)) // 4 MB of zeros, ~300 B packed
+    assert(bomb.length < 10000, "fixture should be a genuinely tiny bomb")
+    java.nio.file.Files.write(
+      dirP.resolve(s"streams/$did").resolve("state.db.zstd"), bomb)
+    val e = intercept[IllegalArgumentException](
+      importOf(dirP, did, maxObject = 1 << 20))
+    assert(e.getMessage.contains("decompresses past"), e.getMessage)
+    assertClean(did)
+    // a cap past the JVM array ceiling is refused up front — it could
+    // never fail cleanly, readAllBytes would OOM first
+    val e2 = intercept[IllegalArgumentException](
+      importOf(dirP, did, maxObject = 4L << 30))
+    assert(e2.getMessage.contains("array"), e2.getMessage)
     assertClean(did)
   }
 

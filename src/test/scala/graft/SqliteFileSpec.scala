@@ -88,6 +88,41 @@ class SqliteFileSpec extends AnyFunSuite {
     assert(byK("none") == null)
   }
 
+  private lazy val tablePk: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/state_tablepk.db")
+    require(in != null, "state_tablepk.db test resource missing")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("table-level PRIMARY KEY(k) on an INTEGER column aliases the rowid") {
+    // such tables store the key as NULL in every record — without the
+    // table-constraint alias resolution they would restore as all NULLs
+    val t = SqliteFile.parse(tablePk).find(_.name == "state_tpk").get
+    val byV = t.rows.map(r => r(1).asInstanceOf[String] -> r(0)).toMap
+    assert(byV("a") == java.lang.Long.valueOf(42L))
+    assert(byV("b") == java.lang.Long.valueOf(7L))
+  }
+
+  test("CONSTRAINT-named table-level PK, even DESC, aliases the rowid") {
+    // the spec's quirk: the table-constraint form aliases for ASC and
+    // DESC alike; only the column-level `INTEGER PRIMARY KEY DESC`
+    // spelling is excluded
+    val t = SqliteFile.parse(tablePk).find(_.name == "state_cpk").get
+    val byV = t.rows.map(r => r(1).asInstanceOf[String] -> r(0)).toMap
+    assert(byV("x") == java.lang.Long.valueOf(100L))
+    assert(byV("y") == java.lang.Long.valueOf(3L))
+  }
+
+  test("column-level INTEGER PRIMARY KEY DESC is NOT a rowid alias") {
+    // values are stored in the record (rowid runs separately), and the key
+    // may legitimately be NULL — a wrongly-applied alias would clobber
+    // that NULL with the rowid
+    val t = SqliteFile.parse(tablePk).find(_.name == "state_desc").get
+    val byV = t.rows.map(r => r(1).asInstanceOf[String] -> r(0)).toMap
+    assert(byV("p") == java.lang.Long.valueOf(55L))
+    assert(byV("q") == null, "NULL key in a non-alias PK must stay NULL")
+  }
+
   test("rejects non-SQLite and truncated input with clean errors") {
     val junk = intercept[IllegalArgumentException](
       SqliteFile.parse(Array.fill[Byte](200)(0x41)))
