@@ -84,7 +84,11 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     backupExportKeys: Boolean = false,
     backupSweepMs: Long = 60 * 1000L,
     blobGcMs: Long = 500 * 1000L,
-    blobGcMinAgeMs: Long = 500 * 1000L) {
+    blobGcMinAgeMs: Long = 500 * 1000L,
+    // operator-facing disaster recovery (the reference's `leaf-server
+    // backup restore`, main.rs:52-56): restore every stream on this
+    // bucket at boot, before the server starts serving traffic
+    restoreFrom: Option[String] = None) {
 
   // the HTTP routes bind to an INTERNAL loopback port; the public port is
   // a JDK-socket frontend (PublicFrontend) that serves websocket upgrades
@@ -671,6 +675,90 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
   private var lifecycleExec: Option[java.util.concurrent.ScheduledExecutorService] = None
   private val lifecycleLog = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  // what the sweep last shipped per stream: the persisted (latestIdx,
+  // stateVer, metaMtime) probe PLUS a fingerprint of the owner set and
+  // key-custody state — the exported metadata.drisl carries owners and
+  // (opt-in) did_key, so an owner or custody change must invalidate the
+  // skip even though it moves none of the probe's counters
+  private val sweepExported =
+    mutable.Map.empty[String, ((Long, Long, Long), String)]
+
+  /** Fingerprint of everything the exported `metadata.drisl` carries
+    * beyond the event/state counters: the recorded owner set, and (only
+    * when key export is enabled — otherwise custody never reaches the
+    * bucket) a digest of the custodied signing key. */
+  private def ownerKeyFp(id: String): String = {
+    val os = owners.synchronized(owners.getOrElse(id, Set.empty))
+      .toSeq.sorted.mkString(",")
+    val k =
+      if (backupExportKeys)
+        plc.flatMap(_.custodiedSecret(id)).map(s =>
+          java.security.MessageDigest.getInstance("MD5").digest(s)
+            .map("%02x".format(_)).mkString).getOrElse("-")
+      else "-"
+    s"$os|$k"
+  }
+
+  /** Outcome of a full-bucket restore: stream DIDs restored, skipped
+    * because already local, and failed (warned and continued). */
+  case class BucketRestoreReport(restored: Vector[String],
+      skipped: Vector[String], failed: Vector[String])
+
+  /** Operator-facing full-bucket disaster recovery — the reference's
+    * `leaf-server backup restore` entry point (main.rs:52-56 →
+    * storage.rs:908-1056). Enumerates every stream DID under
+    * `srcRoot/streams/`, imports each one this server does not already
+    * have (already-local streams skip with a warning, storage.rs:911),
+    * reinstates the bucket's recorded owners into the server ACL map and
+    * its `did_key` into signing custody (storage.rs:933-951), and marks
+    * the stream backed-up at its restored position so the sweep does not
+    * re-archive what the bucket already holds (storage.rs:1045-1052).
+    * Per-stream failures warn and continue, mirroring the reference's
+    * skip paths — one corrupt stream must not abort a whole-bucket
+    * recovery. Runs automatically at boot when `restoreFrom` is set. */
+  def restoreFromBucket(srcRoot: String): BucketRestoreReport = {
+    val root = new org.apache.hadoop.fs.Path(srcRoot)
+    val fs = root.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+    val streamsDir = new org.apache.hadoop.fs.Path(root, "streams")
+    require(fs.exists(streamsDir),
+      s"no streams/ directory on restore bucket $srcRoot")
+    val dids = fs.listStatus(streamsDir).toVector
+      .filter(_.isDirectory).map(_.getPath.getName).sorted
+    val restored = Vector.newBuilder[String]
+    val skipped = Vector.newBuilder[String]
+    val failed = Vector.newBuilder[String]
+    dids.foreach { did =>
+      if (store.exists(did)) {
+        lifecycleLog.warn(
+          s"skipping restore of stream $did that we already have locally")
+        skipped += did
+      } else try {
+        val (_, meta) = BackupService.importReference(store, did, srcRoot, did)
+        // reinstate ownership: restored ACLs gate RPCs exactly as they
+        // did on the server that exported the bucket
+        if (meta.owners.nonEmpty) owners.synchronized {
+          owners(did) = owners.getOrElse(did, Set.empty) ++ meta.owners
+        }
+        // reinstate key custody: the import already re-armed the stream's
+        // append signing; custody here re-arms the PLC-side operations
+        // (handle updates) and future key-bearing exports
+        meta.didKey.foreach(k => plc.foreach(_.installKey(did, k.secret)))
+        // mark backed-up AT the restored position (probe + owners/key
+        // fingerprint recorded AFTER owners and custody are in place):
+        // the bucket already holds everything just imported, so the
+        // sweep must not immediately re-export it
+        store.persistedMeta(did).foreach(p =>
+          sweepExported(did) = (p, ownerKeyFp(did)))
+        restored += did
+      } catch {
+        case t: Throwable =>
+          lifecycleLog.warn(s"restore of stream $did failed: ${t.getMessage}")
+          failed += did
+      }
+    }
+    BucketRestoreReport(restored.result(), skipped.result(), failed.result())
+  }
+
   private def startLifecycleTasks(): Unit = {
     val exec = Executors.newSingleThreadScheduledExecutor { r =>
       val t = new Thread(r, "graft-server-lifecycle"); t.setDaemon(true); t
@@ -688,16 +776,17 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
       //
       // Staleness probe before open: store.persistedMeta reads the
       // stream's (latestIdx, stateVer) off disk without constructing a
-      // handle, and a stream already exported at that exact pair is
-      // skipped — otherwise a sweep over thousands of mostly-idle streams
-      // would reopen (and LRU-evict) every hot handle every tick. The
-      // reference's sweep keeps the same books server-side
-      // (events/state/metadata *_backed_up_at columns, storage.rs:680-698).
-      val sweepExported = mutable.Map.empty[String, (Long, Long, Long)]
+      // handle, and a stream already exported at that exact pair — AND
+      // whose owner/key fingerprint is unchanged, since the exported
+      // metadata.drisl carries both — is skipped; otherwise a sweep over
+      // thousands of mostly-idle streams would reopen (and LRU-evict)
+      // every hot handle every tick. The reference's sweep keeps the same
+      // books server-side (events/state/metadata *_backed_up_at columns,
+      // storage.rs:680-698).
       exec.scheduleWithFixedDelay(() =>
         try store.listStreams().foreach { id =>
           try {
-            val probe = store.persistedMeta(id)
+            val probe = store.persistedMeta(id).map((_, ownerKeyFp(id)))
             if (probe.isDefined && sweepExported.get(id) == probe) ()
             else {
             val h = store.open(id)
@@ -716,7 +805,8 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
                   else None)
             else BackupService.backup(h, s"$dest/streams/$id")
             // record what was on disk BEFORE the export: a concurrent
-            // append between probe and export re-sweeps next tick
+            // append (or owner/key change) between probe and export
+            // re-sweeps next tick
             probe.foreach(p => sweepExported(id) = p)
             }
           } catch { case t: Throwable =>
@@ -730,6 +820,11 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
   }
 
   def start(): Unit = {
+    // disaster recovery runs BEFORE the server serves traffic or the
+    // sweep starts: restored streams must exist (with their ACLs and key
+    // custody) when the first RPC lands, and be marked backed-up before
+    // the first sweep tick
+    restoreFrom.foreach(restoreFromBucket)
     server.start(); frontend.start(); startLifecycleTasks()
   }
   def stop(): Unit = {

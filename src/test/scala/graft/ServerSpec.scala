@@ -643,6 +643,215 @@ class ServerSpec extends AnyFunSuite {
     assert(r.get("err").exists(_.toString.contains("maximum size")), r.toString)
   }
 
+  test("full-bucket disaster recovery: streams, state.db, ACLs, key custody") {
+    import graft.stream.BackupService
+    import graft.drisl.{Cid, DValue}
+    def zstdBytes(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new com.github.luben.zstd.ZstdOutputStream(bos)
+      try z.write(b) finally z.close()
+      bos.toByteArray
+    }
+    val bucketDir = graft.TempDirs.create("graft-dr-bucket")
+    val bucket = "file:" + bucketDir
+    val secretA = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("dr-a-key".getBytes)
+
+    // --- stream A: hand-built in the reference's own producer shape —
+    // wire module blob, event archives, metadata carrying did_key +
+    // owners, and a vacuumed-SQLite state.db.zstd (the committed
+    // real-SQLite fixture)
+    val didA = "did:graft:dr-a"
+    val mA = graft.types.ModuleDef(
+      initSql = "CREATE TABLE IF NOT EXISTS notes (idx BIGINT, who STRING, content STRING) USING PARQUET",
+      materializer = "INSERT INTO notes SELECT idx, user, drisl_extract(payload, '.content') FROM event",
+      stateInitSql =
+        """CREATE TABLE IF NOT EXISTS state_counts (k STRING, n BIGINT, avg DOUBLE) USING PARQUET;
+          |CREATE TABLE IF NOT EXISTS state_sessions (sid BIGINT, who STRING, blob_v BINARY, note STRING) USING PARQUET""".stripMargin,
+      queries = Map(
+        "notes" -> graft.types.QueryDef(
+          "SELECT idx, who, content FROM notes ORDER BY idx"),
+        "counts" -> graft.types.QueryDef(
+          "SELECT count(*) AS c FROM state_counts")))
+    val wireA = Drisl.encode(BackupService.moduleToWire(mA))
+    val cidA = Cid.render(Cid.of(wireA))
+    val sdirA = bucketDir.resolve(s"streams/$didA")
+    java.nio.file.Files.createDirectories(sdirA)
+    java.nio.file.Files.createDirectories(bucketDir.resolve("modules"))
+    java.nio.file.Files.write(
+      bucketDir.resolve(s"modules/$cidA.module.drisl.zstd"), zstdBytes(wireA))
+    def rawPayload(content: String): Array[Byte] =
+      Drisl.encode(obj("content" -> text(content), "n" -> int(1)))
+    java.nio.file.Files.write(sdirA.resolve("1-2.events.drisl.zstd"),
+      zstdBytes(Drisl.encode(obj("events" -> DValue.DArray(Vector(
+        obj("idx" -> int(1), "user" -> text("did:user:alice"),
+          "payload" -> DValue.DBytes(rawPayload("hello")),
+          "signature" -> DValue.DBytes(Array.empty[Byte])),
+        obj("idx" -> int(2), "user" -> text("did:user:alice"),
+          "payload" -> DValue.DBytes(rawPayload("world")),
+          "signature" -> DValue.DBytes(Array.empty[Byte]))))))))
+    val sqliteFixture = {
+      val in = getClass.getResourceAsStream("/state_fixture.db")
+      require(in != null, "state_fixture.db test resource missing")
+      try in.readAllBytes() finally in.close()
+    }
+    java.nio.file.Files.write(sdirA.resolve("state.db.zstd"),
+      zstdBytes(sqliteFixture))
+    java.nio.file.Files.write(sdirA.resolve("metadata.drisl"),
+      Drisl.encode(obj(
+        "did" -> text(didA),
+        "did_key" -> obj("K256" -> DValue.DBytes(secretA)),
+        "owners" -> DValue.DArray(Vector(text("did:user:alice"))),
+        "module_cid" -> DValue.DCid(Cid.parse(cidA)))))
+
+    // --- streams B and C: exported by this engine's own sweep-format
+    // path; C will also be pre-created locally so restore must skip it
+    val srcStore = new StreamStore(spark,
+      graft.TempDirs.create("graft-dr-src").toString)
+    val mB = graft.types.ModuleDef(
+      initSql = "CREATE TABLE IF NOT EXISTS notes (idx BIGINT) USING PARQUET",
+      materializer = "INSERT INTO notes SELECT idx FROM event",
+      queries = Map("n" -> graft.types.QueryDef(
+        "SELECT count(*) AS c FROM notes")))
+    val hB = srcStore.createStream("did:graft:dr-b", mB)
+    hB.addEvents(Seq(
+      graft.types.IncomingEvent("did:user:bob", rawPayload("b1")),
+      graft.types.IncomingEvent("did:user:bob", rawPayload("b2")),
+      graft.types.IncomingEvent("did:user:bob", rawPayload("b3"))))
+    BackupService.exportReference(hB, bucket, owners = Seq("did:user:bob"))
+    val hC = srcStore.createStream("did:graft:dr-c", mB)
+    hC.addEvents(Seq(graft.types.IncomingEvent("did:user:carol", rawPayload("c1"))))
+    BackupService.exportReference(hC, bucket)
+
+    // --- boot a fresh server against the bucket
+    val dstStore = new StreamStore(spark,
+      graft.TempDirs.create("graft-dr-dst").toString)
+    dstStore.createStream("did:graft:dr-c", mB) // pre-existing local stream
+    val plcDir = new graft.server.LocalPlcDirectory
+    val srv = new LeafServer(dstStore, 0, authToken = Some("testtoken"),
+      plc = Some(plcDir), restoreFrom = Some(bucket))
+    srv.start()
+    try {
+      def dpost(path: String, body: Map[String, Any],
+          did: Option[String] = None): Map[String, Any] = {
+        val b = HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${srv.boundPort}$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(Json.render(body)))
+          .header("Authorization", "Bearer testtoken")
+        did.foreach(d => b.header("X-Graft-Did", d))
+        Json.parse(client.send(b.build(),
+          HttpResponse.BodyHandlers.ofString()).body()).asInstanceOf[Map[String, Any]]
+      }
+      def dok(r: Map[String, Any]) = {
+        assert(!r.contains("err"), r.toString)
+        r("ok").asInstanceOf[Map[String, Any]]
+      }
+      // all three bucket streams are local now; a SECOND restore call
+      // skips every one of them (the already-local warn path)
+      val again = srv.restoreFromBucket(bucket)
+      assert(again.restored.isEmpty && again.failed.isEmpty)
+      assert(again.skipped.toSet ==
+        Set(didA, "did:graft:dr-b", "did:graft:dr-c"))
+      // events and modules restored
+      assert(dok(dpost("/stream/info", Map("id" -> didA)))("latest_idx") == 2L)
+      assert(dok(dpost("/stream/info",
+        Map("id" -> "did:graft:dr-b")))("latest_idx") == 3L)
+      // the pre-existing local stream was skipped, not clobbered by the
+      // bucket's 1-event copy
+      assert(dok(dpost("/stream/info",
+        Map("id" -> "did:graft:dr-c")))("latest_idx") == 0L)
+      // state.db.zstd restored through the SQLite reader into state tables
+      val counts = dok(dpost("/stream/query", Map("id" -> didA,
+        "query" -> Map("name" -> "counts"))))("rows").asInstanceOf[Vector[Any]]
+      assert(counts.head.asInstanceOf[Map[String, Any]]("c")
+        .asInstanceOf[Map[String, Any]]("value") == 301L)
+      // restored ACLs gate owner-only RPCs: a non-owner is rejected, the
+      // bucket's recorded owner passes
+      val eve = dpost("/stream/clear_state", Map("id" -> didA),
+        did = Some("did:user:eve"))
+      assert(eve.get("err").exists(_.toString.contains("owner")), eve.toString)
+      assert(!dpost("/stream/clear_state", Map("id" -> didA),
+        did = Some("did:user:alice")).contains("err"))
+      // key custody reinstated from the bucket's did_key
+      assert(plcDir.custodiedSecret(didA).map(_.toSeq) == Some(secretA.toSeq))
+      // ...and appends sign with the restored key again
+      dok(dpost("/stream/event_batch", Map("id" -> didA, "events" -> Vector(
+        Map("user" -> "did:user:alice", "payload_b64" ->
+          Base64.getEncoder.encodeToString(rawPayload("post-restore")))))))
+      val sig = dstStore.open(didA).eventsDF.orderBy("idx").collect()
+        .last.getAs[Array[Byte]]("signature")
+      val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+      mac.init(new javax.crypto.spec.SecretKeySpec(secretA, "HmacSHA256"))
+      val expected = mac.doFinal(Drisl.encode(DValue.DArray(Vector(obj(
+        "user" -> text("did:user:alice"),
+        "payload" -> DValue.DBytes(rawPayload("post-restore")))))))
+      assert(sig.sameElements(expected),
+        "restored stream must sign appends with the bucket's did_key")
+    } finally srv.stop()
+  }
+
+  test("custody rotation invalidates the sweep's export fingerprint") {
+    // the exported metadata.drisl carries owners and (opt-in) did_key —
+    // a key change must re-export even though no probe counter moved
+    val lstore = new StreamStore(spark,
+      graft.TempDirs.create("graft-fpsweep").toString)
+    val dest = graft.TempDirs.create("graft-fpsweep-bak")
+    val plcDir = new graft.server.LocalPlcDirectory
+    val srv = new LeafServer(lstore, 0, authToken = Some("testtoken"),
+      plc = Some(plcDir), backupDest = Some("file:" + dest),
+      backupReferenceFormat = true, backupExportKeys = true,
+      backupSweepMs = 250)
+    srv.start()
+    try {
+      def fpost(path: String, body: Map[String, Any]): Map[String, Any] = {
+        val b = HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${srv.boundPort}$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(Json.render(body)))
+          .header("Authorization", "Bearer testtoken")
+        Json.parse(client.send(b.build(),
+          HttpResponse.BodyHandlers.ofString()).body()).asInstanceOf[Map[String, Any]]
+      }
+      def fok(r: Map[String, Any]) = {
+        assert(!r.contains("err"), r.toString)
+        r("ok").asInstanceOf[Map[String, Any]]
+      }
+      val cid = fok(fpost("/module/upload", Map("module" -> Map(
+        "init_sql" -> "CREATE TABLE IF NOT EXISTS notes (idx BIGINT) USING PARQUET",
+        "materializer" -> "INSERT INTO notes SELECT idx FROM event"))))("cid").toString
+      // no requested id: the PLC directory mints the did WITH key custody
+      val sid = fok(fpost("/stream/create", Map("module_cid" -> cid)))("id").toString
+      assert(sid.startsWith("did:plc:"))
+      fok(fpost("/stream/event_batch", Map("id" -> sid, "events" ->
+        Vector(Map("user" -> "u", "payload_b64" -> payload("fp", 1))))))
+      val metaPath = dest.resolve(s"streams/$sid/metadata.drisl")
+      def exportedKey(): Option[Seq[Byte]] =
+        if (!java.nio.file.Files.exists(metaPath)) None
+        else Drisl.decode(java.nio.file.Files.readAllBytes(metaPath)) match {
+          case graft.drisl.DValue.DMap(m) => m.get("did_key").collect {
+            case graft.drisl.DValue.DMap(k) => k.collectFirst {
+              case (_, graft.drisl.DValue.DBytes(s)) => s.toSeq
+            }
+          }.flatten
+          case _ => None
+        }
+      val key1 = plcDir.custodiedSecret(sid).get.toSeq
+      val deadline1 = System.nanoTime + 30L * 1000000000L
+      while (!exportedKey().contains(key1) && System.nanoTime < deadline1)
+        Thread.sleep(100)
+      assert(exportedKey().contains(key1),
+        "first sweep must export the custodied did_key")
+      // rotate custody: no event, no state change — only the key moved
+      val secret2 = java.security.MessageDigest.getInstance("SHA-256")
+        .digest("rotated-key".getBytes)
+      plcDir.installKey(sid, secret2)
+      val deadline2 = System.nanoTime + 30L * 1000000000L
+      while (!exportedKey().contains(secret2.toSeq) && System.nanoTime < deadline2)
+        Thread.sleep(100)
+      assert(exportedKey().contains(secret2.toSeq),
+        "a custody rotation must invalidate the sweep's skip fingerprint")
+    } finally srv.stop()
+  }
+
   test("json parser caps container nesting (no stack overflow on [[[…)") {
     val hostile = "[" * 100000 + "]" * 100000
     val e = intercept[IllegalArgumentException](graft.server.Json.parse(hostile))
