@@ -47,15 +47,67 @@ object Pipeline {
   // the component table is consumed by BOTH q_dedup_cluster and
   // q_split_leakage_safe; the BSP loop ends in an eager localCheckpoint,
   // so one (session, corpus) computes it once and both gates read the
-  // checkpointed frame (a corpus dir is immutable for a session's life)
-  private val compCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+  // checkpointed frame (a corpus dir is immutable for a session's life).
+  // BOUNDED: each entry pins executor block storage for the life of the
+  // process, so a long-lived session sweeping many corpus dirs must not
+  // accumulate checkpoints without limit — the map is an access-ordered
+  // LRU whose evictions release their checkpoint blocks, and
+  // [[clearComponentCache]] releases everything for a session up front.
+  private val maxCachedComponents = 4
+  private val compCache = new java.util.LinkedHashMap[
+    (SparkSession, String), (DataFrame, org.apache.spark.rdd.RDD[_])](
+    8, 0.75f, true)
+
+  /** The checkpointed RDD backing a localCheckpoint'd frame — the thing
+    * whose blocks must be released when the cache lets the frame go. */
+  private def checkpointRddOf(df: DataFrame): org.apache.spark.rdd.RDD[_] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.getOrElse(df.rdd)
 
   /** Connected components over the dup-edge relations (the body of
     * `q_dedup_cluster`, shared with the leakage-safe split): returns
     * (doc_id, component) for every doc belonging to a dup cluster. */
-  private def componentsDF(s: SparkSession, dir: String): DataFrame =
-    compCache.getOrElseUpdate((s, dir), buildComponents(s, dir))
+  private def componentsDF(s: SparkSession, dir: String): DataFrame = {
+    val key = (s, dir)
+    val hit = compCache.synchronized(Option(compCache.get(key))).collect {
+      // a released (or cleaner-reclaimed) checkpoint cannot be recomputed
+      // — a stale hit would fail on first use, so rebuild instead
+      case (df, rdd) if rdd.getStorageLevel.isValid => df
+    }
+    hit.getOrElse {
+      val built = buildComponents(s, dir)
+      val rdd = checkpointRddOf(built)
+      val evicted = compCache.synchronized {
+        compCache.put(key, (built, rdd))
+        val out = List.newBuilder[(DataFrame, org.apache.spark.rdd.RDD[_])]
+        val it = compCache.entrySet().iterator()
+        while (compCache.size > maxCachedComponents && it.hasNext) {
+          out += it.next().getValue
+          it.remove()
+        }
+        out.result()
+      }
+      evicted.foreach(_._2.unpersist(false))
+      built
+    }
+  }
+
+  /** Release every cached component frame of `s` and drop its checkpoint
+    * blocks. Call at session teardown (or between corpus sweeps) — the
+    * next `q_dedup_cluster`/`q_split_leakage_safe` run simply rebuilds. */
+  def clearComponentCache(s: SparkSession): Unit = {
+    val dropped = compCache.synchronized {
+      val it = compCache.entrySet().iterator()
+      val out = List.newBuilder[(DataFrame, org.apache.spark.rdd.RDD[_])]
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 eq s) { out += e.getValue; it.remove() }
+      }
+      out.result()
+    }
+    dropped.foreach(_._2.unpersist(false))
+  }
 
   private def buildComponents(s: SparkSession, dir: String): DataFrame = {
         val c = Dedup.corpus(s, dir)
