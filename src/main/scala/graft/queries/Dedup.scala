@@ -142,6 +142,199 @@ object Dedup {
        |  SELECT doc_id, ${(0 until K).map(k => s"min(xor(h, ${xorConst(k)})) AS h$k").mkString(", ")}
        |  FROM hashed GROUP BY doc_id)""".stripMargin
 
+  // ---------------- persisted dedup index ----------------
+  //
+  // The production shape of incremental dedup at 100 TB: the prior
+  // corpus's fingerprint table, LSH band index, and shingle arrays are
+  // PERSISTED ARTIFACTS of the last run, so each daily increment costs
+  // O(increment) — the prior corpus TEXT is never re-read or re-shingled.
+  // The banding derivation (r) is fixed at index-build time and recorded
+  // in the artifact's meta.json: appends band with the index's own r
+  // (that is what keeps an append O(increment)); re-deriving r for a
+  // grown corpus is an explicit rebuild, not a silent drift.
+
+  /** The band-index rows of a shingle-array frame at `r` rows per band. */
+  private[queries] def bandsFromArr(arr: DataFrame, r: Int): DataFrame = {
+    val b = K / r
+    val sigCols = (0 until K).map(k =>
+      array_min(transform(col("shs"), v => v.bitwiseXOR(lit(xorConst(k))))).as(s"h$k"))
+    val sg = arr.select((col("doc_id") +: sigCols): _*)
+    val bandCols = (0 until b).map(i =>
+      md5(concat_ws("|", (i * r until (i + 1) * r).map(k => col(s"h$k")): _*)))
+    sg.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_id", "bh")))
+  }
+
+  private def indexMetaPath(s: SparkSession, indexDir: String) = {
+    val p = new org.apache.hadoop.fs.Path(indexDir, "meta.json")
+    (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def readIndexMeta(s: SparkSession, indexDir: String): Int = {
+    val (fs, p) = indexMetaPath(s, indexDir)
+    require(fs.exists(p), s"no dedup index at $indexDir (missing meta.json)")
+    val in = fs.open(p)
+    val m = try graft.server.Json.parse(new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[Map[String, Any]]
+    finally in.close()
+    require(m.get("k").contains(K.toLong) && m.get("shingle").contains(5L) &&
+      m.get("stride").contains(2L),
+      s"dedup index at $indexDir was built with different derivation " +
+        s"params ($m) — rebuild it rather than mixing derivations")
+    m("r").asInstanceOf[Long].toInt
+  }
+
+  /** Write one batch of docs into the index artifacts at the given r.
+    * Every artifact derives from THIS batch only (lineage, not a re-read
+    * of the artifact dirs — an append must not re-band prior batches),
+    * so the cost of an append is O(batch). */
+  private def writeIndexParts(s: SparkSession, docs: DataFrame,
+      indexDir: String, r: Int, mode: org.apache.spark.sql.SaveMode): Unit = {
+    graft.functions.VectorExpressions.register(s)
+    docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("dup_of"))
+      .write.mode(mode).parquet(s"$indexDir/fp")
+    val batchArr = shingleHashArr(s, 5, stride = 2)(docs)
+    batchArr.write.mode(mode).parquet(s"$indexDir/shingles")
+    bandsFromArr(batchArr, r).write.mode(mode).parquet(s"$indexDir/bands")
+  }
+
+  /** Build the persisted dedup index of `corpus` under `indexDir`:
+    * `fp/` (fp, dup_of), `shingles/` (doc_id, shs), `bands/` (doc_id,
+    * band_id, bh), and `meta.json` recording the derivation (K, shingle,
+    * stride, and the r derived from the corpus count). Loading refuses a
+    * derivation mismatch. */
+  def buildDedupIndex(s: SparkSession, corpus: DataFrame,
+      indexDir: String): Int = {
+    val r = lshRowsPerBand(corpus.count())
+    writeIndexParts(s, corpus, indexDir, r,
+      org.apache.spark.sql.SaveMode.Overwrite)
+    val (fs, p) = indexMetaPath(s, indexDir)
+    // meta is the commit marker: written last, so a torn build never
+    // passes readIndexMeta
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"k": $K, "shingle": 5, "stride": 2, "r": $r}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    r
+  }
+
+  /** Append accepted increment docs to an existing index, banding with
+    * the INDEX's recorded r — the append is O(increment) and the knob
+    * cannot silently drift between runs. */
+  def appendDedupIndex(s: SparkSession, docs: DataFrame,
+      indexDir: String): Unit =
+    writeIndexParts(s, docs, indexDir, readIndexMeta(s, indexDir),
+      org.apache.spark.sql.SaveMode.Append)
+
+  /** Dedup a fresh increment against a persisted index: exact
+    * content-hash lookup, LSH banding of the survivors against the band
+    * index, exact-Jaccard verify against the indexed shingle arrays.
+    * Returns (doc_id, verdict 'exact'|'near'|'new', dup_of). The prior
+    * corpus text is never touched — every prior-side input is an index
+    * artifact scan. */
+  def incrementVsIndex(s: SparkSession, fresh: DataFrame,
+      indexDir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val r = readIndexMeta(s, indexDir)
+    val fpIdx = s.read.parquet(s"$indexDir/fp")
+    val bandIdx = s.read.parquet(s"$indexDir/bands")
+    val shIdx = s.read.parquet(s"$indexDir/shingles")
+    // stage 1: exact content-hash lookup (min across batches — an fp can
+    // have one row per appended batch)
+    val exact = fresh.select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(fpIdx, Seq("fp"))
+      .groupBy(col("doc_id")).agg(min(col("dup_of")).as("e"))
+    val rest = fresh.join(exact.select("doc_id"), Seq("doc_id"), "left_anti")
+    val restArr = shingleHashArr(s, 5, stride = 2)(rest)
+    val cand = bandsFromArr(restArr, r).as("x")
+      .join(bandIdx.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    // stage 3: exact Jaccard over candidates only, prior side semi-joined
+    // out of the index's shingle artifact
+    val candIdx = shIdx.join(
+      cand.select(col("b").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+    val candRest = restArr.join(
+      cand.select(col("a").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+    val near = cand
+      .join(candRest.as("za"), col("a") === col("za.doc_id"))
+      .join(candIdx.as("zb"), col("b") === col("zb.doc_id"))
+      .select(col("a"), col("b"),
+        expr("sorted_intersect_count(za.shs, zb.shs)").as("inter"),
+        size(col("za.shs")).cast("long").as("sza"),
+        size(col("zb.shs")).cast("long").as("szb"))
+      .filter(col("inter").cast("double") /
+        (col("sza") + col("szb") - col("inter")) >= 0.9)
+      .groupBy(col("a").as("doc_id")).agg(min(col("b")).as("near_of"))
+    fresh.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("e").isNotNull, lit("exact"))
+          .when(col("near_of").isNotNull, lit("near"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("e"), col("near_of")).cast("long").as("dup_of"))
+  }
+
+  /** Oracle CTE block replicating [[incrementVsIndex]] for one increment:
+    * CTEs prefixed `px`, reading fresh docs from CTE `freshCte` and the
+    * index corpus from CTE `idxCte`; the shared CTE `p` supplies r. Ends
+    * with `{px}out(doc_id, verdict, dup_of)`. */
+  private def incrementBlockSql(px: String, freshCte: String,
+      idxCte: String): String =
+    s"""${px}fp AS (SELECT md5(text) AS fp, min(doc_id) AS dup_of FROM $idxCte GROUP BY 1),
+       |${px}exact AS (
+       |  SELECT f.doc_id, min(p.dup_of) AS dup_of
+       |  FROM (SELECT doc_id, md5(text) AS fp FROM $freshCte) f
+       |  JOIN ${px}fp p USING (fp) GROUP BY 1),
+       |${px}rest AS (SELECT * FROM $freshCte WHERE doc_id NOT IN (SELECT doc_id FROM ${px}exact)),
+       |${px}corpus AS (
+       |  SELECT 'p' AS side, doc_id, text FROM $idxCte
+       |  UNION ALL SELECT 'f' AS side, doc_id, text FROM ${px}rest),
+       |${px}sh AS (
+       |  SELECT side, doc_id, substr(trim(text), unnest(generate_series(1, length(trim(text))-4, 2)), 5) AS sh
+       |  FROM ${px}corpus WHERE length(trim(text)) >= 5),
+       |${px}hashed AS (SELECT side, doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM ${px}sh),
+       |${px}dsh AS (SELECT DISTINCT side, doc_id, h FROM ${px}hashed),
+       |${px}sig AS (
+       |  SELECT side, doc_id, ${(0 until K).map(k => s"min(xor(h, ${xorConst(k)})) AS h$k").mkString(", ")}
+       |  FROM ${px}dsh GROUP BY side, doc_id),
+       |${px}sigl AS (
+       |  SELECT side, doc_id, [${(0 until K).map(k => s"h$k").mkString(", ")}] AS sl FROM ${px}sig),
+       |${px}bands AS (
+       |  SELECT side, doc_id, i AS band_id,
+       |    md5(array_to_string(sl[i*r+1 : i*r+r], '|')) AS bh
+       |  FROM ${px}sigl, p, (SELECT unnest(generate_series(0, ${K / 2 - 1})) AS i)
+       |  WHERE i < $K // r),
+       |${px}cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM ${px}bands x JOIN ${px}bands y ON x.band_id = y.band_id AND x.bh = y.bh
+       |  WHERE x.side = 'f' AND y.side = 'p'),
+       |${px}sz AS (SELECT side, doc_id, count(*) AS sz FROM ${px}dsh GROUP BY 1, 2),
+       |${px}inter AS (
+       |  SELECT a, b, count(*) AS inter FROM ${px}cand
+       |  JOIN ${px}dsh sa ON sa.side = 'f' AND sa.doc_id = a
+       |  JOIN ${px}dsh sb ON sb.side = 'p' AND sb.doc_id = b AND sa.h = sb.h
+       |  GROUP BY a, b),
+       |${px}near AS (
+       |  SELECT a AS doc_id, min(b) AS near_of FROM (
+       |    SELECT a, b FROM ${px}inter
+       |    JOIN ${px}sz za ON za.side = 'f' AND za.doc_id = a
+       |    JOIN ${px}sz zb ON zb.side = 'p' AND zb.doc_id = b
+       |    WHERE CAST(inter AS DOUBLE)/(za.sz + zb.sz - inter) >= 0.9)
+       |  GROUP BY a),
+       |${px}out AS (
+       |  SELECT f.doc_id,
+       |    CASE WHEN e.dup_of IS NOT NULL THEN 'exact'
+       |         WHEN nr.near_of IS NOT NULL THEN 'near'
+       |         ELSE 'new' END AS verdict,
+       |    coalesce(e.dup_of, nr.near_of) AS dup_of
+       |  FROM $freshCte f
+       |  LEFT JOIN ${px}exact e ON e.doc_id = f.doc_id
+       |  LEFT JOIN ${px}near nr ON nr.doc_id = f.doc_id)""".stripMargin
+
   val all: Map[String, Q] = Map(
 
     // ---- exact dedup: hash-groupBy on content fingerprint ----
@@ -303,16 +496,9 @@ object Dedup {
         // n = the whole post-increment corpus so the knob can only tighten)
         val rest = fresh.join(exact.select("doc_id"), Seq("doc_id"), "left_anti")
         val r = lshRowsPerBand(prior.count() + fresh.count())
-        val b = K / r
         def arrAndBands(c: DataFrame): (DataFrame, DataFrame) = {
           val arr = shingleHashArr(s, 5, stride = 2)(c)
-          val sigCols = (0 until K).map(k =>
-            array_min(transform(col("shs"), v => v.bitwiseXOR(lit(xorConst(k))))).as(s"h$k"))
-          val sg = arr.select((col("doc_id") +: sigCols): _*)
-          val bandCols = (0 until b).map(i =>
-            md5(concat_ws("|", (i * r until (i + 1) * r).map(k => col(s"h$k")): _*)))
-          (arr, sg.select(col("doc_id"),
-            posexplode(array(bandCols: _*)).as(Seq("band_id", "bh"))))
+          (arr, bandsFromArr(arr, r))
         }
         val (priorArr, priorBands) = arrAndBands(prior)
         val (restArr, restBands) = arrAndBands(rest)
@@ -404,6 +590,78 @@ object Dedup {
               |LEFT JOIN exact e ON e.doc_id = f.doc_id
               |LEFT JOIN near nr ON nr.doc_id = f.doc_id
               |ORDER BY f.doc_id""".stripMargin)),
+
+    // ---- incremental dedup against a PERSISTED index, two increments ----
+    // The full production loop: build the index once from the prior
+    // corpus, dedup increment 1 against it, append the accepted docs,
+    // then dedup increment 2 against the UPDATED index — increment 2's
+    // plan scans only the index artifacts (PlanAuditSpec pins that the
+    // prior corpus text never appears in it), and some of its dups hit
+    // docs that only exist because increment 1 was appended. Banding r is
+    // the index's recorded derivation (fixed at build over count(prior)),
+    // which is exactly what keeps every increment O(increment).
+    "q_dedup_incremental2" -> Q(
+      (s, dir) => {
+        val d = Tables.df(s, dir, "documents").select(col("doc_id"), col("text"))
+        val inc1 =
+          d.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+          .unionAll(d.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 2000000).as("doc_id"),
+              concat(col("text"), lit(" refreshed")).as("text")))
+          .unionAll(d.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 3000000).as("doc_id"),
+              reverse(col("text")).as("text")))
+        val inc2 =
+          d.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 4000000).as("doc_id"), col("text"))
+          .unionAll(d.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 5000000).as("doc_id"),
+              reverse(col("text")).as("text")))
+          .unionAll(d.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 6000000).as("doc_id"),
+              concat(col("text"), lit(" refreshed")).as("text")))
+        val idxDir = graft.TempDirs.create("graft-dedup-idx").toString
+        buildDedupIndex(s, d, idxDir)
+        // materialize increment 1's verdicts BEFORE the append mutates
+        // the index dirs (the frame is a few hundred fixed-width rows)
+        val v1 = incrementVsIndex(s, inc1, idxDir).localCheckpoint(true)
+        // the accepted batch is chosen by construction (the reversed
+        // docs): what to keep is the caller's policy, the index append
+        // is the operator
+        appendDedupIndex(s, inc1.filter(col("doc_id") >= 3000000), idxDir)
+        val v2 = incrementVsIndex(s, inc2, idxDir)
+        v1.select(lit(1L).as("increment"), col("doc_id"), col("verdict"), col("dup_of"))
+          .unionAll(v2.select(lit(2L).as("increment"), col("doc_id"),
+            col("verdict"), col("dup_of")))
+          .orderBy(col("increment"), col("doc_id"))
+      },
+      Some(s"""WITH p AS (
+              |  SELECT $lshRowsPerBandSql AS r
+              |  FROM (SELECT (SELECT count(*) FROM documents) AS n)),
+              |idx1 AS (SELECT doc_id, text FROM documents),
+              |inc1 AS (
+              |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+              |  UNION ALL
+              |  SELECT doc_id + 2000000 AS doc_id, text || ' refreshed' AS text FROM documents WHERE doc_id % 7 = 0
+              |  UNION ALL
+              |  SELECT doc_id + 3000000 AS doc_id, reverse(text) AS text FROM documents WHERE doc_id % 13 = 0),
+              |idx2 AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 3000000 AS doc_id, reverse(text) AS text FROM documents WHERE doc_id % 13 = 0),
+              |inc2 AS (
+              |  SELECT doc_id + 4000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+              |  UNION ALL
+              |  SELECT doc_id + 5000000 AS doc_id, reverse(text) AS text FROM documents WHERE doc_id % 11 = 0
+              |  UNION ALL
+              |  SELECT doc_id + 6000000 AS doc_id, text || ' refreshed' AS text FROM documents WHERE doc_id % 7 = 0),
+              |${incrementBlockSql("i1_", "inc1", "idx1")},
+              |${incrementBlockSql("i2_", "inc2", "idx2")}
+              |SELECT CAST(1 AS BIGINT) AS increment, doc_id, verdict, dup_of FROM i1_out
+              |UNION ALL
+              |SELECT CAST(2 AS BIGINT) AS increment, doc_id, verdict, dup_of FROM i2_out
+              |ORDER BY increment, doc_id""".stripMargin)),
 
     // ---- simhash: 32-bit per-doc signature from per-token hash bits ----
     "q_dedup_simhash" -> Q(

@@ -55,6 +55,51 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("increment-vs-index scans the index artifacts, never prior text") {
+    // the persisted-index contract: once the prior corpus is indexed, an
+    // increment's plan reads the index parquet (fp/bands/shingles) and the
+    // increment itself — the prior corpus text never appears in any scan.
+    // Source and index live at distinct paths here so the assertion is
+    // exact.
+    import org.apache.spark.sql.functions._
+    val priorDir = graft.TempDirs.create("graft-audit-prior").toString
+    val freshDir = graft.TempDirs.create("graft-audit-fresh").toString
+    val idxDir = graft.TempDirs.create("graft-audit-idx").toString
+    val base = spark.range(200).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 12).map(i =>
+        md5(concat(col("id"), lit(i)))): _*).as("text"))
+    base.write.mode("overwrite").parquet(priorDir)
+    base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000).as("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(freshDir)
+    graft.queries.Dedup.buildDedupIndex(
+      spark, spark.read.parquet(priorDir), idxDir)
+    val out = graft.queries.Dedup.incrementVsIndex(
+      spark, spark.read.parquet(freshDir), idxDir)
+    // the optimized logical plan (AQE hides physical scans behind the
+    // adaptive wrapper): every surviving source relation with its path
+    val scans = out.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case hfs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            hfs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    assert(scans.exists(_.contains(idxDir)),
+      s"no index-artifact scan in: $scans")
+    assert(scans.exists(_.contains(freshDir)),
+      s"no increment scan in: $scans")
+    assert(!scans.exists(_.contains(priorDir)),
+      s"the prior corpus text is scanned — the index is not being " +
+        s"reused: $scans")
+    // and the verdicts are right: every 5th doc is an exact dup
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.values.forall(_ == "exact"))
+  }
+
   test("LSH signature build is map-only: no exchange anywhere in the pass") {
     // per-doc shingle-hash arrays assemble in-row (transform + md5_60 +
     // distinct + sort); an Exchange creeping back in means shingles are
