@@ -683,6 +683,14 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
   private val sweepExported =
     mutable.Map.empty[String, ((Long, Long, Long), String)]
 
+  private val sweepPasses = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Completed backup-sweep passes over the whole stream list. A
+    * deterministic quiesce latch for tests: once a full pass has STARTED
+    * after the last mutation, everything stale has been exported when it
+    * completes — no wall-clock stability polling needed. */
+  def sweepPassesCompleted: Long = sweepPasses.get
+
   /** Fingerprint of everything the exported `metadata.drisl` carries
     * beyond the event/state counters: the recorded owner set, and (only
     * when key export is enabled — otherwise custody never reaches the
@@ -784,7 +792,8 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
       // books server-side (events/state/metadata *_backed_up_at columns,
       // storage.rs:680-698).
       exec.scheduleWithFixedDelay(() =>
-        try store.listStreams().foreach { id =>
+        try {
+          store.listStreams().foreach { id =>
           try {
             val probe = store.persistedMeta(id).map((_, ownerKeyFp(id)))
             if (probe.isDefined && sweepExported.get(id) == probe) ()
@@ -811,9 +820,13 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
             }
           } catch { case t: Throwable =>
             lifecycleLog.warn(s"backup sweep of $id failed: ${t.getMessage}") }
+          }
         }
         catch { case t: Throwable =>
-          lifecycleLog.warn(s"backup sweep failed: ${t.getMessage}") },
+          lifecycleLog.warn(s"backup sweep failed: ${t.getMessage}") }
+        // count every finished pass, clean or not: the quiesce latch
+        // (sweepPassesCompleted) must advance even on a transient failure
+        finally sweepPasses.incrementAndGet(),
         backupSweepMs, backupSweepMs, TimeUnit.MILLISECONDS)
     }
     lifecycleExec = Some(exec)

@@ -121,27 +121,29 @@ class SoakSpec extends AnyFunSuite {
           s"$id: appended ${appended(i).get()} but latest=$latest")
       }
       assert(store.openHandleCount <= 4, "LRU cap must hold")
-      // thrash check: wait until the sweep has drained the backlog (no new
-      // handle constructions across a full tick), then assert further
-      // ticks construct ZERO handles — unchanged streams must be skipped
-      // by the staleness probe, not reopened every interval. The drain
-      // deadline is generous: under a full parallel test run the 32
-      // catch-up exports contend with every other suite for the local
-      // cluster, and a slow drain is not the pathology this test hunts
-      val deadline = System.nanoTime + 240L * 1000000000L
-      var stable = store.totalHandleOpens
-      var settled = false
-      while (!settled && System.nanoTime < deadline) {
-        Thread.sleep(2500) // > 2 sweep ticks
-        val cur = store.totalHandleOpens
-        if (cur == stable) settled = true else stable = cur
+      // thrash check, latched on the sweep's own pass counter instead of
+      // wall-clock stability polling: every sweep pass visits EVERY
+      // stream and exports each stale one, so the first full pass that
+      // STARTS after the workers stopped drains the whole backlog by the
+      // time it completes. Pass p0+1 may have begun mid-churn; once
+      // completed passes reach p0+2, a full post-stop pass has finished —
+      // every later pass must construct ZERO handles (the staleness probe
+      // skips unchanged streams rather than reopening them every tick).
+      def awaitPasses(target: Long, what: String): Unit = {
+        // bounded only as a hang guard; the SIGNAL is the counter
+        val guard = System.nanoTime + 600L * 1000000000L
+        while (server.sweepPassesCompleted < target) {
+          assert(System.nanoTime < guard, s"sweep stalled waiting for $what")
+          Thread.sleep(100)
+        }
       }
-      assert(settled, "sweep never quiesced: handle churn on every tick")
+      val p0 = server.sweepPassesCompleted
+      awaitPasses(p0 + 2, "a full post-stop catch-up pass")
       val baseline = store.totalHandleOpens
-      Thread.sleep(3500) // 3+ further ticks
+      awaitPasses(p0 + 5, "three idle passes")
       assert(store.totalHandleOpens == baseline,
         s"sweep reopened handles on unchanged streams " +
-          s"(${store.totalHandleOpens - baseline} reopens across idle ticks)")
+          s"(${store.totalHandleOpens - baseline} reopens across idle passes)")
     } finally {
       stop.set(true)
       server.stop()
