@@ -87,18 +87,32 @@ class SubscriptionEngine(store: StreamStore, streamId: String) {
 
   /** Pump all pending subscription updates until every live subscription is
     * caught up with the stream (the reference's worker self-scheduling on
-    * `has_more`, lib.rs:952-963). Returns number of deliveries made. */
+    * `has_more`, lib.rs:952-963). Returns number of deliveries made.
+    *
+    * Fan-out sharing: a hot stream with hundreds of identical
+    * subscriptions (same query, params, user, cursor) must not run the
+    * same Spark query hundreds of times per pump — results are memoized
+    * for the duration of ONE pass, keyed by (user, resolved window query,
+    * latest snapshot). The latest snapshot is in the key because the
+    * cursor advances to a windowEnd derived from it: two subs may only
+    * share rows when they also share the advance, otherwise an append
+    * landing mid-pass could advance a cursor past events the memoized
+    * rows never saw. */
   def drain(): Int = drainLock.synchronized {
     var deliveries = 0
+    val memo = mutable.Map.empty[
+      (Option[String], LeafQuery, Long), Vector[Map[String, SqlValue]]]
     var next: Option[Sub] = dequeue()
     while (next.isDefined) {
       val sub = next.get
       val h = handle
-      if (!sub.closed && sub.cursor < h.latest && sub.hasRoom()) {
+      val latest = h.latest
+      if (!sub.closed && sub.cursor < latest && sub.hasRoom()) {
         val q = sub.query.updateForSubscription(sub.cursor + 1)
-        val windowEnd = math.min(q.lastEvent, h.latest)
-        val rows = h.queryTagged(sub.user, q)
-        val hasMore = windowEnd < h.latest
+        val windowEnd = math.min(q.lastEvent, latest)
+        val rows = memo.getOrElseUpdate((sub.user, q, latest),
+          h.queryTagged(sub.user, q))
+        val hasMore = windowEnd < latest
         sub.sink(Delivery(rows, hasMore))
         deliveries += 1
         sub.cursor = windowEnd

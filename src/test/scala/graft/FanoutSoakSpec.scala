@@ -1,0 +1,265 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.util.Base64
+
+import scala.collection.mutable
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.drisl.DValue
+import graft.drisl.DValue._
+import graft.drisl.Drisl
+import graft.server.{Json, LeafServer, Msgpack}
+import graft.stream.StreamStore
+
+/** High fan-out subscription soak: ~500 subscriptions on ONE hot stream,
+  * mixed HTTP-polling and websocket, mirroring the reference's
+  * bounded-channel + backoff delivery design (connection.rs:444-475).
+  * Asserts the fleet-scale properties:
+  *   - server memory stays bounded: every subscription's delivery buffer
+  *     caps at maxBufferedDeliveries (12) and the pump PARKS rather than
+  *     buffering past it,
+  *   - no lost has_more backfills: every subscriber drains its complete
+  *     window sequence, in order, across however many polls it takes,
+  *   - the drain pass shares query work across identical subscriptions
+  *     (one hot stream must not mean hundreds of identical Spark jobs),
+  *   - idle subscriptions TTL-evict and free their buffers; websocket
+  *     subscriptions are session-scoped and survive the TTL.
+  */
+class FanoutSoakSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private lazy val store = new StreamStore(spark,
+    graft.TempDirs.create("graft-fanout").toString)
+  // must comfortably exceed the ~500-subscription setup phase: eviction
+  // triggers on the first append, and a TTL shorter than the setup would
+  // evict the earliest subscribers before they ever got a delivery
+  private val idleTtlMs = 20000L
+  private lazy val server = {
+    val s = new LeafServer(store, 0, authToken = Some("testtoken"),
+      subIdleTtlMs = idleTtlMs)
+    s.start(); s
+  }
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def post(path: String, body: Map[String, Any]): Map[String, Any] = {
+    val b = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${server.boundPort}$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(Json.render(body)))
+      .header("Authorization", "Bearer testtoken")
+    Json.parse(client.send(b.build(),
+      HttpResponse.BodyHandlers.ofString()).body()).asInstanceOf[Map[String, Any]]
+  }
+
+  private def ok(r: Map[String, Any]): Map[String, Any] = {
+    assert(!r.contains("err"), r.toString)
+    r("ok").asInstanceOf[Map[String, Any]]
+  }
+
+  private def payloadB64(k: Long): String =
+    Base64.getEncoder.encodeToString(Drisl.encode(obj("n" -> int(k))))
+
+  /** Slim socket.io-over-websocket subscriber (the protocol plumbing the
+    * full journeys pin lives in SocketIoSpec; here it only subscribes and
+    * collects pushes). */
+  private class WsSub {
+    import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
+    private val texts = new LinkedBlockingQueue[String]
+    private val bins = new LinkedBlockingQueue[Array[Byte]]
+    private val sb = new StringBuilder
+    private val bb = new java.io.ByteArrayOutputStream
+    private val listener = new java.net.http.WebSocket.Listener {
+      override def onText(w: java.net.http.WebSocket, data: CharSequence,
+          last: Boolean): java.util.concurrent.CompletionStage[_] = {
+        sb.append(data)
+        if (last) { texts.add(sb.toString); sb.setLength(0) }
+        w.request(1); null
+      }
+      override def onBinary(w: java.net.http.WebSocket, data: java.nio.ByteBuffer,
+          last: Boolean): java.util.concurrent.CompletionStage[_] = {
+        val a = new Array[Byte](data.remaining()); data.get(a); bb.write(a)
+        if (last) { bins.add(bb.toByteArray); bb.reset() }
+        w.request(1); null
+      }
+    }
+    private val ws: java.net.http.WebSocket = HttpClient.newHttpClient()
+      .newWebSocketBuilder()
+      .buildAsync(URI.create(
+        s"ws://127.0.0.1:${server.boundPort}/socket.io/?EIO=4&transport=websocket"),
+        listener)
+      .join()
+    private def sendSio(pkt: Map[String, Any]): Unit =
+      ws.sendBinary(java.nio.ByteBuffer.wrap(Msgpack.encode(pkt)), true).join()
+    private def nextSio(): Map[String, Any] = {
+      val b = bins.poll(30, TimeUnit.SECONDS)
+      assert(b != null, "timed out waiting for a websocket frame")
+      Msgpack.decode(b).asInstanceOf[Map[String, Any]]
+    }
+    // engine.io open (text frame "0{...}") arrives first on a fresh ws
+    assert(texts.poll(15, TimeUnit.SECONDS).startsWith("0"))
+    sendSio(Map("type" -> 0L, "nsp" -> "/",
+      "data" -> Map("token" -> "testtoken")))
+    assert(nextSio()("type") == 0L, "socket.io CONNECT must ack")
+
+    def subscribe(streamDid: String, query: DValue): Unit = {
+      sendSio(Map("type" -> 2L, "nsp" -> "/", "id" -> 1L,
+        "data" -> Vector("stream/subscribe_events",
+          Drisl.encode(obj("streamDid" -> text(streamDid), "query" -> query)))))
+      // skip interleaved EVENT packets (e.g. the authenticated notice)
+      var ack = nextSio()
+      while (ack("type") != 3L) ack = nextSio()
+      assert(ack.get("id").contains(1L), ack.toString)
+    }
+
+    /** Await one pushed subscription_response; returns its row count. */
+    def awaitPushRows(): Int = {
+      while (true) {
+        val pkt = nextSio()
+        if (pkt("type") == 2L) {
+          val data = pkt("data").asInstanceOf[Vector[Any]]
+          if (data.headOption.contains("stream/subscription_response")) {
+            val resp = Drisl.decode(data(1).asInstanceOf[Array[Byte]]) match {
+              case DMap(m) => m
+              case other => fail(s"push not a map: $other")
+            }
+            val okv = resp("response") match {
+              case DMap(r) => r("Ok") match {
+                case DMap(o) => o
+                case other => fail(s"push response not Ok: $other")
+              }
+              case other => fail(s"push response not a map: $other")
+            }
+            okv("rows") match {
+              case DArray(rows) => return rows.size
+              case other => fail(s"push rows not an array: $other")
+            }
+          }
+        }
+      }
+      -1
+    }
+    def close(): Unit =
+      ws.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "done").join()
+  }
+
+  test("500 subs on one hot stream: bounded buffers, complete backfills, TTL") {
+    val cid = ok(post("/module/upload", Map("module" -> Map(
+      "init_sql" -> "CREATE TABLE IF NOT EXISTS notes (idx BIGINT) USING PARQUET",
+      "materializer" -> "INSERT INTO notes SELECT idx FROM event",
+      "queries" -> Map("tail" -> Map("sql" ->
+        "SELECT idx FROM notes WHERE idx BETWEEN $start AND $start + $limit - 1 ORDER BY idx"))))
+    ))("cid").toString
+    val sid = ok(post("/stream/create",
+      Map("id" -> "did:fanout:hot", "module_cid" -> cid)))("id").toString
+
+    // websocket subscribers first (connection setup is the slow part and
+    // the TTL clock for HTTP subs starts at their subscribe)
+    val wsSubs = (0 until 10).map { _ =>
+      val w = new WsSub
+      w.subscribe(sid, obj("name" -> text("tail"),
+        "start" -> int(1), "limit" -> int(1000)))
+      w
+    }
+    // HTTP subscribers, registered BEFORE any event exists so the
+    // fan-out pump happens in ONE eager drain at the first append:
+    //  - wide: start=1, limit=1000 -> whole backfill in one window
+    //  - backfill: start=1, limit=5 -> 4-window backfill, has_more math
+    //  - slow: start=1, limit=1 -> more windows than the buffer cap, so
+    //    the pump must PARK at 12 buffered deliveries
+    def subscribe(q: Map[String, Any]): Long =
+      ok(post("/stream/subscribe_events",
+        Map("id" -> sid, "query" -> q)))("sub_id").asInstanceOf[Long]
+    // registration runs on a pool: ~500 sequential roundtrips would take
+    // longer than any sane idle TTL, and every subscribe call sweeps for
+    // idle subs — the earliest registrations would be evicted before the
+    // first event. Concurrent registration is also the realistic shape.
+    def subscribeMany(n: Int, q: Map[String, Any]): Vector[Long] = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      try {
+        import scala.jdk.CollectionConverters._
+        pool.invokeAll(Vector.fill(n)(new java.util.concurrent.Callable[Long] {
+          def call(): Long = subscribe(q)
+        }).asJava).asScala.map(_.get()).toVector
+      } finally pool.shutdown()
+    }
+    val wide = subscribeMany(450, Map("name" -> "tail",
+      "start" -> 1L, "limit" -> 1000L))
+    val backfill = subscribeMany(30, Map("name" -> "tail",
+      "start" -> 1L, "limit" -> 5L))
+    val slow = subscribeMany(10, Map("name" -> "tail",
+      "start" -> 1L, "limit" -> 1L))
+
+    // ONE 20-event append pumps all ~500 subscriptions eagerly
+    val r = ok(post("/stream/event_batch", Map("id" -> sid,
+      "events" -> (1 to 20).map(k =>
+        Map("user" -> "u", "payload_b64" -> payloadB64(k))).toVector)))
+    assert(r("latest_idx") == 20L)
+
+    // bounded memory: the cap held for every slow sub — 20 windows were
+    // due but exactly 12 deliveries buffered, the rest parked
+    slow.foreach(id => assert(server.bufferedDeliveries(sid, id) == 12,
+      s"slow sub $id buffered ${server.bufferedDeliveries(sid, id)}"))
+    backfill.foreach(id => assert(server.bufferedDeliveries(sid, id) == 4))
+    wide.take(20).foreach(id =>
+      assert(server.bufferedDeliveries(sid, id) == 1))
+
+    // every websocket subscriber got its push with the full window
+    wsSubs.foreach(w => assert(w.awaitPushRows() == 20))
+
+    // drain every subscriber to completion: the complete in-order window
+    // sequence arrives, has_more true on every delivery but the last
+    def drainSub(id: Long): Vector[(Vector[Long], Boolean)] = {
+      val got = mutable.Buffer.empty[(Vector[Long], Boolean)]
+      var idle = 0
+      while (idle < 3) {
+        val ds = ok(post("/stream/poll", Map("id" -> sid, "sub_id" -> id)))(
+          "deliveries").asInstanceOf[Vector[Any]]
+        if (ds.isEmpty) idle += 1
+        else {
+          idle = 0
+          ds.foreach { d =>
+            val dm = d.asInstanceOf[Map[String, Any]]
+            val idxs = dm("rows").asInstanceOf[Vector[Any]].map(row =>
+              row.asInstanceOf[Map[String, Any]]("idx")
+                .asInstanceOf[Map[String, Any]]("value").asInstanceOf[Long])
+            got += ((idxs, dm("has_more") == true))
+          }
+        }
+      }
+      got.toVector
+    }
+    slow.foreach { id =>
+      val ds = drainSub(id)
+      assert(ds.flatMap(_._1) == (1L to 20L).toVector,
+        s"slow sub $id lost or reordered backfill windows: ${ds.map(_._1)}")
+      assert(ds.dropRight(1).forall(_._2) && !ds.last._2,
+        s"has_more must be true until the final window: ${ds.map(_._2)}")
+    }
+    backfill.foreach { id =>
+      val ds = drainSub(id)
+      assert(ds.flatMap(_._1) == (1L to 20L).toVector)
+      assert(ds.map(_._1.size) == Vector(5, 5, 5, 5))
+    }
+    wide.take(20).foreach { id =>
+      assert(drainSub(id).flatMap(_._1) == (1L to 20L).toVector)
+    }
+
+    // TTL: leave every HTTP subscription idle past the TTL, then trigger
+    // eviction with an append. Buffers free; polls reject; the
+    // websocket subscriptions are session-scoped and still get the push.
+    Thread.sleep(idleTtlMs + 600)
+    ok(post("/stream/event_batch", Map("id" -> sid, "events" ->
+      Vector(Map("user" -> "u", "payload_b64" -> payloadB64(21))))))
+    (slow ++ backfill ++ wide.take(5)).foreach { id =>
+      assert(server.bufferedDeliveries(sid, id) == 0,
+        s"evicted sub $id still pins a buffer")
+      val resp = post("/stream/poll", Map("id" -> sid, "sub_id" -> id))
+      assert(resp.get("err").exists(_.toString.contains("unknown subscription")),
+        s"poll of evicted sub $id: $resp")
+    }
+    wsSubs.foreach(w => assert(w.awaitPushRows() == 1,
+      "websocket subs must survive the HTTP idle TTL"))
+    wsSubs.foreach(_.close())
+  }
+}
