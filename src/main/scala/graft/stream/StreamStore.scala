@@ -867,7 +867,12 @@ class StreamHandle(val store: StreamStore, val id: String) {
             case UnresolvedRelation(parts, _, _) => parts.last.toLowerCase
             case _ => return false
           }
-          val reads = ins.query.collect { case UnresolvedRelation(p, _, _) => p.last.toLowerCase }
+          // collectWithSubqueries: a self-read hiding inside a scalar/IN/
+          // EXISTS subquery expression is invisible to plain collect (plan
+          // traversal does not descend into expression-held subplans) and
+          // would silently misclassify a cross-event module as batch-safe
+          val reads = ins.query.collectWithSubqueries {
+            case UnresolvedRelation(p, _, _) => p.last.toLowerCase }
           val conflicts = reads.toSet.intersect(targets)
           conflicts.isEmpty || (ins.overwrite && conflicts == Set(target))
         case _ => false

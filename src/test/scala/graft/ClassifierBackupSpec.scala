@@ -123,6 +123,39 @@ class ClassifierBackupSpec extends AnyFunSuite {
       (SqlValue.SqlText("bob"), SqlValue.SqlInteger(5))))
   }
 
+  test("per-event fallback warns when replays cross the telemetry threshold") {
+    // a materializer that reads its own output in non-upsert shape forces
+    // the per-event replay loop; the warning must fire once per 10k
+    // replayed events so a driver-loop ingest is VISIBLE before it
+    // dominates. The counter is pre-seeded to just under the threshold —
+    // actually replaying 10k single-row batches would test nothing more,
+    // 10k times slower.
+    val h = store.open("did:test:fallbackwarn")
+    h.setModule(ModuleDef(
+      initSql = "CREATE TABLE IF NOT EXISTS running (idx BIGINT, total BIGINT) USING PARQUET",
+      materializer =
+        """INSERT INTO running
+          |SELECT idx, coalesce((SELECT max(total) FROM running), 0)
+          |  + drisl_extract_long(payload, '.n')
+          |FROM event""".stripMargin,
+      queries = Map("r" -> QueryDef("SELECT idx, total FROM running ORDER BY idx"))))
+    assert(h.addEvents(Seq(
+      IncomingEvent("a", payload("x", 2)),
+      IncomingEvent("a", payload("y", 3)))).isRight)
+    assert(h.perEventReplays == 2L,
+      "a self-reading non-upsert materializer must take the per-event path")
+    assert(h.perEventWarnings == 0L, "no warning below the 10k threshold")
+    // the running total proves per-event ORDER: 2 then 2+3
+    val rows = h.queryTagged(None, LeafQuery("r"))
+    assert(rows.map(_("total")) == Vector(
+      SqlValue.SqlInteger(2), SqlValue.SqlInteger(5)))
+    h.perEventReplays = 9999L
+    assert(h.addEvents(Seq(IncomingEvent("a", payload("z", 1)))).isRight)
+    assert(h.perEventReplays == 10000L)
+    assert(h.perEventWarnings == 1L,
+      "crossing the 10k replay threshold must emit the telemetry warning")
+  }
+
   test("failed batch restores tables overwritten earlier in the same batch") {
     val h = store.open("did:test:owrollback")
     h.setModule(ModuleDef(
