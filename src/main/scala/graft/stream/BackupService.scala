@@ -237,9 +237,16 @@ object BackupService {
       }
     }.sortBy(_._1)
 
+  /** Write-then-rename: a concurrent bucket reader (another server
+    * restoring, a sweep-watching test) must never see a torn object. On
+    * object stores the PUT is atomic anyway; on file:/hdfs: the rename
+    * provides the same all-or-nothing visibility. */
   private def writeBytes(fs: FileSystem, p: HPath, b: Array[Byte]): Unit = {
-    val out = fs.create(p, true)
+    val tmp = new HPath(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(b) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"atomic rename to $p failed")
   }
 
   private def readBytes(fs: FileSystem, p: HPath): Array[Byte] = {

@@ -18,6 +18,9 @@ class CompCacheSpec extends AnyFunSuite {
 
   test("clearComponentCache releases the checkpointed component blocks") {
     val run = SparkEntry.queries("q_dedup_cluster")
+    // another suite may have warmed the cache for this corpus dir —
+    // start from a released state so the build-side assertion holds
+    Pipeline.clearComponentCache(spark)
     val before = persistedCount()
     val rows1 = run(spark, dir).collect()
     assert(rows1.nonEmpty)

@@ -825,8 +825,12 @@ class ServerSpec extends AnyFunSuite {
         Vector(Map("user" -> "u", "payload_b64" -> payload("fp", 1))))))
       val metaPath = dest.resolve(s"streams/$sid/metadata.drisl")
       def exportedKey(): Option[Seq[Byte]] =
+        // poll loop: a read racing the sweep's write may catch the
+        // between-rename gap — treat any transient miss as "not yet"
         if (!java.nio.file.Files.exists(metaPath)) None
-        else Drisl.decode(java.nio.file.Files.readAllBytes(metaPath)) match {
+        else try decodeKey() catch { case _: Exception => None }
+      def decodeKey(): Option[Seq[Byte]] =
+        Drisl.decode(java.nio.file.Files.readAllBytes(metaPath)) match {
           case graft.drisl.DValue.DMap(m) => m.get("did_key").collect {
             case graft.drisl.DValue.DMap(k) => k.collectFirst {
               case (_, graft.drisl.DValue.DBytes(s)) => s.toSeq
