@@ -178,7 +178,8 @@ object Dedup {
       java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[Map[String, Any]]
     finally in.close()
     require(m.get("k").contains(K.toLong) && m.get("shingle").contains(5L) &&
-      m.get("stride").contains(2L),
+      m.get("stride").contains(2L) &&
+      m.get("r").exists(_.isInstanceOf[Long]),
       s"dedup index at $indexDir was built with different derivation " +
         s"params ($m) — rebuild it rather than mixing derivations")
     m("r").asInstanceOf[Long].toInt
@@ -194,9 +195,14 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("dup_of"))
       .write.mode(mode).parquet(s"$indexDir/fp")
-    val batchArr = shingleHashArr(s, 5, stride = 2)(docs)
-    batchArr.write.mode(mode).parquet(s"$indexDir/shingles")
-    bandsFromArr(batchArr, r).write.mode(mode).parquet(s"$indexDir/bands")
+    // persist the batch's shingle arrays across the two writes: doc-level
+    // fixed-width long arrays (the frame class persist pays for) — else
+    // the band write re-shingles the batch text
+    val batchArr = shingleHashArr(s, 5, stride = 2)(docs).persist()
+    try {
+      batchArr.write.mode(mode).parquet(s"$indexDir/shingles")
+      bandsFromArr(batchArr, r).write.mode(mode).parquet(s"$indexDir/bands")
+    } finally batchArr.unpersist(false)
   }
 
   /** Build the persisted dedup index of `corpus` under `indexDir`:
@@ -207,22 +213,30 @@ object Dedup {
   def buildDedupIndex(s: SparkSession, corpus: DataFrame,
       indexDir: String): Int = {
     val r = lshRowsPerBand(corpus.count())
+    val (fs, p) = indexMetaPath(s, indexDir)
+    // meta is the commit marker: DELETED first (a rebuild dying mid-way
+    // must not leave the previous build's meta validating a mixed
+    // old/new artifact set), then written last via tmp+rename so a
+    // concurrent reader can never parse torn bytes
+    if (fs.exists(p)) fs.delete(p, false)
     writeIndexParts(s, corpus, indexDir, r,
       org.apache.spark.sql.SaveMode.Overwrite)
-    val (fs, p) = indexMetaPath(s, indexDir)
-    // meta is the commit marker: written last, so a torn build never
-    // passes readIndexMeta
-    val out = fs.create(p, true)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, ".meta.json.tmp")
+    val out = fs.create(tmp, true)
     try out.write(
       s"""{"k": $K, "shingle": 5, "stride": 2, "r": $r}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    require(fs.rename(tmp, p), s"commit of $p failed")
     r
   }
 
   /** Append accepted increment docs to an existing index, banding with
     * the INDEX's recorded r — the append is O(increment) and the knob
-    * cannot silently drift between runs. */
+    * cannot silently drift between runs. NOT crash-atomic across the
+    * three artifact dirs: a job that dies mid-append leaves a partial
+    * batch, and the recovery is to rebuild the index (the artifacts are
+    * derived data; the corpus of record is the source of truth). */
   def appendDedupIndex(s: SparkSession, docs: DataFrame,
       indexDir: String): Unit =
     writeIndexParts(s, docs, indexDir, readIndexMeta(s, indexDir),
@@ -247,7 +261,9 @@ object Dedup {
       .join(fpIdx, Seq("fp"))
       .groupBy(col("doc_id")).agg(min(col("dup_of")).as("e"))
     val rest = fresh.join(exact.select("doc_id"), Seq("doc_id"), "left_anti")
-    val restArr = shingleHashArr(s, 5, stride = 2)(rest)
+    // persisted for its two consumers (banding + the exact verify):
+    // doc-level fixed-width long arrays, the frame class persist pays for
+    val restArr = shingleHashArr(s, 5, stride = 2)(rest).persist()
     val cand = bandsFromArr(restArr, r).as("x")
       .join(bandIdx.as("y"),
         col("x.band_id") === col("y.band_id") && col("x.bh") === col("y.bh"))

@@ -78,24 +78,29 @@ object Pipeline {
     hit.getOrElse {
       val built = buildComponents(s, dir)
       val rdd = checkpointRddOf(built)
-      val evicted = compCache.synchronized {
+      compCache.synchronized {
+        // a racing double-build may REPLACE an entry here; replaced and
+        // LRU-evicted frames are released by dropping the reference and
+        // letting the ContextCleaner reclaim their blocks on GC — an
+        // explicit unpersist could yank a checkpoint out from under a
+        // reader still mid-query on it (a checkpointed frame cannot be
+        // recomputed), while the cleaner only fires once nothing
+        // (including a running job) references the RDD
         compCache.put(key, (built, rdd))
-        val out = List.newBuilder[(DataFrame, org.apache.spark.rdd.RDD[_])]
         val it = compCache.entrySet().iterator()
         while (compCache.size > maxCachedComponents && it.hasNext) {
-          out += it.next().getValue
-          it.remove()
+          it.next(); it.remove()
         }
-        out.result()
       }
-      evicted.foreach(_._2.unpersist(false))
       built
     }
   }
 
   /** Release every cached component frame of `s` and drop its checkpoint
-    * blocks. Call at session teardown (or between corpus sweeps) — the
-    * next `q_dedup_cluster`/`q_split_leakage_safe` run simply rebuilds. */
+    * blocks eagerly. TEARDOWN-ONLY: unlike LRU eviction (which defers to
+    * the ContextCleaner), this unpersists immediately — callers must not
+    * have queries in flight over the released frames. The next
+    * `q_dedup_cluster`/`q_split_leakage_safe` run simply rebuilds. */
   def clearComponentCache(s: SparkSession): Unit = {
     val dropped = compCache.synchronized {
       val it = compCache.entrySet().iterator()

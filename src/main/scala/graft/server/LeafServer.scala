@@ -679,7 +679,9 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
   // stateVer, metaMtime) probe PLUS a fingerprint of the owner set and
   // key-custody state — the exported metadata.drisl carries owners and
   // (opt-in) did_key, so an owner or custody change must invalidate the
-  // skip even though it moves none of the probe's counters
+  // skip even though it moves none of the probe's counters. Accessed
+  // from the sweep thread AND restoreFromBucket (a public operator entry
+  // point), so every touch synchronizes on the map.
   private val sweepExported =
     mutable.Map.empty[String, ((Long, Long, Long), String)]
 
@@ -752,11 +754,16 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
         // (handle updates) and future key-bearing exports
         meta.didKey.foreach(k => plc.foreach(_.installKey(did, k.secret)))
         // mark backed-up AT the restored position (probe + owners/key
-        // fingerprint recorded AFTER owners and custody are in place):
-        // the bucket already holds everything just imported, so the
-        // sweep must not immediately re-export it
-        store.persistedMeta(did).foreach(p =>
-          sweepExported(did) = (p, ownerKeyFp(did)))
+        // fingerprint recorded AFTER owners and custody are in place) —
+        // but ONLY when the sweep targets the same bucket we restored
+        // from: that bucket already holds everything just imported. A
+        // different backupDest (restore from a salvaged copy, back up to
+        // a fresh bucket) must still receive the restored streams'
+        // first export.
+        if (backupDest.contains(srcRoot) && backupReferenceFormat)
+          store.persistedMeta(did).foreach(p => sweepExported.synchronized {
+            sweepExported(did) = (p, ownerKeyFp(did))
+          })
         restored += did
       } catch {
         case t: Throwable =>
@@ -796,7 +803,8 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
           store.listStreams().foreach { id =>
           try {
             val probe = store.persistedMeta(id).map((_, ownerKeyFp(id)))
-            if (probe.isDefined && sweepExported.get(id) == probe) ()
+            if (probe.isDefined &&
+              sweepExported.synchronized(sweepExported.get(id)) == probe) ()
             else {
             val h = store.open(id)
             if (backupReferenceFormat)
@@ -816,7 +824,8 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
             // record what was on disk BEFORE the export: a concurrent
             // append (or owner/key change) between probe and export
             // re-sweeps next tick
-            probe.foreach(p => sweepExported(id) = p)
+            probe.foreach(p =>
+              sweepExported.synchronized(sweepExported(id) = p))
             }
           } catch { case t: Throwable =>
             lifecycleLog.warn(s"backup sweep of $id failed: ${t.getMessage}") }

@@ -237,16 +237,30 @@ object BackupService {
       }
     }.sortBy(_._1)
 
-  /** Write-then-rename: a concurrent bucket reader (another server
-    * restoring, a sweep-watching test) must never see a torn object. On
-    * object stores the PUT is atomic anyway; on file:/hdfs: the rename
-    * provides the same all-or-nothing visibility. */
+  /** A concurrent bucket reader (another server restoring, a
+    * sweep-watcher) must never see a torn object. Object stores already
+    * give that: one PUT is atomic, and a tmp+rename there would double
+    * the transfer AND introduce a missing-object window (rename = copy +
+    * delete). Filesystems get write-to-tmp + rename; the rename is tried
+    * over the existing target first (atomic replace on POSIX/HDFS) and
+    * only falls back to delete-then-rename where the FS refuses. */
   private def writeBytes(fs: FileSystem, p: HPath, b: Array[Byte]): Unit = {
-    val tmp = new HPath(p.getParent, s".${p.getName}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(b) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    require(fs.rename(tmp, p), s"atomic rename to $p failed")
+    val renameIsCheap = fs.getScheme match {
+      case "file" | "hdfs" | "viewfs" => true
+      case _ => false // s3a/gs/abfs/...: PUT is the atomic primitive
+    }
+    if (!renameIsCheap) {
+      val out = fs.create(p, true)
+      try out.write(b) finally out.close()
+    } else {
+      val tmp = new HPath(p.getParent, s".${p.getName}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(b) finally out.close()
+      if (!fs.rename(tmp, p)) {
+        if (fs.exists(p)) fs.delete(p, false)
+        require(fs.rename(tmp, p), s"atomic rename to $p failed")
+      }
+    }
   }
 
   private def readBytes(fs: FileSystem, p: HPath): Array[Byte] = {

@@ -302,10 +302,24 @@ object SqliteFile {
           } else rest0
         if ((up == "PRIMARY" || up == "CONSTRAINT") &&
           rest.trim.toUpperCase.startsWith(if (up == "PRIMARY") "KEY" else "PRIMARY")) {
+          // the column list is the first balanced (...) group; anything
+          // after the close paren (ON CONFLICT REPLACE, ...) is legal
+          // SQLite and irrelevant to the alias question
           val inner0 = rest.indexOf('(')
-          require(inner0 >= 0 && rest.endsWith(")"),
+          require(inner0 >= 0,
             s"unrecognized table-level PRIMARY KEY shape: $defn")
-          val cols = rest.substring(inner0 + 1, rest.length - 1).split(",")
+          var depth3 = 0; var j = inner0; var innerEnd = -1
+          while (j < rest.length && innerEnd < 0) {
+            rest.charAt(j) match {
+              case '(' => depth3 += 1
+              case ')' => depth3 -= 1; if (depth3 == 0) innerEnd = j
+              case _ =>
+            }
+            j += 1
+          }
+          require(innerEnd > inner0,
+            s"unbalanced parens in table-level PRIMARY KEY: $defn")
+          val cols = rest.substring(inner0 + 1, innerEnd).split(",")
             .toVector.map(_.trim).filter(_.nonEmpty)
             .map(e => leadingIdent(e)._1) // strips quotes; drops ASC/DESC/COLLATE
           require(cols.nonEmpty,

@@ -243,17 +243,27 @@ class StreamStore(val spark: SparkSession, val root: String,
     * take the stream's write lock, and a lock holder may call back into
     * synchronized store methods (module resolution) — nesting the two
     * orders would deadlock. */
-  def open(id: String): StreamHandle = {
-    if (importOwned.contains(id))
-      throw new IllegalStateException(
-        s"stream $id is being restored by an import — retry when it completes")
-    openUnguarded(id)
-  }
+  def open(id: String): StreamHandle = openUnguarded(id, guardImport = true)
 
-  private def openUnguarded(id: String): StreamHandle = {
+  /** `guardImport = true` (every client path) refuses an id currently
+    * claimed by an import. The claim is re-checked INSIDE the per-id
+    * lock — the same lock beginImport holds across claim + create — so a
+    * racing open can never attach to the import's half-built stream; the
+    * fast path reads the cached handle FIRST and then the claim, because
+    * a claim can only be taken on an id with no existing stream (a
+    * handle cached before the check either belongs to a finished import
+    * or the check sees the claim and falls through to the locked path).
+    * The eviction closes still run OUTSIDE the lock — wrapping this
+    * whole call in lockFor(id) would re-create the ABBA deadlock the
+    * deferred-close dance exists to prevent. */
+  private def openUnguarded(id: String,
+      guardImport: Boolean = false): StreamHandle = {
+    def claimed: Boolean = guardImport && importOwned.contains(id)
+    def refuse(): Nothing = throw new IllegalStateException(
+      s"stream $id is being restored by an import — retry when it completes")
     val cached = synchronized(Option(handles.get(id)))
     cached match {
-      case Some(h) if !h.isClosed => h
+      case Some(h) if !h.isClosed && !claimed => h
       case _ =>
         // evicted handles close AFTER this stream's lock is released:
         // close() takes the EVICTED stream's write lock, so closing
@@ -262,6 +272,7 @@ class StreamStore(val spark: SparkSession, val root: String,
         // deadlock ABBA. Deferring the close breaks hold-and-wait.
         var toClose: List[StreamHandle] = Nil
         val opened = lockFor(id).synchronized {
+          if (claimed) refuse()
           synchronized(Option(handles.get(id))) match {
             case Some(h) if !h.isClosed => h
             case _ =>

@@ -123,6 +123,19 @@ class SqliteFileSpec extends AnyFunSuite {
     assert(byV("q") == null, "NULL key in a non-alias PK must stay NULL")
   }
 
+  test("a conflict clause after the table-level PK parses, alias intact") {
+    // PRIMARY KEY(k) ON CONFLICT REPLACE is a common SQLite upsert idiom:
+    // the trailing clause must not be mistaken for a malformed PK shape
+    val txt = SqliteFile.parse(tablePk).find(_.name == "state_conf_txt").get
+    val byK = txt.rows.map(r => r(0).asInstanceOf[String] -> r(1)).toMap
+    assert(byK == Map("a" -> java.lang.Long.valueOf(1L),
+      "b" -> java.lang.Long.valueOf(2L)))
+    // ...and on an INTEGER column the alias still resolves through it
+    val i = SqliteFile.parse(tablePk).find(_.name == "state_conf_int").get
+    assert(i.rows.map(r => (r(0), r(1))) ==
+      Vector((java.lang.Long.valueOf(9L), "i")))
+  }
+
   test("rejects non-SQLite and truncated input with clean errors") {
     val junk = intercept[IllegalArgumentException](
       SqliteFile.parse(Array.fill[Byte](200)(0x41)))
