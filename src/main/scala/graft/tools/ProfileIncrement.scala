@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.Dedup
+
+/** Dev profiling harness for the persisted-index incremental-dedup claim
+  * (not part of the API): per-increment cost must track the INCREMENT,
+  * not the prior corpus, once the index is a persisted artifact.
+  *
+  * Usage: ProfileIncrement [dir] [replicas...]. For each replica factor R
+  * the documents table is replicated R times with shifted ids, indexed
+  * once (reported separately — that cost is the one-off/last-run cost),
+  * and then a FIXED-SIZE increment is deduped against the index twice
+  * (cold + warm). The warm per-increment seconds across growing R is the
+  * curve that must stay flat-ish; the index build is the part allowed to
+  * grow linearly. */
+object ProfileIncrement {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val replicas = {
+      val r = args.drop(1).map(_.toInt)
+      if (r.nonEmpty) r.toSeq else Seq(1, 3, 10)
+    }
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val base = Tables.df(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val baseN = base.count()
+    // fixed-size increment regardless of R: clones + mutated + new
+    def increment(): DataFrame =
+      base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+        .unionAll(base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 910000000L).as("doc_id"),
+            concat(col("text"), lit(" refreshed")).as("text")))
+        .unionAll(base.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 920000000L).as("doc_id"),
+            reverse(col("text")).as("text")))
+    val incN = increment().count()
+    println(s"[profile] base docs=$baseN, fixed increment=$incN")
+    replicas.foreach { r =>
+      val corpus =
+        if (r <= 1) base
+        else base.crossJoin(spark.range(r).select(col("id").as("rep")))
+          .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"),
+            col("text"))
+      val idxDir = graft.TempDirs.create(s"graft-profinc-$r").toString
+      val (_, buildS) = time(Dedup.buildDedupIndex(spark, corpus, idxDir))
+      val (n1, coldS) = time(
+        Dedup.incrementVsIndex(spark, increment(), idxDir).count())
+      val (n2, warmS) = time(
+        Dedup.incrementVsIndex(spark, increment(), idxDir).count())
+      require(n1 == incN && n2 == incN, s"verdict count $n1/$n2 != $incN")
+      println(f"[profile] R=$r%2d corpus=${baseN * r}%8d " +
+        f"index-build ${buildS}%6.1f s | increment cold ${coldS}%6.2f s " +
+        f"warm ${warmS}%6.2f s")
+    }
+    spark.stop()
+  }
+}
