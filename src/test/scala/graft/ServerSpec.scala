@@ -790,6 +790,62 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("restored streams are marked backed-up for the restore bucket only") {
+    import graft.stream.BackupService
+    // source: one exported stream in a bucket
+    val srcStore = new StreamStore(spark,
+      graft.TempDirs.create("graft-mark-src").toString)
+    val mB = graft.types.ModuleDef(
+      initSql = "CREATE TABLE IF NOT EXISTS notes (idx BIGINT) USING PARQUET",
+      materializer = "INSERT INTO notes SELECT idx FROM event")
+    val h = srcStore.createStream("did:graft:marked", mB)
+    h.addEvents(Seq(graft.types.IncomingEvent("u",
+      Drisl.encode(obj("n" -> int(1))))))
+    val bucketDir = graft.TempDirs.create("graft-mark-bucket")
+    BackupService.exportReference(h, "file:" + bucketDir)
+    val metaPath = bucketDir.resolve("streams/did:graft:marked/metadata.drisl")
+    val metaBytesBefore = java.nio.file.Files.readAllBytes(metaPath)
+
+    // case 1: sweep targets the SAME bucket we restored from — the
+    // restored stream is marked backed-up, so idle sweep ticks must not
+    // rewrite its bucket objects
+    val store1 = new StreamStore(spark,
+      graft.TempDirs.create("graft-mark-dst1").toString)
+    val srv1 = new LeafServer(store1, 0, authToken = Some("testtoken"),
+      restoreFrom = Some("file:" + bucketDir),
+      backupDest = Some("file:" + bucketDir),
+      backupReferenceFormat = true, backupSweepMs = 250)
+    srv1.start()
+    try {
+      val p0 = srv1.sweepPassesCompleted
+      while (srv1.sweepPassesCompleted < p0 + 3) Thread.sleep(100)
+      assert(java.util.Arrays.equals(metaBytesBefore,
+        java.nio.file.Files.readAllBytes(metaPath)),
+        "idle sweep ticks must not re-export a stream restored from " +
+          "this same bucket")
+    } finally srv1.stop()
+
+    // case 2: sweep targets a DIFFERENT bucket — the restored stream must
+    // still receive its first export there
+    val store2 = new StreamStore(spark,
+      graft.TempDirs.create("graft-mark-dst2").toString)
+    val fresh = graft.TempDirs.create("graft-mark-freshdest")
+    val srv2 = new LeafServer(store2, 0, authToken = Some("testtoken"),
+      restoreFrom = Some("file:" + bucketDir),
+      backupDest = Some("file:" + fresh),
+      backupReferenceFormat = true, backupSweepMs = 250)
+    srv2.start()
+    try {
+      val archived = fresh.resolve("streams/did:graft:marked/1-1.events.drisl.zstd")
+      val deadline = System.nanoTime + 30L * 1000000000L
+      while (!java.nio.file.Files.exists(archived) && System.nanoTime < deadline)
+        Thread.sleep(100)
+      assert(java.nio.file.Files.exists(archived),
+        "a restore from bucket A must not suppress the first export to " +
+          "a different backup destination B")
+    } finally srv2.stop()
+  }
+
   test("custody rotation invalidates the sweep's export fingerprint") {
     // the exported metadata.drisl carries owners and (opt-in) did_key —
     // a key change must re-export even though no probe counter moved
