@@ -221,13 +221,9 @@ object Dedup {
     if (fs.exists(p)) fs.delete(p, false)
     writeIndexParts(s, corpus, indexDir, r,
       org.apache.spark.sql.SaveMode.Overwrite)
-    val tmp = new org.apache.hadoop.fs.Path(p.getParent, ".meta.json.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(
+    graft.stream.BackupService.atomicWrite(fs, p,
       s"""{"k": $K, "shingle": 5, "stride": 2, "r": $r}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    require(fs.rename(tmp, p), s"commit of $p failed")
     r
   }
 
@@ -250,6 +246,22 @@ object Dedup {
     * artifact scan. */
   def incrementVsIndex(s: SparkSession, fresh: DataFrame,
       indexDir: String): DataFrame = {
+    val (verdicts, restArr) = incrementVsIndexPlanned(s, fresh, indexDir)
+    // materialize eagerly (the verdict frame is small fixed-width rows)
+    // so restArr's cached shingle blocks release deterministically here
+    // instead of leaking until driver GC — a daily-increment loop calls
+    // this per snapshot for the life of the session
+    val out = verdicts.localCheckpoint(true)
+    restArr.unpersist(false)
+    out
+  }
+
+  /** The LAZY plan behind [[incrementVsIndex]] plus its persisted shingle
+    * frame — split out so the plan audit can inspect the scans before the
+    * eager checkpoint replaces them with a LogicalRDD. Callers own the
+    * returned frame's unpersist. */
+  private[graft] def incrementVsIndexPlanned(s: SparkSession,
+      fresh: DataFrame, indexDir: String): (DataFrame, DataFrame) = {
     graft.functions.VectorExpressions.register(s)
     val r = readIndexMeta(s, indexDir)
     val fpIdx = s.read.parquet(s"$indexDir/fp")
@@ -284,7 +296,7 @@ object Dedup {
       .filter(col("inter").cast("double") /
         (col("sza") + col("szb") - col("inter")) >= 0.9)
       .groupBy(col("a").as("doc_id")).agg(min(col("b")).as("near_of"))
-    fresh.select(col("doc_id"))
+    val verdicts = fresh.select(col("doc_id"))
       .join(exact, Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -292,6 +304,7 @@ object Dedup {
           .when(col("near_of").isNotNull, lit("near"))
           .otherwise(lit("new")).as("verdict"),
         coalesce(col("e"), col("near_of")).cast("long").as("dup_of"))
+    (verdicts, restArr)
   }
 
   /** Oracle CTE block replicating [[incrementVsIndex]] for one increment:
@@ -639,9 +652,10 @@ object Dedup {
               concat(col("text"), lit(" refreshed")).as("text")))
         val idxDir = graft.TempDirs.create("graft-dedup-idx").toString
         buildDedupIndex(s, d, idxDir)
-        // materialize increment 1's verdicts BEFORE the append mutates
-        // the index dirs (the frame is a few hundred fixed-width rows)
-        val v1 = incrementVsIndex(s, inc1, idxDir).localCheckpoint(true)
+        // incrementVsIndex materializes eagerly, so increment 1's
+        // verdicts are safely settled before the append mutates the
+        // index dirs
+        val v1 = incrementVsIndex(s, inc1, idxDir)
         // the accepted batch is chosen by construction (the reversed
         // docs): what to keep is the caller's policy, the index append
         // is the operator

@@ -759,8 +759,19 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
         // from: that bucket already holds everything just imported. A
         // different backupDest (restore from a salvaged copy, back up to
         // a fresh bucket) must still receive the restored streams'
-        // first export.
-        if (backupDest.contains(srcRoot) && backupReferenceFormat)
+        // first export. URI-normalized compare: "file:/b/" and "file:/b"
+        // are the same bucket and must not silently disable the mark.
+        val sameBucket = backupDest.exists { d =>
+          try {
+            val conf = store.spark.sparkContext.hadoopConfiguration
+            def q(u: String) = {
+              val hp = new org.apache.hadoop.fs.Path(u)
+              hp.getFileSystem(conf).makeQualified(hp)
+            }
+            q(d) == q(srcRoot)
+          } catch { case _: Exception => d == srcRoot }
+        }
+        if (sameBucket && backupReferenceFormat)
           store.persistedMeta(did).foreach(p => sweepExported.synchronized {
             sweepExported(did) = (p, ownerKeyFp(did))
           })

@@ -238,18 +238,18 @@ object BackupService {
     }.sortBy(_._1)
 
   /** A concurrent bucket reader (another server restoring, a
-    * sweep-watcher) must never see a torn object. Object stores already
-    * give that: one PUT is atomic, and a tmp+rename there would double
-    * the transfer AND introduce a missing-object window (rename = copy +
-    * delete). Filesystems get write-to-tmp + rename; the rename is tried
-    * over the existing target first (atomic replace on POSIX/HDFS) and
-    * only falls back to delete-then-rename where the FS refuses. */
-  private def writeBytes(fs: FileSystem, p: HPath, b: Array[Byte]): Unit = {
-    val renameIsCheap = fs.getScheme match {
-      case "file" | "hdfs" | "viewfs" => true
-      case _ => false // s3a/gs/abfs/...: PUT is the atomic primitive
-    }
-    if (!renameIsCheap) {
+    * sweep-watcher) must never see a torn object. Per-scheme atomic
+    * primitive: object stores get the single PUT (a tmp+rename there
+    * would double the transfer AND introduce a missing-object window —
+    * rename is copy + delete); local files get write-to-tmp + rename,
+    * which POSIX renameTo makes an atomic replace. HDFS is grouped with
+    * the PUT branch: FileSystem.rename refuses an existing destination
+    * there, so the only overwrite is delete-then-rename — a WORSE window
+    * than the plain overwrite, plus a failure mode that loses the old
+    * object after the delete. */
+  private[graft] def atomicWrite(fs: FileSystem, p: HPath,
+      b: Array[Byte]): Unit = {
+    if (fs.getScheme != "file") {
       val out = fs.create(p, true)
       try out.write(b) finally out.close()
     } else {
@@ -262,6 +262,9 @@ object BackupService {
       }
     }
   }
+
+  private def writeBytes(fs: FileSystem, p: HPath, b: Array[Byte]): Unit =
+    atomicWrite(fs, p, b)
 
   private def readBytes(fs: FileSystem, p: HPath): Array[Byte] = {
     val in = fs.open(p)

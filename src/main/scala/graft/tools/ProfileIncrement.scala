@@ -38,15 +38,18 @@ object ProfileIncrement {
     val base = Tables.df(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
     val baseN = base.count()
+    // id-space stride derived from the actual max doc_id so clone
+    // groups and replicas can never collide at larger scale factors
+    val stride = base.agg(max(col("doc_id"))).head.getLong(0) + 1
     // fixed-size increment regardless of R: clones + mutated + new
     def increment(): DataFrame =
       base.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+        .select((col("doc_id") + stride * 101).as("doc_id"), col("text"))
         .unionAll(base.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 910000000L).as("doc_id"),
+          .select((col("doc_id") + stride * 102).as("doc_id"),
             concat(col("text"), lit(" refreshed")).as("text")))
         .unionAll(base.filter(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + 920000000L).as("doc_id"),
+          .select((col("doc_id") + stride * 103).as("doc_id"),
             reverse(col("text")).as("text")))
     val incN = increment().count()
     println(s"[profile] base docs=$baseN, fixed increment=$incN")
@@ -54,7 +57,7 @@ object ProfileIncrement {
       val corpus =
         if (r <= 1) base
         else base.crossJoin(spark.range(r).select(col("id").as("rep")))
-          .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"),
+          .select((col("doc_id") + col("rep") * stride).as("doc_id"),
             col("text"))
       val idxDir = graft.TempDirs.create(s"graft-profinc-$r").toString
       val (_, buildS) = time(Dedup.buildDedupIndex(spark, corpus, idxDir))

@@ -75,7 +75,9 @@ class PlanAuditSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(freshDir)
     graft.queries.Dedup.buildDedupIndex(
       spark, spark.read.parquet(priorDir), idxDir)
-    val out = graft.queries.Dedup.incrementVsIndex(
+    // the PLANNED (lazy) variant: the public API checkpoints eagerly,
+    // which would replace every scan with a LogicalRDD before the audit
+    val (out, restArr) = graft.queries.Dedup.incrementVsIndexPlanned(
       spark, spark.read.parquet(freshDir), idxDir)
     // the optimized logical plan (AQE hides physical scans behind the
     // adaptive wrapper): every surviving source relation with its path
@@ -98,6 +100,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val rows = out.collect().map(r =>
       r.getLong(0) -> r.getString(1)).toMap
     assert(rows.values.forall(_ == "exact"))
+    restArr.unpersist(false)
   }
 
   test("LSH signature build is map-only: no exchange anywhere in the pass") {

@@ -817,12 +817,22 @@ class ServerSpec extends AnyFunSuite {
       backupReferenceFormat = true, backupSweepMs = 250)
     srv1.start()
     try {
+      // the restore constructed the handle exactly once; idle sweep
+      // ticks must not reopen it (byte-equality of the deterministic
+      // metadata would pass even on a redundant re-export — the handle
+      // tally is the assertion that actually pins the skip)
+      assert(store1.handleOpens("did:graft:marked") == 1L)
       val p0 = srv1.sweepPassesCompleted
-      while (srv1.sweepPassesCompleted < p0 + 3) Thread.sleep(100)
+      val guard = System.nanoTime + 60L * 1000000000L
+      while (srv1.sweepPassesCompleted < p0 + 3) {
+        assert(System.nanoTime < guard, "sweep stalled")
+        Thread.sleep(100)
+      }
+      assert(store1.handleOpens("did:graft:marked") == 1L,
+        "idle sweep ticks must not re-export (reopen) a stream restored " +
+          "from this same bucket")
       assert(java.util.Arrays.equals(metaBytesBefore,
-        java.nio.file.Files.readAllBytes(metaPath)),
-        "idle sweep ticks must not re-export a stream restored from " +
-          "this same bucket")
+        java.nio.file.Files.readAllBytes(metaPath)))
     } finally srv1.stop()
 
     // case 2: sweep targets a DIFFERENT bucket — the restored stream must
