@@ -23,6 +23,20 @@ object TempDirs {
     p
   }
 
+  /** Eagerly delete one registered dir (best-effort) and drop it from the
+    * exit sweep. For artifacts a long-lived session re-creates per call
+    * (e.g. a gate query's throwaway dedup index) waiting for JVM exit
+    * accumulates disk — release them as soon as their consumers have
+    * materialized. */
+  def release(root: Path): Unit = synchronized {
+    try {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toVector.reverseIterator
+        .foreach(p => try Files.deleteIfExists(p) catch { case _: Exception => })
+    } catch { case _: Exception => }
+    created -= root
+  }
+
   /** Best-effort recursive delete of everything created so far. */
   def sweep(): Unit = synchronized {
     created.foreach { root =>

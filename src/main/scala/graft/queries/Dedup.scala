@@ -650,7 +650,8 @@ object Dedup {
           .unionAll(d.filter(col("doc_id") % 7 === 0)
             .select((col("doc_id") + 6000000).as("doc_id"),
               concat(col("text"), lit(" refreshed")).as("text")))
-        val idxDir = graft.TempDirs.create("graft-dedup-idx").toString
+        val idxPath = graft.TempDirs.create("graft-dedup-idx")
+        val idxDir = idxPath.toString
         buildDedupIndex(s, d, idxDir)
         // incrementVsIndex materializes eagerly, so increment 1's
         // verdicts are safely settled before the append mutates the
@@ -661,6 +662,12 @@ object Dedup {
         // is the operator
         appendDedupIndex(s, inc1.filter(col("doc_id") >= 3000000), idxDir)
         val v2 = incrementVsIndex(s, inc2, idxDir)
+        // both verdict frames are eagerly checkpointed by
+        // incrementVsIndex, so the index artifacts have no remaining
+        // consumers — release the dir now instead of leaking a
+        // whole-corpus fp/shingles/bands parquet per gate invocation
+        // until JVM exit
+        graft.TempDirs.release(idxPath)
         v1.select(lit(1L).as("increment"), col("doc_id"), col("verdict"), col("dup_of"))
           .unionAll(v2.select(lit(2L).as("increment"), col("doc_id"),
             col("verdict"), col("dup_of")))

@@ -703,7 +703,7 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     val k =
       if (backupExportKeys)
         plc.flatMap(_.custodiedSecret(id)).map(s =>
-          java.security.MessageDigest.getInstance("MD5").digest(s)
+          java.security.MessageDigest.getInstance("SHA-256").digest(s)
             .map("%02x".format(_)).mkString).getOrElse("-")
       else "-"
     s"$os|$k"
@@ -777,7 +777,11 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
           })
         restored += did
       } catch {
-        case t: Throwable =>
+        // NonFatal only: a corrupt stream warns and continues, but a
+        // fatal VM error (OOM, stack overflow) means the JVM can no
+        // longer be trusted to restore the REMAINING streams correctly —
+        // propagate and abort the whole-bucket recovery.
+        case scala.util.control.NonFatal(t) =>
           lifecycleLog.warn(s"restore of stream $did failed: ${t.getMessage}")
           failed += did
       }

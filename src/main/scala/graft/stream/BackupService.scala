@@ -256,9 +256,17 @@ object BackupService {
       val tmp = new HPath(p.getParent, s".${p.getName}.tmp")
       val out = fs.create(tmp, true)
       try out.write(b) finally out.close()
+      // POSIX rename(2) is an atomic replace even when the destination
+      // exists; Hadoop's RawLocalFileSystem.rename can still refuse, so
+      // fall through to java.nio ATOMIC_MOVE rather than a
+      // delete-then-rename (whose crash window loses the old object and
+      // reintroduces the missing-object gap this function exists to close).
       if (!fs.rename(tmp, p)) {
-        if (fs.exists(p)) fs.delete(p, false)
-        require(fs.rename(tmp, p), s"atomic rename to $p failed")
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp.toUri.getPath),
+          java.nio.file.Paths.get(p.toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     }
   }

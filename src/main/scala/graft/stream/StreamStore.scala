@@ -219,17 +219,24 @@ class StreamStore(val spark: SparkSession, val root: String,
   private val importOwned =
     scala.collection.concurrent.TrieMap.empty[String, Unit]
 
-  /** Atomically claim `id` for an import and create its handle: the
-    * exists-check and the creation happen under the per-id write lock, so
-    * no concurrent create can slip between them, and the claim makes
-    * later client opens fail until [[endImport]]. One import per id at a
-    * time — a second concurrent import fails fast instead of racing the
-    * first and then deleting its work. */
+  /** Atomically claim `id` for an import and create its handle: the claim
+    * is taken FIRST, and every client open/create re-checks it inside the
+    * per-id lock, so no concurrent create can slip in after the
+    * exists-check — the only state that can appear under a claimed id is
+    * the import's own. One import per id at a time — a second concurrent
+    * import fails fast instead of racing the first and then deleting its
+    * work. The handle creation itself runs OUTSIDE lockFor(id): the claim
+    * already excludes racing client opens, and holding this stream's lock
+    * across openUnguarded would run LRU-eviction closes of OTHER streams
+    * (which take their own write locks) while holding it — the ABBA
+    * hold-and-wait the deferred-close design exists to prevent. */
   private[stream] def beginImport(id: String): StreamHandle = {
     require(importOwned.putIfAbsent(id, ()).isEmpty,
       s"an import into $id is already in progress")
-    try lockFor(id).synchronized {
-      require(!exists(id), s"restore target $id is not empty")
+    try {
+      lockFor(id).synchronized {
+        require(!exists(id), s"restore target $id is not empty")
+      }
       openUnguarded(id)
     } catch { case t: Throwable => importOwned.remove(id); throw t }
   }
@@ -247,8 +254,9 @@ class StreamStore(val spark: SparkSession, val root: String,
 
   /** `guardImport = true` (every client path) refuses an id currently
     * claimed by an import. The claim is re-checked INSIDE the per-id
-    * lock — the same lock beginImport holds across claim + create — so a
-    * racing open can never attach to the import's half-built stream; the
+    * lock — beginImport publishes the claim BEFORE it creates the
+    * handle — so a racing open can never attach to the import's
+    * half-built stream; the
     * fast path reads the cached handle FIRST and then the claim, because
     * a claim can only be taken on an id with no existing stream (a
     * handle cached before the check either belongs to a finished import
