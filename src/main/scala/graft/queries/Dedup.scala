@@ -170,7 +170,28 @@ object Dedup {
     (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
   }
 
-  private def readIndexMeta(s: SparkSession, indexDir: String): Int = {
+  /** The persisted index's recorded derivation and commit state: banding
+    * `r` (fixed at build), the COMMITTED batch count (the torn-append
+    * detector — artifact `batch=` subdirs beyond it are an append that
+    * died before its meta commit), and the accumulated doc count (the
+    * staleness signal — when [[lshRowsPerBand]] of the grown count no
+    * longer equals the pinned r, the operator should schedule a rebuild). */
+  case class DedupIndexMeta(r: Int, batches: Int, count: Long) {
+    def stale: Boolean = lshRowsPerBand(count) != r
+  }
+
+  private val indexArtifacts = Seq("fp", "shingles", "bands")
+
+  /** Read + validate the index meta. Refuses (1) a derivation-parameter
+    * mismatch, and (2) a TORN index: every artifact dir must hold exactly
+    * the committed `batch=0..batches-1` subdirs. An append that died
+    * between artifact writes leaves a `batch=N (N >= batches)` subdir in
+    * some-but-not-all artifacts with no meta commit — loading that index
+    * would silently miss near-dups against the partial batch, so every
+    * load path throws instead and the recovery is a rebuild (the
+    * artifacts are derived data; the corpus of record is the truth). */
+  private[graft] def readIndexMeta(s: SparkSession,
+      indexDir: String): DedupIndexMeta = {
     val (fs, p) = indexMetaPath(s, indexDir)
     require(fs.exists(p), s"no dedup index at $indexDir (missing meta.json)")
     val in = fs.open(p)
@@ -182,7 +203,46 @@ object Dedup {
       m.get("r").exists(_.isInstanceOf[Long]),
       s"dedup index at $indexDir was built with different derivation " +
         s"params ($m) — rebuild it rather than mixing derivations")
-    m("r").asInstanceOf[Long].toInt
+    val meta = DedupIndexMeta(
+      m("r").asInstanceOf[Long].toInt,
+      m.get("batches").collect { case b: Long => b.toInt }.getOrElse(1),
+      m.get("count").collect { case c: Long => c }.getOrElse(0L))
+    val committed = (0 until meta.batches).map(b => s"batch=$b").toSet
+    indexArtifacts.foreach { art =>
+      val dir = new org.apache.hadoop.fs.Path(indexDir, art)
+      val present = fs.listStatus(dir).iterator
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).toSet
+      require(present == committed,
+        s"dedup index at $indexDir is TORN: $art/ holds batches " +
+          s"${present.toSeq.sorted.mkString(",")} but meta commits " +
+          s"${meta.batches} — an append died between artifact writes; " +
+          s"rebuild the index from the corpus of record")
+    }
+    if (meta.stale) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"dedup index at $indexDir is STALE: grown to ${meta.count} docs, " +
+        s"where the derivation now wants r=${lshRowsPerBand(meta.count)} " +
+        s"vs the pinned r=${meta.r} — appends still work (banding stays " +
+        s"consistent) but candidate volume drifts; schedule a rebuild")
+    meta
+  }
+
+  /** Operator-facing staleness probe: true when the index has grown past
+    * a derivation knee, i.e. a fresh build over the accumulated count
+    * would pick a different banding r than the one pinned at build time.
+    * Appends remain CORRECT against a stale index (every batch bands with
+    * the pinned r, so lookups stay consistent) — the drift cost is
+    * candidate-pair volume growing past what the derivation would allow,
+    * so the operator schedules a rebuild at the next maintenance window. */
+  def dedupIndexStale(s: SparkSession, indexDir: String): Boolean =
+    readIndexMeta(s, indexDir).stale
+
+  private def writeIndexMeta(s: SparkSession, indexDir: String,
+      r: Int, batches: Int, count: Long): Unit = {
+    val (fs, p) = indexMetaPath(s, indexDir)
+    graft.stream.BackupService.atomicWrite(fs, p,
+      s"""{"k": $K, "shingle": 5, "stride": 2, "r": $r, "batches": $batches, "count": $count}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Write one batch of docs into the index artifacts at the given r.
@@ -190,18 +250,26 @@ object Dedup {
     * of the artifact dirs — an append must not re-band prior batches),
     * so the cost of an append is O(batch). */
   private def writeIndexParts(s: SparkSession, docs: DataFrame,
-      indexDir: String, r: Int, mode: org.apache.spark.sql.SaveMode): Unit = {
+      indexDir: String, r: Int, batch: Int): Unit = {
     graft.functions.VectorExpressions.register(s)
+    // every artifact writes into a BATCH-SCOPED subdir (batch=N), each in
+    // Overwrite mode: a retry of an append whose previous attempt died
+    // mid-way replaces the partial batch instead of doubling rows, and
+    // the batch set is what the meta commit validates at load
     docs.groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("dup_of"))
-      .write.mode(mode).parquet(s"$indexDir/fp")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$indexDir/fp/batch=$batch")
     // persist the batch's shingle arrays across the two writes: doc-level
     // fixed-width long arrays (the frame class persist pays for) — else
     // the band write re-shingles the batch text
     val batchArr = shingleHashArr(s, 5, stride = 2)(docs).persist()
     try {
-      batchArr.write.mode(mode).parquet(s"$indexDir/shingles")
-      bandsFromArr(batchArr, r).write.mode(mode).parquet(s"$indexDir/bands")
+      batchArr.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$indexDir/shingles/batch=$batch")
+      bandsFromArr(batchArr, r)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$indexDir/bands/batch=$batch")
     } finally batchArr.unpersist(false)
   }
 
@@ -212,31 +280,39 @@ object Dedup {
     * derivation mismatch. */
   def buildDedupIndex(s: SparkSession, corpus: DataFrame,
       indexDir: String): Int = {
-    val r = lshRowsPerBand(corpus.count())
+    val n = corpus.count()
+    val r = lshRowsPerBand(n)
     val (fs, p) = indexMetaPath(s, indexDir)
     // meta is the commit marker: DELETED first (a rebuild dying mid-way
     // must not leave the previous build's meta validating a mixed
     // old/new artifact set), then written last via tmp+rename so a
-    // concurrent reader can never parse torn bytes
+    // concurrent reader can never parse torn bytes. Stale batch subdirs
+    // from a previous larger build are swept with it — batch=0's
+    // Overwrite only replaces batch=0.
     if (fs.exists(p)) fs.delete(p, false)
-    writeIndexParts(s, corpus, indexDir, r,
-      org.apache.spark.sql.SaveMode.Overwrite)
-    graft.stream.BackupService.atomicWrite(fs, p,
-      s"""{"k": $K, "shingle": 5, "stride": 2, "r": $r}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    indexArtifacts.foreach(a => fs.delete(
+      new org.apache.hadoop.fs.Path(indexDir, a), true))
+    writeIndexParts(s, corpus, indexDir, r, batch = 0)
+    writeIndexMeta(s, indexDir, r, batches = 1, count = n)
     r
   }
 
   /** Append accepted increment docs to an existing index, banding with
     * the INDEX's recorded r — the append is O(increment) and the knob
-    * cannot silently drift between runs. NOT crash-atomic across the
-    * three artifact dirs: a job that dies mid-append leaves a partial
-    * batch, and the recovery is to rebuild the index (the artifacts are
-    * derived data; the corpus of record is the source of truth). */
+    * cannot silently drift between runs. Crash-SAFE though not atomic:
+    * the batch lands in batch-scoped subdirs of the three artifact dirs
+    * and the meta rewrite (batches+1, count+batch) commits it LAST, so a
+    * job dying between artifact writes leaves uncommitted subdirs that
+    * [[readIndexMeta]] detects and refuses — a torn batch can never be
+    * silently half-visible. Recovery is a rebuild, or re-running the
+    * same append (batch dirs are Overwrite-scoped by number). */
   def appendDedupIndex(s: SparkSession, docs: DataFrame,
-      indexDir: String): Unit =
-    writeIndexParts(s, docs, indexDir, readIndexMeta(s, indexDir),
-      org.apache.spark.sql.SaveMode.Append)
+      indexDir: String): Unit = {
+    val meta = readIndexMeta(s, indexDir)
+    val n = docs.count()
+    writeIndexParts(s, docs, indexDir, meta.r, batch = meta.batches)
+    writeIndexMeta(s, indexDir, meta.r, meta.batches + 1, meta.count + n)
+  }
 
   /** Dedup a fresh increment against a persisted index: exact
     * content-hash lookup, LSH banding of the survivors against the band
@@ -263,7 +339,7 @@ object Dedup {
   private[graft] def incrementVsIndexPlanned(s: SparkSession,
       fresh: DataFrame, indexDir: String): (DataFrame, DataFrame) = {
     graft.functions.VectorExpressions.register(s)
-    val r = readIndexMeta(s, indexDir)
+    val r = readIndexMeta(s, indexDir).r
     val fpIdx = s.read.parquet(s"$indexDir/fp")
     val bandIdx = s.read.parquet(s"$indexDir/bands")
     val shIdx = s.read.parquet(s"$indexDir/shingles")

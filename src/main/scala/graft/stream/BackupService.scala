@@ -257,16 +257,33 @@ object BackupService {
       val out = fs.create(tmp, true)
       try out.write(b) finally out.close()
       // POSIX rename(2) is an atomic replace even when the destination
-      // exists; Hadoop's RawLocalFileSystem.rename can still refuse, so
-      // fall through to java.nio ATOMIC_MOVE rather than a
-      // delete-then-rename (whose crash window loses the old object and
-      // reintroduces the missing-object gap this function exists to close).
+      // exists; Hadoop's LocalFileSystem rename can still refuse an
+      // existing destination, so fall through to java.nio ATOMIC_MOVE
+      // rather than a delete-then-rename (whose crash window loses the
+      // old object and reintroduces the missing-object gap this function
+      // exists to close).
       if (!fs.rename(tmp, p)) {
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(tmp.toUri.getPath),
-          java.nio.file.Paths.get(p.toUri.getPath),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        import java.nio.file.{Files => NF, Paths, StandardCopyOption => CO}
+        def local(h: HPath) = Paths.get(h.toUri.getPath)
+        // the checksummed local fs keeps a .crc sidecar that cannot ride
+        // one atomic move with its data file. Delete the stale dest
+        // sidecar FIRST (a sidecar-less file reads unverified), move the
+        // data (the atomic replace), then install the tmp's sidecar —
+        // no crash point ever pairs the new data with the old crc.
+        fs match {
+          case cfs: org.apache.hadoop.fs.ChecksumFileSystem =>
+            NF.deleteIfExists(local(cfs.getChecksumFile(p)))
+          case _ =>
+        }
+        NF.move(local(tmp), local(p), CO.ATOMIC_MOVE, CO.REPLACE_EXISTING)
+        fs match {
+          case cfs: org.apache.hadoop.fs.ChecksumFileSystem =>
+            val tcrc = local(cfs.getChecksumFile(tmp))
+            if (NF.exists(tcrc))
+              NF.move(tcrc, local(cfs.getChecksumFile(p)),
+                CO.ATOMIC_MOVE, CO.REPLACE_EXISTING)
+          case _ =>
+        }
       }
     }
   }

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Dedup
+
+/** The persisted dedup index's durability contract: an append that dies
+  * between artifact writes must be DETECTED at the next load (not
+  * silently miss near-dups), and an index grown past a derivation knee
+  * must SIGNAL that a rebuild would now derive a different banding r.
+  */
+class DedupIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  /** n synthetic docs with ids starting at `base`: ~400 chars each so the
+    * 5-gram/stride-2 shingler has real material. */
+  private def docs(n: Int, base: Long = 0L): DataFrame =
+    spark.range(n).select(
+      (col("id") + base).as("doc_id"),
+      concat_ws(" ", (0 until 12).map(i =>
+        md5(concat(col("id") + base, lit(i)))): _*).as("text"))
+
+  private def hfs(dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  test("an append that died between artifact writes is refused at load") {
+    val idxDir = TempDirs.create("graft-idx-torn").toString
+    Dedup.buildDedupIndex(spark, docs(200), idxDir)
+    // a committed index round-trips
+    assert(Dedup.readIndexMeta(spark, idxDir).batches == 1)
+    // simulate the kill: an appendDedupIndex writes fp/batch=1 then
+    // shingles/batch=1 then bands/batch=1 then commits meta — die after
+    // the SHINGLES write. The on-disk state is exactly two artifacts
+    // holding an uncommitted batch=1 while bands and meta never saw it.
+    val (fs, root) = hfs(idxDir)
+    for (art <- Seq("fp", "shingles")) {
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(root, s"$art/batch=0"),
+        fs, new org.apache.hadoop.fs.Path(root, s"$art/batch=1"),
+        false, spark.sparkContext.hadoopConfiguration)
+    }
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.readIndexMeta(spark, idxDir)
+    }
+    assert(e1.getMessage.contains("TORN"))
+    // every load path refuses, not just the raw meta read
+    intercept[IllegalArgumentException] {
+      Dedup.incrementVsIndex(spark, docs(10, base = 5000), idxDir)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.appendDedupIndex(spark, docs(10, base = 5000), idxDir)
+    }
+    // recovery: a rebuild sweeps the torn batch dirs and loads clean
+    Dedup.buildDedupIndex(spark, docs(200), idxDir)
+    assert(Dedup.readIndexMeta(spark, idxDir).batches == 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "fp/batch=1")))
+    TempDirs.release(java.nio.file.Paths.get(idxDir))
+  }
+
+  test("a committed append is visible and the increment sees its docs") {
+    val idxDir = TempDirs.create("graft-idx-append").toString
+    Dedup.buildDedupIndex(spark, docs(200), idxDir)
+    Dedup.appendDedupIndex(spark, docs(50, base = 1000), idxDir)
+    val m = Dedup.readIndexMeta(spark, idxDir)
+    assert(m.batches == 2 && m.count == 250)
+    // a fresh doc duplicating an APPENDED doc's text must classify exact
+    val fresh = docs(50, base = 1000)
+      .select((col("doc_id") + 9000).as("doc_id"), col("text"))
+    val v = Dedup.incrementVsIndex(spark, fresh, idxDir).collect()
+    assert(v.forall(_.getString(1) == "exact"))
+    TempDirs.release(java.nio.file.Paths.get(idxDir))
+  }
+
+  test("growing past the 4096-doc derivation knee raises the stale signal") {
+    val idxDir = TempDirs.create("graft-idx-stale").toString
+    // build below the knee: r derives to 3
+    Dedup.buildDedupIndex(spark, docs(3000), idxDir)
+    assert(Dedup.readIndexMeta(spark, idxDir).r == 3)
+    assert(!Dedup.dedupIndexStale(spark, idxDir))
+    // append across the knee: count 4500 wants r=4, pinned r stays 3
+    Dedup.appendDedupIndex(spark, docs(1500, base = 100000), idxDir)
+    val grown = Dedup.readIndexMeta(spark, idxDir)
+    assert(grown.count == 4500 && grown.r == 3)
+    assert(Dedup.dedupIndexStale(spark, idxDir))
+    // a stale index still answers CORRECTLY (banding stayed consistent):
+    // dups of both the original build and the appended batch classify
+    val fresh = docs(20, base = 2000)                 // dup of build batch
+      .unionAll(docs(20, base = 100500)               // dup of appended batch
+        .select(col("doc_id"), col("text")))
+      .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+    assert(Dedup.incrementVsIndex(spark, fresh, idxDir)
+      .collect().forall(_.getString(1) == "exact"))
+    // the rebuild the signal asks for re-derives r at the grown count
+    Dedup.buildDedupIndex(
+      spark, docs(3000).unionAll(docs(1500, base = 100000)), idxDir)
+    val rebuilt = Dedup.readIndexMeta(spark, idxDir)
+    assert(rebuilt.r == 4 && !rebuilt.stale && rebuilt.count == 4500)
+    assert(Dedup.incrementVsIndex(spark, fresh, idxDir)
+      .collect().forall(_.getString(1) == "exact"))
+    TempDirs.release(java.nio.file.Paths.get(idxDir))
+  }
+}
