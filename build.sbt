@@ -28,3 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// `sbt run` / the packaged jar's manifest boot the server CLI; the
+// bench/verify mains stay reachable via runMain (the driver invokes
+// them explicitly).
+Compile / run / mainClass := Some("graft.server.ServerMain")
+Compile / packageBin / mainClass := Some("graft.server.ServerMain")

@@ -51,7 +51,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // phase breakdown for gates that record one (e.g. incremental dedup's
+    // one-off index build vs the steady-state increment): extra key, same
+    // single-line contract
+    val phases = PhaseTimings.snapshot.toSeq.sortBy(_._1).map { case (q, ps) =>
+      s"\"" + q + "\":" + ps.map { case (p, t) => s"\"" + p + "\":" + t }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phases,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"BENCH: ${failed.size} queries failed: ${failed.mkString(", ")}")

@@ -728,16 +728,30 @@ object Dedup {
               concat(col("text"), lit(" refreshed")).as("text")))
         val idxPath = graft.TempDirs.create("graft-dedup-idx")
         val idxDir = idxPath.toString
-        buildDedupIndex(s, d, idxDir)
+        // phase-timed: the gate must build its index inline to be
+        // self-contained, which makes the headline bench number ~90%
+        // one-off build cost — record the phases so the bench output
+        // carries the steady-state increment cost separately
+        val gate = "q_dedup_incremental2"
+        graft.PhaseTimings.reset(gate)
+        graft.PhaseTimings.timed(gate, "index_build") {
+          buildDedupIndex(s, d, idxDir)
+        }
         // incrementVsIndex materializes eagerly, so increment 1's
         // verdicts are safely settled before the append mutates the
         // index dirs
-        val v1 = incrementVsIndex(s, inc1, idxDir)
+        val v1 = graft.PhaseTimings.timed(gate, "increment1") {
+          incrementVsIndex(s, inc1, idxDir)
+        }
         // the accepted batch is chosen by construction (the reversed
         // docs): what to keep is the caller's policy, the index append
         // is the operator
-        appendDedupIndex(s, inc1.filter(col("doc_id") >= 3000000), idxDir)
-        val v2 = incrementVsIndex(s, inc2, idxDir)
+        graft.PhaseTimings.timed(gate, "append") {
+          appendDedupIndex(s, inc1.filter(col("doc_id") >= 3000000), idxDir)
+        }
+        val v2 = graft.PhaseTimings.timed(gate, "increment2") {
+          incrementVsIndex(s, inc2, idxDir)
+        }
         // both verdict frames are eagerly checkpointed by
         // incrementVsIndex, so the index artifacts have no remaining
         // consumers — release the dir now instead of leaking a

@@ -66,7 +66,10 @@ class FanoutSoakSpec extends AnyFunSuite {
   private class WsSub {
     import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
     private val texts = new LinkedBlockingQueue[String]
-    private val bins = new LinkedBlockingQueue[Array[Byte]]
+    // frames carry their arrival nanoTime so latency is measured at the
+    // socket, not at whenever the test thread gets around to the queue
+    private val bins = new LinkedBlockingQueue[(Array[Byte], Long)]
+    private var lastBinNanos = 0L
     private val sb = new StringBuilder
     private val bb = new java.io.ByteArrayOutputStream
     private val listener = new java.net.http.WebSocket.Listener {
@@ -79,7 +82,7 @@ class FanoutSoakSpec extends AnyFunSuite {
       override def onBinary(w: java.net.http.WebSocket, data: java.nio.ByteBuffer,
           last: Boolean): java.util.concurrent.CompletionStage[_] = {
         val a = new Array[Byte](data.remaining()); data.get(a); bb.write(a)
-        if (last) { bins.add(bb.toByteArray); bb.reset() }
+        if (last) { bins.add((bb.toByteArray, System.nanoTime())); bb.reset() }
         w.request(1); null
       }
     }
@@ -94,7 +97,8 @@ class FanoutSoakSpec extends AnyFunSuite {
     private def nextSio(): Map[String, Any] = {
       val b = bins.poll(30, TimeUnit.SECONDS)
       assert(b != null, "timed out waiting for a websocket frame")
-      Msgpack.decode(b).asInstanceOf[Map[String, Any]]
+      lastBinNanos = b._2
+      Msgpack.decode(b._1).asInstanceOf[Map[String, Any]]
     }
     // engine.io open (text frame "0{...}") arrives first on a fresh ws
     assert(texts.poll(15, TimeUnit.SECONDS).startsWith("0"))
@@ -110,6 +114,13 @@ class FanoutSoakSpec extends AnyFunSuite {
       var ack = nextSio()
       while (ack("type") != 3L) ack = nextSio()
       assert(ack.get("id").contains(1L), ack.toString)
+    }
+
+    /** Await one pushed subscription_response; returns (row count, frame
+      * arrival nanoTime) — arrival is stamped at the socket listener. */
+    def awaitPushTimed(): (Int, Long) = {
+      val n = awaitPushRows()
+      (n, lastBinNanos)
     }
 
     /** Await one pushed subscription_response; returns its row count. */
@@ -260,6 +271,75 @@ class FanoutSoakSpec extends AnyFunSuite {
     }
     wsSubs.foreach(w => assert(w.awaitPushRows() == 1,
       "websocket subs must survive the HTTP idle TTL"))
+    wsSubs.foreach(_.close())
+  }
+
+  test("append→delivery latency under 500-sub fan-out (polling + websocket)") {
+    val cid = ok(post("/module/upload", Map("module" -> Map(
+      "init_sql" -> "CREATE TABLE IF NOT EXISTS notes (idx BIGINT) USING PARQUET",
+      "materializer" -> "INSERT INTO notes SELECT idx FROM event",
+      "queries" -> Map("tail" -> Map("sql" ->
+        "SELECT idx FROM notes WHERE idx BETWEEN $start AND $start + $limit - 1 ORDER BY idx"))))
+    ))("cid").toString
+    val sid = ok(post("/stream/create",
+      Map("id" -> "did:fanout:lat", "module_cid" -> cid)))("id").toString
+
+    val wsSubs = (0 until 10).map { _ =>
+      val w = new WsSub
+      w.subscribe(sid, obj("name" -> text("tail"),
+        "start" -> int(1), "limit" -> int(1000)))
+      w
+    }
+    // 500 identical wide-window HTTP subscriptions: one delivery per sub
+    // per append, the drain-memoization hot-stream shape
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
+    import scala.jdk.CollectionConverters._
+    val subs = pool.invokeAll(Vector.fill(500)(
+      new java.util.concurrent.Callable[Long] {
+        def call(): Long = ok(post("/stream/subscribe_events",
+          Map("id" -> sid, "query" -> Map("name" -> "tail",
+            "start" -> 1L, "limit" -> 1000L))))("sub_id").asInstanceOf[Long]
+      }).asJava).asScala.map(_.get()).toVector
+
+    // pollers armed BEFORE the append so each sub's number is honest
+    // client-observed latency: append wall start → first non-empty poll
+    val t0 = new java.util.concurrent.atomic.AtomicLong(0L)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val polls = subs.map(id => pool.submit(
+      new java.util.concurrent.Callable[Double] {
+        def call(): Double = {
+          gate.await()
+          while (true) {
+            val ds = ok(post("/stream/poll", Map("id" -> sid, "sub_id" -> id)))(
+              "deliveries").asInstanceOf[Vector[Any]]
+            if (ds.nonEmpty) return (System.nanoTime() - t0.get) / 1e6
+            Thread.sleep(50)
+          }
+          -1.0
+        }
+      }))
+    t0.set(System.nanoTime()); gate.countDown()
+    ok(post("/stream/event_batch", Map("id" -> sid,
+      "events" -> Vector(Map("user" -> "u", "payload_b64" -> payloadB64(1))))))
+    val pollLats = polls.map(_.get()).sorted
+    pool.shutdown()
+    val wsLats = wsSubs.map { w =>
+      val (n, at) = w.awaitPushTimed()
+      assert(n == 1, s"ws push had $n rows")
+      (at - t0.get) / 1e6
+    }.sorted
+    def pct(xs: Seq[Double], p: Double): Double =
+      xs(math.min(xs.size - 1, (p * xs.size).toInt))
+    println(f"FANOUT_LATENCY subs=${subs.size} poll_ms p50=${pct(pollLats, 0.5)}%.0f " +
+      f"p99=${pct(pollLats, 0.99)}%.0f ws p50=${pct(wsLats, 0.5)}%.0f " +
+      f"p99=${pct(wsLats, 0.99)}%.0f")
+    // generous ceilings — these exist to catch a pathological regression
+    // (per-sub Spark jobs, a parked pump never resuming), not to pin a
+    // machine-dependent number
+    assert(pct(pollLats, 0.99) < 60000,
+      f"poll p99 ${pct(pollLats, 0.99)}%.0fms — fan-out delivery degraded")
+    assert(pct(wsLats, 0.99) < 60000,
+      f"ws p99 ${pct(wsLats, 0.99)}%.0fms — push delivery degraded")
     wsSubs.foreach(_.close())
   }
 }
