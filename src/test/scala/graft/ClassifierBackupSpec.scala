@@ -247,6 +247,67 @@ class ClassifierBackupSpec extends AnyFunSuite {
       (1 to 6).map(i => SqlValue.SqlText(s"m$i")).toVector)
   }
 
+  test("compaction composes with incremental backup: post-compaction sweep is exactly the delta") {
+    // The sweep prunes the log by idx min/max stats over the CURRENT file
+    // set; compaction rewrites that file set wholesale (new directory, new
+    // idx ranges per file) between sweeps. The contract under test: a sweep
+    // after a compaction that folded both backed-up and pending events into
+    // fresh files still exports exactly (lastBacked+1 .. latest) — no
+    // re-export of the old range, no gap — and the chain restores intact.
+    val h = store.open("did:test:compbak")
+    h.setModule(module)
+    // one event per append → several small per-batch log files to compact
+    (1 to 4).foreach(i => h.addEvents(Seq(IncomingEvent(s"u$i", payload(s"m$i", i)))))
+    val dirP = graft.TempDirs.create("graft-compbak")
+    val dir = "file:" + dirP
+    assert(BackupService.backup(h, dir) == Some((1L, 4L)))
+    val refP = graft.TempDirs.create("graft-compbak-ref")
+    assert(BackupService.exportReference(h, "file:" + refP) == Vector((1L, 4L)))
+    // the delta lands pre-compaction; the compaction rewrite then folds
+    // backed-up range and delta together into new, idx-disjoint files
+    (5 to 7).foreach(i => h.addEvents(Seq(IncomingEvent(s"u$i", payload(s"m$i", i)))))
+    assert(h.compactLog() >= 1)
+    def filesOf(rel: String) = {
+      val s = java.nio.file.Files.list(dirP.resolve(rel))
+      try s.iterator().asScala.map(p =>
+        p.getFileName.toString -> java.nio.file.Files.getLastModifiedTime(p))
+        .toMap
+      finally s.close()
+    }
+    val firstRange = filesOf("events/1-4")
+    assert(BackupService.backup(h, dir) == Some((5L, 7L)),
+      "post-compaction sweep must export exactly the unbacked delta")
+    assert(filesOf("events/1-4") == firstRange,
+      "compaction must not cause a re-export of the already-archived range")
+    assert(BackupService.exportReference(h, "file:" + refP) == Vector((5L, 7L)))
+    assert(java.nio.file.Files.exists(
+        refP.resolve("streams/did:test:compbak/1-4.events.drisl.zstd")) &&
+      java.nio.file.Files.exists(
+        refP.resolve("streams/did:test:compbak/5-7.events.drisl.zstd")),
+      "reference bucket must hold exactly the two incremental archives")
+    // a pure rewrite with no new events is invisible to both sweeps
+    assert(h.compactLog() >= 1)
+    assert(BackupService.backup(h, dir).isEmpty,
+      "compaction alone must not trigger a spurious export")
+    assert(BackupService.exportReference(h, "file:" + refP).isEmpty)
+    // both chains restore to the live stream's exact event tuples
+    def tuples(df: org.apache.spark.sql.DataFrame) = df
+      .select("idx", "user", "payload", "signature").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getAs[Array[Byte]](2).toSeq, r.getAs[Array[Byte]](3).toSeq))
+      .sortBy(_._1).toSeq
+    val live = tuples(h.eventsDF)
+    val rNat = BackupService.restore(store, "did:test:comprestored", dir)
+    assert(tuples(rNat.eventsDF) == live,
+      "native chain restore must hash-match the live log across compaction")
+    assert(rNat.queryTagged(None, LeafQuery("list")).map(_("content")) ==
+      (1 to 7).map(i => SqlValue.SqlText(s"m$i")).toVector)
+    val (rRef, _) = BackupService.importReference(store,
+      "did:test:comprestored-ref", "file:" + refP, "did:test:compbak")
+    assert(tuples(rRef.eventsDF) == live,
+      "reference chain restore must hash-match the live log across compaction")
+  }
+
   test("restore rejects a gapped or non-1-based backup chain") {
     val h = store.open("did:test:gapbak")
     h.setModule(module)
