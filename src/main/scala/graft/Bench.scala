@@ -36,6 +36,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // One clear error on fixture drift beats 30 scattered analysis errors.
+    SchemaContract.assertOk(spark, sfDir)
     spark.range(1000).selectExpr("sum(id)").collect() // JVM/codegen warmup
     // fixture warmup: the leaf_* gates share one ingested demo stream;
     // whichever gate runs FIRST would otherwise pay its construction

@@ -237,6 +237,19 @@ object Dedup {
   def dedupIndexStale(s: SparkSession, indexDir: String): Boolean =
     readIndexMeta(s, indexDir).stale
 
+  /** Catalog-surfaced derived-index state for operators — what the server
+    * admin RPC returns, matching the reference's pattern of surfacing
+    * per-stream storage state through the catalog
+    * (leaf-server/src/storage.rs:254-290). `stale=true` is the rebuild
+    * signal: the corpus has grown past a derivation knee, so a fresh
+    * build would band at `recommended_r` instead of the pinned `r`. */
+  def dedupIndexInfo(s: SparkSession, indexDir: String): Map[String, Any] = {
+    val m = readIndexMeta(s, indexDir)
+    Map("r" -> m.r.toLong, "batches" -> m.batches.toLong,
+      "count" -> m.count, "stale" -> m.stale,
+      "recommended_r" -> lshRowsPerBand(m.count).toLong)
+  }
+
   private def writeIndexMeta(s: SparkSession, indexDir: String,
       r: Int, batches: Int, count: Long): Unit = {
     val (fs, p) = indexMetaPath(s, indexDir)

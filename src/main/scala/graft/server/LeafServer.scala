@@ -638,6 +638,17 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     Map("files" -> openExisting(str(args, "id")).compactLog())
   }
 
+  handle("/admin/dedup_index_info") { (c, args) =>
+    // Surfaces the persisted dedup index's derivation state — notably the
+    // `stale` rebuild signal when appends cross a banding knee — the way
+    // the reference surfaces per-stream storage state through its catalog
+    // (leaf-server/src/storage.rs:254-290). Without this the signal only
+    // exists as a log line nobody watches.
+    if (!c.trusted && !c.did.exists(moduleAdmins.contains))
+      throw new LeafAuthException("admin RPCs require a trusted connection")
+    graft.queries.Dedup.dedupIndexInfo(store.spark, str(args, "dir"))
+  }
+
   // ---------------- wire-protocol surface ----------------
 
   /** The server's DID document (reference: .well-known/did.json endpoint,

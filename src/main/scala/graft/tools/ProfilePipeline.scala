@@ -86,8 +86,9 @@ object ProfilePipeline {
     // events replicate with shifted event/user ids: per-user adjacency,
     // per-type value distributions, and the active-day windows all keep
     // their structure while user and event volume grow ×mult. The raw
-    // nanos LONG ts column rides through unchanged, so Tables.df's
-    // micros conversion applies to replicas exactly as to the original.
+    // ts column rides through unchanged whatever its parquet encoding
+    // (nanos LONG or micros timestamp), so Tables.df's schema-tolerant
+    // normalization applies to replicas exactly as to the original.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawEv = spark.read.parquet(s"$base/events.parquet")
     val evN = rawEv.agg(max("event_id")).head.getLong(0) + 1

@@ -922,6 +922,28 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("dedup index staleness reaches the operator through the admin catalog") {
+    import org.apache.spark.sql.functions.{col, concat, concat_ws, lit, md5}
+    val idxDir = graft.TempDirs.create("graft-srv-idx").toString
+    def docs(n: Int, base: Long) = spark.range(n).select(
+      (col("id") + base).as("doc_id"),
+      concat_ws(" ", (0 until 12).map(i =>
+        md5(concat(col("id") + base, lit(i)))): _*).as("text"))
+    // build below the 4096-doc knee (r derives to 3), then append across it
+    graft.queries.Dedup.buildDedupIndex(spark, docs(3000, 0), idxDir)
+    val fresh = ok(post("/admin/dedup_index_info", Map("dir" -> idxDir)))
+    assert(fresh("stale") == false && fresh("r") == 3L, fresh.toString)
+    graft.queries.Dedup.appendDedupIndex(spark, docs(1500, 100000), idxDir)
+    val grown = ok(post("/admin/dedup_index_info", Map("dir" -> idxDir)))
+    assert(grown("stale") == true, grown.toString)
+    assert(grown("r") == 3L && grown("recommended_r") == 4L &&
+      grown("count") == 4500L, grown.toString)
+    // admin-gated like every other catalog RPC
+    val denied = post("/admin/dedup_index_info", Map("dir" -> idxDir), token = None)
+    assert(denied.contains("err"))
+    graft.TempDirs.release(java.nio.file.Paths.get(idxDir))
+  }
+
   test("json parser caps container nesting (no stack overflow on [[[…)") {
     val hostile = "[" * 100000 + "]" * 100000
     val e = intercept[IllegalArgumentException](graft.server.Json.parse(hostile))
