@@ -675,7 +675,71 @@ object Pipeline {
              |        FROM clean))
              |SELECT split, count(*) AS n, CAST(sum(len) AS BIGINT) AS total_chars,
              |       min(doc_id) AS min_id, max(doc_id) AS max_id
-             |FROM assigned GROUP BY split ORDER BY split""".stripMargin))
+             |FROM assigned GROUP BY split ORDER BY split""".stripMargin)),
+
+    // ---- deterministic shard assignment for training export ----
+    // The last step of every corpus build: route each doc to one of S
+    // shards by content-independent hash so re-runs (and late-arriving
+    // fix-ups) land docs in the SAME shard, then write shard files. The
+    // gate verifies the assignment + balance via per-shard stats; the
+    // production write is `.repartition(S, shard).write.partitionBy` —
+    // one all-to-all shuffle, which IS the export, there is nothing
+    // cheaper. Hash balance keeps every shard within ~1/sqrt(n) of even,
+    // so no executor hot-spots at 1000 workers.
+    "q_shard_export" -> Q(
+      (s, dir) => {
+        val shard = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 16).as("shard")
+        docs(s, dir)
+          .select(shard, col("n_chars"), col("doc_id"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+          .orderBy(col("shard"))
+      },
+      Some("""SELECT shard, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM (
+             |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS shard,
+             |         n_chars, doc_id
+             |  FROM documents)
+             |GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // ---- mixture sampling to a per-source token budget ----
+    // Training mixes are specified in TOKENS, not docs: "take up to B
+    // tokens from each source, chosen deterministically". Docs order by
+    // a content-independent hash within their source, a running token
+    // total is cut at the budget, and the first doc to cross the line is
+    // kept (so a budget smaller than one doc still takes one — matching
+    // how mixes avoid empty sources). One window over (source, hash) —
+    // at 100 TB the partition key is the source, so the shuffle spreads
+    // across sources and each window sorts only its own source's docs;
+    // sources bigger than a partition upgrade to pre-bucketed ranges.
+    "q_sample_token_budget" -> Q(
+      (s, dir) => {
+        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h")
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"), h)
+          .withColumn("cum_chars", sum(col("n_chars")).over(w))
+          .filter(col("cum_chars") - col("n_chars") < 1500)
+          .select(col("doc_id"), col("source"), col("cum_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, source, cum_chars FROM (
+             |  SELECT doc_id, source, n_chars,
+             |    CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_chars
+             |  FROM (
+             |    SELECT doc_id, source, n_chars,
+             |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+             |    FROM documents))
+             |WHERE cum_chars - n_chars < 1500 ORDER BY doc_id""".stripMargin))
   )
 
   // previous invocation's persisted funnel survivors, swept on re-entry

@@ -203,6 +203,46 @@ object TextAnalysis {
              |    FROM documents))
              |SELECT split, count(*) AS n, CAST(sum(len) AS BIGINT) AS total_chars,
              |  min(len) AS min_len, max(len) AS max_len
-             |FROM assigned GROUP BY 1 ORDER BY split""".stripMargin))
+             |FROM assigned GROUP BY 1 ORDER BY split""".stripMargin)),
+
+    // ---- composite quality gate (Gopher-style rules) ----
+    // The multi-rule document filter every web-scale corpus pass applies
+    // (word-count bounds, mean-word-length bounds, max-word-length cap)
+    // with a per-rule verdict so downstream can audit WHY a doc dropped,
+    // not just that it did. All comparisons are INTEGER arithmetic (the
+    // mean-word-length band [3,10] is tested as n_alpha between 3·n_words
+    // and 10·n_words), so the gate hash carries no float tail at all.
+    // Map-only scan: at 100 TB this is embarrassingly parallel and fully
+    // codegen'd; the only shuffle is the gate's final order.
+    "q_quality_gopher" -> Q(
+      (s, dir) => {
+        val t = toks(col("text"))
+        val nWords = size(t).cast("long")
+        val nAlpha = length(regexp_replace(col("text"), "\\s+", "")).cast("long")
+        val maxW = array_max(transform(t, w => length(w))).cast("long")
+        docs(s, dir).select(
+          col("doc_id"), nWords.as("n_words"), maxW.as("max_word_len"),
+          (nWords >= 20 && nWords <= 80).as("ok_word_count"),
+          (nAlpha >= nWords * 3 && nAlpha <= nWords * 10).as("ok_mean_wlen"),
+          (maxW <= 15).as("ok_max_wlen"))
+          .withColumn("keep",
+            col("ok_word_count") && col("ok_mean_wlen") && col("ok_max_wlen"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+             |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_alpha,
+             |    CAST(list_max(list_transform(regexp_split_to_array(trim(text), '\s+'),
+             |         w -> length(w))) AS BIGINT) AS max_word_len
+             |  FROM documents)
+             |SELECT doc_id, n_words, max_word_len,
+             |  n_words >= 20 AND n_words <= 80 AS ok_word_count,
+             |  n_alpha >= n_words * 3 AND n_alpha <= n_words * 10 AS ok_mean_wlen,
+             |  max_word_len <= 15 AS ok_max_wlen,
+             |  (n_words >= 20 AND n_words <= 80)
+             |    AND (n_alpha >= n_words * 3 AND n_alpha <= n_words * 10)
+             |    AND max_word_len <= 15 AS keep
+             |FROM f ORDER BY doc_id""".stripMargin))
   )
 }

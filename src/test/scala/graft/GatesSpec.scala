@@ -27,6 +27,50 @@ class GatesSpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("gopher gate: keep is the conjunction of its audit flags") {
+    val rows = SparkEntry.queries("q_quality_gopher")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nw, mw, okWc, okMean, okMax, keep) =>
+      assert(keep == (okWc && okMean && okMax), s"doc $id keep != flags")
+      assert(okWc == (nw >= 20 && nw <= 80), s"doc $id word-count flag")
+      assert(okMax == (mw <= 15), s"doc $id max-word flag")
+    }
+    // the rules must actually discriminate on this corpus
+    assert(rows.exists(_._7) && rows.exists(!_._7), "gate never fires")
+  }
+
+  test("shard export: every doc lands in exactly one shard, shards balanced") {
+    val shards = SparkEntry.queries("q_shard_export")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = shards.map(_._2).sum
+    val nDocs = SparkEntry.queries("q_text_tokens")(spark, dir).count()
+    assert(total == nDocs, s"sharded $total of $nDocs docs")
+    assert(shards.map(_._1).toSet.size == shards.length, "duplicate shard ids")
+    // hash balance: no shard more than 3x the mean at this tiny sf
+    val mean = total.toDouble / shards.length
+    shards.foreach { case (sid, n) =>
+      assert(n <= mean * 3, s"shard $sid holds $n vs mean $mean")
+    }
+  }
+
+  test("token budget: every source kept, budget respected, deterministic") {
+    def run() = SparkEntry.queries("q_sample_token_budget")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val rows = run()
+    val sources = Tables.df(spark, dir, "documents")
+      .select("source").distinct().count()
+    // a budget smaller than one doc still takes one per source
+    assert(rows.map(_._2).distinct.length.toLong == sources)
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      // every kept doc except the boundary one stays under budget
+      val within = rs.map(_._3).count(_ <= 1500)
+      assert(within >= rs.length - 1, s"source $src overshoots budget twice")
+    }
+    assert(rows.toSeq == run().toSeq, "non-deterministic mix")
+  }
+
   test("mixture: copies equal docs x weight per language") {
     val rows = run("q_sample_mixture").map(r =>
       (r.getString(0), r.getLong(1), r.getLong(2)))
