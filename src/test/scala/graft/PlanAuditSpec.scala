@@ -55,6 +55,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("gopher gate and shard export stay map-side until their one shuffle") {
+    // q_quality_gopher: per-row flags, so the only exchange is the gate's
+    // final order — a second exchange means per-doc work leaked into a
+    // shuffle. q_shard_export: the shard agg must combine map-side
+    // (partial_) so the exchange carries ~16 rows per input partition,
+    // not one row per document.
+    val gopher = physical("q_quality_gopher")
+    assert("Exchange".r.findAllIn(gopher).length <= 1,
+      s"q_quality_gopher shuffles more than the final order:\n$gopher")
+    val shard = physical("q_shard_export")
+    assert("partial_".r.findFirstIn(shard).isDefined,
+      s"no map-side combine in q_shard_export:\n$shard")
+    assert(!shard.contains("text"), "shard export reads the text column")
+  }
+
+  test("token budget windows over the source key, not a single partition") {
+    // an empty-frame/global window (`Window.orderBy` without partitionBy)
+    // funnels the whole corpus through ONE task — the classic window
+    // scale-killer this op must never regress into
+    val plan = physical("q_sample_token_budget")
+    assert(!plan.contains("SinglePartition"),
+      s"q_sample_token_budget plans a single-partition window:\n$plan")
+  }
+
   test("increment-vs-index scans the index artifacts, never prior text") {
     // the persisted-index contract: once the prior corpus is indexed, an
     // increment's plan reads the index parquet (fp/bands/shingles) and the
