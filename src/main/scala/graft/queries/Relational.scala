@@ -568,6 +568,45 @@ object Relational {
               |  AND o_orderdate < TIMESTAMP '1997-01-01'
               |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
 
+    // ---- TPC-H Q10 shape: returned-item revenue per customer in one
+    // quarter — 4-way join, wide group-by, top-20. The big fact side
+    // filters (quarter + returnflag) push to both scans, nation stays a
+    // planner-chosen broadcast, and the top-20 compiles to
+    // TakeOrderedAndProject like q3 ----
+    "q_tpch_q10" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val l = t(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+        val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+          .agg(dbl(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(10, 2)) -
+            dec(col("l_discount"))))).as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+              |  CAST(sum(${sqlDec("l_extendedprice")} *
+              |       (CAST(1 AS DECIMAL(10,2)) - ${sqlDec("l_discount")})) AS DOUBLE) AS revenue
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |WHERE l_returnflag = 'R'
+              |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+              |  AND o_orderdate < TIMESTAMP '1996-04-01'
+              |GROUP BY c_custkey, c_name, c_acctbal, n_name
+              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
     "q_setop_intersect" -> Q(
       (s, dir) =>
         t(s, dir, "customer").select(col("c_custkey").as("k"))
