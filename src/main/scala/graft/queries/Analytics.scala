@@ -217,6 +217,48 @@ object Analytics {
     // from one aggregated bigram table equi-joined back to the per-doc
     // instances — partial-aggregated shuffles only, integers throughout,
     // one double division per output row.
+    // ---- unigram-LM surprisal scoring (the KenLM-filter standin) ----
+    // Per-doc mean surprisal -ln p(token) under the corpus's own unigram
+    // distribution: the classic model-based quality signal (boilerplate
+    // scores low, gibberish scores high). Determinism across engines:
+    // each token's surprisal ln(N/cnt) rounds to 6 decimals FIRST (the
+    // tfidf-proven guard against libm ULP skew), the per-doc total sums
+    // those as DECIMAL(18,6) — exact and order-independent, immune to
+    // float summation order — and the mean is one double division at the
+    // end. Scale: explode once, token counts partial-aggregate, the
+    // count table equi-joins back on the token (never broadcast), per-doc
+    // agg carries two fixed-width columns.
+    "q_text_unigram_lp" -> Q(
+      (s, dir) => {
+        val inst = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+          .persist()
+        inst.count() // two consumers: corpus counts + the instance join
+        val counts = inst.groupBy("w").agg(count(lit(1)).as("cnt"))
+        val total = inst.select(count(lit(1)).as("n_total"))
+        val surp = round(
+          log(col("n_total").cast("double") / col("cnt").cast("double")), 6)
+        inst.join(counts, Seq("w")).crossJoin(total)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            sum(surp.cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+              .as("sum_surp"))
+          .select(col("doc_id"), col("n_tok"),
+            (col("sum_surp").cast("double") / col("n_tok")).as("mean_surprisal"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH inst AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+             |  FROM documents),
+             |counts AS (SELECT w, count(*) AS cnt FROM inst GROUP BY 1),
+             |total AS (SELECT count(*) AS n_total FROM inst)
+             |SELECT doc_id, count(*) AS n_tok,
+             |  CAST(sum(CAST(round(ln(CAST(n_total AS DOUBLE) / CAST(cnt AS DOUBLE)), 6)
+             |       AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_surprisal
+             |FROM inst JOIN counts USING (w) CROSS JOIN total
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     "q_text_novelty" -> Q(
       (s, dir) => {
         val toks = t(s, dir, "documents")

@@ -212,6 +212,19 @@ class PlanAuditSpec extends AnyFunSuite {
       "tfidf pins a broadcast on the df side")
   }
 
+  test("unigram surprisal joins on the token and partial-aggregates") {
+    // the count-table join must stay a planner-chosen equi-join (the
+    // vocabulary grows with the corpus — pinning a broadcast would OOM
+    // at web scale) and the token counts must combine map-side
+    val plan = physical("q_text_unigram_lp")
+    assert(!analyzed("q_text_unigram_lp").contains("ResolvedHint"),
+      "unigram LP pins a broadcast on the vocabulary")
+    assert("partial_".r.findFirstIn(plan).isDefined,
+      s"no map-side combine in q_text_unigram_lp:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      "the 1-row total must broadcast, not cartesian")
+  }
+
   test("pagerank supersteps join pre-aggregated edges, not raw lineitem") {
     // the edge build pays the wide join ONCE; each superstep joins the
     // ~|nations|² aggregated edge table (InMemoryRelation after persist)
