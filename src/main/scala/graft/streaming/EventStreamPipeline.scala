@@ -245,4 +245,42 @@ object EventStreamPipeline {
           }
       }
   }
+
+  /** The production incremental-dedup loop as a stream: fresh documents
+    * (doc_id, text) arrive on a stream, each micro-batch dedups against
+    * the PERSISTED index (exact fingerprint → banded LSH → exact-Jaccard
+    * verify — [[graft.queries.Dedup.incrementVsIndex]]), its verdicts
+    * append to `verdictDir` tagged with the stream batch id, and the
+    * batch's docs append to the index — so LATER batches dedup against
+    * everything that streamed before them, exactly like the reference's
+    * materializer folds each event batch into state the next batch sees
+    * (leaf-stream/src/lib.rs:597-719, re-expressed over document
+    * artifacts instead of SQLite tables).
+    *
+    * Delivery: the index append is torn-proof (batch-scoped artifact dirs
+    * + meta-last commit — a crashed append is refused at every load), and
+    * the verdict write is at-least-once: a foreachBatch retry after a
+    * crash between the two writes re-appends the same verdicts, so an
+    * exactly-once consumer dedups on (stream_batch, doc_id) at read time.
+    * Scale: every batch costs O(batch) — the prior corpus is never
+    * re-shingled (the increment plan scans only the index artifacts).
+    *
+    * Returns a started query; callers pick the trigger via `trigger`. */
+  def incrementalDedupStream(docsStream: DataFrame, indexDir: String,
+      verdictDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()) = {
+    val spark = docsStream.sparkSession
+    docsStream.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val docs = batch.select(col("doc_id"), col("text"))
+        graft.queries.Dedup.incrementVsIndex(spark, docs, indexDir)
+          .withColumn("stream_batch", lit(batchId))
+          .write.mode("append").parquet(verdictDir)
+        graft.queries.Dedup.appendDedupIndex(spark, docs, indexDir)
+        ()
+      }
+      .start()
+  }
 }

@@ -369,4 +369,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(est.keySet == Set(0L, 60L))
     est.values.foreach(e => assert(e > 10.0 && e < 40.0, s"estimate $e vs true 20"))
   }
+
+  test("streaming incremental dedup: later waves dedup against streamed docs") {
+    import org.apache.spark.sql.types._
+    val root = graft.TempDirs.create("graft-stream-incdedup")
+    val (idxDir, verdictDir, ckpt, in) =
+      (s"$root/idx", s"$root/verdicts", s"$root/ckpt", s"$root/in")
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    def docs(n: Int, base: Long) = spark.range(n).select(
+      (col("id") + base).as("doc_id"),
+      concat_ws(" ", (0 until 12).map(i =>
+        md5(concat(col("id") + base, lit(i)))): _*).as("text"))
+    graft.queries.Dedup.buildDedupIndex(spark, docs(200, 0), idxDir)
+
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def stream() = {
+      val q = EventStreamPipeline.incrementalDedupStream(
+        spark.readStream.schema(schema).parquet(in), idxDir, verdictDir, ckpt)
+      q.awaitTermination()
+    }
+    // wave A: 20 clones of the indexed corpus + 10 fresh docs
+    docs(20, 0).select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      .unionAll(docs(10, 20000)).coalesce(1).write.mode("append").parquet(in)
+    stream()
+    // wave B: clones of wave A's FRESH docs — dups only exist because the
+    // stream appended wave A to the index
+    docs(10, 20000).select((col("doc_id") + 30000).as("doc_id"), col("text"))
+      .coalesce(1).write.mode("append").parquet(in)
+    stream()
+
+    val v = spark.read.parquet(verdictDir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(v.size == 40, s"40 verdicts expected, got ${v.size}")
+    val (a, b) = v.partition(_._1 < 30000)
+    // wave A: corpus clones exact against the BATCH-BUILT index rows
+    assert(a.count(x => x._2 == "exact" && x._3 < 200) == 20, a.toString)
+    assert(a.count(_._2 == "new") == 10)
+    // wave B: every clone dedups against a doc that arrived ON THE STREAM
+    assert(b.size == 10)
+    assert(b.forall(x => x._2 == "exact" && x._3 >= 20000 && x._3 < 20010),
+      s"wave-B dups must point at wave-A stream docs: $b")
+    // and the index meta accumulated both stream appends
+    val meta = graft.queries.Dedup.readIndexMeta(spark, idxDir)
+    assert(meta.batches == 3 && meta.count == 240, meta.toString)
+    graft.TempDirs.release(root)
+  }
 }
