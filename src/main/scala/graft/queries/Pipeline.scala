@@ -214,6 +214,41 @@ object Pipeline {
       Some(s"""WITH RECURSIVE $componentsSqlCtes
               |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin)),
 
+    // ---- soft dedup: cluster-size downweighting ----
+    // The keep-everything alternative to dropping near-dups: every doc
+    // gets sampling weight 1/|its dup cluster| (1.0 when unclustered), so
+    // a page boilerplated across ten thousand URLs contributes ~one doc's
+    // worth of training mass instead of ten thousand. One group-by over
+    // the shared component table + a left join back — the cluster table
+    // is a persisted artifact of the clustering run, so at 100 TB this
+    // costs two metadata-sized shuffles on top of the corpus scan. The
+    // weight is a single double division of exact integers (bit-identical
+    // cross-engine, the q_text_quality convention).
+    "q_dedup_weighted" -> Q(
+      (s, dir) => {
+        val comp = componentsDF(s, dir)
+        val sizes = comp.groupBy(col("component"))
+          .agg(count(lit(1)).as("cluster_size"))
+        Dedup.corpus(s, dir).select(col("doc_id"))
+          .join(comp, Seq("doc_id"), "left")
+          .join(sizes, Seq("component"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+            (lit(1.0) / coalesce(col("cluster_size"), lit(1L))).as("weight"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $componentsSqlCtes,
+              |sizes AS (
+              |  SELECT component, count(*) AS cluster_size
+              |  FROM comp GROUP BY component)
+              |SELECT d.doc_id,
+              |  COALESCE(s.cluster_size, 1) AS cluster_size,
+              |  CAST(1 AS DOUBLE) / COALESCE(s.cluster_size, 1) AS weight
+              |FROM corpus d
+              |LEFT JOIN comp c ON d.doc_id = c.doc_id
+              |LEFT JOIN sizes s ON c.component = s.component
+              |ORDER BY d.doc_id""".stripMargin)),
+
     // ---- leakage-safe train/valid/test split ----
     // Hash-splitting DOCS leaks: two near-duplicates can land one in
     // train and one in eval, and the eval set silently scores memorized
