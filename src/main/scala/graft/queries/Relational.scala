@@ -833,6 +833,25 @@ object Relational {
               |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
               |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin)),
 
+    // CUBE completes the multi-dimensional aggregate family next to
+    // ROLLUP and GROUPING SETS: all 2^d grouping combinations in one
+    // expand + aggregate pass (no per-combination rescans).
+    "q_cube" -> Q(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dbl(sum(dec(col("l_quantity")))).as("qty"),
+            count(lit(1)).as("n"),
+            grouping(col("l_returnflag")).cast("long").as("g_rf"),
+            grouping(col("l_linestatus")).cast("long").as("g_ls"))
+          .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  CAST(sum(${sqlDec("l_quantity")}) AS DOUBLE) AS qty, count(*) AS n,
+              |  GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls
+              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+              |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin)),
+
     // ---- explicit GROUPING SETS: disjoint subtotal shapes in one pass ----
     // (rollup covers the prefix lattice; this is the general form — the
     // planner expands the sets into one Expand + single aggregation, so a
