@@ -177,19 +177,29 @@ object LeafOps {
       (s, dir) => {
         val h = streams.synchronized {
           streams.getOrElseUpdate((s, dir, "bakref"), {
+            // phase split: the headline number conflates the CBOR+zstd
+            // export, the parse+replay import, and the final query — the
+            // bench phases attribute each (like q_dedup_incremental2)
+            graft.PhaseTimings.reset("leaf_backup_reference")
             val src = demo(s, dir)
             val bak = "file:" +
               graft.TempDirs.create("graft-leafops-refbak")
             // default chunking: the gate measures the round-trip, not the
             // chunk loop (ClassifierBackupSpec pins multi-chunk chains)
-            BackupService.exportReference(src, bak)
+            graft.PhaseTimings.timed("leaf_backup_reference", "export") {
+              BackupService.exportReference(src, bak)
+            }
             val store = new StreamStore(s,
               graft.TempDirs.create("graft-leafops").toString)
-            BackupService.importReference(
-              store, "did:graft:ref-restored", bak, src.id)._1
+            graft.PhaseTimings.timed("leaf_backup_reference", "import_replay") {
+              BackupService.importReference(
+                store, "did:graft:ref-restored", bak, src.id)._1
+            }
           })
         }
-        h.query(None, LeafQuery("by_type"))
+        graft.PhaseTimings.timed("leaf_backup_reference", "query") {
+          h.query(None, LeafQuery("by_type"))
+        }
       },
       Some("""SELECT event_type AS etype, count(*) AS n,
              |  CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total
