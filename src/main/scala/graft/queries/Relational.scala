@@ -925,6 +925,30 @@ object Relational {
           .orderBy(col("h"), col("event_type")),
       Some(s"""SELECT date_trunc('hour', ts) AS h, event_type,
               |  count(*) AS n, CAST(sum(${sqlDec("value")}) AS DOUBLE) AS total_value
-              |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin))
+              |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin)),
+
+    // ---- value-distribution histogram: fixed-width bins per event type
+    // — the distribution-profiling primitive behind drift monitoring and
+    // winsorize-threshold sanity checks. Bin math is DECIMAL floor-division
+    // (exact — a raw double divide could land x.9999… in the wrong bin on
+    // one engine); one partial-aggregated shuffle on (type, bin), output
+    // is O(types × bins) however large the log ----
+    "q_events_histogram" -> Q(
+      (s, dir) => {
+        val bin = floor(dec(col("value")) / lit(50).cast(DecimalType(10, 2)))
+          .cast("long")
+        t(s, dir, "events")
+          .groupBy(col("event_type"), bin.as("bin"))
+          .agg(count(lit(1)).as("n"),
+            dbl(min(dec(col("value")))).as("lo"),
+            dbl(max(dec(col("value")))).as("hi"))
+          .orderBy(col("event_type"), col("bin"))
+      },
+      Some(s"""SELECT event_type,
+              |  CAST(floor(${sqlDec("value")} / CAST(50 AS DECIMAL(10,2))) AS BIGINT) AS bin,
+              |  count(*) AS n,
+              |  CAST(min(${sqlDec("value")}) AS DOUBLE) AS lo,
+              |  CAST(max(${sqlDec("value")}) AS DOUBLE) AS hi
+              |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin))
   )
 }
