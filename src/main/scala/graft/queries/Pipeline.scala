@@ -742,6 +742,36 @@ object Pipeline {
              |  FROM documents)
              |GROUP BY shard ORDER BY shard""".stripMargin)),
 
+    // ---- temperature-scaled mixture allocation (n^0.7 reweighting) ----
+    // The multilingual-mix primitive: raw source sizes get exponent
+    // alpha=0.7 so big sources are downweighted and small ones boosted,
+    // then a 200-doc budget allocates proportionally. Determinism: the
+    // only float op is pow, rounded to integer MICRO-UNITS immediately
+    // (u = round(n^0.7 · 1e6), exact BIGINT both engines — the tfidf
+    // round-before-use guard); the allocation is integer
+    // cross-multiplication (200·u) DIV U, never a float share. Scale:
+    // one count-by-source agg (partial), a 1-row total broadcast, and a
+    // per-source arithmetic row — output is O(sources).
+    "q_sample_temperature" -> Q(
+      (s, dir) => {
+        val bySrc = docs(s, dir).groupBy(col("source"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("u", round(pow(col("n").cast("double"), 0.7) * 1e6, 0)
+            .cast("long"))
+        val total = bySrc.select(sum(col("u")).as("big_u"))
+        bySrc.crossJoin(total)
+          .select(col("source"), col("n"),
+            expr("(200 * u) DIV big_u").as("quota"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH by_src AS (
+             |  SELECT source, count(*) AS n,
+             |    CAST(round(pow(CAST(count(*) AS DOUBLE), 0.7) * 1e6, 0) AS BIGINT) AS u
+             |  FROM documents GROUP BY source),
+             |total AS (SELECT sum(u) AS big_u FROM by_src)
+             |SELECT source, n, CAST((200 * u) // big_u AS BIGINT) AS quota
+             |FROM by_src CROSS JOIN total ORDER BY source""".stripMargin)),
+
     // ---- mixture sampling to a per-source token budget ----
     // Training mixes are specified in TOKENS, not docs: "take up to B
     // tokens from each source, chosen deterministically". Docs order by
