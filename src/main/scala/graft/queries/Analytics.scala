@@ -259,6 +259,115 @@ object Analytics {
              |FROM inst JOIN counts USING (w) CROSS JOIN total
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- bigram-LM surprisal: one rung up the model-based-filter ladder
+    // from q_text_unigram_lp. Per-doc mean -ln p(w2|w1) under the
+    // corpus's own bigram model with add-one smoothing:
+    // p = (c(w1,w2)+1) / (c(w1·)+V), V = unigram vocabulary size — the
+    // signal that separates fluent text from locally-plausible word salad
+    // (every unigram common, transitions never seen). Determinism: each
+    // instance's surprisal ln((c1+V)/(c12+1)) rounds to 6 decimals FIRST,
+    // sums as DECIMAL(18,6) (order-independent), one double division at
+    // the end. Scale: bigram instances aggregate partial; the two count
+    // tables equi-join back (never broadcast — the bigram vocabulary is
+    // corpus-sized); V is one scalar cross join.
+    "q_text_bigram_lp" -> Q(
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("ts"))
+        val inst = toks
+          .select(col("doc_id"), posexplode(col("ts")).as(Seq("i", "w")),
+            col("ts"), size(col("ts")).as("n"))
+          .filter(col("i") < col("n") - 1)
+          .select(col("doc_id"), col("w").as("w1"),
+            element_at(col("ts"), col("i") + 2).as("w2"))
+          .persist()
+        inst.count() // three consumers: c12, c1, the instance join
+        val c12 = inst.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val c1 = inst.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val vocab = toks
+          .select(explode(col("ts")).as("w"))
+          .agg(countDistinct(col("w")).as("v"))
+        val surp = round(log(
+          (col("c1") + col("v")).cast("double") /
+            (col("c12") + 1).cast("double")), 6)
+        inst.join(c12, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(vocab)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(surp.cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+              .as("sum_surp"))
+          .select(col("doc_id"), col("n_bigrams"),
+            (col("sum_surp").cast("double") / col("n_bigrams"))
+              .as("mean_surprisal"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             |  FROM documents),
+             |inst AS (
+             |  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+             |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts)-1)) AS i
+             |        FROM toks)),
+             |c12 AS (SELECT w1, w2, count(*) AS c12 FROM inst GROUP BY 1, 2),
+             |c1 AS (SELECT w1, count(*) AS c1 FROM inst GROUP BY 1),
+             |vocab AS (
+             |  SELECT count(DISTINCT w) AS v
+             |  FROM (SELECT unnest(ts) AS w FROM toks))
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  CAST(sum(CAST(round(ln(CAST(c1 + v AS DOUBLE) / CAST(c12 + 1 AS DOUBLE)), 6)
+             |       AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_surprisal
+             |FROM inst JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- character-entropy quality signal: Shannon entropy (bits/char)
+    // of each doc's character distribution — the gibberish/compression
+    // detector (random keyboard mash scores ~4.7 bits, base64 blobs ~6,
+    // natural text ~4.1, "aaaa…" ~0). Determinism: entropy =
+    // (Σ cnt·round₆(ln(n/cnt))) / n / ln2 — the ln rounds to 6 decimals
+    // BEFORE the exact integer-×-decimal product and decimal sum, and
+    // the two trailing double divisions are single IEEE ops on identical
+    // operands, so the gate hash carries no libm tail. Scale: one
+    // per-char explode (map-side), partial-aggregated (doc, char)
+    // counts — the shuffle carries ≤ |alphabet| rows per doc, not the
+    // text — then one doc_id window ----
+    "q_text_entropy" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val chars = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(sequence(lit(1), length(col("text")))).as("i"), col("text"))
+          .select(col("doc_id"), col("text").substr(col("i"), lit(1)).as("c"))
+        val counts = chars.groupBy(col("doc_id"), col("c"))
+          .agg(count(lit(1)).as("cnt"))
+        val withN = counts.withColumn("n",
+          sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
+        withN.groupBy("doc_id")
+          .agg(min(col("n")).as("n_chars"),
+            count(lit(1)).as("n_distinct"),
+            sum(col("cnt") * round(log(col("n").cast("double") /
+              col("cnt").cast("double")), 6)
+              .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("s"))
+          .select(col("doc_id"), col("n_chars"), col("n_distinct"),
+            (col("s").cast("double") / col("n_chars") /
+              lit(0.6931471805599453)).as("entropy_bits"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH chars AS (
+             |  SELECT doc_id, substr(text, i, 1) AS c
+             |  FROM (SELECT doc_id, text,
+             |          unnest(generate_series(1, length(text))) AS i
+             |        FROM documents)),
+             |counts AS (SELECT doc_id, c, count(*) AS cnt FROM chars GROUP BY 1, 2),
+             |withn AS (
+             |  SELECT doc_id, cnt,
+             |    sum(cnt) OVER (PARTITION BY doc_id) AS n
+             |  FROM counts)
+             |SELECT doc_id, CAST(min(n) AS BIGINT) AS n_chars,
+             |  count(*) AS n_distinct,
+             |  CAST(sum(cnt * CAST(round(ln(CAST(n AS DOUBLE) / CAST(cnt AS DOUBLE)), 6)
+             |       AS DECIMAL(18,6))) AS DOUBLE)
+             |    / CAST(min(n) AS BIGINT) / 0.6931471805599453 AS entropy_bits
+             |FROM withn GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     "q_text_novelty" -> Q(
       (s, dir) => {
         val toks = t(s, dir, "documents")
@@ -414,6 +523,68 @@ object Analytics {
              |  CAST(sum(least(greatest(cents, lo), hi)) AS BIGINT) AS sum_clipped
              |FROM ranked JOIN th USING (event_type)
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- MAD robust outliers: the median-based complement of the
+    // 3-sigma gate (q_events_anomaly is moment-based, so one extreme
+    // value inflates its own sigma and hides; the median absolute
+    // deviation has a 50% breakdown point). All integer: exact cents,
+    // lower-median by row_number rank (ties cannot move it), and the
+    // flag |x - med| > 3 * 1.4826 * MAD cross-multiplies to
+    // dev * 10000 > 44478 * mad — no float appears anywhere, so the
+    // gate hash is arithmetic identity, not float luck. Two rank
+    // windows per event type (same shape winsorize already pays);
+    // everything after is one aggregate ----
+    "q_events_mad" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+        val ranked = t(s, dir, "events")
+          .select(col("event_type"), floor(col("value") * 100).cast("long").as("cents"))
+          .withColumn("rn", row_number().over(w.orderBy(col("cents"))))
+          .withColumn("n", count(lit(1)).over(w))
+        val med = ranked.filter(col("rn") === expr("(n + 1) DIV 2"))
+          .select(col("event_type"), col("cents").as("med"))
+        val dev = ranked.join(med, "event_type")
+          .select(col("event_type"), col("cents"), col("med"),
+            abs(col("cents") - col("med")).as("dev"))
+        val devRanked = dev
+          .withColumn("rn", row_number().over(w.orderBy(col("dev"))))
+          .withColumn("n", count(lit(1)).over(w))
+        val mad = devRanked.filter(col("rn") === expr("(n + 1) DIV 2"))
+          .select(col("event_type"), col("dev").as("mad"))
+        dev.join(mad, "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            min(col("med")).as("med_cents"), min(col("mad")).as("mad_cents"),
+            sum(when(col("dev") * 10000 > col("mad") * 44478, 1L)
+              .otherwise(0L)).as("n_outliers"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH ranked AS (
+             |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM events),
+             |med AS (
+             |  SELECT event_type, cents AS med FROM ranked
+             |  WHERE rn = (n + 1) // 2),
+             |dev AS (
+             |  SELECT r.event_type, r.cents, m.med, abs(r.cents - m.med) AS dev
+             |  FROM ranked r JOIN med m USING (event_type)),
+             |devr AS (
+             |  SELECT event_type, dev,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM dev),
+             |mad AS (
+             |  SELECT event_type, dev AS mad FROM devr
+             |  WHERE rn = (n + 1) // 2)
+             |SELECT d.event_type, count(*) AS n,
+             |  min(d.med) AS med_cents, min(m.mad) AS mad_cents,
+             |  CAST(sum(CASE WHEN d.dev * 10000 > m.mad * 44478
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM dev d JOIN mad m USING (event_type)
+             |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin)),
 
     // ---- time-decayed engagement scoring, exact ----
     // Recency weighting without a single float: age buckets by 7-day

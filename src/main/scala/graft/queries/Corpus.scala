@@ -411,6 +411,70 @@ object Corpus {
               |    THEN 64.0 * ln(64.0 / CAST(empty AS DOUBLE))
               |    ELSE $hllC / CAST(z AS DOUBLE) END, 6) AS est_distinct,
               |  filled
-              |FROM folded ORDER BY event_type""".stripMargin))
+              |FROM folded ORDER BY event_type""".stripMargin)),
+
+    // ---- count-min sketch heavy hitters: the bounded-memory frequency
+    // summary that completes the mergeable-sketch family (HLL for
+    // distincts, rank-quantiles, CMS for frequencies). A d=4 × w=256
+    // counter grid — 1 KB of state however big the corpus — estimates
+    // any key's frequency as min over 4 hash rows; the rows are plain
+    // sums, so 1000 executors sketch independently and the grids ADD.
+    // The domain is corpus bigrams (916 distinct > 256 buckets, so
+    // collisions are REAL here): the gate reports exact count vs CMS
+    // estimate side by side for every ≥0.1%-frequency bigram, making the
+    // one-sided overcount (est ≥ exact, bounded by the row sums'
+    // collision mass) visible data rather than a claim. Buckets derive
+    // from non-overlapping bytes of the shared 60-bit md5 hash —
+    // arithmetic the oracle replicates bit for bit. Scale: one bigram
+    // shuffle builds the count table; the sketch and the probe both fold
+    // FROM that table (vocab-sized), never re-reading the corpus.
+    "q_sketch_cms" -> Q(
+      (s, dir) => {
+        val toks = docs(s, dir)
+          .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("ts"))
+        val inst = toks
+          .select(posexplode(col("ts")).as(Seq("i", "w")),
+            col("ts"), size(col("ts")).as("n"))
+          .filter(col("i") < col("n") - 1)
+          .select(concat(col("w"), lit(" "),
+            element_at(col("ts"), col("i") + 2)).as("bg"))
+        val counts = inst.groupBy("bg").agg(count(lit(1)).as("cnt"))
+          .withColumn("h", h60(s, col("bg"))).persist()
+        counts.count() // three consumers: sketch fold, total, hh probe
+        def buckets = posexplode(array(
+          col("h") % 256, shiftright(col("h"), 8) % 256,
+          shiftright(col("h"), 16) % 256, shiftright(col("h"), 24) % 256))
+        val sketch = counts.select(col("cnt"), buckets.as(Seq("i", "b")))
+          .groupBy("i", "b").agg(sum(col("cnt")).as("c"))
+        val tot = counts.select(sum(col("cnt")).as("n"))
+        val hh = counts.crossJoin(tot)
+          .filter(col("cnt") * 1000 >= col("n"))
+          .select(col("bg"), col("cnt"), buckets.as(Seq("i", "b")))
+        hh.join(sketch, Seq("i", "b"))
+          .groupBy(col("bg"), col("cnt"))
+          .agg(min(col("c")).as("cms_est"))
+          .select(col("bg"), col("cnt").as("exact_cnt"), col("cms_est"))
+          .orderBy(col("bg"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             |  FROM documents),
+             |inst AS (
+             |  SELECT ts[i] || ' ' || ts[i+1] AS bg
+             |  FROM (SELECT ts, unnest(generate_series(1, len(ts)-1)) AS i
+             |        FROM toks)),
+             |counts AS (
+             |  SELECT bg, count(*) AS cnt,
+             |         ('0x' || substr(md5(bg), 1, 15))::BIGINT AS h
+             |  FROM inst GROUP BY bg),
+             |buck AS (
+             |  SELECT bg, cnt, i, (h >> (i * 8)) % 256 AS b
+             |  FROM counts CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+             |sketch AS (SELECT i, b, sum(cnt) AS c FROM buck GROUP BY i, b),
+             |tot AS (SELECT sum(cnt) AS n FROM counts)
+             |SELECT bg, cnt AS exact_cnt, CAST(min(c) AS BIGINT) AS cms_est
+             |FROM buck JOIN sketch USING (i, b) CROSS JOIN tot
+             |WHERE cnt * 1000 >= n
+             |GROUP BY bg, cnt ORDER BY bg""".stripMargin))
   )
 }

@@ -369,6 +369,32 @@ object Pipeline {
              |  FROM documents)
              |WHERE rk <= 10 ORDER BY source, rk""".stripMargin)),
 
+    // ---- fixed-k uniform sample: the reservoir-sampling replacement ----
+    // "Give me exactly 100 uniformly-chosen docs from the corpus" without
+    // RNG state or a global sort: order by a content-independent hash of
+    // the doc id and keep the k smallest. The hash order IS a uniform
+    // permutation, so the k winners are a uniform k-subset, identical on
+    // every rerun and on any cluster layout. Spark compiles the
+    // orderBy+limit to TakeOrderedAndProject (PlanAuditSpec pins it):
+    // each partition keeps its local top-k heap — O(k) state — and the
+    // driver merges P·k candidate rows; a 100-TB corpus never sorts and
+    // never shuffles more than P·k rows. The classic distributed
+    // reservoir trick, minus the sequential-scan dependence that makes
+    // true reservoir sampling unshardable.
+    "q_sample_uniform_k" -> Q(
+      (s, dir) => {
+        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long")
+        docs(s, dir)
+          .select(col("doc_id"), col("lang"), h.as("hk"))
+          .orderBy(col("hk"), col("doc_id"))
+          .limit(100)
+      },
+      Some("""SELECT doc_id, lang,
+             |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hk
+             |FROM documents
+             |ORDER BY hk, doc_id LIMIT 100""".stripMargin)),
+
     // ---- training-mix resampling: per-language integer upsampling ----
     // The data-mixing step of a training run: low-resource/high-value
     // slices repeat an integer number of times (en×3, de×2, rest ×1),

@@ -34,6 +34,34 @@ object Relational {
     * double after parsing). */
   private val hllC: Double = 0.709 * 4096.0 * math.pow(2.0, 55)
 
+  /** Bucketed-layout artifacts for q_join_bucketed: written once per
+    * (session, dir) — the gate's steady-state cost is the exchange-free
+    * join, not the layout build. Table names carry a dir hash because the
+    * external catalog is shared across sessions of one SparkContext. */
+  private val bucketedReady = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Boolean]
+
+  private[graft] def bucketedName(dir: String, table: String): String =
+    s"graft_b_${table}_${(dir.hashCode & Int.MaxValue).toHexString}"
+
+  private[graft] def ensureBucketed(s: SparkSession, dir: String): Unit =
+    bucketedReady.getOrElseUpdate((s, dir), {
+      val wh = graft.TempDirs.create("graft-bucketed").toString
+      val ln = bucketedName(dir, "lineitem"); val on = bucketedName(dir, "orders")
+      s.sql(s"DROP TABLE IF EXISTS $ln"); s.sql(s"DROP TABLE IF EXISTS $on")
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .write.format("parquet").mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/lineitem").saveAsTable(ln)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.format("parquet").mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/orders").saveAsTable(on)
+      true
+    })
+
   val all: Map[String, Q] = Map(
 
     // ---- aggregation: GROUP BY + sum/avg/count (TPC-H Q1 shape) ----
@@ -568,6 +596,42 @@ object Relational {
               |  AND o_orderdate < TIMESTAMP '1997-01-01'
               |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
 
+    // ---- TPC-H Q18 shape: large-volume orders (who ordered > 300 units
+    // in one order). The group-then-semi-join stress gate: the inner
+    // HAVING aggregate over the FULL lineitem table reduces to an
+    // orderkey set BEFORE any join happens (partial-agg collapses it
+    // map-side), the set left-semi-joins the fact pipeline, and only the
+    // surviving orders re-aggregate. At 100 TB the first aggregate is the
+    // only full-table pass; everything after is O(qualifying orders) ----
+    "q_tpch_q18" -> Q(
+      (s, dir) => {
+        val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+        val big = l.groupBy(col("l_orderkey"))
+          .agg(sum(dec(col("l_quantity"))).as("q"))
+          .filter(col("q") > lit(300).cast(DecimalType(10, 2)))
+          .select(col("l_orderkey").as("big_orderkey"))
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+        o.join(big, o("o_orderkey") === col("big_orderkey"), "left_semi")
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"))
+          .agg(dbl(sum(dec(col("l_quantity")))).as("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+          .limit(100)
+      },
+      Some(s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+              |  CAST(sum(${sqlDec("l_quantity")}) AS DOUBLE) AS sum_qty
+              |FROM orders
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN lineitem ON o_orderkey = l_orderkey
+              |WHERE o_orderkey IN (
+              |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+              |  HAVING sum(${sqlDec("l_quantity")}) > 300)
+              |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+              |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin)),
+
     // ---- TPC-H Q10 shape: returned-item revenue per customer in one
     // quarter — 4-way join, wide group-by, top-20. The big fact side
     // filters (quarter + returnflag) push to both scans, nation stays a
@@ -746,6 +810,34 @@ object Relational {
               |  CAST(sum(${sqlDec("e.value")} - ${sqlDec("d.base")}) AS DOUBLE) AS excess
               |FROM events e JOIN dim d ON e.event_type = d.event_type
               |GROUP BY 1 ORDER BY e.event_type""".stripMargin)),
+
+    // ---- bucketed co-located join: the 100-TB shuffle eliminator.
+    // Both fact tables are re-written ONCE into a bucketed layout (8
+    // buckets on the join key, sorted within buckets) and the join then
+    // runs with NO exchange on either side — each task zips bucket i of
+    // lineitem with bucket i of orders (PlanAuditSpec pins the
+    // exchange-free SortMergeJoin with broadcast disabled). This is the
+    // layout decision that matters most at scale: a 100-TB fact-fact
+    // join on unbucketed data shuffles 100 TB; on co-bucketed data it
+    // shuffles NOTHING, every run, forever. The one-time layout write is
+    // itself the shard-export shape (a single repartition-by-key pass).
+    "q_join_bucketed" -> Q(
+      (s, dir) => {
+        ensureBucketed(s, dir)
+        val l = s.table(bucketedName(dir, "lineitem"))
+        val o = s.table(bucketedName(dir, "orders"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            dbl(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(10, 2)) -
+              dec(col("l_discount"))))).as("revenue"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""SELECT o_orderpriority, count(*) AS n_items,
+              |  CAST(sum(${sqlDec("l_extendedprice")} *
+              |       (CAST(1 AS DECIMAL(10,2)) - ${sqlDec("l_discount")})) AS DOUBLE) AS revenue
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
     // ---- correlated-aggregate comparison (above-brand-average), exact ----
     "q_above_avg" -> Q(

@@ -165,4 +165,81 @@ class GatesSpec extends AnyFunSuite {
     assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
     assert(revs.forall(_ > 0))
   }
+
+  test("tpch q18: every returned order's quantity really exceeds 300") {
+    val rows = run("q_tpch_q18")
+    assert(rows.nonEmpty && rows.length <= 100)
+    // sum_qty is the HAVING column itself — every survivor must clear it
+    rows.foreach(r => assert(r.getDouble(5) > 300.0,
+      s"order ${r.getLong(2)} kept with sum_qty ${r.getDouble(5)}"))
+    val prices = rows.map(_.getDouble(4))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b },
+      "not ordered by o_totalprice desc")
+  }
+
+  test("mad outliers: flags are a superset-resistant robust count") {
+    val rows = run("q_events_mad")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (tpe, n, _, mad, out) =>
+      assert(mad >= 0, s"$tpe negative MAD")
+      assert(out >= 0 && out < n, s"$tpe flagged $out of $n — robust stat broke down")
+    }
+  }
+
+  test("char entropy: bounded by log2(alphabet), clones of uniform text " +
+    "score high, constant text would score zero") {
+    val rows = run("q_text_entropy")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, k, e) =>
+      assert(k <= n, s"doc $id more distinct chars than chars")
+      // Shannon bound: 0 <= H <= log2(distinct chars); 1e-9 for the
+      // 6-decimal per-term rounding
+      val bound = math.log(k.toDouble) / math.log(2.0) + 1e-9
+      assert(e >= 0.0 && e <= bound, s"doc $id entropy $e above log2($k)")
+    }
+  }
+
+  test("uniform-k sample: exactly k rows, hash-ascending, rerun-stable") {
+    val rows = run("q_sample_uniform_k").map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.length == 100)
+    val hs = rows.map(_._2)
+    assert(hs.zip(hs.tail).forall { case (a, b) => a <= b }, "not hash-ordered")
+    val again = run("q_sample_uniform_k").map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq, "sample not deterministic")
+  }
+
+  test("cms sketch: estimates are one-sided (est >= exact, never under)") {
+    val rows = run("q_sketch_cms")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"CMS undercounted '${r.getString(0)}': $est < $exact")
+    }
+    // the counter grid is 4x256 longs of state; with 916 keys in 256
+    // buckets collisions are certain, so at least one estimate must show
+    // overcount — if every est == exact the probe read exact counts, not
+    // the sketch
+    assert(rows.exists(r => r.getLong(2) > r.getLong(1)),
+      "no collision overcount anywhere — probe is not reading the sketch")
+  }
+
+  test("bigram surprisal: deterministic, positive, below the smoothing " +
+    "ceiling ln(N+V)") {
+    val rows = run("q_text_bigram_lp")
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows.nonEmpty)
+    // every per-instance surprisal is ln((c1+V)/(c12+1)) with c12>=1 when
+    // joined and c1 <= N, so the mean is strictly inside (0, ln(N+V))
+    val n = rows.map(_._2).sum
+    val ceiling = math.log(n.toDouble + 1e6) // V << 1e6 on any fixture
+    rows.foreach { case (id, _, s) =>
+      assert(s > 0.0 && s < ceiling, s"doc $id surprisal $s out of range") }
+    // add-one smoothing is corpus-derived: a rerun must reproduce the
+    // exact decimals (no RNG, no float-order drift)
+    val again = run("q_text_bigram_lp")
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == again, "bigram surprisal not deterministic across runs")
+  }
 }

@@ -276,6 +276,51 @@ class PlanAuditSpec extends AnyFunSuite {
         s"\n  missing: ${(expected -- actual).toSeq.sorted}")
   }
 
+  test("bucketed co-located join runs with NO exchange on either side") {
+    // the q_join_bucketed scale claim: co-bucketed layouts turn the
+    // fact-fact shuffle into a per-bucket zip. Broadcast is disabled so
+    // small-SF data cannot hide a shuffle behind a broadcast pick — the
+    // surviving plan must be a SortMergeJoin over the bucketed scans
+    // with no Exchange anywhere in the join subtree.
+    graft.queries.Relational.ensureBucketed(spark, dir)
+    val l = spark.table(graft.queries.Relational.bucketedName(dir, "lineitem"))
+    val o = spark.table(graft.queries.Relational.bucketedName(dir, "orders"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val j = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"not a sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      // the join itself is verified by the gate's oracle; here just pin
+      // that the exchange-free plan produces the full row count
+      val lc = Tables.df(spark, dir, "lineitem").count()
+      assert(j.count() == lc, "bucketed join dropped rows")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("cms sketch folds from the cached vocabulary table, not the corpus") {
+    // both the counter grid and the probe must aggregate the persisted
+    // (bigram, cnt) table — the corpus tokenize pass runs once and every
+    // downstream consumer reads the cache (vocab-sized rows), so the
+    // sketch is a second-level aggregate, never a 4x re-shuffle of
+    // instance volume
+    val plan = physical("q_sketch_cms")
+    assert(plan.contains("InMemoryTableScan"),
+      s"cms consumers re-derive the count table instead of reading the cache:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cms probe plans a product:\n$plan")
+  }
+
+  test("fixed-k uniform sample compiles to TakeOrderedAndProject") {
+    // the q_sample_uniform_k scale claim: per-partition O(k) heaps + a
+    // P*k driver merge — a global Sort node here means the 100-TB corpus
+    // sorts to pick 100 rows
+    val plan = physical("q_sample_uniform_k")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"uniform-k sample plans a global sort:\n$plan")
+  }
+
   test("idx range scans prune by parquet min/max stats") {
     // rawGetEvents filters land in the scan as pushed gte/lte on idx
     val store = new graft.stream.StreamStore(spark,
