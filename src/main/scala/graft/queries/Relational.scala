@@ -944,6 +944,32 @@ object Relational {
               |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
               |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin)),
 
+    // ---- PIVOT: long-to-wide reshaping with an EXPLICIT column list ----
+    // (the list matters at scale: Spark's pivot without values runs a
+    // distinct-scan job first AND caps out at 10k columns — declaring the
+    // domain keeps it one pass. Compiles to an ordinary groupBy over
+    // conditional aggregates: one shuffle of |days|×|types| partial rows,
+    // exactly what the hand-written CASE form pays, which is also how the
+    // oracle states it.)
+    "q_pivot" -> Q(
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        t(s, dir, "events")
+          .select(to_date(col("ts")).as("day"), col("event_type"))
+          .groupBy(col("day"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+          .na.fill(0, types)
+          .orderBy(col("day"))
+      },
+      Some("""SELECT CAST(ts AS DATE) AS day,
+             |  count(*) FILTER (event_type = 'click') AS click,
+             |  count(*) FILTER (event_type = 'error') AS error,
+             |  count(*) FILTER (event_type = 'purchase') AS purchase,
+             |  count(*) FILTER (event_type = 'signup') AS signup,
+             |  count(*) FILTER (event_type = 'view') AS view
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- explicit GROUPING SETS: disjoint subtotal shapes in one pass ----
     // (rollup covers the prefix lattice; this is the general form — the
     // planner expands the sets into one Expand + single aggregation, so a

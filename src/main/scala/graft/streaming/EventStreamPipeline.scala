@@ -148,6 +148,43 @@ object EventStreamPipeline {
       .agg(max(rho).cast("long").as("r"))
   }
 
+  /** Streaming count-min sketch: per-(event-time window, hash-row,
+    * bucket) additive counter state — the streaming twin of the batch
+    * `q_sketch_cms` gate (same 60-bit md5 hash, same 4×256 byte-slice
+    * buckets), so a batch fold over identical rows produces the
+    * IDENTICAL counter grid. State is O(windows-in-horizon × 4·256)
+    * rows however many events arrive; counters are plain sums, so
+    * micro-batches merge by addition (the CMS mergeability property)
+    * and the watermark retires window state. */
+  def freqSketch(events: DataFrame, keyCol: String, tsCol: String,
+      window_ : String, watermark: String): DataFrame = {
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    events.withWatermark(tsCol, watermark).withColumn("__h", h)
+      .select(col(tsCol), posexplode(array(
+        col("__h") % 256, shiftright(col("__h"), 8) % 256,
+        shiftright(col("__h"), 16) % 256, shiftright(col("__h"), 24) % 256))
+        .as(Seq("i", "b")))
+      .groupBy(window(col(tsCol), window_).as("win"), col("i"), col("b"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Probe a counter grid (i, b, c) for each key's estimated frequency:
+    * min over the grid's hash rows — the same arithmetic as the batch
+    * gate's probe, so stream- and batch-built grids estimate
+    * identically. */
+  def freqEstimate(grid: DataFrame, keys: DataFrame, keyCol: String): DataFrame = {
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    keys.withColumn("__h", h)
+      .select(col(keyCol), posexplode(array(
+        col("__h") % 256, shiftright(col("__h"), 8) % 256,
+        shiftright(col("__h"), 16) % 256, shiftright(col("__h"), 24) % 256))
+        .as(Seq("i", "b")))
+      .join(grid, Seq("i", "b"))
+      .groupBy(col(keyCol)).agg(min(col("c")).as("est"))
+  }
+
   /** Fold sketch rows (bucket, r) into the cardinality estimate — the
     * identical empty-bucket + linear-counting arithmetic as the batch
     * gate, so stream- and batch-built sketches estimate identically. */

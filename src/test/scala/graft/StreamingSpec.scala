@@ -370,6 +370,59 @@ class StreamingSpec extends AnyFunSuite {
     est.values.foreach(e => assert(e > 10.0 && e < 40.0, s"estimate $e vs true 20"))
   }
 
+  test("streaming frequency sketch equals the batch grid; probe is one-sided") {
+    val h = store.open("did:test:cms")
+    h.setModule(module)
+    // 60 events over 12 users with a skewed head (u0 appears 16x)
+    val evs = (0 until 60).map { i =>
+      val u = if (i % 4 == 0) "u0" else s"u${1 + i % 11}"
+      IncomingEvent(u, Drisl.encode(obj(
+        "type" -> text("click"), "value" -> DFloat(1.0),
+        "sec" -> int(i))))
+    }
+    h.addEvents(evs)
+
+    def shaped(df: org.apache.spark.sql.DataFrame) = df.select(
+      timestamp_seconds(expr("drisl_extract_long(payload, '.sec')")).as("ts"),
+      col("user"))
+
+    val q = EventStreamPipeline.freqSketch(
+        shaped(EventStreamPipeline.readLog(spark, store, "did:test:cms")),
+        "user", "ts", "2 minutes", "10 seconds")
+      .select(col("win.start").cast("long").as("w"), col("i"), col("b"), col("c"))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("complete")
+      .format("memory")
+      .queryName("cms_sink")
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("cms_sink")
+
+    // mergeability: the incrementally-built grid must be IDENTICAL to the
+    // one-shot batch fold over the same rows (additive counters cannot
+    // drift across micro-batches)
+    val batch = EventStreamPipeline.freqSketch(
+        shaped(h.eventsDF), "user", "ts", "2 minutes", "10 seconds")
+      .select(col("win.start").cast("long").as("w"), col("i"), col("b"), col("c"))
+    val sRows = streamed.orderBy("w", "i", "b").collect().map(_.toString).toSeq
+    val bRows = batch.orderBy("w", "i", "b").collect().map(_.toString).toSeq
+    assert(sRows.nonEmpty && sRows == bRows)
+
+    // probe: every estimate is one-sided (est >= exact), and the skewed
+    // head's estimate is at least its true 15 occurrences
+    val exact = shaped(h.eventsDF).groupBy("user").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val grid = streamed.select(col("i"), col("b"), col("c"))
+    val keys = shaped(h.eventsDF).select(col("user")).distinct()
+    val est = EventStreamPipeline.freqEstimate(grid, keys, "user")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (u, n) =>
+      assert(est(u) >= n, s"CMS undercounted $u: ${est(u)} < $n") }
+    assert(est("u0") >= 15)
+  }
+
   test("streaming incremental dedup: later waves dedup against streamed docs") {
     import org.apache.spark.sql.types._
     val root = graft.TempDirs.create("graft-stream-incdedup")
