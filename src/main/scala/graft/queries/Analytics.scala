@@ -32,7 +32,48 @@ object Analytics {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.df(s, dir, name)
 
+  /** Day-partitioned events layout for q_layout_partition_prune: written
+    * once per (session, dir) — the gate's steady-state cost is the pruned
+    * read, not the layout build (same one-off discipline as the bucketed
+    * join and the dedup index). */
+  private val partitionedReady = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  private[graft] def partitionedEventsPath(s: SparkSession, dir: String): String =
+    partitionedReady.getOrElseUpdate((s, dir), {
+      val p = graft.TempDirs.create("graft-partlayout").toString + "/events"
+      Tables.df(s, dir, "events")
+        .withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(p)
+      p
+    })
+
   val all: Map[String, Q] = Map(
+
+    // ---- partition-pruned layout read: the OTHER half of the layout
+    // story (z-order prunes within files via min/max stats; this prunes
+    // whole directories before any file opens). Events re-land ONCE
+    // partitioned by day; a one-day predicate then reads 1/30th of the
+    // corpus — at 100 TB, Spark's partition discovery resolves the
+    // predicate against directory names only, so the scan task list
+    // never even mentions the other 29 days (PlanAuditSpec pins the
+    // PartitionFilters entry and that no ts-filter fallback scan
+    // remains). The oracle answers from the unpartitioned table — same
+    // rows, proving the layout is a pure physical optimization ----
+    "q_layout_partition_prune" -> Q(
+      (s, dir) => {
+        val p = partitionedEventsPath(s, dir)
+        s.read.parquet(p)
+          .filter(col("day") === lit("2024-01-15").cast("date"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // ---- cohort retention triangle over the event log ----
     // Cohort = the user's first active day; each (cohort_day, day_offset)
@@ -547,6 +588,8 @@ object Analytics {
         val dev = ranked.join(med, "event_type")
           .select(col("event_type"), col("cents"), col("med"),
             abs(col("cents") - col("med")).as("dev"))
+          .persist()
+        dev.count() // two consumers: the MAD rank pass + the flag join
         val devRanked = dev
           .withColumn("rn", row_number().over(w.orderBy(col("dev"))))
           .withColumn("n", count(lit(1)).over(w))

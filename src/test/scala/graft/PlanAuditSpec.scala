@@ -312,6 +312,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"cms probe plans a product:\n$plan")
   }
 
+  test("day-partitioned layout prunes whole partitions, not rows") {
+    // the q_layout_partition_prune claim: the one-day predicate resolves
+    // against directory names at planning time — it must appear as a
+    // PartitionFilter on the scan, and no residual ts/data filter may
+    // remain (that would mean the scan still opens all 30 days)
+    val plan = physical("q_layout_partition_prune")
+    assert("PartitionFilters: \\[[^\\]]*day[^\\]]*=[^\\]]*\\]".r
+      .findFirstIn(plan).isDefined,
+      s"day predicate did not become a partition filter:\n$plan")
+    assert(!plan.contains("PushedFilters: [IsNotNull(ts)"),
+      s"scan still filters rows by ts:\n$plan")
+  }
+
   test("fixed-k uniform sample compiles to TakeOrderedAndProject") {
     // the q_sample_uniform_k scale claim: per-partition O(k) heaps + a
     // P*k driver merge — a global Sort node here means the 100-TB corpus
