@@ -395,6 +395,44 @@ object Pipeline {
              |FROM documents
              |ORDER BY hk, doc_id LIMIT 100""".stripMargin)),
 
+    // ---- per-epoch training shuffle + loader sharding ----
+    // Every epoch needs a DIFFERENT uniform permutation of the corpus,
+    // and every data-loader worker needs its slice of it — with no RNG
+    // state to checkpoint and no global sort to pay. Hashing
+    // (epoch, doc_id) gives each epoch an independent permutation;
+    // shard = hash % 8 routes each doc to one loader, and the within-
+    // shard rank (one window per (epoch, shard) — 24 independent
+    // partitions at any scale) is the read order. Reruns, resumes, and
+    // stragglers all see the identical epoch order, which is what makes
+    // training reproducible on a cluster. Emits epoch 0 vs 1 so the
+    // permutation independence is visible data.
+    "q_shuffle_epoch" -> Q(
+      (s, dir) => {
+        val h = conv(substring(md5(
+          concat(col("epoch").cast("string"), lit(":"),
+            col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+        docs(s, dir)
+          .select(col("doc_id"))
+          .crossJoin(s.range(2).select(col("id").as("epoch")))
+          .withColumn("hk", h)
+          .withColumn("shard", pmod(col("hk"), lit(8)))
+          .withColumn("pos", row_number().over(Window
+            .partitionBy(col("epoch"), col("shard"))
+            .orderBy(col("hk"), col("doc_id"))).cast("long"))
+          .orderBy(col("epoch"), col("shard"), col("pos"))
+      },
+      Some("""SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, hk, shard,
+             |  CAST(row_number() OVER (PARTITION BY epoch, shard
+             |                          ORDER BY hk, doc_id) AS BIGINT) AS pos
+             |FROM (
+             |  SELECT doc_id, epoch,
+             |    ('0x' || substr(md5(CAST(epoch AS VARCHAR) || ':' ||
+             |       CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hk,
+             |    ('0x' || substr(md5(CAST(epoch AS VARCHAR) || ':' ||
+             |       CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard
+             |  FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS epoch))
+             |ORDER BY epoch, shard, pos""".stripMargin)),
+
     // ---- training-mix resampling: per-language integer upsampling ----
     // The data-mixing step of a training run: low-resource/high-value
     // slices repeat an integer number of times (en×3, de×2, rest ×1),

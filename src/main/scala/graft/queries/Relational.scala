@@ -970,6 +970,37 @@ object Relational {
              |  count(*) FILTER (event_type = 'view') AS view
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- UNPIVOT: wide-to-long, the inverse reshape of q_pivot ----
+    // (a pure map-side Expand — each input row emits one row per measure
+    // column with zero shuffle; the only exchange is the gate's display
+    // order. The melt shape feeds every "metric, value" downstream
+    // consumer without N self-unions over the fact table.)
+    "q_unpivot" -> Q(
+      (s, dir) =>
+        t(s, dir, "lineitem").filter(col("l_orderkey") < 1000)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax"))
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_extendedprice"),
+              col("l_discount"), col("l_tax")),
+            "metric", "val")
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric")),
+      Some("""SELECT l_orderkey, l_linenumber, metric, val FROM (
+             |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+             |         l_quantity AS val FROM lineitem
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+             |WHERE l_orderkey < 1000
+             |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)),
+
     // ---- explicit GROUPING SETS: disjoint subtotal shapes in one pass ----
     // (rollup covers the prefix lattice; this is the general form — the
     // planner expands the sets into one Expand + single aggregation, so a

@@ -210,6 +210,28 @@ class GatesSpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq, "sample not deterministic")
   }
 
+  test("epoch shuffle: epochs are independent permutations, shards cover " +
+    "every doc exactly once per epoch") {
+    val rows = run("q_shuffle_epoch")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    val byEpoch = rows.groupBy(_._2)
+    assert(byEpoch.keySet == Set(0L, 1L))
+    val docs = byEpoch(0L).map(_._1).toSet
+    // each epoch covers the whole corpus exactly once
+    byEpoch.values.foreach { es =>
+      assert(es.map(_._1).toSet == docs && es.length == docs.size)
+    }
+    // the two epochs give genuinely different loader assignments — if
+    // shard routing agreed across epochs the hash ignored the epoch
+    val shard0 = byEpoch(0L).map(r => r._1 -> r._3).toMap
+    val moved = byEpoch(1L).count(r => shard0(r._1) != r._3)
+    assert(moved > docs.size / 2, s"only $moved docs changed shard between epochs")
+    // within (epoch, shard) the positions are dense from 1
+    rows.groupBy(r => (r._2, r._3)).values.foreach { g =>
+      assert(g.map(_._4).sorted.sameElements(1L to g.length))
+    }
+  }
+
   test("cms sketch: estimates are one-sided (est >= exact, never under)") {
     val rows = run("q_sketch_cms")
     assert(rows.nonEmpty)
