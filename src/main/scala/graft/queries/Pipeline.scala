@@ -395,6 +395,41 @@ object Pipeline {
              |FROM documents
              |ORDER BY hk, doc_id LIMIT 100""".stripMargin)),
 
+    // ---- quality-weighted (importance) sampling ----
+    // The DCLM/FineWeb move: keep a doc with probability proportional to
+    // a quality signal instead of uniformly — here type-token ratio
+    // (distinct/total tokens), the cheapest diversity proxy, so
+    // boilerplate-heavy docs downsample themselves. No RNG and no float
+    // probabilities: keep iff (hash % 1000) · n_tok < 1000 · n_distinct
+    // — an exact integer cross-multiplication both engines state
+    // identically, rerun-stable at any scale. One doc_id-keyed aggregate
+    // (partial-agg collapses tokens map-side), then a map filter.
+    "q_sample_weighted" -> Q(
+      (s, dir) => {
+        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 1000
+        docs(s, dir)
+          .select(col("doc_id"),
+            explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            countDistinct(col("w")).as("n_distinct"))
+          .withColumn("hb", h)
+          .filter(col("hb") * col("n_tok") < col("n_distinct") * 1000)
+          .select(col("doc_id"), col("n_tok"), col("n_distinct"), col("hb"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, n_tok, n_distinct, hb FROM (
+             |  SELECT doc_id, count(*) AS n_tok, count(DISTINCT w) AS n_distinct,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             |      % 1000 AS hb
+             |  FROM (SELECT doc_id,
+             |          unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+             |        FROM documents)
+             |  GROUP BY doc_id)
+             |WHERE hb * n_tok < n_distinct * 1000
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- per-epoch training shuffle + loader sharding ----
     // Every epoch needs a DIFFERENT uniform permutation of the corpus,
     // and every data-loader worker needs its slice of it — with no RNG
