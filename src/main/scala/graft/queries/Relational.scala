@@ -632,6 +632,41 @@ object Relational {
               |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
               |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin)),
 
+    // ---- TPC-H Q17 shape: small-quantity-order revenue (the correlated
+    // per-group-average subquery). The correlation decorrelates into one
+    // per-partkey aggregate joined back to the fact rows; the "quantity
+    // below 20% of this part's average" test cross-multiplies to
+    // 5·q·cnt < sum in exact cents, so the threshold carries no float
+    // division. At 100 TB both sides of the join partial-aggregate; the
+    // brand filter pushes to the part scan and prunes the fact join ----
+    "q_tpch_q17" -> Q(
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_extendedprice"),
+            floor(col("l_quantity") * 100).cast("long").as("qc"))
+        val agg = l.groupBy(col("l_partkey").as("a_partkey"))
+          .agg(sum(col("qc")).as("s"), count(lit(1)).as("c"))
+        val p = t(s, dir, "part").filter(col("p_brand") === "Brand#13")
+          .select(col("p_partkey"))
+        l.join(p, col("l_partkey") === col("p_partkey"))
+          .join(agg, col("l_partkey") === col("a_partkey"))
+          .filter(col("qc") * 5 * col("c") < col("s"))
+          .agg(count(lit(1)).as("n_below"),
+            (dbl(sum(dec(col("l_extendedprice")))) / 7.0).as("avg_yearly"))
+      },
+      Some(s"""WITH agg AS (
+              |  SELECT l_partkey AS a_partkey,
+              |    sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS s,
+              |    count(*) AS c
+              |  FROM lineitem GROUP BY 1)
+              |SELECT count(*) AS n_below,
+              |  CAST(sum(${sqlDec("l_extendedprice")}) AS DOUBLE) / 7.0 AS avg_yearly
+              |FROM lineitem
+              |JOIN part ON p_partkey = l_partkey
+              |JOIN agg ON a_partkey = l_partkey
+              |WHERE p_brand = 'Brand#13'
+              |  AND CAST(floor(l_quantity * 100) AS BIGINT) * 5 * c < s""".stripMargin)),
+
     // ---- TPC-H Q10 shape: returned-item revenue per customer in one
     // quarter — 4-way join, wide group-by, top-20. The big fact side
     // filters (quarter + returnflag) push to both scans, nation stays a
