@@ -62,7 +62,11 @@ object Analytics {
     // rows, proving the layout is a pure physical optimization ----
     "q_layout_partition_prune" -> Q(
       (s, dir) => {
-        val p = partitionedEventsPath(s, dir)
+        // phase-split: the one-off partitioned re-land vs the pruned read
+        graft.PhaseTimings.reset("q_layout_partition_prune")
+        val p = graft.PhaseTimings.timed("q_layout_partition_prune", "layout_build") {
+          partitionedEventsPath(s, dir)
+        }
         s.read.parquet(p)
           .filter(col("day") === lit("2024-01-15").cast("date"))
           .groupBy(col("event_type"))
