@@ -569,6 +569,39 @@ object Analytics {
              |FROM ranked JOIN th USING (event_type)
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // ---- hopping (sliding) window aggregates: 1h windows every 15min ----
+    // The smoothing counterpart of the tumbling q_events_hourly: each
+    // event lands in exactly window/slide = 4 windows, Spark's native
+    // window(ts, '1 hour', '15 minutes') fans that out inside the scan
+    // stage (no self-join), and the aggregate partial-collapses per
+    // (window, type) — shuffle volume is O(windows × types), never 4×
+    // the event volume. The oracle states the identical fan-out as an
+    // explicit k ∈ [0,4) slide-bucket explode, pinning Spark's window
+    // assignment arithmetic against integer epoch division ----
+    "q_events_hopping" -> Q(
+      (s, dir) => {
+        t(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour", "15 minutes").as("win"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+          .select(col("win.start").as("w_start"), col("event_type"),
+            col("n"), col("sum_cents"))
+          .orderBy(col("w_start"), col("event_type"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, epoch_us(ts) AS us,
+             |    CAST(floor(value * 100) AS BIGINT) AS cents
+             |  FROM events),
+             |fan AS (
+             |  SELECT event_type, cents,
+             |    make_timestamp(((us // 900000000) - k) * 900000000) AS w_start
+             |  FROM ev CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k))
+             |SELECT w_start, event_type, count(*) AS n,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM fan GROUP BY w_start, event_type
+             |ORDER BY w_start, event_type""".stripMargin)),
+
     // ---- MAD robust outliers: the median-based complement of the
     // 3-sigma gate (q_events_anomaly is moment-based, so one extreme
     // value inflates its own sigma and hides; the median absolute

@@ -79,6 +79,55 @@ object Temporal {
              |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
              |ORDER BY p.event_id""".stripMargin)),
 
+    // ---- as-of join with a tolerance bound: attribute only within 1h ----
+    // The attribution-window variant (click credited to a purchase only
+    // if it happened within the last hour) — a bound DuckDB's native
+    // ASOF lacks, so the oracle states it as ASOF + a CASE null-out,
+    // while the Spark side nulls the same pairs off the one-pass window
+    // pick. Same O(n log n)-per-user cost as the unbounded as-of; the
+    // tolerance is a per-row comparison, not a join-shape change.
+    "q_asof_tolerance" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir)
+        val tolUs = 3600000000L // 1 hour in microseconds
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts_us"))
+          .agg(max(col("event_id")).as("click_id"))
+          .select(col("user_id"), col("ts_us"), col("click_id"),
+            lit(0).as("tag"), lit(null).cast("long").as("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us"),
+            lit(null).cast("long").as("click_id"), lit(1).as("tag"), col("event_id"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("tag"), col("click_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        clicks.unionAll(purchases)
+          .withColumn("last_click",
+            last(when(col("tag") === 0,
+              struct(col("ts_us").as("cts"), col("click_id").as("cid"))), ignoreNulls = true)
+              .over(w))
+          .filter(col("tag") === 1)
+          .select(col("event_id"), col("user_id"),
+            when(col("ts_us") - col("last_click.cts") <= tolUs,
+              col("last_click.cid")).as("click_id"),
+            when(col("ts_us") - col("last_click.cts") <= tolUs,
+              col("last_click.cts")).as("click_ts_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+             |clicks AS (
+             |  SELECT user_id, ts_us, max(event_id) AS click_id
+             |  FROM ev WHERE event_type = 'click' GROUP BY user_id, ts_us),
+             |purch AS (
+             |  SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'purchase')
+             |SELECT p.event_id, p.user_id,
+             |  CASE WHEN p.ts_us - c.ts_us <= 3600000000 THEN c.click_id END AS click_id,
+             |  CASE WHEN p.ts_us - c.ts_us <= 3600000000 THEN c.ts_us END AS click_ts_us
+             |FROM purch p ASOF LEFT JOIN clicks c
+             |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+             |ORDER BY p.event_id""".stripMargin)),
+
     // ---- forward as-of join: EARLIEST view at-or-after each purchase ----
     // The mirror of q_asof_join (which DuckDB's native ASOF only does
     // backward): same union + one-pass window shape, frame flipped to
