@@ -304,6 +304,64 @@ object Analytics {
              |FROM inst JOIN counts USING (w) CROSS JOIN total
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- held-out LM scoring: the leakage-honest perplexity filter ----
+    // Scoring a doc under a model trained on ITSELF understates its
+    // surprisal — the subtle leak in naive perplexity filtering. Here
+    // the unigram model trains on the train split ONLY (the same
+    // md5(doc_id)%10<8 rule as q_split_sample, so model membership and
+    // split assignment can never disagree), with add-one smoothing over
+    // the train vocabulary so out-of-vocabulary tokens in val/test score
+    // the finite ceiling ln(N+V) instead of exploding. Same
+    // round₆-then-DECIMAL determinism as the unigram gate; one left
+    // join against the train count table (absent → cnt 0), never a
+    // broadcast. Emits the split label so the train-vs-heldout score
+    // gap is visible data.
+    "q_text_heldout_lp" -> Q(
+      (s, dir) => {
+        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long")
+        val inst = t(s, dir, "documents")
+          .select(col("doc_id"), (h % 10 < 8).as("is_train"),
+            explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+          .persist()
+        inst.count() // three consumers: train counts, train totals, scoring
+        val counts = inst.filter(col("is_train"))
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+        val totals = counts.agg(sum(col("cnt")).as("n_train"),
+          count(lit(1)).as("v_train"))
+        val surp = round(log(
+          (col("n_train") + col("v_train")).cast("double") /
+            (coalesce(col("cnt"), lit(0L)) + 1).cast("double")), 6)
+        inst.join(counts, Seq("w"), "left").crossJoin(totals)
+          .groupBy(col("doc_id"), col("is_train"))
+          .agg(count(lit(1)).as("n_tok"),
+            sum(surp.cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+              .as("sum_surp"))
+          .select(col("doc_id"),
+            when(col("is_train"), "train").otherwise("heldout").as("split"),
+            col("n_tok"),
+            (col("sum_surp").cast("double") / col("n_tok")).as("mean_surprisal"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH inst AS (
+             |  SELECT doc_id,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             |      % 10 < 8 AS is_train,
+             |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+             |  FROM documents),
+             |counts AS (
+             |  SELECT w, count(*) AS cnt FROM inst WHERE is_train GROUP BY w),
+             |totals AS (
+             |  SELECT sum(cnt) AS n_train, count(*) AS v_train FROM counts)
+             |SELECT doc_id,
+             |  CASE WHEN is_train THEN 'train' ELSE 'heldout' END AS split,
+             |  count(*) AS n_tok,
+             |  CAST(sum(CAST(round(ln(CAST(n_train + v_train AS DOUBLE) /
+             |       CAST(coalesce(cnt, 0) + 1 AS DOUBLE)), 6)
+             |       AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_surprisal
+             |FROM inst LEFT JOIN counts USING (w) CROSS JOIN totals
+             |GROUP BY doc_id, is_train ORDER BY doc_id""".stripMargin)),
+
     // ---- bigram-LM surprisal: one rung up the model-based-filter ladder
     // from q_text_unigram_lp. Per-doc mean -ln p(w2|w1) under the
     // corpus's own bigram model with add-one smoothing:
