@@ -627,6 +627,70 @@ object Analytics {
              |FROM ranked JOIN th USING (event_type)
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // ---- distribution drift monitor: PSI between two snapshots ----
+    // The data-quality gate every recurring ingest needs: bin the value
+    // distribution of an early window (days 1-15) and a late window
+    // (days 16+) per event type and compute the population stability
+    // index Σ (p_a − p_b)·ln(p_a/p_b) — the standard drift alarm
+    // (PSI > 0.2 → investigate). Laplace-smoothed counts keep empty
+    // bins finite, and the ln argument is ONE exact integer ratio
+    // ((a+1)(n_b+B)) / ((b+1)(n_a+B)) so the libm call rounds to 6
+    // decimals before the per-bin terms (each itself rounded) sum as
+    // DECIMAL — deterministic whatever the aggregation order. Scale:
+    // one pass, one (type, bin) aggregate — the drift of a 100-TB day
+    // against history costs a scan of the new day plus O(types × bins)
+    // state, and the per-bin count table is itself a persistable
+    // artifact (yesterday's histogram joins tomorrow's) ----
+    "q_drift_psi" -> Q(
+      (s, dir) => {
+        val cut = lit("2024-01-16").cast("date")
+        val binned = t(s, dir, "events")
+          .select(col("event_type"),
+            (to_date(col("ts")) < cut).as("early"),
+            least(floor(col("value") / 10).cast("long"), lit(9L)).as("bin"))
+        val counts = binned.groupBy(col("event_type"), col("bin"))
+          .agg(count(when(col("early"), 1)).as("a_cnt"),
+            count(when(!col("early"), 1)).as("b_cnt"))
+        val totals = counts.groupBy(col("event_type"))
+          .agg(sum(col("a_cnt")).as("n_a"), sum(col("b_cnt")).as("n_b"))
+        val pa = (col("a_cnt") + 1).cast("double") / (col("n_a") + 10).cast("double")
+        val pb = (col("b_cnt") + 1).cast("double") / (col("n_b") + 10).cast("double")
+        val lnRatio = round(log(
+          ((col("a_cnt") + 1) * (col("n_b") + 10)).cast("double") /
+            ((col("b_cnt") + 1) * (col("n_a") + 10)).cast("double")), 6)
+        val term = round((pa - pb) * lnRatio, 6)
+        counts.join(totals, "event_type")
+          .groupBy(col("event_type"))
+          .agg(min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"),
+            sum(term.cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+              .as("psi_dec"))
+          .select(col("event_type"), col("n_a"), col("n_b"),
+            col("psi_dec").cast("double").as("psi"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH binned AS (
+             |  SELECT event_type, CAST(ts AS DATE) < DATE '2024-01-16' AS early,
+             |    LEAST(CAST(floor(value / 10) AS BIGINT), 9) AS bin
+             |  FROM events),
+             |counts AS (
+             |  SELECT event_type, bin,
+             |    count(CASE WHEN early THEN 1 END) AS a_cnt,
+             |    count(CASE WHEN NOT early THEN 1 END) AS b_cnt
+             |  FROM binned GROUP BY 1, 2),
+             |totals AS (
+             |  SELECT event_type, CAST(sum(a_cnt) AS BIGINT) AS n_a,
+             |    CAST(sum(b_cnt) AS BIGINT) AS n_b
+             |  FROM counts GROUP BY 1)
+             |SELECT event_type, min(n_a) AS n_a, min(n_b) AS n_b,
+             |  CAST(sum(CAST(round(
+             |    (CAST(a_cnt + 1 AS DOUBLE) / (n_a + 10) -
+             |     CAST(b_cnt + 1 AS DOUBLE) / (n_b + 10)) *
+             |    round(ln(CAST((a_cnt + 1) * (n_b + 10) AS DOUBLE) /
+             |             CAST((b_cnt + 1) * (n_a + 10) AS DOUBLE)), 6), 6)
+             |    AS DECIMAL(18,6))) AS DOUBLE) AS psi
+             |FROM counts JOIN totals USING (event_type)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // ---- hopping (sliding) window aggregates: 1h windows every 15min ----
     // The smoothing counterpart of the tumbling q_events_hourly: each
     // event lands in exactly window/slide = 4 windows, Spark's native
