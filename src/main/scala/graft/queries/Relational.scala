@@ -880,6 +880,76 @@ object Relational {
               |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // ---- null-safe join equality (<=> / IS NOT DISTINCT FROM) ----
+    // SQLite modules compare with IS, where NULL matches NULL — a plain
+    // equi-join silently drops those rows. Band customers and orders
+    // into nullable buckets (nullif manufactures NULLs from real data)
+    // and join null-safely: the NULL bucket must pair up like any other.
+    // Spark plans <=> as a normal hash join key (no null-filter pushed),
+    // so the shape stays an equi-join at any scale ----
+    "q_join_nullsafe" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .select(nullif(pmod(col("c_custkey"), lit(5)), lit(0)).as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n_cust"))
+        val o = t(s, dir, "orders")
+          .select(nullif(pmod(col("o_custkey"), lit(5)), lit(0)).as("obucket"))
+          .groupBy("obucket").agg(count(lit(1)).as("n_ord"))
+        c.join(o, col("bucket") <=> col("obucket"))
+          .select(col("bucket"), col("n_cust"), col("n_ord"))
+          .orderBy(col("bucket").asc_nulls_first)
+      },
+      Some("""SELECT bucket, n_cust, n_ord
+             |FROM (SELECT nullif(c_custkey % 5, 0) AS bucket, count(*) AS n_cust
+             |      FROM customer GROUP BY 1) c
+             |JOIN (SELECT nullif(o_custkey % 5, 0) AS obucket, count(*) AS n_ord
+             |      FROM orders GROUP BY 1) o
+             |  ON bucket IS NOT DISTINCT FROM obucket
+             |ORDER BY bucket NULLS FIRST""".stripMargin)),
+
+    // ---- explicit NULLS FIRST/LAST ordering ----
+    // The cross-engine trap the oracle gate exists to catch: Spark sorts
+    // nulls FIRST ascending by default, DuckDB sorts them LAST — an
+    // ORDER BY without an explicit placement hash-matches on null-free
+    // data and silently diverges the first time a null arrives. Every
+    // order-sensitive query in this repo states placement when nulls are
+    // possible; this gate pins both placements in one result ----
+    "q_order_nulls" -> Q(
+      (s, dir) =>
+        t(s, dir, "customer")
+          .filter(col("c_custkey") <= 50)
+          .select(col("c_custkey"),
+            nullif(pmod(col("c_custkey"), lit(7)), lit(0)).as("k7"))
+          .orderBy(col("k7").asc_nulls_first, col("c_custkey").desc),
+      Some("""SELECT c_custkey, nullif(c_custkey % 7, 0) AS k7
+             |FROM customer WHERE c_custkey <= 50
+             |ORDER BY k7 ASC NULLS FIRST, c_custkey DESC""".stripMargin)),
+
+    // ---- arg-max aggregate (max_by / arg_max) with a DETERMINISTIC
+    // tiebreak: the ordering key packs exact cents with the unique
+    // event_id (cents·10⁸ + id), so equal values resolve identically on
+    // both engines instead of leaving the winner to aggregation order —
+    // the same discipline every other order-sensitive gate follows ----
+    "q_agg_argmax" -> Q(
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(col("event_type"), col("user_id"), col("event_id"),
+            (floor(col("value") * 100).cast("long") * 100000000L +
+              col("event_id")).as("ord"))
+          .groupBy("event_type")
+          .agg(max_by(col("user_id"), col("ord")).as("top_user"),
+            min_by(col("user_id"), col("ord")).as("bottom_user"),
+            max(col("ord")).as("max_ord"))
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             |  arg_max(user_id, ord) AS top_user,
+             |  arg_min(user_id, ord) AS bottom_user,
+             |  max(ord) AS max_ord
+             |FROM (SELECT event_type, user_id, event_id,
+             |        CAST(floor(value * 100) AS BIGINT) * 100000000 + event_id AS ord
+             |      FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // ---- correlated-aggregate comparison (above-brand-average), exact ----
     "q_above_avg" -> Q(
       (s, dir) => {
