@@ -143,6 +143,120 @@ object Multimodal {
     }
   }
 
+  case class WavInfo(media_id: Long, ok: Boolean, channels: Int,
+      sample_rate: Int, bits: Int, n_samples: Long, duration_us: Long)
+  case class WavFeatures(media_id: Long, n_samples: Long, peak: Long,
+      sumsq: Long, zero_cross: Long)
+
+  /** Real RIFF/WAVE codec — the audio leg of the multimodal family.
+    * `encode` writes a genuine canonical-header WAV (RIFF/WAVE magic,
+    * 16-byte fmt chunk, PCM-16 mono data chunk) whose sample values are
+    * a pure integer function of the seed bytes, so the container is
+    * byte-deterministic while being something `decode` must REALLY
+    * parse: chunk walk, magic validation, little-endian field reads.
+    * Undecodable payloads yield ok=false, never a task failure. */
+  object AudioCodec {
+    val SampleRate = 8000
+
+    def nSamples(seed: Array[Byte]): Int = 256 + (seed(0) & 0xff) * 4
+
+    /** PCM-16 sample i: full-range pseudo-wave from the seed — exact
+      * integer arithmetic the oracle replicates per sample. */
+    def sample(seed: Array[Byte], i: Int): Int =
+      (((seed(i % seed.length) & 0xff) * 211 + i * 97) % 65536) - 32768
+
+    def encode(seed0: Array[Byte]): Array[Byte] = {
+      val seed = if (seed0 == null || seed0.isEmpty) Array[Byte]('x') else seed0
+      val n = nSamples(seed)
+      val dataLen = n * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("ascii")); bb.putInt(36 + dataLen)
+      bb.put("WAVE".getBytes("ascii"))
+      bb.put("fmt ".getBytes("ascii")); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1) // PCM, mono
+      bb.putInt(SampleRate); bb.putInt(SampleRate * 2) // byte rate
+      bb.putShort(2); bb.putShort(16) // block align, bits
+      bb.put("data".getBytes("ascii")); bb.putInt(dataLen)
+      var i = 0
+      while (i < n) { bb.putShort(sample(seed, i).toShort); i += 1 }
+      bb.array()
+    }
+
+    private def chunks(bb: java.nio.ByteBuffer): Map[String, (Int, Int)] = {
+      // chunk id -> (payload offset, payload length); walk from byte 12
+      var pos = 12
+      var out = Map.empty[String, (Int, Int)]
+      while (pos + 8 <= bb.capacity()) {
+        val id = new String(Array(bb.get(pos), bb.get(pos + 1),
+          bb.get(pos + 2), bb.get(pos + 3)).map(_.toChar))
+        val len = bb.getInt(pos + 4)
+        if (len < 0 || pos + 8 + len > bb.capacity()) return out
+        out += id -> (pos + 8, len)
+        pos += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      out
+    }
+
+    def decode(id: Long, bytes: Array[Byte]): WavInfo = {
+      val bad = WavInfo(id, ok = false, 0, 0, 0, 0L, 0L)
+      if (bytes == null || bytes.length < 44) return bad
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val magic = new String(bytes.slice(0, 4), "ascii")
+      val wave = new String(bytes.slice(8, 12), "ascii")
+      if (magic != "RIFF" || wave != "WAVE") return bad
+      val cs = chunks(bb)
+      (cs.get("fmt "), cs.get("data")) match {
+        case (Some((fo, fl)), Some((dof, dl))) if fl >= 16 =>
+          val fmt = bb.getShort(fo).toInt
+          val ch = bb.getShort(fo + 2).toInt
+          val rate = bb.getInt(fo + 4)
+          val bits = bb.getShort(fo + 14).toInt
+          if (fmt != 1 || ch < 1 || bits != 16 || rate <= 0) bad
+          else {
+            val n = dl / (2 * ch)
+            WavInfo(id, ok = true, ch, rate, bits, n.toLong,
+              n.toLong * 1000000L / rate)
+          }
+        case _ => bad
+      }
+    }
+
+    def features(id: Long, bytes: Array[Byte]): WavFeatures = {
+      val info = decode(id, bytes)
+      if (!info.ok) return WavFeatures(id, 0L, 0L, 0L, 0L)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val (off, dl) = chunks(bb)("data")
+      val n = dl / 2
+      var peak = 0L; var sumsq = 0L; var zc = 0L
+      var prev = 0; var i = 0
+      while (i < n) {
+        val s = bb.getShort(off + 2 * i).toInt
+        val a = math.abs(s.toLong)
+        if (a > peak) peak = a
+        sumsq += s.toLong * s
+        if (i > 0 && s.toLong * prev < 0) zc += 1
+        prev = s
+        i += 1
+      }
+      WavFeatures(id, n.toLong, peak, sumsq, zc)
+    }
+  }
+
+  /** Real-audio media table: one genuine WAV container per document,
+    * synthesized per-partition; the audio gates parse THESE bytes. */
+  private def mediaAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.df(s, dir, "documents")
+      .select(col("doc_id").as("media_id"), encode(col("text"), "utf-8").as("seed"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, seed) =>
+        Media(id, "wav", AudioCodec.encode(seed)) })
+      .toDF()
+  }
+
   /** Opaque-blob media table from `documents`: payload = utf-8 bytes of the
     * text. The stats + frame-sampling gates treat media as uninterpreted
     * bytes (the video case), and this mapping is byte-expressible in the
@@ -224,6 +338,69 @@ object Multimodal {
              |    ELSE ('0x' || substr(hex(encode(text)), octet_length(encode(text)) * 2 - 1, 2))::INT END % 24) AS INT) AS height,
              |  CAST(1 AS INT) AS ok
              |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // ---- audio decode geometry: ORACLE-CHECKED real container parse.
+    // The Spark side walks a genuine RIFF/WAVE container (magic check,
+    // chunk walk, little-endian fmt/data fields); the oracle re-derives
+    // every field from the encoder's byte arithmetic (n_samples =
+    // 256 + 4·first-seed-byte, duration = n·125 µs at 8 kHz). A hash
+    // match pins that a real WAV round-trips exactly the geometry the
+    // encoder wrote — the audio twin of q_mm_decode_dims ----
+    "q_mm_audio_dims" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        mediaAudio(s, dir).as[Media]
+          .mapPartitions(_.map(m => AudioCodec.decode(m.media_id, m.data)))
+          .toDF()
+          .select(col("media_id"), col("ok").cast("int").as("ok"),
+            col("channels"), col("sample_rate"), col("bits"),
+            col("n_samples"), col("duration_us"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id, CAST(1 AS INT) AS ok,
+             |  CAST(1 AS INT) AS channels, CAST(8000 AS INT) AS sample_rate,
+             |  CAST(16 AS INT) AS bits,
+             |  CAST(256 + ('0x' || substr(hex(encode(text)), 1, 2))::INT * 4
+             |       AS BIGINT) AS n_samples,
+             |  CAST((256 + ('0x' || substr(hex(encode(text)), 1, 2))::INT * 4)
+             |       * 125 AS BIGINT) AS duration_us
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // ---- audio PCM features: ORACLE-CHECKED decoded-sample statistics.
+    // Spark reads the data chunk's little-endian PCM-16 samples back out
+    // of the real container and computes peak / energy / zero-crossings;
+    // the oracle regenerates every sample from first principles
+    // (((seed_byte·211 + i·97) mod 2¹⁶) − 2¹⁵) and aggregates the same
+    // integers — so the gate hash pins the full encode→container→decode
+    // →DSP loop exactly, not just the header ----
+    "q_mm_audio_features" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        mediaAudio(s, dir).as[Media]
+          .mapPartitions(_.map(m => AudioCodec.features(m.media_id, m.data)))
+          .toDF()
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, encode(text) AS b, octet_length(encode(text)) AS len,
+             |    256 + ('0x' || substr(hex(encode(text)), 1, 2))::INT * 4 AS n
+             |  FROM documents),
+             |samp AS (
+             |  SELECT doc_id, i,
+             |    ((('0x' || substr(hex(b), (i % len) * 2 + 1, 2))::INT * 211
+             |      + i * 97) % 65536) - 32768 AS s
+             |  FROM (SELECT doc_id, b, len, unnest(generate_series(0, n - 1)) AS i
+             |        FROM d)),
+             |lagged AS (
+             |  SELECT doc_id, i, s,
+             |    lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+             |  FROM samp)
+             |SELECT doc_id AS media_id, count(*) AS n_samples,
+             |  CAST(max(abs(s)) AS BIGINT) AS peak,
+             |  CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS sumsq,
+             |  CAST(count(CASE WHEN i > 0 AND CAST(s AS BIGINT) * prev < 0
+             |             THEN 1 END) AS BIGINT) AS zero_cross
+             |FROM lagged GROUP BY doc_id ORDER BY media_id""".stripMargin)),
 
     // ---- decode: per-partition batch container parse (real ImageIO) ----
     "q_mm_decode" -> Q(

@@ -148,4 +148,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(df.count() == expected)
     assert(df.columns.toSeq == Seq("media_id", "frame_no", "frame_md5"))
   }
+
+  test("audio codec: hand-derived WAV round-trips header and samples") {
+    import graft.queries.Multimodal.AudioCodec
+    val seed = "ab".getBytes("utf-8") // b(0)=97 -> n = 256 + 388 = 644
+    val bytes = AudioCodec.encode(seed)
+    // canonical header: RIFF size = 36 + data, PCM mono 8kHz 16-bit
+    assert(new String(bytes.slice(0, 4)) == "RIFF")
+    assert(new String(bytes.slice(8, 12)) == "WAVE")
+    assert(bytes.length == 44 + 644 * 2)
+    val info = AudioCodec.decode(7L, bytes)
+    assert(info.ok && info.channels == 1 && info.sample_rate == 8000 &&
+      info.bits == 16 && info.n_samples == 644 &&
+      info.duration_us == 644L * 1000000 / 8000)
+    // first two samples by hand: (97*211 + 0) % 65536 - 32768, then
+    // seed byte 'b'=98: (98*211 + 97) % 65536 - 32768
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getShort(44).toInt == (97 * 211) % 65536 - 32768)
+    assert(bb.getShort(46).toInt == (98 * 211 + 97) % 65536 - 32768)
+  }
+
+  test("audio codec is total: truncated and wrong-magic payloads reject") {
+    import graft.queries.Multimodal.AudioCodec
+    assert(!AudioCodec.decode(1L, null).ok)
+    assert(!AudioCodec.decode(1L, Array.fill[Byte](10)(1)).ok)
+    val good = AudioCodec.encode("xyz".getBytes)
+    val corrupt = good.clone(); corrupt(0) = 'X'.toByte
+    assert(!AudioCodec.decode(1L, corrupt).ok)
+    // features on a rejected payload are zeroed, not thrown
+    val f = AudioCodec.features(1L, corrupt)
+    assert(f.n_samples == 0L && f.sumsq == 0L)
+  }
+
+  test("audio features: energy and crossings match a scala re-derivation") {
+    import graft.queries.Multimodal.AudioCodec
+    val seed = "hello world".getBytes("utf-8")
+    val f = AudioCodec.features(3L, AudioCodec.encode(seed))
+    val n = AudioCodec.nSamples(seed)
+    val samples = (0 until n).map(AudioCodec.sample(seed, _))
+    assert(f.n_samples == n.toLong)
+    assert(f.peak == samples.map(s => math.abs(s.toLong)).max)
+    assert(f.sumsq == samples.map(s => s.toLong * s).sum)
+    assert(f.zero_cross == samples.sliding(2)
+      .count(p => p(0).toLong * p(1) < 0))
+  }
 }
