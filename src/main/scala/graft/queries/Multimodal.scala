@@ -245,6 +245,162 @@ object Multimodal {
     }
   }
 
+  case class AviInfo(media_id: Long, ok: Boolean, width: Int, height: Int,
+      declared_frames: Long, actual_frames: Long)
+  case class AviFrame(media_id: Long, frame_no: Int, width: Int, height: Int,
+      ok: Boolean)
+
+  /** Real MJPEG-in-AVI codec — the video leg. `encode` writes a genuine
+    * AVI: RIFF/'AVI ' magic, an hdrl LIST with a 56-byte avih main
+    * header and a strl LIST (56-byte 'vids'/'MJPG' strh + 40-byte
+    * BITMAPINFOHEADER strf), then a movi LIST of word-aligned '00dc'
+    * chunks each holding a REAL JPEG (ImageCodec) — frame dims constant
+    * per stream (as AVI requires), pixels varying per frame. `decode`
+    * walks the chunk tree, cross-checks the declared frame count
+    * against the movi chunks actually present, and `frames` hands each
+    * extracted JPEG to the real ImageIO parse. Total: corrupt payloads
+    * yield ok=false, never a task failure. */
+  object VideoCodec {
+    private def le32(out: ByteArrayOutputStream, v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    private def le16(out: ByteArrayOutputStream, v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    }
+    private def fcc(out: ByteArrayOutputStream, s: String): Unit =
+      out.write(s.getBytes("ascii"))
+
+    def nFrames(seed: Array[Byte]): Int = 2 + seed.length % 5
+
+    /** Per-frame seed: same first/last byte (so ImageCodec dims stay
+      * constant across the stream), one mid byte xor'd with the frame
+      * number so pixel content genuinely differs per frame. */
+    private def frameSeed(seed: Array[Byte], f: Int): Array[Byte] = {
+      val b = seed.clone()
+      if (b.length >= 3) b(b.length / 2) = (b(b.length / 2) ^ f).toByte
+      b
+    }
+
+    def encode(seed0: Array[Byte]): Array[Byte] = {
+      val seed = if (seed0 == null || seed0.isEmpty) Array[Byte]('x') else seed0
+      val n = nFrames(seed)
+      val w = 16 + (seed(0) & 0xff) % 24
+      val h = 16 + (seed(seed.length - 1) & 0xff) % 24
+      val jpegs = (0 until n).map(f => ImageCodec.encode("jpeg", frameSeed(seed, f)))
+      // movi LIST payload: 'movi' + per-frame 00dc chunks (word-aligned)
+      val movi = new ByteArrayOutputStream()
+      fcc(movi, "movi")
+      jpegs.foreach { j =>
+        fcc(movi, "00dc"); le32(movi, j.length); movi.write(j)
+        if ((j.length & 1) == 1) movi.write(0)
+      }
+      // strl LIST payload: 'strl' + strh(56) + strf(40)
+      val strl = new ByteArrayOutputStream()
+      fcc(strl, "strl")
+      fcc(strl, "strh"); le32(strl, 56)
+      fcc(strl, "vids"); fcc(strl, "MJPG")
+      le32(strl, 0); le16(strl, 0); le16(strl, 0) // flags, priority, language
+      le32(strl, 0); le32(strl, 1); le32(strl, 10) // initialFrames, scale, rate
+      le32(strl, 0); le32(strl, n); le32(strl, 0) // start, length, bufSize
+      le32(strl, -1); le32(strl, 0) // quality, sampleSize
+      le16(strl, 0); le16(strl, 0); le16(strl, w); le16(strl, h) // rcFrame
+      fcc(strl, "strf"); le32(strl, 40)
+      le32(strl, 40); le32(strl, w); le32(strl, h); le16(strl, 1); le16(strl, 24)
+      fcc(strl, "MJPG"); le32(strl, w * h * 3)
+      le32(strl, 0); le32(strl, 0); le32(strl, 0); le32(strl, 0)
+      // hdrl LIST payload: 'hdrl' + avih(56) + LIST(strl)
+      val hdrl = new ByteArrayOutputStream()
+      fcc(hdrl, "hdrl")
+      fcc(hdrl, "avih"); le32(hdrl, 56)
+      le32(hdrl, 100000); le32(hdrl, 0); le32(hdrl, 0); le32(hdrl, 0)
+      le32(hdrl, n); le32(hdrl, 0); le32(hdrl, 1); le32(hdrl, 0)
+      le32(hdrl, w); le32(hdrl, h)
+      le32(hdrl, 0); le32(hdrl, 0); le32(hdrl, 0); le32(hdrl, 0)
+      fcc(hdrl, "LIST"); le32(hdrl, strl.size()); hdrl.write(strl.toByteArray)
+      // RIFF payload: 'AVI ' + LIST(hdrl) + LIST(movi)
+      val body = new ByteArrayOutputStream()
+      fcc(body, "AVI ")
+      fcc(body, "LIST"); le32(body, hdrl.size()); body.write(hdrl.toByteArray)
+      fcc(body, "LIST"); le32(body, movi.size()); body.write(movi.toByteArray)
+      val out = new ByteArrayOutputStream()
+      fcc(out, "RIFF"); le32(out, body.size()); out.write(body.toByteArray)
+      out.toByteArray
+    }
+
+    private def geti(b: Array[Byte], p: Int): Int =
+      (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
+        ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], p: Int): String =
+      new String(b.slice(p, p + 4), "ascii")
+
+    /** Walk one chunk level [from, to); returns (tag|LIST-type, payload
+      * offset, payload length) — for LIST the offset/length EXCLUDE the
+      * 4-byte list type so callers recurse cleanly. */
+    private def walk(b: Array[Byte], from: Int, to: Int)
+        : Seq[(String, Int, Int)] = {
+      var pos = from
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+      while (pos + 8 <= to) {
+        val t = tag(b, pos); val len = geti(b, pos + 4)
+        if (len < 0 || pos + 8 + len > to) return out.toSeq
+        if (t == "LIST" && len >= 4)
+          out += ((tag(b, pos + 8), pos + 12, len - 4))
+        else out += ((t, pos + 8, len))
+        pos += 8 + len + (len & 1)
+      }
+      out.toSeq
+    }
+
+    def decode(id: Long, bytes: Array[Byte]): AviInfo = {
+      val bad = AviInfo(id, ok = false, 0, 0, 0L, 0L)
+      if (bytes == null || bytes.length < 12) return bad
+      if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "AVI ") return bad
+      val top = walk(bytes, 12, math.min(bytes.length, 8 + geti(bytes, 4)))
+      val hdrl = top.find(_._1 == "hdrl")
+      val movi = top.find(_._1 == "movi")
+      (hdrl, movi) match {
+        case (Some((_, ho, hl)), Some((_, mo, ml))) =>
+          val avih = walk(bytes, ho, ho + hl).find(_._1 == "avih")
+          avih match {
+            case Some((_, ao, al)) if al >= 40 =>
+              val declared = geti(bytes, ao + 16).toLong
+              val w = geti(bytes, ao + 32); val h = geti(bytes, ao + 36)
+              val actual = walk(bytes, mo, mo + ml).count(_._1 == "00dc").toLong
+              AviInfo(id, ok = declared == actual && w > 0 && h > 0,
+                w, h, declared, actual)
+            case _ => bad
+          }
+        case _ => bad
+      }
+    }
+
+    /** Extract every movi frame and decode it with the REAL JPEG parse. */
+    def frames(id: Long, bytes: Array[Byte]): Seq[AviFrame] = {
+      val info = decode(id, bytes)
+      if (!info.ok) return Seq(AviFrame(id, -1, 0, 0, ok = false))
+      val top = walk(bytes, 12, math.min(bytes.length, 8 + geti(bytes, 4)))
+      val (_, mo, ml) = top.find(_._1 == "movi").get
+      walk(bytes, mo, mo + ml).filter(_._1 == "00dc").zipWithIndex.map {
+        case ((_, off, len), f) =>
+          val d = ImageCodec.decode(Media(id, "jpeg",
+            bytes.slice(off, off + len)))
+          AviFrame(id, f, d.width, d.height, d.ok)
+      }
+    }
+  }
+
+  /** Real-video media table: one genuine MJPEG AVI per document. */
+  private def mediaVideo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.df(s, dir, "documents")
+      .select(col("doc_id").as("media_id"), encode(col("text"), "utf-8").as("seed"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, seed) =>
+        Media(id, "avi", VideoCodec.encode(seed)) })
+      .toDF()
+  }
+
   /** Real-audio media table: one genuine WAV container per document,
     * synthesized per-partition; the audio gates parse THESE bytes. */
   private def mediaAudio(s: SparkSession, dir: String): DataFrame = {
@@ -401,6 +557,60 @@ object Multimodal {
              |  CAST(count(CASE WHEN i > 0 AND CAST(s AS BIGINT) * prev < 0
              |             THEN 1 END) AS BIGINT) AS zero_cross
              |FROM lagged GROUP BY doc_id ORDER BY media_id""".stripMargin)),
+
+    // ---- video container geometry: ORACLE-CHECKED real AVI parse.
+    // Spark walks a genuine RIFF/AVI chunk tree (hdrl→avih main header,
+    // movi frame list) and cross-checks the DECLARED frame count
+    // against the '00dc' chunks actually present; the oracle re-derives
+    // frame count (2 + len%5) and stream dims (the ImageCodec first/
+    // last-byte formulas) from the document bytes. Hash match = a real
+    // AVI round-trips exactly what the encoder wrote ----
+    "q_mm_video_dims" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        mediaVideo(s, dir).as[Media]
+          .mapPartitions(_.map(m => VideoCodec.decode(m.media_id, m.data)))
+          .toDF()
+          .select(col("media_id"), col("ok").cast("int").as("ok"),
+            col("width"), col("height"),
+            col("declared_frames"), col("actual_frames"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id, CAST(1 AS INT) AS ok,
+             |  CAST(16 + ('0x' || substr(hex(encode(text)), 1, 2))::INT % 24
+             |       AS INT) AS width,
+             |  CAST(16 + ('0x' || substr(hex(encode(text)),
+             |       octet_length(encode(text)) * 2 - 1, 2))::INT % 24
+             |       AS INT) AS height,
+             |  CAST(2 + octet_length(encode(text)) % 5 AS BIGINT) AS declared_frames,
+             |  CAST(2 + octet_length(encode(text)) % 5 AS BIGINT) AS actual_frames
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // ---- per-frame decode: every movi chunk's JPEG through the REAL
+    // ImageIO parse — one row per (video, frame), dims constant per
+    // stream as AVI requires, which is exactly what the oracle states
+    // with a frame-number explode ----
+    "q_mm_video_frames" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        mediaVideo(s, dir).as[Media]
+          .mapPartitions(_.flatMap(m => VideoCodec.frames(m.media_id, m.data)))
+          .toDF()
+          .select(col("media_id"), col("frame_no"),
+            col("width"), col("height"), col("ok").cast("int").as("ok"))
+          .orderBy(col("media_id"), col("frame_no"))
+      },
+      Some("""SELECT doc_id AS media_id, CAST(f AS INT) AS frame_no,
+             |  CAST(16 + ('0x' || substr(hex(encode(text)), 1, 2))::INT % 24
+             |       AS INT) AS width,
+             |  CAST(16 + ('0x' || substr(hex(encode(text)),
+             |       octet_length(encode(text)) * 2 - 1, 2))::INT % 24
+             |       AS INT) AS height,
+             |  CAST(1 AS INT) AS ok
+             |FROM documents,
+             |  LATERAL (SELECT unnest(generate_series(0,
+             |    1 + octet_length(encode(text)) % 5)) AS f)
+             |ORDER BY media_id, frame_no""".stripMargin)),
 
     // ---- decode: per-partition batch container parse (real ImageIO) ----
     "q_mm_decode" -> Q(

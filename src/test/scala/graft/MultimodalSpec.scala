@@ -181,6 +181,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.n_samples == 0L && f.sumsq == 0L)
   }
 
+  test("video codec: AVI header fields and frame chunks round-trip") {
+    import graft.queries.Multimodal.VideoCodec
+    val seed = "hello".getBytes("utf-8") // len 5 -> 2 + 5%5 = 2 frames
+    val bytes = VideoCodec.encode(seed)
+    assert(new String(bytes.slice(0, 4)) == "RIFF")
+    assert(new String(bytes.slice(8, 12)) == "AVI ")
+    val info = VideoCodec.decode(9L, bytes)
+    // dims from ImageCodec's formulas: 'h'=104 -> 16+104%24=16+8=24;
+    // 'o'=111 -> 16+111%24=16+15=31
+    assert(info.ok && info.width == 24 && info.height == 31)
+    assert(info.declared_frames == 2 && info.actual_frames == 2)
+    // every frame is a REAL JPEG the image codec can parse, at the
+    // stream dims, and frames differ (per-frame pixel variation)
+    val fs = VideoCodec.frames(9L, bytes)
+    assert(fs.length == 2 && fs.forall(f => f.ok && f.width == 24 && f.height == 31))
+  }
+
+  test("video codec is total: wrong magic and declared/actual mismatch reject") {
+    import graft.queries.Multimodal.VideoCodec
+    assert(!VideoCodec.decode(1L, null).ok)
+    assert(!VideoCodec.decode(1L, "RIFFxxxxWAVE".getBytes).ok)
+    val good = VideoCodec.encode("abcdefgh".getBytes)
+    val corrupt = good.clone(); corrupt(9) = 'X'.toByte // break 'AVI '
+    assert(!VideoCodec.decode(1L, corrupt).ok)
+  }
+
   test("audio features: energy and crossings match a scala re-derivation") {
     import graft.queries.Multimodal.AudioCodec
     val seed = "hello world".getBytes("utf-8")
