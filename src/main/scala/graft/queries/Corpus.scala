@@ -119,15 +119,19 @@ object Corpus {
     "q_text_tfidf" -> Q(
       (s, dir) => {
         val d = docs(s, dir)
-        val n = d.count()
+        // corpus size folds into the plan as a 1-row aggregate crossJoin
+        // (the q_sketch_cms pattern) — a separate count() action would be
+        // one extra full pass over documents at 100 TB and would bake N
+        // into the plan as a literal, making it unreusable across corpora
+        val nTotal = d.select(count(lit(1)).cast("double").as("corpus_n"))
         val tf = d
           .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
           .select(col("doc_id"), lower(col("term")).as("term"))
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        val scored = tf.join(df, "term")
+        val scored = tf.join(df, "term").crossJoin(nTotal)
           .withColumn("score", round(col("tf").cast("double") *
-            log(lit(n).cast("double") / col("df").cast("double")), 6))
+            log(col("corpus_n") / col("df").cast("double")), 6))
         scored
           .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
             .orderBy(col("score").desc, col("term"))))

@@ -34,6 +34,13 @@ import graft.queries.Relational.Q
   */
 object Multimodal {
 
+  /** DuckDB-side seed blob: the utf-8 bytes of `text` with the audio/video
+    * ENCODERS' empty/null fallback ('x') applied, so oracle and Spark-side
+    * codecs derive from identical bytes on every input — including empty or
+    * null documents a future fixture regeneration might contain. */
+  private val seedBlobSql =
+    "coalesce(nullif(encode(coalesce(text,'')), ''::BLOB), encode('x'))"
+
   case class Media(media_id: Long, fmt: String, data: Array[Byte])
   case class Decoded(media_id: Long, fmt: String, width: Int, height: Int,
       n_bytes: Long, ok: Boolean)
@@ -191,9 +198,14 @@ object Multimodal {
         val id = new String(Array(bb.get(pos), bb.get(pos + 1),
           bb.get(pos + 2), bb.get(pos + 3)).map(_.toChar))
         val len = bb.getInt(pos + 4)
-        if (len < 0 || pos + 8 + len > bb.capacity()) return out
+        // bounds check in LONG arithmetic: a crafted len near 2^31 would
+        // wrap pos+8+len negative in Int and sail past the guard, and the
+        // next get() would throw — breaking the totality contract
+        if (len < 0 || pos.toLong + 8 + len > bb.capacity()) return out
         out += id -> (pos + 8, len)
-        pos += 8 + len + (len & 1) // chunks are word-aligned
+        val next = pos + 8 + len + (len & 1) // chunks are word-aligned
+        if (next <= pos) return out // defense: the walk must strictly advance
+        pos = next
       }
       out
     }
@@ -213,7 +225,12 @@ object Multimodal {
           val ch = bb.getShort(fo + 2).toInt
           val rate = bb.getInt(fo + 4)
           val bits = bb.getShort(fo + 14).toInt
-          if (fmt != 1 || ch < 1 || bits != 16 || rate <= 0) bad
+          // mono-only accepted domain: `features` reads the data chunk as a
+          // flat PCM-16 run (n = dl/2, zero-crossings over consecutive
+          // samples), which is only meaningful single-channel — so decode
+          // rejects multi-channel rather than accept input features would
+          // misreport
+          if (fmt != 1 || ch != 1 || bits != 16 || rate <= 0) bad
           else {
             val n = dl / (2 * ch)
             WavInfo(id, ok = true, ch, rate, bits, n.toLong,
@@ -343,11 +360,15 @@ object Multimodal {
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
       while (pos + 8 <= to) {
         val t = tag(b, pos); val len = geti(b, pos + 4)
-        if (len < 0 || pos + 8 + len > to) return out.toSeq
+        // Long-arithmetic bound: Int wraparound on a crafted len must not
+        // defeat the guard (same totality discipline as AudioCodec.chunks)
+        if (len < 0 || pos.toLong + 8 + len > to) return out.toSeq
         if (t == "LIST" && len >= 4)
           out += ((tag(b, pos + 8), pos + 12, len - 4))
         else out += ((t, pos + 8, len))
-        pos += 8 + len + (len & 1)
+        val next = pos + 8 + len + (len & 1)
+        if (next <= pos) return out.toSeq
+        pos = next
       }
       out.toSeq
     }
@@ -513,14 +534,18 @@ object Multimodal {
             col("n_samples"), col("duration_us"))
           .orderBy(col("media_id"))
       },
-      Some("""SELECT doc_id AS media_id, CAST(1 AS INT) AS ok,
+      // the seed blob applies the ENCODER's empty/null fallback ('x') via
+      // coalesce/nullif, so a future fixture with empty or null text still
+      // hash-matches instead of silently diverging from the Spark encoder
+      Some(s"""WITH d AS (SELECT doc_id, $seedBlobSql AS b FROM documents)
+             |SELECT doc_id AS media_id, CAST(1 AS INT) AS ok,
              |  CAST(1 AS INT) AS channels, CAST(8000 AS INT) AS sample_rate,
              |  CAST(16 AS INT) AS bits,
-             |  CAST(256 + ('0x' || substr(hex(encode(text)), 1, 2))::INT * 4
+             |  CAST(256 + ('0x' || substr(hex(b), 1, 2))::INT * 4
              |       AS BIGINT) AS n_samples,
-             |  CAST((256 + ('0x' || substr(hex(encode(text)), 1, 2))::INT * 4)
+             |  CAST((256 + ('0x' || substr(hex(b), 1, 2))::INT * 4)
              |       * 125 AS BIGINT) AS duration_us
-             |FROM documents ORDER BY media_id""".stripMargin)),
+             |FROM d ORDER BY media_id""".stripMargin)),
 
     // ---- audio PCM features: ORACLE-CHECKED decoded-sample statistics.
     // Spark reads the data chunk's little-endian PCM-16 samples back out
@@ -537,10 +562,11 @@ object Multimodal {
           .toDF()
           .orderBy(col("media_id"))
       },
-      Some("""WITH d AS (
-             |  SELECT doc_id, encode(text) AS b, octet_length(encode(text)) AS len,
-             |    256 + ('0x' || substr(hex(encode(text)), 1, 2))::INT * 4 AS n
-             |  FROM documents),
+      Some(s"""WITH d0 AS (SELECT doc_id, $seedBlobSql AS b FROM documents),
+             |d AS (
+             |  SELECT doc_id, b, octet_length(b) AS len,
+             |    256 + ('0x' || substr(hex(b), 1, 2))::INT * 4 AS n
+             |  FROM d0),
              |samp AS (
              |  SELECT doc_id, i,
              |    ((('0x' || substr(hex(b), (i % len) * 2 + 1, 2))::INT * 211
@@ -576,15 +602,16 @@ object Multimodal {
             col("declared_frames"), col("actual_frames"))
           .orderBy(col("media_id"))
       },
-      Some("""SELECT doc_id AS media_id, CAST(1 AS INT) AS ok,
-             |  CAST(16 + ('0x' || substr(hex(encode(text)), 1, 2))::INT % 24
+      Some(s"""WITH d AS (SELECT doc_id, $seedBlobSql AS b FROM documents)
+             |SELECT doc_id AS media_id, CAST(1 AS INT) AS ok,
+             |  CAST(16 + ('0x' || substr(hex(b), 1, 2))::INT % 24
              |       AS INT) AS width,
-             |  CAST(16 + ('0x' || substr(hex(encode(text)),
-             |       octet_length(encode(text)) * 2 - 1, 2))::INT % 24
+             |  CAST(16 + ('0x' || substr(hex(b),
+             |       octet_length(b) * 2 - 1, 2))::INT % 24
              |       AS INT) AS height,
-             |  CAST(2 + octet_length(encode(text)) % 5 AS BIGINT) AS declared_frames,
-             |  CAST(2 + octet_length(encode(text)) % 5 AS BIGINT) AS actual_frames
-             |FROM documents ORDER BY media_id""".stripMargin)),
+             |  CAST(2 + octet_length(b) % 5 AS BIGINT) AS declared_frames,
+             |  CAST(2 + octet_length(b) % 5 AS BIGINT) AS actual_frames
+             |FROM d ORDER BY media_id""".stripMargin)),
 
     // ---- per-frame decode: every movi chunk's JPEG through the REAL
     // ImageIO parse — one row per (video, frame), dims constant per
@@ -600,16 +627,17 @@ object Multimodal {
             col("width"), col("height"), col("ok").cast("int").as("ok"))
           .orderBy(col("media_id"), col("frame_no"))
       },
-      Some("""SELECT doc_id AS media_id, CAST(f AS INT) AS frame_no,
-             |  CAST(16 + ('0x' || substr(hex(encode(text)), 1, 2))::INT % 24
+      Some(s"""WITH d AS (SELECT doc_id, $seedBlobSql AS b FROM documents)
+             |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_no,
+             |  CAST(16 + ('0x' || substr(hex(b), 1, 2))::INT % 24
              |       AS INT) AS width,
-             |  CAST(16 + ('0x' || substr(hex(encode(text)),
-             |       octet_length(encode(text)) * 2 - 1, 2))::INT % 24
+             |  CAST(16 + ('0x' || substr(hex(b),
+             |       octet_length(b) * 2 - 1, 2))::INT % 24
              |       AS INT) AS height,
              |  CAST(1 AS INT) AS ok
-             |FROM documents,
+             |FROM d,
              |  LATERAL (SELECT unnest(generate_series(0,
-             |    1 + octet_length(encode(text)) % 5)) AS f)
+             |    1 + octet_length(b) % 5)) AS f)
              |ORDER BY media_id, frame_no""".stripMargin)),
 
     // ---- decode: per-partition batch container parse (real ImageIO) ----

@@ -169,19 +169,25 @@ object EventStreamPipeline {
       .agg(count(lit(1)).as("c"))
   }
 
-  /** Probe a counter grid (i, b, c) for each key's estimated frequency:
-    * min over the grid's hash rows — the same arithmetic as the batch
-    * gate's probe, so stream- and batch-built grids estimate
-    * identically. */
+  /** Probe a counter grid (i, b, c) for each key's estimated TOTAL
+    * frequency: min over the grid's hash rows — the same arithmetic as
+    * the batch gate's probe, so stream- and batch-built grids estimate
+    * identically. `freqSketch` emits a per-window grid, so the probe
+    * first sums counters across windows per (i, b): taking min over an
+    * unaggregated multi-window grid would pick each row's SMALLEST
+    * window counter and undercount, breaking the CMS one-sided
+    * (est >= exact) guarantee. Counter addition is exactly the CMS
+    * merge property, so the collapsed grid is the horizon-total sketch. */
   def freqEstimate(grid: DataFrame, keys: DataFrame, keyCol: String): DataFrame = {
     val h = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
       .cast("long")
+    val total = grid.groupBy(col("i"), col("b")).agg(sum(col("c")).as("c"))
     keys.withColumn("__h", h)
       .select(col(keyCol), posexplode(array(
         col("__h") % 256, shiftright(col("__h"), 8) % 256,
         shiftright(col("__h"), 16) % 256, shiftright(col("__h"), 24) % 256))
         .as(Seq("i", "b")))
-      .join(grid, Seq("i", "b"))
+      .join(total, Seq("i", "b"))
       .groupBy(col(keyCol)).agg(min(col("c")).as("est"))
   }
 

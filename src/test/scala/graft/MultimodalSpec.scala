@@ -181,6 +181,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.n_samples == 0L && f.sumsq == 0L)
   }
 
+  test("crafted chunk length near 2^31 cannot wrap the bounds check") {
+    import graft.queries.Multimodal.{AudioCodec, VideoCodec}
+    // a positive len close to Int.MaxValue makes pos+8+len wrap negative
+    // in Int arithmetic; the walk must reject it (Long-arithmetic guard),
+    // not advance to a negative offset and throw out of the next read
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val evil = "RIFF".getBytes ++ le32(Int.MaxValue - 3) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(Int.MaxValue - 20) ++ Array.fill[Byte](64)(0)
+    assert(!AudioCodec.decode(1L, evil).ok)
+    val f = AudioCodec.features(1L, evil)
+    assert(f.n_samples == 0L && f.sumsq == 0L)
+    val evilAvi = "RIFF".getBytes ++ le32(Int.MaxValue - 3) ++ "AVI ".getBytes ++
+      "LIST".getBytes ++ le32(Int.MaxValue - 20) ++ Array.fill[Byte](64)(0)
+    assert(!VideoCodec.decode(1L, evilAvi).ok)
+    assert(VideoCodec.frames(1L, evilAvi).forall(!_.ok))
+  }
+
+  test("stereo WAV rejects: decode's domain matches features' mono math") {
+    import graft.queries.Multimodal.AudioCodec
+    val good = AudioCodec.encode("mono".getBytes)
+    assert(AudioCodec.decode(1L, good).ok)
+    // patch the fmt chunk's channel count (offset 22) to 2: features
+    // would misread interleaved samples as a mono run, so decode must
+    // reject multi-channel input outright
+    val stereo = good.clone(); stereo(22) = 2
+    assert(!AudioCodec.decode(1L, stereo).ok)
+    assert(AudioCodec.features(1L, stereo).n_samples == 0L)
+  }
+
   test("video codec: AVI header fields and frame chunks round-trip") {
     import graft.queries.Multimodal.VideoCodec
     val seed = "hello".getBytes("utf-8") // len 5 -> 2 + 5%5 = 2 frames

@@ -423,6 +423,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(est("u0") >= 15)
   }
 
+  test("CMS probe sums counters across windows before taking min") {
+    import spark.implicits._
+    // u0 lands in TWO event-time windows (0-2min and 4-6min); the probe
+    // must estimate its TOTAL frequency over the horizon. A min over the
+    // unaggregated per-window grid would pick u0's smallest window
+    // counter (1) and undercount — breaking the one-sided est >= exact
+    // guarantee the batch twin pins.
+    val ev = Seq(("u0", 0L), ("u0", 10L), ("u0", 300L), ("uX", 5L))
+      .toDF("user", "sec")
+      .select(col("user"), timestamp_seconds(col("sec")).as("ts"))
+    val grid = EventStreamPipeline
+      .freqSketch(ev, "user", "ts", "2 minutes", "10 seconds")
+      .select(col("i"), col("b"), col("c")) // window column dropped, rows still per-window
+    val keys = ev.select("user").distinct()
+    val est = EventStreamPipeline.freqEstimate(grid, keys, "user")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("u0") >= 3, s"multi-window undercount: ${est("u0")}")
+    assert(est("uX") >= 1)
+  }
+
   test("streaming incremental dedup: later waves dedup against streamed docs") {
     import org.apache.spark.sql.types._
     val root = graft.TempDirs.create("graft-stream-incdedup")
