@@ -706,6 +706,85 @@ object Relational {
               |GROUP BY c_custkey, c_name, c_acctbal, n_name
               |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
 
+    // ---- TPC-H Q13 shape: customer order-count distribution. The two
+    // hard parts this gate witnesses: (1) the predicate lives in the
+    // LEFT JOIN's ON clause, not WHERE — a customer whose every order is
+    // urgent must survive with count 0, so filtering before the join is
+    // required and filtering after it is wrong; (2) the double
+    // aggregation (per-customer count, then histogram of counts). The
+    // fixture has no o_comment, so the reference's NOT LIKE
+    // '%special%requests%' becomes a priority-class exclusion. At 100 TB
+    // the orders side filters and partial-aggregates to one row per
+    // custkey BEFORE the join with customer; the second aggregate is
+    // O(distinct counts) ----
+    "q_tpch_q13" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_custkey"))
+        // reduce-before-join: orders collapses to (custkey, n) first, so
+        // the left join carries one row per customer, not one per order
+        val perCust = t(s, dir, "orders")
+          .filter(!col("o_orderpriority").like("1%"))
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        c.join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+          .select(coalesce(col("n"), lit(0L)).as("c_count"))
+          .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+             |  SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer LEFT JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1%'
+             |  GROUP BY c_custkey)
+             |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // ---- TPC-H Q21 shape: suppliers who kept orders waiting — the
+    // EXISTS + NOT EXISTS lineitem self-join, the hardest correlated
+    // shape in the suite. The fixture has no receipt/commit dates, so
+    // "late" becomes l_returnflag = 'R' (the supplier's line came back);
+    // the region filter stands in for the reference's single-nation
+    // filter at fixture scale. Both correlated subqueries decorrelate
+    // into ONE per-orderkey aggregate over lineitem: n_supp >= 2 is the
+    // EXISTS (another supplier in the order) and n_ret_supp = 1 is the
+    // NOT EXISTS (no OTHER supplier was late — l1's own supplier is the
+    // one). At 100 TB that single partial-aggregated pass replaces two
+    // full self-joins of the fact table; everything downstream is
+    // O(flagged lineitems) ----
+    "q_tpch_q21" -> Q(
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+        val perOrder = l.groupBy(col("l_orderkey").as("po_orderkey"))
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+              .as("n_ret_supp"))
+        val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"))
+        val sup = t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+        val n = t(s, dir, "nation").filter(col("n_regionkey") === 0)
+          .select(col("n_nationkey"))
+        l.filter(col("l_returnflag") === "R")
+          .join(perOrder, col("l_orderkey") === col("po_orderkey"))
+          .filter(col("n_supp") >= 2 && col("n_ret_supp") === 1)
+          .join(o, col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"), "left_semi")
+          .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(100)
+      },
+      Some("""SELECT s_name, count(*) AS numwait
+             |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+             |JOIN orders ON o_orderkey = l1.l_orderkey
+             |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+             |  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+             |      AND l3.l_returnflag = 'R')
+             |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)),
+
     "q_setop_intersect" -> Q(
       (s, dir) =>
         t(s, dir, "customer").select(col("c_custkey").as("k"))

@@ -70,6 +70,46 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!shard.contains("text"), "shard export reads the text column")
   }
 
+  test("q13/q21 keep the reduce-before-join discipline, no products") {
+    // q13: orders partial-aggregates to one row per custkey BEFORE the
+    // left join with customer — the count must combine map-side
+    val q13 = physical("q_tpch_q13")
+    assert("partial_count".r.findFirstIn(q13).isDefined,
+      s"q13 joins unaggregated orders:\n$q13")
+    // q21: the EXISTS/NOT EXISTS pair must decorrelate into the one
+    // per-orderkey aggregate — a surviving correlated subquery would
+    // plan a nested-loop or cartesian against the fact table
+    val q21 = physical("q_tpch_q21")
+    for (p <- Seq(q13, q21)) {
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"), s"product join in:\n$p")
+    }
+    assert(q21.contains("TakeOrderedAndProject"),
+      s"q21 top-100 plans a global sort:\n$q21")
+  }
+
+  test("headline plans keep whole-stage codegen after AQE finalizes") {
+    // EXPLAIN.md's census reads the pre-AQE plan string, where codegen
+    // spans show as 0 — this pin runs the query and asserts the FINAL
+    // adaptive plan fuses its hot path into WholeStageCodegen stages
+    // (a non-codegen Expression creeping into a hot pipeline would
+    // split or drop these spans)
+    for (q <- Seq("q_tpch_q18", "q_tpch_q17", "q_text_tfidf",
+        "q_text_collocations", "q_sketch_cms")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect() // settle AQE so executedPlan is the final plan
+      val plan = df.queryExecution.executedPlan.toString
+      // WholeStageCodegenExec renders as a `*(id)` operator prefix in the
+      // plan string; distinct ids = fused codegen stages
+      val spans = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan)
+        .map(_.group(1)).toSet.size
+      assert(plan.contains("isFinalPlan=true"),
+        s"$q did not finalize adaptively:\n${plan.take(400)}")
+      assert(spans >= 2,
+        s"$q has only $spans WholeStageCodegen spans post-AQE:\n$plan")
+    }
+  }
+
   test("token budget windows over the source key, not a single partition") {
     // an empty-frame/global window (`Window.orderBy` without partitionBy)
     // funnels the whole corpus through ONE task — the classic window
@@ -262,6 +302,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_join_multi",        // nation + region
       "q_group_concat",      // region
       "q_tpch_q5",           // nation + region
+      "q_tpch_q21",          // nation (25 rows forever)
       "q_quantile_sketch",   // 1-row bounds + 3-row percentiles
       "q_above_avg",         // 1-row global average
       "q_events_anomaly",    // per-type stats (bounded by |types|)
