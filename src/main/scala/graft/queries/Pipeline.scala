@@ -877,21 +877,47 @@ object Pipeline {
     // a content-independent hash within their source, a running token
     // total is cut at the budget, and the first doc to cross the line is
     // kept (so a budget smaller than one doc still takes one — matching
-    // how mixes avoid empty sources). One window over (source, hash) —
-    // at 100 TB the partition key is the source, so the shuffle spreads
-    // across sources and each window sorts only its own source's docs;
-    // sources bigger than a partition upgrade to pre-bucketed ranges.
+    // how mixes avoid empty sources).
+    //
+    // Scale shape: a naive `Window.partitionBy(source).orderBy(h)`
+    // running sum ships EVERY doc of a source to one reducer — with a
+    // skewed mix (one crawl source = 60% of a 100 TB corpus) that is a
+    // single-partition sort of most of the dataset, all to keep ~B chars.
+    // Instead the hash's top bits split each source into RANGE buckets
+    // (bucket order == hash order, so cross-bucket ordering is exactly
+    // the global (h, doc_id) order):
+    //   1. per-(source, bucket) char sums — a partial-aggregated,
+    //      perfectly hash-balanced pass, O(sources·64) rows out;
+    //   2. a prefix sum over that tiny table finds each bucket's
+    //      starting offset, and buckets whose offset already exceeds the
+    //      budget are dropped by the broadcast semi-join — i.e. the
+    //      budget prefix, ~ceil(B/avg_doc) docs per source, survives;
+    //   3. the running-sum window now partitions by (source, bucket) and
+    //      only ever sees those few boundary buckets, each ~1/64th of a
+    //      source by hash uniformity — never a whole skewed source.
     "q_sample_token_budget" -> Q(
       (s, dir) => {
+        val B = 1500
         val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
           .cast("long").as("h")
-        val w = Window.partitionBy(col("source"))
+        val d = docs(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"), h)
+          // h is uniform in [0, 2^60): its top 6 bits are 64 range buckets
+          .withColumn("b", shiftright(col("h"), 54))
+        val starts = d.groupBy(col("source"), col("b"))
+          .agg(sum(col("n_chars")).as("chars_b"))
+          .withColumn("start_chars",
+            coalesce(sum(col("chars_b")).over(Window.partitionBy(col("source"))
+              .orderBy(col("b"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .filter(col("start_chars") < B)
+          .select(col("source"), col("b"), col("start_chars"))
+        val w = Window.partitionBy(col("source"), col("b"))
           .orderBy(col("h"), col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        docs(s, dir)
-          .select(col("doc_id"), col("source"), col("n_chars"), h)
-          .withColumn("cum_chars", sum(col("n_chars")).over(w))
-          .filter(col("cum_chars") - col("n_chars") < 1500)
+        d.join(broadcast(starts), Seq("source", "b"))
+          .withColumn("cum_chars", col("start_chars") + sum(col("n_chars")).over(w))
+          .filter(col("cum_chars") - col("n_chars") < B)
           .select(col("doc_id"), col("source"), col("cum_chars"))
           .orderBy(col("doc_id"))
       },

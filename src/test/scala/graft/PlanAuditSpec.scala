@@ -117,6 +117,17 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = physical("q_sample_token_budget")
     assert(!plan.contains("SinglePartition"),
       s"q_sample_token_budget plans a single-partition window:\n$plan")
+    // the de-skew contract: the doc-level running sum (ordered by the
+    // doc hash h) must partition by (source, bucket) — a window spec
+    // that orders by h but partitions by source alone is the skew
+    // straggler (one reducer sorts a whole 60%-of-corpus source). The
+    // tiny prefix-sum window over the (source, bucket) aggregate orders
+    // by b, not h, so this regex isolates the doc-level window exactly.
+    assert("windowspecdefinition\\(source#\\d+, h#".r.findFirstIn(plan).isEmpty,
+      s"doc-level window partitions by source alone (skew straggler):\n$plan")
+    assert("windowspecdefinition\\(source#\\d+, b#\\d+L?, h#".r
+      .findFirstIn(plan).isDefined,
+      s"doc-level window is not bucket-partitioned:\n$plan")
   }
 
   test("increment-vs-index scans the index artifacts, never prior text") {
@@ -309,7 +320,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_decontaminate_bloom", // ≤64K set-bit rows
       "q_knn_brute", "q_knn_ivf", "q_knn_ivf2", "q_knn_lsh", // query vec + cells
       "q_knn_join",          // bounded query batch
-      "q_emb_outliers"       // |labels|·d centroid sums + per-label stats
+      "q_emb_outliers",      // |labels|·d centroid sums + per-label stats
+      "q_sample_token_budget" // ≤ sources·64 bucket-offset rows (sources
+                              // are the bounded mixture-spec labels)
     )
     val actual = HintAuditHelper.hinted(spark, dir)
     assert(actual == expected,
