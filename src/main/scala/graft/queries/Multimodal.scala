@@ -25,12 +25,14 @@ import graft.queries.Relational.Q
   * per-row work, no driver involvement); a GPU/native decoder would slot
   * into the same batch seam without touching schema or partitioning.
   *
-  * The decode/feature/resize entries have no SQL oracle (image codecs
-  * aren't expressible in the oracle dialect) — the driver records rows-only
-  * checks; exact-value assertions (a hand-authored spec-pinned PNG decoded
-  * to known RGB, golden digests of full outputs) live in MultimodalSpec.
-  * `q_mm_stats` is the oracle-checked member pinning the id/fmt/payload
-  * mapping the family builds on.
+  * Every entry is ORACLE-CHECKED: the codecs' outputs are derivable from
+  * the encoder's integer/IEEE arithmetic wherever the container is
+  * lossless — geometry for all formats, BMP container bytes (fixed header
+  * + padded rows), png/bmp pixel features regenerated pixel-by-pixel,
+  * resize's exact double chain, hex frame heads. Only the codec-dependent
+  * residues (PNG/JPEG compressed sizes, thumbnail payload bytes, lossy
+  * JPEG pixels) are outside the oracle dialect; those stay pinned by
+  * MultimodalSpec's hand-authored spec PNG and golden digests.
   */
 object Multimodal {
 
@@ -41,13 +43,36 @@ object Multimodal {
   private val seedBlobSql =
     "coalesce(nullif(encode(coalesce(text,'')), ''::BLOB), encode('x'))"
 
+  /** DuckDB-side image geometry: per document, the container format and
+    * the encoder's seed-derived dimensions (ImageCodec.encode: w = 16 +
+    * first-byte % 24, h = 16 + last-byte % 24, with the [0] fallback for
+    * empty/null seeds), plus the seed hex and byte length for pixel
+    * regeneration. Shared by the decode / features / resize oracles. */
+  private val imgGeomSql =
+    """SELECT doc_id,
+      |  CASE CAST(doc_id % 3 AS INT)
+      |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'bmp' END AS fmt,
+      |  16 + (CASE WHEN len = 0 THEN 0
+      |    ELSE ('0x' || substr(hx, 1, 2))::INT END % 24) AS w,
+      |  16 + (CASE WHEN len = 0 THEN 0
+      |    ELSE ('0x' || substr(hx, len * 2 - 1, 2))::INT END % 24) AS h,
+      |  hx, len
+      |FROM (SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+      |    octet_length(encode(coalesce(text, ''))) AS len
+      |  FROM documents)""".stripMargin
+
   case class Media(media_id: Long, fmt: String, data: Array[Byte])
   case class Decoded(media_id: Long, fmt: String, width: Int, height: Int,
       n_bytes: Long, ok: Boolean)
   case class Features(media_id: Long, mean_byte: Double, h0: Long, h1: Long,
       h2: Long, h3: Long)
-  case class Resized(media_id: Long, fmt: String, orig_bytes: Long,
-      new_bytes: Long, width: Int, height: Int, data: Array[Byte])
+  /** Exact-integer pixel features (no float mean): oracle-replicable for
+    * lossless containers, and the basis `features` derives its mean from. */
+  case class FeaturesEx(media_id: Long, n_px: Long, sum_lum: Long,
+      h0: Long, h1: Long, h2: Long, h3: Long)
+  case class Resized(media_id: Long, fmt: String, orig_w: Int, orig_h: Int,
+      orig_bytes: Long, new_bytes: Long, width: Int, height: Int,
+      data: Array[Byte])
 
   /** Real JDK image codec. Every op is total: undecodable payloads yield
     * `ok = false` / zero metadata instead of a task failure, so one corrupt
@@ -103,11 +128,13 @@ object Multimodal {
       else Decoded(m.media_id, m.fmt, img.getWidth, img.getHeight, n, ok = true)
     }
 
-    /** Pixel-level features: mean luminance + 4-bucket luminance histogram
-      * over the DECODED pixels (not the compressed bytes). */
-    def features(m: Media): Features = {
+    /** Pixel-level features over the DECODED pixels (not the compressed
+      * bytes), as exact integers: pixel count, luminance sum, 4-bucket
+      * luminance histogram. Integer-only so a lossless container's
+      * features are replicable from the encoder's arithmetic. */
+    def featuresEx(m: Media): FeaturesEx = {
       val img = read(m.data)
-      if (img == null) return Features(m.media_id, 0.0, 0L, 0L, 0L, 0L)
+      if (img == null) return FeaturesEx(m.media_id, 0L, 0L, 0L, 0L, 0L, 0L)
       val (w, h) = (img.getWidth, img.getHeight)
       var sum = 0L
       val hist = new Array[Long](4)
@@ -122,8 +149,15 @@ object Multimodal {
         }
         y += 1
       }
-      Features(m.media_id, sum.toDouble / (w.toLong * h),
+      FeaturesEx(m.media_id, w.toLong * h, sum,
         hist(0), hist(1), hist(2), hist(3))
+    }
+
+    /** Float-mean view of `featuresEx` (kept for spec-level consumers). */
+    def features(m: Media): Features = {
+      val e = featuresEx(m)
+      val mean = if (e.n_px == 0L) 0.0 else e.sum_lum.toDouble / e.n_px
+      Features(m.media_id, mean, e.h0, e.h1, e.h2, e.h3)
     }
 
     /** Real thumbnail: rescale to <= targetPixels total (aspect preserved,
@@ -132,7 +166,8 @@ object Multimodal {
     def resize(m: Media, targetPixels: Int): Resized = {
       val n = if (m.data == null) 0L else m.data.length.toLong
       val img = read(m.data)
-      if (img == null) return Resized(m.media_id, m.fmt, n, 0L, 0, 0, Array.empty)
+      if (img == null)
+        return Resized(m.media_id, m.fmt, 0, 0, n, 0L, 0, 0, Array.empty)
       val (w, h) = (img.getWidth, img.getHeight)
       val scale = math.min(1.0, math.sqrt(targetPixels.toDouble / (w.toLong * h)))
       val nw = math.max(1, (w * scale).toInt)
@@ -146,7 +181,7 @@ object Multimodal {
       val bos = new ByteArrayOutputStream()
       ImageIO.write(out, "png", bos)
       val bytes = bos.toByteArray
-      Resized(m.media_id, m.fmt, n, bytes.length.toLong, nw, nh, bytes)
+      Resized(m.media_id, m.fmt, w, h, n, bytes.length.toLong, nw, nh, bytes)
     }
   }
 
@@ -640,44 +675,114 @@ object Multimodal {
              |    1 + octet_length(b) % 5)) AS f)
              |ORDER BY media_id, frame_no""".stripMargin)),
 
-    // ---- decode: per-partition batch container parse (real ImageIO) ----
+    // ---- decode: per-partition batch container parse (real ImageIO).
+    // ORACLE-CHECKED: geometry for all three formats, plus the WHOLE
+    // container byte count for the BMP leg — the JDK's 24-bit BI_RGB
+    // writer emits exactly 54 header bytes + h rows padded to 4-byte
+    // stride, pure arithmetic the oracle replicates. PNG/JPEG container
+    // sizes are codec-dependent (deflate/DCT) and stay pinned by the
+    // golden digests in MultimodalSpec ----
     "q_mm_decode" -> Q(
       (s, dir) => {
         import s.implicits._
         mediaImages(s, dir).as[Media]
           .mapPartitions(_.map(ImageCodec.decode))
           .toDF()
+          .select(col("media_id"), col("fmt"),
+            col("width").cast("int").as("width"),
+            col("height").cast("int").as("height"),
+            when(col("fmt") === "bmp", col("n_bytes")).as("container_bytes"),
+            col("ok").cast("int").as("ok"))
           .orderBy(col("media_id"))
-      }, None),
+      },
+      Some(s"""WITH g AS ($imgGeomSql)
+             |SELECT doc_id AS media_id, fmt,
+             |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             |  CAST(CASE WHEN fmt = 'bmp' THEN 54 + h * ((w * 3 + 3) // 4 * 4)
+             |       ELSE NULL END AS BIGINT) AS container_bytes,
+             |  CAST(1 AS INT) AS ok
+             |FROM g ORDER BY media_id""".stripMargin)),
 
-    // ---- feature extraction: luminance mean + histogram per image ----
+    // ---- feature extraction: luminance histogram per image, decoded by
+    // the REAL ImageIO parse. ORACLE-CHECKED on the lossless legs
+    // (png + bmp — exact pixel round-trip), where the oracle regenerates
+    // every pixel from the encoder's integer arithmetic (v from the seed
+    // byte, channel spreads, BT.601 integer luminance) and aggregates
+    // the same integers — the image twin of q_mm_audio_features. The
+    // lossy JPEG leg can't be (DCT pixels differ from the encoder's
+    // input); it stays covered by the all-format golden digest in
+    // MultimodalSpec ----
     "q_mm_features" -> Q(
       (s, dir) => {
         import s.implicits._
         mediaImages(s, dir).as[Media]
-          .mapPartitions(_.map(ImageCodec.features))
+          .filter((m: Media) => m.fmt != "jpeg")
+          .mapPartitions(_.map(ImageCodec.featuresEx))
           .toDF()
           .orderBy(col("media_id"))
-      }, None),
+      },
+      Some(s"""WITH g AS ($imgGeomSql),
+             |px AS (
+             |  SELECT doc_id, i % w AS x, i // w AS y, w, h, hx, len
+             |  FROM g, LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS i)
+             |  WHERE fmt <> 'jpeg'),
+             |lu AS (
+             |  SELECT doc_id, (v * 299 + ((v + 5 * x) % 256) * 587
+             |       + ((v + 11 * y) % 256) * 114) // 1000 AS l
+             |  FROM (SELECT doc_id, x, y,
+             |      CASE WHEN len = 0 THEN 0
+             |        ELSE ('0x' || substr(hx, ((y * w + x) % len) * 2 + 1, 2))::INT
+             |      END AS v
+             |    FROM px))
+             |SELECT doc_id AS media_id, count(*) AS n_px,
+             |  CAST(sum(l) AS BIGINT) AS sum_lum,
+             |  CAST(count(CASE WHEN l // 64 = 0 THEN 1 END) AS BIGINT) AS h0,
+             |  CAST(count(CASE WHEN l // 64 = 1 THEN 1 END) AS BIGINT) AS h1,
+             |  CAST(count(CASE WHEN l // 64 = 2 THEN 1 END) AS BIGINT) AS h2,
+             |  CAST(count(CASE WHEN l // 64 = 3 THEN 1 END) AS BIGINT) AS h3
+             |FROM lu GROUP BY doc_id ORDER BY media_id""".stripMargin)),
 
-    // ---- resize: per-partition batch thumbnail to a pixel budget ----
+    // ---- resize: per-partition batch thumbnail to a pixel budget, real
+    // rescale + PNG re-encode. ORACLE-CHECKED geometry for ALL formats
+    // (dims survive JPEG losslessly): the oracle replays the exact
+    // IEEE double chain — scale = min(1, sqrt(64/(w·h))), truncate,
+    // clamp — identical ops on identical doubles are bit-identical in
+    // both engines. thumb_ok pins that a real re-encoded payload exists;
+    // the thumbnail BYTES are codec output and stay digest-pinned in
+    // MultimodalSpec ----
     "q_mm_resize" -> Q(
       (s, dir) => {
         import s.implicits._
         mediaImages(s, dir).as[Media]
           .mapPartitions(_.map(ImageCodec.resize(_, targetPixels = 64)))
           .toDF()
-          .select(col("media_id"), col("fmt"), col("orig_bytes"),
-            col("new_bytes"), col("width"), col("height"),
-            md5(col("data")).as("data_md5"))
+          .select(col("media_id"), col("fmt"),
+            col("orig_w").cast("int").as("orig_w"),
+            col("orig_h").cast("int").as("orig_h"),
+            col("width").cast("int").as("width"),
+            col("height").cast("int").as("height"),
+            (col("new_bytes") > 0).cast("int").as("thumb_ok"))
           .orderBy(col("media_id"))
-      }, None),
+      },
+      Some(s"""WITH g AS ($imgGeomSql),
+             |r AS (SELECT doc_id, fmt, w, h,
+             |    LEAST(1.0, sqrt(64.0 / CAST(w * h AS DOUBLE))) AS sc
+             |  FROM g)
+             |SELECT doc_id AS media_id, fmt,
+             |  CAST(w AS INT) AS orig_w, CAST(h AS INT) AS orig_h,
+             |  CAST(GREATEST(1, CAST(trunc(w * sc) AS INT)) AS INT) AS width,
+             |  CAST(GREATEST(1, CAST(trunc(h * sc) AS INT)) AS INT) AS height,
+             |  CAST(1 AS INT) AS thumb_ok
+             |FROM r ORDER BY media_id""".stripMargin)),
 
     // ---- frame sampling: every 64-byte window's 16-byte head, pure
     // codegen over the opaque payload (the video-keyframe shape — no
     // decode needed to segment a container into fixed-offset samples).
     // The payload column rides through the explode — re-joining media to
-    // re-fetch `data` would add a whole shuffle join for nothing ----
+    // re-fetch `data` would add a whole shuffle join for nothing.
+    // ORACLE-CHECKED: the head is emitted as hex (byte-exact in both
+    // engines; the oracle dialect's md5/substring don't take blobs, and
+    // a hex head pins the same bytes a digest would) ----
     "q_mm_frames" -> Q(
       (s, dir) =>
         media(s, dir)
@@ -689,7 +794,15 @@ object Multimodal {
               sequence(lit(0), expr("CAST((length(data) - 1) DIV 64 AS INT)")))
               .otherwise(array().cast("array<int>"))).as("frame_no"))
           .select(col("media_id"), col("frame_no"),
-            md5(col("data").substr(col("frame_no") * 64 + 1, lit(16))).as("frame_md5"))
-          .orderBy(col("media_id"), col("frame_no")), None)
+            hex(col("data").substr(col("frame_no") * 64 + 1, lit(16))).as("frame_head"))
+          .orderBy(col("media_id"), col("frame_no")),
+      Some("""WITH d AS (
+             |  SELECT doc_id, hex(encode(text)) AS hx,
+             |    octet_length(encode(text)) AS len
+             |  FROM documents WHERE octet_length(encode(text)) > 0)
+             |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_no,
+             |  substr(hx, f * 128 + 1, 32) AS frame_head
+             |FROM d, LATERAL (SELECT unnest(generate_series(0, (len - 1) // 64)) AS f)
+             |ORDER BY media_id, frame_no""".stripMargin))
   )
 }
