@@ -391,6 +391,12 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     Map("id" -> str(args, "id"),
       "module_cid" -> h.currentModule.map(_.cid).orNull,
       "latest_idx" -> h.latest,
+      // ingest-path telemetry: a non-batch-safe module replays events one
+      // at a time on the driver (the reference's per-event model) — the
+      // counters that make that visible to an operator BEFORE it dominates
+      // a bulk ingest, the dedup_index_info discipline
+      "per_event_replays" -> h.perEventReplays,
+      "per_event_warnings" -> h.perEventWarnings,
       "handle" -> handles.synchronized(handles.get(str(args, "id")).orNull))
   }
 

@@ -944,6 +944,46 @@ class ServerSpec extends AnyFunSuite {
     graft.TempDirs.release(java.nio.file.Paths.get(idxDir))
   }
 
+  test("per-event replay telemetry reaches the operator through stream/info") {
+    // a materializer that reads the table it writes is not batch-safe:
+    // ingest falls back to the driver-side per-event replay loop. The
+    // counters that make that visible must reach the operator surface
+    // (the dedupIndexStale discipline), not just a log line.
+    val cid = ok(post("/module/upload", Map("module" -> Map(
+      "init_sql" -> "CREATE TABLE IF NOT EXISTS running (t BIGINT) USING PARQUET",
+      "materializer" -> ("INSERT INTO running SELECT " +
+        "coalesce((SELECT max(t) FROM running), 0) + " +
+        "drisl_extract_long(payload, '.n') FROM event"),
+      "queries" -> Map(
+        "all" -> Map("sql" -> "SELECT t FROM running ORDER BY t"))))))(
+      "cid").asInstanceOf[String]
+    val sid = ok(post("/stream/create",
+      Map("id" -> "did:graft:perev", "module_cid" -> cid)))("id").toString
+    val before = ok(post("/stream/info", Map("id" -> sid)))
+    assert(before("per_event_replays") == 0L, before.toString)
+    ok(post("/stream/event_batch", Map("id" -> sid, "events" -> Vector(
+      Map("user" -> "ann", "payload_b64" -> payload("a", 1)),
+      Map("user" -> "ann", "payload_b64" -> payload("b", 2)),
+      Map("user" -> "ann", "payload_b64" -> payload("c", 3))))))
+    val after = ok(post("/stream/info", Map("id" -> sid)))
+    assert(after("per_event_replays") == 3L, after.toString)
+
+    // contrast: a batch-safe module's ingest must never touch the loop
+    val cid2 = ok(post("/module/upload", Map("module" -> Map(
+      "init_sql" -> "CREATE TABLE IF NOT EXISTS plain (t BIGINT) USING PARQUET",
+      "materializer" ->
+        "INSERT INTO plain SELECT drisl_extract_long(payload, '.n') FROM event",
+      "queries" -> Map(
+        "all" -> Map("sql" -> "SELECT t FROM plain ORDER BY t"))))))(
+      "cid").asInstanceOf[String]
+    val sid2 = ok(post("/stream/create",
+      Map("id" -> "did:graft:perev2", "module_cid" -> cid2)))("id").toString
+    ok(post("/stream/event_batch", Map("id" -> sid2, "events" -> Vector(
+      Map("user" -> "ann", "payload_b64" -> payload("d", 4))))))
+    val clean = ok(post("/stream/info", Map("id" -> sid2)))
+    assert(clean("per_event_replays") == 0L, clean.toString)
+  }
+
   test("json parser caps container nesting (no stack overflow on [[[…)") {
     val hostile = "[" * 100000 + "]" * 100000
     val e = intercept[IllegalArgumentException](graft.server.Json.parse(hostile))
