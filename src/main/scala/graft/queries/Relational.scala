@@ -785,6 +785,115 @@ object Relational {
              |      AND l3.l_returnflag = 'R')
              |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)),
 
+    // ---- TPC-H Q14 shape: promoted-revenue share in one month — the
+    // conditional-aggregation ratio. Both numerator and denominator
+    // come out of ONE aggregate over the joined month (no second pass);
+    // money stays DECIMAL until the single final double division,
+    // rounded to 6 before it can leak float tail into the gate hash ----
+    "q_tpch_q14" -> Q(
+      (s, dir) => {
+        val rev = (dec(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(10, 2)) - dec(col("l_discount")))).as("rev")
+        val l = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .select(col("l_partkey"), rev)
+        val p = t(s, dir, "part").select(col("p_partkey"), col("p_type"))
+        l.join(p, col("l_partkey") === col("p_partkey"))
+          .agg(round(lit(100.0) *
+            dbl(sum(when(col("p_type") === "PROMO", col("rev"))
+              .otherwise(lit(0).cast(DecimalType(10, 2))))) /
+            dbl(sum(col("rev"))), 6).as("promo_share"))
+      },
+      Some(s"""SELECT round(100.0 *
+              |    CAST(sum(CASE WHEN p_type = 'PROMO'
+              |      THEN ${sqlDec("l_extendedprice")} *
+              |           (CAST(1 AS DECIMAL(10,2)) - ${sqlDec("l_discount")})
+              |      ELSE CAST(0 AS DECIMAL(10,2)) END) AS DOUBLE) /
+              |    CAST(sum(${sqlDec("l_extendedprice")} *
+              |         (CAST(1 AS DECIMAL(10,2)) - ${sqlDec("l_discount")})) AS DOUBLE),
+              |  6) AS promo_share
+              |FROM lineitem JOIN part ON p_partkey = l_partkey
+              |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin)),
+
+    // ---- TPC-H Q19 shape: discounted revenue under DISJUNCTIVE
+    // part+lineitem predicates — three OR'd conjunctions that mix both
+    // sides of the join. The planner must extract the common
+    // l_partkey = p_partkey equi-key for the hash join and evaluate the
+    // disjunction as a residual — a naive reading plans a nested-loop
+    // over the cross product. Brand/size/quantity bands adapt to the
+    // fixture's value ranges ----
+    "q_tpch_q19" -> Q(
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_quantity"),
+            (dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(10, 2)) -
+              dec(col("l_discount")))).as("rev"))
+        val p = t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        l.join(p, col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#17" && col("p_size").between(10, 25) &&
+            col("l_quantity").between(15, 35)) ||
+          (col("p_brand") === "Brand#21" && col("p_size").between(20, 40) &&
+            col("l_quantity").between(30, 50))))
+          .agg(count(lit(1)).as("n"), dbl(sum(col("rev"))).as("revenue"))
+      },
+      Some(s"""SELECT count(*) AS n,
+              |  CAST(sum(${sqlDec("l_extendedprice")} *
+              |       (CAST(1 AS DECIMAL(10,2)) - ${sqlDec("l_discount")})) AS DOUBLE) AS revenue
+              |FROM lineitem JOIN part ON p_partkey = l_partkey
+              |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+              |       AND l_quantity BETWEEN 1 AND 20)
+              |   OR (p_brand = 'Brand#17' AND p_size BETWEEN 10 AND 25
+              |       AND l_quantity BETWEEN 15 AND 35)
+              |   OR (p_brand = 'Brand#21' AND p_size BETWEEN 20 AND 40
+              |       AND l_quantity BETWEEN 30 AND 50)""".stripMargin)),
+
+    // ---- TPC-H Q22 shape: above-average-balance customers with no
+    // qualifying orders — the scalar-subquery threshold + anti-join.
+    // The average is never materialized as a float: the segment's
+    // (sum, count) pair cross-joins in as one row and the test
+    // cross-multiplies in exact DECIMAL (bal·cnt > sum), the q17
+    // discipline — an avg() double would make borderline membership
+    // aggregation-order-dependent across engines. The fixture has no
+    // phone column and every customer has orders, so "country code
+    // prefix" becomes a segment set and the anti-join excludes
+    // customers with URGENT orders ----
+    "q_tpch_q22" -> Q(
+      (s, dir) => {
+        val seg = t(s, dir, "customer")
+          .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY") &&
+            col("c_acctbal") > 0)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            dec(col("c_acctbal")).as("bal"))
+        val stats = seg.agg(sum(col("bal")).as("s"), count(lit(1)).as("cnt"))
+        val urgent = t(s, dir, "orders")
+          .filter(col("o_orderpriority").like("1%")).select(col("o_custkey"))
+        seg.crossJoin(broadcast(stats))
+          .filter(col("bal") * col("cnt") > col("s"))
+          .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("numcust"), dbl(sum(col("bal"))).as("totacctbal"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""WITH seg AS (
+              |  SELECT c_custkey, c_mktsegment,
+              |    ${sqlDec("c_acctbal")} AS bal
+              |  FROM customer
+              |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+              |    AND c_acctbal > 0),
+              |stats AS (SELECT sum(bal) AS s, count(*) AS cnt FROM seg)
+              |SELECT c_mktsegment, count(*) AS numcust,
+              |  CAST(sum(bal) AS DOUBLE) AS totacctbal
+              |FROM seg, stats
+              |WHERE bal * cnt > s
+              |  AND NOT EXISTS (SELECT 1 FROM orders
+              |    WHERE o_custkey = c_custkey AND o_orderpriority LIKE '1%')
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     "q_setop_intersect" -> Q(
       (s, dir) =>
         t(s, dir, "customer").select(col("c_custkey").as("k"))

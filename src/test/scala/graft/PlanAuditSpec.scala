@@ -314,6 +314,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_group_concat",      // region
       "q_tpch_q5",           // nation + region
       "q_tpch_q21",          // nation (25 rows forever)
+      "q_tpch_q22",          // 1-row (sum, count) stats frame
       "q_quantile_sketch",   // 1-row bounds + 3-row percentiles
       "q_above_avg",         // 1-row global average
       "q_events_anomaly",    // per-type stats (bounded by |types|)
