@@ -785,6 +785,33 @@ object Relational {
              |      AND l3.l_returnflag = 'R')
              |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)),
 
+    // ---- TPC-H Q4 shape: order-priority checking — the grouped EXISTS.
+    // The correlated EXISTS decorrelates into a LEFT SEMI join against
+    // the filtered lineitem side, so the fact table contributes each
+    // qualifying orderkey once (no row multiplication to undo) and the
+    // count groups over the tiny priority domain. "Late" adapts to the
+    // fixture as returnflag = 'R' (no commit/receipt dates) ----
+    "q_tpch_q4" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        val late = t(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+        o.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1996-04-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // ---- TPC-H Q14 shape: promoted-revenue share in one month — the
     // conditional-aggregation ratio. Both numerator and denominator
     // come out of ONE aggregate over the joined month (no second pass);
