@@ -153,16 +153,19 @@ object Dedup {
   // (that is what keeps an append O(increment)); re-deriving r for a
   // grown corpus is an explicit rebuild, not a silent drift.
 
-  /** The band-index rows of a shingle-array frame at `r` rows per band. */
-  private[queries] def bandsFromArr(arr: DataFrame, r: Int): DataFrame = {
+  /** The band-index rows of a shingle-array frame at `r` rows per band.
+    * `carry` columns ride through unchanged (e.g. the batch partition
+    * column during an index re-band). */
+  private[queries] def bandsFromArr(arr: DataFrame, r: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     val b = K / r
     val sigCols = (0 until K).map(k =>
       array_min(transform(col("shs"), v => v.bitwiseXOR(lit(xorConst(k))))).as(s"h$k"))
-    val sg = arr.select((col("doc_id") +: sigCols): _*)
+    val sg = arr.select((col("doc_id") +: carry.map(col)) ++ sigCols: _*)
     val bandCols = (0 until b).map(i =>
       md5(concat_ws("|", (i * r until (i + 1) * r).map(k => col(s"h$k")): _*)))
-    sg.select(col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band_id", "bh")))
+    sg.select((col("doc_id") +: carry.map(col)) :+
+      posexplode(array(bandCols: _*)).as(Seq("band_id", "bh")): _*)
   }
 
   private def indexMetaPath(s: SparkSession, indexDir: String) = {
@@ -325,6 +328,45 @@ object Dedup {
     val n = docs.count()
     writeIndexParts(s, docs, indexDir, meta.r, batch = meta.batches)
     writeIndexMeta(s, indexDir, meta.r, meta.batches + 1, meta.count + n)
+  }
+
+  /** Answer a STALE index's rebuild signal WITHOUT re-reading corpus
+    * text: re-derive the banding from the index's own persisted shingle
+    * arrays. The `shs` arrays are the r-independent derivation input
+    * (signature minima and band hashes are pure functions of them —
+    * [[bandsFromArr]]), so crossing a derivation knee only requires
+    * recomputing `bands/` at the new r in one pass over the artifact,
+    * preserving the batch layout via the partition column. At 100 TB the
+    * difference is operational, not just computational: the corpus of
+    * record never gets re-read, re-tokenized or re-shingled — the
+    * re-band touches fixed-width hash arrays that live next to the index
+    * and costs O(index), while `fp/` and `shingles/` (r-independent)
+    * stay byte-identical.
+    *
+    * Commit discipline mirrors [[buildDedupIndex]]: meta is DELETED
+    * first (a re-band dying mid-swap must not leave the old meta
+    * validating a half-new bands tree), the new bands tree swaps in, and
+    * the meta rewrite commits LAST — a crash in between leaves an index
+    * every load path refuses, never one that silently misses near-dups.
+    * No-op (idempotent) when the derivation is not actually stale.
+    * Returns the index's (possibly new) r. */
+  def rebandDedupIndex(s: SparkSession, indexDir: String): Int = {
+    val meta = readIndexMeta(s, indexDir)
+    val newR = lshRowsPerBand(meta.count)
+    if (newR == meta.r) return meta.r
+    val sh = s.read.option("basePath", s"$indexDir/shingles")
+      .parquet(s"$indexDir/shingles") // (doc_id, shs, batch)
+    bandsFromArr(sh, newR, carry = Seq("batch"))
+      .write.partitionBy("batch")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$indexDir/bands_reband")
+    val (fs, p) = indexMetaPath(s, indexDir)
+    fs.delete(p, false) // uncommit: loads refuse until the new meta lands
+    val bands = new org.apache.hadoop.fs.Path(indexDir, "bands")
+    fs.delete(bands, true)
+    fs.rename(new org.apache.hadoop.fs.Path(indexDir, "bands_reband"), bands)
+    writeIndexMeta(s, indexDir, newR, meta.batches, meta.count)
+    newR
   }
 
   /** Dedup a fresh increment against a persisted index: exact

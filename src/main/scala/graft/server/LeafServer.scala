@@ -655,6 +655,17 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     graft.queries.Dedup.dedupIndexInfo(store.spark, str(args, "dir"))
   }
 
+  handle("/admin/dedup_index_reband") { (c, args) =>
+    // The maintenance action the `stale` signal asks for: re-derive the
+    // banding from the index's own persisted shingle arrays — one pass
+    // over the artifacts, corpus text never re-read. Idempotent when the
+    // derivation is current.
+    if (!c.trusted && !c.did.exists(moduleAdmins.contains))
+      throw new LeafAuthException("admin RPCs require a trusted connection")
+    val r = graft.queries.Dedup.rebandDedupIndex(store.spark, str(args, "dir"))
+    Map("r" -> r.toLong)
+  }
+
   // ---------------- wire-protocol surface ----------------
 
   /** The server's DID document (reference: .well-known/did.json endpoint,

@@ -1,0 +1,64 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.Dedup
+
+/** Dev profiling harness for the index re-band claim: answering the
+  * `stale` signal via [[Dedup.rebandDedupIndex]] must cost a small
+  * fraction of the full rebuild it replaces, because it reads only the
+  * index's own artifacts (the corpus text is never re-read, re-tokenized
+  * or re-shingled).
+  *
+  * GRAFT_REPLICATE=30 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *   sbt "runMain graft.tools.ProfileReband"
+  */
+object ProfileReband {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("GRAFT_REPLICATE", "30").toInt
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[reband] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val base = Tables.df(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val stride = base.agg(max(col("doc_id"))).head.getLong(0) + 1
+    val corpus = base.crossJoin(spark.range(mult).select(col("id").as("rep")))
+      .select((col("doc_id") + col("rep") * stride).as("doc_id"),
+        concat(col("text"), lit(" #"), col("rep")).as("text"))
+    val n = corpus.count()
+    // build below the knee the appended slice will cross: five-sixths
+    // first, one-sixth appended (30x sf0.1 -> 125k build + 25k append,
+    // crossing the 131,072-doc derivation knee)
+    val cut = n * 5 / 6
+    val idxDir = graft.TempDirs.create("graft-reband-prof").toString
+    val r1 = time(s"index build (${cut} docs)") {
+      Dedup.buildDedupIndex(spark, corpus.filter(col("doc_id") % 6 =!= 0), idxDir)
+    }
+    time(s"append (${n - cut} docs)") {
+      Dedup.appendDedupIndex(spark, corpus.filter(col("doc_id") % 6 === 0), idxDir)
+    }
+    val stale = Dedup.dedupIndexStale(spark, idxDir)
+    println(s"[reband] pinned r=$r1 stale=$stale")
+    val r2 = time("REBAND from artifacts") {
+      Dedup.rebandDedupIndex(spark, idxDir)
+    }
+    println(s"[reband] rebanded r=$r2 stale=${Dedup.dedupIndexStale(spark, idxDir)}")
+    val rebuildDir = graft.TempDirs.create("graft-reband-rebuild").toString
+    time(s"full REBUILD ($n docs)") {
+      Dedup.buildDedupIndex(spark, corpus, rebuildDir)
+    }
+    spark.stop()
+  }
+}

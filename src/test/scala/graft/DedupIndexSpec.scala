@@ -75,6 +75,54 @@ class DedupIndexSpec extends AnyFunSuite {
     TempDirs.release(java.nio.file.Paths.get(idxDir))
   }
 
+  test("reband answers the stale signal from index artifacts alone") {
+    val idxDir = TempDirs.create("graft-idx-reband").toString
+    Dedup.buildDedupIndex(spark, docs(3000), idxDir)
+    Dedup.appendDedupIndex(spark, docs(1500, base = 100000), idxDir)
+    assert(Dedup.dedupIndexStale(spark, idxDir))
+    // the r-independent artifacts must survive the re-band byte-untouched
+    val (fs, root) = hfs(idxDir)
+    def treeBytes(art: String): Long = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(root, art), true)
+      var sum = 0L
+      while (it.hasNext) { val f = it.next(); if (!f.getPath.getName.startsWith("_")) sum += f.getLen }
+      sum
+    }
+    val (fpBefore, shBefore) = (treeBytes("fp"), treeBytes("shingles"))
+    assert(Dedup.rebandDedupIndex(spark, idxDir) == 4)
+    val m = Dedup.readIndexMeta(spark, idxDir)
+    assert(m.r == 4 && !m.stale && m.batches == 2 && m.count == 4500)
+    assert(treeBytes("fp") == fpBefore && treeBytes("shingles") == shBefore,
+      "re-band must not rewrite the r-independent artifacts")
+    // idempotent once the derivation is current
+    assert(Dedup.rebandDedupIndex(spark, idxDir) == 4)
+    // the rebanded bands/ must carry EXACTLY the banding a full rebuild
+    // at the same count derives — proving the stored shingle arrays are
+    // a sufficient derivation input (the corpus text added nothing)
+    val rebandBands = spark.read.parquet(s"$idxDir/bands")
+      .select("doc_id", "band_id", "bh").collect().map(_.toString).sorted
+    val refDir = TempDirs.create("graft-idx-reband-ref").toString
+    Dedup.buildDedupIndex(
+      spark, docs(3000).unionAll(docs(1500, base = 100000)), refDir)
+    val rebuildBands = spark.read.parquet(s"$refDir/bands")
+      .select("doc_id", "band_id", "bh").collect().map(_.toString).sorted
+    assert(rebandBands.sameElements(rebuildBands),
+      "re-banded bands differ from a fresh rebuild's banding")
+    // end-to-end: the rebanded index still classifies exact AND near dups
+    // against both the original and the appended batch
+    val exactDups = docs(20, base = 2000).unionAll(docs(20, base = 100500))
+      .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+    assert(Dedup.incrementVsIndex(spark, exactDups, idxDir)
+      .collect().forall(_.getString(1) == "exact"))
+    val nearDups = docs(20, base = 2500).unionAll(docs(20, base = 101000))
+      .select((col("doc_id") + 600000).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+    assert(Dedup.incrementVsIndex(spark, nearDups, idxDir)
+      .collect().forall(_.getString(1) == "near"))
+    TempDirs.release(java.nio.file.Paths.get(idxDir))
+    TempDirs.release(java.nio.file.Paths.get(refDir))
+  }
+
   test("growing past the 4096-doc derivation knee raises the stale signal") {
     val idxDir = TempDirs.create("graft-idx-stale").toString
     // build below the knee: r derives to 3

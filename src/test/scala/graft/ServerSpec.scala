@@ -938,9 +938,17 @@ class ServerSpec extends AnyFunSuite {
     assert(grown("stale") == true, grown.toString)
     assert(grown("r") == 3L && grown("recommended_r") == 4L &&
       grown("count") == 4500L, grown.toString)
+    // the maintenance action the signal asks for: re-band from the
+    // index's own artifacts over the RPC, then the signal clears
+    val rb = ok(post("/admin/dedup_index_reband", Map("dir" -> idxDir)))
+    assert(rb("r") == 4L, rb.toString)
+    val cleared = ok(post("/admin/dedup_index_info", Map("dir" -> idxDir)))
+    assert(cleared("stale") == false && cleared("r") == 4L, cleared.toString)
     // admin-gated like every other catalog RPC
     val denied = post("/admin/dedup_index_info", Map("dir" -> idxDir), token = None)
     assert(denied.contains("err"))
+    val denied2 = post("/admin/dedup_index_reband", Map("dir" -> idxDir), token = None)
+    assert(denied2.contains("err"))
     graft.TempDirs.release(java.nio.file.Paths.get(idxDir))
   }
 
