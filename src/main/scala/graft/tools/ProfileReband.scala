@@ -51,10 +51,21 @@ object ProfileReband {
     }
     val stale = Dedup.dedupIndexStale(spark, idxDir)
     println(s"[reband] pinned r=$r1 stale=$stale")
+    // the drift cost the signal warns about: a fixed-size increment pays
+    // candidate volume at the stale (looser) banding...
+    val inc = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + stride * 900).as("doc_id"), col("text"))
+    time(s"increment vs STALE index") {
+      Dedup.incrementVsIndex(spark, inc, idxDir).count()
+    }
     val r2 = time("REBAND from artifacts") {
       Dedup.rebandDedupIndex(spark, idxDir)
     }
     println(s"[reband] rebanded r=$r2 stale=${Dedup.dedupIndexStale(spark, idxDir)}")
+    // ...and the re-band restores the derived banding's candidate volume
+    time(s"increment vs REBANDED index") {
+      Dedup.incrementVsIndex(spark, inc, idxDir).count()
+    }
     val rebuildDir = graft.TempDirs.create("graft-reband-rebuild").toString
     time(s"full REBUILD ($n docs)") {
       Dedup.buildDedupIndex(spark, corpus, rebuildDir)
