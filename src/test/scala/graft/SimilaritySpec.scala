@@ -97,4 +97,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(largestCell / total <= 0.15,
       f"largest IVF cell is ${largestCell / total}%.2f of the corpus")
   }
+
+  test("product quantization: valid codes, sorted ADC, useful recall") {
+    // structural checks on the driver fixture (isotropic noise — distance
+    // contrast too flat to measure recall there, as with IVF above)
+    val rows = SparkEntry.queries("q_emb_pq")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      (1 to 4).foreach(m => assert(r.getLong(m) >= 0 && r.getLong(m) < 8))
+    }
+    val dists = rows.map(_.getLong(5))
+    assert(dists.sameElements(dists.sorted), "ADC ranking out of order")
+    // on the CLUSTERED corpus the promise 4-byte codes CAN make is
+    // cluster-level: every ADC top-10 hit must be a cluster-mate of the
+    // query (codes collapse a tight cluster to one tuple, so ranking
+    // WITHIN the cluster is tie-broken by id — recall@10 against the
+    // exact ranking is not the PQ contract, cluster membership is)
+    import org.apache.spark.sql.functions._
+    val crows = SparkEntry.queries("q_emb_pq")(spark, clusteredDir).collect()
+    val labels = spark.read.parquet(s"$clusteredDir/embeddings.parquet")
+      .select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val qLabel = labels(0L)
+    val hits = crows.map(_.getLong(0)).count(id => labels(id) == qLabel)
+    info(s"PQ ADC top-10 cluster-mates on clustered corpus: $hits/10")
+    assert(hits == 10, s"ADC search left the query's cluster: $hits/10")
+  }
 }
