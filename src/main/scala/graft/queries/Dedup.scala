@@ -362,9 +362,20 @@ object Dedup {
       .parquet(s"$indexDir/bands_reband")
     val (fs, p) = indexMetaPath(s, indexDir)
     fs.delete(p, false) // uncommit: loads refuse until the new meta lands
+    // Hadoop FileSystems signal most failures by RETURNING FALSE, not
+    // throwing — an unchecked swap here could commit the new r over the
+    // old bands tree (or rename bands_reband INSIDE a surviving bands/),
+    // a silently mis-banded index every load would accept. Fail loudly
+    // instead: the meta is already deleted, so a failed swap leaves an
+    // index that refuses to load — recovery is retry or rebuild.
     val bands = new org.apache.hadoop.fs.Path(indexDir, "bands")
-    fs.delete(bands, true)
-    fs.rename(new org.apache.hadoop.fs.Path(indexDir, "bands_reband"), bands)
+    require(fs.delete(bands, true),
+      s"re-band: could not remove $bands — index left uncommitted " +
+        "(loads refuse); retry the re-band or rebuild")
+    require(fs.rename(
+        new org.apache.hadoop.fs.Path(indexDir, "bands_reband"), bands),
+      s"re-band: could not move the new bands tree into place — index " +
+        "left uncommitted (loads refuse); retry the re-band or rebuild")
     writeIndexMeta(s, indexDir, newR, meta.batches, meta.count)
     newR
   }

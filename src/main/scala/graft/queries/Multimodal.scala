@@ -536,20 +536,16 @@ object Multimodal {
             col("ok").cast("int").as("ok"))
           .orderBy(col("media_id"))
       },
-      // first/last BYTE of the utf-8 encoding (hex-sliced from the blob),
-      // not the first/last CHARACTER: ascii() would read the code point,
-      // which diverges from the encoder's seed bytes the moment a
-      // non-ASCII character appears; NULL text encodes from the [0]
-      // fallback seed → 16×16
-      Some("""SELECT doc_id AS media_id,
-             |  CASE CAST(doc_id % 3 AS INT)
-             |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'bmp' END AS fmt,
-             |  CAST(16 + (CASE WHEN text IS NULL OR octet_length(encode(text)) = 0 THEN 0
-             |    ELSE ('0x' || substr(hex(encode(text)), 1, 2))::INT END % 24) AS INT) AS width,
-             |  CAST(16 + (CASE WHEN text IS NULL OR octet_length(encode(text)) = 0 THEN 0
-             |    ELSE ('0x' || substr(hex(encode(text)), octet_length(encode(text)) * 2 - 1, 2))::INT END % 24) AS INT) AS height,
+      // geometry comes from the shared imgGeomSql CTE (first/last BYTE of
+      // the utf-8 encoding with the [0] empty/null fallback — ascii()
+      // would read a CODE POINT and diverge on non-ASCII text), so the
+      // dimension formulas live in exactly one place for all image
+      // oracles
+      Some(s"""WITH g AS ($imgGeomSql)
+             |SELECT doc_id AS media_id, fmt,
+             |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
              |  CAST(1 AS INT) AS ok
-             |FROM documents ORDER BY media_id""".stripMargin)),
+             |FROM g ORDER BY media_id""".stripMargin)),
 
     // ---- audio decode geometry: ORACLE-CHECKED real container parse.
     // The Spark side walks a genuine RIFF/WAVE container (magic check,
@@ -710,8 +706,8 @@ object Multimodal {
     // byte, channel spreads, BT.601 integer luminance) and aggregates
     // the same integers — the image twin of q_mm_audio_features. The
     // lossy JPEG leg can't be (DCT pixels differ from the encoder's
-    // input); it stays covered by the all-format golden digest in
-    // MultimodalSpec ----
+    // input); it stays pinned by MultimodalSpec's dedicated ALL-format
+    // features digest over the same encode→featuresEx pipeline ----
     "q_mm_features" -> Q(
       (s, dir) => {
         import s.implicits._

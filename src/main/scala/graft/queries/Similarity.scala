@@ -49,6 +49,11 @@ object Similarity {
   // is the cross-session cache-contamination trap
   private val centroids =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  // previous q_emb_pq invocation's persisted quantized vectors, swept on
+  // re-entry (the lshCaches discipline)
+  private val pqCaches =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def centroidIndex(s: SparkSession, dir: String): DataFrame = {
     // entries for stopped sessions are dead weight (and their cached
     // blocks unreachable): sweep them on access so the map is bounded by
@@ -440,10 +445,15 @@ object Similarity {
     "q_emb_pq" -> Q(
       (s, dir) => {
         val M = 4; val L = 16; val K = 8
+        // sweep the previous invocation's cache (one retained run per
+        // (session, corpus) — the lshCaches discipline; the returned plan
+        // references qv, so it cannot unpersist inline)
+        pqCaches.remove((s, dir)).foreach(_.unpersist(false))
         val qv = emb(s, dir).select(col("vec_id"),
           transform(col("embedding"),
             x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
           .persist()
+        pqCaches.put((s, dir), qv)
         qv.count() // settle: M update passes + 2 assignment passes fork the plan
         def sub(m: Int): Column = slice(col("v"), m * L + 1, L)
         val first = qv.orderBy("vec_id").limit(K).collect().map(_.getSeq[Long](1))

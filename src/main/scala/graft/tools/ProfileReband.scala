@@ -37,17 +37,18 @@ object ProfileReband {
     val corpus = base.crossJoin(spark.range(mult).select(col("id").as("rep")))
       .select((col("doc_id") + col("rep") * stride).as("doc_id"),
         concat(col("text"), lit(" #"), col("rep")).as("text"))
-    val n = corpus.count()
-    // build below the knee the appended slice will cross: five-sixths
-    // first, one-sixth appended (30x sf0.1 -> 125k build + 25k append,
-    // crossing the 131,072-doc derivation knee)
-    val cut = n * 5 / 6
+    // build below the knee the appended slice will cross (30x sf0.1 ->
+    // ~125k build + ~25k append, crossing the 131,072-doc derivation
+    // knee); counts are the ACTUAL filter sizes, not an assumed ratio
+    val buildSet = corpus.filter(col("doc_id") % 6 =!= 0)
+    val appendSet = corpus.filter(col("doc_id") % 6 === 0)
+    val (nb, na) = (buildSet.count(), appendSet.count())
     val idxDir = graft.TempDirs.create("graft-reband-prof").toString
-    val r1 = time(s"index build (${cut} docs)") {
-      Dedup.buildDedupIndex(spark, corpus.filter(col("doc_id") % 6 =!= 0), idxDir)
+    val r1 = time(s"index build ($nb docs)") {
+      Dedup.buildDedupIndex(spark, buildSet, idxDir)
     }
-    time(s"append (${n - cut} docs)") {
-      Dedup.appendDedupIndex(spark, corpus.filter(col("doc_id") % 6 === 0), idxDir)
+    time(s"append ($na docs)") {
+      Dedup.appendDedupIndex(spark, appendSet, idxDir)
     }
     val stale = Dedup.dedupIndexStale(spark, idxDir)
     println(s"[reband] pinned r=$r1 stale=$stale")
@@ -67,7 +68,7 @@ object ProfileReband {
       Dedup.incrementVsIndex(spark, inc, idxDir).count()
     }
     val rebuildDir = graft.TempDirs.create("graft-reband-rebuild").toString
-    time(s"full REBUILD ($n docs)") {
+    time(s"full REBUILD (${nb + na} docs)") {
       Dedup.buildDedupIndex(spark, corpus, rebuildDir)
     }
     spark.stop()

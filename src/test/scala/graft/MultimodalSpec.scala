@@ -152,6 +152,26 @@ class MultimodalSpec extends AnyFunSuite {
       s"thumbnail digest drifted: ${digest(thumbs)}")
   }
 
+  test("all-format features digest pins the lossy JPEG pixel path") {
+    // the q_mm_features GATE filters to the lossless legs (those are
+    // oracle-checked); the JPEG DCT-decode feature path must stay pinned
+    // somewhere, so digest featuresEx over ALL formats here
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, element_at, encode => enc, lit}
+    val feats = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("media_id"),
+        element_at(lit(Array("jpeg", "png", "bmp")), (col("doc_id") % 3 + 1).cast("int")).as("fmt"),
+        enc(col("text"), "utf-8").as("seed"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, fmt, seed) =>
+        Media(id, fmt, ImageCodec.encode(fmt, seed)) })
+      .mapPartitions(_.map(ImageCodec.featuresEx))
+      .toDF()
+      .orderBy(col("media_id"))
+    assert(digest(feats) == "d103b4abd194f895afd4439e13207976",
+      s"all-format features digest drifted: ${digest(feats)}")
+  }
+
   test("golden hashes: full 500-row outputs are byte-stable") {
     // the driver gate has no oracle for image codecs; these digests pin
     // the exact output of every multimodal operator at sf0.001
