@@ -50,10 +50,129 @@ object Similarity {
   private val centroids =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  // previous q_emb_pq invocation's persisted quantized vectors, swept on
+  // previous PQ invocation's persisted quantized vectors, swept on
   // re-entry (the lshCaches discipline)
   private val pqCaches =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Product-quantization train + encode + ADC, shared by `q_emb_pq` and
+    * `q_knn_ivfpq`: the 64-dim floor(x·64+½)-quantized vector splits into
+    * M=4 subspaces of L=16 dims; each subspace trains a K=8 codebook with
+    * one integer-Lloyd step (the q_emb_kmeans discipline — M bounded
+    * collect-syncs of O(K·L) longs); every vector encodes as M codes; and
+    * the query's (vec_id 0) exact subspace distance to every codeword
+    * precomputes into an M×K literal so the returned frame's `adc_dist`
+    * is a codes-only lookup sum (Asymmetric Distance Computation — the
+    * search never touches a vector, 4 bytes/vector of working set).
+    * Returns (vec_id, label, c0..c3, adc_dist) for every vector.
+    * Determinism: code argmin on (distance, j) over integer distances;
+    * floor-mean updates stay in Long; the ADC table is exact Longs. */
+  private def pqAdc(s: SparkSession, dir: String): DataFrame = {
+    val M = 4; val L = 16; val K = 8
+    // sweep the previous invocation's cache (one retained run per
+    // (session, corpus); the returned plan references qv, so it cannot
+    // unpersist inline)
+    pqCaches.remove((s, dir)).foreach(_.unpersist(false))
+    val qv = emb(s, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
+      .persist()
+    pqCaches.put((s, dir), qv)
+    qv.count() // settle: M update passes + 2 assignment passes fork the plan
+    def sub(m: Int): Column = slice(col("v"), m * L + 1, L)
+    val first = qv.orderBy("vec_id").limit(K).collect().map(_.getSeq[Long](2))
+    val books: Array[Array[Seq[Long]]] =
+      Array.tabulate(M)(m => first.map(_.slice(m * L, m * L + L)))
+    def bestStruct(m: Int, bk: Array[Seq[Long]]): Column =
+      array_min(array((0 until K).map { j =>
+        struct(
+          aggregate(zip_with(sub(m), typedlit(bk(j)), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d"),
+          lit(j).as("j"))
+      }: _*))
+    // codes via the argmin struct, resolved through an aliased select
+    // (the q_emb_kmeans discipline) so the (d, j) field names survive
+    // one Lloyd step per subspace: floor-mean of each code's members
+    for (m <- 0 until M) {
+      val upd = qv.select(col("v"), bestStruct(m, books(m)).as("best"))
+        .select(col("v"), col("best.j").as("c"))
+        .select(col("c"), posexplode(sub(m)).as(Seq("i", "x")))
+        .groupBy("c", "i").agg(expr("sum(x) DIV count(1)").as("cx"))
+        .collect()
+      val byC = upd.groupBy(_.getInt(0)).map { case (c, rows) =>
+        c -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+      books(m) = Array.tabulate(K)(j => byC.getOrElse(j, books(m)(j)))
+    }
+    // ADC lookup table: exact distance from the query's subvectors to
+    // every codeword — M×K longs, computed once
+    val qvec = qv.filter(col("vec_id") === 0).head.getSeq[Long](2)
+    val qd: Array[Seq[Long]] = Array.tabulate(M)(m =>
+      (0 until K).map(j => books(m)(j).zip(qvec.slice(m * L, m * L + L))
+        .map { case (c, x) => (x - c) * (x - c) }.sum))
+    qv.select(col("vec_id") +: col("label") +: col("v") +:
+        (0 until M).map(m => bestStruct(m, books(m)).as(s"b$m")): _*)
+      .select(col("vec_id") +: col("label") +:
+        (0 until M).map(m => col(s"b$m.j").cast("long").as(s"c$m")): _*)
+      .select(col("vec_id") +: col("label") +:
+        (0 until M).map(m => col(s"c$m")) :+
+        (0 until M).map(m =>
+          element_at(typedlit(qd(m)), (col(s"c$m") + 1).cast("int")))
+          .reduce(_ + _).as("adc_dist"): _*)
+  }
+
+  /** The DuckDB twin of [[pqAdc]]'s training/encoding, CTE for CTE:
+    * `q` (quantized vectors), per subspace m the init codebook `b{m}0`,
+    * assignment `a{m}`, floor-mean update `u{m}`, stepped codebook
+    * `b{m}1`, final codes `f{m}`, and the query lookup table `qd{m}`. */
+  private val pqOracleCtes: String = {
+    val M = 4; val L = 16
+    def lo(m: Int) = m * L + 1
+    def hi(m: Int) = m * L + L
+    // per-subspace distance of q.v's m-slice to codebook list c
+    def dist(m: Int, vref: String, cref: String) =
+      s"list_aggregate(list_transform(generate_series(1, $L), " +
+        s"i -> ($vref[${lo(m)} - 1 + i] - $cref[i]) * " +
+        s"($vref[${lo(m)} - 1 + i] - $cref[i])), 'sum')"
+    val perM = (0 until M).map { m =>
+      s"""b${m}0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+         |         v[${lo(m)}:${hi(m)}] AS c
+         |  FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 8)),
+         |a$m AS (
+         |  SELECT vec_id, j,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+         |  FROM (SELECT q.vec_id, b.j, ${dist(m, "q.v", "b.c")} AS d
+         |        FROM q CROSS JOIN b${m}0 b)),
+         |u$m AS (
+         |  SELECT c, i, CAST(sum(x) AS BIGINT) // count(*) AS cx
+         |  FROM (SELECT a.j AS c,
+         |          generate_subscripts(q.v[${lo(m)}:${hi(m)}], 1) AS i,
+         |          unnest(q.v[${lo(m)}:${hi(m)}]) AS x
+         |        FROM q JOIN (SELECT vec_id, j FROM a$m WHERE rn = 1) a
+         |          USING (vec_id))
+         |  GROUP BY 1, 2),
+         |b${m}1 AS (
+         |  SELECT b.j, coalesce(nv.c, b.c) AS c
+         |  FROM b${m}0 b LEFT JOIN (SELECT c AS j, list(cx ORDER BY i) AS c
+         |                           FROM u$m GROUP BY 1) nv USING (j)),
+         |f$m AS (
+         |  SELECT vec_id, j AS c$m FROM (
+         |    SELECT vec_id, j,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+         |    FROM (SELECT q.vec_id, b.j, ${dist(m, "q.v", "b.c")} AS d
+         |          FROM q CROSS JOIN b${m}1 b))
+         |  WHERE rn = 1),
+         |qd$m AS (
+         |  SELECT b.j, ${dist(m, "s.qc", "b.c")} AS d
+         |  FROM b${m}1 b CROSS JOIN
+         |       (SELECT v AS qc FROM q WHERE vec_id = 0) s)""".stripMargin
+    }
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |${perM.mkString(",\n")}""".stripMargin
+  }
   private def centroidIndex(s: SparkSession, dir: String): DataFrame = {
     // entries for stopped sessions are dead weight (and their cached
     // blocks unreachable): sweep them on access so the map is bounded by
@@ -443,119 +562,50 @@ object Similarity {
     // Determinism: codes argmin on (distance, j) over integer distances;
     // floor-mean updates stay in Long; the ADC table is exact Longs.
     "q_emb_pq" -> Q(
+      (s, dir) => pqAdc(s, dir)
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+          col("adc_dist"))
+        .orderBy(col("adc_dist"), col("vec_id")).limit(10),
+      Some(s"""$pqOracleCtes
+             |SELECT q.vec_id, f0.c0, f1.c1, f2.c2, f3.c3,
+             |  CAST(qd0.d + qd1.d + qd2.d + qd3.d AS BIGINT) AS adc_dist
+             |FROM q JOIN f0 USING (vec_id) JOIN f1 USING (vec_id)
+             |  JOIN f2 USING (vec_id) JOIN f3 USING (vec_id)
+             |  JOIN qd0 ON qd0.j = f0.c0 JOIN qd1 ON qd1.j = f1.c1
+             |  JOIN qd2 ON qd2.j = f2.c2 JOIN qd3 ON qd3.j = f3.c3
+             |WHERE q.vec_id <> 0
+             |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin)),
+
+    // ---- IVF + PQ: the standard large-scale ANN composition ----
+    // The coarse quantizer (the label cell, as q_knn_ivf) prunes the
+    // candidate set to ~1/cells of the corpus BEFORE the ADC scan, and
+    // the PQ codes make that scan touch 4 bytes per candidate — cells
+    // bound the work, codes bound the memory. The query probes its own
+    // cell (exactly what IVF assignment yields for an in-corpus query);
+    // everything downstream is the same codes-only ADC ranking ----
+    "q_knn_ivfpq" -> Q(
       (s, dir) => {
-        val M = 4; val L = 16; val K = 8
-        // sweep the previous invocation's cache (one retained run per
-        // (session, corpus) — the lshCaches discipline; the returned plan
-        // references qv, so it cannot unpersist inline)
-        pqCaches.remove((s, dir)).foreach(_.unpersist(false))
-        val qv = emb(s, dir).select(col("vec_id"),
-          transform(col("embedding"),
-            x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
-          .persist()
-        pqCaches.put((s, dir), qv)
-        qv.count() // settle: M update passes + 2 assignment passes fork the plan
-        def sub(m: Int): Column = slice(col("v"), m * L + 1, L)
-        val first = qv.orderBy("vec_id").limit(K).collect().map(_.getSeq[Long](1))
-        val books: Array[Array[Seq[Long]]] =
-          Array.tabulate(M)(m => first.map(_.slice(m * L, m * L + L)))
-        def bestStruct(m: Int, bk: Array[Seq[Long]]): Column =
-          array_min(array((0 until K).map { j =>
-            struct(
-              aggregate(zip_with(sub(m), typedlit(bk(j)), (a, b) => (a - b) * (a - b)),
-                lit(0L), (acc, x) => acc + x).as("d"),
-              lit(j).as("j"))
-          }: _*))
-        // codes via the argmin struct, resolved through an aliased select
-        // (the q_emb_kmeans discipline) so the (d, j) field names survive
-        def withCode(m: Int, bk: Array[Seq[Long]]): DataFrame =
-          qv.select(col("vec_id"), col("v"), bestStruct(m, bk).as("best"))
-            .select(col("vec_id"), col("v"), col("best.j").as("c"))
-        // one Lloyd step per subspace: floor-mean of each code's members
-        for (m <- 0 until M) {
-          val upd = withCode(m, books(m))
-            .select(col("c"), posexplode(sub(m)).as(Seq("i", "x")))
-            .groupBy("c", "i").agg(expr("sum(x) DIV count(1)").as("cx"))
-            .collect()
-          val byC = upd.groupBy(_.getInt(0)).map { case (c, rows) =>
-            c -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
-          books(m) = Array.tabulate(K)(j => byC.getOrElse(j, books(m)(j)))
-        }
-        // ADC lookup table: exact distance from the query's subvectors to
-        // every codeword — M×K longs, computed once (this IS the PQ trick:
-        // the search below never touches a vector, only codes)
-        val qvec = qv.filter(col("vec_id") === 0).head.getSeq[Long](1)
-        val qd: Array[Seq[Long]] = Array.tabulate(M)(m =>
-          (0 until K).map(j => books(m)(j).zip(qvec.slice(m * L, m * L + L))
-            .map { case (c, x) => (x - c) * (x - c) }.sum))
-        qv.select(col("vec_id") +: col("v") +:
-            (0 until M).map(m => bestStruct(m, books(m)).as(s"b$m")): _*)
-          .select(col("vec_id") +:
-            (0 until M).map(m => col(s"b$m.j").cast("long").as(s"c$m")): _*)
-          .filter(col("vec_id") =!= 0)
-          .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
-            (0 until M).map(m =>
-              element_at(typedlit(qd(m)), (col(s"c$m") + 1).cast("int")))
-              .reduce(_ + _).as("adc_dist"))
+        val coded = pqAdc(s, dir)
+        val qCell = coded.filter(col("vec_id") === 0)
+          .select(col("label")).head.getInt(0)
+        coded.filter(col("vec_id") =!= 0 && col("label") === qCell)
+          .select(col("vec_id"), col("label").cast("long").as("cell"),
+            col("c0"), col("c1"), col("c2"), col("c3"), col("adc_dist"))
           .orderBy(col("adc_dist"), col("vec_id")).limit(10)
       },
-      Some {
-        val M = 4; val L = 16
-        def lo(m: Int) = m * L + 1
-        def hi(m: Int) = m * L + L
-        // per-subspace distance of q.v's m-slice to codebook list c
-        def dist(m: Int, vref: String, cref: String) =
-          s"list_aggregate(list_transform(generate_series(1, $L), " +
-            s"i -> ($vref[${lo(m)} - 1 + i] - $cref[i]) * " +
-            s"($vref[${lo(m)} - 1 + i] - $cref[i])), 'sum')"
-        val perM = (0 until M).map { m =>
-          s"""b${m}0 AS (
-             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
-             |         v[${lo(m)}:${hi(m)}] AS c
-             |  FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 8)),
-             |a$m AS (
-             |  SELECT vec_id, j,
-             |         row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
-             |  FROM (SELECT q.vec_id, b.j, ${dist(m, "q.v", "b.c")} AS d
-             |        FROM q CROSS JOIN b${m}0 b)),
-             |u$m AS (
-             |  SELECT c, i, CAST(sum(x) AS BIGINT) // count(*) AS cx
-             |  FROM (SELECT a.j AS c,
-             |          generate_subscripts(q.v[${lo(m)}:${hi(m)}], 1) AS i,
-             |          unnest(q.v[${lo(m)}:${hi(m)}]) AS x
-             |        FROM q JOIN (SELECT vec_id, j FROM a$m WHERE rn = 1) a
-             |          USING (vec_id))
-             |  GROUP BY 1, 2),
-             |b${m}1 AS (
-             |  SELECT b.j, coalesce(nv.c, b.c) AS c
-             |  FROM b${m}0 b LEFT JOIN (SELECT c AS j, list(cx ORDER BY i) AS c
-             |                           FROM u$m GROUP BY 1) nv USING (j)),
-             |f$m AS (
-             |  SELECT vec_id, j AS c$m FROM (
-             |    SELECT vec_id, j,
-             |           row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
-             |    FROM (SELECT q.vec_id, b.j, ${dist(m, "q.v", "b.c")} AS d
-             |          FROM q CROSS JOIN b${m}1 b))
-             |  WHERE rn = 1),
-             |qd$m AS (
-             |  SELECT b.j, ${dist(m, "s.qc", "b.c")} AS d
-             |  FROM b${m}1 b CROSS JOIN
-             |       (SELECT v AS qc FROM q WHERE vec_id = 0) s)""".stripMargin
-        }
-        s"""WITH q AS (
-           |  SELECT vec_id, list_transform(embedding,
-           |    x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT)) AS v
-           |  FROM embeddings),
-           |${perM.mkString(",\n")}
-           |SELECT q.vec_id, f0.c0, f1.c1, f2.c2, f3.c3,
-           |  CAST(qd0.d + qd1.d + qd2.d + qd3.d AS BIGINT) AS adc_dist
-           |FROM q JOIN f0 USING (vec_id) JOIN f1 USING (vec_id)
-           |  JOIN f2 USING (vec_id) JOIN f3 USING (vec_id)
-           |  JOIN qd0 ON qd0.j = f0.c0 JOIN qd1 ON qd1.j = f1.c1
-           |  JOIN qd2 ON qd2.j = f2.c2 JOIN qd3 ON qd3.j = f3.c3
-           |WHERE q.vec_id <> 0
-           |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
-      }),
+      Some(s"""$pqOracleCtes
+             |SELECT q.vec_id, CAST(e.label AS BIGINT) AS cell,
+             |  f0.c0, f1.c1, f2.c2, f3.c3,
+             |  CAST(qd0.d + qd1.d + qd2.d + qd3.d AS BIGINT) AS adc_dist
+             |FROM q JOIN embeddings e USING (vec_id)
+             |  JOIN f0 USING (vec_id) JOIN f1 USING (vec_id)
+             |  JOIN f2 USING (vec_id) JOIN f3 USING (vec_id)
+             |  JOIN qd0 ON qd0.j = f0.c0 JOIN qd1 ON qd1.j = f1.c1
+             |  JOIN qd2 ON qd2.j = f2.c2 JOIN qd3 ON qd3.j = f3.c3
+             |WHERE q.vec_id <> 0
+             |  AND e.label = (SELECT label FROM embeddings WHERE vec_id = 0)
+             |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin)),
 
     // ---- embedding outlier detection, exact ----
     // Quality assurance for an embedding corpus: flag vectors whose

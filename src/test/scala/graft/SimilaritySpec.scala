@@ -122,5 +122,11 @@ class SimilaritySpec extends AnyFunSuite {
     val hits = crows.map(_.getLong(0)).count(id => labels(id) == qLabel)
     info(s"PQ ADC top-10 cluster-mates on clustered corpus: $hits/10")
     assert(hits == 10, s"ADC search left the query's cluster: $hits/10")
+    // the IVF composition probes the query's cell and ADC-ranks within
+    // it — every hit must carry that cell
+    val ivfpq = SparkEntry.queries("q_knn_ivfpq")(spark, clusteredDir).collect()
+    assert(ivfpq.length == 10 &&
+      ivfpq.forall(_.getLong(1) == qLabel.toLong),
+      "q_knn_ivfpq returned rows outside the probed cell")
   }
 }
