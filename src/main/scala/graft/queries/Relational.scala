@@ -812,6 +812,167 @@ object Relational {
              |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // ---- TPC-H Q6 shape: the pure predicate-band aggregate (forecast
+    // revenue change) — no join at all, three range predicates that ALL
+    // push to the parquet scan, one map-side-combined aggregate. The
+    // simplest query in the suite and the purest pushdown witness ----
+    "q_tpch_q6" -> Q(
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(count(lit(1)).as("n"),
+          dbl(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))))
+            .as("revenue")),
+      Some(s"""SELECT count(*) AS n,
+              |  CAST(sum(${sqlDec("l_extendedprice")} *
+              |       ${sqlDec("l_discount")}) AS DOUBLE) AS revenue
+              |FROM lineitem
+              |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              |  AND l_shipdate < TIMESTAMP '1997-01-01'
+              |  AND l_discount BETWEEN 0.03 AND 0.07
+              |  AND l_quantity < 24""".stripMargin)),
+
+    // ---- TPC-H Q7 shape: volume shipping between two nation groups —
+    // the DIRECTIONAL pair predicate ((A,B) OR (B,A)) over a double
+    // nation join (supplier's nation and customer's nation are different
+    // role-playing copies of the same dim), grouped by both directions
+    // and the shipment year. The fixture's single-nation pairs are empty
+    // at small SF, so the groups adapt to region pairs; both nation
+    // copies stay pinned broadcasts (bounded forever) ----
+    "q_tpch_q7" -> Q(
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            year(col("l_shipdate")).cast("long").as("l_year"),
+            (dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(10, 2)) -
+              dec(col("l_discount")))).as("rev"))
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+        val n1 = t(s, dir, "nation")
+          .select(col("n_nationkey").as("n1k"), col("n_name").as("supp_nation"),
+            col("n_regionkey").as("r1"))
+        val n2 = t(s, dir, "nation")
+          .select(col("n_nationkey").as("n2k"), col("n_name").as("cust_nation"),
+            col("n_regionkey").as("r2"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("n1k"))
+          .join(broadcast(n2), col("c_nationkey") === col("n2k"))
+          .filter((col("r1") === 0 && col("r2") === 1) ||
+            (col("r1") === 1 && col("r2") === 0))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+          .agg(count(lit(1)).as("n"), dbl(sum(col("rev"))).as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              |  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+              |  count(*) AS n,
+              |  CAST(sum(${sqlDec("l_extendedprice")} *
+              |       (CAST(1 AS DECIMAL(10,2)) - ${sqlDec("l_discount")})) AS DOUBLE) AS revenue
+              |FROM lineitem
+              |JOIN orders ON o_orderkey = l_orderkey
+              |JOIN supplier ON s_suppkey = l_suppkey
+              |JOIN customer ON c_custkey = o_custkey
+              |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              |WHERE (n1.n_regionkey = 0 AND n2.n_regionkey = 1)
+              |   OR (n1.n_regionkey = 1 AND n2.n_regionkey = 0)
+              |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ---- TPC-H Q8 shape: national market share — a per-year RATIO of
+    // conditional sums over the widest join graph in the suite (fact +
+    // orders + part + customer + two dim hops). The share numerator
+    // conditions on the SUPPLIER side while the population filters on
+    // the CUSTOMER side; decimal until the one rounded double division
+    // per year ----
+    "q_tpch_q8" -> Q(
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            (dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(10, 2)) -
+              dec(col("l_discount")))).as("vol"))
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+        val p = t(s, dir, "part").filter(col("p_type") === "PROMO")
+          .select(col("p_partkey"))
+        val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+        val cn = t(s, dir, "nation")
+          .select(col("n_nationkey").as("cnk"), col("n_regionkey").as("crk"))
+        val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+          .select(col("r_regionkey"))
+        val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        val sn = t(s, dir, "nation")
+          .select(col("n_nationkey").as("snk"), col("n_regionkey").as("srk"))
+        l.join(p, col("l_partkey") === col("p_partkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(cn), col("c_nationkey") === col("cnk"))
+          .join(broadcast(r), col("crk") === col("r_regionkey"), "left_semi")
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(sn), col("s_nationkey") === col("snk"))
+          .groupBy(col("o_year"))
+          .agg(round(dbl(sum(when(col("srk") === 0, col("vol"))
+              .otherwise(lit(0).cast(DecimalType(10, 2))))) /
+            dbl(sum(col("vol"))), 6).as("mkt_share"))
+          .orderBy(col("o_year"))
+      },
+      Some(s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+              |  round(
+              |    CAST(sum(CASE WHEN sn.n_regionkey = 0
+              |      THEN ${sqlDec("l_extendedprice")} *
+              |           (CAST(1 AS DECIMAL(10,2)) - ${sqlDec("l_discount")})
+              |      ELSE CAST(0 AS DECIMAL(10,2)) END) AS DOUBLE) /
+              |    CAST(sum(${sqlDec("l_extendedprice")} *
+              |         (CAST(1 AS DECIMAL(10,2)) - ${sqlDec("l_discount")})) AS DOUBLE),
+              |  6) AS mkt_share
+              |FROM lineitem
+              |JOIN part ON p_partkey = l_partkey
+              |JOIN orders ON o_orderkey = l_orderkey
+              |JOIN customer ON c_custkey = o_custkey
+              |JOIN nation cn ON c_nationkey = cn.n_nationkey
+              |JOIN region ON cn.n_regionkey = r_regionkey
+              |JOIN supplier ON s_suppkey = l_suppkey
+              |JOIN nation sn ON s_nationkey = sn.n_nationkey
+              |WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+              |GROUP BY 1 ORDER BY o_year""".stripMargin)),
+
+    // ---- TPC-H Q15 shape: top supplier — aggregate-then-argmax via the
+    // scalar max subquery. Per-supplier quarterly revenue reduces FIRST
+    // (partial-aggregated, O(suppliers) rows out), the 1-row max
+    // cross-joins back, and the equality test runs on exact DECIMAL so
+    // ties (all max suppliers) surface identically in both engines ----
+    "q_tpch_q15" -> Q(
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(10, 2)) -
+            dec(col("l_discount")))).as("total"))
+        val top = rev.agg(max(col("total")).as("mx"))
+        val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+        rev.crossJoin(broadcast(top))
+          .filter(col("total") === col("mx"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), dbl(col("total")).as("total_revenue"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some(s"""WITH rev AS (
+              |  SELECT l_suppkey, sum(${sqlDec("l_extendedprice")} *
+              |    (CAST(1 AS DECIMAL(10,2)) - ${sqlDec("l_discount")})) AS total
+              |  FROM lineitem
+              |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              |    AND l_shipdate < TIMESTAMP '1996-04-01'
+              |  GROUP BY 1)
+              |SELECT s_suppkey, s_name, CAST(total AS DOUBLE) AS total_revenue
+              |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+              |WHERE total = (SELECT max(total) FROM rev)
+              |ORDER BY s_suppkey""".stripMargin)),
+
     // ---- TPC-H Q14 shape: promoted-revenue share in one month — the
     // conditional-aggregation ratio. Both numerator and denominator
     // come out of ONE aggregate over the joined month (no second pass);

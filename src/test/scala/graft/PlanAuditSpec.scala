@@ -315,6 +315,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_tpch_q5",           // nation + region
       "q_tpch_q21",          // nation (25 rows forever)
       "q_tpch_q22",          // 1-row (sum, count) stats frame
+      "q_tpch_q7",           // two role-playing nation copies
+      "q_tpch_q8",           // nation x2 + region
+      "q_tpch_q15",          // 1-row max-revenue frame
       "q_quantile_sketch",   // 1-row bounds + 3-row percentiles
       "q_above_avg",         // 1-row global average
       "q_events_anomaly",    // per-type stats (bounded by |types|)
