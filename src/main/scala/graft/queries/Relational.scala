@@ -41,6 +41,11 @@ object Relational {
   private val bucketedReady = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Boolean]
 
+  // q_tpch_q15's persisted per-supplier aggregate (two consumers), one
+  // retained run per (session, corpus), swept on re-entry
+  private val q15Caches = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
+
   private[graft] def bucketedName(dir: String, table: String): String =
     s"graft_b_${table}_${(dir.hashCode & Int.MaxValue).toHexString}"
 
@@ -947,12 +952,20 @@ object Relational {
     // ties (all max suppliers) surface identically in both engines ----
     "q_tpch_q15" -> Q(
       (s, dir) => {
+        // the per-supplier aggregate has two consumers (the 1-row max
+        // frame and the main branch) — persist it so the filtered
+        // lineitem scan+aggregate runs ONCE, not twice (the previous
+        // invocation's cache is swept on re-entry)
+        q15Caches.remove((s, dir)).foreach(_.unpersist(false))
         val rev = t(s, dir, "lineitem")
           .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
             col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
           .groupBy(col("l_suppkey"))
           .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(10, 2)) -
             dec(col("l_discount")))).as("total"))
+          .persist()
+        q15Caches.put((s, dir), rev)
+        rev.count() // settle so both consumers read the cache
         val top = rev.agg(max(col("total")).as("mx"))
         val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
         rev.crossJoin(broadcast(top))

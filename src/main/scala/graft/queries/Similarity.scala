@@ -50,9 +50,14 @@ object Similarity {
   private val centroids =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  // previous PQ invocation's persisted quantized vectors, swept on
-  // re-entry (the lshCaches discipline)
+  // the PQ pipeline's persisted quantized vectors and its memoized coded
+  // result, one per (session, corpus): two gates share one training run
+  // (rebuilding a trained index inside every query execution is the
+  // anti-pattern the centroids cache above documents); stopped-session
+  // entries are swept on access
   private val pqCaches =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val pqCoded =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** Product-quantization train + encode + ADC, shared by `q_emb_pq` and
@@ -66,13 +71,19 @@ object Similarity {
     * search never touches a vector, 4 bytes/vector of working set).
     * Returns (vec_id, label, c0..c3, adc_dist) for every vector.
     * Determinism: code argmin on (distance, j) over integer distances;
-    * floor-mean updates stay in Long; the ADC table is exact Longs. */
+    * truncated-mean updates stay in Long (Spark DIV and DuckDB // BOTH
+    * truncate toward zero — negative sums occur, so do not "fix" either
+    * side to floor division or the codebooks silently diverge); the ADC
+    * table is exact Longs. */
   private def pqAdc(s: SparkSession, dir: String): DataFrame = {
+    pqCoded.keys.filter(_._1.sparkContext.isStopped).foreach { k =>
+      pqCoded.remove(k); pqCaches.remove(k)
+    }
+    pqCoded.getOrElseUpdate((s, dir), pqAdcBuild(s, dir))
+  }
+
+  private def pqAdcBuild(s: SparkSession, dir: String): DataFrame = {
     val M = 4; val L = 16; val K = 8
-    // sweep the previous invocation's cache (one retained run per
-    // (session, corpus); the returned plan references qv, so it cannot
-    // unpersist inline)
-    pqCaches.remove((s, dir)).foreach(_.unpersist(false))
     val qv = emb(s, dir).select(col("vec_id"), col("label"),
       transform(col("embedding"),
         x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
@@ -92,7 +103,8 @@ object Similarity {
       }: _*))
     // codes via the argmin struct, resolved through an aliased select
     // (the q_emb_kmeans discipline) so the (d, j) field names survive
-    // one Lloyd step per subspace: floor-mean of each code's members
+    // one Lloyd step per subspace: truncated mean (DIV) of each code's
+    // members
     for (m <- 0 until M) {
       val upd = qv.select(col("v"), bestStruct(m, books(m)).as("best"))
         .select(col("v"), col("best.j").as("c"))
@@ -122,7 +134,7 @@ object Similarity {
 
   /** The DuckDB twin of [[pqAdc]]'s training/encoding, CTE for CTE:
     * `q` (quantized vectors), per subspace m the init codebook `b{m}0`,
-    * assignment `a{m}`, floor-mean update `u{m}`, stepped codebook
+    * assignment `a{m}`, truncated-mean update `u{m}`, stepped codebook
     * `b{m}1`, final codes `f{m}`, and the query lookup table `qd{m}`. */
   private val pqOracleCtes: String = {
     val M = 4; val L = 16
@@ -560,7 +572,7 @@ object Similarity {
     // over M byte-codes plus a 32-entry lookup literal — 4 bytes/vector
     // of working set instead of 256, which is why PQ is the 100 TB path.
     // Determinism: codes argmin on (distance, j) over integer distances;
-    // floor-mean updates stay in Long; the ADC table is exact Longs.
+    // truncated-mean updates stay in Long; the ADC table is exact Longs.
     "q_emb_pq" -> Q(
       (s, dir) => pqAdc(s, dir)
         .filter(col("vec_id") =!= 0)
@@ -587,8 +599,11 @@ object Similarity {
     "q_knn_ivfpq" -> Q(
       (s, dir) => {
         val coded = pqAdc(s, dir)
+        // cast before read: SchemaContract pins label only to the
+        // Integral family, so a fixture regeneration may deliver int64 —
+        // a bare getInt would throw on that drift
         val qCell = coded.filter(col("vec_id") === 0)
-          .select(col("label")).head.getInt(0)
+          .select(col("label").cast("long")).head.getLong(0)
         coded.filter(col("vec_id") =!= 0 && col("label") === qCell)
           .select(col("vec_id"), col("label").cast("long").as("cell"),
             col("c0"), col("c1"), col("c2"), col("c3"), col("adc_dist"))
