@@ -110,6 +110,38 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q6 is pure pushdown: no join, one exchange, predicates at the scan") {
+    val plan = physical("q_tpch_q6")
+    assert(!plan.contains("Join"), s"q6 plans a join:\n$plan")
+    assert("Exchange".r.findAllIn(plan).length <= 1,
+      s"q6 shuffles more than the final aggregate:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(plan).isDefined,
+      s"q6 date band not pushed:\n$plan")
+  }
+
+  test("q7's directional region predicate derives into both nation scans") {
+    // Catalyst must turn ((r1=0 AND r2=1) OR (r1=1 AND r2=0)) into a
+    // per-copy Or(n_regionkey=0, n_regionkey=1) filter PUSHED into each
+    // role-playing nation scan — losing that derivation would carry every
+    // nation row into the join
+    val plan = physical("q_tpch_q7")
+    assert("Or\\(EqualTo\\(n_regionkey,[01]\\),EqualTo\\(n_regionkey,[01]\\)\\)".r
+      .findAllIn(plan).length >= 2,
+      s"region disjunction not derived into both nation scans:\n$plan")
+  }
+
+  test("q15's per-supplier aggregate is cached for its two consumers") {
+    // the 1-row max frame and the main branch both read the persisted
+    // aggregate — an uncached plan scans+aggregates filtered lineitem
+    // twice (the shape EXPLAIN.md's first capture showed)
+    // both consumers must read the cache (InMemoryTableScan ×2); the
+    // lineitem FileScan lines in the plan text live INSIDE the printed
+    // InMemoryRelation descriptions (the cached child), not as live scans
+    val plan = physical("q_tpch_q15")
+    assert("InMemoryTableScan".r.findAllIn(plan).length >= 2,
+      s"q15 re-derives the per-supplier aggregate:\n$plan")
+  }
+
   test("token budget windows over the source key, not a single partition") {
     // an empty-frame/global window (`Window.orderBy` without partitionBy)
     // funnels the whole corpus through ONE task — the classic window
