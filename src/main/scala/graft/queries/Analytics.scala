@@ -877,7 +877,7 @@ object Analytics {
     // 2^63 (r ≤ 1e12 · w ≤ 1e6 here).
     "q_graph_pagerank" -> Q(
       (s, dir) => {
-        prCaches.remove((s, dir)).foreach(_.foreach(_.unpersist(false)))
+        prCaches.evict(s, dir)
         val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
         val ords = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
         val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
@@ -902,7 +902,7 @@ object Analytics {
         val nodes = edges.select(col("src").as("nk"))
           .unionAll(edges.select(col("dst").as("nk"))).distinct().persist()
         val n = nodes.count() // one action settles edges + nodes
-        prCaches((s, dir)) = Seq(edges, nodes)
+        prCaches.put(s, dir, Seq(edges, nodes))
         val wout = edges.groupBy("src").agg(sum(col("w")).as("wout"))
         var ranks = nodes.select(col("nk"), lit(1000000000000L / n).as("r"))
         for (_ <- 1 to 3) {
@@ -950,6 +950,5 @@ object Analytics {
 
   // previous invocation's persisted edge/node frames, swept on re-entry
   // (same retention discipline as Dedup.lshCaches)
-  private val prCaches = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Seq[DataFrame]]
+  private val prCaches = GateCache.frames()
 }

@@ -83,9 +83,9 @@ object Corpus {
   private val rhoSql = s"CASE ${(0 until 54).map(i =>
     s"WHEN (h >> 6) >= ${1L << (53 - i)} THEN ${i + 1}").mkString(" ")} ELSE 55 END"
 
-  // previous invocation's persisted window pass, swept on re-entry
-  private val ssCaches = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+  // previous invocation's persisted window pass, swept on re-entry (the
+  // shared GateCache discipline)
+  private val ssCaches = GateCache.frame()
 
   /** Bloom sizing, derived from the eval-set gram count with integer
     * thresholds only (no float logs — both engines must agree exactly):
@@ -168,7 +168,7 @@ object Corpus {
         val W = 8
         // sweep the previous invocation's cache (one retained run per
         // (session, corpus), the lshCaches discipline)
-        ssCaches.remove((s, dir)).foreach(_.unpersist(false))
+        ssCaches.evict(s, dir)
         val tok = Dedup.corpus(s, dir)
           .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
           .filter(size(col("t")) >= W)
@@ -180,7 +180,7 @@ object Corpus {
               i => h60(s, concat_ws(" ", slice(col("t"), i + 1, lit(W))))))
               .as(Seq("pos", "h")))
           .persist()
-        ssCaches((s, dir)) = wins
+        ssCaches.put(s, dir, wins)
         val dupH = wins.groupBy("h")
           .agg(countDistinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= 2).select("h")
@@ -226,7 +226,7 @@ object Corpus {
         // THREE consumers read the window pass (dup-hash aggregate,
         // semi-join probe, per-doc n_win count) — pin it like the span
         // gate does; (doc_id, pos, h) is fixed-width, so the pin is cheap
-        ssCaches.remove((s, dir)).foreach(_.unpersist(false))
+        ssCaches.evict(s, dir)
         val tok = Dedup.corpus(s, dir)
           .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
           .filter(size(col("t")) >= W)
@@ -235,7 +235,7 @@ object Corpus {
               i => h60(s, concat_ws(" ", slice(col("t"), i + 1, lit(W))))))
               .as(Seq("pos", "h")))
           .persist()
-        ssCaches((s, dir)) = wins
+        ssCaches.put(s, dir, wins)
         val dupH = wins.groupBy("h")
           .agg(countDistinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= 2).select("h")

@@ -39,8 +39,7 @@ object Dedup {
 
   // one generation of LSH intermediate caches per (session, corpus); the
   // next invocation sweeps the last (see q_dedup_lsh)
-  private val lshCaches = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Seq[DataFrame]]
+  private val lshCaches = GateCache.frames()
 
 
   /** documents + clones: every 10th doc duplicated under doc_id+1e6. */
@@ -361,7 +360,13 @@ object Dedup {
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$indexDir/bands_reband")
     val (fs, p) = indexMetaPath(s, indexDir)
-    fs.delete(p, false) // uncommit: loads refuse until the new meta lands
+    // the uncommit must be GUARANTEED before the bands swap begins: if
+    // this delete silently returned false and the swap below then failed
+    // after removing bands/, the old meta would still validate a missing
+    // bands tree — loads would die with a read error instead of the
+    // documented "meta absent, loads refuse" state
+    require(fs.delete(p, false),
+      s"re-band: could not delete $p — index unchanged; retry the re-band")
     // Hadoop FileSystems signal most failures by RETURNING FALSE, not
     // throwing — an unchecked swap here could commit the new r over the
     // old bands tree (or rename bands_reband INSIDE a surviving bands/),
@@ -547,7 +552,7 @@ object Dedup {
         // Instead, sweep the PREVIOUS invocation's caches — retention is
         // bounded to one run per (session, corpus) instead of growing with
         // every execution.
-        lshCaches.remove((s, dir)).foreach(_.foreach(_.unpersist(false)))
+        lshCaches.evict(s, dir)
         val shArr = shingleHashArr(s, 5, stride = 2)(corpus(s, dir))
           .persist()
         shArr.count() // materialize NOW: three consumers below (two broadcast
@@ -575,7 +580,7 @@ object Dedup {
           .persist()
         cand.count() // settle the candidate set before the verify stage so
         // its two broadcast builds don't re-run the band join
-        lshCaches((s, dir)) = Seq(shArr, cand)
+        lshCaches.put(s, dir, Seq(shArr, cand))
         // native codegen expression, not a UDF: evaluates on ArrayData with
         // primitive getLong, no per-pair Seq deserialization
         graft.functions.VectorExpressions.register(s)

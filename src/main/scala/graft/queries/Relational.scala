@@ -41,10 +41,11 @@ object Relational {
   private val bucketedReady = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Boolean]
 
-  // q_tpch_q15's persisted per-supplier aggregate (two consumers), one
-  // retained run per (session, corpus), swept on re-entry
-  private val q15Caches = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
+  // q_tpch_q15's / q_tpch_q11_shape's persisted aggregates (two consumers
+  // each), one retained run per (session, corpus), swept on re-entry —
+  // the shared GateCache discipline
+  private val q15Caches = GateCache.frame()
+  private val q11Caches = GateCache.frame()
 
   private[graft] def bucketedName(dir: String, table: String): String =
     s"graft_b_${table}_${(dir.hashCode & Int.MaxValue).toHexString}"
@@ -956,7 +957,7 @@ object Relational {
         // frame and the main branch) — persist it so the filtered
         // lineitem scan+aggregate runs ONCE, not twice (the previous
         // invocation's cache is swept on re-entry)
-        q15Caches.remove((s, dir)).foreach(_.unpersist(false))
+        q15Caches.evict(s, dir)
         val rev = t(s, dir, "lineitem")
           .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
             col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
@@ -964,8 +965,8 @@ object Relational {
           .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(10, 2)) -
             dec(col("l_discount")))).as("total"))
           .persist()
-        q15Caches.put((s, dir), rev)
         rev.count() // settle so both consumers read the cache
+        q15Caches.put(s, dir, rev)
         val top = rev.agg(max(col("total")).as("mx"))
         val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
         rev.crossJoin(broadcast(top))
@@ -1094,6 +1095,138 @@ object Relational {
               |  AND NOT EXISTS (SELECT 1 FROM orders
               |    WHERE o_custkey = c_custkey AND o_orderpriority LIKE '1%')
               |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---- TPC-H Q20 shape: the nested agg-threshold semi-join chain —
+    // suppliers of a name-filtered part family whose stock exceeds half
+    // the quantity they shipped in one year, restricted to one region.
+    // The fixture has no partsupp table, so a deterministic SURROGATE is
+    // derived identically on both engines: ONE pass over lineitem yields
+    // both the distinct (part, supp) pairs AND the date-banded shipped
+    // quantity (a conditional aggregate — no second fact scan), and
+    // ps_availqty is key-derived integer arithmetic. The classic
+    // correlated subquery ("availqty > ½ · (SELECT sum(qty) WHERE
+    // l_partkey = ps_partkey AND l_suppkey = ps_suppkey)") decorrelates
+    // into that per-(part,supp) aggregate — no correlated re-scan of the
+    // fact table per partsupp row, which is the difference between one
+    // shuffle and a quadratic plan at 100 TB. The ½ threshold
+    // cross-multiplies (2·availqty > qty) so no float division exists;
+    // pairs with no in-band shipments have NULL band_qty and fail the
+    // comparison in both engines — exactly the empty-correlated-subquery
+    // semantics of the original ----
+    "q_tpch_q20_shape" -> Q(
+      (s, dir) => {
+        val ps = t(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("ps_partkey"),
+            col("l_suppkey").as("ps_suppkey"))
+          .agg(sum(when(
+            col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp"),
+            dec(col("l_quantity")))).as("band_qty"))
+          .withColumn("ps_availqty",
+            (col("ps_partkey") * 7 + col("ps_suppkey") * 11) % 1000 + 1)
+        val redParts = t(s, dir, "part")
+          .filter(col("p_name").like("red%")).select(col("p_partkey"))
+        // redParts grows with the part table (scale-proportional), so no
+        // broadcast hint: AQE broadcasts it at small SF and falls back to
+        // a shuffle semi-join when the part family no longer fits
+        val qualSupp = ps
+          .join(redParts,
+            col("ps_partkey") === col("p_partkey"), "left_semi")
+          .filter(col("ps_availqty") * 2 > col("band_qty"))
+          .select(col("ps_suppkey")).distinct()
+        val nat = t(s, dir, "nation").filter(col("n_regionkey") === 0)
+          .select(col("n_nationkey"))
+        t(s, dir, "supplier")
+          .join(broadcast(nat),
+            col("s_nationkey") === col("n_nationkey"), "left_semi")
+          .join(qualSupp, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some(s"""WITH ps AS (
+              |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+              |    sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+              |              AND l_shipdate < TIMESTAMP '1998-01-01'
+              |        THEN ${sqlDec("l_quantity")} END) AS band_qty
+              |  FROM lineitem GROUP BY 1, 2),
+              |ps2 AS (
+              |  SELECT ps_partkey, ps_suppkey, band_qty,
+              |    (ps_partkey * 7 + ps_suppkey * 11) % 1000 + 1 AS ps_availqty
+              |  FROM ps)
+              |SELECT s_suppkey, s_name FROM supplier
+              |WHERE s_nationkey IN
+              |    (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+              |  AND s_suppkey IN (
+              |    SELECT ps_suppkey FROM ps2
+              |    WHERE ps_partkey IN
+              |        (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+              |      AND ps_availqty * 2 > band_qty)
+              |ORDER BY s_suppkey""".stripMargin)),
+
+    // ---- TPC-H Q11 shape: group-share-vs-global-scalar HAVING — per-part
+    // inventory value within a nation group, kept only when the part's
+    // share of the GLOBAL group value clears a threshold. Same derived
+    // partsupp surrogate as q_tpch_q20_shape (distinct (part,supp) pairs
+    // from lineitem; availqty and per-unit cost-in-cents key-derived), so
+    // value arithmetic is EXACT Long integer math end to end: the share
+    // test cross-multiplies (value·1000 > total) instead of comparing
+    // float fractions, and the global scalar folds in as a broadcast
+    // 1-row aggregate over the PERSISTED per-part frame — the grouped
+    // pass runs once for both consumers, the q15 discipline ----
+    "q_tpch_q11_shape" -> Q(
+      (s, dir) => {
+        q11Caches.evict(s, dir)
+        val ps = t(s, dir, "lineitem")
+          .select(col("l_partkey").as("ps_partkey"),
+            col("l_suppkey").as("ps_suppkey"))
+          .distinct()
+          .withColumn("availqty",
+            (col("ps_partkey") * 7 + col("ps_suppkey") * 11) % 1000 + 1)
+          .withColumn("cost_cents",
+            (col("ps_partkey") * 13 + col("ps_suppkey") * 5) % 10000)
+        val nat = t(s, dir, "nation").filter(col("n_regionkey") <= 1)
+          .select(col("n_nationkey"))
+        val supp = t(s, dir, "supplier")
+          .join(broadcast(nat),
+            col("s_nationkey") === col("n_nationkey"), "left_semi")
+          .select(col("s_suppkey"))
+        // supplier grows with SF — hint-free semi-join (AQE decides)
+        val grp = ps
+          .join(supp,
+            col("ps_suppkey") === col("s_suppkey"), "left_semi")
+          .groupBy(col("ps_partkey"))
+          .agg(sum(col("availqty") * col("cost_cents")).as("value_cents"))
+          .persist()
+        grp.count() // settle: the total and the main branch both read it
+        q11Caches.put(s, dir, grp)
+        val tot = grp.agg(sum(col("value_cents")).as("t"))
+        grp.crossJoin(broadcast(tot))
+          .filter(col("value_cents") * 1000 > col("t"))
+          .select(col("ps_partkey"),
+            (col("value_cents").cast("double") / 100).as("value"))
+          .orderBy(col("value").desc, col("ps_partkey"))
+      },
+      Some("""WITH ps AS (
+             |  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+             |  FROM lineitem),
+             |ps2 AS (
+             |  SELECT ps_partkey, ps_suppkey,
+             |    (ps_partkey * 7 + ps_suppkey * 11) % 1000 + 1 AS availqty,
+             |    (ps_partkey * 13 + ps_suppkey * 5) % 10000 AS cost_cents
+             |  FROM ps),
+             |grp AS (
+             |  SELECT ps_partkey,
+             |    CAST(sum(availqty * cost_cents) AS BIGINT) AS value_cents
+             |  FROM ps2
+             |  WHERE ps_suppkey IN (
+             |    SELECT s_suppkey FROM supplier WHERE s_nationkey IN
+             |      (SELECT n_nationkey FROM nation WHERE n_regionkey <= 1))
+             |  GROUP BY 1),
+             |tot AS (SELECT sum(value_cents) AS t FROM grp)
+             |SELECT ps_partkey, CAST(value_cents AS DOUBLE) / 100 AS value
+             |FROM grp, tot
+             |WHERE value_cents * 1000 > t
+             |ORDER BY value DESC, ps_partkey""".stripMargin)),
 
     "q_setop_intersect" -> Q(
       (s, dir) =>

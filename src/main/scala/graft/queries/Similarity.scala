@@ -47,18 +47,15 @@ object Similarity {
   // keyed by (session, dir): a cached DataFrame is bound to the session
   // that built it — handing it to a different (possibly stopped) session
   // is the cross-session cache-contamination trap
-  private val centroids =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val centroids = GateCache.frame()
 
   // the PQ pipeline's persisted quantized vectors and its memoized coded
   // result, one per (session, corpus): two gates share one training run
   // (rebuilding a trained index inside every query execution is the
   // anti-pattern the centroids cache above documents); stopped-session
-  // entries are swept on access
-  private val pqCaches =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private val pqCoded =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  // entries are swept on access (the shared GateCache discipline)
+  private val pqCaches = GateCache.frame()
+  private val pqCoded = GateCache.frame()
 
   /** Product-quantization train + encode + ADC, shared by `q_emb_pq` and
     * `q_knn_ivfpq`: the 64-dim floor(x·64+½)-quantized vector splits into
@@ -76,10 +73,8 @@ object Similarity {
     * side to floor division or the codebooks silently diverge); the ADC
     * table is exact Longs. */
   private def pqAdc(s: SparkSession, dir: String): DataFrame = {
-    pqCoded.keys.filter(_._1.sparkContext.isStopped).foreach { k =>
-      pqCoded.remove(k); pqCaches.remove(k)
-    }
-    pqCoded.getOrElseUpdate((s, dir), pqAdcBuild(s, dir))
+    pqCaches.sweep()
+    pqCoded.getOrBuild(s, dir)(pqAdcBuild(s, dir))
   }
 
   private def pqAdcBuild(s: SparkSession, dir: String): DataFrame = {
@@ -88,7 +83,14 @@ object Similarity {
       transform(col("embedding"),
         x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
       .persist()
-    pqCaches.put((s, dir), qv)
+    // qv registers in pqCaches only AFTER the build succeeds (end of this
+    // method) — a build that throws must not orphan the persisted frame
+    try pqAdcBody(s, dir, qv, M, L, K)
+    catch { case e: Throwable => qv.unpersist(false); throw e }
+  }
+
+  private def pqAdcBody(s: SparkSession, dir: String, qv: DataFrame,
+      M: Int, L: Int, K: Int): DataFrame = {
     qv.count() // settle: M update passes + 2 assignment passes fork the plan
     def sub(m: Int): Column = slice(col("v"), m * L + 1, L)
     val first = qv.orderBy("vec_id").limit(K).collect().map(_.getSeq[Long](2))
@@ -121,7 +123,7 @@ object Similarity {
     val qd: Array[Seq[Long]] = Array.tabulate(M)(m =>
       (0 until K).map(j => books(m)(j).zip(qvec.slice(m * L, m * L + L))
         .map { case (c, x) => (x - c) * (x - c) }.sum))
-    qv.select(col("vec_id") +: col("label") +: col("v") +:
+    val coded = qv.select(col("vec_id") +: col("label") +: col("v") +:
         (0 until M).map(m => bestStruct(m, books(m)).as(s"b$m")): _*)
       .select(col("vec_id") +: col("label") +:
         (0 until M).map(m => col(s"b$m.j").cast("long").as(s"c$m")): _*)
@@ -130,6 +132,8 @@ object Similarity {
         (0 until M).map(m =>
           element_at(typedlit(qd(m)), (col(s"c$m") + 1).cast("int")))
           .reduce(_ + _).as("adc_dist"): _*)
+    pqCaches.put(s, dir, qv) // build succeeded: register for lifecycle
+    coded
   }
 
   /** The DuckDB twin of [[pqAdc]]'s training/encoding, CTE for CTE:
@@ -189,9 +193,7 @@ object Similarity {
     // entries for stopped sessions are dead weight (and their cached
     // blocks unreachable): sweep them on access so the map is bounded by
     // LIVE sessions × corpora
-    centroids.keys.filter(_._1.sparkContext.isStopped)
-      .foreach(centroids.remove)
-    centroids.getOrElseUpdate((s, dir), {
+    centroids.getOrBuild(s, dir) {
       val d = emb(s, dir)
         .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
         .select(col("label"), col("i"), col("x").cast("double").as("x"))
@@ -200,7 +202,7 @@ object Similarity {
         .persist()
       cent.count() // materialize eagerly: consumers fork the plan 3 ways
       cent
-    })
+    }
   }
 
   private val dimsSql =

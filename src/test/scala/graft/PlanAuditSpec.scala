@@ -162,6 +162,33 @@ class PlanAuditSpec extends AnyFunSuite {
       s"doc-level window is not bucket-partitioned:\n$plan")
   }
 
+  test("q20 shape decorrelates: one lineitem pass, no correlated re-scan") {
+    // the agg-threshold semi-join chain must come from ONE aggregate over
+    // lineitem that yields both the surrogate (part,supp) pairs and the
+    // banded quantity — a second lineitem scan (or any product join)
+    // means the correlated subquery survived, the quadratic failure the
+    // decorrelation exists to prevent
+    val plan = physical("q_tpch_q20_shape")
+    assert("FileScan[^\\n]*lineitem".r.findAllIn(plan).length == 1,
+      s"q20 shape scans lineitem more than once:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"q20 shape plans a product join:\n$plan")
+  }
+
+  test("q11 shape caches the per-part aggregate for both consumers") {
+    // the global scalar and the HAVING branch must read the persisted
+    // per-part value frame (q15 discipline) — uncached, the distinct over
+    // lineitem pairs runs twice
+    val plan = physical("q_tpch_q11_shape")
+    assert("InMemoryTableScan".r.findAllIn(plan).length >= 2,
+      s"q11 shape re-derives the per-part aggregate:\n$plan")
+    // the only nested-loop allowed is the 1-row global-scalar crossJoin
+    // (the q15/q22 pattern); a real cartesian is still a failure
+    assert(!plan.contains("CartesianProduct"),
+      s"q11 shape plans a cartesian:\n$plan")
+  }
+
   test("increment-vs-index scans the index artifacts, never prior text") {
     // the persisted-index contract: once the prior corpus is indexed, an
     // increment's plan reads the index parquet (fp/bands/shingles) and the
@@ -357,8 +384,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_knn_brute", "q_knn_ivf", "q_knn_ivf2", "q_knn_lsh", // query vec + cells
       "q_knn_join",          // bounded query batch
       "q_emb_outliers",      // |labels|·d centroid sums + per-label stats
-      "q_sample_token_budget" // ≤ sources·64 bucket-offset rows (sources
+      "q_sample_token_budget", // ≤ sources·64 bucket-offset rows (sources
                               // are the bounded mixture-spec labels)
+      "q_tpch_q20_shape",    // nation (region-filtered, ≤25 rows)
+      "q_tpch_q11_shape"     // nation + the 1-row global-value frame
     )
     val actual = HintAuditHelper.hinted(spark, dir)
     assert(actual == expected,
