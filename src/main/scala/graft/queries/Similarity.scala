@@ -624,6 +624,60 @@ object Similarity {
              |  AND e.label = (SELECT label FROM embeddings WHERE vec_id = 0)
              |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin)),
 
+    // ---- IVF + PQ + exact re-rank: the complete two-stage retrieval ----
+    // ADC ranking alone carries quantization loss — production vector
+    // search recovers it by re-ranking the top-C ADC candidates with
+    // EXACT distances. Stage 1 is the codes-only ADC scan inside the
+    // probed cell (4 bytes/vector, as q_knn_ivfpq) truncated to C=50
+    // candidates; stage 2 fetches full vectors ONLY behind that bounded
+    // candidate set (a C-row broadcast join — at corpus scale this is the
+    // ≤C key-value fetches, never a second vector sweep) and re-ranks by
+    // the exact integer L2 over the floor(x·64+½) quantization. The gate
+    // emits both distances so the quantization error the re-rank corrects
+    // is visible data ----
+    "q_knn_ivfpq_rerank" -> Q(
+      (s, dir) => {
+        val coded = pqAdc(s, dir)
+        val qCell = coded.filter(col("vec_id") === 0)
+          .select(col("label").cast("long")).head.getLong(0)
+        // stage 1: codes-only candidate generation (deterministic
+        // (adc_dist, vec_id) truncation)
+        val cand = coded.filter(col("vec_id") =!= 0 && col("label") === qCell)
+          .select(col("vec_id"), col("adc_dist"))
+          .orderBy(col("adc_dist"), col("vec_id")).limit(50)
+        // stage 2: exact distances on ≤C rows only; the query vector is a
+        // 1-row bounded collect inlined as a literal (the q_knn_brute
+        // discipline)
+        val qv = emb(s, dir).select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
+        val qvec: Seq[Long] = qv.filter(col("vec_id") === 0).head.getSeq[Long](1)
+        qv.join(broadcast(cand), "vec_id")
+          .select(col("vec_id"), col("adc_dist"),
+            aggregate(zip_with(col("v"), typedlit(qvec),
+              (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+              .as("exact_dist"))
+          .orderBy(col("exact_dist"), col("vec_id")).limit(10)
+      },
+      Some(s"""$pqOracleCtes,
+             |cand AS (
+             |  SELECT q.vec_id, CAST(qd0.d + qd1.d + qd2.d + qd3.d AS BIGINT) AS adc_dist
+             |  FROM q JOIN embeddings e USING (vec_id)
+             |    JOIN f0 USING (vec_id) JOIN f1 USING (vec_id)
+             |    JOIN f2 USING (vec_id) JOIN f3 USING (vec_id)
+             |    JOIN qd0 ON qd0.j = f0.c0 JOIN qd1 ON qd1.j = f1.c1
+             |    JOIN qd2 ON qd2.j = f2.c2 JOIN qd3 ON qd3.j = f3.c3
+             |  WHERE q.vec_id <> 0
+             |    AND e.label = (SELECT label FROM embeddings WHERE vec_id = 0)
+             |  ORDER BY adc_dist, vec_id LIMIT 50),
+             |qvq AS (SELECT v FROM q WHERE vec_id = 0)
+             |SELECT c.vec_id, c.adc_dist,
+             |  CAST(list_aggregate(list_transform(generate_series(1, len(q.v)),
+             |    i -> (q.v[i] - qvq.v[i]) * (q.v[i] - qvq.v[i])), 'sum') AS BIGINT)
+             |    AS exact_dist
+             |FROM cand c JOIN q USING (vec_id) CROSS JOIN qvq
+             |ORDER BY exact_dist, vec_id LIMIT 10""".stripMargin)),
+
     // ---- embedding outlier detection, exact ----
     // Quality assurance for an embedding corpus: flag vectors whose
     // squared distance to their LABEL centroid exceeds 2× the label

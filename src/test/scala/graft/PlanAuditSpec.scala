@@ -189,6 +189,26 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q11 shape plans a cartesian:\n$plan")
   }
 
+  test("ivfpq rerank reads full vectors only behind the candidate join") {
+    // two-stage retrieval contract: stage 1 truncates the codes-only ADC
+    // ranking to C=50 candidates (TakeOrdered, never a global sort), the
+    // candidate set broadcasts, and the exact distance is computed ABOVE
+    // the join — i.e. on ≤C joined rows, never as a second vector sweep
+    val plan = physical("q_knn_ivfpq_rerank")
+    assert(plan.contains("TakeOrderedAndProject(limit=50"),
+      s"stage-1 candidate truncation is not a TakeOrdered:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject(limit=10"),
+      s"final top-k is not a TakeOrdered:\n$plan")
+    val bhj = plan.indexOf("BroadcastHashJoin")
+    assert(bhj >= 0, s"candidate set does not broadcast:\n$plan")
+    val exactAt = plan.indexOf("exact_dist#")
+    assert(exactAt >= 0 && exactAt < bhj,
+      s"exact distance is computed below the candidate join:\n$plan")
+    val bx = plan.indexOf("BroadcastExchange")
+    assert(bx > bhj && plan.indexOf("TakeOrderedAndProject(limit=50") > bx,
+      s"broadcast build side is not the C-row candidate frame:\n$plan")
+  }
+
   test("increment-vs-index scans the index artifacts, never prior text") {
     // the persisted-index contract: once the prior corpus is indexed, an
     // increment's plan reads the index parquet (fp/bands/shingles) and the
@@ -387,7 +407,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_sample_token_budget", // ≤ sources·64 bucket-offset rows (sources
                               // are the bounded mixture-spec labels)
       "q_tpch_q20_shape",    // nation (region-filtered, ≤25 rows)
-      "q_tpch_q11_shape"     // nation + the 1-row global-value frame
+      "q_tpch_q11_shape",    // nation + the 1-row global-value frame
+      "q_knn_ivfpq_rerank"   // the C=50-row ADC candidate frame
     )
     val actual = HintAuditHelper.hinted(spark, dir)
     assert(actual == expected,
