@@ -189,6 +189,53 @@ object Similarity {
        |  FROM embeddings),
        |${perM.mkString(",\n")}""".stripMargin
   }
+  /** Persisted IVF vector index — the operator-level artifact behind the
+    * q_knn_ivf* gates, and what a param-bound kNN named query answers from
+    * (RPC `/admin/vector_index_build` → `/admin/vector_index_attach` →
+    * A7 `$qvec` binding). Layout:
+    *  - `centroids/`: (cell BIGINT, c ARRAY<BIGINT>) — per-label
+    *    truncated-mean centroid over the floor(x·64+½) quantization
+    *    (exact Long arithmetic, the emb_outliers discipline)
+    *  - `vectors/` partitioned by cell: every vector assigned to its
+    *    NEAREST centroid (argmin over (distance, cell) — deterministic),
+    *    so a probe reads exactly one partition directory
+    * Scale shape: the only driver sync is the bounded O(cells·d) centroid
+    * collect; the assignment pass is one in-row codegen'd projection over
+    * the corpus and the write shuffles nothing (partitionBy on the
+    * computed cell). Returns (vectors, cells) counts. */
+  def buildVectorIndex(s: SparkSession, srcDir: String,
+      indexDir: String): Map[String, Long] = {
+    import org.apache.spark.sql.SaveMode
+    val qv = emb(s, srcDir).select(col("vec_id"),
+      col("label").cast("long").as("label"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
+    qv.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(expr("sum(x) DIV count(1)").as("cx"))
+      .groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("cx")))),
+        p => p.getField("cx")).as("c"))
+      .select(col("label").as("cell"), col("c"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/centroids")
+    val cents = s.read.parquet(s"$indexDir/centroids")
+      .orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val best = array_min(array(cents.map { case (cell, cv) =>
+      struct(
+        aggregate(zip_with(col("v"), typedlit(cv), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d"),
+        lit(cell).as("cell"))
+    }: _*))
+    val assigned = qv.select(col("vec_id"), col("v"), best.as("b"))
+      .select(col("vec_id"), col("v"), col("b.cell").as("cell"))
+    assigned.write.partitionBy("cell")
+      .mode(SaveMode.Overwrite).parquet(s"$indexDir/vectors")
+    Map("vectors" -> s.read.parquet(s"$indexDir/vectors").count(),
+      "cells" -> cents.length.toLong)
+  }
+
   private def centroidIndex(s: SparkSession, dir: String): DataFrame = {
     // entries for stopped sessions are dead weight (and their cached
     // blocks unreachable): sweep them on access so the map is bounded by

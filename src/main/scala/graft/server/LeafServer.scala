@@ -666,6 +666,29 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     Map("r" -> r.toLong)
   }
 
+  handle("/admin/vector_index_build") { (c, args) =>
+    // Build the persisted IVF index (centroids + cell-partitioned vectors)
+    // an attached stream's named queries answer kNN from — the vector-side
+    // sibling of dedup_index_build: an operator action producing external
+    // artifacts, never per-query work.
+    if (!c.trusted && !c.did.exists(moduleAdmins.contains))
+      throw new LeafAuthException("admin RPCs require a trusted connection")
+    graft.queries.Similarity
+      .buildVectorIndex(store.spark, str(args, "src"), str(args, "dir"))
+  }
+
+  handle("/admin/vector_index_attach") { (c, args) =>
+    // Expose a built index inside one stream's database as
+    // {prefix}_centroids / {prefix}_vectors views, so a module query can
+    // bind a query vector as a $param (A7, basic.rs:189-216) and rank
+    // against the index — the persisted-index twin of the q_knn_ivf gate.
+    if (!c.trusted && !c.did.exists(moduleAdmins.contains))
+      throw new LeafAuthException("admin RPCs require a trusted connection")
+    val tables = openExisting(str(args, "id"))
+      .attachVectorIndex(str(args, "prefix"), str(args, "dir"))
+    Map("tables" -> tables.toVector)
+  }
+
   // ---------------- wire-protocol surface ----------------
 
   /** The server's DID document (reference: .well-known/did.json endpoint,

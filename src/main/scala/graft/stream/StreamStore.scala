@@ -653,6 +653,28 @@ class StreamHandle(val store: StreamStore, val id: String) {
   /** Read one of the stream's tables through the stream's own session. */
   def tableDF(t: String): DataFrame = spark.table(s"$dbName.$t")
 
+  /** Attach a persisted vector index (Similarity.buildVectorIndex layout)
+    * as module-visible relations `{prefix}_centroids` / `{prefix}_vectors`,
+    * so a named query can answer kNN from the index artifacts with the
+    * query vector arriving as an A7 $-bound param. Views, not managed
+    * tables: the index stays external, rebuildable, and shared across
+    * streams; the partition-column cell is normalized to BIGINT so module
+    * SQL never sees partition-inference drift. */
+  def attachVectorIndex(prefix: String, indexDir: String): Seq[String] =
+    lock.synchronized {
+      ensureOpen()
+      require(prefix.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"bad index prefix: $prefix")
+      require(!indexDir.contains("`") && !indexDir.contains("'"),
+        s"bad index dir: $indexDir")
+      spark.sql(s"CREATE OR REPLACE VIEW $dbName.${prefix}_centroids AS " +
+        s"SELECT cell, c FROM parquet.`$indexDir/centroids`")
+      spark.sql(s"CREATE OR REPLACE VIEW $dbName.${prefix}_vectors AS " +
+        s"SELECT vec_id, v, CAST(cell AS BIGINT) AS cell " +
+        s"FROM parquet.`$indexDir/vectors`")
+      Seq(s"${prefix}_centroids", s"${prefix}_vectors")
+    }
+
   /** Reinstate an archived state table from a snapshot (restore path). */
   def restoreStateTable(name: String, df: DataFrame): Unit = lock.synchronized {
     require(name.startsWith("state_"), s"not a state table: $name")

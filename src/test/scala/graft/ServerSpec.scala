@@ -992,6 +992,85 @@ class ServerSpec extends AnyFunSuite {
     assert(clean("per_event_replays") == 0L, clean.toString)
   }
 
+  test("param-bound kNN named query answers from the persisted vector index") {
+    // the A7 surface composed with the vector-index artifacts: build the
+    // IVF index over the embeddings corpus (admin RPC), attach it to a
+    // stream as {prefix}_ views, install a module whose named query binds
+    // the QUERY VECTOR as a $text param, probe the nearest centroid cell,
+    // and rank that cell's vectors by exact integer L2 — all in module SQL
+    // over RPC, answered purely from the index parquet
+    import org.apache.spark.sql.functions._
+    val src = "/root/testdata/sf0.001"
+    val idx = graft.TempDirs.create("graft-vecidx").toString
+    val b = ok(post("/admin/vector_index_build",
+      Map("src" -> src, "dir" -> idx)))
+    assert(b("vectors").asInstanceOf[Long] > 0 &&
+      b("cells").asInstanceOf[Long] > 0, b.toString)
+
+    val knnSql =
+      """SELECT v.vec_id AS vec_id,
+        |  aggregate(zip_with(v.v, transform(split($qvec, ','), x -> CAST(x AS BIGINT)),
+        |    (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x) AS dist
+        |FROM vecidx_vectors v
+        |WHERE v.cell = (
+        |  SELECT cell FROM (
+        |    SELECT c.cell,
+        |      aggregate(zip_with(c.c, transform(split($qvec, ','), x -> CAST(x AS BIGINT)),
+        |        (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x) AS cd
+        |    FROM vecidx_centroids c)
+        |  ORDER BY cd, cell LIMIT 1)
+        |ORDER BY dist, vec_id
+        |LIMIT CAST($limit AS INT)""".stripMargin
+    val cid = ok(post("/module/upload", Map("module" -> Map(
+      "queries" -> Map("knn" -> Map(
+        "sql" -> knnSql,
+        "params" -> Vector(Map("name" -> "qvec", "kind" -> "text"))))))))(
+      "cid").asInstanceOf[String]
+    val sid = ok(post("/stream/create",
+      Map("id" -> "did:graft:vecsearch", "module_cid" -> cid)))("id").toString
+    val att = ok(post("/admin/vector_index_attach",
+      Map("id" -> sid, "prefix" -> "vecidx", "dir" -> idx)))
+    assert(att("tables").asInstanceOf[Vector[Any]].toSet ==
+      Set("vecidx_centroids", "vecidx_vectors"))
+
+    // query vector: vec_id 7's quantized embedding, as the text param
+    val qv = spark.read.parquet(s"$src/embeddings.parquet")
+      .filter(col("vec_id") === 7)
+      .select(transform(col("embedding"),
+        x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
+      .head.getSeq[Long](0)
+    val rows = ok(post("/stream/query", Map("id" -> sid, "query" -> Map(
+      "name" -> "knn", "limit" -> 5L,
+      "params" -> Map("qvec" -> qv.mkString(","))))))("rows")
+      .asInstanceOf[Vector[Any]]
+    val got = rows.map { r =>
+      val m = r.asInstanceOf[Map[String, Any]]
+      (m("vec_id").asInstanceOf[Map[String, Any]]("value").asInstanceOf[Long],
+        m("dist").asInstanceOf[Map[String, Any]]("value").asInstanceOf[Long])
+    }
+
+    // oracle: recompute top-5 from the index artifacts directly
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val cents = spark.read.parquet(s"$idx/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val cell = cents.map { case (c, cv) => (d2(cv, qv), c) }.min._2
+    val expected = spark.read.parquet(s"$idx/vectors")
+      .select(col("vec_id"), col("v"), col("cell").cast("long").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .filter(_._3 == cell)
+      .map { case (id, v, _) => (d2(v, qv), id) }
+      .sorted.take(5).map { case (d, id) => (id, d) }.toVector
+    assert(got == expected, s"got $got expected $expected")
+    // the probed cell must contain the query's own row at distance 0
+    assert(got.head == ((7L, 0L)), got.toString)
+
+    // untrusted callers cannot build or attach
+    val denied = post("/admin/vector_index_build",
+      Map("src" -> src, "dir" -> idx), token = None)
+    assert(denied.contains("err"))
+  }
+
   test("json parser caps container nesting (no stack overflow on [[[…)") {
     val hostile = "[" * 100000 + "]" * 100000
     val e = intercept[IllegalArgumentException](graft.server.Json.parse(hostile))
