@@ -72,6 +72,11 @@ object Similarity {
     * truncate toward zero — negative sums occur, so do not "fix" either
     * side to floor division or the codebooks silently diverge); the ADC
     * table is exact Longs. */
+  /** Codebook-training sample cap: the N lowest-(md5_60(vec_id), vec_id)
+    * vectors. Far above the test corpora (training is exact there) and a
+    * hard bound at scale — both engines apply the identical rule. */
+  private val pqTrainSample = 1024
+
   private def pqAdc(s: SparkSession, dir: String): DataFrame = {
     pqCaches.sweep()
     pqCoded.getOrBuild(s, dir)(pqAdcBuild(s, dir))
@@ -106,17 +111,31 @@ object Similarity {
     // codes via the argmin struct, resolved through an aliased select
     // (the q_emb_kmeans discipline) so the (d, j) field names survive
     // one Lloyd step per subspace: truncated mean (DIV) of each code's
-    // members
-    for (m <- 0 until M) {
-      val upd = qv.select(col("v"), bestStruct(m, books(m)).as("best"))
-        .select(col("v"), col("best.j").as("c"))
-        .select(col("c"), posexplode(sub(m)).as(Seq("i", "x")))
-        .groupBy("c", "i").agg(expr("sum(x) DIV count(1)").as("cx"))
-        .collect()
-      val byC = upd.groupBy(_.getInt(0)).map { case (c, rows) =>
-        c -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
-      books(m) = Array.tabulate(K)(j => byC.getOrElse(j, books(m)(j)))
-    }
+    // members. Standard practice (and the 100 TB bound): codebooks TRAIN
+    // on a capped deterministic sample — the N lowest-(md5_60(vec_id),
+    // vec_id) vectors, the same rule the oracle CTE applies — and only
+    // the ENCODE pass touches the full corpus, so training cost stops
+    // growing with corpus size once N caps (SCALE.md's q_emb_pq decade
+    // curve was ~O(corpus) per Lloyd pass before this).
+    val samp = qv.select(col("v"),
+        graft.functions.VectorExpressions
+          .md5_60(s, col("vec_id").cast("string")).as("hh"),
+        col("vec_id"))
+      .orderBy(col("hh"), col("vec_id")).limit(pqTrainSample)
+      .select(col("v")).persist()
+    samp.count() // settle: M update passes read the sample
+    try {
+      for (m <- 0 until M) {
+        val upd = samp.select(col("v"), bestStruct(m, books(m)).as("best"))
+          .select(col("v"), col("best.j").as("c"))
+          .select(col("c"), posexplode(sub(m)).as(Seq("i", "x")))
+          .groupBy("c", "i").agg(expr("sum(x) DIV count(1)").as("cx"))
+          .collect()
+        val byC = upd.groupBy(_.getInt(0)).map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+        books(m) = Array.tabulate(K)(j => byC.getOrElse(j, books(m)(j)))
+      }
+    } finally samp.unpersist(false) // training is fully collected above
     // ADC lookup table: exact distance from the query's subvectors to
     // every codeword — M×K longs, computed once
     val qvec = qv.filter(col("vec_id") === 0).head.getSeq[Long](2)
@@ -158,13 +177,13 @@ object Similarity {
          |  SELECT vec_id, j,
          |         row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
          |  FROM (SELECT q.vec_id, b.j, ${dist(m, "q.v", "b.c")} AS d
-         |        FROM q CROSS JOIN b${m}0 b)),
+         |        FROM qs q CROSS JOIN b${m}0 b)),
          |u$m AS (
          |  SELECT c, i, CAST(sum(x) AS BIGINT) // count(*) AS cx
          |  FROM (SELECT a.j AS c,
          |          generate_subscripts(q.v[${lo(m)}:${hi(m)}], 1) AS i,
          |          unnest(q.v[${lo(m)}:${hi(m)}]) AS x
-         |        FROM q JOIN (SELECT vec_id, j FROM a$m WHERE rn = 1) a
+         |        FROM qs q JOIN (SELECT vec_id, j FROM a$m WHERE rn = 1) a
          |          USING (vec_id))
          |  GROUP BY 1, 2),
          |b${m}1 AS (
@@ -187,6 +206,11 @@ object Similarity {
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT)) AS v
        |  FROM embeddings),
+       |qs AS (
+       |  SELECT vec_id, v FROM (
+       |    SELECT vec_id, v,
+       |      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+       |    FROM q ORDER BY hh, vec_id LIMIT $pqTrainSample)),
        |${perM.mkString(",\n")}""".stripMargin
   }
   /** Persisted IVF vector index — the operator-level artifact behind the
