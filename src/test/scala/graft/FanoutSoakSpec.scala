@@ -274,6 +274,112 @@ class FanoutSoakSpec extends AnyFunSuite {
     wsSubs.foreach(_.close())
   }
 
+  test("sustained ingest: 50 consecutive appends under drain stay flat") {
+    // the reference's worker-loop steady state (lib.rs:888-985): events
+    // keep arriving while every subscriber keeps draining. One append is
+    // not the regime that exposes leaks — a queue that grows by one per
+    // batch, a pump that re-delivers old windows, a p99 that creeps as
+    // state accumulates all need CONSECUTIVE appends to show. Asserts:
+    //  - every subscriber receives exactly the in-order idx sequence
+    //    1..N across the whole run (no loss, no reorder, no re-delivery)
+    //  - delivery buffers stay far below the park cap throughout (the
+    //    drain keeps up — steady state, not a growing backlog)
+    //  - per-append delivery p99 over the last fifth of the run is not a
+    //    multiple of the first fifth's (flat, not creeping)
+    val nAppends = 50
+    val nSubs = 60
+    val cid = ok(post("/module/upload", Map("module" -> Map(
+      "init_sql" -> "CREATE TABLE IF NOT EXISTS notes (idx BIGINT) USING PARQUET",
+      "materializer" -> "INSERT INTO notes SELECT idx FROM event",
+      "queries" -> Map("tail" -> Map("sql" ->
+        "SELECT idx FROM notes WHERE idx BETWEEN $start AND $start + $limit - 1 ORDER BY idx"))))
+    ))("cid").toString
+    val sid = ok(post("/stream/create",
+      Map("id" -> "did:fanout:sustained", "module_cid" -> cid)))("id").toString
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
+    import scala.jdk.CollectionConverters._
+    val subs = pool.invokeAll(Vector.fill(nSubs)(
+      new java.util.concurrent.Callable[Long] {
+        def call(): Long = ok(post("/stream/subscribe_events",
+          Map("id" -> sid, "query" -> Map("name" -> "tail",
+            "start" -> 1L, "limit" -> 1000L))))("sub_id").asInstanceOf[Long]
+      }).asJava).asScala.map(_.get()).toVector
+
+    // one continuously-draining poller per sub — on its OWN thread (a
+    // shared pool smaller than nSubs would starve the excess pollers,
+    // park their pumps at the buffer cap, and measure the test harness
+    // instead of the server), recording each delivered idx's arrival
+    // nanoTime; terminates once it has seen idx=nAppends
+    val arrivals = new java.util.concurrent.ConcurrentHashMap[(Long, Long), Long]
+    val sequences = new java.util.concurrent.ConcurrentHashMap[Long, Vector[Long]]
+    val drainPool = java.util.concurrent.Executors.newFixedThreadPool(nSubs)
+    val drains = subs.map(id => drainPool.submit(new Runnable {
+      def run(): Unit = {
+        var seen = Vector.empty[Long]
+        while (!seen.lastOption.contains(nAppends.toLong)) {
+          val ds = ok(post("/stream/poll", Map("id" -> sid, "sub_id" -> id)))(
+            "deliveries").asInstanceOf[Vector[Any]]
+          val at = System.nanoTime()
+          ds.foreach { d =>
+            val rows = d.asInstanceOf[Map[String, Any]]("rows")
+              .asInstanceOf[Vector[Any]]
+            rows.foreach { row =>
+              val k = row.asInstanceOf[Map[String, Any]]("idx")
+                .asInstanceOf[Map[String, Any]]("value").asInstanceOf[Long]
+              arrivals.put((id, k), at)
+              seen :+= k
+            }
+          }
+          if (ds.isEmpty) Thread.sleep(20)
+        }
+        sequences.put(id, seen)
+      }
+    }))
+
+    val appendStart = new Array[Long](nAppends + 1)
+    val probeSubs = subs.take(5)
+    for (k <- 1 to nAppends) {
+      appendStart(k) = System.nanoTime()
+      val r = ok(post("/stream/event_batch", Map("id" -> sid,
+        "events" -> Vector(Map("user" -> "u", "payload_b64" -> payloadB64(k))))))
+      assert(r("latest_idx") == k.toLong)
+      // steady state means the backlog never approaches the park cap —
+      // a creep here is the leak this soak exists to catch
+      probeSubs.foreach { id =>
+        val buf = server.bufferedDeliveries(sid, id)
+        assert(buf <= 12, s"append $k: sub $id backlog $buf")
+      }
+    }
+    drains.foreach(_.get())
+    pool.shutdown(); drainPool.shutdown()
+
+    // completeness + order, every subscriber, whole run
+    subs.foreach { id =>
+      assert(sequences.get(id) == (1L to nAppends.toLong).toVector,
+        s"sub $id saw ${sequences.get(id)}")
+    }
+
+    // per-append p50/p99 across subs; flatness over the run
+    def pct(xs: Seq[Double], p: Double): Double =
+      xs(math.min(xs.size - 1, (p * xs.size).toInt))
+    val perAppend = (1 to nAppends).map { k =>
+      val lats = subs.map(id =>
+        (arrivals.get((id, k.toLong)) - appendStart(k)) / 1e6).sorted
+      (pct(lats, 0.5), pct(lats, 0.99))
+    }
+    val p50s = perAppend.map(_._1); val p99s = perAppend.map(_._2)
+    def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val early = med(p99s.take(10)); val late = med(p99s.takeRight(10))
+    println(f"SUSTAINED_FANOUT subs=$nSubs appends=$nAppends " +
+      f"per-append p50 med=${med(p50s)}%.0fms p99 med=${med(p99s)}%.0fms " +
+      f"p99 first10=${early}%.0fms last10=${late}%.0fms")
+    // generous: catches creep (leaked state slowing every append), not
+    // machine noise
+    assert(late < math.max(5 * early, early + 2000),
+      f"p99 crept $early%.0fms -> $late%.0fms over $nAppends appends")
+  }
+
   test("append→delivery latency under 500-sub fan-out (polling + websocket)") {
     val cid = ok(post("/module/upload", Map("module" -> Map(
       "init_sql" -> "CREATE TABLE IF NOT EXISTS notes (idx BIGINT) USING PARQUET",
