@@ -855,7 +855,7 @@ class StreamHandle(val store: StreamStore, val id: String) {
 
   private def materialize(m: ModuleDef, events: DataFrame): Unit = {
     if (m.materializer.trim.isEmpty) return
-    val stmts = SqlText.prepare(m.materializer)
+    val stmts = preparedMaterializer(m)
     if (isBatchSafe(stmts)) {
       events.createOrReplaceTempView("event")
       try stmts.foreach(s => execInDb(s, Map.empty))
@@ -881,6 +881,143 @@ class StreamHandle(val store: StreamStore, val id: String) {
         finally spark.catalog.dropTempView("event")
       }
     }
+  }
+
+  // materializer statements after the UPDATE-FROM rewrite, cached per
+  // module cid (the rewrite consults only table schemas, which are fixed
+  // for a module's lifetime — re-deriving it per batch would re-analyze
+  // probe queries on every append)
+  @volatile private var stmtCache: Option[(String, Seq[String])] = None
+
+  private def preparedMaterializer(m: ModuleDef): Seq[String] =
+    stmtCache match {
+      case Some((cid, ss)) if cid == m.cid => ss
+      case _ =>
+        val ss = SqlText.prepare(m.materializer).map(rewriteUpdateFrom)
+        stmtCache = Some((m.cid, ss))
+        ss
+    }
+
+  /** Rewrite the reference's `UPDATE t SET … FROM event WHERE …` upsert
+    * shape (SQLite UPDATE-FROM — the "fold the latest event value into a
+    * keyed row" module idiom) into the self-overwrite INSERT the engine
+    * already executes set-based. The rewrite applies ONLY when the shape
+    * is provably batch-safe:
+    *  - every WHERE conjunct is either an equi-key `t.col = <expr>` with
+    *    the expr referencing event columns only, or a residual
+    *    referencing event columns only (both probe-analyzed against the
+    *    event schema — an unqualified target-column reference fails the
+    *    probe and vetoes the rewrite);
+    *  - every SET right-hand side references event columns only.
+    * Under those conditions per-event replay in idx order ends with the
+    * LAST matching event's values per key, which is exactly what the
+    * rewrite computes (row_number over idx DESC per derived key), so one
+    * set-based pass over the whole batch is identical to the loop — and
+    * the engine's crash discipline (stash/commit/restore) applies
+    * unchanged because the output is the existing INSERT OVERWRITE
+    * shape. Statements that don't match return unchanged (a raw UPDATE
+    * would not execute on v1 parquet today, so nothing regresses). */
+  private[stream] def rewriteUpdateFrom(stmt: String): String = {
+    val re = ("(?is)^\\s*UPDATE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+SET\\s+" +
+      "(.*?)\\s+FROM\\s+event\\s+WHERE\\s+(.*?)\\s*;?\\s*$").r
+    stmt match {
+      case re(target, setClause, whereClause) =>
+        try rewriteUpdateFrom0(target, setClause, whereClause).getOrElse(stmt)
+        catch { case _: Exception => stmt }
+      case _ => stmt
+    }
+  }
+
+  /** Split at paren depth 0 outside quotes, on `,` or the word AND. */
+  private def splitTop(s: String, onComma: Boolean): Seq[String] = {
+    val parts = scala.collection.mutable.Buffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var inStr = false; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { cur.append(c); if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { inStr = true; cur.append(c); i += 1 }
+      else if (c == '(') { depth += 1; cur.append(c); i += 1 }
+      else if (c == ')') { depth -= 1; cur.append(c); i += 1 }
+      else if (onComma && c == ',' && depth == 0) {
+        parts += cur.toString; cur.setLength(0); i += 1
+      } else if (!onComma && depth == 0 && (c == 'a' || c == 'A') &&
+          i + 3 <= s.length && s.substring(i, i + 3).equalsIgnoreCase("and") &&
+          (i == 0 || !s.charAt(i - 1).isLetterOrDigit) &&
+          (i + 3 == s.length || !s.charAt(i + 3).isLetterOrDigit)) {
+        parts += cur.toString; cur.setLength(0); i += 3
+      } else { cur.append(c); i += 1 }
+    }
+    parts += cur.toString
+    parts.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Analysis probe: does `expr` resolve against the event schema alone?
+    * (schema-only — no data touched, no temp view required). Any embedded
+    * subquery over a RELATION is rejected outright: a catalog table would
+    * resolve in the probe too, and a rhs reading the evolving target mid-
+    * batch is exactly the replay-order dependence the rewrite must not
+    * collapse. */
+  private def eventOnly(expr: String): Boolean =
+    try {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+      val probe = "SELECT (" + expr + ") FROM (SELECT CAST(NULL AS BIGINT) " +
+        "AS idx, CAST(NULL AS STRING) AS user, CAST(NULL AS BINARY) " +
+        "AS payload) AS event"
+      val parsed = spark.sessionState.sqlParser.parsePlan(probe)
+      val rels = parsed.collectWithSubqueries {
+        case r: UnresolvedRelation => r }
+      if (rels.nonEmpty) return false
+      spark.sql(probe).queryExecution.analyzed
+      true
+    } catch { case _: Exception => false }
+
+  private def rewriteUpdateFrom0(target: String, setClause: String,
+      whereClause: String): Option[String] = {
+    val cols = spark.table(s"$dbName.$target").columns
+    val colSet = cols.map(_.toLowerCase).toSet
+    // SET a = expr, b = expr — rhs must be event-only
+    val asgRe = "(?s)^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(.*)$".r
+    val assignments = splitTop(setClause, onComma = true).map {
+      case asgRe(c, e) if colSet.contains(c.toLowerCase) && eventOnly(e) =>
+        c.toLowerCase -> e.trim
+      case _ => return None
+    }.toMap
+    // WHERE conjuncts: target-keyed equis vs event-only residuals
+    val keyRe = ("(?s)^\\s*" + java.util.regex.Pattern.quote(target) +
+      "\\s*\\.\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(.*)$").r
+    val keys = scala.collection.mutable.Buffer.empty[(String, String)]
+    val residuals = scala.collection.mutable.Buffer.empty[String]
+    splitTop(whereClause, onComma = false).foreach {
+      case keyRe(c, e) if colSet.contains(c.toLowerCase) && eventOnly(e) =>
+        keys += ((c, e.trim))
+      case other if eventOnly(other) => residuals += other
+      case _ => return None
+    }
+    if (keys.isEmpty) return None
+    val kcols = keys.indices.map(i => s"__k$i")
+    val derive = keys.zipWithIndex
+      .map { case ((_, e), i) => s"($e) AS __k$i" }.mkString(", ")
+    val resid =
+      if (residuals.isEmpty) "" else s" WHERE ${residuals.mkString(" AND ")}"
+    val setSel = cols.map { c =>
+      assignments.get(c.toLowerCase) match {
+        case Some(e) =>
+          val ee = "(?i)\\bevent\\s*\\.".r.replaceAllIn(e, "__e.")
+          s"CASE WHEN __e.__m THEN ($ee) ELSE __t.`$c` END AS `$c`"
+        case None => s"__t.`$c` AS `$c`"
+      }
+    }.mkString(", ")
+    val on = keys.zipWithIndex
+      .map { case ((c, _), i) => s"__t.`$c` = __e.__k$i" }.mkString(" AND ")
+    Some(s"""INSERT OVERWRITE $target SELECT $setSel
+            |FROM $target __t LEFT JOIN (
+            |  SELECT *, true AS __m FROM (
+            |    SELECT *, row_number() OVER (
+            |      PARTITION BY ${kcols.mkString(", ")} ORDER BY idx DESC) AS __rn
+            |    FROM (SELECT *, $derive FROM event$resid) __x) __y
+            |  WHERE __rn = 1) __e
+            |ON $on""".stripMargin)
   }
 
   /** A statement set is batch-safe iff each statement is an INSERT and no

@@ -123,6 +123,72 @@ class ClassifierBackupSpec extends AnyFunSuite {
       (SqlValue.SqlText("bob"), SqlValue.SqlInteger(5))))
   }
 
+  test("UPDATE…FROM event rewrites to the set-based upsert, replay-identical") {
+    // the SQLite UPDATE-FROM module idiom ("fold the latest event value
+    // into a keyed row", reference lib.rs authorizer/materializer SQL
+    // surface) — Spark cannot even parse UPDATE…FROM, so the engine
+    // rewrites the provably batch-safe shape (SET rhs + residuals
+    // reference event only; equi-keys target.col = expr(event)) into the
+    // self-overwrite INSERT and takes the SET-BASED path. The batch
+    // collapse must match sequential per-event replay exactly.
+    def updModule = ModuleDef(
+      initSql =
+        """CREATE TABLE IF NOT EXISTS kv (k STRING, v BIGINT, tag STRING) USING PARQUET;
+          |INSERT INTO kv VALUES ('a', 0, 'seed'), ('b', 0, 'seed'), ('c', 0, 'seed')""".stripMargin,
+      materializer =
+        """UPDATE kv SET v = drisl_extract_long(event.payload, '.n'),
+          |    tag = event.user
+          |FROM event
+          |WHERE kv.k = drisl_extract(event.payload, '.content')
+          |  AND event.user <> 'spammer'""".stripMargin,
+      queries = Map("all" -> QueryDef("SELECT k, v, tag FROM kv ORDER BY k")))
+
+    // one batch: key 'a' updated twice (LAST wins), 'b' once, 'zz' misses
+    // (UPDATE never inserts), one event residual-filtered out
+    val events = Seq(
+      IncomingEvent("ann", payload("a", 3)),
+      IncomingEvent("bob", payload("b", 5)),
+      IncomingEvent("spammer", payload("c", 666)), // residual drops it
+      IncomingEvent("cat", payload("a", 9)),       // last write to 'a'
+      IncomingEvent("dan", payload("zz", 7)))      // no matching row
+    val h = store.open("did:test:updfrom")
+    h.setModule(updModule)
+    assert(h.addEvents(events).isRight)
+    assert(h.perEventReplays == 0L,
+      "UPDATE…FROM with event-only rhs must take the set-based path")
+    val expected = Vector(
+      (SqlValue.SqlText("a"), SqlValue.SqlInteger(9), SqlValue.SqlText("cat")),
+      (SqlValue.SqlText("b"), SqlValue.SqlInteger(5), SqlValue.SqlText("bob")),
+      (SqlValue.SqlText("c"), SqlValue.SqlInteger(0), SqlValue.SqlText("seed")))
+    assert(h.queryTagged(None, LeafQuery("all"))
+      .map(r => (r("k"), r("v"), r("tag"))) == expected)
+
+    // replay equivalence: the same events as FIVE single-event batches
+    // (the per-event regime by construction) end in the identical table
+    val h2 = store.open("did:test:updfrom2")
+    h2.setModule(updModule)
+    events.foreach(e => assert(h2.addEvents(Seq(e)).isRight))
+    assert(h2.queryTagged(None, LeafQuery("all"))
+      .map(r => (r("k"), r("v"), r("tag"))) == expected)
+
+    // a SET rhs reading the evolving target (even via a subquery) must
+    // NOT be collapsed: the rewrite refuses and the raw UPDATE (which
+    // Spark cannot run) surfaces as the append error it is today
+    val h3 = store.open("did:test:updfrom3")
+    h3.setModule(updModule.copy(materializer =
+      """UPDATE kv SET v = (SELECT max(v) FROM kv) + 1
+        |FROM event WHERE kv.k = drisl_extract(event.payload, '.content')""".stripMargin))
+    intercept[Exception] {
+      h3.addEvents(Seq(IncomingEvent("ann", payload("a", 1)))) match {
+        case Left(e) => throw new IllegalStateException(e)
+        case Right(_) => fail(
+          "self-reading UPDATE rhs must not be silently batch-collapsed")
+      }
+    }
+    // the failed batch rolled back: nothing materialized, table intact
+    assert(h3.queryTagged(None, LeafQuery("all")).size == 3)
+  }
+
   test("per-event fallback warns when replays cross the telemetry threshold") {
     // a materializer that reads its own output in non-upsert shape forces
     // the per-event replay loop; the warning must fire once per 10k
