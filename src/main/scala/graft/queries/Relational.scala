@@ -1228,6 +1228,223 @@ object Relational {
              |WHERE value_cents * 1000 > t
              |ORDER BY value DESC, ps_partkey""".stripMargin)),
 
+    // ---- TPC-H Q2 shape: cheapest supplier per part within a region —
+    // the correlated MIN-subquery ("cost = (SELECT min(cost) ... WHERE
+    // ps_partkey = p_partkey AND <region>)"). Spark-first decorrelation:
+    // a window MIN over ps_partkey on the region-filtered cost table —
+    // ONE pass, one shuffle on partkey, no join-back and no second scan
+    // (the classic rewrite materializes the per-part min and rejoins;
+    // the window form does it in place). Same derived partsupp surrogate
+    // as the q20/q11 shapes ----
+    "q_tpch_q2_shape" -> Q(
+      (s, dir) => {
+        val ps = t(s, dir, "lineitem")
+          .select(col("l_partkey").as("ps_partkey"),
+            col("l_suppkey").as("ps_suppkey"))
+          .distinct()
+          .withColumn("cost_cents",
+            (col("ps_partkey") * 13 + col("ps_suppkey") * 5) % 10000)
+        val nat = t(s, dir, "nation").filter(col("n_regionkey") === 0)
+          .select(col("n_nationkey"), col("n_name"))
+        val sup = t(s, dir, "supplier")
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+        val parts = t(s, dir, "part")
+          .filter(col("p_size").between(10, 30) && col("p_type") === "LARGE")
+          .select(col("p_partkey"), col("p_brand"))
+        val regional = ps.join(sup, col("ps_suppkey") === col("s_suppkey"))
+        val withMin = regional.withColumn("minc",
+          min(col("cost_cents")).over(Window.partitionBy(col("ps_partkey"))))
+        withMin.filter(col("cost_cents") === col("minc"))
+          .join(parts, col("ps_partkey") === col("p_partkey"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_brand"),
+            (col("cost_cents").cast("double") / 100).as("supplycost"))
+          .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
+          .limit(100)
+      },
+      Some("""WITH ps AS (
+             |  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+             |  FROM lineitem),
+             |ps2 AS (
+             |  SELECT ps_partkey, ps_suppkey,
+             |    (ps_partkey * 13 + ps_suppkey * 5) % 10000 AS cost_cents
+             |  FROM ps),
+             |regional AS (
+             |  SELECT ps_partkey, cost_cents, s_name, s_acctbal, n_name,
+             |    min(cost_cents) OVER (PARTITION BY ps_partkey) AS minc
+             |  FROM ps2
+             |  JOIN supplier ON ps_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey AND n_regionkey = 0)
+             |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+             |  CAST(cost_cents AS DOUBLE) / 100 AS supplycost
+             |FROM regional
+             |JOIN part ON ps_partkey = p_partkey
+             |WHERE cost_cents = minc
+             |  AND p_size BETWEEN 10 AND 30 AND p_type = 'LARGE'
+             |ORDER BY s_acctbal DESC, s_name, p_partkey
+             |LIMIT 100""".stripMargin)),
+
+    // ---- TPC-H Q9 shape: product-line profit by nation and year — the
+    // signature two-key (partkey, suppkey) join of the fact table against
+    // partsupp for the unit cost, composed with the part-name filter and
+    // the supplier-nation / order-year rollup. Revenue stays DECIMAL;
+    // cost stays exact Long cents (integral l_quantity casts exactly in
+    // both engines); profit is one final IEEE-identical double expression ----
+    "q_tpch_q9_shape" -> Q(
+      (s, dir) => {
+        val ps = t(s, dir, "lineitem")
+          .select(col("l_partkey").as("ps_partkey"),
+            col("l_suppkey").as("ps_suppkey"))
+          .distinct()
+          .withColumn("cost_cents",
+            (col("ps_partkey") * 13 + col("ps_suppkey") * 5) % 10000)
+        val gearParts = t(s, dir, "part")
+          .filter(col("p_name").like("%gear%")).select(col("p_partkey"))
+        val l = t(s, dir, "lineitem")
+          .join(gearParts, col("l_partkey") === col("p_partkey"), "left_semi")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            (dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(10, 2)) -
+              dec(col("l_discount")))).as("rev"),
+            col("l_quantity").cast("long").as("qty"))
+        val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        val nat = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        val ord = t(s, dir, "orders")
+          .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+        l.join(ps, col("l_partkey") === col("ps_partkey") &&
+            col("l_suppkey") === col("ps_suppkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name").as("nation"), col("o_year"))
+          .agg(dbl(sum(col("rev"))).as("revenue"),
+            sum(col("cost_cents") * col("qty")).as("cost_cents_total"))
+          .select(col("nation"), col("o_year"), col("revenue"),
+            (col("revenue") - col("cost_cents_total").cast("double") / 100)
+              .as("profit"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some(s"""WITH ps AS (
+              |  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+              |  FROM lineitem),
+              |ps2 AS (
+              |  SELECT ps_partkey, ps_suppkey,
+              |    (ps_partkey * 13 + ps_suppkey * 5) % 10000 AS cost_cents
+              |  FROM ps),
+              |base AS (
+              |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+              |    ${sqlDec("l_extendedprice")} *
+              |      (CAST(1 AS DECIMAL(10,2)) - ${sqlDec("l_discount")}) AS rev,
+              |    cost_cents * CAST(l_quantity AS BIGINT) AS cost
+              |  FROM lineitem
+              |  JOIN ps2 ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+              |  JOIN supplier ON l_suppkey = s_suppkey
+              |  JOIN nation ON s_nationkey = n_nationkey
+              |  JOIN orders ON l_orderkey = o_orderkey
+              |  WHERE l_partkey IN
+              |    (SELECT p_partkey FROM part WHERE p_name LIKE '%gear%'))
+              |SELECT nation, o_year,
+              |  CAST(sum(rev) AS DOUBLE) AS revenue,
+              |  CAST(sum(rev) AS DOUBLE) - CAST(sum(cost) AS DOUBLE) / 100 AS profit
+              |FROM base GROUP BY 1, 2
+              |ORDER BY nation, o_year DESC""".stripMargin)),
+
+    // ---- TPC-H Q16 shape: supplier-count distribution over part
+    // attributes with the NOT-IN supplier exclusion — count(DISTINCT
+    // suppkey) per (brand, type, size) after an anti-join against the
+    // excluded-supplier set (key-derived surrogate for "complaints").
+    // The distinct-count shuffles once on the group key; the anti-join
+    // set is O(suppliers/7) ----
+    "q_tpch_q16_shape" -> Q(
+      (s, dir) => {
+        val ps = t(s, dir, "lineitem")
+          .select(col("l_partkey").as("ps_partkey"),
+            col("l_suppkey").as("ps_suppkey"))
+          .distinct()
+        val parts = t(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#1" &&
+            !col("p_type").like("PROMO%") &&
+            col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+        val excluded = t(s, dir, "supplier")
+          .filter((col("s_suppkey") * 13) % 7 === 0).select(col("s_suppkey"))
+        ps.join(excluded, col("ps_suppkey") === col("s_suppkey"), "left_anti")
+          .join(parts, col("ps_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      Some("""WITH ps AS (
+             |  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+             |  FROM lineitem)
+             |SELECT p_brand, p_type, p_size,
+             |  count(DISTINCT ps_suppkey) AS supplier_cnt
+             |FROM ps
+             |JOIN part ON ps_partkey = p_partkey
+             |WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+             |  AND p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+             |  AND ps_suppkey NOT IN
+             |    (SELECT s_suppkey FROM supplier WHERE (s_suppkey * 13) % 7 = 0)
+             |GROUP BY 1, 2, 3
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+
+    // ---- TPC-H Q12 shape: shipping-mode vs order-priority two-tier
+    // conditional counting. The fixture lacks l_shipmode and the commit/
+    // receipt dates, so all three derive deterministically from keys
+    // (identical integer/date arithmetic both engines: DATE + int days);
+    // the derived receipt CAN precede the derived commit, so the
+    // late-delivery predicate chain (ship < commit < receipt, receipt in
+    // the year band) is a real filter, not a tautology ----
+    "q_tpch_q12_shape" -> Q(
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+          .withColumn("shipmode",
+            element_at(typedlit(Seq("MAIL", "SHIP", "RAIL", "AIR", "TRUCK")),
+              ((col("l_orderkey") * 3 + col("l_linenumber")) % 5 + 1).cast("int")))
+          .withColumn("commitd", date_add(col("l_shipdate").cast("date"),
+            ((col("l_orderkey") + col("l_linenumber")) % 30 + 1).cast("int")))
+          .withColumn("receiptd", date_add(col("commitd"),
+            ((col("l_orderkey") * 7 + col("l_linenumber")) % 20 - 5).cast("int")))
+          .filter(col("shipmode").isin("MAIL", "SHIP") &&
+            col("commitd") < col("receiptd") &&
+            col("l_shipdate").cast("date") < col("commitd") &&
+            col("receiptd") >= lit("1996-01-01").cast("date") &&
+            col("receiptd") < lit("1997-01-01").cast("date"))
+          .select(col("l_orderkey"), col("shipmode"))
+        val ord = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        l.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("shipmode"))
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("high_line_count"),
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+              .otherwise(1L)).as("low_line_count"))
+          .orderBy(col("shipmode"))
+      },
+      Some("""WITH l AS (
+             |  SELECT l_orderkey,
+             |    (['MAIL', 'SHIP', 'RAIL', 'AIR', 'TRUCK'])[
+             |      CAST((l_orderkey * 3 + l_linenumber) % 5 + 1 AS INT)] AS shipmode,
+             |    CAST(l_shipdate AS DATE) AS shipd,
+             |    CAST(l_shipdate AS DATE) +
+             |      CAST((l_orderkey + l_linenumber) % 30 + 1 AS INT) AS commitd,
+             |    CAST(l_shipdate AS DATE) +
+             |      CAST((l_orderkey + l_linenumber) % 30 + 1 AS INT) +
+             |      CAST((l_orderkey * 7 + l_linenumber) % 20 - 5 AS INT) AS receiptd
+             |  FROM lineitem)
+             |SELECT shipmode,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+             |FROM l JOIN orders ON l_orderkey = o_orderkey
+             |WHERE shipmode IN ('MAIL', 'SHIP')
+             |  AND commitd < receiptd AND shipd < commitd
+             |  AND receiptd >= DATE '1996-01-01' AND receiptd < DATE '1997-01-01'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     "q_setop_intersect" -> Q(
       (s, dir) =>
         t(s, dir, "customer").select(col("c_custkey").as("k"))

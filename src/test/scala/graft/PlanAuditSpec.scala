@@ -209,6 +209,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"broadcast build side is not the C-row candidate frame:\n$plan")
   }
 
+  test("q2/q9/q16/q12 shapes: decorrelated, product-free, bounded windows") {
+    // q2: the correlated min-cost subquery decorrelates into a window MIN
+    // partitioned by partkey — one lineitem pass, never a join-back
+    // re-scan, and never a single-partition window
+    val q2 = physical("q_tpch_q2_shape")
+    assert("FileScan[^\\n]*lineitem".r.findAllIn(q2).length == 1,
+      s"q2 shape scans lineitem more than once:\n$q2")
+    assert(!q2.contains("SinglePartition"),
+      s"q2 shape plans a single-partition window:\n$q2")
+    // q9's two-key fact⋈partsupp join, q16's NOT-IN anti-join and q12's
+    // derived-predicate chain must all stay equi-joins
+    for (q <- Seq("q_tpch_q2_shape", "q_tpch_q9_shape",
+        "q_tpch_q16_shape", "q_tpch_q12_shape")) {
+      val p = physical(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"), s"$q plans a product join:\n$p")
+    }
+    assert(physical("q_tpch_q16_shape").contains("LeftAnti"),
+      "q16 shape lost its NOT-IN anti-join")
+  }
+
   test("increment-vs-index scans the index artifacts, never prior text") {
     // the persisted-index contract: once the prior corpus is indexed, an
     // increment's plan reads the index parquet (fp/bands/shingles) and the
@@ -408,7 +429,9 @@ class PlanAuditSpec extends AnyFunSuite {
                               // are the bounded mixture-spec labels)
       "q_tpch_q20_shape",    // nation (region-filtered, ≤25 rows)
       "q_tpch_q11_shape",    // nation + the 1-row global-value frame
-      "q_knn_ivfpq_rerank"   // the C=50-row ADC candidate frame
+      "q_knn_ivfpq_rerank",  // the C=50-row ADC candidate frame
+      "q_tpch_q2_shape",     // region-filtered nation (≤25 rows)
+      "q_tpch_q9_shape"      // nation (25 rows forever)
     )
     val actual = HintAuditHelper.hinted(spark, dir)
     assert(actual == expected,
