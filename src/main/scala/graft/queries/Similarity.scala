@@ -260,6 +260,52 @@ object Similarity {
       "cells" -> cents.length.toLong)
   }
 
+  /** Append an increment of vectors (an embeddings-schema parquet dir) to
+    * a persisted index: quantize, assign each vector to its nearest
+    * EXISTING centroid (the same argmin as the build — centroids are
+    * never retrained here, the dedup-index append discipline: O(increment)
+    * work, the corpus of record never re-read), and append into the
+    * cell-partitioned layout. Returns the appended count. */
+  def appendVectorIndex(s: SparkSession, srcDir: String,
+      indexDir: String): Long = {
+    import org.apache.spark.sql.SaveMode
+    val inc = s.read.parquet(srcDir).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
+    val cents = s.read.parquet(s"$indexDir/centroids")
+      .orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    require(cents.nonEmpty, s"no centroids at $indexDir — build first")
+    val best = array_min(array(cents.map { case (cell, cv) =>
+      struct(
+        aggregate(zip_with(col("v"), typedlit(cv), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d"),
+        lit(cell).as("cell"))
+    }: _*))
+    val assigned = inc.select(col("vec_id"), col("v"), best.as("b"))
+      .select(col("vec_id"), col("v"), col("b.cell").as("cell"))
+    assigned.write.partitionBy("cell")
+      .mode(SaveMode.Append).parquet(s"$indexDir/vectors")
+    inc.count()
+  }
+
+  /** Operational state of a persisted index: totals plus the CELL-SKEW
+    * signal — the largest cell's share of the corpus. A probe scans one
+    * cell, so a hot cell IS the query cost at scale; when the share drifts
+    * far above 1/cells the operator answer is retrain/re-split (the
+    * vector-side sibling of the dedup index's `stale` re-band signal). */
+  def vectorIndexInfo(s: SparkSession, indexDir: String): Map[String, Long] = {
+    val counts = s.read.parquet(s"$indexDir/vectors")
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    val total = counts.sum
+    Map(
+      "vectors" -> total,
+      "cells" -> counts.length.toLong,
+      "max_cell" -> (if (counts.isEmpty) 0L else counts.max),
+      "max_cell_share_pct" ->
+        (if (total == 0) 0L else counts.max * 100 / total))
+  }
+
   private def centroidIndex(s: SparkSession, dir: String): DataFrame = {
     // entries for stopped sessions are dead weight (and their cached
     // blocks unreachable): sweep them on access so the map is bounded by

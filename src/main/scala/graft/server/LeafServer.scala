@@ -689,6 +689,25 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     Map("tables" -> tables.toVector)
   }
 
+  handle("/admin/vector_index_append") { (c, args) =>
+    // O(increment) growth: assign new vectors to the EXISTING centroids
+    // and append into the cell-partitioned layout — the dedup-index
+    // append discipline applied to the vector side.
+    if (!c.trusted && !c.did.exists(moduleAdmins.contains))
+      throw new LeafAuthException("admin RPCs require a trusted connection")
+    Map("appended" -> graft.queries.Similarity
+      .appendVectorIndex(store.spark, str(args, "src"), str(args, "dir")))
+  }
+
+  handle("/admin/vector_index_info") { (c, args) =>
+    // Totals + the cell-skew signal (largest cell's share): a probe scans
+    // one cell, so a hot cell IS the query cost — the operator watches
+    // this the way dedup_index_info surfaces `stale`.
+    if (!c.trusted && !c.did.exists(moduleAdmins.contains))
+      throw new LeafAuthException("admin RPCs require a trusted connection")
+    graft.queries.Similarity.vectorIndexInfo(store.spark, str(args, "dir"))
+  }
+
   // ---------------- wire-protocol surface ----------------
 
   /** The server's DID document (reference: .well-known/did.json endpoint,

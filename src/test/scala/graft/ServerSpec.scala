@@ -1069,6 +1069,50 @@ class ServerSpec extends AnyFunSuite {
     val denied = post("/admin/vector_index_build",
       Map("src" -> src, "dir" -> idx), token = None)
     assert(denied.contains("err"))
+
+    // ---- index lifecycle: append an increment, watch the skew signal ----
+    val info0 = ok(post("/admin/vector_index_info", Map("dir" -> idx)))
+    val n0 = info0("vectors").asInstanceOf[Long]
+    val cells0 = info0("cells").asInstanceOf[Long]
+    assert(n0 > 0 && cells0 > 0 &&
+      info0("max_cell_share_pct").asInstanceOf[Long] >= 100 / cells0)
+
+    // increment: the same corpus re-identified (vec_id + 1e6) — every
+    // appended vector must land in the SAME cell as its original (same
+    // embedding, same centroids, same argmin)
+    val incDir = graft.TempDirs.create("graft-vecinc").toString
+    spark.read.parquet(s"$src/embeddings.parquet")
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .write.mode("overwrite").parquet(incDir)
+    val app = ok(post("/admin/vector_index_append",
+      Map("src" -> incDir, "dir" -> idx)))
+    assert(app("appended").asInstanceOf[Long] == n0)
+    val info1 = ok(post("/admin/vector_index_info", Map("dir" -> idx)))
+    assert(info1("vectors").asInstanceOf[Long] == 2 * n0)
+    assert(info1("cells").asInstanceOf[Long] == cells0,
+      "append must assign into existing cells, never mint new ones")
+    // a doubled corpus of identical vectors keeps the share flat
+    assert(info1("max_cell_share_pct") == info0("max_cell_share_pct"))
+    val cellOf = spark.read.parquet(s"$idx/vectors")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until math.min(n0, 50L)).foreach { i =>
+      assert(cellOf.get(i + 1000000L) == cellOf.get(i),
+        s"appended twin of vec $i landed in a different cell")
+    }
+
+    // the attached named query answers from the GROWN index: the appended
+    // twin of the query vector is a second distance-0 hit
+    val rows2 = ok(post("/stream/query", Map("id" -> sid, "query" -> Map(
+      "name" -> "knn", "limit" -> 3L,
+      "params" -> Map("qvec" -> qv.mkString(","))))))("rows")
+      .asInstanceOf[Vector[Any]]
+    val got2 = rows2.map { r =>
+      val m = r.asInstanceOf[Map[String, Any]]
+      (m("vec_id").asInstanceOf[Map[String, Any]]("value").asInstanceOf[Long],
+        m("dist").asInstanceOf[Map[String, Any]]("value").asInstanceOf[Long])
+    }
+    assert(got2.take(2) == Vector((7L, 0L), (1000007L, 0L)), got2.toString)
   }
 
   test("json parser caps container nesting (no stack overflow on [[[…)") {
