@@ -167,9 +167,11 @@ object Analytics {
             slice(col("ts"), lit(2), size(col("ts")) - 1),
             (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
           .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        gateFrames.evict(s, s"$dir#colloc")
         val big = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
           .persist()
         big.count() // settle: four consumers below fork the plan
+        gateFrames.put(s, s"$dir#colloc", big)
         // unigram slot counts DERIVE from the aggregated bigram table
         // (c1(w) = Σ c_xy over w1=w) — the token explode runs once, and
         // the marginals aggregate the already-tiny distinct-bigram set
@@ -280,6 +282,7 @@ object Analytics {
             explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
           .persist()
         inst.count() // two consumers: corpus counts + the instance join
+        gateFrames.put(s, s"$dir#uni_lp", inst)
         val counts = inst.groupBy("w").agg(count(lit(1)).as("cnt"))
         val total = inst.select(count(lit(1)).as("n_total"))
         val surp = round(
@@ -325,6 +328,7 @@ object Analytics {
             explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
           .persist()
         inst.count() // three consumers: train counts, train totals, scoring
+        gateFrames.put(s, s"$dir#held_lp", inst)
         val counts = inst.filter(col("is_train"))
           .groupBy("w").agg(count(lit(1)).as("cnt"))
         val totals = counts.agg(sum(col("cnt")).as("n_train"),
@@ -385,6 +389,7 @@ object Analytics {
             element_at(col("ts"), col("i") + 2).as("w2"))
           .persist()
         inst.count() // three consumers: c12, c1, the instance join
+        gateFrames.put(s, s"$dir#bigram_lp", inst)
         val c12 = inst.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
         val c1 = inst.groupBy("w1").agg(count(lit(1)).as("c1"))
         val vocab = toks
@@ -483,6 +488,7 @@ object Analytics {
             element_at(col("ts"), col("i") + 2).as("w2"))
           .persist()
         inst.count() // two consumers: corpus counts + the instance join
+        gateFrames.put(s, s"$dir#novelty", inst)
         val corpus = inst.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
         inst.join(corpus, Seq("w1", "w2"))
           .groupBy("doc_id")
@@ -749,6 +755,7 @@ object Analytics {
             abs(col("cents") - col("med")).as("dev"))
           .persist()
         dev.count() // two consumers: the MAD rank pass + the flag join
+        gateFrames.put(s, s"$dir#mad", dev)
         val devRanked = dev
           .withColumn("rn", row_number().over(w.orderBy(col("dev"))))
           .withColumn("n", count(lit(1)).over(w))
@@ -951,4 +958,11 @@ object Analytics {
   // previous invocation's persisted edge/node frames, swept on re-entry
   // (same retention discipline as Dedup.lshCaches)
   private val prCaches = GateCache.frames()
+
+  // per-gate persisted intermediates (instance/bigram/deviation passes),
+  // one retained generation per (session, corpus, gate) — previously bare
+  // persist() calls that relied on the ContextCleaner's GC timing to
+  // release blocks; the GateCache evict-on-reentry keeps retention
+  // deterministic (see GateCache.scala)
+  private val gateFrames = GateCache.frame()
 }
