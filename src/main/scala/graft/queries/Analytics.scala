@@ -277,6 +277,10 @@ object Analytics {
     // agg carries two fixed-width columns.
     "q_text_unigram_lp" -> Q(
       (s, dir) => {
+        // evict BEFORE the new persist: identical logical plans share ONE
+        // cache entry, so a post-persist clean of the old generation
+        // would drop the new frame's cache with it
+        gateFrames.evict(s, s"$dir#uni_lp")
         val inst = t(s, dir, "documents")
           .select(col("doc_id"),
             explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
@@ -321,6 +325,7 @@ object Analytics {
     // gap is visible data.
     "q_text_heldout_lp" -> Q(
       (s, dir) => {
+        gateFrames.evict(s, s"$dir#held_lp") // pre-persist (shared-entry rule)
         val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
           .cast("long")
         val inst = t(s, dir, "documents")
@@ -381,6 +386,7 @@ object Analytics {
       (s, dir) => {
         val toks = t(s, dir, "documents")
           .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("ts"))
+        gateFrames.evict(s, s"$dir#bigram_lp") // pre-persist (shared-entry rule)
         val inst = toks
           .select(col("doc_id"), posexplode(col("ts")).as(Seq("i", "w")),
             col("ts"), size(col("ts")).as("n"))
@@ -480,6 +486,7 @@ object Analytics {
       (s, dir) => {
         val toks = t(s, dir, "documents")
           .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("ts"))
+        gateFrames.evict(s, s"$dir#novelty") // pre-persist (shared-entry rule)
         val inst = toks
           .select(col("doc_id"), posexplode(col("ts")).as(Seq("i", "w")),
             col("ts"), size(col("ts")).as("n"))
@@ -750,6 +757,7 @@ object Analytics {
           .withColumn("n", count(lit(1)).over(w))
         val med = ranked.filter(col("rn") === expr("(n + 1) DIV 2"))
           .select(col("event_type"), col("cents").as("med"))
+        gateFrames.evict(s, s"$dir#mad") // pre-persist (shared-entry rule)
         val dev = ranked.join(med, "event_type")
           .select(col("event_type"), col("cents"), col("med"),
             abs(col("cents") - col("med")).as("dev"))

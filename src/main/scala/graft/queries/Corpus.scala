@@ -442,9 +442,11 @@ object Corpus {
           .filter(col("i") < col("n") - 1)
           .select(concat(col("w"), lit(" "),
             element_at(col("ts"), col("i") + 2)).as("bg"))
+        ssCaches.evict(s, s"$dir#cms") // pre-persist (shared-entry rule)
         val counts = inst.groupBy("bg").agg(count(lit(1)).as("cnt"))
           .withColumn("h", h60(s, col("bg"))).persist()
         counts.count() // three consumers: sketch fold, total, hh probe
+        ssCaches.put(s, s"$dir#cms", counts) // one retained generation
         def buckets = posexplode(array(
           col("h") % 256, shiftright(col("h"), 8) % 256,
           shiftright(col("h"), 16) % 256, shiftright(col("h"), 24) % 256))

@@ -22,6 +22,13 @@ import scala.collection.concurrent.TrieMap
   *    returned.
   *  - `put` registers a value only after its build completed, and cleans
   *    any value it replaces — a retry cannot leak the superseded persist.
+  *  - ORDERING RULE for frames rebuilt from the SAME logical plan (a gate
+  *    re-run over the same corpus): Spark's CacheManager keys cache
+  *    entries by logical plan, so the old and new generation SHARE one
+  *    entry — call `evict` BEFORE the new persist(); a post-persist clean
+  *    of the old generation would drop the new frame's cache with it
+  *    (the symptom: "Asked to cache already cached data", then a plan
+  *    with no InMemoryTableScan).
   */
 final class GateCache[V](clean: V => Unit) {
   private val m = TrieMap.empty[(SparkSession, String), V]

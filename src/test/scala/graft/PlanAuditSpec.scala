@@ -95,7 +95,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // (a non-codegen Expression creeping into a hot pipeline would
     // split or drop these spans)
     for (q <- Seq("q_tpch_q18", "q_tpch_q17", "q_text_tfidf",
-        "q_text_collocations", "q_sketch_cms")) {
+        "q_text_collocations", "q_sketch_cms",
+        "q_tpch_q9_shape", "q_tpch_q2_shape")) {
       val df = SparkEntry.queries(q)(spark, dir)
       df.collect() // settle AQE so executedPlan is the final plan
       val plan = df.queryExecution.executedPlan.toString
