@@ -267,9 +267,15 @@ object Similarity {
     * work, the corpus of record never re-read), and append into the
     * cell-partitioned layout. Returns the appended count. */
   def appendVectorIndex(s: SparkSession, srcDir: String,
+      indexDir: String): Long =
+    appendVectorIndexDf(s, s.read.parquet(srcDir), indexDir)
+
+  /** DataFrame-source variant of [[appendVectorIndex]] — what the
+    * streaming ingest path feeds per micro-batch. */
+  def appendVectorIndexDf(s: SparkSession, emb: DataFrame,
       indexDir: String): Long = {
     import org.apache.spark.sql.SaveMode
-    val inc = s.read.parquet(srcDir).select(col("vec_id"),
+    val inc = emb.select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
     val cents = s.read.parquet(s"$indexDir/centroids")

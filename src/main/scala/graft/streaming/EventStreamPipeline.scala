@@ -326,4 +326,33 @@ object EventStreamPipeline {
       }
       .start()
   }
+
+  /** Streaming vector-index ingest — the vector-side twin of
+    * [[incrementalDedupStream]]: each micro-batch of embeddings assigns
+    * to the EXISTING centroids and appends into the cell-partitioned
+    * index ([[graft.queries.Similarity.appendVectorIndexDf]], the
+    * O(increment) path), so the persisted index a param-bound kNN named
+    * query answers from grows continuously as embedding files land.
+    * Centroids are never retrained in-stream — the `vector_index_info`
+    * cell-skew signal is the operator's retrain trigger, exactly like
+    * dedup's `stale` drives the re-band.
+    *
+    * Delivery: the checkpoint makes the FILE SOURCE exactly-once (a
+    * re-run with the same checkpoint re-reads nothing), and the index
+    * append within a batch is at-least-once: a foreachBatch retry after
+    * a mid-batch crash re-appends the same vectors, so an exactly-once
+    * consumer dedups on vec_id at read time (the verdict-write
+    * discipline above). */
+  def vectorIndexIngestStream(embStream: DataFrame, indexDir: String,
+      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow()) = {
+    val spark = embStream.sparkSession
+    embStream.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.queries.Similarity.appendVectorIndexDf(spark, batch, indexDir)
+        ()
+      }
+      .start()
+  }
 }

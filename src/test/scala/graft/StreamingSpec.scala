@@ -489,4 +489,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(meta.batches == 3 && meta.count == 240, meta.toString)
     graft.TempDirs.release(root)
   }
+
+  test("streaming vector-index ingest grows the index, exactly once") {
+    // the vector-side twin of the streaming dedup pipeline: embedding
+    // files land, each micro-batch assigns to the EXISTING centroids and
+    // appends into the cell-partitioned index; a checkpointed re-run over
+    // the same landing dir appends nothing (exactly-once file source);
+    // every streamed twin lands in its original's cell (assignment is
+    // the same argmin whether batch or stream)
+    val src = "/root/testdata/sf0.001"
+    val idx = graft.TempDirs.create("graft-vecidx-str").toString
+    graft.queries.Similarity.buildVectorIndex(spark, src, idx)
+    def vectors(): Long =
+      graft.queries.Similarity.vectorIndexInfo(spark, idx)("vectors")
+    val n0 = vectors()
+    assert(n0 > 0)
+
+    val land = graft.TempDirs.create("graft-vecland").toString
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    for (i <- 1 to 3)
+      emb.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
+        .coalesce(1).write.mode("append").parquet(land)
+
+    def landStream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(land)
+    val ckpt = graft.TempDirs.create("graft-vecstr-ckpt").toString
+    val q = EventStreamPipeline.vectorIndexIngestStream(landStream, idx, ckpt)
+    q.awaitTermination()
+    assert(vectors() == 4 * n0,
+      s"3 streamed increments of $n0 must grow the index to ${4 * n0}")
+
+    // exactly-once: same checkpoint, no new files -> no growth
+    val q2 = EventStreamPipeline.vectorIndexIngestStream(landStream, idx, ckpt)
+    q2.awaitTermination()
+    assert(vectors() == 4 * n0, "checkpointed re-run must append nothing")
+
+    // assignment equivalence, sampled
+    val cellOf = spark.read.parquet(s"$idx/vectors")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until math.min(n0, 30L)).foreach { v =>
+      for (i <- 1 to 3)
+        assert(cellOf.get(v + i * 1000000L) == cellOf.get(v),
+          s"streamed twin of vec $v (wave $i) left its cell")
+    }
+  }
 }
