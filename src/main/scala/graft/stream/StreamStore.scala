@@ -903,11 +903,15 @@ class StreamHandle(val store: StreamStore, val id: String) {
     * keyed row" module idiom) into the self-overwrite INSERT the engine
     * already executes set-based. The rewrite applies ONLY when the shape
     * is provably batch-safe:
-    *  - every WHERE conjunct is either an equi-key `t.col = <expr>` with
-    *    the expr referencing event columns only, or a residual
-    *    referencing event columns only (both probe-analyzed against the
-    *    event schema — an unqualified target-column reference fails the
-    *    probe and vetoes the rewrite);
+    *  - every WHERE conjunct (Catalyst-parsed, split on And nodes so an
+    *    OR above an AND is ONE conjunct, never mis-factored) is either an
+    *    equi-key `t.col = <expr>` with the expr referencing event columns
+    *    only, or a residual referencing event columns only (both
+    *    probe-analyzed against the event schema — an unqualified
+    *    reference that is not an event column fails the probe and vetoes
+    *    the rewrite; a bare event-column name binds to the event even
+    *    when the target shares the name, identically in batch and
+    *    per-event replay);
     *  - every SET right-hand side references event columns only.
     * Under those conditions per-event replay in idx order ends with the
     * LAST matching event's values per key, which is exactly what the
@@ -928,8 +932,11 @@ class StreamHandle(val store: StreamStore, val id: String) {
     }
   }
 
-  /** Split at paren depth 0 outside quotes, on `,` or the word AND. */
+  /** Split on `,` at paren depth 0 outside quotes (SET-list assignments;
+    * WHERE decomposition goes through the Catalyst parser so AND/OR
+    * precedence is honoured, not a token scan). */
   private def splitTop(s: String, onComma: Boolean): Seq[String] = {
+    require(onComma)
     val parts = scala.collection.mutable.Buffer.empty[String]
     val cur = new StringBuilder
     var depth = 0; var inStr = false; var i = 0
@@ -939,13 +946,8 @@ class StreamHandle(val store: StreamStore, val id: String) {
       else if (c == '\'') { inStr = true; cur.append(c); i += 1 }
       else if (c == '(') { depth += 1; cur.append(c); i += 1 }
       else if (c == ')') { depth -= 1; cur.append(c); i += 1 }
-      else if (onComma && c == ',' && depth == 0) {
+      else if (c == ',' && depth == 0) {
         parts += cur.toString; cur.setLength(0); i += 1
-      } else if (!onComma && depth == 0 && (c == 'a' || c == 'A') &&
-          i + 3 <= s.length && s.substring(i, i + 3).equalsIgnoreCase("and") &&
-          (i == 0 || !s.charAt(i - 1).isLetterOrDigit) &&
-          (i + 3 == s.length || !s.charAt(i + 3).isLetterOrDigit)) {
-        parts += cur.toString; cur.setLength(0); i += 3
       } else { cur.append(c); i += 1 }
     }
     parts += cur.toString
@@ -974,24 +976,60 @@ class StreamHandle(val store: StreamStore, val id: String) {
 
   private def rewriteUpdateFrom0(target: String, setClause: String,
       whereClause: String): Option[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
     val cols = spark.table(s"$dbName.$target").columns
     val colSet = cols.map(_.toLowerCase).toSet
-    // SET a = expr, b = expr — rhs must be event-only
+    val parser = spark.sessionState.sqlParser
+    val eventCols = Set("idx", "user", "payload")
+    // SET-rhs generation scope is the deduped-event join alias `__e`; bind
+    // `event.` qualifiers and bare event-schema names there by TREE
+    // transform + .sql regeneration — never a text substitution, so a
+    // string literal containing "event." is untouched and a bare event
+    // column that collides with a target column still binds to the event
+    // (the per-event replay path takes the same rewrite on 1-row batches,
+    // so batch and sequential agree by construction). Bare names that are
+    // NOT event columns already failed the eventOnly probe → rewrite
+    // refused, never misbound.
+    def toEventAlias(e: Expression): String = e.transform {
+      case a: UnresolvedAttribute if a.nameParts.length == 2 &&
+          a.nameParts.head.equalsIgnoreCase("event") =>
+        UnresolvedAttribute(Seq("__e", a.nameParts(1)))
+      case a: UnresolvedAttribute if a.nameParts.length == 1 &&
+          eventCols.contains(a.nameParts.head.toLowerCase) =>
+        UnresolvedAttribute(Seq("__e", a.nameParts.head))
+    }.sql
+    // SET a = expr, b = expr — rhs must parse and be event-only
     val asgRe = "(?s)^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(.*)$".r
     val assignments = splitTop(setClause, onComma = true).map {
-      case asgRe(c, e) if colSet.contains(c.toLowerCase) && eventOnly(e) =>
-        c.toLowerCase -> e.trim
+      case asgRe(c, e) if colSet.contains(c.toLowerCase) =>
+        val rhs = parser.parseExpression(e)
+        if (!eventOnly(rhs.sql)) return None
+        c.toLowerCase -> toEventAlias(rhs)
       case _ => return None
     }.toMap
-    // WHERE conjuncts: target-keyed equis vs event-only residuals
-    val keyRe = ("(?s)^\\s*" + java.util.regex.Pattern.quote(target) +
-      "\\s*\\.\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(.*)$").r
+    // WHERE: split on Catalyst And nodes so SQL precedence is honoured —
+    // `k = e AND a OR b` parses as Or(And(k=e, a), b), ONE conjunct whose
+    // target reference fails the event-only probe → rewrite refused (the
+    // old token-level AND split mis-factored it as key ∧ (a OR b)).
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def targetKey(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute if a.nameParts.length == 2 &&
+          a.nameParts.head.equalsIgnoreCase(target) &&
+          colSet.contains(a.nameParts(1).toLowerCase) => Some(a.nameParts(1))
+      case _ => None
+    }
     val keys = scala.collection.mutable.Buffer.empty[(String, String)]
     val residuals = scala.collection.mutable.Buffer.empty[String]
-    splitTop(whereClause, onComma = false).foreach {
-      case keyRe(c, e) if colSet.contains(c.toLowerCase) && eventOnly(e) =>
-        keys += ((c, e.trim))
-      case other if eventOnly(other) => residuals += other
+    conjuncts(parser.parseExpression(whereClause)).foreach {
+      case EqualTo(l, r) if targetKey(l).isDefined && eventOnly(r.sql) =>
+        keys += ((targetKey(l).get, r.sql))
+      case EqualTo(l, r) if targetKey(r).isDefined && eventOnly(l.sql) =>
+        keys += ((targetKey(r).get, l.sql))
+      case other if eventOnly(other.sql) => residuals += other.sql
       case _ => return None
     }
     if (keys.isEmpty) return None
@@ -1002,8 +1040,7 @@ class StreamHandle(val store: StreamStore, val id: String) {
       if (residuals.isEmpty) "" else s" WHERE ${residuals.mkString(" AND ")}"
     val setSel = cols.map { c =>
       assignments.get(c.toLowerCase) match {
-        case Some(e) =>
-          val ee = "(?i)\\bevent\\s*\\.".r.replaceAllIn(e, "__e.")
+        case Some(ee) =>
           s"CASE WHEN __e.__m THEN ($ee) ELSE __t.`$c` END AS `$c`"
         case None => s"__t.`$c` AS `$c`"
       }

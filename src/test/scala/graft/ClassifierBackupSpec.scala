@@ -189,6 +189,71 @@ class ClassifierBackupSpec extends AnyFunSuite {
     assert(h3.queryTagged(None, LeafQuery("all")).size == 3)
   }
 
+  test("UPDATE…FROM honours OR precedence, literals, and name collisions") {
+    // three once-wrong shapes, each batch-safe ONLY if handled exactly:
+    //
+    // (1) `k = e AND a OR b` means `(k=e AND a) OR b` — a token-level AND
+    // split would mis-factor it as key ∧ (a OR b) and silently
+    // materialize a diverged table. The Catalyst conjunct split sees ONE
+    // Or conjunct whose target reference fails the event-only probe, so
+    // the rewrite refuses and the raw UPDATE surfaces as the append
+    // error a non-rewritable UPDATE is today.
+    val hOr = store.open("did:test:updfrom_or")
+    hOr.setModule(ModuleDef(
+      initSql = """CREATE TABLE IF NOT EXISTS kv (k STRING, v BIGINT) USING PARQUET;
+                   |INSERT INTO kv VALUES ('a', 0), ('b', 0)""".stripMargin,
+      materializer =
+        """UPDATE kv SET v = drisl_extract_long(event.payload, '.n')
+          |FROM event
+          |WHERE kv.k = drisl_extract(event.payload, '.content')
+          |  AND event.user <> 'spammer' OR event.user = 'admin'""".stripMargin,
+      queries = Map("all" -> QueryDef("SELECT k, v FROM kv ORDER BY k"))))
+    intercept[Exception] {
+      hOr.addEvents(Seq(IncomingEvent("admin", payload("a", 7)))) match {
+        case Left(e) => throw new IllegalStateException(e)
+        case Right(_) => fail(
+          "an OR above the key conjunct must refuse the batch collapse")
+      }
+    }
+    assert(hOr.queryTagged(None, LeafQuery("all")).map(_("v")) ==
+      Vector(SqlValue.SqlInteger(0), SqlValue.SqlInteger(0)))
+
+    // (2) a string literal containing "event." must pass through
+    // untouched (tree transform, not text substitution), and (3) a BARE
+    // event-column name that collides with a target column binds to the
+    // event — batch and five single-event batches end identical.
+    def collideModule = ModuleDef(
+      initSql =
+        """CREATE TABLE IF NOT EXISTS kv (k STRING, user STRING, tag STRING) USING PARQUET;
+          |INSERT INTO kv VALUES ('a', 'seed', 'seed'), ('b', 'seed', 'seed')""".stripMargin,
+      materializer =
+        """UPDATE kv SET user = user,
+          |    tag = concat('event.', event.user)
+          |FROM event
+          |WHERE kv.k = drisl_extract(event.payload, '.content')""".stripMargin,
+      queries = Map("all" -> QueryDef("SELECT k, user, tag FROM kv ORDER BY k")))
+    val events = Seq(
+      IncomingEvent("ann", payload("a")),
+      IncomingEvent("bob", payload("b")),
+      IncomingEvent("cat", payload("a"))) // last write to 'a'
+    val h1 = store.open("did:test:updfrom_lit")
+    h1.setModule(collideModule)
+    assert(h1.addEvents(events).isRight)
+    assert(h1.perEventReplays == 0L, "collision shape must stay set-based")
+    val expected = Vector(
+      (SqlValue.SqlText("a"), SqlValue.SqlText("cat"),
+        SqlValue.SqlText("event.cat")),
+      (SqlValue.SqlText("b"), SqlValue.SqlText("bob"),
+        SqlValue.SqlText("event.bob")))
+    assert(h1.queryTagged(None, LeafQuery("all"))
+      .map(r => (r("k"), r("user"), r("tag"))) == expected)
+    val h2 = store.open("did:test:updfrom_lit2")
+    h2.setModule(collideModule)
+    events.foreach(e => assert(h2.addEvents(Seq(e)).isRight))
+    assert(h2.queryTagged(None, LeafQuery("all"))
+      .map(r => (r("k"), r("user"), r("tag"))) == expected)
+  }
+
   test("per-event fallback warns when replays cross the telemetry threshold") {
     // a materializer that reads its own output in non-upsert shape forces
     // the per-event replay loop; the warning must fire once per 10k
