@@ -56,6 +56,11 @@ object Similarity {
   // entries are swept on access (the shared GateCache discipline)
   private val pqCaches = GateCache.frame()
   private val pqCoded = GateCache.frame()
+  // q_emb_kmeans' persisted quantized corpus — one retained generation on
+  // the shared GateCache discipline (the 3 assignment + 2 update passes
+  // fork its plan; the returned frame consumes it lazily, so re-entry is
+  // the unpersist point, never the builder)
+  private val kmCaches = GateCache.frame()
 
   /** Product-quantization train + encode + ADC, shared by `q_emb_pq` and
     * `q_knn_ivfpq`: the 64-dim floor(x·64+½)-quantized vector splits into
@@ -77,13 +82,18 @@ object Similarity {
     * hard bound at scale — both engines apply the identical rule. */
   private val pqTrainSample = 1024
 
+  /** PQ geometry: the 64-dim quantized vector splits into M subspaces of
+    * L dims, K codewords each — shared by the in-session pipeline and the
+    * persisted index's codebooks/codes artifacts. */
+  private val pqM = 4; private val pqL = 16; private val pqK = 8
+
   private def pqAdc(s: SparkSession, dir: String): DataFrame = {
     pqCaches.sweep()
     pqCoded.getOrBuild(s, dir)(pqAdcBuild(s, dir))
   }
 
   private def pqAdcBuild(s: SparkSession, dir: String): DataFrame = {
-    val M = 4; val L = 16; val K = 8
+    val M = pqM; val L = pqL; val K = pqK
     val qv = emb(s, dir).select(col("vec_id"), col("label"),
       transform(col("embedding"),
         x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
@@ -94,29 +104,34 @@ object Similarity {
     catch { case e: Throwable => qv.unpersist(false); throw e }
   }
 
-  private def pqAdcBody(s: SparkSession, dir: String, qv: DataFrame,
-      M: Int, L: Int, K: Int): DataFrame = {
-    qv.count() // settle: M update passes + 2 assignment passes fork the plan
+  /** argmin `(distance, j)` struct of `v`'s m-th L-dim subvector against
+    * codebook `bk` — shared by the in-session PQ pipeline, the persisted
+    * index build, and the index append/retrain encode passes. */
+  private def bestCode(m: Int, L: Int, bk: Array[Seq[Long]]): Column =
+    array_min(array(bk.indices.map { j =>
+      struct(
+        aggregate(zip_with(slice(col("v"), m * L + 1, L), typedlit(bk(j)),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x).as("d"),
+        lit(j).as("j"))
+    }: _*))
+
+  /** Train the M×K codebooks over `(vec_id, …, v)` rows: K seeds from the
+    * K lowest vec_ids, then one integer-Lloyd step (truncated-mean DIV
+    * update) per subspace. Standard practice (and the 100 TB bound):
+    * codebooks TRAIN on a capped deterministic sample — the
+    * [[pqTrainSample]] lowest-(md5_60(vec_id), vec_id) vectors, the same
+    * rule the oracle CTE applies — and only the ENCODE pass touches the
+    * full corpus, so training cost stops growing with corpus size once
+    * the cap binds (SCALE.md's q_emb_pq decade curve was ~O(corpus) per
+    * Lloyd pass before this). Driver sync is M bounded collects of
+    * O(K·L) longs — the q_emb_kmeans discipline. */
+  private def trainCodebooks(s: SparkSession, qv: DataFrame,
+      M: Int, L: Int, K: Int): Array[Array[Seq[Long]]] = {
     def sub(m: Int): Column = slice(col("v"), m * L + 1, L)
-    val first = qv.orderBy("vec_id").limit(K).collect().map(_.getSeq[Long](2))
+    val first = qv.select(col("vec_id"), col("v"))
+      .orderBy("vec_id").limit(K).collect().map(_.getSeq[Long](1))
     val books: Array[Array[Seq[Long]]] =
       Array.tabulate(M)(m => first.map(_.slice(m * L, m * L + L)))
-    def bestStruct(m: Int, bk: Array[Seq[Long]]): Column =
-      array_min(array((0 until K).map { j =>
-        struct(
-          aggregate(zip_with(sub(m), typedlit(bk(j)), (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x).as("d"),
-          lit(j).as("j"))
-      }: _*))
-    // codes via the argmin struct, resolved through an aliased select
-    // (the q_emb_kmeans discipline) so the (d, j) field names survive
-    // one Lloyd step per subspace: truncated mean (DIV) of each code's
-    // members. Standard practice (and the 100 TB bound): codebooks TRAIN
-    // on a capped deterministic sample — the N lowest-(md5_60(vec_id),
-    // vec_id) vectors, the same rule the oracle CTE applies — and only
-    // the ENCODE pass touches the full corpus, so training cost stops
-    // growing with corpus size once N caps (SCALE.md's q_emb_pq decade
-    // curve was ~O(corpus) per Lloyd pass before this).
     val samp = qv.select(col("v"),
         graft.functions.VectorExpressions
           .md5_60(s, col("vec_id").cast("string")).as("hh"),
@@ -126,7 +141,9 @@ object Similarity {
     samp.count() // settle: M update passes read the sample
     try {
       for (m <- 0 until M) {
-        val upd = samp.select(col("v"), bestStruct(m, books(m)).as("best"))
+        // codes via the argmin struct, resolved through an aliased select
+        // (the q_emb_kmeans discipline) so the (d, j) field names survive
+        val upd = samp.select(col("v"), bestCode(m, L, books(m)).as("best"))
           .select(col("v"), col("best.j").as("c"))
           .select(col("c"), posexplode(sub(m)).as(Seq("i", "x")))
           .groupBy("c", "i").agg(expr("sum(x) DIV count(1)").as("cx"))
@@ -136,6 +153,13 @@ object Similarity {
         books(m) = Array.tabulate(K)(j => byC.getOrElse(j, books(m)(j)))
       }
     } finally samp.unpersist(false) // training is fully collected above
+    books
+  }
+
+  private def pqAdcBody(s: SparkSession, dir: String, qv: DataFrame,
+      M: Int, L: Int, K: Int): DataFrame = {
+    qv.count() // settle: M update passes + 2 assignment passes fork the plan
+    val books = trainCodebooks(s, qv, M, L, K)
     // ADC lookup table: exact distance from the query's subvectors to
     // every codeword — M×K longs, computed once
     val qvec = qv.filter(col("vec_id") === 0).head.getSeq[Long](2)
@@ -143,7 +167,7 @@ object Similarity {
       (0 until K).map(j => books(m)(j).zip(qvec.slice(m * L, m * L + L))
         .map { case (c, x) => (x - c) * (x - c) }.sum))
     val coded = qv.select(col("vec_id") +: col("label") +: col("v") +:
-        (0 until M).map(m => bestStruct(m, books(m)).as(s"b$m")): _*)
+        (0 until M).map(m => bestCode(m, L, books(m)).as(s"b$m")): _*)
       .select(col("vec_id") +: col("label") +:
         (0 until M).map(m => col(s"b$m.j").cast("long").as(s"c$m")): _*)
       .select(col("vec_id") +: col("label") +:
@@ -223,10 +247,17 @@ object Similarity {
     *  - `vectors/` partitioned by cell: every vector assigned to its
     *    NEAREST centroid (argmin over (distance, cell) — deterministic),
     *    so a probe reads exactly one partition directory
-    * Scale shape: the only driver sync is the bounded O(cells·d) centroid
-    * collect; the assignment pass is one in-row codegen'd projection over
-    * the corpus and the write shuffles nothing (partitionBy on the
-    * computed cell). Returns (vectors, cells) counts. */
+    *  - `codebooks/`: (m, j, c) — the M×K PQ codebooks, trained on the
+    *    bounded [[pqTrainSample]] sample of the corpus
+    *  - `codes/` partitioned by cell: (vec_id, c0..c3) — 4 codes/vector,
+    *    co-partitioned with `vectors/`, so the ADC stage of a two-stage
+    *    probe scans a codes-only fileset (bytes/vector, never the
+    *    vectors) and the exact re-rank fetches full vectors only behind
+    *    the bounded candidate set
+    * Scale shape: driver syncs are the bounded O(cells·d) centroid and
+    * O(M·K·L) codebook collects; assignment and encoding are in-row
+    * codegen'd projections over the corpus and the writes shuffle
+    * nothing (partitionBy on the computed cell). Returns counts. */
   def buildVectorIndex(s: SparkSession, srcDir: String,
       indexDir: String): Map[String, Long] = {
     import org.apache.spark.sql.SaveMode
@@ -243,22 +274,68 @@ object Similarity {
       .select(col("label").as("cell"), col("c"))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/centroids")
-    val cents = s.read.parquet(s"$indexDir/centroids")
-      .orderBy("cell").collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1)))
-    val best = array_min(array(cents.map { case (cell, cv) =>
+    val cents = readCentroids(s, indexDir)
+    val assigned = qv.select(col("vec_id"), col("v"),
+        nearestCell(cents).as("b"))
+      .select(col("vec_id"), col("v"), col("b.cell").as("cell"))
+    assigned.write.partitionBy("cell")
+      .mode(SaveMode.Overwrite).parquet(s"$indexDir/vectors")
+    val books = trainCodebooks(s, qv.select(col("vec_id"), col("v")),
+      pqM, pqL, pqK)
+    writeCodebooks(s, s"$indexDir/codebooks", books)
+    // encode from the PERSISTED vectors so codes provably match the
+    // on-disk assignment, not a recomputed plan
+    val persisted = s.read.parquet(s"$indexDir/vectors")
+    encodeCodes(persisted, books)
+      .write.partitionBy("cell")
+      .mode(SaveMode.Overwrite).parquet(s"$indexDir/codes")
+    Map("vectors" -> s.read.parquet(s"$indexDir/vectors").count(),
+      "cells" -> cents.length.toLong,
+      "codes" -> s.read.parquet(s"$indexDir/codes").count())
+  }
+
+  /** argmin `(distance, cell)` struct of `v` against the centroid set. */
+  private def nearestCell(cents: Array[(Long, Seq[Long])]): Column =
+    array_min(array(cents.map { case (cell, cv) =>
       struct(
         aggregate(zip_with(col("v"), typedlit(cv), (a, b) => (a - b) * (a - b)),
           lit(0L), (acc, x) => acc + x).as("d"),
         lit(cell).as("cell"))
     }: _*))
-    val assigned = qv.select(col("vec_id"), col("v"), best.as("b"))
-      .select(col("vec_id"), col("v"), col("b.cell").as("cell"))
-    assigned.write.partitionBy("cell")
-      .mode(SaveMode.Overwrite).parquet(s"$indexDir/vectors")
-    Map("vectors" -> s.read.parquet(s"$indexDir/vectors").count(),
-      "cells" -> cents.length.toLong)
+
+  private def readCentroids(s: SparkSession,
+      indexDir: String): Array[(Long, Seq[Long])] =
+    s.read.parquet(s"$indexDir/centroids")
+      .orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+
+  private def readCodebooks(s: SparkSession,
+      indexDir: String): Array[Array[Seq[Long]]] = {
+    val rows = s.read.parquet(s"$indexDir/codebooks")
+      .orderBy("m", "j").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+    Array.tabulate(pqM)(m => rows.filter(_._1 == m).sortBy(_._2).map(_._3))
   }
+
+  private def writeCodebooks(s: SparkSession, path: String,
+      books: Array[Array[Seq[Long]]]): Unit = {
+    import s.implicits._
+    books.zipWithIndex.flatMap { case (bk, m) =>
+      bk.zipWithIndex.map { case (c, j) => (m, j, c) } }.toSeq
+      .toDF("m", "j", "c")
+      .coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Encode `(vec_id, v, cell)` rows as `(vec_id, c0..c3, cell)`. */
+  private def encodeCodes(vecs: DataFrame,
+      books: Array[Array[Seq[Long]]]): DataFrame =
+    vecs
+      .select(col("vec_id") +: col("cell").cast("long").as("cell") +:
+        (0 until pqM).map(m => bestCode(m, pqL, books(m)).as(s"b$m")): _*)
+      .select(col("vec_id") +:
+        (0 until pqM).map(m => col(s"b$m.j").cast("long").as(s"c$m")) :+
+        col("cell"): _*)
 
   /** Append an increment of vectors (an embeddings-schema parquet dir) to
     * a persisted index: quantize, assign each vector to its nearest
@@ -271,29 +348,37 @@ object Similarity {
     appendVectorIndexDf(s, s.read.parquet(srcDir), indexDir)
 
   /** DataFrame-source variant of [[appendVectorIndex]] — what the
-    * streaming ingest path feeds per micro-batch. */
+    * streaming ingest path feeds per micro-batch. Codes append through
+    * the PERSISTED codebooks (never retrained here — the same
+    * O(increment) discipline as the centroid assignment; a pre-codes
+    * index without `codebooks/` appends vectors only). */
   def appendVectorIndexDf(s: SparkSession, emb: DataFrame,
       indexDir: String): Long = {
     import org.apache.spark.sql.SaveMode
     val inc = emb.select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
-    val cents = s.read.parquet(s"$indexDir/centroids")
-      .orderBy("cell").collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val cents = readCentroids(s, indexDir)
     require(cents.nonEmpty, s"no centroids at $indexDir — build first")
-    val best = array_min(array(cents.map { case (cell, cv) =>
-      struct(
-        aggregate(zip_with(col("v"), typedlit(cv), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("d"),
-        lit(cell).as("cell"))
-    }: _*))
-    val assigned = inc.select(col("vec_id"), col("v"), best.as("b"))
+    val assigned = inc.select(col("vec_id"), col("v"),
+        nearestCell(cents).as("b"))
       .select(col("vec_id"), col("v"), col("b.cell").as("cell"))
-    assigned.write.partitionBy("cell")
-      .mode(SaveMode.Append).parquet(s"$indexDir/vectors")
-    inc.count()
+      .persist() // settle: the vectors write and the codes encode both read it
+    try {
+      assigned.write.partitionBy("cell")
+        .mode(SaveMode.Append).parquet(s"$indexDir/vectors")
+      if (subdirExists(indexDir, "codebooks")) {
+        encodeCodes(assigned, readCodebooks(s, indexDir))
+          .write.partitionBy("cell")
+          .mode(SaveMode.Append).parquet(s"$indexDir/codes")
+      }
+      assigned.count()
+    } finally assigned.unpersist(false)
   }
+
+  private def subdirExists(indexDir: String, sub: String): Boolean =
+    java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(indexDir.stripPrefix("file:"), sub))
 
   /** Operational state of a persisted index: totals plus the CELL-SKEW
     * signal — the largest cell's share of the corpus. A probe scans one
@@ -309,7 +394,121 @@ object Similarity {
       "cells" -> counts.length.toLong,
       "max_cell" -> (if (counts.isEmpty) 0L else counts.max),
       "max_cell_share_pct" ->
-        (if (total == 0) 0L else counts.max * 100 / total))
+        (if (total == 0) 0L else counts.max * 100 / total),
+      // the small-files signal: every append adds ≥1 file per touched
+      // cell, so a long-lived index degrades the way the event log does —
+      // this count is what tells the operator to compact
+      "files" -> (parquetFiles(indexDir, "vectors") +
+        parquetFiles(indexDir, "codes")))
+  }
+
+  private def parquetFiles(indexDir: String, sub: String): Long = {
+    val p = java.nio.file.Paths.get(indexDir.stripPrefix("file:"), sub)
+    if (!java.nio.file.Files.isDirectory(p)) 0L
+    else {
+      val st = java.nio.file.Files.walk(p)
+      try st.filter(f => f.toString.endsWith(".parquet")).count()
+      finally st.close()
+    }
+  }
+
+  private def deleteDir(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val st = java.nio.file.Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally st.close()
+    }
+
+  /** Swap a staged artifact directory into place: `sub.next` → `sub` via
+    * two renames with the displaced version removed last. The window
+    * where `sub` is absent fails a concurrent reader LOUDLY (path not
+    * found), never wrongly — maintenance RPCs are single-writer admin
+    * actions, and on a cluster store this flip becomes the one-pointer
+    * manifest update the event log's compactLog already models with its
+    * versioned-directory + catalog-location discipline. */
+  private def swapIn(indexDir: String, sub: String): Unit = {
+    val base = java.nio.file.Paths.get(indexDir.stripPrefix("file:"))
+    val cur = base.resolve(sub)
+    val next = base.resolve(s"$sub.next")
+    val old = base.resolve(s"$sub.old")
+    require(java.nio.file.Files.isDirectory(next), s"no staged $next")
+    deleteDir(old)
+    if (java.nio.file.Files.exists(cur)) java.nio.file.Files.move(cur, old)
+    java.nio.file.Files.move(next, cur)
+    deleteDir(old)
+  }
+
+  /** Maintenance: compact the per-append file accumulation in `vectors/`
+    * and `codes/` — the index-side twin of the event log's small-files
+    * problem (StreamStore.compactLog). Each artifact rewrites into
+    * ~128 MB files, still partitioned by cell so the probe-one-cell read
+    * path is unchanged, staged to `<sub>.next` and swapped in. Content is
+    * untouched: same rows, same cells, fewer files. Returns the post-
+    * compaction info map (its `files` is the bounded count). */
+  def compactVectorIndex(s: SparkSession, indexDir: String): Map[String, Long] = {
+    import org.apache.spark.sql.SaveMode
+    Seq("vectors", "codes").filter(subdirExists(indexDir, _)).foreach { sub =>
+      val df = s.read.parquet(s"$indexDir/$sub")
+      val bytes = {
+        val p = java.nio.file.Paths.get(indexDir.stripPrefix("file:"), sub)
+        val st = java.nio.file.Files.walk(p)
+        try st.filter(f => f.toString.endsWith(".parquet"))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally st.close()
+      }
+      val target = math.max(1, math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
+      df.repartition(target, col("cell"))
+        .write.partitionBy("cell")
+        .mode(SaveMode.Overwrite).parquet(s"$indexDir/$sub.next")
+      swapIn(indexDir, sub)
+    }
+    vectorIndexInfo(s, indexDir)
+  }
+
+  /** Maintenance: retrain the index FROM its own artifacts — the vector
+    * twin of the dedup index's re-band (Dedup.rebandDedupIndex): the
+    * corpus of record is never re-read. One integer-Lloyd step over the
+    * persisted assignment: new centroids are the truncated mean of each
+    * CURRENT cell's members, every vector reassigns to its nearest new
+    * centroid (the skew answer — a hot cell's mass pulls its centroid and
+    * boundary vectors migrate out), codebooks retrain on the bounded
+    * sample of index vectors, and codes re-encode. All four artifacts
+    * stage to `.next` and swap, so a crash mid-retrain leaves the live
+    * index untouched. */
+  def retrainVectorIndex(s: SparkSession, indexDir: String): Map[String, Long] = {
+    import org.apache.spark.sql.SaveMode
+    val vecs = s.read.parquet(s"$indexDir/vectors")
+      .select(col("vec_id"), col("v"), col("cell").cast("long").as("cell"))
+      .persist() // settle: centroid update + reassignment + PQ sample read it
+    try {
+      vecs.count()
+      vecs.select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i"))
+        .agg(expr("sum(x) DIV count(1)").as("cx"))
+        .groupBy(col("cell"))
+        .agg(transform(sort_array(collect_list(struct(col("i"), col("cx")))),
+          p => p.getField("cx")).as("c"))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/centroids.next")
+      val cents = s.read.parquet(s"$indexDir/centroids.next")
+        .orderBy("cell").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      val assigned = vecs.select(col("vec_id"), col("v"),
+          nearestCell(cents).as("b"))
+        .select(col("vec_id"), col("v"), col("b.cell").as("cell"))
+      assigned.write.partitionBy("cell")
+        .mode(SaveMode.Overwrite).parquet(s"$indexDir/vectors.next")
+      val books = trainCodebooks(s, vecs.select(col("vec_id"), col("v")),
+        pqM, pqL, pqK)
+      writeCodebooks(s, s"$indexDir/codebooks.next", books)
+      encodeCodes(s.read.parquet(s"$indexDir/vectors.next"), books)
+        .write.partitionBy("cell")
+        .mode(SaveMode.Overwrite).parquet(s"$indexDir/codes.next")
+      Seq("centroids", "vectors", "codebooks", "codes")
+        .foreach(swapIn(indexDir, _))
+      vectorIndexInfo(s, indexDir)
+    } finally vecs.unpersist(false)
   }
 
   private def centroidIndex(s: SparkSession, dir: String): DataFrame = {
@@ -604,11 +803,13 @@ object Similarity {
     "q_emb_kmeans" -> Q(
       (s, dir) => {
         val K = 8
+        kmCaches.evict(s, dir) // pre-persist (shared-entry rule)
         val qv = emb(s, dir).select(col("vec_id"),
           transform(col("embedding"),
             x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
           .persist()
         qv.count() // settle: 3 assignment passes + 2 updates fork the plan
+        kmCaches.put(s, dir, qv)
         var cents: Seq[(Int, Seq[Long])] = qv.orderBy("vec_id").limit(K)
           .collect().toSeq.zipWithIndex
           .map { case (r, j) => (j, r.getSeq[Long](1)) }

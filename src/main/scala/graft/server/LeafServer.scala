@@ -699,6 +699,28 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
       .appendVectorIndex(store.spark, str(args, "src"), str(args, "dir")))
   }
 
+  handle("/admin/vector_index_compact") { (c, args) =>
+    // Every append adds ≥1 parquet file per touched cell, the same
+    // small-files decay the event log's compactLog handles: rewrite
+    // vectors/ and codes/ into ~128MB files (still cell-partitioned, so
+    // the probe-one-cell read path is unchanged), staged and swapped.
+    if (!c.trusted && !c.did.exists(moduleAdmins.contains))
+      throw new LeafAuthException("admin RPCs require a trusted connection")
+    graft.queries.Similarity
+      .compactVectorIndex(store.spark, str(args, "dir"))
+  }
+
+  handle("/admin/vector_index_retrain") { (c, args) =>
+    // The answer to the info RPC's cell-skew signal: re-cluster FROM the
+    // index's own artifacts (one Lloyd step over the persisted
+    // assignment, reassign, retrain codebooks, re-encode) — the vector
+    // twin of dedup_index_reband: the source corpus is never re-read.
+    if (!c.trusted && !c.did.exists(moduleAdmins.contains))
+      throw new LeafAuthException("admin RPCs require a trusted connection")
+    graft.queries.Similarity
+      .retrainVectorIndex(store.spark, str(args, "dir"))
+  }
+
   handle("/admin/vector_index_info") { (c, args) =>
     // Totals + the cell-skew signal (largest cell's share): a probe scans
     // one cell, so a hot cell IS the query cost — the operator watches

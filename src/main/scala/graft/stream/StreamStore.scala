@@ -654,12 +654,15 @@ class StreamHandle(val store: StreamStore, val id: String) {
   def tableDF(t: String): DataFrame = spark.table(s"$dbName.$t")
 
   /** Attach a persisted vector index (Similarity.buildVectorIndex layout)
-    * as module-visible relations `{prefix}_centroids` / `{prefix}_vectors`,
-    * so a named query can answer kNN from the index artifacts with the
-    * query vector arriving as an A7 $-bound param. Views, not managed
-    * tables: the index stays external, rebuildable, and shared across
-    * streams; the partition-column cell is normalized to BIGINT so module
-    * SQL never sees partition-inference drift. */
+    * as module-visible relations `{prefix}_centroids` / `{prefix}_vectors`
+    * — plus `{prefix}_codebooks` / `{prefix}_codes` when the index carries
+    * the PQ artifacts — so a named query can answer kNN from the index
+    * with the query vector arriving as an A7 $-bound param: coarse probe
+    * over centroids, ADC candidate scan over the codes-only fileset, exact
+    * re-rank over vectors behind the bounded candidate set. Views, not
+    * managed tables: the index stays external, rebuildable, and shared
+    * across streams; the partition-column cell is normalized to BIGINT so
+    * module SQL never sees partition-inference drift. */
   def attachVectorIndex(prefix: String, indexDir: String): Seq[String] =
     lock.synchronized {
       ensureOpen()
@@ -672,7 +675,18 @@ class StreamHandle(val store: StreamStore, val id: String) {
       spark.sql(s"CREATE OR REPLACE VIEW $dbName.${prefix}_vectors AS " +
         s"SELECT vec_id, v, CAST(cell AS BIGINT) AS cell " +
         s"FROM parquet.`$indexDir/vectors`")
-      Seq(s"${prefix}_centroids", s"${prefix}_vectors")
+      val base = Seq(s"${prefix}_centroids", s"${prefix}_vectors")
+      val hasPq = Files.isDirectory(
+        Paths.get(indexDir.stripPrefix("file:"), "codes"))
+      if (!hasPq) base
+      else {
+        spark.sql(s"CREATE OR REPLACE VIEW $dbName.${prefix}_codebooks AS " +
+          s"SELECT m, j, c FROM parquet.`$indexDir/codebooks`")
+        spark.sql(s"CREATE OR REPLACE VIEW $dbName.${prefix}_codes AS " +
+          s"SELECT vec_id, c0, c1, c2, c3, CAST(cell AS BIGINT) AS cell " +
+          s"FROM parquet.`$indexDir/codes`")
+        base ++ Seq(s"${prefix}_codebooks", s"${prefix}_codes")
+      }
     }
 
   /** Reinstate an archived state table from a snapshot (restore path). */

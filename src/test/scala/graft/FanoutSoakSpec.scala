@@ -448,4 +448,155 @@ class FanoutSoakSpec extends AnyFunSuite {
       f"ws p99 ${pct(wsLats, 0.99)}%.0fms — push delivery degraded")
     wsSubs.foreach(_.close())
   }
+
+  test("vector-index ingest under kNN query load: flat latency, no torn reads") {
+    // the vector twin of the sustained-ingest soak (lib.rs:888-985 steady
+    // state): vectorIndexIngestStream appends 50 micro-batches into the
+    // persisted index WHILE param-bound two-stage kNN named queries poll
+    // the same artifacts over RPC. Asserts the steady-state properties:
+    //  - no torn reads: every poll returns a consistent top-k — the head
+    //    is always the query's own vector at exact distance 0, distances
+    //    are nondecreasing, and the distance-0 twin count only GROWS
+    //    (within a batch, vectors commit before codes, so a codes
+    //    candidate always inner-joins its vector — the read can observe
+    //    a prefix of an append, never an inconsistent one)
+    //  - flat latency: query time over the last polls is not a multiple
+    //    of the first polls' (the index grows, the probe cost must not)
+    import org.apache.spark.sql.functions._
+    val src = "/root/testdata/sf0.001"
+    val idx = graft.TempDirs.create("graft-vecsoak").toString
+    graft.queries.Similarity.buildVectorIndex(spark, src, idx)
+    val n0 = graft.queries.Similarity.vectorIndexInfo(spark, idx)("vectors")
+
+    val twoStageSql =
+      """WITH qv AS (
+        |  SELECT transform(split($qvec, ','), x -> CAST(x AS BIGINT)) AS v),
+        |probe AS (
+        |  SELECT cell FROM (
+        |    SELECT c.cell,
+        |      aggregate(zip_with(c.c, qv.v, (a, b) -> (a - b) * (a - b)),
+        |        0L, (acc, x) -> acc + x) AS cd
+        |    FROM vi_centroids c CROSS JOIN qv)
+        |  ORDER BY cd, cell LIMIT 1),
+        |adc AS (
+        |  SELECT b.m, b.j,
+        |    aggregate(zip_with(slice(qv.v, b.m * 16 + 1, 16), b.c,
+        |      (a, x) -> (a - x) * (a - x)), 0L, (acc, x) -> acc + x) AS d
+        |  FROM vi_codebooks b CROSS JOIN qv),
+        |cand AS (
+        |  SELECT k.vec_id, a0.d + a1.d + a2.d + a3.d AS adc_dist
+        |  FROM vi_codes k
+        |  JOIN adc a0 ON a0.m = 0 AND a0.j = k.c0
+        |  JOIN adc a1 ON a1.m = 1 AND a1.j = k.c1
+        |  JOIN adc a2 ON a2.m = 2 AND a2.j = k.c2
+        |  JOIN adc a3 ON a3.m = 3 AND a3.j = k.c3
+        |  WHERE k.cell = (SELECT cell FROM probe)
+        |  ORDER BY adc_dist, vec_id LIMIT 50)
+        |SELECT c.vec_id AS vec_id,
+        |  aggregate(zip_with(v.v, qv.v, (a, b) -> (a - b) * (a - b)),
+        |    0L, (acc, x) -> acc + x) AS exact_dist
+        |FROM cand c JOIN vi_vectors v ON v.vec_id = c.vec_id CROSS JOIN qv
+        |ORDER BY exact_dist, vec_id
+        |LIMIT CAST($limit AS INT)""".stripMargin
+    val cid = ok(post("/module/upload", Map("module" -> Map(
+      "queries" -> Map("knn" -> Map(
+        "sql" -> twoStageSql,
+        "params" -> Vector(Map("name" -> "qvec", "kind" -> "text"))))))))(
+      "cid").asInstanceOf[String]
+    val sid = ok(post("/stream/create",
+      Map("id" -> "did:fanout:vecsoak", "module_cid" -> cid)))("id").toString
+    ok(post("/admin/vector_index_attach",
+      Map("id" -> sid, "prefix" -> "vi", "dir" -> idx)))
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val qv = emb.filter(col("vec_id") === 7)
+      .select(transform(col("embedding"),
+        x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
+      .head.getSeq[Long](0)
+
+    // 50 increments of 40 vectors each (vec 7's twin in every wave), all
+    // landed up front; maxFilesPerTrigger=1 makes them 50 micro-batches
+    val nWaves = 50; val waveSize = 40L
+    val land = graft.TempDirs.create("graft-vecsoak-land").toString
+    val wave = emb.filter(col("vec_id") < waveSize)
+    for (i <- 1 to nWaves)
+      wave.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
+        .coalesce(1).write.mode("append").parquet(land)
+
+    val running = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val failure = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val lats = new java.util.concurrent.ConcurrentLinkedQueue[Double]
+    val pollers = (1 to 2).map { _ =>
+      new Thread(() => {
+        var lastZero = 0
+        while (running.get() && failure.get() == null) {
+          val t0 = System.nanoTime()
+          try {
+            val rows = ok(post("/stream/query", Map("id" -> sid,
+              "query" -> Map("name" -> "knn", "limit" -> 5L,
+                "params" -> Map("qvec" -> qv.mkString(","))))))("rows")
+              .asInstanceOf[Vector[Any]].map { r =>
+                val m = r.asInstanceOf[Map[String, Any]]
+                def l(f: String) = m(f).asInstanceOf[Map[String, Any]](
+                  "value").asInstanceOf[Long]
+                (l("vec_id"), l("exact_dist"))
+              }
+            lats.add((System.nanoTime() - t0) / 1e6)
+            if (rows.size != 5)
+              failure.set(s"short result: $rows")
+            else if (rows.head != ((7L, 0L)))
+              failure.set(s"head drifted: $rows")
+            else if (rows.map(_._2) != rows.map(_._2).sorted)
+              failure.set(s"distances out of order: $rows")
+            else {
+              val zeros = rows.count(_._2 == 0L)
+              if (zeros < lastZero)
+                failure.set(s"distance-0 twins went backwards: " +
+                  s"$lastZero -> $zeros in $rows")
+              lastZero = zeros
+            }
+          } catch {
+            case e: Exception => failure.set(s"poll threw: $e")
+          }
+        }
+      })
+    }
+    pollers.foreach(_.start())
+
+    def landStream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(land)
+    val ckpt = graft.TempDirs.create("graft-vecsoak-ckpt").toString
+    val t0 = System.nanoTime()
+    val q = graft.streaming.EventStreamPipeline
+      .vectorIndexIngestStream(landStream, idx, ckpt)
+    q.awaitTermination()
+    val ingestSec = (System.nanoTime() - t0) / 1e9
+    running.set(false)
+    pollers.foreach(_.join(30000))
+    assert(failure.get() == null, String.valueOf(failure.get()))
+
+    // the index grew by every wave; the final top-5 is ALL distance-0
+    // twins of the query vector
+    assert(graft.queries.Similarity.vectorIndexInfo(spark, idx)("vectors")
+      == n0 + nWaves * waveSize)
+    val fin = ok(post("/stream/query", Map("id" -> sid,
+      "query" -> Map("name" -> "knn", "limit" -> 5L,
+        "params" -> Map("qvec" -> qv.mkString(","))))))("rows")
+      .asInstanceOf[Vector[Any]].map(r =>
+        r.asInstanceOf[Map[String, Any]]("exact_dist")
+          .asInstanceOf[Map[String, Any]]("value").asInstanceOf[Long])
+    assert(fin == Vector.fill(5)(0L), fin.toString)
+
+    // flat latency: the index is 5× its starting size — the probe must
+    // not be. Generous (catches O(index) creep, not machine noise).
+    import scala.jdk.CollectionConverters._
+    val ls = lats.asScala.toVector
+    assert(ls.size >= 20, s"only ${ls.size} polls completed during ingest")
+    def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val early = med(ls.take(10)); val late = med(ls.takeRight(10))
+    println(f"VECSOAK waves=$nWaves polls=${ls.size} ingest=${ingestSec}%.1fs " +
+      f"knn_ms med=${med(ls)}%.0f first10=${early}%.0f last10=${late}%.0f")
+    assert(late < math.max(5 * early, early + 2000),
+      f"kNN latency crept $early%.0fms -> $late%.0fms during ingest")
+  }
 }

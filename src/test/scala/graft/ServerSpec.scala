@@ -1031,7 +1031,8 @@ class ServerSpec extends AnyFunSuite {
     val att = ok(post("/admin/vector_index_attach",
       Map("id" -> sid, "prefix" -> "vecidx", "dir" -> idx)))
     assert(att("tables").asInstanceOf[Vector[Any]].toSet ==
-      Set("vecidx_centroids", "vecidx_vectors"))
+      Set("vecidx_centroids", "vecidx_vectors",
+        "vecidx_codebooks", "vecidx_codes"))
 
     // query vector: vec_id 7's quantized embedding, as the text param
     val qv = spark.read.parquet(s"$src/embeddings.parquet")
@@ -1113,6 +1114,149 @@ class ServerSpec extends AnyFunSuite {
         m("dist").asInstanceOf[Map[String, Any]]("value").asInstanceOf[Long])
     }
     assert(got2.take(2) == Vector((7L, 0L), (1000007L, 0L)), got2.toString)
+  }
+
+  test("two-stage ADC + exact re-rank named query answers from index artifacts") {
+    // the production probe shape over the PERSISTED index: stage 1 ranks
+    // ADC distances computed entirely in module SQL from $qvec × the
+    // codebooks artifact against the codes-only fileset of the probed
+    // cell (bytes/vector — vectors/ never touched), truncated to C=50;
+    // stage 2 fetches full vectors ONLY for those candidates and re-ranks
+    // by exact integer L2. Build → attach → param-bound query over RPC,
+    // answered purely from index parquet; then the maintenance lifecycle:
+    // appends accumulate files → compact bounds them (same answers),
+    // retrain re-clusters from the artifacts (same answers on unchanged
+    // data).
+    import org.apache.spark.sql.functions._
+    val src = "/root/testdata/sf0.001"
+    val idx = graft.TempDirs.create("graft-vecidx2").toString
+    ok(post("/admin/vector_index_build", Map("src" -> src, "dir" -> idx)))
+
+    val twoStageSql =
+      """WITH qv AS (
+        |  SELECT transform(split($qvec, ','), x -> CAST(x AS BIGINT)) AS v),
+        |probe AS (
+        |  SELECT cell FROM (
+        |    SELECT c.cell,
+        |      aggregate(zip_with(c.c, qv.v, (a, b) -> (a - b) * (a - b)),
+        |        0L, (acc, x) -> acc + x) AS cd
+        |    FROM vi_centroids c CROSS JOIN qv)
+        |  ORDER BY cd, cell LIMIT 1),
+        |adc AS (
+        |  SELECT b.m, b.j,
+        |    aggregate(zip_with(slice(qv.v, b.m * 16 + 1, 16), b.c,
+        |      (a, x) -> (a - x) * (a - x)), 0L, (acc, x) -> acc + x) AS d
+        |  FROM vi_codebooks b CROSS JOIN qv),
+        |cand AS (
+        |  SELECT k.vec_id, a0.d + a1.d + a2.d + a3.d AS adc_dist
+        |  FROM vi_codes k
+        |  JOIN adc a0 ON a0.m = 0 AND a0.j = k.c0
+        |  JOIN adc a1 ON a1.m = 1 AND a1.j = k.c1
+        |  JOIN adc a2 ON a2.m = 2 AND a2.j = k.c2
+        |  JOIN adc a3 ON a3.m = 3 AND a3.j = k.c3
+        |  WHERE k.cell = (SELECT cell FROM probe)
+        |  ORDER BY adc_dist, vec_id LIMIT 50)
+        |SELECT c.vec_id AS vec_id, c.adc_dist AS adc_dist,
+        |  aggregate(zip_with(v.v, qv.v, (a, b) -> (a - b) * (a - b)),
+        |    0L, (acc, x) -> acc + x) AS exact_dist
+        |FROM cand c JOIN vi_vectors v ON v.vec_id = c.vec_id CROSS JOIN qv
+        |ORDER BY exact_dist, vec_id
+        |LIMIT CAST($limit AS INT)""".stripMargin
+    val cid = ok(post("/module/upload", Map("module" -> Map(
+      "queries" -> Map("knn2" -> Map(
+        "sql" -> twoStageSql,
+        "params" -> Vector(Map("name" -> "qvec", "kind" -> "text"))))))))(
+      "cid").asInstanceOf[String]
+    val sid = ok(post("/stream/create",
+      Map("id" -> "did:graft:vecsearch2", "module_cid" -> cid)))("id").toString
+    ok(post("/admin/vector_index_attach",
+      Map("id" -> sid, "prefix" -> "vi", "dir" -> idx)))
+
+    val qv = spark.read.parquet(s"$src/embeddings.parquet")
+      .filter(col("vec_id") === 7)
+      .select(transform(col("embedding"),
+        x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
+      .head.getSeq[Long](0)
+    def ask(k: Long): Vector[(Long, Long, Long)] =
+      ok(post("/stream/query", Map("id" -> sid, "query" -> Map(
+        "name" -> "knn2", "limit" -> k,
+        "params" -> Map("qvec" -> qv.mkString(","))))))("rows")
+        .asInstanceOf[Vector[Any]].map { r =>
+          val m = r.asInstanceOf[Map[String, Any]]
+          def l(f: String) = m(f).asInstanceOf[Map[String, Any]]("value")
+            .asInstanceOf[Long]
+          (l("vec_id"), l("adc_dist"), l("exact_dist"))
+        }
+
+    // oracle: the full two-stage recomputed from the artifacts directly
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def oracle(k: Int): Vector[(Long, Long, Long)] = {
+      val cents = spark.read.parquet(s"$idx/centroids").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      val cell = cents.map { case (c, cv) => (d2(cv, qv), c) }.min._2
+      val books = spark.read.parquet(s"$idx/codebooks").collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Long](2))).toMap
+      def qd(m: Int, j: Long): Long =
+        d2(books((m, j.toInt)), qv.slice(m * 16, m * 16 + 16))
+      val cand = spark.read.parquet(s"$idx/codes")
+        .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+          col("cell").cast("long").as("cell"))
+        .collect().filter(_.getLong(5) == cell)
+        .map(r => (r.getLong(0),
+          (0 until 4).map(m => qd(m, r.getLong(1 + m))).sum))
+        .sortBy { case (id, d) => (d, id) }.take(50)
+      val vecOf = spark.read.parquet(s"$idx/vectors")
+        .select(col("vec_id"), col("v"), col("cell").cast("long").as("cell"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      cand.map { case (id, adc) => (id, adc, d2(vecOf(id), qv)) }
+        .sortBy { case (id, _, ex) => (ex, id) }.take(k).toVector
+    }
+    val got = ask(5)
+    assert(got == oracle(5), s"got $got expected ${oracle(5)}")
+    assert(got.head._1 == 7L && got.head._3 == 0L, got.toString)
+
+    // ---- lifecycle: appends accumulate files, compaction bounds them ----
+    val info0 = ok(post("/admin/vector_index_info", Map("dir" -> idx)))
+    val files0 = info0("files").asInstanceOf[Long]
+    val n0 = info0("vectors").asInstanceOf[Long]
+    val incDir = graft.TempDirs.create("graft-vecinc2").toString
+    spark.read.parquet(s"$src/embeddings.parquet")
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .write.mode("overwrite").parquet(incDir)
+    ok(post("/admin/vector_index_append", Map("src" -> incDir, "dir" -> idx)))
+    val incDir2 = graft.TempDirs.create("graft-vecinc3").toString
+    spark.read.parquet(s"$src/embeddings.parquet")
+      .withColumn("vec_id", col("vec_id") + 2000000L)
+      .write.mode("overwrite").parquet(incDir2)
+    ok(post("/admin/vector_index_append", Map("src" -> incDir2, "dir" -> idx)))
+    val grown = ok(post("/admin/vector_index_info", Map("dir" -> idx)))
+    assert(grown("vectors").asInstanceOf[Long] == 3 * n0)
+    assert(grown("files").asInstanceOf[Long] > files0,
+      "appends must have accumulated per-increment files")
+    // the appended twins answer through the two-stage path: three
+    // distance-0 hits now (7, 1000007, 2000007)
+    assert(ask(3).map(_._1) == Vector(7L, 1000007L, 2000007L))
+
+    val compacted = ok(post("/admin/vector_index_compact", Map("dir" -> idx)))
+    assert(compacted("vectors").asInstanceOf[Long] == 3 * n0,
+      "compaction must not change content")
+    assert(compacted("files").asInstanceOf[Long] <=
+      2 * compacted("cells").asInstanceOf[Long],
+      s"post-compaction file count must be bounded (~1/cell/artifact): " +
+        compacted.toString)
+    assert(ask(3).map(_._1) == Vector(7L, 1000007L, 2000007L),
+      "compaction must not change query answers")
+
+    // ---- retrain: re-clusters FROM the artifacts, answers unchanged ----
+    val before = ask(5)
+    val retrained = ok(post("/admin/vector_index_retrain", Map("dir" -> idx)))
+    assert(retrained("vectors").asInstanceOf[Long] == 3 * n0,
+      "retrain must preserve every vector")
+    assert(ask(5) == oracle(5),
+      "the retrained index must answer from its own (new) artifacts")
+    assert(ask(5).map(_._1) == before.map(_._1),
+      "on unchanged data a retrain must not change the neighbor set")
   }
 
   test("json parser caps container nesting (no stack overflow on [[[…)") {
