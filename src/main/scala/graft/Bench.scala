@@ -49,7 +49,18 @@ object Bench {
     // gate's own timed run will report and fail it below.)
     try SparkEntry.queries("leaf_raw_scan")(spark, sfDir).count()
     catch { case _: Throwable => }
+    // machine-load markers: a bench taken on a co-tenanted machine is not
+    // comparable round over round (the round-11 record showed a phantom
+    // 1.2x median "regression" that a quiet re-run erased). The 1-minute
+    // load average before/after makes a polluted run self-identifying —
+    // loadavg far above the core count means the numbers measure the
+    // neighbor, not the engine.
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadBefore = loadAvg()
     val (results, failed) = runAll(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1))
+    val loadAfter = loadAvg()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -60,7 +71,7 @@ object Bench {
       s"\"" + q + "\":" + ps.map { case (p, t) => s"\"" + p + "\":" + t }
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phases,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phases,"sf":"$sfDir","load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"cpus":$cpus}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"BENCH: ${failed.size} queries failed: ${failed.mkString(", ")}")

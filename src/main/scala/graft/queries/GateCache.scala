@@ -58,8 +58,6 @@ final class GateCache[V](clean: V => Unit) {
     sweep()
     m.getOrElseUpdate((s, dir), build)
   }
-
-  def get(s: SparkSession, dir: String): Option[V] = m.get((s, dir))
 }
 
 object GateCache {

@@ -732,13 +732,13 @@ object Pipeline {
         // O(docs), not O(tokens); previous run's pin swept on re-entry.
         val w = Window.partitionBy(md5(substring(col("t"), 1, 64)))
           .orderBy(length(col("t")).desc, col("doc_id"))
-        funnelCaches.remove((s, dir)).foreach(_.unpersist(false))
+        funnelCaches.evict(s, dir) // pre-persist (shared-entry rule)
         val deduped = quality
           .withColumn("canon", first(col("doc_id")).over(w))
           .filter(col("doc_id") === col("canon"))
           .select(col("doc_id"), col("t"))
           .persist()
-        funnelCaches((s, dir)) = deduped
+        funnelCaches.put(s, dir, deduped)
         // stage 3: decontamination — drop docs sharing a 20-gram with the
         // eval slice (doc_id % 97 == 0); eval grams are DISTINCT + tiny
         val evalG = d.filter(col("doc_id") % 97 === 0)
@@ -932,7 +932,8 @@ object Pipeline {
              |WHERE cum_chars - n_chars < 1500 ORDER BY doc_id""".stripMargin))
   )
 
-  // previous invocation's persisted funnel survivors, swept on re-entry
-  private val funnelCaches = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+  // previous invocation's persisted funnel survivors, swept on re-entry —
+  // on the shared GateCache discipline (stopped-session sweep, one
+  // retained generation, evict-before-repersist)
+  private val funnelCaches = GateCache.frame()
 }

@@ -59,6 +59,13 @@ object EventSource {
     // write must see identical partitions), and assign idx as per-partition
     // offsets + local position — the zipWithIndex pattern. Dense, exact,
     // and every stage is parallel.
+    // persisted OUTSIDE the GateCache discipline on purpose: this is not a
+    // reusable gate artifact but a correctness pin — zipWithIndex reads the
+    // RDD twice (count + map), and the returned import frame consumes it
+    // lazily, so a recompute after an unpersist could re-sample the range
+    // partitioner and assign DIFFERENT idx values between the sizing pass
+    // and the write. An import is one-shot; the ContextCleaner releases
+    // the blocks once the import's frames are unreachable.
     val sorted = sortedStage(raw, userCol, orderBy, payloadCols, kinds, enc)
       .persist()
     val schema = org.apache.spark.sql.types.StructType(Seq(

@@ -28,6 +28,26 @@ class SubscriptionEngine(store: StreamStore, streamId: String) {
   // while it has active subscribers)
   private def handle: StreamHandle = store.open(streamId)
 
+  /** Resolve-and-use under LRU churn: another thread's `store.open` of a
+    * different stream can evict THIS handle between our resolution and
+    * use (the closed-handle IllegalStateException). The engine's contract
+    * is to survive evictions, so the use retries through a fresh
+    * resolution — bounded, and only for the eviction signal; every other
+    * failure propagates. */
+  private def withHandle[A](f: StreamHandle => A): A = {
+    var attempts = 0
+    while (true) {
+      try return f(handle)
+      catch {
+        case e: IllegalStateException
+            if attempts < 20 &&
+              String.valueOf(e.getMessage).contains("evicted") =>
+          attempts += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
   case class Delivery(rows: Vector[Map[String, SqlValue]], hasMore: Boolean)
 
   private case class Sub(
@@ -54,7 +74,7 @@ class SubscriptionEngine(store: StreamStore, streamId: String) {
   def subscribe(user: Option[String], q: LeafQuery,
       hasRoom: () => Boolean = () => true)(sink: Delivery => Unit): Long =
     synchronized {
-      val cursor = q.start.map(_ - 1).getOrElse(handle.latest)
+      val cursor = q.start.map(_ - 1).getOrElse(withHandle(_.latest))
       nextId += 1
       subs(nextId) = Sub(nextId, user, q, hasRoom, sink, cursor)
       pending.enqueue(nextId)
@@ -105,13 +125,12 @@ class SubscriptionEngine(store: StreamStore, streamId: String) {
     var next: Option[Sub] = dequeue()
     while (next.isDefined) {
       val sub = next.get
-      val h = handle
-      val latest = h.latest
+      val latest = withHandle(_.latest)
       if (!sub.closed && sub.cursor < latest && sub.hasRoom()) {
         val q = sub.query.updateForSubscription(sub.cursor + 1)
         val windowEnd = math.min(q.lastEvent, latest)
         val rows = memo.getOrElseUpdate((sub.user, q, latest),
-          h.queryTagged(sub.user, q))
+          withHandle(_.queryTagged(sub.user, q)))
         val hasMore = windowEnd < latest
         sub.sink(Delivery(rows, hasMore))
         deliveries += 1
