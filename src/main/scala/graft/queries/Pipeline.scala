@@ -148,7 +148,7 @@ object Pipeline {
         // (coalesce: an edgeless corpus has an empty frontier, sum NULL)
         def labelSum(df: DataFrame): Long =
           df.agg(coalesce(org.apache.spark.sql.functions.sum("label"), lit(0L)))
-            .head.getLong(0)
+            .head().getLong(0)
         var chk = labelSum(labels)
         var converged = false
         var iter = 0

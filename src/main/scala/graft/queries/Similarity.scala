@@ -162,7 +162,7 @@ object Similarity {
     val books = trainCodebooks(s, qv, M, L, K)
     // ADC lookup table: exact distance from the query's subvectors to
     // every codeword — M×K longs, computed once
-    val qvec = qv.filter(col("vec_id") === 0).head.getSeq[Long](2)
+    val qvec = qv.filter(col("vec_id") === 0).head().getSeq[Long](2)
     val qd: Array[Seq[Long]] = Array.tabulate(M)(m =>
       (0 until K).map(j => books(m)(j).zip(qvec.slice(m * L, m * L + L))
         .map { case (c, x) => (x - c) * (x - c) }.sum))
@@ -296,7 +296,7 @@ object Similarity {
 
   /** argmin `(distance, cell)` struct of `v` against the centroid set. */
   private def nearestCell(cents: Array[(Long, Seq[Long])]): Column =
-    array_min(array(cents.map { case (cell, cv) =>
+    array_min(array(cents.toIndexedSeq.map { case (cell, cv) =>
       struct(
         aggregate(zip_with(col("v"), typedlit(cv), (a, b) => (a - b) * (a - b)),
           lit(0L), (acc, x) => acc + x).as("d"),
@@ -929,7 +929,7 @@ object Similarity {
         // Integral family, so a fixture regeneration may deliver int64 —
         // a bare getInt would throw on that drift
         val qCell = coded.filter(col("vec_id") === 0)
-          .select(col("label").cast("long")).head.getLong(0)
+          .select(col("label").cast("long")).head().getLong(0)
         coded.filter(col("vec_id") =!= 0 && col("label") === qCell)
           .select(col("vec_id"), col("label").cast("long").as("cell"),
             col("c0"), col("c1"), col("c2"), col("c3"), col("adc_dist"))
@@ -963,7 +963,7 @@ object Similarity {
       (s, dir) => {
         val coded = pqAdc(s, dir)
         val qCell = coded.filter(col("vec_id") === 0)
-          .select(col("label").cast("long")).head.getLong(0)
+          .select(col("label").cast("long")).head().getLong(0)
         // stage 1: codes-only candidate generation (deterministic
         // (adc_dist, vec_id) truncation)
         val cand = coded.filter(col("vec_id") =!= 0 && col("label") === qCell)
@@ -975,7 +975,7 @@ object Similarity {
         val qv = emb(s, dir).select(col("vec_id"),
           transform(col("embedding"),
             x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
-        val qvec: Seq[Long] = qv.filter(col("vec_id") === 0).head.getSeq[Long](1)
+        val qvec: Seq[Long] = qv.filter(col("vec_id") === 0).head().getSeq[Long](1)
         qv.join(broadcast(cand), "vec_id")
           .select(col("vec_id"), col("adc_dist"),
             aggregate(zip_with(col("v"), typedlit(qvec),

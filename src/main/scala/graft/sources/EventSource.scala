@@ -73,7 +73,7 @@ object EventSource {
       org.apache.spark.sql.types.StructField("user", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType),
       org.apache.spark.sql.types.StructField("signature", org.apache.spark.sql.types.BinaryType)))
-    val rows = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row(
         i + 1 + startIdx, r.getString(0), r.getAs[Array[Byte]](1), Array.empty[Byte])
     }

@@ -41,7 +41,7 @@ object ProfileIncrement {
     val baseN = base.count()
     // id-space stride derived from the actual max doc_id so clone
     // groups and replicas can never collide at larger scale factors
-    val stride = base.agg(max(col("doc_id"))).head.getLong(0) + 1
+    val stride = base.agg(max(col("doc_id"))).head().getLong(0) + 1
     // fixed-size increment regardless of R: clones + mutated + new
     def increment(): DataFrame =
       base.filter(col("doc_id") % 10 === 0)

@@ -30,7 +30,7 @@ object ProfilePipeline {
       TempDirs.create("graft-scaleprof").toString)
     val skew = sys.env.getOrElse("GRAFT_SKEW", "0").toInt
     val d = Tables.df(spark, base, "documents")
-    val docN = d.agg(max("doc_id")).head.getLong(0) + 1
+    val docN = d.agg(max("doc_id")).head().getLong(0) + 1
     val reps = spark.range(mult).select(col("id").as("r"))
     // each replica rewrites most characters (a distinct alphabet
     // permutation keyed by r), so cross-replica shingle overlap is ~zero
@@ -78,7 +78,7 @@ object ProfilePipeline {
           lit(boiler.length.toLong).as("n_chars")))
     withSkew.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val e = Tables.df(spark, base, "embeddings")
-    val vecN = e.agg(max("vec_id")).head.getLong(0) + 1
+    val vecN = e.agg(max("vec_id")).head().getLong(0) + 1
     e.crossJoin(reps)
       .select((col("vec_id") + col("r") * vecN).as("vec_id"),
         col("embedding"), col("label"))
@@ -91,8 +91,8 @@ object ProfilePipeline {
     // normalization applies to replicas exactly as to the original.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawEv = spark.read.parquet(s"$base/events.parquet")
-    val evN = rawEv.agg(max("event_id")).head.getLong(0) + 1
-    val userN = rawEv.agg(max("user_id")).head.getLong(0) + 1
+    val evN = rawEv.agg(max("event_id")).head().getLong(0) + 1
+    val userN = rawEv.agg(max("user_id")).head().getLong(0) + 1
     rawEv.crossJoin(reps)
       .select((col("event_id") + col("r") * evN).as("event_id"), col("ts"),
         (col("user_id") + col("r") * userN).as("user_id"),

@@ -33,7 +33,7 @@ object ProfileReband {
     }
     val base = Tables.df(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
-    val stride = base.agg(max(col("doc_id"))).head.getLong(0) + 1
+    val stride = base.agg(max(col("doc_id"))).head().getLong(0) + 1
     val corpus = base.crossJoin(spark.range(mult).select(col("id").as("rep")))
       .select((col("doc_id") + col("rep") * stride).as("doc_id"),
         concat(col("text"), lit(" #"), col("rep")).as("text"))

@@ -210,6 +210,70 @@ class PlanAuditSpec extends AnyFunSuite {
       s"broadcast build side is not the C-row candidate frame:\n$plan")
   }
 
+  test("attached two-stage kNN SQL: one vectors pass, TakeOrdered at both " +
+      "truncations, heavy scans touch only code/centroid bytes") {
+    // the module-SQL twin of the rerank gate — the exact text a named
+    // query runs over the ATTACHED index views (ServerSpec's twoStageSql,
+    // here against the artifact paths directly since views are
+    // stream-scoped). Scale contract:
+    //  - the vectors fileset appears in exactly ONE FileScan: the stage-2
+    //    fetch behind the ≤C candidate set — the ADC stage ranks from the
+    //    codes fileset alone (4 longs/vector — PQ's memory story; the
+    //    cell filter bounds the CANDIDATE work, and at operator level
+    //    cells are partition directories, so a collected-cell probe reads
+    //    one directory — module SQL's scalar-subquery form trades that
+    //    file-level prune for staying fully declarative)
+    //  - both truncations compile to TakeOrderedAndProject, never a
+    //    global Sort
+    import org.apache.spark.sql.functions._
+    val idx = graft.TempDirs.create("graft-planvec").toString
+    graft.queries.Similarity.buildVectorIndex(spark, dir, idx)
+    val qvec = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 7)
+      .select(transform(col("embedding"),
+        x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
+      .head().getSeq[Long](0).mkString(",")
+    val df = spark.sql(
+      s"""WITH qv AS (
+         |  SELECT transform(split('$qvec', ','), x -> CAST(x AS BIGINT)) AS v),
+         |probe AS (
+         |  SELECT cell FROM (
+         |    SELECT c.cell,
+         |      aggregate(zip_with(c.c, qv.v, (a, b) -> (a - b) * (a - b)),
+         |        0L, (acc, x) -> acc + x) AS cd
+         |    FROM parquet.`$idx/centroids` c CROSS JOIN qv)
+         |  ORDER BY cd, cell LIMIT 1),
+         |adc AS (
+         |  SELECT b.m, b.j,
+         |    aggregate(zip_with(slice(qv.v, b.m * 16 + 1, 16), b.c,
+         |      (a, x) -> (a - x) * (a - x)), 0L, (acc, x) -> acc + x) AS d
+         |  FROM parquet.`$idx/codebooks` b CROSS JOIN qv),
+         |cand AS (
+         |  SELECT k.vec_id, a0.d + a1.d + a2.d + a3.d AS adc_dist
+         |  FROM parquet.`$idx/codes` k
+         |  JOIN adc a0 ON a0.m = 0 AND a0.j = k.c0
+         |  JOIN adc a1 ON a1.m = 1 AND a1.j = k.c1
+         |  JOIN adc a2 ON a2.m = 2 AND a2.j = k.c2
+         |  JOIN adc a3 ON a3.m = 3 AND a3.j = k.c3
+         |  WHERE k.cell = (SELECT cell FROM probe)
+         |  ORDER BY adc_dist, vec_id LIMIT 50)
+         |SELECT c.vec_id AS vec_id, c.adc_dist AS adc_dist,
+         |  aggregate(zip_with(v.v, qv.v, (a, b) -> (a - b) * (a - b)),
+         |    0L, (acc, x) -> acc + x) AS exact_dist
+         |FROM cand c JOIN parquet.`$idx/vectors` v ON v.vec_id = c.vec_id
+         |  CROSS JOIN qv
+         |ORDER BY exact_dist, vec_id
+         |LIMIT 10""".stripMargin)
+    assert(df.head().getLong(0) == 7L && df.head().getLong(2) == 0L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("FileScan parquet [^\\n]*/vectors".r.findAllIn(plan).size == 1,
+      s"vectors must be scanned exactly once (the stage-2 fetch):\n$plan")
+    assert(plan.contains("TakeOrderedAndProject(limit=50"),
+      s"stage-1 candidate truncation is not a TakeOrdered:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject(limit=10"),
+      s"final top-k is not a TakeOrdered:\n$plan")
+  }
+
   test("q2/q9/q16/q12 shapes: decorrelated, product-free, bounded windows") {
     // q2: the correlated min-cost subquery decorrelates into a window MIN
     // partitioned by partkey — one lineitem pass, never a join-back
