@@ -446,19 +446,22 @@ object Similarity {
     * path is unchanged, staged to `<sub>.next` and swapped in. Content is
     * untouched: same rows, same cells, fewer files. Returns the post-
     * compaction info map (its `files` is the bounded count). */
+  /** ~128 MB-file partition count for an artifact dir's current bytes. */
+  private def compactTarget(indexDir: String, sub: String): Int = {
+    val p = java.nio.file.Paths.get(indexDir.stripPrefix("file:"), sub)
+    val st = java.nio.file.Files.walk(p)
+    val bytes =
+      try st.filter(f => f.toString.endsWith(".parquet"))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally st.close()
+    math.max(1, math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
+  }
+
   def compactVectorIndex(s: SparkSession, indexDir: String): Map[String, Long] = {
     import org.apache.spark.sql.SaveMode
     Seq("vectors", "codes").filter(subdirExists(indexDir, _)).foreach { sub =>
-      val df = s.read.parquet(s"$indexDir/$sub")
-      val bytes = {
-        val p = java.nio.file.Paths.get(indexDir.stripPrefix("file:"), sub)
-        val st = java.nio.file.Files.walk(p)
-        try st.filter(f => f.toString.endsWith(".parquet"))
-          .mapToLong(java.nio.file.Files.size(_)).sum()
-        finally st.close()
-      }
-      val target = math.max(1, math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
-      df.repartition(target, col("cell"))
+      s.read.parquet(s"$indexDir/$sub")
+        .repartition(compactTarget(indexDir, sub), col("cell"))
         .write.partitionBy("cell")
         .mode(SaveMode.Overwrite).parquet(s"$indexDir/$sub.next")
       swapIn(indexDir, sub)
@@ -494,15 +497,23 @@ object Similarity {
       val cents = s.read.parquet(s"$indexDir/centroids.next")
         .orderBy("cell").collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      // the rewrite IS a compaction opportunity: repartition on cell so
+      // the retrained layout lands at ~128 MB files instead of one file
+      // per (shuffle partition × cell)
       val assigned = vecs.select(col("vec_id"), col("v"),
           nearestCell(cents).as("b"))
         .select(col("vec_id"), col("v"), col("b.cell").as("cell"))
-      assigned.write.partitionBy("cell")
+      assigned.repartition(compactTarget(indexDir, "vectors"), col("cell"))
+        .write.partitionBy("cell")
         .mode(SaveMode.Overwrite).parquet(s"$indexDir/vectors.next")
       val books = trainCodebooks(s, vecs.select(col("vec_id"), col("v")),
         pqM, pqL, pqK)
       writeCodebooks(s, s"$indexDir/codebooks.next", books)
+      val codesTarget =
+        if (subdirExists(indexDir, "codes")) compactTarget(indexDir, "codes")
+        else 1
       encodeCodes(s.read.parquet(s"$indexDir/vectors.next"), books)
+        .repartition(codesTarget, col("cell"))
         .write.partitionBy("cell")
         .mode(SaveMode.Overwrite).parquet(s"$indexDir/codes.next")
       Seq("centroids", "vectors", "codebooks", "codes")

@@ -1,0 +1,116 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.{Tables, TempDirs}
+import graft.queries.Similarity
+
+/** Dev harness: the persisted-vector-index lifecycle decade curve.
+  * Replicates the embeddings corpus N× (ids offset, labels kept, so the
+  * 10 coarse cells each grow ×N — the worst case for a probe, since cell
+  * size IS the stage-1 candidate volume) and times every lifecycle verb
+  * against the blown-up corpus:
+  *
+  *  - build        — O(corpus): assignment + encode are the passes that
+  *                   must touch every vector; codebook training is
+  *                   sample-capped (pqTrainSample)
+  *  - append (1×)  — O(increment) claim: must stay ~flat as the BASE
+  *                   index grows, because the increment never re-reads it
+  *  - two-stage query — the ADC scan grows with codes volume (4
+  *                   longs/vector — the PQ trade) and the re-rank stays
+  *                   ≤C rows; the curve should be shallow-linear, never
+  *                   candidate-quadratic
+  *  - compact      — O(corpus) rewrite, bounded files after
+  *  - retrain      — O(corpus) re-cluster FROM the artifacts
+  *
+  * GRAFT_REPLICATE=10 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *   sbt "runMain graft.tools.ProfileVectorIndex"
+  */
+object ProfileVectorIndex {
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("GRAFT_REPLICATE", "10").toInt
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = TempDirs.create("graft-vecprof").toString
+    val e = Tables.df(spark, base, "embeddings")
+    val vecN = e.agg(max("vec_id")).head().getLong(0) + 1
+    val reps = spark.range(mult).select(col("id").as("r"))
+    e.crossJoin(reps)
+      .select((col("vec_id") + col("r") * vecN).as("vec_id"),
+        col("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    println(s"[vecprof] corpus ×$mult: $n vectors at $dir")
+
+    def timed[A](what: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val out = f
+      println(f"[vecprof] ×$mult $what: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      out
+    }
+
+    val idx = s"$dir/idx"
+    timed("build")(Similarity.buildVectorIndex(spark, dir, idx))
+    // a 1× increment against the N× index — the O(increment) claim
+    val inc = spark.read.parquet(s"$base/embeddings.parquet")
+      .withColumn("vec_id", col("vec_id") + lit(mult * vecN))
+    timed("append_1x")(Similarity.appendVectorIndexDf(spark, inc, idx))
+
+    val qvec = e.filter(col("vec_id") === 7)
+      .select(transform(col("embedding"),
+        x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
+      .head().getSeq[Long](0).mkString(",")
+    val twoStage =
+      s"""WITH qv AS (
+         |  SELECT transform(split('$qvec', ','), x -> CAST(x AS BIGINT)) AS v),
+         |probe AS (
+         |  SELECT cell FROM (
+         |    SELECT c.cell,
+         |      aggregate(zip_with(c.c, qv.v, (a, b) -> (a - b) * (a - b)),
+         |        0L, (acc, x) -> acc + x) AS cd
+         |    FROM parquet.`$idx/centroids` c CROSS JOIN qv)
+         |  ORDER BY cd, cell LIMIT 1),
+         |adc AS (
+         |  SELECT b.m, b.j,
+         |    aggregate(zip_with(slice(qv.v, b.m * 16 + 1, 16), b.c,
+         |      (a, x) -> (a - x) * (a - x)), 0L, (acc, x) -> acc + x) AS d
+         |  FROM parquet.`$idx/codebooks` b CROSS JOIN qv),
+         |cand AS (
+         |  SELECT k.vec_id, a0.d + a1.d + a2.d + a3.d AS adc_dist
+         |  FROM parquet.`$idx/codes` k
+         |  JOIN adc a0 ON a0.m = 0 AND a0.j = k.c0
+         |  JOIN adc a1 ON a1.m = 1 AND a1.j = k.c1
+         |  JOIN adc a2 ON a2.m = 2 AND a2.j = k.c2
+         |  JOIN adc a3 ON a3.m = 3 AND a3.j = k.c3
+         |  WHERE k.cell = (SELECT cell FROM probe)
+         |  ORDER BY adc_dist, vec_id LIMIT 50)
+         |SELECT c.vec_id, c.adc_dist,
+         |  aggregate(zip_with(v.v, qv.v, (a, b) -> (a - b) * (a - b)),
+         |    0L, (acc, x) -> acc + x) AS exact_dist
+         |FROM cand c JOIN parquet.`$idx/vectors` v ON v.vec_id = c.vec_id
+         |  CROSS JOIN qv
+         |ORDER BY exact_dist, vec_id LIMIT 10""".stripMargin
+    val rows = timed("two_stage_query")(spark.sql(twoStage).collect())
+    require(rows.head.getLong(0) == 7L && rows.head.getLong(2) == 0L,
+      s"self-hit missing: ${rows.head}")
+    timed("two_stage_query_warm")(spark.sql(twoStage).collect())
+
+    val info = timed("info")(Similarity.vectorIndexInfo(spark, idx))
+    println(s"[vecprof] info: $info")
+    val compacted = timed("compact")(Similarity.compactVectorIndex(spark, idx))
+    println(s"[vecprof] post-compact files: ${compacted("files")}")
+    val retrained = timed("retrain")(Similarity.retrainVectorIndex(spark, idx))
+    println(s"[vecprof] post-retrain: $retrained")
+    val rows2 = timed("two_stage_query_post")(spark.sql(twoStage).collect())
+    require(rows2.head.getLong(0) == 7L && rows2.head.getLong(2) == 0L,
+      s"self-hit missing after retrain: ${rows2.head}")
+    spark.stop()
+  }
+}
