@@ -74,7 +74,7 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     subIdleTtlMs: Long = 10 * 60 * 1000L,
     maxParkedPolls: Int = 64,
     serverDid: String = "did:graft:server",
-    plc: Option[LocalPlcDirectory] = None,
+    plc: Option[PlcDirectory] = None,
     backupDest: Option[String] = None,
     backupReferenceFormat: Boolean = false,
     // opt-in: ship each stream's custodied signing key in the bucket's

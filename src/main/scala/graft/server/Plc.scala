@@ -177,6 +177,30 @@ object Plc {
       "alsoKnownAs" -> DArray(aka.map(text)),
       "prev" -> text(latestCid)))
   }
+
+  /** PLC operations cross the directory's HTTP boundary as JSON (the
+    * reference POSTs serde-JSON, did.rs:32-36). Ops are maps/arrays/
+    * strings/null only, so the conversion is structural — and CID-safe,
+    * because Drisl's dag-cbor encoding sorts map keys canonically, so a
+    * JSON round-trip cannot perturb an operation's CID. */
+  def opToJson(v: DValue): Any = v match {
+    case DNull => null
+    case DText(s) => s
+    case DMap(m) => m.map { case (k, x) => k -> opToJson(x) }
+    case DArray(a) => a.map(opToJson)
+    case other =>
+      throw new IllegalArgumentException(s"non-PLC value in operation: $other")
+  }
+
+  def opFromJson(v: Any): DValue = v match {
+    case null => DNull
+    case s: String => DText(s)
+    case m: Map[_, _] => DMap(m.map { case (k, x) =>
+      k.toString -> opFromJson(x) })
+    case a: Vector[_] => DArray(a.map(opFromJson))
+    case other =>
+      throw new IllegalArgumentException(s"non-PLC value in operation: $other")
+  }
 }
 
 /** An in-process PLC directory with the real directory's validation rules
@@ -186,11 +210,64 @@ object Plc {
   * (storage.rs get_did_signing_key / did.rs:44). Zero-egress stand-in for
   * plc.directory — the operations it accepts are exactly what the real
   * directory would accept. */
-class LocalPlcDirectory {
+/** The directory role behind stream DID custody (did.rs:11-147): mint a
+  * genesis operation per stream, chain signed updates, resolve
+  * verification keys. Two implementations: [[LocalPlcDirectory]] plays
+  * the directory in-process (the zero-egress default) and
+  * [[HttpPlcDirectory]] is the reference's actual deployment shape — the
+  * real plc.directory wire protocol over HTTP. Signing keys are
+  * CUSTODIED LOCALLY in both (the reference keeps them in its own
+  * storage, storage.rs; a directory only ever sees signed operations). */
+trait PlcDirectory {
+  protected val keys = mutable.Map.empty[String, Plc.SigningKey]
+
+  /** Mint a stream DID: generate a key, sign + submit a genesis op,
+    * custody the key (did.rs create_did). Returns the did. */
+  def createDid(endpoint: String): String
+  /** Submit an externally-built operation (the directory's POST /{did}). */
+  def submit(did: String, op: DValue.DMap): Either[String, Unit]
+  /** Sign-and-submit a handle update with the custodied key
+    * (did.rs update_did_handle). */
+  def updateHandle(did: String, handle: Option[String]): Either[String, Unit]
+  /** The DID's operation log, oldest first. */
+  def auditLog(did: String): Vector[DValue.DMap]
+  /** The latest op's alsoKnownAs aliases. */
+  def alsoKnownAs(did: String): Vector[String]
+  /** DID-document key resolution for `JwtAuth`: the first verification
+    * method, as the reference resolves Multikey verification methods
+    * (http.rs:222-236). */
+  def resolveKey(did: String): Option[JwtAuth.Key]
+
+  /** The custodied signing-key scalar as 32 big-endian bytes (the shape a
+    * reference bucket's `did_key: {"K256": ...}` carries) — only for the
+    * opt-in key-bearing backup export. */
+  final def custodiedSecret(did: String): Option[Array[Byte]] = synchronized {
+    keys.get(did).map { k =>
+      val raw = k.d.toByteArray.dropWhile(_ == 0)
+      require(raw.length <= 32, "secp256k1 scalar wider than 32 bytes")
+      val out = new Array[Byte](32)
+      System.arraycopy(raw, 0, out, 32 - raw.length, raw.length)
+      out
+    }
+  }
+
+  /** Reinstate custody of an imported key (the reference's
+    * create_did-on-restore, storage.rs:933-935). The DID's op log, if it
+    * exists elsewhere, is not rewritten — this only restores the ability
+    * to sign with the key. */
+  final def installKey(did: String, secret: Array[Byte]): Unit = synchronized {
+    require(secret.length == 32, s"expected a 32-byte scalar, got ${secret.length}")
+    val d = new BigInteger(1, secret)
+    require(d.signum > 0 && d.compareTo(Secp256k1.n) < 0,
+      "imported key scalar out of curve order")
+    keys(did) = Plc.SigningKey(d)
+  }
+}
+
+class LocalPlcDirectory extends PlcDirectory {
   import DValue._
 
   private val logs = mutable.LinkedHashMap.empty[String, Vector[DMap]]
-  private val keys = mutable.Map.empty[String, Plc.SigningKey]
 
   /** Mint a stream DID: generate a key, sign a genesis op, record both
     * (did.rs create_did). Returns the did. */
@@ -240,31 +317,6 @@ class LocalPlcDirectory {
       }
     }
 
-  /** The custodied signing-key scalar as 32 big-endian bytes (the shape a
-    * reference bucket's `did_key: {"K256": ...}` carries) — only for the
-    * opt-in key-bearing backup export. */
-  def custodiedSecret(did: String): Option[Array[Byte]] = synchronized {
-    keys.get(did).map { k =>
-      val raw = k.d.toByteArray.dropWhile(_ == 0)
-      require(raw.length <= 32, "secp256k1 scalar wider than 32 bytes")
-      val out = new Array[Byte](32)
-      System.arraycopy(raw, 0, out, 32 - raw.length, raw.length)
-      out
-    }
-  }
-
-  /** Reinstate custody of an imported key (the reference's
-    * create_did-on-restore, storage.rs:933-935). The DID's op log, if it
-    * exists elsewhere, is not rewritten — this only restores the ability
-    * to sign with the key. */
-  def installKey(did: String, secret: Array[Byte]): Unit = synchronized {
-    require(secret.length == 32, s"expected a 32-byte scalar, got ${secret.length}")
-    val d = new BigInteger(1, secret)
-    require(d.signum > 0 && d.compareTo(Secp256k1.n) < 0,
-      "imported key scalar out of curve order")
-    keys(did) = Plc.SigningKey(d)
-  }
-
   def auditLog(did: String): Vector[DMap] = synchronized(logs.getOrElse(did, Vector.empty))
 
   def alsoKnownAs(did: String): Vector[String] = synchronized {
@@ -290,4 +342,115 @@ class LocalPlcDirectory {
     case Some(DArray(a)) => a.collect { case DText(s) => s }
     case _ => Vector.empty
   }
+}
+
+/** plc.directory over HTTP — the reference's actual directory client
+  * (leaf-server/src/did.rs:11-147, `--plc-directory`): genesis and update
+  * operations POST as JSON to `{directory}/{did}`, the previous operation
+  * for an update comes from `GET /{did}/log/audit` (the latest
+  * non-nullified entry, did.rs:58-66), and resolution reads the current
+  * state at `GET /{did}/data`. Signing keys stay in LOCAL custody exactly
+  * as the reference keeps them in server storage — the directory only
+  * ever sees signed operations. The zero-egress sandbox points this at a
+  * loopback stub in tests; a deployment points it at the real
+  * https://plc.directory (the reference defaults to localhost:3001,
+  * cli.rs:23). */
+class HttpPlcDirectory(baseUrl: String) extends PlcDirectory {
+  import java.net.URI
+  import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+  import DValue._
+
+  private val base = baseUrl.stripSuffix("/")
+  private val client = HttpClient.newHttpClient()
+
+  private def post(did: String, op: DMap): Either[String, Unit] = {
+    val req = HttpRequest.newBuilder(URI.create(s"$base/$did"))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(
+        Json.render(Plc.opToJson(op))))
+      .build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 == 2) Right(())
+    // the reference surfaces the directory's status + body verbatim
+    // (did.rs:38-42) — so do we
+    else Left(s"PLC directory error: ${resp.statusCode()}: ${resp.body()}")
+  }
+
+  private def get(path: String): Option[Any] = {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(s"$base$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 == 2) Some(Json.parse(resp.body())) else None
+  }
+
+  def createDid(endpoint: String): String = synchronized {
+    val key = Plc.SigningKey.generate()
+    val signed = Plc.signOp(Plc.genesisOp(key, endpoint), key)
+    val did = Plc.didForOp(signed)
+    // self-verify before submitting, as the reference does (did.rs:30)
+    val rot = signed.v.get("rotationKeys") match {
+      case Some(DArray(a)) => a.collect { case DText(s) => s }
+      case _ => Vector.empty
+    }
+    require(Plc.verifyOp(signed, rot), "genesis must self-verify")
+    post(did, signed) match {
+      case Right(()) => keys(did) = key; did
+      case Left(err) => throw new IllegalStateException(err)
+    }
+  }
+
+  def submit(did: String, op: DMap): Either[String, Unit] = post(did, op)
+
+  def updateHandle(did: String, handle: Option[String]): Either[String, Unit] =
+    synchronized {
+      keys.get(did) match {
+        case None => Left("No signing key found for DID: cannot update handle")
+        case Some(key) => latestEntry(did) match {
+          case None => Left(s"no operation log for $did at the directory")
+          case Some((latest, cid)) =>
+            post(did, Plc.signOp(Plc.updateHandleOp(latest, cid, handle), key))
+        }
+      }
+    }
+
+  /** Latest non-nullified audit entry as (operation, cid) — did.rs:58-66:
+    * the update chains off the directory's view of the log, not a local
+    * mirror, so a rotation made elsewhere is honoured. */
+  private def latestEntry(did: String): Option[(DMap, String)] =
+    get(s"/$did/log/audit") match {
+      case Some(a: Vector[Any] @unchecked) =>
+        a.reverseIterator.collectFirst {
+          case e: Map[String, Any] @unchecked
+              if !e.get("nullified").contains(true) =>
+            (Plc.opFromJson(e("operation")).asInstanceOf[DMap],
+              e("cid").toString)
+        }
+      case _ => None
+    }
+
+  def auditLog(did: String): Vector[DMap] =
+    get(s"/$did/log/audit") match {
+      case Some(a: Vector[Any] @unchecked) => a.collect {
+        case e: Map[String, Any] @unchecked =>
+          Plc.opFromJson(e("operation")).asInstanceOf[DMap]
+      }
+      case _ => Vector.empty
+    }
+
+  private def data(did: String): Option[Map[String, Any]] =
+    get(s"/$did/data").collect { case m: Map[String, Any] @unchecked => m }
+
+  def alsoKnownAs(did: String): Vector[String] =
+    data(did).flatMap(_.get("alsoKnownAs")).toVector.flatMap {
+      case a: Vector[Any] @unchecked => a.collect { case s: String => s }
+      case _ => Vector.empty
+    }
+
+  def resolveKey(did: String): Option[JwtAuth.Key] =
+    data(did).flatMap(_.get("verificationMethods")).flatMap {
+      case m: Map[String, Any] @unchecked => m.values.collectFirst {
+        case dk: String => JwtAuth.K256(Plc.keyFromDidKey(dk))
+      }
+      case _ => None
+    }
 }

@@ -32,6 +32,7 @@ object ServerMain {
       backupExportKeys: Boolean = false,
       backupSweepMs: Long = 60 * 1000L,
       restoreFrom: Option[String] = None,
+      plcDirectory: Option[String] = None,
       sparkMaster: String = "local[*]",
       shufflePartitions: Int = 32) {
     def port: Int = {
@@ -59,6 +60,7 @@ object ServerMain {
       |      --backup-export-keys         ship custodied did_keys in the bucket (env BACKUP_EXPORT_KEYS)
       |      --backup-sweep-ms N          sweep period (env BACKUP_SWEEP_MS, default 60000)
       |      --restore-from URI           restore this bucket at boot, before serving (env RESTORE_FROM)
+      |      --plc-directory URL          PLC directory base URL; unset = in-process directory (env PLC_DIRECTORY)
       |      --from URI                   (backup restore) the bucket to restore
       |      --spark-master M             (env SPARK_MASTER, default local[*])
       |      --shuffle-partitions N       (env SHUFFLE_PARTITIONS, default 32)
@@ -88,6 +90,7 @@ object ServerMain {
       backupSweepMs = env("BACKUP_SWEEP_MS").flatMap(_.toLongOption)
         .getOrElse(60 * 1000L),
       restoreFrom = env("RESTORE_FROM"),
+      plcDirectory = env("PLC_DIRECTORY"),
       sparkMaster = env("SPARK_MASTER").getOrElse("local[*]"),
       shufflePartitions = env("SHUFFLE_PARTITIONS").flatMap(_.toIntOption)
         .getOrElse(32))
@@ -135,6 +138,9 @@ object ServerMain {
         case "--restore-from" | "--from" =>
           val (v, t) = value(flag, tail)
           c = c.copy(restoreFrom = Some(v)); rest = t
+        case "--plc-directory" =>
+          val (v, t) = value(flag, tail)
+          c = c.copy(plcDirectory = Some(v)); rest = t
         case "--spark-master" =>
           val (v, t) = value(flag, tail); c = c.copy(sparkMaster = v); rest = t
         case "--shuffle-partitions" =>
@@ -169,7 +175,14 @@ object ServerMain {
   def boot(c: Config, spark: SparkSession,
       portOverride: Option[Int] = None): LeafServer = {
     val store = new StreamStore(spark, c.dataDir)
-    val plc = new LocalPlcDirectory
+    // the reference always points at an HTTP directory (cli.rs:23,
+    // default localhost:3001); this container has no egress, so the
+    // in-process directory is OUR default and --plc-directory/
+    // PLC_DIRECTORY opts into the reference's deployment shape
+    val plc: PlcDirectory = c.plcDirectory match {
+      case Some(url) => new HttpPlcDirectory(url)
+      case None => new LocalPlcDirectory
+    }
     val server = new LeafServer(store, portOverride.getOrElse(c.port),
       authToken = c.unsafeAuthToken,
       moduleAdmins = c.moduleAdmins,

@@ -169,4 +169,144 @@ class PlcSpec extends AnyFunSuite {
       assert(info("handle") == "prod-stream")
     } finally server.stop()
   }
+
+  /** A loopback plc.directory speaking the real wire protocol
+    * (POST /{did}, GET /{did}/log/audit, GET /{did}/data), backed by
+    * LocalPlcDirectory's validation — so HttpPlcDirectory exercises the
+    * exact HTTP surface a deployment pointed at https://plc.directory
+    * would, with zero egress. */
+  private class StubDirectory {
+    val backing = new LocalPlcDirectory
+    private val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val parts = ex.getRequestURI.getPath.stripPrefix("/").split("/").toList
+      val (status, body): (Int, String) =
+        try {
+          (ex.getRequestMethod, parts) match {
+            case ("POST", did :: Nil) =>
+              val op = Plc.opFromJson(Json.parse(new String(
+                ex.getRequestBody.readAllBytes(),
+                java.nio.charset.StandardCharsets.UTF_8)))
+                .asInstanceOf[graft.drisl.DValue.DMap]
+              backing.submit(did, op) match {
+                case Right(()) => (200, """{"ok":true}""")
+                case Left(err) => (400, Json.render(Map("error" -> err)))
+              }
+            case ("GET", did :: "log" :: "audit" :: Nil) =>
+              val log = backing.auditLog(did)
+              if (log.isEmpty) (404, """{"error":"DID not registered"}""")
+              else (200, Json.render(log.zipWithIndex.map { case (op, i) =>
+                Map("did" -> did, "operation" -> Plc.opToJson(op),
+                  "cid" -> Plc.opCid(op), "nullified" -> false,
+                  "createdAt" -> s"2024-01-01T00:00:0$i.000Z")
+              }))
+            case ("GET", did :: "data" :: Nil) =>
+              backing.auditLog(did).lastOption match {
+                case None => (404, """{"error":"DID not registered"}""")
+                case Some(op) =>
+                  (200, Json.render(Map("did" -> did) ++
+                    (Plc.opToJson(op).asInstanceOf[Map[String, Any]]
+                      - "sig" - "prev" - "type")))
+              }
+            case _ => (404, """{"error":"not found"}""")
+          }
+        } catch { case e: Exception =>
+          (400, Json.render(Map("error" -> String.valueOf(e.getMessage))))
+        }
+      val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(status, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    srv.start()
+    def url: String = s"http://127.0.0.1:${srv.getAddress.getPort}"
+    def stop(): Unit = srv.stop(0)
+  }
+
+  test("HttpPlcDirectory: the reference's directory client over the real " +
+      "wire protocol (loopback stub)") {
+    // did.rs:11-147 — genesis POSTs as JSON, the handle update chains off
+    // GET /log/audit's latest non-nullified entry, resolution reads
+    // GET /data. The stub validates with LocalPlcDirectory's rules, so a
+    // wire-shape mismatch on either side fails loudly.
+    val stub = new StubDirectory
+    try {
+      val dir = new graft.server.HttpPlcDirectory(stub.url)
+      val did = dir.createDid("http://127.0.0.1:9999/")
+      assert(did.matches("did:plc:[a-z2-7]{24}"), did)
+      // the op crossed the wire intact: the stub's backing log has it and
+      // it still hashes to the DID after the JSON round-trip
+      assert(stub.backing.auditLog(did).size == 1)
+      assert(Plc.didForOp(stub.backing.auditLog(did).head) == did)
+      assert(dir.auditLog(did).size == 1)
+
+      // handle update: chains off the DIRECTORY's log, verifies there
+      assert(dir.updateHandle(did, Some("wired")) == Right(()))
+      assert(dir.alsoKnownAs(did) == Vector("leaf://wired"))
+      assert(stub.backing.alsoKnownAs(did) == Vector("leaf://wired"))
+      assert(dir.updateHandle(did, None) == Right(()))
+      assert(dir.alsoKnownAs(did) == Vector.empty)
+      assert(dir.auditLog(did).size == 3)
+
+      // key resolution agrees between the HTTP view and the backing
+      val k1 = dir.resolveKey(did)
+      assert(k1.isDefined && k1 == stub.backing.resolveKey(did))
+
+      // custody is local: the key never crossed the wire
+      assert(dir.custodiedSecret(did).isDefined)
+      assert(stub.backing.custodiedSecret(did).isEmpty)
+
+      // a bad submit is refused BY THE DIRECTORY and surfaced verbatim
+      // (did.rs:38-42): replaying the genesis breaks the prev chain
+      val replay = stub.backing.auditLog(did).head
+      dir.submit(did, replay) match {
+        case Left(err) => assert(err.startsWith("PLC directory error: 400"), err)
+        case Right(()) => fail("directory must refuse a prev-chain break")
+      }
+
+      // unknown DID resolves to nothing, loudly not wrongly
+      assert(dir.resolveKey("did:plc:aaaaaaaaaaaaaaaaaaaaaaaa").isEmpty)
+      assert(dir.auditLog("did:plc:aaaaaaaaaaaaaaaaaaaaaaaa").isEmpty)
+    } finally stub.stop()
+  }
+
+  test("server integration over the HTTP directory: mint + set_handle") {
+    // the full deployment shape: LeafServer wired with HttpPlcDirectory
+    // (ServerMain --plc-directory), streams minting DIDs and updating
+    // handles through the HTTP hop
+    val stub = new StubDirectory
+    val spark = SparkFixture.spark
+    val store = new StreamStore(spark,
+      graft.TempDirs.create("graft-plc-http").toString)
+    val dir = new graft.server.HttpPlcDirectory(stub.url)
+    val server = new LeafServer(store, 0, authToken = Some("tok"),
+      plc = Some(dir))
+    server.start()
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      def post(path: String, body: Map[String, Any]): Map[String, Any] = {
+        val req = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:${server.boundPort}$path"))
+          .header("Authorization", "Bearer tok")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(Json.render(body)))
+          .build()
+        Json.parse(http.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString()).body())
+          .asInstanceOf[Map[String, Any]]
+      }
+      val cid = post("/module/upload", Map("module" -> Map(
+        "init_sql" -> "CREATE TABLE IF NOT EXISTS t (idx BIGINT) USING PARQUET",
+        "materializer" -> "INSERT INTO t SELECT idx FROM event")))("ok")
+        .asInstanceOf[Map[String, Any]]("cid").toString
+      val sid = post("/stream/create", Map("module_cid" -> cid))("ok")
+        .asInstanceOf[Map[String, Any]]("id").toString
+      assert(sid.matches("did:plc:[a-z2-7]{24}"), sid)
+      assert(stub.backing.auditLog(sid).size == 1,
+        "the mint must have reached the directory over HTTP")
+      post("/stream/set_handle", Map("id" -> sid, "handle" -> "over-http"))
+      assert(stub.backing.alsoKnownAs(sid) == Vector("leaf://over-http"))
+    } finally { server.stop(); stub.stop() }
+  }
 }
