@@ -251,6 +251,30 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     store.open(id)
   }
 
+  /** Resolve-and-use under LRU churn (the SubscriptionEngine discipline):
+    * a concurrent request's `store.open` of another stream can evict this
+    * handle between our resolution and use, and the closed-handle
+    * IllegalStateException would surface as a spurious RPC failure. The
+    * eviction signal is only ever thrown at operation ENTRY (`close()`
+    * holds the stream's write lock, so it cannot interleave with an op in
+    * flight and no partial effect precedes the throw) — retrying through
+    * a fresh resolution is therefore side-effect-safe. Bounded; every
+    * other failure propagates. */
+  private[server] def withStream[A](id: String)(
+      f: graft.stream.StreamHandle => A): A = {
+    var attempts = 0
+    while (true) {
+      try return f(openExisting(id))
+      catch {
+        case e: IllegalStateException
+            if attempts < 20 &&
+              String.valueOf(e.getMessage).contains("evicted") =>
+          attempts += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Owner gate for mutating RPCs. A stream with no recorded owner stays
     * open (bootstrap); otherwise the caller must be an owner — or, when
     * `admins` is true, one of the server's module admins. */
@@ -387,7 +411,7 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
   }
 
   handle("/stream/info") { (_, args) =>
-    val h = openExisting(str(args, "id"))
+    withStream(str(args, "id")) { h =>
     Map("id" -> str(args, "id"),
       "module_cid" -> h.currentModule.map(_.cid).orNull,
       "latest_idx" -> h.latest,
@@ -398,13 +422,14 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
       "per_event_replays" -> h.perEventReplays,
       "per_event_warnings" -> h.perEventWarnings,
       "handle" -> handles.synchronized(handles.get(str(args, "id")).orNull))
+    }
   }
 
   handle("/stream/update_module") { (c, args) =>
     requireOwner(c.did, str(args, "id"), "update its module", admins = true)
     val m = store.module(str(args, "module_cid"))
       .getOrElse(throw new IllegalArgumentException("module not uploaded"))
-    openExisting(str(args, "id")).setModule(m)
+    withStream(str(args, "id"))(_.setModule(m))
     Map.empty
   }
 
@@ -418,7 +443,7 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
         "user_override is only allowed for trusted (unsafe_auth_token) connections")
     val evs = raw.map(e =>
       if (e.user == null) e.copy(user = c.did.orNull) else e)
-    openExisting(str(args, "id")).addEvents(evs) match {
+    withStream(str(args, "id"))(_.addEvents(evs)) match {
       case Right(latest) =>
         // eager push: compute deliveries now so parked long-pollers wake;
         // a failing subscription query must not fail the append
@@ -439,7 +464,7 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
         "user_override is only allowed for trusted (unsafe_auth_token) connections")
     val evs = raw.map(e =>
       if (e.user == null) e.copy(user = c.did.orNull) else e)
-    openExisting(str(args, "id")).addStateEvents(evs) match {
+    withStream(str(args, "id"))(_.addStateEvents(evs)) match {
       case Right(_) => Map.empty
       case Left(err) => throw new LeafAuthException(err)
     }
@@ -447,7 +472,7 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
 
   handle("/stream/clear_state") { (c, args) =>
     requireOwner(c.did, str(args, "id"), "clear its state")
-    openExisting(str(args, "id")).clearState(); Map.empty
+    withStream(str(args, "id"))(_.clearState()); Map.empty
   }
 
   handle("/stream/set_handle") { (c, args) =>
@@ -482,7 +507,7 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
   handle("/stream/query") { (c, args) =>
     // a $requesting_user override is itself a user impersonation — trusted only
     val user = args.get("user").map(_.toString).filter(_ => c.trusted).orElse(c.did)
-    val rows = openExisting(str(args, "id")).queryTagged(user, queryFromJson(args))
+    val rows = withStream(str(args, "id"))(_.queryTagged(user, queryFromJson(args)))
     Map("rows" -> rows.map(_.map { case (k, v) => k -> tagValue(v) }))
   }
 
@@ -641,7 +666,7 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
   handle("/admin/compact") { (c, args) =>
     if (!c.trusted && !c.did.exists(moduleAdmins.contains))
       throw new LeafAuthException("admin RPCs require a trusted connection")
-    Map("files" -> openExisting(str(args, "id")).compactLog())
+    Map("files" -> withStream(str(args, "id"))(_.compactLog()))
   }
 
   handle("/admin/dedup_index_info") { (c, args) =>
@@ -684,8 +709,8 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     // against the index — the persisted-index twin of the q_knn_ivf gate.
     if (!c.trusted && !c.did.exists(moduleAdmins.contains))
       throw new LeafAuthException("admin RPCs require a trusted connection")
-    val tables = openExisting(str(args, "id"))
-      .attachVectorIndex(str(args, "prefix"), str(args, "dir"))
+    val tables = withStream(str(args, "id"))(
+      _.attachVectorIndex(str(args, "prefix"), str(args, "dir")))
     Map("tables" -> tables.toVector)
   }
 

@@ -149,4 +149,68 @@ class SoakSpec extends AnyFunSuite {
       server.stop()
     }
   }
+
+  test("RPC surface under LRU churn: no spurious eviction failures") {
+    // the server-side twin of the retrying() contract above: a handler
+    // resolves a handle and ANOTHER request's open can evict it before
+    // use. withStream retries through a fresh resolution (eviction is
+    // only thrown at op entry, so the retry is side-effect-safe) — so
+    // clients must NEVER see the closed-handle error, even with a
+    // 2-handle LRU under 8 streams of concurrent queries and appends.
+    val store = new StreamStore(spark,
+      graft.TempDirs.create("graft-rpcchurn").toString, maxOpenHandles = 2)
+    val server = new LeafServer(store, 0, authToken = Some("tok"))
+    server.start()
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      def post(path: String, body: Map[String, Any]): Map[String, Any] = {
+        val req = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:${server.boundPort}$path"))
+          .header("Authorization", "Bearer tok")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            graft.server.Json.render(body)))
+          .build()
+        graft.server.Json.parse(http.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString()).body())
+          .asInstanceOf[Map[String, Any]]
+      }
+      val cid = post("/module/upload", Map("module" -> Map(
+        "init_sql" -> "CREATE TABLE IF NOT EXISTS t (idx BIGINT) USING PARQUET",
+        "materializer" -> "INSERT INTO t SELECT idx FROM event",
+        "queries" -> Map("n" -> Map("sql" -> "SELECT count(*) AS c FROM t")))))(
+        "ok").asInstanceOf[Map[String, Any]]("cid").toString
+      val ids = (0 until 8).map { i =>
+        post("/stream/create", Map(
+          "id" -> s"did:churn:$i", "module_cid" -> cid))("ok")
+          .asInstanceOf[Map[String, Any]]("id").toString
+      }
+      val errors = new ConcurrentLinkedQueue[String]()
+      val stop = new AtomicBoolean(false)
+      val threads = (0 until 6).map { t =>
+        new Thread(() => {
+          var k = t
+          while (!stop.get()) {
+            val id = ids((k * 5 + t) % ids.size)
+            val r =
+              if (t % 2 == 0) post("/stream/event_batch", Map("id" -> id,
+                "events" -> Vector(Map("user" -> "u",
+                  "payload_b64" -> java.util.Base64.getEncoder
+                    .encodeToString(payload(s"e$k"))))))
+              else post("/stream/query", Map("id" -> id,
+                "query" -> Map("name" -> "n")))
+            r.get("err").foreach(e => errors.add(e.toString))
+            k += 1
+          }
+        })
+      }
+      threads.foreach(_.start())
+      Thread.sleep(sys.env.get("GRAFT_SOAK_MS").map(_.toLong).getOrElse(6000L))
+      stop.set(true)
+      threads.foreach(_.join(120000))
+      assert(threads.forall(!_.isAlive), "RPC churn worker stuck")
+      assert(errors.isEmpty,
+        s"RPC errors under LRU churn: ${errors.size} first=${errors.peek()}")
+      assert(store.openHandleCount <= 2, "LRU cap must hold")
+    } finally server.stop()
+  }
 }
