@@ -361,11 +361,16 @@ class HttpPlcDirectory(baseUrl: String) extends PlcDirectory {
   import DValue._
 
   private val base = baseUrl.stripSuffix("/")
-  private val client = HttpClient.newHttpClient()
+  // bounded: a hung directory must fail a mint/update loudly, never hang
+  // the stream/create RPC that called it
+  private val client = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+  private val reqTimeout = java.time.Duration.ofSeconds(30)
 
   private def post(did: String, op: DMap): Either[String, Unit] = {
     val req = HttpRequest.newBuilder(URI.create(s"$base/$did"))
       .header("Content-Type", "application/json")
+      .timeout(reqTimeout)
       .POST(HttpRequest.BodyPublishers.ofString(
         Json.render(Plc.opToJson(op))))
       .build()
@@ -378,7 +383,8 @@ class HttpPlcDirectory(baseUrl: String) extends PlcDirectory {
 
   private def get(path: String): Option[Any] = {
     val resp = client.send(
-      HttpRequest.newBuilder(URI.create(s"$base$path")).GET().build(),
+      HttpRequest.newBuilder(URI.create(s"$base$path"))
+        .timeout(reqTimeout).GET().build(),
       HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() / 100 == 2) Some(Json.parse(resp.body())) else None
   }

@@ -41,7 +41,8 @@ class ServerMainSpec extends AnyFunSuite {
       "--unsafe-auth-token", "tok",
       "--backup-dest", "file:/tmp/bak", "--backup-format", "reference",
       "--backup-export-keys", "--backup-sweep-ms", "1234",
-      "--restore-from", "file:/tmp/oldbak"))
+      "--restore-from", "file:/tmp/oldbak",
+      "--plc-directory", "http://127.0.0.1:3001"))
     assert(c.command == "server" && c.port == 6001 && c.dataDir == "/tmp/x")
     assert(c.serviceDid == "did:web:graft.example")
     assert(c.moduleAdmins == Set("did:plc:a", "did:web:b"))
@@ -49,11 +50,13 @@ class ServerMainSpec extends AnyFunSuite {
     assert(c.backupDest.contains("file:/tmp/bak") && c.referenceFormat)
     assert(c.backupExportKeys && c.backupSweepMs == 1234L)
     assert(c.restoreFrom.contains("file:/tmp/oldbak"))
+    assert(c.plcDirectory.contains("http://127.0.0.1:3001"))
     // defaults mirror the reference's
     val d = ServerMain.parse(Seq.empty)
     assert(d.command == "server" && d.port == 5530 &&
       d.dataDir == "./data" && d.serviceDid == "did:web:localhost" &&
-      d.backupFormat == "native" && !d.backupExportKeys)
+      d.backupFormat == "native" && !d.backupExportKeys &&
+      d.plcDirectory.isEmpty)
     // subcommands dispatch like the reference's clap tree
     assert(ServerMain.parse(Seq("backup", "restore", "--from", "file:/b"))
       .command == "backup-restore")
