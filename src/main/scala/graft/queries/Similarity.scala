@@ -433,6 +433,7 @@ object Similarity {
     val next = base.resolve(s"$sub.next")
     val old = base.resolve(s"$sub.old")
     require(java.nio.file.Files.isDirectory(next), s"no staged $next")
+    repairCrashedSwap(indexDir, sub)
     deleteDir(old)
     if (java.nio.file.Files.exists(cur)) java.nio.file.Files.move(cur, old)
     java.nio.file.Files.move(next, cur)
@@ -457,8 +458,25 @@ object Similarity {
     math.max(1, math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
   }
 
+  /** Crash repair for a swap that died between its two renames: `sub` is
+    * missing and `sub.old` still holds the live artifact — reinstate it.
+    * Applied before every maintenance read AND inside swapIn, so a
+    * crashed maintenance run is healed by simply re-running it; the
+    * no-live-dir window during a swap stays one rename wide and a read
+    * inside it fails loudly, never wrongly. */
+  private def repairCrashedSwap(indexDir: String, sub: String): Unit = {
+    val base = java.nio.file.Paths.get(indexDir.stripPrefix("file:"))
+    val cur = base.resolve(sub)
+    val old = base.resolve(s"$sub.old")
+    if (!java.nio.file.Files.exists(cur) && java.nio.file.Files.isDirectory(old))
+      java.nio.file.Files.move(old, cur)
+  }
+
+  private val indexArtifacts = Seq("centroids", "vectors", "codebooks", "codes")
+
   def compactVectorIndex(s: SparkSession, indexDir: String): Map[String, Long] = {
     import org.apache.spark.sql.SaveMode
+    indexArtifacts.foreach(repairCrashedSwap(indexDir, _))
     Seq("vectors", "codes").filter(subdirExists(indexDir, _)).foreach { sub =>
       s.read.parquet(s"$indexDir/$sub")
         .repartition(compactTarget(indexDir, sub), col("cell"))
@@ -481,6 +499,7 @@ object Similarity {
     * index untouched. */
   def retrainVectorIndex(s: SparkSession, indexDir: String): Map[String, Long] = {
     import org.apache.spark.sql.SaveMode
+    indexArtifacts.foreach(repairCrashedSwap(indexDir, _))
     val vecs = s.read.parquet(s"$indexDir/vectors")
       .select(col("vec_id"), col("v"), col("cell").cast("long").as("cell"))
       .persist() // settle: centroid update + reassignment + PQ sample read it

@@ -129,4 +129,38 @@ class SimilaritySpec extends AnyFunSuite {
       ivfpq.forall(_.getLong(1) == qLabel.toLong),
       "q_knn_ivfpq returned rows outside the probed cell")
   }
+
+  test("index maintenance heals a swap that crashed between its renames") {
+    // the swap discipline's one non-atomic window: old displaced, next
+    // not yet in place. Simulate the crash (vectors/ gone, vectors.old
+    // holding the live artifact) and assert a re-run of the maintenance
+    // op repairs and completes — content identical, no manual surgery.
+    import java.nio.file.{Files, Paths}
+    import graft.queries.Similarity
+    val src = "/root/testdata/sf0.001"
+    val idx = graft.TempDirs.create("graft-crashswap").toString
+    Similarity.buildVectorIndex(spark, src, idx)
+    val before = spark.read.parquet(s"$idx/vectors")
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.get(1).toString)).sorted.toSeq
+
+    Files.move(Paths.get(idx, "vectors"), Paths.get(idx, "vectors.old"))
+    // a read in the crashed state fails loudly — never silently empty
+    intercept[Exception](spark.read.parquet(s"$idx/vectors").count())
+
+    val info = Similarity.compactVectorIndex(spark, idx)
+    assert(info("vectors") == before.size.toLong, info.toString)
+    assert(!Files.exists(Paths.get(idx, "vectors.old")))
+    val after = spark.read.parquet(s"$idx/vectors")
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.get(1).toString)).sorted.toSeq
+    assert(after == before, "repair must reinstate the exact live artifact")
+
+    // same repair on the retrain path (codes artifact this time)
+    Files.move(Paths.get(idx, "codes"), Paths.get(idx, "codes.old"))
+    val info2 = Similarity.retrainVectorIndex(spark, idx)
+    assert(info2("vectors") == before.size.toLong &&
+      Files.isDirectory(Paths.get(idx, "codes")) &&
+      !Files.exists(Paths.get(idx, "codes.old")), info2.toString)
+  }
 }
