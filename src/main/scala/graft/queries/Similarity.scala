@@ -474,14 +474,52 @@ object Similarity {
 
   private val indexArtifacts = Seq("centroids", "vectors", "codebooks", "codes")
 
+  /** The current parquet file names of an artifact dir — the concurrent-
+    * append detector: a rewrite computed from a pre-append snapshot must
+    * NOT swap in over rows that landed mid-rewrite (they would be
+    * silently dropped). Maintenance re-lists before every swap and
+    * aborts loudly on drift; the operator re-runs on a paused ingest.
+    * The residual window (an append landing between the re-list and the
+    * rename itself) fails the APPEND loudly instead — its committer
+    * loses its target directory mid-write and the at-least-once ingest
+    * retries — so neither interleaving is ever silent. */
+  private def artifactFiles(indexDir: String, sub: String): Set[String] = {
+    val p = java.nio.file.Paths.get(indexDir.stripPrefix("file:"), sub)
+    if (!java.nio.file.Files.isDirectory(p)) Set.empty
+    else {
+      val st = java.nio.file.Files.walk(p)
+      try {
+        val it = st.filter(f => f.toString.endsWith(".parquet")).iterator()
+        val out = Set.newBuilder[String]
+        while (it.hasNext) out += p.relativize(it.next()).toString
+        out.result()
+      } finally st.close()
+    }
+  }
+
+  private def requireUnchanged(indexDir: String, sub: String,
+      snapshot: Set[String]): Unit = {
+    val now = artifactFiles(indexDir, sub)
+    if (now != snapshot) {
+      deleteDir(java.nio.file.Paths.get(
+        indexDir.stripPrefix("file:"), s"$sub.next"))
+      throw new IllegalStateException(
+        s"concurrent append detected in $indexDir/$sub during maintenance " +
+          s"(${(now -- snapshot).size} new / ${(snapshot -- now).size} " +
+          "removed files) — pause the ingest and re-run")
+    }
+  }
+
   def compactVectorIndex(s: SparkSession, indexDir: String): Map[String, Long] = {
     import org.apache.spark.sql.SaveMode
     indexArtifacts.foreach(repairCrashedSwap(indexDir, _))
     Seq("vectors", "codes").filter(subdirExists(indexDir, _)).foreach { sub =>
+      val snapshot = artifactFiles(indexDir, sub)
       s.read.parquet(s"$indexDir/$sub")
         .repartition(compactTarget(indexDir, sub), col("cell"))
         .write.partitionBy("cell")
         .mode(SaveMode.Overwrite).parquet(s"$indexDir/$sub.next")
+      requireUnchanged(indexDir, sub, snapshot)
       swapIn(indexDir, sub)
     }
     vectorIndexInfo(s, indexDir)
@@ -500,6 +538,8 @@ object Similarity {
   def retrainVectorIndex(s: SparkSession, indexDir: String): Map[String, Long] = {
     import org.apache.spark.sql.SaveMode
     indexArtifacts.foreach(repairCrashedSwap(indexDir, _))
+    val vecSnapshot = artifactFiles(indexDir, "vectors")
+    val codeSnapshot = artifactFiles(indexDir, "codes")
     val vecs = s.read.parquet(s"$indexDir/vectors")
       .select(col("vec_id"), col("v"), col("cell").cast("long").as("cell"))
       .persist() // settle: centroid update + reassignment + PQ sample read it
@@ -535,6 +575,8 @@ object Similarity {
         .repartition(codesTarget, col("cell"))
         .write.partitionBy("cell")
         .mode(SaveMode.Overwrite).parquet(s"$indexDir/codes.next")
+      requireUnchanged(indexDir, "vectors", vecSnapshot)
+      requireUnchanged(indexDir, "codes", codeSnapshot)
       Seq("centroids", "vectors", "codebooks", "codes")
         .foreach(swapIn(indexDir, _))
       vectorIndexInfo(s, indexDir)

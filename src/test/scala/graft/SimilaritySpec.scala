@@ -163,4 +163,72 @@ class SimilaritySpec extends AnyFunSuite {
       Files.isDirectory(Paths.get(idx, "codes")) &&
       !Files.exists(Paths.get(idx, "codes.old")), info2.toString)
   }
+
+  test("maintenance racing an ingest never loses rows silently") {
+    // a compaction's rewrite is computed from a pre-append snapshot; an
+    // append landing mid-rewrite would be dropped by the swap. The
+    // detector re-lists the fileset before swapping and aborts loudly —
+    // so under a concurrent appender the op either throws the documented
+    // error or completes having covered every row. Either way the final
+    // index (after a quiesced re-run) holds the full corpus.
+    import org.apache.spark.sql.functions._
+    import graft.queries.Similarity
+    val src = "/root/testdata/sf0.001"
+    val idx = graft.TempDirs.create("graft-racecompact").toString
+    Similarity.buildVectorIndex(spark, src, idx)
+    val n0 = Similarity.vectorIndexInfo(spark, idx)("vectors")
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      .filter(col("vec_id") < 50)
+
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val okWaves = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val appender = new Thread(() => {
+      var wave = 1L
+      while (!stop.get()) {
+        try {
+          Similarity.appendVectorIndexDf(spark,
+            emb.withColumn("vec_id", col("vec_id") + lit(wave * 1000000L)),
+            idx)
+          okWaves.add(wave)
+        } catch {
+          // an append hitting the one-rename swap window fails loudly —
+          // mid-append, so its rows may have PARTIALLY landed (the
+          // documented at-least-once contract; a streaming caller
+          // retries the batch). Partial waves are excluded from the
+          // must-survive set below.
+          case _: Exception =>
+        }
+        wave += 1
+      }
+    })
+    appender.start()
+    Thread.sleep(500) // let appends overlap the rewrite
+    val outcomes = (1 to 3).map { _ =>
+      try { Similarity.compactVectorIndex(spark, idx); "ok" }
+      catch {
+        case e: IllegalStateException
+            if e.getMessage.contains("concurrent append") => "detected"
+      }
+    }
+    stop.set(true)
+    appender.join(60000)
+    assert(!appender.isAlive)
+    // quiesced: a clean re-run succeeds, and every wave that REPORTED
+    // success has all 50 rows in the compacted index — nothing a caller
+    // was told landed may be dropped by a maintenance swap
+    Similarity.compactVectorIndex(spark, idx)
+    import scala.jdk.CollectionConverters._
+    val waves = okWaves.asScala.toVector
+    val counts = spark.read.parquet(s"$idx/vectors")
+      .filter(col("vec_id") >= 1000000L)
+      .groupBy((col("vec_id") / 1000000L).cast("long").as("w"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    waves.foreach { w =>
+      assert(counts.getOrElse(w, 0L) == 50L,
+        s"silent loss: wave $w has ${counts.getOrElse(w, 0L)}/50 rows " +
+          s"(outcomes: $outcomes, waves ok=${waves.size})")
+    }
+    assert(Similarity.vectorIndexInfo(spark, idx)("vectors") >=
+      n0 + 50L * waves.size)
+  }
 }
