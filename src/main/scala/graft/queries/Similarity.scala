@@ -259,12 +259,18 @@ object Similarity {
     * codegen'd projections over the corpus and the writes shuffle
     * nothing (partitionBy on the computed cell). Returns counts. */
   def buildVectorIndex(s: SparkSession, srcDir: String,
-      indexDir: String): Map[String, Long] = {
+      indexDir: String): Map[String, Long] = withIndexWriter(indexDir) {
     import org.apache.spark.sql.SaveMode
+    // persisted: the centroid aggregation, the assignment write, the
+    // codebook seed + sample reads all fork this plan — unpinned, the
+    // quantized source scan runs four-plus times
     val qv = emb(s, srcDir).select(col("vec_id"),
       col("label").cast("long").as("label"),
       transform(col("embedding"),
         x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
+      .persist()
+    try {
+    qv.count() // settle before the consumers fork
     qv.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
       .groupBy(col("label"), col("i"))
       .agg(expr("sum(x) DIV count(1)").as("cx"))
@@ -292,6 +298,7 @@ object Similarity {
     Map("vectors" -> s.read.parquet(s"$indexDir/vectors").count(),
       "cells" -> cents.length.toLong,
       "codes" -> s.read.parquet(s"$indexDir/codes").count())
+    } finally qv.unpersist(false)
   }
 
   /** argmin `(distance, cell)` struct of `v` against the centroid set. */
@@ -353,7 +360,7 @@ object Similarity {
     * O(increment) discipline as the centroid assignment; a pre-codes
     * index without `codebooks/` appends vectors only). */
   def appendVectorIndexDf(s: SparkSession, emb: DataFrame,
-      indexDir: String): Long = {
+      indexDir: String): Long = withIndexWriter(indexDir) {
     import org.apache.spark.sql.SaveMode
     val inc = emb.select(col("vec_id"),
       transform(col("embedding"),
@@ -402,15 +409,8 @@ object Similarity {
         parquetFiles(indexDir, "codes")))
   }
 
-  private def parquetFiles(indexDir: String, sub: String): Long = {
-    val p = java.nio.file.Paths.get(indexDir.stripPrefix("file:"), sub)
-    if (!java.nio.file.Files.isDirectory(p)) 0L
-    else {
-      val st = java.nio.file.Files.walk(p)
-      try st.filter(f => f.toString.endsWith(".parquet")).count()
-      finally st.close()
-    }
-  }
+  private def parquetFiles(indexDir: String, sub: String): Long =
+    walkParquet(indexDir, sub).size.toLong
 
   private def deleteDir(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
@@ -447,14 +447,11 @@ object Similarity {
     * path is unchanged, staged to `<sub>.next` and swapped in. Content is
     * untouched: same rows, same cells, fewer files. Returns the post-
     * compaction info map (its `files` is the bounded count). */
-  /** ~128 MB-file partition count for an artifact dir's current bytes. */
+  /** ~128 MB-file partition count for an artifact dir's current bytes
+    * (the compactLog sizing rule). */
   private def compactTarget(indexDir: String, sub: String): Int = {
-    val p = java.nio.file.Paths.get(indexDir.stripPrefix("file:"), sub)
-    val st = java.nio.file.Files.walk(p)
-    val bytes =
-      try st.filter(f => f.toString.endsWith(".parquet"))
-        .mapToLong(java.nio.file.Files.size(_)).sum()
-      finally st.close()
+    val bytes = walkParquet(indexDir, sub)
+      .map(java.nio.file.Files.size(_)).sum
     math.max(1, math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
   }
 
@@ -474,27 +471,48 @@ object Similarity {
 
   private val indexArtifacts = Seq("centroids", "vectors", "codebooks", "codes")
 
+  /** Single-writer discipline per index, in-process: appends and
+    * maintenance serialize on this lock, so within one driver a
+    * maintenance rewrite can never race an append it cannot see — the
+    * deployment shape local[*] actually runs. A writer in ANOTHER
+    * process is still caught by the fileset detector below (defense in
+    * depth); at cluster scale this lock becomes the catalog/manifest
+    * commit the event log's compactLog already models. Queries never
+    * take it. */
+  private val indexLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def indexLock(indexDir: String): Object =
+    indexLocks.computeIfAbsent(
+      java.nio.file.Paths.get(indexDir.stripPrefix("file:"))
+        .toAbsolutePath.normalize.toString, _ => new Object)
+
+  private def walkParquet(indexDir: String,
+      sub: String): Seq[java.nio.file.Path] = {
+    val p = java.nio.file.Paths.get(indexDir.stripPrefix("file:"), sub)
+    if (!java.nio.file.Files.isDirectory(p)) Seq.empty
+    else {
+      val st = java.nio.file.Files.walk(p)
+      try {
+        val out = Seq.newBuilder[java.nio.file.Path]
+        val it = st.filter(f => f.toString.endsWith(".parquet")).iterator()
+        while (it.hasNext) out += it.next()
+        out.result()
+      } finally st.close()
+    }
+  }
+
   /** The current parquet file names of an artifact dir — the concurrent-
     * append detector: a rewrite computed from a pre-append snapshot must
     * NOT swap in over rows that landed mid-rewrite (they would be
     * silently dropped). Maintenance re-lists before every swap and
-    * aborts loudly on drift; the operator re-runs on a paused ingest.
-    * The residual window (an append landing between the re-list and the
-    * rename itself) fails the APPEND loudly instead — its committer
-    * loses its target directory mid-write and the at-least-once ingest
-    * retries — so neither interleaving is ever silent. */
+    * aborts loudly on drift (only reachable from an out-of-process
+    * writer — in-process writers serialize on [[indexLock]]); an append
+    * racing the rename window itself fails the APPEND loudly instead,
+    * and the at-least-once ingest retries — so no interleaving is ever
+    * silent. */
   private def artifactFiles(indexDir: String, sub: String): Set[String] = {
-    val p = java.nio.file.Paths.get(indexDir.stripPrefix("file:"), sub)
-    if (!java.nio.file.Files.isDirectory(p)) Set.empty
-    else {
-      val st = java.nio.file.Files.walk(p)
-      try {
-        val it = st.filter(f => f.toString.endsWith(".parquet")).iterator()
-        val out = Set.newBuilder[String]
-        while (it.hasNext) out += p.relativize(it.next()).toString
-        out.result()
-      } finally st.close()
-    }
+    val base = java.nio.file.Paths.get(indexDir.stripPrefix("file:"), sub)
+    walkParquet(indexDir, sub).map(base.relativize(_).toString).toSet
   }
 
   private def requireUnchanged(indexDir: String, sub: String,
@@ -510,20 +528,87 @@ object Similarity {
     }
   }
 
-  def compactVectorIndex(s: SparkSession, indexDir: String): Map[String, Long] = {
-    import org.apache.spark.sql.SaveMode
-    indexArtifacts.foreach(repairCrashedSwap(indexDir, _))
-    Seq("vectors", "codes").filter(subdirExists(indexDir, _)).foreach { sub =>
-      val snapshot = artifactFiles(indexDir, sub)
-      s.read.parquet(s"$indexDir/$sub")
-        .repartition(compactTarget(indexDir, sub), col("cell"))
-        .write.partitionBy("cell")
-        .mode(SaveMode.Overwrite).parquet(s"$indexDir/$sub.next")
-      requireUnchanged(indexDir, sub, snapshot)
-      swapIn(indexDir, sub)
+  /** A retrain publishes FOUR interdependent artifacts; the swaps are
+    * sequential renames, so a crash mid-sequence would leave a
+    * mixed-generation index (new centroids over old cell membership —
+    * silently wrong probes). The commit marker makes the sequence
+    * roll-FORWARD: it is written only once every `.next` is fully staged
+    * and validated, so any write entrypoint that finds it completes the
+    * remaining swaps before doing anything else. Readers racing the
+    * ms-scale swap sequence can still see a mixed generation
+    * transiently — the full fix is the manifest/catalog pointer flip
+    * documented on [[swapIn]]. */
+  private def retrainMarker(indexDir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(indexDir.stripPrefix("file:"), "commit.retrain")
+
+  private def rollForwardRetrain(indexDir: String): Unit = {
+    val marker = retrainMarker(indexDir)
+    if (java.nio.file.Files.exists(marker)) {
+      indexArtifacts.foreach { sub =>
+        repairCrashedSwap(indexDir, sub)
+        val base = java.nio.file.Paths.get(indexDir.stripPrefix("file:"))
+        if (java.nio.file.Files.isDirectory(base.resolve(s"$sub.next")))
+          swapIn(indexDir, sub)
+        // a .old beside a live dir is debris of an already-completed
+        // swap (the crash hit after its rename, before its cleanup)
+        else if (java.nio.file.Files.exists(base.resolve(sub)))
+          deleteDir(base.resolve(s"$sub.old"))
+      }
+      java.nio.file.Files.delete(marker)
     }
-    vectorIndexInfo(s, indexDir)
   }
+
+  /** Maintenance entry discipline shared by every index WRITE: serialize
+    * on the in-process writer lock, complete any crashed retrain
+    * (roll-forward), heal any crashed single swap. */
+  private def withIndexWriter[A](indexDir: String)(f: => A): A =
+    indexLock(indexDir).synchronized {
+      rollForwardRetrain(indexDir)
+      indexArtifacts.foreach(repairCrashedSwap(indexDir, _))
+      f
+    }
+
+  def compactVectorIndex(s: SparkSession, indexDir: String): Map[String, Long] =
+    withIndexWriter(indexDir) {
+      import org.apache.spark.sql.SaveMode
+      // vectors: ~128 MB files AND one row per vec_id — an at-least-once
+      // ingest retry that died between its vectors and codes writes can
+      // have landed duplicate vector rows; compaction is where the
+      // exactly-once read view is restored (deterministic keep:
+      // min (cell, v), which for true retry twins is the identical row)
+      if (subdirExists(indexDir, "vectors")) {
+        val snapshot = artifactFiles(indexDir, "vectors")
+        s.read.parquet(s"$indexDir/vectors")
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("cell").cast("long").as("cell"), col("v")))
+            .as("m"))
+          .select(col("vec_id"), col("m.v").as("v"), col("m.cell").as("cell"))
+          .repartition(compactTarget(indexDir, "vectors"), col("cell"))
+          .write.partitionBy("cell")
+          .mode(SaveMode.Overwrite).parquet(s"$indexDir/vectors.next")
+        requireUnchanged(indexDir, "vectors", snapshot)
+        swapIn(indexDir, "vectors")
+      }
+      // codes: REBUILT from the compacted vectors through the persisted
+      // codebooks — restores every invariant in one pass: no duplicate
+      // codes, no coded-but-gone vectors, and no committed-but-uncoded
+      // vectors (the orphan a crash between an append's two writes
+      // leaves invisible to the ADC stage)
+      if (subdirExists(indexDir, "codebooks")) {
+        val snapshot = artifactFiles(indexDir, "codes")
+        val target =
+          if (subdirExists(indexDir, "codes")) compactTarget(indexDir, "codes")
+          else 1
+        encodeCodes(s.read.parquet(s"$indexDir/vectors"),
+            readCodebooks(s, indexDir))
+          .repartition(target, col("cell"))
+          .write.partitionBy("cell")
+          .mode(SaveMode.Overwrite).parquet(s"$indexDir/codes.next")
+        requireUnchanged(indexDir, "codes", snapshot)
+        swapIn(indexDir, "codes")
+      }
+      vectorIndexInfo(s, indexDir)
+    }
 
   /** Maintenance: retrain the index FROM its own artifacts — the vector
     * twin of the dedup index's re-band (Dedup.rebandDedupIndex): the
@@ -535,9 +620,9 @@ object Similarity {
     * sample of index vectors, and codes re-encode. All four artifacts
     * stage to `.next` and swap, so a crash mid-retrain leaves the live
     * index untouched. */
-  def retrainVectorIndex(s: SparkSession, indexDir: String): Map[String, Long] = {
+  def retrainVectorIndex(s: SparkSession, indexDir: String): Map[String, Long] =
+    withIndexWriter(indexDir) {
     import org.apache.spark.sql.SaveMode
-    indexArtifacts.foreach(repairCrashedSwap(indexDir, _))
     val vecSnapshot = artifactFiles(indexDir, "vectors")
     val codeSnapshot = artifactFiles(indexDir, "codes")
     val vecs = s.read.parquet(s"$indexDir/vectors")
@@ -577,8 +662,12 @@ object Similarity {
         .mode(SaveMode.Overwrite).parquet(s"$indexDir/codes.next")
       requireUnchanged(indexDir, "vectors", vecSnapshot)
       requireUnchanged(indexDir, "codes", codeSnapshot)
-      Seq("centroids", "vectors", "codebooks", "codes")
-        .foreach(swapIn(indexDir, _))
+      // every .next is staged and validated: commit — from here a crash
+      // rolls FORWARD (the marker makes the next write entrypoint finish
+      // the remaining swaps, never serve a mixed generation for long)
+      java.nio.file.Files.createFile(retrainMarker(indexDir))
+      indexArtifacts.foreach(swapIn(indexDir, _))
+      java.nio.file.Files.delete(retrainMarker(indexDir))
       vectorIndexInfo(s, indexDir)
     } finally vecs.unpersist(false)
   }

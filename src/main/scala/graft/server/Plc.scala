@@ -389,7 +389,11 @@ class HttpPlcDirectory(baseUrl: String) extends PlcDirectory {
     if (resp.statusCode() / 100 == 2) Some(Json.parse(resp.body())) else None
   }
 
-  def createDid(endpoint: String): String = synchronized {
+  // NOTE: the monitor guards only the keys map — never an HTTP round-trip
+  // (holding it across client.send would serialize every concurrent
+  // stream/create at up to the 40s timeout budget and stall the backup
+  // sweep's custodiedSecret behind in-flight directory calls)
+  def createDid(endpoint: String): String = {
     val key = Plc.SigningKey.generate()
     val signed = Plc.signOp(Plc.genesisOp(key, endpoint), key)
     val did = Plc.didForOp(signed)
@@ -400,7 +404,7 @@ class HttpPlcDirectory(baseUrl: String) extends PlcDirectory {
     }
     require(Plc.verifyOp(signed, rot), "genesis must self-verify")
     post(did, signed) match {
-      case Right(()) => keys(did) = key; did
+      case Right(()) => synchronized { keys(did) = key }; did
       case Left(err) => throw new IllegalStateException(err)
     }
   }
@@ -408,14 +412,12 @@ class HttpPlcDirectory(baseUrl: String) extends PlcDirectory {
   def submit(did: String, op: DMap): Either[String, Unit] = post(did, op)
 
   def updateHandle(did: String, handle: Option[String]): Either[String, Unit] =
-    synchronized {
-      keys.get(did) match {
-        case None => Left("No signing key found for DID: cannot update handle")
-        case Some(key) => latestEntry(did) match {
-          case None => Left(s"no operation log for $did at the directory")
-          case Some((latest, cid)) =>
-            post(did, Plc.signOp(Plc.updateHandleOp(latest, cid, handle), key))
-        }
+    synchronized(keys.get(did)) match {
+      case None => Left("No signing key found for DID: cannot update handle")
+      case Some(key) => latestEntry(did) match {
+        case None => Left(s"no operation log for $did at the directory")
+        case Some((latest, cid)) =>
+          post(did, Plc.signOp(Plc.updateHandleOp(latest, cid, handle), key))
       }
     }
 

@@ -991,41 +991,70 @@ class StreamHandle(val store: StreamStore, val id: String) {
   private def rewriteUpdateFrom0(target: String, setClause: String,
       whereClause: String): Option[String] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.expressions.{
+      And, EqualTo, Expression, LambdaFunction, UnresolvedNamedLambdaVariable}
     val cols = spark.table(s"$dbName.$target").columns
     val colSet = cols.map(_.toLowerCase).toSet
     val parser = spark.sessionState.sqlParser
     val eventCols = Set("idx", "user", "payload")
-    // SET-rhs generation scope is the deduped-event join alias `__e`; bind
-    // `event.` qualifiers and bare event-schema names there by TREE
-    // transform + .sql regeneration — never a text substitution, so a
-    // string literal containing "event." is untouched and a bare event
-    // column that collides with a target column still binds to the event
-    // (the per-event replay path takes the same rewrite on 1-row batches,
-    // so batch and sequential agree by construction). Bare names that are
-    // NOT event columns already failed the eventOnly probe → rewrite
-    // refused, never misbound.
-    def toEventAlias(e: Expression): String = e.transform {
-      case a: UnresolvedAttribute if a.nameParts.length == 2 &&
-          a.nameParts.head.equalsIgnoreCase("event") =>
-        UnresolvedAttribute(Seq("__e", a.nameParts(1)))
+    // Generation keeps ORIGINAL clause text wherever it can: the deduped-
+    // event subquery is aliased `event` in the generated join, so
+    // `event.`-qualified references and unambiguous bare event columns
+    // work verbatim — no qualifier rewriting, so string literals and
+    // higher-order-function lambdas pass through untouched. Only a BARE
+    // event-column name that COLLIDES with a target column needs
+    // qualification (the join scope would make it ambiguous; per-event
+    // replay takes the same rewrite on 1-row batches, so batch and
+    // sequential agree by construction) — that case re-renders the
+    // parsed tree with the reference qualified. Rendering via .sql
+    // cannot express lambdas (`LambdaFunction.sql` emits a
+    // `lambdafunction(...)` call that does not re-analyze), so a clause
+    // that needs BOTH a lambda and collision-qualification — or a lambda
+    // inside a WHERE conjunct, whose per-conjunct original text the And
+    // split cannot recover — refuses the rewrite (loud, never misbound).
+    // A bare name shadowed by an enclosing lambda argument
+    // (`user -> upper(user)`) is the lambda's variable, not the event
+    // column — the shadow-tracking recursion never counts or rewrites it.
+    def hasLambda(e: Expression): Boolean =
+      e.collectFirst { case _: LambdaFunction => () }.isDefined
+    def bareCollisions(e: Expression, shadowed: Set[String]): Int = e match {
+      case lf: LambdaFunction =>
+        val inner = shadowed ++ lf.arguments.collect {
+          case v: UnresolvedNamedLambdaVariable =>
+            v.nameParts.mkString(".").toLowerCase
+        }
+        bareCollisions(lf.function, inner)
+      case a: UnresolvedAttribute if a.nameParts.length == 1 &&
+          eventCols.contains(a.nameParts.head.toLowerCase) &&
+          colSet.contains(a.nameParts.head.toLowerCase) &&
+          !shadowed.contains(a.nameParts.head.toLowerCase) => 1
+      case other => other.children.map(bareCollisions(_, shadowed)).sum
+    }
+    def qualifyBare(e: Expression): Expression = e.transform {
       case a: UnresolvedAttribute if a.nameParts.length == 1 &&
           eventCols.contains(a.nameParts.head.toLowerCase) =>
-        UnresolvedAttribute(Seq("__e", a.nameParts.head))
-    }.sql
+        UnresolvedAttribute(Seq("event", a.nameParts.head))
+    }
     // SET a = expr, b = expr — rhs must parse and be event-only
     val asgRe = "(?s)^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(.*)$".r
     val assignments = splitTop(setClause, onComma = true).map {
       case asgRe(c, e) if colSet.contains(c.toLowerCase) =>
         val rhs = parser.parseExpression(e)
-        if (!eventOnly(rhs.sql)) return None
-        c.toLowerCase -> toEventAlias(rhs)
+        if (!eventOnly(e)) return None
+        val rendered =
+          if (bareCollisions(rhs, Set.empty) == 0) e.trim
+          else if (hasLambda(rhs)) return None
+          else qualifyBare(rhs).sql
+        c.toLowerCase -> rendered
       case _ => return None
     }.toMap
     // WHERE: split on Catalyst And nodes so SQL precedence is honoured —
     // `k = e AND a OR b` parses as Or(And(k=e, a), b), ONE conjunct whose
     // target reference fails the event-only probe → rewrite refused (the
     // old token-level AND split mis-factored it as key ∧ (a OR b)).
+    // Conjunct text is regenerated from the tree (runs in the inner
+    // `FROM event` scope, where bare and qualified event refs both
+    // resolve) — lambdas there refuse the rewrite, per above.
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
@@ -1039,6 +1068,7 @@ class StreamHandle(val store: StreamStore, val id: String) {
     val keys = scala.collection.mutable.Buffer.empty[(String, String)]
     val residuals = scala.collection.mutable.Buffer.empty[String]
     conjuncts(parser.parseExpression(whereClause)).foreach {
+      case e if hasLambda(e) => return None
       case EqualTo(l, r) if targetKey(l).isDefined && eventOnly(r.sql) =>
         keys += ((targetKey(l).get, r.sql))
       case EqualTo(l, r) if targetKey(r).isDefined && eventOnly(l.sql) =>
@@ -1055,19 +1085,22 @@ class StreamHandle(val store: StreamStore, val id: String) {
     val setSel = cols.map { c =>
       assignments.get(c.toLowerCase) match {
         case Some(ee) =>
-          s"CASE WHEN __e.__m THEN ($ee) ELSE __t.`$c` END AS `$c`"
+          s"CASE WHEN event.__m THEN ($ee) ELSE __t.`$c` END AS `$c`"
         case None => s"__t.`$c` AS `$c`"
       }
     }.mkString(", ")
     val on = keys.zipWithIndex
-      .map { case ((c, _), i) => s"__t.`$c` = __e.__k$i" }.mkString(" AND ")
+      .map { case ((c, _), i) => s"__t.`$c` = event.__k$i" }.mkString(" AND ")
+    // the deduped-event side is aliased `event` so SET-rhs text runs
+    // verbatim in the join scope (the inner subquery's own `FROM event`
+    // reads the temp view; the outer alias shadows it only out here)
     Some(s"""INSERT OVERWRITE $target SELECT $setSel
             |FROM $target __t LEFT JOIN (
             |  SELECT *, true AS __m FROM (
             |    SELECT *, row_number() OVER (
             |      PARTITION BY ${kcols.mkString(", ")} ORDER BY idx DESC) AS __rn
             |    FROM (SELECT *, $derive FROM event$resid) __x) __y
-            |  WHERE __rn = 1) __e
+            |  WHERE __rn = 1) event
             |ON $on""".stripMargin)
   }
 

@@ -208,13 +208,13 @@ class ClassifierBackupSpec extends AnyFunSuite {
           |WHERE kv.k = drisl_extract(event.payload, '.content')
           |  AND event.user <> 'spammer' OR event.user = 'admin'""".stripMargin,
       queries = Map("all" -> QueryDef("SELECT k, v FROM kv ORDER BY k"))))
-    intercept[Exception] {
-      hOr.addEvents(Seq(IncomingEvent("admin", payload("a", 7)))) match {
-        case Left(e) => throw new IllegalStateException(e)
-        case Right(_) => fail(
-          "an OR above the key conjunct must refuse the batch collapse")
-      }
-    }
+    // refusal surfaces as Left OR a thrown append error — but NEVER as a
+    // successful batch (the fail() must not hide inside an intercept,
+    // where its own TestFailedException would satisfy the interception)
+    val orRefused =
+      try hOr.addEvents(Seq(IncomingEvent("admin", payload("a", 7)))).isLeft
+      catch { case _: Exception => true }
+    assert(orRefused, "an OR above the key conjunct must refuse the batch collapse")
     assert(hOr.queryTagged(None, LeafQuery("all")).map(_("v")) ==
       Vector(SqlValue.SqlInteger(0), SqlValue.SqlInteger(0)))
 
@@ -252,6 +252,26 @@ class ClassifierBackupSpec extends AnyFunSuite {
     events.foreach(e => assert(h2.addEvents(Seq(e)).isRight))
     assert(h2.queryTagged(None, LeafQuery("all"))
       .map(r => (r("k"), r("user"), r("tag"))) == expected)
+
+    // (4) a lambda argument SHADOWING an event-column name stays the
+    // lambda's variable — `user -> upper(user)` must upper-case each
+    // array element, never the event's user column
+    val hLam = store.open("did:test:updfrom_lambda")
+    hLam.setModule(ModuleDef(
+      initSql = """CREATE TABLE IF NOT EXISTS kv (k STRING, shout STRING) USING PARQUET;
+                   |INSERT INTO kv VALUES ('a', 'seed')""".stripMargin,
+      materializer =
+        """UPDATE kv SET shout = array_join(
+          |    transform(split(drisl_extract(event.payload, '.content'), ','),
+          |              user -> upper(user)), '+')
+          |FROM event
+          |WHERE kv.k = 'a'""".stripMargin,
+      queries = Map("all" -> QueryDef("SELECT k, shout FROM kv ORDER BY k"))))
+    assert(hLam.addEvents(Seq(IncomingEvent("lowercase_ann", payload("x,y")))).isRight)
+    assert(hLam.perEventReplays == 0L)
+    assert(hLam.queryTagged(None, LeafQuery("all")).map(_("shout")) ==
+      Vector(SqlValue.SqlText("X+Y")),
+      "lambda variable was rebound to the event column")
   }
 
   test("per-event fallback warns when replays cross the telemetry threshold") {

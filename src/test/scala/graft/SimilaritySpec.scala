@@ -164,6 +164,49 @@ class SimilaritySpec extends AnyFunSuite {
       !Files.exists(Paths.get(idx, "codes.old")), info2.toString)
   }
 
+  test("a committed retrain that crashed mid-swap rolls forward") {
+    // retrain writes its commit marker only after every .next generation
+    // is staged and validated; a crash inside the four-swap sequence must
+    // therefore roll FORWARD — the next write entrypoint completes the
+    // remaining swaps instead of serving a mixed-generation index.
+    import java.nio.file.{Files, Path, Paths}
+    import graft.queries.Similarity
+    def copyDir(from: Path, to: Path): Unit = {
+      val st = Files.walk(from)
+      try st.forEach { p =>
+        val t = to.resolve(from.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t)
+      } finally st.close()
+    }
+    val src = "/root/testdata/sf0.001"
+    val idx = graft.TempDirs.create("graft-rollfwd").toString
+    Similarity.buildVectorIndex(spark, src, idx)
+    val n0 = Similarity.vectorIndexInfo(spark, idx)("vectors")
+
+    // manufacture the crashed state: all four .next generations staged
+    // (identical content), the commit marker written, and ONE artifact
+    // already mid-swap (centroids displaced to .old, its .next consumed)
+    val subs = Seq("centroids", "vectors", "codebooks", "codes")
+    subs.foreach(s => copyDir(Paths.get(idx, s), Paths.get(idx, s + ".next")))
+    Files.move(Paths.get(idx, "centroids"), Paths.get(idx, "centroids.old"))
+    Files.move(Paths.get(idx, "centroids.next"), Paths.get(idx, "centroids"))
+    Files.createFile(Paths.get(idx, "commit.retrain"))
+
+    // ANY write entrypoint completes the generation — here an append
+    val inc = spark.read.parquet(s"$src/embeddings.parquet")
+      .withColumn("vec_id", org.apache.spark.sql.functions.col("vec_id") + 1000000L)
+    Similarity.appendVectorIndexDf(spark, inc, idx)
+    assert(!Files.exists(Paths.get(idx, "commit.retrain")),
+      "roll-forward must consume the commit marker")
+    subs.foreach { s =>
+      assert(!Files.exists(Paths.get(idx, s + ".next")) &&
+        !Files.exists(Paths.get(idx, s + ".old")),
+        s"stale $s generation dirs left behind")
+    }
+    assert(Similarity.vectorIndexInfo(spark, idx)("vectors") == 2 * n0)
+  }
+
   test("maintenance racing an ingest never loses rows silently") {
     // a compaction's rewrite is computed from a pre-append snapshot; an
     // append landing mid-rewrite would be dropped by the swap. The
