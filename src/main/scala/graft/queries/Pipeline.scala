@@ -38,6 +38,10 @@ import graft.queries.Relational.Q
   *                   sortWithinPartitions, one O(1)-state pass per
   *                   partition. Groups are independent — 100 TB packs as
   *                   wide as the group count with zero cross-group traffic.
+  *  - dsir:          one text scan into per-(doc, hashed-bucket) counts;
+  *                   the distribution/ratio tables are <= 256 rows
+  *                   (broadcast), scoring is a map-side join + partial
+  *                   agg, and the resample truncation is TakeOrdered.
   */
 object Pipeline {
 
@@ -929,11 +933,117 @@ object Pipeline {
              |    SELECT doc_id, source, n_chars,
              |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
              |    FROM documents))
-             |WHERE cum_chars - n_chars < 1500 ORDER BY doc_id""".stripMargin))
+             |WHERE cum_chars - n_chars < 1500 ORDER BY doc_id""".stripMargin)),
+
+    // ---- importance resampling toward a target domain (DSIR-style) ----
+    // Data Selection via Importance Resampling (Xie et al., 2023,
+    // arXiv:2302.03169): featurize documents as hashed n-gram counts, fit
+    // smoothed bag-of-features distributions over the TARGET domain
+    // (here: sources src0/src1, the stand-in for "high-quality reference
+    // corpus") and the RAW pool, then score every raw candidate by its
+    // summed log-likelihood ratio and keep the top-K. Scores are exact
+    // integer micro-nats: each bucket's two ln() terms round to 1e-6
+    // BEFORE any summation (the cross-engine float rule — the per-doc
+    // sum is then pure BIGINT arithmetic, order-independent).
+    //
+    // Scale shape: ONE pass over the text builds the per-(doc, bucket)
+    // count frame — the explode aggregates map-side to <= B=256 rows per
+    // doc before its only shuffle. Everything downstream is metadata-
+    // sized: the bucket count table and the ratio table are <= B rows
+    // (broadcast into the scoring join, so the candidate side never
+    // shuffles for it), the totals are a 1-row cross join, and the
+    // resample truncation is TakeOrdered, never a global sort. At 100 TB
+    // the corpus-proportional work is exactly the token scan plus a
+    // (doc_id, bucket)-keyed partial aggregation.
+    "q_sample_dsir" -> Q(
+      (s, dir) => dsirScores(s, dir)
+        .filter(!col("is_target"))
+        .select(col("doc_id"), col("source"), col("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id"))
+        .limit(50),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source,
+             |    regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             |  FROM documents),
+             |occ AS (
+             |  SELECT doc_id, source,
+             |    ('0x' || substr(md5(ts[i] || ' ' || ts[i+1]), 1, 15))::BIGINT % 256 AS bkt
+             |  FROM (SELECT doc_id, source, ts,
+             |          unnest(generate_series(1, len(ts)-1)) AS i FROM toks)),
+             |by_doc AS (
+             |  SELECT doc_id, source, bkt, count(*) AS c FROM occ GROUP BY 1, 2, 3),
+             |cnt AS (
+             |  SELECT bkt,
+             |    CAST(sum(CASE WHEN source IN ('src0','src1') THEN c ELSE 0 END) AS BIGINT) AS cp,
+             |    CAST(sum(CASE WHEN source NOT IN ('src0','src1') THEN c ELSE 0 END) AS BIGINT) AS cq
+             |  FROM by_doc GROUP BY 1),
+             |tot AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN source IN ('src0','src1') THEN c ELSE 0 END) AS BIGINT) AS np,
+             |    CAST(sum(CASE WHEN source NOT IN ('src0','src1') THEN c ELSE 0 END) AS BIGINT) AS nq
+             |  FROM by_doc),
+             |r AS (
+             |  SELECT bkt,
+             |    CAST(round(ln(CAST(cp + 1 AS DOUBLE) / CAST(np + 256 AS DOUBLE)) * 1e6, 0) AS BIGINT)
+             |      - CAST(round(ln(CAST(cq + 1 AS DOUBLE) / CAST(nq + 256 AS DOUBLE)) * 1e6, 0) AS BIGINT) AS r_micro
+             |  FROM cnt CROSS JOIN tot)
+             |SELECT doc_id, source, CAST(sum(c * r_micro) AS BIGINT) AS score_micro
+             |FROM by_doc JOIN r USING (bkt)
+             |WHERE source NOT IN ('src0','src1')
+             |GROUP BY doc_id, source
+             |ORDER BY score_micro DESC, doc_id LIMIT 50""".stripMargin))
   )
 
   // previous invocation's persisted funnel survivors, swept on re-entry —
   // on the shared GateCache discipline (stopped-session sweep, one
   // retained generation, evict-before-repersist)
   private val funnelCaches = GateCache.frame()
+
+  // the DSIR per-(doc, bucket) count frame — forked by the count tables
+  // and the scoring join; one retained generation per (session, corpus)
+  private val dsirCaches = GateCache.frame()
+
+  /** DSIR importance scores for EVERY document (`is_target` flags the
+    * reference-domain docs the target distribution was fit on). The gate
+    * takes the raw-pool top-K; GatesSpec pins the separation property —
+    * mean target score > 0 > mean raw-pool score, the sampled form of
+    * KL(p||q) >= 0 >= -KL(q||p) — which only shows over the full score
+    * table, not the gate's truncated output. */
+  def dsirScores(s: SparkSession, dir: String): DataFrame = {
+    val B = 256 // hashed feature buckets
+    val toks = docs(s, dir).select(col("doc_id"), col("source"),
+      split(trim(lower(col("text"))), "\\s+").as("ts"))
+    // bigrams build inside the array before the explode (the
+    // collocations discipline: exploded rows carry one string, never
+    // the whole token array)
+    val occ = toks.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("source"), explode(zip_with(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .withColumn("bkt",
+        conv(substring(md5(col("bg")), 1, 15), 16, 10).cast("long") % B)
+    dsirCaches.evict(s, dir)
+    val byDoc = occ.groupBy(col("doc_id"), col("source"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("is_target", col("source").isin("src0", "src1"))
+      .persist()
+    byDoc.count() // settle: count tables + scoring join fork this plan
+    dsirCaches.put(s, dir, byDoc)
+    val cnt = byDoc.groupBy(col("bkt"))
+      .agg(sum(when(col("is_target"), col("c")).otherwise(0L)).as("cp"),
+        sum(when(!col("is_target"), col("c")).otherwise(0L)).as("cq"))
+    val tot = byDoc.agg(
+      sum(when(col("is_target"), col("c")).otherwise(0L)).as("np"),
+      sum(when(!col("is_target"), col("c")).otherwise(0L)).as("nq"))
+    val r = cnt.crossJoin(tot).select(col("bkt"),
+      (round(log((col("cp") + 1).cast("double") /
+          (col("np") + B).cast("double")) * 1e6, 0).cast("long") -
+        round(log((col("cq") + 1).cast("double") /
+          (col("nq") + B).cast("double")) * 1e6, 0).cast("long"))
+        .as("r_micro"))
+    byDoc.join(broadcast(r), Seq("bkt"))
+      .groupBy(col("doc_id"), col("source"), col("is_target"))
+      .agg(sum(col("c") * col("r_micro")).as("score_micro"))
+  }
 }

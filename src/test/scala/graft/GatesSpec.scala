@@ -210,6 +210,33 @@ class GatesSpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq, "sample not deterministic")
   }
 
+  test("dsir: target domain separates from the raw pool, gate deterministic") {
+    // the sampled KL property — fitting p on the target docs and q on the
+    // raw pool must put the mean target score above zero and the mean
+    // raw-pool score below it (E_p[ln p/q] = KL(p||q) >= 0 >= -KL(q||p));
+    // only the full score table shows this, the gate's top-K cannot
+    val sc = graft.queries.Pipeline.dsirScores(spark, dir)
+      .collect().map(r => (r.getBoolean(2), r.getLong(3)))
+    val (tgt, cand) = sc.partition(_._1)
+    assert(tgt.nonEmpty && cand.nonEmpty)
+    val meanT = tgt.map(_._2).sum.toDouble / tgt.length
+    val meanC = cand.map(_._2).sum.toDouble / cand.length
+    assert(meanT > 0 && meanC < 0,
+      s"no target/raw separation: target mean $meanT, raw mean $meanC")
+    // gate structure: raw-pool only, scores descending with doc_id
+    // tiebreak, rerun-identical
+    val rows = run("q_sample_dsir")
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.length == 50)
+    assert(rows.forall(r => r._2 != "src0" && r._2 != "src1"),
+      "a target-domain doc leaked into the resample")
+    assert(rows.zip(rows.tail).forall { case (a, b) =>
+      a._3 > b._3 || (a._3 == b._3 && a._1 < b._1) }, "not score-ordered")
+    val again = run("q_sample_dsir")
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq, "resample not deterministic")
+  }
+
   test("epoch shuffle: epochs are independent permutations, shards cover " +
     "every doc exactly once per epoch") {
     val rows = run("q_shuffle_epoch")
