@@ -991,7 +991,69 @@ object Pipeline {
              |FROM by_doc JOIN r USING (bkt)
              |WHERE source NOT IN ('src0','src1')
              |GROUP BY doc_id, source
-             |ORDER BY score_micro DESC, doc_id LIMIT 50""".stripMargin))
+             |ORDER BY score_micro DESC, doc_id LIMIT 50""".stripMargin)),
+
+    // ---- DSIR with Gumbel-top-k resampling (the paper's sampler) ----
+    // Deterministic top-K (above) is the greedy variant; DSIR proper
+    // RESAMPLES — k draws without replacement from softmax(log w), which
+    // the Gumbel-max trick turns into top-k on log w + Gumbel noise.
+    // The noise is hash-derived, g = -ln(-ln(u)) with
+    // u = (md5_60("g|" || doc_id) + 0.5) / 2^60, so the "random" sample
+    // is rerun-identical and cross-engine exact: both engines evaluate
+    // the identical double expression and round to integer micro-units
+    // once at the end (2^60 is a power of two — exactly representable).
+    // Scale shape: identical to q_sample_dsir (the noise is an in-row
+    // projection) — broadcast ratio join, TakeOrdered truncation.
+    "q_sample_dsir_gumbel" -> Q(
+      (s, dir) => {
+        val h = conv(substring(md5(concat(lit("g|"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+        dsirScores(s, dir)
+          .filter(!col("is_target"))
+          .withColumn("g_micro", round(-log(-log((h + lit(0.5)) /
+              lit(1.152921504606846976e18))) * 1e6, 0).cast("long"))
+          .select(col("doc_id"), col("source"),
+            (col("score_micro") + col("g_micro")).as("sampled_micro"))
+          .orderBy(col("sampled_micro").desc, col("doc_id"))
+          .limit(50)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source,
+             |    regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             |  FROM documents),
+             |occ AS (
+             |  SELECT doc_id, source,
+             |    ('0x' || substr(md5(ts[i] || ' ' || ts[i+1]), 1, 15))::BIGINT % 256 AS bkt
+             |  FROM (SELECT doc_id, source, ts,
+             |          unnest(generate_series(1, len(ts)-1)) AS i FROM toks)),
+             |by_doc AS (
+             |  SELECT doc_id, source, bkt, count(*) AS c FROM occ GROUP BY 1, 2, 3),
+             |cnt AS (
+             |  SELECT bkt,
+             |    CAST(sum(CASE WHEN source IN ('src0','src1') THEN c ELSE 0 END) AS BIGINT) AS cp,
+             |    CAST(sum(CASE WHEN source NOT IN ('src0','src1') THEN c ELSE 0 END) AS BIGINT) AS cq
+             |  FROM by_doc GROUP BY 1),
+             |tot AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN source IN ('src0','src1') THEN c ELSE 0 END) AS BIGINT) AS np,
+             |    CAST(sum(CASE WHEN source NOT IN ('src0','src1') THEN c ELSE 0 END) AS BIGINT) AS nq
+             |  FROM by_doc),
+             |r AS (
+             |  SELECT bkt,
+             |    CAST(round(ln(CAST(cp + 1 AS DOUBLE) / CAST(np + 256 AS DOUBLE)) * 1e6, 0) AS BIGINT)
+             |      - CAST(round(ln(CAST(cq + 1 AS DOUBLE) / CAST(nq + 256 AS DOUBLE)) * 1e6, 0) AS BIGINT) AS r_micro
+             |  FROM cnt CROSS JOIN tot),
+             |sc AS (
+             |  SELECT doc_id, source, CAST(sum(c * r_micro) AS BIGINT) AS score_micro
+             |  FROM by_doc JOIN r USING (bkt)
+             |  WHERE source NOT IN ('src0','src1')
+             |  GROUP BY doc_id, source)
+             |SELECT doc_id, source,
+             |  score_micro + CAST(round(-ln(-ln(
+             |    (('0x' || substr(md5('g|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 0.5)
+             |      / 1152921504606846976.0)) * 1e6, 0) AS BIGINT) AS sampled_micro
+             |FROM sc
+             |ORDER BY sampled_micro DESC, doc_id LIMIT 50""".stripMargin))
   )
 
   // previous invocation's persisted funnel survivors, swept on re-entry —

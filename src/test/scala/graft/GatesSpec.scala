@@ -237,6 +237,24 @@ class GatesSpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq, "resample not deterministic")
   }
 
+  test("dsir gumbel: noise really resamples, weights really pull, rerun-stable") {
+    val greedy = run("q_sample_dsir").map(_.getLong(0)).toSet
+    val gum = run("q_sample_dsir_gumbel")
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(gum.length == 50)
+    assert(gum.forall(r => r._2 != "src0" && r._2 != "src1"),
+      "a target-domain doc leaked into the gumbel resample")
+    val overlap = gum.map(_._1).toSet.intersect(greedy).size
+    // < 50: the Gumbel noise actually moves the selection off argmax;
+    // > ~2x the chance level (50·50/450 ≈ 6): the weights still dominate
+    // pure noise — the sampler follows softmax(log w), not uniform
+    assert(overlap < 50, "gumbel selection identical to greedy argmax")
+    assert(overlap > 12, s"overlap $overlap with greedy is chance-level")
+    val again = run("q_sample_dsir_gumbel")
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(gum.toSeq == again.toSeq, "gumbel resample not deterministic")
+  }
+
   test("epoch shuffle: epochs are independent permutations, shards cover " +
     "every doc exactly once per epoch") {
     val rows = run("q_shuffle_epoch")
