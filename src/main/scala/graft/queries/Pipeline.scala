@@ -998,20 +998,22 @@ object Pipeline {
     // RESAMPLES — k draws without replacement from softmax(log w), which
     // the Gumbel-max trick turns into top-k on log w + Gumbel noise.
     // The noise is hash-derived, g = -ln(-ln(u)) with
-    // u = (md5_60("g|" || doc_id) + 0.5) / 2^60, so the "random" sample
-    // is rerun-identical and cross-engine exact: both engines evaluate
-    // the identical double expression and round to integer micro-units
-    // once at the end (2^60 is a power of two — exactly representable).
+    // u = (md5_60("g|" || doc_id)>>8 + 0.5) / 2^52, so the "random"
+    // sample is rerun-identical and cross-engine exact: every (h + 0.5)
+    // value below 2^53 is exactly representable in double, so u is
+    // EXACT and strictly inside (0, 1) — no rounding-to-1.0 edge where
+    // g would hit +Inf and the engines' Inf→BIGINT casts diverge (a
+    // 60-bit h has a ~2^-54 band that rounds up to u = 1.0).
     // Scale shape: identical to q_sample_dsir (the noise is an in-row
     // projection) — broadcast ratio join, TakeOrdered truncation.
     "q_sample_dsir_gumbel" -> Q(
       (s, dir) => {
-        val h = conv(substring(md5(concat(lit("g|"),
-          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+        val h = shiftright(conv(substring(md5(concat(lit("g|"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long"), 8)
         dsirScores(s, dir)
           .filter(!col("is_target"))
           .withColumn("g_micro", round(-log(-log((h + lit(0.5)) /
-              lit(1.152921504606846976e18))) * 1e6, 0).cast("long"))
+              lit(4.503599627370496e15))) * 1e6, 0).cast("long"))
           .select(col("doc_id"), col("source"),
             (col("score_micro") + col("g_micro")).as("sampled_micro"))
           .orderBy(col("sampled_micro").desc, col("doc_id"))
@@ -1050,8 +1052,8 @@ object Pipeline {
              |  GROUP BY doc_id, source)
              |SELECT doc_id, source,
              |  score_micro + CAST(round(-ln(-ln(
-             |    (('0x' || substr(md5('g|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 0.5)
-             |      / 1152921504606846976.0)) * 1e6, 0) AS BIGINT) AS sampled_micro
+             |    ((('0x' || substr(md5('g|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT // 256) + 0.5)
+             |      / 4503599627370496.0)) * 1e6, 0) AS BIGINT) AS sampled_micro
              |FROM sc
              |ORDER BY sampled_micro DESC, doc_id LIMIT 50""".stripMargin))
   )

@@ -259,7 +259,7 @@ object Similarity {
     * codegen'd projections over the corpus and the writes shuffle
     * nothing (partitionBy on the computed cell). Returns counts. */
   def buildVectorIndex(s: SparkSession, srcDir: String,
-      indexDir: String): Map[String, Long] = withIndexWriter(indexDir) {
+      indexDir: String): Map[String, Long] = withIndexWriter(s, indexDir) {
     import org.apache.spark.sql.SaveMode
     // persisted: the centroid aggregation, the assignment write, the
     // codebook seed + sample reads all fork this plan — unpinned, the
@@ -360,11 +360,19 @@ object Similarity {
     * O(increment) discipline as the centroid assignment; a pre-codes
     * index without `codebooks/` appends vectors only). */
   def appendVectorIndexDf(s: SparkSession, emb: DataFrame,
-      indexDir: String): Long = withIndexWriter(indexDir) {
-    import org.apache.spark.sql.SaveMode
-    val inc = emb.select(col("vec_id"),
+      indexDir: String): Long = withIndexWriter(s, indexDir) {
+    appendQuantized(s, emb.select(col("vec_id"),
       transform(col("embedding"),
-        x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
+        x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v")),
+      indexDir)
+  }
+
+  /** Append already-quantized `(vec_id, v)` rows: assign to the CURRENT
+    * centroids, land in the cell layout, encode through the persisted
+    * codebooks. Callers hold the index writer lock. */
+  private def appendQuantized(s: SparkSession, inc: DataFrame,
+      indexDir: String): Long = {
+    import org.apache.spark.sql.SaveMode
     val cents = readCentroids(s, indexDir)
     require(cents.nonEmpty, s"no centroids at $indexDir — build first")
     val assigned = inc.select(col("vec_id"), col("v"),
@@ -440,15 +448,8 @@ object Similarity {
     deleteDir(old)
   }
 
-  /** Maintenance: compact the per-append file accumulation in `vectors/`
-    * and `codes/` — the index-side twin of the event log's small-files
-    * problem (StreamStore.compactLog). Each artifact rewrites into
-    * ~128 MB files, still partitioned by cell so the probe-one-cell read
-    * path is unchanged, staged to `<sub>.next` and swapped in. Content is
-    * untouched: same rows, same cells, fewer files. Returns the post-
-    * compaction info map (its `files` is the bounded count). */
   /** ~128 MB-file partition count for an artifact dir's current bytes
-    * (the compactLog sizing rule). */
+    * (the compactLog sizing rule). A missing or empty dir sizes to 1. */
   private def compactTarget(indexDir: String, sub: String): Int = {
     val bytes = walkParquet(indexDir, sub)
       .map(java.nio.file.Files.size(_)).sum
@@ -534,42 +535,106 @@ object Similarity {
     * silently wrong probes). The commit marker makes the sequence
     * roll-FORWARD: it is written only once every `.next` is fully staged
     * and validated, so any write entrypoint that finds it completes the
-    * remaining swaps before doing anything else. Readers racing the
-    * ms-scale swap sequence can still see a mixed generation
-    * transiently — the full fix is the manifest/catalog pointer flip
-    * documented on [[swapIn]]. */
+    * remaining swaps before doing anything else. The marker body records
+    * the vectors/codes filesets validated at commit time, so an
+    * out-of-process append that lands in the (unbounded) crash window is
+    * DETECTED at roll-forward and its vector rows SALVAGED — copied
+    * aside before the swap destroys them, then re-appended through the
+    * completed new generation (re-assigned by the new centroids,
+    * re-encoded by the new codebooks). Old-generation CODES rows of such
+    * an append are dropped with the swap: their vectors either ride the
+    * salvage (re-encoded fresh) or already landed post-swap, making them
+    * committed-but-uncoded — the documented orphan state the next
+    * compaction heals. Readers racing the ms-scale swap sequence can
+    * still see a mixed generation transiently — the full fix is the
+    * manifest/catalog pointer flip documented on [[swapIn]]. */
   private def retrainMarker(indexDir: String): java.nio.file.Path =
     java.nio.file.Paths.get(indexDir.stripPrefix("file:"), "commit.retrain")
 
-  private def rollForwardRetrain(indexDir: String): Unit = {
+  private val markerHeader = "retrain-commit v1"
+
+  private def writeRetrainMarker(indexDir: String,
+      vectors: Set[String], codes: Set[String]): Unit = {
+    val body = (Seq(markerHeader) ++
+      vectors.toSeq.sorted.map(f => s"vectors/$f") ++
+      codes.toSeq.sorted.map(f => s"codes/$f")).mkString("\n")
+    java.nio.file.Files.write(retrainMarker(indexDir),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def rollForwardRetrain(s: SparkSession, indexDir: String): Unit = {
     val marker = retrainMarker(indexDir)
-    if (java.nio.file.Files.exists(marker)) {
-      indexArtifacts.foreach { sub =>
-        repairCrashedSwap(indexDir, sub)
-        val base = java.nio.file.Paths.get(indexDir.stripPrefix("file:"))
-        if (java.nio.file.Files.isDirectory(base.resolve(s"$sub.next")))
-          swapIn(indexDir, sub)
-        // a .old beside a live dir is debris of an already-completed
-        // swap (the crash hit after its rename, before its cleanup)
-        else if (java.nio.file.Files.exists(base.resolve(sub)))
-          deleteDir(base.resolve(s"$sub.old"))
+    if (!java.nio.file.Files.exists(marker)) return
+    val base = java.nio.file.Paths.get(indexDir.stripPrefix("file:"))
+    val lines = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(marker).asScala.toVector
+    }
+    // a marker without the header (unreadable/legacy) cannot distinguish
+    // drift from the old generation — no salvage, plain roll-forward
+    val snap: Option[Set[String]] =
+      if (lines.isEmpty || lines.head != markerHeader) None
+      else Some(lines.iterator.drop(1).filter(_.startsWith("vectors/"))
+        .map(_.stripPrefix("vectors/")).toSet)
+    // vectors rows are the durable record: anything beyond the committed
+    // snapshot landed from an out-of-process appender after the crash
+    // and would be destroyed by the pending swap — copy those files
+    // aside first (the codes side of such an append is dropped; see doc)
+    val salvage = base.resolve("salvage.retrain")
+    deleteDir(salvage)
+    var salvaged = 0
+    if (java.nio.file.Files.isDirectory(base.resolve("vectors.next"))) {
+      snap.foreach { committed =>
+        val drift = artifactFiles(indexDir, "vectors") -- committed
+        if (drift.nonEmpty) java.nio.file.Files.createDirectories(salvage)
+        drift.toSeq.sorted.foreach { rel =>
+          java.nio.file.Files.copy(base.resolve("vectors").resolve(rel),
+            salvage.resolve(s"drift-$salvaged.parquet"))
+          salvaged += 1
+        }
       }
-      java.nio.file.Files.delete(marker)
+    }
+    indexArtifacts.foreach { sub =>
+      repairCrashedSwap(indexDir, sub)
+      if (java.nio.file.Files.isDirectory(base.resolve(s"$sub.next")))
+        swapIn(indexDir, sub)
+      // a .old beside a live dir is debris of an already-completed
+      // swap (the crash hit after its rename, before its cleanup)
+      else if (java.nio.file.Files.exists(base.resolve(sub)))
+        deleteDir(base.resolve(s"$sub.old"))
+    }
+    java.nio.file.Files.delete(marker)
+    if (salvaged > 0) {
+      appendQuantized(s, s.read.parquet(salvage.toString)
+        .select(col("vec_id"), col("v")), indexDir)
+      deleteDir(salvage)
     }
   }
 
   /** Maintenance entry discipline shared by every index WRITE: serialize
     * on the in-process writer lock, complete any crashed retrain
-    * (roll-forward), heal any crashed single swap. */
-  private def withIndexWriter[A](indexDir: String)(f: => A): A =
+    * (roll-forward, salvaging crash-window appends), heal any crashed
+    * single swap. */
+  private def withIndexWriter[A](s: SparkSession, indexDir: String)(
+      f: => A): A =
     indexLock(indexDir).synchronized {
-      rollForwardRetrain(indexDir)
+      rollForwardRetrain(s, indexDir)
       indexArtifacts.foreach(repairCrashedSwap(indexDir, _))
       f
     }
 
+  /** Maintenance: compact the per-append file accumulation in `vectors/`
+    * and `codes/` — the index-side twin of the event log's small-files
+    * problem (StreamStore.compactLog). Each artifact rewrites into
+    * ~128 MB files, still partitioned by cell, staged to `<sub>.next`
+    * and swapped in. NOT purely physical: this is also where the
+    * exactly-once read view is restored after an at-least-once ingest
+    * retry — vectors dedup to one row per vec_id and codes rebuild from
+    * the compacted vectors, so row counts can SHRINK across a
+    * compaction of a dirty index. Returns the post-compaction info map
+    * (its `files` is the bounded count). */
   def compactVectorIndex(s: SparkSession, indexDir: String): Map[String, Long] =
-    withIndexWriter(indexDir) {
+    withIndexWriter(s, indexDir) {
       import org.apache.spark.sql.SaveMode
       // vectors: ~128 MB files AND one row per vec_id — an at-least-once
       // ingest retry that died between its vectors and codes writes can
@@ -596,12 +661,9 @@ object Similarity {
       // leaves invisible to the ADC stage)
       if (subdirExists(indexDir, "codebooks")) {
         val snapshot = artifactFiles(indexDir, "codes")
-        val target =
-          if (subdirExists(indexDir, "codes")) compactTarget(indexDir, "codes")
-          else 1
         encodeCodes(s.read.parquet(s"$indexDir/vectors"),
             readCodebooks(s, indexDir))
-          .repartition(target, col("cell"))
+          .repartition(compactTarget(indexDir, "codes"), col("cell"))
           .write.partitionBy("cell")
           .mode(SaveMode.Overwrite).parquet(s"$indexDir/codes.next")
         requireUnchanged(indexDir, "codes", snapshot)
@@ -621,7 +683,7 @@ object Similarity {
     * stage to `.next` and swap, so a crash mid-retrain leaves the live
     * index untouched. */
   def retrainVectorIndex(s: SparkSession, indexDir: String): Map[String, Long] =
-    withIndexWriter(indexDir) {
+    withIndexWriter(s, indexDir) {
     import org.apache.spark.sql.SaveMode
     val vecSnapshot = artifactFiles(indexDir, "vectors")
     val codeSnapshot = artifactFiles(indexDir, "codes")
@@ -653,19 +715,18 @@ object Similarity {
       val books = trainCodebooks(s, vecs.select(col("vec_id"), col("v")),
         pqM, pqL, pqK)
       writeCodebooks(s, s"$indexDir/codebooks.next", books)
-      val codesTarget =
-        if (subdirExists(indexDir, "codes")) compactTarget(indexDir, "codes")
-        else 1
       encodeCodes(s.read.parquet(s"$indexDir/vectors.next"), books)
-        .repartition(codesTarget, col("cell"))
+        .repartition(compactTarget(indexDir, "codes"), col("cell"))
         .write.partitionBy("cell")
         .mode(SaveMode.Overwrite).parquet(s"$indexDir/codes.next")
       requireUnchanged(indexDir, "vectors", vecSnapshot)
       requireUnchanged(indexDir, "codes", codeSnapshot)
       // every .next is staged and validated: commit — from here a crash
       // rolls FORWARD (the marker makes the next write entrypoint finish
-      // the remaining swaps, never serve a mixed generation for long)
-      java.nio.file.Files.createFile(retrainMarker(indexDir))
+      // the remaining swaps, never serve a mixed generation for long);
+      // the marker body is the validated fileset, so roll-forward can
+      // tell crash-window appends apart from the committed generation
+      writeRetrainMarker(indexDir, vecSnapshot, codeSnapshot)
       indexArtifacts.foreach(swapIn(indexDir, _))
       java.nio.file.Files.delete(retrainMarker(indexDir))
       vectorIndexInfo(s, indexDir)

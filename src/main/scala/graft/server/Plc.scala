@@ -411,13 +411,24 @@ class HttpPlcDirectory(baseUrl: String) extends PlcDirectory {
 
   def submit(did: String, op: DMap): Either[String, Unit] = post(did, op)
 
+  // updates to ONE did must serialize across threads: two concurrent
+  // read-latest → sign → POST sequences would chain the same prev and
+  // the directory rejects the loser. A per-DID monitor keeps that
+  // serialization without reintroducing the instance-wide HTTP lock
+  // (updates to different DIDs, createDid, and custodiedSecret all
+  // proceed concurrently).
+  private val didLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def updateHandle(did: String, handle: Option[String]): Either[String, Unit] =
-    synchronized(keys.get(did)) match {
-      case None => Left("No signing key found for DID: cannot update handle")
-      case Some(key) => latestEntry(did) match {
-        case None => Left(s"no operation log for $did at the directory")
-        case Some((latest, cid)) =>
-          post(did, Plc.signOp(Plc.updateHandleOp(latest, cid, handle), key))
+    didLocks.computeIfAbsent(did, _ => new Object).synchronized {
+      synchronized(keys.get(did)) match {
+        case None => Left("No signing key found for DID: cannot update handle")
+        case Some(key) => latestEntry(did) match {
+          case None => Left(s"no operation log for $did at the directory")
+          case Some((latest, cid)) =>
+            post(did, Plc.signOp(Plc.updateHandleOp(latest, cid, handle), key))
+        }
       }
     }
 

@@ -496,7 +496,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_tpch_q11_shape",    // nation + the 1-row global-value frame
       "q_knn_ivfpq_rerank",  // the C=50-row ADC candidate frame
       "q_tpch_q2_shape",     // region-filtered nation (≤25 rows)
-      "q_tpch_q9_shape"      // nation (25 rows forever)
+      "q_tpch_q9_shape",     // nation (25 rows forever)
+      "q_sample_dsir",       // ≤256-row hashed-bucket ratio table
+      "q_sample_dsir_gumbel" // same ratio table (shared dsirScores)
     )
     val actual = HintAuditHelper.hinted(spark, dir)
     assert(actual == expected,

@@ -207,6 +207,72 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.vectorIndexInfo(spark, idx)("vectors") == 2 * n0)
   }
 
+  test("roll-forward salvages an out-of-process append from the crash window") {
+    // the marker body records the committed vectors/codes filesets, so a
+    // roll-forward can tell an append that landed AFTER the crash (in the
+    // unbounded window before restart) from the committed generation —
+    // its rows must be copied aside and re-appended through the completed
+    // new generation, never destroyed by the pending swap
+    import java.nio.file.{Files, Path, Paths}
+    import org.apache.spark.sql.functions.col
+    import graft.queries.Similarity
+    def copyDir(from: Path, to: Path): Unit = {
+      val st = Files.walk(from)
+      try st.forEach { p =>
+        val t = to.resolve(from.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t)
+      } finally st.close()
+    }
+    def listRel(idx: String, sub: String): Seq[String] = {
+      val base = Paths.get(idx, sub)
+      val st = Files.walk(base)
+      try {
+        val out = Seq.newBuilder[String]
+        st.filter(_.toString.endsWith(".parquet"))
+          .forEach(p => out += base.relativize(p).toString)
+        out.result()
+      } finally st.close()
+    }
+    val src = "/root/testdata/sf0.001"
+    val idx = graft.TempDirs.create("graft-salvage").toString
+    Similarity.buildVectorIndex(spark, src, idx)
+    val n0 = Similarity.vectorIndexInfo(spark, idx)("vectors")
+    val subs = Seq("centroids", "vectors", "codebooks", "codes")
+    subs.foreach(s => copyDir(Paths.get(idx, s), Paths.get(idx, s + ".next")))
+    val body = ("retrain-commit v1" +:
+      (listRel(idx, "vectors").sorted.map("vectors/" + _) ++
+        listRel(idx, "codes").sorted.map("codes/" + _))).mkString("\n")
+    Files.write(Paths.get(idx, "commit.retrain"), body.getBytes("UTF-8"))
+    // the crash-window append: a vectors file beyond the committed set
+    val tmp = graft.TempDirs.create("graft-driftsrc").toString
+    spark.read.parquet(s"$idx/vectors")
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("v"))
+      .limit(25).coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = {
+      val st = Files.list(Paths.get(tmp))
+      try st.filter(_.toString.endsWith(".parquet")).findFirst.get
+      finally st.close()
+    }
+    val cellDir = {
+      val st = Files.list(Paths.get(idx, "vectors"))
+      try st.filter(p => Files.isDirectory(p)).findFirst.get
+      finally st.close()
+    }
+    Files.copy(part, cellDir.resolve("drift-ingest.parquet"))
+    // any write entry rolls forward and must salvage the 25 drifted rows
+    Similarity.compactVectorIndex(spark, idx)
+    assert(!Files.exists(Paths.get(idx, "commit.retrain")))
+    assert(!Files.exists(Paths.get(idx, "salvage.retrain")))
+    val vec = spark.read.parquet(s"$idx/vectors")
+    assert(vec.filter(col("vec_id") >= 2000000L).count() == 25,
+      "crash-window append rows were destroyed by the roll-forward swap")
+    assert(vec.count() == n0 + 25)
+    assert(spark.read.parquet(s"$idx/codes")
+      .filter(col("vec_id") >= 2000000L).count() == 25,
+      "salvaged rows were not re-encoded through the new generation")
+  }
+
   test("maintenance racing an ingest never loses rows silently") {
     // a compaction's rewrite is computed from a pre-append snapshot; an
     // append landing mid-rewrite would be dropped by the swap. The
