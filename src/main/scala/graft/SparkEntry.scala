@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, Corpus, Dedup, LeafOps, Multimodal, Pipeline, Relational, Similarity, Temporal, TextAnalysis}
+import graft.queries.{Analytics, Corpus, Dedup, LeafOps, Multimodal, Pipeline, Relational, Retrieval, Similarity, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -10,7 +10,7 @@ object SparkEntry {
   private def registry: Map[String, Relational.Q] =
     Relational.all ++ LeafOps.all ++ TextAnalysis.all ++ Dedup.all ++
       Similarity.all ++ Multimodal.all ++ Temporal.all ++ Pipeline.all ++
-      Analytics.all ++ Corpus.all
+      Analytics.all ++ Corpus.all ++ Retrieval.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

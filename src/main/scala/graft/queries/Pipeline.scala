@@ -1055,7 +1055,178 @@ object Pipeline {
              |    ((('0x' || substr(md5('g|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT // 256) + 0.5)
              |      / 4503599627370496.0)) * 1e6, 0) AS BIGINT) AS sampled_micro
              |FROM sc
-             |ORDER BY sampled_micro DESC, doc_id LIMIT 50""".stripMargin))
+             |ORDER BY sampled_micro DESC, doc_id LIMIT 50""".stripMargin)),
+
+    // ---- curriculum sampling by quality quartile ----
+    // Score every document with the (distinct-token ratio × length
+    // factor) quality proxy, cut the corpus into quartiles at the EXACT
+    // interpolated quantiles (a 1-row aggregate that cross-joins back —
+    // never a global ntile sort: at 100 TB the cutpoint frame is the
+    // only synchronization point, and value-bucketing is a per-row
+    // comparison), then take a bucket-dependent quota (8·bucket — the
+    // easy→hard ramp) in deterministic hash order within each bucket.
+    // Cutpoint determinism: the quantile interpolation runs on integer
+    // micro scores, so p·(n−1) blends are exact dyadic rationals —
+    // bit-identical across engines despite the two engines' different
+    // interpolation formulas.
+    "q_sample_curriculum" -> Q(
+      (s, dir) => {
+        val t = split(trim(lower(col("text"))), "\\s+")
+        val scored = docs(s, dir).select(col("doc_id"),
+          round(((size(array_distinct(t)).cast("double") / size(t).cast("double")) *
+            (least(size(t), lit(100)).cast("double") / lit(100.0))) * 1e6, 0)
+            .cast("long").as("score_micro"))
+        val cuts = scored.agg(
+          expr("percentile(score_micro, 0.25)").as("q1"),
+          expr("percentile(score_micro, 0.5)").as("q2"),
+          expr("percentile(score_micro, 0.75)").as("q3"))
+        val bucketed = scored.crossJoin(cuts)
+          .select(col("doc_id"),
+            (lit(1L) + when(col("score_micro") > col("q1"), 1L).otherwise(0L) +
+              when(col("score_micro") > col("q2"), 1L).otherwise(0L) +
+              when(col("score_micro") > col("q3"), 1L).otherwise(0L)).as("bucket"),
+            conv(substring(md5(concat(lit("cur|"), col("doc_id").cast("string"))),
+              1, 15), 16, 10).cast("long").as("h"))
+        bucketed
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id")))
+            .cast("long"))
+          .filter(col("rk") <= lit(8L) * col("bucket"))
+          .select(col("doc_id"), col("bucket"), col("rk"))
+          .orderBy(col("bucket"), col("rk"))
+      },
+      Some("""WITH ts AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+             |  FROM documents),
+             |scored AS (
+             |  SELECT doc_id,
+             |    CAST(round(((CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)) *
+             |      (CAST(least(len(t), 100) AS DOUBLE) / 100.0)) * 1e6, 0) AS BIGINT)
+             |      AS score_micro
+             |  FROM ts),
+             |cuts AS (
+             |  SELECT quantile_cont(score_micro, 0.25) AS q1,
+             |         quantile_cont(score_micro, 0.5) AS q2,
+             |         quantile_cont(score_micro, 0.75) AS q3
+             |  FROM scored),
+             |b AS (
+             |  SELECT doc_id,
+             |    1 + (CASE WHEN score_micro > q1 THEN 1 ELSE 0 END)
+             |      + (CASE WHEN score_micro > q2 THEN 1 ELSE 0 END)
+             |      + (CASE WHEN score_micro > q3 THEN 1 ELSE 0 END) AS bucket,
+             |    ('0x' || substr(md5('cur|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+             |  FROM scored CROSS JOIN cuts),
+             |r AS (
+             |  SELECT doc_id, bucket,
+             |    row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS rk
+             |  FROM b)
+             |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, rk
+             |FROM r WHERE rk <= 8 * bucket ORDER BY bucket, rk""".stripMargin)),
+
+    // ---- model-based quality filter: Naive-Bayes presence classifier ----
+    // The deterministic twin of the fastText-style quality classifiers
+    // used by CCNet/LLaMA pipelines: hashed-bigram PRESENCE features
+    // (256 buckets), Bernoulli-NB per-class likelihoods with Laplace
+    // smoothing fit on the `train` split only (the docSplitHash rule, so
+    // training never sees the docs it scores), and a log-odds score with
+    // class prior applied to the held-out (val+test) docs. Present-only
+    // scoring (absent-feature terms dropped) is the standard linear-
+    // scorer simplification. Unlike DSIR (token-COUNT importance ratios
+    // over the full pool, for sampling), this is a split-disciplined
+    // per-document classification decision.
+    // Scale shape: one tokenize scan → (doc, bucket)-keyed distinct →
+    // counts fold to a 256-row weight table that broadcasts; scoring is
+    // one equi-join + per-doc integer sum. Micro-nat rounding before
+    // summation keeps both engines exact.
+    "q_quality_classifier" -> Q(
+      (s, dir) => {
+        val B = 256
+        val sp = TextAnalysis.splitOf(TextAnalysis.docSplitHash)
+        val toks = docs(s, dir).select(col("doc_id"), col("source"),
+          split(trim(lower(col("text"))), "\\s+").as("ts"))
+        val occ = toks.filter(size(col("ts")) >= 2)
+          .select(col("doc_id"), col("source"), explode(zip_with(
+            slice(col("ts"), lit(1), size(col("ts")) - 1),
+            slice(col("ts"), lit(2), size(col("ts")) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("bg"))
+          .withColumn("bkt",
+            conv(substring(md5(col("bg")), 1, 15), 16, 10).cast("long") % B)
+          .select(col("doc_id"), col("source"), col("bkt")).distinct()
+          .withColumn("split", sp)
+          .withColumn("tgt", col("source").isin("src0", "src1"))
+        val tot = docs(s, dir).select(col("doc_id"), col("source"))
+          .withColumn("split", sp)
+          .filter(col("split") === "train")
+          .agg(sum(when(col("source").isin("src0", "src1"), 1L).otherwise(0L)).as("np"),
+            sum(when(!col("source").isin("src0", "src1"), 1L).otherwise(0L)).as("nq"))
+        // full 256-bucket spine so unseen-in-train buckets still carry
+        // the smoothed ln(1/(n+2)) weight in both engines
+        val cnt = s.range(B).select(col("id").as("bkt"))
+          .join(occ.filter(col("split") === "train"), Seq("bkt"), "left_outer")
+          .groupBy(col("bkt"))
+          .agg(sum(when(col("tgt") === true, 1L).otherwise(0L)).as("cp"),
+            sum(when(col("tgt") === false, 1L).otherwise(0L)).as("cq"))
+        val w = cnt.crossJoin(tot).select(col("bkt"),
+          (round(log((col("cp") + 1).cast("double") /
+              (col("np") + 2).cast("double")) * 1e6, 0).cast("long") -
+            round(log((col("cq") + 1).cast("double") /
+              (col("nq") + 2).cast("double")) * 1e6, 0).cast("long"))
+            .as("w_micro"),
+          round(log(col("np").cast("double") / col("nq").cast("double")) * 1e6, 0)
+            .cast("long").as("prior_micro"))
+        occ.filter(col("split") =!= "train")
+          .join(broadcast(w), Seq("bkt"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg((sum(col("w_micro")) + first(col("prior_micro"))).as("score_micro"))
+          .select(col("doc_id"), col("source"), col("score_micro"),
+            when(col("score_micro") > 0, 1L).otherwise(0L).as("pred"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source,
+             |    regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             |  FROM documents),
+             |occ AS (
+             |  SELECT DISTINCT doc_id, source,
+             |    ('0x' || substr(md5(ts[i] || ' ' || ts[i+1]), 1, 15))::BIGINT % 256 AS bkt
+             |  FROM (SELECT doc_id, source, ts,
+             |          unnest(generate_series(1, len(ts)-1)) AS i FROM toks)),
+             |sp AS (
+             |  SELECT doc_id, source, bkt,
+             |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 < 8
+             |           THEN 'train'
+             |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 = 8
+             |           THEN 'val' ELSE 'test' END AS split,
+             |    source IN ('src0','src1') AS tgt
+             |  FROM occ),
+             |tot AS (
+             |  SELECT CAST(sum(CASE WHEN source IN ('src0','src1') THEN 1 ELSE 0 END) AS BIGINT) AS np,
+             |         CAST(sum(CASE WHEN source NOT IN ('src0','src1') THEN 1 ELSE 0 END) AS BIGINT) AS nq
+             |  FROM documents
+             |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 < 8),
+             |cnt AS (
+             |  SELECT g.bkt,
+             |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+             |    CAST(sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS BIGINT) AS cq
+             |  FROM (SELECT unnest(generate_series(0, 255)) AS bkt) g
+             |  LEFT JOIN (SELECT * FROM sp WHERE split = 'train') t ON g.bkt = t.bkt
+             |  GROUP BY g.bkt),
+             |w AS (
+             |  SELECT bkt,
+             |    CAST(round(ln(CAST(cp + 1 AS DOUBLE) / CAST(np + 2 AS DOUBLE)) * 1e6, 0) AS BIGINT)
+             |      - CAST(round(ln(CAST(cq + 1 AS DOUBLE) / CAST(nq + 2 AS DOUBLE)) * 1e6, 0) AS BIGINT)
+             |      AS w_micro,
+             |    CAST(round(ln(CAST(np AS DOUBLE) / CAST(nq AS DOUBLE)) * 1e6, 0) AS BIGINT)
+             |      AS prior_micro
+             |  FROM cnt CROSS JOIN tot)
+             |SELECT doc_id, source,
+             |  CAST(sum(w_micro) AS BIGINT) + any_value(prior_micro) AS score_micro,
+             |  CAST(CASE WHEN CAST(sum(w_micro) AS BIGINT) + any_value(prior_micro) > 0
+             |       THEN 1 ELSE 0 END AS BIGINT) AS pred
+             |FROM sp JOIN w USING (bkt)
+             |WHERE split <> 'train'
+             |GROUP BY doc_id, source
+             |ORDER BY doc_id""".stripMargin))
   )
 
   // previous invocation's persisted funnel survivors, swept on re-entry —

@@ -1,0 +1,338 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.queries.Relational.Q
+
+/** Retrieval-side operators for a training-data / search pipeline:
+  * Okapi BM25 lexical scoring, hybrid lexical+vector retrieval fused
+  * with reciprocal-rank fusion (RRF), and SemDeDup-style semantic
+  * deduplication (cluster-bounded near-duplicate pruning that keeps the
+  * member farthest from its cluster centroid — arXiv:2303.09540's drop
+  * rule).
+  *
+  * Scale design:
+  *  - bm25:  for a FIXED query-term set the whole score is a per-row
+  *           expression over (dl, tf_t…) — no per-token explode, no
+  *           (doc, term) shuffle at all, unlike the tf-idf gate whose
+  *           output is per-term. One narrow stats pass (1-row aggregate:
+  *           avgdl, df_t) cross-joins back into a second scan; both scans
+  *           prune to (doc_id, text) at the reader. The only truncation
+  *           is TakeOrdered. At 100 TB this is two embarrassingly
+  *           parallel passes; a production engine would keep (dl, tf)
+  *           as a catalog projection and pay one.
+  *  - rrf:   each ranking is bounded to its top-K=100 by TakeOrdered
+  *           BEFORE any window runs, so the rank assignment windows are
+  *           single-partition over K rows by construction (the bounded-
+  *           frame exception to the "no global windows" rule). The fuse
+  *           is a K-vs-K full-outer join on the shared id space —
+  *           constant work regardless of corpus size once the per-list
+  *           top-K is paid.
+  *  - semantic dedup: candidate pairs are bounded by (label ×
+  *           adaptive sign-bucket) cells exactly like q_dedup_embedding
+  *           (bits grow with log2(n/32), so cell population stays ~32
+  *           as the corpus scales — the SemDeDup paper scales K with N
+  *           the same way); the drop rule compares projections onto the
+  *           per-label centroid direction, an O(labels·d) broadcast
+  *           (the q_emb_outliers bound). A cheap codegen'd double cosine
+  *           prefilters pairs before the exact decimal fold.
+  *
+  * Cross-engine determinism: ln() rounds to integer micro-nats before
+  * any summation; per-term BM25 contributions round to micro before the
+  * per-row add (exact BIGINT adds); RRF contributions round to nano
+  * before the add; dot products fold through DECIMAL(25,10) (Vec.dot),
+  * so every double compared or ranked is bit-identical in both engines.
+  */
+object Retrieval {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.df(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.df(s, dir, "embeddings")
+  private def dec(c: Column): Column = c.cast(DecimalType(25, 10))
+
+  // the fixed lexical query ("slow hash join") — k1 = 1.2, b = 0.75 are
+  // the textbook Okapi constants, written as the literals 2.2 / 1.2 /
+  // 0.25 / 0.75 in BOTH engines so the expression trees fold identically
+  private val bmTerms = Seq("hash", "join", "slow")
+
+  /** Per-document BM25 micro-scores for the fixed query-term set.
+    * Shared by q_text_bm25 and the hybrid-RRF fuse so the lexical
+    * ranking can never desynchronize between the two gates. */
+  private[queries] def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    val t = split(trim(lower(col("text"))), "\\s+")
+    val projCols = col("doc_id") +: size(t).cast("long").as("dl") +:
+      bmTerms.zipWithIndex.map { case (term, i) =>
+        size(filter(t, x => x === term)).cast("long").as(s"tf$i")
+      }
+    val proj = docs(s, dir).select(projCols: _*)
+    // 1-row corpus stats (avgdl + per-term document frequency); idf is
+    // rounded to micro-nats HERE so the per-doc multiply starts from an
+    // integer in both engines
+    val statsAggs = (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl") +:
+      count(lit(1)).as("n") +:
+      bmTerms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = proj.agg(statsAggs.head, statsAggs.tail: _*)
+    val idf = bmTerms.indices.foldLeft(stats) { (f, i) =>
+      f.withColumn(s"idf$i",
+        round(log(((col("n") - col(s"df$i")).cast("double") + lit(0.5)) /
+          (col(s"df$i").cast("double") + lit(0.5)) + lit(1.0)) * 1e6, 0)
+          .cast("long"))
+    }.select(col("avgdl") +: bmTerms.indices.map(i => col(s"idf$i")): _*)
+    // per-term score = idf_micro * tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)),
+    // rounded to an integer micro before the exact per-row sum
+    def termScore(i: Int): Column =
+      round(col(s"idf$i") * ((col(s"tf$i").cast("double") * lit(2.2)) /
+        (col(s"tf$i").cast("double") + lit(1.2) *
+          (lit(0.25) + (lit(0.75) * col("dl").cast("double")) / col("avgdl")))), 0)
+        .cast("long")
+    proj.crossJoin(idf)
+      .select(col("doc_id"),
+        bmTerms.indices.map(termScore).reduce(_ + _).as("score_micro"))
+  }
+
+  /** DuckDB twin of bm25Scores, exposed as a `bm` CTE. */
+  private val bm25Sql = {
+    val ts = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    val tfDefs = bmTerms.zipWithIndex.map { case (term, i) =>
+      s"    len(list_filter($ts, x -> x = '$term')) AS tf$i"
+    }.mkString(",\n")
+    val dfDefs = bmTerms.indices.map(i =>
+      s"    sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(",\n")
+    val idfDefs = bmTerms.indices.map(i =>
+      s"    CAST(round(ln((CAST(n - df$i AS DOUBLE) + 0.5) / " +
+        s"(CAST(df$i AS DOUBLE) + 0.5) + 1.0) * 1e6, 0) AS BIGINT) AS idf$i")
+      .mkString(",\n")
+    val scoreSum = bmTerms.indices.map(i =>
+      s"CAST(round(idf$i * ((CAST(tf$i AS DOUBLE) * 2.2) / " +
+        s"(CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / avgdl))), 0) AS BIGINT)")
+      .mkString("\n      + ")
+    s"""bmproj AS (
+       |  SELECT doc_id,
+       |    len($ts) AS dl,
+       |$tfDefs
+       |  FROM documents),
+       |bmstats AS (
+       |  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, count(*) AS n,
+       |$dfDefs
+       |  FROM bmproj),
+       |bmidf AS (
+       |  SELECT avgdl,
+       |$idfDefs
+       |  FROM bmstats),
+       |bm AS (
+       |  SELECT doc_id,
+       |    $scoreSum AS score_micro
+       |  FROM bmproj CROSS JOIN bmidf)""".stripMargin
+  }
+
+  private val embDimsSql =
+    """edims AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings)""".stripMargin
+
+  val all: Map[String, Q] = Map(
+
+    // ---- Okapi BM25 top-20 for the fixed query-term set ----
+    "q_text_bm25" -> Q(
+      (s, dir) => bm25Scores(s, dir)
+        .orderBy(col("score_micro").desc, col("doc_id"))
+        .limit(20),
+      Some(s"""WITH $bm25Sql
+              |SELECT doc_id, score_micro FROM bm
+              |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // ---- hybrid retrieval: BM25 + embedding-cosine, RRF-fused ----
+    // Each list is truncated to its top-K=100 with TakeOrdered before
+    // rank assignment (the window then runs over a bounded K-row frame);
+    // fused score = Σ round(1e9 / (60 + rank)) over the lists the id
+    // appears in — the standard RRF with c=60, in exact nano integers.
+    // doc_id and vec_id share the fixture id space (TESTDATA.md), so the
+    // fuse is an equi-join; id 0 is the query on the vector side and is
+    // excluded from both lists.
+    "q_hybrid_rrf" -> Q(
+      (s, dir) => {
+        val K = 100
+        val tTop = bm25Scores(s, dir).filter(col("doc_id") =!= 0)
+          .orderBy(col("score_micro").desc, col("doc_id")).limit(K)
+        val tRank = tTop.withColumn("rt", row_number().over(
+            Window.orderBy(col("score_micro").desc, col("doc_id"))))
+          .select(col("doc_id"), col("rt"))
+        val qv = emb(s, dir).filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"),
+            Vec.norm2(col("embedding")).as("qn2"))
+        val vTop = emb(s, dir).filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"),
+            Vec.cosine(col("embedding"), col("q_emb"),
+              Vec.norm2(col("embedding")), col("qn2")).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(K)
+        val vRank = vTop.withColumn("rv", row_number().over(
+            Window.orderBy(col("cos").desc, col("vec_id"))))
+          .select(col("vec_id"), col("rv"))
+        def contrib(r: Column): Column =
+          coalesce(round(lit(1.0e9) / (lit(60.0) + r), 0).cast("long"), lit(0L))
+        tRank.join(vRank, col("doc_id") === col("vec_id"), "full_outer")
+          .select(coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+            col("rt").cast("long").as("rt"),
+            col("rv").cast("long").as("rv"),
+            (contrib(col("rt")) + contrib(col("rv"))).as("rrf_nano"))
+          .orderBy(col("rrf_nano").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""WITH $bm25Sql,
+              |tr0 AS (
+              |  SELECT doc_id,
+              |    row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rt
+              |  FROM bm WHERE doc_id <> 0
+              |  ORDER BY score_micro DESC, doc_id LIMIT 100),
+              |$embDimsSql,
+              |enorms AS (
+              |  SELECT vec_id, CAST(sum(CAST(x * x AS DECIMAL(25,10))) AS DOUBLE) AS n2
+              |  FROM edims GROUP BY vec_id),
+              |eq AS (SELECT i AS qi, x AS qx FROM edims WHERE vec_id = 0),
+              |eqn AS (SELECT n2 AS qn2 FROM enorms WHERE vec_id = 0),
+              |edots AS (
+              |  SELECT vec_id, CAST(sum(CAST(x * qx AS DECIMAL(25,10))) AS DOUBLE) AS dot
+              |  FROM edims JOIN eq ON i = qi WHERE vec_id <> 0 GROUP BY vec_id),
+              |vc AS (
+              |  SELECT vec_id, dot / (sqrt(n2) * sqrt(qn2)) AS cos
+              |  FROM edots JOIN enorms USING (vec_id), eqn),
+              |vr0 AS (
+              |  SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rv
+              |  FROM vc ORDER BY cos DESC, vec_id LIMIT 100)
+              |SELECT COALESCE(tr0.doc_id, vr0.vec_id) AS doc_id, rt, rv,
+              |  COALESCE(CAST(round(1.0e9 / (60.0 + rt), 0) AS BIGINT), 0)
+              |  + COALESCE(CAST(round(1.0e9 / (60.0 + rv), 0) AS BIGINT), 0) AS rrf_nano
+              |FROM tr0 FULL JOIN vr0 ON tr0.doc_id = vr0.vec_id
+              |ORDER BY rrf_nano DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // ---- SemDeDup: cluster-bounded semantic near-dup pruning ----
+    // The augmented corpus plants 25 exact clones (+1000000, every 20th
+    // vector) and 25 near clones (+2000000, dim-1 halved — an EXACT float
+    // op in both engines since ×0.5 only shifts the exponent, cos ≈
+    // 0.997). Candidates are (label × adaptive sign-bucket) cell pairs
+    // (the q_dedup_embedding bound — clones keep their cell because ×0.5
+    // preserves sign); a member is DROPPED when a same-cell neighbor with
+    // cosine ≥ 0.95 sits strictly farther from the label centroid
+    // (smaller projection onto the centroid direction; ties break to the
+    // smaller vec_id). That is SemDeDup's keep-farthest-from-centroid
+    // rule, so exact clones always lose to their original.
+    "q_dedup_semantic" -> Q(
+      (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
+        val e = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"))
+        val halved = transform(col("embedding"), (x, i) =>
+          when(i === 0, (x.cast("double") * lit(0.5)).cast("float")).otherwise(x))
+        val corpus = e
+          .unionAll(e.filter(col("vec_id") % 20 === 0)
+            .select((col("vec_id") + 1000000).as("vec_id"), col("label"),
+              col("embedding")))
+          .unionAll(e.filter(col("vec_id") % 20 === 10)
+            .select((col("vec_id") + 2000000).as("vec_id"), col("label"),
+              halved.as("embedding")))
+        // the oracle derives the identical bit count from count(*), so
+        // the cells — and therefore the candidate set — match exactly
+        val n = corpus.count()
+        val bits = math.min(16, math.max(4,
+          math.floor(math.log(n / 32.0) / math.log(2.0)).toInt))
+        val cell = (0 until bits).map(i =>
+          when(element_at(col("embedding"), i + 1) >= 0, lit(1L << i))
+            .otherwise(lit(0L))).reduce(_ + _)
+        val bucketed = corpus.withColumn("cell", cell)
+        // per-label centroid direction as an O(labels·d) array frame;
+        // proj = dot(v, c)/|v| orders members by closeness to the
+        // centroid (|c| cancels within a label)
+        val d = bucketed
+          .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .select(col("label"), col("i"), col("x").cast("double").as("x"))
+        val cent = d.groupBy(col("label"), col("i"))
+          .agg((sum(dec(col("x"))).cast("double") / count(lit(1))).as("c"))
+          .groupBy(col("label"))
+          .agg(transform(sort_array(collect_list(struct(col("i"), col("c")))),
+            p => p.getField("c")).as("carr"))
+        val proj = bucketed.join(broadcast(cent), "label")
+          .select(col("vec_id"), col("label"), col("cell"), col("embedding"),
+            (Vec.dot(col("embedding"), col("carr")) /
+              sqrt(Vec.norm2(col("embedding")))).as("proj"))
+        val a = proj.select(col("vec_id").as("a_id"), col("label"),
+          col("cell"), col("embedding").as("a_emb"), col("proj").as("a_proj"))
+        val b = proj.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+          col("cell").as("b_cell"), col("embedding").as("b_emb"),
+          col("proj").as("b_proj"))
+        a.join(b,
+            col("label") === col("b_label") && col("cell") === col("b_cell") &&
+              col("a_id") =!= col("b_id") &&
+              (col("a_proj") < col("b_proj") ||
+                (col("a_proj") === col("b_proj") && col("a_id") < col("b_id"))))
+          // cheap double prefilter (differs from exact < 1e-9, margin 0.05)
+          .filter(expr("cosine_sim(a_emb, b_emb)") >= 0.9)
+          .filter(Vec.cosine(col("a_emb"), col("b_emb"),
+            Vec.norm2(col("a_emb")), Vec.norm2(col("b_emb"))) >= 0.95)
+          .select(col("b_id").as("vec_id"), col("b_label").as("label"))
+          .distinct()
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT vec_id, label, embedding FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 1000000, label, embedding
+             |  FROM embeddings WHERE vec_id % 20 = 0
+             |  UNION ALL
+             |  SELECT vec_id + 2000000, label,
+             |    list_concat([CAST(CAST(embedding[1] AS DOUBLE) * 0.5 AS REAL)],
+             |                embedding[2:])
+             |  FROM embeddings WHERE vec_id % 20 = 10),
+             |bb AS (
+             |  SELECT least(16, greatest(4, CAST(floor(log2(count(*) / 32.0)) AS INT))) AS bits
+             |  FROM corpus),
+             |bucketed AS (
+             |  SELECT vec_id, label, embedding,
+             |    list_sum(list_transform(range(1, bits + 1),
+             |      i -> CASE WHEN embedding[i] >= 0 THEN CAST(pow(2, i - 1) AS BIGINT)
+             |           ELSE 0 END)) AS cell
+             |  FROM corpus, bb),
+             |dims AS (
+             |  SELECT vec_id, label, cell, generate_subscripts(embedding, 1) AS i,
+             |         CAST(unnest(embedding) AS DOUBLE) AS x
+             |  FROM bucketed),
+             |cents AS (
+             |  SELECT label, i, CAST(sum(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / count(*) AS c
+             |  FROM dims GROUP BY label, i),
+             |norms AS (
+             |  SELECT vec_id, CAST(sum(CAST(x * x AS DECIMAL(25,10))) AS DOUBLE) AS n2
+             |  FROM dims GROUP BY vec_id),
+             |projs AS (
+             |  SELECT dims.vec_id,
+             |    CAST(sum(CAST(x * c AS DECIMAL(25,10))) AS DOUBLE) / sqrt(max(n2)) AS proj
+             |  FROM dims
+             |  JOIN cents ON dims.label = cents.label AND dims.i = cents.i
+             |  JOIN norms ON dims.vec_id = norms.vec_id
+             |  GROUP BY dims.vec_id),
+             |pd AS (
+             |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
+             |    CAST(sum(CAST(a.x * b.x AS DECIMAL(25,10))) AS DOUBLE) AS dot
+             |  FROM dims a JOIN dims b
+             |    ON a.label = b.label AND a.cell = b.cell AND a.i = b.i
+             |    AND a.vec_id <> b.vec_id
+             |  GROUP BY 1, 2, 3),
+             |pc AS (
+             |  SELECT a_id, b_id, pd.label, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
+             |  FROM pd
+             |  JOIN norms na ON a_id = na.vec_id
+             |  JOIN norms nb ON b_id = nb.vec_id)
+             |SELECT DISTINCT b_id AS vec_id, pc.label
+             |FROM pc
+             |JOIN projs pa ON pc.a_id = pa.vec_id
+             |JOIN projs pb ON pc.b_id = pb.vec_id
+             |WHERE pc.cos >= 0.95
+             |  AND (pa.proj < pb.proj OR (pa.proj = pb.proj AND a_id < b_id))
+             |ORDER BY vec_id""".stripMargin))
+  )
+}

@@ -309,4 +309,129 @@ class GatesSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(rows == again, "bigram surprisal not deterministic across runs")
   }
+
+  test("bm25: top-20 ordered, positive scores iff a query term is present") {
+    val rows = run("q_text_bm25").map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.length == 20)
+    assert(rows.zip(rows.tail).forall { case (a, b) =>
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) }, "not score-ordered")
+    // with the +1-inside-ln Okapi idf every term weight is > 0, so
+    // score > 0 <=> at least one query term occurs in the doc
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .collect().map(r => r.getLong(0) ->
+        r.getString(r.fieldIndex("text")).trim.toLowerCase
+          .split("\\s+").toSet).toMap
+    val terms = Set("hash", "join", "slow")
+    assert(rows.exists(_._2 > 0), "no document matched any query term")
+    rows.foreach { case (id, sc) =>
+      assert((sc > 0) == texts(id).exists(terms),
+        s"doc $id score $sc disagrees with term presence") }
+    assert(rows == run("q_text_bm25").map(r => (r.getLong(0), r.getLong(1))).toSeq,
+      "bm25 not deterministic")
+  }
+
+  test("hybrid rrf: fused score is exactly the sum of per-list rank " +
+    "contributions, both lists represented") {
+    val rows = run("q_hybrid_rrf").map(r => (r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getLong(1)),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      r.getLong(3))).toSeq
+    assert(rows.length == 20)
+    def c(r: Option[Long]): Long =
+      r.map(rk => math.round(1.0e9 / (60.0 + rk))).getOrElse(0L)
+    rows.foreach { case (id, rt, rv, f) =>
+      assert(rt.isDefined || rv.isDefined, s"doc $id in neither ranking")
+      assert(f == c(rt) + c(rv), s"doc $id fused $f != recomputed")
+      rt.foreach(r => assert(r >= 1 && r <= 100))
+      rv.foreach(r => assert(r >= 1 && r <= 100))
+    }
+    assert(rows.zip(rows.tail).forall { case (a, b) =>
+      a._4 > b._4 || (a._4 == b._4 && a._1 < b._1) }, "not fused-ordered")
+    // the fuse is a real hybrid: the top-20 must mix evidence — some doc
+    // carries a lexical rank and some doc carries a vector rank
+    assert(rows.exists(_._2.isDefined) && rows.exists(_._3.isDefined),
+      "one retrieval modality contributed nothing")
+    // both-list docs outrank single-list docs at equal rank sums, so the
+    // head of the fused list should contain at least one both-list doc
+    assert(rows.take(5).exists(r => r._2.isDefined && r._3.isDefined),
+      "no doc ranked by both lists in the fused top-5")
+  }
+
+  test("semantic dedup: every planted exact clone is dropped, its original " +
+    "survives the clone pair, near pairs lose exactly one side") {
+    val dropped = run("q_dedup_semantic").map(_.getLong(0)).toSeq
+    assert(dropped == dropped.sorted, "not vec_id-ordered")
+    assert(dropped.distinct == dropped, "duplicate drops")
+    val ds = dropped.toSet
+    val ids = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id").collect().map(_.getLong(0))
+    val exactOrig = ids.filter(_ % 20 == 0)
+    val nearOrig = ids.filter(_ % 20 == 10)
+    assert(exactOrig.nonEmpty && nearOrig.nonEmpty)
+    // keep-farthest + id tiebreak: an exact clone (identical projection,
+    // larger id) can never survive its original
+    exactOrig.foreach { id =>
+      assert(ds.contains(id + 1000000), s"exact clone of $id survived") }
+    // a near pair is mutually >= 0.95 cosine, so at least one side of
+    // every pair must be dropped (both only via third-party neighbors)
+    nearOrig.foreach { id =>
+      assert(ds.contains(id) || ds.contains(id + 2000000),
+        s"near-dup pair of $id fully survived") }
+    // the pruning is selective, not a wipe: most of the base corpus stays
+    assert(ds.size < ids.length / 2,
+      s"dropped ${ds.size} of ${ids.length + exactOrig.length + nearOrig.length}")
+    assert(dropped == run("q_dedup_semantic").map(_.getLong(0)).toSeq,
+      "semantic dedup not deterministic")
+  }
+
+  test("curriculum sample: quartile quotas ramp 8/16/24/32, ranks dense, " +
+    "rerun-stable") {
+    val rows = run("q_sample_curriculum")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.nonEmpty)
+    val byBucket = rows.groupBy(_._2)
+    assert(byBucket.keySet.subsetOf(Set(1L, 2L, 3L, 4L)))
+    assert(byBucket.keySet.size >= 3,
+      s"quartile cut degenerate: only buckets ${byBucket.keySet}")
+    byBucket.foreach { case (b, rs) =>
+      assert(rs.length <= 8 * b, s"bucket $b over quota: ${rs.length}")
+      assert(rs.map(_._3).sorted.sameElements(1L to rs.length),
+        s"bucket $b ranks not dense")
+    }
+    // the ramp must actually bind somewhere (a full bucket at its quota)
+    assert(byBucket.exists { case (b, rs) => rs.length == 8 * b },
+      "no bucket reached its quota — fixture too small for the ramp")
+    assert(rows == run("q_sample_curriculum")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq,
+      "curriculum sample not deterministic")
+  }
+
+  test("quality classifier: train never scored, pred = sign(score), target " +
+    "sources separate from the rest on held-out docs") {
+    val rows = run("q_quality_classifier").map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows.nonEmpty)
+    // the held-out discipline: every scored doc hashes to val/test (8, 9)
+    rows.foreach { case (id, _, sc, pred) =>
+      val h = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString)
+          .substring(0, 15), 16) % 10
+      assert(h >= 8, s"doc $id is a train doc but was scored")
+      assert(pred == (if (sc > 0) 1L else 0L), s"doc $id pred != sign(score)")
+    }
+    // ~20% of the corpus is held out; all of it with >= 1 bigram is scored
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.length > nDocs / 10 && rows.length < nDocs / 2,
+      s"${rows.length} scored of $nDocs")
+    // the classifier must have learned the target: mean held-out score of
+    // src0/src1 docs above the mean of the rest
+    val (tgt, rest) = rows.partition(r => r._2 == "src0" || r._2 == "src1")
+    assert(tgt.nonEmpty && rest.nonEmpty)
+    val mt = tgt.map(_._3).sum.toDouble / tgt.length
+    val mr = rest.map(_._3).sum.toDouble / rest.length
+    assert(mt > mr, s"no separation: target mean $mt vs rest mean $mr")
+    assert(rows == run("q_quality_classifier").map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq,
+      "classifier not deterministic")
+  }
 }

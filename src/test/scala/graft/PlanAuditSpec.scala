@@ -498,7 +498,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_tpch_q2_shape",     // region-filtered nation (≤25 rows)
       "q_tpch_q9_shape",     // nation (25 rows forever)
       "q_sample_dsir",       // ≤256-row hashed-bucket ratio table
-      "q_sample_dsir_gumbel" // same ratio table (shared dsirScores)
+      "q_sample_dsir_gumbel", // same ratio table (shared dsirScores)
+      "q_quality_classifier", // 256-row hashed-feature weight table
+      "q_hybrid_rrf",        // 1-row query vector + norm
+      "q_dedup_semantic"     // labels·d centroid arrays (q_emb_outliers bound)
     )
     val actual = HintAuditHelper.hinted(spark, dir)
     assert(actual == expected,
