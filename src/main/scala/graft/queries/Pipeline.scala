@@ -530,6 +530,55 @@ object Pipeline {
              |      FROM documents)
              |ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    // ---- intra-document segment dedup (RefinedWeb line-dedup twin) ----
+    // CCNet/RefinedWeb drop duplicated lines WITHIN a document before any
+    // corpus-level dedup. The fixture's documents are flat token streams
+    // (no newlines), so the deterministic twin segments each doc into
+    // consecutive NON-OVERLAPPING 2-token windows and keeps only the
+    // first occurrence of each distinct segment (order preserved). The
+    // whole operator is a per-row higher-order expression — segment
+    // build, first-occurrence filter and re-join all run inside one
+    // codegen'd projection with ZERO shuffles at any corpus size; the
+    // quadratic first-occurrence probe is bounded by tokens/2 per row.
+    // The ~40-word fixture vocabulary makes natural repeats common
+    // (~1600 distinct segments vs ~150 per doc), so the drop path is
+    // exercised without planting.
+    "q_text_segment_dedup" -> Q(
+      (s, dir) => {
+        val ts = split(trim(lower(col("text"))), "\\s+")
+        val nseg = floor(size(ts) / lit(2)).cast("int")
+        val segs = when(nseg >= 1,
+          transform(sequence(lit(1), nseg), i =>
+            concat(element_at(ts, i * 2 - 1), lit(" "), element_at(ts, i * 2))))
+          .otherwise(array().cast("array<string>"))
+        docs(s, dir)
+          .select(col("doc_id"), segs.as("segs"))
+          .select(col("doc_id"),
+            size(col("segs")).cast("long").as("n_seg"),
+            filter(col("segs"), (x, i) =>
+              array_position(col("segs"), x) === (i + 1).cast("long")).as("kept"))
+          .select(col("doc_id"), col("n_seg"),
+            (col("n_seg") - size(col("kept"))).cast("long").as("n_drop"),
+            md5(array_join(col("kept"), " ")).as("clean_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id,
+             |    list_transform(range(1, len(ts) // 2 + 1),
+             |      i -> ts[2*i-1] || ' ' || ts[2*i]) AS segs
+             |  FROM t),
+             |k AS (
+             |  SELECT doc_id, segs,
+             |    list_filter(segs, (x, i) -> list_position(segs, x) = i) AS kept
+             |  FROM s)
+             |SELECT doc_id, CAST(len(segs) AS BIGINT) AS n_seg,
+             |  CAST(len(segs) - len(kept) AS BIGINT) AS n_drop,
+             |  md5(array_to_string(kept, ' ')) AS clean_md5
+             |FROM k ORDER BY doc_id""".stripMargin)),
+
     // ---- PII redaction: regex scrub of emails/phones ----
     // The corpus gets deterministic synthetic PII injected (every 7th
     // doc) so the scrub provably fires; patterns stay in the Java∩RE2
@@ -1144,6 +1193,7 @@ object Pipeline {
         val sp = TextAnalysis.splitOf(TextAnalysis.docSplitHash)
         val toks = docs(s, dir).select(col("doc_id"), col("source"),
           split(trim(lower(col("text"))), "\\s+").as("ts"))
+        nbCaches.evict(s, dir)
         val occ = toks.filter(size(col("ts")) >= 2)
           .select(col("doc_id"), col("source"), explode(zip_with(
             slice(col("ts"), lit(1), size(col("ts")) - 1),
@@ -1154,6 +1204,9 @@ object Pipeline {
           .select(col("doc_id"), col("source"), col("bkt")).distinct()
           .withColumn("split", sp)
           .withColumn("tgt", col("source").isin("src0", "src1"))
+          .persist()
+        occ.count() // settle: the train counts and the scoring join fork this
+        nbCaches.put(s, dir, occ)
         val tot = docs(s, dir).select(col("doc_id"), col("source"))
           .withColumn("split", sp)
           .filter(col("split") === "train")
@@ -1237,6 +1290,11 @@ object Pipeline {
   // the DSIR per-(doc, bucket) count frame — forked by the count tables
   // and the scoring join; one retained generation per (session, corpus)
   private val dsirCaches = GateCache.frame()
+
+  // the quality classifier's per-(doc, bucket) presence frame — forked by
+  // the train-split count tables and the held-out scoring join, so the
+  // tokenize→explode→distinct pass runs once, not per consumer
+  private val nbCaches = GateCache.frame()
 
   /** DSIR importance scores for EVERY document (`is_target` flags the
     * reference-domain docs the target distribution was fit on). The gate

@@ -55,6 +55,14 @@ object Retrieval {
     Tables.df(s, dir, "embeddings")
   private def dec(c: Column): Column = c.cast(DecimalType(25, 10))
 
+  // semantic dedup's (augmented corpus, projection frame) generation —
+  // the corpus is forked by the count/centroid/projection passes and the
+  // projection frame by BOTH self-join sides, so without the persist the
+  // embeddings fileset would be scanned once per consumer (9 FileScans at
+  // the census). One retained generation per (session, corpus), on the
+  // shared GateCache discipline (evict-before-repersist ordering).
+  private val semCaches = GateCache.frames()
+
   // the fixed lexical query ("slow hash join") — k1 = 1.2, b = 0.75 are
   // the textbook Okapi constants, written as the literals 2.2 / 1.2 /
   // 0.25 / 0.75 in BOTH engines so the expression trees fold identically
@@ -230,6 +238,7 @@ object Retrieval {
         val e = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"))
         val halved = transform(col("embedding"), (x, i) =>
           when(i === 0, (x.cast("double") * lit(0.5)).cast("float")).otherwise(x))
+        semCaches.evict(s, dir)
         val corpus = e
           .unionAll(e.filter(col("vec_id") % 20 === 0)
             .select((col("vec_id") + 1000000).as("vec_id"), col("label"),
@@ -237,8 +246,10 @@ object Retrieval {
           .unionAll(e.filter(col("vec_id") % 20 === 10)
             .select((col("vec_id") + 2000000).as("vec_id"), col("label"),
               halved.as("embedding")))
+          .persist()
         // the oracle derives the identical bit count from count(*), so
         // the cells — and therefore the candidate set — match exactly
+        // (the count doubles as the corpus cache's settling action)
         val n = corpus.count()
         val bits = math.min(16, math.max(4,
           math.floor(math.log(n / 32.0) / math.log(2.0)).toInt))
@@ -261,6 +272,9 @@ object Retrieval {
           .select(col("vec_id"), col("label"), col("cell"), col("embedding"),
             (Vec.dot(col("embedding"), col("carr")) /
               sqrt(Vec.norm2(col("embedding")))).as("proj"))
+          .persist()
+        proj.count() // settle: both self-join sides fork this plan
+        semCaches.put(s, dir, Seq(corpus, proj))
         val a = proj.select(col("vec_id").as("a_id"), col("label"),
           col("cell"), col("embedding").as("a_emb"), col("proj").as("a_proj"))
         val b = proj.select(col("vec_id").as("b_id"), col("label").as("b_label"),

@@ -406,6 +406,36 @@ class GatesSpec extends AnyFunSuite {
       "curriculum sample not deterministic")
   }
 
+  test("segment dedup: matches an independent per-doc recompute, drops fire, " +
+    "rerun-stable") {
+    val rows = run("q_text_segment_dedup").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size, "one output row per document")
+    rows.foreach { case (id, nSeg, nDrop, md5) =>
+      val ts = docs(id).trim.toLowerCase.split("\\s+")
+      val segs = ts.grouped(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toVector
+      val kept = segs.zipWithIndex
+        .filter { case (s2, i) => segs.indexOf(s2) == i }.map(_._1)
+      assert(nSeg == segs.length, s"doc $id n_seg $nSeg != ${segs.length}")
+      assert(nDrop == segs.length - kept.length,
+        s"doc $id n_drop $nDrop != ${segs.length - kept.length}")
+      val exp = org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(kept.mkString(" "))
+      assert(md5 == exp, s"doc $id cleaned-content hash mismatch")
+    }
+    // the tiny fixture vocabulary guarantees natural within-doc repeats,
+    // so the drop path is provably exercised without planting
+    assert(rows.map(_._3).sum > 0, "no within-document repeats dropped")
+    assert(rows.exists(_._3 == 0) || rows.map(_._3).min >= 0)
+    assert(rows == run("q_text_segment_dedup").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq,
+      "segment dedup not deterministic")
+  }
+
   test("quality classifier: train never scored, pred = sign(score), target " +
     "sources separate from the rest on held-out docs") {
     val rows = run("q_quality_classifier").map(r =>
