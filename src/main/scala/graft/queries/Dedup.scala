@@ -111,6 +111,29 @@ object Dedup {
     "CASE WHEN n < 4096 THEN 3 WHEN n < 131072 THEN 4 " +
       "WHEN n < 4194304 THEN 5 ELSE 6 END"
 
+  /** Adaptive sign-bucket bit count for embedding-space candidate cells:
+    * bits grow with log2(n/32) so expected cell population stays ~32 at
+    * any corpus size. ONE rule shared by q_dedup_embedding and
+    * Retrieval's q_dedup_semantic (plus their DuckDB twins below) — a
+    * change here re-buckets both gates together, never one. */
+  private[queries] def signBits(n: Long): Int =
+    math.min(16, math.max(4,
+      math.floor(math.log(n / 32.0) / math.log(2.0)).toInt))
+
+  /** The sign-cell bitmask over the first `bits` dims of `embedding`. */
+  private[queries] def signCell(bits: Int): Column =
+    (0 until bits).map(i =>
+      when(element_at(col("embedding"), i + 1) >= 0, lit(1L << i))
+        .otherwise(lit(0L))).reduce(_ + _)
+
+  /** DuckDB twins: `bits` from count(*), and the cell mask (expects a
+    * `bits` column in scope). */
+  private[queries] val signBitsSql =
+    "least(16, greatest(4, CAST(floor(log2(count(*) / 32.0)) AS INT)))"
+  private[queries] val signCellSql =
+    "list_sum(list_transform(range(1, bits + 1), " +
+      "i -> CASE WHEN embedding[i] >= 0 THEN CAST(pow(2, i - 1) AS BIGINT) ELSE 0 END))"
+
   /** Fixed 60-bit XOR constants acting as the K minhash "permutations"
     * over the shingle-hash space (deterministic, oracle-replicable). */
   private def xorConst(k: Int): Long =
@@ -1050,13 +1073,8 @@ object Dedup {
           .select((col("vec_id") + 1000000).as("vec_id"), col("label"), col("embedding")))
         // the oracle derives the identical bit count from count(*), so the
         // bucketing — and therefore the candidate set — matches exactly
-        val n = corpusE.count()
-        val bits = math.min(16, math.max(4,
-          math.floor(math.log(n / 32.0) / math.log(2.0)).toInt))
-        val cell = (0 until bits).map(i =>
-          when(element_at(col("embedding"), i + 1) >= 0, lit(1L << i))
-            .otherwise(lit(0L))).reduce(_ + _)
-        val bucketed = corpusE.withColumn("cell", cell)
+        val bucketed = corpusE.withColumn("cell",
+          signCell(signBits(corpusE.count())))
         // native codegen expression (same accumulation order as the scalar
         // loop, so the prefilter threshold behaves identically)
         graft.functions.VectorExpressions.register(s)
@@ -1070,17 +1088,16 @@ object Dedup {
           .filter(col("cos") >= 0.999)
           .orderBy(col("a"), col("b"))
       },
-      Some("""WITH corpus AS (
+      Some(s"""WITH corpus AS (
              |  SELECT vec_id, label, embedding FROM embeddings
              |  UNION ALL
              |  SELECT vec_id + 1000000, label, embedding FROM embeddings WHERE vec_id % 20 = 0),
              |b AS (
-             |  SELECT least(16, greatest(4, CAST(floor(log2(count(*) / 32.0)) AS INT))) AS bits
+             |  SELECT $signBitsSql AS bits
              |  FROM corpus),
              |bucketed AS (
              |  SELECT vec_id, label, embedding,
-             |    list_sum(list_transform(range(1, bits + 1),
-             |      i -> CASE WHEN embedding[i] >= 0 THEN CAST(pow(2, i - 1) AS BIGINT) ELSE 0 END)) AS cell
+             |    $signCellSql AS cell
              |  FROM corpus, b),
              |dims AS (
              |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,

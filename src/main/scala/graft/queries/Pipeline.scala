@@ -1136,11 +1136,15 @@ object Pipeline {
               when(col("score_micro") > col("q3"), 1L).otherwise(0L)).as("bucket"),
             conv(substring(md5(concat(lit("cur|"), col("doc_id").cast("string"))),
               1, 15), 16, 10).cast("long").as("h"))
+        // the literal rk <= 32 conjunct (the max quota, 8·4) is what lets
+        // InferWindowGroupLimit insert a map-side partial top-32 per
+        // bucket BEFORE the exchange — without it the bucket-dependent
+        // bound alone would ship the whole corpus into 4 window tasks
         bucketed
           .withColumn("rk", row_number().over(
             Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id")))
             .cast("long"))
-          .filter(col("rk") <= lit(8L) * col("bucket"))
+          .filter(col("rk") <= 32 && col("rk") <= lit(8L) * col("bucket"))
           .select(col("doc_id"), col("bucket"), col("rk"))
           .orderBy(col("bucket"), col("rk"))
       },

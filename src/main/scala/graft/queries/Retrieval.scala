@@ -249,14 +249,11 @@ object Retrieval {
           .persist()
         // the oracle derives the identical bit count from count(*), so
         // the cells — and therefore the candidate set — match exactly
-        // (the count doubles as the corpus cache's settling action)
-        val n = corpus.count()
-        val bits = math.min(16, math.max(4,
-          math.floor(math.log(n / 32.0) / math.log(2.0)).toInt))
-        val cell = (0 until bits).map(i =>
-          when(element_at(col("embedding"), i + 1) >= 0, lit(1L << i))
-            .otherwise(lit(0L))).reduce(_ + _)
-        val bucketed = corpus.withColumn("cell", cell)
+        // (the count doubles as the corpus cache's settling action);
+        // ONE cell rule shared with q_dedup_embedding (Dedup.signBits /
+        // signCell), so the two gates can never re-bucket independently
+        val bucketed = corpus.withColumn("cell",
+          Dedup.signCell(Dedup.signBits(corpus.count())))
         // per-label centroid direction as an O(labels·d) array frame;
         // proj = dot(v, c)/|v| orders members by closeness to the
         // centroid (|c| cancels within a label)
@@ -268,18 +265,24 @@ object Retrieval {
           .groupBy(col("label"))
           .agg(transform(sort_array(collect_list(struct(col("i"), col("c")))),
             p => p.getField("c")).as("carr"))
+        // n2 is carried in the persisted frame so the exact-cosine confirm
+        // never refolds the O(d) decimal norm per candidate pair (the
+        // oracle's precomputed `norms` table, mirrored)
         val proj = bucketed.join(broadcast(cent), "label")
           .select(col("vec_id"), col("label"), col("cell"), col("embedding"),
-            (Vec.dot(col("embedding"), col("carr")) /
-              sqrt(Vec.norm2(col("embedding")))).as("proj"))
+            Vec.norm2(col("embedding")).as("n2"),
+            Vec.dot(col("embedding"), col("carr")).as("cdot"))
+          .select(col("vec_id"), col("label"), col("cell"), col("embedding"),
+            col("n2"), (col("cdot") / sqrt(col("n2"))).as("proj"))
           .persist()
         proj.count() // settle: both self-join sides fork this plan
         semCaches.put(s, dir, Seq(corpus, proj))
         val a = proj.select(col("vec_id").as("a_id"), col("label"),
-          col("cell"), col("embedding").as("a_emb"), col("proj").as("a_proj"))
+          col("cell"), col("embedding").as("a_emb"), col("n2").as("a_n2"),
+          col("proj").as("a_proj"))
         val b = proj.select(col("vec_id").as("b_id"), col("label").as("b_label"),
           col("cell").as("b_cell"), col("embedding").as("b_emb"),
-          col("proj").as("b_proj"))
+          col("n2").as("b_n2"), col("proj").as("b_proj"))
         a.join(b,
             col("label") === col("b_label") && col("cell") === col("b_cell") &&
               col("a_id") =!= col("b_id") &&
@@ -288,12 +291,12 @@ object Retrieval {
           // cheap double prefilter (differs from exact < 1e-9, margin 0.05)
           .filter(expr("cosine_sim(a_emb, b_emb)") >= 0.9)
           .filter(Vec.cosine(col("a_emb"), col("b_emb"),
-            Vec.norm2(col("a_emb")), Vec.norm2(col("b_emb"))) >= 0.95)
+            col("a_n2"), col("b_n2")) >= 0.95)
           .select(col("b_id").as("vec_id"), col("b_label").as("label"))
           .distinct()
           .orderBy(col("vec_id"))
       },
-      Some("""WITH corpus AS (
+      Some(s"""WITH corpus AS (
              |  SELECT vec_id, label, embedding FROM embeddings
              |  UNION ALL
              |  SELECT vec_id + 1000000, label, embedding
@@ -304,13 +307,11 @@ object Retrieval {
              |                embedding[2:])
              |  FROM embeddings WHERE vec_id % 20 = 10),
              |bb AS (
-             |  SELECT least(16, greatest(4, CAST(floor(log2(count(*) / 32.0)) AS INT))) AS bits
+             |  SELECT ${Dedup.signBitsSql} AS bits
              |  FROM corpus),
              |bucketed AS (
              |  SELECT vec_id, label, embedding,
-             |    list_sum(list_transform(range(1, bits + 1),
-             |      i -> CASE WHEN embedding[i] >= 0 THEN CAST(pow(2, i - 1) AS BIGINT)
-             |           ELSE 0 END)) AS cell
+             |    ${Dedup.signCellSql} AS cell
              |  FROM corpus, bb),
              |dims AS (
              |  SELECT vec_id, label, cell, generate_subscripts(embedding, 1) AS i,

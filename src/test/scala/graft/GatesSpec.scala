@@ -430,7 +430,13 @@ class GatesSpec extends AnyFunSuite {
     // the tiny fixture vocabulary guarantees natural within-doc repeats,
     // so the drop path is provably exercised without planting
     assert(rows.map(_._3).sum > 0, "no within-document repeats dropped")
-    assert(rows.exists(_._3 == 0) || rows.map(_._3).min >= 0)
+    // …and the operator is selective, not a wipe: every non-empty doc
+    // keeps its first segment, and most segment mass survives overall
+    rows.foreach { case (id, nSeg, nDrop, _) =>
+      assert(nSeg == 0 || nDrop < nSeg, s"doc $id lost every segment") }
+    val (totSeg, totDrop) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    assert(totDrop * 2 < totSeg,
+      s"dropped $totDrop of $totSeg segments — not a dedup, a wipe")
     assert(rows == run("q_text_segment_dedup").map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq,
       "segment dedup not deterministic")

@@ -362,6 +362,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no partial window group limit in:\n$plan")
   }
 
+  test("curriculum quota window is limited map-side before the bucket " +
+    "exchange") {
+    // the literal rk <= 32 conjunct (max quota) is what lets
+    // InferWindowGroupLimit insert the Partial top-32 per bucket — the
+    // bucket-dependent 8·bucket bound alone would ship the whole corpus
+    // into 4 window tasks
+    val plan = physical("q_sample_curriculum")
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"no partial window group limit in:\n$plan")
+  }
+
   test("sequence packing shuffles once on grp and sorts within partitions") {
     val plan = physical("q_pack_sequences")
     // one hashpartitioning exchange for grp; the per-group scan order comes
