@@ -579,6 +579,77 @@ object Pipeline {
              |  md5(array_to_string(kept, ' ')) AS clean_md5
              |FROM k ORDER BY doc_id""".stripMargin)),
 
+    // ---- BPE tokenizer training: 8 merge rounds, vocab-bounded ----
+    // The tokenizer-training shape every production BPE trainer uses:
+    // ONE corpus scan folds to the (word, count) table — vocab-bounded,
+    // tiny after the map-side partial agg regardless of corpus bytes —
+    // and all 8 merge rounds iterate over that cached frame. Each round
+    // is: adjacent-pair counts weighted by word frequency (explode over
+    // the ≤vocab-row frame), argmax with the (count DESC, left, right)
+    // total order as a 1-row driver sync (the k-means centroid
+    // discipline), then a leftmost-greedy merge applied as a codegen'd
+    // aggregate() fold with the chosen pair as literals. Counts are
+    // exact integers and the tie rule is total, so the merge table is
+    // deterministic and cross-engine identical; the DuckDB twin unrolls
+    // the same 8 rounds as chained CTEs with a list_reduce fold.
+    "q_tokenizer_bpe" -> Q(
+      (s, dir) => {
+        val R = 8
+        bpeCaches.evict(s, dir)
+        val wc = docs(s, dir)
+          .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("n"))
+          .select(col("n"),
+            transform(sequence(lit(1), length(col("word"))),
+              i => col("word").substr(i, lit(1))).as("syms"))
+          .persist()
+        wc.count() // settle: every merge round reads this frame
+        bpeCaches.put(s, dir, wc)
+        var words = wc
+        var prevGen: Option[DataFrame] = None
+        val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+        var r = 1
+        var exhausted = false
+        while (r <= R && !exhausted) {
+          val best = words.filter(size(col("syms")) >= 2)
+            .select(col("n"),
+              explode(transform(sequence(lit(1), size(col("syms")) - 1),
+                i => struct(element_at(col("syms"), i).as("l"),
+                  element_at(col("syms"), i + 1).as("r")))).as("p"))
+            .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+            .agg(sum(col("n")).as("cnt"))
+            .orderBy(col("cnt").desc, col("l"), col("r"))
+            .limit(1).collect()
+          if (best.isEmpty) exhausted = true
+          else {
+            val (l, rt) = (best(0).getString(0), best(0).getString(1))
+            val m = l + rt
+            merges += ((r.toLong, l, rt, m, best(0).getLong(2)))
+            // leftmost-greedy non-overlapping merge: fold the tail onto
+            // [head]; a freshly merged symbol never re-merges because its
+            // name (l||r) differs from l. aggregate() over an empty tail
+            // (1-symbol word) returns the seed unchanged.
+            val next = words.select(col("n"),
+              aggregate(slice(col("syms"), lit(2), size(col("syms")) - 1),
+                slice(col("syms"), lit(1), lit(1)),
+                (acc, x) => when(element_at(acc, -1) === l && x === rt,
+                  concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+                  .otherwise(concat(acc, array(x)))).as("syms"))
+              .persist()
+            next.count() // settle before releasing the prior generation
+            prevGen.foreach(_.unpersist(false))
+            prevGen = Some(next)
+            words = next
+            r += 1
+          }
+        }
+        prevGen.foreach(_.unpersist(false))
+        import s.implicits._
+        merges.result().toDF("merge_rank", "l", "r", "merged", "cnt")
+          .orderBy(col("merge_rank"))
+      },
+      Some(bpeOracleSql)),
+
     // ---- PII redaction: regex scrub of emails/phones ----
     // The corpus gets deterministic synthetic PII injected (every 7th
     // doc) so the scrub provably fires; patterns stay in the Java∩RE2
@@ -1299,6 +1370,53 @@ object Pipeline {
   // the train-split count tables and the held-out scoring join, so the
   // tokenize→explode→distinct pass runs once, not per consumer
   private val nbCaches = GateCache.frame()
+
+  // the BPE trainer's word-count frame — the one corpus-scale artifact;
+  // every merge round reads it (per-round generations are transient
+  // persists that settle-and-drop within the invocation)
+  private val bpeCaches = GateCache.frame()
+
+  /** DuckDB twin of the 8-round BPE training loop: the same rounds
+    * unrolled as chained CTEs — p_k (weighted adjacent-pair counts),
+    * b_k (argmax with the (cnt DESC, l, r) total order), w_{k+1} (the
+    * leftmost-greedy merge as a list_reduce fold over a chr(31)-
+    * delimited accumulator; symbols are [a-z]+ concatenations so the
+    * delimiter can never occur inside one). */
+  // lazy: declared below `all`, which captures it during its own init
+  private lazy val bpeOracleSql: String = {
+    val R = 8
+    val us = "chr(31)"
+    val layers = (0 until R).map { k =>
+      s"""p$k AS (
+         |  SELECT s.l AS l, s.r AS r, CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM (SELECT n, unnest(list_transform(range(1, len(syms)),
+         |          i -> struct_pack(l := syms[i], r := syms[i+1]))) AS s
+         |        FROM w$k WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2),
+         |b$k AS (
+         |  SELECT l, r, l || r AS m, cnt FROM p$k
+         |  ORDER BY cnt DESC, l, r LIMIT 1),
+         |w${k + 1} AS (
+         |  SELECT n, string_split(list_reduce(syms,
+         |    (acc, x) -> CASE WHEN string_split(acc, $us)[-1] = b.l AND x = b.r
+         |                THEN substr(acc, 1, length(acc) - length(b.l)) || b.m
+         |                ELSE acc || $us || x END), $us) AS syms
+         |  FROM w$k, b$k b)""".stripMargin
+    }.mkString(",\n")
+    val sel = (0 until R).map(k =>
+      s"SELECT ${k + 1} AS merge_rank, l, r, m AS merged, cnt FROM b$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+       |  FROM documents),
+       |w0 AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)) AS syms
+       |  FROM toks GROUP BY word),
+       |$layers
+       |SELECT CAST(merge_rank AS BIGINT) AS merge_rank, l, r, merged, cnt
+       |FROM ($sel) ORDER BY merge_rank""".stripMargin
+  }
 
   /** DSIR importance scores for EVERY document (`is_target` flags the
     * reference-domain docs the target distribution was fit on). The gate

@@ -442,6 +442,46 @@ class GatesSpec extends AnyFunSuite {
       "segment dedup not deterministic")
   }
 
+  test("bpe trainer: matches an independent scala recompute of all 8 merge " +
+    "rounds, counts non-increasing, rerun-stable") {
+    val rows = run("q_tokenizer_bpe").map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq
+    assert(rows.map(_._1) == (1L to rows.length), "ranks not dense from 1")
+    rows.foreach { case (_, l, r, m, _) =>
+      assert(m == l + r, s"merged symbol $m != $l + $r") }
+    // each round's winning count bounds the next round's: a pair created
+    // by a merge occurs at most once per occurrence of the merged pair
+    assert(rows.zip(rows.tail).forall { case (a, b) => a._5 >= b._5 },
+      "merge counts increased between rounds")
+    // full independent recompute (the reference BPE loop, leftmost-greedy
+    // non-overlapping, ties to the lexicographically smallest pair)
+    val wc = scala.collection.mutable.Map.empty[String, Long]
+    spark.read.parquet(s"$dir/documents.parquet").select("text").collect()
+      .foreach(_.getString(0).trim.toLowerCase.split("\\s+")
+        .foreach(w => wc(w) = wc.getOrElse(w, 0L) + 1L))
+    var words = wc.toSeq.map { case (w, n) => (w.map(_.toString).toVector, n) }
+    val expect = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (rank <- 1 to 8) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, n) =>
+        syms.zip(syms.tail).foreach(p => pc(p) = pc.getOrElse(p, 0L) + n) }
+      val ((l, r), cnt) = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      expect += ((rank.toLong, l, r, l + r, cnt))
+      words = words.map { case (syms, n) =>
+        val acc = scala.collection.mutable.Buffer(syms.head)
+        syms.tail.foreach { x =>
+          if (acc.last == l && x == r) acc(acc.length - 1) = l + r
+          else acc += x }
+        (acc.toVector, n)
+      }
+    }
+    assert(rows == expect.result(), "merge table != independent recompute")
+    assert(rows == run("q_tokenizer_bpe").map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq, "bpe not deterministic")
+  }
+
   test("quality classifier: train never scored, pred = sign(score), target " +
     "sources separate from the rest on held-out docs") {
     val rows = run("q_quality_classifier").map(r =>
