@@ -456,30 +456,64 @@ class GatesSpec extends AnyFunSuite {
       "merge counts increased between rounds")
     // full independent recompute (the reference BPE loop, leftmost-greedy
     // non-overlapping, ties to the lexicographically smallest pair)
+    val (expect, _) = bpeRecompute()
+    assert(rows == expect, "merge table != independent recompute")
+    assert(rows == run("q_tokenizer_bpe").map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq, "bpe not deterministic")
+  }
+
+  test("bpe encode: per-doc piece counts match encoding every word through " +
+    "the independently recomputed merge table") {
+    val rows = run("q_tokenizer_encode").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val (_, pieces) = bpeRecompute()
+    val docsT = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docsT.size)
+    rows.foreach { case (id, nWords, nBpe) =>
+      val ws = docsT(id).trim.toLowerCase.split("\\s+").toSeq
+      assert(nWords == ws.length, s"doc $id word count")
+      val exp = ws.map(pieces).sum
+      assert(nBpe == exp, s"doc $id bpe tokens $nBpe != $exp")
+      // pieces per word lie in [1, chars], so the totals must bracket
+      assert(nBpe >= nWords && nBpe <= ws.map(_.length.toLong).sum)
+    }
+    // 8 merges on this vocab must actually compress something
+    assert(rows.map(_._3).sum < rows.map { case (id, _, _) =>
+      docsT(id).trim.toLowerCase.split("\\s+").map(_.length.toLong).sum }.sum,
+      "encoding saved nothing — merges never applied")
+  }
+
+  /** The reference BPE loop (8 rounds, leftmost-greedy non-overlapping,
+    * ties to the lexicographically smallest pair): returns the merge
+    * table and the final pieces-per-word map. */
+  private def bpeRecompute(): (Seq[(Long, String, String, String, Long)],
+      Map[String, Long]) = {
     val wc = scala.collection.mutable.Map.empty[String, Long]
     spark.read.parquet(s"$dir/documents.parquet").select("text").collect()
       .foreach(_.getString(0).trim.toLowerCase.split("\\s+")
         .foreach(w => wc(w) = wc.getOrElse(w, 0L) + 1L))
-    var words = wc.toSeq.map { case (w, n) => (w.map(_.toString).toVector, n) }
+    var words = wc.toSeq.map { case (w, n) =>
+      (w, w.map(_.toString).toVector, n) }
     val expect = Seq.newBuilder[(Long, String, String, String, Long)]
     for (rank <- 1 to 8) {
       val pc = scala.collection.mutable.Map.empty[(String, String), Long]
-      words.foreach { case (syms, n) =>
+      words.foreach { case (_, syms, n) =>
         syms.zip(syms.tail).foreach(p => pc(p) = pc.getOrElse(p, 0L) + n) }
       val ((l, r), cnt) = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
       expect += ((rank.toLong, l, r, l + r, cnt))
-      words = words.map { case (syms, n) =>
+      words = words.map { case (w, syms, n) =>
         val acc = scala.collection.mutable.Buffer(syms.head)
         syms.tail.foreach { x =>
           if (acc.last == l && x == r) acc(acc.length - 1) = l + r
           else acc += x }
-        (acc.toVector, n)
+        (w, acc.toVector, n)
       }
     }
-    assert(rows == expect.result(), "merge table != independent recompute")
-    assert(rows == run("q_tokenizer_bpe").map(r =>
-      (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
-        r.getLong(4))).toSeq, "bpe not deterministic")
+    (expect.result(), words.map { case (w, syms, _) =>
+      w -> syms.length.toLong }.toMap)
   }
 
   test("quality classifier: train never scored, pred = sign(score), target " +
