@@ -615,6 +615,7 @@ object Pipeline {
         docs(s, dir)
           .select(col("doc_id"),
             explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+          .filter(col("word") =!= "")
           .join(broadcast(enc), Seq("word"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_words"), sum(col("k")).as("n_bpe_tokens"))
@@ -1183,11 +1184,14 @@ object Pipeline {
         // InferWindowGroupLimit insert a map-side partial top-32 per
         // bucket BEFORE the exchange — without it the bucket-dependent
         // bound alone would ship the whole corpus into 4 window tasks
+        val quota = 8L   // per-bucket ramp factor (matches the oracle's 8)
+        val nBuckets = 4L // quartiles
         bucketed
           .withColumn("rk", row_number().over(
             Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id")))
             .cast("long"))
-          .filter(col("rk") <= 32 && col("rk") <= lit(8L) * col("bucket"))
+          .filter(col("rk") <= lit(quota * nBuckets) &&
+            col("rk") <= lit(quota) * col("bucket"))
           .select(col("doc_id"), col("bucket"), col("rk"))
           .orderBy(col("bucket"), col("rk"))
       },
@@ -1360,20 +1364,22 @@ object Pipeline {
   /** Train the 8-round BPE merge table. The only corpus-scale work is
     * the initial word-count scan; every round iterates over the cached
     * vocab-bounded frame with a 1-row argmax driver sync (the k-means
-    * discipline) and a codegen'd aggregate() merge fold. Intermediate
-    * generations are transient persists that settle-and-drop here; the
-    * FINAL generation stays persisted for the encode gate. */
+    * discipline) and a codegen'd aggregate() merge fold. Every
+    * generation (wc included) is a transient persist that settles and
+    * drops inside this build; what survives is driver-local — the merge
+    * table and the vocab-bounded (word -> pieces) LocalRelation. */
   private def bpeTrain(s: SparkSession, dir: String)
       : (Seq[(Long, String, String, String, Long)], DataFrame) =
     bpeCaches.getOrBuild(s, dir) {
       val wc = docs(s, dir)
         .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .filter(col("word") =!= "") // a leading tab/newline splits to ""
         .groupBy(col("word")).agg(count(lit(1)).as("n"))
         .select(col("word"), col("n"),
           transform(sequence(lit(1), length(col("word"))),
             i => col("word").substr(i, lit(1))).as("syms"))
         .persist()
-      wc.count() // settle: every merge round reads this frame
+      wc.count() // settle: round 1 reads it; later rounds read their predecessor
       var words = wc
       val merges = Seq.newBuilder[(Long, String, String, String, Long)]
       var r = 1
@@ -1438,8 +1444,17 @@ object Pipeline {
          |        FROM w$k WHERE len(syms) >= 2)
          |  GROUP BY 1, 2),
          |b$k AS (
-         |  SELECT l, r, l || r AS m, cnt FROM p$k
-         |  ORDER BY cnt DESC, l, r LIMIT 1),
+         |  -- exactly one row even when p$k is empty (merges exhausted):
+         |  -- the chr(30) sentinel never matches a real symbol, so the
+         |  -- merge fold below no-ops and the word table rides through.
+         |  -- Single reference to p$k: DuckDB inlines CTEs, so a second
+         |  -- reference would double each layer's work (2^rounds blowup).
+         |  SELECT coalesce(t.l, chr(30)) AS l, coalesce(t.r, chr(30)) AS r,
+         |         coalesce(t.l || t.r, chr(30)) AS m,
+         |         coalesce(t.cnt, CAST(-1 AS BIGINT)) AS cnt
+         |  FROM (VALUES (1)) v(one)
+         |  LEFT JOIN (SELECT l, r, cnt FROM p$k
+         |             ORDER BY cnt DESC, l, r LIMIT 1) t ON true),
          |w${k + 1} AS (
          |  SELECT word, n, string_split(list_reduce(syms,
          |    (acc, x) -> CASE WHEN string_split(acc, $us)[-1] = b.l AND x = b.r
@@ -1453,13 +1468,13 @@ object Pipeline {
        |w0 AS (
        |  SELECT word, CAST(count(*) AS BIGINT) AS n,
        |    list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)) AS syms
-       |  FROM toks GROUP BY word),
+       |  FROM toks WHERE word <> '' GROUP BY word),
        |$layers""".stripMargin
   }
 
   private lazy val bpeOracleSql: String = {
     val sel = (0 until bpeRounds).map(k =>
-      s"SELECT ${k + 1} AS merge_rank, l, r, m AS merged, cnt FROM b$k")
+      s"SELECT ${k + 1} AS merge_rank, l, r, m AS merged, cnt FROM b$k WHERE cnt >= 0")
       .mkString("\nUNION ALL\n")
     s"""WITH $bpeChainSql
        |SELECT CAST(merge_rank AS BIGINT) AS merge_rank, l, r, merged, cnt
@@ -1472,6 +1487,7 @@ object Pipeline {
        |dt AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
        |  FROM documents)
+       |-- empty tokens are dropped by the inner join: w0 never contains ''
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        |  CAST(sum(k) AS BIGINT) AS n_bpe_tokens
        |FROM dt JOIN enc USING (word)
