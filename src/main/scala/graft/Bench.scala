@@ -71,7 +71,9 @@ object Bench {
       s"\"" + q + "\":" + ps.map { case (p, t) => s"\"" + p + "\":" + t }
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phases,"sf":"$sfDir","load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"cpus":$cpus}""")
+    // cpus is the raw master thread spec (e.g. "32" or "*") — quote it so
+    // the line stays valid JSON for any legitimate SPARK_GRAFT_CPUS value
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phases,"sf":"$sfDir","load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"cpus":"$cpus"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"BENCH: ${failed.size} queries failed: ${failed.mkString(", ")}")

@@ -87,6 +87,52 @@ object Similarity {
     * persisted index's codebooks/codes artifacts. */
   private val pqM = 4; private val pqL = 16; private val pqK = 8
 
+  /** The ONE source of the two-stage (centroid probe → codes-only ADC →
+    * exact re-rank over ≤50 candidates) kNN SQL that module queries, the
+    * plan audit, the soak, and the dev profiler all run — the subspace
+    * joins and slice widths derive from [[pqM]]/[[pqL]], so a codebook
+    * layout change re-generates every consumer in lockstep.
+    *
+    * @param table     renders an artifact name ("centroids", "codebooks",
+    *                  "codes", "vectors") as SQL relation text (attached
+    *                  views or parquet.\`dir\` paths)
+    * @param qvecExpr  SQL expression yielding the comma-separated query
+    *                  vector TEXT (a literal, or an A7 `$param`)
+    * @param limitSql  SQL text for the final LIMIT */
+  private[graft] def twoStageKnnSql(table: String => String,
+      qvecExpr: String, limitSql: String): String = {
+    val adcSum = (0 until pqM).map(m => s"a$m.d").mkString(" + ")
+    val adcJoins = (0 until pqM).map(m =>
+      s"  JOIN adc a$m ON a$m.m = $m AND a$m.j = k.c$m").mkString("\n")
+    s"""WITH qv AS (
+       |  SELECT transform(split($qvecExpr, ','), x -> CAST(x AS BIGINT)) AS v),
+       |probe AS (
+       |  SELECT cell FROM (
+       |    SELECT c.cell,
+       |      aggregate(zip_with(c.c, qv.v, (a, b) -> (a - b) * (a - b)),
+       |        0L, (acc, x) -> acc + x) AS cd
+       |    FROM ${table("centroids")} c CROSS JOIN qv)
+       |  ORDER BY cd, cell LIMIT 1),
+       |adc AS (
+       |  SELECT b.m, b.j,
+       |    aggregate(zip_with(slice(qv.v, b.m * $pqL + 1, $pqL), b.c,
+       |      (a, x) -> (a - x) * (a - x)), 0L, (acc, x) -> acc + x) AS d
+       |  FROM ${table("codebooks")} b CROSS JOIN qv),
+       |cand AS (
+       |  SELECT k.vec_id, $adcSum AS adc_dist
+       |  FROM ${table("codes")} k
+       |$adcJoins
+       |  WHERE k.cell = (SELECT cell FROM probe)
+       |  ORDER BY adc_dist, vec_id LIMIT 50)
+       |SELECT c.vec_id AS vec_id, c.adc_dist AS adc_dist,
+       |  aggregate(zip_with(v.v, qv.v, (a, b) -> (a - b) * (a - b)),
+       |    0L, (acc, x) -> acc + x) AS exact_dist
+       |FROM cand c JOIN ${table("vectors")} v ON v.vec_id = c.vec_id
+       |  CROSS JOIN qv
+       |ORDER BY exact_dist, vec_id
+       |LIMIT $limitSql""".stripMargin
+  }
+
   private def pqAdc(s: SparkSession, dir: String): DataFrame = {
     pqCaches.sweep()
     pqCoded.getOrBuild(s, dir)(pqAdcBuild(s, dir))
@@ -581,9 +627,12 @@ object Similarity {
     // and would be destroyed by the pending swap — copy those files
     // aside first (the codes side of such an append is dropped; see doc)
     val salvage = base.resolve("salvage.retrain")
-    deleteDir(salvage)
-    var salvaged = 0
     if (java.nio.file.Files.isDirectory(base.resolve("vectors.next"))) {
+      // swap still pending: any salvage dir is a stale partial copy from
+      // a crashed earlier roll-forward attempt — the drift is still fully
+      // computable pre-swap, so rebuild it from scratch
+      deleteDir(salvage)
+      var salvaged = 0
       snap.foreach { committed =>
         val drift = artifactFiles(indexDir, "vectors") -- committed
         if (drift.nonEmpty) java.nio.file.Files.createDirectories(salvage)
@@ -594,6 +643,8 @@ object Similarity {
         }
       }
     }
+    // else: swaps already completed by a crashed earlier attempt — a
+    // surviving salvage dir holds rows NOT yet replayed; keep it.
     indexArtifacts.foreach { sub =>
       repairCrashedSwap(indexDir, sub)
       if (java.nio.file.Files.isDirectory(base.resolve(s"$sub.next")))
@@ -603,12 +654,16 @@ object Similarity {
       else if (java.nio.file.Files.exists(base.resolve(sub)))
         deleteDir(base.resolve(s"$sub.old"))
     }
-    java.nio.file.Files.delete(marker)
-    if (salvaged > 0) {
+    // replay the salvage BEFORE dropping the marker: a crash anywhere in
+    // this window re-enters with the marker still present and replays
+    // again (at-least-once — compaction's per-vec_id dedup heals the
+    // duplicate rows a partial earlier replay may have landed)
+    if (java.nio.file.Files.isDirectory(salvage)) {
       appendQuantized(s, s.read.parquet(salvage.toString)
         .select(col("vec_id"), col("v")), indexDir)
       deleteDir(salvage)
     }
+    java.nio.file.Files.delete(marker)
   }
 
   /** Maintenance entry discipline shared by every index WRITE: serialize

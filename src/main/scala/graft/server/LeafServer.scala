@@ -251,29 +251,13 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     store.open(id)
   }
 
-  /** Resolve-and-use under LRU churn (the SubscriptionEngine discipline):
-    * a concurrent request's `store.open` of another stream can evict this
-    * handle between our resolution and use, and the closed-handle
-    * IllegalStateException would surface as a spurious RPC failure. The
-    * eviction signal is only ever thrown at operation ENTRY (`close()`
-    * holds the stream's write lock, so it cannot interleave with an op in
-    * flight and no partial effect precedes the throw) — retrying through
-    * a fresh resolution is therefore side-effect-safe. Bounded; every
-    * other failure propagates. */
+  /** Resolve-and-use under LRU churn: the shared retry discipline
+    * ([[graft.stream.StreamStore.retryEvicted]]) over this server's
+    * existing-stream resolution, so an eviction between resolve and use
+    * never surfaces as a spurious RPC failure. */
   private[server] def withStream[A](id: String)(
-      f: graft.stream.StreamHandle => A): A = {
-    var attempts = 0
-    while (true) {
-      try return f(openExisting(id))
-      catch {
-        case e: IllegalStateException
-            if attempts < 20 &&
-              String.valueOf(e.getMessage).contains("evicted") =>
-          attempts += 1
-      }
-    }
-    sys.error("unreachable")
-  }
+      f: graft.stream.StreamHandle => A): A =
+    graft.stream.StreamStore.retryEvicted(openExisting(id))(f)
 
   /** Owner gate for mutating RPCs. A stream with no recorded owner stays
     * open (bootstrap); otherwise the caller must be an owner — or, when

@@ -414,6 +414,29 @@ class StreamStore(val spark: SparkSession, val root: String,
 }
 
 object StreamStore {
+  /** Resolve-and-use under LRU churn — the ONE retry loop behind
+    * LeafServer RPC handlers and SubscriptionEngine pumps. A concurrent
+    * `store.open` of another stream can evict a handle between a caller's
+    * resolution and use; the eviction IllegalStateException is thrown
+    * only at operation ENTRY (`ensureOpen`, whose "evicted" message this
+    * probe matches — keep them in sync; `close()` holds the stream's
+    * write lock, so it cannot interleave with an op in flight and no
+    * partial effect precedes the throw), making a retry through a fresh
+    * resolution side-effect-safe. Bounded; everything else propagates. */
+  private[graft] def retryEvicted[H, A](resolve: => H)(use: H => A): A = {
+    var attempts = 0
+    while (true) {
+      try return use(resolve)
+      catch {
+        case e: IllegalStateException
+            if attempts < 20 &&
+              String.valueOf(e.getMessage).contains("evicted") =>
+          attempts += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Minimal JSON string escaping for stream ids in meta.json (ids are
     * DIDs/opaque tokens; quote and backslash are the only metacharacters
     * the regex-based meta reader must survive). */

@@ -28,25 +28,11 @@ class SubscriptionEngine(store: StreamStore, streamId: String) {
   // while it has active subscribers)
   private def handle: StreamHandle = store.open(streamId)
 
-  /** Resolve-and-use under LRU churn: another thread's `store.open` of a
-    * different stream can evict THIS handle between our resolution and
-    * use (the closed-handle IllegalStateException). The engine's contract
-    * is to survive evictions, so the use retries through a fresh
-    * resolution — bounded, and only for the eviction signal; every other
-    * failure propagates. */
-  private def withHandle[A](f: StreamHandle => A): A = {
-    var attempts = 0
-    while (true) {
-      try return f(handle)
-      catch {
-        case e: IllegalStateException
-            if attempts < 20 &&
-              String.valueOf(e.getMessage).contains("evicted") =>
-          attempts += 1
-      }
-    }
-    sys.error("unreachable")
-  }
+  /** Resolve-and-use under LRU churn: the engine's contract is to survive
+    * evictions, so every use retries through a fresh resolution via the
+    * shared [[StreamStore.retryEvicted]] discipline. */
+  private def withHandle[A](f: StreamHandle => A): A =
+    StreamStore.retryEvicted(handle)(f)
 
   case class Delivery(rows: Vector[Map[String, SqlValue]], hasMore: Boolean)
 

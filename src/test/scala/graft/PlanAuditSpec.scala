@@ -233,37 +233,8 @@ class PlanAuditSpec extends AnyFunSuite {
       .select(transform(col("embedding"),
         x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
       .head().getSeq[Long](0).mkString(",")
-    val df = spark.sql(
-      s"""WITH qv AS (
-         |  SELECT transform(split('$qvec', ','), x -> CAST(x AS BIGINT)) AS v),
-         |probe AS (
-         |  SELECT cell FROM (
-         |    SELECT c.cell,
-         |      aggregate(zip_with(c.c, qv.v, (a, b) -> (a - b) * (a - b)),
-         |        0L, (acc, x) -> acc + x) AS cd
-         |    FROM parquet.`$idx/centroids` c CROSS JOIN qv)
-         |  ORDER BY cd, cell LIMIT 1),
-         |adc AS (
-         |  SELECT b.m, b.j,
-         |    aggregate(zip_with(slice(qv.v, b.m * 16 + 1, 16), b.c,
-         |      (a, x) -> (a - x) * (a - x)), 0L, (acc, x) -> acc + x) AS d
-         |  FROM parquet.`$idx/codebooks` b CROSS JOIN qv),
-         |cand AS (
-         |  SELECT k.vec_id, a0.d + a1.d + a2.d + a3.d AS adc_dist
-         |  FROM parquet.`$idx/codes` k
-         |  JOIN adc a0 ON a0.m = 0 AND a0.j = k.c0
-         |  JOIN adc a1 ON a1.m = 1 AND a1.j = k.c1
-         |  JOIN adc a2 ON a2.m = 2 AND a2.j = k.c2
-         |  JOIN adc a3 ON a3.m = 3 AND a3.j = k.c3
-         |  WHERE k.cell = (SELECT cell FROM probe)
-         |  ORDER BY adc_dist, vec_id LIMIT 50)
-         |SELECT c.vec_id AS vec_id, c.adc_dist AS adc_dist,
-         |  aggregate(zip_with(v.v, qv.v, (a, b) -> (a - b) * (a - b)),
-         |    0L, (acc, x) -> acc + x) AS exact_dist
-         |FROM cand c JOIN parquet.`$idx/vectors` v ON v.vec_id = c.vec_id
-         |  CROSS JOIN qv
-         |ORDER BY exact_dist, vec_id
-         |LIMIT 10""".stripMargin)
+    val df = spark.sql(graft.queries.Similarity.twoStageKnnSql(
+      a => s"parquet.`$idx/$a`", s"'$qvec'", "10"))
     assert(df.head().getLong(0) == 7L && df.head().getLong(2) == 0L)
     val plan = df.queryExecution.executedPlan.toString
     assert("FileScan parquet [^\\n]*/vectors".r.findAllIn(plan).size == 1,

@@ -1132,36 +1132,8 @@ class ServerSpec extends AnyFunSuite {
     val idx = graft.TempDirs.create("graft-vecidx2").toString
     ok(post("/admin/vector_index_build", Map("src" -> src, "dir" -> idx)))
 
-    val twoStageSql =
-      """WITH qv AS (
-        |  SELECT transform(split($qvec, ','), x -> CAST(x AS BIGINT)) AS v),
-        |probe AS (
-        |  SELECT cell FROM (
-        |    SELECT c.cell,
-        |      aggregate(zip_with(c.c, qv.v, (a, b) -> (a - b) * (a - b)),
-        |        0L, (acc, x) -> acc + x) AS cd
-        |    FROM vi_centroids c CROSS JOIN qv)
-        |  ORDER BY cd, cell LIMIT 1),
-        |adc AS (
-        |  SELECT b.m, b.j,
-        |    aggregate(zip_with(slice(qv.v, b.m * 16 + 1, 16), b.c,
-        |      (a, x) -> (a - x) * (a - x)), 0L, (acc, x) -> acc + x) AS d
-        |  FROM vi_codebooks b CROSS JOIN qv),
-        |cand AS (
-        |  SELECT k.vec_id, a0.d + a1.d + a2.d + a3.d AS adc_dist
-        |  FROM vi_codes k
-        |  JOIN adc a0 ON a0.m = 0 AND a0.j = k.c0
-        |  JOIN adc a1 ON a1.m = 1 AND a1.j = k.c1
-        |  JOIN adc a2 ON a2.m = 2 AND a2.j = k.c2
-        |  JOIN adc a3 ON a3.m = 3 AND a3.j = k.c3
-        |  WHERE k.cell = (SELECT cell FROM probe)
-        |  ORDER BY adc_dist, vec_id LIMIT 50)
-        |SELECT c.vec_id AS vec_id, c.adc_dist AS adc_dist,
-        |  aggregate(zip_with(v.v, qv.v, (a, b) -> (a - b) * (a - b)),
-        |    0L, (acc, x) -> acc + x) AS exact_dist
-        |FROM cand c JOIN vi_vectors v ON v.vec_id = c.vec_id CROSS JOIN qv
-        |ORDER BY exact_dist, vec_id
-        |LIMIT CAST($limit AS INT)""".stripMargin
+    val twoStageSql = graft.queries.Similarity.twoStageKnnSql(
+      a => s"vi_$a", "$qvec", "CAST($limit AS INT)")
     val cid = ok(post("/module/upload", Map("module" -> Map(
       "queries" -> Map("knn2" -> Map(
         "sql" -> twoStageSql,

@@ -273,6 +273,54 @@ class SimilaritySpec extends AnyFunSuite {
       "salvaged rows were not re-encoded through the new generation")
   }
 
+  test("roll-forward replays a staged salvage when the crash hit after the " +
+    "swaps but before the replay") {
+    // the second crash window: an earlier roll-forward copied the drift
+    // into salvage.retrain and completed every swap, then died before
+    // re-appending. The marker must survive until the replay lands — a
+    // re-entry that finds no .next dirs keeps the staged salvage, replays
+    // it, and only then drops the marker (at-least-once; compaction's
+    // per-vec_id dedup heals a partial earlier replay).
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions.col
+    import graft.queries.Similarity
+    val src = "/root/testdata/sf0.001"
+    val idx = graft.TempDirs.create("graft-salvage2").toString
+    Similarity.buildVectorIndex(spark, src, idx)
+    val n0 = Similarity.vectorIndexInfo(spark, idx)("vectors")
+    // swaps already completed: no .next dirs; the staged salvage holds 25
+    // rows that are in NEITHER vectors/ nor codes/
+    spark.read.parquet(s"$idx/vectors")
+      .select((col("vec_id") + 3000000L).as("vec_id"), col("v"))
+      .limit(25).coalesce(1).write.mode("overwrite")
+      .parquet(s"$idx/salvage.retrain")
+    def listRel(sub: String): Seq[String] = {
+      val base = Paths.get(idx, sub)
+      val st = Files.walk(base)
+      try {
+        val out = Seq.newBuilder[String]
+        st.filter(_.toString.endsWith(".parquet"))
+          .forEach(p => out += base.relativize(p).toString)
+        out.result()
+      } finally st.close()
+    }
+    val body = ("retrain-commit v1" +:
+      (listRel("vectors").sorted.map("vectors/" + _) ++
+        listRel("codes").sorted.map("codes/" + _))).mkString("\n")
+    Files.write(Paths.get(idx, "commit.retrain"), body.getBytes("UTF-8"))
+    // any write entry re-enters the roll-forward and must replay
+    Similarity.compactVectorIndex(spark, idx)
+    assert(!Files.exists(Paths.get(idx, "commit.retrain")))
+    assert(!Files.exists(Paths.get(idx, "salvage.retrain")))
+    val vec = spark.read.parquet(s"$idx/vectors")
+    assert(vec.filter(col("vec_id") >= 3000000L).count() == 25,
+      "staged salvage was dropped instead of replayed")
+    assert(vec.count() == n0 + 25)
+    assert(spark.read.parquet(s"$idx/codes")
+      .filter(col("vec_id") >= 3000000L).count() == 25,
+      "replayed rows were not re-encoded")
+  }
+
   test("maintenance racing an ingest never loses rows silently") {
     // a compaction's rewrite is computed from a pre-append snapshot; an
     // append landing mid-rewrite would be dropped by the swap. The
