@@ -145,6 +145,49 @@ object Retrieval {
       |         CAST(unnest(embedding) AS DOUBLE) AS x
       |  FROM embeddings)""".stripMargin
 
+  /** RRF fuse shared by the brute-force and IVF hybrid gates: rank the
+    * BM25 top-K and the supplied vector top-K (vec_id, cos) frames —
+    * both bounded BEFORE their rank windows — and fuse with
+    * Σ round(1e9/(60+rank)) in exact nano integers. */
+  private def rrfFuse(s: SparkSession, dir: String, vTop: DataFrame): DataFrame = {
+    val K = 100
+    val tTop = bm25Scores(s, dir).filter(col("doc_id") =!= 0)
+      .orderBy(col("score_micro").desc, col("doc_id")).limit(K)
+    val tRank = tTop.withColumn("rt", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rt"))
+    val vRank = vTop.withColumn("rv", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id"))))
+      .select(col("vec_id"), col("rv"))
+    def contrib(r: Column): Column =
+      coalesce(round(lit(1.0e9) / (lit(60.0) + r), 0).cast("long"), lit(0L))
+    tRank.join(vRank, col("doc_id") === col("vec_id"), "full_outer")
+      .select(coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+        col("rt").cast("long").as("rt"),
+        col("rv").cast("long").as("rv"),
+        (contrib(col("rt")) + contrib(col("rv"))).as("rrf_nano"))
+      .orderBy(col("rrf_nano").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** DuckDB twins of the fuse: the BM25 rank CTE and the fuse tail over
+    * a gate-supplied `vc(vec_id, cos)` CTE. */
+  private val bm25RankSql =
+    """tr0 AS (
+      |  SELECT doc_id,
+      |    row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rt
+      |  FROM bm WHERE doc_id <> 0
+      |  ORDER BY score_micro DESC, doc_id LIMIT 100)""".stripMargin
+  private val rrfTailSql =
+    """vr0 AS (
+      |  SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rv
+      |  FROM vc ORDER BY cos DESC, vec_id LIMIT 100)
+      |SELECT COALESCE(tr0.doc_id, vr0.vec_id) AS doc_id, rt, rv,
+      |  COALESCE(CAST(round(1.0e9 / (60.0 + rt), 0) AS BIGINT), 0)
+      |  + COALESCE(CAST(round(1.0e9 / (60.0 + rv), 0) AS BIGINT), 0) AS rrf_nano
+      |FROM tr0 FULL JOIN vr0 ON tr0.doc_id = vr0.vec_id
+      |ORDER BY rrf_nano DESC, doc_id LIMIT 20""".stripMargin
+
   val all: Map[String, Q] = Map(
 
     // ---- Okapi BM25 top-20 for the fixed query-term set ----
@@ -166,12 +209,6 @@ object Retrieval {
     // excluded from both lists.
     "q_hybrid_rrf" -> Q(
       (s, dir) => {
-        val K = 100
-        val tTop = bm25Scores(s, dir).filter(col("doc_id") =!= 0)
-          .orderBy(col("score_micro").desc, col("doc_id")).limit(K)
-        val tRank = tTop.withColumn("rt", row_number().over(
-            Window.orderBy(col("score_micro").desc, col("doc_id"))))
-          .select(col("doc_id"), col("rt"))
         val qv = emb(s, dir).filter(col("vec_id") === 0)
           .select(col("embedding").as("q_emb"),
             Vec.norm2(col("embedding")).as("qn2"))
@@ -180,26 +217,11 @@ object Retrieval {
           .select(col("vec_id"),
             Vec.cosine(col("embedding"), col("q_emb"),
               Vec.norm2(col("embedding")), col("qn2")).as("cos"))
-          .orderBy(col("cos").desc, col("vec_id")).limit(K)
-        val vRank = vTop.withColumn("rv", row_number().over(
-            Window.orderBy(col("cos").desc, col("vec_id"))))
-          .select(col("vec_id"), col("rv"))
-        def contrib(r: Column): Column =
-          coalesce(round(lit(1.0e9) / (lit(60.0) + r), 0).cast("long"), lit(0L))
-        tRank.join(vRank, col("doc_id") === col("vec_id"), "full_outer")
-          .select(coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
-            col("rt").cast("long").as("rt"),
-            col("rv").cast("long").as("rv"),
-            (contrib(col("rt")) + contrib(col("rv"))).as("rrf_nano"))
-          .orderBy(col("rrf_nano").desc, col("doc_id"))
-          .limit(20)
+          .orderBy(col("cos").desc, col("vec_id")).limit(100)
+        rrfFuse(s, dir, vTop)
       },
       Some(s"""WITH $bm25Sql,
-              |tr0 AS (
-              |  SELECT doc_id,
-              |    row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rt
-              |  FROM bm WHERE doc_id <> 0
-              |  ORDER BY score_micro DESC, doc_id LIMIT 100),
+              |$bm25RankSql,
               |$embDimsSql,
               |enorms AS (
               |  SELECT vec_id, CAST(sum(CAST(x * x AS DECIMAL(25,10))) AS DOUBLE) AS n2
@@ -212,14 +234,29 @@ object Retrieval {
               |vc AS (
               |  SELECT vec_id, dot / (sqrt(n2) * sqrt(qn2)) AS cos
               |  FROM edots JOIN enorms USING (vec_id), eqn),
-              |vr0 AS (
-              |  SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rv
-              |  FROM vc ORDER BY cos DESC, vec_id LIMIT 100)
-              |SELECT COALESCE(tr0.doc_id, vr0.vec_id) AS doc_id, rt, rv,
-              |  COALESCE(CAST(round(1.0e9 / (60.0 + rt), 0) AS BIGINT), 0)
-              |  + COALESCE(CAST(round(1.0e9 / (60.0 + rv), 0) AS BIGINT), 0) AS rrf_nano
-              |FROM tr0 FULL JOIN vr0 ON tr0.doc_id = vr0.vec_id
-              |ORDER BY rrf_nano DESC, doc_id LIMIT 20""".stripMargin)),
+              |$rrfTailSql""".stripMargin)),
+
+    // ---- hybrid retrieval, IVF vector leg: the 100 TB shape ----
+    // The same RRF fuse, but the vector list comes from the IVF probe
+    // (Similarity.ivfTopK — nearest centroid cell, exact cosine only
+    // within it) instead of the brute-force sweep: at corpus scale the
+    // vector leg costs one cell, not one pass, and the recall trade is
+    // exactly q_knn_ivf's (the fused list can only differ from the
+    // brute variant where the true neighbor lives outside the probed
+    // cell). BM25 leg and fuse arithmetic are shared code with
+    // q_hybrid_rrf, so the two variants can never desynchronize.
+    "q_hybrid_rrf_ivf" -> Q(
+      (s, dir) => rrfFuse(s, dir,
+        Similarity.ivfTopK(s, dir, 100).select(col("vec_id"), col("cos"))),
+      Some(s"""WITH $bm25Sql,
+              |$bm25RankSql,
+              |${Similarity.dimsSql},
+              |${Similarity.ivfProbeSqlBody},
+              |vc AS (
+              |  SELECT vec_id, dot / (sqrt(n2) * sqrt(qn2)) AS cos
+              |  FROM dots JOIN norms USING (vec_id, label), qn
+              |  ORDER BY cos DESC, vec_id LIMIT 100),
+              |$rrfTailSql""".stripMargin)),
 
     // ---- SemDeDup: cluster-bounded semantic near-dup pruning ----
     // The augmented corpus plants 25 exact clones (+1000000, every 20th

@@ -804,11 +804,67 @@ object Similarity {
     }
   }
 
-  private val dimsSql =
+  private[queries] val dimsSql =
     """dims AS (
       |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
       |         CAST(unnest(embedding) AS DOUBLE) AS x
       |  FROM embeddings)""".stripMargin
+
+  /** IVF-probed exact-cosine top-k over (vec_id, label, cos): pick the
+    * nearest centroid cell by cosine against the persisted centroid
+    * index, then pay the exact cosine ONLY within the probed cell.
+    * Shared by q_knn_ivf and Retrieval's hybrid IVF leg, so the probe
+    * discipline (and its recall contract) can never fork. */
+  private[queries] def ivfTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val q = emb(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .filter(col("vec_id") === 0)
+      .select(col("i").as("qi"), col("x").cast("double").as("qx"))
+    val cent = centroidIndex(s, dir)
+    val centNorm = cent.groupBy("label")
+      .agg(sum(dec(col("c") * col("c"))).cast("double").as("cn2"))
+    val centDot = cent.join(broadcast(q), col("i") === col("qi"))
+      .groupBy("label")
+      .agg(sum(dec(col("c") * col("qx"))).cast("double").as("cdot"))
+    val best = centDot.join(centNorm, "label")
+      .select(col("label"), (col("cdot") / sqrt(col("cn2"))).as("score"))
+      .orderBy(col("score").desc, col("label")).limit(1)
+      .select(col("label").as("best_label"))
+    emb(s, dir).filter(col("vec_id") =!= 0)
+      .join(broadcast(best), col("label") === col("best_label"))
+      .crossJoin(broadcast(queryVec(s, dir)))
+      .select(col("vec_id"), col("label"),
+        Vec.cosine(col("embedding"), col("q_emb"),
+          Vec.norm2(col("embedding")), col("qn2")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[ivfTopK]]'s probe: the CTE body from the query
+    * projection through the per-cell exact dots (expects `dims` in
+    * scope); callers append their own final select over dots/norms/qn. */
+  private[queries] val ivfProbeSqlBody =
+    """q AS (SELECT i AS qi, x AS qx FROM dims WHERE vec_id = 0),
+      |cent AS (
+      |  SELECT label, i, CAST(sum(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / count(*) AS c
+      |  FROM dims GROUP BY label, i),
+      |centnorm AS (
+      |  SELECT label, CAST(sum(CAST(c * c AS DECIMAL(25,10))) AS DOUBLE) AS cn2
+      |  FROM cent GROUP BY label),
+      |centdot AS (
+      |  SELECT label, CAST(sum(CAST(c * qx AS DECIMAL(25,10))) AS DOUBLE) AS cdot
+      |  FROM cent JOIN q ON i = qi GROUP BY label),
+      |best AS (
+      |  SELECT label AS best_label FROM centdot JOIN centnorm USING (label)
+      |  ORDER BY cdot / sqrt(cn2) DESC, label LIMIT 1),
+      |norms AS (
+      |  SELECT vec_id, label, CAST(sum(CAST(x * x AS DECIMAL(25,10))) AS DOUBLE) AS n2
+      |  FROM dims GROUP BY vec_id, label),
+      |qn AS (SELECT n2 AS qn2 FROM norms WHERE vec_id = 0),
+      |dots AS (
+      |  SELECT vec_id, dims.label, CAST(sum(CAST(x * qx AS DECIMAL(25,10))) AS DOUBLE) AS dot
+      |  FROM dims JOIN best ON dims.label = best_label JOIN q ON i = qi
+      |  WHERE vec_id <> 0 GROUP BY vec_id, dims.label)""".stripMargin
 
   val all: Map[String, Q] = Map(
 
@@ -938,54 +994,9 @@ object Similarity {
 
     // ---- IVF-style: probe nearest coarse cell, scan only that cell ----
     "q_knn_ivf" -> Q(
-      (s, dir) => {
-        val q = emb(s, dir)
-          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-          .filter(col("vec_id") === 0)
-          .select(col("i").as("qi"), col("x").cast("double").as("qx"))
-        // the persisted index: per-cell centroids built once per corpus
-        val cent = centroidIndex(s, dir)
-        val centNorm = cent.groupBy("label")
-          .agg(sum(dec(col("c") * col("c"))).cast("double").as("cn2"))
-        val centDot = cent.join(broadcast(q), col("i") === col("qi"))
-          .groupBy("label")
-          .agg(sum(dec(col("c") * col("qx"))).cast("double").as("cdot"))
-        val best = centDot.join(centNorm, "label")
-          .select(col("label"), (col("cdot") / sqrt(col("cn2"))).as("score"))
-          .orderBy(col("score").desc, col("label")).limit(1)
-          .select(col("label").as("best_label"))
-        // scan only the probed cell, array-native
-        emb(s, dir).filter(col("vec_id") =!= 0)
-          .join(broadcast(best), col("label") === col("best_label"))
-          .crossJoin(broadcast(queryVec(s, dir)))
-          .select(col("vec_id"), col("label"),
-            Vec.cosine(col("embedding"), col("q_emb"),
-              Vec.norm2(col("embedding")), col("qn2")).as("cos"))
-          .orderBy(col("cos").desc, col("vec_id"))
-          .limit(10)
-      },
+      (s, dir) => ivfTopK(s, dir, 10),
       Some(s"""WITH $dimsSql,
-              |q AS (SELECT i AS qi, x AS qx FROM dims WHERE vec_id = 0),
-              |cent AS (
-              |  SELECT label, i, CAST(sum(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / count(*) AS c
-              |  FROM dims GROUP BY label, i),
-              |centnorm AS (
-              |  SELECT label, CAST(sum(CAST(c * c AS DECIMAL(25,10))) AS DOUBLE) AS cn2
-              |  FROM cent GROUP BY label),
-              |centdot AS (
-              |  SELECT label, CAST(sum(CAST(c * qx AS DECIMAL(25,10))) AS DOUBLE) AS cdot
-              |  FROM cent JOIN q ON i = qi GROUP BY label),
-              |best AS (
-              |  SELECT label AS best_label FROM centdot JOIN centnorm USING (label)
-              |  ORDER BY cdot / sqrt(cn2) DESC, label LIMIT 1),
-              |norms AS (
-              |  SELECT vec_id, label, CAST(sum(CAST(x * x AS DECIMAL(25,10))) AS DOUBLE) AS n2
-              |  FROM dims GROUP BY vec_id, label),
-              |qn AS (SELECT n2 AS qn2 FROM norms WHERE vec_id = 0),
-              |dots AS (
-              |  SELECT vec_id, dims.label, CAST(sum(CAST(x * qx AS DECIMAL(25,10))) AS DOUBLE) AS dot
-              |  FROM dims JOIN best ON dims.label = best_label JOIN q ON i = qi
-              |  WHERE vec_id <> 0 GROUP BY vec_id, dims.label)
+              |$ivfProbeSqlBody
               |SELECT vec_id, label, dot / (sqrt(n2) * sqrt(qn2)) AS cos
               |FROM dots JOIN norms USING (vec_id, label), qn
               |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),

@@ -357,6 +357,35 @@ class GatesSpec extends AnyFunSuite {
       "no doc ranked by both lists in the fused top-5")
   }
 
+  test("hybrid rrf ivf: vector leg confined to one probed cell, fusion " +
+    "arithmetic exact, agrees with the brute variant on the probed cell") {
+    val rows = run("q_hybrid_rrf_ivf").map(r => (r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getLong(1)),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      r.getLong(3))).toSeq
+    assert(rows.length == 20)
+    def c(r: Option[Long]): Long =
+      r.map(rk => math.round(1.0e9 / (60.0 + rk))).getOrElse(0L)
+    rows.foreach { case (id, rt, rv, f) =>
+      assert(rt.isDefined || rv.isDefined, s"doc $id in neither ranking")
+      assert(f == c(rt) + c(rv), s"doc $id fused $f != recomputed") }
+    assert(rows.exists(_._2.isDefined) && rows.exists(_._3.isDefined),
+      "one retrieval modality contributed nothing")
+    // the IVF leg's defining property: every vector-ranked id lives in
+    // ONE label cell (the probed one)
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecRanked = rows.filter(_._3.isDefined).map(_._1)
+    assert(vecRanked.nonEmpty)
+    assert(vecRanked.map(labels).distinct.length == 1,
+      s"vector leg spans cells: ${vecRanked.map(labels).distinct}")
+    assert(rows == run("q_hybrid_rrf_ivf").map(r => (r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getLong(1)),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      r.getLong(3))).toSeq, "hybrid ivf not deterministic")
+  }
+
   test("semantic dedup: every planted exact clone is dropped, its original " +
     "survives the clone pair, near pairs lose exactly one side") {
     val dropped = run("q_dedup_semantic").map(_.getLong(0)).toSeq

@@ -483,6 +483,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_sample_dsir_gumbel", // same ratio table (shared dsirScores)
       "q_quality_classifier", // 256-row hashed-feature weight table
       "q_hybrid_rrf",        // 1-row query vector + norm
+      "q_hybrid_rrf_ivf",    // ivfTopK's query-dim/best-cell/query-vec frames
       "q_dedup_semantic",    // labels·d centroid arrays (q_emb_outliers bound)
       "q_tokenizer_encode"   // vocab-bounded (word → piece count) table
     )
