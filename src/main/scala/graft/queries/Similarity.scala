@@ -866,6 +866,45 @@ object Similarity {
       |  FROM dims JOIN best ON dims.label = best_label JOIN q ON i = qi
       |  WHERE vec_id <> 0 GROUP BY vec_id, dims.label)""".stripMargin
 
+  private val kcenterK = 10
+
+  /** DuckDB twin of the greedy k-center loop: K−1 unrolled layers, each
+    * MATERIALIZED (md_{k-1} is referenced by both the argmax and the
+    * next min-fold — DuckDB inlines CTEs, so without materialization the
+    * chain re-evaluates 2^K times, the BPE-oracle lesson). Distances are
+    * exact integer L2 over the floor(x·64+½) quantization. */
+  private lazy val kcenterSql: String = {
+    val layers = (2 to kcenterK).map { k =>
+      val prev = if (k == 2) "md1" else s"md${k - 1}"
+      s"""c$k AS (
+         |  SELECT vec_id, md FROM $prev ORDER BY md DESC, vec_id LIMIT 1),
+         |c${k}v AS (
+         |  SELECT q.v FROM qv q JOIN c$k USING (vec_id)),
+         |md$k AS MATERIALIZED (
+         |  SELECT m.vec_id, m.v,
+         |    least(m.md, list_sum(list_transform(range(1, 65),
+         |      i -> (m.v[i] - c.v[i]) * (m.v[i] - c.v[i])))) AS md
+         |  FROM $prev m, c${k}v c)""".stripMargin
+    }.mkString(",\n")
+    val sel = (Seq(
+      "SELECT 1 AS sel_rank, CAST(0 AS BIGINT) AS vec_id, CAST(0 AS BIGINT) AS d2") ++
+      (2 to kcenterK).map(k => s"SELECT $k, vec_id, md FROM c$k"))
+      .mkString("\nUNION ALL\n")
+    s"""WITH qv AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 64 + 0.5) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |c1v AS (SELECT v FROM qv WHERE vec_id = 0),
+       |md1 AS MATERIALIZED (
+       |  SELECT m.vec_id, m.v,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> (m.v[i] - c.v[i]) * (m.v[i] - c.v[i]))) AS md
+       |  FROM qv m, c1v c),
+       |$layers
+       |SELECT CAST(sel_rank AS BIGINT) AS sel_rank, vec_id, CAST(d2 AS BIGINT) AS d2
+       |FROM ($sel) ORDER BY sel_rank""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
 
     // ---- brute-force cosine top-k against the vec_id=0 query vector ----
@@ -1000,6 +1039,58 @@ object Similarity {
               |SELECT vec_id, label, dot / (sqrt(n2) * sqrt(qn2)) AS cos
               |FROM dots JOIN norms USING (vec_id, label), qn
               |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // ---- greedy k-center coreset selection (diversity subsetting) ----
+    // The data-curation shape for "pick a maximally diverse seed set":
+    // the classic 2-approximation — seed with vec 0, then K−1 times take
+    // the point FARTHEST from the chosen set (its distance = the covering
+    // radius at that step, so the emitted d2 sequence is the coreset's
+    // quality curve, non-increasing by construction). Distances are exact
+    // integer L2 over the floor(x·64+½) quantization, argmax ties break
+    // to the smaller vec_id — fully deterministic, no floats ranked.
+    // Scale shape: each round is ONE embarrassingly parallel pass over
+    // the persisted quantized frame (a projection + TakeOrdered argmax —
+    // no joins, no shuffle beyond the 1-row truncation) plus a bounded
+    // 1-row driver sync (the k-means discipline); K passes total. The
+    // min-distance column folds forward, so round k never recomputes
+    // rounds 1..k−1.
+    "q_emb_kcenter" -> Q(
+      (s, dir) => {
+        val qv = emb(s, dir).select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
+          .persist()
+        qv.count() // settle: seed lookup + round 1 fork this frame
+        def distTo(c: Seq[Long]): Column =
+          aggregate(zip_with(col("v"), array(c.map(lit): _*),
+            (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+        val c1 = qv.filter(col("vec_id") === 0).select(col("v"))
+          .head().getSeq[Long](0)
+        var frontier = qv
+          .select(col("vec_id"), col("v"), distTo(c1).as("md")).persist()
+        frontier.count()
+        val sel = Seq.newBuilder[(Long, Long, Long)]
+        sel += ((1L, 0L, 0L))
+        for (k <- 2 to kcenterK) {
+          val best = frontier.orderBy(col("md").desc, col("vec_id")).limit(1)
+            .select(col("vec_id"), col("md"), col("v")).head()
+          sel += ((k.toLong, best.getLong(0), best.getLong(1)))
+          if (k < kcenterK) {
+            val next = frontier.select(col("vec_id"), col("v"),
+              least(col("md"), distTo(best.getSeq[Long](2))).as("md"))
+              .persist()
+            next.count() // settle before releasing the prior round
+            frontier.unpersist(false)
+            frontier = next
+          }
+        }
+        frontier.unpersist(false)
+        qv.unpersist(false)
+        import s.implicits._
+        sel.result().toDF("sel_rank", "vec_id", "d2")
+          .orderBy(col("sel_rank"))
+      },
+      Some(kcenterSql)),
 
     // ---- batched kNN join: top-5 neighbors for EVERY query in a batch ----
     // The pipeline shape (dedup against a seed set, retrieval eval): the

@@ -357,6 +357,37 @@ class GatesSpec extends AnyFunSuite {
       "no doc ranked by both lists in the fused top-5")
   }
 
+  test("k-center coreset: matches an independent greedy recompute, covering " +
+    "radii non-increasing") {
+    val rows = run("q_emb_kcenter").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.map(_._1) == (1L to rows.length))
+    // radius at selection k bounds radius at k+1 (greedy min-fold)
+    val radii = rows.tail.map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      "covering radii increased between rounds")
+    // independent recompute of the greedy loop over the same quantization
+    val qv = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 64 + 0.5).toLong))
+      .toMap
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var md = qv.map { case (i, v) => i -> d2(v, qv(0L)) }
+    val expect = Seq.newBuilder[(Long, Long, Long)]
+    expect += ((1L, 0L, 0L))
+    for (k <- 2 to rows.length) {
+      val (bid, bmd) = md.minBy { case (i, m) => (-m, i) }
+      expect += ((k.toLong, bid, bmd))
+      md = md.map { case (i, m) => i -> math.min(m, d2(qv(i), qv(bid))) }
+    }
+    assert(rows == expect.result(), "coreset != independent greedy recompute")
+    assert(rows == run("q_emb_kcenter").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq,
+      "k-center not deterministic")
+  }
+
   test("hybrid rrf ivf: vector leg confined to one probed cell, fusion " +
     "arithmetic exact, agrees with the brute variant on the probed cell") {
     val rows = run("q_hybrid_rrf_ivf").map(r => (r.getLong(0),
