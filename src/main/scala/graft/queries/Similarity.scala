@@ -57,9 +57,9 @@ object Similarity {
   private val pqCaches = GateCache.frame()
   private val pqCoded = GateCache.frame()
   // q_emb_kmeans' persisted quantized corpus — one retained generation on
-  // the shared GateCache discipline (the 3 assignment + 2 update passes
-  // fork its plan; the returned frame consumes it lazily, so re-entry is
-  // the unpersist point, never the builder)
+  // the quantized (vec_id, v) frame behind quantizedFrame — memoized per
+  // (session, corpus) via getOrBuild and shared by q_emb_kmeans and
+  // q_emb_kcenter; stopped-session sweep on every access
   private val kmCaches = GateCache.frame()
 
   /** Product-quantization train + encode + ADC, shared by `q_emb_pq` and
@@ -868,27 +868,46 @@ object Similarity {
 
   private val kcenterK = 10
 
+  /** The floor(x·64+½)-quantized (vec_id, v) frame, one retained
+    * generation per (session, corpus) — shared by q_emb_kmeans and
+    * q_emb_kcenter so a full-suite run quantizes the corpus once and
+    * holds one persisted copy, not two. */
+  private def quantizedFrame(s: SparkSession, dir: String): DataFrame =
+    kmCaches.getOrBuild(s, dir) {
+      val qv = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
+        .persist()
+      qv.count() // settle: multiple gate passes fork this plan
+      qv
+    }
+
   /** DuckDB twin of the greedy k-center loop: K−1 unrolled layers, each
     * MATERIALIZED (md_{k-1} is referenced by both the argmax and the
     * next min-fold — DuckDB inlines CTEs, so without materialization the
     * chain re-evaluates 2^K times, the BPE-oracle lesson). Distances are
-    * exact integer L2 over the floor(x·64+½) quantization. */
+    * exact integer L2 over the floor(x·64+½) quantization. The md > 0
+    * filter on each emitted pick is the degenerate-corpus stop: once the
+    * covering radius hits 0 every point is covered and the greedy loop
+    * has nothing left to select (the Spark side breaks at that round). */
   private lazy val kcenterSql: String = {
     val layers = (2 to kcenterK).map { k =>
-      val prev = if (k == 2) "md1" else s"md${k - 1}"
-      s"""c$k AS (
-         |  SELECT vec_id, md FROM $prev ORDER BY md DESC, vec_id LIMIT 1),
-         |c${k}v AS (
-         |  SELECT q.v FROM qv q JOIN c$k USING (vec_id)),
-         |md$k AS MATERIALIZED (
-         |  SELECT m.vec_id, m.v,
-         |    least(m.md, list_sum(list_transform(range(1, 65),
-         |      i -> (m.v[i] - c.v[i]) * (m.v[i] - c.v[i])))) AS md
-         |  FROM $prev m, c${k}v c)""".stripMargin
+      val pick =
+        s"""c$k AS (
+           |  SELECT vec_id, md FROM md${k - 1} ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin
+      if (k == kcenterK) pick
+      else pick + ",\n" +
+        s"""c${k}v AS (
+           |  SELECT q.v FROM qv q JOIN c$k USING (vec_id)),
+           |md$k AS MATERIALIZED (
+           |  SELECT m.vec_id, m.v,
+           |    least(m.md, list_sum(list_transform(range(1, 65),
+           |      i -> (m.v[i] - c.v[i]) * (m.v[i] - c.v[i])))) AS md
+           |  FROM md${k - 1} m, c${k}v c)""".stripMargin
     }.mkString(",\n")
     val sel = (Seq(
       "SELECT 1 AS sel_rank, CAST(0 AS BIGINT) AS vec_id, CAST(0 AS BIGINT) AS d2") ++
-      (2 to kcenterK).map(k => s"SELECT $k, vec_id, md FROM c$k"))
+      (2 to kcenterK).map(k => s"SELECT $k, vec_id, md FROM c$k WHERE md > 0"))
       .mkString("\nUNION ALL\n")
     s"""WITH qv AS MATERIALIZED (
        |  SELECT vec_id,
@@ -1056,11 +1075,7 @@ object Similarity {
     // rounds 1..k−1.
     "q_emb_kcenter" -> Q(
       (s, dir) => {
-        val qv = emb(s, dir).select(col("vec_id"),
-          transform(col("embedding"),
-            x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
-          .persist()
-        qv.count() // settle: seed lookup + round 1 fork this frame
+        val qv = quantizedFrame(s, dir) // shared with q_emb_kmeans
         def distTo(c: Seq[Long]): Column =
           aggregate(zip_with(col("v"), array(c.map(lit): _*),
             (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
@@ -1068,24 +1083,33 @@ object Similarity {
           .head().getSeq[Long](0)
         var frontier = qv
           .select(col("vec_id"), col("v"), distTo(c1).as("md")).persist()
-        frontier.count()
         val sel = Seq.newBuilder[(Long, Long, Long)]
-        sel += ((1L, 0L, 0L))
-        for (k <- 2 to kcenterK) {
-          val best = frontier.orderBy(col("md").desc, col("vec_id")).limit(1)
-            .select(col("vec_id"), col("md"), col("v")).head()
-          sel += ((k.toLong, best.getLong(0), best.getLong(1)))
-          if (k < kcenterK) {
-            val next = frontier.select(col("vec_id"), col("v"),
-              least(col("md"), distTo(best.getSeq[Long](2))).as("md"))
-              .persist()
-            next.count() // settle before releasing the prior round
-            frontier.unpersist(false)
-            frontier = next
+        try {
+          frontier.count()
+          sel += ((1L, 0L, 0L))
+          var k = 2
+          var covered = false
+          while (k <= kcenterK && !covered) {
+            val best = frontier.orderBy(col("md").desc, col("vec_id")).limit(1)
+              .select(col("vec_id"), col("md"), col("v")).head()
+            // covering radius 0 = every point coincides with a chosen
+            // center; the greedy loop has nothing left to select (the
+            // oracle's md > 0 filter is the same stop)
+            if (best.getLong(1) == 0L) covered = true
+            else {
+              sel += ((k.toLong, best.getLong(0), best.getLong(1)))
+              if (k < kcenterK) {
+                val next = frontier.select(col("vec_id"), col("v"),
+                  least(col("md"), distTo(best.getSeq[Long](2))).as("md"))
+                  .persist()
+                next.count() // settle before releasing the prior round
+                frontier.unpersist(false)
+                frontier = next
+              }
+              k += 1
+            }
           }
-        }
-        frontier.unpersist(false)
-        qv.unpersist(false)
+        } finally frontier.unpersist(false) // qv stays: GateCache-owned
         import s.implicits._
         sel.result().toDF("sel_rank", "vec_id", "d2")
           .orderBy(col("sel_rank"))
@@ -1182,13 +1206,8 @@ object Similarity {
     "q_emb_kmeans" -> Q(
       (s, dir) => {
         val K = 8
-        kmCaches.evict(s, dir) // pre-persist (shared-entry rule)
-        val qv = emb(s, dir).select(col("vec_id"),
-          transform(col("embedding"),
-            x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
-          .persist()
-        qv.count() // settle: 3 assignment passes + 2 updates fork the plan
-        kmCaches.put(s, dir, qv)
+        // 3 assignment passes + 2 updates fork the shared quantized frame
+        val qv = quantizedFrame(s, dir)
         var cents: Seq[(Int, Seq[Long])] = qv.orderBy("vec_id").limit(K)
           .collect().toSeq.zipWithIndex
           .map { case (r, j) => (j, r.getSeq[Long](1)) }

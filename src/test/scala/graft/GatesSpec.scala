@@ -389,7 +389,7 @@ class GatesSpec extends AnyFunSuite {
   }
 
   test("hybrid rrf ivf: vector leg confined to one probed cell, fusion " +
-    "arithmetic exact, agrees with the brute variant on the probed cell") {
+    "arithmetic exact, rerun-stable") {
     val rows = run("q_hybrid_rrf_ivf").map(r => (r.getLong(0),
       if (r.isNullAt(1)) None else Some(r.getLong(1)),
       if (r.isNullAt(2)) None else Some(r.getLong(2)),
@@ -404,9 +404,11 @@ class GatesSpec extends AnyFunSuite {
       "one retrieval modality contributed nothing")
     // the IVF leg's defining property: every vector-ranked id lives in
     // ONE label cell (the probed one)
+    // label cast to long: SchemaContract pins it only to the Integral
+    // family, so a bare getInt would throw on an int64 fixture regen
     val labels = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select("vec_id", "label").collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .selectExpr("vec_id", "CAST(label AS LONG) AS label").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val vecRanked = rows.filter(_._3.isDefined).map(_._1)
     assert(vecRanked.nonEmpty)
     assert(vecRanked.map(labels).distinct.length == 1,
