@@ -604,23 +604,16 @@ object Pipeline {
     // ---- BPE encoding: token counts under the trained tokenizer ----
     // The companion operator: the trained word table ALREADY carries each
     // word's final segmentation, so encoding a corpus is one equi-join of
-    // the exploded tokens against the vocab-bounded (word → piece count)
-    // table — broadcast, never a merge-loop over documents. This is how
+    // the exploded tokens against the persisted (word → piece count)
+    // parquet artifact — never a merge-loop over documents. This is how
     // a token-budget pass over 100 TB prices documents under the real
-    // tokenizer instead of the whitespace proxy: the expensive object
-    // (the tokenizer) is metadata-sized, the corpus is touched once.
+    // tokenizer instead of the whitespace proxy: the corpus is touched
+    // once, the word table stays distributed (broadcast only under the
+    // explicit bpeBroadcastCap — on real web text the distinct-word
+    // table is corpus-scale and the join degrades to a shuffle join,
+    // not a driver OOM).
     "q_tokenizer_encode" -> Q(
-      (s, dir) => {
-        val enc = bpeTrain(s, dir)._2
-        docs(s, dir)
-          .select(col("doc_id"),
-            explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
-          .filter(col("word") =!= "")
-          .join(broadcast(enc), Seq("word"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_words"), sum(col("k")).as("n_bpe_tokens"))
-          .orderBy(col("doc_id"))
-      },
+      (s, dir) => bpeEncodeCounts(s, dir),
       Some(bpeEncodeOracleSql)),
 
     // ---- PII redaction: regex scrub of emails/phones ----
@@ -1239,53 +1232,7 @@ object Pipeline {
     // one equi-join + per-doc integer sum. Micro-nat rounding before
     // summation keeps both engines exact.
     "q_quality_classifier" -> Q(
-      (s, dir) => {
-        val B = 256
-        val sp = TextAnalysis.splitOf(TextAnalysis.docSplitHash)
-        val toks = docs(s, dir).select(col("doc_id"), col("source"),
-          split(trim(lower(col("text"))), "\\s+").as("ts"))
-        nbCaches.evict(s, dir)
-        val occ = toks.filter(size(col("ts")) >= 2)
-          .select(col("doc_id"), col("source"), explode(zip_with(
-            slice(col("ts"), lit(1), size(col("ts")) - 1),
-            slice(col("ts"), lit(2), size(col("ts")) - 1),
-            (a, b) => concat(a, lit(" "), b))).as("bg"))
-          .withColumn("bkt",
-            conv(substring(md5(col("bg")), 1, 15), 16, 10).cast("long") % B)
-          .select(col("doc_id"), col("source"), col("bkt")).distinct()
-          .withColumn("split", sp)
-          .withColumn("tgt", col("source").isin("src0", "src1"))
-          .persist()
-        occ.count() // settle: the train counts and the scoring join fork this
-        nbCaches.put(s, dir, occ)
-        val tot = docs(s, dir).select(col("doc_id"), col("source"))
-          .withColumn("split", sp)
-          .filter(col("split") === "train")
-          .agg(sum(when(col("source").isin("src0", "src1"), 1L).otherwise(0L)).as("np"),
-            sum(when(!col("source").isin("src0", "src1"), 1L).otherwise(0L)).as("nq"))
-        // full 256-bucket spine so unseen-in-train buckets still carry
-        // the smoothed ln(1/(n+2)) weight in both engines
-        val cnt = s.range(B).select(col("id").as("bkt"))
-          .join(occ.filter(col("split") === "train"), Seq("bkt"), "left_outer")
-          .groupBy(col("bkt"))
-          .agg(sum(when(col("tgt") === true, 1L).otherwise(0L)).as("cp"),
-            sum(when(col("tgt") === false, 1L).otherwise(0L)).as("cq"))
-        val w = cnt.crossJoin(tot).select(col("bkt"),
-          (round(log((col("cp") + 1).cast("double") /
-              (col("np") + 2).cast("double")) * 1e6, 0).cast("long") -
-            round(log((col("cq") + 1).cast("double") /
-              (col("nq") + 2).cast("double")) * 1e6, 0).cast("long"))
-            .as("w_micro"),
-          round(log(col("np").cast("double") / col("nq").cast("double")) * 1e6, 0)
-            .cast("long").as("prior_micro"))
-        occ.filter(col("split") =!= "train")
-          .join(broadcast(w), Seq("bkt"))
-          .groupBy(col("doc_id"), col("source"))
-          .agg((sum(col("w_micro")) + first(col("prior_micro"))).as("score_micro"))
-          .select(col("doc_id"), col("source"), col("score_micro"),
-            when(col("score_micro") > 0, 1L).otherwise(0L).as("pred"))
-          .orderBy(col("doc_id"))
-      },
+      (s, dir) => nbClassifierScores(s, dir),
       Some("""WITH toks AS (
              |  SELECT doc_id, source,
              |    regexp_split_to_array(trim(lower(text)), '\s+') AS ts
@@ -1347,29 +1294,98 @@ object Pipeline {
   // tokenize→explode→distinct pass runs once, not per consumer
   private val nbCaches = GateCache.frame()
 
+  /** Bernoulli-NB quality classifier over hashed-bigram presence
+    * features: fit on the train split only, score the held-out splits.
+    * `target` names the positive-class sources — a parameter (the
+    * DSIR/$param discipline), defaulting to the gate's reference domain.
+    * The cached presence frame is TARGET-FREE (doc, source, bkt, split);
+    * the class label derives at use time, so a re-bind never reads a
+    * frame that baked in a different target. */
+  private[graft] def nbClassifierScores(s: SparkSession, dir: String,
+      target: Seq[String] = Seq("src0", "src1")): DataFrame = {
+    val B = 256
+    val sp = TextAnalysis.splitOf(TextAnalysis.docSplitHash)
+    val toks = docs(s, dir).select(col("doc_id"), col("source"),
+      split(trim(lower(col("text"))), "\\s+").as("ts"))
+    nbCaches.evict(s, dir)
+    val occ0 = toks.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("source"), explode(zip_with(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .withColumn("bkt",
+        conv(substring(md5(col("bg")), 1, 15), 16, 10).cast("long") % B)
+      .select(col("doc_id"), col("source"), col("bkt")).distinct()
+      .withColumn("split", sp)
+      .persist()
+    occ0.count() // settle: the train counts and the scoring join fork this
+    nbCaches.put(s, dir, occ0)
+    val occ = occ0.withColumn("tgt", col("source").isin(target: _*))
+    val tot = docs(s, dir).select(col("doc_id"), col("source"))
+      .withColumn("split", sp)
+      .filter(col("split") === "train")
+      .agg(sum(when(col("source").isin(target: _*), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("source").isin(target: _*), 1L).otherwise(0L)).as("nq"))
+    // full 256-bucket spine so unseen-in-train buckets still carry
+    // the smoothed ln(1/(n+2)) weight in both engines
+    val cnt = s.range(B).select(col("id").as("bkt"))
+      .join(occ.filter(col("split") === "train"), Seq("bkt"), "left_outer")
+      .groupBy(col("bkt"))
+      .agg(sum(when(col("tgt") === true, 1L).otherwise(0L)).as("cp"),
+        sum(when(col("tgt") === false, 1L).otherwise(0L)).as("cq"))
+    val w = cnt.crossJoin(tot).select(col("bkt"),
+      (round(log((col("cp") + 1).cast("double") /
+          (col("np") + 2).cast("double")) * 1e6, 0).cast("long") -
+        round(log((col("cq") + 1).cast("double") /
+          (col("nq") + 2).cast("double")) * 1e6, 0).cast("long"))
+        .as("w_micro"),
+      round(log(col("np").cast("double") / col("nq").cast("double")) * 1e6, 0)
+        .cast("long").as("prior_micro"))
+    occ.filter(col("split") =!= "train")
+      .join(broadcast(w), Seq("bkt"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg((sum(col("w_micro")) + first(col("prior_micro"))).as("score_micro"))
+      .select(col("doc_id"), col("source"), col("score_micro"),
+        when(col("score_micro") > 0, 1L).otherwise(0L).as("pred"))
+      .orderBy(col("doc_id"))
+  }
+
   // final + literal = compile-time constant, safe to read from the lazy
   // SQL builders that `all` (declared above) forces during object init
   private final val bpeRounds = 8
 
   // one BPE training run per (session, corpus), shared by the trainer
   // gate and the encode gate (the pqCaches memoization discipline); the
-  // cached value is (merge table, (word → piece count) LocalRelation —
-  // vocab-bounded by the operator's own premise, so materializing it
-  // locally is the same bounded-collect class as the merge argmaxes and
-  // avoids an 8-deep chain of evicted cache fallbacks behind the frame)
+  // cached value is (merge table, pieces-artifact parquet path, vocab
+  // row count). The merge table is driver-local by construction (8 rows,
+  // one per round); the (word → piece count) table is NOT — on real web
+  // text the distinct-whitespace-word table is corpus-scale (typos,
+  // URLs, numbers), so it lands as a parquet artifact the encode gate
+  // joins distributed (the vector-index artifact discipline), never a
+  // driver collect.
   private val bpeCaches =
-    new GateCache[(Seq[(Long, String, String, String, Long)], DataFrame)](
+    new GateCache[(Seq[(Long, String, String, String, Long)], String, Long)](
       _ => ())
+
+  // above this vocab row count the encode join runs as a plain shuffle
+  // join instead of a broadcast — an explicit cap, not a hope that the
+  // word table stays small (at 100 TB it does not)
+  private[graft] final val bpeBroadcastCap = 4L * 1000 * 1000
 
   /** Train the 8-round BPE merge table. The only corpus-scale work is
     * the initial word-count scan; every round iterates over the cached
-    * vocab-bounded frame with a 1-row argmax driver sync (the k-means
+    * word-count frame with a 1-row argmax driver sync (the k-means
     * discipline) and a codegen'd aggregate() merge fold. Every
     * generation (wc included) is a transient persist that settles and
-    * drops inside this build; what survives is driver-local — the merge
-    * table and the vocab-bounded (word -> pieces) LocalRelation. */
+    * drops inside this build — on failure too (the try/finally releases
+    * whichever generations are still live, since getOrBuild caches
+    * nothing on a throw). What survives is the 8-row merge table
+    * (driver-local) plus the full (word → piece count) table written as
+    * a parquet artifact — distributed end to end, so a corpus whose
+    * distinct-word table is billions of rows never routes through the
+    * driver. */
   private def bpeTrain(s: SparkSession, dir: String)
-      : (Seq[(Long, String, String, String, Long)], DataFrame) =
+      : (Seq[(Long, String, String, String, Long)], String, Long) =
     bpeCaches.getOrBuild(s, dir) {
       val wc = docs(s, dir)
         .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
@@ -1379,53 +1395,76 @@ object Pipeline {
           transform(sequence(lit(1), length(col("word"))),
             i => col("word").substr(i, lit(1))).as("syms"))
         .persist()
-      wc.count() // settle: round 1 reads it; later rounds read their predecessor
       var words = wc
-      val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-      var r = 1
-      var exhausted = false
-      while (r <= bpeRounds && !exhausted) {
-        val best = words.filter(size(col("syms")) >= 2)
-          .select(col("n"),
-            explode(transform(sequence(lit(1), size(col("syms")) - 1),
-              i => struct(element_at(col("syms"), i).as("l"),
-                element_at(col("syms"), i + 1).as("r")))).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("n")).as("cnt"))
-          .orderBy(col("cnt").desc, col("l"), col("r"))
-          .limit(1).collect()
-        if (best.isEmpty) exhausted = true
-        else {
-          val (l, rt) = (best(0).getString(0), best(0).getString(1))
-          val m = l + rt
-          merges += ((r.toLong, l, rt, m, best(0).getLong(2)))
-          // leftmost-greedy non-overlapping merge: fold the tail onto
-          // [head]; a freshly merged symbol never re-merges because its
-          // name (l||r) differs from l. aggregate() over an empty tail
-          // (1-symbol word) returns the seed unchanged.
-          val next = words.select(col("word"), col("n"),
-            aggregate(slice(col("syms"), lit(2), size(col("syms")) - 1),
-              slice(col("syms"), lit(1), lit(1)),
-              (acc, x) => when(element_at(acc, -1) === l && x === rt,
-                concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
-                .otherwise(concat(acc, array(x)))).as("syms"))
-            .persist()
-          next.count() // settle before releasing the prior generation
-          if (words ne wc) words.unpersist(false)
-          words = next
-          r += 1
+      try {
+        wc.count() // settle: round 1 reads it; later rounds read their predecessor
+        val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+        var r = 1
+        var exhausted = false
+        while (r <= bpeRounds && !exhausted) {
+          val best = words.filter(size(col("syms")) >= 2)
+            .select(col("n"),
+              explode(transform(sequence(lit(1), size(col("syms")) - 1),
+                i => struct(element_at(col("syms"), i).as("l"),
+                  element_at(col("syms"), i + 1).as("r")))).as("p"))
+            .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+            .agg(sum(col("n")).as("cnt"))
+            .orderBy(col("cnt").desc, col("l"), col("r"))
+            .limit(1).collect()
+          if (best.isEmpty) exhausted = true
+          else {
+            val (l, rt) = (best(0).getString(0), best(0).getString(1))
+            val m = l + rt
+            merges += ((r.toLong, l, rt, m, best(0).getLong(2)))
+            // leftmost-greedy non-overlapping merge: fold the tail onto
+            // [head]; a freshly merged symbol never re-merges because its
+            // name (l||r) differs from l. aggregate() over an empty tail
+            // (1-symbol word) returns the seed unchanged.
+            val next = words.select(col("word"), col("n"),
+              aggregate(slice(col("syms"), lit(2), size(col("syms")) - 1),
+                slice(col("syms"), lit(1), lit(1)),
+                (acc, x) => when(element_at(acc, -1) === l && x === rt,
+                  concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+                  .otherwise(concat(acc, array(x)))).as("syms"))
+              .persist()
+            next.count() // settle before releasing the prior generation
+            if (words ne wc) words.unpersist(false)
+            words = next
+            r += 1
+          }
         }
+        // land the trained (word → piece count) table as a parquet
+        // artifact: the encode gate joins it distributed, and only the
+        // bounded vocab COUNT crosses the driver
+        val piecesPath = graft.TempDirs.create("graft-bpe").toString + "/pieces"
+        words.select(col("word"), size(col("syms")).cast("long").as("k"))
+          .write.mode("overwrite").parquet(piecesPath)
+        val vocab = s.read.parquet(piecesPath).count()
+        (merges.result(), piecesPath, vocab)
+      } finally {
+        if (words ne wc) words.unpersist(false)
+        wc.unpersist(false)
       }
-      // materialize the bounded (word → pieces) table locally and release
-      // every persisted generation: the artifact the encode gate joins on
-      // is a LocalRelation, never a chain of cache references
-      val pieces = words.select(col("word"), size(col("syms")).cast("long").as("k"))
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      if (words ne wc) words.unpersist(false)
-      wc.unpersist(false)
-      import s.implicits._
-      (merges.result(), pieces.toDF("word", "k"))
     }
+
+  /** The encode join against the trained pieces artifact. Broadcast only
+    * under the explicit row cap; above it (or with the cap forced to 0,
+    * as GatesSpec does to prove the path) the join is a plain
+    * distributed equi-join on `word` — correct at any vocab size. */
+  private[graft] def bpeEncodeCounts(s: SparkSession, dir: String,
+      broadcastCap: Long = bpeBroadcastCap): DataFrame = {
+    val (_, piecesPath, vocab) = bpeTrain(s, dir)
+    val pieces = s.read.parquet(piecesPath)
+    val enc = if (vocab <= broadcastCap) broadcast(pieces) else pieces
+    docs(s, dir)
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .join(enc, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("k")).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
 
   /** DuckDB twin of the training loop: the same rounds unrolled as
     * chained CTEs — p_k (weighted adjacent-pair counts), b_k (argmax
@@ -1499,7 +1538,8 @@ object Pipeline {
     * mean target score > 0 > mean raw-pool score, the sampled form of
     * KL(p||q) >= 0 >= -KL(q||p) — which only shows over the full score
     * table, not the gate's truncated output. */
-  def dsirScores(s: SparkSession, dir: String): DataFrame = {
+  def dsirScores(s: SparkSession, dir: String,
+      target: Seq[String] = Seq("src0", "src1")): DataFrame = {
     val B = 256 // hashed feature buckets
     val toks = docs(s, dir).select(col("doc_id"), col("source"),
       split(trim(lower(col("text"))), "\\s+").as("ts"))
@@ -1514,12 +1554,17 @@ object Pipeline {
       .withColumn("bkt",
         conv(substring(md5(col("bg")), 1, 15), 16, 10).cast("long") % B)
     dsirCaches.evict(s, dir)
-    val byDoc = occ.groupBy(col("doc_id"), col("source"), col("bkt"))
+    // the cached frame is TARGET-FREE (doc, source, bkt, c): the target
+    // domain is a query-time parameter (the named-query/$param
+    // discipline), so a re-bind must never be answered from a frame
+    // that baked in a different target
+    val byDoc0 = occ.groupBy(col("doc_id"), col("source"), col("bkt"))
       .agg(count(lit(1)).as("c"))
-      .withColumn("is_target", col("source").isin("src0", "src1"))
       .persist()
-    byDoc.count() // settle: count tables + scoring join fork this plan
-    dsirCaches.put(s, dir, byDoc)
+    byDoc0.count() // settle: count tables + scoring join fork this plan
+    dsirCaches.put(s, dir, byDoc0)
+    val byDoc = byDoc0
+      .withColumn("is_target", col("source").isin(target: _*))
     val cnt = byDoc.groupBy(col("bkt"))
       .agg(sum(when(col("is_target"), col("c")).otherwise(0L)).as("cp"),
         sum(when(!col("is_target"), col("c")).otherwise(0L)).as("cq"))

@@ -68,13 +68,16 @@ object Retrieval {
   // 0.25 / 0.75 in BOTH engines so the expression trees fold identically
   private val bmTerms = Seq("hash", "join", "slow")
 
-  /** Per-document BM25 micro-scores for the fixed query-term set.
-    * Shared by q_text_bm25 and the hybrid-RRF fuse so the lexical
-    * ranking can never desynchronize between the two gates. */
-  private[queries] def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+  /** Per-document BM25 micro-scores for a query-term set (default: the
+    * gates' fixed lexical query, so q_text_bm25 and the hybrid-RRF fuse
+    * can never desynchronize; the named-query path binds an arbitrary
+    * `$terms` param over the persisted lexical index instead —
+    * [[bm25NamedSql]]). */
+  private[graft] def bm25Scores(s: SparkSession, dir: String,
+      terms: Seq[String] = bmTerms): DataFrame = {
     val t = split(trim(lower(col("text"))), "\\s+")
     val projCols = col("doc_id") +: size(t).cast("long").as("dl") +:
-      bmTerms.zipWithIndex.map { case (term, i) =>
+      terms.zipWithIndex.map { case (term, i) =>
         size(filter(t, x => x === term)).cast("long").as(s"tf$i")
       }
     val proj = docs(s, dir).select(projCols: _*)
@@ -83,15 +86,15 @@ object Retrieval {
     // integer in both engines
     val statsAggs = (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl") +:
       count(lit(1)).as("n") +:
-      bmTerms.indices.map(i =>
+      terms.indices.map(i =>
         sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
     val stats = proj.agg(statsAggs.head, statsAggs.tail: _*)
-    val idf = bmTerms.indices.foldLeft(stats) { (f, i) =>
+    val idf = terms.indices.foldLeft(stats) { (f, i) =>
       f.withColumn(s"idf$i",
         round(log(((col("n") - col(s"df$i")).cast("double") + lit(0.5)) /
           (col(s"df$i").cast("double") + lit(0.5)) + lit(1.0)) * 1e6, 0)
           .cast("long"))
-    }.select(col("avgdl") +: bmTerms.indices.map(i => col(s"idf$i")): _*)
+    }.select(col("avgdl") +: terms.indices.map(i => col(s"idf$i")): _*)
     // per-term score = idf_micro * tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)),
     // rounded to an integer micro before the exact per-row sum
     def termScore(i: Int): Column =
@@ -101,7 +104,7 @@ object Retrieval {
         .cast("long")
     proj.crossJoin(idf)
       .select(col("doc_id"),
-        bmTerms.indices.map(termScore).reduce(_ + _).as("score_micro"))
+        terms.indices.map(termScore).reduce(_ + _).as("score_micro"))
   }
 
   /** DuckDB twin of bm25Scores, exposed as a `bm` CTE. */
@@ -138,6 +141,90 @@ object Retrieval {
        |    $scoreSum AS score_micro
        |  FROM bmproj CROSS JOIN bmidf)""".stripMargin
   }
+
+  // ---------------- persisted lexical (BM25) index ----------------
+
+  /** One build pass lands the BM25-sufficient statistics as parquet
+    * artifacts, so a `$terms`-parameterized named query ([[bm25NamedSql]]
+    * over RPC, the `$qvec` two-stage-kNN pattern) scores documents
+    * WITHOUT ever touching the text again:
+    *  - `terms/`: (term, doc_id, tf) — the postings
+    *  - `docs/`:  (doc_id, dl) — document lengths (ALL whitespace tokens
+    *    of trim(lower(text)), the exact [[bm25Scores]] tokenization)
+    *  - `df/`:    (term, df) — document frequencies
+    *  - `stats/`: (n, avgdl) — 1-row corpus stats
+    * Scale shape: two column-pruned corpus scans at build (a production
+    * layout keeps (dl, tf) as a catalog projection and pays one), then
+    * every query is bounded joins against metadata-sized df/stats plus
+    * one postings probe on the query's own terms — at 100 TB the
+    * postings additionally hash-bucket by term so the probe prunes
+    * directories. */
+  def buildLexicalIndex(s: SparkSession, srcDir: String,
+      indexDir: String): Map[String, Long] = {
+    import org.apache.spark.sql.SaveMode
+    val t = split(trim(lower(col("text"))), "\\s+")
+    docs(s, srcDir).select(col("doc_id"), size(t).cast("long").as("dl"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/docs")
+    docs(s, srcDir)
+      .select(col("doc_id"), explode(t).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/terms")
+    // df and stats derive from the PERSISTED artifacts, so they provably
+    // describe what queries will read
+    val posted = s.read.parquet(s"$indexDir/terms")
+    posted.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/df")
+    s.read.parquet(s"$indexDir/docs")
+      .agg(count(lit(1)).cast("long").as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stats")
+    Map("docs" -> s.read.parquet(s"$indexDir/docs").count(),
+      "postings" -> posted.count(),
+      "terms" -> s.read.parquet(s"$indexDir/df").count())
+  }
+
+  /** The ONE source of the `$terms`-parameterized BM25 SQL a named query
+    * runs over the attached lexical-index views (the twoStageKnnSql
+    * discipline: plan audit, server e2e, and module SQL all render from
+    * here). Identical constants and micro-nat roundings to
+    * [[bm25Scores]], so a fixed-terms binding reproduces the gate's
+    * scores exactly; terms absent from the corpus drop out at the df
+    * join (a 0-df term contributes nothing by the formula anyway).
+    *
+    * @param table     renders an artifact name ("terms", "docs", "df",
+    *                  "stats") as SQL relation text
+    * @param termsExpr SQL expression yielding the comma-separated query
+    *                  terms TEXT (a literal, or an A7 `$terms` param)
+    * @param limitSql  SQL text for the final LIMIT */
+  private[graft] def bm25NamedSql(table: String => String,
+      termsExpr: String, limitSql: String): String =
+    s"""WITH q AS (
+       |  SELECT DISTINCT term FROM (
+       |    SELECT explode(split($termsExpr, ',')) AS term) WHERE term <> ''),
+       |idf AS (
+       |  SELECT q.term,
+       |    CAST(round(ln((CAST(s.n - d.df AS DOUBLE) + 0.5) /
+       |      (CAST(d.df AS DOUBLE) + 0.5) + 1.0) * 1e6, 0) AS BIGINT)
+       |      AS idf_micro
+       |  FROM q JOIN ${table("df")} d ON d.term = q.term
+       |  CROSS JOIN ${table("stats")} s),
+       |contrib AS (
+       |  SELECT tv.doc_id,
+       |    CAST(round(i.idf_micro * ((CAST(tv.tf AS DOUBLE) * 2.2) /
+       |      (CAST(tv.tf AS DOUBLE) + 1.2 * (0.25 +
+       |        (0.75 * CAST(dv.dl AS DOUBLE)) / s.avgdl))), 0) AS BIGINT)
+       |      AS c
+       |  FROM idf i
+       |  JOIN ${table("terms")} tv ON tv.term = i.term
+       |  JOIN ${table("docs")} dv ON dv.doc_id = tv.doc_id
+       |  CROSS JOIN ${table("stats")} s)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+       |FROM contrib GROUP BY doc_id
+       |ORDER BY score_micro DESC, doc_id
+       |LIMIT $limitSql""".stripMargin
 
   private val embDimsSql =
     """edims AS (
@@ -284,36 +371,49 @@ object Retrieval {
             .select((col("vec_id") + 2000000).as("vec_id"), col("label"),
               halved.as("embedding")))
           .persist()
-        // the oracle derives the identical bit count from count(*), so
-        // the cells — and therefore the candidate set — match exactly
-        // (the count doubles as the corpus cache's settling action);
-        // ONE cell rule shared with q_dedup_embedding (Dedup.signBits /
-        // signCell), so the two gates can never re-bucket independently
-        val bucketed = corpus.withColumn("cell",
-          Dedup.signCell(Dedup.signBits(corpus.count())))
-        // per-label centroid direction as an O(labels·d) array frame;
-        // proj = dot(v, c)/|v| orders members by closeness to the
-        // centroid (|c| cancels within a label)
-        val d = bucketed
-          .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
-          .select(col("label"), col("i"), col("x").cast("double").as("x"))
-        val cent = d.groupBy(col("label"), col("i"))
-          .agg((sum(dec(col("x"))).cast("double") / count(lit(1))).as("c"))
-          .groupBy(col("label"))
-          .agg(transform(sort_array(collect_list(struct(col("i"), col("c")))),
-            p => p.getField("c")).as("carr"))
-        // n2 is carried in the persisted frame so the exact-cosine confirm
-        // never refolds the O(d) decimal norm per candidate pair (the
-        // oracle's precomputed `norms` table, mirrored)
-        val proj = bucketed.join(broadcast(cent), "label")
-          .select(col("vec_id"), col("label"), col("cell"), col("embedding"),
-            Vec.norm2(col("embedding")).as("n2"),
-            Vec.dot(col("embedding"), col("carr")).as("cdot"))
-          .select(col("vec_id"), col("label"), col("cell"), col("embedding"),
-            col("n2"), (col("cdot") / sqrt(col("n2"))).as("proj"))
-          .persist()
-        proj.count() // settle: both self-join sides fork this plan
-        semCaches.put(s, dir, Seq(corpus, proj))
+        // Everything from the first settling job (corpus.count inside
+        // signBits) through semCaches.put runs under a catch-and-release
+        // guard: a failure in that window would otherwise leak frames
+        // that no cache generation owns (evict already ran, put never
+        // does) — the pqAdcBuild discipline.
+        var proj: DataFrame = null
+        try {
+          // the oracle derives the identical bit count from count(*), so
+          // the cells — and therefore the candidate set — match exactly
+          // (the count doubles as the corpus cache's settling action);
+          // ONE cell rule shared with q_dedup_embedding (Dedup.signBits /
+          // signCell), so the two gates can never re-bucket independently
+          val bucketed = corpus.withColumn("cell",
+            Dedup.signCell(Dedup.signBits(corpus.count())))
+          // per-label centroid direction as an O(labels·d) array frame;
+          // proj = dot(v, c)/|v| orders members by closeness to the
+          // centroid (|c| cancels within a label)
+          val d = bucketed
+            .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+            .select(col("label"), col("i"), col("x").cast("double").as("x"))
+          val cent = d.groupBy(col("label"), col("i"))
+            .agg((sum(dec(col("x"))).cast("double") / count(lit(1))).as("c"))
+            .groupBy(col("label"))
+            .agg(transform(sort_array(collect_list(struct(col("i"), col("c")))),
+              p => p.getField("c")).as("carr"))
+          // n2 is carried in the persisted frame so the exact-cosine
+          // confirm never refolds the O(d) decimal norm per candidate
+          // pair (the oracle's precomputed `norms` table, mirrored)
+          proj = bucketed.join(broadcast(cent), "label")
+            .select(col("vec_id"), col("label"), col("cell"), col("embedding"),
+              Vec.norm2(col("embedding")).as("n2"),
+              Vec.dot(col("embedding"), col("carr")).as("cdot"))
+            .select(col("vec_id"), col("label"), col("cell"), col("embedding"),
+              col("n2"), (col("cdot") / sqrt(col("n2"))).as("proj"))
+            .persist()
+          proj.count() // settle: both self-join sides fork this plan
+          semCaches.put(s, dir, Seq(corpus, proj))
+        } catch {
+          case t: Throwable =>
+            if (proj != null) proj.unpersist(false)
+            corpus.unpersist(false)
+            throw t
+        }
         val a = proj.select(col("vec_id").as("a_id"), col("label"),
           col("cell"), col("embedding").as("a_emb"), col("n2").as("a_n2"),
           col("proj").as("a_proj"))

@@ -286,7 +286,9 @@ object Similarity {
   /** Persisted IVF vector index — the operator-level artifact behind the
     * q_knn_ivf* gates, and what a param-bound kNN named query answers from
     * (RPC `/admin/vector_index_build` → `/admin/vector_index_attach` →
-    * A7 `$qvec` binding). Layout:
+    * A7 `$qvec` binding). Layout — four artifacts in VERSIONED
+    * directories named by the root `MANIFEST` file (resolve through
+    * [[artifactPath]], never a literal subdir):
     *  - `centroids/`: (cell BIGINT, c ARRAY<BIGINT>) — per-label
     *    truncated-mean centroid over the floor(x·64+½) quantization
     *    (exact Long arithmetic, the emb_outliers discipline)
@@ -307,6 +309,14 @@ object Similarity {
   def buildVectorIndex(s: SparkSession, srcDir: String,
       indexDir: String): Map[String, Long] = withIndexWriter(s, indexDir) {
     import org.apache.spark.sql.SaveMode
+    java.nio.file.Files.createDirectories(basePath(indexDir))
+    // a rebuild over a live index is a maintenance commit like any
+    // other: stage every artifact into a fresh versioned generation and
+    // flip once — concurrent readers drain on the retained old one
+    val vecSnapshot = artifactFiles(indexDir, "vectors")
+    val staged = indexArtifacts.map(sub =>
+      sub -> nextDirName(indexDir, sub)).toMap
+    def stagedPath(sub: String): String = s"$indexDir/${staged(sub)}"
     // persisted: the centroid aggregation, the assignment write, the
     // codebook seed + sample reads all fork this plan — unpinned, the
     // quantized source scan runs four-plus times
@@ -325,25 +335,27 @@ object Similarity {
         p => p.getField("cx")).as("c"))
       .select(col("label").as("cell"), col("c"))
       .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/centroids")
-    val cents = readCentroids(s, indexDir)
+      .write.mode(SaveMode.Overwrite).parquet(stagedPath("centroids"))
+    val cents = readCentroidsAt(s, stagedPath("centroids"))
     val assigned = qv.select(col("vec_id"), col("v"),
         nearestCell(cents).as("b"))
       .select(col("vec_id"), col("v"), col("b.cell").as("cell"))
     assigned.write.partitionBy("cell")
-      .mode(SaveMode.Overwrite).parquet(s"$indexDir/vectors")
+      .mode(SaveMode.Overwrite).parquet(stagedPath("vectors"))
     val books = trainCodebooks(s, qv.select(col("vec_id"), col("v")),
       pqM, pqL, pqK)
-    writeCodebooks(s, s"$indexDir/codebooks", books)
+    writeCodebooks(s, stagedPath("codebooks"), books)
     // encode from the PERSISTED vectors so codes provably match the
     // on-disk assignment, not a recomputed plan
-    val persisted = s.read.parquet(s"$indexDir/vectors")
+    val persisted = s.read.parquet(stagedPath("vectors"))
     encodeCodes(persisted, books)
       .write.partitionBy("cell")
-      .mode(SaveMode.Overwrite).parquet(s"$indexDir/codes")
-    Map("vectors" -> s.read.parquet(s"$indexDir/vectors").count(),
+      .mode(SaveMode.Overwrite).parquet(stagedPath("codes"))
+    commitStaged(s, indexDir, staged, vecSnapshot)
+    Map("vectors" ->
+        s.read.parquet(artifactPath(indexDir, "vectors")).count(),
       "cells" -> cents.length.toLong,
-      "codes" -> s.read.parquet(s"$indexDir/codes").count())
+      "codes" -> s.read.parquet(artifactPath(indexDir, "codes")).count())
     } finally qv.unpersist(false)
   }
 
@@ -358,13 +370,17 @@ object Similarity {
 
   private def readCentroids(s: SparkSession,
       indexDir: String): Array[(Long, Seq[Long])] =
-    s.read.parquet(s"$indexDir/centroids")
+    readCentroidsAt(s, artifactPath(indexDir, "centroids"))
+
+  private def readCentroidsAt(s: SparkSession,
+      path: String): Array[(Long, Seq[Long])] =
+    s.read.parquet(path)
       .orderBy("cell").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
 
   private def readCodebooks(s: SparkSession,
       indexDir: String): Array[Array[Seq[Long]]] = {
-    val rows = s.read.parquet(s"$indexDir/codebooks")
+    val rows = s.read.parquet(artifactPath(indexDir, "codebooks"))
       .orderBy("m", "j").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
     Array.tabulate(pqM)(m => rows.filter(_._1 == m).sortBy(_._2).map(_._3))
@@ -427,19 +443,21 @@ object Similarity {
       .persist() // settle: the vectors write and the codes encode both read it
     try {
       assigned.write.partitionBy("cell")
-        .mode(SaveMode.Append).parquet(s"$indexDir/vectors")
+        .mode(SaveMode.Append).parquet(artifactPath(indexDir, "vectors"))
       if (subdirExists(indexDir, "codebooks")) {
         encodeCodes(assigned, readCodebooks(s, indexDir))
           .write.partitionBy("cell")
-          .mode(SaveMode.Append).parquet(s"$indexDir/codes")
+          .mode(SaveMode.Append).parquet(artifactPath(indexDir, "codes"))
       }
       assigned.count()
     } finally assigned.unpersist(false)
   }
 
+  /** Does the index carry this artifact? (manifest-resolved; a legacy
+    * flat layout resolves against its plain directories). */
   private def subdirExists(indexDir: String, sub: String): Boolean =
     java.nio.file.Files.isDirectory(
-      java.nio.file.Paths.get(indexDir.stripPrefix("file:"), sub))
+      basePath(indexDir).resolve(currentName(indexDir, sub)))
 
   /** Operational state of a persisted index: totals plus the CELL-SKEW
     * signal — the largest cell's share of the corpus. A probe scans one
@@ -447,7 +465,7 @@ object Similarity {
     * far above 1/cells the operator answer is retrain/re-split (the
     * vector-side sibling of the dedup index's `stale` re-band signal). */
   def vectorIndexInfo(s: SparkSession, indexDir: String): Map[String, Long] = {
-    val counts = s.read.parquet(s"$indexDir/vectors")
+    val counts = s.read.parquet(artifactPath(indexDir, "vectors"))
       .groupBy("cell").count().collect().map(_.getLong(1))
     val total = counts.sum
     Map(
@@ -474,49 +492,150 @@ object Similarity {
       finally st.close()
     }
 
-  /** Swap a staged artifact directory into place: `sub.next` → `sub` via
-    * two renames with the displaced version removed last. The window
-    * where `sub` is absent fails a concurrent reader LOUDLY (path not
-    * found), never wrongly — maintenance RPCs are single-writer admin
-    * actions, and on a cluster store this flip becomes the one-pointer
-    * manifest update the event log's compactLog already models with its
-    * versioned-directory + catalog-location discipline. */
-  private def swapIn(indexDir: String, sub: String): Unit = {
-    val base = java.nio.file.Paths.get(indexDir.stripPrefix("file:"))
-    val cur = base.resolve(sub)
-    val next = base.resolve(s"$sub.next")
-    val old = base.resolve(s"$sub.old")
-    require(java.nio.file.Files.isDirectory(next), s"no staged $next")
-    repairCrashedSwap(indexDir, sub)
-    deleteDir(old)
-    if (java.nio.file.Files.exists(cur)) java.nio.file.Files.move(cur, old)
-    java.nio.file.Files.move(next, cur)
-    deleteDir(old)
-  }
-
-  /** ~128 MB-file partition count for an artifact dir's current bytes
-    * (the compactLog sizing rule). A missing or empty dir sizes to 1. */
-  private def compactTarget(indexDir: String, sub: String): Int = {
-    val bytes = walkParquet(indexDir, sub)
-      .map(java.nio.file.Files.size(_)).sum
-    math.max(1, math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
-  }
-
-  /** Crash repair for a swap that died between its two renames: `sub` is
-    * missing and `sub.old` still holds the live artifact — reinstate it.
-    * Applied before every maintenance read AND inside swapIn, so a
-    * crashed maintenance run is healed by simply re-running it; the
-    * no-live-dir window during a swap stays one rename wide and a read
-    * inside it fails loudly, never wrongly. */
-  private def repairCrashedSwap(indexDir: String, sub: String): Unit = {
-    val base = java.nio.file.Paths.get(indexDir.stripPrefix("file:"))
-    val cur = base.resolve(sub)
-    val old = base.resolve(s"$sub.old")
-    if (!java.nio.file.Files.exists(cur) && java.nio.file.Files.isDirectory(old))
-      java.nio.file.Files.move(old, cur)
-  }
+  // ---------------- versioned-artifact manifest ----------------
+  //
+  // The index's artifacts live in VERSIONED directories (`vectors.v3`)
+  // named by a single MANIFEST file at the index root; every reader
+  // resolves through the manifest, and every maintenance commit is ONE
+  // atomic rename of a freshly written manifest (the event log's
+  // compactLog catalog-location flip, applied to all four artifacts at
+  // once). Consequences, by construction:
+  //   - a reader can never see a mixed generation: the manifest names a
+  //     complete, internally consistent artifact set before AND after
+  //     the flip, and POSIX rename makes the flip itself atomic;
+  //   - a reader can never hit path-not-found mid-maintenance: the
+  //     previous generation's directories are RETAINED until the NEXT
+  //     commit (compactLog's one-retained-version snapshot isolation),
+  //     so a query planned against pre-flip paths scans a complete,
+  //     merely stale, index;
+  //   - a crash while staging leaves only unreferenced garbage
+  //     directories (swept at the next write entry) — there is no
+  //     partially renamed state to repair.
+  // On a cluster object store the manifest flip is the same one-pointer
+  // conditional-put this file implements with rename.
 
   private val indexArtifacts = Seq("centroids", "vectors", "codebooks", "codes")
+
+  private val manifestHeader = "vector-index-manifest v1"
+
+  private def basePath(indexDir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(indexDir.stripPrefix("file:"))
+
+  private def manifestFile(indexDir: String): java.nio.file.Path =
+    basePath(indexDir).resolve("MANIFEST")
+
+  /** Current mapping `sub -> (currentDirName, previousDirName?)`. An
+    * index without a MANIFEST (built by hand, or pre-manifest) resolves
+    * each artifact to its flat legacy directory. */
+  private def manifestMapping(
+      indexDir: String): Map[String, (String, Option[String])] = {
+    val mf = manifestFile(indexDir)
+    if (java.nio.file.Files.exists(mf)) {
+      val lines = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(mf).asScala.toVector
+      }
+      require(lines.nonEmpty && lines.head == manifestHeader,
+        s"unreadable index manifest at $mf")
+      lines.drop(1).filter(_.nonEmpty).map { l =>
+        val parts = l.split(" ")
+        require(parts.length == 3, s"bad manifest line: $l")
+        parts(0) -> (parts(1), if (parts(2) == "-") None else Some(parts(2)))
+      }.toMap
+    } else indexArtifacts.filter(sub => java.nio.file.Files.isDirectory(
+      basePath(indexDir).resolve(sub))).map(sub => sub -> (sub, None)).toMap
+  }
+
+  /** An artifact's CURRENT directory name (manifest-resolved; a flat
+    * legacy layout resolves to `sub` itself). */
+  private def currentName(indexDir: String, sub: String): String =
+    manifestMapping(indexDir).get(sub).map(_._1).getOrElse(sub)
+
+  /** Resolve an artifact's CURRENT directory path — the one read hook
+    * every consumer (queries, attach views, info, append, maintenance
+    * reads, specs, the profiler) goes through. */
+  private[graft] def artifactPath(indexDir: String, sub: String): String =
+    s"$indexDir/${currentName(indexDir, sub)}"
+
+  /** SQL relation renderer over [[artifactPath]] — the `table` argument
+    * [[twoStageKnnSql]] consumers pass when querying parquet directly
+    * instead of attached views. */
+  private[graft] def artifactRelation(indexDir: String): String => String =
+    sub => s"parquet.`${artifactPath(indexDir, sub)}`"
+
+  /** The codes artifact's code-column names, derived from [[pqM]] so a
+    * PQ geometry change regenerates every consumer (attach views
+    * included) in lockstep. */
+  private[graft] def codeCols: Seq[String] = (0 until pqM).map(m => s"c$m")
+
+  /** The staging name for `sub`'s next generation: bump the version of
+    * the current directory name (a flat legacy name is generation 0). */
+  private def nextDirName(indexDir: String, sub: String): String = {
+    val cur = currentName(indexDir, sub)
+    val v = if (cur == sub) 0 else cur.stripPrefix(s"$sub.v").toInt
+    s"$sub.v${v + 1}"
+  }
+
+  private def writeManifest(indexDir: String,
+      m: Map[String, (String, Option[String])]): Unit = {
+    val body = (manifestHeader +: m.toSeq.sortBy(_._1).map {
+      case (sub, (cur, prev)) => s"$sub $cur ${prev.getOrElse("-")}"
+    }).mkString("\n")
+    val tmp = basePath(indexDir).resolve("MANIFEST.tmp")
+    java.nio.file.Files.write(tmp,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, manifestFile(indexDir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The atomic commit: flip the updated artifacts to their staged
+    * directories in ONE manifest rename. Each updated artifact's
+    * displaced current becomes its retained `prev` (one version of
+    * snapshot isolation for in-flight readers); the displaced
+    * prev-of-prev — which has had a full maintenance cycle for readers
+    * to drain — is deleted. */
+  private def commitManifest(indexDir: String,
+      updates: Map[String, String]): Unit = {
+    val m = manifestMapping(indexDir)
+    val merged = (m.keySet ++ updates.keySet).map { sub =>
+      val (cur, prev) = m.getOrElse(sub, (sub, None))
+      updates.get(sub) match {
+        case Some(next) => sub -> (next, Some(cur).filter(_ => java.nio.file
+          .Files.isDirectory(basePath(indexDir).resolve(cur))))
+        case None => sub -> (cur, prev)
+      }
+    }.toMap
+    writeManifest(indexDir, merged)
+    val live = merged.values.flatMap(v => v._1 :: v._2.toList).toSet
+    updates.keys.foreach { sub =>
+      m.get(sub).flatMap(_._2).foreach { displaced =>
+        if (!live.contains(displaced))
+          deleteDir(basePath(indexDir).resolve(displaced))
+      }
+    }
+  }
+
+  /** Delete artifact directories no manifest entry references — the
+    * debris of a crashed staging run. Runs only under the writer lock
+    * (a concurrent in-process staging would look unreferenced). */
+  private def sweepUnreferenced(indexDir: String): Unit = {
+    val base = basePath(indexDir)
+    if (!java.nio.file.Files.isDirectory(base)) return
+    val live = manifestMapping(indexDir).values
+      .flatMap(v => v._1 :: v._2.toList).toSet
+    val versioned = indexArtifacts.map(sub => s"^$sub(\\.v\\d+)?$$".r)
+    val st = java.nio.file.Files.list(base)
+    try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.toVector
+        .filter(p => java.nio.file.Files.isDirectory(p))
+        .map(_.getFileName.toString)
+        .filter(n => versioned.exists(_.pattern.matcher(n).matches()))
+        .filterNot(live.contains)
+        .foreach(n => deleteDir(base.resolve(n)))
+    } finally st.close()
+  }
 
   /** Single-writer discipline per index, in-process: appends and
     * maintenance serialize on this lock, so within one driver a
@@ -533,12 +652,10 @@ object Similarity {
       java.nio.file.Paths.get(indexDir.stripPrefix("file:"))
         .toAbsolutePath.normalize.toString, _ => new Object)
 
-  private def walkParquet(indexDir: String,
-      sub: String): Seq[java.nio.file.Path] = {
-    val p = java.nio.file.Paths.get(indexDir.stripPrefix("file:"), sub)
-    if (!java.nio.file.Files.isDirectory(p)) Seq.empty
+  private def listParquet(dir: java.nio.file.Path): Seq[java.nio.file.Path] =
+    if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
     else {
-      val st = java.nio.file.Files.walk(p)
+      val st = java.nio.file.Files.walk(dir)
       try {
         val out = Seq.newBuilder[java.nio.file.Path]
         val it = st.filter(f => f.toString.endsWith(".parquet")).iterator()
@@ -546,28 +663,34 @@ object Similarity {
         out.result()
       } finally st.close()
     }
-  }
 
-  /** The current parquet file names of an artifact dir — the concurrent-
-    * append detector: a rewrite computed from a pre-append snapshot must
-    * NOT swap in over rows that landed mid-rewrite (they would be
-    * silently dropped). Maintenance re-lists before every swap and
-    * aborts loudly on drift (only reachable from an out-of-process
-    * writer — in-process writers serialize on [[indexLock]]); an append
-    * racing the rename window itself fails the APPEND loudly instead,
-    * and the at-least-once ingest retries — so no interleaving is ever
-    * silent. */
-  private def artifactFiles(indexDir: String, sub: String): Set[String] = {
-    val base = java.nio.file.Paths.get(indexDir.stripPrefix("file:"), sub)
-    walkParquet(indexDir, sub).map(base.relativize(_).toString).toSet
-  }
+  /** Parquet files of an artifact's CURRENT generation (manifest-
+    * resolved). */
+  private def walkParquet(indexDir: String,
+      sub: String): Seq[java.nio.file.Path] =
+    listParquet(basePath(indexDir).resolve(currentName(indexDir, sub)))
+
+  private def filesIn(dir: java.nio.file.Path): Set[String] =
+    listParquet(dir).map(dir.relativize(_).toString).toSet
+
+  /** The current parquet file names of an artifact's live generation —
+    * the concurrent-append detector's snapshot: a rewrite computed from
+    * a pre-append snapshot must NOT commit over rows that landed
+    * mid-rewrite. Maintenance re-lists immediately before the manifest
+    * flip and aborts loudly on drift (only reachable from an
+    * OUT-of-process writer — in-process writers serialize on
+    * [[indexLock]]); an append that completes inside the re-list→flip
+    * microwindow is caught by the post-flip salvage in [[commitStaged]]
+    * instead (its rows survive in the retained previous generation) —
+    * so no interleaving is ever silent. */
+  private def artifactFiles(indexDir: String, sub: String): Set[String] =
+    filesIn(basePath(indexDir).resolve(currentName(indexDir, sub)))
 
   private def requireUnchanged(indexDir: String, sub: String,
-      snapshot: Set[String]): Unit = {
+      snapshot: Set[String], staged: Map[String, String]): Unit = {
     val now = artifactFiles(indexDir, sub)
     if (now != snapshot) {
-      deleteDir(java.nio.file.Paths.get(
-        indexDir.stripPrefix("file:"), s"$sub.next"))
+      staged.values.foreach(d => deleteDir(basePath(indexDir).resolve(d)))
       throw new IllegalStateException(
         s"concurrent append detected in $indexDir/$sub during maintenance " +
           s"(${(now -- snapshot).size} new / ${(snapshot -- now).size} " +
@@ -575,139 +698,148 @@ object Similarity {
     }
   }
 
-  /** A retrain publishes FOUR interdependent artifacts; the swaps are
-    * sequential renames, so a crash mid-sequence would leave a
-    * mixed-generation index (new centroids over old cell membership —
-    * silently wrong probes). The commit marker makes the sequence
-    * roll-FORWARD: it is written only once every `.next` is fully staged
-    * and validated, so any write entrypoint that finds it completes the
-    * remaining swaps before doing anything else. The marker body records
-    * the vectors/codes filesets validated at commit time, so an
-    * out-of-process append that lands in the (unbounded) crash window is
-    * DETECTED at roll-forward and its vector rows SALVAGED — copied
-    * aside before the swap destroys them, then re-appended through the
-    * completed new generation (re-assigned by the new centroids,
-    * re-encoded by the new codebooks). Old-generation CODES rows of such
-    * an append are dropped with the swap: their vectors either ride the
-    * salvage (re-encoded fresh) or already landed post-swap, making them
-    * committed-but-uncoded — the documented orphan state the next
-    * compaction heals. Readers racing the ms-scale swap sequence can
-    * still see a mixed generation transiently — the full fix is the
-    * manifest/catalog pointer flip documented on [[swapIn]]. */
-  private def retrainMarker(indexDir: String): java.nio.file.Path =
-    java.nio.file.Paths.get(indexDir.stripPrefix("file:"), "commit.retrain")
+  // ---------------- the pending-commit marker ----------------
+  //
+  // Written immediately before the manifest flip, deleted after the
+  // post-flip drift salvage. It records the flipped vectors generation
+  // (old name, new name) plus the old generation's validated fileset, so
+  // a crash between flip and salvage re-enters knowing exactly which
+  // files of the RETAINED old directory are drift (an out-of-process
+  // append that completed in the re-list→flip microwindow) and replays
+  // them through the new generation. A crash BEFORE the flip needs no
+  // marker logic at all: nothing was committed, the staged directories
+  // are unreferenced garbage, and the next write entry sweeps them.
 
-  private val markerHeader = "retrain-commit v1"
+  private val markerHeader = "index-commit v1"
 
-  private def writeRetrainMarker(indexDir: String,
-      vectors: Set[String], codes: Set[String]): Unit = {
-    val body = (Seq(markerHeader) ++
-      vectors.toSeq.sorted.map(f => s"vectors/$f") ++
-      codes.toSeq.sorted.map(f => s"codes/$f")).mkString("\n")
-    java.nio.file.Files.write(retrainMarker(indexDir),
+  private def pendingMarker(indexDir: String): java.nio.file.Path =
+    basePath(indexDir).resolve("commit.pending")
+
+  private def writePendingMarker(indexDir: String, oldVectors: String,
+      newVectors: String, snapshot: Set[String]): Unit = {
+    val body = (Seq(markerHeader, s"old $oldVectors", s"new $newVectors") ++
+      snapshot.toSeq.sorted.map(f => s"snap $f")).mkString("\n")
+    java.nio.file.Files.write(pendingMarker(indexDir),
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  private def rollForwardRetrain(s: SparkSession, indexDir: String): Unit = {
-    val marker = retrainMarker(indexDir)
+  /** Re-append any vectors file of the old generation that is NOT in the
+    * validated snapshot — rows an out-of-process appender completed in
+    * the re-list→flip microwindow. They re-assign against the NEW
+    * centroids and re-encode through the NEW codebooks (their old-
+    * generation codes rows are dropped with that generation, by design).
+    * At-least-once: a crash mid-salvage replays the whole drift set, and
+    * compaction's per-vec_id dedup heals any duplicate rows. */
+  private def salvageDrift(s: SparkSession, indexDir: String,
+      oldVectorsDir: String, snapshot: Set[String]): Unit = {
+    val old = basePath(indexDir).resolve(oldVectorsDir)
+    if (!java.nio.file.Files.isDirectory(old)) return
+    val drift = (filesIn(old) -- snapshot).toSeq.sorted
+    if (drift.nonEmpty)
+      appendQuantized(s, s.read.parquet(
+          drift.map(r => old.resolve(r).toString): _*)
+        .select(col("vec_id"), col("v")), indexDir)
+  }
+
+  /** The single-pointer commit every maintenance rewrite goes through:
+    * re-list the live vectors fileset against the rewrite's snapshot
+    * (abort loudly on out-of-process drift), write the pending marker,
+    * flip the manifest atomically, salvage the microwindow, drop the
+    * marker. `updates` maps artifact names to their fully staged
+    * directory names. */
+  private def commitStaged(s: SparkSession, indexDir: String,
+      updates: Map[String, String], vecSnapshot: Set[String]): Unit = {
+    val hadVectors = manifestMapping(indexDir).contains("vectors") ||
+      java.nio.file.Files.isDirectory(basePath(indexDir).resolve("vectors"))
+    if (!hadVectors) { commitManifest(indexDir, updates); return }
+    val oldVectors = currentName(indexDir, "vectors")
+    requireUnchanged(indexDir, "vectors", vecSnapshot, updates)
+    writePendingMarker(indexDir, oldVectors,
+      updates.getOrElse("vectors", oldVectors), vecSnapshot)
+    commitManifest(indexDir, updates)
+    salvageDrift(s, indexDir, oldVectors, vecSnapshot)
+    java.nio.file.Files.delete(pendingMarker(indexDir))
+  }
+
+  /** Complete a commit that crashed between its manifest flip and its
+    * drift salvage. If the manifest still names the OLD generation the
+    * flip never happened — nothing was committed, so the marker (and the
+    * staged directories, as unreferenced garbage) are simply dropped. */
+  private def healPendingCommit(s: SparkSession, indexDir: String): Unit = {
+    val marker = pendingMarker(indexDir)
     if (!java.nio.file.Files.exists(marker)) return
-    val base = java.nio.file.Paths.get(indexDir.stripPrefix("file:"))
     val lines = {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.readAllLines(marker).asScala.toVector
     }
-    // a marker without the header (unreadable/legacy) cannot distinguish
-    // drift from the old generation — no salvage, plain roll-forward
-    val snap: Option[Set[String]] =
-      if (lines.isEmpty || lines.head != markerHeader) None
-      else Some(lines.iterator.drop(1).filter(_.startsWith("vectors/"))
-        .map(_.stripPrefix("vectors/")).toSet)
-    // vectors rows are the durable record: anything beyond the committed
-    // snapshot landed from an out-of-process appender after the crash
-    // and would be destroyed by the pending swap — copy those files
-    // aside first (the codes side of such an append is dropped; see doc)
-    val salvage = base.resolve("salvage.retrain")
-    if (java.nio.file.Files.isDirectory(base.resolve("vectors.next"))) {
-      // swap still pending: any salvage dir is a stale partial copy from
-      // a crashed earlier roll-forward attempt — the drift is still fully
-      // computable pre-swap, so rebuild it from scratch
-      deleteDir(salvage)
-      var salvaged = 0
-      snap.foreach { committed =>
-        val drift = artifactFiles(indexDir, "vectors") -- committed
-        if (drift.nonEmpty) java.nio.file.Files.createDirectories(salvage)
-        drift.toSeq.sorted.foreach { rel =>
-          java.nio.file.Files.copy(base.resolve("vectors").resolve(rel),
-            salvage.resolve(s"drift-$salvaged.parquet"))
-          salvaged += 1
-        }
+    if (lines.nonEmpty && lines.head == markerHeader) {
+      val kv = lines.drop(1).flatMap { l =>
+        l.split(" ", 2) match { case Array(k, v) => Some(k -> v); case _ => None }
       }
-    }
-    // else: swaps already completed by a crashed earlier attempt — a
-    // surviving salvage dir holds rows NOT yet replayed; keep it.
-    indexArtifacts.foreach { sub =>
-      repairCrashedSwap(indexDir, sub)
-      if (java.nio.file.Files.isDirectory(base.resolve(s"$sub.next")))
-        swapIn(indexDir, sub)
-      // a .old beside a live dir is debris of an already-completed
-      // swap (the crash hit after its rename, before its cleanup)
-      else if (java.nio.file.Files.exists(base.resolve(sub)))
-        deleteDir(base.resolve(s"$sub.old"))
-    }
-    // replay the salvage BEFORE dropping the marker: a crash anywhere in
-    // this window re-enters with the marker still present and replays
-    // again (at-least-once — compaction's per-vec_id dedup heals the
-    // duplicate rows a partial earlier replay may have landed)
-    if (java.nio.file.Files.isDirectory(salvage)) {
-      appendQuantized(s, s.read.parquet(salvage.toString)
-        .select(col("vec_id"), col("v")), indexDir)
-      deleteDir(salvage)
+      val oldVec = kv.collectFirst { case ("old", v) => v }
+      val newVec = kv.collectFirst { case ("new", v) => v }
+      val snap = kv.collect { case ("snap", v) => v }.toSet
+      val cur = manifestMapping(indexDir).get("vectors").map(_._1)
+      if (oldVec.isDefined && cur == newVec)
+        salvageDrift(s, indexDir, oldVec.get, snap)
+      // else: flip never committed (or marker predates this format) —
+      // roll back by doing nothing; the sweep reclaims staged dirs
     }
     java.nio.file.Files.delete(marker)
   }
 
   /** Maintenance entry discipline shared by every index WRITE: serialize
-    * on the in-process writer lock, complete any crashed retrain
-    * (roll-forward, salvaging crash-window appends), heal any crashed
-    * single swap. */
+    * on the in-process writer lock, complete any commit that crashed
+    * between flip and salvage, then sweep staged directories a crashed
+    * rewrite left unreferenced. */
   private def withIndexWriter[A](s: SparkSession, indexDir: String)(
       f: => A): A =
     indexLock(indexDir).synchronized {
-      rollForwardRetrain(s, indexDir)
-      indexArtifacts.foreach(repairCrashedSwap(indexDir, _))
+      healPendingCommit(s, indexDir)
+      sweepUnreferenced(indexDir)
       f
     }
 
-  /** Maintenance: compact the per-append file accumulation in `vectors/`
-    * and `codes/` — the index-side twin of the event log's small-files
-    * problem (StreamStore.compactLog). Each artifact rewrites into
-    * ~128 MB files, still partitioned by cell, staged to `<sub>.next`
-    * and swapped in. NOT purely physical: this is also where the
-    * exactly-once read view is restored after an at-least-once ingest
-    * retry — vectors dedup to one row per vec_id and codes rebuild from
-    * the compacted vectors, so row counts can SHRINK across a
-    * compaction of a dirty index. Returns the post-compaction info map
-    * (its `files` is the bounded count). */
+  /** ~128 MB-file partition count for an artifact's current bytes (the
+    * compactLog sizing rule). A missing or empty artifact sizes to 1. */
+  private def compactTarget(indexDir: String, sub: String): Int = {
+    val bytes = walkParquet(indexDir, sub)
+      .map(java.nio.file.Files.size(_)).sum
+    math.max(1, math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
+  }
+
+  /** Maintenance: compact the per-append file accumulation in the
+    * vectors and codes artifacts — the index-side twin of the event
+    * log's small-files problem (StreamStore.compactLog). Each artifact
+    * rewrites into ~128 MB files, still partitioned by cell, staged to a
+    * fresh versioned directory; BOTH commit in one atomic manifest flip,
+    * so even the vectors/codes pair can never be observed mixed. NOT
+    * purely physical: this is also where the exactly-once read view is
+    * restored after an at-least-once ingest retry — vectors dedup to one
+    * row per vec_id and codes rebuild from the compacted vectors, so row
+    * counts can SHRINK across a compaction of a dirty index. Returns the
+    * post-compaction info map (its `files` is the bounded count). */
   def compactVectorIndex(s: SparkSession, indexDir: String): Map[String, Long] =
     withIndexWriter(s, indexDir) {
       import org.apache.spark.sql.SaveMode
+      val staged = scala.collection.mutable.Map.empty[String, String]
+      val vecSnapshot = artifactFiles(indexDir, "vectors")
       // vectors: ~128 MB files AND one row per vec_id — an at-least-once
       // ingest retry that died between its vectors and codes writes can
       // have landed duplicate vector rows; compaction is where the
       // exactly-once read view is restored (deterministic keep:
       // min (cell, v), which for true retry twins is the identical row)
       if (subdirExists(indexDir, "vectors")) {
-        val snapshot = artifactFiles(indexDir, "vectors")
-        s.read.parquet(s"$indexDir/vectors")
+        val next = nextDirName(indexDir, "vectors")
+        s.read.parquet(artifactPath(indexDir, "vectors"))
           .groupBy(col("vec_id"))
           .agg(min(struct(col("cell").cast("long").as("cell"), col("v")))
             .as("m"))
           .select(col("vec_id"), col("m.v").as("v"), col("m.cell").as("cell"))
           .repartition(compactTarget(indexDir, "vectors"), col("cell"))
           .write.partitionBy("cell")
-          .mode(SaveMode.Overwrite).parquet(s"$indexDir/vectors.next")
-        requireUnchanged(indexDir, "vectors", snapshot)
-        swapIn(indexDir, "vectors")
+          .mode(SaveMode.Overwrite).parquet(s"$indexDir/$next")
+        staged += "vectors" -> next
       }
       // codes: REBUILT from the compacted vectors through the persisted
       // codebooks — restores every invariant in one pass: no duplicate
@@ -715,15 +847,17 @@ object Similarity {
       // vectors (the orphan a crash between an append's two writes
       // leaves invisible to the ADC stage)
       if (subdirExists(indexDir, "codebooks")) {
-        val snapshot = artifactFiles(indexDir, "codes")
-        encodeCodes(s.read.parquet(s"$indexDir/vectors"),
-            readCodebooks(s, indexDir))
+        val next = nextDirName(indexDir, "codes")
+        val src = staged.get("vectors")
+          .map(d => s"$indexDir/$d")
+          .getOrElse(artifactPath(indexDir, "vectors"))
+        encodeCodes(s.read.parquet(src), readCodebooks(s, indexDir))
           .repartition(compactTarget(indexDir, "codes"), col("cell"))
           .write.partitionBy("cell")
-          .mode(SaveMode.Overwrite).parquet(s"$indexDir/codes.next")
-        requireUnchanged(indexDir, "codes", snapshot)
-        swapIn(indexDir, "codes")
+          .mode(SaveMode.Overwrite).parquet(s"$indexDir/$next")
+        staged += "codes" -> next
       }
+      if (staged.nonEmpty) commitStaged(s, indexDir, staged.toMap, vecSnapshot)
       vectorIndexInfo(s, indexDir)
     }
 
@@ -735,14 +869,18 @@ object Similarity {
     * centroid (the skew answer — a hot cell's mass pulls its centroid and
     * boundary vectors migrate out), codebooks retrain on the bounded
     * sample of index vectors, and codes re-encode. All four artifacts
-    * stage to `.next` and swap, so a crash mid-retrain leaves the live
-    * index untouched. */
+    * stage to fresh versioned directories and commit in ONE atomic
+    * manifest flip, so a crash mid-retrain leaves the live index
+    * untouched and a reader can never observe new centroids over old
+    * cell membership. */
   def retrainVectorIndex(s: SparkSession, indexDir: String): Map[String, Long] =
     withIndexWriter(s, indexDir) {
     import org.apache.spark.sql.SaveMode
     val vecSnapshot = artifactFiles(indexDir, "vectors")
-    val codeSnapshot = artifactFiles(indexDir, "codes")
-    val vecs = s.read.parquet(s"$indexDir/vectors")
+    val staged = indexArtifacts.map(sub =>
+      sub -> nextDirName(indexDir, sub)).toMap
+    def stagedPath(sub: String): String = s"$indexDir/${staged(sub)}"
+    val vecs = s.read.parquet(artifactPath(indexDir, "vectors"))
       .select(col("vec_id"), col("v"), col("cell").cast("long").as("cell"))
       .persist() // settle: centroid update + reassignment + PQ sample read it
     try {
@@ -754,8 +892,8 @@ object Similarity {
         .agg(transform(sort_array(collect_list(struct(col("i"), col("cx")))),
           p => p.getField("cx")).as("c"))
         .coalesce(1)
-        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/centroids.next")
-      val cents = s.read.parquet(s"$indexDir/centroids.next")
+        .write.mode(SaveMode.Overwrite).parquet(stagedPath("centroids"))
+      val cents = s.read.parquet(stagedPath("centroids"))
         .orderBy("cell").collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1)))
       // the rewrite IS a compaction opportunity: repartition on cell so
@@ -766,24 +904,18 @@ object Similarity {
         .select(col("vec_id"), col("v"), col("b.cell").as("cell"))
       assigned.repartition(compactTarget(indexDir, "vectors"), col("cell"))
         .write.partitionBy("cell")
-        .mode(SaveMode.Overwrite).parquet(s"$indexDir/vectors.next")
+        .mode(SaveMode.Overwrite).parquet(stagedPath("vectors"))
       val books = trainCodebooks(s, vecs.select(col("vec_id"), col("v")),
         pqM, pqL, pqK)
-      writeCodebooks(s, s"$indexDir/codebooks.next", books)
-      encodeCodes(s.read.parquet(s"$indexDir/vectors.next"), books)
+      writeCodebooks(s, stagedPath("codebooks"), books)
+      encodeCodes(s.read.parquet(stagedPath("vectors")), books)
         .repartition(compactTarget(indexDir, "codes"), col("cell"))
         .write.partitionBy("cell")
-        .mode(SaveMode.Overwrite).parquet(s"$indexDir/codes.next")
-      requireUnchanged(indexDir, "vectors", vecSnapshot)
-      requireUnchanged(indexDir, "codes", codeSnapshot)
-      // every .next is staged and validated: commit — from here a crash
-      // rolls FORWARD (the marker makes the next write entrypoint finish
-      // the remaining swaps, never serve a mixed generation for long);
-      // the marker body is the validated fileset, so roll-forward can
-      // tell crash-window appends apart from the committed generation
-      writeRetrainMarker(indexDir, vecSnapshot, codeSnapshot)
-      indexArtifacts.foreach(swapIn(indexDir, _))
-      java.nio.file.Files.delete(retrainMarker(indexDir))
+        .mode(SaveMode.Overwrite).parquet(stagedPath("codes"))
+      // all four generations staged: one atomic flip commits them
+      // together — no reader ever sees a mixed generation, and in-flight
+      // readers drain against the retained previous generation
+      commitStaged(s, indexDir, staged, vecSnapshot)
       vectorIndexInfo(s, indexDir)
     } finally vecs.unpersist(false)
   }

@@ -682,8 +682,11 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     // artifacts, never per-query work.
     if (!c.trusted && !c.did.exists(moduleAdmins.contains))
       throw new LeafAuthException("admin RPCs require a trusted connection")
-    graft.queries.Similarity
+    val out = graft.queries.Similarity
       .buildVectorIndex(store.spark, str(args, "src"), str(args, "dir"))
+    // a rebuild over a live index is a manifest flip like any other
+    store.refreshAttachedIndexes(str(args, "dir"))
+    out
   }
 
   handle("/admin/vector_index_attach") { (c, args) =>
@@ -695,6 +698,27 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
       throw new LeafAuthException("admin RPCs require a trusted connection")
     val tables = withStream(str(args, "id"))(
       _.attachVectorIndex(str(args, "prefix"), str(args, "dir")))
+    Map("tables" -> tables.toVector)
+  }
+
+  handle("/admin/lexical_index_build") { (c, args) =>
+    // One corpus pass lands the BM25-sufficient statistics (postings,
+    // doc lengths, document frequencies, corpus stats) as parquet
+    // artifacts — the lexical sibling of vector_index_build.
+    if (!c.trusted && !c.did.exists(moduleAdmins.contains))
+      throw new LeafAuthException("admin RPCs require a trusted connection")
+    graft.queries.Retrieval
+      .buildLexicalIndex(store.spark, str(args, "src"), str(args, "dir"))
+  }
+
+  handle("/admin/lexical_index_attach") { (c, args) =>
+    // {prefix}_terms/_docs/_df/_stats views inside one stream's database,
+    // so a module query can bind `$terms` (A7) and BM25-score against
+    // the postings without touching the corpus text.
+    if (!c.trusted && !c.did.exists(moduleAdmins.contains))
+      throw new LeafAuthException("admin RPCs require a trusted connection")
+    val tables = withStream(str(args, "id"))(
+      _.attachLexicalIndex(str(args, "prefix"), str(args, "dir")))
     Map("tables" -> tables.toVector)
   }
 
@@ -715,8 +739,12 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     // the probe-one-cell read path is unchanged), staged and swapped.
     if (!c.trusted && !c.did.exists(moduleAdmins.contains))
       throw new LeafAuthException("admin RPCs require a trusted connection")
-    graft.queries.Similarity
+    val out = graft.queries.Similarity
       .compactVectorIndex(store.spark, str(args, "dir"))
+    // the manifest flipped: open streams re-resolve their attached views
+    // before the NEXT flip retires the generation they were reading
+    store.refreshAttachedIndexes(str(args, "dir"))
+    out
   }
 
   handle("/admin/vector_index_retrain") { (c, args) =>
@@ -726,8 +754,10 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     // twin of dedup_index_reband: the source corpus is never re-read.
     if (!c.trusted && !c.did.exists(moduleAdmins.contains))
       throw new LeafAuthException("admin RPCs require a trusted connection")
-    graft.queries.Similarity
+    val out = graft.queries.Similarity
       .retrainVectorIndex(store.spark, str(args, "dir"))
+    store.refreshAttachedIndexes(str(args, "dir"))
+    out
   }
 
   handle("/admin/vector_index_info") { (c, args) =>

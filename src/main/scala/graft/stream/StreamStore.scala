@@ -307,6 +307,22 @@ class StreamStore(val spark: SparkSession, val root: String,
   /** Number of handles currently cached (test observability for the LRU). */
   def openHandleCount: Int = synchronized(handles.size)
 
+  /** After a vector-index maintenance flip: every OPEN handle
+    * re-resolves its attached views of `indexDir` against the new
+    * manifest generation. Closed streams heal on their next open
+    * (initialize re-attaches); in between, readers drain on the
+    * retained previous generation. */
+  def refreshAttachedIndexes(indexDir: String): Unit = {
+    val open = synchronized {
+      import scala.jdk.CollectionConverters._
+      handles.values().asScala.toVector
+    }
+    open.filterNot(_.isClosed).foreach { h =>
+      try h.reattachVectorIndexes(indexDir)
+      catch { case _: IllegalStateException => /* evicted mid-iteration */ }
+    }
+  }
+
   /** Times a handle was CONSTRUCTED for this id (test observability: a
     * backup sweep that thrashes the LRU shows up as this count growing
     * tick over tick with no new work). */
@@ -548,6 +564,19 @@ class StreamHandle(val store: StreamStore, val id: String) {
     // whole lifetime — module SQL uses unqualified names
     spark.sql(s"USE $dbName")
     if (Files.exists(metaPath)) loadMeta()
+    loadAttachments()
+    // re-resolve recorded index attachments against the index's CURRENT
+    // manifest generation — views created before a maintenance flip
+    // would otherwise point at a directory the next flip retires. A
+    // since-deleted index only drops its own views (loudly logged).
+    attachments.foreach { case (p, d) =>
+      try attachViews(p, d)
+      catch {
+        case e: Exception =>
+          System.err.println(s"[graft] stale vector-index attachment " +
+            s"$p -> $d failed to re-resolve: ${e.getMessage}")
+      }
+    }
     // no seed file needed: the events table declares its schema explicitly,
     // and scanning an empty log dir yields zero rows
     spark.sql(s"DROP TABLE IF EXISTS $dbName.events")
@@ -693,22 +722,104 @@ class StreamHandle(val store: StreamStore, val id: String) {
         s"bad index prefix: $prefix")
       require(!indexDir.contains("`") && !indexDir.contains("'"),
         s"bad index dir: $indexDir")
-      spark.sql(s"CREATE OR REPLACE VIEW $dbName.${prefix}_centroids AS " +
-        s"SELECT cell, c FROM parquet.`$indexDir/centroids`")
-      spark.sql(s"CREATE OR REPLACE VIEW $dbName.${prefix}_vectors AS " +
-        s"SELECT vec_id, v, CAST(cell AS BIGINT) AS cell " +
-        s"FROM parquet.`$indexDir/vectors`")
-      val base = Seq(s"${prefix}_centroids", s"${prefix}_vectors")
-      val hasPq = Files.isDirectory(
-        Paths.get(indexDir.stripPrefix("file:"), "codes"))
-      if (!hasPq) base
-      else {
-        spark.sql(s"CREATE OR REPLACE VIEW $dbName.${prefix}_codebooks AS " +
-          s"SELECT m, j, c FROM parquet.`$indexDir/codebooks`")
-        spark.sql(s"CREATE OR REPLACE VIEW $dbName.${prefix}_codes AS " +
-          s"SELECT vec_id, c0, c1, c2, c3, CAST(cell AS BIGINT) AS cell " +
-          s"FROM parquet.`$indexDir/codes`")
-        base ++ Seq(s"${prefix}_codebooks", s"${prefix}_codes")
+      val tables = attachViews(prefix, indexDir)
+      // record the attachment beside the meta so (a) reopening the
+      // stream re-resolves the views against the index's CURRENT
+      // manifest generation, and (b) maintenance RPCs can refresh live
+      // handles after a manifest flip (the retained-previous-generation
+      // window covers readers in between)
+      attachments(prefix) = indexDir
+      saveAttachments()
+      tables
+    }
+
+  /** (Re-)create the index views against the CURRENT manifest
+    * generation. Callers hold the lock. */
+  private def attachViews(prefix: String, indexDir: String): Seq[String] = {
+    val rel = graft.queries.Similarity.artifactRelation(indexDir)
+    spark.sql(s"CREATE OR REPLACE VIEW $dbName.${prefix}_centroids AS " +
+      s"SELECT cell, c FROM ${rel("centroids")}")
+    spark.sql(s"CREATE OR REPLACE VIEW $dbName.${prefix}_vectors AS " +
+      s"SELECT vec_id, v, CAST(cell AS BIGINT) AS cell " +
+      s"FROM ${rel("vectors")}")
+    val base = Seq(s"${prefix}_centroids", s"${prefix}_vectors")
+    val hasPq = Files.isDirectory(Paths.get(
+      rel("codes").stripPrefix("parquet.`").stripSuffix("`")
+        .stripPrefix("file:")))
+    if (!hasPq) base
+    else {
+      // code columns derive from the PQ geometry (Similarity.codeCols),
+      // so an M change regenerates the views with every other consumer
+      val codeList = graft.queries.Similarity.codeCols.mkString(", ")
+      spark.sql(s"CREATE OR REPLACE VIEW $dbName.${prefix}_codebooks AS " +
+        s"SELECT m, j, c FROM ${rel("codebooks")}")
+      spark.sql(s"CREATE OR REPLACE VIEW $dbName.${prefix}_codes AS " +
+        s"SELECT vec_id, $codeList, CAST(cell AS BIGINT) AS cell " +
+        s"FROM ${rel("codes")}")
+      base ++ Seq(s"${prefix}_codebooks", s"${prefix}_codes")
+    }
+  }
+
+  // prefix -> indexDir, persisted as vector_attachments.tsv beside the
+  // meta (tab-separated; attach() validates both fields against
+  // injection, so the format is unambiguous). Lazy: initialize() runs
+  // from the constructor BEFORE this declaration site and reads it.
+  private lazy val attachments = mutable.LinkedHashMap.empty[String, String]
+
+  private def attachmentsPath: Path = dir.resolve("vector_attachments.tsv")
+
+  private def saveAttachments(): Unit = {
+    val body = attachments.map { case (p, d) => s"$p\t$d" }.mkString("\n")
+    val tmp = dir.resolve("vector_attachments.tsv.tmp")
+    Files.write(tmp, body.getBytes(UTF_8))
+    Files.move(tmp, attachmentsPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def loadAttachments(): Unit =
+    if (Files.exists(attachmentsPath)) {
+      new String(Files.readAllBytes(attachmentsPath), UTF_8)
+        .split("\n").filter(_.contains("\t")).foreach { l =>
+          val Array(p, d) = l.split("\t", 2)
+          attachments(p) = d
+        }
+    }
+
+  /** Re-resolve every attached view of `indexDir` (or all attachments
+    * when `indexDir` is empty) against the index's current manifest —
+    * what a maintenance RPC calls after a compact/retrain flip so live
+    * handles leave the retained previous generation before it is
+    * retired at the NEXT flip. */
+  def reattachVectorIndexes(indexDir: String = ""): Unit =
+    lock.synchronized {
+      ensureOpen()
+      attachments.foreach { case (p, d) =>
+        if (indexDir.isEmpty || d == indexDir) attachViews(p, d)
+      }
+    }
+
+  /** Expose a built lexical (BM25) index inside this stream's database
+    * as {prefix}_terms / {prefix}_docs / {prefix}_df / {prefix}_stats
+    * views, so a module query can bind `$terms` as an A7 param and score
+    * against the postings — the lexical twin of [[attachVectorIndex]].
+    * (The lexical index has no maintenance flips: a rebuild overwrites
+    * in place, so views stay path-stable.) */
+  def attachLexicalIndex(prefix: String, indexDir: String): Seq[String] =
+    lock.synchronized {
+      ensureOpen()
+      require(prefix.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"bad index prefix: $prefix")
+      require(!indexDir.contains("`") && !indexDir.contains("'"),
+        s"bad index dir: $indexDir")
+      val cols = Map(
+        "terms" -> "term, doc_id, tf",
+        "docs" -> "doc_id, dl",
+        "df" -> "term, df",
+        "stats" -> "n, avgdl")
+      Seq("terms", "docs", "df", "stats").map { sub =>
+        spark.sql(s"CREATE OR REPLACE VIEW $dbName.${prefix}_$sub AS " +
+          s"SELECT ${cols(sub)} FROM parquet.`$indexDir/$sub`")
+        s"${prefix}_$sub"
       }
     }
 

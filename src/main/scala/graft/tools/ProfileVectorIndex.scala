@@ -68,7 +68,7 @@ object ProfileVectorIndex {
         x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
       .head().getSeq[Long](0).mkString(",")
     val twoStage = Similarity.twoStageKnnSql(
-      a => s"parquet.`$idx/$a`", s"'$qvec'", "10")
+      Similarity.artifactRelation(idx), s"'$qvec'", "10")
     val rows = timed("two_stage_query")(spark.sql(twoStage).collect())
     require(rows.head.getLong(0) == 7L && rows.head.getLong(2) == 0L,
       s"self-hit missing: ${rows.head}")
@@ -80,7 +80,12 @@ object ProfileVectorIndex {
     println(s"[vecprof] post-compact files: ${compacted("files")}")
     val retrained = timed("retrain")(Similarity.retrainVectorIndex(spark, idx))
     println(s"[vecprof] post-retrain: $retrained")
-    val rows2 = timed("two_stage_query_post")(spark.sql(twoStage).collect())
+    // re-render: the compact + retrain flips moved the manifest two
+    // generations, and the profiler (unlike attached views) resolves at
+    // SQL-generation time
+    val twoStagePost = Similarity.twoStageKnnSql(
+      Similarity.artifactRelation(idx), s"'$qvec'", "10")
+    val rows2 = timed("two_stage_query_post")(spark.sql(twoStagePost).collect())
     require(rows2.head.getLong(0) == 7L && rows2.head.getLong(2) == 0L,
       s"self-hit missing after retrain: ${rows2.head}")
     spark.stop()

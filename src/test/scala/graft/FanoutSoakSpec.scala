@@ -571,4 +571,103 @@ class FanoutSoakSpec extends AnyFunSuite {
     assert(late < math.max(5 * early, early + 2000),
       f"kNN latency crept $early%.0fms -> $late%.0fms during ingest")
   }
+
+  test("kNN queries poll DURING concurrent compact + retrain: zero failed " +
+    "or torn reads across manifest flips") {
+    // the versioned-manifest commit's user-visible contract: maintenance
+    // flips (compact, retrain, append in between) run under live query
+    // load and no poll ever fails or returns an inconsistent top-k. A
+    // reader mid-flip drains on the RETAINED previous generation; the
+    // maintenance RPC re-resolves the attached views after each flip,
+    // always one full cycle before that generation is retired.
+    import org.apache.spark.sql.functions._
+    val src = "/root/testdata/sf0.001"
+    val idx = graft.TempDirs.create("graft-vecmaint").toString
+    graft.queries.Similarity.buildVectorIndex(spark, src, idx)
+
+    val twoStageSql = graft.queries.Similarity.twoStageKnnSql(
+      a => s"vm_$a", "$qvec", "CAST($limit AS INT)")
+    val cid = ok(post("/module/upload", Map("module" -> Map(
+      "queries" -> Map("knn" -> Map(
+        "sql" -> twoStageSql,
+        "params" -> Vector(Map("name" -> "qvec", "kind" -> "text"))))))))(
+      "cid").asInstanceOf[String]
+    val sid = ok(post("/stream/create",
+      Map("id" -> "did:fanout:vecmaint", "module_cid" -> cid)))("id").toString
+    ok(post("/admin/vector_index_attach",
+      Map("id" -> sid, "prefix" -> "vm", "dir" -> idx)))
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val qv = emb.filter(col("vec_id") === 7)
+      .select(transform(col("embedding"),
+        x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
+      .head.getSeq[Long](0)
+
+    val running = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val failure = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val polls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pollers = (1 to 2).map { _ =>
+      new Thread(() => {
+        while (running.get() && failure.get() == null) {
+          try {
+            val rows = ok(post("/stream/query", Map("id" -> sid,
+              "query" -> Map("name" -> "knn", "limit" -> 5L,
+                "params" -> Map("qvec" -> qv.mkString(","))))))("rows")
+              .asInstanceOf[Vector[Any]].map { r =>
+                val m = r.asInstanceOf[Map[String, Any]]
+                def l(f: String) = m(f).asInstanceOf[Map[String, Any]](
+                  "value").asInstanceOf[Long]
+                (l("vec_id"), l("exact_dist"))
+              }
+            polls.incrementAndGet()
+            if (rows.size != 5)
+              failure.set(s"short result mid-maintenance: $rows")
+            else if (rows.head != ((7L, 0L)))
+              failure.set(s"head drifted mid-maintenance: $rows")
+            else if (rows.map(_._2) != rows.map(_._2).sorted)
+              failure.set(s"distances out of order mid-maintenance: $rows")
+          } catch {
+            case e: Exception => failure.set(s"poll threw mid-maintenance: $e")
+          }
+        }
+      })
+    }
+    pollers.foreach(_.start())
+
+    // three full maintenance cycles under load: append a twin wave, then
+    // compact (flip), then retrain (flip) — each flip via the RPC so the
+    // server refreshes the attached views like a real deployment
+    val wave = emb.filter(col("vec_id") < 40)
+    var cycles = 0
+    try {
+      for (i <- 1 to 3 if failure.get() == null) {
+        graft.queries.Similarity.appendVectorIndexDf(spark,
+          wave.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)), idx)
+        ok(post("/admin/vector_index_compact", Map("dir" -> idx)))
+        ok(post("/admin/vector_index_retrain", Map("dir" -> idx)))
+        cycles = i
+      }
+    } finally {
+      running.set(false)
+      pollers.foreach(_.join(30000))
+    }
+    assert(failure.get() == null, String.valueOf(failure.get()))
+    assert(cycles == 3)
+    assert(polls.get() >= 10,
+      s"only ${polls.get()} polls landed across 3 maintenance cycles")
+    println(s"VECMAINT cycles=3 polls=${polls.get()} — no failed/torn reads")
+
+    // and the final state is exactly the build + 3 waves, fully coded
+    val info = graft.queries.Similarity.vectorIndexInfo(spark, idx)
+    assert(info("vectors") == emb.count() + 3 * 40, info.toString)
+    val fin = ok(post("/stream/query", Map("id" -> sid,
+      "query" -> Map("name" -> "knn", "limit" -> 5L,
+        "params" -> Map("qvec" -> qv.mkString(","))))))("rows")
+      .asInstanceOf[Vector[Any]].map(r =>
+        r.asInstanceOf[Map[String, Any]]("exact_dist")
+          .asInstanceOf[Map[String, Any]]("value").asInstanceOf[Long])
+    // self + the 3 appended twins are exact-distance-0; the 5th is real
+    assert(fin.take(4) == Vector.fill(4)(0L) && fin == fin.sorted,
+      s"post-maintenance top-5 should lead with self + 3 twins: $fin")
+  }
 }

@@ -234,7 +234,7 @@ class PlanAuditSpec extends AnyFunSuite {
         x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
       .head().getSeq[Long](0).mkString(",")
     val df = spark.sql(graft.queries.Similarity.twoStageKnnSql(
-      a => s"parquet.`$idx/$a`", s"'$qvec'", "10"))
+      graft.queries.Similarity.artifactRelation(idx), s"'$qvec'", "10"))
     assert(df.head().getLong(0) == 7L && df.head().getLong(2) == 0L)
     val plan = df.queryExecution.executedPlan.toString
     assert("FileScan parquet [^\\n]*/vectors".r.findAllIn(plan).size == 1,

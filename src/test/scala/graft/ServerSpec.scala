@@ -1053,10 +1053,10 @@ class ServerSpec extends AnyFunSuite {
     // oracle: recompute top-5 from the index artifacts directly
     def d2(a: Seq[Long], b: Seq[Long]): Long =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
-    val cents = spark.read.parquet(s"$idx/centroids").collect()
+    val cents = spark.read.parquet(graft.queries.Similarity.artifactPath(idx, "centroids")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
     val cell = cents.map { case (c, cv) => (d2(cv, qv), c) }.min._2
-    val expected = spark.read.parquet(s"$idx/vectors")
+    val expected = spark.read.parquet(graft.queries.Similarity.artifactPath(idx, "vectors"))
       .select(col("vec_id"), col("v"), col("cell").cast("long").as("cell"))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
       .filter(_._3 == cell)
@@ -1094,7 +1094,7 @@ class ServerSpec extends AnyFunSuite {
       "append must assign into existing cells, never mint new ones")
     // a doubled corpus of identical vectors keeps the share flat
     assert(info1("max_cell_share_pct") == info0("max_cell_share_pct"))
-    val cellOf = spark.read.parquet(s"$idx/vectors")
+    val cellOf = spark.read.parquet(graft.queries.Similarity.artifactPath(idx, "vectors"))
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     (0L until math.min(n0, 50L)).foreach { i =>
@@ -1164,21 +1164,21 @@ class ServerSpec extends AnyFunSuite {
     def d2(a: Seq[Long], b: Seq[Long]): Long =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
     def oracle(k: Int): Vector[(Long, Long, Long)] = {
-      val cents = spark.read.parquet(s"$idx/centroids").collect()
+      val cents = spark.read.parquet(graft.queries.Similarity.artifactPath(idx, "centroids")).collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1)))
       val cell = cents.map { case (c, cv) => (d2(cv, qv), c) }.min._2
-      val books = spark.read.parquet(s"$idx/codebooks").collect()
+      val books = spark.read.parquet(graft.queries.Similarity.artifactPath(idx, "codebooks")).collect()
         .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Long](2))).toMap
       def qd(m: Int, j: Long): Long =
         d2(books((m, j.toInt)), qv.slice(m * 16, m * 16 + 16))
-      val cand = spark.read.parquet(s"$idx/codes")
+      val cand = spark.read.parquet(graft.queries.Similarity.artifactPath(idx, "codes"))
         .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
           col("cell").cast("long").as("cell"))
         .collect().filter(_.getLong(5) == cell)
         .map(r => (r.getLong(0),
           (0 until 4).map(m => qd(m, r.getLong(1 + m))).sum))
         .sortBy { case (id, d) => (d, id) }.take(50)
-      val vecOf = spark.read.parquet(s"$idx/vectors")
+      val vecOf = spark.read.parquet(graft.queries.Similarity.artifactPath(idx, "vectors"))
         .select(col("vec_id"), col("v"), col("cell").cast("long").as("cell"))
         .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
       cand.map { case (id, adc) => (id, adc, d2(vecOf(id), qv)) }
@@ -1229,6 +1229,99 @@ class ServerSpec extends AnyFunSuite {
       "the retrained index must answer from its own (new) artifacts")
     assert(ask(5).map(_._1) == before.map(_._1),
       "on unchanged data a retrain must not change the neighbor set")
+  }
+
+  test("param-bound BM25 named query answers from the lexical index " +
+    "artifacts, oracle-checked") {
+    // the lexical twin of the two-stage kNN e2e: build the postings
+    // artifacts once, attach as views, then an A7 `$terms` param binds an
+    // ARBITRARY query-term set at call time — scored without touching the
+    // corpus text, verified against an independent plain-Scala Okapi
+    // recompute with the identical micro-nat rounding ladder.
+    val src = "/root/testdata/sf0.001"
+    val idx = graft.TempDirs.create("graft-lexidx").toString
+    val built = ok(post("/admin/lexical_index_build",
+      Map("src" -> src, "dir" -> idx)))
+    assert(built("docs").asInstanceOf[Long] > 0 &&
+      built("postings").asInstanceOf[Long] > 0, built.toString)
+
+    val bmSql = graft.queries.Retrieval.bm25NamedSql(
+      a => s"lx_$a", "$terms", "CAST($limit AS INT)")
+    val cid = ok(post("/module/upload", Map("module" -> Map(
+      "queries" -> Map("bm25" -> Map(
+        "sql" -> bmSql,
+        "params" -> Vector(Map("name" -> "terms", "kind" -> "text"))))))))(
+      "cid").asInstanceOf[String]
+    val sid = ok(post("/stream/create",
+      Map("id" -> "did:graft:lexsearch", "module_cid" -> cid)))("id").toString
+    val tabs = ok(post("/admin/lexical_index_attach",
+      Map("id" -> sid, "prefix" -> "lx", "dir" -> idx)))
+    assert(tabs("tables").asInstanceOf[Vector[Any]].size == 4)
+
+    // the POINT is the binding: a rare term + a common term from the live
+    // vocabulary (not the gate's fixed set) + one absent term that must
+    // drop out at the df join
+    val docsT = spark.read.parquet(s"$src/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val tokAll = docsT.map { case (id, tx) =>
+      id -> tx.trim.toLowerCase.split("\\s+").toSeq }
+    val freq = tokAll.flatMap(_._2).filterNot(_.isEmpty)
+      .groupBy(identity).view.mapValues(_.length).toSeq
+    val rare = freq.minBy { case (t, c) => (c, t) }._1
+    val common = freq.maxBy { case (t, c) => (c, t) }._1
+    val terms = Seq(rare, common, "zzz_absent_term")
+
+    def askT(ts: Seq[String], k: Long): Vector[(Long, Long)] =
+      ok(post("/stream/query", Map("id" -> sid, "query" -> Map(
+        "name" -> "bm25", "limit" -> k,
+        "params" -> Map("terms" -> ts.mkString(","))))))("rows")
+        .asInstanceOf[Vector[Any]].map { r =>
+          val m = r.asInstanceOf[Map[String, Any]]
+          def l(f: String) = m(f).asInstanceOf[Map[String, Any]]("value")
+            .asInstanceOf[Long]
+          (l("doc_id"), l("score_micro"))
+        }
+    def ask(k: Long): Vector[(Long, Long)] = askT(terms, k)
+
+    // independent oracle: Okapi BM25 in plain Scala; HALF_UP via
+    // java BigDecimal.valueOf == Spark round() on doubles exactly
+    def rnd(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val n = tokAll.length
+    val dls = tokAll.map { case (id, ts) => id -> ts.size.toLong }.toMap
+    val avgdl = dls.values.sum.toDouble / n
+    val dfOf = terms.map(t => t -> tokAll.count(_._2.contains(t)).toLong).toMap
+    val expected = tokAll.map { case (id, ts) =>
+      id -> terms.map { t =>
+        val tf = ts.count(_ == t).toLong
+        if (tf == 0L) 0L
+        else {
+          val idf = rnd(math.log(((n - dfOf(t)).toDouble + 0.5) /
+            (dfOf(t).toDouble + 0.5) + 1.0) * 1e6)
+          rnd(idf * ((tf.toDouble * 2.2) / (tf.toDouble +
+            1.2 * (0.25 + (0.75 * dls(id).toDouble) / avgdl))))
+        }
+      }.sum
+    }.filter(_._2 != 0L)
+      .sortBy { case (id, sc) => (-sc, id) }
+    assert(expected.size >= 10, s"test terms too rare: $terms")
+    val got = ask(10)
+    assert(got == expected.take(10).toVector,
+      s"terms=$terms got=$got expected=${expected.take(10)}")
+    // re-bind with a different term set: same module, different answers —
+    // the parameterization is real, not baked into the plan. The
+    // rare-term-only binding must lead with the rare term's docs, which
+    // the common-term-only binding cannot (rare idf >> common idf).
+    val gotRare = askT(Seq(rare), 5L)
+    val gotCommon = askT(Seq(common), 5L)
+    // a rare-only binding returns ONLY docs containing the rare term
+    // (possibly fewer than 5 — correct retrieval semantics)
+    val rareDocs = tokAll.filter(_._2.contains(rare)).map(_._1).toSet
+    assert(gotRare.nonEmpty && gotRare.map(_._1).forall(rareDocs.contains),
+      s"rare-only binding returned non-matching docs: $gotRare")
+    assert(gotCommon.size == 5)
+    assert(gotRare != gotCommon, "rebinding changed nothing")
   }
 
   test("json parser caps container nesting (no stack overflow on [[[…)") {

@@ -130,45 +130,41 @@ class SimilaritySpec extends AnyFunSuite {
       "q_knn_ivfpq returned rows outside the probed cell")
   }
 
-  test("index maintenance heals a swap that crashed between its renames") {
-    // the swap discipline's one non-atomic window: old displaced, next
-    // not yet in place. Simulate the crash (vectors/ gone, vectors.old
-    // holding the live artifact) and assert a re-run of the maintenance
-    // op repairs and completes — content identical, no manual surgery.
+  test("manifest commit: snapshot isolation across a flip, one retained " +
+    "generation, stale generation retired at the NEXT flip") {
     import java.nio.file.{Files, Paths}
     import graft.queries.Similarity
     val src = "/root/testdata/sf0.001"
-    val idx = graft.TempDirs.create("graft-crashswap").toString
+    val idx = graft.TempDirs.create("graft-manifest").toString
     Similarity.buildVectorIndex(spark, src, idx)
-    val before = spark.read.parquet(s"$idx/vectors")
+    assert(Files.exists(Paths.get(idx, "MANIFEST")),
+      "build must commit a manifest")
+    val g1 = Similarity.artifactPath(idx, "vectors")
+    val before = spark.read.parquet(g1)
       .select("vec_id", "cell").collect()
       .map(r => (r.getLong(0), r.get(1).toString)).sorted.toSeq
-
-    Files.move(Paths.get(idx, "vectors"), Paths.get(idx, "vectors.old"))
-    // a read in the crashed state fails loudly — never silently empty
-    intercept[Exception](spark.read.parquet(s"$idx/vectors").count())
-
-    val info = Similarity.compactVectorIndex(spark, idx)
-    assert(info("vectors") == before.size.toLong, info.toString)
-    assert(!Files.exists(Paths.get(idx, "vectors.old")))
-    val after = spark.read.parquet(s"$idx/vectors")
+    // flip 1: compact moves vectors to a new generation
+    Similarity.compactVectorIndex(spark, idx)
+    val g2 = Similarity.artifactPath(idx, "vectors")
+    assert(g2 != g1, "compaction must commit a NEW generation dir")
+    // snapshot isolation: a reader that resolved g1 BEFORE the flip
+    // still scans the complete old generation — identical content, no
+    // path-not-found, no partial fileset
+    val oldGen = spark.read.parquet(g1)
       .select("vec_id", "cell").collect()
       .map(r => (r.getLong(0), r.get(1).toString)).sorted.toSeq
-    assert(after == before, "repair must reinstate the exact live artifact")
-
-    // same repair on the retrain path (codes artifact this time)
-    Files.move(Paths.get(idx, "codes"), Paths.get(idx, "codes.old"))
-    val info2 = Similarity.retrainVectorIndex(spark, idx)
-    assert(info2("vectors") == before.size.toLong &&
-      Files.isDirectory(Paths.get(idx, "codes")) &&
-      !Files.exists(Paths.get(idx, "codes.old")), info2.toString)
+    assert(oldGen == before,
+      "retained previous generation is not the complete pre-flip snapshot")
+    // flip 2 retires g1 (it has had a full maintenance cycle to drain)
+    Similarity.retrainVectorIndex(spark, idx)
+    assert(!Files.exists(Paths.get(g1.stripPrefix("file:"))),
+      "generation-before-last must be retired at the next flip")
+    assert(spark.read.parquet(Similarity.artifactPath(idx, "vectors"))
+      .count() == before.size.toLong)
   }
 
-  test("a committed retrain that crashed mid-swap rolls forward") {
-    // retrain writes its commit marker only after every .next generation
-    // is staged and validated; a crash inside the four-swap sequence must
-    // therefore roll FORWARD — the next write entrypoint completes the
-    // remaining swaps instead of serving a mixed-generation index.
+  test("a maintenance run that crashed before its flip rolls back: staged " +
+    "garbage swept, marker dropped, live index untouched") {
     import java.nio.file.{Files, Path, Paths}
     import graft.queries.Similarity
     def copyDir(from: Path, to: Path): Unit = {
@@ -180,39 +176,42 @@ class SimilaritySpec extends AnyFunSuite {
       } finally st.close()
     }
     val src = "/root/testdata/sf0.001"
-    val idx = graft.TempDirs.create("graft-rollfwd").toString
+    val idx = graft.TempDirs.create("graft-rollback").toString
     Similarity.buildVectorIndex(spark, src, idx)
     val n0 = Similarity.vectorIndexInfo(spark, idx)("vectors")
-
-    // manufacture the crashed state: all four .next generations staged
-    // (identical content), the commit marker written, and ONE artifact
-    // already mid-swap (centroids displaced to .old, its .next consumed)
-    val subs = Seq("centroids", "vectors", "codebooks", "codes")
-    subs.foreach(s => copyDir(Paths.get(idx, s), Paths.get(idx, s + ".next")))
-    Files.move(Paths.get(idx, "centroids"), Paths.get(idx, "centroids.old"))
-    Files.move(Paths.get(idx, "centroids.next"), Paths.get(idx, "centroids"))
-    Files.createFile(Paths.get(idx, "commit.retrain"))
-
-    // ANY write entrypoint completes the generation — here an append
-    val inc = spark.read.parquet(s"$src/embeddings.parquet")
-      .withColumn("vec_id", org.apache.spark.sql.functions.col("vec_id") + 1000000L)
-    Similarity.appendVectorIndexDf(spark, inc, idx)
-    assert(!Files.exists(Paths.get(idx, "commit.retrain")),
-      "roll-forward must consume the commit marker")
-    subs.foreach { s =>
-      assert(!Files.exists(Paths.get(idx, s + ".next")) &&
-        !Files.exists(Paths.get(idx, s + ".old")),
-        s"stale $s generation dirs left behind")
-    }
-    assert(Similarity.vectorIndexInfo(spark, idx)("vectors") == 2 * n0)
+    val before = spark.read.parquet(Similarity.artifactPath(idx, "vectors"))
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    // manufacture the crash: staged next-generation dirs fully written
+    // and the pending marker down, but the manifest NEVER flipped
+    val curVec = Paths.get(Similarity.artifactPath(idx, "vectors")
+      .stripPrefix("file:"))
+    copyDir(curVec, Paths.get(idx, "vectors.v99"))
+    copyDir(Paths.get(Similarity.artifactPath(idx, "codes")
+      .stripPrefix("file:")), Paths.get(idx, "codes.v99"))
+    Files.write(Paths.get(idx, "commit.pending"),
+      s"index-commit v1\nold ${curVec.getFileName}\nnew vectors.v99"
+        .getBytes("UTF-8"))
+    // any write entry rolls BACK: nothing was committed
+    Similarity.compactVectorIndex(spark, idx)
+    assert(!Files.exists(Paths.get(idx, "commit.pending")),
+      "rollback must consume the stale marker")
+    assert(!Files.exists(Paths.get(idx, "vectors.v99")) &&
+      !Files.exists(Paths.get(idx, "codes.v99")),
+      "unreferenced staged dirs must be swept at write entry")
+    val after = spark.read.parquet(Similarity.artifactPath(idx, "vectors"))
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == before && after.size.toLong == n0,
+      "rollback must leave the live index exactly as committed")
   }
 
-  test("roll-forward salvages an out-of-process append from the crash window") {
-    // the marker body records the committed vectors/codes filesets, so a
-    // roll-forward can tell an append that landed AFTER the crash (in the
-    // unbounded window before restart) from the committed generation —
-    // its rows must be copied aside and re-appended through the completed
-    // new generation, never destroyed by the pending swap
+  test("a commit that crashed between its flip and its drift salvage heals " +
+    "at the next write entry: microwindow append rows survive") {
+    // the one window rename-based swaps could silently lose: an
+    // out-of-process append completing between the pre-flip re-list and
+    // the flip itself. Its rows land in the OLD generation — which the
+    // manifest RETAINS — and the pending marker records the validated
+    // fileset, so the next write entry re-appends exactly the drift
+    // through the new generation.
     import java.nio.file.{Files, Path, Paths}
     import org.apache.spark.sql.functions.col
     import graft.queries.Similarity
@@ -224,8 +223,7 @@ class SimilaritySpec extends AnyFunSuite {
         else Files.copy(p, t)
       } finally st.close()
     }
-    def listRel(idx: String, sub: String): Seq[String] = {
-      val base = Paths.get(idx, sub)
+    def listRel(base: Path): Seq[String] = {
       val st = Files.walk(base)
       try {
         val out = Seq.newBuilder[String]
@@ -238,15 +236,20 @@ class SimilaritySpec extends AnyFunSuite {
     val idx = graft.TempDirs.create("graft-salvage").toString
     Similarity.buildVectorIndex(spark, src, idx)
     val n0 = Similarity.vectorIndexInfo(spark, idx)("vectors")
-    val subs = Seq("centroids", "vectors", "codebooks", "codes")
-    subs.foreach(s => copyDir(Paths.get(idx, s), Paths.get(idx, s + ".next")))
-    val body = ("retrain-commit v1" +:
-      (listRel(idx, "vectors").sorted.map("vectors/" + _) ++
-        listRel(idx, "codes").sorted.map("codes/" + _))).mkString("\n")
-    Files.write(Paths.get(idx, "commit.retrain"), body.getBytes("UTF-8"))
-    // the crash-window append: a vectors file beyond the committed set
+    val oldVecDir = Paths.get(Similarity.artifactPath(idx, "vectors")
+      .stripPrefix("file:"))
+    val oldCodesDir = Paths.get(Similarity.artifactPath(idx, "codes")
+      .stripPrefix("file:"))
+    val oldVecName = oldVecDir.getFileName.toString
+    // the committed snapshot BEFORE the drift lands
+    val snap = listRel(oldVecDir).sorted
+    // stage the "new generation" (content-identical copy is fine here)
+    copyDir(oldVecDir, Paths.get(idx, "vectors.v99"))
+    copyDir(oldCodesDir, Paths.get(idx, "codes.v99"))
+    // the microwindow append: one vectors file beyond the snapshot,
+    // landing in the OLD generation
     val tmp = graft.TempDirs.create("graft-driftsrc").toString
-    spark.read.parquet(s"$idx/vectors")
+    spark.read.parquet(oldVecDir.toString)
       .select((col("vec_id") + 2000000L).as("vec_id"), col("v"))
       .limit(25).coalesce(1).write.mode("overwrite").parquet(tmp)
     val part = {
@@ -255,70 +258,32 @@ class SimilaritySpec extends AnyFunSuite {
       finally st.close()
     }
     val cellDir = {
-      val st = Files.list(Paths.get(idx, "vectors"))
+      val st = Files.list(oldVecDir)
       try st.filter(p => Files.isDirectory(p)).findFirst.get
       finally st.close()
     }
     Files.copy(part, cellDir.resolve("drift-ingest.parquet"))
-    // any write entry rolls forward and must salvage the 25 drifted rows
+    // marker down AND manifest flipped — the crash hit before salvage
+    val body = (Seq("index-commit v1", s"old $oldVecName",
+      "new vectors.v99") ++ snap.map(f => s"snap $f")).mkString("\n")
+    Files.write(Paths.get(idx, "commit.pending"), body.getBytes("UTF-8"))
+    val manifest = Seq("vector-index-manifest v1",
+      s"centroids centroids.v1 -",
+      s"codebooks codebooks.v1 -",
+      s"codes codes.v99 codes.v1",
+      s"vectors vectors.v99 $oldVecName").mkString("\n")
+    Files.write(Paths.get(idx, "MANIFEST"), manifest.getBytes("UTF-8"))
+    // any write entry heals: the 25 drift rows re-append through the
+    // new generation (re-encoded codes included), the marker drops
     Similarity.compactVectorIndex(spark, idx)
-    assert(!Files.exists(Paths.get(idx, "commit.retrain")))
-    assert(!Files.exists(Paths.get(idx, "salvage.retrain")))
-    val vec = spark.read.parquet(s"$idx/vectors")
+    assert(!Files.exists(Paths.get(idx, "commit.pending")))
+    val vec = spark.read.parquet(Similarity.artifactPath(idx, "vectors"))
     assert(vec.filter(col("vec_id") >= 2000000L).count() == 25,
-      "crash-window append rows were destroyed by the roll-forward swap")
+      "microwindow append rows were lost by the flip")
     assert(vec.count() == n0 + 25)
-    assert(spark.read.parquet(s"$idx/codes")
+    assert(spark.read.parquet(Similarity.artifactPath(idx, "codes"))
       .filter(col("vec_id") >= 2000000L).count() == 25,
       "salvaged rows were not re-encoded through the new generation")
-  }
-
-  test("roll-forward replays a staged salvage when the crash hit after the " +
-    "swaps but before the replay") {
-    // the second crash window: an earlier roll-forward copied the drift
-    // into salvage.retrain and completed every swap, then died before
-    // re-appending. The marker must survive until the replay lands — a
-    // re-entry that finds no .next dirs keeps the staged salvage, replays
-    // it, and only then drops the marker (at-least-once; compaction's
-    // per-vec_id dedup heals a partial earlier replay).
-    import java.nio.file.{Files, Paths}
-    import org.apache.spark.sql.functions.col
-    import graft.queries.Similarity
-    val src = "/root/testdata/sf0.001"
-    val idx = graft.TempDirs.create("graft-salvage2").toString
-    Similarity.buildVectorIndex(spark, src, idx)
-    val n0 = Similarity.vectorIndexInfo(spark, idx)("vectors")
-    // swaps already completed: no .next dirs; the staged salvage holds 25
-    // rows that are in NEITHER vectors/ nor codes/
-    spark.read.parquet(s"$idx/vectors")
-      .select((col("vec_id") + 3000000L).as("vec_id"), col("v"))
-      .limit(25).coalesce(1).write.mode("overwrite")
-      .parquet(s"$idx/salvage.retrain")
-    def listRel(sub: String): Seq[String] = {
-      val base = Paths.get(idx, sub)
-      val st = Files.walk(base)
-      try {
-        val out = Seq.newBuilder[String]
-        st.filter(_.toString.endsWith(".parquet"))
-          .forEach(p => out += base.relativize(p).toString)
-        out.result()
-      } finally st.close()
-    }
-    val body = ("retrain-commit v1" +:
-      (listRel("vectors").sorted.map("vectors/" + _) ++
-        listRel("codes").sorted.map("codes/" + _))).mkString("\n")
-    Files.write(Paths.get(idx, "commit.retrain"), body.getBytes("UTF-8"))
-    // any write entry re-enters the roll-forward and must replay
-    Similarity.compactVectorIndex(spark, idx)
-    assert(!Files.exists(Paths.get(idx, "commit.retrain")))
-    assert(!Files.exists(Paths.get(idx, "salvage.retrain")))
-    val vec = spark.read.parquet(s"$idx/vectors")
-    assert(vec.filter(col("vec_id") >= 3000000L).count() == 25,
-      "staged salvage was dropped instead of replayed")
-    assert(vec.count() == n0 + 25)
-    assert(spark.read.parquet(s"$idx/codes")
-      .filter(col("vec_id") >= 3000000L).count() == 25,
-      "replayed rows were not re-encoded")
   }
 
   test("maintenance racing an ingest never loses rows silently") {
@@ -376,7 +341,7 @@ class SimilaritySpec extends AnyFunSuite {
     Similarity.compactVectorIndex(spark, idx)
     import scala.jdk.CollectionConverters._
     val waves = okWaves.asScala.toVector
-    val counts = spark.read.parquet(s"$idx/vectors")
+    val counts = spark.read.parquet(Similarity.artifactPath(idx, "vectors"))
       .filter(col("vec_id") >= 1000000L)
       .groupBy((col("vec_id") / 1000000L).cast("long").as("w"))
       .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

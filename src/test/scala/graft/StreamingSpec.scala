@@ -525,7 +525,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(vectors() == 4 * n0, "checkpointed re-run must append nothing")
 
     // assignment equivalence, sampled
-    val cellOf = spark.read.parquet(s"$idx/vectors")
+    val cellOf = spark.read.parquet(graft.queries.Similarity.artifactPath(idx, "vectors"))
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     (0L until math.min(n0, 30L)).foreach { v =>
