@@ -88,7 +88,16 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     // operator-facing disaster recovery (the reference's `leaf-server
     // backup restore`, main.rs:52-56): restore every stream on this
     // bucket at boot, before the server starts serving traffic
-    restoreFrom: Option[String] = None) {
+    restoreFrom: Option[String] = None,
+    // auto-maintenance of MANAGED vector indexes (every dir the
+    // build/attach/append RPCs touched): a lifecycle tick compacts when
+    // the small-files signal passes vectorCompactFilesThreshold; skew
+    // past vectorRetrainSharePct is FLAGGED (warn log + the
+    // /admin/vector_index_maint status), never auto-run — a retrain
+    // changes cell geometry, which stays an operator decision. 0 = off.
+    vectorMaintMs: Long = 0L,
+    vectorCompactFilesThreshold: Long = 64L,
+    vectorRetrainSharePct: Long = 50L) {
 
   // the HTTP routes bind to an INTERNAL loopback port; the public port is
   // a JDK-socket frontend (PublicFrontend) that serves websocket upgrades
@@ -686,6 +695,7 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
       .buildVectorIndex(store.spark, str(args, "src"), str(args, "dir"))
     // a rebuild over a live index is a manifest flip like any other
     store.refreshAttachedIndexes(str(args, "dir"))
+    managedIndexes.add(str(args, "dir"))
     out
   }
 
@@ -698,6 +708,7 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
       throw new LeafAuthException("admin RPCs require a trusted connection")
     val tables = withStream(str(args, "id"))(
       _.attachVectorIndex(str(args, "prefix"), str(args, "dir")))
+    managedIndexes.add(str(args, "dir"))
     Map("tables" -> tables.toVector)
   }
 
@@ -728,6 +739,7 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     // append discipline applied to the vector side.
     if (!c.trusted && !c.did.exists(moduleAdmins.contains))
       throw new LeafAuthException("admin RPCs require a trusted connection")
+    managedIndexes.add(str(args, "dir"))
     Map("appended" -> graft.queries.Similarity
       .appendVectorIndex(store.spark, str(args, "src"), str(args, "dir")))
   }
@@ -758,6 +770,16 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
       .retrainVectorIndex(store.spark, str(args, "dir"))
     store.refreshAttachedIndexes(str(args, "dir"))
     out
+  }
+
+  handle("/admin/vector_index_maint") { (c, args) =>
+    // Last auto-maintenance outcome for a managed index: what the
+    // background policy saw (files, skew) and did (compacted) or
+    // recommends (retrain). Empty until the first tick covers the dir.
+    if (!c.trusted && !c.did.exists(moduleAdmins.contains))
+      throw new LeafAuthException("admin RPCs require a trusted connection")
+    Option(maintStatus.get(str(args, "dir")))
+      .getOrElse(Map("covered" -> false))
   }
 
   handle("/admin/vector_index_info") { (c, args) =>
@@ -817,6 +839,22 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     mutable.Map.empty[String, ((Long, Long, Long), String)]
 
   private val sweepPasses = new java.util.concurrent.atomic.AtomicLong(0)
+
+  // vector-index dirs this server has touched (build/attach/append RPCs)
+  // — the auto-maintenance tick's work list, with the last outcome per
+  // dir surfaced by /admin/vector_index_maint
+  private val managedIndexes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val maintStatus =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Any]]()
+  // cumulative auto-compactions per dir — a status consumer polling
+  // between ticks can never miss one the way a per-tick flag would
+  private val maintCompactions =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicLong]()
+  private val maintPasses = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Completed auto-maintenance passes (test quiesce latch). */
+  def maintPassesCompleted: Long = maintPasses.get
 
   /** Completed backup-sweep passes over the whole stream list. A
     * deterministic quiesce latch for tests: once a full pass has STARTED
@@ -929,6 +967,42 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
       catch { case t: Throwable =>
         lifecycleLog.warn(s"module blob GC failed: ${t.getMessage}") },
       blobGcMs, blobGcMs, TimeUnit.MILLISECONDS)
+    if (vectorMaintMs > 0)
+      exec.scheduleWithFixedDelay(() =>
+        try {
+          managedIndexes.forEach { d =>
+            try {
+              val info = graft.queries.Similarity
+                .vectorIndexInfo(store.spark, d)
+              val needCompact = info("files") > vectorCompactFilesThreshold
+              if (needCompact) {
+                // content-preserving by contract — safe to automate; the
+                // manifest flip means queries ride the retained
+                // generation until the re-attach lands
+                graft.queries.Similarity.compactVectorIndex(store.spark, d)
+                store.refreshAttachedIndexes(d)
+                maintCompactions.computeIfAbsent(d,
+                  _ => new java.util.concurrent.atomic.AtomicLong)
+                  .incrementAndGet()
+              }
+              val skewed = info("max_cell_share_pct") > vectorRetrainSharePct
+              if (skewed)
+                lifecycleLog.warn(s"vector index $d max cell holds " +
+                  s"${info("max_cell_share_pct")}% of the corpus — " +
+                  "retrain recommended (/admin/vector_index_retrain)")
+              maintStatus.put(d, Map(
+                "files_seen" -> info("files"),
+                "compacted" -> needCompact,
+                "compactions" -> Option(maintCompactions.get(d))
+                  .map(_.get).getOrElse(0L),
+                "max_cell_share_pct" -> info("max_cell_share_pct"),
+                "retrain_recommended" -> skewed))
+            } catch { case t: Throwable =>
+              lifecycleLog.warn(
+                s"vector maintenance of $d failed: ${t.getMessage}") }
+          }
+        } finally maintPasses.incrementAndGet(),
+        vectorMaintMs, vectorMaintMs, TimeUnit.MILLISECONDS)
     backupDest.foreach { dest =>
       // native = parquet ranges under dest/streams/{id} (restorable by
       // BackupService.restore); reference = the reference server's own

@@ -74,6 +74,23 @@ object ProfileVectorIndex {
       s"self-hit missing: ${rows.head}")
     timed("two_stage_query_warm")(spark.sql(twoStage).collect())
 
+    // recall@10 of the probe (1 cell + ADC-50 + exact re-rank) against a
+    // FULL exact-L2 scan over the same quantized vectors — the approx
+    // cost isolated from quantization. On this isotropic corpus the
+    // ceiling is the scan fraction (~1/cells); the SCALE.md decade row
+    // tracks drift when cell count or candidate width changes.
+    val qvLit = qvec.split(",").map(_.toLong)
+    val exact = spark.read
+      .parquet(Similarity.artifactPath(idx, "vectors"))
+      .select(col("vec_id"),
+        aggregate(zip_with(col("v"), typedlit(qvLit.toSeq),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val gotIds = rows.map(_.getLong(0)).take(10).toSet
+    println(f"[vecprof] ×$mult two_stage_recall_at_10: " +
+      f"${(gotIds & exact).size / 10.0}%.2f")
+
     val info = timed("info")(Similarity.vectorIndexInfo(spark, idx))
     println(s"[vecprof] info: $info")
     val compacted = timed("compact")(Similarity.compactVectorIndex(spark, idx))

@@ -670,4 +670,122 @@ class FanoutSoakSpec extends AnyFunSuite {
     assert(fin.take(4) == Vector.fill(4)(0L) && fin == fin.sorted,
       s"post-maintenance top-5 should lead with self + 3 twins: $fin")
   }
+
+  test("auto-maintenance: sustained ingest trips the small-files policy, a " +
+    "background compaction fires, queries stay correct throughout") {
+    // the operator-less path: the lifecycle tick watches every managed
+    // index's `files` signal and compacts past the threshold (retrain is
+    // only ever FLAGGED — it changes cell geometry). Sustained appends
+    // under live query load must trigger at least one automatic
+    // compaction, bound the file count, and never fail or skew a poll.
+    import org.apache.spark.sql.functions._
+    val mstore = new StreamStore(spark,
+      graft.TempDirs.create("graft-maintstore").toString)
+    val msrv = new LeafServer(mstore, 0, authToken = Some("testtoken"),
+      vectorMaintMs = 300L, vectorCompactFilesThreshold = 12L)
+    msrv.start()
+    try {
+      def mpost(path: String, body: Map[String, Any]): Map[String, Any] = {
+        val b = HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${msrv.boundPort}$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(Json.render(body)))
+          .header("Authorization", "Bearer testtoken")
+        Json.parse(client.send(b.build(),
+          HttpResponse.BodyHandlers.ofString()).body())
+          .asInstanceOf[Map[String, Any]]
+      }
+      def mok(r: Map[String, Any]): Map[String, Any] = {
+        assert(!r.contains("err"), r.toString)
+        r("ok").asInstanceOf[Map[String, Any]]
+      }
+      val src = "/root/testdata/sf0.001"
+      val idx = graft.TempDirs.create("graft-automaint").toString
+      mok(mpost("/admin/vector_index_build", Map("src" -> src, "dir" -> idx)))
+      val twoStageSql = graft.queries.Similarity.twoStageKnnSql(
+        a => s"am_$a", "$qvec", "CAST($limit AS INT)")
+      val cid = mok(mpost("/module/upload", Map("module" -> Map(
+        "queries" -> Map("knn" -> Map(
+          "sql" -> twoStageSql,
+          "params" -> Vector(Map("name" -> "qvec", "kind" -> "text"))))))))(
+        "cid").asInstanceOf[String]
+      val sid = mok(mpost("/stream/create",
+        Map("id" -> "did:fanout:automaint", "module_cid" -> cid)))("id").toString
+      mok(mpost("/admin/vector_index_attach",
+        Map("id" -> sid, "prefix" -> "am", "dir" -> idx)))
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      val qv = emb.filter(col("vec_id") === 7)
+        .select(transform(col("embedding"),
+          x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
+        .head.getSeq[Long](0)
+
+      val failure = new java.util.concurrent.atomic.AtomicReference[String](null)
+      val running = new java.util.concurrent.atomic.AtomicBoolean(true)
+      val poller = new Thread(() => {
+        while (running.get() && failure.get() == null) {
+          try {
+            val rows = mok(mpost("/stream/query", Map("id" -> sid,
+              "query" -> Map("name" -> "knn", "limit" -> 3L,
+                "params" -> Map("qvec" -> qv.mkString(","))))))("rows")
+              .asInstanceOf[Vector[Any]]
+            val head = rows.head.asInstanceOf[Map[String, Any]]
+            def l(f: String) = head(f).asInstanceOf[Map[String, Any]](
+              "value").asInstanceOf[Long]
+            if (rows.size != 3 || l("vec_id") != 7L || l("exact_dist") != 0L)
+              failure.set(s"torn/wrong poll during auto-maintenance: $rows")
+          } catch {
+            case e: Exception => failure.set(s"poll threw: $e")
+          }
+        }
+      })
+      var wave = 1
+      poller.start()
+      try {
+        // let the policy settle the freshly built index first (a build's
+        // unrepartitioned partitionBy write IS the small-files problem),
+        // then require an INGEST-driven compaction on top of that
+        val p0 = msrv.maintPassesCompleted
+        while (msrv.maintPassesCompleted < p0 + 2) Thread.sleep(100)
+        def compactions(): Long =
+          mok(mpost("/admin/vector_index_maint", Map("dir" -> idx)))
+            .get("compactions").map(_.asInstanceOf[Long]).getOrElse(0L)
+        val c0 = compactions()
+        // sustained ingest: each wave appends ≥1 file per touched cell,
+        // marching `files` past the threshold within a few waves
+        val incDir = graft.TempDirs.create("graft-automaint-inc").toString
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (compactions() == c0 && System.nanoTime() < deadline &&
+            failure.get() == null) {
+          emb.filter(col("vec_id") < 20)
+            .withColumn("vec_id", col("vec_id") + lit(wave * 1000000L))
+            .coalesce(1).write.mode("overwrite").parquet(incDir)
+          mok(mpost("/admin/vector_index_append",
+            Map("src" -> incDir, "dir" -> idx)))
+          wave += 1
+          Thread.sleep(150)
+        }
+        assert(failure.get() == null, String.valueOf(failure.get()))
+        assert(compactions() > c0,
+          s"no ingest-driven automatic compaction after ${wave - 1} waves")
+      } finally {
+        running.set(false)
+        poller.join(30000)
+      }
+      assert(failure.get() == null, String.valueOf(failure.get()))
+      // quiesce one full maintenance pass, then the bound must hold:
+      // a freshly compacted index sits at ~1 file/cell/artifact (appends
+      // since the last tick can add a few)
+      val p0 = msrv.maintPassesCompleted
+      while (msrv.maintPassesCompleted < p0 + 2) Thread.sleep(100)
+      val info = mok(mpost("/admin/vector_index_info", Map("dir" -> idx)))
+      val cells = info("cells").asInstanceOf[Long]
+      assert(info("files").asInstanceOf[Long] <= 2 * cells + 4,
+        s"auto-compaction did not bound the file count: $info")
+      // content intact: every appended wave fully present
+      val n = info("vectors").asInstanceOf[Long]
+      assert(n == emb.count() + (1 until wave).length * 20,
+        s"auto-compaction lost rows: $info after ${wave - 1} waves")
+    } finally {
+      msrv.stop()
+    }
+  }
 }

@@ -179,10 +179,19 @@ class PlcSpec extends AnyFunSuite {
     val backing = new LocalPlcDirectory
     private val srv = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    // fault injection for the failure-mode cases: `fault` short-circuits
+    // every request with a fixed (status, body); `nullifyLast` serves the
+    // audit log with its head entry marked nullified (the rotation-race
+    // state a live directory can produce, did.rs:58-66)
+    @volatile var fault: Option[(Int, String)] = None
+    @volatile var nullifyLast: Boolean = false
     srv.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
       val parts = ex.getRequestURI.getPath.stripPrefix("/").split("/").toList
       val (status, body): (Int, String) =
         try {
+          fault match {
+            case Some(f) => f
+            case None =>
           (ex.getRequestMethod, parts) match {
             case ("POST", did :: Nil) =>
               val op = Plc.opFromJson(Json.parse(new String(
@@ -198,7 +207,8 @@ class PlcSpec extends AnyFunSuite {
               if (log.isEmpty) (404, """{"error":"DID not registered"}""")
               else (200, Json.render(log.zipWithIndex.map { case (op, i) =>
                 Map("did" -> did, "operation" -> Plc.opToJson(op),
-                  "cid" -> Plc.opCid(op), "nullified" -> false,
+                  "cid" -> Plc.opCid(op),
+                  "nullified" -> (nullifyLast && i == log.size - 1),
                   "createdAt" -> s"2024-01-01T00:00:0$i.000Z")
               }))
             case ("GET", did :: "data" :: Nil) =>
@@ -210,6 +220,7 @@ class PlcSpec extends AnyFunSuite {
                       - "sig" - "prev" - "type")))
               }
             case _ => (404, """{"error":"not found"}""")
+          }
           }
         } catch { case e: Exception =>
           (400, Json.render(Map("error" -> String.valueOf(e.getMessage))))
@@ -269,6 +280,69 @@ class PlcSpec extends AnyFunSuite {
       // unknown DID resolves to nothing, loudly not wrongly
       assert(dir.resolveKey("did:plc:aaaaaaaaaaaaaaaaaaaaaaaa").isEmpty)
       assert(dir.auditLog("did:plc:aaaaaaaaaaaaaaaaaaaaaaaa").isEmpty)
+    } finally stub.stop()
+  }
+
+  test("HttpPlcDirectory failure modes: 429/5xx surface status+body " +
+      "verbatim, nullified head entries are skipped when chaining") {
+    // the reference surfaces the directory's status + body with no retry
+    // (did.rs:38-42) — pin that a throttling or failing directory makes
+    // every write path fail LOUDLY with the directory's own words, and
+    // that read paths degrade to absent, never to wrong.
+    val stub = new StubDirectory
+    try {
+      val dir = new graft.server.HttpPlcDirectory(stub.url)
+      val did = dir.createDid("http://127.0.0.1:9999/")
+      assert(dir.updateHandle(did, Some("pre-fault")) == Right(()))
+
+      // ---- 429 (rate limited): surfaced verbatim, no retry loop ----
+      stub.fault = Some((429, """{"error":"rate limited, slow down"}"""))
+      val e429 = intercept[IllegalStateException](
+        dir.createDid("http://127.0.0.1:9999/"))
+      assert(e429.getMessage.startsWith("PLC directory error: 429:") &&
+        e429.getMessage.contains("rate limited"), e429.getMessage)
+      dir.updateHandle(did, Some("throttled")) match {
+        // the GET leg of the update hits the fault first: audit log reads
+        // as absent → "no operation log"; surfaced as a Left either way
+        case Left(err) => assert(err.contains("429") ||
+          err.contains("no operation log"), err)
+        case Right(()) => fail("update must not succeed under 429")
+      }
+      // reads degrade to absent, never wrong
+      assert(dir.resolveKey(did).isEmpty)
+      assert(dir.auditLog(did).isEmpty)
+      assert(dir.alsoKnownAs(did).isEmpty)
+      // custody is untouched by directory faults
+      assert(dir.custodiedSecret(did).isDefined)
+
+      // ---- 500: identical discipline, the body still rides along ----
+      stub.fault = Some((500, """{"error":"upstream database on fire"}"""))
+      val e500 = intercept[IllegalStateException](
+        dir.createDid("http://127.0.0.1:9999/"))
+      assert(e500.getMessage.startsWith("PLC directory error: 500:") &&
+        e500.getMessage.contains("on fire"), e500.getMessage)
+
+      // ---- recovery: clearing the fault restores every path ----
+      stub.fault = None
+      assert(dir.updateHandle(did, Some("recovered")) == Right(()))
+      assert(dir.alsoKnownAs(did) == Vector("leaf://recovered"))
+
+      // ---- nullified head: the update must chain off the latest
+      // NON-nullified entry. The local backing store knows nothing of the
+      // nullification, so an op correctly chained to the nullified
+      // entry's PARENT breaks ITS prev check and is refused — while a
+      // client that wrongly chained to the nullified head would be
+      // accepted. A Left here is therefore proof of the skip. ----
+      stub.nullifyLast = true
+      dir.updateHandle(did, Some("post-nullify")) match {
+        case Left(err) =>
+          assert(err.startsWith("PLC directory error: 400"), err)
+        case Right(()) =>
+          fail("client chained off the nullified head entry")
+      }
+      stub.nullifyLast = false
+      assert(dir.updateHandle(did, Some("chained-clean")) == Right(()))
+      assert(dir.alsoKnownAs(did) == Vector("leaf://chained-clean"))
     } finally stub.stop()
   }
 

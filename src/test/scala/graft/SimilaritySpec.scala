@@ -130,6 +130,51 @@ class SimilaritySpec extends AnyFunSuite {
       "q_knn_ivfpq returned rows outside the probed cell")
   }
 
+  test("two-stage kNN recall@10 vs brute truth: measured, bounded, and " +
+    "every hit a cluster-mate (the PQ tie-collapse ceiling made explicit)") {
+    // the trade the persisted-index probe makes, finally MEASURED against
+    // q_knn_brute on the corpus where recall means something. Geometry of
+    // the ceiling: a tight cluster collapses to ONE code tuple, so the
+    // ADC stage's 50 candidates tie at equal distance and break by
+    // vec_id — the candidate set is ~C/cellsize of the right cell
+    // (50/200 = 0.25 here), and recall@10 lands near that fraction, NOT
+    // near 1.0 (the exact re-rank is perfect WITHIN the candidates; the
+    // documented PQ contract is cluster membership, not in-cluster
+    // order). Pinning the measured 0.20 at a 0.15 floor makes any future
+    // cell-count / candidate-width / codebook change show its recall
+    // cost here; the isotropic decade rows live in SCALE.md
+    // (ProfileVectorIndex prints two_stage_recall_at_10).
+    import org.apache.spark.sql.functions._
+    import graft.queries.Similarity
+    val truth = clusteredIds("q_knn_brute").toSet
+    assert(truth.size == 10)
+    val idx = graft.TempDirs.create("graft-recall2s").toString
+    Similarity.buildVectorIndex(spark, clusteredDir, idx)
+    val qvec = spark.read.parquet(s"$clusteredDir/embeddings.parquet")
+      .filter(col("vec_id") === 0)
+      .select(transform(col("embedding"),
+        x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
+      .head().getSeq[Long](0).mkString(",")
+    // limit 11: the query vector itself sits in the index at distance 0
+    val got = spark.sql(Similarity.twoStageKnnSql(
+        Similarity.artifactRelation(idx), s"'$qvec'", "11"))
+      .collect().map(_.getLong(0)).filter(_ != 0L).take(10)
+    assert(got.length == 10)
+    val recall = (got.toSet & truth).size / 10.0
+    info(f"two-stage recall@10 on clustered corpus: $recall%.2f " +
+      "(ceiling ~C/cellsize = 0.25 under tie-collapse)")
+    assert(recall >= 0.15,
+      f"two-stage recall $recall%.2f fell below the 0.15 floor — a cell " +
+        "or candidate-width change is costing recall")
+    // the stronger structural promise: every hit is a cluster-mate of
+    // the query (the candidate stage never leaves the right cell)
+    val labels = spark.read.parquet(s"$clusteredDir/embeddings.parquet")
+      .select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.forall(id => labels(id) == labels(0L)),
+      s"two-stage hits left the query's cluster: ${got.toSeq}")
+  }
+
   test("manifest commit: snapshot isolation across a flip, one retained " +
     "generation, stale generation retired at the NEXT flip") {
     import java.nio.file.{Files, Paths}
