@@ -1047,37 +1047,20 @@ object Pipeline {
         .select(col("doc_id"), col("source"), col("score_micro"))
         .orderBy(col("score_micro").desc, col("doc_id"))
         .limit(50),
-      Some("""WITH toks AS (
-             |  SELECT doc_id, source,
-             |    regexp_split_to_array(trim(lower(text)), '\s+') AS ts
-             |  FROM documents),
-             |occ AS (
-             |  SELECT doc_id, source,
-             |    ('0x' || substr(md5(ts[i] || ' ' || ts[i+1]), 1, 15))::BIGINT % 256 AS bkt
-             |  FROM (SELECT doc_id, source, ts,
-             |          unnest(generate_series(1, len(ts)-1)) AS i FROM toks)),
-             |by_doc AS (
-             |  SELECT doc_id, source, bkt, count(*) AS c FROM occ GROUP BY 1, 2, 3),
-             |cnt AS (
-             |  SELECT bkt,
-             |    CAST(sum(CASE WHEN source IN ('src0','src1') THEN c ELSE 0 END) AS BIGINT) AS cp,
-             |    CAST(sum(CASE WHEN source NOT IN ('src0','src1') THEN c ELSE 0 END) AS BIGINT) AS cq
-             |  FROM by_doc GROUP BY 1),
-             |tot AS (
-             |  SELECT
-             |    CAST(sum(CASE WHEN source IN ('src0','src1') THEN c ELSE 0 END) AS BIGINT) AS np,
-             |    CAST(sum(CASE WHEN source NOT IN ('src0','src1') THEN c ELSE 0 END) AS BIGINT) AS nq
-             |  FROM by_doc),
-             |r AS (
-             |  SELECT bkt,
-             |    CAST(round(ln(CAST(cp + 1 AS DOUBLE) / CAST(np + 256 AS DOUBLE)) * 1e6, 0) AS BIGINT)
-             |      - CAST(round(ln(CAST(cq + 1 AS DOUBLE) / CAST(nq + 256 AS DOUBLE)) * 1e6, 0) AS BIGINT) AS r_micro
-             |  FROM cnt CROSS JOIN tot)
-             |SELECT doc_id, source, CAST(sum(c * r_micro) AS BIGINT) AS score_micro
-             |FROM by_doc JOIN r USING (bkt)
-             |WHERE source NOT IN ('src0','src1')
-             |GROUP BY doc_id, source
-             |ORDER BY score_micro DESC, doc_id LIMIT 50""".stripMargin)),
+      Some(dsirOracleSql(Seq("src0", "src1")))),
+
+    // ---- DSIR re-targeted: the domain is a PARAMETER ----
+    // The identical operator bound to a different reference domain
+    // (src2/src3) — oracle-gating the parameterization itself, not just
+    // the default binding: the ratio table refits, the top-K changes,
+    // and the hash-match proves both engines re-derive the same refit.
+    "q_sample_dsir_target" -> Q(
+      (s, dir) => dsirScores(s, dir, Seq("src2", "src3"))
+        .filter(!col("is_target"))
+        .select(col("doc_id"), col("source"), col("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id"))
+        .limit(50),
+      Some(dsirOracleSql(Seq("src2", "src3")))),
 
     // ---- DSIR with Gumbel-top-k resampling (the paper's sampler) ----
     // Deterministic top-K (above) is the greedy variant; DSIR proper
@@ -1531,6 +1514,44 @@ object Pipeline {
        |  CAST(sum(k) AS BIGINT) AS n_bpe_tokens
        |FROM dt JOIN enc USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of [[dsirScores]] for a given target-domain source
+    * list — templated so the default and re-targeted gates share every
+    * character except the IN-list (they can never drift apart). */
+  private def dsirOracleSql(targets: Seq[String]): String = {
+    val inList = targets.map(t => s"'$t'").mkString(",")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+       |  FROM documents),
+       |occ AS (
+       |  SELECT doc_id, source,
+       |    ('0x' || substr(md5(ts[i] || ' ' || ts[i+1]), 1, 15))::BIGINT % 256 AS bkt
+       |  FROM (SELECT doc_id, source, ts,
+       |          unnest(generate_series(1, len(ts)-1)) AS i FROM toks)),
+       |by_doc AS (
+       |  SELECT doc_id, source, bkt, count(*) AS c FROM occ GROUP BY 1, 2, 3),
+       |cnt AS (
+       |  SELECT bkt,
+       |    CAST(sum(CASE WHEN source IN ($inList) THEN c ELSE 0 END) AS BIGINT) AS cp,
+       |    CAST(sum(CASE WHEN source NOT IN ($inList) THEN c ELSE 0 END) AS BIGINT) AS cq
+       |  FROM by_doc GROUP BY 1),
+       |tot AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN source IN ($inList) THEN c ELSE 0 END) AS BIGINT) AS np,
+       |    CAST(sum(CASE WHEN source NOT IN ($inList) THEN c ELSE 0 END) AS BIGINT) AS nq
+       |  FROM by_doc),
+       |r AS (
+       |  SELECT bkt,
+       |    CAST(round(ln(CAST(cp + 1 AS DOUBLE) / CAST(np + 256 AS DOUBLE)) * 1e6, 0) AS BIGINT)
+       |      - CAST(round(ln(CAST(cq + 1 AS DOUBLE) / CAST(nq + 256 AS DOUBLE)) * 1e6, 0) AS BIGINT) AS r_micro
+       |  FROM cnt CROSS JOIN tot)
+       |SELECT doc_id, source, CAST(sum(c * r_micro) AS BIGINT) AS score_micro
+       |FROM by_doc JOIN r USING (bkt)
+       |WHERE source NOT IN ($inList)
+       |GROUP BY doc_id, source
+       |ORDER BY score_micro DESC, doc_id LIMIT 50""".stripMargin
+  }
 
   /** DSIR importance scores for EVERY document (`is_target` flags the
     * reference-domain docs the target distribution was fit on). The gate

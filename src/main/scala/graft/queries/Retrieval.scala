@@ -107,19 +107,21 @@ object Retrieval {
         terms.indices.map(termScore).reduce(_ + _).as("score_micro"))
   }
 
-  /** DuckDB twin of bm25Scores, exposed as a `bm` CTE. */
-  private val bm25Sql = {
+  /** DuckDB twin of bm25Scores for an arbitrary term set, exposed as a
+    * `bm` CTE (the `bmproj` layer also carries per-term tf columns so a
+    * caller can filter to matched docs). */
+  private def bm25SqlFor(terms: Seq[String]) = {
     val ts = "regexp_split_to_array(trim(lower(text)), '\\s+')"
-    val tfDefs = bmTerms.zipWithIndex.map { case (term, i) =>
+    val tfDefs = terms.zipWithIndex.map { case (term, i) =>
       s"    len(list_filter($ts, x -> x = '$term')) AS tf$i"
     }.mkString(",\n")
-    val dfDefs = bmTerms.indices.map(i =>
+    val dfDefs = terms.indices.map(i =>
       s"    sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(",\n")
-    val idfDefs = bmTerms.indices.map(i =>
+    val idfDefs = terms.indices.map(i =>
       s"    CAST(round(ln((CAST(n - df$i AS DOUBLE) + 0.5) / " +
         s"(CAST(df$i AS DOUBLE) + 0.5) + 1.0) * 1e6, 0) AS BIGINT) AS idf$i")
       .mkString(",\n")
-    val scoreSum = bmTerms.indices.map(i =>
+    val scoreSum = terms.indices.map(i =>
       s"CAST(round(idf$i * ((CAST(tf$i AS DOUBLE) * 2.2) / " +
         s"(CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / avgdl))), 0) AS BIGINT)")
       .mkString("\n      + ")
@@ -141,6 +143,9 @@ object Retrieval {
        |    $scoreSum AS score_micro
        |  FROM bmproj CROSS JOIN bmidf)""".stripMargin
   }
+
+  /** The fixed-term twin q_text_bm25 / the RRF gates share. */
+  private val bm25Sql = bm25SqlFor(bmTerms)
 
   // ---------------- persisted lexical (BM25) index ----------------
 
@@ -275,6 +280,23 @@ object Retrieval {
       |FROM tr0 FULL JOIN vr0 ON tr0.doc_id = vr0.vec_id
       |ORDER BY rrf_nano DESC, doc_id LIMIT 20""".stripMargin
 
+  // one lexical-index build per (session, corpus): the artifact the
+  // indexed-BM25 gate probes (the partitionedEventsPath memo pattern —
+  // the build is the one-off cost, the gate measures the PROBE)
+  private val lexReady =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def lexIndexDir(s: SparkSession, dir: String): String =
+    lexReady.getOrElseUpdate((s, dir), {
+      val p = graft.TempDirs.create("graft-lexidx").toString
+      buildLexicalIndex(s, dir, p)
+      p
+    })
+
+  // the indexed gate's term binding: two live vocabulary terms plus one
+  // absent term that must drop out at the df join — deliberately NOT the
+  // fixed bmTerms set, so the gate exercises the parameterization
+  private val lexProbeTerms = Seq("hash", "graftabsentterm", "slow")
+
   val all: Map[String, Q] = Map(
 
     // ---- Okapi BM25 top-20 for the fixed query-term set ----
@@ -285,6 +307,31 @@ object Retrieval {
       Some(s"""WITH $bm25Sql
               |SELECT doc_id, score_micro FROM bm
               |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // ---- BM25 over the PERSISTED lexical index (the $terms path) ----
+    // The same SQL a param-bound named query runs over RPC
+    // (bm25NamedSql — ONE source), here bound to parquet artifact paths
+    // and a literal term set that differs from the fixed gate's: scoring
+    // never touches the corpus text, absent terms drop out at the df
+    // join, and only matched docs return (retrieval semantics — the
+    // oracle recomputes from the raw documents and filters to docs with
+    // ≥1 query term). At 100 TB the postings probe is the whole
+    // corpus-side cost; df/stats are metadata-sized.
+    "q_bm25_indexed" -> Q(
+      (s, dir) => {
+        val idx = lexIndexDir(s, dir)
+        s.sql(bm25NamedSql(sub => s"parquet.`$idx/$sub`",
+          s"'${lexProbeTerms.mkString(",")}'", "50"))
+      },
+      Some {
+        val matched = lexProbeTerms.indices
+          .map(i => s"tf$i > 0").mkString(" OR ")
+        s"""WITH ${bm25SqlFor(lexProbeTerms)}
+           |SELECT b.doc_id, b.score_micro
+           |FROM bm b JOIN bmproj p ON p.doc_id = b.doc_id
+           |WHERE $matched
+           |ORDER BY b.score_micro DESC, b.doc_id LIMIT 50""".stripMargin
+      }),
 
     // ---- hybrid retrieval: BM25 + embedding-cosine, RRF-fused ----
     // Each list is truncated to its top-K=100 with TakeOrdered before
