@@ -319,7 +319,12 @@ object Retrieval {
     // corpus-side cost; df/stats are metadata-sized.
     "q_bm25_indexed" -> Q(
       (s, dir) => {
-        val idx = lexIndexDir(s, dir)
+        // phase-split: the one-off artifact build vs the probe the gate
+        // actually measures (the q_join_bucketed layout_build pattern)
+        graft.PhaseTimings.reset("q_bm25_indexed")
+        val idx = graft.PhaseTimings.timed("q_bm25_indexed", "index_build") {
+          lexIndexDir(s, dir)
+        }
         s.sql(bm25NamedSql(sub => s"parquet.`$idx/$sub`",
           s"'${lexProbeTerms.mkString(",")}'", "50"))
       },
