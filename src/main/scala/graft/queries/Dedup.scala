@@ -201,11 +201,19 @@ object Dedup {
     * died before its meta commit), and the accumulated doc count (the
     * staleness signal — when [[lshRowsPerBand]] of the grown count no
     * longer equals the pinned r, the operator should schedule a rebuild). */
-  case class DedupIndexMeta(r: Int, batches: Int, count: Long) {
+  case class DedupIndexMeta(r: Int, batches: Int, count: Long,
+      bandsDir: String = "bands") {
     def stale: Boolean = lshRowsPerBand(count) != r
   }
 
   private val indexArtifacts = Seq("fp", "shingles", "bands")
+
+  /** The staging name for the next bands generation (a flat legacy
+    * `bands` is generation 0) — the Similarity manifest convention. */
+  private def nextBandsDir(cur: String): String = {
+    val v = if (cur == "bands") 0 else cur.stripPrefix("bands.v").toInt
+    s"bands.v${v + 1}"
+  }
 
   /** Read + validate the index meta. Refuses (1) a derivation-parameter
     * mismatch, and (2) a TORN index: every artifact dir must hold exactly
@@ -231,9 +239,13 @@ object Dedup {
     val meta = DedupIndexMeta(
       m("r").asInstanceOf[Long].toInt,
       m.get("batches").collect { case b: Long => b.toInt }.getOrElse(1),
-      m.get("count").collect { case c: Long => c }.getOrElse(0L))
+      m.get("count").collect { case c: Long => c }.getOrElse(0L),
+      // the bands POINTER: a re-band stages a fresh versioned tree and
+      // commits it by atomically rewriting this meta (legacy metas
+      // resolve to the flat dir)
+      m.get("bands_dir").collect { case d: String => d }.getOrElse("bands"))
     val committed = (0 until meta.batches).map(b => s"batch=$b").toSet
-    indexArtifacts.foreach { art =>
+    Seq("fp", "shingles", meta.bandsDir).foreach { art =>
       val dir = new org.apache.hadoop.fs.Path(indexDir, art)
       val present = fs.listStatus(dir).iterator
         .filter(_.isDirectory).map(_.getPath.getName)
@@ -276,10 +288,11 @@ object Dedup {
   }
 
   private def writeIndexMeta(s: SparkSession, indexDir: String,
-      r: Int, batches: Int, count: Long): Unit = {
+      r: Int, batches: Int, count: Long,
+      bandsDir: String = "bands"): Unit = {
     val (fs, p) = indexMetaPath(s, indexDir)
     graft.stream.BackupService.atomicWrite(fs, p,
-      s"""{"k": $K, "shingle": 5, "stride": 2, "r": $r, "batches": $batches, "count": $count}"""
+      s"""{"k": $K, "shingle": 5, "stride": 2, "r": $r, "batches": $batches, "count": $count, "bands_dir": "$bandsDir"}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
@@ -288,7 +301,8 @@ object Dedup {
     * of the artifact dirs — an append must not re-band prior batches),
     * so the cost of an append is O(batch). */
   private def writeIndexParts(s: SparkSession, docs: DataFrame,
-      indexDir: String, r: Int, batch: Int): Unit = {
+      indexDir: String, r: Int, batch: Int,
+      bandsDir: String = "bands"): Unit = {
     graft.functions.VectorExpressions.register(s)
     // every artifact writes into a BATCH-SCOPED subdir (batch=N), each in
     // Overwrite mode: a retry of an append whose previous attempt died
@@ -307,7 +321,7 @@ object Dedup {
         .parquet(s"$indexDir/shingles/batch=$batch")
       bandsFromArr(batchArr, r)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$indexDir/bands/batch=$batch")
+        .parquet(s"$indexDir/$bandsDir/batch=$batch")
     } finally batchArr.unpersist(false)
   }
 
@@ -330,9 +344,23 @@ object Dedup {
     if (fs.exists(p)) fs.delete(p, false)
     indexArtifacts.foreach(a => fs.delete(
       new org.apache.hadoop.fs.Path(indexDir, a), true))
+    // versioned bands generations from a previous index's re-bands
+    // are debris here too
+    bandsGenerations(fs, indexDir)
+      .foreach(d => fs.delete(d, true))
     writeIndexParts(s, corpus, indexDir, r, batch = 0)
     writeIndexMeta(s, indexDir, r, batches = 1, count = n)
     r
+  }
+
+  /** Every `bands`/`bands.vN` directory under the index root. */
+  private def bandsGenerations(fs: org.apache.hadoop.fs.FileSystem,
+      indexDir: String): Seq[org.apache.hadoop.fs.Path] = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.matches("bands(\\.v\\d+)?"))
   }
 
   /** Append accepted increment docs to an existing index, banding with
@@ -348,8 +376,10 @@ object Dedup {
       indexDir: String): Unit = {
     val meta = readIndexMeta(s, indexDir)
     val n = docs.count()
-    writeIndexParts(s, docs, indexDir, meta.r, batch = meta.batches)
-    writeIndexMeta(s, indexDir, meta.r, meta.batches + 1, meta.count + n)
+    writeIndexParts(s, docs, indexDir, meta.r, batch = meta.batches,
+      bandsDir = meta.bandsDir)
+    writeIndexMeta(s, indexDir, meta.r, meta.batches + 1, meta.count + n,
+      bandsDir = meta.bandsDir)
   }
 
   /** Answer a STALE index's rebuild signal WITHOUT re-reading corpus
@@ -365,46 +395,43 @@ object Dedup {
     * and costs O(index), while `fp/` and `shingles/` (r-independent)
     * stay byte-identical.
     *
-    * Commit discipline mirrors [[buildDedupIndex]]: meta is DELETED
-    * first (a re-band dying mid-swap must not leave the old meta
-    * validating a half-new bands tree), the new bands tree swaps in, and
-    * the meta rewrite commits LAST — a crash in between leaves an index
-    * every load path refuses, never one that silently misses near-dups.
-    * No-op (idempotent) when the derivation is not actually stale.
-    * Returns the index's (possibly new) r. */
+    * Commit discipline (round 13 — the vector index's versioned-pointer
+    * flip, replacing the old delete-meta/rename/rewrite sequence whose
+    * mid-crash state left the index REFUSING loads): the new bands tree
+    * stages into a fresh VERSIONED directory and the commit is ONE
+    * atomic meta rewrite carrying the new r and the new `bands_dir`
+    * pointer together — so readers always resolve a complete
+    * (r, bands) pair, a crash before the commit leaves the live index
+    * untouched (the staged tree is unreferenced debris, swept at the
+    * next re-band), and the displaced generation is RETAINED until the
+    * next re-band for in-flight readers to drain against (the
+    * compactLog one-version rule). No refuse-window, no dependence on
+    * Hadoop rename return codes. No-op (idempotent) when the
+    * derivation is not actually stale. Returns the index's (possibly
+    * new) r. */
   def rebandDedupIndex(s: SparkSession, indexDir: String): Int = {
     val meta = readIndexMeta(s, indexDir)
     val newR = lshRowsPerBand(meta.count)
     if (newR == meta.r) return meta.r
+    val (fs, _) = indexMetaPath(s, indexDir)
+    // sweep: anything that is neither the live generation is either a
+    // crashed staging or the drained generation a PREVIOUS re-band
+    // retained — both have had their cycle
+    bandsGenerations(fs, indexDir)
+      .filter(_.getName != meta.bandsDir)
+      .foreach(d => fs.delete(d, true))
+    val next = nextBandsDir(meta.bandsDir)
     val sh = s.read.option("basePath", s"$indexDir/shingles")
       .parquet(s"$indexDir/shingles") // (doc_id, shs, batch)
     bandsFromArr(sh, newR, carry = Seq("batch"))
       .write.partitionBy("batch")
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$indexDir/bands_reband")
-    val (fs, p) = indexMetaPath(s, indexDir)
-    // the uncommit must be GUARANTEED before the bands swap begins: if
-    // this delete silently returned false and the swap below then failed
-    // after removing bands/, the old meta would still validate a missing
-    // bands tree — loads would die with a read error instead of the
-    // documented "meta absent, loads refuse" state
-    require(fs.delete(p, false),
-      s"re-band: could not delete $p — index unchanged; retry the re-band")
-    // Hadoop FileSystems signal most failures by RETURNING FALSE, not
-    // throwing — an unchecked swap here could commit the new r over the
-    // old bands tree (or rename bands_reband INSIDE a surviving bands/),
-    // a silently mis-banded index every load would accept. Fail loudly
-    // instead: the meta is already deleted, so a failed swap leaves an
-    // index that refuses to load — recovery is retry or rebuild.
-    val bands = new org.apache.hadoop.fs.Path(indexDir, "bands")
-    require(fs.delete(bands, true),
-      s"re-band: could not remove $bands — index left uncommitted " +
-        "(loads refuse); retry the re-band or rebuild")
-    require(fs.rename(
-        new org.apache.hadoop.fs.Path(indexDir, "bands_reband"), bands),
-      s"re-band: could not move the new bands tree into place — index " +
-        "left uncommitted (loads refuse); retry the re-band or rebuild")
-    writeIndexMeta(s, indexDir, newR, meta.batches, meta.count)
+      .parquet(s"$indexDir/$next")
+    // THE commit: r and the bands pointer flip together, atomically
+    // (tmp + rename inside atomicWrite); the displaced generation stays
+    // on disk until the next re-band
+    writeIndexMeta(s, indexDir, newR, meta.batches, meta.count,
+      bandsDir = next)
     newR
   }
 
@@ -433,9 +460,10 @@ object Dedup {
   private[graft] def incrementVsIndexPlanned(s: SparkSession,
       fresh: DataFrame, indexDir: String): (DataFrame, DataFrame) = {
     graft.functions.VectorExpressions.register(s)
-    val r = readIndexMeta(s, indexDir).r
+    val meta0 = readIndexMeta(s, indexDir)
+    val r = meta0.r
     val fpIdx = s.read.parquet(s"$indexDir/fp")
-    val bandIdx = s.read.parquet(s"$indexDir/bands")
+    val bandIdx = s.read.parquet(s"$indexDir/${meta0.bandsDir}")
     val shIdx = s.read.parquet(s"$indexDir/shingles")
     // stage 1: exact content-hash lookup (min across batches — an fp can
     // have one row per appended batch)

@@ -99,7 +99,14 @@ class DedupIndexSpec extends AnyFunSuite {
     // the rebanded bands/ must carry EXACTLY the banding a full rebuild
     // at the same count derives — proving the stored shingle arrays are
     // a sufficient derivation input (the corpus text added nothing)
-    val rebandBands = spark.read.parquet(s"$idxDir/bands")
+    // the re-band committed a new VERSIONED generation via the meta
+    // pointer; the displaced flat tree is retained for in-flight readers
+    val bandsDir = Dedup.readIndexMeta(spark, idxDir).bandsDir
+    assert(bandsDir == "bands.v1", s"pointer did not flip: $bandsDir")
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(idxDir, "bands")),
+      "displaced generation must be retained one cycle")
+    val rebandBands = spark.read.parquet(s"$idxDir/$bandsDir")
       .select("doc_id", "band_id", "bh").collect().map(_.toString).sorted
     val refDir = TempDirs.create("graft-idx-reband-ref").toString
     Dedup.buildDedupIndex(
@@ -121,6 +128,38 @@ class DedupIndexSpec extends AnyFunSuite {
       .collect().forall(_.getString(1) == "near"))
     TempDirs.release(java.nio.file.Paths.get(idxDir))
     TempDirs.release(java.nio.file.Paths.get(refDir))
+  }
+
+  test("a re-band that crashed before its meta commit leaves the live " +
+    "index fully serviceable — no refuse-window, debris swept on retry") {
+    // the round-13 pointer-flip property: the staged bands tree is
+    // unreferenced until the atomic meta rewrite, so a crash mid-staging
+    // changes NOTHING for readers (the old protocol's crash state made
+    // every load refuse until an operator intervened)
+    val idxDir = TempDirs.create("graft-idx-rebandcrash").toString
+    Dedup.buildDedupIndex(spark, docs(3000), idxDir)
+    Dedup.appendDedupIndex(spark, docs(1500, base = 100000), idxDir)
+    assert(Dedup.dedupIndexStale(spark, idxDir))
+    // manufacture the crash: a half-written staged generation on disk,
+    // meta untouched
+    val staged = java.nio.file.Paths.get(idxDir, "bands.v1")
+    java.nio.file.Files.createDirectories(staged)
+    java.nio.file.Files.write(staged.resolve("junk.parquet"),
+      Array[Byte](1, 2, 3))
+    // the live index still loads and still classifies — zero impact
+    val m = Dedup.readIndexMeta(spark, idxDir)
+    assert(m.bandsDir == "bands" && m.r == 3)
+    val probe = docs(10, base = 2000)
+      .select((col("doc_id") + 700000).as("doc_id"), col("text"))
+    assert(Dedup.incrementVsIndex(spark, probe, idxDir)
+      .collect().forall(_.getString(1) == "exact"))
+    // retrying the re-band sweeps the debris and commits the real tree
+    assert(Dedup.rebandDedupIndex(spark, idxDir) == 4)
+    val m2 = Dedup.readIndexMeta(spark, idxDir)
+    assert(m2.r == 4 && m2.bandsDir == "bands.v1" && !m2.stale)
+    assert(Dedup.incrementVsIndex(spark, probe, idxDir)
+      .collect().forall(_.getString(1) == "exact"))
+    TempDirs.release(java.nio.file.Paths.get(idxDir))
   }
 
   test("growing past the 4096-doc derivation knee raises the stale signal") {
