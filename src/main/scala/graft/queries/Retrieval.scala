@@ -153,11 +153,24 @@ object Retrieval {
     * artifacts, so a `$terms`-parameterized named query ([[bm25NamedSql]]
     * over RPC, the `$qvec` two-stage-kNN pattern) scores documents
     * WITHOUT ever touching the text again:
-    *  - `terms/`: (term, doc_id, tf) — the postings
-    *  - `docs/`:  (doc_id, dl) — document lengths (ALL whitespace tokens
-    *    of trim(lower(text)), the exact [[bm25Scores]] tokenization)
-    *  - `df/`:    (term, df) — document frequencies
-    *  - `stats/`: (n, avgdl) — 1-row corpus stats
+    *  - `terms/batch=N`: (term, doc_id, tf) — the postings, batch-scoped
+    *    like the dedup index's artifacts so appends are O(increment) and
+    *    a retried append replaces its partial batch instead of doubling
+    *  - `docs/batch=N`:  (doc_id, dl) — document lengths (ALL whitespace
+    *    tokens of trim(lower(text)), the exact [[bm25Scores]]
+    *    tokenization)
+    *  - `df.vK`:    (term, df) — document frequencies, VERSIONED: an
+    *    append rewrites this vocab-sized artifact and commits it with
+    *    the meta pointer flip
+    *  - `stats.vK`: (n, avgdl) — 1-row corpus stats, versioned likewise
+    *  - `meta.json` — the ONE atomic commit: {batches, n, sum_dl,
+    *    df_dir, stats_dir}; every reader resolves df/stats through it
+    *    and validates the batch census (a crash between an append's
+    *    artifact writes and its meta commit leaves uncommitted batch
+    *    dirs that every load REFUSES — else a probe would score new
+    *    postings against the old df, a silently inconsistent idf;
+    *    recovery is re-running the same append, batch dirs are
+    *    Overwrite-scoped)
     * Scale shape: two column-pruned corpus scans at build (a production
     * layout keeps (dl, tf) as a catalog projection and pays one), then
     * every query is bounded joins against metadata-sized df/stats plus
@@ -165,30 +178,198 @@ object Retrieval {
     * postings additionally hash-bucket by term so the probe prunes
     * directories. */
   def buildLexicalIndex(s: SparkSession, srcDir: String,
+      indexDir: String): Map[String, Long] =
+    buildLexicalIndexDf(s, docs(s, srcDir), indexDir)
+
+  def buildLexicalIndexDf(s: SparkSession, corpus: DataFrame,
       indexDir: String): Map[String, Long] = {
     import org.apache.spark.sql.SaveMode
+    val (fs, _) = lexMetaPath(s, indexDir)
+    // a rebuild sweeps every prior generation and batch
+    Seq("terms", "docs").foreach(a =>
+      fs.delete(new org.apache.hadoop.fs.Path(indexDir, a), true))
+    lexGenerations(fs, indexDir).foreach(d => fs.delete(d, true))
+    fs.delete(lexMetaPath(s, indexDir)._2, false)
+    writeLexBatch(s, corpus, indexDir, batch = 0)
+    val posted = s.read.parquet(s"$indexDir/terms/batch=0")
+    posted.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/df.v1")
+    val agg = s.read.parquet(s"$indexDir/docs/batch=0")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("dl")).cast("long").as("sum_dl"))
+      .head()
+    val (n, sumDl) = (agg.getLong(0), agg.getLong(1))
+    writeLexStats(s, indexDir, "stats.v1", n, sumDl)
+    writeLexMeta(s, indexDir, LexMeta(1, n, sumDl, "df.v1", "stats.v1"))
+    Map("docs" -> n,
+      "postings" -> posted.count(),
+      "terms" -> s.read.parquet(s"$indexDir/df.v1").count())
+  }
+
+  /** O(increment) append: the new docs' postings and lengths land in a
+    * fresh batch, the vocab-sized `df` and 1-row `stats` re-derive from
+    * (current artifact + increment delta) into fresh versioned
+    * directories, and ONE atomic meta rewrite commits all of it — the
+    * dedup-index append discipline plus the vector-index pointer flip.
+    * The corpus of record is never re-read; the displaced df/stats
+    * generations are retained one cycle for in-flight readers. */
+  def appendLexicalIndex(s: SparkSession, fresh: DataFrame,
+      indexDir: String): Map[String, Long] = {
+    import org.apache.spark.sql.SaveMode
+    val meta = readLexMeta(s, indexDir)
+    val (fs, _) = lexMetaPath(s, indexDir)
+    // sweep generations that are neither live nor about to be staged:
+    // the drained retention of the PREVIOUS append plus crashed stagings
+    lexGenerations(fs, indexDir)
+      .filterNot(p => Seq(meta.dfDir, meta.statsDir).contains(p.getName))
+      .foreach(d => fs.delete(d, true))
+    val b = meta.batches
+    writeLexBatch(s, fresh, indexDir, batch = b)
+    val delta = s.read.parquet(s"$indexDir/terms/batch=$b")
+      .groupBy(col("term")).agg(count(lit(1)).cast("long").as("ddf"))
+    val nextDf = s"df.v${lexVersion(meta.dfDir) + 1}"
+    s.read.parquet(s"$indexDir/${meta.dfDir}")
+      .join(delta, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("ddf"), lit(0L)))
+          .as("df"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/$nextDf")
+    val agg = s.read.parquet(s"$indexDir/docs/batch=$b")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("dl")).cast("long").as("sum_dl"))
+      .head()
+    val (newN, newSum) = (meta.n + agg.getLong(0), meta.sumDl + agg.getLong(1))
+    val nextStats = s"stats.v${lexVersion(meta.statsDir) + 1}"
+    writeLexStats(s, indexDir, nextStats, newN, newSum)
+    // THE commit — batches, totals, and both pointers flip together
+    writeLexMeta(s, indexDir,
+      LexMeta(b + 1, newN, newSum, nextDf, nextStats))
+    Map("appended" -> agg.getLong(0), "docs" -> newN,
+      "batches" -> (b + 1).toLong)
+  }
+
+  /** Operational state: totals plus the small-files signal (every append
+    * adds ≥1 file per artifact) — what tells the operator the postings
+    * want a compaction pass. */
+  def lexicalIndexInfo(s: SparkSession, indexDir: String): Map[String, Long] = {
+    val meta = readLexMeta(s, indexDir)
+    def files(sub: String): Long = {
+      val (fs, _) = lexMetaPath(s, indexDir)
+      val p = new org.apache.hadoop.fs.Path(indexDir, sub)
+      if (!fs.exists(p)) 0L
+      else {
+        val it = fs.listFiles(p, true)
+        var k = 0L
+        while (it.hasNext) {
+          if (it.next().getPath.getName.endsWith(".parquet")) k += 1 }
+        k
+      }
+    }
+    Map("docs" -> meta.n, "batches" -> meta.batches.toLong,
+      "terms" -> s.read.parquet(s"$indexDir/${meta.dfDir}").count(),
+      "files" -> (files("terms") + files("docs")))
+  }
+
+  /** Resolve a lexical artifact's current path through the meta pointer
+    * (and validate the batch census on the way — see build doc). */
+  private[graft] def lexArtifactPath(s: SparkSession, indexDir: String,
+      sub: String): String = {
+    val meta = readLexMeta(s, indexDir)
+    sub match {
+      case "terms" | "docs" => s"$indexDir/$sub"
+      case "df" => s"$indexDir/${meta.dfDir}"
+      case "stats" => s"$indexDir/${meta.statsDir}"
+      case other => throw new IllegalArgumentException(
+        s"unknown lexical artifact $other")
+    }
+  }
+
+  private[graft] case class LexMeta(batches: Int, n: Long, sumDl: Long,
+      dfDir: String, statsDir: String)
+
+  private def lexMetaPath(s: SparkSession, indexDir: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(indexDir, "meta.json")
+    (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def lexVersion(dirName: String): Int =
+    dirName.dropWhile(!_.isDigit) match {
+      case "" => 0
+      case v => v.toInt
+    }
+
+  private def lexGenerations(fs: org.apache.hadoop.fs.FileSystem,
+      indexDir: String): Seq[org.apache.hadoop.fs.Path] = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.matches("(df|stats)\\.v\\d+"))
+  }
+
+  private def writeLexBatch(s: SparkSession, corpus: DataFrame,
+      indexDir: String, batch: Int): Unit = {
+    import org.apache.spark.sql.SaveMode
     val t = split(trim(lower(col("text"))), "\\s+")
-    docs(s, srcDir).select(col("doc_id"), size(t).cast("long").as("dl"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/docs")
-    docs(s, srcDir)
-      .select(col("doc_id"), explode(t).as("term"))
+    corpus.select(col("doc_id"), size(t).cast("long").as("dl"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$indexDir/docs/batch=$batch")
+    corpus.select(col("doc_id"), explode(t).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).cast("long").as("tf"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/terms")
-    // df and stats derive from the PERSISTED artifacts, so they provably
-    // describe what queries will read
-    val posted = s.read.parquet(s"$indexDir/terms")
-    posted.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/df")
-    s.read.parquet(s"$indexDir/docs")
-      .agg(count(lit(1)).cast("long").as("n"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stats")
-    Map("docs" -> s.read.parquet(s"$indexDir/docs").count(),
-      "postings" -> posted.count(),
-      "terms" -> s.read.parquet(s"$indexDir/df").count())
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$indexDir/terms/batch=$batch")
+  }
+
+  private def writeLexStats(s: SparkSession, indexDir: String,
+      dirName: String, n: Long, sumDl: Long): Unit = {
+    import s.implicits._
+    // avgdl derives as the same CAST(sum AS DOUBLE)/n both at build and
+    // at every append — bit-identical to a from-scratch rebuild's
+    Seq((n, sumDl.toDouble / n)).toDF("n", "avgdl")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$indexDir/$dirName")
+  }
+
+  private def writeLexMeta(s: SparkSession, indexDir: String,
+      m: LexMeta): Unit = {
+    val (fs, p) = lexMetaPath(s, indexDir)
+    graft.stream.BackupService.atomicWrite(fs, p,
+      s"""{"batches": ${m.batches}, "n": ${m.n}, "sum_dl": ${m.sumDl}, "df_dir": "${m.dfDir}", "stats_dir": "${m.statsDir}"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private[graft] def readLexMeta(s: SparkSession,
+      indexDir: String): LexMeta = {
+    val (fs, p) = lexMetaPath(s, indexDir)
+    require(fs.exists(p), s"no lexical index at $indexDir (missing meta.json)")
+    val in = fs.open(p)
+    val m = try graft.server.Json.parse(new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[Map[String, Any]]
+    finally in.close()
+    val meta = LexMeta(
+      m("batches").asInstanceOf[Long].toInt,
+      m("n").asInstanceOf[Long],
+      m("sum_dl").asInstanceOf[Long],
+      m("df_dir").asInstanceOf[String],
+      m("stats_dir").asInstanceOf[String])
+    // the torn-append detector (dedup discipline): postings/docs must
+    // hold exactly the committed batches — an uncommitted batch dir
+    // would otherwise be silently scored against the OLD df
+    val committed = (0 until meta.batches).map(b => s"batch=$b").toSet
+    Seq("terms", "docs").foreach { art =>
+      val dir = new org.apache.hadoop.fs.Path(indexDir, art)
+      val present = fs.listStatus(dir).iterator
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).toSet
+      require(present == committed,
+        s"lexical index at $indexDir is TORN: $art/ holds " +
+          s"${present.toSeq.sorted.mkString(",")} but meta commits " +
+          s"${meta.batches} batches — re-run the append that died " +
+          "(batch dirs are Overwrite-scoped) or rebuild")
+    }
+    meta
   }
 
   /** The ONE source of the `$terms`-parameterized BM25 SQL a named query
@@ -325,7 +506,8 @@ object Retrieval {
         val idx = graft.PhaseTimings.timed("q_bm25_indexed", "index_build") {
           lexIndexDir(s, dir)
         }
-        s.sql(bm25NamedSql(sub => s"parquet.`$idx/$sub`",
+        s.sql(bm25NamedSql(
+          sub => s"parquet.`${lexArtifactPath(s, idx, sub)}`",
           s"'${lexProbeTerms.mkString(",")}'", "50"))
       },
       Some {

@@ -722,6 +722,28 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
       .buildLexicalIndex(store.spark, str(args, "src"), str(args, "dir"))
   }
 
+  handle("/admin/lexical_index_append") { (c, args) =>
+    // O(increment): the fresh docs' postings land as a new batch, the
+    // vocab-sized df and 1-row stats re-derive from (artifact + delta)
+    // into fresh versioned dirs, and one atomic meta rewrite commits —
+    // then attached views re-resolve the flipped pointers.
+    if (!c.trusted && !c.did.exists(moduleAdmins.contains))
+      throw new LeafAuthException("admin RPCs require a trusted connection")
+    val out = graft.queries.Retrieval.appendLexicalIndex(store.spark,
+      store.spark.read.parquet(str(args, "src")), str(args, "dir"))
+    store.refreshAttachedIndexes(str(args, "dir"))
+    out
+  }
+
+  handle("/admin/lexical_index_info") { (c, args) =>
+    // totals + the small-files signal (appends accumulate ≥1 file per
+    // artifact per batch — the compaction cue, as for the event log and
+    // the vector index)
+    if (!c.trusted && !c.did.exists(moduleAdmins.contains))
+      throw new LeafAuthException("admin RPCs require a trusted connection")
+    graft.queries.Retrieval.lexicalIndexInfo(store.spark, str(args, "dir"))
+  }
+
   handle("/admin/lexical_index_attach") { (c, args) =>
     // {prefix}_terms/_docs/_df/_stats views inside one stream's database,
     // so a module query can bind `$terms` (A7) and BM25-score against

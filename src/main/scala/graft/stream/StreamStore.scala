@@ -569,11 +569,11 @@ class StreamHandle(val store: StreamStore, val id: String) {
     // manifest generation — views created before a maintenance flip
     // would otherwise point at a directory the next flip retires. A
     // since-deleted index only drops its own views (loudly logged).
-    attachments.foreach { case (p, d) =>
-      try attachViews(p, d)
+    attachments.foreach { case (p, (k, d)) =>
+      try attachViewsFor(p, k, d)
       catch {
         case e: Exception =>
-          System.err.println(s"[graft] stale vector-index attachment " +
+          System.err.println(s"[graft] stale $k-index attachment " +
             s"$p -> $d failed to re-resolve: ${e.getMessage}")
       }
     }
@@ -728,7 +728,7 @@ class StreamHandle(val store: StreamStore, val id: String) {
       // manifest generation, and (b) maintenance RPCs can refresh live
       // handles after a manifest flip (the retained-previous-generation
       // window covers readers in between)
-      attachments(prefix) = indexDir
+      attachments(prefix) = ("vector", indexDir)
       saveAttachments()
       tables
     }
@@ -760,16 +760,19 @@ class StreamHandle(val store: StreamStore, val id: String) {
     }
   }
 
-  // prefix -> indexDir, persisted as vector_attachments.tsv beside the
-  // meta (tab-separated; attach() validates both fields against
-  // injection, so the format is unambiguous). Lazy: initialize() runs
-  // from the constructor BEFORE this declaration site and reads it.
-  private lazy val attachments = mutable.LinkedHashMap.empty[String, String]
+  // prefix -> (kind, indexDir), persisted as vector_attachments.tsv
+  // beside the meta (tab-separated; attach() validates every field
+  // against injection, so the format is unambiguous; two-field legacy
+  // lines load as kind=vector). Lazy: initialize() runs from the
+  // constructor BEFORE this declaration site and reads it.
+  private lazy val attachments =
+    mutable.LinkedHashMap.empty[String, (String, String)]
 
   private def attachmentsPath: Path = dir.resolve("vector_attachments.tsv")
 
   private def saveAttachments(): Unit = {
-    val body = attachments.map { case (p, d) => s"$p\t$d" }.mkString("\n")
+    val body = attachments
+      .map { case (p, (k, d)) => s"$p\t$k\t$d" }.mkString("\n")
     val tmp = dir.resolve("vector_attachments.tsv.tmp")
     Files.write(tmp, body.getBytes(UTF_8))
     Files.move(tmp, attachmentsPath, StandardCopyOption.ATOMIC_MOVE,
@@ -780,21 +783,30 @@ class StreamHandle(val store: StreamStore, val id: String) {
     if (Files.exists(attachmentsPath)) {
       new String(Files.readAllBytes(attachmentsPath), UTF_8)
         .split("\n").filter(_.contains("\t")).foreach { l =>
-          val Array(p, d) = l.split("\t", 2)
-          attachments(p) = d
+          l.split("\t", 3) match {
+            case Array(p, k, d) => attachments(p) = (k, d)
+            case Array(p, d) => attachments(p) = ("vector", d)
+            case _ =>
+          }
         }
     }
 
+  private def attachViewsFor(prefix: String, kind: String,
+      indexDir: String): Seq[String] = kind match {
+    case "lexical" => lexicalViews(prefix, indexDir)
+    case _ => attachViews(prefix, indexDir)
+  }
+
   /** Re-resolve every attached view of `indexDir` (or all attachments
-    * when `indexDir` is empty) against the index's current manifest —
-    * what a maintenance RPC calls after a compact/retrain flip so live
-    * handles leave the retained previous generation before it is
-    * retired at the NEXT flip. */
+    * when `indexDir` is empty) against the index's current
+    * manifest/meta pointer — what a maintenance or append RPC calls
+    * after a commit flip so live handles leave the retained previous
+    * generation before it is retired at the NEXT flip. */
   def reattachVectorIndexes(indexDir: String = ""): Unit =
     lock.synchronized {
       ensureOpen()
-      attachments.foreach { case (p, d) =>
-        if (indexDir.isEmpty || d == indexDir) attachViews(p, d)
+      attachments.foreach { case (p, (k, d)) =>
+        if (indexDir.isEmpty || d == indexDir) attachViewsFor(p, k, d)
       }
     }
 
@@ -802,8 +814,9 @@ class StreamHandle(val store: StreamStore, val id: String) {
     * as {prefix}_terms / {prefix}_docs / {prefix}_df / {prefix}_stats
     * views, so a module query can bind `$terms` as an A7 param and score
     * against the postings — the lexical twin of [[attachVectorIndex]].
-    * (The lexical index has no maintenance flips: a rebuild overwrites
-    * in place, so views stay path-stable.) */
+    * The df/stats views resolve through the index's meta pointer, so an
+    * append's commit flip needs the same re-attach the vector index
+    * gets (the append RPC refreshes, stream open re-attaches). */
   def attachLexicalIndex(prefix: String, indexDir: String): Seq[String] =
     lock.synchronized {
       ensureOpen()
@@ -811,17 +824,25 @@ class StreamHandle(val store: StreamStore, val id: String) {
         s"bad index prefix: $prefix")
       require(!indexDir.contains("`") && !indexDir.contains("'"),
         s"bad index dir: $indexDir")
-      val cols = Map(
-        "terms" -> "term, doc_id, tf",
-        "docs" -> "doc_id, dl",
-        "df" -> "term, df",
-        "stats" -> "n, avgdl")
-      Seq("terms", "docs", "df", "stats").map { sub =>
-        spark.sql(s"CREATE OR REPLACE VIEW $dbName.${prefix}_$sub AS " +
-          s"SELECT ${cols(sub)} FROM parquet.`$indexDir/$sub`")
-        s"${prefix}_$sub"
-      }
+      val tables = lexicalViews(prefix, indexDir)
+      attachments(prefix) = ("lexical", indexDir)
+      saveAttachments()
+      tables
     }
+
+  private def lexicalViews(prefix: String, indexDir: String): Seq[String] = {
+    val cols = Map(
+      "terms" -> "term, doc_id, tf",
+      "docs" -> "doc_id, dl",
+      "df" -> "term, df",
+      "stats" -> "n, avgdl")
+    Seq("terms", "docs", "df", "stats").map { sub =>
+      val p = graft.queries.Retrieval.lexArtifactPath(spark, indexDir, sub)
+      spark.sql(s"CREATE OR REPLACE VIEW $dbName.${prefix}_$sub AS " +
+        s"SELECT ${cols(sub)} FROM parquet.`$p`")
+      s"${prefix}_$sub"
+    }
+  }
 
   /** Reinstate an archived state table from a snapshot (restore path). */
   def restoreStateTable(name: String, df: DataFrame): Unit = lock.synchronized {

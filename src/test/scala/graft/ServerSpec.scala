@@ -1288,23 +1288,27 @@ class ServerSpec extends AnyFunSuite {
     // java BigDecimal.valueOf == Spark round() on doubles exactly
     def rnd(x: Double): Long = java.math.BigDecimal.valueOf(x)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValue
-    val n = tokAll.length
-    val dls = tokAll.map { case (id, ts) => id -> ts.size.toLong }.toMap
-    val avgdl = dls.values.sum.toDouble / n
-    val dfOf = terms.map(t => t -> tokAll.count(_._2.contains(t)).toLong).toMap
-    val expected = tokAll.map { case (id, ts) =>
-      id -> terms.map { t =>
-        val tf = ts.count(_ == t).toLong
-        if (tf == 0L) 0L
-        else {
-          val idf = rnd(math.log(((n - dfOf(t)).toDouble + 0.5) /
-            (dfOf(t).toDouble + 0.5) + 1.0) * 1e6)
-          rnd(idf * ((tf.toDouble * 2.2) / (tf.toDouble +
-            1.2 * (0.25 + (0.75 * dls(id).toDouble) / avgdl))))
-        }
-      }.sum
-    }.filter(_._2 != 0L)
-      .sortBy { case (id, sc) => (-sc, id) }
+    def expect(tok: Seq[(Long, Seq[String])],
+        ts: Seq[String]): Seq[(Long, Long)] = {
+      val n = tok.length
+      val dls = tok.map { case (id, ws) => id -> ws.size.toLong }.toMap
+      val avgdl = dls.values.sum.toDouble / n
+      val dfOf = ts.map(t => t -> tok.count(_._2.contains(t)).toLong).toMap
+      tok.map { case (id, ws) =>
+        id -> ts.map { t =>
+          val tf = ws.count(_ == t).toLong
+          if (tf == 0L) 0L
+          else {
+            val idf = rnd(math.log(((n - dfOf(t)).toDouble + 0.5) /
+              (dfOf(t).toDouble + 0.5) + 1.0) * 1e6)
+            rnd(idf * ((tf.toDouble * 2.2) / (tf.toDouble +
+              1.2 * (0.25 + (0.75 * dls(id).toDouble) / avgdl))))
+          }
+        }.sum
+      }.filter(_._2 != 0L)
+        .sortBy { case (id, sc) => (-sc, id) }
+    }
+    val expected = expect(tokAll.toSeq, terms)
     assert(expected.size >= 10, s"test terms too rare: $terms")
     val got = ask(10)
     assert(got == expected.take(10).toVector,
@@ -1322,6 +1326,33 @@ class ServerSpec extends AnyFunSuite {
       s"rare-only binding returned non-matching docs: $gotRare")
     assert(gotCommon.size == 5)
     assert(gotRare != gotCommon, "rebinding changed nothing")
+
+    // ---- O(increment) append: new docs land as a batch, df/stats flip
+    // via the meta pointer, attached views re-resolve, and the SAME
+    // named query now answers from the grown corpus — verified against
+    // the union-recompute oracle ----
+    val incDir = graft.TempDirs.create("graft-lexinc").toString
+    val incDocs = (0 until 40).map { i =>
+      (900000L + i, s"$rare $common appended doc number $i $rare")
+    }
+    import spark.implicits._
+    incDocs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(incDir)
+    val app = ok(post("/admin/lexical_index_append",
+      Map("src" -> incDir, "dir" -> idx)))
+    assert(app("appended") == 40L && app("batches") == 2L, app.toString)
+    val info = ok(post("/admin/lexical_index_info", Map("dir" -> idx)))
+    assert(info("docs") == tokAll.length + 40L, info.toString)
+    val tokUnion = tokAll.toSeq ++ incDocs.map { case (id, tx) =>
+      id -> tx.trim.toLowerCase.split("\\s+").toSeq }
+    val expected2 = expect(tokUnion, terms)
+    val got2 = ask(10)
+    assert(got2 == expected2.take(10).toVector,
+      s"post-append terms=$terms got=$got2 expected=${expected2.take(10)}")
+    // the appended docs (double-$rare, tiny dl) dominate the rare
+    // ranking now — visible proof the df/stats flip reached the query
+    assert(got2.exists(_._1 >= 900000L),
+      s"append invisible to the named query: $got2")
   }
 
   test("json parser caps container nesting (no stack overflow on [[[…)") {
