@@ -221,11 +221,13 @@ object Retrieval {
     // sweep generations that are neither live nor about to be staged:
     // the drained retention of the PREVIOUS append plus crashed stagings
     lexGenerations(fs, indexDir)
-      .filterNot(p => Seq(meta.dfDir, meta.statsDir).contains(p.getName))
+      .filterNot(p => Seq(meta.dfDir, meta.statsDir,
+        meta.termsDir, meta.docsDir).contains(p.getName))
       .foreach(d => fs.delete(d, true))
     val b = meta.batches
-    writeLexBatch(s, fresh, indexDir, batch = b)
-    val delta = s.read.parquet(s"$indexDir/terms/batch=$b")
+    writeLexBatch(s, fresh, indexDir, batch = b,
+      termsDir = meta.termsDir, docsDir = meta.docsDir)
+    val delta = s.read.parquet(s"$indexDir/${meta.termsDir}/batch=$b")
       .groupBy(col("term")).agg(count(lit(1)).cast("long").as("ddf"))
     val nextDf = s"df.v${lexVersion(meta.dfDir) + 1}"
     s.read.parquet(s"$indexDir/${meta.dfDir}")
@@ -234,7 +236,7 @@ object Retrieval {
         (coalesce(col("df"), lit(0L)) + coalesce(col("ddf"), lit(0L)))
           .as("df"))
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/$nextDf")
-    val agg = s.read.parquet(s"$indexDir/docs/batch=$b")
+    val agg = s.read.parquet(s"$indexDir/${meta.docsDir}/batch=$b")
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col("dl")).cast("long").as("sum_dl"))
       .head()
@@ -243,9 +245,54 @@ object Retrieval {
     writeLexStats(s, indexDir, nextStats, newN, newSum)
     // THE commit — batches, totals, and both pointers flip together
     writeLexMeta(s, indexDir,
-      LexMeta(b + 1, newN, newSum, nextDf, nextStats))
+      LexMeta(b + 1, newN, newSum, nextDf, nextStats,
+        meta.termsDir, meta.docsDir))
     Map("appended" -> agg.getLong(0), "docs" -> newN,
       "batches" -> (b + 1).toLong)
+  }
+
+  /** Maintenance: compact the per-append batch accumulation — the
+    * postings and doc-length artifacts rewrite into a SINGLE bounded
+    * batch inside fresh versioned directories (~128 MB files, the
+    * compactLog sizing rule) and commit with one atomic meta rewrite;
+    * df/stats are untouched (they describe the same corpus — only the
+    * physical layout moves). Purely physical: content provably
+    * identical, answers unchanged; the displaced generations are
+    * retained one cycle for in-flight readers. Returns the post-
+    * compaction info map. */
+  def compactLexicalIndex(s: SparkSession,
+      indexDir: String): Map[String, Long] = {
+    import org.apache.spark.sql.SaveMode
+    val meta = readLexMeta(s, indexDir)
+    val (fs, _) = lexMetaPath(s, indexDir)
+    def bytes(sub: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(indexDir, sub)
+      if (!fs.exists(p)) 0L
+      else {
+        val it = fs.listFiles(p, true); var b = 0L
+        while (it.hasNext) { val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) b += f.getLen }
+        b
+      }
+    }
+    def target(sub: String): Int =
+      math.max(1, math.ceil(bytes(sub) / (128.0 * 1024 * 1024)).toInt)
+    val nextTerms = s"terms.v${lexVersion(meta.termsDir) + 1}"
+    val nextDocs = s"docs.v${lexVersion(meta.docsDir) + 1}"
+    s.read.parquet(s"$indexDir/${meta.termsDir}")
+      .select(col("term"), col("doc_id"), col("tf"))
+      .coalesce(target(meta.termsDir))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$indexDir/$nextTerms/batch=0")
+    s.read.parquet(s"$indexDir/${meta.docsDir}")
+      .select(col("doc_id"), col("dl"))
+      .coalesce(target(meta.docsDir))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$indexDir/$nextDocs/batch=0")
+    // THE commit: one batch, same totals, same df/stats, new layout
+    writeLexMeta(s, indexDir, LexMeta(1, meta.n, meta.sumDl,
+      meta.dfDir, meta.statsDir, nextTerms, nextDocs))
+    lexicalIndexInfo(s, indexDir)
   }
 
   /** Operational state: totals plus the small-files signal (every append
@@ -267,7 +314,7 @@ object Retrieval {
     }
     Map("docs" -> meta.n, "batches" -> meta.batches.toLong,
       "terms" -> s.read.parquet(s"$indexDir/${meta.dfDir}").count(),
-      "files" -> (files("terms") + files("docs")))
+      "files" -> (files(meta.termsDir) + files(meta.docsDir)))
   }
 
   /** Resolve a lexical artifact's current path through the meta pointer
@@ -276,7 +323,8 @@ object Retrieval {
       sub: String): String = {
     val meta = readLexMeta(s, indexDir)
     sub match {
-      case "terms" | "docs" => s"$indexDir/$sub"
+      case "terms" => s"$indexDir/${meta.termsDir}"
+      case "docs" => s"$indexDir/${meta.docsDir}"
       case "df" => s"$indexDir/${meta.dfDir}"
       case "stats" => s"$indexDir/${meta.statsDir}"
       case other => throw new IllegalArgumentException(
@@ -285,7 +333,8 @@ object Retrieval {
   }
 
   private[graft] case class LexMeta(batches: Int, n: Long, sumDl: Long,
-      dfDir: String, statsDir: String)
+      dfDir: String, statsDir: String,
+      termsDir: String = "terms", docsDir: String = "docs")
 
   private def lexMetaPath(s: SparkSession, indexDir: String)
       : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
@@ -304,22 +353,23 @@ object Retrieval {
     val root = new org.apache.hadoop.fs.Path(indexDir)
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
-      .filter(_.getName.matches("(df|stats)\\.v\\d+"))
+      .filter(_.getName.matches("(df|stats|terms|docs)\\.v\\d+"))
   }
 
   private def writeLexBatch(s: SparkSession, corpus: DataFrame,
-      indexDir: String, batch: Int): Unit = {
+      indexDir: String, batch: Int,
+      termsDir: String = "terms", docsDir: String = "docs"): Unit = {
     import org.apache.spark.sql.SaveMode
     val t = split(trim(lower(col("text"))), "\\s+")
     corpus.select(col("doc_id"), size(t).cast("long").as("dl"))
       .write.mode(SaveMode.Overwrite)
-      .parquet(s"$indexDir/docs/batch=$batch")
+      .parquet(s"$indexDir/$docsDir/batch=$batch")
     corpus.select(col("doc_id"), explode(t).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).cast("long").as("tf"))
       .write.mode(SaveMode.Overwrite)
-      .parquet(s"$indexDir/terms/batch=$batch")
+      .parquet(s"$indexDir/$termsDir/batch=$batch")
   }
 
   private def writeLexStats(s: SparkSession, indexDir: String,
@@ -336,7 +386,7 @@ object Retrieval {
       m: LexMeta): Unit = {
     val (fs, p) = lexMetaPath(s, indexDir)
     graft.stream.BackupService.atomicWrite(fs, p,
-      s"""{"batches": ${m.batches}, "n": ${m.n}, "sum_dl": ${m.sumDl}, "df_dir": "${m.dfDir}", "stats_dir": "${m.statsDir}"}"""
+      s"""{"batches": ${m.batches}, "n": ${m.n}, "sum_dl": ${m.sumDl}, "df_dir": "${m.dfDir}", "stats_dir": "${m.statsDir}", "terms_dir": "${m.termsDir}", "docs_dir": "${m.docsDir}"}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
@@ -353,12 +403,14 @@ object Retrieval {
       m("n").asInstanceOf[Long],
       m("sum_dl").asInstanceOf[Long],
       m("df_dir").asInstanceOf[String],
-      m("stats_dir").asInstanceOf[String])
+      m("stats_dir").asInstanceOf[String],
+      m.get("terms_dir").collect { case d: String => d }.getOrElse("terms"),
+      m.get("docs_dir").collect { case d: String => d }.getOrElse("docs"))
     // the torn-append detector (dedup discipline): postings/docs must
     // hold exactly the committed batches — an uncommitted batch dir
     // would otherwise be silently scored against the OLD df
     val committed = (0 until meta.batches).map(b => s"batch=$b").toSet
-    Seq("terms", "docs").foreach { art =>
+    Seq(meta.termsDir, meta.docsDir).foreach { art =>
       val dir = new org.apache.hadoop.fs.Path(indexDir, art)
       val present = fs.listStatus(dir).iterator
         .filter(_.isDirectory).map(_.getPath.getName)

@@ -735,6 +735,18 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     out
   }
 
+  handle("/admin/lexical_index_compact") { (c, args) =>
+    // answers the small-files signal: batches rewrite into one bounded
+    // batch inside fresh versioned dirs, committed by the meta flip —
+    // purely physical, answers unchanged.
+    if (!c.trusted && !c.did.exists(moduleAdmins.contains))
+      throw new LeafAuthException("admin RPCs require a trusted connection")
+    val out = graft.queries.Retrieval
+      .compactLexicalIndex(store.spark, str(args, "dir"))
+    store.refreshAttachedIndexes(str(args, "dir"))
+    out
+  }
+
   handle("/admin/lexical_index_info") { (c, args) =>
     // totals + the small-files signal (appends accumulate ≥1 file per
     // artifact per batch — the compaction cue, as for the event log and

@@ -1353,6 +1353,18 @@ class ServerSpec extends AnyFunSuite {
     // ranking now — visible proof the df/stats flip reached the query
     assert(got2.exists(_._1 >= 900000L),
       s"append invisible to the named query: $got2")
+
+    // ---- compaction answers the small-files signal: one bounded batch,
+    // identical answers through the re-resolved views ----
+    val filesBefore = info("files").asInstanceOf[Long]
+    val compacted = ok(post("/admin/lexical_index_compact",
+      Map("dir" -> idx)))
+    assert(compacted("batches") == 1L, compacted.toString)
+    assert(compacted("files").asInstanceOf[Long] < filesBefore,
+      s"compaction did not shrink the file count: " +
+        s"$filesBefore -> ${compacted("files")}")
+    assert(compacted("docs") == tokAll.length + 40L, compacted.toString)
+    assert(ask(10) == got2, "compaction changed query answers")
   }
 
   test("json parser caps container nesting (no stack overflow on [[[…)") {
