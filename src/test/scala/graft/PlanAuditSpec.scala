@@ -481,6 +481,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_tpch_q9_shape",     // nation (25 rows forever)
       "q_sample_dsir",       // ≤256-row hashed-bucket ratio table
       "q_sample_dsir_gumbel", // same ratio table (shared dsirScores)
+      "q_sample_dsir_target", // same ratio table, re-targeted binding
       "q_quality_classifier", // 256-row hashed-feature weight table
       "q_hybrid_rrf",        // 1-row query vector + norm
       "q_hybrid_rrf_ivf",    // ivfTopK's query-dim/best-cell/query-vec frames
