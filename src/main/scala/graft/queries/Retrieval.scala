@@ -181,8 +181,18 @@ object Retrieval {
       indexDir: String): Map[String, Long] =
     buildLexicalIndexDf(s, docs(s, srcDir), indexDir)
 
+  // the in-process single-writer discipline (Similarity.indexLock's
+  // twin): the append RPC and the auto-maintenance compaction tick
+  // would otherwise interleave their read-meta -> stage -> commit
+  // sequences and the later meta rewrite would clobber the earlier
+  // pointer flip
+  private val lexLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lexLock(indexDir: String): Object =
+    lexLocks.computeIfAbsent(indexDir, _ => new Object)
+
   def buildLexicalIndexDf(s: SparkSession, corpus: DataFrame,
-      indexDir: String): Map[String, Long] = {
+      indexDir: String): Map[String, Long] = lexLock(indexDir).synchronized {
     import org.apache.spark.sql.SaveMode
     val (fs, _) = lexMetaPath(s, indexDir)
     // a rebuild sweeps every prior generation and batch
@@ -214,7 +224,7 @@ object Retrieval {
     * The corpus of record is never re-read; the displaced df/stats
     * generations are retained one cycle for in-flight readers. */
   def appendLexicalIndex(s: SparkSession, fresh: DataFrame,
-      indexDir: String): Map[String, Long] = {
+      indexDir: String): Map[String, Long] = lexLock(indexDir).synchronized {
     import org.apache.spark.sql.SaveMode
     val meta = readLexMeta(s, indexDir)
     val (fs, _) = lexMetaPath(s, indexDir)
@@ -261,7 +271,7 @@ object Retrieval {
     * retained one cycle for in-flight readers. Returns the post-
     * compaction info map. */
   def compactLexicalIndex(s: SparkSession,
-      indexDir: String): Map[String, Long] = {
+      indexDir: String): Map[String, Long] = lexLock(indexDir).synchronized {
     import org.apache.spark.sql.SaveMode
     val meta = readLexMeta(s, indexDir)
     val (fs, _) = lexMetaPath(s, indexDir)

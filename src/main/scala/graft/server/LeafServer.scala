@@ -670,6 +670,7 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     // exists as a log line nobody watches.
     if (!c.trusted && !c.did.exists(moduleAdmins.contains))
       throw new LeafAuthException("admin RPCs require a trusted connection")
+    managedDedup.add(str(args, "dir"))
     graft.queries.Dedup.dedupIndexInfo(store.spark, str(args, "dir"))
   }
 
@@ -718,6 +719,7 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     // artifacts — the lexical sibling of vector_index_build.
     if (!c.trusted && !c.did.exists(moduleAdmins.contains))
       throw new LeafAuthException("admin RPCs require a trusted connection")
+    managedLexical.add(str(args, "dir"))
     graft.queries.Retrieval
       .buildLexicalIndex(store.spark, str(args, "src"), str(args, "dir"))
   }
@@ -729,6 +731,7 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     // then attached views re-resolve the flipped pointers.
     if (!c.trusted && !c.did.exists(moduleAdmins.contains))
       throw new LeafAuthException("admin RPCs require a trusted connection")
+    managedLexical.add(str(args, "dir"))
     val out = graft.queries.Retrieval.appendLexicalIndex(store.spark,
       store.spark.read.parquet(str(args, "src")), str(args, "dir"))
     store.refreshAttachedIndexes(str(args, "dir"))
@@ -762,6 +765,7 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     // the postings without touching the corpus text.
     if (!c.trusted && !c.did.exists(moduleAdmins.contains))
       throw new LeafAuthException("admin RPCs require a trusted connection")
+    managedLexical.add(str(args, "dir"))
     val tables = withStream(str(args, "id"))(
       _.attachLexicalIndex(str(args, "prefix"), str(args, "dir")))
     Map("tables" -> tables.toVector)
@@ -878,6 +882,14 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
   // — the auto-maintenance tick's work list, with the last outcome per
   // dir surfaced by /admin/vector_index_maint
   private val managedIndexes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // lexical and dedup siblings: lexical auto-compacts on the same
+  // files signal (purely physical — safe to automate); dedup staleness
+  // is only FLAGGED (a re-band changes candidate volume — the operator
+  // schedules it, /admin/dedup_index_reband)
+  private val managedLexical =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val managedDedup =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val maintStatus =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, Any]]()
@@ -1034,6 +1046,36 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
             } catch { case t: Throwable =>
               lifecycleLog.warn(
                 s"vector maintenance of $d failed: ${t.getMessage}") }
+          }
+          managedLexical.forEach { d =>
+            try {
+              val info = graft.queries.Retrieval
+                .lexicalIndexInfo(store.spark, d)
+              val needCompact = info("files") > vectorCompactFilesThreshold
+              if (needCompact) {
+                graft.queries.Retrieval.compactLexicalIndex(store.spark, d)
+                store.refreshAttachedIndexes(d)
+                maintCompactions.computeIfAbsent(d,
+                  _ => new java.util.concurrent.atomic.AtomicLong)
+                  .incrementAndGet()
+              }
+              maintStatus.put(d, Map(
+                "files_seen" -> info("files"),
+                "compacted" -> needCompact,
+                "compactions" -> Option(maintCompactions.get(d))
+                  .map(_.get).getOrElse(0L)))
+            } catch { case t: Throwable =>
+              lifecycleLog.warn(
+                s"lexical maintenance of $d failed: ${t.getMessage}") }
+          }
+          managedDedup.forEach { d =>
+            try {
+              if (graft.queries.Dedup.dedupIndexStale(store.spark, d))
+                lifecycleLog.warn(s"dedup index $d is STALE — re-band " +
+                  "recommended (/admin/dedup_index_reband)")
+            } catch { case t: Throwable =>
+              lifecycleLog.warn(
+                s"dedup staleness probe of $d failed: ${t.getMessage}") }
           }
         } finally maintPasses.incrementAndGet(),
         vectorMaintMs, vectorMaintMs, TimeUnit.MILLISECONDS)

@@ -671,6 +671,67 @@ class FanoutSoakSpec extends AnyFunSuite {
       s"post-maintenance top-5 should lead with self + 3 twins: $fin")
   }
 
+  test("auto-maintenance covers the lexical index: the files signal trips " +
+    "a background postings compaction") {
+    import org.apache.spark.sql.functions.{col, lit, concat}
+    val lstore = new StreamStore(spark,
+      graft.TempDirs.create("graft-lexmaintstore").toString)
+    val lsrv = new LeafServer(lstore, 0, authToken = Some("testtoken"),
+      vectorMaintMs = 300L, vectorCompactFilesThreshold = 12L)
+    lsrv.start()
+    try {
+      def lpost(path: String, body: Map[String, Any]): Map[String, Any] = {
+        val b = HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${lsrv.boundPort}$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(Json.render(body)))
+          .header("Authorization", "Bearer testtoken")
+        Json.parse(client.send(b.build(),
+          HttpResponse.BodyHandlers.ofString()).body())
+          .asInstanceOf[Map[String, Any]]
+      }
+      def lok(r: Map[String, Any]): Map[String, Any] = {
+        assert(!r.contains("err"), r.toString)
+        r("ok").asInstanceOf[Map[String, Any]]
+      }
+      val src = "/root/testdata/sf0.001"
+      val idx = graft.TempDirs.create("graft-lexmaint").toString
+      lok(lpost("/admin/lexical_index_build", Map("src" -> src, "dir" -> idx)))
+      val p0 = lsrv.maintPassesCompleted
+      while (lsrv.maintPassesCompleted < p0 + 2) Thread.sleep(100)
+      def compactions(): Long =
+        lok(lpost("/admin/vector_index_maint", Map("dir" -> idx)))
+          .get("compactions").map(_.asInstanceOf[Long]).getOrElse(0L)
+      val c0 = compactions()
+      val incDir = graft.TempDirs.create("graft-lexmaint-inc").toString
+      var wave = 1
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      val base = spark.read.parquet(s"$src/documents.parquet")
+        .select(col("doc_id"), col("text")).limit(20)
+      while (compactions() == c0 && System.nanoTime() < deadline) {
+        base.select((col("doc_id") + lit(wave * 1000000L)).as("doc_id"),
+            concat(col("text"), lit(s" wave$wave")).as("text"))
+          .coalesce(1).write.mode("overwrite").parquet(incDir)
+        lok(lpost("/admin/lexical_index_append",
+          Map("src" -> incDir, "dir" -> idx)))
+        wave += 1
+        Thread.sleep(150)
+      }
+      assert(compactions() > c0,
+        s"no lexical auto-compaction after ${wave - 1} appends")
+      // quiesce and the bound holds (a few post-compaction appends may
+      // have landed, each adds ~2 files)
+      val q0 = lsrv.maintPassesCompleted
+      while (lsrv.maintPassesCompleted < q0 + 2) Thread.sleep(100)
+      val info = lok(lpost("/admin/lexical_index_info", Map("dir" -> idx)))
+      assert(info("files").asInstanceOf[Long] <= 12L + 4,
+        s"auto-compaction did not bound the postings files: $info")
+      assert(info("docs").asInstanceOf[Long] ==
+        spark.read.parquet(s"$src/documents.parquet").count() +
+          (wave - 1).toLong * 20,
+        s"content drifted across auto-compaction: $info")
+    } finally lsrv.stop()
+  }
+
   test("auto-maintenance: sustained ingest trips the small-files policy, a " +
     "background compaction fires, queries stay correct throughout") {
     // the operator-less path: the lifecycle tick watches every managed
