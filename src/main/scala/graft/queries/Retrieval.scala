@@ -327,6 +327,13 @@ object Retrieval {
       "files" -> (files(meta.termsDir) + files(meta.docsDir)))
   }
 
+  /** The profiler's probe SQL: [[bm25NamedSql]] rendered over the
+    * CURRENT artifact paths with a literal term binding. */
+  private[graft] def bm25ProbeSqlForProfiler(s: SparkSession,
+      indexDir: String, terms: Seq[String]): String =
+    bm25NamedSql(sub => s"parquet.`${lexArtifactPath(s, indexDir, sub)}`",
+      s"'${terms.mkString(",")}'", "50")
+
   /** Resolve a lexical artifact's current path through the meta pointer
     * (and validate the batch census on the way — see build doc). */
   private[graft] def lexArtifactPath(s: SparkSession, indexDir: String,
