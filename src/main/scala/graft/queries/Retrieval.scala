@@ -224,9 +224,19 @@ object Retrieval {
     * The corpus of record is never re-read; the displaced df/stats
     * generations are retained one cycle for in-flight readers. */
   def appendLexicalIndex(s: SparkSession, fresh: DataFrame,
-      indexDir: String): Map[String, Long] = lexLock(indexDir).synchronized {
+      indexDir: String,
+      streamBatch: Option[Long] = None): Map[String, Long] =
+      lexLock(indexDir).synchronized {
     import org.apache.spark.sql.SaveMode
     val meta = readLexMeta(s, indexDir)
+    // the streaming sink's exactly-once guard: the atomic meta commit
+    // doubles as the transaction log, so a foreachBatch RE-DELIVERY of
+    // an already-committed micro-batch (the at-least-once window after
+    // a success whose checkpoint offsets never landed) is a no-op
+    // instead of double-counting df and duplicating postings
+    if (streamBatch.exists(_ <= meta.lastStreamBatch))
+      return Map("appended" -> 0L, "docs" -> meta.n,
+        "batches" -> meta.batches.toLong)
     val (fs, _) = lexMetaPath(s, indexDir)
     // sweep generations that are neither live nor about to be staged:
     // the drained retention of the PREVIOUS append plus crashed stagings
@@ -253,10 +263,12 @@ object Retrieval {
     val (newN, newSum) = (meta.n + agg.getLong(0), meta.sumDl + agg.getLong(1))
     val nextStats = s"stats.v${lexVersion(meta.statsDir) + 1}"
     writeLexStats(s, indexDir, nextStats, newN, newSum)
-    // THE commit — batches, totals, and both pointers flip together
+    // THE commit — batches, totals, both pointers, and the stream
+    // cursor flip together
     writeLexMeta(s, indexDir,
       LexMeta(b + 1, newN, newSum, nextDf, nextStats,
-        meta.termsDir, meta.docsDir))
+        meta.termsDir, meta.docsDir,
+        streamBatch.getOrElse(meta.lastStreamBatch)))
     Map("appended" -> agg.getLong(0), "docs" -> newN,
       "batches" -> (b + 1).toLong)
   }
@@ -301,7 +313,8 @@ object Retrieval {
       .parquet(s"$indexDir/$nextDocs/batch=0")
     // THE commit: one batch, same totals, same df/stats, new layout
     writeLexMeta(s, indexDir, LexMeta(1, meta.n, meta.sumDl,
-      meta.dfDir, meta.statsDir, nextTerms, nextDocs))
+      meta.dfDir, meta.statsDir, nextTerms, nextDocs,
+      meta.lastStreamBatch))
     lexicalIndexInfo(s, indexDir)
   }
 
@@ -351,7 +364,8 @@ object Retrieval {
 
   private[graft] case class LexMeta(batches: Int, n: Long, sumDl: Long,
       dfDir: String, statsDir: String,
-      termsDir: String = "terms", docsDir: String = "docs")
+      termsDir: String = "terms", docsDir: String = "docs",
+      lastStreamBatch: Long = -1L)
 
   private def lexMetaPath(s: SparkSession, indexDir: String)
       : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
@@ -403,7 +417,7 @@ object Retrieval {
       m: LexMeta): Unit = {
     val (fs, p) = lexMetaPath(s, indexDir)
     graft.stream.BackupService.atomicWrite(fs, p,
-      s"""{"batches": ${m.batches}, "n": ${m.n}, "sum_dl": ${m.sumDl}, "df_dir": "${m.dfDir}", "stats_dir": "${m.statsDir}", "terms_dir": "${m.termsDir}", "docs_dir": "${m.docsDir}"}"""
+      s"""{"batches": ${m.batches}, "n": ${m.n}, "sum_dl": ${m.sumDl}, "df_dir": "${m.dfDir}", "stats_dir": "${m.statsDir}", "terms_dir": "${m.termsDir}", "docs_dir": "${m.docsDir}", "last_stream_batch": ${m.lastStreamBatch}}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
@@ -422,7 +436,8 @@ object Retrieval {
       m("df_dir").asInstanceOf[String],
       m("stats_dir").asInstanceOf[String],
       m.get("terms_dir").collect { case d: String => d }.getOrElse("terms"),
-      m.get("docs_dir").collect { case d: String => d }.getOrElse("docs"))
+      m.get("docs_dir").collect { case d: String => d }.getOrElse("docs"),
+      m.get("last_stream_batch").collect { case b: Long => b }.getOrElse(-1L))
     // the torn-append detector (dedup discipline): postings/docs must
     // hold exactly the committed batches — an uncommitted batch dir
     // would otherwise be silently scored against the OLD df

@@ -355,4 +355,32 @@ object EventStreamPipeline {
       }
       .start()
   }
+
+  /** Streaming lexical-index ingest — the third index family's twin:
+    * each micro-batch of (doc_id, text) appends as a postings batch
+    * through [[graft.queries.Retrieval.appendLexicalIndex]] (the
+    * O(increment) path — df re-derives from the vocab-sized artifact +
+    * delta, the corpus is never re-read), so the index a `$terms` named
+    * query answers from grows continuously as document files land.
+    *
+    * Delivery is EXACTLY-once end to end, one notch stronger than the
+    * dedup/vector twins: the checkpoint makes the file source
+    * exactly-once across restarts, and the lexical meta's atomic commit
+    * carries the stream batch id — so a foreachBatch RE-delivery of an
+    * already-committed batch (the at-least-once window the vector twin
+    * heals at compaction) is a no-op here, never a double-counted df. */
+  def lexicalIndexIngestStream(docsStream: DataFrame, indexDir: String,
+      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow()) = {
+    val spark = docsStream.sparkSession
+    docsStream.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.queries.Retrieval.appendLexicalIndex(spark,
+          batch.select(col("doc_id"), col("text")), indexDir,
+          streamBatch = Some(id))
+        ()
+      }
+      .start()
+  }
 }

@@ -534,4 +534,66 @@ class StreamingSpec extends AnyFunSuite {
           s"streamed twin of vec $v (wave $i) left its cell")
     }
   }
+
+  test("streaming lexical-index ingest: exactly-once END TO END — the " +
+    "meta commit is the sink's transaction log") {
+    // the third index family's streaming twin. Stronger delivery than
+    // the dedup/vector twins: the lexical meta's atomic commit records
+    // the stream batch id, so even a foreachBatch RE-delivery of an
+    // already-committed batch (at-least-once's one hole) is a no-op —
+    // df can never double-count.
+    import graft.queries.Retrieval
+    val src = "/root/testdata/sf0.001"
+    val idx = graft.TempDirs.create("graft-lexidx-str").toString
+    Retrieval.buildLexicalIndex(spark, src, idx)
+    def docsCount(): Long = Retrieval.lexicalIndexInfo(spark, idx)("docs")
+    val n0 = docsCount()
+    assert(n0 > 0)
+
+    val land = graft.TempDirs.create("graft-lexland").toString
+    val d = spark.read.parquet(s"$src/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for (i <- 1 to 3)
+      d.limit(50).withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+        .coalesce(1).write.mode("append").parquet(land)
+
+    def landStream = spark.readStream
+      .schema(d.limit(1).schema)
+      .option("maxFilesPerTrigger", "1").parquet(land)
+    val ckpt = graft.TempDirs.create("graft-lexstr-ckpt").toString
+    val q = EventStreamPipeline.lexicalIndexIngestStream(landStream, idx, ckpt)
+    q.awaitTermination()
+    assert(docsCount() == n0 + 150,
+      s"3 streamed waves of 50 docs must grow the index to ${n0 + 150}")
+
+    // exactly-once across restart: same checkpoint, no new files
+    val q2 = EventStreamPipeline.lexicalIndexIngestStream(landStream, idx, ckpt)
+    q2.awaitTermination()
+    assert(docsCount() == n0 + 150, "checkpointed re-run must append nothing")
+
+    // exactly-once within the at-least-once window: re-delivering an
+    // already-committed stream batch id is a NO-OP (df unchanged),
+    // while the same rows WITHOUT the guard would append
+    val dfBefore = spark.read
+      .parquet(Retrieval.lexArtifactPath(spark, idx, "df"))
+      .collect().map(_.toString).sorted.toSeq
+    val redelivery = d.limit(50)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    val out = Retrieval.appendLexicalIndex(spark, redelivery, idx,
+      streamBatch = Some(0L))
+    assert(out("appended") == 0L, s"re-delivered batch was re-applied: $out")
+    assert(docsCount() == n0 + 150)
+    val dfAfter = spark.read
+      .parquet(Retrieval.lexArtifactPath(spark, idx, "df"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(dfAfter == dfBefore, "re-delivery moved the df artifact")
+
+    // and the grown index answers a $terms probe with the streamed docs
+    // visible (their postings + df contributions committed)
+    val probe = spark.sql(Retrieval.bm25ProbeSqlForProfiler(spark, idx,
+      Seq("hash", "slow")))
+      .collect().map(_.getLong(0))
+    assert(probe.exists(_ >= 1000000L),
+      "streamed docs invisible to the $terms probe")
+  }
 }
