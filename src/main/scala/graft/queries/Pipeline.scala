@@ -616,6 +616,36 @@ object Pipeline {
       (s, dir) => bpeEncodeCounts(s, dir),
       Some(bpeEncodeOracleSql)),
 
+    // ---- BPE segmentation: the ACTUAL piece sequences, digested ----
+    // The encode gate prices documents (counts); this one proves the
+    // tokenizer emits the real segmentation a training pipeline would
+    // feed a model: every document's tokens join the trained pieces
+    // artifact IN ORDER and the full piece stream (RS between words, US
+    // between pieces) digests to md5 — so a single transposed piece
+    // anywhere in the corpus hash-mismatches. Same single-scan shape as
+    // the encode gate plus one bounded in-row sort of the (pos, pieces)
+    // pairs per doc; the corpus is still touched once.
+    "q_tokenizer_segments" -> Q(
+      (s, dir) => {
+        val (_, piecesPath, vocab) = bpeTrain(s, dir)
+        val pieces = s.read.parquet(piecesPath)
+        val enc = if (vocab <= bpeBroadcastCap) broadcast(pieces) else pieces
+        docs(s, dir)
+          .select(col("doc_id"),
+            posexplode(split(trim(lower(col("text"))), "\\s+"))
+              .as(Seq("i", "word")))
+          .filter(col("word") =!= "")
+          .join(enc, Seq("word"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("k")).as("n_bpe_tokens"),
+            md5(array_join(transform(
+              sort_array(collect_list(struct(col("i"), col("ps")))),
+              p => p.getField("ps")), "\u001e")).as("seg_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some(bpeSegmentsOracleSql)),
+
     // ---- PII redaction: regex scrub of emails/phones ----
     // The corpus gets deterministic synthetic PII injected (every 7th
     // doc) so the scrub provably fires; patterns stay in the Java∩RE2
@@ -1416,11 +1446,15 @@ object Pipeline {
             r += 1
           }
         }
-        // land the trained (word → piece count) table as a parquet
-        // artifact: the encode gate joins it distributed, and only the
-        // bounded vocab COUNT crosses the driver
+        // land the trained (word → piece count + the US-joined piece
+        // SEQUENCE) table as a parquet artifact: the encode and
+        // segmentation gates join it distributed, and only the bounded
+        // vocab COUNT crosses the driver. US (\u001f) can never occur
+        // inside a symbol (symbols are merged text characters), so the
+        // join is unambiguous.
         val piecesPath = graft.TempDirs.create("graft-bpe").toString + "/pieces"
-        words.select(col("word"), size(col("syms")).cast("long").as("k"))
+        words.select(col("word"), size(col("syms")).cast("long").as("k"),
+            array_join(col("syms"), "\u001f").as("ps"))
           .write.mode("overwrite").parquet(piecesPath)
         val vocab = s.read.parquet(piecesPath).count()
         (merges.result(), piecesPath, vocab)
@@ -1513,6 +1547,30 @@ object Pipeline {
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        |  CAST(sum(k) AS BIGINT) AS n_bpe_tokens
        |FROM dt JOIN enc USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of the SEGMENTATION gate: the same trained word table,
+    * but emitting each document's full in-order piece sequence (words
+    * joined by RS=chr(30), pieces within a word by US=chr(31) — neither
+    * occurs in a symbol) digested to md5. */
+  private lazy val bpeSegmentsOracleSql: String =
+    s"""WITH $bpeChainSql,
+       |enc2 AS (
+       |  SELECT word, CAST(len(syms) AS BIGINT) AS k,
+       |    array_to_string(syms, chr(31)) AS ps
+       |  FROM w$bpeRounds),
+       |toks2 AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+       |  FROM documents),
+       |dtw AS (
+       |  SELECT doc_id, i, ts[i] AS word
+       |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i
+       |        FROM toks2)
+       |  WHERE ts[i] <> '')
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(k) AS BIGINT) AS n_bpe_tokens,
+       |  md5(string_agg(ps, chr(30) ORDER BY i)) AS seg_md5
+       |FROM dtw JOIN enc2 USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** DuckDB twin of [[dsirScores]] for a given target-domain source

@@ -575,6 +575,12 @@ class GatesSpec extends AnyFunSuite {
     * table and the final pieces-per-word map. */
   private def bpeRecompute(): (Seq[(Long, String, String, String, Long)],
       Map[String, Long]) = {
+    val (m, syms) = bpeRecomputeFull()
+    (m, syms.view.mapValues(_.length.toLong).toMap)
+  }
+
+  private def bpeRecomputeFull(): (Seq[(Long, String, String, String, Long)],
+      Map[String, Vector[String]]) = {
     val wc = scala.collection.mutable.Map.empty[String, Long]
     spark.read.parquet(s"$dir/documents.parquet").select("text").collect()
       .foreach(_.getString(0).trim.toLowerCase.split("\\s+")
@@ -598,7 +604,7 @@ class GatesSpec extends AnyFunSuite {
       }
     }
     (expect.result(), words.map { case (w, syms, _) =>
-      w -> syms.length.toLong }.toMap)
+      w -> syms }.toMap)
   }
 
   test("dsir + nb classifier re-target: the reference domain is a " +
@@ -646,6 +652,27 @@ class GatesSpec extends AnyFunSuite {
     val changed = nbAlt.count { case (id, _, sc, _) => nbDft(id) != sc }
     assert(changed > nbAlt.size / 2,
       s"re-binding the NB target changed only $changed/${nbAlt.size} scores")
+  }
+
+  test("bpe segmentation: every doc's seg_md5 equals the digest of the " +
+    "independently recomputed in-order piece stream") {
+    val rows = run("q_tokenizer_segments").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val (_, symsOf) = bpeRecomputeFull()
+    val docsT = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docsT.size)
+    rows.foreach { case (id, nWords, nBpe, segMd5) =>
+      val ws = docsT(id).trim.toLowerCase.split("\\s+").toSeq
+        .filter(_.nonEmpty)
+      assert(nWords == ws.length)
+      val stream = ws.map(w => symsOf(w).mkString(""))
+        .mkString("")
+      assert(nBpe == ws.map(w => symsOf(w).length.toLong).sum)
+      val exp = org.apache.commons.codec.digest.DigestUtils.md5Hex(stream)
+      assert(segMd5 == exp, s"doc $id segmentation digest mismatch")
+    }
   }
 
   test("quality classifier: train never scored, pred = sign(score), target " +
