@@ -1070,9 +1070,12 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
           }
           managedDedup.forEach { d =>
             try {
-              if (graft.queries.Dedup.dedupIndexStale(store.spark, d))
+              val stale = graft.queries.Dedup.dedupIndexStale(store.spark, d)
+              if (stale)
                 lifecycleLog.warn(s"dedup index $d is STALE — re-band " +
                   "recommended (/admin/dedup_index_reband)")
+              maintStatus.put(d, Map("stale" -> stale,
+                "reband_recommended" -> stale))
             } catch { case t: Throwable =>
               lifecycleLog.warn(
                 s"dedup staleness probe of $d failed: ${t.getMessage}") }
