@@ -1320,6 +1320,69 @@ object Similarity {
               |SELECT qid, rk, vec_id, cos FROM ranked WHERE rk <= 5
               |ORDER BY qid, rk""".stripMargin)),
 
+    // ---- hard-negative mining for contrastive training ----
+    // For each anchor in a bounded batch: the top-3 most-similar vectors
+    // with a DIFFERENT label — the "looks like you but isn't" rows a
+    // contrastive/embedding trainer pairs against its positives. Same
+    // two-stage discipline as q_knn_join (cheap codegen double cosine
+    // scores every candidate, only the adaptive per-anchor band pays the
+    // exact decimal fold; the rank-≤3 precut is the map-side
+    // WindowGroupLimit shape, so the anchor-keyed exchange carries
+    // O(anchors·3) fixed-width rows, never an embedding). At 100 TB the
+    // anchor batch is the broadcast bound and the corpus is scanned
+    // twice; a production variant composes with the IVF cells to score
+    // only neighboring cells.
+    "q_mining_hard_negatives" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.VectorExpressions.register(s)
+        val qs = emb(s, dir).filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("label").as("q_label"),
+            col("embedding").as("q_emb"))
+        val wq = Window.partitionBy(col("qid"))
+        def scored = emb(s, dir)
+          .crossJoin(broadcast(qs))
+          .filter(col("label") =!= col("q_label"))
+          .select(col("qid"), col("vec_id"), col("embedding"), col("q_emb"),
+            expr("cosine_sim(embedding, q_emb)").as("dbl"))
+        val d3 = scored.select(col("qid"), col("vec_id"), col("dbl"))
+          .withColumn("rk_d", row_number().over(
+            wq.orderBy(col("dbl").desc, col("vec_id"))))
+          .filter(col("rk_d") <= 3)
+          .groupBy("qid").agg(min(col("dbl")).as("d3"))
+        scored.join(broadcast(d3), Seq("qid"))
+          .filter(col("dbl") >= col("d3") - 1e-6)
+          .select(col("qid"), col("vec_id"),
+            Vec.cosine(col("embedding"), col("q_emb"),
+              Vec.norm2(col("embedding")), Vec.norm2(col("q_emb"))).as("cos"))
+          .withColumn("rk", row_number().over(
+            wq.orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rk") <= 3)
+          .select(col("qid"), col("rk").cast("long").as("rk"),
+            col("vec_id"), col("cos"))
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some(s"""WITH $dimsSql,
+              |norms AS (
+              |  SELECT vec_id, CAST(sum(CAST(x * x AS DECIMAL(25,10))) AS DOUBLE) AS n2
+              |  FROM dims GROUP BY vec_id),
+              |lbl AS (SELECT vec_id, label FROM embeddings),
+              |q AS (SELECT vec_id AS qid, i AS qi, x AS qx FROM dims WHERE vec_id % 100 = 0),
+              |qn AS (SELECT vec_id AS qid, n2 AS qn2 FROM norms WHERE vec_id % 100 = 0),
+              |ql AS (SELECT vec_id AS qid, label AS q_label FROM embeddings WHERE vec_id % 100 = 0),
+              |dots AS (
+              |  SELECT qid, vec_id, CAST(sum(CAST(x * qx AS DECIMAL(25,10))) AS DOUBLE) AS dot
+              |  FROM dims JOIN q ON i = qi GROUP BY qid, vec_id),
+              |ranked AS (
+              |  SELECT qid, vec_id, dot / (sqrt(n2) * sqrt(qn2)) AS cos,
+              |         row_number() OVER (PARTITION BY qid
+              |           ORDER BY dot / (sqrt(n2) * sqrt(qn2)) DESC, vec_id) AS rk
+              |  FROM dots JOIN norms USING (vec_id) JOIN qn USING (qid)
+              |  JOIN lbl USING (vec_id) JOIN ql USING (qid)
+              |  WHERE lbl.label <> ql.q_label)
+              |SELECT qid, rk, vec_id, cos FROM ranked WHERE rk <= 3
+              |ORDER BY qid, rk""".stripMargin)),
+
     // ---- k-means (Lloyd, 2 iterations) over integer-quantized vectors ----
     // The IVF-training step the probe queries assume: embeddings quantize
     // to small ints (floor(x*64+0.5) — identical rounding both engines),

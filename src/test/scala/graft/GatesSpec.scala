@@ -675,6 +675,43 @@ class GatesSpec extends AnyFunSuite {
     }
   }
 
+  test("hard-negative mining: cross-label only, dense ranks, and the top " +
+    "negative really is the closest cross-label vector") {
+    val rows = run("q_mining_hard_negatives").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows.nonEmpty)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val labelOf = emb.map(e => e._1 -> e._2).toMap
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._2).sorted == Seq(1L, 2L, 3L),
+        s"anchor $qid ranks not dense: $rs")
+      val cs = rs.sortBy(_._2).map(_._4)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        s"anchor $qid negatives not ranked")
+      rs.foreach { case (_, _, nid, _) =>
+        assert(labelOf(nid) != labelOf(qid),
+          s"anchor $qid mined a SAME-label 'negative' $nid") }
+      // hardness: the top mined negative matches the double-cosine
+      // argmax over all cross-label vectors (the oracle pins exactness;
+      // this pins the SEMANTICS against an independent recompute)
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < a.length) {
+          d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        d / math.sqrt(na * nb)
+      }
+      val qv = emb.find(_._1 == qid).get._3
+      val best = emb.filter(e => e._2 != labelOf(qid))
+        .map(e => cos(qv, e._3)).max
+      assert(rs.minBy(_._2)._4 >= best - 1e-6,
+        s"anchor $qid top negative is not the closest cross-label vector")
+    }
+  }
+
   test("quality classifier: train never scored, pred = sign(score), target " +
     "sources separate from the rest on held-out docs") {
     val rows = run("q_quality_classifier").map(r =>
