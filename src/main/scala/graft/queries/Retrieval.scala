@@ -502,6 +502,90 @@ object Retrieval {
       |         CAST(unnest(embedding) AS DOUBLE) AS x
       |  FROM embeddings)""".stripMargin
 
+  // ---------------- MMR diversified retrieval ----------------
+
+  private val mmrC = 12 // candidate pool (top-C by relevance)
+  private val mmrK = 6  // diversified selections
+
+  /** DuckDB twin of the greedy MMR loop: K−1 unrolled layers over the
+    * MATERIALIZED candidate/pair tables (single-reference discipline —
+    * the BPE/k-center lesson; sel_k is referenced by both the NOT-IN
+    * and the max-sim scalar subquery of layer k+1, so each layer
+    * materializes). All selection arithmetic is integer nanos: rel and
+    * pairwise sims round once from the exact decimal cosine, and
+    * mmr = rel − max-sim-to-selected (λ=½ scaled by 2) is a pure BIGINT
+    * subtraction, so the greedy is bit-identical cross-engine. The
+    * corpus is augmented with exact clones (+1000000, every 20th
+    * vector) — a clone and its original carry IDENTICAL relevance, so
+    * the relevance-only ranking seats them adjacently and the MMR
+    * penalty provably reorders. */
+  private lazy val mmrOracleSql: String = {
+    val layers = (2 to mmrK).map { k =>
+      s"""m$k AS MATERIALIZED (
+         |  SELECT c.vec_id, c.rel_nano,
+         |    c.rel_nano - (
+         |      SELECT max(p.sim_nano) FROM pair p
+         |      JOIN sel${k - 1} sl ON p.b = sl.vec_id
+         |      WHERE p.a = c.vec_id) AS mmr_nano
+         |  FROM cand c
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${k - 1})),
+         |s$k AS MATERIALIZED (
+         |  SELECT vec_id, rel_nano, mmr_nano FROM m$k
+         |  ORDER BY mmr_nano DESC, vec_id LIMIT 1),
+         |sel$k AS MATERIALIZED (
+         |  SELECT vec_id FROM sel${k - 1}
+         |  UNION ALL SELECT vec_id FROM s$k)""".stripMargin
+    }.mkString(",\n")
+    val sel = (Seq(
+      "SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id, rel_nano, rel_nano AS mmr_nano FROM s1") ++
+      (2 to mmrK).map(k =>
+        s"SELECT CAST($k AS BIGINT), vec_id, rel_nano, mmr_nano FROM s$k"))
+      .mkString("\nUNION ALL\n")
+    s"""WITH corpus AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, embedding FROM embeddings
+       |  WHERE vec_id % 20 = 0),
+       |mdims AS MATERIALIZED (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM corpus),
+       |mnorms AS MATERIALIZED (
+       |  SELECT vec_id, CAST(sum(CAST(x * x AS DECIMAL(25,10))) AS DOUBLE) AS n2
+       |  FROM mdims GROUP BY vec_id),
+       |q AS (SELECT i AS qi, x AS qx FROM mdims WHERE vec_id = 0),
+       |qn AS (SELECT n2 AS qn2 FROM mnorms WHERE vec_id = 0),
+       |qdots AS (
+       |  SELECT vec_id, CAST(sum(CAST(x * qx AS DECIMAL(25,10))) AS DOUBLE) AS dot
+       |  FROM mdims JOIN q ON i = qi WHERE vec_id <> 0 GROUP BY vec_id),
+       |cand AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    CAST(round(dot / (sqrt(n2) * sqrt(qn2)) * 1e9, 0) AS BIGINT) AS rel_nano
+       |  FROM qdots JOIN mnorms USING (vec_id), qn
+       |  ORDER BY rel_nano DESC, vec_id LIMIT $mmrC),
+       |cdims AS MATERIALIZED (
+       |  SELECT d.vec_id, d.i, d.x FROM mdims d JOIN cand USING (vec_id)),
+       |pdots AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b,
+       |    CAST(sum(CAST(x.x * y.x AS DECIMAL(25,10))) AS DOUBLE) AS dot
+       |  FROM cdims x JOIN cdims y ON x.i = y.i AND x.vec_id <> y.vec_id
+       |  GROUP BY 1, 2),
+       |pair AS MATERIALIZED (
+       |  SELECT a, b,
+       |    CAST(round(dot / (sqrt(na.n2) * sqrt(nb.n2)) * 1e9, 0) AS BIGINT)
+       |      AS sim_nano
+       |  FROM pdots
+       |  JOIN mnorms na ON na.vec_id = a
+       |  JOIN mnorms nb ON nb.vec_id = b),
+       |s1 AS MATERIALIZED (
+       |  SELECT vec_id, rel_nano FROM cand
+       |  ORDER BY rel_nano DESC, vec_id LIMIT 1),
+       |sel1 AS MATERIALIZED (SELECT vec_id FROM s1),
+       |$layers
+       |SELECT sel_rank, vec_id, rel_nano, mmr_nano
+       |FROM ($sel) ORDER BY sel_rank""".stripMargin
+  }
+
   /** RRF fuse shared by the brute-force and IVF hybrid gates: rank the
     * BM25 top-K and the supplied vector top-K (vec_id, cos) frames —
     * both bounded BEFORE their rank windows — and fuse with
@@ -662,6 +746,73 @@ object Retrieval {
               |  FROM dots JOIN norms USING (vec_id, label), qn
               |  ORDER BY cos DESC, vec_id LIMIT 100),
               |$rrfTailSql""".stripMargin)),
+
+    // ---- MMR: maximal-marginal-relevance diversified retrieval ----
+    // Carbonell & Goldstein's re-ranking rule (λ=½ scaled to integers):
+    // greedily pick argmax of rel − max-sim-to-already-selected from the
+    // bounded top-C relevance pool, so near-duplicate hits can't crowd
+    // the result page — the retrieval-side answer to the dedup family's
+    // problem, and what a RAG context-builder runs over its top-K. The
+    // corpus is augmented with exact clones (+1000000), which tie their
+    // originals' relevance EXACTLY; pure relevance ranking seats every
+    // clone beside its original, and the gate's output provably
+    // de-interleaves them. Scale shape: one corpus pass for the top-C
+    // pool (TakeOrdered), one bounded C×C exact-cosine pair frame, then
+    // K greedy rounds over COLLECTED C rows — the bounded-collect class
+    // (C is the knob, never the corpus); all selection arithmetic is
+    // integer nanos, bit-identical to the oracle's unrolled layers.
+    "q_retrieval_mmr" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+        val corpus = e.unionAll(
+          e.filter(col("vec_id") % 20 === 0)
+            .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+        val qv = corpus.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"),
+            Vec.norm2(col("embedding")).as("qn2"))
+        val cand = corpus.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"), col("embedding"),
+            round(Vec.cosine(col("embedding"), col("q_emb"),
+              Vec.norm2(col("embedding")), col("qn2")) * 1e9, 0)
+              .cast("long").as("rel_nano"))
+          .orderBy(col("rel_nano").desc, col("vec_id")).limit(mmrC)
+          .persist()
+        try {
+          cand.count() // settle: both pair sides + the rel collect fork it
+          val a = cand.select(col("vec_id").as("a"), col("embedding").as("ea"))
+          val b = cand.select(col("vec_id").as("b"), col("embedding").as("eb"))
+          val sims = a.join(b, col("a") =!= col("b"))
+            .select(col("a"), col("b"),
+              round(Vec.cosine(col("ea"), col("eb"),
+                Vec.norm2(col("ea")), Vec.norm2(col("eb"))) * 1e9, 0)
+                .cast("long").as("sim_nano"))
+            .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+            .toMap
+          val rels = cand.select(col("vec_id"), col("rel_nano"))
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+            .sortBy { case (id, rel) => (-rel, id) }
+          // the greedy over the bounded pool — integer argmax per round,
+          // ties to the lower vec_id (the oracle's total order)
+          val out = Seq.newBuilder[(Long, Long, Long, Long)]
+          var selected = Vector(rels.head._1)
+          out += ((1L, rels.head._1, rels.head._2, rels.head._2))
+          for (k <- 2 to mmrK) {
+            val pick = rels.filterNot(r => selected.contains(r._1))
+              .map { case (id, rel) =>
+                (id, rel, rel - selected.map(sid => sims((id, sid))).max)
+              }
+              .minBy { case (id, _, mmr) => (-mmr, id) }
+            out += ((k.toLong, pick._1, pick._2, pick._3))
+            selected :+= pick._1
+          }
+          out.result()
+            .toDF("sel_rank", "vec_id", "rel_nano", "mmr_nano")
+            .orderBy(col("sel_rank"))
+        } finally cand.unpersist(false)
+      },
+      Some(mmrOracleSql)),
 
     // ---- SemDeDup: cluster-bounded semantic near-dup pruning ----
     // The augmented corpus plants 25 exact clones (+1000000, every 20th

@@ -675,6 +675,37 @@ class GatesSpec extends AnyFunSuite {
     }
   }
 
+  test("mmr retrieval: diversification provably de-interleaves the planted " +
+    "clone pairs that pure relevance seats adjacently") {
+    val rows = run("q_retrieval_mmr").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows.map(_._1) == (1L to rows.length), "ranks not dense")
+    rows.foreach { case (rk, _, rel, mmr) =>
+      assert(mmr <= rel, s"rank $rk: mmr exceeds relevance") }
+    // rank 1 is the pure-relevance argmax (no penalty yet)
+    assert(rows.head._3 == rows.head._4)
+    // the clone structure: an exact clone ties its original's relevance,
+    // so pure relevance would seat them adjacently — MMR must never
+    // select a clone at the rank right after its original (its penalty
+    // is the full 1e9 the moment the original is in)
+    val byId = rows.map(r => r._2 -> r._1).toMap
+    byId.foreach { case (id, rk) =>
+      val twin = if (id >= 1000000L) id - 1000000L else id + 1000000L
+      byId.get(twin).foreach { trk =>
+        assert(math.abs(trk - rk) > 1,
+          s"clone pair ($id, $twin) selected at ADJACENT ranks $rk/$trk " +
+            "— diversification never fired") }
+    }
+    // and diversification actually moved the order: the selection is not
+    // the relevance prefix (the clone of the top hit ties it exactly and
+    // would sit at rank 2 under pure relevance)
+    val relOrder = rows.sortBy(r => (-r._3, r._2)).map(_._2)
+    assert(rows.map(_._2) != relOrder || rows.size < 2 ||
+      !byId.contains(rows.head._2 + 1000000L) ||
+      byId(rows.head._2 + 1000000L) != 2L,
+      "selection equals the pure-relevance prefix — MMR added nothing")
+  }
+
   test("hard-negative mining: cross-label only, dense ranks, and the top " +
     "negative really is the closest cross-label vector") {
     val rows = run("q_mining_hard_negatives").map(r =>
