@@ -486,7 +486,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_hybrid_rrf",        // 1-row query vector + norm
       "q_hybrid_rrf_ivf",    // ivfTopK's query-dim/best-cell/query-vec frames
       "q_dedup_semantic",    // labels·d centroid arrays (q_emb_outliers bound)
-      "q_tokenizer_encode"   // vocab-bounded (word → piece count) table
+      "q_tokenizer_encode",  // vocab-bounded (word → piece count) table
+      "q_tokenizer_segments", // same pieces artifact, under the same cap
+      "q_mining_hard_negatives" // bounded anchor batch + 1-row-per-anchor
+                              // d5 threshold table (the q_knn_join bound)
     )
     val actual = HintAuditHelper.hinted(spark, dir)
     assert(actual == expected,
