@@ -590,10 +590,17 @@ object Retrieval {
     * BM25 top-K and the supplied vector top-K (vec_id, cos) frames —
     * both bounded BEFORE their rank windows — and fuse with
     * Σ round(1e9/(60+rank)) in exact nano integers. */
-  private def rrfFuse(s: SparkSession, dir: String, vTop: DataFrame): DataFrame = {
-    val K = 100
-    val tTop = bm25Scores(s, dir).filter(col("doc_id") =!= 0)
-      .orderBy(col("score_micro").desc, col("doc_id")).limit(K)
+  private def rrfFuse(s: SparkSession, dir: String, vTop: DataFrame): DataFrame =
+    rrfFuseLists(
+      bm25Scores(s, dir).filter(col("doc_id") =!= 0)
+        .orderBy(col("score_micro").desc, col("doc_id")).limit(100),
+      vTop)
+
+  /** The fuse over caller-supplied bounded lists — `tTop(doc_id,
+    * score_micro)` and `vTop(vec_id, cos)` — shared by the brute, IVF
+    * and fully-indexed hybrid gates so the fusion arithmetic can never
+    * fork between variants. */
+  private def rrfFuseLists(tTop: DataFrame, vTop: DataFrame): DataFrame = {
     val tRank = tTop.withColumn("rt", row_number().over(
         Window.orderBy(col("score_micro").desc, col("doc_id"))))
       .select(col("doc_id"), col("rt"))
@@ -619,6 +626,21 @@ object Retrieval {
       |    row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rt
       |  FROM bm WHERE doc_id <> 0
       |  ORDER BY score_micro DESC, doc_id LIMIT 100)""".stripMargin
+  /** tr0 twin for the ARTIFACT-served BM25 leg: the lexical index only
+    * materializes matched docs (retrieval semantics — a doc with none of
+    * the query terms never enters the postings join), so this rank CTE
+    * filters to docs holding ≥1 query term before the same bounded
+    * truncation [[bm25RankSql]] applies to the all-docs brute leg. */
+  private def bm25IndexedRankSql(terms: Seq[String]): String = {
+    val matched = terms.indices.map(i => s"p.tf$i > 0").mkString(" OR ")
+    s"""tr0 AS (
+       |  SELECT b.doc_id,
+       |    row_number() OVER (ORDER BY b.score_micro DESC, b.doc_id) AS rt
+       |  FROM bm b JOIN bmproj p ON p.doc_id = b.doc_id
+       |  WHERE ($matched) AND b.doc_id <> 0
+       |  ORDER BY b.score_micro DESC, b.doc_id LIMIT 100)""".stripMargin
+  }
+
   private val rrfTailSql =
     """vr0 AS (
       |  SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rv
@@ -739,6 +761,47 @@ object Retrieval {
         Similarity.ivfTopK(s, dir, 100).select(col("vec_id"), col("cos"))),
       Some(s"""WITH $bm25Sql,
               |$bm25RankSql,
+              |${Similarity.dimsSql},
+              |${Similarity.ivfProbeSqlBody},
+              |vc AS (
+              |  SELECT vec_id, dot / (sqrt(n2) * sqrt(qn2)) AS cos
+              |  FROM dots JOIN norms USING (vec_id, label), qn
+              |  ORDER BY cos DESC, vec_id LIMIT 100),
+              |$rrfTailSql""".stripMargin)),
+
+    // ---- hybrid retrieval, BOTH legs served from artifacts ----
+    // The shape a 100 TB serving tier actually runs: the BM25 leg is
+    // the $terms named-query SQL over the PERSISTED lexical index
+    // (bm25NamedSql — the ONE source shared with q_bm25_indexed and the
+    // RPC path), the vector leg is the IVF cell probe, and the fuse is
+    // rrfFuseLists — shared with both other hybrid variants so the
+    // three can never desynchronize. Corpus text appears in NO scan of
+    // the probe plan: postings/doc-length/df/stats artifacts carry the
+    // whole text side. The artifact leg differs from the brute leg in
+    // exactly one semantic: only MATCHED docs exist in the postings
+    // join, so the rank truncation runs over matched docs (the oracle's
+    // tr0 applies the same filter — retrieval semantics, not a recall
+    // trade).
+    "q_hybrid_indexed" -> Q(
+      (s, dir) => {
+        graft.PhaseTimings.reset("q_hybrid_indexed")
+        val idx = graft.PhaseTimings.timed("q_hybrid_indexed", "index_build") {
+          lexIndexDir(s, dir)
+        }
+        // fetch 101 from the named SQL: doc 0 (the query doc) may sit
+        // inside the artifact's top-100; the oracle excludes it BEFORE
+        // its truncation, so take one spare row and re-truncate after
+        // the exclusion — exact at every fixture cardinality
+        val tTop = s.sql(bm25NamedSql(
+            sub => s"parquet.`${lexArtifactPath(s, idx, sub)}`",
+            s"'${bmTerms.mkString(",")}'", "101"))
+          .filter(col("doc_id") =!= 0)
+          .orderBy(col("score_micro").desc, col("doc_id")).limit(100)
+        rrfFuseLists(tTop,
+          Similarity.ivfTopK(s, dir, 100).select(col("vec_id"), col("cos")))
+      },
+      Some(s"""WITH ${bm25SqlFor(bmTerms)},
+              |${bm25IndexedRankSql(bmTerms)},
               |${Similarity.dimsSql},
               |${Similarity.ivfProbeSqlBody},
               |vc AS (

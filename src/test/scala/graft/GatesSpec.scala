@@ -419,6 +419,44 @@ class GatesSpec extends AnyFunSuite {
       r.getLong(3))).toSeq, "hybrid ivf not deterministic")
   }
 
+  test("hybrid indexed: text leg answers from artifacts (every text-ranked " +
+    "doc matches a term, no documents scan in the probe plan), fusion exact") {
+    val rows = run("q_hybrid_indexed").map(r => (r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getLong(1)),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      r.getLong(3))).toSeq
+    assert(rows.length == 20)
+    def c(r: Option[Long]): Long =
+      r.map(rk => math.round(1.0e9 / (60.0 + rk))).getOrElse(0L)
+    rows.foreach { case (id, rt, rv, f) =>
+      assert(rt.isDefined || rv.isDefined, s"doc $id in neither ranking")
+      assert(f == c(rt) + c(rv), s"doc $id fused $f != recomputed") }
+    assert(rows.exists(_._2.isDefined) && rows.exists(_._3.isDefined),
+      "one retrieval modality contributed nothing")
+    // the artifact leg's defining property: only MATCHED docs exist in
+    // the postings join, so every text-ranked id must hold ≥1 query term
+    val terms = Set("hash", "join", "slow")
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.filter(_._2.isDefined).foreach { case (id, _, _, _) =>
+      val toks = texts(id).trim.toLowerCase.split("\\s+").toSet
+      assert((toks & terms).nonEmpty, s"text-ranked doc $id matches no term")
+    }
+    // the probe plan never scans the corpus text: the BM25 side reads
+    // postings/doc-length/df/stats artifacts, the vector side reads
+    // embeddings — documents.parquet appears in NO FileScan (the
+    // one-off index build ran before this frame was constructed)
+    val plan = SparkEntry.queries("q_hybrid_indexed")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      "probe plan scans the corpus of record")
+    assert(rows == run("q_hybrid_indexed").map(r => (r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getLong(1)),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      r.getLong(3))).toSeq, "hybrid indexed not deterministic")
+  }
+
   test("semantic dedup: every planted exact clone is dropped, its original " +
     "survives the clone pair, near pairs lose exactly one side") {
     val dropped = run("q_dedup_semantic").map(_.getLong(0)).toSeq
