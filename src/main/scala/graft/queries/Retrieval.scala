@@ -641,15 +641,56 @@ object Retrieval {
        |  ORDER BY b.score_micro DESC, b.doc_id LIMIT 100)""".stripMargin
   }
 
-  private val rrfTailSql =
+  private val rrfVr0Sql =
     """vr0 AS (
       |  SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rv
-      |  FROM vc ORDER BY cos DESC, vec_id LIMIT 100)
-      |SELECT COALESCE(tr0.doc_id, vr0.vec_id) AS doc_id, rt, rv,
+      |  FROM vc ORDER BY cos DESC, vec_id LIMIT 100)""".stripMargin
+  private val rrfSelectSql =
+    """SELECT COALESCE(tr0.doc_id, vr0.vec_id) AS doc_id, rt, rv,
       |  COALESCE(CAST(round(1.0e9 / (60.0 + rt), 0) AS BIGINT), 0)
       |  + COALESCE(CAST(round(1.0e9 / (60.0 + rv), 0) AS BIGINT), 0) AS rrf_nano
       |FROM tr0 FULL JOIN vr0 ON tr0.doc_id = vr0.vec_id
       |ORDER BY rrf_nano DESC, doc_id LIMIT 20""".stripMargin
+  private val rrfTailSql = s"$rrfVr0Sql\n$rrfSelectSql"
+
+  /** The fully-indexed hybrid's fused top-20 — ONE implementation shared
+    * by q_hybrid_indexed and the context-pack gate (phase-labelled per
+    * caller so each gate's recorded probe cost stays honest). The BM25
+    * leg fetches 101 rows from the named SQL: doc 0 (the query doc) may
+    * sit inside the artifact's top-100, and the oracle excludes it
+    * BEFORE its truncation, so one spare row keeps the re-truncation
+    * exact at every fixture cardinality. */
+  private def hybridIndexedFused(s: SparkSession, dir: String,
+      gate: String): DataFrame = {
+    graft.PhaseTimings.reset(gate)
+    val idx = graft.PhaseTimings.timed(gate, "index_build") {
+      lexIndexDir(s, dir)
+    }
+    val tTop = s.sql(bm25NamedSql(
+        sub => s"parquet.`${lexArtifactPath(s, idx, sub)}`",
+        s"'${bmTerms.mkString(",")}'", "101"))
+      .filter(col("doc_id") =!= 0)
+      .orderBy(col("score_micro").desc, col("doc_id")).limit(100)
+    rrfFuseLists(tTop,
+      Similarity.ivfTopK(s, dir, 100).select(col("vec_id"), col("cos")))
+  }
+
+  /** The oracle CTE stack matching [[hybridIndexedFused]] (everything up
+    * to — not including — the vr0/fuse tail). */
+  private lazy val hybridIndexedCtes: String =
+    s"""${bm25SqlFor(bmTerms)},
+       |${bm25IndexedRankSql(bmTerms)},
+       |${Similarity.dimsSql},
+       |${Similarity.ivfProbeSqlBody},
+       |vc AS (
+       |  SELECT vec_id, dot / (sqrt(n2) * sqrt(qn2)) AS cos
+       |  FROM dots JOIN norms USING (vec_id, label), qn
+       |  ORDER BY cos DESC, vec_id LIMIT 100)""".stripMargin
+
+  /** Context budget (whitespace tokens) for the packing gate — sized so
+    * the fixture's fused top-20 (~54 tokens/doc) splits: part packs,
+    * part overflows. */
+  private val ctxBudget = 512
 
   // one lexical-index build per (session, corpus): the artifact the
   // indexed-BM25 gate probes (the partitionedEventsPath memo pattern —
@@ -783,32 +824,59 @@ object Retrieval {
     // tr0 applies the same filter — retrieval semantics, not a recall
     // trade).
     "q_hybrid_indexed" -> Q(
-      (s, dir) => {
-        graft.PhaseTimings.reset("q_hybrid_indexed")
-        val idx = graft.PhaseTimings.timed("q_hybrid_indexed", "index_build") {
-          lexIndexDir(s, dir)
-        }
-        // fetch 101 from the named SQL: doc 0 (the query doc) may sit
-        // inside the artifact's top-100; the oracle excludes it BEFORE
-        // its truncation, so take one spare row and re-truncate after
-        // the exclusion — exact at every fixture cardinality
-        val tTop = s.sql(bm25NamedSql(
-            sub => s"parquet.`${lexArtifactPath(s, idx, sub)}`",
-            s"'${bmTerms.mkString(",")}'", "101"))
-          .filter(col("doc_id") =!= 0)
-          .orderBy(col("score_micro").desc, col("doc_id")).limit(100)
-        rrfFuseLists(tTop,
-          Similarity.ivfTopK(s, dir, 100).select(col("vec_id"), col("cos")))
-      },
-      Some(s"""WITH ${bm25SqlFor(bmTerms)},
-              |${bm25IndexedRankSql(bmTerms)},
-              |${Similarity.dimsSql},
-              |${Similarity.ivfProbeSqlBody},
-              |vc AS (
-              |  SELECT vec_id, dot / (sqrt(n2) * sqrt(qn2)) AS cos
-              |  FROM dots JOIN norms USING (vec_id, label), qn
-              |  ORDER BY cos DESC, vec_id LIMIT 100),
+      (s, dir) => hybridIndexedFused(s, dir, "q_hybrid_indexed"),
+      Some(s"""WITH $hybridIndexedCtes,
               |$rrfTailSql""".stripMargin)),
+
+    // ---- RAG context packing under a token budget ----
+    // The assembly step a serving tier runs AFTER retrieval: walk the
+    // fused ranking in order and keep documents while the cumulative
+    // whitespace-token count stays within the context budget — the
+    // monotone cumsum makes the kept set a strict rank prefix, so the
+    // semantics are a deterministic window filter, not a knapsack. The
+    // retrieval input is the fully-indexed hybrid (shared
+    // hybridIndexedFused — this gate can never diverge from what
+    // q_hybrid_indexed returns) and the token arithmetic is the
+    // q_text_tokens twin, all exact integers. Scale shape: the window
+    // runs over the bounded 20-row fused list; the only corpus-sized
+    // touch is the token-count join against the fused ids.
+    "q_retrieval_context_pack" -> Q(
+      (s, dir) => {
+        val fused = hybridIndexedFused(s, dir, "q_retrieval_context_pack")
+          .select(col("doc_id"), col("rrf_nano"))
+        val tok = Tables.df(s, dir, "documents").select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"))
+        val w = Window.orderBy(col("rrf_nano").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        fused.join(tok, "doc_id")
+          .select(col("doc_id"), col("rrf_nano"), col("tokens"),
+            sum(col("tokens")).over(w).as("cum_tokens"),
+            row_number().over(
+              Window.orderBy(col("rrf_nano").desc, col("doc_id")))
+              .cast("long").as("sel_order"))
+          .filter(col("cum_tokens") <= ctxBudget)
+          .select(col("sel_order"), col("doc_id"), col("tokens"),
+            col("cum_tokens"))
+          .orderBy(col("sel_order"))
+      },
+      Some(s"""WITH $hybridIndexedCtes,
+              |$rrfVr0Sql,
+              |fused AS MATERIALIZED (
+              |$rrfSelectSql),
+              |tok AS (
+              |  SELECT doc_id,
+              |    len(regexp_split_to_array(trim(text), '\\s+')) AS tokens
+              |  FROM documents),
+              |packed AS (
+              |  SELECT
+              |    row_number() OVER (ORDER BY rrf_nano DESC, f.doc_id)
+              |      AS sel_order,
+              |    f.doc_id, tokens,
+              |    CAST(sum(tokens) OVER (ORDER BY rrf_nano DESC, f.doc_id
+              |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+              |  FROM fused f JOIN tok ON tok.doc_id = f.doc_id)
+              |SELECT sel_order, doc_id, tokens, cum_tokens FROM packed
+              |WHERE cum_tokens <= $ctxBudget ORDER BY sel_order""".stripMargin)),
 
     // ---- MMR: maximal-marginal-relevance diversified retrieval ----
     // Carbonell & Goldstein's re-ranking rule (λ=½ scaled to integers):

@@ -457,6 +457,36 @@ class GatesSpec extends AnyFunSuite {
       r.getLong(3))).toSeq, "hybrid indexed not deterministic")
   }
 
+  test("context pack: kept set is the maximal rank prefix under the " +
+    "budget, cumulative arithmetic exact") {
+    val rows = run("q_retrieval_context_pack").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1) == (1L to rows.length), "sel_order not a dense prefix")
+    var cum = 0L
+    rows.foreach { case (_, id, tok, cumGot) =>
+      cum += tok
+      assert(cumGot == cum, s"doc $id cumulative $cumGot != running $cum")
+    }
+    assert(cum <= 512, s"budget exceeded: $cum")
+    // maximality: the next fused doc (if any) would not have fit —
+    // recompute the fused ranking the gate packs from and check the
+    // first unpacked entry overflows
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id",
+        "CAST(size(split(trim(text), '\\\\s+')) AS LONG) AS t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fused = run("q_hybrid_indexed").map(_.getLong(0)).toSeq
+    val packed = rows.map(_._2).toSet
+    fused.filterNot(packed).headOption.foreach { next =>
+      assert(cum + toks(next) > 512,
+        s"doc $next (${toks(next)} tokens) fit but was not packed")
+    }
+    assert(rows == run("q_retrieval_context_pack").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq,
+      "context pack not deterministic")
+  }
+
   test("semantic dedup: every planted exact clone is dropped, its original " +
     "survives the clone pair, near pairs lose exactly one side") {
     val dropped = run("q_dedup_semantic").map(_.getLong(0)).toSeq

@@ -486,6 +486,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_hybrid_rrf",        // 1-row query vector + norm
       "q_hybrid_rrf_ivf",    // ivfTopK's query-dim/best-cell/query-vec frames
       "q_hybrid_indexed",    // same ivfTopK frames (the shared vector leg)
+      "q_retrieval_context_pack", // packs the same shared fused frame
       "q_dedup_semantic",    // labels·d centroid arrays (q_emb_outliers bound)
       "q_tokenizer_encode",  // vocab-bounded (word → piece count) table
       "q_tokenizer_segments", // same pieces artifact, under the same cap
