@@ -1051,6 +1051,76 @@ object Pipeline {
              |    FROM documents))
              |WHERE cum_chars - n_chars < 1500 ORDER BY doc_id""".stripMargin)),
 
+    // ---- DoReMi-style domain-mixture reweighting ----
+    // Domain Reweighting with Minimax Optimization (Xie et al., 2023,
+    // arXiv:2305.10429): upweight the domains where the proxy model's
+    // excess loss is largest. This static analogue takes the unigram
+    // cross-entropy of each `source` against the GLOBAL token
+    // distribution as the proxy loss (the fixture's stand-in for the
+    // proxy/reference loss gap), applies ONE exponentiated-gradient
+    // step w_d ∝ exp(η · excess_d) with η = 100/nat, normalizes, and
+    // smooths toward uniform with c = 0.1 — the published Group-DRO
+    // update with a static loss table (iterating it with a frozen loss
+    // collapses to the same closed form, so one step IS the fixpoint).
+    // Every ln/exp rounds to an integer (micro-nats / 1e-6 multiplier)
+    // BEFORE any aggregation, divisions are integral (DIV ≡ //), and
+    // the normalize + smooth are pure BIGINT arithmetic — bit-identical
+    // cross-engine. Scale shape: one token scan folds to the vocab-
+    // bounded count table (auto-broadcast back into the scoring pass —
+    // metadata-sized), one (source)-keyed aggregation; the 1-row
+    // totals/min frames are explicit bounded broadcasts. The output is
+    // domains-bounded (the mixture spec a trainer consumes).
+    "q_mixture_doremi" -> Q(
+      (s, dir) => {
+        val toks = docs(s, dir).select(col("source"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+        val cnt = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        val tot = cnt.agg(sum("c").as("t"))
+        val lp = cnt.crossJoin(broadcast(tot)).select(col("tok"),
+          round(-log(col("c").cast("double") / col("t").cast("double")) * 1e6, 0)
+            .cast("long").as("lm"))
+        val dom = toks.join(lp, "tok").groupBy("source")
+          .agg(sum("lm").as("slm"), count(lit(1)).as("n"))
+          .select(col("source"), expr("slm DIV n").as("l_micro"))
+        val lmin = dom.agg(min("l_micro").as("lmin"))
+        val ex = dom.crossJoin(broadcast(lmin))
+          .select(col("source"), col("l_micro"),
+            (col("l_micro") - col("lmin")).as("excess_micro"))
+          .withColumn("e",
+            round(exp(col("excess_micro").cast("double") / lit(10000.0)) * 1e6, 0)
+              .cast("long"))
+        val se = ex.agg(sum("e").as("se"))
+        ex.crossJoin(broadcast(se))
+          .select(col("source"), col("l_micro"), col("excess_micro"),
+            expr("(e * 1000000000 DIV se) * 9 DIV 10 + 5000000")
+              .cast("long").as("weight_nano"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT source,
+             |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+             |  FROM documents),
+             |cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt),
+             |lp AS (
+             |  SELECT tok,
+             |    CAST(round(-ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1e6, 0)
+             |      AS BIGINT) AS lm
+             |  FROM cnt, tot),
+             |dom AS (
+             |  SELECT source, CAST(sum(lm) AS BIGINT) // count(*) AS l_micro
+             |  FROM toks JOIN lp USING (tok) GROUP BY source),
+             |lmin AS (SELECT min(l_micro) AS lm0 FROM dom),
+             |ex AS (
+             |  SELECT source, l_micro, l_micro - lm0 AS excess_micro,
+             |    CAST(round(exp(CAST(l_micro - lm0 AS DOUBLE) / 10000.0) * 1e6, 0)
+             |      AS BIGINT) AS e
+             |  FROM dom, lmin),
+             |se AS (SELECT CAST(sum(e) AS BIGINT) AS se FROM ex)
+             |SELECT source, l_micro, excess_micro,
+             |  (e * 1000000000 // se) * 9 // 10 + 5000000 AS weight_nano
+             |FROM ex, se ORDER BY source""".stripMargin)),
+
     // ---- importance resampling toward a target domain (DSIR-style) ----
     // Data Selection via Importance Resampling (Xie et al., 2023,
     // arXiv:2302.03169): featurize documents as hashed n-gram counts, fit

@@ -457,6 +457,36 @@ class GatesSpec extends AnyFunSuite {
       r.getLong(3))).toSeq, "hybrid indexed not deterministic")
   }
 
+  test("doremi mixture: one weight per domain, update rule recomputes " +
+    "exactly, weights sum to ~1e9 and respect the smoothing floor") {
+    val rows = run("q_mixture_doremi").map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows.length == 20, s"expected 20 domains, got ${rows.length}")
+    assert(rows.map(_._1).distinct.length == 20)
+    assert(rows.map(_._3).min == 0L, "no domain has zero excess")
+    // independent recompute of the exponentiated-gradient step from the
+    // published loss column: e_d = round(exp(η·excess)·1e6) with
+    // η = 100/nat, integral normalize, 0.9/0.1 uniform smoothing
+    val es = rows.map { case (_, _, ex, _) =>
+      math.round(math.exp(ex.toDouble / 10000.0) * 1e6) }
+    val se = es.sum
+    val expect = es.map(e => (e * 1000000000L / se) * 9 / 10 + 5000000L)
+    assert(rows.map(_._4) == expect, "weight_nano != recomputed update")
+    val ws = rows.map(_._4)
+    assert(ws.sum > 1000000000L - 100 && ws.sum <= 1000000000L,
+      s"weights sum ${ws.sum} outside truncation slack")
+    assert(ws.min >= 5000000L, "smoothing floor violated")
+    assert(ws.max.toDouble / ws.min >= 1.3,
+      s"update barely fired: ${ws.min}..${ws.max}")
+    // monotone: more excess loss never means less weight
+    val byExcess = rows.sortBy(_._3).map(_._4)
+    assert(byExcess.zip(byExcess.tail).forall { case (a, b) => a <= b },
+      "weight not monotone in excess loss")
+    assert(rows == run("q_mixture_doremi").map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq,
+      "doremi not deterministic")
+  }
+
   test("context pack: kept set is the maximal rank prefix under the " +
     "budget, cumulative arithmetic exact") {
     val rows = run("q_retrieval_context_pack").map(r =>
