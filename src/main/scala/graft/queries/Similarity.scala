@@ -1383,6 +1383,97 @@ object Similarity {
               |SELECT qid, rk, vec_id, cos FROM ranked WHERE rk <= 3
               |ORDER BY qid, rk""".stripMargin)),
 
+    // ---- hard-negative mining, IVF-composed (the production variant) ----
+    // The variant the brute gate's doc comment names: instead of scoring
+    // every cross-label vector, each anchor probes its nearest FOREIGN
+    // centroid cell (argmax centroid-cosine over cells with a different
+    // label — the batch generalization of ivfTopK's probe, same
+    // persisted centroidIndex) and pays the exact decimal cosine only
+    // within that one cell. At 100 TB the per-anchor candidate set is a
+    // cell, not the corpus — the probe is O(anchors · cells · d) against
+    // the metadata-sized centroid table, and the recall trade is exactly
+    // q_knn_ivf's (a true hard negative hiding in a non-nearest foreign
+    // cell is missed). Candidates are cell members by construction, so
+    // the cross-label constraint is enforced by the probe itself.
+    "q_mining_hard_negatives_ivf" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.VectorExpressions.register(s)
+        val qs = emb(s, dir).filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("label").as("q_label"),
+            col("embedding").as("q_emb"))
+        val qd = emb(s, dir).filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"),
+            posexplode(col("embedding")).as(Seq("qi", "qx")))
+          .select(col("qid"), col("qi"), col("qx").cast("double").as("qx"))
+        val cent = centroidIndex(s, dir)
+        val centNorm = cent.groupBy("label")
+          .agg(sum(dec(col("c") * col("c"))).cast("double").as("cn2"))
+        val centDot = cent.join(broadcast(qd), col("i") === col("qi"))
+          .groupBy(col("qid"), col("label"))
+          .agg(sum(dec(col("c") * col("qx"))).cast("double").as("cdot"))
+        val tgt = centDot.join(centNorm, "label")
+          .join(broadcast(qs.select(col("qid"), col("q_label"))), "qid")
+          .filter(col("label") =!= col("q_label"))
+          .select(col("qid"), col("label"),
+            (col("cdot") / sqrt(col("cn2"))).as("sc"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("sc").desc, col("label"))))
+          .filter(col("rn") === 1)
+          .select(col("qid"), col("label").as("tgt_label"))
+        val wq = Window.partitionBy(col("qid"))
+        emb(s, dir).filter(col("vec_id") % 100 =!= 0)
+          .join(broadcast(tgt.join(qs, "qid")),
+            col("label") === col("tgt_label"))
+          .select(col("qid"), col("vec_id"),
+            Vec.cosine(col("embedding"), col("q_emb"),
+              Vec.norm2(col("embedding")), Vec.norm2(col("q_emb"))).as("cos"))
+          .withColumn("rk", row_number().over(
+            wq.orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rk") <= 3)
+          .select(col("qid"), col("rk").cast("long").as("rk"),
+            col("vec_id"), col("cos"))
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some(s"""WITH $dimsSql,
+              |norms AS (
+              |  SELECT vec_id, CAST(sum(CAST(x * x AS DECIMAL(25,10))) AS DOUBLE) AS n2
+              |  FROM dims GROUP BY vec_id),
+              |q AS (SELECT vec_id AS qid, i AS qi, x AS qx FROM dims WHERE vec_id % 100 = 0),
+              |qn AS (SELECT vec_id AS qid, n2 AS qn2 FROM norms WHERE vec_id % 100 = 0),
+              |ql AS (SELECT vec_id AS qid, label AS q_label FROM embeddings WHERE vec_id % 100 = 0),
+              |cent AS (
+              |  SELECT label, i, CAST(sum(CAST(x AS DECIMAL(25,10))) AS DOUBLE) / count(*) AS c
+              |  FROM dims GROUP BY label, i),
+              |centnorm AS (
+              |  SELECT label, CAST(sum(CAST(c * c AS DECIMAL(25,10))) AS DOUBLE) AS cn2
+              |  FROM cent GROUP BY label),
+              |centdot AS (
+              |  SELECT qid, label, CAST(sum(CAST(c * qx AS DECIMAL(25,10))) AS DOUBLE) AS cdot
+              |  FROM cent JOIN q ON i = qi GROUP BY qid, label),
+              |tgt AS (
+              |  SELECT qid, label AS tgt_label FROM (
+              |    SELECT cd.qid, cd.label,
+              |      row_number() OVER (PARTITION BY cd.qid
+              |        ORDER BY cd.cdot / sqrt(cn.cn2) DESC, cd.label) AS rn
+              |    FROM centdot cd JOIN centnorm cn USING (label)
+              |    JOIN ql USING (qid)
+              |    WHERE cd.label <> q_label) WHERE rn = 1),
+              |lbl AS (SELECT vec_id, label FROM embeddings),
+              |dots AS (
+              |  SELECT qid, vec_id, CAST(sum(CAST(x * qx AS DECIMAL(25,10))) AS DOUBLE) AS dot
+              |  FROM dims JOIN q ON i = qi WHERE vec_id % 100 <> 0 GROUP BY qid, vec_id),
+              |ranked AS (
+              |  SELECT d.qid, d.vec_id, dot / (sqrt(n2) * sqrt(qn2)) AS cos,
+              |         row_number() OVER (PARTITION BY d.qid
+              |           ORDER BY dot / (sqrt(n2) * sqrt(qn2)) DESC, d.vec_id) AS rk
+              |  FROM dots d JOIN norms USING (vec_id) JOIN qn USING (qid)
+              |  JOIN lbl USING (vec_id) JOIN tgt USING (qid)
+              |  WHERE lbl.label = tgt.tgt_label)
+              |SELECT qid, rk, vec_id, cos FROM ranked WHERE rk <= 3
+              |ORDER BY qid, rk""".stripMargin)),
+
     // ---- k-means (Lloyd, 2 iterations) over integer-quantized vectors ----
     // The IVF-training step the probe queries assume: embeddings quantize
     // to small ints (floor(x*64+0.5) — identical rounding both engines),

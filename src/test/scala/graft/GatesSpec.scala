@@ -841,6 +841,44 @@ class GatesSpec extends AnyFunSuite {
     }
   }
 
+  test("hard-negative mining, IVF-composed: negatives confined to ONE " +
+    "foreign cell per anchor, exactly the brute top-3 within that cell") {
+    val rows = run("q_mining_hard_negatives_ivf").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows.nonEmpty)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(label AS LONG) AS label", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val labelOf = emb.map(e => e._1 -> e._2).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._2).sorted == Seq(1L, 2L, 3L),
+        s"anchor $qid ranks not dense")
+      // the probe's defining property: all negatives live in ONE cell,
+      // and it is a FOREIGN one
+      val cells = rs.map(r => labelOf(r._3)).distinct
+      assert(cells.length == 1, s"anchor $qid negatives span cells $cells")
+      assert(cells.head != labelOf(qid), s"anchor $qid probed its own cell")
+      // within the probed cell the mining is exact: the returned ids are
+      // the independent double-cosine top-3 of that cell's members
+      val qv = emb.find(_._1 == qid).get._3
+      val want = emb.filter(e => e._2 == cells.head && e._1 % 100 != 0)
+        .map(e => (cos(qv, e._3), e._1))
+        .sortBy { case (c, id) => (-c, id) }.take(3).map(_._2).toSeq
+      assert(rs.sortBy(_._2).map(_._3) == want,
+        s"anchor $qid in-cell top-3 drifted from independent recompute")
+    }
+    assert(rows == run("q_mining_hard_negatives_ivf").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq,
+      "ivf hard negatives not deterministic")
+  }
+
   test("quality classifier: train never scored, pred = sign(score), target " +
     "sources separate from the rest on held-out docs") {
     val rows = run("q_quality_classifier").map(r =>

@@ -492,8 +492,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_dedup_semantic",    // labels·d centroid arrays (q_emb_outliers bound)
       "q_tokenizer_encode",  // vocab-bounded (word → piece count) table
       "q_tokenizer_segments", // same pieces artifact, under the same cap
-      "q_mining_hard_negatives" // bounded anchor batch + 1-row-per-anchor
+      "q_mining_hard_negatives", // bounded anchor batch + 1-row-per-anchor
                               // d5 threshold table (the q_knn_join bound)
+      "q_mining_hard_negatives_ivf" // anchor dim/label batch + per-anchor
+                              // probed-cell table (anchors-bounded)
     )
     val actual = HintAuditHelper.hinted(spark, dir)
     assert(actual == expected,
