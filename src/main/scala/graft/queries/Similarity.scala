@@ -1081,6 +1081,66 @@ object Similarity {
               |FROM dots JOIN norms USING (vec_id), qn
               |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // ---- Matryoshka two-stage kNN: prefix-dim probe, full-dim rerank ----
+    // Matryoshka Representation Learning (Kusupati et al., 2022,
+    // arXiv:2205.13147) trains embeddings whose PREFIX is itself a valid
+    // lower-dim embedding — the retrieval pattern that buys is a cheap
+    // first pass over the first P dims followed by an exact full-dim
+    // rerank of the survivors ("adaptive retrieval", MRL §4.3). Stage 1
+    // scores every vector on dims 1..16 only (¼ of the arithmetic and —
+    // in a column-pruned layout or a prefix index — ¼ of the bytes) and
+    // TakeOrders C=50 candidates; stage 2 pays the full-dim exact
+    // decimal cosine for those 50 alone. Both cosines are the Vec
+    // decimal-fold, so ranking is bit-identical cross-engine; the recall
+    // trade is the prefix's fidelity (pinned by GatesSpec against an
+    // independent recompute of both stages). At 100 TB the corpus-
+    // proportional term is the prefix pass; the rerank is O(C·d).
+    "q_knn_matryoshka" -> Q(
+      (s, dir) => {
+        val qp = emb(s, dir).filter(col("vec_id") === 0)
+          .select(slice(col("embedding"), 1, 16).as("q_pre"),
+            col("embedding").as("q_emb"))
+          .select(col("q_pre"), col("q_emb"),
+            Vec.norm2(col("q_pre")).as("pqn2"),
+            Vec.norm2(col("q_emb")).as("qn2"))
+        val cand = emb(s, dir).filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qp))
+          .select(col("vec_id"), col("embedding"), col("q_emb"), col("qn2"),
+            Vec.cosine(slice(col("embedding"), 1, 16), col("q_pre"),
+              Vec.norm2(slice(col("embedding"), 1, 16)), col("pqn2"))
+              .as("pcos"))
+          .orderBy(col("pcos").desc, col("vec_id")).limit(50)
+        cand.select(col("vec_id"), col("pcos"),
+            Vec.cosine(col("embedding"), col("q_emb"),
+              Vec.norm2(col("embedding")), col("qn2")).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      },
+      Some(s"""WITH $dimsSql,
+              |pnorms AS (
+              |  SELECT vec_id, CAST(sum(CAST(x * x AS DECIMAL(25,10))) AS DOUBLE) AS pn2
+              |  FROM dims WHERE i <= 16 GROUP BY vec_id),
+              |norms AS (
+              |  SELECT vec_id, CAST(sum(CAST(x * x AS DECIMAL(25,10))) AS DOUBLE) AS n2
+              |  FROM dims GROUP BY vec_id),
+              |pq AS (SELECT i AS qi, x AS qx FROM dims WHERE vec_id = 0 AND i <= 16),
+              |q AS (SELECT i AS qi, x AS qx FROM dims WHERE vec_id = 0),
+              |pqn AS (SELECT pn2 AS pqn2 FROM pnorms WHERE vec_id = 0),
+              |qn AS (SELECT n2 AS qn2 FROM norms WHERE vec_id = 0),
+              |pdots AS (
+              |  SELECT vec_id, CAST(sum(CAST(x * qx AS DECIMAL(25,10))) AS DOUBLE) AS pdot
+              |  FROM dims JOIN pq ON i = qi WHERE vec_id <> 0 GROUP BY vec_id),
+              |cand AS MATERIALIZED (
+              |  SELECT vec_id, pdot / (sqrt(pn2) * sqrt(pqn2)) AS pcos
+              |  FROM pdots JOIN pnorms USING (vec_id), pqn
+              |  ORDER BY pcos DESC, vec_id LIMIT 50),
+              |dots AS (
+              |  SELECT d.vec_id, CAST(sum(CAST(x * qx AS DECIMAL(25,10))) AS DOUBLE) AS dot
+              |  FROM dims d JOIN cand USING (vec_id) JOIN q ON i = qi
+              |  GROUP BY d.vec_id)
+              |SELECT vec_id, pcos, dot / (sqrt(n2) * sqrt(qn2)) AS cos
+              |FROM dots JOIN cand USING (vec_id) JOIN norms USING (vec_id), qn
+              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
     // ---- multi-probe IVF: scan the TOP-2 cells. Probe-1's recall cliff
     // (the true neighbor sits just across a cell boundary) is the known
     // IVF failure mode; probing P cells trades P/cells of the data for

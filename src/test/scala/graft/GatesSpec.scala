@@ -841,6 +841,40 @@ class GatesSpec extends AnyFunSuite {
     }
   }
 
+  test("matryoshka knn: result is the full-dim top-10 of the prefix-dim " +
+    "top-50, both stages agreeing with an independent recompute") {
+    val rows = run("q_knn_matryoshka").map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(rows.length == 10)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val qv = emb.find(_._1 == 0L).get._2
+    def cos(a: Array[Double], b: Array[Double], n: Int): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    // stage 1: prefix-16 top-50
+    val cand = emb.filter(_._1 != 0L)
+      .map { case (id, v) => (cos(v, qv, 16), id) }
+      .sortBy { case (c, id) => (-c, id) }.take(50)
+    // stage 2: full-dim top-10 of those candidates
+    val want = cand.map { case (_, id) =>
+      (cos(emb.find(_._1 == id).get._2, qv, qv.length), id) }
+      .sortBy { case (c, id) => (-c, id) }.take(10).map(_._2).toSeq
+    assert(rows.map(_._1) == want,
+      "two-stage result drifted from independent recompute")
+    // full cosine must be the rerank key: returned rows are ordered by it
+    val cs = rows.map(_._3)
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+      "not ranked by full-dim cosine")
+    assert(rows == run("q_knn_matryoshka").map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq,
+      "matryoshka not deterministic")
+  }
+
   test("hard-negative mining, IVF-composed: negatives confined to ONE " +
     "foreign cell per anchor, exactly the brute top-3 within that cell") {
     val rows = run("q_mining_hard_negatives_ivf").map(r =>

@@ -469,7 +469,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_above_avg",         // 1-row global average
       "q_events_anomaly",    // per-type stats (bounded by |types|)
       "q_decontaminate_bloom", // ≤64K set-bit rows
-      "q_knn_brute", "q_knn_ivf", "q_knn_ivf2", "q_knn_lsh", // query vec + cells
+      "q_knn_brute",
+      "q_knn_matryoshka",    // 1-row query prefix/full vector frame
+      "q_knn_ivf", "q_knn_ivf2", "q_knn_lsh", // query vec + cells
       "q_knn_join",          // bounded query batch
       "q_emb_outliers",      // |labels|·d centroid sums + per-label stats
       "q_sample_token_budget", // ≤ sources·64 bucket-offset rows (sources
