@@ -204,6 +204,64 @@ object Pipeline {
        |  SELECT node AS doc_id, min(label) AS component
        |  FROM reach GROUP BY node)""".stripMargin
 
+  /** The DoReMi mixture table — (source, l_micro, excess_micro,
+    * weight_nano), unordered — shared by the spec gate and the quota
+    * resampler so the applied sample can never drift from the published
+    * weights. See the q_mixture_doremi gate comment for the arithmetic
+    * contract. */
+  private[graft] def doremiWeights(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("source"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+    val cnt = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum("c").as("t"))
+    val lp = cnt.crossJoin(broadcast(tot)).select(col("tok"),
+      round(-log(col("c").cast("double") / col("t").cast("double")) * 1e6, 0)
+        .cast("long").as("lm"))
+    val dom = toks.join(lp, "tok").groupBy("source")
+      .agg(sum("lm").as("slm"), count(lit(1)).as("n"))
+      .select(col("source"), expr("slm DIV n").as("l_micro"))
+    val lmin = dom.agg(min("l_micro").as("lmin"))
+    val ex = dom.crossJoin(broadcast(lmin))
+      .select(col("source"), col("l_micro"),
+        (col("l_micro") - col("lmin")).as("excess_micro"))
+      .withColumn("e",
+        round(exp(col("excess_micro").cast("double") / lit(10000.0)) * 1e6, 0)
+          .cast("long"))
+    val se = ex.agg(sum("e").as("se"))
+    ex.crossJoin(broadcast(se))
+      .select(col("source"), col("l_micro"), col("excess_micro"),
+        expr("(e * 1000000000 DIV se) * 9 DIV 10 + 5000000")
+          .cast("long").as("weight_nano"))
+  }
+
+  /** DuckDB twin of [[doremiWeights]], ending in the `wfinal` CTE. */
+  private val doremiSqlCtes =
+    """toks AS (
+      |  SELECT source,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      |  FROM documents),
+      |cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt),
+      |lp AS (
+      |  SELECT tok,
+      |    CAST(round(-ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1e6, 0)
+      |      AS BIGINT) AS lm
+      |  FROM cnt, tot),
+      |dom AS (
+      |  SELECT source, CAST(sum(lm) AS BIGINT) // count(*) AS l_micro
+      |  FROM toks JOIN lp USING (tok) GROUP BY source),
+      |lmin AS (SELECT min(l_micro) AS lm0 FROM dom),
+      |ex AS (
+      |  SELECT source, l_micro, l_micro - lm0 AS excess_micro,
+      |    CAST(round(exp(CAST(l_micro - lm0 AS DOUBLE) / 10000.0) * 1e6, 0)
+      |      AS BIGINT) AS e
+      |  FROM dom, lmin),
+      |se AS (SELECT CAST(sum(e) AS BIGINT) AS se FROM ex),
+      |wfinal AS (
+      |  SELECT source, l_micro, excess_micro,
+      |    (e * 1000000000 // se) * 9 // 10 + 5000000 AS weight_nano
+      |  FROM ex, se)""".stripMargin
+
   val all: Map[String, Q] = Map(
 
     // ---- near-dup clustering: connected components over dup edges ----
@@ -1071,55 +1129,51 @@ object Pipeline {
     // totals/min frames are explicit bounded broadcasts. The output is
     // domains-bounded (the mixture spec a trainer consumes).
     "q_mixture_doremi" -> Q(
+      (s, dir) => doremiWeights(s, dir).orderBy(col("source")),
+      Some(s"""WITH $doremiSqlCtes
+              |SELECT source, l_micro, excess_micro, weight_nano
+              |FROM wfinal ORDER BY source""".stripMargin)),
+
+    // ---- applying the DoReMi mixture: quota resampling per domain ----
+    // The consumer of the mixture spec: turn each domain's weight into
+    // an integral document quota out of a 200-doc epoch
+    // (quota_d = ⌊weight_nano · 200 / 1e9⌋ — the smoothing floor
+    // guarantees every domain at least one seat) and keep each domain's
+    // quota-prefix under the deterministic md5_60 shuffle order (the
+    // epoch-shuffle discipline — no RNG, both engines rank the same).
+    // Shares doremiWeights with the spec gate, so the applied sample
+    // can never drift from the published weights. Scale shape: the
+    // weights are domains-bounded and broadcast into the one corpus
+    // pass; the per-domain rank is a (source)-keyed window with the
+    // literal quota cap keeping the group-limit map-side at real
+    // per-domain cardinalities.
+    "q_mixture_doremi_apply" -> Q(
       (s, dir) => {
-        val toks = docs(s, dir).select(col("source"),
-          explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
-        val cnt = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-        val tot = cnt.agg(sum("c").as("t"))
-        val lp = cnt.crossJoin(broadcast(tot)).select(col("tok"),
-          round(-log(col("c").cast("double") / col("t").cast("double")) * 1e6, 0)
-            .cast("long").as("lm"))
-        val dom = toks.join(lp, "tok").groupBy("source")
-          .agg(sum("lm").as("slm"), count(lit(1)).as("n"))
-          .select(col("source"), expr("slm DIV n").as("l_micro"))
-        val lmin = dom.agg(min("l_micro").as("lmin"))
-        val ex = dom.crossJoin(broadcast(lmin))
-          .select(col("source"), col("l_micro"),
-            (col("l_micro") - col("lmin")).as("excess_micro"))
-          .withColumn("e",
-            round(exp(col("excess_micro").cast("double") / lit(10000.0)) * 1e6, 0)
-              .cast("long"))
-        val se = ex.agg(sum("e").as("se"))
-        ex.crossJoin(broadcast(se))
-          .select(col("source"), col("l_micro"), col("excess_micro"),
-            expr("(e * 1000000000 DIV se) * 9 DIV 10 + 5000000")
-              .cast("long").as("weight_nano"))
-          .orderBy(col("source"))
+        val w = doremiWeights(s, dir).select(col("source"),
+          expr("weight_nano * 200 DIV 1000000000").as("quota"))
+        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long")
+        docs(s, dir).select(col("doc_id"), col("source"), h.as("hk"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("source"))
+              .orderBy(col("hk"), col("doc_id"))).cast("long"))
+          .join(broadcast(w), "source")
+          .filter(col("rk") <= col("quota"))
+          .select(col("doc_id"), col("source"), col("rk"))
+          .orderBy(col("doc_id"))
       },
-      Some("""WITH toks AS (
-             |  SELECT source,
-             |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
-             |  FROM documents),
-             |cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
-             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt),
-             |lp AS (
-             |  SELECT tok,
-             |    CAST(round(-ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1e6, 0)
-             |      AS BIGINT) AS lm
-             |  FROM cnt, tot),
-             |dom AS (
-             |  SELECT source, CAST(sum(lm) AS BIGINT) // count(*) AS l_micro
-             |  FROM toks JOIN lp USING (tok) GROUP BY source),
-             |lmin AS (SELECT min(l_micro) AS lm0 FROM dom),
-             |ex AS (
-             |  SELECT source, l_micro, l_micro - lm0 AS excess_micro,
-             |    CAST(round(exp(CAST(l_micro - lm0 AS DOUBLE) / 10000.0) * 1e6, 0)
-             |      AS BIGINT) AS e
-             |  FROM dom, lmin),
-             |se AS (SELECT CAST(sum(e) AS BIGINT) AS se FROM ex)
-             |SELECT source, l_micro, excess_micro,
-             |  (e * 1000000000 // se) * 9 // 10 + 5000000 AS weight_nano
-             |FROM ex, se ORDER BY source""".stripMargin)),
+      Some(s"""WITH $doremiSqlCtes,
+              |wq AS (
+              |  SELECT source, weight_nano * 200 // 1000000000 AS quota
+              |  FROM wfinal),
+              |ranked AS (
+              |  SELECT doc_id, source,
+              |    row_number() OVER (PARTITION BY source ORDER BY
+              |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+              |      doc_id) AS rk
+              |  FROM documents)
+              |SELECT doc_id, source, rk FROM ranked JOIN wq USING (source)
+              |WHERE rk <= quota ORDER BY doc_id""".stripMargin)),
 
     // ---- importance resampling toward a target domain (DSIR-style) ----
     // Data Selection via Importance Resampling (Xie et al., 2023,

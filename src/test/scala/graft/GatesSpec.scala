@@ -487,6 +487,28 @@ class GatesSpec extends AnyFunSuite {
       "doremi not deterministic")
   }
 
+  test("doremi apply: per-domain counts equal the quotas derived from " +
+    "the published weights, ranks dense, hash-prefix deterministic") {
+    val picked = run("q_mixture_doremi_apply").map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(picked.nonEmpty)
+    val quotas = run("q_mixture_doremi").map(r =>
+      r.getString(0) -> r.getLong(3) * 200 / 1000000000L).toMap
+    val bySrc = picked.groupBy(_._2)
+    // the smoothing floor seats every domain at least once
+    assert(bySrc.keySet == quotas.keySet, "a domain got no seats")
+    bySrc.foreach { case (src, rs) =>
+      assert(rs.length.toLong == quotas(src),
+        s"$src seated ${rs.length} != quota ${quotas(src)}")
+      assert(rs.map(_._3).sorted == (1L to rs.length),
+        s"$src ranks not dense")
+    }
+    assert(picked.length <= 200, "epoch budget exceeded")
+    assert(picked == run("q_mixture_doremi_apply").map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))).toSeq,
+      "apply not deterministic")
+  }
+
   test("context pack: kept set is the maximal rank prefix under the " +
     "budget, cumulative arithmetic exact") {
     val rows = run("q_retrieval_context_pack").map(r =>
