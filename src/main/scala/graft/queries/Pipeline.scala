@@ -209,28 +209,53 @@ object Pipeline {
     * resampler so the applied sample can never drift from the published
     * weights. See the q_mixture_doremi gate comment for the arithmetic
     * contract. */
-  private[graft] def doremiWeights(s: SparkSession, dir: String): DataFrame = {
-    val toks = docs(s, dir).select(col("source"),
-      explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
-    val cnt = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+  private[graft] def doremiWeights(s: SparkSession, dir: String): DataFrame =
+    doremiWeightsFromCounts(domainTokenCounts(
+      docs(s, dir).select(col("source"), col("text"))))
+
+  /** Per-(domain, token) occurrence counts — the SUFFICIENT STATISTIC for
+    * the DoReMi weights, and the exact state a streaming ingest maintains
+    * (a monoid: counts add across micro-batches). Vocab × domains
+    * bounded. Works on batch and streaming frames alike. */
+  private[graft] def domainTokenCounts(df: DataFrame): DataFrame =
+    df.select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+
+  /** The weight arithmetic over a maintained (source, tok, c) count
+    * frame — the one implementation behind the batch gate and the
+    * streaming twin (StreamingSpec proves stream-built counts produce
+    * the IDENTICAL mixture table). */
+  private[graft] def doremiWeightsFromCounts(stc: DataFrame): DataFrame = {
+    val cnt = stc.groupBy("tok").agg(sum("c").as("c"))
     val tot = cnt.agg(sum("c").as("t"))
     val lp = cnt.crossJoin(broadcast(tot)).select(col("tok"),
       round(-log(col("c").cast("double") / col("t").cast("double")) * 1e6, 0)
         .cast("long").as("lm"))
-    val dom = toks.join(lp, "tok").groupBy("source")
-      .agg(sum("lm").as("slm"), count(lit(1)).as("n"))
+    // Σ_tokens lm ≡ Σ_tok lm(tok)·c(source, tok) — the count-weighted
+    // fold is the same integer as the per-instance sum
+    val dom = stc.join(lp, "tok").groupBy("source")
+      .agg(sum(col("lm") * col("c")).as("slm"), sum("c").as("n"))
       .select(col("source"), expr("slm DIV n").as("l_micro"))
-    val lmin = dom.agg(min("l_micro").as("lmin"))
-    val ex = dom.crossJoin(broadcast(lmin))
-      .select(col("source"), col("l_micro"),
-        (col("l_micro") - col("lmin")).as("excess_micro"))
-      .withColumn("e",
-        round(exp(col("excess_micro").cast("double") / lit(10000.0)) * 1e6, 0)
-          .cast("long"))
+    val lagg = dom.agg(min("l_micro").as("lmin"), max("l_micro").as("lmax"),
+      count(lit(1)).as("nd"))
+    // softmax shift: the exponent is η·(L_d − L_max) ≤ 0, so the
+    // multiplier lives in (0, 1e6] for ANY loss spread — without the
+    // shift exp(η·excess) overflows BIGINT past ~0.42 nats of spread
+    // (the streaming twin's synthetic domains found this; normalized
+    // weights are shift-invariant up to the 1e-6 rounding)
+    val ex = dom.crossJoin(broadcast(lagg))
+      .select(col("source"), col("l_micro"), col("nd"),
+        (col("l_micro") - col("lmin")).as("excess_micro"),
+        round(exp((col("l_micro") - col("lmax")).cast("double") / lit(10000.0)) * 1e6, 0)
+          .cast("long").as("e"))
     val se = ex.agg(sum("e").as("se"))
+    // the uniform term is c/|domains| of the budget — derived, never a
+    // fixture-count literal (the streaming twin's 3-domain corpus
+    // caught the hardcoded 20)
     ex.crossJoin(broadcast(se))
       .select(col("source"), col("l_micro"), col("excess_micro"),
-        expr("(e * 1000000000 DIV se) * 9 DIV 10 + 5000000")
+        expr("(e * 1000000000 DIV se) * 9 DIV 10 + (100000000 DIV nd)")
           .cast("long").as("weight_nano"))
   }
 
@@ -250,16 +275,17 @@ object Pipeline {
       |dom AS (
       |  SELECT source, CAST(sum(lm) AS BIGINT) // count(*) AS l_micro
       |  FROM toks JOIN lp USING (tok) GROUP BY source),
-      |lmin AS (SELECT min(l_micro) AS lm0 FROM dom),
+      |lagg AS (SELECT min(l_micro) AS lm0, max(l_micro) AS lm1,
+      |  count(*) AS nd FROM dom),
       |ex AS (
-      |  SELECT source, l_micro, l_micro - lm0 AS excess_micro,
-      |    CAST(round(exp(CAST(l_micro - lm0 AS DOUBLE) / 10000.0) * 1e6, 0)
+      |  SELECT source, l_micro, nd, l_micro - lm0 AS excess_micro,
+      |    CAST(round(exp(CAST(l_micro - lm1 AS DOUBLE) / 10000.0) * 1e6, 0)
       |      AS BIGINT) AS e
-      |  FROM dom, lmin),
+      |  FROM dom, lagg),
       |se AS (SELECT CAST(sum(e) AS BIGINT) AS se FROM ex),
       |wfinal AS (
       |  SELECT source, l_micro, excess_micro,
-      |    (e * 1000000000 // se) * 9 // 10 + 5000000 AS weight_nano
+      |    (e * 1000000000 // se) * 9 // 10 + (100000000 // nd) AS weight_nano
       |  FROM ex, se)""".stripMargin
 
   val all: Map[String, Q] = Map(
@@ -1116,7 +1142,9 @@ object Pipeline {
     // cross-entropy of each `source` against the GLOBAL token
     // distribution as the proxy loss (the fixture's stand-in for the
     // proxy/reference loss gap), applies ONE exponentiated-gradient
-    // step w_d ∝ exp(η · excess_d) with η = 100/nat, normalizes, and
+    // step w_d ∝ exp(η · excess_d) with η = 100/nat (computed with the
+    // overflow-proof softmax shift — see doremiWeightsFromCounts),
+    // normalizes, and
     // smooths toward uniform with c = 0.1 — the published Group-DRO
     // update with a static loss table (iterating it with a frozen loss
     // collapses to the same closed form, so one step IS the fixpoint).

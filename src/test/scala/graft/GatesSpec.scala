@@ -465,12 +465,15 @@ class GatesSpec extends AnyFunSuite {
     assert(rows.map(_._1).distinct.length == 20)
     assert(rows.map(_._3).min == 0L, "no domain has zero excess")
     // independent recompute of the exponentiated-gradient step from the
-    // published loss column: e_d = round(exp(η·excess)·1e6) with
-    // η = 100/nat, integral normalize, 0.9/0.1 uniform smoothing
+    // published loss column: e_d = round(exp(η·(excess − excess_max))·1e6)
+    // with η = 100/nat (the overflow-proof softmax shift), integral
+    // normalize, 0.9/0.1 uniform smoothing
+    val exMax = rows.map(_._3).max
     val es = rows.map { case (_, _, ex, _) =>
-      math.round(math.exp(ex.toDouble / 10000.0) * 1e6) }
+      math.round(math.exp((ex - exMax).toDouble / 10000.0) * 1e6) }
     val se = es.sum
-    val expect = es.map(e => (e * 1000000000L / se) * 9 / 10 + 5000000L)
+    val expect = es.map(e =>
+      (e * 1000000000L / se) * 9 / 10 + 100000000L / rows.length)
     assert(rows.map(_._4) == expect, "weight_nano != recomputed update")
     val ws = rows.map(_._4)
     assert(ws.sum > 1000000000L - 100 && ws.sum <= 1000000000L,

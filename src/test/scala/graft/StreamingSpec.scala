@@ -535,6 +535,68 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming doremi: mixture weights from stream-maintained counts " +
+    "equal the batch table, and the state carries across waves") {
+    import org.apache.spark.sql.types._
+    import graft.queries.Pipeline
+    val root = graft.TempDirs.create("graft-stream-doremi")
+    val (in, ckpt) = (s"$root/in", s"$root/ckpt")
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    val schema = StructType(Seq(StructField("source", StringType),
+      StructField("text", StringType)))
+    // three domains with deliberately different token mixes so the
+    // excess-loss spread (and therefore the weights) is non-trivial
+    def wave(tag: Int) = spark.range(30).select(
+      concat(lit("src"), (col("id") % 3).cast("string")).as("source"),
+      concat_ws(" ",
+        lit("alpha beta"),
+        when(col("id") % 3 === 0, lit("gamma gamma gamma"))
+          .when(col("id") % 3 === 1, lit("delta epsilon"))
+          .otherwise(concat(lit("zeta"), ((col("id") + tag) % 7).cast("string"))))
+        .as("text"))
+    def stream(): Unit = {
+      val q = Pipeline.domainTokenCounts(
+          spark.readStream.schema(schema).parquet(in))
+        .writeStream.trigger(Trigger.AvailableNow())
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName("doremi_counts").start()
+      q.awaitTermination()
+    }
+    def weightsOf(counts: org.apache.spark.sql.DataFrame) = {
+      // snapshot the (vocab × domains)-bounded state first: the memory
+      // sink's view is not multi-instance, and doremiWeightsFromCounts
+      // self-joins its input (stc ⋈ aggregate(stc))
+      val snap = spark.createDataFrame(
+        java.util.Arrays.asList(counts.collect(): _*), counts.schema)
+      Pipeline.doremiWeightsFromCounts(snap)
+        .orderBy("source").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    }
+
+    wave(1).coalesce(1).write.mode("append").parquet(in)
+    stream()
+    val streamedA = weightsOf(spark.table("doremi_counts"))
+    val batchA = weightsOf(Pipeline.domainTokenCounts(spark.read.parquet(in)))
+    assert(streamedA == batchA,
+      "stream-maintained counts produced a different mixture table")
+    assert(streamedA.map(_._4).sum > 1000000000L - 100)
+
+    // wave B shifts the zeta-token tail: the maintained state must fold
+    // it in (checkpoint restore), and the batch twin over ALL files must
+    // still agree exactly
+    wave(5).coalesce(1).write.mode("append").parquet(in)
+    stream()
+    val streamedAB = weightsOf(spark.table("doremi_counts"))
+    val batchAB = weightsOf(Pipeline.domainTokenCounts(spark.read.parquet(in)))
+    assert(streamedAB == batchAB,
+      "post-wave-B stream counts drifted from the batch recompute")
+    assert(streamedAB != streamedA,
+      "wave B changed the corpus but not the weights — state did not fold")
+    graft.TempDirs.release(root)
+  }
+
   test("streaming lexical-index ingest: exactly-once END TO END — the " +
     "meta commit is the sink's transaction log") {
     // the third index family's streaming twin. Stronger delivery than
