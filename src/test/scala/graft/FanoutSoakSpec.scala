@@ -671,6 +671,132 @@ class FanoutSoakSpec extends AnyFunSuite {
       s"post-maintenance top-5 should lead with self + 3 twins: $fin")
   }
 
+  test("BM25 queries poll DURING concurrent lexical append + compact: " +
+    "zero failed or torn reads, final answer oracle-exact") {
+    // the third index family's under-load contract, mirroring the kNN
+    // maintenance soak: postings appends and compactions flip the
+    // versioned meta pointer while two clients hammer the $terms named
+    // query — no poll may fail, return short, or mis-order, and after
+    // quiesce the served scores equal a plain-Scala Okapi recompute
+    // over the full (base + waves) corpus.
+    import org.apache.spark.sql.functions.{col, lit, concat}
+    val src = "/root/testdata/sf0.001"
+    val idx = graft.TempDirs.create("graft-lexsoak").toString
+    graft.queries.Retrieval.buildLexicalIndex(spark, src, idx)
+
+    val bmSql = graft.queries.Retrieval.bm25NamedSql(
+      a => s"ls_$a", "$terms", "CAST($limit AS INT)")
+    val cid = ok(post("/module/upload", Map("module" -> Map(
+      "queries" -> Map("bm25" -> Map(
+        "sql" -> bmSql,
+        "params" -> Vector(Map("name" -> "terms", "kind" -> "text"))))))))(
+      "cid").asInstanceOf[String]
+    val sid = ok(post("/stream/create",
+      Map("id" -> "did:fanout:lexmaint", "module_cid" -> cid)))("id").toString
+    ok(post("/admin/lexical_index_attach",
+      Map("id" -> sid, "prefix" -> "ls", "dir" -> idx)))
+
+    val docsT = spark.read.parquet(s"$src/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val freq = docsT.flatMap(_._2.trim.toLowerCase.split("\\s+"))
+      .filterNot(_.isEmpty).groupBy(identity).view.mapValues(_.length).toSeq
+    val common = freq.maxBy { case (t, c) => (c, t) }._1
+    val rare = freq.minBy { case (t, c) => (c, t) }._1
+    val terms = Seq(common, rare)
+
+    def askTop(k: Long): Vector[(Long, Long)] =
+      ok(post("/stream/query", Map("id" -> sid, "query" -> Map(
+        "name" -> "bm25", "limit" -> k,
+        "params" -> Map("terms" -> terms.mkString(","))))))("rows")
+        .asInstanceOf[Vector[Any]].map { r =>
+          val m = r.asInstanceOf[Map[String, Any]]
+          def l(f: String) = m(f).asInstanceOf[Map[String, Any]]("value")
+            .asInstanceOf[Long]
+          (l("doc_id"), l("score_micro"))
+        }
+
+    val running = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val failure = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val polls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pollers = (1 to 2).map { _ =>
+      new Thread(() => {
+        while (running.get() && failure.get() == null) {
+          try {
+            val rows = askTop(5L)
+            polls.incrementAndGet()
+            if (rows.size != 5)
+              failure.set(s"short result mid-maintenance: $rows")
+            else if (rows.map(r => (-r._2, r._1)) !=
+                rows.map(r => (-r._2, r._1)).sorted)
+              failure.set(s"ordering broke mid-maintenance: $rows")
+            else if (rows.exists(_._2 <= 0L))
+              failure.set(s"non-positive BM25 score mid-maintenance: $rows")
+          } catch {
+            case e: Exception => failure.set(s"poll threw mid-maintenance: $e")
+          }
+        }
+      })
+    }
+    pollers.foreach(_.start())
+
+    // three cycles: append a 20-doc wave (cloned text + a wave token),
+    // then compact — both via the RPCs so the server refreshes the
+    // attached views across each pointer flip
+    val base = spark.read.parquet(s"$src/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(20)
+    var cycles = 0
+    val waves = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    try {
+      for (i <- 1 to 3 if failure.get() == null) {
+        val incDir = graft.TempDirs.create(s"graft-lexsoak-w$i").toString
+        base.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+            concat(col("text"), lit(s" wavetok$i")).as("text"))
+          .coalesce(1).write.mode("overwrite").parquet(incDir)
+        spark.read.parquet(incDir).collect().foreach(r =>
+          waves += ((r.getLong(0), r.getString(1))))
+        ok(post("/admin/lexical_index_append",
+          Map("src" -> incDir, "dir" -> idx)))
+        ok(post("/admin/lexical_index_compact", Map("dir" -> idx)))
+        cycles = i
+      }
+    } finally {
+      running.set(false)
+      pollers.foreach(_.join(30000))
+    }
+    assert(failure.get() == null, String.valueOf(failure.get()))
+    assert(cycles == 3)
+    assert(polls.get() >= 10,
+      s"only ${polls.get()} polls landed across 3 maintenance cycles")
+    println(s"LEXMAINT cycles=3 polls=${polls.get()} — no failed/torn reads")
+
+    // quiesced exactness: the served top-5 equals a plain-Scala Okapi
+    // recompute over base + all three waves (HALF_UP rounding ladder,
+    // the ServerSpec discipline)
+    def rnd(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val tokAll = (docsT ++ waves).map { case (id, tx) =>
+      id -> tx.trim.toLowerCase.split("\\s+").toSeq }
+    val n = tokAll.length
+    val dls = tokAll.map { case (id, ws) => id -> ws.size.toLong }.toMap
+    val avgdl = dls.values.sum.toDouble / n
+    val dfOf = terms.map(t => t -> tokAll.count(_._2.contains(t)).toLong).toMap
+    val want = tokAll.map { case (id, ws) =>
+      id -> terms.map { t =>
+        val tf = ws.count(_ == t).toLong
+        if (tf == 0L) 0L
+        else {
+          val idf = rnd(math.log(((n - dfOf(t)).toDouble + 0.5) /
+            (dfOf(t).toDouble + 0.5) + 1.0) * 1e6)
+          rnd(idf * ((tf.toDouble * 2.2) / (tf.toDouble +
+            1.2 * (0.25 + (0.75 * dls(id).toDouble) / avgdl))))
+        }
+      }.sum
+    }.filter(_._2 != 0L).sortBy { case (id, sc) => (-sc, id) }.take(5)
+    assert(askTop(5L).toSeq == want,
+      "post-maintenance served scores drifted from the Okapi recompute")
+  }
+
   test("auto-maintenance covers the lexical index: the files signal trips " +
     "a background postings compaction") {
     import org.apache.spark.sql.functions.{col, lit, concat}
