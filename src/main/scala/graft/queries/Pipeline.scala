@@ -288,6 +288,176 @@ object Pipeline {
       |    (e * 1000000000 // se) * 9 // 10 + (100000000 // nd) AS weight_nano
       |  FROM ex, se)""".stripMargin
 
+  // ---------------- persisted domain-mixture statistics ----------------
+  // The DoReMi sufficient statistic as the FOURTH maintained artifact
+  // family (after the dedup, vector, and lexical indexes): per-batch
+  // (source, tok, c) count frames under `<counts>/batch=N`, committed by
+  // ONE atomic meta.json rewrite — the shared batch discipline, so a
+  // retried append Overwrites its own partial batch instead of doubling,
+  // and a torn append (batch dir present, meta not bumped) REFUSES at
+  // load. Counts are a monoid, so an append is just the increment's own
+  // count frame as a fresh batch — the cleanest O(increment) of the four
+  // families; compaction folds the batches into one inside a fresh
+  // versioned counts dir (pointer flip, displaced generation retained one
+  // cycle for in-flight readers). The weights reader folds committed
+  // batches and runs [[doremiWeightsFromCounts]], so served weights can
+  // never drift from the q_mixture_doremi gate.
+
+  private[graft] case class MixMeta(batches: Int, docs: Long,
+      countsDir: String = "counts")
+
+  private val mixLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def mixLock(indexDir: String): Object =
+    mixLocks.computeIfAbsent(indexDir, _ => new Object)
+
+  private def mixMetaPath(s: SparkSession, indexDir: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(indexDir, "meta.json")
+    (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def writeMixMeta(s: SparkSession, indexDir: String,
+      m: MixMeta): Unit = {
+    val (fs, p) = mixMetaPath(s, indexDir)
+    graft.stream.BackupService.atomicWrite(fs, p,
+      graft.server.Json.render(Map("batches" -> m.batches.toLong,
+        "docs" -> m.docs, "counts_dir" -> m.countsDir))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private[graft] def readMixMeta(s: SparkSession,
+      indexDir: String): MixMeta = {
+    val (fs, p) = mixMetaPath(s, indexDir)
+    require(fs.exists(p),
+      s"no mixture stats at $indexDir (missing meta.json)")
+    val in = fs.open(p)
+    val m = try graft.server.Json.parse(new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[Map[String, Any]]
+    finally in.close()
+    val meta = MixMeta(
+      m("batches").asInstanceOf[Long].toInt,
+      m("docs").asInstanceOf[Long],
+      m.get("counts_dir").collect { case d: String => d }.getOrElse("counts"))
+    // the torn-append detector (shared with the lexical/dedup indexes):
+    // the counts dir must hold exactly the committed batches
+    val committed = (0 until meta.batches).map(b => s"batch=$b").toSet
+    val dir = new org.apache.hadoop.fs.Path(indexDir, meta.countsDir)
+    val present = fs.listStatus(dir).iterator
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).toSet
+    require(present == committed,
+      s"mixture stats at $indexDir are TORN: ${meta.countsDir}/ holds " +
+        s"${present.toSeq.sorted.mkString(",")} but meta commits " +
+        s"${meta.batches} batches — re-run the append that died " +
+        "(batch dirs are Overwrite-scoped) or rebuild")
+    meta
+  }
+
+  private def mixVersion(dirName: String): Int =
+    if (dirName == "counts") 0
+    else dirName.stripPrefix("counts.v").toInt
+
+  // committed batch paths ONLY — base-dir partition discovery would
+  // also pick up a concurrent append's already-written-but-uncommitted
+  // batch dir, reading counts the meta has not admitted yet
+  private def readMixCounts(s: SparkSession, indexDir: String,
+      meta: MixMeta): DataFrame =
+    s.read.parquet((0 until meta.batches)
+        .map(b => s"$indexDir/${meta.countsDir}/batch=$b"): _*)
+      .select(col("source"), col("tok"), col("c"))
+
+  /** Rebuild from scratch: sweeps every prior generation. */
+  def buildMixtureStats(s: SparkSession, srcDir: String,
+      indexDir: String): Map[String, Long] = mixLock(indexDir).synchronized {
+    buildMixtureStatsDf(s,
+      docs(s, srcDir).select(col("source"), col("text")), indexDir)
+  }
+
+  def buildMixtureStatsDf(s: SparkSession, corpus: DataFrame,
+      indexDir: String): Map[String, Long] = mixLock(indexDir).synchronized {
+    import org.apache.spark.sql.SaveMode
+    val (fs, mp) = mixMetaPath(s, indexDir)
+    fs.listStatus(new org.apache.hadoop.fs.Path(indexDir)).iterator
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("counts"))
+      .foreach(st => fs.delete(st.getPath, true))
+    fs.delete(mp, false)
+    val nDocs = corpus.count()
+    domainTokenCounts(corpus)
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/counts/batch=0")
+    writeMixMeta(s, indexDir, MixMeta(1, nDocs))
+    Map("docs" -> nDocs,
+      "rows" -> s.read.parquet(s"$indexDir/counts/batch=0").count())
+  }
+
+  /** O(increment): the fresh docs' own count frame lands as a new batch
+    * (counts are a monoid — no artifact re-derivation at all), and the
+    * meta rewrite commits. */
+  def appendMixtureStats(s: SparkSession, fresh: DataFrame,
+      indexDir: String): Map[String, Long] = mixLock(indexDir).synchronized {
+    import org.apache.spark.sql.SaveMode
+    val meta = readMixMeta(s, indexDir)
+    val nDocs = fresh.count()
+    domainTokenCounts(fresh.select(col("source"), col("text")))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$indexDir/${meta.countsDir}/batch=${meta.batches}")
+    writeMixMeta(s, indexDir,
+      MixMeta(meta.batches + 1, meta.docs + nDocs, meta.countsDir))
+    Map("appended_docs" -> nDocs, "docs" -> (meta.docs + nDocs),
+      "batches" -> (meta.batches + 1).toLong)
+  }
+
+  /** Fold the batches into one inside a fresh versioned counts dir —
+    * pointer flip, displaced generation retained one cycle. Purely
+    * physical: the folded frame aggregates the same monoid. */
+  def compactMixtureStats(s: SparkSession,
+      indexDir: String): Map[String, Long] = mixLock(indexDir).synchronized {
+    import org.apache.spark.sql.SaveMode
+    val meta = readMixMeta(s, indexDir)
+    val (fs, _) = mixMetaPath(s, indexDir)
+    // sweep generations that are neither live nor about to be staged
+    fs.listStatus(new org.apache.hadoop.fs.Path(indexDir)).iterator
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("counts"))
+      .filter(_.getPath.getName != meta.countsDir)
+      .foreach(st => fs.delete(st.getPath, true))
+    val next = s"counts.v${mixVersion(meta.countsDir) + 1}"
+    readMixCounts(s, indexDir, meta)
+      .groupBy("source", "tok").agg(sum("c").as("c"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/$next/batch=0")
+    writeMixMeta(s, indexDir, MixMeta(1, meta.docs, next))
+    Map("batches" -> 1L, "docs" -> meta.docs)
+  }
+
+  // info/weights hold the writer lock too: readMixMeta's torn detector
+  // must never fire on an IN-PROCESS append's commit window (the
+  // detector exists for out-of-process writers and crashes)
+  def mixtureStatsInfo(s: SparkSession,
+      indexDir: String): Map[String, Long] = mixLock(indexDir).synchronized {
+    val meta = readMixMeta(s, indexDir)
+    val (fs, _) = mixMetaPath(s, indexDir)
+    val it = fs.listFiles(
+      new org.apache.hadoop.fs.Path(indexDir, meta.countsDir), true)
+    var files = 0L
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) files += 1
+    }
+    Map("batches" -> meta.batches.toLong, "docs" -> meta.docs,
+      "files" -> files,
+      "rows" -> readMixCounts(s, indexDir, meta).count())
+  }
+
+  /** The served mixture table: fold committed batches, then the ONE
+    * weight implementation. */
+  def mixtureWeights(s: SparkSession,
+      indexDir: String): DataFrame = mixLock(indexDir).synchronized {
+    val meta = readMixMeta(s, indexDir)
+    doremiWeightsFromCounts(
+      readMixCounts(s, indexDir, meta)
+        .groupBy("source", "tok").agg(sum("c").as("c")))
+      .orderBy(col("source"))
+  }
+
   val all: Map[String, Q] = Map(
 
     // ---- near-dup clustering: connected components over dup edges ----

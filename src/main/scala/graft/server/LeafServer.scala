@@ -771,6 +771,55 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     Map("tables" -> tables.toVector)
   }
 
+  handle("/admin/mixture_stats_build") { (c, args) =>
+    // the DoReMi sufficient statistic as the fourth maintained artifact
+    // family: one corpus pass lands the (source, tok, c) count frame.
+    if (!c.trusted && !c.did.exists(moduleAdmins.contains))
+      throw new LeafAuthException("admin RPCs require a trusted connection")
+    graft.queries.Pipeline
+      .buildMixtureStats(store.spark, str(args, "src"), str(args, "dir"))
+  }
+
+  handle("/admin/mixture_stats_append") { (c, args) =>
+    // counts are a monoid: the increment's own count frame lands as a
+    // fresh batch, one atomic meta rewrite commits — no artifact
+    // re-derivation at all.
+    if (!c.trusted && !c.did.exists(moduleAdmins.contains))
+      throw new LeafAuthException("admin RPCs require a trusted connection")
+    graft.queries.Pipeline.appendMixtureStats(store.spark,
+      store.spark.read.parquet(str(args, "src")), str(args, "dir"))
+  }
+
+  handle("/admin/mixture_stats_compact") { (c, args) =>
+    // fold the batches into one inside a fresh versioned counts dir —
+    // the pointer-flip commit, purely physical.
+    if (!c.trusted && !c.did.exists(moduleAdmins.contains))
+      throw new LeafAuthException("admin RPCs require a trusted connection")
+    graft.queries.Pipeline
+      .compactMixtureStats(store.spark, str(args, "dir"))
+  }
+
+  handle("/admin/mixture_stats_info") { (c, args) =>
+    if (!c.trusted && !c.did.exists(moduleAdmins.contains))
+      throw new LeafAuthException("admin RPCs require a trusted connection")
+    graft.queries.Pipeline.mixtureStatsInfo(store.spark, str(args, "dir"))
+  }
+
+  handle("/admin/mixture_weights") { (c, args) =>
+    // the served mixture table — folded from the committed batches
+    // through the ONE weight implementation the q_mixture_doremi gate
+    // uses, so served weights can never drift from the gate. Output is
+    // domains-bounded by construction.
+    if (!c.trusted && !c.did.exists(moduleAdmins.contains))
+      throw new LeafAuthException("admin RPCs require a trusted connection")
+    val rows = graft.queries.Pipeline
+      .mixtureWeights(store.spark, str(args, "dir"))
+      .collect().map(r => Map(
+        "source" -> r.getString(0), "l_micro" -> r.getLong(1),
+        "excess_micro" -> r.getLong(2), "weight_nano" -> r.getLong(3)))
+    Map("weights" -> rows.toVector)
+  }
+
   handle("/admin/vector_index_append") { (c, args) =>
     // O(increment) growth: assign new vectors to the EXISTING centroids
     // and append into the cell-partitioned layout — the dedup-index

@@ -1367,6 +1367,77 @@ class ServerSpec extends AnyFunSuite {
     assert(ask(10) == got2, "compaction changed query answers")
   }
 
+  test("mixture stats lifecycle over RPC: build/append/compact/weights — " +
+    "served weights track the gate exactly, torn appends refuse") {
+    // the fourth maintained artifact family (DoReMi sufficient
+    // statistic): served weights must equal the q_mixture_doremi gate on
+    // the same corpus at every lifecycle step.
+    import org.apache.spark.sql.functions.{col, lit}
+    val src = "/root/testdata/sf0.001"
+    val idx = graft.TempDirs.create("graft-mixstats").toString
+    val built = ok(post("/admin/mixture_stats_build",
+      Map("src" -> src, "dir" -> idx)))
+    val nBase = spark.read.parquet(s"$src/documents.parquet").count()
+    assert(built("docs") == nBase && built("rows").asInstanceOf[Long] > 0)
+
+    def served(): Vector[(String, Long, Long, Long)] =
+      ok(post("/admin/mixture_weights", Map("dir" -> idx)))("weights")
+        .asInstanceOf[Vector[Any]].map { r =>
+          val m = r.asInstanceOf[Map[String, Any]]
+          (m("source").asInstanceOf[String], m("l_micro").asInstanceOf[Long],
+            m("excess_micro").asInstanceOf[Long],
+            m("weight_nano").asInstanceOf[Long])
+        }
+    def local(df: org.apache.spark.sql.DataFrame) =
+      graft.queries.Pipeline.doremiWeightsFromCounts(
+        graft.queries.Pipeline.domainTokenCounts(df))
+        .orderBy("source").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toVector
+
+    val base = spark.read.parquet(s"$src/documents.parquet")
+      .select(col("source"), col("text"))
+    val w0 = served()
+    assert(w0 == local(base), "served weights drifted from the gate (build)")
+
+    // append a skewed wave: one domain gets rare-token-heavy docs, so
+    // the weights MUST move — and must equal the union recompute
+    val incDir = graft.TempDirs.create("graft-mixinc").toString
+    import spark.implicits._
+    (0 until 30).map(i =>
+        ("src0", s"mixuniq$i mixuniq$i anomalous drift tokens here"))
+      .toDF("source", "text")
+      .write.mode("overwrite").parquet(incDir)
+    val app = ok(post("/admin/mixture_stats_append",
+      Map("src" -> incDir, "dir" -> idx)))
+    assert(app("batches") == 2L && app("docs") == nBase + 30, app.toString)
+    val w1 = served()
+    assert(w1 == local(base.unionAll(
+        spark.read.parquet(incDir).select(col("source"), col("text")))),
+      "served weights drifted from the union recompute (append)")
+    assert(w1 != w0, "a skewed 30-doc wave moved no weight")
+
+    // compaction: purely physical — identical weights, bounded files
+    val infoB = ok(post("/admin/mixture_stats_info", Map("dir" -> idx)))
+    val comp = ok(post("/admin/mixture_stats_compact", Map("dir" -> idx)))
+    assert(comp("batches") == 1L)
+    val infoA = ok(post("/admin/mixture_stats_info", Map("dir" -> idx)))
+    assert(infoA("files").asInstanceOf[Long] <
+      infoB("files").asInstanceOf[Long], s"$infoB -> $infoA")
+    assert(infoA("docs") == nBase + 30, infoA.toString)
+    assert(served() == w1, "compaction changed the served weights")
+
+    // torn-append refusal: a stray batch dir (append died before its
+    // meta commit) must refuse loudly at read, not score silently
+    val meta = graft.queries.Pipeline.readMixMeta(spark, idx)
+    spark.range(1).select(lit("srcX").as("source"),
+        lit("straytok").as("tok"), lit(1L).as("c"))
+      .write.parquet(s"$idx/${meta.countsDir}/batch=99")
+    val torn = post("/admin/mixture_weights", Map("dir" -> idx))
+    assert(torn.contains("err") &&
+      torn("err").toString.contains("TORN"), torn.toString)
+  }
+
   test("json parser caps container nesting (no stack overflow on [[[…)") {
     val hostile = "[" * 100000 + "]" * 100000
     val e = intercept[IllegalArgumentException](graft.server.Json.parse(hostile))
