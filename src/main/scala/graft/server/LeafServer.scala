@@ -776,6 +776,7 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     // family: one corpus pass lands the (source, tok, c) count frame.
     if (!c.trusted && !c.did.exists(moduleAdmins.contains))
       throw new LeafAuthException("admin RPCs require a trusted connection")
+    managedMixture.add(str(args, "dir"))
     graft.queries.Pipeline
       .buildMixtureStats(store.spark, str(args, "src"), str(args, "dir"))
   }
@@ -786,6 +787,7 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     // re-derivation at all.
     if (!c.trusted && !c.did.exists(moduleAdmins.contains))
       throw new LeafAuthException("admin RPCs require a trusted connection")
+    managedMixture.add(str(args, "dir"))
     graft.queries.Pipeline.appendMixtureStats(store.spark,
       store.spark.read.parquet(str(args, "src")), str(args, "dir"))
   }
@@ -939,6 +941,10 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
   private val managedLexical =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val managedDedup =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // mixture-stats sibling: compaction is purely physical (folds the
+  // count monoid), so it auto-compacts on the same files signal
+  private val managedMixture =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val maintStatus =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, Any]]()
@@ -1116,6 +1122,26 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
             } catch { case t: Throwable =>
               lifecycleLog.warn(
                 s"lexical maintenance of $d failed: ${t.getMessage}") }
+          }
+          managedMixture.forEach { d =>
+            try {
+              val info = graft.queries.Pipeline
+                .mixtureStatsInfo(store.spark, d)
+              val needCompact = info("files") > vectorCompactFilesThreshold
+              if (needCompact) {
+                graft.queries.Pipeline.compactMixtureStats(store.spark, d)
+                maintCompactions.computeIfAbsent(d,
+                  _ => new java.util.concurrent.atomic.AtomicLong)
+                  .incrementAndGet()
+              }
+              maintStatus.put(d, Map(
+                "files_seen" -> info("files"),
+                "compacted" -> needCompact,
+                "compactions" -> Option(maintCompactions.get(d))
+                  .map(_.get).getOrElse(0L)))
+            } catch { case t: Throwable =>
+              lifecycleLog.warn(
+                s"mixture maintenance of $d failed: ${t.getMessage}") }
           }
           managedDedup.forEach { d =>
             try {

@@ -858,6 +858,73 @@ class FanoutSoakSpec extends AnyFunSuite {
     } finally lsrv.stop()
   }
 
+  test("auto-maintenance covers the mixture stats: the files signal trips " +
+    "a background fold, weights preserved") {
+    import org.apache.spark.sql.functions.{col, lit, concat}
+    val mstore = new StreamStore(spark,
+      graft.TempDirs.create("graft-mixmaintstore").toString)
+    val msrv = new LeafServer(mstore, 0, authToken = Some("testtoken"),
+      vectorMaintMs = 300L, vectorCompactFilesThreshold = 8L)
+    msrv.start()
+    try {
+      def mpost(path: String, body: Map[String, Any]): Map[String, Any] = {
+        val b = HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${msrv.boundPort}$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(Json.render(body)))
+          .header("Authorization", "Bearer testtoken")
+        Json.parse(client.send(b.build(),
+          HttpResponse.BodyHandlers.ofString()).body())
+          .asInstanceOf[Map[String, Any]]
+      }
+      def mok(r: Map[String, Any]): Map[String, Any] = {
+        assert(!r.contains("err"), r.toString)
+        r("ok").asInstanceOf[Map[String, Any]]
+      }
+      val src = "/root/testdata/sf0.001"
+      val idx = graft.TempDirs.create("graft-mixmaint").toString
+      mok(mpost("/admin/mixture_stats_build", Map("src" -> src, "dir" -> idx)))
+      def weights(): Vector[Any] =
+        mok(mpost("/admin/mixture_weights", Map("dir" -> idx)))("weights")
+          .asInstanceOf[Vector[Any]]
+      val w0 = weights()
+      def compactions(): Long =
+        mok(mpost("/admin/vector_index_maint", Map("dir" -> idx)))
+          .get("compactions").map(_.asInstanceOf[Long]).getOrElse(0L)
+      val c0 = compactions()
+      val incDir = graft.TempDirs.create("graft-mixmaint-inc").toString
+      val base = spark.read.parquet(s"$src/documents.parquet")
+        .select(col("source"), col("text")).limit(20)
+      var wave = 1
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (compactions() == c0 && System.nanoTime() < deadline) {
+        base.select(col("source"),
+            concat(col("text"), lit(s" mixwave$wave")).as("text"))
+          .coalesce(1).write.mode("overwrite").parquet(incDir)
+        mok(mpost("/admin/mixture_stats_append",
+          Map("src" -> incDir, "dir" -> idx)))
+        wave += 1
+        Thread.sleep(150)
+      }
+      assert(compactions() > c0,
+        s"no mixture auto-compaction after ${wave - 1} appends")
+      val q0 = msrv.maintPassesCompleted
+      while (msrv.maintPassesCompleted < q0 + 2) Thread.sleep(100)
+      val info = mok(mpost("/admin/mixture_stats_info", Map("dir" -> idx)))
+      assert(info("files").asInstanceOf[Long] <= 8L + 4,
+        s"auto-fold did not bound the count files: $info")
+      assert(info("docs").asInstanceOf[Long] ==
+        spark.read.parquet(s"$src/documents.parquet").count() +
+          (wave - 1).toLong * 20, info.toString)
+      // the fold is purely physical: the weights moved with the appended
+      // waves' tokens but the POST-quiesce served table equals a local
+      // recompute over the folded artifact — and one more no-op tick
+      // leaves it fixed
+      val wEnd = weights()
+      assert(wEnd != w0, "appended waves moved no weight")
+      assert(weights() == wEnd, "served weights unstable after quiesce")
+    } finally msrv.stop()
+  }
+
   test("auto-maintenance: sustained ingest trips the small-files policy, a " +
     "background compaction fires, queries stay correct throughout") {
     // the operator-less path: the lifecycle tick watches every managed
