@@ -304,7 +304,7 @@ object Pipeline {
   // never drift from the q_mixture_doremi gate.
 
   private[graft] case class MixMeta(batches: Int, docs: Long,
-      countsDir: String = "counts")
+      countsDir: String = "counts", lastStreamBatch: Long = -1L)
 
   private val mixLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
@@ -322,7 +322,8 @@ object Pipeline {
     val (fs, p) = mixMetaPath(s, indexDir)
     graft.stream.BackupService.atomicWrite(fs, p,
       graft.server.Json.render(Map("batches" -> m.batches.toLong,
-        "docs" -> m.docs, "counts_dir" -> m.countsDir))
+        "docs" -> m.docs, "counts_dir" -> m.countsDir,
+        "last_stream_batch" -> m.lastStreamBatch))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
@@ -338,7 +339,8 @@ object Pipeline {
     val meta = MixMeta(
       m("batches").asInstanceOf[Long].toInt,
       m("docs").asInstanceOf[Long],
-      m.get("counts_dir").collect { case d: String => d }.getOrElse("counts"))
+      m.get("counts_dir").collect { case d: String => d }.getOrElse("counts"),
+      m.get("last_stream_batch").collect { case b: Long => b }.getOrElse(-1L))
     // the torn-append detector (shared with the lexical/dedup indexes):
     // the counts dir must hold exactly the committed batches
     val committed = (0 until meta.batches).map(b => s"batch=$b").toSet
@@ -394,15 +396,25 @@ object Pipeline {
     * (counts are a monoid — no artifact re-derivation at all), and the
     * meta rewrite commits. */
   def appendMixtureStats(s: SparkSession, fresh: DataFrame,
-      indexDir: String): Map[String, Long] = mixLock(indexDir).synchronized {
+      indexDir: String,
+      streamBatch: Option[Long] = None): Map[String, Long] =
+      mixLock(indexDir).synchronized {
     import org.apache.spark.sql.SaveMode
     val meta = readMixMeta(s, indexDir)
+    // the streaming sink's exactly-once guard (the lexical discipline):
+    // the atomic meta commit doubles as the transaction log, so a
+    // foreachBatch RE-delivery of an already-committed micro-batch is a
+    // no-op instead of double-counting the monoid
+    if (streamBatch.exists(_ <= meta.lastStreamBatch))
+      return Map("appended_docs" -> 0L, "docs" -> meta.docs,
+        "batches" -> meta.batches.toLong)
     val nDocs = fresh.count()
     domainTokenCounts(fresh.select(col("source"), col("text")))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$indexDir/${meta.countsDir}/batch=${meta.batches}")
     writeMixMeta(s, indexDir,
-      MixMeta(meta.batches + 1, meta.docs + nDocs, meta.countsDir))
+      MixMeta(meta.batches + 1, meta.docs + nDocs, meta.countsDir,
+        streamBatch.getOrElse(meta.lastStreamBatch)))
     Map("appended_docs" -> nDocs, "docs" -> (meta.docs + nDocs),
       "batches" -> (meta.batches + 1).toLong)
   }
@@ -425,7 +437,10 @@ object Pipeline {
       .groupBy("source", "tok").agg(sum("c").as("c"))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/$next/batch=0")
-    writeMixMeta(s, indexDir, MixMeta(1, meta.docs, next))
+    // carry the stream cursor: a compaction between two streamed
+    // micro-batches must not reopen the exactly-once window
+    writeMixMeta(s, indexDir,
+      MixMeta(1, meta.docs, next, meta.lastStreamBatch))
     Map("batches" -> 1L, "docs" -> meta.docs)
   }
 

@@ -369,6 +369,25 @@ object EventStreamPipeline {
     * carries the stream batch id — so a foreachBatch RE-delivery of an
     * already-committed batch (the at-least-once window the vector twin
     * heals at compaction) is a no-op here, never a double-counted df. */
+  /** Streaming ingest for the persisted mixture stats — the fourth
+    * family's twin. Same exactly-once shape as the lexical sink: the
+    * atomic meta commit records the stream batch id, so a foreachBatch
+    * re-delivery is a no-op instead of a double-counted monoid. */
+  def mixtureStatsIngestStream(docsStream: DataFrame, indexDir: String,
+      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow()) = {
+    val spark = docsStream.sparkSession
+    docsStream.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.queries.Pipeline.appendMixtureStats(spark,
+          batch.select(col("source"), col("text")), indexDir,
+          streamBatch = Some(id))
+        ()
+      }
+      .start()
+  }
+
   def lexicalIndexIngestStream(docsStream: DataFrame, indexDir: String,
       checkpointDir: String, trigger: Trigger = Trigger.AvailableNow()) = {
     val spark = docsStream.sparkSession

@@ -658,4 +658,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(probe.exists(_ >= 1000000L),
       "streamed docs invisible to the $terms probe")
   }
+
+  test("streaming mixture-stats ingest: exactly-once, weights equal the " +
+    "batch recompute over everything streamed") {
+    import graft.queries.Pipeline
+    val src = "/root/testdata/sf0.001"
+    val idx = graft.TempDirs.create("graft-mixstr").toString
+    Pipeline.buildMixtureStats(spark, src, idx)
+    def docsCount(): Long = Pipeline.mixtureStatsInfo(spark, idx)("docs")
+    val n0 = docsCount()
+
+    val land = graft.TempDirs.create("graft-mixland").toString
+    val d = spark.read.parquet(s"$src/documents.parquet")
+      .select(col("source"), col("text"))
+    for (i <- 1 to 3)
+      d.limit(50).withColumn("text",
+          concat(col("text"), lit(s" mixstream$i")))
+        .coalesce(1).write.mode("append").parquet(land)
+
+    def landStream = spark.readStream
+      .schema(d.limit(1).schema)
+      .option("maxFilesPerTrigger", "1").parquet(land)
+    val ckpt = graft.TempDirs.create("graft-mixstr-ckpt").toString
+    val q = EventStreamPipeline.mixtureStatsIngestStream(landStream, idx, ckpt)
+    q.awaitTermination()
+    assert(docsCount() == n0 + 150,
+      s"3 streamed waves of 50 docs must grow the stats to ${n0 + 150}")
+
+    // exactly-once across restart: same checkpoint, no new files
+    val q2 = EventStreamPipeline.mixtureStatsIngestStream(landStream, idx, ckpt)
+    q2.awaitTermination()
+    assert(docsCount() == n0 + 150, "checkpointed re-run must append nothing")
+
+    // exactly-once within the at-least-once window: re-delivering an
+    // already-committed stream batch id is a NO-OP on the monoid
+    val out = Pipeline.appendMixtureStats(spark, d.limit(50), idx,
+      streamBatch = Some(0L))
+    assert(out("appended_docs") == 0L,
+      s"re-delivered batch was re-applied: $out")
+    assert(docsCount() == n0 + 150)
+
+    // the served weights equal a batch recompute over base + exactly
+    // what streamed — the stream-built artifact IS the batch statistic
+    val streamedCorpus = d.unionAll(spark.read.parquet(land))
+    val want = Pipeline.doremiWeightsFromCounts(
+        Pipeline.domainTokenCounts(streamedCorpus))
+      .orderBy("source").collect().map(_.toString).toSeq
+    val got = Pipeline.mixtureWeights(spark, idx)
+      .collect().map(_.toString).toSeq
+    assert(got == want,
+      "stream-built mixture artifact drifted from the batch recompute")
+  }
 }
