@@ -490,6 +490,19 @@ class GatesSpec extends AnyFunSuite {
       "doremi not deterministic")
   }
 
+  test("doremi indexed: artifact-served weights equal the gate row for " +
+    "row, and the probe plan never scans the corpus") {
+    val served = run("q_mixture_indexed").map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val gate = run("q_mixture_doremi").map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(served == gate, "artifact path drifted from the direct gate")
+    val plan = SparkEntry.queries("q_mixture_indexed")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      "served-weights plan scans the corpus of record")
+  }
+
   test("doremi apply: per-domain counts equal the quotas derived from " +
     "the published weights, ranks dense, hash-prefix deterministic") {
     val picked = run("q_mixture_doremi_apply").map(r =>
