@@ -1018,6 +1018,60 @@ object Pipeline {
              |WHERE length(token) > 0
              |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin)),
 
+    // ---- vocabulary-coverage / OOV ladder ----
+    // The tokenizer-sizing curve: for each candidate vocabulary size K
+    // (top-K tokens by frequency, ties to the lexicographically lower
+    // token — deterministic), what fraction of token OCCURRENCES falls
+    // outside the vocabulary? oov_ppm is exact integer arithmetic
+    // ((total − covered)·1e6 DIV total). One token scan folds to the
+    // vocab-bounded count table; the ladder is four conditional sums
+    // over it — at 100 TB the corpus-proportional term is the scan,
+    // the ladder is metadata-sized.
+    "q_corpus_oov" -> Q(
+      (s, dir) => {
+        val cnt = docs(s, dir)
+          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+          .filter(length(col("token")) > 0)
+          .groupBy("token").agg(count(lit(1)).as("c"))
+        val ranked = cnt.withColumn("rk", row_number().over(
+          Window.orderBy(col("c").desc, col("token"))))
+        ranked
+          .agg(
+            sum(when(col("rk") <= 4, col("c"))).as("c4"),
+            sum(when(col("rk") <= 8, col("c"))).as("c8"),
+            sum(when(col("rk") <= 16, col("c"))).as("c16"),
+            sum(when(col("rk") <= 32, col("c"))).as("c32"),
+            sum(col("c")).as("t"))
+          .selectExpr(
+            "stack(4, CAST(4 AS BIGINT), c4, CAST(8 AS BIGINT), c8, " +
+              "CAST(16 AS BIGINT), c16, CAST(32 AS BIGINT), c32) " +
+              "AS (k, covered)",
+            "t AS total")
+          .select(col("k"), coalesce(col("covered"), lit(0L)).as("covered"),
+            col("total"),
+            expr("(total - coalesce(covered, 0)) * 1000000 DIV total")
+              .as("oov_ppm"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH cnt AS (
+             |  SELECT token, CAST(count(*) AS BIGINT) AS c
+             |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+             |        FROM documents)
+             |  WHERE length(token) > 0 GROUP BY token),
+             |ranked AS (
+             |  SELECT token, c,
+             |    row_number() OVER (ORDER BY c DESC, token) AS rk FROM cnt),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cnt),
+             |ks AS (SELECT CAST(unnest([4, 8, 16, 32]) AS BIGINT) AS k),
+             |cov AS (
+             |  SELECT k,
+             |    CAST(COALESCE(sum(CASE WHEN rk <= k THEN c END), 0) AS BIGINT)
+             |      AS covered
+             |  FROM ranked, ks GROUP BY k)
+             |SELECT k, covered, total,
+             |  (total - covered) * 1000000 // total AS oov_ppm
+             |FROM cov, tot ORDER BY k""".stripMargin)),
+
     // ---- sequence packing: greedy first-fit-in-order into 256-token bins ----
     // The pretraining batch-prep op: concatenate documents (in stable
     // doc_id order within a hash group) into fixed-capacity training

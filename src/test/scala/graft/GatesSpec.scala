@@ -490,6 +490,30 @@ class GatesSpec extends AnyFunSuite {
       "doremi not deterministic")
   }
 
+  test("oov ladder: coverage recomputes from raw text, monotone in K, " +
+    "ppm arithmetic exact") {
+    val rows = run("q_corpus_oov").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows.map(_._1) == Seq(4L, 8L, 16L, 32L))
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("text").collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split("\\s+"))
+      .filter(_.nonEmpty)
+    val byFreq = toks.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy { case (t, c) => (-c, t) }
+    val total = toks.length.toLong
+    rows.foreach { case (k, covered, tot, ppm) =>
+      assert(tot == total)
+      val want = byFreq.take(k.toInt).map(_._2).sum
+      assert(covered == want, s"K=$k covered $covered != recomputed $want")
+      assert(ppm == (total - covered) * 1000000L / total,
+        s"K=$k ppm arithmetic drifted")
+    }
+    val cov = rows.map(_._2)
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b },
+      "coverage not monotone in K")
+  }
+
   test("doremi indexed: artifact-served weights equal the gate row for " +
     "row, and the probe plan never scans the corpus") {
     val served = run("q_mixture_indexed").map(r =>
