@@ -58,7 +58,24 @@ object Bench {
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
+    // Self-defense: three rounds running, the round's FINAL recorded bench
+    // carried a co-tenant load marker (r13: load 5.08, a uniform ~1.17x
+    // inflation) even though clean intermediate records existed. Don't let a
+    // polluted run become the artifact: wait (bounded) for the 1-minute load
+    // to settle below the threshold, and if it never does, stamp the record
+    // "tainted": true so downstream comparison can refuse it.
+    val loadThreshold =
+      sys.env.get("SPARK_GRAFT_LOAD_MAX").map(_.toDouble).getOrElse(1.5)
+    val settleDeadline = System.nanoTime() +
+      sys.env.get("SPARK_GRAFT_LOAD_WAIT_SEC").map(_.toLong).getOrElse(600L) * 1000000000L
+    while (loadAvg() > loadThreshold && System.nanoTime() < settleDeadline) {
+      System.err.println(f"BENCH: load ${loadAvg()}%.2f > $loadThreshold%.1f — waiting for the machine to go quiet")
+      Thread.sleep(15000L)
+    }
     val loadBefore = loadAvg()
+    val tainted = loadBefore > loadThreshold
+    if (tainted)
+      System.err.println(f"BENCH: load never settled (${loadBefore}%.2f) — record will be stamped tainted")
     val (results, failed) = runAll(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1))
     val loadAfter = loadAvg()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -73,7 +90,7 @@ object Bench {
     }.mkString("{", ",", "}")
     // cpus is the raw master thread spec (e.g. "32" or "*") — quote it so
     // the line stays valid JSON for any legitimate SPARK_GRAFT_CPUS value
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phases,"sf":"$sfDir","load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"cpus":"$cpus"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phases,"sf":"$sfDir","load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"cpus":"$cpus","tainted":$tainted}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"BENCH: ${failed.size} queries failed: ${failed.mkString(", ")}")

@@ -223,7 +223,10 @@ object Dedup {
     * would silently miss near-dups against the partial batch, so every
     * load path throws instead and the recovery is a rebuild (the
     * artifacts are derived data; the corpus of record is the truth). */
-  private[graft] def readIndexMeta(s: SparkSession,
+  // parse only — no batch-census validation (the lexical/mixture split:
+  // append retries sweep their own crashed partial batch before the
+  // strict census runs, or the refusal deadlocks the retry)
+  private def parseIndexMeta(s: SparkSession,
       indexDir: String): DedupIndexMeta = {
     val (fs, p) = indexMetaPath(s, indexDir)
     require(fs.exists(p), s"no dedup index at $indexDir (missing meta.json)")
@@ -236,7 +239,7 @@ object Dedup {
       m.get("r").exists(_.isInstanceOf[Long]),
       s"dedup index at $indexDir was built with different derivation " +
         s"params ($m) — rebuild it rather than mixing derivations")
-    val meta = DedupIndexMeta(
+    DedupIndexMeta(
       m("r").asInstanceOf[Long].toInt,
       m.get("batches").collect { case b: Long => b.toInt }.getOrElse(1),
       m.get("count").collect { case c: Long => c }.getOrElse(0L),
@@ -244,6 +247,11 @@ object Dedup {
       // commits it by atomically rewriting this meta (legacy metas
       // resolve to the flat dir)
       m.get("bands_dir").collect { case d: String => d }.getOrElse("bands"))
+  }
+
+  private def validateIndexCensus(s: SparkSession, indexDir: String,
+      meta: DedupIndexMeta): Unit = {
+    val (fs, _) = indexMetaPath(s, indexDir)
     val committed = (0 until meta.batches).map(b => s"batch=$b").toSet
     Seq("fp", "shingles", meta.bandsDir).foreach { art =>
       val dir = new org.apache.hadoop.fs.Path(indexDir, art)
@@ -254,13 +262,43 @@ object Dedup {
         s"dedup index at $indexDir is TORN: $art/ holds batches " +
           s"${present.toSeq.sorted.mkString(",")} but meta commits " +
           s"${meta.batches} — an append died between artifact writes; " +
+          s"re-run the append (it sweeps the partial batch at entry) or " +
           s"rebuild the index from the corpus of record")
     }
+  }
+
+  private[graft] def readIndexMeta(s: SparkSession,
+      indexDir: String): DedupIndexMeta = {
+    val meta = parseIndexMeta(s, indexDir)
+    validateIndexCensus(s, indexDir, meta)
     if (meta.stale) org.slf4j.LoggerFactory.getLogger(getClass).warn(
       s"dedup index at $indexDir is STALE: grown to ${meta.count} docs, " +
         s"where the derivation now wants r=${lshRowsPerBand(meta.count)} " +
         s"vs the pinned r=${meta.r} — appends still work (banding stays " +
         s"consistent) but candidate volume drifts; schedule a rebuild")
+    meta
+  }
+
+  /** Append-entry recovery: delete exactly the UNCOMMITTED batch dirs
+    * (number ≥ meta.batches — a crashed append's partial write), then the
+    * strict census. Called under the shared writer lock, so only a DEAD
+    * append's debris is ever swept. */
+  private def readIndexMetaForAppend(s: SparkSession,
+      indexDir: String): DedupIndexMeta = {
+    val meta = parseIndexMeta(s, indexDir)
+    val (fs, _) = indexMetaPath(s, indexDir)
+    Seq("fp", "shingles", meta.bandsDir).foreach { art =>
+      val dir = new org.apache.hadoop.fs.Path(indexDir, art)
+      if (fs.exists(dir)) fs.listStatus(dir).iterator
+        .filter(_.isDirectory).map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.startsWith("batch=") &&
+            n.stripPrefix("batch=").toIntOption.exists(_ >= meta.batches)
+        }
+        .foreach(p => fs.delete(p, true))
+    }
+    validateIndexCensus(s, indexDir, meta)
     meta
   }
 
@@ -331,7 +369,7 @@ object Dedup {
     * stride, and the r derived from the corpus count). Loading refuses a
     * derivation mismatch. */
   def buildDedupIndex(s: SparkSession, corpus: DataFrame,
-      indexDir: String): Int = {
+      indexDir: String): Int = WriterLocks.lockFor(indexDir).synchronized {
     val n = corpus.count()
     val r = lshRowsPerBand(n)
     val (fs, p) = indexMetaPath(s, indexDir)
@@ -373,8 +411,8 @@ object Dedup {
     * silently half-visible. Recovery is a rebuild, or re-running the
     * same append (batch dirs are Overwrite-scoped by number). */
   def appendDedupIndex(s: SparkSession, docs: DataFrame,
-      indexDir: String): Unit = {
-    val meta = readIndexMeta(s, indexDir)
+      indexDir: String): Unit = WriterLocks.lockFor(indexDir).synchronized {
+    val meta = readIndexMetaForAppend(s, indexDir)
     val n = docs.count()
     writeIndexParts(s, docs, indexDir, meta.r, batch = meta.batches,
       bandsDir = meta.bandsDir)
@@ -409,7 +447,8 @@ object Dedup {
     * Hadoop rename return codes. No-op (idempotent) when the
     * derivation is not actually stale. Returns the index's (possibly
     * new) r. */
-  def rebandDedupIndex(s: SparkSession, indexDir: String): Int = {
+  def rebandDedupIndex(s: SparkSession,
+      indexDir: String): Int = WriterLocks.lockFor(indexDir).synchronized {
     val meta = readIndexMeta(s, indexDir)
     val newR = lshRowsPerBand(meta.count)
     if (newR == meta.r) return meta.r

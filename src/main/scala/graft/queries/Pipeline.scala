@@ -306,10 +306,10 @@ object Pipeline {
   private[graft] case class MixMeta(batches: Int, docs: Long,
       countsDir: String = "counts", lastStreamBatch: Long = -1L)
 
-  private val mixLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // normalized-path keying via the shared registry: a `file:`-prefixed or
+  // relative alias of one index dir must resolve to the SAME lock
   private def mixLock(indexDir: String): Object =
-    mixLocks.computeIfAbsent(indexDir, _ => new Object)
+    WriterLocks.lockFor(indexDir)
 
   private def mixMetaPath(s: SparkSession, indexDir: String)
       : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
@@ -327,8 +327,10 @@ object Pipeline {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  private[graft] def readMixMeta(s: SparkSession,
-      indexDir: String): MixMeta = {
+  // parse only — no batch-census validation (the lexical-index split:
+  // append retries must be able to sweep their own crashed partial batch
+  // before the strict census runs, or the refusal deadlocks the retry)
+  private def parseMixMeta(s: SparkSession, indexDir: String): MixMeta = {
     val (fs, p) = mixMetaPath(s, indexDir)
     require(fs.exists(p),
       s"no mixture stats at $indexDir (missing meta.json)")
@@ -336,13 +338,18 @@ object Pipeline {
     val m = try graft.server.Json.parse(new String(in.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[Map[String, Any]]
     finally in.close()
-    val meta = MixMeta(
+    MixMeta(
       m("batches").asInstanceOf[Long].toInt,
       m("docs").asInstanceOf[Long],
       m.get("counts_dir").collect { case d: String => d }.getOrElse("counts"),
       m.get("last_stream_batch").collect { case b: Long => b }.getOrElse(-1L))
-    // the torn-append detector (shared with the lexical/dedup indexes):
-    // the counts dir must hold exactly the committed batches
+  }
+
+  // the torn-append detector (shared with the lexical/dedup indexes):
+  // the counts dir must hold exactly the committed batches
+  private def validateMixCensus(s: SparkSession, indexDir: String,
+      meta: MixMeta): Unit = {
+    val (fs, _) = mixMetaPath(s, indexDir)
     val committed = (0 until meta.batches).map(b => s"batch=$b").toSet
     val dir = new org.apache.hadoop.fs.Path(indexDir, meta.countsDir)
     val present = fs.listStatus(dir).iterator
@@ -352,7 +359,35 @@ object Pipeline {
       s"mixture stats at $indexDir are TORN: ${meta.countsDir}/ holds " +
         s"${present.toSeq.sorted.mkString(",")} but meta commits " +
         s"${meta.batches} batches — re-run the append that died " +
-        "(batch dirs are Overwrite-scoped) or rebuild")
+        "(it sweeps the partial batch at entry) or rebuild")
+  }
+
+  /** Strict read: every QUERY/read path refuses a torn layout. */
+  private[graft] def readMixMeta(s: SparkSession,
+      indexDir: String): MixMeta = {
+    val meta = parseMixMeta(s, indexDir)
+    validateMixCensus(s, indexDir, meta)
+    meta
+  }
+
+  /** Append-entry recovery: delete exactly the UNCOMMITTED batch dirs
+    * (number ≥ meta.batches — a crashed append's partial write), then the
+    * strict census. Holds the writer lock at every call site, so only a
+    * DEAD append's debris is ever swept, never a live one's. */
+  private def readMixMetaForAppend(s: SparkSession,
+      indexDir: String): MixMeta = {
+    val meta = parseMixMeta(s, indexDir)
+    val (fs, _) = mixMetaPath(s, indexDir)
+    val dir = new org.apache.hadoop.fs.Path(indexDir, meta.countsDir)
+    if (fs.exists(dir)) fs.listStatus(dir).iterator
+      .filter(_.isDirectory).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("batch=") &&
+          n.stripPrefix("batch=").toIntOption.exists(_ >= meta.batches)
+      }
+      .foreach(p => fs.delete(p, true))
+    validateMixCensus(s, indexDir, meta)
     meta
   }
 
@@ -400,7 +435,7 @@ object Pipeline {
       streamBatch: Option[Long] = None): Map[String, Long] =
       mixLock(indexDir).synchronized {
     import org.apache.spark.sql.SaveMode
-    val meta = readMixMeta(s, indexDir)
+    val meta = readMixMetaForAppend(s, indexDir)
     // the streaming sink's exactly-once guard (the lexical discipline):
     // the atomic meta commit doubles as the transaction log, so a
     // foreachBatch RE-delivery of an already-committed micro-batch is a

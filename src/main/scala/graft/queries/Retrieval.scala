@@ -186,10 +186,10 @@ object Retrieval {
   // would otherwise interleave their read-meta -> stage -> commit
   // sequences and the later meta rewrite would clobber the earlier
   // pointer flip
-  private val lexLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // normalized-path keying via the shared registry: a `file:`-prefixed or
+  // relative alias of one index dir must resolve to the SAME lock
   private def lexLock(indexDir: String): Object =
-    lexLocks.computeIfAbsent(indexDir, _ => new Object)
+    WriterLocks.lockFor(indexDir)
 
   def buildLexicalIndexDf(s: SparkSession, corpus: DataFrame,
       indexDir: String): Map[String, Long] = lexLock(indexDir).synchronized {
@@ -228,7 +228,7 @@ object Retrieval {
       streamBatch: Option[Long] = None): Map[String, Long] =
       lexLock(indexDir).synchronized {
     import org.apache.spark.sql.SaveMode
-    val meta = readLexMeta(s, indexDir)
+    val meta = readLexMetaForAppend(s, indexDir)
     // the streaming sink's exactly-once guard: the atomic meta commit
     // doubles as the transaction log, so a foreachBatch RE-DELIVERY of
     // an already-committed micro-batch (the at-least-once window after
@@ -379,12 +379,17 @@ object Retrieval {
       case v => v.toInt
     }
 
+  // matches the FLAT legacy names too (the sweepUnreferenced
+  // "^sub(\.v\d+)?$" pattern): after the first compaction flips the
+  // pointers to terms.v1/docs.v1, the original flat terms/ and docs/ (a
+  // full postings copy) must drain on the next append — callers filter
+  // the LIVE pointers out, so a flat dir only sweeps once displaced
   private def lexGenerations(fs: org.apache.hadoop.fs.FileSystem,
       indexDir: String): Seq[org.apache.hadoop.fs.Path] = {
     val root = new org.apache.hadoop.fs.Path(indexDir)
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
-      .filter(_.getName.matches("(df|stats|terms|docs)\\.v\\d+"))
+      .filter(_.getName.matches("(df|stats|terms|docs)(\\.v\\d+)?"))
   }
 
   private def writeLexBatch(s: SparkSession, corpus: DataFrame,
@@ -421,15 +426,19 @@ object Retrieval {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  private[graft] def readLexMeta(s: SparkSession,
-      indexDir: String): LexMeta = {
+  // parse only — no batch-census validation. Append paths use this so a
+  // RETRY of an append that crashed between the batch write and the meta
+  // commit can sweep its own partial batch instead of hitting the strict
+  // refusal forever (the r13 ADVICE deadlock: readLexMeta refused with
+  // "re-run the append", but the re-run read the same meta first).
+  private def parseLexMeta(s: SparkSession, indexDir: String): LexMeta = {
     val (fs, p) = lexMetaPath(s, indexDir)
     require(fs.exists(p), s"no lexical index at $indexDir (missing meta.json)")
     val in = fs.open(p)
     val m = try graft.server.Json.parse(new String(in.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[Map[String, Any]]
     finally in.close()
-    val meta = LexMeta(
+    LexMeta(
       m("batches").asInstanceOf[Long].toInt,
       m("n").asInstanceOf[Long],
       m("sum_dl").asInstanceOf[Long],
@@ -438,9 +447,14 @@ object Retrieval {
       m.get("terms_dir").collect { case d: String => d }.getOrElse("terms"),
       m.get("docs_dir").collect { case d: String => d }.getOrElse("docs"),
       m.get("last_stream_batch").collect { case b: Long => b }.getOrElse(-1L))
-    // the torn-append detector (dedup discipline): postings/docs must
-    // hold exactly the committed batches — an uncommitted batch dir
-    // would otherwise be silently scored against the OLD df
+  }
+
+  // the torn-append detector (dedup discipline): postings/docs must
+  // hold exactly the committed batches — an uncommitted batch dir
+  // would otherwise be silently scored against the OLD df
+  private def validateLexCensus(s: SparkSession, indexDir: String,
+      meta: LexMeta): Unit = {
+    val (fs, _) = lexMetaPath(s, indexDir)
     val committed = (0 until meta.batches).map(b => s"batch=$b").toSet
     Seq(meta.termsDir, meta.docsDir).foreach { art =>
       val dir = new org.apache.hadoop.fs.Path(indexDir, art)
@@ -451,8 +465,40 @@ object Retrieval {
         s"lexical index at $indexDir is TORN: $art/ holds " +
           s"${present.toSeq.sorted.mkString(",")} but meta commits " +
           s"${meta.batches} batches — re-run the append that died " +
-          "(batch dirs are Overwrite-scoped) or rebuild")
+          "(it sweeps the partial batch at entry) or rebuild")
     }
+  }
+
+  /** Strict read: every QUERY/read path refuses a torn layout. */
+  private[graft] def readLexMeta(s: SparkSession,
+      indexDir: String): LexMeta = {
+    val meta = parseLexMeta(s, indexDir)
+    validateLexCensus(s, indexDir, meta)
+    meta
+  }
+
+  /** Append-entry recovery: delete exactly the UNCOMMITTED batch dirs
+    * (number ≥ meta.batches — a crashed append's partial write; committed
+    * batches are never touched), then apply the same strict census every
+    * read path uses. Holds the writer lock at every call site, so it can
+    * never sweep a CONCURRENT append's in-flight batch — only a dead
+    * one's. */
+  private def readLexMetaForAppend(s: SparkSession,
+      indexDir: String): LexMeta = {
+    val meta = parseLexMeta(s, indexDir)
+    val (fs, _) = lexMetaPath(s, indexDir)
+    Seq(meta.termsDir, meta.docsDir).foreach { art =>
+      val dir = new org.apache.hadoop.fs.Path(indexDir, art)
+      if (fs.exists(dir)) fs.listStatus(dir).iterator
+        .filter(_.isDirectory).map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.startsWith("batch=") &&
+            n.stripPrefix("batch=").toIntOption.exists(_ >= meta.batches)
+        }
+        .foreach(p => fs.delete(p, true))
+    }
+    validateLexCensus(s, indexDir, meta)
     meta
   }
 

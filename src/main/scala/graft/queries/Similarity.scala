@@ -645,12 +645,8 @@ object Similarity {
     * depth); at cluster scale this lock becomes the catalog/manifest
     * commit the event log's compactLog already models. Queries never
     * take it. */
-  private val indexLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def indexLock(indexDir: String): Object =
-    indexLocks.computeIfAbsent(
-      java.nio.file.Paths.get(indexDir.stripPrefix("file:"))
-        .toAbsolutePath.normalize.toString, _ => new Object)
+    WriterLocks.lockFor(indexDir)
 
   private def listParquet(dir: java.nio.file.Path): Seq[java.nio.file.Path] =
     if (!java.nio.file.Files.isDirectory(dir)) Seq.empty

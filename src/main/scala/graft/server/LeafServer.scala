@@ -97,7 +97,13 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     // changes cell geometry, which stays an operator decision. 0 = off.
     vectorMaintMs: Long = 0L,
     vectorCompactFilesThreshold: Long = 64L,
-    vectorRetrainSharePct: Long = 50L) {
+    vectorRetrainSharePct: Long = 50L,
+    // opt-in dedup auto-reband: unlike compaction (purely physical), a
+    // re-band CHANGES candidate volume, so staleness is only flagged by
+    // default. An operator who accepts that trade (the re-band is the
+    // derivation a fresh build would pick, and it reads only the index's
+    // own shingle arrays) can let the tick run it.
+    dedupRebandOnStale: Boolean = false) {
 
   // the HTTP routes bind to an INTERNAL loopback port; the public port is
   // a JDK-socket frontend (PublicFrontend) that serves websocket upgrades
@@ -670,8 +676,22 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     // exists as a log line nobody watches.
     if (!c.trusted && !c.did.exists(moduleAdmins.contains))
       throw new LeafAuthException("admin RPCs require a trusted connection")
-    managedDedup.add(str(args, "dir"))
+    // read-only: does NOT enroll the dir in the maintenance work list —
+    // enrollment is a side effect of the MUTATING dedup RPC (reband)
     graft.queries.Dedup.dedupIndexInfo(store.spark, str(args, "dir"))
+  }
+
+  handle("/admin/dedup_index_build") { (c, args) =>
+    // Build the persisted dedup index from a corpus directory — the
+    // family's enrollment point into auto-maintenance, symmetric with
+    // vector_index_build / lexical_index_build / mixture_stats_build.
+    if (!c.trusted && !c.did.exists(moduleAdmins.contains))
+      throw new LeafAuthException("admin RPCs require a trusted connection")
+    val r = graft.queries.Dedup.buildDedupIndex(store.spark,
+      graft.queries.Dedup.corpus(store.spark, str(args, "src")),
+      str(args, "dir"))
+    managedDedup.add(str(args, "dir"))
+    Map("r" -> r.toLong)
   }
 
   handle("/admin/dedup_index_reband") { (c, args) =>
@@ -681,6 +701,7 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     // derivation is current.
     if (!c.trusted && !c.did.exists(moduleAdmins.contains))
       throw new LeafAuthException("admin RPCs require a trusted connection")
+    managedDedup.add(str(args, "dir"))
     val r = graft.queries.Dedup.rebandDedupIndex(store.spark, str(args, "dir"))
     Map("r" -> r.toLong)
   }
@@ -867,8 +888,16 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     // recommends (retrain). Empty until the first tick covers the dir.
     if (!c.trusted && !c.did.exists(moduleAdmins.contains))
       throw new LeafAuthException("admin RPCs require a trusted connection")
-    Option(maintStatus.get(str(args, "dir")))
-      .getOrElse(Map("covered" -> false))
+    // optional "family" arg disambiguates a dir enrolled in two families;
+    // without it the first family with a recorded status answers
+    val dir = str(args, "dir")
+    args.get("family").collect { case f: String => f } match {
+      case Some(f) => Option(maintStatus.get(maintKey(f, dir)))
+        .getOrElse(Map("covered" -> false))
+      case None => maintFamilies.iterator
+        .flatMap(f => Option(maintStatus.get(maintKey(f, dir))))
+        .nextOption().getOrElse(Map("covered" -> false))
+    }
   }
 
   handle("/admin/vector_index_info") { (c, args) =>
@@ -946,10 +975,16 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
   // count monoid), so it auto-compacts on the same files signal
   private val managedMixture =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // status/counters key on (family, normalized dir): a directory enrolled
+  // in two families (or reached via a path alias) must not have its
+  // status clobbered each tick by whichever family runs last
+  private val maintFamilies = Seq("vector", "lexical", "mixture", "dedup")
+  private def maintKey(family: String, dir: String): String =
+    s"$family|${graft.queries.WriterLocks.key(dir)}"
   private val maintStatus =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, Any]]()
-  // cumulative auto-compactions per dir — a status consumer polling
-  // between ticks can never miss one the way a per-tick flag would
+  // cumulative auto-compactions per (family, dir) — a status consumer
+  // polling between ticks can never miss one the way a per-tick flag would
   private val maintCompactions =
     new java.util.concurrent.ConcurrentHashMap[String,
       java.util.concurrent.atomic.AtomicLong]()
@@ -1071,6 +1106,13 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     if (vectorMaintMs > 0)
       exec.scheduleWithFixedDelay(() =>
         try {
+          def bumpCount(family: String, d: String): Long =
+            maintCompactions.computeIfAbsent(maintKey(family, d),
+              _ => new java.util.concurrent.atomic.AtomicLong)
+              .incrementAndGet()
+          def countOf(family: String, d: String): Long =
+            Option(maintCompactions.get(maintKey(family, d)))
+              .map(_.get).getOrElse(0L)
           managedIndexes.forEach { d =>
             try {
               val info = graft.queries.Similarity
@@ -1082,20 +1124,17 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
                 // generation until the re-attach lands
                 graft.queries.Similarity.compactVectorIndex(store.spark, d)
                 store.refreshAttachedIndexes(d)
-                maintCompactions.computeIfAbsent(d,
-                  _ => new java.util.concurrent.atomic.AtomicLong)
-                  .incrementAndGet()
+                bumpCount("vector", d)
               }
               val skewed = info("max_cell_share_pct") > vectorRetrainSharePct
               if (skewed)
                 lifecycleLog.warn(s"vector index $d max cell holds " +
                   s"${info("max_cell_share_pct")}% of the corpus — " +
                   "retrain recommended (/admin/vector_index_retrain)")
-              maintStatus.put(d, Map(
+              maintStatus.put(maintKey("vector", d), Map(
                 "files_seen" -> info("files"),
                 "compacted" -> needCompact,
-                "compactions" -> Option(maintCompactions.get(d))
-                  .map(_.get).getOrElse(0L),
+                "compactions" -> countOf("vector", d),
                 "max_cell_share_pct" -> info("max_cell_share_pct"),
                 "retrain_recommended" -> skewed))
             } catch { case t: Throwable =>
@@ -1110,15 +1149,12 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
               if (needCompact) {
                 graft.queries.Retrieval.compactLexicalIndex(store.spark, d)
                 store.refreshAttachedIndexes(d)
-                maintCompactions.computeIfAbsent(d,
-                  _ => new java.util.concurrent.atomic.AtomicLong)
-                  .incrementAndGet()
+                bumpCount("lexical", d)
               }
-              maintStatus.put(d, Map(
+              maintStatus.put(maintKey("lexical", d), Map(
                 "files_seen" -> info("files"),
                 "compacted" -> needCompact,
-                "compactions" -> Option(maintCompactions.get(d))
-                  .map(_.get).getOrElse(0L)))
+                "compactions" -> countOf("lexical", d)))
             } catch { case t: Throwable =>
               lifecycleLog.warn(
                 s"lexical maintenance of $d failed: ${t.getMessage}") }
@@ -1130,15 +1166,12 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
               val needCompact = info("files") > vectorCompactFilesThreshold
               if (needCompact) {
                 graft.queries.Pipeline.compactMixtureStats(store.spark, d)
-                maintCompactions.computeIfAbsent(d,
-                  _ => new java.util.concurrent.atomic.AtomicLong)
-                  .incrementAndGet()
+                bumpCount("mixture", d)
               }
-              maintStatus.put(d, Map(
+              maintStatus.put(maintKey("mixture", d), Map(
                 "files_seen" -> info("files"),
                 "compacted" -> needCompact,
-                "compactions" -> Option(maintCompactions.get(d))
-                  .map(_.get).getOrElse(0L)))
+                "compactions" -> countOf("mixture", d)))
             } catch { case t: Throwable =>
               lifecycleLog.warn(
                 s"mixture maintenance of $d failed: ${t.getMessage}") }
@@ -1146,11 +1179,21 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
           managedDedup.forEach { d =>
             try {
               val stale = graft.queries.Dedup.dedupIndexStale(store.spark, d)
-              if (stale)
+              val rebanded = stale && dedupRebandOnStale
+              if (rebanded) {
+                // the operator opted in: run the re-band under the same
+                // pointer-flip discipline the RPC uses — increments in
+                // flight ride the retained generation
+                graft.queries.Dedup.rebandDedupIndex(store.spark, d)
+                bumpCount("dedup", d)
+              } else if (stale)
                 lifecycleLog.warn(s"dedup index $d is STALE — re-band " +
                   "recommended (/admin/dedup_index_reband)")
-              maintStatus.put(d, Map("stale" -> stale,
-                "reband_recommended" -> stale))
+              maintStatus.put(maintKey("dedup", d), Map(
+                "stale" -> (stale && !rebanded),
+                "reband_recommended" -> (stale && !rebanded),
+                "rebanded" -> rebanded,
+                "rebands" -> countOf("dedup", d)))
             } catch { case t: Throwable =>
               lifecycleLog.warn(
                 s"dedup staleness probe of $d failed: ${t.getMessage}") }

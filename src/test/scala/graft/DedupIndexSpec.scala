@@ -47,14 +47,20 @@ class DedupIndexSpec extends AnyFunSuite {
       Dedup.readIndexMeta(spark, idxDir)
     }
     assert(e1.getMessage.contains("TORN"))
-    // every load path refuses, not just the raw meta read
+    // every READ path refuses, not just the raw meta read
     intercept[IllegalArgumentException] {
       Dedup.incrementVsIndex(spark, docs(10, base = 5000), idxDir)
     }
-    intercept[IllegalArgumentException] {
-      Dedup.appendDedupIndex(spark, docs(10, base = 5000), idxDir)
-    }
-    // recovery: a rebuild sweeps the torn batch dirs and loads clean
+    // recovery path 1 (the r13 ADVICE fix): RE-RUNNING the append sweeps
+    // the dead attempt's partial batch at entry and commits cleanly —
+    // previously the strict refusal deadlocked the retry forever
+    Dedup.appendDedupIndex(spark, docs(10, base = 5000), idxDir)
+    val recovered = Dedup.readIndexMeta(spark, idxDir)
+    assert(recovered.batches == 2 && recovered.count == 210)
+    // the recommitted batch=1 is the RETRY's 10 docs, not the dead
+    // attempt's copied 200
+    assert(spark.read.parquet(s"$idxDir/shingles/batch=1").count() == 10)
+    // recovery path 2: a rebuild sweeps everything and loads clean
     Dedup.buildDedupIndex(spark, docs(200), idxDir)
     assert(Dedup.readIndexMeta(spark, idxDir).batches == 1)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "fp/batch=1")))

@@ -1436,6 +1436,56 @@ class ServerSpec extends AnyFunSuite {
     val torn = post("/admin/mixture_weights", Map("dir" -> idx))
     assert(torn.contains("err") &&
       torn("err").toString.contains("TORN"), torn.toString)
+
+    // recovery (the r13 ADVICE fix): RE-RUNNING the append sweeps the
+    // dead attempt's partial batch at entry and commits cleanly — the
+    // documented remedy used to deadlock on the same refusal it issued
+    val retry = ok(post("/admin/mixture_stats_append",
+      Map("src" -> incDir, "dir" -> idx)))
+    assert(retry("batches") == 2L && retry("docs") == nBase + 60,
+      retry.toString)
+    val hfs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(
+      s"$idx/${graft.queries.Pipeline.readMixMeta(spark, idx).countsDir}/batch=99")),
+      "append retry did not sweep the stray batch")
+    assert(served() == local(base.unionAll(spark.read.parquet(incDir)
+        .select(col("source"), col("text")))
+      .unionAll(spark.read.parquet(incDir)
+        .select(col("source"), col("text")))),
+      "post-recovery served weights drifted from the union recompute")
+  }
+
+  test("lexical torn-append recovery: the retry sweeps its dead partial " +
+    "batch and commits; read paths refuse until it does") {
+    import org.apache.spark.sql.functions.col
+    val src = "/root/testdata/sf0.001"
+    val idx = graft.TempDirs.create("graft-lextorn").toString
+    val built = ok(post("/admin/lexical_index_build",
+      Map("src" -> src, "dir" -> idx)))
+    val nBase = built("docs").asInstanceOf[Long]
+    // simulate the kill: an append writes docs/batch=1 then dies before
+    // terms/batch=1 and the meta commit
+    import spark.implicits._
+    val incDir = graft.TempDirs.create("graft-lextorn-inc").toString
+    (0 until 25).map(i => (700000L + i, s"lextorn doc number $i recovery"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(incDir)
+    spark.read.parquet(incDir)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(col("text"), "\\s+"))
+          .cast("long").as("dl"))
+      .write.parquet(s"$idx/docs/batch=1")
+    // read paths refuse the torn layout
+    val torn = post("/admin/lexical_index_info", Map("dir" -> idx))
+    assert(torn.contains("err") &&
+      torn("err").toString.contains("TORN"), torn.toString)
+    // the retry recovers: partial batch swept at entry, commit lands
+    val retry = ok(post("/admin/lexical_index_append",
+      Map("src" -> incDir, "dir" -> idx)))
+    assert(retry("appended") == 25L && retry("batches") == 2L, retry.toString)
+    val info = ok(post("/admin/lexical_index_info", Map("dir" -> idx)))
+    assert(info("docs") == nBase + 25, info.toString)
   }
 
   test("json parser caps container nesting (no stack overflow on [[[…)") {
