@@ -229,11 +229,10 @@ object Dedup {
   private def parseIndexMeta(s: SparkSession,
       indexDir: String): DedupIndexMeta = {
     val (fs, p) = indexMetaPath(s, indexDir)
-    require(fs.exists(p), s"no dedup index at $indexDir (missing meta.json)")
-    val in = fs.open(p)
-    val m = try graft.server.Json.parse(new String(in.readAllBytes(),
+    val raw = graft.stream.PointerCommit.default.readCurrent(fs, p)
+    require(raw.nonEmpty, s"no dedup index at $indexDir (missing meta.json)")
+    val m = graft.server.Json.parse(new String(raw.get,
       java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[Map[String, Any]]
-    finally in.close()
     require(m.get("k").contains(K.toLong) && m.get("shingle").contains(5L) &&
       m.get("stride").contains(2L) &&
       m.get("r").exists(_.isInstanceOf[Long]),
@@ -329,7 +328,7 @@ object Dedup {
       r: Int, batches: Int, count: Long,
       bandsDir: String = "bands"): Unit = {
     val (fs, p) = indexMetaPath(s, indexDir)
-    graft.stream.BackupService.atomicWrite(fs, p,
+    graft.stream.PointerCommit.default.publish(fs, p,
       s"""{"k": $K, "shingle": 5, "stride": 2, "r": $r, "batches": $batches, "count": $count, "bands_dir": "$bandsDir"}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
@@ -379,7 +378,7 @@ object Dedup {
     // concurrent reader can never parse torn bytes. Stale batch subdirs
     // from a previous larger build are swept with it — batch=0's
     // Overwrite only replaces batch=0.
-    if (fs.exists(p)) fs.delete(p, false)
+    graft.stream.PointerCommit.default.delete(fs, p)
     indexArtifacts.foreach(a => fs.delete(
       new org.apache.hadoop.fs.Path(indexDir, a), true))
     // versioned bands generations from a previous index's re-bands

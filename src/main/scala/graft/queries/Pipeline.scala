@@ -320,7 +320,7 @@ object Pipeline {
   private def writeMixMeta(s: SparkSession, indexDir: String,
       m: MixMeta): Unit = {
     val (fs, p) = mixMetaPath(s, indexDir)
-    graft.stream.BackupService.atomicWrite(fs, p,
+    graft.stream.PointerCommit.default.publish(fs, p,
       graft.server.Json.render(Map("batches" -> m.batches.toLong,
         "docs" -> m.docs, "counts_dir" -> m.countsDir,
         "last_stream_batch" -> m.lastStreamBatch))
@@ -332,12 +332,11 @@ object Pipeline {
   // before the strict census runs, or the refusal deadlocks the retry)
   private def parseMixMeta(s: SparkSession, indexDir: String): MixMeta = {
     val (fs, p) = mixMetaPath(s, indexDir)
-    require(fs.exists(p),
+    val raw = graft.stream.PointerCommit.default.readCurrent(fs, p)
+    require(raw.nonEmpty,
       s"no mixture stats at $indexDir (missing meta.json)")
-    val in = fs.open(p)
-    val m = try graft.server.Json.parse(new String(in.readAllBytes(),
+    val m = graft.server.Json.parse(new String(raw.get,
       java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[Map[String, Any]]
-    finally in.close()
     MixMeta(
       m("batches").asInstanceOf[Long].toInt,
       m("docs").asInstanceOf[Long],
@@ -418,7 +417,7 @@ object Pipeline {
     fs.listStatus(new org.apache.hadoop.fs.Path(indexDir)).iterator
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("counts"))
       .foreach(st => fs.delete(st.getPath, true))
-    fs.delete(mp, false)
+    graft.stream.PointerCommit.default.delete(fs, mp)
     val nDocs = corpus.count()
     domainTokenCounts(corpus)
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/counts/batch=0")

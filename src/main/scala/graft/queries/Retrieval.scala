@@ -199,7 +199,7 @@ object Retrieval {
     Seq("terms", "docs").foreach(a =>
       fs.delete(new org.apache.hadoop.fs.Path(indexDir, a), true))
     lexGenerations(fs, indexDir).foreach(d => fs.delete(d, true))
-    fs.delete(lexMetaPath(s, indexDir)._2, false)
+    graft.stream.PointerCommit.default.delete(fs, lexMetaPath(s, indexDir)._2)
     writeLexBatch(s, corpus, indexDir, batch = 0)
     val posted = s.read.parquet(s"$indexDir/terms/batch=0")
     posted.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
@@ -421,7 +421,7 @@ object Retrieval {
   private def writeLexMeta(s: SparkSession, indexDir: String,
       m: LexMeta): Unit = {
     val (fs, p) = lexMetaPath(s, indexDir)
-    graft.stream.BackupService.atomicWrite(fs, p,
+    graft.stream.PointerCommit.default.publish(fs, p,
       s"""{"batches": ${m.batches}, "n": ${m.n}, "sum_dl": ${m.sumDl}, "df_dir": "${m.dfDir}", "stats_dir": "${m.statsDir}", "terms_dir": "${m.termsDir}", "docs_dir": "${m.docsDir}", "last_stream_batch": ${m.lastStreamBatch}}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
@@ -433,11 +433,10 @@ object Retrieval {
   // "re-run the append", but the re-run read the same meta first).
   private def parseLexMeta(s: SparkSession, indexDir: String): LexMeta = {
     val (fs, p) = lexMetaPath(s, indexDir)
-    require(fs.exists(p), s"no lexical index at $indexDir (missing meta.json)")
-    val in = fs.open(p)
-    val m = try graft.server.Json.parse(new String(in.readAllBytes(),
+    val raw = graft.stream.PointerCommit.default.readCurrent(fs, p)
+    require(raw.nonEmpty, s"no lexical index at $indexDir (missing meta.json)")
+    val m = graft.server.Json.parse(new String(raw.get,
       java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[Map[String, Any]]
-    finally in.close()
     LexMeta(
       m("batches").asInstanceOf[Long].toInt,
       m("n").asInstanceOf[Long],

@@ -379,8 +379,12 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
 
   private def readCodebooks(s: SparkSession,
-      indexDir: String): Array[Array[Seq[Long]]] = {
-    val rows = s.read.parquet(artifactPath(indexDir, "codebooks"))
+      indexDir: String): Array[Array[Seq[Long]]] =
+    readCodebooksAt(s, artifactPath(indexDir, "codebooks"))
+
+  private def readCodebooksAt(s: SparkSession,
+      path: String): Array[Array[Seq[Long]]] = {
+    val rows = s.read.parquet(path)
       .orderBy("m", "j").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
     Array.tabulate(pqM)(m => rows.filter(_._1 == m).sortBy(_._2).map(_._3))
@@ -435,7 +439,12 @@ object Similarity {
   private def appendQuantized(s: SparkSession, inc: DataFrame,
       indexDir: String): Long = {
     import org.apache.spark.sql.SaveMode
-    val cents = readCentroids(s, indexDir)
+    // one manifest snapshot: centroid read, vectors write, codebook read
+    // and codes write must all land in the SAME generation — per-artifact
+    // resolution could straddle an out-of-process commit flip and append
+    // vectors to the new generation but codes to the retained old one
+    val snap = resolveAll(indexDir)
+    val cents = readCentroidsAt(s, snap("centroids"))
     require(cents.nonEmpty, s"no centroids at $indexDir — build first")
     val assigned = inc.select(col("vec_id"), col("v"),
         nearestCell(cents).as("b"))
@@ -443,11 +452,12 @@ object Similarity {
       .persist() // settle: the vectors write and the codes encode both read it
     try {
       assigned.write.partitionBy("cell")
-        .mode(SaveMode.Append).parquet(artifactPath(indexDir, "vectors"))
-      if (subdirExists(indexDir, "codebooks")) {
-        encodeCodes(assigned, readCodebooks(s, indexDir))
+        .mode(SaveMode.Append).parquet(snap("vectors"))
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(
+          snap("codebooks").stripPrefix("file:")))) {
+        encodeCodes(assigned, readCodebooksAt(s, snap("codebooks")))
           .write.partitionBy("cell")
-          .mode(SaveMode.Append).parquet(artifactPath(indexDir, "codes"))
+          .mode(SaveMode.Append).parquet(snap("codes"))
       }
       assigned.count()
     } finally assigned.unpersist(false)
@@ -465,9 +475,16 @@ object Similarity {
     * far above 1/cells the operator answer is retrain/re-split (the
     * vector-side sibling of the dedup index's `stale` re-band signal). */
   def vectorIndexInfo(s: SparkSession, indexDir: String): Map[String, Long] = {
-    val counts = s.read.parquet(artifactPath(indexDir, "vectors"))
+    // one manifest snapshot for the whole logical read: the vectors scan
+    // and both file counts must describe the SAME generation even if a
+    // maintenance commit flips mid-info
+    val snap = resolveAll(indexDir)
+    val counts = s.read.parquet(snap("vectors"))
       .groupBy("cell").count().collect().map(_.getLong(1))
     val total = counts.sum
+    def files(sub: String): Long =
+      listParquet(java.nio.file.Paths.get(
+        snap(sub).stripPrefix("file:"))).size.toLong
     Map(
       "vectors" -> total,
       "cells" -> counts.length.toLong,
@@ -477,12 +494,8 @@ object Similarity {
       // the small-files signal: every append adds ≥1 file per touched
       // cell, so a long-lived index degrades the way the event log does —
       // this count is what tells the operator to compact
-      "files" -> (parquetFiles(indexDir, "vectors") +
-        parquetFiles(indexDir, "codes")))
+      "files" -> (files("vectors") + files("codes")))
   }
-
-  private def parquetFiles(indexDir: String, sub: String): Long =
-    walkParquet(indexDir, sub).size.toLong
 
   private def deleteDir(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
@@ -515,6 +528,8 @@ object Similarity {
   // conditional-put this file implements with rename.
 
   private val indexArtifacts = Seq("centroids", "vectors", "codebooks", "codes")
+  /** The artifact names (spec access). */
+  private[graft] def indexArtifactNames: Seq[String] = indexArtifacts
 
   private val manifestHeader = "vector-index-manifest v1"
 
@@ -524,26 +539,40 @@ object Similarity {
   private def manifestFile(indexDir: String): java.nio.file.Path =
     basePath(indexDir).resolve("MANIFEST")
 
+  // the manifest commits through the pluggable pointer primitive (POSIX
+  // rename by default; versioned conditional-put for object stores where
+  // rename is copy+delete — see PointerCommit)
+  private lazy val hconf = new org.apache.hadoop.conf.Configuration()
+  private def manifestIo(indexDir: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val hp = new org.apache.hadoop.fs.Path(manifestFile(indexDir).toString)
+    // RAW local fs: the index dir is local by construction (basePath), and
+    // the checksummed LocalFileSystem's .crc sidecars would poison reads
+    // after any out-of-band manifest write (crash-recovery fixtures,
+    // operator intervention) — the manifest body is self-validating anyway
+    (org.apache.hadoop.fs.FileSystem.getLocal(hconf).getRaw, hp)
+  }
+
   /** Current mapping `sub -> (currentDirName, previousDirName?)`. An
     * index without a MANIFEST (built by hand, or pre-manifest) resolves
     * each artifact to its flat legacy directory. */
   private def manifestMapping(
       indexDir: String): Map[String, (String, Option[String])] = {
-    val mf = manifestFile(indexDir)
-    if (java.nio.file.Files.exists(mf)) {
-      val lines = {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.readAllLines(mf).asScala.toVector
-      }
-      require(lines.nonEmpty && lines.head == manifestHeader,
-        s"unreadable index manifest at $mf")
-      lines.drop(1).filter(_.nonEmpty).map { l =>
-        val parts = l.split(" ")
-        require(parts.length == 3, s"bad manifest line: $l")
-        parts(0) -> (parts(1), if (parts(2) == "-") None else Some(parts(2)))
-      }.toMap
-    } else indexArtifacts.filter(sub => java.nio.file.Files.isDirectory(
-      basePath(indexDir).resolve(sub))).map(sub => sub -> (sub, None)).toMap
+    val (fs, hp) = manifestIo(indexDir)
+    graft.stream.PointerCommit.default.readCurrent(fs, hp) match {
+      case Some(raw) =>
+        val lines = new String(raw,
+          java.nio.charset.StandardCharsets.UTF_8).split("\n", -1).toVector
+        require(lines.nonEmpty && lines.head == manifestHeader,
+          s"unreadable index manifest at $hp")
+        lines.drop(1).filter(_.nonEmpty).map { l =>
+          val parts = l.split(" ")
+          require(parts.length == 3, s"bad manifest line: $l")
+          parts(0) -> (parts(1), if (parts(2) == "-") None else Some(parts(2)))
+        }.toMap
+      case None => indexArtifacts.filter(sub => java.nio.file.Files.isDirectory(
+        basePath(indexDir).resolve(sub))).map(sub => sub -> (sub, None)).toMap
+    }
   }
 
   /** An artifact's CURRENT directory name (manifest-resolved; a flat
@@ -552,16 +581,35 @@ object Similarity {
     manifestMapping(indexDir).get(sub).map(_._1).getOrElse(sub)
 
   /** Resolve an artifact's CURRENT directory path — the one read hook
-    * every consumer (queries, attach views, info, append, maintenance
-    * reads, specs, the profiler) goes through. */
+    * every SINGLE-artifact consumer goes through. A consumer touching
+    * MORE THAN ONE artifact in one logical read must resolve them all
+    * from ONE [[resolveAll]] snapshot instead: per-artifact calls each
+    * re-read the manifest and can straddle a concurrent commit flip,
+    * silently mixing generations (e.g. new centroids over retained old
+    * vectors). */
   private[graft] def artifactPath(indexDir: String, sub: String): String =
     s"$indexDir/${currentName(indexDir, sub)}"
 
-  /** SQL relation renderer over [[artifactPath]] — the `table` argument
-    * [[twoStageKnnSql]] consumers pass when querying parquet directly
-    * instead of attached views. */
-  private[graft] def artifactRelation(indexDir: String): String => String =
-    sub => s"parquet.`${artifactPath(indexDir, sub)}`"
+  /** ONE manifest read → every artifact's current path. The snapshot a
+    * multi-artifact logical read (attach views, info, append, the
+    * two-stage SQL renderer) resolves all its paths from, so the set is
+    * internally consistent even if a commit flips mid-read — the reader
+    * then sees one complete generation (possibly the retained previous
+    * one), never a mix. */
+  private[graft] def resolveAll(indexDir: String): Map[String, String] = {
+    val m = manifestMapping(indexDir)
+    indexArtifacts.map(sub =>
+      sub -> s"$indexDir/${m.get(sub).map(_._1).getOrElse(sub)}").toMap
+  }
+
+  /** SQL relation renderer over ONE [[resolveAll]] snapshot — the `table`
+    * argument [[twoStageKnnSql]] consumers pass when querying parquet
+    * directly instead of attached views. All four relations render from
+    * the same manifest generation by construction. */
+  private[graft] def artifactRelation(indexDir: String): String => String = {
+    val snap = resolveAll(indexDir)
+    sub => s"parquet.`${snap(sub)}`"
+  }
 
   /** The codes artifact's code-column names, derived from [[pqM]] so a
     * PQ geometry change regenerates every consumer (attach views
@@ -581,12 +629,9 @@ object Similarity {
     val body = (manifestHeader +: m.toSeq.sortBy(_._1).map {
       case (sub, (cur, prev)) => s"$sub $cur ${prev.getOrElse("-")}"
     }).mkString("\n")
-    val tmp = basePath(indexDir).resolve("MANIFEST.tmp")
-    java.nio.file.Files.write(tmp,
+    val (fs, hp) = manifestIo(indexDir)
+    graft.stream.PointerCommit.default.publish(fs, hp,
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, manifestFile(indexDir),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** The atomic commit: flip the updated artifacts to their staged

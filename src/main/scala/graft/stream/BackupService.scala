@@ -249,7 +249,11 @@ object BackupService {
     * object after the delete. */
   private[graft] def atomicWrite(fs: FileSystem, p: HPath,
       b: Array[Byte]): Unit = {
-    if (fs.getScheme != "file") {
+    // RawLocalFileSystem leaves getScheme unimplemented — fall back to
+    // the URI's scheme (file:/// there)
+    val scheme = try fs.getScheme
+      catch { case _: UnsupportedOperationException => fs.getUri.getScheme }
+    if (scheme != "file") {
       val out = fs.create(p, true)
       try out.write(b) finally out.close()
     } else {

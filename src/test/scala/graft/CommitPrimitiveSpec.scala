@@ -1,0 +1,183 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.hadoop.fs.{Path => HPath}
+import graft.stream.{PointerCommit, PosixRenameCommit, VersionedPutCommit}
+
+/** The pluggable pointer-commit primitive (verdict r13 item 3): the
+  * manifest/meta flip must be atomic to readers under BOTH POSIX-rename
+  * semantics and object-store semantics where rename is copy+delete (and
+  * an interrupted PUT leaves a torn object). This spec turns SCALE.md's
+  * "the protocol carries over unchanged to a conditional put" claim into
+  * tested code: the versioned primitive never renames at all, and
+  * readers provably never observe a torn pointer across all four
+  * artifact families.
+  */
+class CommitPrimitiveSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def io(dir: String, name: String = "meta.json") = {
+    val p = new HPath(dir, name)
+    (p.getFileSystem(new org.apache.hadoop.conf.Configuration()), p)
+  }
+
+  private def utf8(b: Array[Byte]) =
+    new String(b, java.nio.charset.StandardCharsets.UTF_8)
+
+  test("versioned put: round-trip, monotone versions, one retained " +
+    "generation, migration from a posix-layout pointer") {
+    val dir = TempDirs.create("graft-vput").toString
+    val (fs, p) = io(dir)
+    // migration: a pointer last committed by the posix impl still reads
+    PosixRenameCommit.publish(fs, p, "posix-gen".getBytes)
+    assert(VersionedPutCommit.readCurrent(fs, p).map(utf8).contains("posix-gen"))
+    VersionedPutCommit.publish(fs, p, "v1".getBytes)
+    // the plain file is retired once a versioned commit exists
+    assert(!fs.exists(p), "legacy plain pointer must retire at first versioned commit")
+    assert(VersionedPutCommit.readCurrent(fs, p).map(utf8).contains("v1"))
+    VersionedPutCommit.publish(fs, p, "v2".getBytes)
+    VersionedPutCommit.publish(fs, p, "v3".getBytes)
+    assert(VersionedPutCommit.readCurrent(fs, p).map(utf8).contains("v3"))
+    // retention: current + one displaced, older swept
+    val gens = fs.listStatus(new HPath(dir)).map(_.getPath.getName)
+      .filter(_.startsWith("meta.json.g")).sorted
+    assert(gens.length == 2, s"retention should keep exactly 2: ${gens.toSeq}")
+    VersionedPutCommit.delete(fs, p)
+    assert(VersionedPutCommit.readCurrent(fs, p).isEmpty)
+  }
+
+  test("a torn higher version (interrupted PUT / the copy phase of a " +
+    "copy+delete rename) is fallen past, then lapped by the next commit") {
+    val dir = TempDirs.create("graft-vput-torn").toString
+    val (fs, p) = io(dir)
+    VersionedPutCommit.publish(fs, p, "good-1".getBytes)
+    // hand-write the torn states a non-atomic rename can leave behind:
+    // (a) a truncated envelope — the copy died mid-payload
+    val goodEnvelope = {
+      val body = "good-2-never-committed".getBytes
+      val crc = new java.util.zip.CRC32(); crc.update(body)
+      s"ptrv1 ${crc.getValue} ${body.length}\n".getBytes ++ body
+    }
+    val torn = goodEnvelope.take(goodEnvelope.length - 7)
+    val t1 = new HPath(dir, "meta.json.g000777")
+    val o1 = fs.create(t1, false); o1.write(torn); o1.close()
+    // (b) garbage bytes with no envelope at an even higher version
+    val t2 = new HPath(dir, "meta.json.g000778")
+    val o2 = fs.create(t2, false); o2.write("not-an-envelope".getBytes); o2.close()
+    // readers fall past both to the last complete version
+    assert(VersionedPutCommit.readCurrent(fs, p).map(utf8).contains("good-1"),
+      "reader observed a torn pointer")
+    // the next commit versions PAST the torn debris and wins
+    VersionedPutCommit.publish(fs, p, "good-3".getBytes)
+    assert(VersionedPutCommit.readCurrent(fs, p).map(utf8).contains("good-3"))
+  }
+
+  test("concurrent publisher + readers: every read is a complete " +
+    "committed value, versions never run backwards") {
+    val dir = TempDirs.create("graft-vput-conc").toString
+    val (fs, p) = io(dir)
+    VersionedPutCommit.publish(fs, p, "n=0".getBytes)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val readers = (1 to 4).map { _ =>
+      new Thread(() => {
+        var last = -1L
+        while (!stop.get() && bad.get() == null) {
+          VersionedPutCommit.readCurrent(fs, p).map(utf8) match {
+            case Some(s) if s.startsWith("n=") =>
+              val n = s.stripPrefix("n=").toLong
+              if (n < last) bad.set(s"version ran backwards: $last -> $n")
+              last = n
+            case Some(other) => bad.set(s"torn/alien read: $other")
+            case None => bad.set("pointer vanished mid-run")
+          }
+        }
+      })
+    }
+    readers.foreach(_.start())
+    (1 to 40).foreach(n => VersionedPutCommit.publish(fs, p, s"n=$n".getBytes))
+    stop.set(true)
+    readers.foreach(_.join(10000L))
+    assert(bad.get() == null, String.valueOf(bad.get()))
+    assert(VersionedPutCommit.readCurrent(fs, p).map(utf8).contains("n=40"))
+  }
+
+  test("all four artifact families commit and read through the versioned " +
+    "primitive: build/append/maintain under object-store semantics, torn " +
+    "debris never observed") {
+    import org.apache.spark.sql.functions._
+    val src = "/root/testdata/sf0.001"
+    sys.props("graft.commit.primitive") = "versioned"
+    try {
+      // ---- vector family: MANIFEST as versioned objects ----
+      val vidx = TempDirs.create("graft-os-vec").toString
+      graft.queries.Similarity.buildVectorIndex(spark, src, vidx)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(vidx, "MANIFEST")),
+        "versioned mode must not write a plain MANIFEST")
+      val (vfs, vmf) = io(vidx, "MANIFEST")
+      assert(vfs.listStatus(new HPath(vidx)).map(_.getPath.getName)
+        .exists(_.startsWith("MANIFEST.g")), "no versioned manifest object")
+      val info0 = graft.queries.Similarity.vectorIndexInfo(spark, vidx)
+      assert(info0("vectors").asInstanceOf[Long] > 0)
+      // torn manifest debris (crashed copy) above the live version
+      val tornV = new HPath(vidx, "MANIFEST.g999999")
+      val ov = vfs.create(tornV, false); ov.write("vector-index-man".getBytes); ov.close()
+      val snap = graft.queries.Similarity.resolveAll(vidx)
+      assert(spark.read.parquet(snap("vectors")).count() ==
+        info0("vectors").asInstanceOf[Long], "torn manifest changed resolution")
+      // the next maintenance commit flips PAST the torn object
+      graft.queries.Similarity.compactVectorIndex(spark, vidx)
+      assert(graft.queries.Similarity.vectorIndexInfo(spark, vidx)("vectors") ==
+        info0("vectors"))
+
+      // ---- lexical family ----
+      val lidx = TempDirs.create("graft-os-lex").toString
+      val built = graft.queries.Retrieval.buildLexicalIndex(spark, src, lidx)
+      import spark.implicits._
+      val inc = (0 until 15).map(i => (800000L + i, s"osput doc $i"))
+        .toDF("doc_id", "text")
+      val app = graft.queries.Retrieval.appendLexicalIndex(spark, inc, lidx)
+      assert(app("docs") == built("docs") + 15)
+      val (lfs, lmp) = io(lidx)
+      val tornL = new HPath(lidx, "meta.json.g999999")
+      val ol = lfs.create(tornL, false); ol.write("{\"batches\":".getBytes); ol.close()
+      assert(graft.queries.Retrieval.lexicalIndexInfo(spark, lidx)("docs") ==
+        built("docs") + 15, "lexical reader observed torn meta")
+      graft.queries.Retrieval.compactLexicalIndex(spark, lidx)
+      assert(graft.queries.Retrieval.lexicalIndexInfo(spark, lidx)("docs") ==
+        built("docs") + 15)
+
+      // ---- mixture family ----
+      val midx = TempDirs.create("graft-os-mix").toString
+      val mb = graft.queries.Pipeline.buildMixtureStats(spark, src, midx)
+      val minc = (0 until 10).map(i => ("src0", s"osmix tok$i"))
+        .toDF("source", "text")
+      graft.queries.Pipeline.appendMixtureStats(spark, minc, midx)
+      val w = graft.queries.Pipeline.mixtureWeights(spark, midx).collect()
+      assert(w.nonEmpty)
+      val (mfs, _) = io(midx)
+      val tornM = new HPath(midx, "meta.json.g999999")
+      val om = mfs.create(tornM, false); om.write("ptrv1 1 99\n{".getBytes); om.close()
+      assert(graft.queries.Pipeline.mixtureWeights(spark, midx).collect()
+        .toSeq == w.toSeq, "mixture reader observed torn meta")
+
+      // ---- dedup family ----
+      val didx = TempDirs.create("graft-os-dedup").toString
+      val docs = spark.range(300).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 12).map(i =>
+          md5(concat(col("id"), lit(i)))): _*).as("text"))
+      graft.queries.Dedup.buildDedupIndex(spark, docs, didx)
+      graft.queries.Dedup.appendDedupIndex(spark,
+        spark.range(20).select((col("id") + 5000).as("doc_id"),
+          concat_ws(" ", (0 until 12).map(i =>
+            md5(concat(col("id") + 5000, lit(i)))): _*).as("text")), didx)
+      val dm = graft.queries.Dedup.readIndexMeta(spark, didx)
+      assert(dm.batches == 2 && dm.count == 320)
+      val (dfs, _) = io(didx)
+      val tornD = new HPath(didx, "meta.json.g999999")
+      val od = dfs.create(tornD, false); od.write("ptrv1".getBytes); od.close()
+      assert(graft.queries.Dedup.readIndexMeta(spark, didx).count == 320,
+        "dedup reader observed torn meta")
+    } finally sys.props.remove("graft.commit.primitive")
+  }
+}

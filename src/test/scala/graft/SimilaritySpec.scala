@@ -208,6 +208,41 @@ class SimilaritySpec extends AnyFunSuite {
       .count() == before.size.toLong)
   }
 
+  test("multi-artifact reads resolve from ONE manifest snapshot: a flip " +
+    "mid-read can never mix generations") {
+    import java.nio.file.{Files, Paths}
+    import graft.queries.Similarity
+    val src = "/root/testdata/sf0.001"
+    val idx = graft.TempDirs.create("graft-snapres").toString
+    Similarity.buildVectorIndex(spark, src, idx)
+    // a consumer that resolves all four artifacts BEFORE a commit flip
+    // (attach views, the two-stage SQL renderer) keeps one internally
+    // consistent generation set afterwards — the r13 ADVICE scenario was
+    // per-artifact re-reads resolving new centroids over old vectors
+    val snapBefore = Similarity.resolveAll(idx)
+    val relBefore = Similarity.artifactRelation(idx) // captures its own snapshot
+    Similarity.compactVectorIndex(spark, idx) // flips vectors+codes
+    val snapAfter = Similarity.resolveAll(idx)
+    assert(snapAfter("vectors") != snapBefore("vectors"),
+      "compaction must flip the vectors generation")
+    // the PRE-flip snapshot still names the complete retained generation:
+    // every artifact path exists and scans (no mixed/new paths leak in)
+    snapBefore.values.foreach { p =>
+      assert(Files.isDirectory(Paths.get(p.stripPrefix("file:"))),
+        s"pre-flip snapshot path vanished at the flip: $p")
+    }
+    val vecsOld = spark.read.parquet(snapBefore("vectors")).count()
+    val vecsNew = spark.read.parquet(snapAfter("vectors")).count()
+    assert(vecsOld == vecsNew, "compaction changed content")
+    // the closure renderer is one snapshot too: post-flip it still renders
+    // the pre-flip generation for EVERY artifact (stale-but-consistent),
+    // never a mix of old and new
+    Similarity.indexArtifactNames.foreach { sub =>
+      assert(relBefore(sub) == s"parquet.`${snapBefore(sub)}`",
+        s"artifactRelation re-resolved $sub mid-lifetime")
+    }
+  }
+
   test("a maintenance run that crashed before its flip rolls back: staged " +
     "garbage swept, marker dropped, live index untouched") {
     import java.nio.file.{Files, Path, Paths}
