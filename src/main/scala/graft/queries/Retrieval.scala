@@ -343,23 +343,32 @@ object Retrieval {
   /** The profiler's probe SQL: [[bm25NamedSql]] rendered over the
     * CURRENT artifact paths with a literal term binding. */
   private[graft] def bm25ProbeSqlForProfiler(s: SparkSession,
-      indexDir: String, terms: Seq[String]): String =
-    bm25NamedSql(sub => s"parquet.`${lexArtifactPath(s, indexDir, sub)}`",
+      indexDir: String, terms: Seq[String]): String = {
+    val snap = lexResolveAll(s, indexDir)
+    bm25NamedSql(sub => s"parquet.`${snap(sub)}`",
       s"'${terms.mkString(",")}'", "50")
+  }
 
   /** Resolve a lexical artifact's current path through the meta pointer
-    * (and validate the batch census on the way — see build doc). */
+    * (and validate the batch census on the way — see build doc). A
+    * consumer touching MORE THAN ONE artifact must use [[lexResolveAll]]
+    * instead (the Similarity.resolveAll rule: per-artifact calls each
+    * re-read the meta and can straddle a commit flip). */
   private[graft] def lexArtifactPath(s: SparkSession, indexDir: String,
-      sub: String): String = {
+      sub: String): String =
+    lexResolveAll(s, indexDir)(sub)
+
+  /** ONE meta read → every lexical artifact's current path (the
+    * internally consistent snapshot multi-artifact consumers resolve
+    * from). */
+  private[graft] def lexResolveAll(s: SparkSession,
+      indexDir: String): Map[String, String] = {
     val meta = readLexMeta(s, indexDir)
-    sub match {
-      case "terms" => s"$indexDir/${meta.termsDir}"
-      case "docs" => s"$indexDir/${meta.docsDir}"
-      case "df" => s"$indexDir/${meta.dfDir}"
-      case "stats" => s"$indexDir/${meta.statsDir}"
-      case other => throw new IllegalArgumentException(
-        s"unknown lexical artifact $other")
-    }
+    Map(
+      "terms" -> s"$indexDir/${meta.termsDir}",
+      "docs" -> s"$indexDir/${meta.docsDir}",
+      "df" -> s"$indexDir/${meta.dfDir}",
+      "stats" -> s"$indexDir/${meta.statsDir}")
   }
 
   private[graft] case class LexMeta(batches: Int, n: Long, sumDl: Long,
@@ -516,7 +525,18 @@ object Retrieval {
     * @param limitSql  SQL text for the final LIMIT */
   private[graft] def bm25NamedSql(table: String => String,
       termsExpr: String, limitSql: String): String =
-    s"""WITH q AS (
+    s"""WITH ${bm25NamedCtes(table, termsExpr)}
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+       |FROM contrib GROUP BY doc_id
+       |ORDER BY score_micro DESC, doc_id
+       |LIMIT $limitSql""".stripMargin
+
+  /** The CTE body behind [[bm25NamedSql]] (q → idf → contrib), exposed so
+    * composite named queries (context packing) can embed the BM25 leg
+    * without forking its arithmetic. */
+  private def bm25NamedCtes(table: String => String,
+      termsExpr: String): String =
+    s"""q AS (
        |  SELECT DISTINCT term FROM (
        |    SELECT explode(split($termsExpr, ',')) AS term) WHERE term <> ''),
        |idf AS (
@@ -535,11 +555,154 @@ object Retrieval {
        |  FROM idf i
        |  JOIN ${table("terms")} tv ON tv.term = i.term
        |  JOIN ${table("docs")} dv ON dv.doc_id = tv.doc_id
-       |  CROSS JOIN ${table("stats")} s)
-       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micro
-       |FROM contrib GROUP BY doc_id
-       |ORDER BY score_micro DESC, doc_id
-       |LIMIT $limitSql""".stripMargin
+       |  CROSS JOIN ${table("stats")} s)""".stripMargin
+
+  /** `$qvec`-parameterized MMR as ONE named-query SQL over an attached
+    * vector-index view (verdict r13 item 4): the Carbonell–Goldstein
+    * greedy, K−1 unrolled CTE layers (the DuckDB-oracle pattern of
+    * [[mmrOracleSql]], rendered in Spark dialect over the view's
+    * quantized vectors). λ arrives in MICRO units and the selection
+    * score stays the exact integer
+    * `λ_micro·rel_nano − (1e6−λ_micro)·max_sim_nano` (never divided —
+    * ordering is scale-invariant and the arithmetic stays bit-exact); at
+    * λ=½ the selection order is provably the gate's rel−maxsim greedy.
+    * `$k` bounds the returned prefix of the kMax unrolled selections.
+    *
+    * Scale shape: the relevance pass is the only corpus-sized term (a
+    * TakeOrdered top-C over the view); pairs are C×C and every layer is
+    * a 1-row argmax over ≤C rows.
+    *
+    * @param table      renders "vectors" as SQL relation text
+    * @param qvecExpr   comma-separated query vector TEXT (A7 `$qvec`)
+    * @param lambdaExpr λ in micro units as TEXT (A7 `$lambda`, 0..1e6)
+    * @param kExpr      returned selections as TEXT (A7 `$k`, ≤ kMax) */
+  private[graft] def mmrNamedSql(table: String => String,
+      qvecExpr: String, lambdaExpr: String, kExpr: String,
+      c: Int = mmrC, kMax: Int = mmrK): String = {
+    val layers = (2 to kMax).map { k =>
+      s"""m$k AS (
+         |  SELECT cd.vec_id, cd.rel_nano,
+         |    lam.l * cd.rel_nano - (1000000 - lam.l) * (
+         |      SELECT max(p.sim_nano) FROM pair p
+         |      JOIN sel${k - 1} sl ON p.b = sl.vec_id
+         |      WHERE p.a = cd.vec_id) AS mmr_scaled
+         |  FROM cand cd CROSS JOIN lam
+         |  WHERE cd.vec_id NOT IN (SELECT vec_id FROM sel${k - 1})),
+         |s$k AS (
+         |  SELECT vec_id, rel_nano, mmr_scaled FROM m$k
+         |  ORDER BY mmr_scaled DESC, vec_id LIMIT 1),
+         |sel$k AS (
+         |  SELECT vec_id FROM sel${k - 1}
+         |  UNION ALL SELECT vec_id FROM s$k)""".stripMargin
+    }.mkString(",\n")
+    val union = (Seq("SELECT CAST(1 AS BIGINT) AS sel_rank, s1.vec_id, " +
+      "s1.rel_nano, lam.l * s1.rel_nano AS mmr_scaled FROM s1 CROSS JOIN lam") ++
+      (2 to kMax).map(k =>
+        s"SELECT CAST($k AS BIGINT), vec_id, rel_nano, mmr_scaled FROM s$k"))
+      .mkString("\nUNION ALL\n")
+    s"""WITH qv AS (
+       |  SELECT transform(split($qvecExpr, ','), x -> CAST(x AS BIGINT)) AS v),
+       |lam AS (SELECT CAST($lambdaExpr AS BIGINT) AS l),
+       |qn AS (
+       |  SELECT aggregate(zip_with(v, v, (a, b) -> a * b), 0L,
+       |    (acc, x) -> acc + x) AS qn2 FROM qv),
+       |scored AS (
+       |  SELECT t.vec_id,
+       |    aggregate(zip_with(t.v, qv.v, (a, b) -> a * b), 0L,
+       |      (acc, x) -> acc + x) AS dot,
+       |    aggregate(zip_with(t.v, t.v, (a, b) -> a * b), 0L,
+       |      (acc, x) -> acc + x) AS n2
+       |  FROM ${table("vectors")} t CROSS JOIN qv),
+       |cand AS (
+       |  SELECT vec_id,
+       |    CAST(round(dot / (sqrt(n2) * sqrt(qn2)) * 1e9, 0) AS BIGINT)
+       |      AS rel_nano,
+       |    n2
+       |  FROM scored CROSS JOIN qn
+       |  ORDER BY rel_nano DESC, vec_id LIMIT $c),
+       |cv AS (
+       |  SELECT cd.vec_id, cd.n2, t.v
+       |  FROM cand cd JOIN ${table("vectors")} t ON t.vec_id = cd.vec_id),
+       |pair AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b,
+       |    CAST(round(
+       |      aggregate(zip_with(x.v, y.v, (p, q) -> p * q), 0L,
+       |        (acc, z) -> acc + z)
+       |      / (sqrt(x.n2) * sqrt(y.n2)) * 1e9, 0) AS BIGINT) AS sim_nano
+       |  FROM cv x JOIN cv y ON x.vec_id <> y.vec_id),
+       |s1 AS (
+       |  SELECT vec_id, rel_nano FROM cand
+       |  ORDER BY rel_nano DESC, vec_id LIMIT 1),
+       |sel1 AS (SELECT vec_id FROM s1),
+       |$layers
+       |SELECT sel_rank, vec_id, rel_nano, mmr_scaled
+       |FROM ($union)
+       |WHERE sel_rank <= CAST($kExpr AS BIGINT)
+       |ORDER BY sel_rank""".stripMargin
+  }
+
+  /** `$terms`/`$qvec`/`$budget`-parameterized RAG context packing as ONE
+    * named-query SQL (verdict r13 item 4): the BM25 leg embeds
+    * [[bm25NamedCtes]] over the attached LEXICAL-index views, the vector
+    * leg ranks exact integer-quantized cosine over the attached
+    * vector-index view, both bounded top-100 lists fuse with the RRF
+    * nano arithmetic of [[rrfFuseLists]], and the fused top-20 packs
+    * greedily under the `$budget` whitespace-token budget using the
+    * lexical index's own `dl` column (the q_text_tokens twin — corpus
+    * text appears in NO scan of this plan; every input is an artifact).
+    */
+  private[graft] def contextPackNamedSql(lex: String => String,
+      vec: String => String, termsExpr: String, qvecExpr: String,
+      budgetExpr: String): String =
+    s"""WITH ${bm25NamedCtes(lex, termsExpr)},
+       |bmtop AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+       |  FROM contrib GROUP BY doc_id
+       |  ORDER BY score_micro DESC, doc_id LIMIT 100),
+       |tr0 AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rt
+       |  FROM bmtop),
+       |qv AS (
+       |  SELECT transform(split($qvecExpr, ','), x -> CAST(x AS BIGINT)) AS v),
+       |qn AS (
+       |  SELECT aggregate(zip_with(v, v, (a, b) -> a * b), 0L,
+       |    (acc, x) -> acc + x) AS qn2 FROM qv),
+       |vsc AS (
+       |  SELECT t.vec_id,
+       |    aggregate(zip_with(t.v, qv.v, (a, b) -> a * b), 0L,
+       |      (acc, x) -> acc + x) AS dot,
+       |    aggregate(zip_with(t.v, t.v, (a, b) -> a * b), 0L,
+       |      (acc, x) -> acc + x) AS n2
+       |  FROM ${vec("vectors")} t CROSS JOIN qv),
+       |vtop AS (
+       |  SELECT vec_id,
+       |    CAST(round(dot / (sqrt(n2) * sqrt(qn2)) * 1e9, 0) AS BIGINT)
+       |      AS cos_nano
+       |  FROM vsc CROSS JOIN qn
+       |  ORDER BY cos_nano DESC, vec_id LIMIT 100),
+       |vr0 AS (
+       |  SELECT vec_id,
+       |    row_number() OVER (ORDER BY cos_nano DESC, vec_id) AS rv
+       |  FROM vtop),
+       |fused AS (
+       |  SELECT COALESCE(tr0.doc_id, vr0.vec_id) AS doc_id,
+       |    COALESCE(CAST(round(1.0e9 / (60.0 + rt), 0) AS BIGINT), 0L)
+       |    + COALESCE(CAST(round(1.0e9 / (60.0 + rv), 0) AS BIGINT), 0L)
+       |      AS rrf_nano
+       |  FROM tr0 FULL OUTER JOIN vr0 ON tr0.doc_id = vr0.vec_id
+       |  ORDER BY rrf_nano DESC, doc_id LIMIT 20),
+       |packed AS (
+       |  SELECT
+       |    CAST(row_number() OVER (ORDER BY rrf_nano DESC, f.doc_id)
+       |      AS BIGINT) AS sel_order,
+       |    f.doc_id, CAST(d.dl AS BIGINT) AS tokens, rrf_nano,
+       |    CAST(sum(d.dl) OVER (ORDER BY rrf_nano DESC, f.doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM fused f JOIN ${lex("docs")} d ON d.doc_id = f.doc_id)
+       |SELECT sel_order, doc_id, tokens, cum_tokens FROM packed
+       |WHERE cum_tokens <= CAST($budgetExpr AS BIGINT)
+       |ORDER BY sel_order""".stripMargin
 
   private val embDimsSql =
     """edims AS (
@@ -711,8 +874,9 @@ object Retrieval {
     val idx = graft.PhaseTimings.timed(gate, "index_build") {
       lexIndexDir(s, dir)
     }
+    val lexSnap = lexResolveAll(s, idx)
     val tTop = s.sql(bm25NamedSql(
-        sub => s"parquet.`${lexArtifactPath(s, idx, sub)}`",
+        sub => s"parquet.`${lexSnap(sub)}`",
         s"'${bmTerms.mkString(",")}'", "101"))
       .filter(col("doc_id") =!= 0)
       .orderBy(col("score_micro").desc, col("doc_id")).limit(100)
@@ -782,8 +946,9 @@ object Retrieval {
         val idx = graft.PhaseTimings.timed("q_bm25_indexed", "index_build") {
           lexIndexDir(s, dir)
         }
+        val snap = lexResolveAll(s, idx)
         s.sql(bm25NamedSql(
-          sub => s"parquet.`${lexArtifactPath(s, idx, sub)}`",
+          sub => s"parquet.`${snap(sub)}`",
           s"'${lexProbeTerms.mkString(",")}'", "50"))
       },
       Some {

@@ -836,10 +836,12 @@ class StreamHandle(val store: StreamStore, val id: String) {
       "docs" -> "doc_id, dl",
       "df" -> "term, df",
       "stats" -> "n, avgdl")
+    // one meta snapshot for all four views — per-artifact resolution
+    // could straddle a concurrent pointer flip and mix generations
+    val snap = graft.queries.Retrieval.lexResolveAll(spark, indexDir)
     Seq("terms", "docs", "df", "stats").map { sub =>
-      val p = graft.queries.Retrieval.lexArtifactPath(spark, indexDir, sub)
       spark.sql(s"CREATE OR REPLACE VIEW $dbName.${prefix}_$sub AS " +
-        s"SELECT ${cols(sub)} FROM parquet.`$p`")
+        s"SELECT ${cols(sub)} FROM parquet.`${snap(sub)}`")
       s"${prefix}_$sub"
     }
   }
