@@ -309,7 +309,10 @@ object Dedup {
     * candidate-pair volume growing past what the derivation would allow,
     * so the operator schedules a rebuild at the next maintenance window. */
   def dedupIndexStale(s: SparkSession, indexDir: String): Boolean =
-    readIndexMeta(s, indexDir).stale
+    // lock held for the meta read only: the probe must never trip the
+    // torn detector on an in-process append's commit window
+    WriterLocks.lockFor(indexDir)
+      .synchronized(readIndexMeta(s, indexDir)).stale
 
   /** Catalog-surfaced derived-index state for operators — what the server
     * admin RPC returns, matching the reference's pattern of surfacing
@@ -318,7 +321,8 @@ object Dedup {
     * signal: the corpus has grown past a derivation knee, so a fresh
     * build would band at `recommended_r` instead of the pinned `r`. */
   def dedupIndexInfo(s: SparkSession, indexDir: String): Map[String, Any] = {
-    val m = readIndexMeta(s, indexDir)
+    val m = WriterLocks.lockFor(indexDir)
+      .synchronized(readIndexMeta(s, indexDir))
     Map("r" -> m.r.toLong, "batches" -> m.batches.toLong,
       "count" -> m.count, "stale" -> m.stale,
       "recommended_r" -> lshRowsPerBand(m.count).toLong)
@@ -498,11 +502,22 @@ object Dedup {
   private[graft] def incrementVsIndexPlanned(s: SparkSession,
       fresh: DataFrame, indexDir: String): (DataFrame, DataFrame) = {
     graft.functions.VectorExpressions.register(s)
-    val meta0 = readIndexMeta(s, indexDir)
+    // meta resolves under the writer lock (held only for the read): an
+    // IN-PROCESS append's batch-write → meta-commit window is atomic to
+    // this reader, so the torn detector can only ever fire on a crashed
+    // or out-of-process writer — the mixture-stats discipline
+    val meta0 = WriterLocks.lockFor(indexDir)
+      .synchronized(readIndexMeta(s, indexDir))
     val r = meta0.r
-    val fpIdx = s.read.parquet(s"$indexDir/fp")
-    val bandIdx = s.read.parquet(s"$indexDir/${meta0.bandsDir}")
-    val shIdx = s.read.parquet(s"$indexDir/shingles")
+    // committed batch paths ONLY (the readMixCounts rule): a base-dir
+    // scan would also pick up a concurrent append's already-written but
+    // uncommitted batch dir, reading rows the meta has not admitted
+    def committed(sub: String): DataFrame =
+      s.read.parquet((0 until meta0.batches)
+        .map(b => s"$indexDir/$sub/batch=$b"): _*)
+    val fpIdx = committed("fp")
+    val bandIdx = committed(meta0.bandsDir)
+    val shIdx = committed("shingles")
     // stage 1: exact content-hash lookup (min across batches — an fp can
     // have one row per appended batch)
     val exact = fresh.select(col("doc_id"), md5(col("text")).as("fp"))

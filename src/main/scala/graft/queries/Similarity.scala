@@ -82,10 +82,39 @@ object Similarity {
     * hard bound at scale — both engines apply the identical rule. */
   private val pqTrainSample = 1024
 
-  /** PQ geometry: the 64-dim quantized vector splits into M subspaces of
-    * L dims, K codewords each — shared by the in-session pipeline and the
-    * persisted index's codebooks/codes artifacts. */
+  /** PQ geometry DEFAULTS at test-corpus scale: the d-dim quantized
+    * vector splits into M subspaces of L=d/M dims, K codewords each —
+    * shared by the in-session pipeline and the persisted index's
+    * codebooks/codes artifacts. M now DERIVES from the corpus via
+    * [[pqSubspaces]] (these constants are the ladder's first rung, which
+    * every test corpus sits on); per-INDEX geometry is recovered from
+    * the codebooks artifact itself ([[readCodebooksAt]]), so an index
+    * built at one rung reads correctly forever. */
   private val pqM = 4; private val pqL = 16; private val pqK = 8
+
+  /** PQ subspace count derived from corpus size and dimension — the knob
+    * follows the corpus the way LSH banding (lshRowsPerBand), Bloom
+    * sizing, and sign-cell bits do. Rationale: ADC distance error per
+    * vector is the sum of M per-subspace quantization errors over
+    * d/M-dim cells; as the corpus (and thus true-neighbor density) grows,
+    * candidate separation shrinks, so the code budget (bytes/vector = M)
+    * steps up at integer-threshold knees to keep the ADC ranking
+    * discriminating — more, narrower subspaces = finer codes. Thresholds
+    * are integer comparisons so the oracle derives the IDENTICAL value
+    * from count(*) with a CASE (no float logs); the result is clipped to
+    * the nearest power-of-two divisor of d (subspaces must tile the
+    * vector exactly). */
+  private[graft] def pqSubspaces(n: Long, d: Int): Int = {
+    val want = if (n < 1048576L) 4 else if (n < 16777216L) 8 else 16
+    var m = want
+    while (m > 1 && d % m != 0) m /= 2
+    m
+  }
+
+  /** DuckDB twin of [[pqSubspaces]] for d divisible by 16 (every fixture
+    * and any sane embedding width) — expects `n` in scope. */
+  private[graft] val pqSubspacesSql =
+    "CASE WHEN n < 1048576 THEN 4 WHEN n < 16777216 THEN 8 ELSE 16 END"
 
   /** The ONE source of the two-stage (centroid probe → codes-only ADC →
     * exact re-rank over ≤50 candidates) kNN SQL that module queries, the
@@ -100,9 +129,11 @@ object Similarity {
     *                  vector TEXT (a literal, or an A7 `$param`)
     * @param limitSql  SQL text for the final LIMIT */
   private[graft] def twoStageKnnSql(table: String => String,
-      qvecExpr: String, limitSql: String): String = {
-    val adcSum = (0 until pqM).map(m => s"a$m.d").mkString(" + ")
-    val adcJoins = (0 until pqM).map(m =>
+      qvecExpr: String, limitSql: String,
+      m: Int = pqM, l: Int = pqL): String = {
+    val pqMv = m; val pqLv = l
+    val adcSum = (0 until pqMv).map(m => s"a$m.d").mkString(" + ")
+    val adcJoins = (0 until pqMv).map(m =>
       s"  JOIN adc a$m ON a$m.m = $m AND a$m.j = k.c$m").mkString("\n")
     s"""WITH qv AS (
        |  SELECT transform(split($qvecExpr, ','), x -> CAST(x AS BIGINT)) AS v),
@@ -115,7 +146,7 @@ object Similarity {
        |  ORDER BY cd, cell LIMIT 1),
        |adc AS (
        |  SELECT b.m, b.j,
-       |    aggregate(zip_with(slice(qv.v, b.m * $pqL + 1, $pqL), b.c,
+       |    aggregate(zip_with(slice(qv.v, b.m * $pqLv + 1, $pqLv), b.c,
        |      (a, x) -> (a - x) * (a - x)), 0L, (acc, x) -> acc + x) AS d
        |  FROM ${table("codebooks")} b CROSS JOIN qv),
        |cand AS (
@@ -139,14 +170,13 @@ object Similarity {
   }
 
   private def pqAdcBuild(s: SparkSession, dir: String): DataFrame = {
-    val M = pqM; val L = pqL; val K = pqK
     val qv = emb(s, dir).select(col("vec_id"), col("label"),
       transform(col("embedding"),
         x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
       .persist()
     // qv registers in pqCaches only AFTER the build succeeds (end of this
     // method) — a build that throws must not orphan the persisted frame
-    try pqAdcBody(s, dir, qv, M, L, K)
+    try pqAdcBody(s, dir, qv, pqK)
     catch { case e: Throwable => qv.unpersist(false); throw e }
   }
 
@@ -203,8 +233,14 @@ object Similarity {
   }
 
   private def pqAdcBody(s: SparkSession, dir: String, qv: DataFrame,
-      M: Int, L: Int, K: Int): DataFrame = {
-    qv.count() // settle: M update passes + 2 assignment passes fork the plan
+      K: Int): DataFrame = {
+    val n = qv.count() // settle: M update passes + 2 assignment passes fork the plan
+    // geometry follows the corpus (pqSubspaces ladder); at every test
+    // corpus size this lands on the (M=4, L=16) rung the DuckDB twin
+    // unrolls
+    val dims = qv.select(size(col("v"))).head.getInt(0)
+    val M = pqSubspaces(n, dims)
+    val L = dims / M
     val books = trainCodebooks(s, qv, M, L, K)
     // ADC lookup table: exact distance from the query's subvectors to
     // every codeword — M×K longs, computed once
@@ -307,7 +343,15 @@ object Similarity {
     * codegen'd projections over the corpus and the writes shuffle
     * nothing (partitionBy on the computed cell). Returns counts. */
   def buildVectorIndex(s: SparkSession, srcDir: String,
-      indexDir: String): Map[String, Long] = withIndexWriter(s, indexDir) {
+      indexDir: String): Map[String, Long] =
+    buildVectorIndexM(s, srcDir, indexDir, forceM = None)
+
+  /** [[buildVectorIndex]] with a pinned subspace count — the spec hook
+    * that measures the recall cost of a geometry step without a
+    * million-vector corpus. Operators use the derived path. */
+  private[graft] def buildVectorIndexM(s: SparkSession, srcDir: String,
+      indexDir: String,
+      forceM: Option[Int]): Map[String, Long] = withIndexWriter(s, indexDir) {
     import org.apache.spark.sql.SaveMode
     java.nio.file.Files.createDirectories(basePath(indexDir))
     // a rebuild over a live index is a maintenance commit like any
@@ -326,7 +370,13 @@ object Similarity {
         x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
       .persist()
     try {
-    qv.count() // settle before the consumers fork
+    val nVecs = qv.count() // settle before the consumers fork
+    // PQ geometry derives from (corpus size, dimension) — the
+    // pqSubspaces ladder; the artifact then carries its own geometry
+    val dims = qv.select(size(col("v"))).head.getInt(0)
+    val geomM = forceM.getOrElse(pqSubspaces(nVecs, dims))
+    require(dims % geomM == 0, s"subspaces $geomM do not tile d=$dims")
+    val geomL = dims / geomM
     qv.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
       .groupBy(col("label"), col("i"))
       .agg(expr("sum(x) DIV count(1)").as("cx"))
@@ -343,7 +393,7 @@ object Similarity {
     assigned.write.partitionBy("cell")
       .mode(SaveMode.Overwrite).parquet(stagedPath("vectors"))
     val books = trainCodebooks(s, qv.select(col("vec_id"), col("v")),
-      pqM, pqL, pqK)
+      geomM, geomL, pqK)
     writeCodebooks(s, stagedPath("codebooks"), books)
     // encode from the PERSISTED vectors so codes provably match the
     // on-disk assignment, not a recomputed plan
@@ -382,12 +432,16 @@ object Similarity {
       indexDir: String): Array[Array[Seq[Long]]] =
     readCodebooksAt(s, artifactPath(indexDir, "codebooks"))
 
+  /** Geometry is recovered from the ARTIFACT (M = distinct m, L = code
+    * width), not from the session defaults — an index built at a larger
+    * corpus rung keeps answering with its own geometry. */
   private def readCodebooksAt(s: SparkSession,
       path: String): Array[Array[Seq[Long]]] = {
     val rows = s.read.parquet(path)
       .orderBy("m", "j").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
-    Array.tabulate(pqM)(m => rows.filter(_._1 == m).sortBy(_._2).map(_._3))
+    val m = rows.map(_._1).max + 1
+    Array.tabulate(m)(mm => rows.filter(_._1 == mm).sortBy(_._2).map(_._3))
   }
 
   private def writeCodebooks(s: SparkSession, path: String,
@@ -400,15 +454,20 @@ object Similarity {
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
   }
 
-  /** Encode `(vec_id, v, cell)` rows as `(vec_id, c0..c3, cell)`. */
+  /** Encode `(vec_id, v, cell)` rows as `(vec_id, c0..cM-1, cell)` — the
+    * geometry comes from the books themselves, never the session
+    * defaults. */
   private def encodeCodes(vecs: DataFrame,
-      books: Array[Array[Seq[Long]]]): DataFrame =
+      books: Array[Array[Seq[Long]]]): DataFrame = {
+    val m = books.length
+    val l = books(0)(0).length
     vecs
       .select(col("vec_id") +: col("cell").cast("long").as("cell") +:
-        (0 until pqM).map(m => bestCode(m, pqL, books(m)).as(s"b$m")): _*)
+        (0 until m).map(mm => bestCode(mm, l, books(mm)).as(s"b$mm")): _*)
       .select(col("vec_id") +:
-        (0 until pqM).map(m => col(s"b$m.j").cast("long").as(s"c$m")) :+
+        (0 until m).map(mm => col(s"b$mm.j").cast("long").as(s"c$mm")) :+
         col("cell"): _*)
+  }
 
   /** Append an increment of vectors (an embeddings-schema parquet dir) to
     * a persisted index: quantize, assign each vector to its nearest
@@ -615,6 +674,26 @@ object Similarity {
     * PQ geometry change regenerates every consumer (attach views
     * included) in lockstep. */
   private[graft] def codeCols: Seq[String] = (0 until pqM).map(m => s"c$m")
+
+  /** A PERSISTED index's code columns, recovered from its codebooks
+    * artifact — an index built at a larger corpus rung attaches with its
+    * own geometry, not the session default. */
+  private[graft] def codeColsAt(s: SparkSession,
+      codebooksPath: String): Seq[String] = {
+    val m = s.read.parquet(codebooksPath)
+      .agg(max(col("m"))).head.getInt(0) + 1
+    (0 until m).map(i => s"c$i")
+  }
+
+  /** [[twoStageKnnSql]] rendered with a PERSISTED index's own geometry
+    * (recovered from its codebooks artifact through one manifest
+    * snapshot). */
+  private[graft] def twoStageKnnSqlFor(s: SparkSession, indexDir: String,
+      table: String => String, qvecExpr: String, limitSql: String): String = {
+    val books = readCodebooksAt(s, resolveAll(indexDir)("codebooks"))
+    twoStageKnnSql(table, qvecExpr, limitSql,
+      books.length, books(0)(0).length)
+  }
 
   /** The staging name for `sub`'s next generation: bump the version of
     * the current directory name (a flat legacy name is generation 0). */
@@ -946,8 +1025,15 @@ object Similarity {
       assigned.repartition(compactTarget(indexDir, "vectors"), col("cell"))
         .write.partitionBy("cell")
         .mode(SaveMode.Overwrite).parquet(stagedPath("vectors"))
+      // retrain is where a GROWN index steps its geometry: re-derive the
+      // subspace count from the accumulated count, like a fresh build
+      // would (unchanged data → unchanged geometry → identical answers,
+      // the ServerSpec pin)
+      val nNow = vecs.count()
+      val dNow = vecs.select(size(col("v"))).head.getInt(0)
+      val mNow = pqSubspaces(nNow, dNow)
       val books = trainCodebooks(s, vecs.select(col("vec_id"), col("v")),
-        pqM, pqL, pqK)
+        mNow, dNow / mNow, pqK)
       writeCodebooks(s, stagedPath("codebooks"), books)
       encodeCodes(s.read.parquet(stagedPath("vectors")), books)
         .repartition(compactTarget(indexDir, "codes"), col("cell"))
@@ -1732,6 +1818,38 @@ object Similarity {
              |WHERE q.vec_id <> 0
              |  AND e.label = (SELECT label FROM embeddings WHERE vec_id = 0)
              |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin)),
+
+    // ---- PQ geometry derivation: the code budget follows the corpus ----
+    // The subspace count is a corpus-derived knob (the lshRowsPerBand /
+    // signBits / Bloom-sizing pattern): integer-threshold knees over n,
+    // oracle-replicated with a CASE. The gate emits the derivation over a
+    // ladder of corpus sizes (the real n and three scaled points that
+    // cross both knees), so the ladder itself — not just one rung — is
+    // hash-matched at every sf.
+    "q_pq_geometry" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val e = emb(s, dir)
+        val d = e.select(size(col("embedding"))).head.getInt(0)
+        val n = e.count()
+        Seq(1L, 64L, 4096L, 65536L).map { f =>
+          val nn = n * f
+          val m = pqSubspaces(nn, d)
+          (nn, d.toLong, m.toLong, (d / m).toLong)
+        }.toDF("n", "d", "m", "l").orderBy("n")
+      },
+      Some(s"""WITH stats AS (
+              |  SELECT count(*) AS n0,
+              |    (SELECT len(embedding) FROM embeddings WHERE vec_id = 0)
+              |      AS d
+              |  FROM embeddings),
+              |ladder AS (
+              |  SELECT n0 * f AS n, d
+              |  FROM stats, (SELECT unnest([1, 64, 4096, 65536]) AS f))
+              |SELECT n, CAST(d AS BIGINT) AS d,
+              |  CAST($pqSubspacesSql AS BIGINT) AS m,
+              |  CAST(d // ($pqSubspacesSql) AS BIGINT) AS l
+              |FROM ladder ORDER BY n""".stripMargin)),
 
     // ---- IVF + PQ + exact re-rank: the complete two-stage retrieval ----
     // ADC ranking alone carries quantization loss — production vector

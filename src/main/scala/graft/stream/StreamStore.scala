@@ -748,9 +748,12 @@ class StreamHandle(val store: StreamStore, val id: String) {
         .stripPrefix("file:")))
     if (!hasPq) base
     else {
-      // code columns derive from the PQ geometry (Similarity.codeCols),
-      // so an M change regenerates the views with every other consumer
-      val codeList = graft.queries.Similarity.codeCols.mkString(", ")
+      // code columns derive from THIS index's codebooks artifact
+      // (Similarity.codeColsAt) — an index built at a larger corpus rung
+      // attaches with its own geometry, not the session default
+      val codeList = graft.queries.Similarity.codeColsAt(spark,
+        rel("codebooks").stripPrefix("parquet.`").stripSuffix("`"))
+        .mkString(", ")
       spark.sql(s"CREATE OR REPLACE VIEW $dbName.${prefix}_codebooks AS " +
         s"SELECT m, j, c FROM ${rel("codebooks")}")
       spark.sql(s"CREATE OR REPLACE VIEW $dbName.${prefix}_codes AS " +

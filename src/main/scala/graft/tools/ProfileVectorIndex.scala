@@ -91,6 +91,30 @@ object ProfileVectorIndex {
     println(f"[vecprof] ×$mult two_stage_recall_at_10: " +
       f"${(gotIds & exact).size / 10.0}%.2f")
 
+    // Matryoshka prefix-probe recall on the same corpus: stage 1 ranks
+    // on the FIRST 16 dims only (¼ the arithmetic/bytes — the MRL
+    // adaptive-retrieval trade), C=50 candidates, stage 2 exact full-dim
+    // re-rank — measured against the same full exact-scan truth, so a
+    // prefix-width change shows its recall cost as a decade row here
+    // (the spec floor lives in SimilaritySpec on the clustered corpus).
+    val mat = timed("matryoshka_query") {
+      val vecs = spark.read.parquet(Similarity.artifactPath(idx, "vectors"))
+      val qpre = qvLit.take(16).toSeq
+      vecs.select(col("vec_id"), col("v"),
+          aggregate(zip_with(slice(col("v"), 1, 16), typedlit(qpre),
+            (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+            .as("pd"))
+        .orderBy(col("pd"), col("vec_id")).limit(50)
+        .select(col("vec_id"),
+          aggregate(zip_with(col("v"), typedlit(qvLit.toSeq),
+            (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+            .as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
+    }
+    println(f"[vecprof] ×$mult matryoshka_recall_at_10: " +
+      f"${(mat & exact).size / 10.0}%.2f")
+
     val info = timed("info")(Similarity.vectorIndexInfo(spark, idx))
     println(s"[vecprof] info: $info")
     val compacted = timed("compact")(Similarity.compactVectorIndex(spark, idx))

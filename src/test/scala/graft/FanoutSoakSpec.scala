@@ -1042,4 +1042,99 @@ class FanoutSoakSpec extends AnyFunSuite {
       msrv.stop()
     }
   }
+
+  test("opt-in dedup auto-reband: sustained appends across the derivation " +
+    "knee trigger a background re-band, increment reads never fail") {
+    import org.apache.spark.sql.functions.{col, concat, concat_ws, lit, md5}
+    val rstore = new StreamStore(spark,
+      graft.TempDirs.create("graft-rebandstore").toString)
+    val rsrv = new LeafServer(rstore, 0, authToken = Some("testtoken"),
+      vectorMaintMs = 300L, dedupRebandOnStale = true)
+    rsrv.start()
+    try {
+      def rpost(path: String, body: Map[String, Any]): Map[String, Any] = {
+        val b = HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${rsrv.boundPort}$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(Json.render(body)))
+          .header("Authorization", "Bearer testtoken")
+        Json.parse(client.send(b.build(),
+          HttpResponse.BodyHandlers.ofString()).body())
+          .asInstanceOf[Map[String, Any]]
+      }
+      def rok(r: Map[String, Any]): Map[String, Any] = {
+        assert(!r.contains("err"), r.toString)
+        r("ok").asInstanceOf[Map[String, Any]]
+      }
+      def docs(n: Int, base: Long): org.apache.spark.sql.DataFrame =
+        spark.range(n).select((col("id") + base).as("doc_id"),
+          concat_ws(" ", (0 until 12).map(i =>
+            md5(concat(col("id") + base, lit(i)))): _*).as("text"))
+      val idx = graft.TempDirs.create("graft-rebandidx").toString
+      // below the 4096-doc knee: build pins r=3
+      graft.queries.Dedup.buildDedupIndex(spark, docs(3800, 0L), idx)
+      assert(graft.queries.Dedup.readIndexMeta(spark, idx).r == 3)
+      // enrollment is a side effect of the MUTATING dedup RPC — an
+      // up-to-date index rebands as a no-op and joins the work list
+      val enroll = rok(rpost("/admin/dedup_index_reband", Map("dir" -> idx)))
+      assert(enroll("r") == 3L)
+      // live increment reads throughout: the poller runs the full
+      // exact+LSH+verify increment against the index while appends and
+      // the background re-band mutate it — every read must succeed (the
+      // committed-batch snapshot discipline)
+      val failure = new java.util.concurrent.atomic.AtomicReference[String](null)
+      val polls = new java.util.concurrent.atomic.AtomicLong(0)
+      val running = new java.util.concurrent.atomic.AtomicBoolean(true)
+      // clones of three BUILD docs + fresh ones: verdicts stay stable
+      val probe = docs(3, 0L)
+        .select((col("doc_id") + 9000000L).as("doc_id"), col("text"))
+        .unionAll(docs(3, 7777000L))
+      val poller = new Thread(() => {
+        while (running.get() && failure.get() == null) {
+          try {
+            val v = graft.queries.Dedup.incrementVsIndex(spark, probe, idx)
+              .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+            if ((9000000L to 9000002L).exists(v(_) != "exact") ||
+                (7777000L to 7777002L).exists(v(_) != "new"))
+              failure.set(s"verdicts drifted mid-maintenance: $v")
+            polls.incrementAndGet()
+          } catch { case e: Throwable =>
+            failure.set(s"increment read failed: $e") }
+        }
+      })
+      poller.start()
+      try {
+        // appends march the count across the knee (3800 → 4400); the
+        // opt-in tick must then re-band to r=4 on its own
+        var base = 100000L
+        var appended = 0
+        while (appended < 600 && failure.get() == null) {
+          graft.queries.Dedup.appendDedupIndex(spark, docs(150, base), idx)
+          base += 1000000L
+          appended += 150
+        }
+        def maintRebands(): Long =
+          rok(rpost("/admin/vector_index_maint",
+            Map("dir" -> idx, "family" -> "dedup")))
+            .get("rebands").map(_.asInstanceOf[Long]).getOrElse(0L)
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (maintRebands() < 1 && System.nanoTime() < deadline &&
+          failure.get() == null) Thread.sleep(150)
+        assert(maintRebands() >= 1,
+          "the opt-in auto-reband never fired after the knee")
+        val m = graft.queries.Dedup.readIndexMeta(spark, idx)
+        assert(m.r == 4 && !m.stale,
+          s"re-band did not land the derived r: $m")
+        // the re-banded index answers correctly: one more full increment
+        val v = graft.queries.Dedup.incrementVsIndex(spark, probe, idx)
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert((9000000L to 9000002L).forall(v(_) == "exact") &&
+          (7777000L to 7777002L).forall(v(_) == "new"), v.toString)
+      } finally {
+        running.set(false); poller.join(30000L)
+      }
+      assert(failure.get() == null, String.valueOf(failure.get()))
+      assert(polls.get() >= 3, s"soak too short to mean anything: ${polls.get()} polls")
+      println(s"[rebandsoak] polls=${polls.get()} across appends + auto-reband — zero failed reads")
+    } finally rsrv.stop()
+  }
 }

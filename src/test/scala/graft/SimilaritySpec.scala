@@ -175,6 +175,90 @@ class SimilaritySpec extends AnyFunSuite {
       s"two-stage hits left the query's cluster: ${got.toSeq}")
   }
 
+  test("matryoshka prefix probe: measured recall@10 vs brute truth on the " +
+    "clustered corpus — the prefix-width trade pinned") {
+    // q_knn_matryoshka pins rerank ORDER (GatesSpec); this pins the
+    // prefix's RECALL: on the corpus where recall means something, the
+    // 16-dim first pass must keep enough of the true top-10 in its C=50
+    // candidate pool that the exact re-rank recovers them. A prefix-width
+    // change now shows its recall cost here (and as the
+    // matryoshka_recall_at_10 decade row in ProfileVectorIndex).
+    val truth = clusteredIds("q_knn_brute").toSet
+    assert(truth.size == 10)
+    val got = clusteredIds("q_knn_matryoshka").toSet
+    val recall = (got & truth).size / 10.0
+    // measured 0.60 at prefix-16/C=50: within a tight 200-mate cluster
+    // the prefix ordering is only PARTIALLY faithful to the full-dim
+    // ordering (that is the matryoshka trade). The informative baseline
+    // is candidate-pool chance — 50 random cluster-mates of 200 would
+    // land E[recall] = 0.25 — so the 0.4 floor is well above chance and
+    // well below the measured value: a prefix-width regression toward
+    // random candidates trips it, fixture noise does not.
+    info(f"matryoshka recall@10 on clustered corpus: $recall%.2f " +
+      "(chance at C=50/cluster=200 would be 0.25)")
+    assert(recall >= 0.4,
+      f"matryoshka prefix recall $recall%.2f fell below the 0.4 floor — " +
+        "a prefix-width or candidate-width change is costing recall")
+    // structural: every hit shares the query's cluster (the prefix pass
+    // must not leave the neighborhood the full-dim truth lives in)
+    val labels = spark.read.parquet(s"$clusteredDir/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.forall(id => labels(id) == labels(0L)),
+      s"matryoshka hits left the query's cluster: ${got.toSeq.sorted}")
+  }
+
+  test("PQ geometry derives from the corpus: ladder knees, divisor clip, " +
+    "and the measured recall cost of a geometry step") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.Similarity
+    // the derivation ladder (oracle-matched by q_pq_geometry's CASE twin)
+    assert(Similarity.pqSubspaces(1000L, 64) == 4)
+    assert(Similarity.pqSubspaces(1048575L, 64) == 4)
+    assert(Similarity.pqSubspaces(1048576L, 64) == 8)
+    assert(Similarity.pqSubspaces(16777215L, 64) == 8)
+    assert(Similarity.pqSubspaces(16777216L, 64) == 16)
+    // the divisor clip: subspaces must tile d exactly
+    assert(Similarity.pqSubspaces(16777216L, 24) == 8,
+      "d=24 cannot split 16 ways — clip to the next divisor down, 8")
+    assert(Similarity.pqSubspaces(16777216L, 6) == 2)
+    // a geometry step's recall cost, MEASURED: the same clustered corpus,
+    // one index at the test-scale rung (M=4) and one forced to the next
+    // rung (M=8, the >=1M-vector geometry); per-index reads recover each
+    // index's own geometry from its codebooks artifact
+    val truth = clusteredIds("q_knn_brute").toSet
+    val qvec = spark.read.parquet(s"$clusteredDir/embeddings.parquet")
+      .filter(col("vec_id") === 0)
+      .select(transform(col("embedding"),
+        x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
+      .head().getSeq[Long](0).mkString(",")
+    def recallAt(forceM: Option[Int]): Double = {
+      val idx = graft.TempDirs.create("graft-geom").toString
+      Similarity.buildVectorIndexM(spark, clusteredDir, idx, forceM)
+      val got = spark.sql(Similarity.twoStageKnnSqlFor(spark, idx,
+          Similarity.artifactRelation(idx), s"'$qvec'", "11"))
+        .collect().map(_.getLong(0)).filter(_ != 0L).take(10)
+      (got.toSet & truth).size / 10.0
+    }
+    val r4 = recallAt(None)        // derived: test corpus sits on M=4
+    val r8 = recallAt(Some(8))     // the next rung, forced
+    // attach-level proof the geometry reached the artifact: 8 code cols
+    val idx8 = graft.TempDirs.create("graft-geom8").toString
+    Similarity.buildVectorIndexM(spark, clusteredDir, idx8, Some(8))
+    assert(Similarity.codeColsAt(spark,
+      Similarity.resolveAll(idx8)("codebooks")) ==
+      (0 until 8).map(i => s"c$i"))
+    println(f"[geomrecall] two_stage_recall_at_10 m4=$r4%.2f m8=$r8%.2f " +
+      "(clustered corpus, tie-collapse ceiling ~0.25)")
+    // finer codes must not LOSE recall (more subspaces = lower
+    // quantization error = sharper ADC candidates); both hold the floor
+    assert(r4 >= 0.15 && r8 >= 0.15,
+      f"geometry step broke the recall floor: m4=$r4%.2f m8=$r8%.2f")
+    assert(r8 >= r4 - 1e-9,
+      f"the finer geometry REGRESSED recall: m4=$r4%.2f m8=$r8%.2f")
+  }
+
   test("manifest commit: snapshot isolation across a flip, one retained " +
     "generation, stale generation retired at the NEXT flip") {
     import java.nio.file.{Files, Paths}
