@@ -202,7 +202,11 @@ object Dedup {
     * staleness signal — when [[lshRowsPerBand]] of the grown count no
     * longer equals the pinned r, the operator should schedule a rebuild). */
   case class DedupIndexMeta(r: Int, batches: Int, count: Long,
-      bandsDir: String = "bands") {
+      bandsDir: String = "bands",
+      // the tombstone artifact's pointer ("" = no deletes yet). `count`
+      // always tracks the LIVE docs — staleness derives from what the
+      // index still answers for, not from dead rows.
+      delDir: String = "") {
     def stale: Boolean = lshRowsPerBand(count) != r
   }
 
@@ -245,7 +249,8 @@ object Dedup {
       // the bands POINTER: a re-band stages a fresh versioned tree and
       // commits it by atomically rewriting this meta (legacy metas
       // resolve to the flat dir)
-      m.get("bands_dir").collect { case d: String => d }.getOrElse("bands"))
+      m.get("bands_dir").collect { case d: String => d }.getOrElse("bands"),
+      m.get("del_dir").collect { case d: String => d }.getOrElse(""))
   }
 
   private def validateIndexCensus(s: SparkSession, indexDir: String,
@@ -325,15 +330,74 @@ object Dedup {
       .synchronized(readIndexMeta(s, indexDir))
     Map("r" -> m.r.toLong, "batches" -> m.batches.toLong,
       "count" -> m.count, "stale" -> m.stale,
-      "recommended_r" -> lshRowsPerBand(m.count).toLong)
+      "recommended_r" -> lshRowsPerBand(m.count).toLong,
+      // the rebuild-pressure signal: tombstoned rows stay in fp/shingles
+      // until a rebuild (bands purge at re-band)
+      "tombstones" -> dedupDelDf(s, indexDir, m).count())
+  }
+
+  /** The tombstone doc-id set — empty when the index has no delete
+    * artifact yet. */
+  private def dedupDelDf(s: SparkSession, indexDir: String,
+      meta: DedupIndexMeta): DataFrame =
+    if (meta.delDir.nonEmpty)
+      s.read.parquet(s"$indexDir/${meta.delDir}").select(col("doc_id"))
+    else {
+      import s.implicits._
+      s.emptyDataset[Long].toDF("doc_id")
+    }
+
+  /** Targeted deletion — the dedup family's right-to-be-forgotten verb.
+    * LOGICAL and O(deleted): the newly-deleted ids (requested ∩ indexed —
+    * retries idempotent) merge into a fresh versioned `del.vN` tree and
+    * commit in ONE atomic meta rewrite (count drops to the live total,
+    * so the staleness derivation tracks what the index still answers
+    * for). Every increment probe anti-joins the set out of fp, bands and
+    * shingles, so an increment scored against the deleted index returns
+    * EXACTLY what a rebuilt-over-survivors index would (the per-doc fp
+    * rows make group-representative deletes fall back to surviving
+    * members). Physical purge: bands at the next re-band, fp/shingles at
+    * rebuild. */
+  def deleteFromDedupIndex(s: SparkSession, ids: DataFrame,
+      indexDir: String): Map[String, Long] =
+      WriterLocks.lockFor(indexDir).synchronized {
+    val meta = readIndexMeta(s, indexDir)
+    val (fs, _) = indexMetaPath(s, indexDir)
+    // sweep generations that are neither live nor about to be staged
+    bandsGenerations(fs, indexDir)
+      .filter(p => p.getName != meta.bandsDir && p.getName != meta.delDir)
+      .foreach(d => fs.delete(d, true))
+    val already = dedupDelDf(s, indexDir, meta)
+    val indexed = s.read.parquet((0 until meta.batches)
+      .map(b => s"$indexDir/fp/batch=$b"): _*).select("doc_id")
+    val fresh = ids.select(col("doc_id").cast("long").as("doc_id"))
+      .distinct()
+      .join(indexed, Seq("doc_id"), "left_semi")
+      .join(already, Seq("doc_id"), "left_anti")
+      .persist()
+    try {
+      val dN = fresh.count()
+      val nextDel =
+        s"del.v${(if (meta.delDir.isEmpty) 0
+                  else meta.delDir.stripPrefix("del.v").toInt) + 1}"
+      already.union(fresh).coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$indexDir/$nextDel")
+      // THE commit: live count and the del pointer flip together
+      writeIndexMeta(s, indexDir, meta.r, meta.batches, meta.count - dN,
+        bandsDir = meta.bandsDir, delDir = nextDel)
+      Map("deleted" -> dN, "count" -> (meta.count - dN),
+        "tombstones" ->
+          s.read.parquet(s"$indexDir/$nextDel").count())
+    } finally fresh.unpersist(false)
   }
 
   private def writeIndexMeta(s: SparkSession, indexDir: String,
       r: Int, batches: Int, count: Long,
-      bandsDir: String = "bands"): Unit = {
+      bandsDir: String = "bands", delDir: String = ""): Unit = {
     val (fs, p) = indexMetaPath(s, indexDir)
     graft.stream.PointerCommit.default.publish(fs, p,
-      s"""{"k": $K, "shingle": 5, "stride": 2, "r": $r, "batches": $batches, "count": $count, "bands_dir": "$bandsDir"}"""
+      s"""{"k": $K, "shingle": 5, "stride": 2, "r": $r, "batches": $batches, "count": $count, "bands_dir": "$bandsDir", "del_dir": "$delDir"}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
@@ -349,8 +413,11 @@ object Dedup {
     // Overwrite mode: a retry of an append whose previous attempt died
     // mid-way replaces the partial batch instead of doubling rows, and
     // the batch set is what the meta commit validates at load
-    docs.groupBy(md5(col("text")).as("fp"))
-      .agg(min(col("doc_id")).as("dup_of"))
+    // per-DOC fingerprint rows (not per-group min): a targeted delete of
+    // a content group's representative must fall back to the group's
+    // surviving members, which a min-compressed artifact cannot express —
+    // the exact lookup takes min over LIVE rows at probe time instead
+    docs.select(md5(col("text")).as("fp"), col("doc_id"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$indexDir/fp/batch=$batch")
     // persist the batch's shingle arrays across the two writes: doc-level
@@ -367,7 +434,7 @@ object Dedup {
   }
 
   /** Build the persisted dedup index of `corpus` under `indexDir`:
-    * `fp/` (fp, dup_of), `shingles/` (doc_id, shs), `bands/` (doc_id,
+    * `fp/` (fp, doc_id), `shingles/` (doc_id, shs), `bands/` (doc_id,
     * band_id, bh), and `meta.json` recording the derivation (K, shingle,
     * stride, and the r derived from the corpus count). Loading refuses a
     * derivation mismatch. */
@@ -394,14 +461,15 @@ object Dedup {
     r
   }
 
-  /** Every `bands`/`bands.vN` directory under the index root. */
+  /** Every versioned-pointer generation dir under the index root —
+    * `bands`/`bands.vN` plus the delete artifact's `del.vN`. */
   private def bandsGenerations(fs: org.apache.hadoop.fs.FileSystem,
       indexDir: String): Seq[org.apache.hadoop.fs.Path] = {
     val root = new org.apache.hadoop.fs.Path(indexDir)
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq.filter(_.isDirectory)
       .map(_.getPath)
-      .filter(_.getName.matches("bands(\\.v\\d+)?"))
+      .filter(_.getName.matches("(bands|del)(\\.v\\d+)?"))
   }
 
   /** Append accepted increment docs to an existing index, banding with
@@ -420,7 +488,7 @@ object Dedup {
     writeIndexParts(s, docs, indexDir, meta.r, batch = meta.batches,
       bandsDir = meta.bandsDir)
     writeIndexMeta(s, indexDir, meta.r, meta.batches + 1, meta.count + n,
-      bandsDir = meta.bandsDir)
+      bandsDir = meta.bandsDir, delDir = meta.delDir)
   }
 
   /** Answer a STALE index's rebuild signal WITHOUT re-reading corpus
@@ -456,16 +524,21 @@ object Dedup {
     val newR = lshRowsPerBand(meta.count)
     if (newR == meta.r) return meta.r
     val (fs, _) = indexMetaPath(s, indexDir)
-    // sweep: anything that is neither the live generation is either a
+    // sweep: anything that is neither a live generation is either a
     // crashed staging or the drained generation a PREVIOUS re-band
     // retained — both have had their cycle
     bandsGenerations(fs, indexDir)
-      .filter(_.getName != meta.bandsDir)
+      .filter(p => p.getName != meta.bandsDir && p.getName != meta.delDir)
       .foreach(d => fs.delete(d, true))
     val next = nextBandsDir(meta.bandsDir)
     val sh = s.read.option("basePath", s"$indexDir/shingles")
       .parquet(s"$indexDir/shingles") // (doc_id, shs, batch)
-    bandsFromArr(sh, newR, carry = Seq("batch"))
+    // the rewrite is a purge opportunity: tombstoned docs stay out of
+    // the new bands tree (they're probe-invisible either way — this
+    // keeps dead rows from inflating candidate volume); fp/shingles
+    // retain their rows until a rebuild, so the tombstone set carries
+    bandsFromArr(sh.join(dedupDelDf(s, indexDir, meta),
+        Seq("doc_id"), "left_anti"), newR, carry = Seq("batch"))
       .write.partitionBy("batch")
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$indexDir/$next")
@@ -473,7 +546,7 @@ object Dedup {
     // (tmp + rename inside atomicWrite); the displaced generation stays
     // on disk until the next re-band
     writeIndexMeta(s, indexDir, newR, meta.batches, meta.count,
-      bandsDir = next)
+      bandsDir = next, delDir = meta.delDir)
     newR
   }
 
@@ -515,14 +588,19 @@ object Dedup {
     def committed(sub: String): DataFrame =
       s.read.parquet((0 until meta0.batches)
         .map(b => s"$indexDir/$sub/batch=$b"): _*)
-    val fpIdx = committed("fp")
-    val bandIdx = committed(meta0.bandsDir)
-    val shIdx = committed("shingles")
-    // stage 1: exact content-hash lookup (min across batches — an fp can
-    // have one row per appended batch)
+    // tombstone exclusion at every index-side input: a deleted doc can
+    // never be an exact hit, a band candidate, or a Jaccard verify
+    // partner — the increment sees exactly the rebuilt-over-survivors
+    // index (the q_dedup_delete gate hash-matches that claim)
+    val del = dedupDelDf(s, indexDir, meta0)
+    val fpIdx = committed("fp").join(del, Seq("doc_id"), "left_anti")
+    val bandIdx = committed(meta0.bandsDir).join(del, Seq("doc_id"), "left_anti")
+    val shIdx = committed("shingles").join(del, Seq("doc_id"), "left_anti")
+    // stage 1: exact content-hash lookup (min over the LIVE per-doc
+    // fingerprint rows)
     val exact = fresh.select(col("doc_id"), md5(col("text")).as("fp"))
-      .join(fpIdx, Seq("fp"))
-      .groupBy(col("doc_id")).agg(min(col("dup_of")).as("e"))
+      .join(fpIdx.select(col("fp"), col("doc_id").as("idx_doc")), Seq("fp"))
+      .groupBy(col("doc_id")).agg(min(col("idx_doc")).as("e"))
     val rest = fresh.join(exact.select("doc_id"), Seq("doc_id"), "left_anti")
     // persisted for its two consumers (banding + the exact verify):
     // doc-level fixed-width long arrays, the frame class persist pays for
@@ -964,6 +1042,59 @@ object Dedup {
               |UNION ALL
               |SELECT CAST(2 AS BIGINT) AS increment, doc_id, verdict, dup_of FROM i2_out
               |ORDER BY increment, doc_id""".stripMargin)),
+
+    // ---- targeted deletion: tombstoned docs vanish from the increment ----
+    // The right-to-be-forgotten path for the dedup family, gated end to
+    // end: build the index over the FULL corpus, DELETE doc_id % 9 = 2
+    // through the O(deleted) tombstone commit, then run an increment
+    // containing (a) exact clones of the DELETED docs — they must fall
+    // through to a surviving same-content doc or come back 'near'/'new',
+    // never match a tombstone, (b) clones of SURVIVORS — still 'exact',
+    // and (c) reversed deleted docs — their near-dup partner is gone.
+    // The oracle replays the whole increment against a from-scratch
+    // SURVIVORS-only index (shared incrementBlockSql, r pinned at the
+    // build-time full count exactly like the Spark side), so the
+    // hash-match proves delete ≡ rebuild for every verdict class.
+    "q_dedup_delete" -> Q(
+      (s, dir) => {
+        val d = Tables.df(s, dir, "documents").select(col("doc_id"), col("text"))
+        val victims = d.filter(col("doc_id") % 9 === 2).select(col("doc_id"))
+        val fresh =
+          d.filter(col("doc_id") % 9 === 2)
+            .select((col("doc_id") + 7000000).as("doc_id"), col("text"))
+          .unionAll(d.filter(col("doc_id") % 9 =!= 2 && col("doc_id") % 5 === 1)
+            .select((col("doc_id") + 8000000).as("doc_id"), col("text")))
+          .unionAll(d.filter(col("doc_id") % 9 === 2)
+            .select((col("doc_id") + 9000000).as("doc_id"),
+              reverse(col("text")).as("text")))
+        val idxPath = graft.TempDirs.create("graft-dedup-del")
+        val idxDir = idxPath.toString
+        val gate = "q_dedup_delete"
+        graft.PhaseTimings.reset(gate)
+        graft.PhaseTimings.timed(gate, "index_build") {
+          buildDedupIndex(s, d, idxDir)
+        }
+        graft.PhaseTimings.timed(gate, "delete") {
+          deleteFromDedupIndex(s, victims, idxDir)
+        }
+        val v = graft.PhaseTimings.timed(gate, "increment") {
+          incrementVsIndex(s, fresh, idxDir)
+        }
+        graft.TempDirs.release(idxPath)
+        v.orderBy(col("doc_id"))
+      },
+      Some(s"""WITH p AS (
+              |  SELECT $lshRowsPerBandSql AS r
+              |  FROM (SELECT (SELECT count(*) FROM documents) AS n)),
+              |survivors AS (SELECT doc_id, text FROM documents WHERE doc_id % 9 <> 2),
+              |fresh AS (
+              |  SELECT doc_id + 7000000 AS doc_id, text FROM documents WHERE doc_id % 9 = 2
+              |  UNION ALL
+              |  SELECT doc_id + 8000000 AS doc_id, text FROM documents WHERE doc_id % 9 <> 2 AND doc_id % 5 = 1
+              |  UNION ALL
+              |  SELECT doc_id + 9000000 AS doc_id, reverse(text) AS text FROM documents WHERE doc_id % 9 = 2),
+              |${incrementBlockSql("z", "fresh", "survivors")}
+              |SELECT doc_id, verdict, dup_of FROM zout ORDER BY doc_id""".stripMargin)),
 
     // ---- simhash: 32-bit per-doc signature from per-token hash bits ----
     "q_dedup_simhash" -> Q(

@@ -260,11 +260,15 @@ object Pipeline {
   }
 
   /** DuckDB twin of [[doremiWeights]], ending in the `wfinal` CTE. */
-  private val doremiSqlCtes =
-    """toks AS (
+  private val doremiSqlCtes = doremiSqlCtesWhere("")
+
+  /** `where` restricts the corpus the twin weighs — the delete gate's
+    * survivor set. */
+  private def doremiSqlCtesWhere(where: String): String =
+    s"""toks AS (
       |  SELECT source,
-      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
-      |  FROM documents),
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      |  FROM documents $where),
       |cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt),
       |lp AS (
@@ -453,6 +457,36 @@ object Pipeline {
       "batches" -> (meta.batches + 1).toLong)
   }
 
+  /** Targeted deletion — the mixture family's right-to-be-forgotten
+    * verb, and the cleanest of the four because counts are a MONOID:
+    * deleting documents is appending their (source, tok) count frame
+    * NEGATED as a fresh batch. O(deleted) work, the same atomic meta
+    * commit as an append, no artifact re-derivation; every reader folds
+    * batches by summation so the negative batch cancels the deleted
+    * docs' contribution EXACTLY (integer arithmetic — the
+    * q_mixture_delete gate hash-matches a from-scratch recompute over
+    * the survivors), and the next compaction folds the negatives away
+    * physically. `deleted` carries the docs' own (source, text) rows —
+    * the stats keep no per-doc state, so the caller supplies what is
+    * being forgotten (the takedown feed has it by definition).
+    * Contract: delete only rows previously ingested — the monoid cannot
+    * verify membership. */
+  def deleteMixtureStats(s: SparkSession, deleted: DataFrame,
+      indexDir: String): Map[String, Long] = mixLock(indexDir).synchronized {
+    import org.apache.spark.sql.SaveMode
+    val meta = readMixMetaForAppend(s, indexDir)
+    val nDocs = deleted.count()
+    domainTokenCounts(deleted.select(col("source"), col("text")))
+      .select(col("source"), col("tok"), (-col("c")).as("c"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$indexDir/${meta.countsDir}/batch=${meta.batches}")
+    writeMixMeta(s, indexDir,
+      MixMeta(meta.batches + 1, meta.docs - nDocs, meta.countsDir,
+        meta.lastStreamBatch))
+    Map("deleted_docs" -> nDocs, "docs" -> (meta.docs - nDocs),
+      "batches" -> (meta.batches + 1).toLong)
+  }
+
   /** Fold the batches into one inside a fresh versioned counts dir —
     * pointer flip, displaced generation retained one cycle. Purely
     * physical: the folded frame aggregates the same monoid. */
@@ -469,6 +503,9 @@ object Pipeline {
     val next = s"counts.v${mixVersion(meta.countsDir) + 1}"
     readMixCounts(s, indexDir, meta)
       .groupBy("source", "tok").agg(sum("c").as("c"))
+      // the physical purge of delete batches: zeroed (source, tok) rows
+      // fold away — a rebuilt artifact would not carry them either
+      .filter(col("c") =!= 0)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/$next/batch=0")
     // carry the stream cursor: a compaction between two streamed
@@ -503,7 +540,10 @@ object Pipeline {
     val meta = readMixMeta(s, indexDir)
     doremiWeightsFromCounts(
       readMixCounts(s, indexDir, meta)
-        .groupBy("source", "tok").agg(sum("c").as("c")))
+        .groupBy("source", "tok").agg(sum("c").as("c"))
+        // a delete's negative batch can cancel a (source, tok) to zero —
+        // drop it exactly as a rebuild over the survivors would
+        .filter(col("c") > 0))
       .orderBy(col("source"))
   }
 
@@ -516,6 +556,21 @@ object Pipeline {
     mixReady.getOrElseUpdate((s, dir), {
       val p = graft.TempDirs.create("graft-mixstats").toString
       buildMixtureStats(s, dir, p)
+      p
+    })
+
+  // the delete gate's fixture: ONE (build → delete doc_id % 6 = 1) stats
+  // artifact per (session, corpus) — its own dir, never the shared
+  // mixStatsDir (the negative batch would poison q_mixture_indexed)
+  private val mixDelReady =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def mixDeletedStatsDir(s: SparkSession, dir: String): String =
+    mixDelReady.getOrElseUpdate((s, dir), {
+      val p = graft.TempDirs.create("graft-mixdel").toString
+      buildMixtureStats(s, dir, p)
+      deleteMixtureStats(s,
+        docs(s, dir).filter(col("doc_id") % 6 === 1)
+          .select(col("source"), col("text")), p)
       p
     })
 
@@ -1463,6 +1518,26 @@ object Pipeline {
         mixtureWeights(s, idx)
       },
       Some(s"""WITH $doremiSqlCtes
+              |SELECT source, l_micro, excess_micro, weight_nano
+              |FROM wfinal ORDER BY source""".stripMargin)),
+
+    // ---- targeted deletion: the monoid's negative batch ----
+    // Build the stats artifact over the FULL corpus, then DELETE
+    // doc_id % 6 = 1 by appending those docs' count frame NEGATED (the
+    // counts are a monoid — a delete IS an append of the inverse). The
+    // served weights fold the batches by summation, so the oracle's
+    // from-scratch recompute over the SURVIVORS hash-matching proves
+    // exact cancellation: the deleted docs' token mass is gone from
+    // every l_micro, the softmax, and the final mixture, bit for bit.
+    "q_mixture_delete" -> Q(
+      (s, dir) => {
+        graft.PhaseTimings.reset("q_mixture_delete")
+        val idx = graft.PhaseTimings.timed("q_mixture_delete", "index_build") {
+          mixDeletedStatsDir(s, dir)
+        }
+        mixtureWeights(s, idx)
+      },
+      Some(s"""WITH ${doremiSqlCtesWhere("WHERE doc_id % 6 <> 1")}
               |SELECT source, l_micro, excess_micro, weight_nano
               |FROM wfinal ORDER BY source""".stripMargin)),
 

@@ -110,7 +110,12 @@ object Retrieval {
   /** DuckDB twin of bm25Scores for an arbitrary term set, exposed as a
     * `bm` CTE (the `bmproj` layer also carries per-term tf columns so a
     * caller can filter to matched docs). */
-  private def bm25SqlFor(terms: Seq[String]) = {
+  private def bm25SqlFor(terms: Seq[String]): String =
+    bm25SqlFor(terms, "")
+
+  /** `where` (e.g. "WHERE doc_id % 7 <> 3") restricts the corpus the
+    * twin scores over — the delete gate's survivor set. */
+  private def bm25SqlFor(terms: Seq[String], where: String): String = {
     val ts = "regexp_split_to_array(trim(lower(text)), '\\s+')"
     val tfDefs = terms.zipWithIndex.map { case (term, i) =>
       s"    len(list_filter($ts, x -> x = '$term')) AS tf$i"
@@ -129,7 +134,7 @@ object Retrieval {
        |  SELECT doc_id,
        |    len($ts) AS dl,
        |$tfDefs
-       |  FROM documents),
+       |  FROM documents $where),
        |bmstats AS (
        |  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, count(*) AS n,
        |$dfDefs
@@ -210,7 +215,12 @@ object Retrieval {
       .head()
     val (n, sumDl) = (agg.getLong(0), agg.getLong(1))
     writeLexStats(s, indexDir, "stats.v1", n, sumDl)
-    writeLexMeta(s, indexDir, LexMeta(1, n, sumDl, "df.v1", "stats.v1"))
+    // a fresh build starts with an empty tombstone set (the delete
+    // artifact — see deleteFromLexicalIndex)
+    emptyDocIds(s).coalesce(1).write
+      .mode(SaveMode.Overwrite).parquet(s"$indexDir/del.v1")
+    writeLexMeta(s, indexDir,
+      LexMeta(1, n, sumDl, "df.v1", "stats.v1", delDir = "del.v1"))
     Map("docs" -> n,
       "postings" -> posted.count(),
       "terms" -> s.read.parquet(s"$indexDir/df.v1").count())
@@ -242,7 +252,7 @@ object Retrieval {
     // the drained retention of the PREVIOUS append plus crashed stagings
     lexGenerations(fs, indexDir)
       .filterNot(p => Seq(meta.dfDir, meta.statsDir,
-        meta.termsDir, meta.docsDir).contains(p.getName))
+        meta.termsDir, meta.docsDir, meta.delDir).contains(p.getName))
       .foreach(d => fs.delete(d, true))
     val b = meta.batches
     writeLexBatch(s, fresh, indexDir, batch = b,
@@ -268,7 +278,7 @@ object Retrieval {
     writeLexMeta(s, indexDir,
       LexMeta(b + 1, newN, newSum, nextDf, nextStats,
         meta.termsDir, meta.docsDir,
-        streamBatch.getOrElse(meta.lastStreamBatch)))
+        streamBatch.getOrElse(meta.lastStreamBatch), meta.delDir))
     Map("appended" -> agg.getLong(0), "docs" -> newN,
       "batches" -> (b + 1).toLong)
   }
@@ -301,21 +311,113 @@ object Retrieval {
       math.max(1, math.ceil(bytes(sub) / (128.0 * 1024 * 1024)).toInt)
     val nextTerms = s"terms.v${lexVersion(meta.termsDir) + 1}"
     val nextDocs = s"docs.v${lexVersion(meta.docsDir) + 1}"
+    // compaction doubles as the PHYSICAL purge of logical deletes: the
+    // rewrite drops tombstoned postings/lengths (already invisible to
+    // every probe — df/stats were corrected at delete time, so answers
+    // cannot change) and the tombstone set drains in the same commit
+    val del = lexDelDf(s, indexDir, meta)
     s.read.parquet(s"$indexDir/${meta.termsDir}")
+      .select(col("term"), col("doc_id"), col("tf"))
+      .join(del, Seq("doc_id"), "left_anti")
       .select(col("term"), col("doc_id"), col("tf"))
       .coalesce(target(meta.termsDir))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$indexDir/$nextTerms/batch=0")
     s.read.parquet(s"$indexDir/${meta.docsDir}")
       .select(col("doc_id"), col("dl"))
+      .join(del, Seq("doc_id"), "left_anti")
       .coalesce(target(meta.docsDir))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$indexDir/$nextDocs/batch=0")
-    // THE commit: one batch, same totals, same df/stats, new layout
+    val nextDel =
+      if (meta.delDir.isEmpty) "" else s"del.v${lexVersion(meta.delDir) + 1}"
+    if (nextDel.nonEmpty)
+      emptyDocIds(s).coalesce(1).write
+        .mode(SaveMode.Overwrite).parquet(s"$indexDir/$nextDel")
+    // THE commit: one batch, same live totals, same df/stats, new layout
     writeLexMeta(s, indexDir, LexMeta(1, meta.n, meta.sumDl,
       meta.dfDir, meta.statsDir, nextTerms, nextDocs,
-      meta.lastStreamBatch))
+      meta.lastStreamBatch, nextDel))
     lexicalIndexInfo(s, indexDir)
+  }
+
+  private def emptyDocIds(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.emptyDataset[Long].toDF("doc_id")
+  }
+
+  /** The tombstone doc-id set — empty for an index that predates the
+    * delete artifact (readers tolerate absence). */
+  private def lexDelDf(s: SparkSession, indexDir: String,
+      meta: LexMeta): DataFrame =
+    if (meta.delDir.nonEmpty)
+      s.read.parquet(s"$indexDir/${meta.delDir}").select(col("doc_id"))
+    else emptyDocIds(s)
+
+  /** Targeted deletion — the lexical twin of
+    * Similarity.deleteFromVectorIndex (takedowns, opt-outs). LOGICAL and
+    * O(deleted docs' postings): the newly-deleted ids (requested ∩ live —
+    * absent or already-deleted ids are no-ops, so retries are idempotent
+    * and the stats never double-correct) merge into the tombstone
+    * artifact, and — because BM25's idf/avgdl are corpus statistics —
+    * the SAME atomic meta commit stages an incrementally corrected
+    * `df` (df − the deleted docs' per-term presence, 0-df terms dropped
+    * exactly as a rebuild would) and `stats` (n − |deleted|,
+    * sum_dl − Σ dl): one postings pass bounded by a semi-join on the
+    * deleted ids, the corpus of record never re-read. Probes resolve
+    * live postings through [[lexRelation]]'s anti-join, so a committed
+    * delete scores EXACTLY like a rebuild over the survivors (the
+    * q_bm25_delete gate hash-matches that claim); the physical purge
+    * amortizes into [[compactLexicalIndex]]. */
+  def deleteFromLexicalIndex(s: SparkSession, ids: DataFrame,
+      indexDir: String): Map[String, Long] = lexLock(indexDir).synchronized {
+    import org.apache.spark.sql.SaveMode
+    val meta = readLexMeta(s, indexDir)
+    val (fs, _) = lexMetaPath(s, indexDir)
+    // the append rule: sweep displaced generations + crashed stagings
+    lexGenerations(fs, indexDir)
+      .filterNot(p => Seq(meta.dfDir, meta.statsDir,
+        meta.termsDir, meta.docsDir, meta.delDir).contains(p.getName))
+      .foreach(d => fs.delete(d, true))
+    val already = lexDelDf(s, indexDir, meta)
+    val docsArt = s.read.parquet((0 until meta.batches)
+      .map(b => s"$indexDir/${meta.docsDir}/batch=$b"): _*)
+    val fresh = ids.select(col("doc_id").cast("long").as("doc_id"))
+      .distinct()
+      .join(docsArt.select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(already, Seq("doc_id"), "left_anti")
+      .persist() // settle: df correction, stats correction, del merge
+    try {
+      val dN = fresh.count()
+      val termsArt = s.read.parquet((0 until meta.batches)
+        .map(b => s"$indexDir/${meta.termsDir}/batch=$b"): _*)
+      val ddf = termsArt.join(fresh, Seq("doc_id"), "left_semi")
+        .groupBy(col("term")).agg(count(lit(1)).cast("long").as("ddf"))
+      val nextDf = s"df.v${lexVersion(meta.dfDir) + 1}"
+      s.read.parquet(s"$indexDir/${meta.dfDir}")
+        .join(ddf, Seq("term"), "left_outer")
+        .select(col("term"),
+          (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
+        .filter(col("df") > 0) // a rebuild over survivors has no 0-df rows
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/$nextDf")
+      val dagg = docsArt.join(fresh, Seq("doc_id"), "left_semi")
+        .agg(sum(col("dl")).cast("long")).head()
+      val dSum = if (dagg.isNullAt(0)) 0L else dagg.getLong(0)
+      val (newN, newSum) = (meta.n - dN, meta.sumDl - dSum)
+      val nextStats = s"stats.v${lexVersion(meta.statsDir) + 1}"
+      writeLexStats(s, indexDir, nextStats, newN, newSum)
+      val nextDel = s"del.v${lexVersion(meta.delDir) + 1}"
+      already.union(fresh.select("doc_id"))
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$indexDir/$nextDel")
+      // THE commit: corrected df/stats, merged tombstones, live totals
+      writeLexMeta(s, indexDir, LexMeta(meta.batches, newN, newSum,
+        nextDf, nextStats, meta.termsDir, meta.docsDir,
+        meta.lastStreamBatch, nextDel))
+      Map("deleted" -> dN, "docs" -> newN,
+        "tombstones" ->
+          s.read.parquet(s"$indexDir/$nextDel").count())
+    } finally fresh.unpersist(false)
   }
 
   /** Operational state: totals plus the small-files signal (every append
@@ -337,17 +439,18 @@ object Retrieval {
     }
     Map("docs" -> meta.n, "batches" -> meta.batches.toLong,
       "terms" -> s.read.parquet(s"$indexDir/${meta.dfDir}").count(),
-      "files" -> (files(meta.termsDir) + files(meta.docsDir)))
+      "files" -> (files(meta.termsDir) + files(meta.docsDir)),
+      // the purge signal: tombstoned postings occupy bytes until the
+      // next compaction drains them
+      "tombstones" -> lexDelDf(s, indexDir, meta).count())
   }
 
   /** The profiler's probe SQL: [[bm25NamedSql]] rendered over the
     * CURRENT artifact paths with a literal term binding. */
   private[graft] def bm25ProbeSqlForProfiler(s: SparkSession,
-      indexDir: String, terms: Seq[String]): String = {
-    val snap = lexResolveAll(s, indexDir)
-    bm25NamedSql(sub => s"parquet.`${snap(sub)}`",
+      indexDir: String, terms: Seq[String]): String =
+    bm25NamedSql(lexRelation(s, indexDir),
       s"'${terms.mkString(",")}'", "50")
-  }
 
   /** Resolve a lexical artifact's current path through the meta pointer
     * (and validate the batch census on the way — see build doc). A
@@ -362,19 +465,46 @@ object Retrieval {
     * internally consistent snapshot multi-artifact consumers resolve
     * from). */
   private[graft] def lexResolveAll(s: SparkSession,
-      indexDir: String): Map[String, String] = {
-    val meta = readLexMeta(s, indexDir)
+      indexDir: String): Map[String, String] =
+    lexSnapFrom(indexDir, readLexMeta(s, indexDir))
+
+  private def lexSnapFrom(indexDir: String,
+      meta: LexMeta): Map[String, String] =
     Map(
       "terms" -> s"$indexDir/${meta.termsDir}",
       "docs" -> s"$indexDir/${meta.docsDir}",
       "df" -> s"$indexDir/${meta.dfDir}",
-      "stats" -> s"$indexDir/${meta.statsDir}")
+      "stats" -> s"$indexDir/${meta.statsDir}") ++
+      (if (meta.delDir.nonEmpty) Map("del" -> s"$indexDir/${meta.delDir}")
+       else Map.empty)
+
+  /** SQL relation renderer over ONE meta snapshot — the lexical twin of
+    * Similarity.artifactRelation's live seam: when the index carries a
+    * tombstone set, the `terms` and `docs` relations render anti-joined
+    * ("live"), so every SQL consumer — the `$terms` named query, the
+    * hybrid fuse, the attached views — excludes deleted docs at one
+    * seam. Unaliased on purpose: call sites append their own alias. */
+  private[graft] def lexRelation(s: SparkSession,
+      indexDir: String): String => String = {
+    val meta = readLexMeta(s, indexDir)
+    val snap = lexSnapFrom(indexDir, meta)
+    val del = snap.get("del")
+    sub =>
+      if (del.isDefined && (sub == "terms" || sub == "docs"))
+        s"(SELECT g.* FROM parquet.`${snap(sub)}` g LEFT ANTI JOIN " +
+          s"parquet.`${del.get}` gt ON g.doc_id = gt.doc_id)"
+      else s"parquet.`${snap(sub)}`"
   }
 
   private[graft] case class LexMeta(batches: Int, n: Long, sumDl: Long,
       dfDir: String, statsDir: String,
       termsDir: String = "terms", docsDir: String = "docs",
-      lastStreamBatch: Long = -1L)
+      lastStreamBatch: Long = -1L,
+      // the tombstone artifact's pointer ("" = an index that predates
+      // deletes — every reader tolerates absence). n/sumDl always
+      // describe the LIVE docs: a delete corrects them with the same
+      // commit that stages the tombstones.
+      delDir: String = "")
 
   private def lexMetaPath(s: SparkSession, indexDir: String)
       : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
@@ -398,7 +528,7 @@ object Retrieval {
     val root = new org.apache.hadoop.fs.Path(indexDir)
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
-      .filter(_.getName.matches("(df|stats|terms|docs)(\\.v\\d+)?"))
+      .filter(_.getName.matches("(df|stats|terms|docs|del)(\\.v\\d+)?"))
   }
 
   private def writeLexBatch(s: SparkSession, corpus: DataFrame,
@@ -421,8 +551,9 @@ object Retrieval {
       dirName: String, n: Long, sumDl: Long): Unit = {
     import s.implicits._
     // avgdl derives as the same CAST(sum AS DOUBLE)/n both at build and
-    // at every append — bit-identical to a from-scratch rebuild's
-    Seq((n, sumDl.toDouble / n)).toDF("n", "avgdl")
+    // at every append/delete — bit-identical to a from-scratch rebuild's
+    // (n=0 — everything deleted — degrades to 0.0 instead of NaN)
+    Seq((n, if (n == 0) 0.0 else sumDl.toDouble / n)).toDF("n", "avgdl")
       .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$indexDir/$dirName")
   }
@@ -431,7 +562,7 @@ object Retrieval {
       m: LexMeta): Unit = {
     val (fs, p) = lexMetaPath(s, indexDir)
     graft.stream.PointerCommit.default.publish(fs, p,
-      s"""{"batches": ${m.batches}, "n": ${m.n}, "sum_dl": ${m.sumDl}, "df_dir": "${m.dfDir}", "stats_dir": "${m.statsDir}", "terms_dir": "${m.termsDir}", "docs_dir": "${m.docsDir}", "last_stream_batch": ${m.lastStreamBatch}}"""
+      s"""{"batches": ${m.batches}, "n": ${m.n}, "sum_dl": ${m.sumDl}, "df_dir": "${m.dfDir}", "stats_dir": "${m.statsDir}", "terms_dir": "${m.termsDir}", "docs_dir": "${m.docsDir}", "last_stream_batch": ${m.lastStreamBatch}, "del_dir": "${m.delDir}"}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
@@ -454,7 +585,8 @@ object Retrieval {
       m("stats_dir").asInstanceOf[String],
       m.get("terms_dir").collect { case d: String => d }.getOrElse("terms"),
       m.get("docs_dir").collect { case d: String => d }.getOrElse("docs"),
-      m.get("last_stream_batch").collect { case b: Long => b }.getOrElse(-1L))
+      m.get("last_stream_batch").collect { case b: Long => b }.getOrElse(-1L),
+      m.get("del_dir").collect { case d: String => d }.getOrElse(""))
   }
 
   // the torn-append detector (dedup discipline): postings/docs must
@@ -874,9 +1006,8 @@ object Retrieval {
     val idx = graft.PhaseTimings.timed(gate, "index_build") {
       lexIndexDir(s, dir)
     }
-    val lexSnap = lexResolveAll(s, idx)
     val tTop = s.sql(bm25NamedSql(
-        sub => s"parquet.`${lexSnap(sub)}`",
+        lexRelation(s, idx),
         s"'${bmTerms.mkString(",")}'", "101"))
       .filter(col("doc_id") =!= 0)
       .orderBy(col("score_micro").desc, col("doc_id")).limit(100)
@@ -918,6 +1049,20 @@ object Retrieval {
   // fixed bmTerms set, so the gate exercises the parameterization
   private val lexProbeTerms = Seq("hash", "graftabsentterm", "slow")
 
+  // the delete gate's fixture: ONE (build → delete doc_id % 7 = 3) index
+  // per (session, corpus) — its own dir, never the shared lexIndexDir (a
+  // tombstone commit would poison the other lexical gates' answers)
+  private val lexDelReady =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def lexDeletedIndexDir(s: SparkSession, dir: String): String =
+    lexDelReady.getOrElseUpdate((s, dir), {
+      val p = graft.TempDirs.create("graft-lexdel").toString
+      buildLexicalIndex(s, dir, p)
+      deleteFromLexicalIndex(s,
+        docs(s, dir).select(col("doc_id")).filter(col("doc_id") % 7 === 3), p)
+      p
+    })
+
   val all: Map[String, Q] = Map(
 
     // ---- Okapi BM25 top-20 for the fixed query-term set ----
@@ -946,15 +1091,43 @@ object Retrieval {
         val idx = graft.PhaseTimings.timed("q_bm25_indexed", "index_build") {
           lexIndexDir(s, dir)
         }
-        val snap = lexResolveAll(s, idx)
-        s.sql(bm25NamedSql(
-          sub => s"parquet.`${snap(sub)}`",
+        s.sql(bm25NamedSql(lexRelation(s, idx),
           s"'${lexProbeTerms.mkString(",")}'", "50"))
       },
       Some {
         val matched = lexProbeTerms.indices
           .map(i => s"tf$i > 0").mkString(" OR ")
         s"""WITH ${bm25SqlFor(lexProbeTerms)}
+           |SELECT b.doc_id, b.score_micro
+           |FROM bm b JOIN bmproj p ON p.doc_id = b.doc_id
+           |WHERE $matched
+           |ORDER BY b.score_micro DESC, b.doc_id LIMIT 50""".stripMargin
+      }),
+
+    // ---- targeted deletion: the $terms probe after a tombstone commit ----
+    // Build over the FULL corpus, delete doc_id % 7 = 3 through the
+    // O(deleted) tombstone commit — which incrementally corrects df and
+    // (n, avgdl) in the SAME atomic meta flip — then run the standard
+    // probe. The oracle recomputes BM25 from scratch over the SURVIVORS,
+    // so the hash-match proves the incremental statistics correction is
+    // exact: scoring against the deleted index IS scoring a rebuilt-
+    // over-survivors index, bit for bit (idf shifts with the corrected
+    // df/n, avgdl shifts the length normalization — every survivor's
+    // score CHANGES at a delete, and must change by exactly the rebuild
+    // amount).
+    "q_bm25_delete" -> Q(
+      (s, dir) => {
+        graft.PhaseTimings.reset("q_bm25_delete")
+        val idx = graft.PhaseTimings.timed("q_bm25_delete", "index_build") {
+          lexDeletedIndexDir(s, dir)
+        }
+        s.sql(bm25NamedSql(lexRelation(s, idx),
+          s"'${lexProbeTerms.mkString(",")}'", "50"))
+      },
+      Some {
+        val matched = lexProbeTerms.indices
+          .map(i => s"tf$i > 0").mkString(" OR ")
+        s"""WITH ${bm25SqlFor(lexProbeTerms, "WHERE doc_id % 7 <> 3")}
            |SELECT b.doc_id, b.score_micro
            |FROM bm b JOIN bmproj p ON p.doc_id = b.doc_id
            |WHERE $matched

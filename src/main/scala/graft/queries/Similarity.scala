@@ -164,6 +164,33 @@ object Similarity {
        |LIMIT $limitSql""".stripMargin
   }
 
+  /** `$qvec`-parameterized single-stage IVF probe over a PERSISTED
+    * index: nearest centroid cell by exact integer L2, then exact
+    * integer L2 over the LIVE vectors of that cell only (the
+    * [[twoStageKnnSql]] probe without the ADC stage — what an index
+    * without PQ artifacts answers with, and the delete gate's probe:
+    * `table("vectors")` renders tombstone-filtered through
+    * [[artifactRelation]], so a committed delete is invisible here by
+    * construction). One cell scanned, everything else metadata-sized. */
+  private[graft] def ivfIndexProbeSql(table: String => String,
+      qvecExpr: String, limitSql: String): String =
+    s"""WITH qv AS (
+       |  SELECT transform(split($qvecExpr, ','), x -> CAST(x AS BIGINT)) AS v),
+       |probe AS (
+       |  SELECT cell FROM (
+       |    SELECT c.cell,
+       |      aggregate(zip_with(c.c, qv.v, (a, b) -> (a - b) * (a - b)),
+       |        0L, (acc, x) -> acc + x) AS cd
+       |    FROM ${table("centroids")} c CROSS JOIN qv)
+       |  ORDER BY cd, cell LIMIT 1)
+       |SELECT t.vec_id,
+       |  aggregate(zip_with(t.v, qv.v, (a, b) -> (a - b) * (a - b)),
+       |    0L, (acc, x) -> acc + x) AS dist
+       |FROM ${table("vectors")} t CROSS JOIN qv
+       |WHERE t.cell = (SELECT cell FROM probe)
+       |ORDER BY dist, vec_id
+       |LIMIT $limitSql""".stripMargin
+
   private def pqAdc(s: SparkSession, dir: String): DataFrame = {
     pqCaches.sweep()
     pqCoded.getOrBuild(s, dir)(pqAdcBuild(s, dir))
@@ -401,6 +428,10 @@ object Similarity {
     encodeCodes(persisted, books)
       .write.partitionBy("cell")
       .mode(SaveMode.Overwrite).parquet(stagedPath("codes"))
+    // a fresh build starts with an empty tombstone set (the delete
+    // artifact — see deleteFromVectorIndex)
+    emptyTombstones(s).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(stagedPath("tombstones"))
     commitStaged(s, indexDir, staged, vecSnapshot)
     Map("vectors" ->
         s.read.parquet(artifactPath(indexDir, "vectors")).count(),
@@ -522,6 +553,72 @@ object Similarity {
     } finally assigned.unpersist(false)
   }
 
+  // ---------------- targeted deletion (tombstones) ----------------
+  //
+  // The right-to-be-forgotten verb of the index lifecycle (takedowns,
+  // opt-outs, contamination removal). A delete is LOGICAL and
+  // O(deleted): the new ids merge into the tombstones artifact, staged
+  // as a fresh generation and committed through the same one-pointer
+  // manifest flip as every other maintenance write — no vector or codes
+  // bytes move, so deleting 10 documents from a 100 TB index costs a
+  // metadata-sized commit. Every read path resolves "live" vectors and
+  // codes through [[artifactRelation]]'s anti-join, so a committed
+  // delete is immediately invisible to probes; the PHYSICAL purge
+  // amortizes into the next compaction or retrain (the lakehouse
+  // delete-file discipline), which rewrites without the tombstoned rows
+  // and resets the set to empty.
+
+  private def emptyTombstones(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.emptyDataset[Long].toDF("vec_id")
+  }
+
+  /** The tombstone id set at `path` — empty for an index that predates
+    * the artifact (every path tolerates absence, so a legacy index
+    * keeps answering). */
+  private def tombstonesDf(s: SparkSession, path: String): DataFrame =
+    if (java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(path.stripPrefix("file:"))))
+      s.read.parquet(path).select(col("vec_id"))
+    else emptyTombstones(s)
+
+  /** Tombstone `ids` out of a persisted index (Seq convenience — the RPC
+    * shape). See [[deleteFromVectorIndexDf]]. */
+  def deleteFromVectorIndex(s: SparkSession, ids: Seq[Long],
+      indexDir: String): Map[String, Long] = {
+    import s.implicits._
+    deleteFromVectorIndexDf(s, ids.toDF("vec_id"), indexDir)
+  }
+
+  /** Tombstone every id in `ids` (a 1-column `vec_id` frame) out of a
+    * persisted index: ids are bounded to those actually present (a
+    * delete of an absent id is a no-op, so retries are idempotent),
+    * merged with the current tombstone set, and committed as a fresh
+    * tombstones generation in ONE atomic manifest flip. O(deleted) work;
+    * probes exclude the set immediately; compaction/retrain purge it
+    * physically. Returns the post-commit tombstone count. */
+  def deleteFromVectorIndexDf(s: SparkSession, ids: DataFrame,
+      indexDir: String): Map[String, Long] = withIndexWriter(s, indexDir) {
+    import org.apache.spark.sql.SaveMode
+    val snap = resolveAll(indexDir)
+    val vecSnapshot = artifactFiles(indexDir, "vectors")
+    val present = ids.select(col("vec_id").cast("long").as("vec_id"))
+      .distinct()
+      .join(s.read.parquet(snap("vectors")).select("vec_id"),
+        Seq("vec_id"), "left_semi")
+    val merged = tombstonesDf(s, snap("tombstones"))
+      .union(present).distinct()
+    val next = nextDirName(indexDir, "tombstones")
+    // the set is bounded by deletes-per-maintenance-cycle (every
+    // compaction drains it), so one file keeps the probe-side anti-join
+    // a trivially broadcast scan
+    merged.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$indexDir/$next")
+    commitStaged(s, indexDir, Map("tombstones" -> next), vecSnapshot)
+    Map("tombstones" ->
+      s.read.parquet(artifactPath(indexDir, "tombstones")).count())
+  }
+
   /** Does the index carry this artifact? (manifest-resolved; a legacy
     * flat layout resolves against its plain directories). */
   private def subdirExists(indexDir: String, sub: String): Boolean =
@@ -544,8 +641,14 @@ object Similarity {
     def files(sub: String): Long =
       listParquet(java.nio.file.Paths.get(
         snap(sub).stripPrefix("file:"))).size.toLong
+    // the purge signal: tombstoned rows still occupy bytes and candidate
+    // slots until the next compaction drains them — share drift is what
+    // tells the maintenance tick to compact early
+    val tombs = tombstonesDf(s, snap("tombstones")).count()
     Map(
       "vectors" -> total,
+      "tombstones" -> tombs,
+      "live" -> (total - tombs),
       "cells" -> counts.length.toLong,
       "max_cell" -> (if (counts.isEmpty) 0L else counts.max),
       "max_cell_share_pct" ->
@@ -586,7 +689,8 @@ object Similarity {
   // On a cluster object store the manifest flip is the same one-pointer
   // conditional-put this file implements with rename.
 
-  private val indexArtifacts = Seq("centroids", "vectors", "codebooks", "codes")
+  private val indexArtifacts =
+    Seq("centroids", "vectors", "codebooks", "codes", "tombstones")
   /** The artifact names (spec access). */
   private[graft] def indexArtifactNames: Seq[String] = indexArtifacts
 
@@ -663,11 +767,35 @@ object Similarity {
 
   /** SQL relation renderer over ONE [[resolveAll]] snapshot — the `table`
     * argument [[twoStageKnnSql]] consumers pass when querying parquet
-    * directly instead of attached views. All four relations render from
-    * the same manifest generation by construction. */
-  private[graft] def artifactRelation(indexDir: String): String => String = {
+    * directly instead of attached views. All relations render from the
+    * same manifest generation by construction. This is THE live-rows
+    * seam: when the snapshot carries a tombstones artifact, the
+    * `vectors` and `codes` relations render as anti-joined subqueries —
+    * one place implements "deleted rows are invisible" for every SQL
+    * consumer at once (two-stage kNN, MMR, context packing, attached
+    * views). Unaliased on purpose: every call site appends its own
+    * alias. */
+  private[graft] def artifactRelation(indexDir: String): String => String =
+    relationFrom(resolveAll(indexDir))
+
+  private def relationFrom(snap: Map[String, String]): String => String = {
+    val tomb = snap.get("tombstones").filter(p =>
+      java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(p.stripPrefix("file:"))))
+    sub =>
+      if ((sub == "vectors" || sub == "codes") && tomb.isDefined)
+        s"(SELECT g.* FROM parquet.`${snap(sub)}` g LEFT ANTI JOIN " +
+          s"parquet.`${tomb.get}` gt ON g.vec_id = gt.vec_id)"
+      else s"parquet.`${snap(sub)}`"
+  }
+
+  /** One manifest snapshot for the attach path: the artifact PATHS (for
+    * existence/geometry checks) plus the matching relation renderer —
+    * both from the SAME generation, so an attach can never mix. */
+  private[graft] def attachSnapshot(
+      indexDir: String): (Map[String, String], String => String) = {
     val snap = resolveAll(indexDir)
-    sub => s"parquet.`${snap(sub)}`"
+    (snap, relationFrom(snap))
   }
 
   /** The codes artifact's code-column names, derived from [[pqM]] so a
@@ -943,7 +1071,13 @@ object Similarity {
     withIndexWriter(s, indexDir) {
       import org.apache.spark.sql.SaveMode
       val staged = scala.collection.mutable.Map.empty[String, String]
+      val snap0 = resolveAll(indexDir)
       val vecSnapshot = artifactFiles(indexDir, "vectors")
+      // the PHYSICAL purge of logical deletes: the vectors rewrite drops
+      // tombstoned rows (codes rebuild from the purged vectors), and the
+      // tombstone set resets to empty in the SAME atomic flip — after a
+      // compaction the deleted rows are gone from disk, not just hidden
+      val tomb = tombstonesDf(s, snap0("tombstones"))
       // vectors: ~128 MB files AND one row per vec_id — an at-least-once
       // ingest retry that died between its vectors and codes writes can
       // have landed duplicate vector rows; compaction is where the
@@ -951,7 +1085,8 @@ object Similarity {
       // min (cell, v), which for true retry twins is the identical row)
       if (subdirExists(indexDir, "vectors")) {
         val next = nextDirName(indexDir, "vectors")
-        s.read.parquet(artifactPath(indexDir, "vectors"))
+        s.read.parquet(snap0("vectors"))
+          .join(tomb, Seq("vec_id"), "left_anti")
           .groupBy(col("vec_id"))
           .agg(min(struct(col("cell").cast("long").as("cell"), col("v")))
             .as("m"))
@@ -977,6 +1112,13 @@ object Similarity {
           .mode(SaveMode.Overwrite).parquet(s"$indexDir/$next")
         staged += "codes" -> next
       }
+      // drain the tombstone set with the purge it describes — one flip
+      if (staged.contains("vectors") && subdirExists(indexDir, "tombstones")) {
+        val next = nextDirName(indexDir, "tombstones")
+        emptyTombstones(s).coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/$next")
+        staged += "tombstones" -> next
+      }
       if (staged.nonEmpty) commitStaged(s, indexDir, staged.toMap, vecSnapshot)
       vectorIndexInfo(s, indexDir)
     }
@@ -997,10 +1139,15 @@ object Similarity {
     withIndexWriter(s, indexDir) {
     import org.apache.spark.sql.SaveMode
     val vecSnapshot = artifactFiles(indexDir, "vectors")
+    val snap0 = resolveAll(indexDir)
     val staged = indexArtifacts.map(sub =>
       sub -> nextDirName(indexDir, sub)).toMap
     def stagedPath(sub: String): String = s"$indexDir/${staged(sub)}"
-    val vecs = s.read.parquet(artifactPath(indexDir, "vectors"))
+    // retrain is a full rewrite, so it doubles as the physical purge:
+    // tombstoned rows never enter the new generation (they'd otherwise
+    // pull the retrained centroids toward deleted mass)
+    val vecs = s.read.parquet(snap0("vectors"))
+      .join(tombstonesDf(s, snap0("tombstones")), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("v"), col("cell").cast("long").as("cell"))
       .persist() // settle: centroid update + reassignment + PQ sample read it
     try {
@@ -1039,9 +1186,12 @@ object Similarity {
         .repartition(compactTarget(indexDir, "codes"), col("cell"))
         .write.partitionBy("cell")
         .mode(SaveMode.Overwrite).parquet(stagedPath("codes"))
-      // all four generations staged: one atomic flip commits them
-      // together — no reader ever sees a mixed generation, and in-flight
-      // readers drain against the retained previous generation
+      // the purge drains the tombstone set in the same flip
+      emptyTombstones(s).coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(stagedPath("tombstones"))
+      // all staged generations commit in one atomic flip — no reader
+      // ever sees a mixed generation, and in-flight readers drain
+      // against the retained previous generation
       commitStaged(s, indexDir, staged, vecSnapshot)
       vectorIndexInfo(s, indexDir)
     } finally vecs.unpersist(false)
@@ -1124,6 +1274,21 @@ object Similarity {
       |  SELECT vec_id, dims.label, CAST(sum(CAST(x * qx AS DECIMAL(25,10))) AS DOUBLE) AS dot
       |  FROM dims JOIN best ON dims.label = best_label JOIN q ON i = qi
       |  WHERE vec_id <> 0 GROUP BY vec_id, dims.label)""".stripMargin
+
+  // the delete gate's fixture: ONE (build over the full corpus → delete
+  // vec_id % 5 = 0) persisted index per (session, corpus) — its own dir,
+  // never shared with other gates (a tombstone commit would poison a
+  // shared index's answers)
+  private val delIndexReady =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def deletedIndexDir(s: SparkSession, dir: String): String =
+    delIndexReady.getOrElseUpdate((s, dir), {
+      val p = graft.TempDirs.create("graft-vecdel").toString
+      buildVectorIndex(s, dir, p)
+      deleteFromVectorIndexDf(s,
+        emb(s, dir).select(col("vec_id")).filter(col("vec_id") % 5 === 0), p)
+      p
+    })
 
   private val kcenterK = 10
 
@@ -1850,6 +2015,66 @@ object Similarity {
               |  CAST($pqSubspacesSql AS BIGINT) AS m,
               |  CAST(d // ($pqSubspacesSql) AS BIGINT) AS l
               |FROM ladder ORDER BY n""".stripMargin)),
+
+    // ---- targeted deletion: tombstoned ids vanish from the probe ----
+    // The right-to-be-forgotten path, gated end to end: build a
+    // persisted index over the FULL corpus, DELETE vec_id % 5 = 0
+    // (including the query doc itself) through the O(deleted) tombstone
+    // commit, then probe through artifactRelation's live view. The
+    // oracle recomputes over the SURVIVORS with build-time geometry —
+    // centroids and cell membership stay the FULL-corpus ones (a logical
+    // delete moves no vectors; the oracle assigns every vector against
+    // full-corpus centroids) while candidates exclude every tombstoned
+    // id — so the hash-match proves exactly the tombstone semantics.
+    "q_vector_delete" -> Q(
+      (s, dir) => {
+        // phase-split: the one-off build+delete vs the probe the gate
+        // actually measures (the q_bm25_indexed pattern)
+        graft.PhaseTimings.reset("q_vector_delete")
+        val idx = graft.PhaseTimings.timed("q_vector_delete", "index_build") {
+          deletedIndexDir(s, dir)
+        }
+        val qvec = emb(s, dir).filter(col("vec_id") === 0)
+          .select(transform(col("embedding"),
+            x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")))
+          .head.getSeq[Long](0)
+        s.sql(ivfIndexProbeSql(artifactRelation(idx),
+          s"'${qvec.mkString(",")}'", "10"))
+      },
+      Some("""WITH qd AS (
+             |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+             |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 64 + 0.5)
+             |      AS BIGINT) AS qx
+             |  FROM embeddings),
+             |q AS (SELECT i, qx FROM qd WHERE vec_id = 0),
+             |cent AS (
+             |  SELECT label, i, sum(qx) // count(*) AS cx
+             |  FROM qd GROUP BY label, i),
+             |vdist AS (
+             |  SELECT qd.vec_id, cent.label AS cell,
+             |    sum((qd.qx - cent.cx) * (qd.qx - cent.cx)) AS d
+             |  FROM qd JOIN cent ON qd.i = cent.i
+             |  GROUP BY qd.vec_id, cent.label),
+             |assign AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT vec_id, cell,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell)
+             |        AS rn
+             |    FROM vdist) WHERE rn = 1),
+             |cdist AS (
+             |  SELECT cent.label AS cell,
+             |    sum((cent.cx - q.qx) * (cent.cx - q.qx)) AS cd
+             |  FROM cent JOIN q ON cent.i = q.i GROUP BY cent.label),
+             |best AS (SELECT cell FROM cdist ORDER BY cd, cell LIMIT 1),
+             |cand AS (
+             |  SELECT qd.vec_id,
+             |    CAST(sum((qd.qx - q.qx) * (qd.qx - q.qx)) AS BIGINT) AS dist
+             |  FROM qd JOIN q ON qd.i = q.i
+             |  JOIN assign a ON a.vec_id = qd.vec_id
+             |  WHERE a.cell = (SELECT cell FROM best) AND qd.vec_id % 5 <> 0
+             |  GROUP BY qd.vec_id)
+             |SELECT vec_id, dist FROM cand
+             |ORDER BY dist, vec_id LIMIT 10""".stripMargin)),
 
     // ---- IVF + PQ + exact re-rank: the complete two-stage retrieval ----
     // ADC ranking alone carries quantization loss — production vector

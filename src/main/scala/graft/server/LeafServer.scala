@@ -103,7 +103,12 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     // default. An operator who accepts that trade (the re-band is the
     // derivation a fresh build would pick, and it reads only the index's
     // own shingle arrays) can let the tick run it.
-    dedupRebandOnStale: Boolean = false) {
+    dedupRebandOnStale: Boolean = false,
+    // tombstone pressure: targeted deletes are logical until a compaction
+    // purges them — when the tombstone share of an index's physical rows
+    // passes this, the tick compacts even below the files threshold (the
+    // purge is content-preserving over the LIVE rows, safe to automate)
+    tombstonePurgeSharePct: Long = 20L) {
 
   // the HTTP routes bind to an INTERNAL loopback port; the public port is
   // a JDK-socket frontend (PublicFrontend) that serves websocket upgrades
@@ -292,6 +297,19 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     case Some(s: String) => s
     case other => throw new IllegalArgumentException(s"missing/bad '$k': $other")
   }
+
+  /** A JSON array of integral ids (the delete RPCs' shape). */
+  private def longSeq(m: Map[String, Any], k: String): Seq[Long] =
+    m.get(k) match {
+      case Some(v: Vector[_]) => v.map {
+        case l: Long => l
+        case i: Int => i.toLong
+        case d: Double if d.isWhole => d.toLong
+        case x => throw new IllegalArgumentException(s"bad id in '$k': $x")
+      }
+      case other =>
+        throw new IllegalArgumentException(s"missing/bad '$k': $other")
+    }
 
   private[server] def moduleFromJson(m: Map[String, Any]): ModuleDef = {
     def s(k: String) = m.get(k).collect { case v: String => v }.getOrElse("")
@@ -909,6 +927,68 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     graft.queries.Similarity.vectorIndexInfo(store.spark, str(args, "dir"))
   }
 
+  // ---------------- targeted deletion (right-to-be-forgotten) ----------------
+  // One verb, four families: an O(deleted) logical tombstone commit
+  // through each family's atomic pointer flip — no data bytes move at
+  // delete time, probes exclude the set immediately, and the physical
+  // purge amortizes into the family's existing compaction/re-band (the
+  // lifecycle tick also compacts on tombstone pressure). Attached views
+  // re-resolve after the flip so live handles see the delete.
+
+  handle("/admin/vector_index_delete") { (c, args) =>
+    if (!c.trusted && !c.did.exists(moduleAdmins.contains))
+      throw new LeafAuthException("admin RPCs require a trusted connection")
+    managedIndexes.add(str(args, "dir"))
+    val out = graft.queries.Similarity.deleteFromVectorIndex(
+      store.spark, longSeq(args, "ids"), str(args, "dir"))
+    store.refreshAttachedIndexes(str(args, "dir"))
+    out
+  }
+
+  handle("/admin/lexical_index_delete") { (c, args) =>
+    // also corrects df/stats incrementally in the same meta commit, so
+    // post-delete BM25 scores equal a rebuild over the survivors
+    if (!c.trusted && !c.did.exists(moduleAdmins.contains))
+      throw new LeafAuthException("admin RPCs require a trusted connection")
+    managedLexical.add(str(args, "dir"))
+    import store.spark.implicits._
+    val out = graft.queries.Retrieval.deleteFromLexicalIndex(
+      store.spark, longSeq(args, "ids").toDF("doc_id"), str(args, "dir"))
+    store.refreshAttachedIndexes(str(args, "dir"))
+    out
+  }
+
+  handle("/admin/dedup_index_delete") { (c, args) =>
+    if (!c.trusted && !c.did.exists(moduleAdmins.contains))
+      throw new LeafAuthException("admin RPCs require a trusted connection")
+    managedDedup.add(str(args, "dir"))
+    import store.spark.implicits._
+    graft.queries.Dedup.deleteFromDedupIndex(
+      store.spark, longSeq(args, "ids").toDF("doc_id"), str(args, "dir"))
+  }
+
+  handle("/admin/mixture_stats_delete") { (c, args) =>
+    // counts keep no per-doc state, so the caller ships the forgotten
+    // docs' own (source, text) rows — the delete is the monoid's
+    // negative batch. `docs` inline for small takedowns, or `src` (a
+    // parquet dir of the deleted docs) for bulk.
+    if (!c.trusted && !c.did.exists(moduleAdmins.contains))
+      throw new LeafAuthException("admin RPCs require a trusted connection")
+    managedMixture.add(str(args, "dir"))
+    import store.spark.implicits._
+    val deleted = args.get("docs") match {
+      case Some(v: Vector[_]) => v.map { d =>
+        val m = d.asInstanceOf[Map[String, Any]]
+        (m("source").toString, m("text").toString)
+      }.toDF("source", "text")
+      case _ => store.spark.read.parquet(str(args, "src"))
+        .select(org.apache.spark.sql.functions.col("source"),
+          org.apache.spark.sql.functions.col("text"))
+    }
+    graft.queries.Pipeline.deleteMixtureStats(
+      store.spark, deleted, str(args, "dir"))
+  }
+
   // ---------------- wire-protocol surface ----------------
 
   /** The server's DID document (reference: .well-known/did.json endpoint,
@@ -1117,7 +1197,13 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
             try {
               val info = graft.queries.Similarity
                 .vectorIndexInfo(store.spark, d)
-              val needCompact = info("files") > vectorCompactFilesThreshold
+              // tombstone pressure counts like file decay: a logical
+              // delete is only reclaimed when a compaction purges it
+              val tombPressure = info("vectors") > 0 &&
+                info("tombstones") * 100 >
+                  tombstonePurgeSharePct * info("vectors")
+              val needCompact =
+                info("files") > vectorCompactFilesThreshold || tombPressure
               if (needCompact) {
                 // content-preserving by contract — safe to automate; the
                 // manifest flip means queries ride the retained
@@ -1133,6 +1219,7 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
                   "retrain recommended (/admin/vector_index_retrain)")
               maintStatus.put(maintKey("vector", d), Map(
                 "files_seen" -> info("files"),
+                "tombstones_seen" -> info("tombstones"),
                 "compacted" -> needCompact,
                 "compactions" -> countOf("vector", d),
                 "max_cell_share_pct" -> info("max_cell_share_pct"),
@@ -1145,7 +1232,12 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
             try {
               val info = graft.queries.Retrieval
                 .lexicalIndexInfo(store.spark, d)
-              val needCompact = info("files") > vectorCompactFilesThreshold
+              // physical rows = live docs + tombstoned docs
+              val tombPressure = (info("docs") + info("tombstones")) > 0 &&
+                info("tombstones") * 100 >
+                  tombstonePurgeSharePct * (info("docs") + info("tombstones"))
+              val needCompact =
+                info("files") > vectorCompactFilesThreshold || tombPressure
               if (needCompact) {
                 graft.queries.Retrieval.compactLexicalIndex(store.spark, d)
                 store.refreshAttachedIndexes(d)
@@ -1153,6 +1245,7 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
               }
               maintStatus.put(maintKey("lexical", d), Map(
                 "files_seen" -> info("files"),
+                "tombstones_seen" -> info("tombstones"),
                 "compacted" -> needCompact,
                 "compactions" -> countOf("lexical", d)))
             } catch { case t: Throwable =>

@@ -736,7 +736,10 @@ class StreamHandle(val store: StreamStore, val id: String) {
   /** (Re-)create the index views against the CURRENT manifest
     * generation. Callers hold the lock. */
   private def attachViews(prefix: String, indexDir: String): Seq[String] = {
-    val rel = graft.queries.Similarity.artifactRelation(indexDir)
+    // one manifest snapshot for paths AND relation text — the vectors
+    // and codes views render tombstone-filtered ("live") when the index
+    // carries a delete set, so module SQL never sees deleted rows
+    val (snap, rel) = graft.queries.Similarity.attachSnapshot(indexDir)
     spark.sql(s"CREATE OR REPLACE VIEW $dbName.${prefix}_centroids AS " +
       s"SELECT cell, c FROM ${rel("centroids")}")
     spark.sql(s"CREATE OR REPLACE VIEW $dbName.${prefix}_vectors AS " +
@@ -744,15 +747,14 @@ class StreamHandle(val store: StreamStore, val id: String) {
       s"FROM ${rel("vectors")}")
     val base = Seq(s"${prefix}_centroids", s"${prefix}_vectors")
     val hasPq = Files.isDirectory(Paths.get(
-      rel("codes").stripPrefix("parquet.`").stripSuffix("`")
-        .stripPrefix("file:")))
+      snap("codes").stripPrefix("file:")))
     if (!hasPq) base
     else {
       // code columns derive from THIS index's codebooks artifact
       // (Similarity.codeColsAt) — an index built at a larger corpus rung
       // attaches with its own geometry, not the session default
       val codeList = graft.queries.Similarity.codeColsAt(spark,
-        rel("codebooks").stripPrefix("parquet.`").stripSuffix("`"))
+        snap("codebooks").stripPrefix("file:"))
         .mkString(", ")
       spark.sql(s"CREATE OR REPLACE VIEW $dbName.${prefix}_codebooks AS " +
         s"SELECT m, j, c FROM ${rel("codebooks")}")
@@ -840,11 +842,13 @@ class StreamHandle(val store: StreamStore, val id: String) {
       "df" -> "term, df",
       "stats" -> "n, avgdl")
     // one meta snapshot for all four views — per-artifact resolution
-    // could straddle a concurrent pointer flip and mix generations
-    val snap = graft.queries.Retrieval.lexResolveAll(spark, indexDir)
+    // could straddle a concurrent pointer flip and mix generations; the
+    // terms/docs views render tombstone-filtered ("live") when the index
+    // carries a delete set, so module SQL never scores deleted docs
+    val rel = graft.queries.Retrieval.lexRelation(spark, indexDir)
     Seq("terms", "docs", "df", "stats").map { sub =>
       spark.sql(s"CREATE OR REPLACE VIEW $dbName.${prefix}_$sub AS " +
-        s"SELECT ${cols(sub)} FROM parquet.`${snap(sub)}`")
+        s"SELECT ${cols(sub)} FROM ${rel(sub)}")
       s"${prefix}_$sub"
     }
   }

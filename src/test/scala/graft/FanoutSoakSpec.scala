@@ -449,6 +449,100 @@ class FanoutSoakSpec extends AnyFunSuite {
     wsSubs.foreach(_.close())
   }
 
+  test("targeted delete under kNN query load: the tombstone commit is " +
+    "atomic to pollers — no failed reads, deleted ids never resurface") {
+    // the delete-side soak: pollers run the two-stage kNN named query
+    // over RPC while (a) a delete RPC tombstones the query's distance-0
+    // twins and (b) a compact RPC purges them physically. Every poll
+    // must return a complete, ordered result; every poll STARTED after
+    // the delete RPC returned must exclude the victims, through both
+    // the logical commit and the physical purge.
+    import org.apache.spark.sql.functions._
+    val src = "/root/testdata/sf0.001"
+    val idx = graft.TempDirs.create("graft-delsoak").toString
+    graft.queries.Similarity.buildVectorIndex(spark, src, idx)
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    // five distance-0 twins of vector 7 — the victims
+    val victims = (1 to 5).map(i => 7L + i * 1000000L)
+    graft.queries.Similarity.appendVectorIndexDf(spark,
+      emb.filter(col("vec_id") === 7)
+        .withColumn("vec_id", explode(typedlit(victims.toSeq)))
+        .select(col("vec_id"), col("embedding")), idx)
+
+    val twoStageSql = graft.queries.Similarity.twoStageKnnSql(
+      a => s"vd_$a", "$qvec", "CAST($limit AS INT)")
+    val cid = ok(post("/module/upload", Map("module" -> Map(
+      "queries" -> Map("knn" -> Map(
+        "sql" -> twoStageSql,
+        "params" -> Vector(Map("name" -> "qvec", "kind" -> "text"))))))))(
+      "cid").asInstanceOf[String]
+    val sid = ok(post("/stream/create",
+      Map("id" -> "did:fanout:delsoak", "module_cid" -> cid)))("id").toString
+    ok(post("/admin/vector_index_attach",
+      Map("id" -> sid, "prefix" -> "vd", "dir" -> idx)))
+    val qv = emb.filter(col("vec_id") === 7)
+      .select(transform(col("embedding"),
+        x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
+      .head.getSeq[Long](0)
+
+    val running = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val deletedAt = new java.util.concurrent.atomic.AtomicLong(Long.MaxValue)
+    val failure = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val polls = new java.util.concurrent.atomic.AtomicLong(0)
+    val pollers = (1 to 2).map { _ =>
+      new Thread(() => {
+        while (running.get() && failure.get() == null) {
+          val started = System.nanoTime()
+          try {
+            val rows = ok(post("/stream/query", Map("id" -> sid,
+              "query" -> Map("name" -> "knn", "limit" -> 6L,
+                "params" -> Map("qvec" -> qv.mkString(","))))))("rows")
+              .asInstanceOf[Vector[Any]].map { r =>
+                val m = r.asInstanceOf[Map[String, Any]]
+                def l(f: String) = m(f).asInstanceOf[Map[String, Any]](
+                  "value").asInstanceOf[Long]
+                (l("vec_id"), l("exact_dist"))
+              }
+            polls.incrementAndGet()
+            if (rows.isEmpty || rows.head._1 != 7L || rows.head._2 != 0L)
+              failure.set(s"head drifted: $rows")
+            else if (rows.map(_._2) != rows.map(_._2).sorted)
+              failure.set(s"distances out of order: $rows")
+            else if (started > deletedAt.get() &&
+                rows.exists(r => victims.contains(r._1)))
+              failure.set(s"deleted id resurfaced post-commit: $rows")
+          } catch {
+            case e: Exception => failure.set(s"poll threw: $e")
+          }
+        }
+      })
+    }
+    pollers.foreach(_.start())
+    // let the pollers see the pre-delete world (twins present)
+    Thread.sleep(1500)
+    val del = ok(post("/admin/vector_index_delete",
+      Map("dir" -> idx, "ids" -> victims.toVector.map(v => v: Any))))
+    deletedAt.set(System.nanoTime())
+    assert(del("tombstones") == victims.size.toLong, del.toString)
+    Thread.sleep(1500)
+    // the physical purge mid-poll: same answers, empty tombstone set
+    val info = ok(post("/admin/vector_index_compact", Map("dir" -> idx)))
+    assert(info("tombstones") == 0L, info.toString)
+    Thread.sleep(1500)
+    running.set(false)
+    pollers.foreach(_.join(30000))
+    assert(failure.get() == null, String.valueOf(failure.get()))
+    assert(polls.get() >= 6, s"only ${polls.get()} polls — soak too short")
+    // final state: the twins are gone from the serving path
+    val fin = ok(post("/stream/query", Map("id" -> sid,
+      "query" -> Map("name" -> "knn", "limit" -> 6L,
+        "params" -> Map("qvec" -> qv.mkString(","))))))("rows")
+      .asInstanceOf[Vector[Any]].map(r =>
+        r.asInstanceOf[Map[String, Any]]("vec_id")
+          .asInstanceOf[Map[String, Any]]("value").asInstanceOf[Long])
+    assert(fin.head == 7L && fin.forall(id => !victims.contains(id)), fin)
+  }
+
   test("vector-index ingest under kNN query load: flat latency, no torn reads") {
     // the vector twin of the sustained-ingest soak (lib.rs:888-985 steady
     // state): vectorIndexIngestStream appends 50 micro-batches into the

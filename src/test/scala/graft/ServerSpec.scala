@@ -1666,6 +1666,122 @@ class ServerSpec extends AnyFunSuite {
       s"tighter budget must cut a strict prefix: $p150 vs $p512")
   }
 
+  test("targeted deletion over RPC: tombstone commits across the four " +
+    "families, probes exclude immediately, compaction purges") {
+    val src = "/root/testdata/sf0.001"
+
+    // ---- vector: delete → live drops, physical rows unchanged; the
+    // compact RPC purges and drains the set ----
+    val vidx = TempDirs.create("graft-srv-vdel").toString
+    ok(post("/admin/vector_index_build", Map("src" -> src, "dir" -> vidx)))
+    val v0 = ok(post("/admin/vector_index_info", Map("dir" -> vidx)))
+    val vTotal = v0("vectors").asInstanceOf[Long]
+    val vd = ok(post("/admin/vector_index_delete",
+      Map("dir" -> vidx, "ids" -> Vector(1L, 2L, 3L, 987654321L))))
+    assert(vd("tombstones") == 3L, vd.toString)
+    val v1 = ok(post("/admin/vector_index_info", Map("dir" -> vidx)))
+    assert(v1("vectors") == vTotal && v1("live") == vTotal - 3L,
+      "a logical delete must move no rows")
+    val vc = ok(post("/admin/vector_index_compact", Map("dir" -> vidx)))
+    assert(vc("tombstones") == 0L && vc("vectors") == vTotal - 3L,
+      s"compaction must purge: $vc")
+
+    // ---- lexical: delete → the $terms named query over RPC matches a
+    // plain-Scala Okapi recompute over the SURVIVORS (incremental
+    // df/avgdl correction proven end to end through the serving path) ----
+    val lidx = TempDirs.create("graft-srv-ldel").toString
+    ok(post("/admin/lexical_index_build", Map("src" -> src, "dir" -> lidx)))
+    val bmSql = graft.queries.Retrieval.bm25NamedSql(
+      a => s"ld_$a", "$terms", "CAST($limit AS INT)")
+    val cid = ok(post("/module/upload", Map("module" -> Map(
+      "queries" -> Map("bm25" -> Map(
+        "sql" -> bmSql,
+        "params" -> Vector(Map("name" -> "terms", "kind" -> "text"))))))))(
+      "cid").asInstanceOf[String]
+    val sid = ok(post("/stream/create",
+      Map("id" -> "did:graft:delsearch", "module_cid" -> cid)))("id").toString
+    ok(post("/admin/lexical_index_attach",
+      Map("id" -> sid, "prefix" -> "ld", "dir" -> lidx)))
+    val tokAll = spark.read.parquet(s"$src/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase
+        .split("\\s+").toSeq).toSeq
+    val common = tokAll.flatMap(_._2).filterNot(_.isEmpty)
+      .groupBy(identity).view.mapValues(_.length).toSeq
+      .maxBy { case (t, c) => (c, t) }._1
+    // delete a third of the docs that actually CONTAIN the probe term —
+    // both the df correction and the result exclusion must show
+    val victims = tokAll.filter(_._2.contains(common)).map(_._1)
+      .filter(_ % 3 == 0)
+    assert(victims.nonEmpty)
+    val ld = ok(post("/admin/lexical_index_delete",
+      Map("dir" -> lidx, "ids" -> victims.toVector)))
+    assert(ld("deleted") == victims.size.toLong, ld.toString)
+    // the attach re-resolved on the delete's pointer flip: query now
+    val got = ok(post("/stream/query", Map("id" -> sid, "query" -> Map(
+      "name" -> "bm25", "limit" -> 1000L,
+      "params" -> Map("terms" -> common)))))("rows")
+      .asInstanceOf[Vector[Any]].map { r =>
+        val m = r.asInstanceOf[Map[String, Any]]
+        def l(f: String) = m(f).asInstanceOf[Map[String, Any]]("value")
+          .asInstanceOf[Long]
+        (l("doc_id"), l("score_micro"))
+      }
+    // plain-Scala Okapi over the survivors (the lexical e2e's oracle)
+    def rnd(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val surv = tokAll.filterNot { case (id, _) => victims.contains(id) }
+    val n = surv.length
+    val dls = surv.map { case (id, ws) => id -> ws.size.toLong }.toMap
+    val avgdl = dls.values.sum.toDouble / n
+    val df = surv.count(_._2.contains(common)).toLong
+    val expected = surv.flatMap { case (id, ws) =>
+      val tf = ws.count(_ == common).toLong
+      if (tf == 0L) None
+      else {
+        val idf = rnd(math.log(((n - df).toDouble + 0.5) /
+          (df.toDouble + 0.5) + 1.0) * 1e6)
+        Some(id -> rnd(idf * ((tf.toDouble * 2.2) / (tf.toDouble +
+          1.2 * (0.25 + (0.75 * dls(id).toDouble) / avgdl)))))
+      }
+    }.sortBy { case (id, sc) => (-sc, id) }
+    assert(got == expected.toVector,
+      s"post-delete RPC scores drifted from the survivor recompute")
+    assert(got.map(_._1).forall(id => !victims.contains(id)))
+
+    // ---- dedup: delete → live count and tombstones surface over RPC ----
+    val didx = TempDirs.create("graft-srv-ddel").toString
+    ok(post("/admin/dedup_index_build", Map("src" -> src, "dir" -> didx)))
+    val d0 = ok(post("/admin/dedup_index_info", Map("dir" -> didx)))
+    val dCount = d0("count").asInstanceOf[Long]
+    val dd = ok(post("/admin/dedup_index_delete",
+      Map("dir" -> didx, "ids" -> Vector(1L, 2L, 999999999L))))
+    assert(dd("deleted") == 2L || dd("deleted") == 3L, dd.toString)
+    val d1 = ok(post("/admin/dedup_index_info", Map("dir" -> didx)))
+    assert(d1("count").asInstanceOf[Long] ==
+      dCount - dd("deleted").asInstanceOf[Long])
+    assert(d1("tombstones") == dd("deleted"))
+
+    // ---- mixture: inline-docs delete (the takedown shape) → docs drop,
+    // weights re-serve from the corrected fold ----
+    val midx = TempDirs.create("graft-srv-mdel").toString
+    ok(post("/admin/mixture_stats_build", Map("src" -> src, "dir" -> midx)))
+    val w0 = ok(post("/admin/mixture_weights", Map("dir" -> midx)))(
+      "weights").asInstanceOf[Vector[Any]]
+    val takedown = spark.read.parquet(s"$src/documents.parquet")
+      .select("source", "text").limit(3).collect()
+      .map(r => Map("source" -> r.getString(0), "text" -> r.getString(1)))
+    val md = ok(post("/admin/mixture_stats_delete",
+      Map("dir" -> midx, "docs" -> takedown.toVector)))
+    assert(md("deleted_docs") == 3L, md.toString)
+    val m1 = ok(post("/admin/mixture_stats_info", Map("dir" -> midx)))
+    assert(m1("docs").asInstanceOf[Long] ==
+      spark.read.parquet(s"$src/documents.parquet").count() - 3L)
+    val w1 = ok(post("/admin/mixture_weights", Map("dir" -> midx)))(
+      "weights").asInstanceOf[Vector[Any]]
+    assert(w1 != w0, "a delete that removes token mass must move weights")
+  }
+
   test("json parser caps container nesting (no stack overflow on [[[…)") {
     val hostile = "[" * 100000 + "]" * 100000
     val e = intercept[IllegalArgumentException](graft.server.Json.parse(hostile))

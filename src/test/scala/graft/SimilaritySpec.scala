@@ -322,8 +322,16 @@ class SimilaritySpec extends AnyFunSuite {
     // the pre-flip generation for EVERY artifact (stale-but-consistent),
     // never a mix of old and new
     Similarity.indexArtifactNames.foreach { sub =>
-      assert(relBefore(sub) == s"parquet.`${snapBefore(sub)}`",
-        s"artifactRelation re-resolved $sub mid-lifetime")
+      if (sub == "vectors" || sub == "codes")
+        // the live relation anti-joins the tombstones of the SAME
+        // pre-flip snapshot — both paths pinned, no re-resolution
+        assert(relBefore(sub) ==
+          s"(SELECT g.* FROM parquet.`${snapBefore(sub)}` g LEFT ANTI JOIN " +
+            s"parquet.`${snapBefore("tombstones")}` gt ON g.vec_id = gt.vec_id)",
+          s"artifactRelation re-resolved $sub mid-lifetime")
+      else
+        assert(relBefore(sub) == s"parquet.`${snapBefore(sub)}`",
+          s"artifactRelation re-resolved $sub mid-lifetime")
     }
   }
 
@@ -516,5 +524,68 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(Similarity.vectorIndexInfo(spark, idx)("vectors") >=
       n0 + 50L * waves.size)
+  }
+
+  test("targeted delete: O(deleted) tombstone commit hides ids from every " +
+    "probe immediately; compaction purges physically and drains the set") {
+    import org.apache.spark.sql.functions.col
+    import graft.queries.Similarity
+    val src = "/root/testdata/sf0.001"
+    val idx = graft.TempDirs.create("graft-vecdel-spec").toString
+    Similarity.buildVectorIndex(spark, src, idx)
+    val info0 = Similarity.vectorIndexInfo(spark, idx)
+    assert(info0("tombstones") == 0L && info0("live") == info0("vectors"))
+    val victims = Seq(3L, 7L, 11L)
+    assert(Similarity.deleteFromVectorIndex(spark, victims, idx)
+      ("tombstones") == 3L)
+    // idempotent retry + absent-id no-op: the set is a set
+    assert(Similarity.deleteFromVectorIndex(spark,
+      victims :+ 999999999L, idx)("tombstones") == 3L)
+    val info1 = Similarity.vectorIndexInfo(spark, idx)
+    assert(info1("vectors") == info0("vectors"),
+      "a logical delete must move no vector rows")
+    assert(info1("live") == info0("vectors") - 3L)
+    // the SQL seam excludes the ids for every consumer at once
+    val rel = Similarity.artifactRelation(idx)
+    def liveIds(): Set[Long] = spark
+      .sql(s"SELECT vec_id FROM ${rel("vectors")} t")
+      .collect().map(_.getLong(0)).toSet
+    val live1 = liveIds()
+    assert(victims.forall(v => !live1.contains(v)))
+    // the two-stage probe never returns a tombstoned id
+    val qvec = spark.read.parquet(s"$src/embeddings.parquet")
+      .filter(col("vec_id") === 3L)
+      .select(org.apache.spark.sql.functions.transform(col("embedding"),
+        x => org.apache.spark.sql.functions.floor(
+          x.cast("double") * 64 + org.apache.spark.sql.functions.lit(0.5))
+          .cast("long")))
+      .head.getSeq[Long](0).mkString(",")
+    val knn = spark.sql(Similarity.twoStageKnnSqlFor(spark, idx,
+        Similarity.artifactRelation(idx), s"'$qvec'", "10"))
+      .collect().map(_.getLong(0)).toSet
+    assert(victims.forall(v => !knn.contains(v)),
+      s"two-stage probe returned a deleted id: $knn")
+    // compaction = the physical purge, in the same atomic flip
+    val info2 = Similarity.compactVectorIndex(spark, idx)
+    assert(info2("tombstones") == 0L, "compaction must drain the set")
+    assert(info2("vectors") == info0("vectors") - 3L,
+      "compaction must drop the tombstoned rows from disk")
+    assert(liveIds() == live1, "the purge must not change the live set")
+  }
+
+  test("retrain purges tombstones: deleted rows never pull the retrained " +
+    "centroids, and the new generation starts with an empty set") {
+    import graft.queries.Similarity
+    val src = "/root/testdata/sf0.001"
+    val idx = graft.TempDirs.create("graft-vecdel-rt").toString
+    Similarity.buildVectorIndex(spark, src, idx)
+    val n0 = Similarity.vectorIndexInfo(spark, idx)("vectors")
+    Similarity.deleteFromVectorIndex(spark, (0L until 50L).toSeq, idx)
+    val info = Similarity.retrainVectorIndex(spark, idx)
+    assert(info("tombstones") == 0L && info("vectors") == n0 - 50L)
+    val rel = Similarity.artifactRelation(idx)
+    val ids = spark.sql(s"SELECT vec_id FROM ${rel("vectors")} t")
+      .collect().map(_.getLong(0)).toSet
+    assert((0L until 50L).forall(v => !ids.contains(v)))
   }
 }
