@@ -432,7 +432,7 @@ object Similarity {
     // artifact — see deleteFromVectorIndex)
     emptyTombstones(s).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(stagedPath("tombstones"))
-    commitStaged(s, indexDir, staged, vecSnapshot)
+    commitStaged(s, indexDir, staged, vecSnapshot, kind = "build")
     Map("vectors" ->
         s.read.parquet(artifactPath(indexDir, "vectors")).count(),
       "cells" -> cents.length.toLong,
@@ -614,7 +614,8 @@ object Similarity {
     // a trivially broadcast scan
     merged.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$indexDir/$next")
-    commitStaged(s, indexDir, Map("tombstones" -> next), vecSnapshot)
+    commitStaged(s, indexDir, Map("tombstones" -> next), vecSnapshot,
+      kind = "delete")
     Map("tombstones" ->
       s.read.parquet(artifactPath(indexDir, "tombstones")).count())
   }
@@ -846,9 +847,13 @@ object Similarity {
     * displaced current becomes its retained `prev` (one version of
     * snapshot isolation for in-flight readers); the displaced
     * prev-of-prev — which has had a full maintenance cycle for readers
-    * to drain — is deleted. */
+    * to drain — is deleted. After the flip, the commit appends one
+    * line to the HISTORY log (see [[manifestHistory]]) — observability
+    * metadata written OUTSIDE the atomic step on purpose: a crash
+    * between flip and history append loses one history line, never
+    * index consistency. */
   private def commitManifest(indexDir: String,
-      updates: Map[String, String]): Unit = {
+      updates: Map[String, String], kind: String = "commit"): Unit = {
     val m = manifestMapping(indexDir)
     val merged = (m.keySet ++ updates.keySet).map { sub =>
       val (cur, prev) = m.getOrElse(sub, (sub, None))
@@ -859,6 +864,7 @@ object Similarity {
       }
     }.toMap
     writeManifest(indexDir, merged)
+    appendHistory(indexDir, kind, merged.map { case (s, (cur, _)) => s -> cur })
     val live = merged.values.flatMap(v => v._1 :: v._2.toList).toSet
     updates.keys.foreach { sub =>
       m.get(sub).flatMap(_._2).foreach { displaced =>
@@ -867,6 +873,99 @@ object Similarity {
       }
     }
   }
+
+  // ---------------- commit history + as-of reads ----------------
+  //
+  // Every manifest commit appends one line to an append-only HISTORY
+  // log: `<seq> <kind> sub=curDir ...` — the full post-commit mapping,
+  // so each line is a complete, self-contained generation snapshot (the
+  // lakehouse snapshot-log idea at pointer-file cost). Retention stays
+  // the manifest's: one displaced generation per artifact, so the
+  // PREVIOUS commit's snapshot is always readable and older ones decay
+  // as their directories are retired — `readable` on each entry says
+  // which. An as-of read of a readable snapshot gives time travel one
+  // flip back: "what did this index answer before that delete/compact/
+  // retrain?" — the audit/debug/rollback-evidence verb.
+
+  private def historyFile(indexDir: String): java.nio.file.Path =
+    basePath(indexDir).resolve("HISTORY")
+
+  private def appendHistory(indexDir: String, kind: String,
+      mapping: Map[String, String]): Unit = {
+    val seq = manifestHistory(indexDir).size + 1
+    val line = (s"$seq $kind" +: mapping.toSeq.sortBy(_._1)
+      .map { case (s, d) => s"$s=$d" }).mkString(" ") + "\n"
+    java.nio.file.Files.write(historyFile(indexDir),
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  /** The commit log: (seq, kind, full artifact mapping) per manifest
+    * flip, oldest first. Indexes that predate the log (or whose history
+    * line was lost to a crash-after-flip) simply have fewer entries. */
+  private[graft] def manifestHistory(
+      indexDir: String): Seq[(Int, String, Map[String, String])] = {
+    val f = historyFile(indexDir)
+    if (!java.nio.file.Files.exists(f)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(f).asScala.toSeq
+        .filter(_.nonEmpty).flatMap { l =>
+          l.split(" ").toSeq match {
+            case seq +: kind +: pairs if seq.toIntOption.isDefined =>
+              Some((seq.toInt, kind,
+                pairs.flatMap(_.split("=", 2) match {
+                  case Array(k, v) => Some(k -> v)
+                  case _ => None
+                }).toMap))
+            case _ => None
+          }
+        }
+    }
+  }
+
+  /** Is every directory of this snapshot still on disk? */
+  private def snapshotReadable(indexDir: String,
+      mapping: Map[String, String]): Boolean =
+    mapping.values.forall(d =>
+      java.nio.file.Files.isDirectory(basePath(indexDir).resolve(d)))
+
+  /** Operator-facing history: one row per commit, newest last, with the
+    * readability flag (the retention boundary). */
+  def vectorIndexHistory(s: SparkSession,
+      indexDir: String): Seq[Map[String, Any]] =
+    manifestHistory(indexDir).map { case (seq, kind, mapping) =>
+      Map("seq" -> seq.toLong, "kind" -> kind,
+        "readable" -> snapshotReadable(indexDir, mapping),
+        "artifacts" -> mapping)
+    }
+
+  /** Resolve the artifact set AS OF commit `seq` — a complete past
+    * generation, readable while the manifest's one-cycle retention
+    * still holds every directory (always true for the previous commit;
+    * loud failure past the boundary, never a silent partial read). */
+  private[graft] def resolveAllAsOf(indexDir: String,
+      seq: Int): Map[String, String] = {
+    val h = manifestHistory(indexDir)
+    val entry = h.find(_._1 == seq).getOrElse(
+      throw new IllegalArgumentException(
+        s"no commit $seq in $indexDir history (${h.size} commits)"))
+    require(snapshotReadable(indexDir, entry._3),
+      s"commit $seq of $indexDir is past the retention boundary — " +
+        "its directories were retired by later commits")
+    indexArtifacts.flatMap(sub =>
+      entry._3.get(sub).map(d => sub -> s"$indexDir/$d")).toMap
+  }
+
+  /** [[artifactRelation]] pinned to the as-of snapshot — time-travel
+    * SQL over the retained previous generation (tombstone filtering
+    * included, AS OF that commit: a pre-delete snapshot renders its own
+    * then-empty tombstone set, so the deleted rows are VISIBLE there —
+    * that is the point). */
+  private[graft] def artifactRelationAsOf(indexDir: String,
+      seq: Int): String => String =
+    relationFrom(resolveAllAsOf(indexDir, seq))
 
   /** Delete artifact directories no manifest entry references — the
     * debris of a crashed staging run. Runs only under the writer lock
@@ -996,15 +1095,16 @@ object Similarity {
     * marker. `updates` maps artifact names to their fully staged
     * directory names. */
   private def commitStaged(s: SparkSession, indexDir: String,
-      updates: Map[String, String], vecSnapshot: Set[String]): Unit = {
+      updates: Map[String, String], vecSnapshot: Set[String],
+      kind: String = "commit"): Unit = {
     val hadVectors = manifestMapping(indexDir).contains("vectors") ||
       java.nio.file.Files.isDirectory(basePath(indexDir).resolve("vectors"))
-    if (!hadVectors) { commitManifest(indexDir, updates); return }
+    if (!hadVectors) { commitManifest(indexDir, updates, kind); return }
     val oldVectors = currentName(indexDir, "vectors")
     requireUnchanged(indexDir, "vectors", vecSnapshot, updates)
     writePendingMarker(indexDir, oldVectors,
       updates.getOrElse("vectors", oldVectors), vecSnapshot)
-    commitManifest(indexDir, updates)
+    commitManifest(indexDir, updates, kind)
     salvageDrift(s, indexDir, oldVectors, vecSnapshot)
     java.nio.file.Files.delete(pendingMarker(indexDir))
   }
@@ -1119,7 +1219,8 @@ object Similarity {
           .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/$next")
         staged += "tombstones" -> next
       }
-      if (staged.nonEmpty) commitStaged(s, indexDir, staged.toMap, vecSnapshot)
+      if (staged.nonEmpty)
+        commitStaged(s, indexDir, staged.toMap, vecSnapshot, kind = "compact")
       vectorIndexInfo(s, indexDir)
     }
 
@@ -1192,7 +1293,7 @@ object Similarity {
       // all staged generations commit in one atomic flip — no reader
       // ever sees a mixed generation, and in-flight readers drain
       // against the retained previous generation
-      commitStaged(s, indexDir, staged, vecSnapshot)
+      commitStaged(s, indexDir, staged, vecSnapshot, kind = "retrain")
       vectorIndexInfo(s, indexDir)
     } finally vecs.unpersist(false)
   }
@@ -2072,6 +2173,66 @@ object Similarity {
              |  FROM qd JOIN q ON qd.i = q.i
              |  JOIN assign a ON a.vec_id = qd.vec_id
              |  WHERE a.cell = (SELECT cell FROM best) AND qd.vec_id % 5 <> 0
+             |  GROUP BY qd.vec_id)
+             |SELECT vec_id, dist FROM cand
+             |ORDER BY dist, vec_id LIMIT 10""".stripMargin)),
+
+    // ---- time travel: the as-of read of the retained generation ----
+    // Every manifest commit appends a complete generation snapshot to
+    // the index's HISTORY log, and the one-cycle retention the flip
+    // protocol already pays makes the PREVIOUS commit's snapshot
+    // readable — so "what did this index answer before that delete?"
+    // is a query, not forensics. The gate probes the SAME
+    // deleted-index fixture as q_vector_delete, AS OF the build commit
+    // (seq 1, before the delete): the oracle is the FULL-corpus IVF
+    // recompute with no survivor filter — the deleted ids are visible
+    // again, including the distance-0 self hit of the deleted query
+    // doc. Together the pair (q_vector_delete, q_vector_asof)
+    // hash-pins both sides of the retention boundary.
+    "q_vector_asof" -> Q(
+      (s, dir) => {
+        graft.PhaseTimings.reset("q_vector_asof")
+        val idx = graft.PhaseTimings.timed("q_vector_asof", "index_build") {
+          deletedIndexDir(s, dir)
+        }
+        val qvec = emb(s, dir).filter(col("vec_id") === 0)
+          .select(transform(col("embedding"),
+            x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")))
+          .head.getSeq[Long](0)
+        s.sql(ivfIndexProbeSql(artifactRelationAsOf(idx, 1),
+          s"'${qvec.mkString(",")}'", "10"))
+      },
+      Some("""WITH qd AS (
+             |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+             |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 64 + 0.5)
+             |      AS BIGINT) AS qx
+             |  FROM embeddings),
+             |q AS (SELECT i, qx FROM qd WHERE vec_id = 0),
+             |cent AS (
+             |  SELECT label, i, sum(qx) // count(*) AS cx
+             |  FROM qd GROUP BY label, i),
+             |vdist AS (
+             |  SELECT qd.vec_id, cent.label AS cell,
+             |    sum((qd.qx - cent.cx) * (qd.qx - cent.cx)) AS d
+             |  FROM qd JOIN cent ON qd.i = cent.i
+             |  GROUP BY qd.vec_id, cent.label),
+             |assign AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT vec_id, cell,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell)
+             |        AS rn
+             |    FROM vdist) WHERE rn = 1),
+             |cdist AS (
+             |  SELECT cent.label AS cell,
+             |    sum((cent.cx - q.qx) * (cent.cx - q.qx)) AS cd
+             |  FROM cent JOIN q ON cent.i = q.i GROUP BY cent.label),
+             |best AS (SELECT cell FROM cdist ORDER BY cd, cell LIMIT 1),
+             |cand AS (
+             |  SELECT qd.vec_id,
+             |    CAST(sum((qd.qx - q.qx) * (qd.qx - q.qx)) AS BIGINT) AS dist
+             |  FROM qd JOIN q ON qd.i = q.i
+             |  JOIN assign a ON a.vec_id = qd.vec_id
+             |  WHERE a.cell = (SELECT cell FROM best)
              |  GROUP BY qd.vec_id)
              |SELECT vec_id, dist FROM cand
              |ORDER BY dist, vec_id LIMIT 10""".stripMargin)),

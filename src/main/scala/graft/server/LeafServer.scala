@@ -927,6 +927,17 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     graft.queries.Similarity.vectorIndexInfo(store.spark, str(args, "dir"))
   }
 
+  handle("/admin/vector_index_history") { (c, args) =>
+    // the commit log: one row per manifest flip (build/append-free —
+    // appends don't flip — compact/retrain/delete), with the
+    // readability flag marking the one-cycle retention boundary an
+    // as-of read can still resolve
+    if (!c.trusted && !c.did.exists(moduleAdmins.contains))
+      throw new LeafAuthException("admin RPCs require a trusted connection")
+    Map("commits" -> graft.queries.Similarity
+      .vectorIndexHistory(store.spark, str(args, "dir")).toVector)
+  }
+
   // ---------------- targeted deletion (right-to-be-forgotten) ----------------
   // One verb, four families: an O(deleted) logical tombstone commit
   // through each family's atomic pointer flip — no data bytes move at

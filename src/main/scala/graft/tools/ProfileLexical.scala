@@ -74,13 +74,27 @@ object ProfileLexical {
 
     val info = Retrieval.lexicalIndexInfo(spark, idx)
     println(s"[lexprof] info: $info")
+
+    // the delete verb's decade row: a FIXED 50-doc takedown must stay
+    // ~flat as the index grows — the df correction is one postings pass
+    // bounded by a semi-join on the 50 ids, the commit O(deleted)
+    import spark.implicits._
+    val delIds = (0 until 50).map(i => i * 31L + 2L).toDF("doc_id")
+    val delOut = timed("delete_50")(
+      Retrieval.deleteFromLexicalIndex(spark, delIds, idx))
+    println(s"[lexprof] delete: $delOut")
+    val rowsDel = timed("probe_post_delete")(spark.sql(
+      graft.queries.Retrieval.bm25ProbeSqlForProfiler(
+        spark, idx, Seq("hash", "join", "slow"))).collect())
+    require(rowsDel.nonEmpty, "post-delete probe returned nothing")
+
     val compacted = timed("compact")(Retrieval.compactLexicalIndex(spark, idx))
     println(s"[lexprof] post-compact: $compacted")
     val rows2 = timed("probe_post_compact")(spark.sql(
       graft.queries.Retrieval.bm25ProbeSqlForProfiler(
         spark, idx, Seq("hash", "join", "slow"))).collect())
-    require(rows2.map(_.toString).toSeq == rows.map(_.toString).toSeq,
-      "compaction changed probe answers")
+    require(rows2.map(_.toString).toSeq == rowsDel.map(_.toString).toSeq,
+      "compaction (the physical purge) changed probe answers")
     corpus.unpersist(false)
     spark.stop()
   }

@@ -115,6 +115,20 @@ object ProfileVectorIndex {
     println(f"[vecprof] ×$mult matryoshka_recall_at_10: " +
       f"${(mat & exact).size / 10.0}%.2f")
 
+    // the delete verb's decade row: tombstoning a FIXED 50 ids must stay
+    // ~flat as the base index grows (the only index-sized term is one
+    // column-pruned vec_id scan for the present-filter semi-join; the
+    // commit itself is O(deleted)); the post-delete probe pays one
+    // broadcast anti-join against the 50-row set
+    val delIds = spark.range(50).select((col("id") * 97L + 13L).as("vec_id"))
+    timed("delete_50")(Similarity.deleteFromVectorIndexDf(spark, delIds, idx))
+    val twoStageDel = Similarity.twoStageKnnSql(
+      Similarity.artifactRelation(idx), s"'$qvec'", "10")
+    val rowsDel = timed("two_stage_query_post_delete")(
+      spark.sql(twoStageDel).collect())
+    require(rowsDel.head.getLong(0) == 7L,
+      s"self-hit missing after delete: ${rowsDel.head}")
+
     val info = timed("info")(Similarity.vectorIndexInfo(spark, idx))
     println(s"[vecprof] info: $info")
     val compacted = timed("compact")(Similarity.compactVectorIndex(spark, idx))

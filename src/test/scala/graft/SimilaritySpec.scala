@@ -573,6 +573,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(liveIds() == live1, "the purge must not change the live set")
   }
 
+  test("commit history + as-of reads: every flip logs a snapshot, the " +
+    "previous commit stays queryable, and the retention boundary is loud") {
+    import org.apache.spark.sql.functions.col
+    import graft.queries.Similarity
+    val src = "/root/testdata/sf0.001"
+    val idx = graft.TempDirs.create("graft-asof-spec").toString
+    Similarity.buildVectorIndex(spark, src, idx)
+    Similarity.deleteFromVectorIndex(spark, Seq(3L, 7L), idx)
+    val h = Similarity.vectorIndexHistory(spark, idx)
+    assert(h.map(e => (e("seq"), e("kind"))) ==
+      Seq((1L, "build"), (2L, "delete")), h.toString)
+    assert(h.forall(_("readable") == true),
+      "both generations must be readable inside the retention window")
+    // time travel: as of the build commit the deleted ids are VISIBLE
+    def ids(rel: String => String): Set[Long] = spark
+      .sql(s"SELECT vec_id FROM ${rel("vectors")} t")
+      .collect().map(_.getLong(0)).toSet
+    val now = ids(Similarity.artifactRelation(idx))
+    val before = ids(Similarity.artifactRelationAsOf(idx, 1))
+    assert(!now.contains(3L) && !now.contains(7L))
+    assert(before.contains(3L) && before.contains(7L),
+      "the as-of read must see the pre-delete generation")
+    assert(before == now + 3L + 7L)
+    // the purge retires the build snapshot's tombstone generation —
+    // as-of past the boundary must refuse loudly, never read a partial
+    Similarity.compactVectorIndex(spark, idx)
+    val h2 = Similarity.vectorIndexHistory(spark, idx)
+    assert(h2.map(_("kind")) == Seq("build", "delete", "compact"))
+    assert(h2.last("readable") == true)
+    assert(h2.head("readable") == false,
+      "the build snapshot must age out at the second flip after it")
+    intercept[IllegalArgumentException] {
+      Similarity.artifactRelationAsOf(idx, 1)
+    }
+    // the delete snapshot (one flip back) is still fully queryable
+    val preCompact = ids(Similarity.artifactRelationAsOf(idx, 2))
+    assert(preCompact == now,
+      "the compact purge must not change the live id set, as-of or not")
+  }
+
   test("retrain purges tombstones: deleted rows never pull the retrained " +
     "centroids, and the new generation starts with an empty set") {
     import graft.queries.Similarity
