@@ -112,6 +112,47 @@ object Corpus {
 
   val all: Map[String, Q] = Map(
 
+    // ---- the dataset card: one-row corpus datasheet ----
+    // The summary a training-data pipeline publishes with every corpus
+    // snapshot (the Datasheets-for-Datasets habit, arXiv:1803.09010, as
+    // a query): volume (docs, whitespace tokens), composition (distinct
+    // sources/langs), redundancy (exact-dup doc count via the md5
+    // fingerprint), and the token-length distribution's p50/p90. ONE
+    // column-pruned corpus pass folding into a 1-row aggregate — at
+    // 100 TB this is the cheapest full-corpus statement there is, and
+    // every number is integer-exact except the two interpolated
+    // percentiles (integer inputs, so the interpolation is exact in
+    // both engines — the q_score_bucket cutpoint precedent).
+    "q_corpus_card" -> Q(
+      (s, dir) => {
+        val t = split(trim(col("text")), "\\s+")
+        val proj = docs(s, dir).select(col("source"), col("lang"),
+          size(t).cast("long").as("dl"), md5(col("text")).as("fp"))
+        proj.agg(
+          count(lit(1)).as("docs"),
+          countDistinct(col("source")).as("sources"),
+          countDistinct(col("lang")).as("langs"),
+          sum(col("dl")).as("total_tokens"),
+          expr("sum(dl) DIV count(1)").as("tokens_per_doc"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("dup_docs"),
+          expr("percentile(dl, 0.5)").as("p50_tokens"),
+          expr("percentile(dl, 0.9)").as("p90_tokens"))
+      },
+      Some("""WITH proj AS (
+             |  SELECT source, lang,
+             |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS dl,
+             |    md5(text) AS fp
+             |  FROM documents)
+             |SELECT CAST(count(*) AS BIGINT) AS docs,
+             |  CAST(count(DISTINCT source) AS BIGINT) AS sources,
+             |  CAST(count(DISTINCT lang) AS BIGINT) AS langs,
+             |  CAST(sum(dl) AS BIGINT) AS total_tokens,
+             |  CAST(sum(dl) // count(*) AS BIGINT) AS tokens_per_doc,
+             |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS dup_docs,
+             |  quantile_cont(dl, 0.5) AS p50_tokens,
+             |  quantile_cont(dl, 0.9) AS p90_tokens
+             |FROM proj""".stripMargin)),
+
     // ---- TF-IDF top-3 keywords per document ----
     // Scores round to 6 decimals BEFORE ranking so the float tail of
     // ln() can neither flip an order nor leak into the gate hash; ties

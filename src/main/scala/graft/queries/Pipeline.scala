@@ -743,6 +743,104 @@ object Pipeline {
              |  FROM documents)
              |WHERE rk <= 10 ORDER BY source, rk""".stripMargin)),
 
+    // ---- the composed curation pipeline, end to end ----
+    // The operators above are gate-checked one at a time; a real corpus
+    // run CHAINS them, and composition is where silent drift hides
+    // (stage N's survivors are stage N+1's universe — every statistic
+    // downstream of a filter must recompute over the filtered set).
+    // This gate runs the canonical four-stage curation pass as ONE
+    // dataflow and hash-matches the whole composition:
+    //   1. quality gate  — the Gopher keep predicate (q_quality_gopher's
+    //      exact bounds) filters the raw corpus;
+    //   2. exact dedup   — canonical (min doc_id) per md5 fingerprint,
+    //      computed over the QUALITY SURVIVORS only;
+    //   3. decontamination — drop survivors sharing any 20-char/stride-5
+    //      n-gram with the held-out eval split (doc_id % 97 = 0 of the
+    //      RAW corpus — q_decontaminate's exact grams), eval ids
+    //      excluded from train;
+    //   4. domain quota  — ≤10 docs per source by the deterministic
+    //      md5(doc_id) order (q_sample_domain_quota's exact rank).
+    // Scale shape: stages 1-2 are one corpus pass + one fingerprint
+    // shuffle; stage 3's gram join is bounded by the eval split's gram
+    // set (broadcast at real eval sizes); stage 4's rank-filter compiles
+    // to a map-side WindowGroupLimit, ≤10 rows per source per partition
+    // cross the exchange. No stage re-reads the corpus of record.
+    "q_pipeline_e2e" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+        // 1. quality: the gopher bounds
+        val t = split(trim(col("text")), "\\s+")
+        val nWords = size(t).cast("long")
+        val nAlpha = length(regexp_replace(col("text"), "\\s+", ""))
+          .cast("long")
+        val maxW = array_max(transform(t, w => length(w))).cast("long")
+        val quality = d.filter(nWords >= 20 && nWords <= 80 &&
+          nAlpha >= nWords * 3 && nAlpha <= nWords * 10 && maxW <= 15)
+        // 2. exact dedup among survivors: keep the canonical per content
+        val canon = quality.groupBy(md5(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+        val deduped = quality.join(canon, Seq("doc_id"), "left_semi")
+        // 3. decontaminate vs the held-out split of the RAW corpus
+        def grams(df: DataFrame): DataFrame = df
+          .select(col("doc_id"), trim(col("text")).as("tt"))
+          .filter(length(col("tt")) >= 20)
+          .select(col("doc_id"),
+            explode(sequence(lit(1), length(col("tt")) - 19, lit(5)))
+              .as("i"), col("tt"))
+          .select(col("doc_id"), graft.functions.VectorExpressions
+            .md5_60(s, col("tt").substr(col("i"), lit(20))).as("h"))
+        val evalG = grams(d.filter(col("doc_id") % 97 === 0))
+          .select("h").distinct()
+        val train = deduped.filter(col("doc_id") % 97 =!= 0)
+        val bad = grams(train).distinct()
+          .join(evalG, "h").select("doc_id").distinct()
+        val clean = train.join(bad, Seq("doc_id"), "left_anti")
+        // 4. per-source quota by deterministic hash order
+        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+          16, 10).cast("long")
+        clean.select(col("source"), col("doc_id"), h.as("hk"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("source"))
+              .orderBy(col("hk"), col("doc_id"))))
+          .filter(col("rk") <= 10)
+          .select(col("source"), col("doc_id"),
+            col("rk").cast("long").as("rk"))
+          .orderBy(col("source"), col("rk"))
+      },
+      Some("""WITH q AS (
+             |  SELECT doc_id, source, text FROM (
+             |    SELECT doc_id, source, text,
+             |      CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+             |      CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_alpha,
+             |      CAST(list_max(list_transform(regexp_split_to_array(trim(text), '\s+'),
+             |           w -> length(w))) AS BIGINT) AS max_word_len
+             |    FROM documents)
+             |  WHERE n_words >= 20 AND n_words <= 80
+             |    AND n_alpha >= n_words * 3 AND n_alpha <= n_words * 10
+             |    AND max_word_len <= 15),
+             |canon AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+             |dd AS (SELECT q.* FROM q JOIN canon USING (doc_id)),
+             |eg AS (
+             |  SELECT DISTINCT ('0x' || substr(md5(substr(trim(text), i, 20)), 1, 15))::BIGINT AS h
+             |  FROM (SELECT text, unnest(generate_series(1, length(trim(text)) - 19, 5)) AS i
+             |        FROM documents WHERE doc_id % 97 = 0 AND length(trim(text)) >= 20)),
+             |tg AS (
+             |  SELECT DISTINCT doc_id, ('0x' || substr(md5(substr(trim(text), i, 20)), 1, 15))::BIGINT AS h
+             |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(trim(text)) - 19, 5)) AS i
+             |        FROM dd WHERE doc_id % 97 != 0 AND length(trim(text)) >= 20)),
+             |bad AS (SELECT DISTINCT doc_id FROM tg JOIN eg USING (h)),
+             |clean AS (
+             |  SELECT * FROM dd
+             |  WHERE doc_id % 97 != 0 AND doc_id NOT IN (SELECT doc_id FROM bad))
+             |SELECT source, doc_id, rk FROM (
+             |  SELECT source, doc_id,
+             |    row_number() OVER (PARTITION BY source ORDER BY
+             |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+             |      doc_id) AS rk
+             |  FROM clean)
+             |WHERE rk <= 10 ORDER BY source, rk""".stripMargin)),
+
     // ---- fixed-k uniform sample: the reservoir-sampling replacement ----
     // "Give me exactly 100 uniformly-chosen docs from the corpus" without
     // RNG state or a global sort: order by a content-independent hash of

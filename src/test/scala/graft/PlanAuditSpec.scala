@@ -266,6 +266,24 @@ class PlanAuditSpec extends AnyFunSuite {
       "q16 shape lost its NOT-IN anti-join")
   }
 
+  test("composed curation pipeline: quota limited map-side, no products, " +
+    "bounded corpus scans") {
+    // the four-stage chain must not multiply corpus passes: quality +
+    // dedup + decontamination + quota compile into a bounded number of
+    // documents scans (the gram stages legitimately re-read text), the
+    // per-source quota's rank filter stays a map-side WindowGroupLimit
+    // (≤10 rows per source per partition cross the exchange), and no
+    // stage degenerates into a product join
+    val p = physical("q_pipeline_e2e")
+    assert(p.contains("WindowGroupLimit"),
+      s"quota rank filter lost its map-side group limit:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      s"pipeline plans a product join:\n$p")
+    val scans = "FileScan parquet[^\\n]*documents".r.findAllIn(p).size
+    assert(scans <= 5, s"pipeline re-reads documents $scans times:\n$p")
+  }
+
   test("increment-vs-index scans the index artifacts, never prior text") {
     // the persisted-index contract: once the prior corpus is indexed, an
     // increment's plan reads the index parquet (fp/bands/shingles) and the
