@@ -1137,6 +1137,84 @@ class FanoutSoakSpec extends AnyFunSuite {
     }
   }
 
+  test("tombstone pressure trips the auto-purge: a delete past the share " +
+    "threshold is reclaimed by the next tick, vector and lexical alike") {
+    // logical deletes must not accumulate unreclaimed: the maintenance
+    // tick treats tombstone share like file decay. Files threshold set
+    // unreachably high so the ONLY trigger under test is the share.
+    import org.apache.spark.sql.functions.col
+    val tstore = new StreamStore(spark,
+      graft.TempDirs.create("graft-tombstore").toString)
+    val tsrv = new LeafServer(tstore, 0, authToken = Some("testtoken"),
+      vectorMaintMs = 300L, vectorCompactFilesThreshold = 100000L,
+      tombstonePurgeSharePct = 20L)
+    tsrv.start()
+    try {
+      def tpost(path: String, body: Map[String, Any]): Map[String, Any] = {
+        val b = HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${tsrv.boundPort}$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(Json.render(body)))
+          .header("Authorization", "Bearer testtoken")
+        Json.parse(client.send(b.build(),
+          HttpResponse.BodyHandlers.ofString()).body())
+          .asInstanceOf[Map[String, Any]]
+      }
+      def tok(r: Map[String, Any]): Map[String, Any] = {
+        assert(!r.contains("err"), r.toString)
+        r("ok").asInstanceOf[Map[String, Any]]
+      }
+      val src = "/root/testdata/sf0.001"
+      val vidx = graft.TempDirs.create("graft-tombvec").toString
+      val lidx = graft.TempDirs.create("graft-tomblex").toString
+      tok(tpost("/admin/vector_index_build", Map("src" -> src, "dir" -> vidx)))
+      tok(tpost("/admin/lexical_index_build", Map("src" -> src, "dir" -> lidx)))
+      // settle: the fresh builds must NOT trip anything (share 0)
+      val p0 = tsrv.maintPassesCompleted
+      while (tsrv.maintPassesCompleted < p0 + 2) Thread.sleep(100)
+      def maint(fam: String, d: String): Map[String, Any] =
+        tok(tpost("/admin/vector_index_maint",
+          Map("dir" -> d, "family" -> fam)))
+      assert(maint("vector", vidx)("compactions") == 0L,
+        maint("vector", vidx).toString)
+      assert(maint("lexical", lidx)("compactions") == 0L)
+      // delete ~1/3 of each — far past the 20% share threshold
+      val vTotal = spark.read.parquet(s"$src/embeddings.parquet").count()
+      val nDocs = spark.read.parquet(s"$src/documents.parquet").count()
+      val vIds = spark.read.parquet(s"$src/embeddings.parquet")
+        .select("vec_id").filter(col("vec_id") % 3 === 0)
+        .collect().map(_.getLong(0)).toVector
+      tok(tpost("/admin/vector_index_delete",
+        Map("dir" -> vidx, "ids" -> vIds)))
+      val lIds = spark.read.parquet(s"$src/documents.parquet")
+        .select("doc_id").filter(col("doc_id") % 3 === 0)
+        .collect().map(_.getLong(0)).toVector
+      tok(tpost("/admin/lexical_index_delete",
+        Map("dir" -> lidx, "ids" -> lIds)))
+      // the next tick must purge BOTH
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def purged(): Boolean =
+        maint("vector", vidx)("compactions").asInstanceOf[Long] >= 1L &&
+          maint("lexical", lidx)("compactions").asInstanceOf[Long] >= 1L
+      while (!purged() && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(purged(), s"tombstone pressure never tripped the purge: " +
+        s"${maint("vector", vidx)} / ${maint("lexical", lidx)}")
+      val vInfo = tok(tpost("/admin/vector_index_info", Map("dir" -> vidx)))
+      assert(vInfo("tombstones") == 0L &&
+        vInfo("vectors").asInstanceOf[Long] == vTotal - vIds.size,
+        vInfo.toString)
+      val lInfo = tok(tpost("/admin/lexical_index_info", Map("dir" -> lidx)))
+      assert(lInfo("tombstones") == 0L &&
+        lInfo("docs").asInstanceOf[Long] == nDocs - lIds.size,
+        lInfo.toString)
+      // steady state: a drained set must not re-trigger
+      val c1 = maint("vector", vidx)("compactions").asInstanceOf[Long]
+      val p1 = tsrv.maintPassesCompleted
+      while (tsrv.maintPassesCompleted < p1 + 2) Thread.sleep(100)
+      assert(maint("vector", vidx)("compactions") == c1,
+        "a drained tombstone set re-triggered the purge")
+    } finally tsrv.stop()
+  }
+
   test("opt-in dedup auto-reband: sustained appends across the derivation " +
     "knee trigger a background re-band, increment reads never fail") {
     import org.apache.spark.sql.functions.{col, concat, concat_ws, lit, md5}
