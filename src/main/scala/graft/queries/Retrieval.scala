@@ -205,6 +205,7 @@ object Retrieval {
       fs.delete(new org.apache.hadoop.fs.Path(indexDir, a), true))
     lexGenerations(fs, indexDir).foreach(d => fs.delete(d, true))
     graft.stream.PointerCommit.default.delete(fs, lexMetaPath(s, indexDir)._2)
+    java.nio.file.Files.deleteIfExists(lexHistoryFile(indexDir))
     writeLexBatch(s, corpus, indexDir, batch = 0)
     val posted = s.read.parquet(s"$indexDir/terms/batch=0")
     posted.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
@@ -220,7 +221,8 @@ object Retrieval {
     emptyDocIds(s).coalesce(1).write
       .mode(SaveMode.Overwrite).parquet(s"$indexDir/del.v1")
     writeLexMeta(s, indexDir,
-      LexMeta(1, n, sumDl, "df.v1", "stats.v1", delDir = "del.v1"))
+      LexMeta(1, n, sumDl, "df.v1", "stats.v1", delDir = "del.v1"),
+      kind = "build")
     Map("docs" -> n,
       "postings" -> posted.count(),
       "terms" -> s.read.parquet(s"$indexDir/df.v1").count())
@@ -278,7 +280,8 @@ object Retrieval {
     writeLexMeta(s, indexDir,
       LexMeta(b + 1, newN, newSum, nextDf, nextStats,
         meta.termsDir, meta.docsDir,
-        streamBatch.getOrElse(meta.lastStreamBatch), meta.delDir))
+        streamBatch.getOrElse(meta.lastStreamBatch), meta.delDir),
+      kind = "append")
     Map("appended" -> agg.getLong(0), "docs" -> newN,
       "batches" -> (b + 1).toLong)
   }
@@ -337,7 +340,7 @@ object Retrieval {
     // THE commit: one batch, same live totals, same df/stats, new layout
     writeLexMeta(s, indexDir, LexMeta(1, meta.n, meta.sumDl,
       meta.dfDir, meta.statsDir, nextTerms, nextDocs,
-      meta.lastStreamBatch, nextDel))
+      meta.lastStreamBatch, nextDel), kind = "compact")
     lexicalIndexInfo(s, indexDir)
   }
 
@@ -413,7 +416,7 @@ object Retrieval {
       // THE commit: corrected df/stats, merged tombstones, live totals
       writeLexMeta(s, indexDir, LexMeta(meta.batches, newN, newSum,
         nextDf, nextStats, meta.termsDir, meta.docsDir,
-        meta.lastStreamBatch, nextDel))
+        meta.lastStreamBatch, nextDel), kind = "delete")
       Map("deleted" -> dN, "docs" -> newN,
         "tombstones" ->
           s.read.parquet(s"$indexDir/$nextDel").count())
@@ -559,11 +562,132 @@ object Retrieval {
   }
 
   private def writeLexMeta(s: SparkSession, indexDir: String,
-      m: LexMeta): Unit = {
+      m: LexMeta, kind: String = "commit"): Unit = {
     val (fs, p) = lexMetaPath(s, indexDir)
+    val body = s"""{"batches": ${m.batches}, "n": ${m.n}, "sum_dl": ${m.sumDl}, "df_dir": "${m.dfDir}", "stats_dir": "${m.statsDir}", "terms_dir": "${m.termsDir}", "docs_dir": "${m.docsDir}", "last_stream_batch": ${m.lastStreamBatch}, "del_dir": "${m.delDir}"}"""
     graft.stream.PointerCommit.default.publish(fs, p,
-      s"""{"batches": ${m.batches}, "n": ${m.n}, "sum_dl": ${m.sumDl}, "df_dir": "${m.dfDir}", "stats_dir": "${m.statsDir}", "terms_dir": "${m.termsDir}", "docs_dir": "${m.docsDir}", "last_stream_batch": ${m.lastStreamBatch}, "del_dir": "${m.delDir}"}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    appendLexHistory(indexDir, kind, body)
+  }
+
+  // ---------------- commit history + as-of reads ----------------
+  // The lexical twin of Similarity's HISTORY log: every meta commit
+  // appends `<seq> <kind> <the committed meta JSON>` to an append-only
+  // META_HISTORY beside the meta — each line a complete, self-contained
+  // generation snapshot (batch-scoped artifacts only GROW between
+  // commits, so an older meta's batch census is still on disk; the
+  // versioned df/stats/del generations it names survive exactly one
+  // displacement cycle). Written OUTSIDE the atomic commit: a crash
+  // loses one observability line, never consistency.
+
+  private def lexHistoryFile(indexDir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(indexDir.stripPrefix("file:"))
+      .resolve("META_HISTORY")
+
+  private def appendLexHistory(indexDir: String, kind: String,
+      metaJson: String): Unit = {
+    val seq = lexHistory(indexDir).size + 1
+    java.nio.file.Files.write(lexHistoryFile(indexDir),
+      s"$seq $kind $metaJson\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  /** The commit log: (seq, kind, meta snapshot), oldest first. */
+  private[graft] def lexHistory(
+      indexDir: String): Seq[(Int, String, LexMeta)] = {
+    val f = lexHistoryFile(indexDir)
+    if (!java.nio.file.Files.exists(f)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(f).asScala.toSeq
+        .filter(_.nonEmpty).flatMap { l =>
+          l.split(" ", 3) match {
+            case Array(seq, kind, json) if seq.toIntOption.isDefined =>
+              try {
+                val m = graft.server.Json.parse(json)
+                  .asInstanceOf[Map[String, Any]]
+                Some((seq.toInt, kind, LexMeta(
+                  m("batches").asInstanceOf[Long].toInt,
+                  m("n").asInstanceOf[Long],
+                  m("sum_dl").asInstanceOf[Long],
+                  m("df_dir").asInstanceOf[String],
+                  m("stats_dir").asInstanceOf[String],
+                  m.get("terms_dir").collect { case d: String => d }
+                    .getOrElse("terms"),
+                  m.get("docs_dir").collect { case d: String => d }
+                    .getOrElse("docs"),
+                  m.get("last_stream_batch").collect { case b: Long => b }
+                    .getOrElse(-1L),
+                  m.get("del_dir").collect { case d: String => d }
+                    .getOrElse(""))))
+              } catch { case _: Exception => None }
+            case _ => None
+          }
+        }
+    }
+  }
+
+  /** Is every directory the snapshot names (versioned generations AND
+    * its committed batch census) still on disk? */
+  private def lexSnapshotReadable(indexDir: String, m: LexMeta): Boolean = {
+    val base = java.nio.file.Paths.get(indexDir.stripPrefix("file:"))
+    val gens = Seq(m.dfDir, m.statsDir) ++
+      (if (m.delDir.nonEmpty) Seq(m.delDir) else Seq.empty)
+    gens.forall(d => java.nio.file.Files.isDirectory(base.resolve(d))) &&
+      Seq(m.termsDir, m.docsDir).forall { art =>
+        (0 until m.batches).forall(b => java.nio.file.Files.isDirectory(
+          base.resolve(art).resolve(s"batch=$b")))
+      }
+  }
+
+  /** Operator-facing history rows, newest last, with the readability
+    * flag marking the retention boundary. */
+  def lexicalIndexHistory(s: SparkSession,
+      indexDir: String): Seq[Map[String, Any]] =
+    lexHistory(indexDir).map { case (seq, kind, m) =>
+      Map("seq" -> seq.toLong, "kind" -> kind,
+        "docs" -> m.n, "batches" -> m.batches.toLong,
+        "readable" -> lexSnapshotReadable(indexDir, m))
+    }
+
+  /** [[lexRelation]] pinned to the snapshot committed at `seq` — df,
+    * stats, tombstones AND the batch census all as of that commit, so a
+    * pre-delete snapshot scores deleted docs with the UNCORRECTED
+    * statistics (exactly a rebuild at that moment would). Loud refusal
+    * past the retention boundary, never a partial read. */
+  private[graft] def lexRelationAsOf(s: SparkSession, indexDir: String,
+      seq: Int): String => String = {
+    val h = lexHistory(indexDir)
+    val (_, _, meta) = h.find(_._1 == seq).getOrElse(
+      throw new IllegalArgumentException(
+        s"no commit $seq in $indexDir history (${h.size} commits)"))
+    require(lexSnapshotReadable(indexDir, meta),
+      s"commit $seq of $indexDir is past the retention boundary — " +
+        "its generations were retired by later commits")
+    // the as-of census: ONLY the batches that commit admitted (a later
+    // append's batch dirs exist on disk but are invisible here)
+    val batches = (0 until meta.batches)
+    val del = Option(meta.delDir).filter(_.nonEmpty)
+      .map(d => s"$indexDir/$d")
+    def batchUnion(art: String, cols: String): String =
+      batches.map(b =>
+        s"SELECT $cols FROM parquet.`$indexDir/$art/batch=$b`")
+        .mkString("(", " UNION ALL ", ")")
+    sub => {
+      val raw = sub match {
+        case "terms" => batchUnion(meta.termsDir, "term, doc_id, tf")
+        case "docs" => batchUnion(meta.docsDir, "doc_id, dl")
+        case "df" => s"parquet.`$indexDir/${meta.dfDir}`"
+        case "stats" => s"parquet.`$indexDir/${meta.statsDir}`"
+        case other => s"parquet.`$indexDir/$other`"
+      }
+      if (del.isDefined && (sub == "terms" || sub == "docs"))
+        s"(SELECT g.* FROM $raw g LEFT ANTI JOIN " +
+          s"parquet.`${del.get}` gt ON g.doc_id = gt.doc_id)"
+      else raw
+    }
   }
 
   // parse only — no batch-census validation. Append paths use this so a
@@ -1128,6 +1252,34 @@ object Retrieval {
         val matched = lexProbeTerms.indices
           .map(i => s"tf$i > 0").mkString(" OR ")
         s"""WITH ${bm25SqlFor(lexProbeTerms, "WHERE doc_id % 7 <> 3")}
+           |SELECT b.doc_id, b.score_micro
+           |FROM bm b JOIN bmproj p ON p.doc_id = b.doc_id
+           |WHERE $matched
+           |ORDER BY b.score_micro DESC, b.doc_id LIMIT 50""".stripMargin
+      }),
+
+    // ---- time travel: the lexical as-of read ----
+    // The lexical twin of q_vector_asof: the SAME deleted fixture,
+    // probed AS OF the build commit (seq 1, before the delete) through
+    // the META_HISTORY snapshot — df, stats, tombstones and the batch
+    // census all pinned to that commit, so the deleted docs are visible
+    // again and every score uses the UNCORRECTED full-corpus
+    // statistics. Oracle = q_bm25_indexed's full-corpus recompute, so
+    // the (q_bm25_delete, q_bm25_asof) pair hash-pins both sides of
+    // the lexical retention boundary.
+    "q_bm25_asof" -> Q(
+      (s, dir) => {
+        graft.PhaseTimings.reset("q_bm25_asof")
+        val idx = graft.PhaseTimings.timed("q_bm25_asof", "index_build") {
+          lexDeletedIndexDir(s, dir)
+        }
+        s.sql(bm25NamedSql(lexRelationAsOf(s, idx, 1),
+          s"'${lexProbeTerms.mkString(",")}'", "50"))
+      },
+      Some {
+        val matched = lexProbeTerms.indices
+          .map(i => s"tf$i > 0").mkString(" OR ")
+        s"""WITH ${bm25SqlFor(lexProbeTerms)}
            |SELECT b.doc_id, b.score_micro
            |FROM bm b JOIN bmproj p ON p.doc_id = b.doc_id
            |WHERE $matched

@@ -789,6 +789,16 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     out
   }
 
+  handle("/admin/lexical_index_history") { (c, args) =>
+    // the lexical commit log (build/append/compact/delete), with the
+    // readability flag marking the one-cycle retention boundary an
+    // as-of read can still resolve
+    if (!c.trusted && !c.did.exists(moduleAdmins.contains))
+      throw new LeafAuthException("admin RPCs require a trusted connection")
+    Map("commits" -> graft.queries.Retrieval
+      .lexicalIndexHistory(store.spark, str(args, "dir")).toVector)
+  }
+
   handle("/admin/lexical_index_info") { (c, args) =>
     // totals + the small-files signal (appends accumulate ≥1 file per
     // artifact per batch — the compaction cue, as for the event log and

@@ -75,6 +75,46 @@ class DeleteLifecycleSpec extends AnyFunSuite {
       "the physical purge must not change any score")
   }
 
+  test("lexical commit history + as-of: every meta commit logs a " +
+    "snapshot, pre-delete scores are reproducible, boundary is loud") {
+    val corpus = docs(100).select(col("doc_id"),
+      concat(col("text"), lit(" needle")).as("text"))
+    val idx = TempDirs.create("graft-lexasof").toString
+    Retrieval.buildLexicalIndexDf(spark, corpus, idx)
+    val full = probeScores(idx, Seq("needle"))
+    Retrieval.deleteFromLexicalIndex(spark,
+      corpus.filter(col("doc_id") % 4 === 1).select("doc_id"), idx)
+    val h = Retrieval.lexicalIndexHistory(spark, idx)
+    assert(h.map(e => (e("seq"), e("kind"))) ==
+      Seq((1L, "build"), (2L, "delete")), h.toString)
+    assert(h.forall(_("readable") == true))
+    // as of the build commit: the UNCORRECTED full-corpus scores, the
+    // deleted docs visible — bit-identical to the pre-delete probe
+    def asOf(seq: Int): Seq[(Long, Long)] = spark
+      .sql(Retrieval.bm25NamedSql(
+        Retrieval.lexRelationAsOf(spark, idx, seq), "'needle'", "1000"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(asOf(1) == full,
+      "the as-of read must reproduce the pre-delete scores exactly")
+    val afterDelete = probeScores(idx, Seq("needle"))
+    assert(afterDelete != full,
+      "the live probe must differ (corrected stats, survivors only)")
+    // an append's entry sweep retires the BUILD generation (one-cycle
+    // retention: only the commit one step back keeps its df/stats) and
+    // its new batch must NOT leak into the delete snapshot's census
+    Retrieval.appendLexicalIndex(spark,
+      docs(10, base = 7000).select(col("doc_id"),
+        concat(col("text"), lit(" needle")).as("text")), idx)
+    val h2 = Retrieval.lexicalIndexHistory(spark, idx)
+    assert(h2.map(_("kind")) == Seq("build", "delete", "append"))
+    assert(h2.map(_("readable")) == Seq(false, true, true),
+      s"one-cycle retention: build aged out, delete+append live — $h2")
+    intercept[IllegalArgumentException] { Retrieval.lexRelationAsOf(spark, idx, 1) }
+    assert(asOf(2) == afterDelete,
+      "the delete snapshot must keep its own census: post-delete " +
+        "scores, appended batch invisible")
+  }
+
   // ---------------- mixture statistics ----------------
 
   test("mixture delete is the monoid's negative batch: served weights " +
