@@ -129,6 +129,15 @@ class CommitPrimitiveSpec extends AnyFunSuite {
       graft.queries.Similarity.compactVectorIndex(spark, vidx)
       assert(graft.queries.Similarity.vectorIndexInfo(spark, vidx)("vectors") ==
         info0("vectors"))
+      // the DELETE verb commits through the versioned primitive too:
+      // tombstone flip, then the purge compaction — all conditional puts
+      graft.queries.Similarity.deleteFromVectorIndex(spark, Seq(1L, 2L, 3L), vidx)
+      val vDel = graft.queries.Similarity.vectorIndexInfo(spark, vidx)
+      assert(vDel("tombstones") == 3L &&
+        vDel("live") == info0("vectors").asInstanceOf[Long] - 3L)
+      val vPurged = graft.queries.Similarity.compactVectorIndex(spark, vidx)
+      assert(vPurged("tombstones") == 0L &&
+        vPurged("vectors") == info0("vectors").asInstanceOf[Long] - 3L)
 
       // ---- lexical family ----
       val lidx = TempDirs.create("graft-os-lex").toString
@@ -146,20 +155,35 @@ class CommitPrimitiveSpec extends AnyFunSuite {
       graft.queries.Retrieval.compactLexicalIndex(spark, lidx)
       assert(graft.queries.Retrieval.lexicalIndexInfo(spark, lidx)("docs") ==
         built("docs") + 15)
+      // lexical delete under the versioned primitive: the corrected
+      // df/stats + tombstones all land through conditional puts
+      val lDel = graft.queries.Retrieval.deleteFromLexicalIndex(spark,
+        (0 until 5).map(i => 800000L + i).toDF("doc_id"), lidx)
+      assert(lDel("deleted") == 5L && lDel("docs") == built("docs") + 10)
+      assert(graft.queries.Retrieval.lexicalIndexInfo(spark, lidx)(
+        "tombstones") == 5L)
 
       // ---- mixture family ----
       val midx = TempDirs.create("graft-os-mix").toString
       val mb = graft.queries.Pipeline.buildMixtureStats(spark, src, midx)
+      val w0 = graft.queries.Pipeline.mixtureWeights(spark, midx).collect()
       val minc = (0 until 10).map(i => ("src0", s"osmix tok$i"))
         .toDF("source", "text")
       graft.queries.Pipeline.appendMixtureStats(spark, minc, midx)
       val w = graft.queries.Pipeline.mixtureWeights(spark, midx).collect()
-      assert(w.nonEmpty)
+      assert(w.nonEmpty && w.toSeq != w0.toSeq)
       val (mfs, _) = io(midx)
       val tornM = new HPath(midx, "meta.json.g999999")
       val om = mfs.create(tornM, false); om.write("ptrv1 1 99\n{".getBytes); om.close()
       assert(graft.queries.Pipeline.mixtureWeights(spark, midx).collect()
         .toSeq == w.toSeq, "mixture reader observed torn meta")
+      // delete the exact increment under the versioned primitive: the
+      // negative batch cancels it EXACTLY — served weights return to
+      // the pre-append table bit for bit
+      graft.queries.Pipeline.deleteMixtureStats(spark, minc, midx)
+      assert(graft.queries.Pipeline.mixtureWeights(spark, midx).collect()
+        .toSeq == w0.toSeq,
+        "negative-batch delete did not cancel the append exactly")
 
       // ---- dedup family ----
       val didx = TempDirs.create("graft-os-dedup").toString
@@ -178,6 +202,12 @@ class CommitPrimitiveSpec extends AnyFunSuite {
       val od = dfs.create(tornD, false); od.write("ptrv1".getBytes); od.close()
       assert(graft.queries.Dedup.readIndexMeta(spark, didx).count == 320,
         "dedup reader observed torn meta")
+      // dedup delete under the versioned primitive: live count and the
+      // del pointer flip together through the conditional put
+      val dDel = graft.queries.Dedup.deleteFromDedupIndex(spark,
+        spark.range(10).select(col("id").as("doc_id")), didx)
+      assert(dDel("deleted") == 10L && dDel("count") == 310L)
+      assert(graft.queries.Dedup.readIndexMeta(spark, didx).count == 310)
     } finally sys.props.remove("graft.commit.primitive")
   }
 }
