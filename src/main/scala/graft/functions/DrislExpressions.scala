@@ -74,9 +74,16 @@ abstract class DrislPathExpression extends BinaryExpression {
   protected def segsFor(pathVal: Any): List[DrislPath.Seg] =
     staticPath.getOrElse(DrislPath.parse(pathVal.toString))
 
-  protected def extract(payloadVal: Any, pathVal: Any): Option[DValue] =
-    DrislPath.extract(
-      Drisl.decode(payloadVal.asInstanceOf[Array[Byte]]), segsFor(pathVal))
+  protected def extract(payloadVal: Any, pathVal: Any): Option[DValue] = {
+    val bytes = payloadVal.asInstanceOf[Array[Byte]]
+    // an EMPTY payload reads as "no payload" (every path absent) rather
+    // than a decode error: the reference bucket format carries a redacted
+    // event's nulled payload as zero bytes (CBOR bytes(0)), and a restore
+    // must replay it exactly like the source's SQL NULL — extract NULL,
+    // never a materializer-killing throw
+    if (bytes.isEmpty) None
+    else DrislPath.extract(Drisl.decode(bytes), segsFor(pathVal))
+  }
 }
 
 /** drisl_extract(payload, path) → STRING (SQLite text-affinity rendering;

@@ -237,6 +237,14 @@ object Dedup {
     require(raw.nonEmpty, s"no dedup index at $indexDir (missing meta.json)")
     val m = graft.server.Json.parse(new String(raw.get,
       java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[Map[String, Any]]
+    // the artifact-FORMAT gate runs before the derivation gate: an old
+    // index would otherwise fail later with a cryptic unresolved-column
+    // AnalysisException on fp.doc_id instead of this clean refusal
+    require(m.get("format").contains(2L),
+      s"dedup index at $indexDir uses fp-artifact format " +
+        s"${m.getOrElse("format", 1L)} (the min-compressed (fp, dup_of) " +
+        "layout) — rebuild required: per-doc (fp, doc_id) rows are what " +
+        "increment probes and targeted deletes resolve against")
     require(m.get("k").contains(K.toLong) && m.get("shingle").contains(5L) &&
       m.get("stride").contains(2L) &&
       m.get("r").exists(_.isInstanceOf[Long]),
@@ -363,9 +371,10 @@ object Dedup {
       WriterLocks.lockFor(indexDir).synchronized {
     val meta = readIndexMeta(s, indexDir)
     val (fs, _) = indexMetaPath(s, indexDir)
-    // sweep generations that are neither live nor about to be staged
+    // sweep generations outside the retention window (history-aware:
+    // the last `retainGenerations` snapshots stay readable for as-of)
     bandsGenerations(fs, indexDir)
-      .filter(p => p.getName != meta.bandsDir && p.getName != meta.delDir)
+      .filterNot(p => retainedDedupDirs(indexDir, meta).contains(p.getName))
       .foreach(d => fs.delete(d, true))
     val already = dedupDelDf(s, indexDir, meta)
     val indexed = s.read.parquet((0 until meta.batches)
@@ -385,7 +394,7 @@ object Dedup {
         .parquet(s"$indexDir/$nextDel")
       // THE commit: live count and the del pointer flip together
       writeIndexMeta(s, indexDir, meta.r, meta.batches, meta.count - dN,
-        bandsDir = meta.bandsDir, delDir = nextDel)
+        bandsDir = meta.bandsDir, delDir = nextDel, kind = "delete")
       Map("deleted" -> dN, "count" -> (meta.count - dN),
         "tombstones" ->
           s.read.parquet(s"$indexDir/$nextDel").count())
@@ -394,11 +403,124 @@ object Dedup {
 
   private def writeIndexMeta(s: SparkSession, indexDir: String,
       r: Int, batches: Int, count: Long,
-      bandsDir: String = "bands", delDir: String = ""): Unit = {
+      bandsDir: String = "bands", delDir: String = "",
+      kind: String = "commit"): Unit = {
     val (fs, p) = indexMetaPath(s, indexDir)
+    // format 2 = per-DOC fp rows ((fp, doc_id) — the layout targeted
+    // deletes need); format 1 (implicit, pre-key metas) was the
+    // min-compressed (fp, dup_of) layout, which loads must refuse with
+    // a clean rebuild message instead of an unresolved-column error
+    val body = s"""{"format": 2, "k": $K, "shingle": 5, "stride": 2, "r": $r, "batches": $batches, "count": $count, "bands_dir": "$bandsDir", "del_dir": "$delDir"}"""
     graft.stream.PointerCommit.default.publish(fs, p,
-      s"""{"k": $K, "shingle": 5, "stride": 2, "r": $r, "batches": $batches, "count": $count, "bands_dir": "$bandsDir", "del_dir": "$delDir"}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    appendDedupHistory(indexDir, kind, body)
+  }
+
+  // ---------------- commit history + as-of reads ----------------
+  // The dedup family's META_HISTORY (the lexical discipline verbatim):
+  // every meta commit appends `<seq> <kind> <meta JSON>` — each line a
+  // complete generation snapshot, because the batch-scoped fp/shingles
+  // artifacts only GROW between commits and the versioned bands/del
+  // generations survive the retention window. Newline-prefixed so a torn
+  // tail can never merge with the next entry; torn lines parse-fail and
+  // drop, gaps refuse loudly.
+
+  private def dedupHistoryFile(indexDir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(indexDir.stripPrefix("file:"))
+      .resolve("META_HISTORY")
+
+  private def appendDedupHistory(indexDir: String, kind: String,
+      metaJson: String): Unit = {
+    val seq = dedupHistory(indexDir).size + 1
+    java.nio.file.Files.write(dedupHistoryFile(indexDir),
+      s"\n$seq $kind $metaJson"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  /** The commit log: (seq, kind, meta snapshot), oldest first. */
+  private[graft] def dedupHistory(
+      indexDir: String): Seq[(Int, String, DedupIndexMeta)] = {
+    val f = dedupHistoryFile(indexDir)
+    if (!java.nio.file.Files.exists(f)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val parsed = java.nio.file.Files.readAllLines(f).asScala.toSeq
+        .filter(_.nonEmpty).flatMap { l =>
+          l.split(" ", 3) match {
+            case Array(seq, kind, json) if seq.toIntOption.isDefined =>
+              try {
+                val m = graft.server.Json.parse(json)
+                  .asInstanceOf[Map[String, Any]]
+                Some((seq.toInt, kind, DedupIndexMeta(
+                  m("r").asInstanceOf[Long].toInt,
+                  m("batches").asInstanceOf[Long].toInt,
+                  m("count").asInstanceOf[Long],
+                  m.get("bands_dir").collect { case d: String => d }
+                    .getOrElse("bands"),
+                  m.get("del_dir").collect { case d: String => d }
+                    .getOrElse(""))))
+              } catch { case _: Exception => None }
+            case _ => None
+          }
+        }
+      require(parsed.map(_._1) == parsed.indices.map(_ + 1),
+        s"META_HISTORY at $indexDir is corrupted: seqs " +
+          s"${parsed.map(_._1).mkString(",")} are not contiguous from 1 " +
+          "— restore the file or delete it (history is observability " +
+          "metadata; the live index is unaffected)")
+      parsed
+    }
+  }
+
+  /** Is the snapshot's full census (versioned generations AND committed
+    * batch dirs) still on disk? */
+  private def dedupSnapshotReadable(indexDir: String,
+      m: DedupIndexMeta): Boolean = {
+    val base = java.nio.file.Paths.get(indexDir.stripPrefix("file:"))
+    val batchesOk = Seq("fp", "shingles", m.bandsDir).forall { art =>
+      (0 until m.batches).forall(b => java.nio.file.Files.isDirectory(
+        base.resolve(art).resolve(s"batch=$b")))
+    }
+    batchesOk && (m.delDir.isEmpty ||
+      java.nio.file.Files.isDirectory(base.resolve(m.delDir)))
+  }
+
+  /** Operator-facing history rows, newest last, with the readability
+    * flag marking the retention boundary. */
+  def dedupIndexHistory(s: SparkSession,
+      indexDir: String): Seq[Map[String, Any]] =
+    dedupHistory(indexDir).map { case (seq, kind, m) =>
+      Map("seq" -> seq.toLong, "kind" -> kind, "count" -> m.count,
+        "batches" -> m.batches.toLong, "r" -> m.r.toLong,
+        "readable" -> dedupSnapshotReadable(indexDir, m))
+    }
+
+  /** The meta AS OF commit `seq` — loud refusal past the retention
+    * boundary, never a partial read. */
+  private[graft] def dedupMetaAsOf(indexDir: String,
+      seq: Int): DedupIndexMeta = {
+    val h = dedupHistory(indexDir)
+    val (_, _, meta) = h.find(_._1 == seq).getOrElse(
+      throw new IllegalArgumentException(
+        s"no commit $seq in $indexDir history (${h.size} commits)"))
+    require(dedupSnapshotReadable(indexDir, meta),
+      s"commit $seq of $indexDir is past the retention boundary — " +
+        "its generations were retired by later commits")
+    meta
+  }
+
+  /** Generation dirs the sweeps must LEAVE on disk: the live meta's plus
+    * the last `retainGenerations` history snapshots' (the as-of
+    * retention window; depth 1 = the historical one-cycle rule). */
+  private def retainedDedupDirs(indexDir: String,
+      meta: DedupIndexMeta): Set[String] = {
+    val depth = graft.stream.PointerCommit.retainGenerations
+    val historical = dedupHistory(indexDir).takeRight(depth).flatMap {
+      case (_, _, m) => Seq(m.bandsDir, m.delDir)
+    }
+    (historical ++ Seq(meta.bandsDir, meta.delDir)).filter(_.nonEmpty).toSet
   }
 
   /** Write one batch of docs into the index artifacts at the given r.
@@ -450,14 +572,19 @@ object Dedup {
     // from a previous larger build are swept with it — batch=0's
     // Overwrite only replaces batch=0.
     graft.stream.PointerCommit.default.delete(fs, p)
+    // a rebuild resets batch numbering — the previous index's claims
+    // must not block the new one's first append until lease expiry
+    graft.stream.PointerCommit.clearClaims(fs,
+      new org.apache.hadoop.fs.Path(indexDir))
     indexArtifacts.foreach(a => fs.delete(
       new org.apache.hadoop.fs.Path(indexDir, a), true))
     // versioned bands generations from a previous index's re-bands
     // are debris here too
     bandsGenerations(fs, indexDir)
       .foreach(d => fs.delete(d, true))
+    java.nio.file.Files.deleteIfExists(dedupHistoryFile(indexDir))
     writeIndexParts(s, corpus, indexDir, r, batch = 0)
-    writeIndexMeta(s, indexDir, r, batches = 1, count = n)
+    writeIndexMeta(s, indexDir, r, batches = 1, count = n, kind = "build")
     r
   }
 
@@ -484,11 +611,26 @@ object Dedup {
   def appendDedupIndex(s: SparkSession, docs: DataFrame,
       indexDir: String): Unit = WriterLocks.lockFor(indexDir).synchronized {
     val meta = readIndexMetaForAppend(s, indexDir)
-    val n = docs.count()
-    writeIndexParts(s, docs, indexDir, meta.r, batch = meta.batches,
+    // cross-process writer lease: claim the batch number before staging
+    // (see PointerCommit.claimBatch — a racing out-of-process append
+    // aborts loudly instead of being silently absorbed)
+    val (fs, _) = indexMetaPath(s, indexDir)
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    graft.stream.PointerCommit.sweepClaims(fs, root, meta.batches)
+    graft.stream.PointerCommit.claimBatch(fs, root, meta.batches)
+    // delete-wins: a tombstoned doc_id never re-ingests — its fp/shingle
+    // rows would land in the new batch while every probe anti-joins them
+    // out, and the next re-band/rebuild would physically drop them while
+    // `count` kept the phantom (resurrection requires a rebuild)
+    val incoming =
+      if (meta.delDir.isEmpty) docs
+      else docs.join(dedupDelDf(s, indexDir, meta),
+        Seq("doc_id"), "left_anti")
+    val n = incoming.count()
+    writeIndexParts(s, incoming, indexDir, meta.r, batch = meta.batches,
       bandsDir = meta.bandsDir)
     writeIndexMeta(s, indexDir, meta.r, meta.batches + 1, meta.count + n,
-      bandsDir = meta.bandsDir, delDir = meta.delDir)
+      bandsDir = meta.bandsDir, delDir = meta.delDir, kind = "append")
   }
 
   /** Answer a STALE index's rebuild signal WITHOUT re-reading corpus
@@ -524,11 +666,10 @@ object Dedup {
     val newR = lshRowsPerBand(meta.count)
     if (newR == meta.r) return meta.r
     val (fs, _) = indexMetaPath(s, indexDir)
-    // sweep: anything that is neither a live generation is either a
-    // crashed staging or the drained generation a PREVIOUS re-band
-    // retained — both have had their cycle
+    // sweep: anything outside the retention window is either a crashed
+    // staging or a generation whose as-of cycle has drained
     bandsGenerations(fs, indexDir)
-      .filter(p => p.getName != meta.bandsDir && p.getName != meta.delDir)
+      .filterNot(p => retainedDedupDirs(indexDir, meta).contains(p.getName))
       .foreach(d => fs.delete(d, true))
     val next = nextBandsDir(meta.bandsDir)
     val sh = s.read.option("basePath", s"$indexDir/shingles")
@@ -546,7 +687,7 @@ object Dedup {
     // (tmp + rename inside atomicWrite); the displaced generation stays
     // on disk until the next re-band
     writeIndexMeta(s, indexDir, newR, meta.batches, meta.count,
-      bandsDir = next, delDir = meta.delDir)
+      bandsDir = next, delDir = meta.delDir, kind = "reband")
     newR
   }
 
@@ -574,13 +715,36 @@ object Dedup {
     * returned frame's unpersist. */
   private[graft] def incrementVsIndexPlanned(s: SparkSession,
       fresh: DataFrame, indexDir: String): (DataFrame, DataFrame) = {
-    graft.functions.VectorExpressions.register(s)
     // meta resolves under the writer lock (held only for the read): an
     // IN-PROCESS append's batch-write → meta-commit window is atomic to
     // this reader, so the torn detector can only ever fire on a crashed
     // or out-of-process writer — the mixture-stats discipline
     val meta0 = WriterLocks.lockFor(indexDir)
       .synchronized(readIndexMeta(s, indexDir))
+    incrementPlannedWithMeta(s, fresh, indexDir, meta0)
+  }
+
+  /** [[incrementVsIndex]] AS OF commit `seq` — the probe a takedown
+    * audit runs: "what would this increment have answered BEFORE that
+    * delete/append?". The pinned meta supplies the batch census, the
+    * bands generation AND the tombstone set of that commit, so a
+    * pre-delete snapshot sees the deleted docs again (that is the
+    * point) and a pre-append snapshot never sees the later batches. */
+  def incrementVsIndexAsOf(s: SparkSession, fresh: DataFrame,
+      indexDir: String, seq: Int): DataFrame = {
+    val meta = WriterLocks.lockFor(indexDir)
+      .synchronized(dedupMetaAsOf(indexDir, seq))
+    val (verdicts, restArr) =
+      incrementPlannedWithMeta(s, fresh, indexDir, meta)
+    val out = verdicts.localCheckpoint(true)
+    restArr.unpersist(false)
+    out
+  }
+
+  private def incrementPlannedWithMeta(s: SparkSession,
+      fresh: DataFrame, indexDir: String,
+      meta0: DedupIndexMeta): (DataFrame, DataFrame) = {
+    graft.functions.VectorExpressions.register(s)
     val r = meta0.r
     // committed batch paths ONLY (the readMixCounts rule): a base-dir
     // scan would also pick up a concurrent append's already-written but
@@ -692,6 +856,27 @@ object Dedup {
        |  FROM $freshCte f
        |  LEFT JOIN ${px}exact e ON e.doc_id = f.doc_id
        |  LEFT JOIN ${px}near nr ON nr.doc_id = f.doc_id)""".stripMargin
+
+  // ONE build→delete fixture per (session, corpus) for the delete/as-of
+  // gate pair (the lexical lexDeletedIndexDir pattern): whichever gate
+  // runs first pays — and phase-attributes — the build + delete;
+  // the other rides warm. Victims = doc_id % 9 = 2.
+  private val dedupDelFixture =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def deletedDedupIndexDir(s: SparkSession, dir: String,
+      gate: String): String =
+    dedupDelFixture.getOrElseUpdate((s, dir), {
+      val d = Tables.df(s, dir, "documents").select(col("doc_id"), col("text"))
+      val p = graft.TempDirs.create("graft-dedup-del").toString
+      graft.PhaseTimings.timed(gate, "index_build") {
+        buildDedupIndex(s, d, p)
+      }
+      graft.PhaseTimings.timed(gate, "delete") {
+        deleteFromDedupIndex(s,
+          d.filter(col("doc_id") % 9 === 2).select(col("doc_id")), p)
+      }
+      p
+    })
 
   val all: Map[String, Q] = Map(
 
@@ -1043,6 +1228,48 @@ object Dedup {
               |SELECT CAST(2 AS BIGINT) AS increment, doc_id, verdict, dup_of FROM i2_out
               |ORDER BY increment, doc_id""".stripMargin)),
 
+    // ---- commit history + as-of: the pre-delete snapshot reproduced ----
+    // The (delete, asof) pair pattern the vector and lexical families
+    // carry, now for dedup: over the SHARED build→delete fixture, an
+    // increment probe AS OF commit 1 (the build) must answer exactly
+    // what the FULL-corpus index answered — tombstones invisible,
+    // batch census pinned — while q_dedup_delete hash-pins the live
+    // (post-delete) side of the same boundary. The oracle replays the
+    // increment against the full corpus.
+    "q_dedup_asof" -> Q(
+      (s, dir) => {
+        val d = Tables.df(s, dir, "documents").select(col("doc_id"), col("text"))
+        val fresh =
+          d.filter(col("doc_id") % 9 === 2)
+            .select((col("doc_id") + 7000000).as("doc_id"), col("text"))
+          .unionAll(d.filter(col("doc_id") % 9 =!= 2 && col("doc_id") % 5 === 1)
+            .select((col("doc_id") + 8000000).as("doc_id"), col("text")))
+          .unionAll(d.filter(col("doc_id") % 9 === 2)
+            .select((col("doc_id") + 9000000).as("doc_id"),
+              reverse(col("text")).as("text")))
+        val gate = "q_dedup_asof"
+        graft.PhaseTimings.reset(gate)
+        val idxDir = deletedDedupIndexDir(s, dir, gate)
+        // commit 1 is the build; commit 2 is the delete (history RPC
+        // shape asserted by DedupIndexSpec)
+        val v = graft.PhaseTimings.timed(gate, "asof_increment") {
+          incrementVsIndexAsOf(s, fresh, idxDir, seq = 1)
+        }
+        v.orderBy(col("doc_id"))
+      },
+      Some(s"""WITH p AS (
+              |  SELECT $lshRowsPerBandSql AS r
+              |  FROM (SELECT (SELECT count(*) FROM documents) AS n)),
+              |idx AS (SELECT doc_id, text FROM documents),
+              |fresh AS (
+              |  SELECT doc_id + 7000000 AS doc_id, text FROM documents WHERE doc_id % 9 = 2
+              |  UNION ALL
+              |  SELECT doc_id + 8000000 AS doc_id, text FROM documents WHERE doc_id % 9 <> 2 AND doc_id % 5 = 1
+              |  UNION ALL
+              |  SELECT doc_id + 9000000 AS doc_id, reverse(text) AS text FROM documents WHERE doc_id % 9 = 2),
+              |${incrementBlockSql("z", "fresh", "idx")}
+              |SELECT doc_id, verdict, dup_of FROM zout ORDER BY doc_id""".stripMargin)),
+
     // ---- targeted deletion: tombstoned docs vanish from the increment ----
     // The right-to-be-forgotten path for the dedup family, gated end to
     // end: build the index over the FULL corpus, DELETE doc_id % 9 = 2
@@ -1058,7 +1285,6 @@ object Dedup {
     "q_dedup_delete" -> Q(
       (s, dir) => {
         val d = Tables.df(s, dir, "documents").select(col("doc_id"), col("text"))
-        val victims = d.filter(col("doc_id") % 9 === 2).select(col("doc_id"))
         val fresh =
           d.filter(col("doc_id") % 9 === 2)
             .select((col("doc_id") + 7000000).as("doc_id"), col("text"))
@@ -1067,20 +1293,12 @@ object Dedup {
           .unionAll(d.filter(col("doc_id") % 9 === 2)
             .select((col("doc_id") + 9000000).as("doc_id"),
               reverse(col("text")).as("text")))
-        val idxPath = graft.TempDirs.create("graft-dedup-del")
-        val idxDir = idxPath.toString
         val gate = "q_dedup_delete"
         graft.PhaseTimings.reset(gate)
-        graft.PhaseTimings.timed(gate, "index_build") {
-          buildDedupIndex(s, d, idxDir)
-        }
-        graft.PhaseTimings.timed(gate, "delete") {
-          deleteFromDedupIndex(s, victims, idxDir)
-        }
+        val idxDir = deletedDedupIndexDir(s, dir, gate)
         val v = graft.PhaseTimings.timed(gate, "increment") {
           incrementVsIndex(s, fresh, idxDir)
         }
-        graft.TempDirs.release(idxPath)
         v.orderBy(col("doc_id"))
       },
       Some(s"""WITH p AS (

@@ -58,6 +58,15 @@ object LeafOps {
       "total_by_type" -> QueryDef(
         "SELECT etype, total(k) AS tk FROM acts GROUP BY etype ORDER BY etype")))
 
+  // the redact gate's module: same materializer as the demo, plus a
+  // grouped query that folds the NULL-extracted (redacted) rows into a
+  // stable label so Spark/DuckDB null-ordering differences cannot bite
+  private val redactModule = demoModule.copy(
+    queries = demoModule.queries + ("by_type_redacted" -> QueryDef(
+      """SELECT coalesce(etype, '<redacted>') AS etype, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total
+        |FROM acts GROUP BY 1 ORDER BY etype""".stripMargin)))
+
   private val userTotalsModule = demoModule.copy(
     initSql = """CREATE TABLE IF NOT EXISTS user_totals
                  |(user STRING, value DOUBLE) USING PARQUET""".stripMargin,
@@ -203,6 +212,46 @@ object LeafOps {
       },
       Some("""SELECT event_type AS etype, count(*) AS n,
              |  CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total
+             |FROM events GROUP BY 1 ORDER BY etype""".stripMargin)),
+
+    // ---- store-of-record REDACTION: the right-to-be-forgotten verb at
+    // the event log itself (the round-14 delete verbs cover only the
+    // derived index families). Redact every idx ≡ 0 (mod 97) through the
+    // O(redacted) meta-committed tombstone set, replay the module over
+    // the redacted log, and the grouped answer must match the oracle's
+    // view of the same rows with their values forgotten — payload
+    // nulling, replay determinism and the view seam all hash-gated ----
+    "leaf_redact" -> Relational.Q(
+      (s, dir) => {
+        val h = streams.synchronized {
+          streams.getOrElseUpdate((s, dir, "redact"), {
+            graft.PhaseTimings.reset("leaf_redact")
+            val src = demo(s, dir).eventsDF
+            val store = new StreamStore(s,
+              graft.TempDirs.create("graft-leafops").toString)
+            val fresh = store.open("did:graft:redact")
+            fresh.setModule(redactModule)
+            graft.PhaseTimings.timed("leaf_redact", "ingest") {
+              fresh.bulkImport(src.filter(col("idx") > 0))
+            }
+            graft.PhaseTimings.timed("leaf_redact", "redact_replay") {
+              fresh.redactEventsDf(
+                src.filter(col("idx") % 97 === 0).select(col("idx")),
+                rematerialize = true)
+            }
+            fresh
+          })
+        }
+        graft.PhaseTimings.timed("leaf_redact", "query") {
+          h.query(None, LeafQuery("by_type_redacted"))
+        }
+      },
+      Some("""SELECT CASE WHEN (event_id + 1) % 97 = 0 THEN '<redacted>'
+             |            ELSE event_type END AS etype,
+             |  count(*) AS n,
+             |  CAST(sum(CASE WHEN (event_id + 1) % 97 = 0 THEN NULL
+             |                ELSE CAST(value AS DECIMAL(10,2)) END)
+             |       AS DOUBLE) AS total
              |FROM events GROUP BY 1 ORDER BY etype""".stripMargin)),
 
     // ---- A10: raw range scan, file-pruned by idx min/max stats ----

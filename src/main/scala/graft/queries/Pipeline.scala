@@ -322,13 +322,110 @@ object Pipeline {
   }
 
   private def writeMixMeta(s: SparkSession, indexDir: String,
-      m: MixMeta): Unit = {
+      m: MixMeta, kind: String = "commit"): Unit = {
     val (fs, p) = mixMetaPath(s, indexDir)
+    val body = graft.server.Json.render(Map("batches" -> m.batches.toLong,
+      "docs" -> m.docs, "counts_dir" -> m.countsDir,
+      "last_stream_batch" -> m.lastStreamBatch))
     graft.stream.PointerCommit.default.publish(fs, p,
-      graft.server.Json.render(Map("batches" -> m.batches.toLong,
-        "docs" -> m.docs, "counts_dir" -> m.countsDir,
-        "last_stream_batch" -> m.lastStreamBatch))
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    appendMixHistory(indexDir, kind, body)
+  }
+
+  // ---------------- commit history + as-of reads ----------------
+  // The mixture family's META_HISTORY (lexical/dedup discipline): counts
+  // batches only GROW between commits and the monoid makes any PREFIX of
+  // them an exact corpus state, so as-of = fold batches ≤ the logged
+  // commit — integer-exact time travel at zero storage cost beyond the
+  // batches the retention window already keeps.
+
+  private def mixHistoryFile(indexDir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(indexDir.stripPrefix("file:"))
+      .resolve("META_HISTORY")
+
+  private def appendMixHistory(indexDir: String, kind: String,
+      metaJson: String): Unit = {
+    val seq = mixHistory(indexDir).size + 1
+    // newline-prefixed: a torn tail isolates on its own line (drops at
+    // parse) instead of merging with the next entry
+    java.nio.file.Files.write(mixHistoryFile(indexDir),
+      s"\n$seq $kind $metaJson"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  /** The commit log: (seq, kind, meta snapshot), oldest first. */
+  private[graft] def mixHistory(
+      indexDir: String): Seq[(Int, String, MixMeta)] = {
+    val f = mixHistoryFile(indexDir)
+    if (!java.nio.file.Files.exists(f)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val parsed = java.nio.file.Files.readAllLines(f).asScala.toSeq
+        .filter(_.nonEmpty).flatMap { l =>
+          l.split(" ", 3) match {
+            case Array(seq, kind, json) if seq.toIntOption.isDefined =>
+              try {
+                val m = graft.server.Json.parse(json)
+                  .asInstanceOf[Map[String, Any]]
+                Some((seq.toInt, kind, MixMeta(
+                  m("batches").asInstanceOf[Long].toInt,
+                  m("docs").asInstanceOf[Long],
+                  m.get("counts_dir").collect { case d: String => d }
+                    .getOrElse("counts"),
+                  m.get("last_stream_batch").collect { case b: Long => b }
+                    .getOrElse(-1L))))
+              } catch { case _: Exception => None }
+            case _ => None
+          }
+        }
+      require(parsed.map(_._1) == parsed.indices.map(_ + 1),
+        s"META_HISTORY at $indexDir is corrupted: seqs " +
+          s"${parsed.map(_._1).mkString(",")} are not contiguous from 1 " +
+          "— restore the file or delete it (history is observability " +
+          "metadata; the live stats are unaffected)")
+      parsed
+    }
+  }
+
+  /** Is the snapshot's batch census still on disk? */
+  private def mixSnapshotReadable(indexDir: String, m: MixMeta): Boolean = {
+    val base = java.nio.file.Paths.get(indexDir.stripPrefix("file:"))
+    (0 until m.batches).forall(b => java.nio.file.Files.isDirectory(
+      base.resolve(m.countsDir).resolve(s"batch=$b")))
+  }
+
+  /** Operator-facing history rows, newest last, with the readability
+    * flag marking the retention boundary. */
+  def mixtureStatsHistory(s: SparkSession,
+      indexDir: String): Seq[Map[String, Any]] =
+    mixHistory(indexDir).map { case (seq, kind, m) =>
+      Map("seq" -> seq.toLong, "kind" -> kind, "docs" -> m.docs,
+        "batches" -> m.batches.toLong,
+        "readable" -> mixSnapshotReadable(indexDir, m))
+    }
+
+  /** The served mixture table AS OF commit `seq`: fold exactly that
+    * commit's batch prefix out of that commit's counts generation — the
+    * monoid makes the historical state integer-exact (a pre-delete
+    * snapshot has no negative batch to cancel with, so the deleted
+    * docs' mass is VISIBLE again — that is the point). Loud refusal
+    * past the retention boundary. */
+  def mixtureWeightsAsOf(s: SparkSession, indexDir: String,
+      seq: Int): DataFrame = mixLock(indexDir).synchronized {
+    val h = mixHistory(indexDir)
+    val (_, _, meta) = h.find(_._1 == seq).getOrElse(
+      throw new IllegalArgumentException(
+        s"no commit $seq in $indexDir history (${h.size} commits)"))
+    require(mixSnapshotReadable(indexDir, meta),
+      s"commit $seq of $indexDir is past the retention boundary — " +
+        "its counts generation was retired by later commits")
+    doremiWeightsFromCounts(
+      readMixCounts(s, indexDir, meta)
+        .groupBy("source", "tok").agg(sum("c").as("c"))
+        .filter(col("c") > 0))
+      .orderBy(col("source"))
   }
 
   // parse only — no batch-census validation (the lexical-index split:
@@ -422,10 +519,14 @@ object Pipeline {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("counts"))
       .foreach(st => fs.delete(st.getPath, true))
     graft.stream.PointerCommit.default.delete(fs, mp)
+    // rebuild resets batch numbering — clear the previous claims
+    graft.stream.PointerCommit.clearClaims(fs,
+      new org.apache.hadoop.fs.Path(indexDir))
+    java.nio.file.Files.deleteIfExists(mixHistoryFile(indexDir))
     val nDocs = corpus.count()
     domainTokenCounts(corpus)
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/counts/batch=0")
-    writeMixMeta(s, indexDir, MixMeta(1, nDocs))
+    writeMixMeta(s, indexDir, MixMeta(1, nDocs), kind = "build")
     Map("docs" -> nDocs,
       "rows" -> s.read.parquet(s"$indexDir/counts/batch=0").count())
   }
@@ -446,13 +547,21 @@ object Pipeline {
     if (streamBatch.exists(_ <= meta.lastStreamBatch))
       return Map("appended_docs" -> 0L, "docs" -> meta.docs,
         "batches" -> meta.batches.toLong)
+    // cross-process writer lease: claim the batch number before staging
+    // (PointerCommit.claimBatch — the racing append aborts loudly)
+    locally {
+      val (fs, _) = mixMetaPath(s, indexDir)
+      val root = new org.apache.hadoop.fs.Path(indexDir)
+      graft.stream.PointerCommit.sweepClaims(fs, root, meta.batches)
+      graft.stream.PointerCommit.claimBatch(fs, root, meta.batches)
+    }
     val nDocs = fresh.count()
     domainTokenCounts(fresh.select(col("source"), col("text")))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$indexDir/${meta.countsDir}/batch=${meta.batches}")
     writeMixMeta(s, indexDir,
       MixMeta(meta.batches + 1, meta.docs + nDocs, meta.countsDir,
-        streamBatch.getOrElse(meta.lastStreamBatch)))
+        streamBatch.getOrElse(meta.lastStreamBatch)), kind = "append")
     Map("appended_docs" -> nDocs, "docs" -> (meta.docs + nDocs),
       "batches" -> (meta.batches + 1).toLong)
   }
@@ -475,6 +584,14 @@ object Pipeline {
       indexDir: String): Map[String, Long] = mixLock(indexDir).synchronized {
     import org.apache.spark.sql.SaveMode
     val meta = readMixMetaForAppend(s, indexDir)
+    // a delete is an append of the negated frame — it claims its batch
+    // number through the same cross-process lease
+    locally {
+      val (fs, _) = mixMetaPath(s, indexDir)
+      val root = new org.apache.hadoop.fs.Path(indexDir)
+      graft.stream.PointerCommit.sweepClaims(fs, root, meta.batches)
+      graft.stream.PointerCommit.claimBatch(fs, root, meta.batches)
+    }
     val nDocs = deleted.count()
     domainTokenCounts(deleted.select(col("source"), col("text")))
       .select(col("source"), col("tok"), (-col("c")).as("c"))
@@ -482,7 +599,7 @@ object Pipeline {
       .parquet(s"$indexDir/${meta.countsDir}/batch=${meta.batches}")
     writeMixMeta(s, indexDir,
       MixMeta(meta.batches + 1, meta.docs - nDocs, meta.countsDir,
-        meta.lastStreamBatch))
+        meta.lastStreamBatch), kind = "delete")
     Map("deleted_docs" -> nDocs, "docs" -> (meta.docs - nDocs),
       "batches" -> (meta.batches + 1).toLong)
   }
@@ -495,10 +612,14 @@ object Pipeline {
     import org.apache.spark.sql.SaveMode
     val meta = readMixMeta(s, indexDir)
     val (fs, _) = mixMetaPath(s, indexDir)
-    // sweep generations that are neither live nor about to be staged
+    // sweep generations outside the retention window (history-aware:
+    // the last `retainGenerations` snapshots stay readable for as-of)
+    val keep = (mixHistory(indexDir)
+      .takeRight(graft.stream.PointerCommit.retainGenerations)
+      .map(_._3.countsDir) :+ meta.countsDir).toSet
     fs.listStatus(new org.apache.hadoop.fs.Path(indexDir)).iterator
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("counts"))
-      .filter(_.getPath.getName != meta.countsDir)
+      .filterNot(st => keep.contains(st.getPath.getName))
       .foreach(st => fs.delete(st.getPath, true))
     val next = s"counts.v${mixVersion(meta.countsDir) + 1}"
     readMixCounts(s, indexDir, meta)
@@ -511,7 +632,7 @@ object Pipeline {
     // carry the stream cursor: a compaction between two streamed
     // micro-batches must not reopen the exactly-once window
     writeMixMeta(s, indexDir,
-      MixMeta(1, meta.docs, next, meta.lastStreamBatch))
+      MixMeta(1, meta.docs, next, meta.lastStreamBatch), kind = "compact")
     Map("batches" -> 1L, "docs" -> meta.docs)
   }
 
@@ -1636,6 +1757,24 @@ object Pipeline {
         mixtureWeights(s, idx)
       },
       Some(s"""WITH ${doremiSqlCtesWhere("WHERE doc_id % 6 <> 1")}
+              |SELECT source, l_micro, excess_micro, weight_nano
+              |FROM wfinal ORDER BY source""".stripMargin)),
+
+    // ---- commit history + as-of: the pre-delete mixture reproduced ----
+    // The (delete, asof) pair pattern all four families now carry: over
+    // the SHARED build→delete fixture, the weights AS OF commit 1 (the
+    // build) must equal the FULL-corpus mixture bit for bit — the
+    // monoid's batch prefix IS the historical state — while
+    // q_mixture_delete hash-pins the live (post-cancellation) side.
+    "q_mixture_asof" -> Q(
+      (s, dir) => {
+        graft.PhaseTimings.reset("q_mixture_asof")
+        val idx = graft.PhaseTimings.timed("q_mixture_asof", "index_build") {
+          mixDeletedStatsDir(s, dir)
+        }
+        mixtureWeightsAsOf(s, idx, seq = 1)
+      },
+      Some(s"""WITH $doremiSqlCtes
               |SELECT source, l_micro, excess_micro, weight_nano
               |FROM wfinal ORDER BY source""".stripMargin)),
 

@@ -205,6 +205,9 @@ object Retrieval {
       fs.delete(new org.apache.hadoop.fs.Path(indexDir, a), true))
     lexGenerations(fs, indexDir).foreach(d => fs.delete(d, true))
     graft.stream.PointerCommit.default.delete(fs, lexMetaPath(s, indexDir)._2)
+    // rebuild resets batch numbering — clear the previous claims
+    graft.stream.PointerCommit.clearClaims(fs,
+      new org.apache.hadoop.fs.Path(indexDir))
     java.nio.file.Files.deleteIfExists(lexHistoryFile(indexDir))
     writeLexBatch(s, corpus, indexDir, batch = 0)
     val posted = s.read.parquet(s"$indexDir/terms/batch=0")
@@ -253,11 +256,35 @@ object Retrieval {
     // sweep generations that are neither live nor about to be staged:
     // the drained retention of the PREVIOUS append plus crashed stagings
     lexGenerations(fs, indexDir)
-      .filterNot(p => Seq(meta.dfDir, meta.statsDir,
-        meta.termsDir, meta.docsDir, meta.delDir).contains(p.getName))
+      .filterNot(p => retainedLexDirs(indexDir, meta).contains(p.getName))
       .foreach(d => fs.delete(d, true))
     val b = meta.batches
-    writeLexBatch(s, fresh, indexDir, batch = b,
+    // cross-process writer lease: claim THIS batch number through the
+    // create-if-absent primitive before staging a byte — a racing append
+    // from another process loses the claim and aborts loudly instead of
+    // staging the same Overwrite-scoped batch dir and being silently
+    // absorbed by whichever meta publish lands last
+    graft.stream.PointerCommit.sweepClaims(fs,
+      new org.apache.hadoop.fs.Path(indexDir), meta.batches)
+    graft.stream.PointerCommit.claimBatch(fs,
+      new org.apache.hadoop.fs.Path(indexDir), b)
+    // tombstoned ids never re-ingest: a deleted doc_id arriving in a new
+    // batch would increment df/n/sum_dl while lexRelation's anti-join
+    // hides its postings from every probe — stats permanently diverging
+    // from a survivor rebuild, and the next compaction physically
+    // dropping the postings while KEEPING the inflated stats. The
+    // contract is delete-wins: such rows are anti-joined out here and
+    // reported as `skipped_tombstoned` (resurrecting an id requires a
+    // rebuild over the corpus of record).
+    val tombstoned =
+      if (meta.delDir.isEmpty) 0L
+      else fresh.select(col("doc_id"))
+        .join(lexDelDf(s, indexDir, meta), Seq("doc_id"), "left_semi")
+        .count()
+    val incoming =
+      if (tombstoned == 0L) fresh
+      else fresh.join(lexDelDf(s, indexDir, meta), Seq("doc_id"), "left_anti")
+    writeLexBatch(s, incoming, indexDir, batch = b,
       termsDir = meta.termsDir, docsDir = meta.docsDir)
     val delta = s.read.parquet(s"$indexDir/${meta.termsDir}/batch=$b")
       .groupBy(col("term")).agg(count(lit(1)).cast("long").as("ddf"))
@@ -283,7 +310,28 @@ object Retrieval {
         streamBatch.getOrElse(meta.lastStreamBatch), meta.delDir),
       kind = "append")
     Map("appended" -> agg.getLong(0), "docs" -> newN,
+      "skipped_tombstoned" -> tombstoned,
       "batches" -> (b + 1).toLong)
+  }
+
+  /** Generation dirs the maintenance sweeps must LEAVE on disk: the live
+    * meta's, plus every generation named by the last
+    * [[graft.stream.PointerCommit.retainGenerations]] history snapshots —
+    * the as-of retention window. Depth 1 (the default) reproduces the
+    * historical behavior exactly: the previous commit's displaced
+    * generations survive one cycle. */
+  private def retainedLexDirs(indexDir: String, meta: LexMeta): Set[String] = {
+    val depth = graft.stream.PointerCommit.retainGenerations
+    // keep the dirs of the last `depth` snapshots AT SWEEP ENTRY (the
+    // current commit is the last history line); the commit that follows
+    // then leaves depth prior snapshots readable — depth 1 reproduces
+    // the historical one-cycle rule exactly
+    val historical = lexHistory(indexDir).takeRight(depth).flatMap {
+      case (_, _, m) => Seq(m.dfDir, m.statsDir, m.termsDir, m.docsDir,
+        m.delDir)
+    }
+    (historical ++ Seq(meta.dfDir, meta.statsDir,
+      meta.termsDir, meta.docsDir, meta.delDir)).filter(_.nonEmpty).toSet
   }
 
   /** Maintenance: compact the per-append batch accumulation — the
@@ -379,8 +427,7 @@ object Retrieval {
     val (fs, _) = lexMetaPath(s, indexDir)
     // the append rule: sweep displaced generations + crashed stagings
     lexGenerations(fs, indexDir)
-      .filterNot(p => Seq(meta.dfDir, meta.statsDir,
-        meta.termsDir, meta.docsDir, meta.delDir).contains(p.getName))
+      .filterNot(p => retainedLexDirs(indexDir, meta).contains(p.getName))
       .foreach(d => fs.delete(d, true))
     val already = lexDelDf(s, indexDir, meta)
     val docsArt = s.read.parquet((0 until meta.batches)
@@ -587,21 +634,31 @@ object Retrieval {
   private def appendLexHistory(indexDir: String, kind: String,
       metaJson: String): Unit = {
     val seq = lexHistory(indexDir).size + 1
+    // newline-PREFIXED: Files.write APPEND is not atomic, so a crash
+    // mid-append can leave a torn final line without its newline — a
+    // plain append would then CONCATENATE the next entry onto the torn
+    // tail, corrupting both entries' parse. Leading with the newline
+    // guarantees a torn tail can never merge with the next entry; the
+    // reader tolerates the resulting blank lines and drops any line
+    // that fails to parse (the one-lost-line crash contract).
     java.nio.file.Files.write(lexHistoryFile(indexDir),
-      s"$seq $kind $metaJson\n"
+      s"\n$seq $kind $metaJson"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
   }
 
-  /** The commit log: (seq, kind, meta snapshot), oldest first. */
+  /** The commit log: (seq, kind, meta snapshot), oldest first. Torn
+    * tails (a crash mid-append) parse-fail and drop; seq monotonicity is
+    * asserted so a corrupted line can never YIELD a wrong mapping — it
+    * either drops or the whole log refuses loudly. */
   private[graft] def lexHistory(
       indexDir: String): Seq[(Int, String, LexMeta)] = {
     val f = lexHistoryFile(indexDir)
     if (!java.nio.file.Files.exists(f)) Seq.empty
     else {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.readAllLines(f).asScala.toSeq
+      val parsed = java.nio.file.Files.readAllLines(f).asScala.toSeq
         .filter(_.nonEmpty).flatMap { l =>
           l.split(" ", 3) match {
             case Array(seq, kind, json) if seq.toIntOption.isDefined =>
@@ -626,6 +683,12 @@ object Retrieval {
             case _ => None
           }
         }
+      require(parsed.map(_._1) == parsed.indices.map(_ + 1),
+        s"META_HISTORY at $indexDir is corrupted: seqs " +
+          s"${parsed.map(_._1).mkString(",")} are not contiguous from 1 " +
+          "— restore the file or delete it (history is observability " +
+          "metadata; the live index is unaffected)")
+      parsed
     }
   }
 

@@ -536,7 +536,15 @@ object Similarity {
     val snap = resolveAll(indexDir)
     val cents = readCentroidsAt(s, snap("centroids"))
     require(cents.nonEmpty, s"no centroids at $indexDir — build first")
-    val assigned = inc.select(col("vec_id"), col("v"),
+    // delete-wins: a tombstoned vec_id never re-ingests — its rows would
+    // occupy bytes and candidate slots while artifactRelation's anti-join
+    // hides them from every probe, and the next compaction would purge
+    // them again (resurrection requires a rebuild). The guard renders
+    // only when the delete set is actually non-empty.
+    val tomb = tombstonesDf(s, snap("tombstones"))
+    val incLive = if (tomb.isEmpty) inc
+      else inc.join(tomb, Seq("vec_id"), "left_anti")
+    val assigned = incLive.select(col("vec_id"), col("v"),
         nearestCell(cents).as("b"))
       .select(col("vec_id"), col("v"), col("b.cell").as("cell"))
       .persist() // settle: the vectors write and the codes encode both read it
@@ -864,7 +872,17 @@ object Similarity {
       }
     }.toMap
     writeManifest(indexDir, merged)
-    appendHistory(indexDir, kind, merged.map { case (s, (cur, _)) => s -> cur })
+    // pin the append-mode artifacts' part-file census on the history
+    // line: vectors/codes grow IN PLACE between flips, so an as-of read
+    // needs to know which files this commit actually covered
+    val censuses = Seq("vectors", "codes").flatMap { sub =>
+      merged.get(sub).map { case (cur, _) =>
+        sub -> listParquet(basePath(indexDir).resolve(cur))
+          .map(_.getFileName.toString).toSet
+      }
+    }.toMap
+    appendHistory(indexDir, kind,
+      merged.map { case (s, (cur, _)) => s -> cur }, censuses)
     val live = merged.values.flatMap(v => v._1 :: v._2.toList).toSet
     updates.keys.foreach { sub =>
       m.get(sub).flatMap(_._2).foreach { displaced =>
@@ -891,29 +909,66 @@ object Similarity {
     basePath(indexDir).resolve("HISTORY")
 
   private def appendHistory(indexDir: String, kind: String,
-      mapping: Map[String, String]): Unit = {
+      mapping: Map[String, String],
+      censuses: Map[String, Set[String]] = Map.empty): Unit = {
     val seq = manifestHistory(indexDir).size + 1
-    val line = (s"$seq $kind" +: mapping.toSeq.sortBy(_._1)
-      .map { case (s, d) => s"$s=$d" }).mkString(" ") + "\n"
+    // census pins ride the same line as `census:sub=f1,f2` tokens
+    // (parquet part-file names carry no spaces or commas) — see
+    // [[resolveAllAsOf]] for why appends force them
+    val body = (s"$seq $kind" +:
+      (mapping.toSeq.sortBy(_._1).map { case (s, d) => s"$s=$d" } ++
+        censuses.toSeq.sortBy(_._1).map { case (s, fs) =>
+          s"census:$s=${fs.toSeq.sorted.mkString(",")}" })).mkString(" ")
+    // the crc closes the one remaining torn-tail hole: a census list
+    // truncated mid-token could otherwise parse as a self-consistent
+    // SMALLER census and silently mis-pin an as-of read — with the crc,
+    // a torn line drops instead
+    val line = body + " crc=" + {
+      val c = new java.util.zip.CRC32()
+      c.update(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      c.getValue
+    }
+    // newline-PREFIXED: Files.write APPEND is not atomic — a crash
+    // mid-append leaves a torn final line without its newline, and a
+    // plain trailing-newline append would concatenate the NEXT entry
+    // onto the torn tail, corrupting both. Leading with the newline
+    // isolates any torn tail on its own line, where it parse-fails and
+    // drops (the one-lost-line crash contract).
     java.nio.file.Files.write(historyFile(indexDir),
-      line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      ("\n" + line).getBytes(java.nio.charset.StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
   }
 
   /** The commit log: (seq, kind, full artifact mapping) per manifest
-    * flip, oldest first. Indexes that predate the log (or whose history
-    * line was lost to a crash-after-flip) simply have fewer entries. */
+    * flip, oldest first. Indexes that predate the log simply have fewer
+    * entries; a torn FINAL line (crash mid-append) parse-fails and
+    * drops; a gap anywhere earlier refuses loudly — a corrupted line
+    * can drop or refuse, never yield a wrong mapping. */
   private[graft] def manifestHistory(
       indexDir: String): Seq[(Int, String, Map[String, String])] = {
     val f = historyFile(indexDir)
     if (!java.nio.file.Files.exists(f)) Seq.empty
     else {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.readAllLines(f).asScala.toSeq
+      val parsed = java.nio.file.Files.readAllLines(f).asScala.toSeq
         .filter(_.nonEmpty).flatMap { l =>
-          l.split(" ").toSeq match {
-            case seq +: kind +: pairs if seq.toIntOption.isDefined =>
+          // crc-stamped lines (everything written since the census pins)
+          // must verify — a torn or bit-rotted line drops rather than
+          // yielding a wrong mapping or a truncated census
+          val (body, crcOk) = l.lastIndexOf(" crc=") match {
+            case -1 => (l, true) // pre-crc legacy line
+            case i =>
+              val b = l.substring(0, i)
+              val want = l.substring(i + 5).toLongOption
+              val c = new java.util.zip.CRC32()
+              c.update(b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              (b, want.contains(c.getValue))
+          }
+          if (!crcOk) None
+          else body.split(" ").toSeq match {
+            case seq +: kind +: pairs if seq.toIntOption.isDefined &&
+                pairs.forall(_.contains("=")) =>
               Some((seq.toInt, kind,
                 pairs.flatMap(_.split("=", 2) match {
                   case Array(k, v) => Some(k -> v)
@@ -922,13 +977,36 @@ object Similarity {
             case _ => None
           }
         }
+      // a torn tail that lost exactly its crc token parses as a legacy
+      // line; the post-crash rewrite of the same seq follows it — keep
+      // the LAST (complete) line per seq, then insist on contiguity
+      val deduped = parsed.zipWithIndex
+        .groupBy(_._1._1).toSeq.map(_._2.maxBy(_._2)._1).sortBy(_._1)
+      require(deduped.map(_._1) == deduped.indices.map(_ + 1),
+        s"HISTORY at $indexDir is corrupted: seqs " +
+          s"${deduped.map(_._1).mkString(",")} are not contiguous from 1 " +
+          "— restore the file or delete it (history is observability " +
+          "metadata; the live index is unaffected)")
+      deduped
     }
   }
 
-  /** Is every directory of this snapshot still on disk? */
+  /** The artifact-file censuses recorded on history line `seq`
+    * (`census:sub -> file set`), empty for pre-census lines. */
+  private def historyCensuses(indexDir: String,
+      seq: Int): Map[String, Set[String]] =
+    manifestHistory(indexDir).find(_._1 == seq).map(_._3).getOrElse(Map.empty)
+      .collect { case (k, v) if k.startsWith("census:") =>
+        k.stripPrefix("census:") -> v.split(",").filter(_.nonEmpty).toSet
+      }
+
+  /** Is every directory of this snapshot still on disk? (census and crc
+    * tokens ride the same line map but are not directories) */
   private def snapshotReadable(indexDir: String,
       mapping: Map[String, String]): Boolean =
-    mapping.values.forall(d =>
+    mapping.collect {
+      case (k, d) if indexArtifacts.contains(k) => d
+    }.forall(d =>
       java.nio.file.Files.isDirectory(basePath(indexDir).resolve(d)))
 
   /** Operator-facing history: one row per commit, newest last, with the
@@ -962,10 +1040,45 @@ object Similarity {
     * SQL over the retained previous generation (tombstone filtering
     * included, AS OF that commit: a pre-delete snapshot renders its own
     * then-empty tombstone set, so the deleted rows are VISIBLE there —
-    * that is the point). */
+    * that is the point).
+    *
+    * CENSUS PINNING: vector appends write in place (parquet Append, no
+    * manifest flip), so the vectors/codes DIRECTORIES of a historical
+    * commit can hold files appended after it — an unpinned as-of read
+    * would be a silent superset, not a snapshot. Each history line
+    * records the artifact's part-file census at commit time; when the
+    * directory has since grown, the as-of relation filters to exactly
+    * the recorded files (input_file_name pin — part-file names are
+    * job-UUID unique); a census file MISSING from disk refuses loudly. */
   private[graft] def artifactRelationAsOf(indexDir: String,
-      seq: Int): String => String =
-    relationFrom(resolveAllAsOf(indexDir, seq))
+      seq: Int): String => String = {
+    val snap = resolveAllAsOf(indexDir, seq)
+    val base = relationFrom(snap)
+    val censuses = historyCensuses(indexDir, seq)
+    sub => censuses.get(sub) match {
+      case Some(pin) if Seq("vectors", "codes").contains(sub) =>
+        val dir = java.nio.file.Paths.get(snap(sub).stripPrefix("file:"))
+        val now = listParquet(dir).map(_.getFileName.toString).toSet
+        require(pin.subsetOf(now),
+          s"commit $seq of $indexDir is past the retention boundary for " +
+            s"$sub: ${(pin -- now).size} of its ${pin.size} census files " +
+            "were rewritten by later maintenance")
+        if (now == pin) base(sub)
+        else {
+          // the pin renders only when the dir actually grew — the steady
+          // state (no appends since the flip) carries no filter at all
+          val in = pin.toSeq.sorted.map(f => s"'$f'").mkString(", ")
+          val pinned = s"(SELECT * FROM parquet.`${snap(sub)}` WHERE " +
+            s"element_at(split(input_file_name(), '/'), -1) IN ($in))"
+          // recompose the tombstone seam over the pinned scan
+          base(sub).replace(s"parquet.`${snap(sub)}` g", s"$pinned g") match {
+            case same if same == base(sub) => pinned
+            case wrapped => wrapped
+          }
+        }
+      case _ => base(sub)
+    }
+  }
 
   /** Delete artifact directories no manifest entry references — the
     * debris of a crashed staging run. Runs only under the writer lock

@@ -56,6 +56,128 @@ private[graft] object PointerCommit {
       case Some("versioned") => VersionedPutCommit
       case _ => PosixRenameCommit
     }
+
+  /** How many DISPLACED generations every artifact family retains after
+    * a commit flip (`-Dgraft.retain.generations`, default 1 — the
+    * historical one-cycle snapshot isolation). Depth N makes the last N
+    * history snapshots readable via the families' as-of reads — the
+    * takedown-audit window ("what did this index answer before each of
+    * the last N deletes?") — at the storage cost of N retained
+    * generations per artifact. A deployment property of the storage
+    * layer, like the commit primitive itself. */
+  def retainGenerations: Int =
+    math.max(1, sys.props.get("graft.retain.generations")
+      .flatMap(_.toIntOption).getOrElse(1))
+
+  // ---------------- cross-process writer lease (batch claims) ----------------
+  //
+  // The append-vs-append twin of the maintenance fileset re-list: the
+  // pointer primitive makes the META flip safe across processes, but two
+  // appends from DIFFERENT processes could both stage `batch=N`
+  // (Overwrite-scoped) and the later meta publish would silently absorb
+  // the earlier one's batch dir as its own — one append's rows lost. The
+  // fix is to CLAIM the batch number through the same create-if-absent
+  // primitive before staging a byte: exactly one writer can create the
+  // immutable claim object `claims/batch-N`, so the loser aborts loudly
+  // instead of silently losing rows. In-process writers still serialize
+  // on WriterLocks first; the claim is the cross-process backstop.
+  //
+  // Liveness: a claim whose holder crashed before committing would
+  // otherwise wedge the batch number forever. A claim older than the
+  // lease TTL (`-Dgraft.commit.claim.ttl.ms`, default 15 min — far past
+  // any append's staging time) is treated as dead and replaced; this is
+  // the standard lease assumption (the holder of an expired lease must
+  // not commit), and committed batch numbers never come up for claim
+  // again, so expiry can only ever release a crashed append's number.
+
+  private def claimTtlMs: Long =
+    sys.props.get("graft.commit.claim.ttl.ms").map(_.toLong)
+      .getOrElse(15L * 60 * 1000)
+
+  // every claim this PROCESS ever issued: an append that failed after
+  // claiming (materializer error, staging crash caught in-process) is
+  // retried under the same WriterLocks mutex, so its own stale claim is
+  // provably dead and re-takeable without waiting out the lease
+  private val issuedClaims =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def claimPath(indexDir: HPath, batch: Int): HPath =
+    new HPath(new HPath(indexDir, "claims"), s"batch-$batch")
+
+  /** Claim `batch` of the index at `indexDir` for this writer. Throws
+    * IllegalStateException when another LIVE writer holds the claim —
+    * the caller must abort its append rather than stage over the
+    * winner's batch. Idempotent-per-process-crash: an expired claim
+    * (holder dead past the TTL) is swept and re-taken. */
+  def claimBatch(fs: FileSystem, indexDir: HPath, batch: Int): Unit = {
+    val p = claimPath(indexDir, batch)
+    fs.mkdirs(p.getParent)
+    val token = java.util.UUID.randomUUID().toString
+    val body = s"$token ${System.currentTimeMillis()}"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var attempts = 0
+    while (true) {
+      try {
+        val out = fs.create(p, false) // create-if-absent: one winner
+        try { out.write(body) } finally out.close()
+        issuedClaims.add(token)
+        return
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+            _: java.nio.file.FileAlreadyExistsException =>
+          val (holder, ageMs) = try {
+            val in = fs.open(p)
+            val raw = try in.readAllBytes() finally in.close()
+            val parts = new String(raw,
+              java.nio.charset.StandardCharsets.UTF_8).split(" ")
+            (parts.headOption.getOrElse(""),
+              System.currentTimeMillis() -
+                parts.lastOption.flatMap(_.toLongOption).getOrElse(0L))
+          } catch {
+            case _: java.io.FileNotFoundException => ("", Long.MaxValue)
+          }
+          // our own earlier claim (a failed in-process attempt, provably
+          // dead under WriterLocks) re-takes immediately; a FOREIGN
+          // claim inside its lease aborts this append loudly
+          if (!issuedClaims.contains(holder) && ageMs <= claimTtlMs)
+            throw new IllegalStateException(
+              s"batch $batch of $indexDir is claimed by another writer " +
+                s"(claim age ${ageMs / 1000}s < lease " +
+                s"${claimTtlMs / 1000}s) — a concurrent append from " +
+                "another process is staging it; retry after it commits")
+          // expired (or our own): the holder is dead — sweep and re-claim
+          attempts += 1
+          require(attempts <= 5,
+            s"could not take over expired claim for batch $batch at $indexDir")
+          try fs.delete(p, false)
+          catch { case _: java.io.IOException => }
+      }
+    }
+  }
+
+  /** Drop the whole claims dir — a REBUILD resets batch numbering, so
+    * every claim of the previous index is debris that would otherwise
+    * block the new index's appends until the lease expired. */
+  def clearClaims(fs: FileSystem, indexDir: HPath): Unit = {
+    val dir = new HPath(indexDir, "claims")
+    if (fs.exists(dir)) fs.delete(dir, true)
+  }
+
+  /** Drop claims for batch numbers the meta has already committed —
+    * nobody claims a number below `committedBatches` again, so they are
+    * pure debris. Called at append entry under the writer lock. */
+  def sweepClaims(fs: FileSystem, indexDir: HPath,
+      committedBatches: Int): Unit = {
+    val dir = new HPath(indexDir, "claims")
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("batch-") &&
+          n.stripPrefix("batch-").toIntOption.exists(_ < committedBatches))
+        try fs.delete(st.getPath, false)
+        catch { case _: java.io.IOException => }
+    }
+  }
 }
 
 /** tmp + atomic rename — POSIX semantics (the historical layout: the
@@ -118,6 +240,12 @@ private[graft] object VersionedPutCommit extends PointerCommit {
     val payload = envelope(bytes)
     var g = gens(fs, p).lastOption.map(_._1).getOrElse(0L) + 1
     var committed = false
+    // only version-taken (already-exists) means "retry the next number";
+    // any other IOException is a real storage failure (permissions,
+    // quota, FS down) and must propagate instead of spinning forever —
+    // a bounded tolerance of a few listed-stale collisions is all a
+    // racing committer can legitimately cause
+    var collisions = 0
     while (!committed) {
       val target = new HPath(p.getParent, f"${p.getName}.g$g%06d")
       try {
@@ -128,7 +256,13 @@ private[graft] object VersionedPutCommit extends PointerCommit {
         try { out.write(payload) } finally out.close()
         committed = true
       } catch {
-        case _: java.io.IOException => g += 1
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+            _: java.nio.file.FileAlreadyExistsException =>
+          collisions += 1
+          if (collisions > 1000) throw new java.io.IOException(
+            s"pointer commit at $p lost $collisions straight version " +
+              "races — a runaway committer is monopolizing the pointer")
+          g += 1
       }
     }
     // retention: the displaced version survives one cycle for in-flight

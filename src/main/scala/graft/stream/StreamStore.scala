@@ -512,6 +512,10 @@ class StreamHandle(val store: StreamStore, val id: String) {
 
   @volatile private var latestIdx: Long = 0L
   @volatile private var cursor: Long = 0L
+  // current redaction-set generation dir name ("" = none); declared with
+  // the other meta fields BEFORE init() runs — init builds the events
+  // view from it
+  @volatile private var redactionsDir: String = ""
   @volatile private var moduleCid: Option[String] = None
   @volatile private var signingKey: Option[Array[Byte]] = None
   // monotone counter bumped on every state-DB mutation (state events
@@ -577,18 +581,147 @@ class StreamHandle(val store: StreamStore, val id: String) {
             s"$p -> $d failed to re-resolve: ${e.getMessage}")
       }
     }
-    // no seed file needed: the events table declares its schema explicitly,
-    // and scanning an empty log dir yields zero rows
-    spark.sql(s"DROP TABLE IF EXISTS $dbName.events")
+    // no seed file needed: the raw table declares its schema explicitly,
+    // and scanning an empty log dir yields zero rows. `events_raw` is the
+    // physical log table; `events` is the REDACTION VIEW every consumer
+    // (modules, raw scans, replay, backup, compaction) reads through —
+    // see refreshEventsView. The legacy layout had `events` as the
+    // physical table: drop it (as table or view) before recreating.
+    try spark.sql(s"DROP TABLE IF EXISTS $dbName.events")
+    catch { case _: Exception => /* a view under the legacy table name */ }
+    spark.sql(s"DROP TABLE IF EXISTS $dbName.events_raw")
     spark.sql(
-      s"""CREATE TABLE $dbName.events (idx BIGINT, user STRING, payload BINARY, signature BINARY)
+      s"""CREATE TABLE $dbName.events_raw (idx BIGINT, user STRING, payload BINARY, signature BINARY)
          |USING PARQUET LOCATION '${logDir.toUri}'""".stripMargin)
+    refreshEventsView()
+  }
+
+  // ---------------- redaction (store-of-record forgetting) ----------------
+  //
+  // The right-to-be-forgotten verb AT the corpus of record — the round-14
+  // delete verbs cover the four DERIVED index families; this one makes
+  // the per-stream event log itself forget. Designed as REDACTION, not
+  // row deletion, to preserve the event-sourcing invariants: idx stays
+  // contiguous (replay windows, has_more math, batch signatures all keyed
+  // on it), the row survives, only its PAYLOAD renders NULL. The redacted
+  // idx set is an O(redacted) parquet artifact committed by the stream's
+  // atomic meta rewrite (the family pointer-flip discipline), and the
+  // `events` view — the ONE seam every reader resolves through — renders
+  // a payload-nulling broadcast join only while the set is non-empty.
+  // The physical purge amortizes into compactLog: the rewrite reads the
+  // view, so nulls bake into the new log version and the set drains in
+  // the same commit.
+
+  /** Number of redacted events (meta-committed set size). */
+  def redactedCount: Long =
+    if (redactionsDir.isEmpty) 0L
+    else spark.read.parquet(dir.resolve(redactionsDir).toString).count()
+
+  private def currentRedactions(): DataFrame =
+    if (redactionsDir.isEmpty) {
+      spark.createDataFrame(java.util.List.of[Row](),
+        StructType(Seq(StructField("idx", LongType, nullable = false))))
+    } else spark.read.parquet(dir.resolve(redactionsDir).toString)
+      .select(col("idx"))
+
+  /** (Re-)create the `events` view over the raw log: a pass-through
+    * SELECT while no redactions exist (zero plan cost — no join renders),
+    * a payload-nulling LEFT JOIN against the bounded redaction set while
+    * they do. Recreated on every redaction commit and every compaction
+    * flip; in-flight readers hold the previous view text over RETAINED
+    * generations (one-cycle rule), so no read ever breaks mid-flip. */
+  private def refreshEventsView(): Unit = {
+    val body =
+      if (redactionsDir.isEmpty)
+        s"SELECT idx, user, payload, signature FROM $dbName.events_raw"
+      else
+        s"""SELECT e.idx, e.user,
+           |  CASE WHEN r.idx IS NULL THEN e.payload
+           |       ELSE CAST(NULL AS BINARY) END AS payload,
+           |  e.signature
+           |FROM $dbName.events_raw e
+           |LEFT JOIN parquet.`${dir.resolve(redactionsDir).toUri}` r
+           |  ON e.idx = r.idx""".stripMargin
+    spark.sql(s"CREATE OR REPLACE VIEW $dbName.events AS $body")
+    refreshBoth("events")
+  }
+
+  private def nextRedactionsDir(): String = {
+    val v = if (redactionsDir.isEmpty) 0
+      else redactionsDir.stripPrefix("redactions.v").toInt
+    s"redactions.v${v + 1}"
+  }
+
+  /** Sweep redaction generations past the retention window (live + one
+    * displaced for in-flight readers — the compactLog rule). */
+  private def sweepRedactions(keep: Set[String]): Unit = {
+    val re = "redactions\\.v\\d+".r
+    withList(dir)(_.filter { p =>
+      val n = p.getFileName.toString
+      re.pattern.matcher(n).matches() && !keep.contains(n)
+    }.toList).foreach(deleteRecursively)
+  }
+
+  /** Redact events by idx (RPC shape). See [[redactEventsDf]]. */
+  def redactEvents(idxs: Seq[Long],
+      rematerialize: Boolean = false): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val rows = idxs.map(i => Row(i)).asJava
+    redactEventsDf(spark.createDataFrame(rows,
+      StructType(Seq(StructField("idx", LongType, nullable = false)))),
+      rematerialize)
+  }
+
+  /** Redact the events whose idx is in `ids` (a 1-column `idx` frame):
+    * bounded to the log's range and to not-already-redacted (retries
+    * idempotent, absent idx a no-op), merged into a fresh redactions
+    * generation, committed by ONE atomic meta rewrite, and the `events`
+    * view re-rendered — every reader from that moment sees NULL payloads
+    * for the set. O(redacted) work; nothing in the log moves.
+    *
+    * Derived MODULE tables keep rows materialized from the payload
+    * before it was redacted — replay determinism means re-deriving them
+    * is always possible: pass `rematerialize = true` to drop and replay
+    * the module tables over the redacted log in the same call (O(log),
+    * the module-swap path), or leave the default and let the next
+    * module swap / restore converge them. The four index families have
+    * their own delete verbs for the same reason. */
+  def redactEventsDf(ids: DataFrame,
+      rematerialize: Boolean = false): Map[String, Long] = lock.synchronized {
+    ensureOpen()
+    val cur = currentRedactions()
+    val merged = cur.union(
+        ids.select(col("idx").cast("long").as("idx")).distinct()
+          .filter(col("idx").between(1L, latestIdx))
+          .join(cur, Seq("idx"), "left_anti"))
+    val next = nextRedactionsDir()
+    merged.coalesce(1).write
+      .mode(SaveMode.Overwrite).parquet(dir.resolve(next).toString)
+    val displaced = redactionsDir
+    redactionsDir = next
+    saveMeta() // THE commit: the meta rewrite is the pointer flip
+    refreshEventsView()
+    sweepRedactions(keep = Set(next, displaced))
+    if (rematerialize) currentModule.foreach { m =>
+      // the module-swap replay path minus the module change: drop the
+      // module's tables, re-init, replay the (now redacted) log
+      listTables().filterNot(t => t == "events" || t == "events_raw" ||
+          t.startsWith("state_"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $dbName.$t"))
+      cursor = 0L
+      runStatements(m.initSql, Map.empty)
+      saveMeta()
+      catchUp()
+      listTables().foreach(refreshBoth)
+    }
+    Map("redacted" ->
+      spark.read.parquet(dir.resolve(next).toString).count())
   }
 
   // ---------------- metadata ----------------
 
   private def saveMeta(): Unit = {
-    val json = s"""{"id":"${StreamStore.escapeJson(id)}","latestIdx":$latestIdx,"cursor":$cursor,"stateVer":$stateVer,"moduleCid":${
+    val json = s"""{"id":"${StreamStore.escapeJson(id)}","latestIdx":$latestIdx,"cursor":$cursor,"stateVer":$stateVer,"redactionsDir":"$redactionsDir","moduleCid":${
       moduleCid.map("\"" + _ + "\"").getOrElse("null")}}"""
     val tmp = dir.resolve("meta.json.tmp")
     Files.write(tmp, json.getBytes(UTF_8))
@@ -602,6 +735,8 @@ class StreamHandle(val store: StreamStore, val id: String) {
       ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
     latestIdx = num("latestIdx"); cursor = num("cursor")
     stateVer = num("stateVer")
+    redactionsDir = "\"redactionsDir\":\"([^\"]*)\"".r.findFirstMatchIn(s)
+      .map(_.group(1)).getOrElse("")
     moduleCid = "\"moduleCid\":\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1))
     // self-heal metas written before the id field existed: the catalog
     // (listStreams) recovers ids from meta.json, so a legacy stream would
@@ -656,7 +791,9 @@ class StreamHandle(val store: StreamStore, val id: String) {
     Seq(spark, store.spark).foreach(s =>
       try s.sql(s"REFRESH TABLE $dbName.$t") catch { case _: Exception => })
 
-  private def refreshEvents(): Unit = refreshBoth("events")
+  private def refreshEvents(): Unit = {
+    refreshBoth("events_raw"); refreshBoth("events")
+  }
 
   // ---------------- module lifecycle (A13 + A6) ----------------
 
@@ -670,9 +807,11 @@ class StreamHandle(val store: StreamStore, val id: String) {
     // the stream (the reference content-addresses module blobs server-side)
     Files.write(dir.resolve("module.json"),
       BackupService.moduleToJson(m).getBytes(UTF_8))
-    // drop previous module tables (everything except the events view);
-    // state tables survive module swaps (separate state DB in the reference)
-    listTables().filterNot(t => t == "events" || t.startsWith("state_"))
+    // drop previous module tables (everything except the events view and
+    // its raw table); state tables survive module swaps (separate state
+    // DB in the reference)
+    listTables().filterNot(t => t == "events" || t == "events_raw" ||
+        t.startsWith("state_"))
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $dbName.$t"))
     // purge orphaned table directories (left by a previous process or a
     // dropped table) so CREATE TABLE never trips over a stale location
@@ -984,13 +1123,25 @@ class StreamHandle(val store: StreamStore, val id: String) {
     val target = math.max(1, math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
     val oldDir = logDir
     val newDir = dir.resolve(s"log_v${logVersion + 1}")
+    // the rewrite reads the events VIEW, so it doubles as the PHYSICAL
+    // purge of redactions: nulled payloads bake into the new log version
+    // and the redaction set drains in the same commit below
     eventsDF.repartitionByRange(target, col("idx"))
       .sortWithinPartitions("idx")
       .write.mode(SaveMode.Overwrite).parquet(newDir.toString)
     // catalog location flip is a single metadata update — readers resolve
     // either the complete old set or the complete new set
-    spark.sql(s"ALTER TABLE $dbName.events SET LOCATION '${newDir.toUri}'")
+    spark.sql(s"ALTER TABLE $dbName.events_raw SET LOCATION '${newDir.toUri}'")
     logVersion += 1
+    if (redactionsDir.nonEmpty) {
+      val displaced = redactionsDir
+      redactionsDir = ""
+      saveMeta()
+      refreshEventsView()
+      // the displaced set survives one cycle for in-flight readers whose
+      // view text still joins it (over the retained old log version)
+      sweepRedactions(keep = Set(displaced))
+    }
     refreshEvents()
     // retain exactly one previous version for in-flight readers; anything
     // older than that has had a full compaction cycle to finish
@@ -1523,9 +1674,10 @@ class StreamHandle(val store: StreamStore, val id: String) {
   }
 
   private def snapshotTables(): Map[String, (Path, Set[Path])] =
-    listTables().filterNot(_ == "events").flatMap { t =>
-      tableLocation(t).map(loc => t -> (loc, listFiles(loc)))
-    }.toMap
+    listTables().filterNot(t => t == "events" || t == "events_raw")
+      .flatMap { t =>
+        tableLocation(t).map(loc => t -> (loc, listFiles(loc)))
+      }.toMap
 
   private def rollback(logBefore: Set[Path], snap: Map[String, (Path, Set[Path])]): Unit = {
     (listFiles(logDir) -- logBefore).foreach(Files.deleteIfExists(_))

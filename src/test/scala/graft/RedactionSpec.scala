@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.drisl.DValue._
+import graft.drisl.Drisl
+import graft.stream._
+import graft.types._
+
+/** Redaction at the STORE OF RECORD (the round-15 verb): the per-stream
+  * event log forgets a payload while preserving the event-sourcing
+  * invariants — idx contiguity, batch signatures, replay determinism.
+  * The commit is an O(redacted) parquet set flipped by the stream's
+  * atomic meta rewrite; every reader goes through the `events` view, so
+  * raw scans, replay, backup and compaction all see NULL payloads for
+  * the set. Physical purge = compactLog (the rewrite reads the view, so
+  * nulls bake into the new log version and the set drains). */
+class RedactionSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private lazy val store = new StreamStore(spark,
+    graft.TempDirs.create("graft-redact").toString)
+
+  private def payload(content: String, n: Long): Array[Byte] =
+    Drisl.encode(obj("content" -> text(content), "n" -> int(n)))
+
+  private val module = ModuleDef(
+    initSql = """CREATE TABLE IF NOT EXISTS notes
+                 |(idx BIGINT, author STRING, content STRING, n BIGINT)
+                 |USING PARQUET""".stripMargin,
+    materializer = """INSERT INTO notes
+                      |SELECT idx, user, drisl_extract(payload, '.content'),
+                      |       drisl_extract_long(payload, '.n') FROM event""".stripMargin,
+    queries = Map("all" -> QueryDef(
+      "SELECT idx, author, content, n FROM notes ORDER BY idx")))
+
+  private def freshStream(id: String, n: Int = 12): StreamHandle = {
+    val h = store.open(id)
+    h.setModule(module)
+    assert(h.addEvents((1 to n).map(i =>
+      IncomingEvent(s"u${i % 3}", payload(s"c$i", i)))).isRight)
+    h
+  }
+
+  test("redact nulls the payload in raw scans, keeps idx/user/signature") {
+    val h = freshStream("did:redact:raw")
+    val r = h.redactEvents(Seq(3L, 7L))
+    assert(r("redacted") == 2L)
+    val rows = h.rawGetEvents(1, 12).collect()
+    assert(rows.length == 12, "idx contiguity preserved")
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 12L))
+    rows.foreach { row =>
+      val idx = row.getLong(0)
+      assert(row.getString(1) == s"u${idx % 3}", "user survives redaction")
+      if (idx == 3 || idx == 7) assert(row.isNullAt(2), s"idx $idx redacted")
+      else assert(!row.isNullAt(2), s"idx $idx untouched")
+    }
+    // idempotent retry + out-of-range idx are no-ops
+    assert(h.redactEvents(Seq(3L, 7L, 999L))("redacted") == 2L)
+    assert(h.redactedCount == 2L)
+    // the set merges across calls
+    assert(h.redactEvents(Seq(5L))("redacted") == 3L)
+  }
+
+  test("the events view renders NO join while the redaction set is empty") {
+    val h = freshStream("did:redact:plan")
+    val plan = h.eventsDF.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      s"pass-through view must not render a join:\n$plan")
+    h.redactEvents(Seq(1L))
+    val planAfter = h.eventsDF.queryExecution.optimizedPlan.toString
+    assert(planAfter.toLowerCase.contains("join"),
+      "redacted view must render the payload-nulling join")
+  }
+
+  test("replay after redaction converges: module swap sees redacted payloads") {
+    val h = freshStream("did:redact:replay")
+    h.redactEvents(Seq(2L, 9L))
+    // a module swap replays the whole log through the view — redacted
+    // events materialize with NULL-derived columns, deterministically
+    h.setModule(module.copy(initSql = module.initSql + " "))
+    val rows = h.queryTagged(None, LeafQuery("all", limit = 100))
+    assert(rows.size == 12)
+    rows.foreach { m =>
+      val idx = m("idx").asInstanceOf[SqlValue.SqlInteger].v
+      if (idx == 2 || idx == 9) {
+        assert(m("content") == SqlValue.SqlNull, s"idx $idx content redacted")
+        assert(m("n") == SqlValue.SqlNull, s"idx $idx n redacted")
+      } else assert(m("content") == SqlValue.SqlText(s"c$idx"))
+    }
+    // rematerialize=true converges the tables without a module swap
+    val h2 = freshStream("did:redact:remat")
+    h2.redactEvents(Seq(4L), rematerialize = true)
+    val r2 = h2.queryTagged(None, LeafQuery("all", limit = 100))
+    assert(r2.count(_("content") == SqlValue.SqlNull) == 1)
+  }
+
+  test("redaction persists across close/reopen from disk") {
+    val root = graft.TempDirs.create("graft-redact-reopen").toString
+    val s1 = new StreamStore(spark, root)
+    val h1 = s1.open("did:redact:persist")
+    h1.setModule(module)
+    h1.addEvents((1 to 6).map(i => IncomingEvent("u", payload(s"c$i", i))))
+    h1.redactEvents(Seq(5L))
+    h1.close()
+    val s2 = new StreamStore(spark, root)
+    val h2 = s2.open("did:redact:persist")
+    assert(h2.redactedCount == 1L)
+    val row5 = h2.rawGetEvents(5, 5).collect()(0)
+    assert(row5.isNullAt(2), "redaction survives a cold reopen")
+  }
+
+  test("native backup/restore round-trip preserves redaction") {
+    val h = freshStream("did:redact:bak")
+    h.redactEvents(Seq(6L, 11L))
+    val bak = "file:" + graft.TempDirs.create("graft-redact-bakdir")
+    BackupService.backup(h, bak)
+    val store2 = new StreamStore(spark,
+      graft.TempDirs.create("graft-redact-rest").toString)
+    val restored = BackupService.restore(store2, "did:redact:restored", bak)
+    // the restored stream replays the ARCHIVED (redacted) log — its
+    // materialized answers converge with the source's post-redaction view
+    val rows = restored.queryTagged(None, LeafQuery("all", limit = 100))
+    assert(rows.size == 12)
+    assert(rows.count(_("content") == SqlValue.SqlNull) == 2)
+    val raw = restored.rawGetEvents(6, 6).collect()(0)
+    assert(raw.isNullAt(2), "archived payload is null at the restore too")
+  }
+
+  test("reference-bucket export/import round-trip preserves redaction") {
+    val h = freshStream("did:redact:refbak")
+    h.redactEvents(Seq(1L, 12L))
+    val bak = "file:" + graft.TempDirs.create("graft-redact-refdir")
+    BackupService.exportReference(h, bak)
+    val store2 = new StreamStore(spark,
+      graft.TempDirs.create("graft-redact-refrest").toString)
+    val (restored, _) = BackupService.importReference(
+      store2, "did:redact:refrestored", bak, h.id)
+    // the bucket format carries the nulled payload as zero bytes; replay
+    // extracts NULL from it (empty payload = every path absent)
+    val rows = restored.queryTagged(None, LeafQuery("all", limit = 100))
+    assert(rows.size == 12)
+    assert(rows.count(_("content") == SqlValue.SqlNull) == 2)
+  }
+
+  test("compaction is the physical purge: nulls bake, the set drains") {
+    val h = freshStream("did:redact:compact")
+    h.redactEvents(Seq(4L, 8L))
+    assert(h.redactedCount == 2L)
+    h.compactLog()
+    assert(h.redactedCount == 0L, "compaction drains the redaction set")
+    // the PHYSICAL new log version carries nulls — read it directly,
+    // bypassing the view
+    val physical = spark.read.parquet(h.logDirectory.toString)
+    assert(physical.filter(col("idx").isin(4L, 8L))
+      .filter(col("payload").isNotNull).count() == 0,
+      "redacted payload bytes must be gone from the rewritten log")
+    assert(physical.count() == 12)
+    // answers unchanged through the (now pass-through) view
+    val rows = h.rawGetEvents(1, 12).collect()
+    assert(rows.count(_.isNullAt(2)) == 2)
+    // and the view is back to a no-join pass-through
+    val plan = h.eventsDF.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("join"))
+  }
+
+  test("appends after redaction are untouched by the set") {
+    val h = freshStream("did:redact:append", n = 4)
+    h.redactEvents(Seq(2L))
+    assert(h.addEvents(Seq(IncomingEvent("u9", payload("late", 99)))).isRight)
+    val rows = h.rawGetEvents(1, 5).collect()
+    assert(rows.length == 5)
+    assert(!rows(4).isNullAt(2), "new events never match old redactions")
+    assert(rows(1).isNullAt(2))
+  }
+}
