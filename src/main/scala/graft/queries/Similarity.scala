@@ -91,6 +91,10 @@ object Similarity {
     * the codebooks artifact itself ([[readCodebooksAt]]), so an index
     * built at one rung reads correctly forever. */
   private val pqM = 4; private val pqL = 16; private val pqK = 8
+  /** Session-default PQ geometry (M, L) — what an attached-view SQL
+    * renderer assumes when the caller doesn't recover the artifact's
+    * own geometry. */
+  private[graft] def defaultPqGeometry: (Int, Int) = (pqM, pqL)
 
   /** PQ subspace count derived from corpus size and dimension — the knob
     * follows the corpus the way LSH banding (lshRowsPerBand), Bloom
@@ -883,13 +887,25 @@ object Similarity {
     }.toMap
     appendHistory(indexDir, kind,
       merged.map { case (s, (cur, _)) => s -> cur }, censuses)
-    val live = merged.values.flatMap(v => v._1 :: v._2.toList).toSet
-    updates.keys.foreach { sub =>
-      m.get(sub).flatMap(_._2).foreach { displaced =>
-        if (!live.contains(displaced))
-          deleteDir(basePath(indexDir).resolve(displaced))
-      }
-    }
+    // retention window: the manifest's (cur, prev) pairs PLUS every dir
+    // named by the last retainGenerations+1 history snapshots (the new
+    // commit + depth priors) — depth 1 reproduces the historical
+    // one-displaced-generation rule exactly, deeper keeps more as-of
+    // snapshots readable. The sweep walks ALL versioned artifact dirs
+    // (not just this flip's displaced prev): at depth > 1 a generation
+    // leaves the window several commits after it was displaced, when no
+    // manifest entry points at it anymore.
+    sweepUnreferenced(indexDir)
+  }
+
+  /** Artifact dirs named by the last `retainGenerations + 1` history
+    * snapshots — what the retention sweeps must leave on disk. */
+  private def retainedHistoryDirs(indexDir: String): Set[String] = {
+    val depth = graft.stream.PointerCommit.retainGenerations
+    manifestHistory(indexDir).takeRight(depth + 1)
+      .flatMap(_._3).collect {
+        case (k, v) if indexArtifacts.contains(k) => v
+      }.toSet
   }
 
   // ---------------- commit history + as-of reads ----------------
@@ -1087,7 +1103,8 @@ object Similarity {
     val base = basePath(indexDir)
     if (!java.nio.file.Files.isDirectory(base)) return
     val live = manifestMapping(indexDir).values
-      .flatMap(v => v._1 :: v._2.toList).toSet
+      .flatMap(v => v._1 :: v._2.toList).toSet ++
+      retainedHistoryDirs(indexDir)
     val versioned = indexArtifacts.map(sub => s"^$sub(\\.v\\d+)?$$".r)
     val st = java.nio.file.Files.list(base)
     try {

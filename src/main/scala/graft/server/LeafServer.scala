@@ -492,6 +492,20 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     withStream(str(args, "id"))(_.clearState()); Map.empty
   }
 
+  handle("/stream/redact") { (c, args) =>
+    // store-of-record forgetting (round 15): null the PAYLOADS of the
+    // given idx set while preserving idx contiguity, batch signatures
+    // and replay determinism — the takedown verb the four derived-index
+    // delete RPCs complete. O(redacted) commit through the stream meta;
+    // physical purge amortizes into log compaction. `rematerialize`
+    // (default false) additionally replays the module tables over the
+    // redacted log so derived rows forget too.
+    requireOwner(c.did, str(args, "id"), "redact its events")
+    val remat = args.get("rematerialize").contains(true)
+    withStream(str(args, "id"))(
+      _.redactEvents(longSeq(args, "idx"), rematerialize = remat))
+  }
+
   handle("/stream/set_handle") { (c, args) =>
     requireOwner(c.did, str(args, "id"), "set its handle")
     // the reference updates the stream's DID document via PLC
@@ -797,6 +811,26 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
       throw new LeafAuthException("admin RPCs require a trusted connection")
     Map("commits" -> graft.queries.Retrieval
       .lexicalIndexHistory(store.spark, str(args, "dir")).toVector)
+  }
+
+  handle("/admin/dedup_index_history") { (c, args) =>
+    // the dedup commit log (build/append/reband/delete), with the
+    // readability flag marking the retention boundary an as-of
+    // increment can still resolve
+    if (!c.trusted && !c.did.exists(moduleAdmins.contains))
+      throw new LeafAuthException("admin RPCs require a trusted connection")
+    Map("commits" -> graft.queries.Dedup
+      .dedupIndexHistory(store.spark, str(args, "dir")).toVector)
+  }
+
+  handle("/admin/mixture_stats_history") { (c, args) =>
+    // the mixture commit log (build/append/delete/compact), with the
+    // readability flag marking the retention boundary an as-of weights
+    // fold can still resolve
+    if (!c.trusted && !c.did.exists(moduleAdmins.contains))
+      throw new LeafAuthException("admin RPCs require a trusted connection")
+    Map("commits" -> graft.queries.Pipeline
+      .mixtureStatsHistory(store.spark, str(args, "dir")).toVector)
   }
 
   handle("/admin/lexical_index_info") { (c, args) =>

@@ -48,18 +48,32 @@ object SqlClassifier {
 
   /** Validate one statement for a context; Left(reason) to reject. */
   def check(spark: SparkSession, ctx: Ctx, stmt: String): Either[String, Unit] = {
+    // the QueryCtx allowlist matches on TEXT before the bare parse: a
+    // staged temp view may carry $-parameter markers, which the plain
+    // parser rejects inside CREATE VIEW even though the parameterized
+    // execution path (spark.sql(stmt, args)) substitutes them fine
+    if (ctx == QueryCtx) {
+      // multi-statement queries may stage TEMP VIEWS for the final SELECT
+      // (A7 semantics: all statements run, last result returned)
+      val tempView =
+        "(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TEMP(ORARY)?\\s+VIEW\\b".r
+      // staged temp views may also be (un)cached: the indexed MMR
+      // serving query materializes its bounded candidate pool once so
+      // the unrolled greedy layers read a ≤256-row in-memory relation
+      // instead of re-running the two-stage probe per layer. Only the
+      // plain CACHE/UNCACHE of an existing name is allowed — the
+      // `CACHE TABLE t AS SELECT` creating form stays rejected.
+      val cache =
+        "(?is)^\\s*(UN)?CACHE\\s+(LAZY\\s+)?TABLE\\s+(IF\\s+EXISTS\\s+)?[A-Za-z_][A-Za-z0-9_.]*\\s*$".r
+      if (tempView.findFirstIn(stmt).isDefined ||
+          cache.findFirstIn(stmt).isDefined) return Right(())
+    }
     val plan: LogicalPlan =
       try spark.sessionState.sqlParser.parsePlan(stmt)
       catch { case e: Exception => return Left(s"unparseable statement: ${e.getMessage}") }
     ctx match {
       case QueryCtx =>
-        // multi-statement queries may stage TEMP VIEWS for the final SELECT
-        // (A7 semantics: all statements run, last result returned); any
-        // other command/DML is rejected
-        val tempView =
-          "(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TEMP(ORARY)?\\s+VIEW\\b".r
-        if (tempView.findFirstIn(stmt).isDefined) Right(())
-        else findWriteNode(plan) match {
+        findWriteNode(plan) match {
           case Some(what) => Left(s"queries are read-only: $what rejected")
           case None       => Right(())
         }

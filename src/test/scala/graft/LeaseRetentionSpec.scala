@@ -1,0 +1,231 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{Dedup, Pipeline, Retrieval, Similarity}
+import graft.stream.{PointerCommit, VersionedPutCommit}
+
+/** Round-15 commit-protocol hardening, spec-gated:
+  *
+  *  - CROSS-PROCESS WRITER LEASE: the batch-numbered appends
+  *    (lexical/dedup/mixture) claim their batch number through the
+  *    create-if-absent primitive BEFORE staging — a racing append from
+  *    another process aborts loudly instead of staging the same
+  *    Overwrite-scoped batch dir and being silently absorbed by
+  *    whichever meta publish lands last. Expired leases (crashed
+  *    holders) are taken over.
+  *  - BOUNDED PUBLISH RETRY: only already-exists means "version taken";
+  *    persistent IO failure propagates instead of spinning forever.
+  *  - CONFIGURABLE RETENTION DEPTH (-Dgraft.retain.generations): depth
+  *    N keeps the last N prior snapshots as-of readable across every
+  *    family; depth 1 is the historical one-cycle rule.
+  */
+class LeaseRetentionSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def docs(n: Int, base: Long = 0L): DataFrame =
+    spark.range(n).select(
+      (col("id") + base).as("doc_id"),
+      concat(lit("src"), (col("id") % 4).cast("string")).as("source"),
+      concat_ws(" ", (0 until 12).map(i =>
+        md5(concat(col("id") + base, lit(i)))): _*).as("text"))
+
+  /** Hand-write a FOREIGN claim (a uuid this process never issued) for
+    * `batch` — exactly what a concurrent append from another process
+    * leaves between its claim and its meta commit. */
+  private def foreignClaim(indexDir: String, batch: Int,
+      ageMs: Long = 0L): java.nio.file.Path = {
+    val dir = java.nio.file.Paths.get(indexDir, "claims")
+    java.nio.file.Files.createDirectories(dir)
+    val p = dir.resolve(s"batch-$batch")
+    java.nio.file.Files.write(p,
+      s"${java.util.UUID.randomUUID()} ${System.currentTimeMillis() - ageMs}"
+        .getBytes(UTF_8))
+    p
+  }
+
+  test("lexical append vs a foreign live claim: aborts loudly, stages " +
+    "nothing; an EXPIRED lease is taken over") {
+    val idx = TempDirs.create("graft-lease-lex").toString
+    Retrieval.buildLexicalIndexDf(spark, docs(60), idx)
+    foreignClaim(idx, batch = 1)
+    val e = intercept[IllegalStateException] {
+      Retrieval.appendLexicalIndex(spark, docs(10, base = 1000), idx)
+    }
+    assert(e.getMessage.contains("claimed by another writer"))
+    // nothing staged: no batch=1 dirs, meta unchanged
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(idx, "terms", "batch=1")),
+      "the losing append must not stage over the winner's batch")
+    assert(Retrieval.lexicalIndexInfo(spark, idx)("docs") == 60L)
+    // the same claim PAST the lease TTL reads as a crashed holder
+    foreignClaim(idx, batch = 1, ageMs = 16L * 60 * 1000)
+    val out = Retrieval.appendLexicalIndex(spark, docs(10, base = 1000), idx)
+    assert(out("appended") == 10L && out("docs") == 70L)
+  }
+
+  test("dedup and mixture appends honor the same lease") {
+    val dIdx = TempDirs.create("graft-lease-dedup").toString
+    Dedup.buildDedupIndex(spark, docs(60).select("doc_id", "text"), dIdx)
+    foreignClaim(dIdx, batch = 1)
+    val e1 = intercept[IllegalStateException] {
+      Dedup.appendDedupIndex(spark,
+        docs(10, base = 2000).select("doc_id", "text"), dIdx)
+    }
+    assert(e1.getMessage.contains("claimed by another writer"))
+
+    val mIdx = TempDirs.create("graft-lease-mix").toString
+    Pipeline.buildMixtureStatsDf(spark,
+      docs(60).select("source", "text"), mIdx)
+    foreignClaim(mIdx, batch = 1)
+    val e2 = intercept[IllegalStateException] {
+      Pipeline.appendMixtureStats(spark,
+        docs(10, base = 3000).select("source", "text"), mIdx)
+    }
+    assert(e2.getMessage.contains("claimed by another writer"))
+  }
+
+  test("publish propagates a persistent IO failure instead of spinning " +
+    "(only already-exists means 'version taken')") {
+    val dir = TempDirs.create("graft-failing-fs").toString
+    val failing = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def create(f: org.apache.hadoop.fs.Path,
+          permission: org.apache.hadoop.fs.permission.FsPermission,
+          overwrite: Boolean, bufferSize: Int, replication: Short,
+          blockSize: Long,
+          progress: org.apache.hadoop.util.Progressable)
+          : org.apache.hadoop.fs.FSDataOutputStream =
+        throw new java.io.IOException("quota exceeded (injected)")
+      override def create(f: org.apache.hadoop.fs.Path,
+          overwrite: Boolean, bufferSize: Int, replication: Short,
+          blockSize: Long,
+          progress: org.apache.hadoop.util.Progressable)
+          : org.apache.hadoop.fs.FSDataOutputStream =
+        throw new java.io.IOException("quota exceeded (injected)")
+    }
+    failing.initialize(java.net.URI.create("file:///"),
+      new org.apache.hadoop.conf.Configuration())
+    val e = intercept[java.io.IOException] {
+      VersionedPutCommit.publish(failing,
+        new org.apache.hadoop.fs.Path(dir, "meta.json"), "x".getBytes(UTF_8))
+    }
+    assert(e.getMessage.contains("quota exceeded"))
+  }
+
+  // ---------------- retention depth ----------------
+
+  private def withDepth[A](n: Int)(f: => A): A = {
+    val prev = sys.props.get("graft.retain.generations")
+    sys.props("graft.retain.generations") = n.toString
+    try f finally prev match {
+      case Some(v) => sys.props("graft.retain.generations") = v
+      case None => sys.props -= "graft.retain.generations"
+    }
+  }
+
+  test("retention depth 2, lexical: three post-build flips leave BOTH " +
+    "prior snapshots queryable; the third back refuses loudly") {
+    withDepth(2) {
+      val corpus = docs(90).select(col("doc_id"),
+        concat(col("text"), lit(" needle")).as("text"))
+      val idx = TempDirs.create("graft-depth-lex").toString
+      Retrieval.buildLexicalIndexDf(spark, corpus, idx)
+      def probe(rel: String => String): Seq[(Long, Long)] =
+        spark.sql(Retrieval.bm25NamedSql(rel, "'needle'", "1000"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val live = () => probe(Retrieval.lexRelation(spark, idx))
+      val after = scala.collection.mutable.Map.empty[Int, Seq[(Long, Long)]]
+      after(1) = live()
+      (0 until 3).foreach { i =>
+        Retrieval.deleteFromLexicalIndex(spark,
+          corpus.filter(col("doc_id") % 9 === i).select("doc_id"), idx)
+        after(i + 2) = live()
+      }
+      val h = Retrieval.lexicalIndexHistory(spark, idx)
+      assert(h.map(_("kind")) == Seq("build", "delete", "delete", "delete"))
+      assert(h.map(_("readable")) == Seq(false, true, true, true),
+        s"depth 2 must keep the TWO prior snapshots readable: $h")
+      // both priors reproduce their exact historical answers
+      assert(probe(Retrieval.lexRelationAsOf(spark, idx, 3)) == after(3))
+      assert(probe(Retrieval.lexRelationAsOf(spark, idx, 2)) == after(2))
+      // the third back is past the window — loud, never partial
+      val e = intercept[IllegalArgumentException] {
+        Retrieval.lexRelationAsOf(spark, idx, 1)
+      }
+      assert(e.getMessage.contains("retention boundary"))
+    }
+  }
+
+  test("retention depth 2, vector: the manifest retains two displaced " +
+    "generations; as-of counts step back through both deletes") {
+    withDepth(2) {
+      val d = TempDirs.create("graft-depth-vec").toString
+      spark.range(300)
+        .select(col("id").as("vec_id"), (col("id") % 5).cast("int").as("label"))
+        .select(col("vec_id"), expr(
+          "transform(sequence(0, 15), i -> CAST(" +
+            "(pmod(hash(label, i), 2001) - 1000) / 1000.0 + " +
+            "(pmod(hash(vec_id, i, 7), 201) - 100) / 100.0 * 0.15 AS FLOAT))")
+          .as("embedding"), col("label"))
+        .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+      val idx = TempDirs.create("graft-depth-vecidx").toString
+      Similarity.buildVectorIndex(spark, d, idx)
+      def liveCount(rel: String => String): Long =
+        spark.sql(s"SELECT count(*) AS c FROM ${rel("vectors")} v")
+          .head().getLong(0)
+      Similarity.deleteFromVectorIndex(spark, (0L until 10L), idx)
+      Similarity.deleteFromVectorIndex(spark, (10L until 30L), idx)
+      Similarity.deleteFromVectorIndex(spark, (30L until 60L), idx)
+      val h = Similarity.vectorIndexHistory(spark, idx)
+      assert(h.map(_("kind")) == Seq("build", "delete", "delete", "delete"))
+      assert(h.map(_("readable")) == Seq(false, true, true, true), h.toString)
+      assert(liveCount(Similarity.artifactRelationAsOf(idx, 4)) == 240L)
+      assert(liveCount(Similarity.artifactRelationAsOf(idx, 3)) == 270L)
+      assert(liveCount(Similarity.artifactRelationAsOf(idx, 2)) == 290L)
+      val e = intercept[IllegalArgumentException] {
+        Similarity.artifactRelationAsOf(idx, 1)
+      }
+      assert(e.getMessage.contains("retention boundary"))
+    }
+  }
+
+  test("vector as-of census pin: rows appended after a commit are " +
+    "invisible to that commit's snapshot") {
+    val d = TempDirs.create("graft-census-src").toString
+    spark.range(200)
+      .select(col("id").as("vec_id"), (col("id") % 5).cast("int").as("label"))
+      .select(col("vec_id"), expr(
+        "transform(sequence(0, 15), i -> CAST(" +
+          "(pmod(hash(label, i), 2001) - 1000) / 1000.0 + " +
+          "(pmod(hash(vec_id, i, 7), 201) - 100) / 100.0 * 0.15 AS FLOAT))")
+        .as("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val idx = TempDirs.create("graft-census-idx").toString
+    Similarity.buildVectorIndex(spark, d, idx)
+    // commit 2: a delete (any manifest flip records the census)
+    Similarity.deleteFromVectorIndex(spark, Seq(0L), idx)
+    // vector appends write IN PLACE — no flip, no history line
+    val inc = spark.range(50)
+      .select((col("id") + 1000).as("vec_id"), (col("id") % 5).cast("int").as("label"))
+      .select(col("vec_id"), expr(
+        "transform(sequence(0, 15), i -> CAST(" +
+          "(pmod(hash(label, i), 2001) - 1000) / 1000.0 + " +
+          "(pmod(hash(vec_id, i, 7), 201) - 100) / 100.0 * 0.15 AS FLOAT))")
+        .as("embedding"), col("label"))
+    Similarity.appendVectorIndexDf(spark, inc, idx)
+    def cnt(rel: String => String): Long =
+      spark.sql(s"SELECT count(*) AS c FROM ${rel("vectors")} v")
+        .head().getLong(0)
+    assert(cnt(Similarity.artifactRelation(idx)) == 249L,
+      "live view sees the appended rows (200 - 1 deleted + 50)")
+    assert(cnt(Similarity.artifactRelationAsOf(idx, 2)) == 199L,
+      "the as-of snapshot pins its recorded file census — appended " +
+        "rows must NOT leak into history")
+    assert(cnt(Similarity.artifactRelationAsOf(idx, 1)) == 200L,
+      "the build snapshot (pre-delete, pre-append) is exactly the corpus")
+  }
+}

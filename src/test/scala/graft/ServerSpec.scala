@@ -1666,6 +1666,206 @@ class ServerSpec extends AnyFunSuite {
       s"tighter budget must cut a strict prefix: $p150 vs $p512")
   }
 
+  test("INDEXED MMR/context-pack relevance legs (the serving default) " +
+    "ride the persisted two-stage probe: answers identical to the brute " +
+    "twins on a clustered corpus, probe artifacts in the executed plan") {
+    import org.apache.spark.sql.functions._
+    // clustered corpus (the SimilaritySpec geometry — recall is REAL
+    // here, so indexed == brute is a meaningful equality, not a
+    // scan-fraction accident) + matching documents for the lexical leg
+    val src = TempDirs.create("graft-ragidx-src").toString
+    spark.range(1000)
+      .select(col("id").as("vec_id"), (col("id") % 5).cast("int").as("label"))
+      .select(col("vec_id"), expr(
+        "transform(sequence(0, 63), i -> CAST(" +
+          "(pmod(hash(label, i), 2001) - 1000) / 1000.0 + " +
+          "(pmod(hash(vec_id, i, 7), 201) - 100) / 100.0 * 0.15 AS FLOAT))")
+        .as("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$src/embeddings.parquet")
+    spark.range(1000).select(col("id").as("doc_id"),
+        lit("srcA").as("source"),
+        concat_ws(" ",
+          concat(lit("tok"), (col("id") % 97).cast("string")),
+          concat(lit("tok"), (col("id") % 31).cast("string")),
+          lit("filler alpha beta gamma"),
+          concat(lit("w"), col("id").cast("string"))).as("text"))
+      .write.mode("overwrite").parquet(s"$src/documents.parquet")
+    val vidx = TempDirs.create("graft-ragidx-vec").toString
+    ok(post("/admin/vector_index_build", Map("src" -> src, "dir" -> vidx)))
+    val lidx = TempDirs.create("graft-ragidx-lex").toString
+    ok(post("/admin/lexical_index_build", Map("src" -> src, "dir" -> lidx)))
+
+    // indexed (serving default) + brute (oracle twin) for both queries
+    import graft.queries.Retrieval
+    def q(sql: String, params: (String, String)*) = Map(
+      "sql" -> sql,
+      "params" -> params.toVector.map { case (n, k) =>
+        Map("name" -> n, "kind" -> k) })
+    val cid = ok(post("/module/upload", Map("module" -> Map(
+      "queries" -> Map(
+        "mmr_idx" -> q(Retrieval.mmrNamedSqlIndexed(a => s"rg_$a",
+            "$qvec", "$lambda", "$k"),
+          "qvec" -> "text", "lambda" -> "integer", "k" -> "integer"),
+        "mmr_brute" -> q(Retrieval.mmrNamedSqlIndexed(a => s"rg_$a",
+            "$qvec", "$lambda", "$k", indexed = false),
+          "qvec" -> "text", "lambda" -> "integer", "k" -> "integer"),
+        "pack_idx" -> q(Retrieval.contextPackNamedSqlIndexed(
+            a => s"lg_$a", a => s"rg_$a", "$terms", "$qvec", "$budget"),
+          "terms" -> "text", "qvec" -> "text", "budget" -> "integer"),
+        "pack_brute" -> q(Retrieval.contextPackNamedSqlIndexed(
+            a => s"lg_$a", a => s"rg_$a", "$terms", "$qvec", "$budget",
+            indexed = false),
+          "terms" -> "text", "qvec" -> "text", "budget" -> "integer"))))))(
+      "cid").asInstanceOf[String]
+    val sid = ok(post("/stream/create",
+      Map("id" -> "did:graft:ragidx", "module_cid" -> cid)))("id").toString
+    ok(post("/admin/vector_index_attach",
+      Map("id" -> sid, "prefix" -> "rg", "dir" -> vidx)))
+    ok(post("/admin/lexical_index_attach",
+      Map("id" -> sid, "prefix" -> "lg", "dir" -> lidx)))
+
+    val qv = spark.read.parquet(s"$src/embeddings.parquet")
+      .where(col("vec_id") === 7L).select("embedding").head()
+      .getSeq[Float](0)
+      .map(x => math.floor(x.toDouble * 64 + 0.5).toLong)
+    def rows(name: String, params: Map[String, Any]): Vector[Vector[Any]] =
+      ok(post("/stream/query", Map("id" -> sid, "query" -> Map(
+        "name" -> name, "limit" -> 100L, "params" -> params))))("rows")
+        .asInstanceOf[Vector[Any]].map(r =>
+          r.asInstanceOf[Map[String, Any]].toVector.sortBy(_._1)
+            .map(_._2))
+    // the indexed leg answers EXACTLY what the brute leg answers, at
+    // two bindings each — matching recall on clustered geometry
+    for ((lam, k) <- Seq((500000L, 5L), (990000L, 6L))) {
+      val p = Map[String, Any]("qvec" -> qv.mkString(","),
+        "lambda" -> lam, "k" -> k)
+      val idx = rows("mmr_idx", p)
+      assert(idx == rows("mmr_brute", p),
+        s"indexed MMR drifted from the brute twin at λ=$lam k=$k")
+      assert(idx.size == k, s"k=$k returned ${idx.size} selections")
+    }
+    for (budget <- Seq(512L, 200L)) {
+      val p = Map[String, Any]("terms" -> "tok5,tok13",
+        "qvec" -> qv.mkString(","), "budget" -> budget)
+      val idx = rows("pack_idx", p)
+      assert(idx == rows("pack_brute", p),
+        s"indexed pack drifted from the brute twin at budget=$budget")
+      assert(idx.nonEmpty, s"budget $budget packed nothing")
+    }
+
+    // plan pin: the indexed relevance legs' plans carry the PROBE
+    // artifacts (centroids + codebooks + codes — `adc_dist` is the
+    // pool's ADC column, absent from any brute plan); the vectors
+    // fileset appears only as the join-bounded rerank fetch. The pack
+    // SQL is one statement, so its executed plan pins directly; the MMR
+    // SQL stages its pool into a cached temp view (so the unrolled
+    // layers read ≤indexedFetch in-memory rows, never re-running the
+    // probe), so the pin runs on the staged pool statement.
+    val rel = graft.queries.Similarity.artifactRelation(vidx)
+    val lrel = graft.queries.Retrieval.lexRelation(spark, lidx)
+    val snap = graft.queries.Similarity.resolveAll(vidx)
+    def dirToken(sub: String): String =
+      snap(sub).stripPrefix("file:").split("/").last
+    val packPhys = spark.sql(
+        graft.queries.Retrieval.contextPackNamedSqlIndexed(
+          lrel, rel, "'tok5,tok13'", s"'${qv.mkString(",")}'", "512"))
+      .queryExecution.executedPlan.toString
+    assert(packPhys.contains(dirToken("codes")),
+      "indexed pack must scan the codes artifact (ADC pool)")
+    assert(packPhys.contains(dirToken("centroids")),
+      "indexed pack must scan the centroids artifact (cell probe)")
+    assert(packPhys.contains("adc_dist"),
+      "indexed pack must rank the ADC pool, not a corpus pass")
+    val brutePhys = spark.sql(
+        graft.queries.Retrieval.contextPackNamedSqlIndexed(
+          lrel, rel, "'tok5,tok13'", s"'${qv.mkString(",")}'", "512",
+          indexed = false))
+      .queryExecution.executedPlan.toString
+    assert(!brutePhys.contains(dirToken("codes")),
+      "twin sanity: the brute leg reads no codes")
+    // the indexed MMR plan: probe artifacts present, and the greedy is
+    // the single HOF fold over the collected pool — the pool (and thus
+    // every index artifact) appears ONCE, not once per unrolled layer
+    val mmrPhys = spark.sql(graft.queries.Retrieval.mmrNamedSqlIndexed(
+        rel, s"'${qv.mkString(",")}'", "500000", "4"))
+      .queryExecution.executedPlan.toString
+    assert(mmrPhys.contains(dirToken("codes")) &&
+      mmrPhys.contains(dirToken("centroids")) &&
+      mmrPhys.contains("adc_dist"),
+      "indexed MMR must pool through the two-stage probe")
+    assert(mmrPhys.split(java.util.regex.Pattern.quote(
+        dirToken("codes"))).length - 1 <= 1,
+      "the codes artifact must be scanned exactly once (single pool)")
+  }
+
+  test("redaction over RPC + dedup/mixture history RPCs: the store of " +
+    "record forgets, and every family's commit log is surfaced") {
+    import org.apache.spark.sql.functions.col
+    // ---- /stream/redact: payloads null through the serving path ----
+    val cid = ok(post("/module/upload", Map("module" -> Map(
+      "init_sql" -> "CREATE TABLE IF NOT EXISTS rn (idx BIGINT, t STRING) USING PARQUET",
+      "materializer" ->
+        "INSERT INTO rn SELECT idx, drisl_extract(payload, '.t') FROM event",
+      "queries" -> Map("all" -> Map(
+        "sql" -> "SELECT idx, t FROM rn ORDER BY idx"))))))(
+      "cid").asInstanceOf[String]
+    val sid = ok(post("/stream/create",
+      Map("id" -> "did:graft:redact-rpc", "module_cid" -> cid)))("id").toString
+    val evs = (1 to 8).map(i => Map("user" -> "u",
+      "payload_b64" -> Base64.getEncoder.encodeToString(
+        graft.drisl.Drisl.encode(graft.drisl.DValue.obj(
+          "t" -> graft.drisl.DValue.text(s"v$i"))))))
+    ok(post("/stream/event_batch", Map("id" -> sid, "events" -> evs.toVector)))
+    val red = ok(post("/stream/redact",
+      Map("id" -> sid, "idx" -> Vector(3L, 6L), "rematerialize" -> true)))
+    assert(red("redacted") == 2L, red.toString)
+    val rows = ok(post("/stream/query", Map("id" -> sid,
+      "query" -> Map("name" -> "all", "limit" -> 100L))))("rows")
+      .asInstanceOf[Vector[Any]].map { r =>
+        val m = r.asInstanceOf[Map[String, Any]]
+        def v(f: String) = m(f).asInstanceOf[Map[String, Any]]
+          .getOrElse("value", null) // SqlNull tags carry no value field
+        (v("idx").asInstanceOf[Long], v("t"))
+      }
+    assert(rows.size == 8, "idx contiguity preserved through redaction")
+    assert(rows.filter(r => r._1 == 3 || r._1 == 6).forall(_._2 == null),
+      s"redacted payloads must derive NULL: $rows")
+    assert(rows.count(_._2 != null) == 6)
+    // idempotent retry over RPC
+    assert(ok(post("/stream/redact",
+      Map("id" -> sid, "idx" -> Vector(3L, 6L))))("redacted") == 2L)
+
+    // ---- history RPCs for the dedup + mixture families ----
+    import spark.implicits._
+    val docs = spark.range(60).select(col("id").as("doc_id"),
+      org.apache.spark.sql.functions.concat_ws(" ",
+        (0 until 10).map(i => org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.concat(col("id"),
+            org.apache.spark.sql.functions.lit(i)))): _*).as("text"))
+    val srcDir = TempDirs.create("graft-histrpc-src").toString
+    docs.select(col("doc_id"), org.apache.spark.sql.functions
+        .lit("srcA").as("source"), col("text"))
+      .write.mode("overwrite").parquet(s"$srcDir/documents.parquet")
+    val dIdx = TempDirs.create("graft-histrpc-dedup").toString
+    graft.queries.Dedup.buildDedupIndex(spark,
+      docs.select("doc_id", "text"), dIdx)
+    graft.queries.Dedup.deleteFromDedupIndex(spark,
+      docs.filter(col("doc_id") % 5 === 0).select("doc_id"), dIdx)
+    val dh = ok(post("/admin/dedup_index_history", Map("dir" -> dIdx)))(
+      "commits").asInstanceOf[Vector[Any]]
+      .map(_.asInstanceOf[Map[String, Any]])
+    assert(dh.map(_("kind")) == Vector("build", "delete"), dh.toString)
+    assert(dh.forall(_("readable") == true))
+    val mIdx = TempDirs.create("graft-histrpc-mix").toString
+    ok(post("/admin/mixture_stats_build",
+      Map("src" -> srcDir, "dir" -> mIdx)))
+    val mh = ok(post("/admin/mixture_stats_history", Map("dir" -> mIdx)))(
+      "commits").asInstanceOf[Vector[Any]]
+      .map(_.asInstanceOf[Map[String, Any]])
+    assert(mh.map(_("kind")) == Vector("build"), mh.toString)
+    assert(mh.forall(_("readable") == true))
+  }
+
   test("targeted deletion over RPC: tombstone commits across the four " +
     "families, probes exclude immediately, compaction purges") {
     val src = "/root/testdata/sf0.001"
