@@ -512,6 +512,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_mixture_doremi_apply", // the same frames + the 20-row quota table
       "q_mixture_indexed",   // the same 1-row frames over the artifact fold
       "q_mixture_delete",    // same fold, post-negative-batch (delete gate)
+      "q_mixture_asof",      // same fold pinned to the pre-delete commit
       "q_dedup_semantic",    // labels·d centroid arrays (q_emb_outliers bound)
       "q_tokenizer_encode",  // vocab-bounded (word → piece count) table
       "q_tokenizer_segments", // same pieces artifact, under the same cap
