@@ -115,6 +115,77 @@ class DeleteLifecycleSpec extends AnyFunSuite {
         "scores, appended batch invisible")
   }
 
+  test("delete wins over re-ingest: a tombstoned id arriving in a new " +
+    "batch is anti-joined out, so stats never diverge from a survivor " +
+    "rebuild (lexical + dedup + vector)") {
+    // LEXICAL: the r14 ADVICE gap — re-appending a deleted doc_id used
+    // to increment df/n/sum_dl while the postings stayed probe-invisible,
+    // permanently diverging scores from a rebuild; the next compaction
+    // then dropped the postings but KEPT the inflated stats
+    val corpus = docs(80).select(col("doc_id"),
+      concat(col("text"), lit(" needle")).as("text"))
+    val idx = TempDirs.create("graft-reingest-lex").toString
+    Retrieval.buildLexicalIndexDf(spark, corpus, idx)
+    val victims = corpus.filter(col("doc_id") % 4 === 1)
+    Retrieval.deleteFromLexicalIndex(spark, victims.select("doc_id"), idx)
+    // the poisoned batch: every victim again, plus genuinely-new docs
+    val freshDocs = docs(20, base = 9000).select(col("doc_id"),
+      concat(col("text"), lit(" needle")).as("text"))
+    val out = Retrieval.appendLexicalIndex(spark,
+      victims.unionAll(freshDocs), idx)
+    assert(out("skipped_tombstoned") == 20L, out.toString)
+    assert(out("appended") == 20L && out("docs") == 80L, out.toString)
+    // ground truth: survivors + fresh, built from scratch
+    val truth = TempDirs.create("graft-reingest-truth").toString
+    Retrieval.buildLexicalIndexDf(spark,
+      corpus.filter(col("doc_id") % 4 =!= 1).unionAll(freshDocs), truth)
+    assert(probeScores(idx, Seq("needle")) ==
+      probeScores(truth, Seq("needle")),
+      "post-re-ingest scores must equal the survivor+fresh rebuild")
+    // and the physical purge keeps them equal (the stats were never
+    // inflated, so compaction cannot expose a divergence)
+    Retrieval.compactLexicalIndex(spark, idx)
+    assert(probeScores(idx, Seq("needle")) ==
+      probeScores(truth, Seq("needle")))
+
+    // DEDUP: a deleted doc re-appended must not come back as an exact hit
+    val d = docs(60).select(col("doc_id"), col("text"))
+    val dIdx = TempDirs.create("graft-reingest-dedup").toString
+    Dedup.buildDedupIndex(spark, d, dIdx)
+    val dVictims = d.filter(col("doc_id") % 6 === 3)
+    Dedup.deleteFromDedupIndex(spark, dVictims.select("doc_id"), dIdx)
+    Dedup.appendDedupIndex(spark, dVictims, dIdx) // the poisoned batch
+    val probe = Dedup.incrementVsIndex(spark,
+      dVictims.select((col("doc_id") + 500000).as("doc_id"), col("text")),
+      dIdx).collect()
+    assert(probe.forall(_.getString(1) != "exact"),
+      "re-ingested tombstoned docs must stay invisible to exact lookups")
+    assert(Dedup.readIndexMeta(spark, dIdx).count == 50L,
+      "the live count must not absorb the skipped re-ingest")
+
+    // VECTOR: a deleted vec_id re-appended must not resurface in probes
+    val vSrc = TempDirs.create("graft-reingest-vecsrc").toString
+    spark.range(100)
+      .select(col("id").as("vec_id"), (col("id") % 4).cast("int").as("label"))
+      .select(col("vec_id"), org.apache.spark.sql.functions.expr(
+        "transform(sequence(0, 15), i -> CAST(" +
+          "(pmod(hash(label, i), 2001) - 1000) / 1000.0 + " +
+          "(pmod(hash(vec_id, i, 7), 201) - 100) / 100.0 * 0.15 AS FLOAT))")
+        .as("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$vSrc/embeddings.parquet")
+    val vIdx = TempDirs.create("graft-reingest-vec").toString
+    graft.queries.Similarity.buildVectorIndex(spark, vSrc, vIdx)
+    graft.queries.Similarity.deleteFromVectorIndex(spark, Seq(7L), vIdx)
+    graft.queries.Similarity.appendVectorIndexDf(spark,
+      spark.read.parquet(s"$vSrc/embeddings.parquet")
+        .filter(col("vec_id") === 7L), vIdx)
+    val live = spark.sql("SELECT vec_id FROM " +
+      graft.queries.Similarity.artifactRelation(vIdx)("vectors") + " v")
+      .collect().map(_.getLong(0)).toSet
+    assert(!live.contains(7L),
+      "a tombstoned vec_id must never re-enter the live view")
+  }
+
   // ---------------- mixture statistics ----------------
 
   test("mixture delete is the monoid's negative batch: served weights " +
