@@ -1032,7 +1032,9 @@ object Similarity {
     manifestHistory(indexDir).map { case (seq, kind, mapping) =>
       Map("seq" -> seq.toLong, "kind" -> kind,
         "readable" -> snapshotReadable(indexDir, mapping),
-        "artifacts" -> mapping)
+        // artifact dirs only — the census/crc pin tokens ride the same
+        // line map but are as-of implementation detail, not operator API
+        "artifacts" -> mapping.filter(kv => indexArtifacts.contains(kv._1)))
     }
 
   /** Resolve the artifact set AS OF commit `seq` — a complete past

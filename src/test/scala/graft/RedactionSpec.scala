@@ -164,6 +164,40 @@ class RedactionSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("join"))
   }
 
+  test("redaction under live query load: zero failed reads through the " +
+    "commit, the view flip and the physical purge") {
+    val h = freshStream("did:redact:soak", n = 400)
+    @volatile var stop = false
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val polls = new java.util.concurrent.atomic.AtomicInteger()
+    val poller = new Thread(() => {
+      while (!stop) {
+        try {
+          // a reader mid-flight across the meta flip / view replace /
+          // compaction location swap must always see a COMPLETE log —
+          // 400 contiguous rows, payloads either pre- or post-redaction
+          val rows = h.rawGetEvents(1, 400).collect()
+          if (rows.length != 400) errors.add(new AssertionError(
+            s"poll saw ${rows.length} rows"))
+          polls.incrementAndGet()
+        } catch { case e: Throwable => errors.add(e); stop = true }
+      }
+    })
+    poller.start()
+    Thread.sleep(300)
+    val victims = (1L to 400L by 13).toSeq // 31 ids
+    h.redactEvents(victims)
+    // a read STARTED after the redact call returned must see the nulls
+    assert(h.rawGetEvents(1, 400).collect().count(_.isNullAt(2)) == 31)
+    h.compactLog() // the purge under the same live load
+    assert(h.rawGetEvents(1, 400).collect().count(_.isNullAt(2)) == 31)
+    Thread.sleep(300)
+    stop = true
+    poller.join(30000)
+    assert(errors.isEmpty, s"live polls failed: ${errors.peek()}")
+    assert(polls.get() >= 3, "the poller never actually overlapped the flips")
+  }
+
   test("appends after redaction are untouched by the set") {
     val h = freshStream("did:redact:append", n = 4)
     h.redactEvents(Seq(2L))
