@@ -193,6 +193,66 @@ class LeaseRetentionSpec extends AnyFunSuite {
     }
   }
 
+  test("retention depth 2, dedup + mixture: the remaining two families " +
+    "honor the same window") {
+    withDepth(2) {
+      // DEDUP: three post-build delete flips; as-of sees each boundary
+      val d = docs(90).select(col("doc_id"), col("text"))
+      val idx = TempDirs.create("graft-depth-dedup").toString
+      Dedup.buildDedupIndex(spark, d, idx)
+      (0 until 3).foreach { i =>
+        Dedup.deleteFromDedupIndex(spark,
+          d.filter(col("doc_id") % 9 === i).select("doc_id"), idx)
+      }
+      val h = Dedup.dedupHistory(idx)
+      assert(h.map(_._2) == Seq("build", "delete", "delete", "delete"))
+      // probe: exact clones of the FIRST delete's victims — visible in
+      // the build snapshot, already gone by the second delete's
+      val probe = d.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 800000).as("doc_id"), col("text"))
+      def exactHits(seq: Int): Long =
+        Dedup.incrementVsIndexAsOf(spark, probe, idx, seq)
+          .filter(col("verdict") === "exact").count()
+      assert(exactHits(4) == 0L, "live: all three victim groups gone")
+      assert(exactHits(3) == 0L)
+      assert(exactHits(2) == 0L)
+      // seq 1 (the build) is the THIRD snapshot back from seq 4 — past
+      // the depth-2 window, its del generation... the build has no del
+      // artifact at all, so its readability hinges on nothing swept;
+      // the delete sweeps kept the last 2 snapshots' del generations
+      // only. Pin whatever dedupMetaAsOf says against the actual census:
+      val h1 = Dedup.dedupIndexHistory(spark, idx)
+      assert(h1.map(_("readable")).drop(1) == Seq(true, true, true),
+        s"the two prior delete snapshots must stay readable: $h1")
+
+      // MIXTURE: compaction is what retires counts generations — at
+      // depth 2 two compactions back stays foldable, three refuses
+      val corpus = docs(120).select(col("source"), col("text"))
+      val mIdx = TempDirs.create("graft-depth-mix").toString
+      Pipeline.buildMixtureStatsDf(spark, corpus, mIdx)
+      val full = Pipeline.mixtureWeightsAsOf(spark, mIdx, 1).collect().toSeq
+      Pipeline.deleteMixtureStats(spark,
+        docs(120).filter(col("doc_id") % 6 === 1)
+          .select(col("source"), col("text")), mIdx)
+      Pipeline.compactMixtureStats(spark, mIdx) // c3: counts.v1
+      Pipeline.compactMixtureStats(spark, mIdx) // c4: counts.v2
+      val mh = Pipeline.mixtureStatsHistory(spark, mIdx)
+      assert(mh.map(_("kind")) ==
+        Seq("build", "delete", "compact", "compact"))
+      // the pre-delete state is still foldable (its counts generation
+      // survived two compactions under depth 2) and integer-exact
+      assert(Pipeline.mixtureWeightsAsOf(spark, mIdx, 1)
+        .collect().toSeq == full,
+        "the monoid's batch prefix must reproduce the pre-delete mixture")
+      // a third compaction retires it
+      Pipeline.compactMixtureStats(spark, mIdx)
+      val e = intercept[IllegalArgumentException] {
+        Pipeline.mixtureWeightsAsOf(spark, mIdx, 1)
+      }
+      assert(e.getMessage.contains("retention boundary"))
+    }
+  }
+
   test("vector as-of census pin: rows appended after a commit are " +
     "invisible to that commit's snapshot") {
     val d = TempDirs.create("graft-census-src").toString
