@@ -78,102 +78,205 @@ private[graft] object PointerCommit {
   // the earlier one's batch dir as its own — one append's rows lost. The
   // fix is to CLAIM the batch number through the same create-if-absent
   // primitive before staging a byte: exactly one writer can create the
-  // immutable claim object `claims/batch-N`, so the loser aborts loudly
-  // instead of silently losing rows. In-process writers still serialize
-  // on WriterLocks first; the claim is the cross-process backstop.
+  // immutable claim object, so the loser aborts loudly instead of
+  // silently losing rows. In-process writers still serialize on
+  // WriterLocks first; the claim is the cross-process backstop.
+  //
+  // Claims are MONOTONICALLY VERSIONED immutable objects — the
+  // VersionedPutCommit discipline, for the same reason the pointer
+  // itself uses it (round-16, closing the r15 `weak`): takeover of an
+  // expired claim is a create-if-absent of the NEXT version
+  // (`claims/batch-N.g<v+1>`; the legacy flat `claims/batch-N` is
+  // generation 0), and the holder is whoever created the HIGHEST
+  // version. The old delete-then-recreate takeover was not atomic — two
+  // processes that both observed the same expired claim could interleave
+  // (A deletes+creates, B deletes A's FRESH claim and creates) so that
+  // both believed they held the batch, recreating exactly the
+  // silently-absorbed-batch scenario the lease exists to prevent. With
+  // versions, exactly one racer creates `g+1`; the loser's create throws
+  // already-exists, it re-lists, sees a fresh foreign claim, and aborts.
   //
   // Liveness: a claim whose holder crashed before committing would
   // otherwise wedge the batch number forever. A claim older than the
   // lease TTL (`-Dgraft.commit.claim.ttl.ms`, default 15 min — far past
-  // any append's staging time) is treated as dead and replaced; this is
+  // any append's staging time) is treated as dead and superseded; this is
   // the standard lease assumption (the holder of an expired lease must
   // not commit), and committed batch numbers never come up for claim
   // again, so expiry can only ever release a crashed append's number.
+  // The "must not commit" half is ENFORCED, not assumed: callers fence
+  // with [[verifyClaim]] immediately before their meta publish — a
+  // paused writer whose claim expired and was taken over finds a foreign
+  // highest version and aborts instead of publishing.
 
   private def claimTtlMs: Long =
     sys.props.get("graft.commit.claim.ttl.ms").map(_.toLong)
       .getOrElse(15L * 60 * 1000)
 
-  // every claim this PROCESS ever issued: an append that failed after
+  // (indexDir, batch) -> the token this PROCESS last wrote for that
+  // claim. Two jobs: (1) own-retake — an append that failed after
   // claiming (materializer error, staging crash caught in-process) is
   // retried under the same WriterLocks mutex, so its own stale claim is
-  // provably dead and re-takeable without waiting out the lease
+  // provably dead and re-takeable without waiting out the lease; (2)
+  // fencing — verifyClaim compares the on-disk holder against this
+  // token before the meta publish. Entries are REMOVED on release (a
+  // successful publish) and by sweepClaims for committed batch numbers,
+  // so the map is bounded by in-flight appends, not append history.
   private val issuedClaims =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def claimPath(indexDir: HPath, batch: Int): HPath =
-    new HPath(new HPath(indexDir, "claims"), s"batch-$batch")
+  private def claimKey(indexDir: HPath, batch: Int): String =
+    s"$indexDir#batch-$batch"
+
+  private def claimsDir(indexDir: HPath): HPath =
+    new HPath(indexDir, "claims")
+
+  /** All versions of `batch`'s claim, oldest first. The legacy flat
+    * `batch-N` object is generation 0. */
+  private def claimVersions(fs: FileSystem, indexDir: HPath,
+      batch: Int): Seq[(Long, HPath)] = {
+    val dir = claimsDir(indexDir)
+    val flat = s"batch-$batch"
+    val prefix = s"batch-$batch.g"
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath).flatMap { q =>
+      if (q.getName == flat) Some(0L -> q)
+      else if (q.getName.startsWith(prefix))
+        q.getName.stripPrefix(prefix).toLongOption.map(_ -> q)
+      else None
+    }.sortBy(_._1)
+  }
+
+  /** (holder token, age ms) of a claim object; a claim that vanished
+    * between list and open, or whose bytes are torn, reads as an
+    * expired holder — the subsequent takeover is create-then-verify, so
+    * misreading a LIVE claim as dead cannot yield two holders. */
+  private def readClaim(fs: FileSystem, p: HPath): (String, Long) =
+    try {
+      val in = fs.open(p)
+      val raw = try in.readAllBytes() finally in.close()
+      val parts = new String(raw,
+        java.nio.charset.StandardCharsets.UTF_8).split(" ")
+      (parts.headOption.getOrElse(""),
+        System.currentTimeMillis() -
+          parts.lastOption.flatMap(_.toLongOption).getOrElse(0L))
+    } catch {
+      case _: java.io.IOException => ("", Long.MaxValue)
+    }
+
+  /** Create-if-absent of one claim version; false when the version was
+    * lost to a racer. */
+  private def tryCreateClaim(fs: FileSystem, p: HPath,
+      token: String): Boolean =
+    try {
+      val body = s"$token ${System.currentTimeMillis()}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val out = fs.create(p, false)
+      try { out.write(body) } finally out.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+          _: java.nio.file.FileAlreadyExistsException => false
+    }
 
   /** Claim `batch` of the index at `indexDir` for this writer. Throws
     * IllegalStateException when another LIVE writer holds the claim —
     * the caller must abort its append rather than stage over the
     * winner's batch. Idempotent-per-process-crash: an expired claim
-    * (holder dead past the TTL) is swept and re-taken. */
+    * (holder dead past the TTL) is superseded by the next version. */
   def claimBatch(fs: FileSystem, indexDir: HPath, batch: Int): Unit = {
-    val p = claimPath(indexDir, batch)
-    fs.mkdirs(p.getParent)
+    val key = claimKey(indexDir, batch)
+    fs.mkdirs(claimsDir(indexDir))
     val token = java.util.UUID.randomUUID().toString
-    val body = s"$token ${System.currentTimeMillis()}"
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var attempts = 0
     while (true) {
-      try {
-        val out = fs.create(p, false) // create-if-absent: one winner
-        try { out.write(body) } finally out.close()
-        issuedClaims.add(token)
-        return
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-            _: java.nio.file.FileAlreadyExistsException =>
-          val (holder, ageMs) = try {
-            val in = fs.open(p)
-            val raw = try in.readAllBytes() finally in.close()
-            val parts = new String(raw,
-              java.nio.charset.StandardCharsets.UTF_8).split(" ")
-            (parts.headOption.getOrElse(""),
-              System.currentTimeMillis() -
-                parts.lastOption.flatMap(_.toLongOption).getOrElse(0L))
-          } catch {
-            case _: java.io.FileNotFoundException => ("", Long.MaxValue)
-          }
-          // our own earlier claim (a failed in-process attempt, provably
-          // dead under WriterLocks) re-takes immediately; a FOREIGN
-          // claim inside its lease aborts this append loudly
-          if (!issuedClaims.contains(holder) && ageMs <= claimTtlMs)
+      attempts += 1
+      if (attempts > 6) throw new IllegalStateException(
+        s"could not take over expired claim for batch $batch at $indexDir")
+      val g = claimVersions(fs, indexDir, batch).lastOption match {
+        case None => 0L // unclaimed: version 1 is the claim
+        case Some((g0, p)) =>
+          val (holder, ageMs) = readClaim(fs, p)
+          val own = Option(issuedClaims.get(key)).contains(holder)
+          if (!own && ageMs <= claimTtlMs)
             throw new IllegalStateException(
               s"batch $batch of $indexDir is claimed by another writer " +
                 s"(claim age ${ageMs / 1000}s < lease " +
                 s"${claimTtlMs / 1000}s) — a concurrent append from " +
                 "another process is staging it; retry after it commits")
-          // expired (or our own): the holder is dead — sweep and re-claim
-          attempts += 1
-          require(attempts <= 5,
-            s"could not take over expired claim for batch $batch at $indexDir")
-          try fs.delete(p, false)
-          catch { case _: java.io.IOException => }
+          g0 // expired or our own dead attempt: supersede it
+      }
+      // the atomic takeover: exactly one racer creates version g+1; the
+      // loser loops, re-lists, sees the winner's FRESH claim, and aborts
+      if (tryCreateClaim(fs, new HPath(claimsDir(indexDir),
+          s"batch-$batch.g${g + 1}"), token)) {
+        // create-then-verify: our version must still be the highest — a
+        // racer whose clock skew deemed OUR fresh claim expired would
+        // have created a higher one, and proceeding would double-write
+        val now = claimVersions(fs, indexDir, batch)
+        if (now.lastOption.map(_._1).contains(g + 1)) {
+          issuedClaims.put(key, token)
+          return
+        }
+        throw new IllegalStateException(
+          s"claim of batch $batch at $indexDir was superseded " +
+            "immediately after takeover (clock-skewed racer) — aborting")
       }
     }
   }
+
+  /** The FENCE: callers re-verify claim ownership immediately before
+    * their meta publish. A writer that paused past its lease TTL and was
+    * taken over finds a foreign highest version here and aborts instead
+    * of publishing a meta that would absorb the new holder's batch. */
+  def verifyClaim(fs: FileSystem, indexDir: HPath, batch: Int): Unit = {
+    val tok = Option(issuedClaims.get(claimKey(indexDir, batch)))
+      .getOrElse(throw new IllegalStateException(
+        s"no claim held for batch $batch at $indexDir — claimBatch " +
+          "must precede the meta publish"))
+    val holder = claimVersions(fs, indexDir, batch).lastOption
+      .map { case (_, p) => readClaim(fs, p)._1 }
+    if (!holder.contains(tok))
+      throw new IllegalStateException(
+        s"claim of batch $batch at $indexDir was lost before the meta " +
+          "publish (lease expired and taken over, or the index was " +
+          "rebuilt) — aborting without committing; the staged batch " +
+          "dir is debris the next append sweeps")
+  }
+
+  /** Release after a successful publish: the batch number is committed
+    * and can never legitimately be re-claimed, so the token is pure
+    * debris (the on-disk claim objects are swept by [[sweepClaims]]). */
+  def releaseClaim(indexDir: HPath, batch: Int): Unit =
+    issuedClaims.remove(claimKey(indexDir, batch))
 
   /** Drop the whole claims dir — a REBUILD resets batch numbering, so
     * every claim of the previous index is debris that would otherwise
     * block the new index's appends until the lease expired. */
   def clearClaims(fs: FileSystem, indexDir: HPath): Unit = {
-    val dir = new HPath(indexDir, "claims")
+    val dir = claimsDir(indexDir)
     if (fs.exists(dir)) fs.delete(dir, true)
+    val prefix = s"$indexDir#batch-"
+    issuedClaims.keySet.removeIf(k => k.startsWith(prefix))
   }
+
+  /** The batch number a claim object (flat or versioned) belongs to. */
+  private def claimBatchOf(name: String): Option[Int] =
+    if (!name.startsWith("batch-")) None
+    else name.stripPrefix("batch-").takeWhile(_ != '.').toIntOption
 
   /** Drop claims for batch numbers the meta has already committed —
     * nobody claims a number below `committedBatches` again, so they are
-    * pure debris. Called at append entry under the writer lock. */
+    * pure debris (all versions of each). Called at append entry under
+    * the writer lock. Prunes the in-process token map the same way, so
+    * it stays bounded by in-flight appends. */
   def sweepClaims(fs: FileSystem, indexDir: HPath,
       committedBatches: Int): Unit = {
-    val dir = new HPath(indexDir, "claims")
+    (0 until committedBatches).foreach(b =>
+      issuedClaims.remove(claimKey(indexDir, b)))
+    val dir = claimsDir(indexDir)
     if (!fs.exists(dir)) return
     fs.listStatus(dir).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("batch-") &&
-          n.stripPrefix("batch-").toIntOption.exists(_ < committedBatches))
+      if (claimBatchOf(st.getPath.getName).exists(_ < committedBatches))
         try fs.delete(st.getPath, false)
         catch { case _: java.io.IOException => }
     }

@@ -210,4 +210,120 @@ class CommitPrimitiveSpec extends AnyFunSuite {
       assert(graft.queries.Dedup.readIndexMeta(spark, didx).count == 310)
     } finally sys.props.remove("graft.commit.primitive")
   }
+
+  // ---------------- versioned claim takeover (round 16) ----------------
+
+  /** An EXPIRED foreign claim — a crashed holder from another process. */
+  private def expiredForeignClaim(idx: String, batch: Int): Unit = {
+    val dir = java.nio.file.Paths.get(idx, "claims")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve(s"batch-$batch"),
+      (java.util.UUID.randomUUID().toString + " " +
+        (System.currentTimeMillis() - 16L * 60 * 1000))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  test("expired-claim takeover is ATOMIC: two simulated processes race " +
+    "the takeover of one expired claim; exactly one holds, the loser " +
+    "aborts loudly (no delete-then-create window)") {
+    val idx = TempDirs.create("graft-claim-race").toString
+    expiredForeignClaim(idx, batch = 1)
+    // process B is simulated INSIDE process A's create call: the moment
+    // A attempts create-if-absent of version g1, B's create lands first
+    // — the exact interleaving the old delete-then-create takeover got
+    // wrong (both would have believed they held the batch)
+    val bToken = java.util.UUID.randomUUID().toString
+    val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def injectB(f: org.apache.hadoop.fs.Path): Unit =
+      if (f.getName == "batch-1.g1" &&
+          injected.compareAndSet(false, true))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(idx, "claims", "batch-1.g1"),
+          s"$bToken ${System.currentTimeMillis()}"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+    val racingFs = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def create(f: org.apache.hadoop.fs.Path,
+          permission: org.apache.hadoop.fs.permission.FsPermission,
+          overwrite: Boolean, bufferSize: Int, replication: Short,
+          blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+          : org.apache.hadoop.fs.FSDataOutputStream = {
+        injectB(f)
+        super.create(f, permission, overwrite, bufferSize, replication,
+          blockSize, progress)
+      }
+      override def create(f: org.apache.hadoop.fs.Path,
+          overwrite: Boolean, bufferSize: Int, replication: Short,
+          blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+          : org.apache.hadoop.fs.FSDataOutputStream = {
+        injectB(f)
+        super.create(f, overwrite, bufferSize, replication, blockSize,
+          progress)
+      }
+    }
+    racingFs.initialize(java.net.URI.create("file:///"),
+      new org.apache.hadoop.conf.Configuration())
+    val root = new HPath(idx)
+    val e = intercept[IllegalStateException](
+      PointerCommit.claimBatch(racingFs, root, 1))
+    assert(e.getMessage.contains("claimed by another writer"),
+      e.getMessage)
+    // exactly one holder on disk: B's version g1, nothing above it
+    val names = java.nio.file.Files.list(
+      java.nio.file.Paths.get(idx, "claims")).toArray.map(_.toString)
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).sorted.toSeq
+    assert(names == Seq("batch-1", "batch-1.g1"), names.toString)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(idx, "claims", "batch-1.g1")),
+      java.nio.charset.StandardCharsets.UTF_8).startsWith(bToken),
+      "the winner's claim must be intact — never deleted by the loser")
+  }
+
+  test("fence: a claim superseded between staging and publish makes the " +
+    "paused writer abort instead of absorbing the new holder's batch; " +
+    "release prunes the token so the map stays bounded") {
+    val idx = TempDirs.create("graft-claim-fence").toString
+    val (fs, _) = io(idx)
+    val root = new HPath(idx)
+    PointerCommit.claimBatch(fs, root, 3)
+    PointerCommit.verifyClaim(fs, root, 3) // live holder passes
+    // another process's takeover (our lease expired while we paused):
+    // a HIGHER version with a foreign token appears
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(idx, "claims", "batch-3.g2"),
+      s"${java.util.UUID.randomUUID()} ${System.currentTimeMillis()}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val e = intercept[IllegalStateException](
+      PointerCommit.verifyClaim(fs, root, 3))
+    assert(e.getMessage.contains("lost before the meta publish"),
+      e.getMessage)
+    // a released claim's token is pruned — verify refuses thereafter
+    val idx2 = TempDirs.create("graft-claim-release").toString
+    val root2 = new HPath(idx2)
+    PointerCommit.claimBatch(fs, root2, 0)
+    PointerCommit.verifyClaim(fs, root2, 0)
+    PointerCommit.releaseClaim(root2, 0)
+    val e2 = intercept[IllegalStateException](
+      PointerCommit.verifyClaim(fs, root2, 0))
+    assert(e2.getMessage.contains("no claim held"), e2.getMessage)
+  }
+
+  test("own-retake across versions: a failed in-process append's stale " +
+    "claim is superseded immediately; the append then commits through " +
+    "the fence") {
+    val idx = TempDirs.create("graft-claim-retake").toString
+    val (fs, _) = io(idx)
+    val root = new HPath(idx)
+    PointerCommit.claimBatch(fs, root, 2) // attempt 1, then "crash"
+    PointerCommit.claimBatch(fs, root, 2) // the retry re-takes at g2
+    PointerCommit.verifyClaim(fs, root, 2) // retry's token is the holder
+    // committed numbers sweep every version and the token map entry
+    PointerCommit.sweepClaims(fs, root, committedBatches = 3)
+    assert(!java.nio.file.Files.list(
+        java.nio.file.Paths.get(idx, "claims")).findAny().isPresent,
+      "all versions of a committed batch's claim are debris")
+    val e = intercept[IllegalStateException](
+      PointerCommit.verifyClaim(fs, root, 2))
+    assert(e.getMessage.contains("no claim held"), e.getMessage)
+  }
 }
