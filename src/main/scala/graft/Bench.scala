@@ -66,17 +66,16 @@ object Bench {
     // "tainted": true so downstream comparison can refuse it.
     val loadThreshold =
       sys.env.get("SPARK_GRAFT_LOAD_MAX").map(_.toDouble).getOrElse(1.5)
-    val settleDeadline = System.nanoTime() +
+    val settleWaitNs =
       sys.env.get("SPARK_GRAFT_LOAD_WAIT_SEC").map(_.toLong).getOrElse(600L) * 1000000000L
-    while (loadAvg() > loadThreshold && System.nanoTime() < settleDeadline) {
-      System.err.println(f"BENCH: load ${loadAvg()}%.2f > $loadThreshold%.1f — waiting for the machine to go quiet")
-      Thread.sleep(15000L)
+    def settleLoad(): Double = {
+      val deadline = System.nanoTime() + settleWaitNs
+      while (loadAvg() > loadThreshold && System.nanoTime() < deadline) {
+        System.err.println(f"BENCH: load ${loadAvg()}%.2f > $loadThreshold%.1f — waiting for the machine to go quiet")
+        Thread.sleep(15000L)
+      }
+      loadAvg()
     }
-    val loadBefore = loadAvg()
-    val tainted = loadBefore > loadThreshold
-    if (tainted)
-      System.err.println(f"BENCH: load never settled (${loadBefore}%.2f) — record will be stamped tainted")
-    val (results0, failed) = runAll(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1))
     // Sentinel pins (round-15, verdict r14 item 6): the load_before gate
     // catches a run that LAUNCHES dirty, but co-tenant load arriving
     // MID-run still poisoned two recorded rounds. A handful of queries
@@ -98,25 +97,60 @@ object Bench {
           .flatMap(_.collectFirst { case (`p`, t) => t })
         case None => res.get(s.query)
       }
-    var results = results0
-    var reruns = 0
-    val stillBreached = scala.collection.mutable.ArrayBuffer.empty[String]
-    sentinels.foreach { s =>
-      val resMap = results.toMap
-      sentinelValue(s, resMap).filter(_ > 1.5 * s.pinSec).foreach { v =>
-        System.err.println(f"BENCH: sentinel ${s.query}${s.phase.fold("")("/" + _)} " +
-          f"at $v%.2fs breaches pin ${s.pinSec}%.1fs x1.5 — re-running once")
-        try { spark.catalog.clearCache(); System.gc() } catch { case _: Throwable => }
-        val (rr, _) = runAll(spark, sfDir,
-          Seq(s.query -> SparkEntry.queries(s.query)))
-        reruns += 1
-        val nv = rr.head._2
-        results = results.map { case (k, t) =>
-          if (k == s.query) k -> math.min(t, nv) else k -> t }
-        if (sentinelValue(s, results.toMap).exists(_ > 1.5 * s.pinSec))
-          stillBreached += s.query
-      }
+    case class Attempt(results: Seq[(String, Double)], failed: Seq[String],
+        loadBefore: Double, reruns: Int, stillBreached: Seq[String]) {
+      def tainted: Boolean = loadBefore > loadThreshold || stillBreached.nonEmpty
     }
+    def attempt(): Attempt = {
+      val loadBefore = settleLoad()
+      if (loadBefore > loadThreshold)
+        System.err.println(f"BENCH: load never settled (${loadBefore}%.2f) — record will be stamped tainted")
+      val (results0, failed) = runAll(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1))
+      var results = results0
+      var reruns = 0
+      val stillBreached = scala.collection.mutable.ArrayBuffer.empty[String]
+      sentinels.foreach { s =>
+        val resMap = results.toMap
+        sentinelValue(s, resMap).filter(_ > 1.5 * s.pinSec).foreach { v =>
+          System.err.println(f"BENCH: sentinel ${s.query}${s.phase.fold("")("/" + _)} " +
+            f"at $v%.2fs breaches pin ${s.pinSec}%.1fs x1.5 — re-running once")
+          try { spark.catalog.clearCache(); System.gc() } catch { case _: Throwable => }
+          val (rr, _) = runAll(spark, sfDir,
+            Seq(s.query -> SparkEntry.queries(s.query)))
+          reruns += 1
+          // a FAILED re-run returns no timing: keep the original number,
+          // count the sentinel as still breached (the taint stamp is the
+          // honest record), and never crash a completed sweep on .head
+          rr.headOption.map(_._2) match {
+            case Some(nv) =>
+              results = results.map { case (k, t) =>
+                if (k == s.query) k -> math.min(t, nv) else k -> t }
+              if (sentinelValue(s, results.toMap).exists(_ > 1.5 * s.pinSec))
+                stillBreached += s.query
+            case None =>
+              System.err.println(s"BENCH: sentinel re-run of ${s.query} FAILED — keeping original timing, stamping tainted")
+              stillBreached += s.query
+          }
+        }
+      }
+      Attempt(results, failed, loadBefore, reruns, stillBreached.toSeq)
+    }
+    // Round-16 (verdict r15 item 3): a tainted record must not ship as the
+    // round's artifact while a clean run is obtainable — when the first
+    // attempt comes out tainted, wait (bounded, the same load gate) for
+    // the box to go quiet and re-run the FULL sweep once, recording the
+    // clean attempt. The taint stamp survives for the box that never
+    // quiets; a failed query is an engine problem, not co-tenancy, so it
+    // never triggers the retry.
+    var att = attempt()
+    var attempts = 1
+    if (att.tainted && att.failed.isEmpty) {
+      System.err.println("BENCH: attempt 1 tainted by co-tenant load — retrying the full sweep once after a load-settle wait")
+      try { spark.catalog.clearCache(); System.gc() } catch { case _: Throwable => }
+      att = attempt()
+      attempts = 2
+    }
+    val Attempt(results, failed, loadBefore, reruns, stillBreached) = att
     val loadAfter = loadAvg()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -132,13 +166,13 @@ object Bench {
       sentinelValue(s, results.toMap).map(v =>
         s"\"" + s.query + s.phase.fold("")("/" + _) + "\":" + v))
       .mkString("{", ",", "}")
-    val taintedFinal = tainted || stillBreached.nonEmpty
+    val taintedFinal = att.tainted
     if (stillBreached.nonEmpty)
       System.err.println("BENCH: sentinels still breached after re-run — " +
         s"record stamped tainted: ${stillBreached.mkString(", ")}")
     // cpus is the raw master thread spec (e.g. "32" or "*") — quote it so
     // the line stays valid JSON for any legitimate SPARK_GRAFT_CPUS value
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phases,"sf":"$sfDir","load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"cpus":"$cpus","sentinels":$sentinelsJson,"sentinel_reruns":$reruns,"tainted":$taintedFinal}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phases,"sf":"$sfDir","load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"cpus":"$cpus","sentinels":$sentinelsJson,"sentinel_reruns":$reruns,"attempts":$attempts,"tainted":$taintedFinal}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"BENCH: ${failed.size} queries failed: ${failed.mkString(", ")}")

@@ -239,8 +239,20 @@ object Dedup {
       java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[Map[String, Any]]
     // the artifact-FORMAT gate runs before the derivation gate: an old
     // index would otherwise fail later with a cryptic unresolved-column
-    // AnalysisException on fp.doc_id instead of this clean refusal
-    require(m.get("format").contains(2L),
+    // AnalysisException on fp.doc_id instead of this clean refusal.
+    // Metas written before the format key existed are NOT all format 1:
+    // the per-doc (fp, doc_id) layout predates the key, so a missing key
+    // is resolved by inspecting the fp artifact's own schema (a parquet
+    // footer read) — only a genuine (fp, dup_of) layout refuses.
+    val formatOk = m.get("format") match {
+      case Some(2L) => true
+      case Some(_) => false
+      case None =>
+        try s.read.parquet(s"$indexDir/fp")
+          .schema.fieldNames.contains("doc_id")
+        catch { case _: Exception => false }
+    }
+    require(formatOk,
       s"dedup index at $indexDir uses fp-artifact format " +
         s"${m.getOrElse("format", 1L)} (the min-compressed (fp, dup_of) " +
         "layout) — rebuild required: per-doc (fp, doc_id) rows are what " +
@@ -629,8 +641,11 @@ object Dedup {
     val n = incoming.count()
     writeIndexParts(s, incoming, indexDir, meta.r, batch = meta.batches,
       bandsDir = meta.bandsDir)
+    // fence, then publish, then release (see PointerCommit.verifyClaim)
+    graft.stream.PointerCommit.verifyClaim(fs, root, meta.batches)
     writeIndexMeta(s, indexDir, meta.r, meta.batches + 1, meta.count + n,
       bandsDir = meta.bandsDir, delDir = meta.delDir, kind = "append")
+    graft.stream.PointerCommit.releaseClaim(root, meta.batches)
   }
 
   /** Answer a STALE index's rebuild signal WITHOUT re-reading corpus

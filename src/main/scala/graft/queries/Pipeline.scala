@@ -559,9 +559,17 @@ object Pipeline {
     domainTokenCounts(fresh.select(col("source"), col("text")))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$indexDir/${meta.countsDir}/batch=${meta.batches}")
+    // fence, then publish, then release (see PointerCommit.verifyClaim)
+    locally {
+      val (fs, _) = mixMetaPath(s, indexDir)
+      graft.stream.PointerCommit.verifyClaim(fs,
+        new org.apache.hadoop.fs.Path(indexDir), meta.batches)
+    }
     writeMixMeta(s, indexDir,
       MixMeta(meta.batches + 1, meta.docs + nDocs, meta.countsDir,
         streamBatch.getOrElse(meta.lastStreamBatch)), kind = "append")
+    graft.stream.PointerCommit.releaseClaim(
+      new org.apache.hadoop.fs.Path(indexDir), meta.batches)
     Map("appended_docs" -> nDocs, "docs" -> (meta.docs + nDocs),
       "batches" -> (meta.batches + 1).toLong)
   }
@@ -597,9 +605,17 @@ object Pipeline {
       .select(col("source"), col("tok"), (-col("c")).as("c"))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$indexDir/${meta.countsDir}/batch=${meta.batches}")
+    // fence, then publish, then release (see PointerCommit.verifyClaim)
+    locally {
+      val (fs, _) = mixMetaPath(s, indexDir)
+      graft.stream.PointerCommit.verifyClaim(fs,
+        new org.apache.hadoop.fs.Path(indexDir), meta.batches)
+    }
     writeMixMeta(s, indexDir,
       MixMeta(meta.batches + 1, meta.docs - nDocs, meta.countsDir,
         meta.lastStreamBatch), kind = "delete")
+    graft.stream.PointerCommit.releaseClaim(
+      new org.apache.hadoop.fs.Path(indexDir), meta.batches)
     Map("deleted_docs" -> nDocs, "docs" -> (meta.docs - nDocs),
       "batches" -> (meta.batches + 1).toLong)
   }
@@ -633,6 +649,11 @@ object Pipeline {
     // micro-batches must not reopen the exactly-once window
     writeMixMeta(s, indexDir,
       MixMeta(1, meta.docs, next, meta.lastStreamBatch), kind = "compact")
+    // compaction RESETS batch numbering (batches -> 1), so every claim
+    // of the previous numbering is debris that would block the next
+    // append until its lease expired — the rebuild discipline
+    graft.stream.PointerCommit.clearClaims(fs,
+      new org.apache.hadoop.fs.Path(indexDir))
     Map("batches" -> 1L, "docs" -> meta.docs)
   }
 

@@ -302,6 +302,11 @@ object Retrieval {
     val (newN, newSum) = (meta.n + agg.getLong(0), meta.sumDl + agg.getLong(1))
     val nextStats = s"stats.v${lexVersion(meta.statsDir) + 1}"
     writeLexStats(s, indexDir, nextStats, newN, newSum)
+    // the fence: re-verify claim ownership immediately before the meta
+    // publish — a writer paused past its lease TTL and taken over must
+    // abort here, not absorb the new holder's batch into its commit
+    graft.stream.PointerCommit.verifyClaim(fs,
+      new org.apache.hadoop.fs.Path(indexDir), b)
     // THE commit — batches, totals, both pointers, and the stream
     // cursor flip together
     writeLexMeta(s, indexDir,
@@ -309,6 +314,8 @@ object Retrieval {
         meta.termsDir, meta.docsDir,
         streamBatch.getOrElse(meta.lastStreamBatch), meta.delDir),
       kind = "append")
+    graft.stream.PointerCommit.releaseClaim(
+      new org.apache.hadoop.fs.Path(indexDir), b)
     Map("appended" -> agg.getLong(0), "docs" -> newN,
       "skipped_tombstoned" -> tombstoned,
       "batches" -> (b + 1).toLong)
@@ -389,6 +396,15 @@ object Retrieval {
     writeLexMeta(s, indexDir, LexMeta(1, meta.n, meta.sumDl,
       meta.dfDir, meta.statsDir, nextTerms, nextDocs,
       meta.lastStreamBatch, nextDel), kind = "compact")
+    // compaction RESETS batch numbering (batches -> 1): clear the claims
+    // of the previous numbering, exactly like a rebuild (a leftover
+    // claim for the old batch count would block the next append until
+    // its lease expired)
+    locally {
+      val (fs, _) = lexMetaPath(s, indexDir)
+      graft.stream.PointerCommit.clearClaims(fs,
+        new org.apache.hadoop.fs.Path(indexDir))
+    }
     lexicalIndexInfo(s, indexDir)
   }
 
@@ -911,7 +927,22 @@ object Retrieval {
     val adcSum = (0 until m).map(i => s"a$i.d").mkString(" + ")
     val adcJoins = (0 until m).map(i =>
       s"  JOIN adc a$i ON a$i.m = $i AND a$i.j = k.c$i").mkString("\n")
-    s"""probe AS (
+    // gchk: the geometry FENCE. The (m, l) tokens are baked into this
+    // SQL at authoring time; if the attached index carries a different
+    // codebooks geometry (authored with the session default against an
+    // index past a pqSubspaces knee, or the index was RETRAINED onto a
+    // new rung after authoring), the ADC would rank with a wrong
+    // subspace mapping — silent recall degradation the exact rerank
+    // masks on easy corpora. The one-row assert makes that mismatch a
+    // loud runtime error instead; codebooks is metadata-scale (M×256
+    // rows), so the check is free.
+    s"""gchk AS (
+       |  SELECT assert_true(max(b.m) + 1 = $m AND max(size(b.c)) = $l,
+       |    'pq geometry mismatch: query authored for (M=$m, L=$l) but ' ||
+       |    'the attached index codebooks differ - re-render the named ' ||
+       |    'query with the artifact geometry (the *For renderers)') AS ok
+       |  FROM ${vec("codebooks")} b),
+       |probe AS (
        |  SELECT cell FROM (
        |    SELECT c.cell,
        |      aggregate(zip_with(c.c, qv.v, (a, b) -> (a - b) * (a - b)),
@@ -927,7 +958,8 @@ object Retrieval {
        |  SELECT k.vec_id, $adcSum AS adc_dist
        |  FROM ${vec("codes")} k
        |$adcJoins
-       |  WHERE k.cell = (SELECT cell FROM probe)
+       |  CROSS JOIN gchk
+       |  WHERE k.cell = (SELECT cell FROM probe) AND gchk.ok IS NULL
        |  ORDER BY adc_dist, vec_id LIMIT $fetch),
        |cv0 AS (
        |  SELECT t.vec_id,
@@ -1111,6 +1143,24 @@ object Retrieval {
          |$tail""".stripMargin
   }
 
+  /** [[mmrNamedSqlIndexed]] rendered with a PERSISTED index's OWN PQ
+    * geometry, recovered from its codebooks artifact (the
+    * `twoStageKnnSqlFor` discipline) — the authoring seam that cannot
+    * drift from the artifact: an index built past a pqSubspaces knee
+    * (M=8+) gets module SQL that ADC-ranks with its real subspace
+    * mapping, never the session ladder's first rung. The rendered SQL
+    * additionally carries the in-plan geometry fence (`gchk`), so a
+    * LATER retrain onto a different rung turns the stale module into a
+    * loud error instead of silent recall degradation. */
+  private[graft] def mmrNamedSqlIndexedFor(s: org.apache.spark.sql.SparkSession,
+      indexDir: String, table: String => String, qvecExpr: String,
+      lambdaExpr: String, kExpr: String,
+      c: Int = mmrC, kMax: Int = mmrK): String = {
+    val (m, l) = graft.queries.Similarity.pqGeometryAt(s, indexDir)
+    mmrNamedSqlIndexed(table, qvecExpr, lambdaExpr, kExpr, c, kMax,
+      indexed = true, m = m, l = l)
+  }
+
   /** `$terms`/`$qvec`/`$budget`-parameterized RAG context packing as ONE
     * named-query SQL (verdict r13 item 4): the BM25 leg embeds
     * [[bm25NamedCtes]] over the attached LEXICAL-index views, the vector
@@ -1193,6 +1243,17 @@ object Retrieval {
        |SELECT sel_order, doc_id, tokens, cum_tokens FROM packed
        |WHERE cum_tokens <= CAST($budgetExpr AS BIGINT)
        |ORDER BY sel_order""".stripMargin
+  }
+
+  /** [[contextPackNamedSqlIndexed]] rendered with the PERSISTED vector
+    * index's OWN PQ geometry (see [[mmrNamedSqlIndexedFor]]). */
+  private[graft] def contextPackNamedSqlIndexedFor(
+      s: org.apache.spark.sql.SparkSession, vecIndexDir: String,
+      lex: String => String, vec: String => String, termsExpr: String,
+      qvecExpr: String, budgetExpr: String): String = {
+    val (m, l) = graft.queries.Similarity.pqGeometryAt(s, vecIndexDir)
+    contextPackNamedSqlIndexed(lex, vec, termsExpr, qvecExpr, budgetExpr,
+      indexed = true, m = m, l = l)
   }
 
   private val embDimsSql =

@@ -831,9 +831,20 @@ object Similarity {
     * snapshot). */
   private[graft] def twoStageKnnSqlFor(s: SparkSession, indexDir: String,
       table: String => String, qvecExpr: String, limitSql: String): String = {
+    val (m, l) = pqGeometryAt(s, indexDir)
+    twoStageKnnSql(table, qvecExpr, limitSql, m, l)
+  }
+
+  /** A PERSISTED index's PQ geometry (M, L), recovered from its
+    * codebooks artifact through ONE manifest snapshot — what every
+    * serving renderer (two-stage kNN, indexed MMR, context pack) must
+    * author with: an index built past a [[pqSubspaces]] knee, or
+    * retrained onto one, answers with its OWN geometry, never the
+    * session ladder's first rung. */
+  private[graft] def pqGeometryAt(s: SparkSession,
+      indexDir: String): (Int, Int) = {
     val books = readCodebooksAt(s, resolveAll(indexDir)("codebooks"))
-    twoStageKnnSql(table, qvecExpr, limitSql,
-      books.length, books(0)(0).length)
+    (books.length, books(0)(0).length)
   }
 
   /** The staging name for `sub`'s next generation: bump the version of
@@ -973,7 +984,13 @@ object Similarity {
           // must verify — a torn or bit-rotted line drops rather than
           // yielding a wrong mapping or a truncated census
           val (body, crcOk) = l.lastIndexOf(" crc=") match {
-            case -1 => (l, true) // pre-crc legacy line
+            // censuses and crcs shipped TOGETHER, so a legacy line can
+            // never legitimately carry a census token: a crc-less line
+            // containing one is a torn tail truncated exactly before its
+            // " crc=" suffix — treat it as torn (drop) rather than let a
+            // comma-boundary cut parse as a self-consistent SMALLER
+            // census and silently mis-pin an as-of read
+            case -1 => (l, !l.contains("census:")) // pre-crc legacy line
             case i =>
               val b = l.substring(0, i)
               val want = l.substring(i + 5).toLongOption

@@ -62,9 +62,14 @@ object SqlClassifier {
       // the unrolled greedy layers read a ≤256-row in-memory relation
       // instead of re-running the two-stage probe per layer. Only the
       // plain CACHE/UNCACHE of an existing name is allowed — the
-      // `CACHE TABLE t AS SELECT` creating form stays rejected.
+      // `CACHE TABLE t AS SELECT` creating form stays rejected — and
+      // the name must be a SINGLE-part identifier: a temp view staged
+      // by this query, which is what the allowance exists for. A dotted
+      // qualified name would reach other streams' databases in the
+      // shared session catalog (cross-tenant cache eviction / memory
+      // pressure from a context meant to be read-only).
       val cache =
-        "(?is)^\\s*(UN)?CACHE\\s+(LAZY\\s+)?TABLE\\s+(IF\\s+EXISTS\\s+)?[A-Za-z_][A-Za-z0-9_.]*\\s*$".r
+        "(?is)^\\s*(UN)?CACHE\\s+(LAZY\\s+)?TABLE\\s+(IF\\s+EXISTS\\s+)?[A-Za-z_][A-Za-z0-9_]*\\s*$".r
       if (tempView.findFirstIn(stmt).isDefined ||
           cache.findFirstIn(stmt).isDefined) return Right(())
     }

@@ -871,4 +871,23 @@ class ClassifierBackupSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       BackupService.restore(store, "did:test:bak", dir))
   }
+
+  test("QueryCtx CACHE/UNCACHE allows only single-part names — a dotted " +
+    "name could evict other streams' caches in the shared catalog") {
+    import graft.stream.SqlClassifier
+    import graft.stream.SqlClassifier.QueryCtx
+    // the allowance: (un)caching a temp view this query staged
+    assert(SqlClassifier.check(spark, QueryCtx, "CACHE TABLE pool").isRight)
+    assert(SqlClassifier.check(spark, QueryCtx,
+      "UNCACHE TABLE IF EXISTS pool").isRight)
+    // cross-database reach is rejected (CacheTable is a Command, so the
+    // regex miss falls through to the read-only gate)
+    assert(SqlClassifier.check(spark, QueryCtx,
+      "CACHE TABLE graft_other_stream.events").isLeft)
+    assert(SqlClassifier.check(spark, QueryCtx,
+      "UNCACHE TABLE graft_other_stream.notes").isLeft)
+    // the creating form stays rejected
+    assert(SqlClassifier.check(spark, QueryCtx,
+      "CACHE TABLE t AS SELECT 1").isLeft)
+  }
 }

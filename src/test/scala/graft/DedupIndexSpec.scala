@@ -196,4 +196,38 @@ class DedupIndexSpec extends AnyFunSuite {
       .collect().forall(_.getString(1) == "exact"))
     TempDirs.release(java.nio.file.Paths.get(idxDir))
   }
+
+  test("format gate: a pre-format-key meta over the per-doc (fp, doc_id) " +
+    "layout loads; a genuine (fp, dup_of) layout refuses with the rebuild " +
+    "message") {
+    val idxDir = TempDirs.create("graft-idx-fmt").toString
+    Dedup.buildDedupIndex(spark, docs(120), idxDir)
+    // strip the format key — exactly what a meta written before the key
+    // existed looks like for an index ALREADY in the per-doc layout (the
+    // layout predates the key); such an index must not be forced into an
+    // O(corpus) rebuild by a misleading format-1 refusal
+    val metaP = java.nio.file.Paths.get(idxDir, "meta.json")
+    val body = new String(java.nio.file.Files.readAllBytes(metaP),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(body.contains("\"format\": 2"))
+    java.nio.file.Files.write(metaP,
+      body.replace("\"format\": 2, ", "")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the rewrite bypassed Hadoop's ChecksumFileSystem — drop the stale
+    // .crc sidecar so the read sees the edited meta, not a checksum error
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(idxDir, ".meta.json.crc"))
+    assert(Dedup.readIndexMeta(spark, idxDir).batches == 1,
+      "a missing format key resolves by the fp artifact's own schema")
+    // a GENUINE format-1 index: fp rows are (fp, dup_of) — the loud
+    // refusal stays for the layout increment probes cannot resolve
+    val (fs, root) = hfs(idxDir)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "fp"), true)
+    spark.range(5).select(col("id").as("fp"), col("id").as("dup_of"))
+      .write.parquet(s"$idxDir/fp/batch=0")
+    val e = intercept[IllegalArgumentException](
+      Dedup.readIndexMeta(spark, idxDir))
+    assert(e.getMessage.contains("rebuild required"))
+    TempDirs.release(java.nio.file.Paths.get(idxDir))
+  }
 }

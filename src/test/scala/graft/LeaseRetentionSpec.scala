@@ -288,4 +288,36 @@ class LeaseRetentionSpec extends AnyFunSuite {
     assert(cnt(Similarity.artifactRelationAsOf(idx, 1)) == 200L,
       "the build snapshot (pre-delete, pre-append) is exactly the corpus")
   }
+
+  test("a torn HISTORY tail cut exactly before its crc token drops — " +
+    "censuses and crcs shipped together, so a census-carrying line " +
+    "without a crc can only be torn") {
+    val d = TempDirs.create("graft-torncensus-src").toString
+    spark.range(80)
+      .select(col("id").as("vec_id"), (col("id") % 5).cast("int").as("label"))
+      .select(col("vec_id"), expr(
+        "transform(sequence(0, 15), i -> CAST(" +
+          "(pmod(hash(label, i), 2001) - 1000) / 1000.0 + " +
+          "(pmod(hash(vec_id, i, 7), 201) - 100) / 100.0 * 0.15 AS FLOAT))")
+        .as("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val idx = TempDirs.create("graft-torncensus-idx").toString
+    Similarity.buildVectorIndex(spark, d, idx)
+    val before = Similarity.manifestHistory(idx)
+    assert(before.size == 1)
+    val hist = java.nio.file.Paths.get(idx, "HISTORY")
+    // the crash shape: a census line truncated at a comma boundary
+    // exactly before " crc=" — it parses as a self-consistent SMALLER
+    // census, which would silently mis-pin an as-of read
+    java.nio.file.Files.write(hist,
+      "\n2 append census:vectors=part-00000-torn".getBytes(UTF_8),
+      java.nio.file.StandardOpenOption.APPEND)
+    assert(Similarity.manifestHistory(idx) == before,
+      "a crc-less line carrying a census token must drop as torn")
+    // pre-census LEGACY lines (no census token, no crc) still parse
+    java.nio.file.Files.write(hist,
+      "\n2 compact vectors=vectors".getBytes(UTF_8),
+      java.nio.file.StandardOpenOption.APPEND)
+    assert(Similarity.manifestHistory(idx).size == 2)
+  }
 }
