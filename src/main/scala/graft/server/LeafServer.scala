@@ -438,6 +438,12 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
       // a bulk ingest, the dedup_index_info discipline
       "per_event_replays" -> h.perEventReplays,
       "per_event_warnings" -> h.perEventWarnings,
+      // redaction-exposure signal (round 16): true while module tables
+      // still hold rows materialized from since-redacted payloads —
+      // the rematerialize/swap/restore verbs converge it
+      "module_tables_predate_redaction" -> h.moduleTablesPredateRedaction,
+      "remat_seq" -> h.redactionExposure._1,
+      "redact_seq" -> h.redactionExposure._2,
       "handle" -> handles.synchronized(handles.get(str(args, "id")).orNull))
     }
   }
@@ -504,6 +510,59 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     val remat = args.get("rematerialize").contains(true)
     withStream(str(args, "id"))(
       _.redactEvents(longSeq(args, "idx"), rematerialize = remat))
+  }
+
+  handle("/stream/forget") { (c, args) =>
+    // the COMPOSED takedown verb (round 16): one owner-gated call drives
+    // /stream/redact + the four family deletes in order, writes ONE
+    // audit line tying the five commits together (graft.stream.Forget),
+    // and reports per-surface counts. Auth: stream owner always; family
+    // dirs must be attached to THIS stream unless the caller also passes
+    // the admin rule (index dirs are arbitrary paths into shared
+    // storage — an owner-only caller must not reach other tenants'
+    // artifacts through them, the individual delete RPCs' rule).
+    val id = str(args, "id")
+    requireOwner(c.did, id, "forget its data")
+    def optStr(k: String): Option[String] =
+      args.get(k).collect { case s: String if s.nonEmpty => s }
+    def ids(k: String): Seq[Long] =
+      if (args.contains(k)) longSeq(args, k) else Seq.empty
+    val (vDir, lDir, dDir, mDir) = (optStr("vector_dir"),
+      optStr("lexical_dir"), optStr("dedup_dir"), optStr("mixture_dir"))
+    withStream(id) { h =>
+      val attached = h.attachedIndexes.values.map(_._2).toSet
+      val admin = c.trusted || c.did.exists(moduleAdmins.contains)
+      for (d <- Seq(vDir, lDir, dDir, mDir).flatten)
+        if (!attached.contains(d) && !admin)
+          throw new LeafAuthException(s"index dir $d is not attached to " +
+            s"stream $id — forgetting from arbitrary index dirs requires " +
+            "a trusted/admin connection")
+      // the same lifecycle-managed registration the individual RPCs do
+      vDir.foreach(managedIndexes.add); lDir.foreach(managedLexical.add)
+      dDir.foreach(managedDedup.add); mDir.foreach(managedMixture.add)
+      val mixDocs = mDir.map { _ =>
+        args.get("docs") match {
+          case Some(v: Vector[_]) =>
+            import store.spark.implicits._
+            v.map { d =>
+              val m = d.asInstanceOf[Map[String, Any]]
+              (m("source").toString, m("text").toString)
+            }.toDF("source", "text")
+          case _ => store.spark.read.parquet(str(args, "src"))
+            .select(org.apache.spark.sql.functions.col("source"),
+              org.apache.spark.sql.functions.col("text"))
+        }
+      }
+      val out = graft.stream.Forget(store.spark, h, graft.stream.Forget.Targets(
+        idx = ids("idx"), vecIds = ids("vec_ids"), docIds = ids("doc_ids"),
+        vectorDir = vDir, lexicalDir = lDir, dedupDir = dDir,
+        mixtureDir = mDir, mixtureDocs = mixDocs,
+        rematerialize = args.get("rematerialize").contains(true)))
+      // live handles leave the displaced generations now, not at the
+      // next flip — the delete RPCs' re-attach discipline
+      (vDir.toSeq ++ lDir.toSeq).foreach(store.refreshAttachedIndexes)
+      out
+    }
   }
 
   handle("/stream/set_handle") { (c, args) =>

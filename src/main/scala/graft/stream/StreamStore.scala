@@ -516,6 +516,16 @@ class StreamHandle(val store: StreamStore, val id: String) {
   // the other meta fields BEFORE init() runs — init builds the events
   // view from it
   @volatile private var redactionsDir: String = ""
+  // redaction-exposure bookkeeping (round 16, verdict r15 item 6):
+  // redactSeq counts redaction COMMITS monotonically (the generation-dir
+  // version resets when compaction drains the set, so it can't carry
+  // this); rematSeq is the redactSeq value the module tables last
+  // converged with (rematerialize, module swap — both replay the
+  // redacted log). rematSeq < redactSeq means module tables still hold
+  // rows materialized from pre-redaction payloads — the exposure window
+  // an operator must be able to SEE instead of remember.
+  @volatile private var redactSeq: Long = 0L
+  @volatile private var rematSeq: Long = 0L
   @volatile private var moduleCid: Option[String] = None
   @volatile private var signingKey: Option[Array[Byte]] = None
   // monotone counter bumped on every state-DB mutation (state events
@@ -612,6 +622,19 @@ class StreamHandle(val store: StreamStore, val id: String) {
   // view, so nulls bake into the new log version and the set drains in
   // the same commit.
 
+  /** `rematSeq < redactSeq`: module tables still hold rows materialized
+    * from payloads redacted SINCE their last full replay — the exposure
+    * window `redactEvents(rematerialize = false)` leaves open on
+    * purpose (a cost choice). Surfaced through `/stream/info` (the
+    * dedupIndexStale discipline) so an operator sees it instead of
+    * remembering it; rematerialize, a module swap, or a restore
+    * converges it. */
+  def moduleTablesPredateRedaction: Boolean = rematSeq < redactSeq
+
+  /** (redaction commit the module tables last converged with, latest
+    * redaction commit) — the exposure window's endpoints. */
+  def redactionExposure: (Long, Long) = (rematSeq, redactSeq)
+
   /** Number of redacted events (meta-committed set size). */
   def redactedCount: Long =
     if (redactionsDir.isEmpty) 0L
@@ -690,6 +713,7 @@ class StreamHandle(val store: StreamStore, val id: String) {
       rematerialize: Boolean = false): Map[String, Long] = lock.synchronized {
     ensureOpen()
     val cur = currentRedactions()
+    val before = cur.count()
     val merged = cur.union(
         ids.select(col("idx").cast("long").as("idx")).distinct()
           .filter(col("idx").between(1L, latestIdx))
@@ -697,31 +721,98 @@ class StreamHandle(val store: StreamStore, val id: String) {
     val next = nextRedactionsDir()
     merged.coalesce(1).write
       .mode(SaveMode.Overwrite).parquet(dir.resolve(next).toString)
+    val total = spark.read.parquet(dir.resolve(next).toString).count()
     val displaced = redactionsDir
     redactionsDir = next
+    // an idempotent retry / out-of-range no-op widens no exposure —
+    // only a commit that actually redacted new rows bumps the counter
+    if (total > before) redactSeq += 1
     saveMeta() // THE commit: the meta rewrite is the pointer flip
     refreshEventsView()
     sweepRedactions(keep = Set(next, displaced))
     if (rematerialize) currentModule.foreach { m =>
       // the module-swap replay path minus the module change: drop the
-      // module's tables, re-init, replay the (now redacted) log
+      // module's tables (never the events/attached-index views),
+      // re-init, replay the (now redacted) log
       listTables().filterNot(t => t == "events" || t == "events_raw" ||
-          t.startsWith("state_"))
+          t.startsWith("state_") || isCatalogView(t))
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $dbName.$t"))
       cursor = 0L
       runStatements(m.initSql, Map.empty)
+      rematSeq = redactSeq // tables about to converge with this commit
       saveMeta()
       catchUp()
       listTables().foreach(refreshBoth)
     }
-    Map("redacted" ->
-      spark.read.parquet(dir.resolve(next).toString).count())
+    Map("redacted" -> total)
   }
+
+  // ---------------- composed-forget audit log ----------------
+  //
+  // One line per Forget invocation: `<seq> <summary> crc=<crc32>` where
+  // the summary names every surface's commit (stream redact_seq + each
+  // family's history seq). The per-family META_HISTORY/HISTORY logs stay
+  // the source of DETAIL; this line is the stream-level index tying one
+  // takedown's five commits together. Same torn-tail discipline as the
+  // family histories: newline-prefixed appends, crc-verified parse,
+  // seq contiguity asserted.
+
+  private def forgetAuditFile: Path = dir.resolve("FORGET_AUDIT")
+
+  /** Append one audit line; returns its seq. Called by [[Forget]] after
+    * every requested leg committed — observability metadata written
+    * OUTSIDE the legs' atomic commits on purpose (a crash between the
+    * last leg and this append loses one audit line, never a commit). */
+  def appendForgetAudit(summary: String): Int = lock.synchronized {
+    require(!summary.contains("\n"), "audit summary must be one line")
+    val seq = forgetAudit.size + 1
+    val body = s"$seq $summary"
+    val crc = new java.util.zip.CRC32()
+    crc.update(body.getBytes(UTF_8))
+    Files.write(forgetAuditFile,
+      ("\n" + body + " crc=" + crc.getValue).getBytes(UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    seq
+  }
+
+  /** The stream's takedown audit: (seq, summary) oldest first. A torn
+    * final line drops; a gap refuses loudly. */
+  def forgetAudit: Seq[(Int, String)] = {
+    if (!Files.exists(forgetAuditFile)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    val parsed = Files.readAllLines(forgetAuditFile).asScala.toSeq
+      .filter(_.nonEmpty).flatMap { l =>
+        l.lastIndexOf(" crc=") match {
+          case -1 => None // torn (every line ships with a crc)
+          case i =>
+            val body = l.substring(0, i)
+            val want = l.substring(i + 5).toLongOption
+            val c = new java.util.zip.CRC32()
+            c.update(body.getBytes(UTF_8))
+            if (!want.contains(c.getValue)) None
+            else body.split(" ", 2) match {
+              case Array(seq, rest) if seq.toIntOption.isDefined =>
+                Some(seq.toInt -> rest)
+              case _ => None
+            }
+        }
+      }
+    require(parsed.map(_._1) == parsed.indices.map(_ + 1),
+      s"FORGET_AUDIT of $id is corrupted: seqs " +
+        s"${parsed.map(_._1).mkString(",")} are not contiguous from 1")
+    parsed
+  }
+
+  /** (prefix -> (kind, indexDir)) of this stream's attached indexes —
+    * what the composed forget RPC validates family dirs against. */
+  def attachedIndexes: Map[String, (String, String)] =
+    lock.synchronized(attachments.toMap)
 
   // ---------------- metadata ----------------
 
   private def saveMeta(): Unit = {
-    val json = s"""{"id":"${StreamStore.escapeJson(id)}","latestIdx":$latestIdx,"cursor":$cursor,"stateVer":$stateVer,"redactionsDir":"$redactionsDir","moduleCid":${
+    val json = s"""{"id":"${StreamStore.escapeJson(id)}","latestIdx":$latestIdx,"cursor":$cursor,"stateVer":$stateVer,"redactionsDir":"$redactionsDir","redactSeq":$redactSeq,"rematSeq":$rematSeq,"moduleCid":${
       moduleCid.map("\"" + _ + "\"").getOrElse("null")}}"""
     val tmp = dir.resolve("meta.json.tmp")
     Files.write(tmp, json.getBytes(UTF_8))
@@ -737,6 +828,9 @@ class StreamHandle(val store: StreamStore, val id: String) {
     stateVer = num("stateVer")
     redactionsDir = "\"redactionsDir\":\"([^\"]*)\"".r.findFirstMatchIn(s)
       .map(_.group(1)).getOrElse("")
+    // legacy metas (pre-exposure-counter) load as (0, 0): no recorded
+    // redactions, so "not stale" is the truthful reading
+    redactSeq = num("redactSeq"); rematSeq = num("rematSeq")
     moduleCid = "\"moduleCid\":\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1))
     // self-heal metas written before the id field existed: the catalog
     // (listStreams) recovers ids from meta.json, so a legacy stream would
@@ -807,11 +901,11 @@ class StreamHandle(val store: StreamStore, val id: String) {
     // the stream (the reference content-addresses module blobs server-side)
     Files.write(dir.resolve("module.json"),
       BackupService.moduleToJson(m).getBytes(UTF_8))
-    // drop previous module tables (everything except the events view and
-    // its raw table); state tables survive module swaps (separate state
-    // DB in the reference)
+    // drop previous module tables (everything except the events view,
+    // its raw table, and attached index VIEWS); state tables survive
+    // module swaps (separate state DB in the reference)
     listTables().filterNot(t => t == "events" || t == "events_raw" ||
-        t.startsWith("state_"))
+        t.startsWith("state_") || isCatalogView(t))
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $dbName.$t"))
     // purge orphaned table directories (left by a previous process or a
     // dropped table) so CREATE TABLE never trips over a stale location
@@ -826,6 +920,9 @@ class StreamHandle(val store: StreamStore, val id: String) {
     cursor = 0L
     runStatements(m.initSql, Map.empty)
     if (stateTables().isEmpty) runStatements(m.stateInitSql, Map.empty)
+    // the swap replays over the redacted log — module tables converge
+    // with every redaction committed so far
+    rematSeq = redactSeq
     saveMeta()
     catchUp()
     listTables().foreach(refreshBoth)
@@ -836,6 +933,15 @@ class StreamHandle(val store: StreamStore, val id: String) {
     // are not part of the stream's database
     spark.sql(s"SHOW TABLES IN $dbName").collect()
       .filterNot(_.getBoolean(2)).map(_.getString(1)).toSeq
+
+  /** Catalog VIEWs in the stream's database — the `events` redaction
+    * seam plus any attached index views (fg_vectors, fl_terms, …).
+    * Module-table drops (swap, rematerialize) must skip them: they are
+    * not derived from the module, and Spark 4's DROP TABLE refuses a
+    * VIEW outright. */
+  private def isCatalogView(t: String): Boolean =
+    try spark.catalog.getTable(dbName, t).tableType == "VIEW"
+    catch { case _: Exception => false }
   private def stateTables(): Seq[String] = listTables().filter(_.startsWith("state_"))
 
   /** Names of the stream's state tables (for backup snapshots). */

@@ -207,4 +207,30 @@ class RedactionSpec extends AnyFunSuite {
     assert(!rows(4).isNullAt(2), "new events never match old redactions")
     assert(rows(1).isNullAt(2))
   }
+
+  test("exposure signal: module tables predate redaction until a " +
+    "rematerialize / module swap converges them; persists across reopen") {
+    val h = freshStream("did:redact:stale")
+    assert(!h.moduleTablesPredateRedaction, "no redactions yet")
+    h.redactEvents(Seq(2L)) // default rematerialize = false
+    assert(h.moduleTablesPredateRedaction,
+      "module tables still hold the pre-redaction row — signal must rise")
+    assert(h.redactionExposure == ((0L, 1L)))
+    // idempotent retry / out-of-range no-op widens no exposure
+    h.redactEvents(Seq(2L, 9999L))
+    assert(h.redactionExposure == ((0L, 1L)))
+    // the signal survives a process restart (meta-persisted)
+    h.close()
+    val h2 = store.open("did:redact:stale")
+    assert(h2.moduleTablesPredateRedaction)
+    // rematerialize converges: tables replay over the redacted log
+    h2.redactEvents(Seq(5L), rematerialize = true)
+    assert(!h2.moduleTablesPredateRedaction)
+    assert(h2.redactionExposure == ((2L, 2L)))
+    // a later redact re-raises; a module SWAP converges it too
+    h2.redactEvents(Seq(7L))
+    assert(h2.moduleTablesPredateRedaction)
+    h2.setModule(module)
+    assert(!h2.moduleTablesPredateRedaction)
+  }
 }

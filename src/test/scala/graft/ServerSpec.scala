@@ -1990,4 +1990,169 @@ class ServerSpec extends AnyFunSuite {
     assert(graft.server.Json.parse("[[[1]]]") ==
       Vector(Vector(Vector(1L))))
   }
+
+  test("composed forget over RPC (round 16): ONE call drives redact + " +
+    "the four family deletes, one audit line enumerates all five " +
+    "commits, and every surface answers survivor-only") {
+    import org.apache.spark.sql.functions._
+    // corpus: 200 docs (each with a unique lowercase token) + clustered
+    // embeddings; a stream whose events carry their own payloads
+    val src = TempDirs.create("graft-forget-src").toString
+    val docs = spark.range(200).select(col("id").as("doc_id"),
+      concat(lit("src"), (col("id") % 4).cast("string")).as("source"),
+      concat_ws(" ",
+        concat(lit("toku"), col("id").cast("string")) +:
+          (0 until 10).map(i => md5(concat(col("id"), lit(i)))): _*)
+        .as("text"))
+    docs.write.mode("overwrite").parquet(s"$src/documents.parquet")
+    spark.range(200)
+      .select(col("id").as("vec_id"), (col("id") % 5).cast("int").as("label"))
+      .select(col("vec_id"), expr(
+        "transform(sequence(0, 15), i -> CAST(" +
+          "(pmod(hash(label, i), 2001) - 1000) / 1000.0 + " +
+          "(pmod(hash(vec_id, i, 7), 201) - 100) / 100.0 * 0.15 AS FLOAT))")
+        .as("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$src/embeddings.parquet")
+    val (vidx, lidx, didx, midx) = (
+      TempDirs.create("graft-forget-vec").toString,
+      TempDirs.create("graft-forget-lex").toString,
+      TempDirs.create("graft-forget-dedup").toString,
+      TempDirs.create("graft-forget-mix").toString)
+    ok(post("/admin/vector_index_build", Map("src" -> src, "dir" -> vidx)))
+    ok(post("/admin/lexical_index_build", Map("src" -> src, "dir" -> lidx)))
+    ok(post("/admin/dedup_index_build", Map("src" -> src, "dir" -> didx)))
+    ok(post("/admin/mixture_stats_build", Map("src" -> src, "dir" -> midx)))
+
+    val cid = ok(post("/module/upload", Map("module" -> Map(
+      "init_sql" -> "CREATE TABLE IF NOT EXISTS fn (idx BIGINT, t STRING) USING PARQUET",
+      "materializer" ->
+        "INSERT INTO fn SELECT idx, drisl_extract(payload, '.t') FROM event",
+      "queries" -> Map("all" -> Map(
+        "sql" -> "SELECT idx, t FROM fn ORDER BY idx"))))))(
+      "cid").asInstanceOf[String]
+    val sid = ok(post("/stream/create",
+      Map("id" -> "did:graft:forget-rpc", "module_cid" -> cid)))("id").toString
+    val evs = (1 to 12).map(i => Map("user" -> "u",
+      "payload_b64" -> Base64.getEncoder.encodeToString(
+        graft.drisl.Drisl.encode(graft.drisl.DValue.obj(
+          "t" -> graft.drisl.DValue.text(s"v$i"))))))
+    ok(post("/stream/event_batch", Map("id" -> sid, "events" -> evs.toVector)))
+    ok(post("/admin/vector_index_attach",
+      Map("id" -> sid, "prefix" -> "fg", "dir" -> vidx)))
+    ok(post("/admin/lexical_index_attach",
+      Map("id" -> sid, "prefix" -> "fl", "dir" -> lidx)))
+
+    // THE verb: forget events 3 and 7 at the store of record, and docs
+    // 5 and 10 across all four derived families, in one call
+    val forgotten = docs.filter(col("doc_id").isin(5L, 10L))
+      .select("source", "text").collect()
+      .map(r => Map("source" -> r.getString(0), "text" -> r.getString(1)))
+      .toVector
+    val out = ok(post("/stream/forget", Map(
+      "id" -> sid, "idx" -> Vector(3L, 7L),
+      "vec_ids" -> Vector(5L, 10L), "doc_ids" -> Vector(5L, 10L),
+      "vector_dir" -> vidx, "lexical_dir" -> lidx,
+      "dedup_dir" -> didx, "mixture_dir" -> midx,
+      "docs" -> forgotten, "rematerialize" -> true)))
+    assert(out("redacted") == 2L, out.toString)
+    assert(out("vector_tombstones") == 2L, out.toString)
+    assert(out("lexical_deleted") == 2L, out.toString)
+    assert(out("dedup_deleted") == 2L, out.toString)
+    assert(out("mixture_deleted_docs") == 2L, out.toString)
+    assert(out("audit_seq") == 1L, out.toString)
+
+    // ONE audit line enumerating the FIVE commits (stream + 4 families)
+    val audit = store.open(sid).forgetAudit
+    assert(audit.size == 1 && audit.head._1 == 1, audit.toString)
+    val line = audit.head._2
+    for (tok <- Seq("stream:redact_seq=1+remat", s"vector:$vidx@seq=",
+        s"lexical:$lidx@seq=", s"dedup:$didx@seq=", s"mixture:$midx@seq="))
+      assert(line.contains(tok), s"audit line missing '$tok': $line")
+
+    // surface 1 — raw scan: idx 3 and 7 read NULL payloads
+    val h = store.open(sid)
+    val raws = h.rawGetEvents(1, 12).collect()
+    assert(raws.length == 12 &&
+      raws.filter(r => r.getLong(0) == 3 || r.getLong(0) == 7)
+        .forall(_.isNullAt(2)), "redaction must reach raw scans")
+    // surface 2 — module query (rematerialized in the same call): the
+    // derived rows forgot too
+    val rows = ok(post("/stream/query", Map("id" -> sid,
+      "query" -> Map("name" -> "all", "limit" -> 100L))))("rows")
+      .asInstanceOf[Vector[Any]].map { r =>
+        val m = r.asInstanceOf[Map[String, Any]]
+        def v(f: String) = m(f).asInstanceOf[Map[String, Any]]
+          .getOrElse("value", null)
+        (v("idx").asInstanceOf[Long], v("t"))
+      }
+    assert(rows.size == 12 &&
+      rows.filter(r => r._1 == 3 || r._1 == 7).forall(_._2 == null) &&
+      rows.count(_._2 != null) == 10, rows.toString)
+    val info = ok(post("/stream/info", Map("id" -> sid)))
+    assert(info("module_tables_predate_redaction") == false,
+      "rematerialize converged the module tables in the same call")
+    // surface 3 — kNN through the persisted index: the deleted vectors
+    // are gone from the attached view and from a two-stage probe
+    val rel = graft.queries.Similarity.artifactRelation(vidx)
+    val liveIds = spark.sql(s"SELECT vec_id FROM ${rel("vectors")} v")
+      .collect().map(_.getLong(0)).toSet
+    assert(liveIds.size == 198 && !liveIds(5L) && !liveIds(10L))
+    val qv = spark.read.parquet(s"$src/embeddings.parquet")
+      .where(col("vec_id") === 5L).select("embedding").head()
+      .getSeq[Float](0)
+      .map(x => math.floor(x.toDouble * 64 + 0.5).toLong).mkString(",")
+    val knn = spark.sql(graft.queries.Similarity.twoStageKnnSqlFor(
+      spark, vidx, rel, s"'$qv'", "5")).collect().map(_.getLong(0)).toSet
+    assert(!knn(5L) && !knn(10L),
+      "a probe AT the forgotten vector must answer survivors only")
+    // surface 4 — BM25: the forgotten doc's unique token finds nothing;
+    // a survivor's still does; n corrected in the same commit
+    val lrel = graft.queries.Retrieval.lexRelation(spark, lidx)
+    assert(spark.sql(graft.queries.Retrieval.bm25NamedSql(
+      lrel, "'toku5'", "10")).count() == 0L,
+      "the forgotten doc must be unfindable by its own token")
+    assert(spark.sql(graft.queries.Retrieval.bm25NamedSql(
+      lrel, "'toku6'", "10")).count() == 1L)
+    assert(graft.queries.Retrieval.lexicalIndexInfo(spark, lidx)("docs")
+      == 198L)
+    // surface 5 — dedup increment: a clone of the forgotten text now
+    // classifies NEW (nothing to be a duplicate of), a clone of a
+    // survivor stays exact
+    import spark.implicits._
+    val probe = docs.filter(col("doc_id").isin(5L, 6L))
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val verdicts = graft.queries.Dedup.incrementVsIndex(spark, probe, didx)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(verdicts(100005L) == "new",
+      s"forgotten doc must not match the index: $verdicts")
+    assert(verdicts(100006L) == "exact", verdicts.toString)
+    // surface 6 — mixture weights: integer-exact with a from-scratch
+    // build over the survivors
+    val midx2 = TempDirs.create("graft-forget-mix2").toString
+    graft.queries.Pipeline.buildMixtureStatsDf(spark,
+      docs.filter(!col("doc_id").isin(5L, 10L)).select("source", "text"),
+      midx2)
+    def weights(d: String): Map[String, Any] =
+      graft.queries.Pipeline.mixtureWeights(spark, d).collect()
+        .map(r => r.getString(0) -> r.get(1)).toMap
+    assert(weights(midx) == weights(midx2),
+      "post-forget mixture weights must equal the survivor recompute")
+    // surface 7 — backup round-trip: the archive carries the redaction
+    val bak = "file:" + TempDirs.create("graft-forget-bak")
+    graft.stream.BackupService.backup(h, bak)
+    val store2 = new StreamStore(spark,
+      TempDirs.create("graft-forget-rest").toString)
+    val restored = graft.stream.BackupService.restore(
+      store2, "did:graft:forget-restored", bak)
+    val rraw = restored.rawGetEvents(1, 12).collect()
+    assert(rraw.count(_.isNullAt(2)) == 2,
+      "the restored stream must carry the redaction")
+
+    // a second forget appends audit seq 2 (no remat: exposure re-rises)
+    val out2 = ok(post("/stream/forget",
+      Map("id" -> sid, "idx" -> Vector(9L))))
+    assert(out2("redacted") == 3L && out2("audit_seq") == 2L, out2.toString)
+    assert(ok(post("/stream/info", Map("id" -> sid)))(
+      "module_tables_predate_redaction") == true)
+  }
 }
