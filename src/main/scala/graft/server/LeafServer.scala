@@ -565,6 +565,17 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     }
   }
 
+  handle("/stream/forget_audit") { (c, args) =>
+    // the takedown ledger, served: each line names one forget's five
+    // commits (stream redact_seq + family history seqs) — the
+    // family history RPCs hold the per-commit detail
+    requireOwner(c.did, str(args, "id"), "read its forget audit")
+    withStream(str(args, "id")) { h =>
+      Map("entries" -> h.forgetAudit.map { case (seq, summary) =>
+        Map("seq" -> seq.toLong, "summary" -> summary) })
+    }
+  }
+
   handle("/stream/set_handle") { (c, args) =>
     requireOwner(c.did, str(args, "id"), "set its handle")
     // the reference updates the stream's DID document via PLC

@@ -2154,5 +2154,12 @@ class ServerSpec extends AnyFunSuite {
     assert(out2("redacted") == 3L && out2("audit_seq") == 2L, out2.toString)
     assert(ok(post("/stream/info", Map("id" -> sid)))(
       "module_tables_predate_redaction") == true)
+    // the audit ledger is served over RPC too
+    val served = ok(post("/stream/forget_audit", Map("id" -> sid)))(
+      "entries").asInstanceOf[Vector[Any]]
+      .map(_.asInstanceOf[Map[String, Any]])
+    assert(served.map(_("seq")) == Vector(1L, 2L), served.toString)
+    assert(served.head("summary").toString.contains(s"dedup:$didx@seq="))
+    assert(served(1)("summary").toString.contains("stream:redact_seq=2"))
   }
 }
