@@ -508,8 +508,15 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     // redacted log so derived rows forget too.
     requireOwner(c.did, str(args, "id"), "redact its events")
     val remat = args.get("rematerialize").contains(true)
+    // idx-keyed, user-keyed ("forget user X" — the shape a takedown
+    // request actually arrives in), or the union of both in one commit
+    val idxs = if (args.contains("idx")) longSeq(args, "idx") else Seq.empty
+    val users = args.get("users") match {
+      case Some(v: Vector[_]) => v.map(_.toString)
+      case _ => Seq.empty
+    }
     withStream(str(args, "id"))(
-      _.redactEvents(longSeq(args, "idx"), rematerialize = remat))
+      _.redactFor(idxs, users, rematerialize = remat))
   }
 
   handle("/stream/forget") { (c, args) =>
@@ -553,8 +560,13 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
               org.apache.spark.sql.functions.col("text"))
         }
       }
+      val users = args.get("users") match {
+        case Some(v: Vector[_]) => v.map(_.toString)
+        case _ => Seq.empty[String]
+      }
       val out = graft.stream.Forget(store.spark, h, graft.stream.Forget.Targets(
-        idx = ids("idx"), vecIds = ids("vec_ids"), docIds = ids("doc_ids"),
+        idx = ids("idx"), users = users,
+        vecIds = ids("vec_ids"), docIds = ids("doc_ids"),
         vectorDir = vDir, lexicalDir = lDir, dedupDir = dDir,
         mixtureDir = mDir, mixtureDocs = mixDocs,
         rematerialize = args.get("rematerialize").contains(true)))

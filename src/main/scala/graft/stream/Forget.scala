@@ -38,13 +38,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Forget {
 
-  /** What to forget, and where. `docIds` feeds BOTH the lexical and
-    * dedup legs (one takedown id space — the `documents` schema);
-    * `vecIds` feeds the vector leg; `mixtureDocs` carries the forgotten
-    * docs' own (source, text) rows because the mixture stats keep no
-    * per-doc state (the takedown feed has them by definition). */
+  /** What to forget, and where. `users` resolves to every event those
+    * users authored (the shape a real takedown arrives in) and unions
+    * with the explicit `idx` set in ONE redaction commit. `docIds`
+    * feeds BOTH the lexical and dedup legs (one takedown id space — the
+    * `documents` schema); `vecIds` feeds the vector leg; `mixtureDocs`
+    * carries the forgotten docs' own (source, text) rows because the
+    * mixture stats keep no per-doc state (the takedown feed has them by
+    * definition). */
   case class Targets(
       idx: Seq[Long] = Seq.empty,
+      users: Seq[String] = Seq.empty,
       vecIds: Seq[Long] = Seq.empty,
       docIds: Seq[Long] = Seq.empty,
       vectorDir: Option[String] = None,
@@ -69,8 +73,8 @@ object Forget {
     import s.implicits._
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Any]
     val commits = scala.collection.mutable.ArrayBuffer.empty[String]
-    if (t.idx.nonEmpty) {
-      val r = h.redactEvents(t.idx, rematerialize = t.rematerialize)
+    if (t.idx.nonEmpty || t.users.nonEmpty) {
+      val r = h.redactFor(t.idx, t.users, rematerialize = t.rematerialize)
       out("redacted") = r("redacted")
       commits += s"stream:redact_seq=${h.redactionExposure._2}" +
         (if (t.rematerialize) "+remat" else "")
@@ -100,7 +104,8 @@ object Forget {
     }
     require(commits.nonEmpty, "forget with nothing to forget")
     val seq = h.appendForgetAudit(
-      (Seq(s"idx=${t.idx.size}", s"vec_ids=${t.vecIds.size}",
+      (Seq(s"idx=${t.idx.size}", s"users=${t.users.size}",
+        s"vec_ids=${t.vecIds.size}",
         s"doc_ids=${t.docIds.size}") ++ commits).mkString(" "))
     out("audit_seq") = seq
     out("commits") = commits.toVector

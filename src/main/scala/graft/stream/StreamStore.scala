@@ -687,12 +687,35 @@ class StreamHandle(val store: StreamStore, val id: String) {
 
   /** Redact events by idx (RPC shape). See [[redactEventsDf]]. */
   def redactEvents(idxs: Seq[Long],
+      rematerialize: Boolean = false): Map[String, Long] =
+    redactFor(idxs, Seq.empty, rematerialize)
+
+  /** Redact every event AUTHORED BY one of `users` — the shape a real
+    * right-to-be-forgotten request arrives in (user-keyed, not
+    * idx-keyed). See [[redactFor]]. */
+  def redactEventsByUser(users: Seq[String],
+      rematerialize: Boolean = false): Map[String, Long] =
+    redactFor(Seq.empty, users, rematerialize)
+
+  /** Redact the union of an explicit idx set and every event authored
+    * by one of `users`, in ONE commit. The user resolution is one
+    * pushdown-filtered scan of the raw log (`user` is a first-class
+    * parquet column, so dictionary/stats pruning applies) — a
+    * takedown-rate operation, amortized over the same O(redacted)
+    * commit as the idx path. The `user` column itself SURVIVES
+    * redaction (idx contiguity and authorship stay auditable; only the
+    * payload forgets), so re-running the same user takedown is a
+    * provable no-op. */
+  def redactFor(idxs: Seq[Long], users: Seq[String],
       rematerialize: Boolean = false): Map[String, Long] = {
     import scala.jdk.CollectionConverters._
-    val rows = idxs.map(i => Row(i)).asJava
-    redactEventsDf(spark.createDataFrame(rows,
-      StructType(Seq(StructField("idx", LongType, nullable = false)))),
-      rematerialize)
+    val byIdx = spark.createDataFrame(idxs.map(i => Row(i)).asJava,
+      StructType(Seq(StructField("idx", LongType, nullable = false))))
+    val ids =
+      if (users.isEmpty) byIdx
+      else byIdx.union(spark.table(s"$dbName.events_raw")
+        .filter(col("user").isin(users: _*)).select(col("idx")))
+    redactEventsDf(ids, rematerialize)
   }
 
   /** Redact the events whose idx is in `ids` (a 1-column `idx` frame):

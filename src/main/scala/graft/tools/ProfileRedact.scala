@@ -26,7 +26,7 @@ object ProfileRedact {
       val r = body
       (r, (System.nanoTime() - t0) / 1e9)
     }
-    println("events  redact50_s  scan_pre_s  scan_post_s  compact_s  scan_purged_s")
+    println("events  redact50_s  byuser_s(rows)  scan_pre_s  scan_post_s  compact_s  scan_purged_s")
     Seq(20000L, 60000L, 200000L, 600000L).foreach { n =>
       val store = new StreamStore(spark,
         graft.TempDirs.create("graft-profredact").toString)
@@ -44,10 +44,13 @@ object ProfileRedact {
       val (_, tPre) = timed(h.rawGetEvents(1, n).count())
       val victims = (1L to n by (n / 50)).take(50)
       val (_, tRedact) = timed(h.redactEvents(victims))
+      // user-keyed takedown (round 16): resolve one author's ~n/97
+      // events through the pushdown-filtered raw-log scan, same commit
+      val (ru, tByUser) = timed(h.redactEventsByUser(Seq("u13")))
       val (_, tPost) = timed(h.rawGetEvents(1, n).count())
       val (_, tCompact) = timed(h.compactLog())
       val (_, tPurged) = timed(h.rawGetEvents(1, n).count())
-      println(f"$n%7d  $tRedact%9.2f  $tPre%9.2f  $tPost%10.2f  $tCompact%8.2f  $tPurged%12.2f")
+      println(f"$n%7d  $tRedact%9.2f  $tByUser%8.2f(${ru("redacted")}%5d)  $tPre%9.2f  $tPost%10.2f  $tCompact%8.2f  $tPurged%12.2f")
     }
     spark.stop()
   }

@@ -208,6 +208,27 @@ class RedactionSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(2))
   }
 
+  test("user-keyed redaction: one commit nulls every event a user " +
+    "authored; authorship survives; unknown users are no-ops") {
+    val h = freshStream("did:redact:byuser") // users cycle u1,u2,u0,…
+    val r = h.redactEventsByUser(Seq("u1"))
+    assert(r("redacted") == 4L) // idx 1,4,7,10
+    h.rawGetEvents(1, 12).collect().foreach { row =>
+      val idx = row.getLong(0)
+      assert(row.getString(1) == s"u${idx % 3}",
+        "authorship must survive redaction (only the payload forgets)")
+      if (idx % 3 == 1) assert(row.isNullAt(2), s"idx $idx")
+      else assert(!row.isNullAt(2), s"idx $idx")
+    }
+    // union with an explicit idx set lands in ONE commit
+    val r2 = h.redactFor(Seq(3L), Seq("u1"))
+    assert(r2("redacted") == 5L)
+    assert(h.redactionExposure._2 == 2L, "exactly two redaction commits")
+    // an unknown user is an idempotent no-op that widens no exposure
+    val r3 = h.redactEventsByUser(Seq("nobody"))
+    assert(r3("redacted") == 5L && h.redactionExposure._2 == 2L)
+  }
+
   test("exposure signal: module tables predate redaction until a " +
     "rematerialize / module swap converges them; persists across reopen") {
     val h = freshStream("did:redact:stale")

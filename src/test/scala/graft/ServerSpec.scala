@@ -2161,5 +2161,12 @@ class ServerSpec extends AnyFunSuite {
     assert(served.map(_("seq")) == Vector(1L, 2L), served.toString)
     assert(served.head("summary").toString.contains(s"dedup:$didx@seq="))
     assert(served(1)("summary").toString.contains("stream:redact_seq=2"))
+    // user-keyed forget: the takedown arrives as "forget user X" — the
+    // stream resolves the user's events itself, one commit
+    val out3 = ok(post("/stream/forget",
+      Map("id" -> sid, "users" -> Vector("u"))))
+    assert(out3("redacted") == 12L && out3("audit_seq") == 3L,
+      out3.toString)
+    assert(store.open(sid).forgetAudit.last._2.contains("users=1"))
   }
 }
