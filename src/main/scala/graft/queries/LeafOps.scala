@@ -254,6 +254,43 @@ object LeafOps {
              |       AS DOUBLE) AS total
              |FROM events GROUP BY 1 ORDER BY etype""".stripMargin)),
 
+    // ---- (round 16) USER-keyed takedown at the store of record: one
+    // redactEventsByUser call resolves every event the author wrote
+    // (the shape a real right-to-be-forgotten request arrives in), the
+    // module replays over the redacted log, and the grouped answer
+    // matches the oracle's view of the same rows with that author's
+    // values forgotten ----
+    "leaf_forget_user" -> Relational.Q(
+      (s, dir) => {
+        val h = streams.synchronized {
+          streams.getOrElseUpdate((s, dir, "forgetuser"), {
+            graft.PhaseTimings.reset("leaf_forget_user")
+            val src = demo(s, dir).eventsDF
+            val store = new StreamStore(s,
+              graft.TempDirs.create("graft-leafops").toString)
+            val fresh = store.open("did:graft:forgetuser")
+            fresh.setModule(redactModule)
+            graft.PhaseTimings.timed("leaf_forget_user", "ingest") {
+              fresh.bulkImport(src.filter(col("idx") > 0))
+            }
+            graft.PhaseTimings.timed("leaf_forget_user", "forget_replay") {
+              fresh.redactEventsByUser(Seq("u7"), rematerialize = true)
+            }
+            fresh
+          })
+        }
+        graft.PhaseTimings.timed("leaf_forget_user", "query") {
+          h.query(None, LeafQuery("by_type_redacted"))
+        }
+      },
+      Some("""SELECT CASE WHEN user_id = 7 THEN '<redacted>'
+             |            ELSE event_type END AS etype,
+             |  count(*) AS n,
+             |  CAST(sum(CASE WHEN user_id = 7 THEN NULL
+             |                ELSE CAST(value AS DECIMAL(10,2)) END)
+             |       AS DOUBLE) AS total
+             |FROM events GROUP BY 1 ORDER BY etype""".stripMargin)),
+
     // ---- A10: raw range scan, file-pruned by idx min/max stats ----
     "leaf_raw_scan" -> Relational.Q(
       (s, dir) => demo(s, dir).rawGetEvents(101, 150)

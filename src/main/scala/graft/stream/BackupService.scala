@@ -96,24 +96,40 @@ object BackupService {
     val (fs, root) = fsFor(h, destDir)
     fs.mkdirs(root)
     val metaPath = new HPath(root, "meta.json")
-    val prior = validateChain(
-      if (fs.exists(metaPath)) rangesOf(parseMeta(readText(fs, metaPath)))
-      else Vector.empty)
+    val priorMeta: Map[String, Any] =
+      if (fs.exists(metaPath)) parseMeta(readText(fs, metaPath))
+      else Map.empty
+    val prior = validateChain(rangesOf(priorMeta))
     val lastBacked = prior.lastOption.map(_._2).getOrElse(0L)
     val latest = h.latest
     require(latest >= lastBacked,
       s"backup destination is ahead of the stream ($lastBacked > $latest) — " +
         "it belongs to a different or rolled-back stream")
+    def exportRange(r: (Long, Long)): Unit =
+      // the idx filter prunes the log's parquet files by min/max stats:
+      // only files overlapping the range are read. Reads the events VIEW,
+      // so redacted payloads archive as NULL.
+      h.eventsDF.filter(col("idx").between(r._1, r._2))
+        .sortWithinPartitions("idx")
+        .write.mode(SaveMode.Overwrite).parquet(rangeDir(root, r).toString)
     val appended =
       if (latest > lastBacked) {
         val r = (lastBacked + 1, latest)
-        // the idx filter prunes the log's parquet files by min/max stats:
-        // only files overlapping the new range are read
-        h.eventsDF.filter(col("idx").between(r._1, r._2))
-          .sortWithinPartitions("idx")
-          .write.mode(SaveMode.Overwrite).parquet(rangeDir(root, r).toString)
+        exportRange(r)
         Some(r)
       } else None
+    // Redaction must reach the ARCHIVE (round 16): ranges exported
+    // before a redaction commit still hold the forgotten payloads — the
+    // takedown loop is not closed while a restorable copy exists. The
+    // manifest records the redactSeq it reflects; when the stream's has
+    // advanced, every PRIOR range re-exports through the events view
+    // (payload-nulled), same file names, same chain. O(archive) per
+    // takedown-with-existing-backup — takedown-rate work; the ordinary
+    // sweep tick stays incremental.
+    val curRedact = h.redactionExposure._2
+    val archivedRedact =
+      priorMeta.get("redact_seq").collect { case l: Long => l }.getOrElse(0L)
+    if (curRedact > archivedRedact) prior.foreach(exportRange)
     val stateTables = h.stateTableNames
     stateTables.foreach(t =>
       h.tableDF(t).write.mode(SaveMode.Overwrite)
@@ -123,6 +139,7 @@ object BackupService {
     writeText(fs, metaPath, Json.render(Map(
       "latest_idx" -> latest,
       "state_tables" -> stateTables,
+      "redact_seq" -> curRedact,
       "ranges" -> (prior ++ appended).map(r => Vector(r._1, r._2)))))
     appended
   }
@@ -457,10 +474,8 @@ object BackupService {
         math.min(chunkEvents.toLong, byBytes).toInt
       }
     val written = Vector.newBuilder[(Long, Long)]
-    var lo = lastBacked + 1
-    while (lo <= latest) {
-      val hi = math.min(lo + effChunk - 1, latest)
-      // min/max parquet stats prune the log read to the new range's files.
+    def writeChunk(lo: Long, hi: Long): Unit = {
+      // min/max parquet stats prune the log read to the chunk's files.
       // Per-event DRISL encoding runs ON THE EXECUTORS — a CBOR array is
       // just a head + concatenated element encodings, so the driver's
       // single-threaded share of each archive object is a header write
@@ -501,6 +516,11 @@ object BackupService {
       elems.foreach(e => bos.write(e._2))
       val bytes = zstdCompress(bos.toByteArray)
       writeBytes(fs, new HPath(dir, s"$lo-$hi$EventsArchiveExt"), bytes)
+    }
+    var lo = lastBacked + 1
+    while (lo <= latest) {
+      val hi = math.min(lo + effChunk - 1, latest)
+      writeChunk(lo, hi)
       written += ((lo, hi))
       lo = hi + 1
     }
@@ -557,11 +577,24 @@ object BackupService {
         case k: DMap => k: DValue
       })
       .getOrElse(DNull)
+    // Redaction must reach the BUCKET (round 16, the native-format rule):
+    // chunks exported before a redaction commit still hold the forgotten
+    // payloads. The metadata records the redactSeq it reflects (an extra
+    // key a reference-side restore ignores — serde skips unknown fields);
+    // when the stream's has advanced, every PRIOR chunk re-exports
+    // through the events view at its EXISTING boundaries (nulled payload
+    // = zero bytes in the wire encoding, the replay-identical form).
+    val curRedact = h.redactionExposure._2
+    val archivedRedact = priorMeta.flatMap(_.v.get("graft_redact_seq"))
+      .collect { case DInt(n) => n }.getOrElse(0L)
+    if (curRedact > archivedRedact)
+      prior.foreach { case (plo, phi) => writeChunk(plo, phi) }
     writeBytes(fs, metaPath, Drisl.encode(obj(
       "did" -> DText(h.id),
       "did_key" -> effDidKey,
       "owners" -> DArray(effOwners.map(DText(_))),
       "module_cid" -> moduleCid.getOrElse(DNull),
+      "graft_redact_seq" -> DInt(curRedact),
       "state_tables" -> DArray(stateTables.map(DText(_))))))
     written.result()
   }

@@ -127,6 +127,44 @@ class RedactionSpec extends AnyFunSuite {
     assert(raw.isNullAt(2), "archived payload is null at the restore too")
   }
 
+  test("redaction reaches EXISTING archives: ranges exported BEFORE the " +
+    "takedown re-export nulled on the next incremental tick, both formats") {
+    // -------- native format --------
+    val h = freshStream("did:redact:bakearly")
+    val bak = "file:" + graft.TempDirs.create("graft-redact-bakearly")
+    BackupService.backup(h, bak) // the archive predates the takedown
+    h.redactEvents(Seq(6L, 11L))
+    BackupService.backup(h, bak) // the next ordinary incremental tick
+    val store2 = new StreamStore(spark,
+      graft.TempDirs.create("graft-redact-bakearly-rest").toString)
+    val restored = BackupService.restore(
+      store2, "did:redact:bakearly-restored", bak)
+    assert(restored.rawGetEvents(1, 12).collect()
+      .count(_.isNullAt(2)) == 2,
+      "the pre-takedown archive must not keep the forgotten payloads")
+    // a tick with nothing new and no redaction advance rewrites nothing
+    val rangeDir = java.nio.file.Paths.get(
+      bak.stripPrefix("file:"), "events", "1-12")
+    val mt = java.nio.file.Files.getLastModifiedTime(rangeDir)
+    BackupService.backup(h, bak)
+    assert(java.nio.file.Files.getLastModifiedTime(rangeDir) == mt,
+      "an already-current archive must stay incremental (no range rewrite)")
+    // -------- reference-bucket format --------
+    val h2 = freshStream("did:redact:refearly")
+    val rb = "file:" + graft.TempDirs.create("graft-redact-refearly-dir")
+    BackupService.exportReference(h2, rb) // bucket predates the takedown
+    h2.redactEvents(Seq(2L, 9L))
+    BackupService.exportReference(h2, rb) // next sweep tick
+    val store3 = new StreamStore(spark,
+      graft.TempDirs.create("graft-redact-refearly-rest").toString)
+    val (restored2, _) = BackupService.importReference(
+      store3, "did:redact:refearly-restored", rb, h2.id)
+    val rows = restored2.queryTagged(None, LeafQuery("all", limit = 100))
+    assert(rows.size == 12 &&
+      rows.count(_("content") == SqlValue.SqlNull) == 2,
+      "the pre-takedown bucket must not keep the forgotten payloads")
+  }
+
   test("reference-bucket export/import round-trip preserves redaction") {
     val h = freshStream("did:redact:refbak")
     h.redactEvents(Seq(1L, 12L))
