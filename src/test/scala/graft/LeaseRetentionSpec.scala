@@ -68,6 +68,36 @@ class LeaseRetentionSpec extends AnyFunSuite {
     assert(out("appended") == 10L && out("docs") == 70L)
   }
 
+  test("compaction resets batch numbering, so it clears the claims of " +
+    "the previous numbering — the next append re-claims batch 1 freely") {
+    // the sequence the round-16 token pruning exposed: append commits
+    // batch 1 (claim object left as debris for the entry sweep), compact
+    // folds batches back to 1, the NEXT append claims batch 1 again —
+    // without the compaction clearing claims, the stale object would
+    // block it (in-process) or stall it a full lease TTL (cross-process)
+    val idx = TempDirs.create("graft-lease-compact").toString
+    Retrieval.buildLexicalIndexDf(spark, docs(60), idx)
+    assert(Retrieval.appendLexicalIndex(
+      spark, docs(10, base = 5000), idx)("batches") == 2L)
+    Retrieval.compactLexicalIndex(spark, idx)
+    assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(idx, "claims")) ||
+      !java.nio.file.Files.list(java.nio.file.Paths.get(idx, "claims"))
+        .findAny().isPresent,
+      "compaction must clear the previous numbering's claims")
+    val out = Retrieval.appendLexicalIndex(spark, docs(10, base = 6000), idx)
+    assert(out("appended") == 10L && out("batches") == 2L)
+
+    val mIdx = TempDirs.create("graft-lease-mixcompact").toString
+    Pipeline.buildMixtureStatsDf(spark, docs(60).select("source", "text"), mIdx)
+    Pipeline.appendMixtureStats(spark,
+      docs(10, base = 7000).select("source", "text"), mIdx)
+    Pipeline.compactMixtureStats(spark, mIdx)
+    val m2 = Pipeline.appendMixtureStats(spark,
+      docs(10, base = 8000).select("source", "text"), mIdx)
+    assert(m2("appended_docs") == 10L && m2("batches") == 2L)
+  }
+
   test("dedup and mixture appends honor the same lease") {
     val dIdx = TempDirs.create("graft-lease-dedup").toString
     Dedup.buildDedupIndex(spark, docs(60).select("doc_id", "text"), dIdx)
