@@ -139,8 +139,24 @@ object Similarity {
     val adcSum = (0 until pqMv).map(m => s"a$m.d").mkString(" + ")
     val adcJoins = (0 until pqMv).map(m =>
       s"  JOIN adc a$m ON a$m.m = $m AND a$m.j = k.c$m").mkString("\n")
+    // gchk: the in-plan geometry FENCE (the indexed MMR/context-pack
+    // discipline, Retrieval.indexedCandCtes). The (m, l) tokens are
+    // baked into this SQL at authoring time; a module SQL authored
+    // before the index was RETRAINED onto a different pqSubspaces rung
+    // (or rendered with the session default against a foreign-geometry
+    // index) would otherwise ADC-rank with a wrong subspace mapping —
+    // silent recall degradation the exact rerank masks on easy corpora.
+    // The one-row assert over the codebooks the plan already reads makes
+    // the mismatch a loud runtime error; codebooks is metadata-scale
+    // (M×256 rows), so the check is free.
     s"""WITH qv AS (
        |  SELECT transform(split($qvecExpr, ','), x -> CAST(x AS BIGINT)) AS v),
+       |gchk AS (
+       |  SELECT assert_true(max(b.m) + 1 = $pqMv AND max(size(b.c)) = $pqLv,
+       |    'pq geometry mismatch: query authored for (M=$pqMv, L=$pqLv) but ' ||
+       |    'the attached index codebooks differ - re-render the named ' ||
+       |    'query with the artifact geometry (twoStageKnnSqlFor)') AS ok
+       |  FROM ${table("codebooks")} b),
        |probe AS (
        |  SELECT cell FROM (
        |    SELECT c.cell,
@@ -157,7 +173,8 @@ object Similarity {
        |  SELECT k.vec_id, $adcSum AS adc_dist
        |  FROM ${table("codes")} k
        |$adcJoins
-       |  WHERE k.cell = (SELECT cell FROM probe)
+       |  CROSS JOIN gchk
+       |  WHERE k.cell = (SELECT cell FROM probe) AND gchk.ok IS NULL
        |  ORDER BY adc_dist, vec_id LIMIT 50)
        |SELECT c.vec_id AS vec_id, c.adc_dist AS adc_dist,
        |  aggregate(zip_with(v.v, qv.v, (a, b) -> (a - b) * (a - b)),

@@ -67,7 +67,11 @@ object ProfileVectorIndex {
       .select(transform(col("embedding"),
         x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("v"))
       .head().getSeq[Long](0).mkString(",")
-    val twoStage = Similarity.twoStageKnnSql(
+    // the *For renderer: a replicated decade corpus can cross the
+    // 1M-vector pqSubspaces knee (M=8), where a session-default render
+    // would now trip the gchk geometry fence — the profiler must author
+    // at the artifact's own geometry like every serving renderer
+    val twoStage = Similarity.twoStageKnnSqlFor(spark, idx,
       Similarity.artifactRelation(idx), s"'$qvec'", "10")
     val rows = timed("two_stage_query")(spark.sql(twoStage).collect())
     require(rows.head.getLong(0) == 7L && rows.head.getLong(2) == 0L,
@@ -122,7 +126,7 @@ object ProfileVectorIndex {
     // broadcast anti-join against the 50-row set
     val delIds = spark.range(50).select((col("id") * 97L + 13L).as("vec_id"))
     timed("delete_50")(Similarity.deleteFromVectorIndexDf(spark, delIds, idx))
-    val twoStageDel = Similarity.twoStageKnnSql(
+    val twoStageDel = Similarity.twoStageKnnSqlFor(spark, idx,
       Similarity.artifactRelation(idx), s"'$qvec'", "10")
     val rowsDel = timed("two_stage_query_post_delete")(
       spark.sql(twoStageDel).collect())
@@ -138,7 +142,7 @@ object ProfileVectorIndex {
     // re-render: the compact + retrain flips moved the manifest two
     // generations, and the profiler (unlike attached views) resolves at
     // SQL-generation time
-    val twoStagePost = Similarity.twoStageKnnSql(
+    val twoStagePost = Similarity.twoStageKnnSqlFor(spark, idx,
       Similarity.artifactRelation(idx), s"'$qvec'", "10")
     val rows2 = timed("two_stage_query_post")(spark.sql(twoStagePost).collect())
     require(rows2.head.getLong(0) == 7L && rows2.head.getLong(2) == 0L,

@@ -92,4 +92,48 @@ class ServedGeometrySpec extends AnyFunSuite {
       lrel, rel, "'tok5,tok13'", s"'$qv'", "512")))
     assert(messages(e2).contains("pq geometry mismatch"), messages(e2))
   }
+
+  test("served two-stage kNN carries the fence too (verdict r16 item 1): " +
+    "a forced-M=8 index answers bit-exact through twoStageKnnSqlFor, and " +
+    "a session-default render trips gchk instead of ADC-ranking at the " +
+    "wrong geometry") {
+    val src = TempDirs.create("graft-geom-knn-src").toString
+    spark.range(1000)
+      .select(col("id").as("vec_id"), (col("id") % 5).cast("int").as("label"))
+      .select(col("vec_id"), expr(
+        "transform(sequence(0, 63), i -> CAST(" +
+          "(pmod(hash(label, i), 2001) - 1000) / 1000.0 + " +
+          "(pmod(hash(vec_id, i, 7), 201) - 100) / 100.0 * 0.15 AS FLOAT))")
+        .as("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$src/embeddings.parquet")
+    val vidx = TempDirs.create("graft-geom-knn-vec").toString
+    Similarity.buildVectorIndexM(spark, src, vidx, forceM = Some(8))
+    val rel = Similarity.artifactRelation(vidx)
+    val qv = spark.read.parquet(s"$src/embeddings.parquet")
+      .where(col("vec_id") === 7L).select("embedding").head()
+      .getSeq[Float](0)
+      .map(x => math.floor(x.toDouble * 64 + 0.5).toLong).mkString(",")
+
+    // the *For renderer recovers (8, 8) and the probe answers: the
+    // query vector itself is vec 7 at exact distance 0, and the render
+    // is bit-identical to an explicit correct-geometry render (the
+    // recovery IS the explicit geometry — nothing else moved)
+    val served = spark.sql(Similarity.twoStageKnnSqlFor(
+      spark, vidx, rel, s"'$qv'", "10")).collect()
+    assert(served.head.getLong(0) == 7L && served.head.getLong(2) == 0L,
+      "served kNN lost the identity hit")
+    val explicit = spark.sql(Similarity.twoStageKnnSql(
+      rel, s"'$qv'", "10", m = 8, l = 8)).collect()
+    assert(served.map(_.toSeq).toSeq == explicit.map(_.toSeq).toSeq,
+      "the *For recovery must equal the explicit (8, 8) render")
+
+    // the fence: the session-default (4, 16) render against this M=8
+    // artifact is exactly the stale-module hazard (authored before a
+    // retrain onto a new pqSubspaces rung) — it must fail LOUDLY
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.toString + "\n" + messages(t.getCause)
+    val e = intercept[Throwable](spark.sql(
+      Similarity.twoStageKnnSql(rel, s"'$qv'", "10")).collect())
+    assert(messages(e).contains("pq geometry mismatch"), messages(e))
+  }
 }
