@@ -248,9 +248,18 @@ object Dedup {
       case Some(2L) => true
       case Some(_) => false
       case None =>
+        // only an ANSWER from the schema probe may refuse: a missing fp
+        // dir or a footer that fails ANALYSIS is genuinely the old
+        // layout question, but a transient storage failure (permission
+        // blip, FS down) must surface as the IO error it is — not as a
+        // misleading "format 1 — rebuild required" prescription for an
+        // index that may be perfectly healthy (verdict r16 finding 2)
         try s.read.parquet(s"$indexDir/fp")
           .schema.fieldNames.contains("doc_id")
-        catch { case _: Exception => false }
+        catch {
+          case _: org.apache.spark.sql.AnalysisException => false
+          case _: java.io.FileNotFoundException => false
+        }
     }
     require(formatOk,
       s"dedup index at $indexDir uses fp-artifact format " +

@@ -230,4 +230,45 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("rebuild required"))
     TempDirs.release(java.nio.file.Paths.get(idxDir))
   }
+
+  test("format gate honesty (verdict r16 finding 2): a transient storage " +
+    "failure during the missing-key schema probe surfaces as the IO error " +
+    "it is, never as a misleading format-1 rebuild prescription") {
+    val idxDir = TempDirs.create("graft-idx-fmtio").toString
+    Dedup.buildDedupIndex(spark, docs(120), idxDir)
+    // pre-format-key meta: the gate must fall back to the fp schema probe
+    val metaP = java.nio.file.Paths.get(idxDir, "meta.json")
+    val body = new String(java.nio.file.Files.readAllBytes(metaP),
+      java.nio.charset.StandardCharsets.UTF_8)
+    java.nio.file.Files.write(metaP,
+      body.replace("\"format\": 2, ", "")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(idxDir, ".meta.json.crc"))
+    // inject the storage failure INSIDE the probe: corrupt every fp
+    // parquet footer (truncated garbage under the same file names — what
+    // a torn disk or a mid-flight FS error presents to the reader). The
+    // stale .crc sidecars go too, so the failure is the footer read, not
+    // a local-FS checksum artifact of the test's own rewrite.
+    val fpDir = java.nio.file.Paths.get(idxDir, "fp", "batch=0")
+    val files = java.nio.file.Files.list(fpDir)
+    try {
+      import scala.jdk.CollectionConverters._
+      files.iterator().asScala.toList.foreach { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".crc")) java.nio.file.Files.delete(p)
+        else if (n.endsWith(".parquet"))
+          java.nio.file.Files.write(p, Array[Byte](0x50, 0x41, 0x52))
+      }
+    } finally files.close()
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.toString + "\n" + messages(t.getCause)
+    val e = intercept[Throwable](Dedup.readIndexMeta(spark, idxDir))
+    assert(!messages(e).contains("rebuild required"),
+      s"an IO failure must not be prescribed an O(corpus) rebuild:\n" +
+        messages(e))
+    assert(!e.isInstanceOf[IllegalArgumentException],
+      s"the probe failure must propagate, not refuse: ${messages(e)}")
+    TempDirs.release(java.nio.file.Paths.get(idxDir))
+  }
 }
