@@ -266,6 +266,17 @@ object Retrieval {
     // absorbed by whichever meta publish lands last
     graft.stream.PointerCommit.sweepClaims(fs,
       new org.apache.hadoop.fs.Path(indexDir), meta.batches)
+    // compaction crash-window debris (verdict r16 finding 3): a crash
+    // between the compact meta publish and its clearClaims strands the
+    // OLD numbering's claims (numbers ≥ the reset batches), which would
+    // block this append until the lease expired. Right after a compact,
+    // such claims can only be that debris (or an in-flight append the
+    // pre-publish fence aborts safely) — sweep them instead of waiting
+    // out the TTL. Gated on the last commit being the reset, so
+    // steady-state appends never clobber a live concurrent claim.
+    if (lexHistory(indexDir).lastOption.exists(_._2 == "compact"))
+      graft.stream.PointerCommit.sweepResetDebris(fs,
+        new org.apache.hadoop.fs.Path(indexDir), meta.batches)
     graft.stream.PointerCommit.claimBatch(fs,
       new org.apache.hadoop.fs.Path(indexDir), b)
     // tombstoned ids never re-ingest: a deleted doc_id arriving in a new

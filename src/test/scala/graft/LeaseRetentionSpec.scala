@@ -98,6 +98,47 @@ class LeaseRetentionSpec extends AnyFunSuite {
     assert(m2("appended_docs") == 10L && m2("batches") == 2L)
   }
 
+  test("an interrupted compaction's stranded claims are swept at the " +
+    "next append instead of stalling it a full lease TTL (verdict r16 " +
+    "finding 3) — and the sweep gate CLOSES once steady state resumes") {
+    // the crash window: compact publishes its meta (kind=compact,
+    // batches -> 1) and dies BEFORE clearClaims — the old numbering's
+    // claims survive on disk looking fresh. Simulate by compacting
+    // normally, then hand-writing the debris a crashed compact leaves:
+    // a fresh foreign claim for batch 1 (the old numbering's next
+    // number, age < TTL).
+    val idx = TempDirs.create("graft-lease-crashwin").toString
+    Retrieval.buildLexicalIndexDf(spark, docs(60), idx)
+    Retrieval.appendLexicalIndex(spark, docs(10, base = 5000), idx)
+    Retrieval.compactLexicalIndex(spark, idx)
+    foreignClaim(idx, batch = 1) // the stranded old-numbering claim
+    // without the sweep this append throws "claimed by another writer"
+    // and the operator waits out the 15-min lease; with it, the debris
+    // clears (the last commit IS the numbering reset) and the append
+    // proceeds immediately
+    val out = Retrieval.appendLexicalIndex(spark, docs(10, base = 6000), idx)
+    assert(out("appended") == 10L && out("batches") == 2L)
+    // steady state: the last commit is now an APPEND — a fresh foreign
+    // claim is a live concurrent writer again and must block, not sweep
+    foreignClaim(idx, batch = 2)
+    val e = intercept[IllegalStateException] {
+      Retrieval.appendLexicalIndex(spark, docs(10, base = 7000), idx)
+    }
+    assert(e.getMessage.contains("claimed by another writer"))
+
+    // the mixture family shares the discipline (append AND delete paths)
+    val mIdx = TempDirs.create("graft-lease-crashwin-mix").toString
+    Pipeline.buildMixtureStatsDf(spark,
+      docs(60).select("source", "text"), mIdx)
+    Pipeline.appendMixtureStats(spark,
+      docs(10, base = 7000).select("source", "text"), mIdx)
+    Pipeline.compactMixtureStats(spark, mIdx)
+    foreignClaim(mIdx, batch = 1)
+    val m = Pipeline.deleteMixtureStats(spark,
+      docs(5, base = 7000).select("source", "text"), mIdx)
+    assert(m("deleted_docs") == 5L && m("batches") == 2L)
+  }
+
   test("dedup and mixture appends honor the same lease") {
     val dIdx = TempDirs.create("graft-lease-dedup").toString
     Dedup.buildDedupIndex(spark, docs(60).select("doc_id", "text"), dIdx)
