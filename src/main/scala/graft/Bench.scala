@@ -135,22 +135,32 @@ object Bench {
       }
       Attempt(results, failed, loadBefore, reruns, stillBreached.toSeq)
     }
-    // Round-16 (verdict r15 item 3): a tainted record must not ship as the
-    // round's artifact while a clean run is obtainable — when the first
-    // attempt comes out tainted, wait (bounded, the same load gate) for
-    // the box to go quiet and re-run the FULL sweep once, recording the
-    // clean attempt. The taint stamp survives for the box that never
-    // quiets; a failed query is an engine problem, not co-tenancy, so it
-    // never triggers the retry.
+    // Round-17 (verdict r16 finding 1 / item 3): a tainted record must not
+    // ship as the round's artifact while a clean run is obtainable. The
+    // round-16 mechanism retried the FULL sweep once — and the co-tenant
+    // persisted through the single retry, so the artifact still shipped
+    // tainted. The retry budget is now configurable
+    // (SPARK_GRAFT_BENCH_ATTEMPTS, default 3): re-run the full sweep,
+    // each attempt behind the same bounded load-settle wait, and record
+    // the FIRST untainted attempt; every discarded attempt's total is
+    // kept in the record (attemptN_total) so cross-round comparison can
+    // see this record IS a retry and what it replaced. Tainted ships
+    // only when every attempt breached; a failed query is an engine
+    // problem, not co-tenancy, so it never triggers a retry.
+    val maxAttempts = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_ATTEMPTS").flatMap(_.toIntOption)
+        .getOrElse(3))
     var att = attempt()
     var attempts = 1
-    var attempt1Total = -1.0
-    if (att.tainted && att.failed.isEmpty) {
-      System.err.println("BENCH: attempt 1 tainted by co-tenant load — retrying the full sweep once after a load-settle wait")
-      attempt1Total = att.results.map(_._2).sum
+    val discardedTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
+    while (att.tainted && att.failed.isEmpty && attempts < maxAttempts) {
+      System.err.println(s"BENCH: attempt $attempts tainted by co-tenant " +
+        s"load — retrying the full sweep (budget $maxAttempts) after a " +
+        "load-settle wait")
+      discardedTotals += att.results.map(_._2).sum
       try { spark.catalog.clearCache(); System.gc() } catch { case _: Throwable => }
       att = attempt()
-      attempts = 2
+      attempts += 1
     }
     val Attempt(results, failed, loadBefore, reruns, stillBreached) = att
     val loadAfter = loadAvg()
@@ -172,12 +182,12 @@ object Bench {
     if (stillBreached.nonEmpty)
       System.err.println("BENCH: sentinels still breached after re-run — " +
         s"record stamped tainted: ${stillBreached.mkString(", ")}")
-    // on a retried run, record what the discarded tainted attempt cost —
-    // attempt 2 rides warm fixtures, so cross-round comparison needs to
-    // see that this record IS a retry, and what it replaced
-    val attempt1Json =
-      if (attempts == 2) s""","attempt1_total":$attempt1Total,"attempt1_tainted":true"""
-      else ""
+    // on a retried run, record what each discarded tainted attempt cost —
+    // later attempts ride warm fixtures, so cross-round comparison needs
+    // to see that this record IS a retry, and what it replaced
+    val attempt1Json = discardedTotals.zipWithIndex.map { case (t, i) =>
+      s""","attempt${i + 1}_total":$t,"attempt${i + 1}_tainted":true"""
+    }.mkString
     // cpus is the raw master thread spec (e.g. "32" or "*") — quote it so
     // the line stays valid JSON for any legitimate SPARK_GRAFT_CPUS value
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phases,"sf":"$sfDir","load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"cpus":"$cpus","sentinels":$sentinelsJson,"sentinel_reruns":$reruns,"attempts":$attempts$attempt1Json,"tainted":$taintedFinal}""")
