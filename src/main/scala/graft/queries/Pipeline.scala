@@ -322,14 +322,40 @@ object Pipeline {
   }
 
   private def writeMixMeta(s: SparkSession, indexDir: String,
-      m: MixMeta, kind: String = "commit"): Unit = {
+      m: MixMeta, kind: String = "commit",
+      extra: Map[String, Any] = Map.empty): Unit = {
     val (fs, p) = mixMetaPath(s, indexDir)
     val body = graft.server.Json.render(Map("batches" -> m.batches.toLong,
       "docs" -> m.docs, "counts_dir" -> m.countsDir,
-      "last_stream_batch" -> m.lastStreamBatch))
+      "last_stream_batch" -> m.lastStreamBatch) ++ extra)
     graft.stream.PointerCommit.default.publish(fs, p,
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     appendMixHistory(indexDir, kind, body)
+  }
+
+  /** Has a delete carrying `token` already committed? The takedown
+    * replay guard (r16 ADVICE): counts are a monoid with no per-doc
+    * state, so a blind re-run of a crashed composed forget would append
+    * the negated frame AGAIN and double-cancel the deleted docs'
+    * counts. The token rides the delete's meta snapshot into
+    * META_HISTORY (the durable commit log), so a repeat with the same
+    * token provably no-ops. */
+  private def mixTakedownCommitted(indexDir: String,
+      token: String): Boolean = {
+    val f = mixHistoryFile(indexDir)
+    java.nio.file.Files.exists(f) && {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(f).asScala.exists { l =>
+        l.split(" ", 3) match {
+          case Array(_, "delete", json) =>
+            try graft.server.Json.parse(json)
+              .asInstanceOf[Map[String, Any]]
+              .get("takedown").contains(token)
+            catch { case _: Exception => false }
+          case _ => false
+        }
+      }
+    }
   }
 
   // ---------------- commit history + as-of reads ----------------
@@ -553,6 +579,11 @@ object Pipeline {
       val (fs, _) = mixMetaPath(s, indexDir)
       val root = new org.apache.hadoop.fs.Path(indexDir)
       graft.stream.PointerCommit.sweepClaims(fs, root, meta.batches)
+      // compaction crash-window debris (verdict r16 finding 3): see the
+      // lexical append — stranded old-numbering claims sweep instead of
+      // blocking this append until the lease expired
+      if (mixHistory(indexDir).lastOption.exists(_._2 == "compact"))
+        graft.stream.PointerCommit.sweepResetDebris(fs, root, meta.batches)
       graft.stream.PointerCommit.claimBatch(fs, root, meta.batches)
     }
     val nDocs = fresh.count()
@@ -587,17 +618,30 @@ object Pipeline {
     * the stats keep no per-doc state, so the caller supplies what is
     * being forgotten (the takedown feed has it by definition).
     * Contract: delete only rows previously ingested — the monoid cannot
-    * verify membership. */
+    * verify membership. `takedownToken` makes the delete REPLAY-SAFE
+    * for orchestrated callers ([[graft.stream.Forget]]): a token that
+    * already rode a committed delete into META_HISTORY no-ops instead
+    * of double-negating the same docs' counts — without it, re-running
+    * a crashed forget would corrupt the weights and compaction would
+    * keep the nonzero negatives. */
   def deleteMixtureStats(s: SparkSession, deleted: DataFrame,
-      indexDir: String): Map[String, Long] = mixLock(indexDir).synchronized {
+      indexDir: String,
+      takedownToken: Option[String] = None): Map[String, Long] =
+      mixLock(indexDir).synchronized {
     import org.apache.spark.sql.SaveMode
     val meta = readMixMetaForAppend(s, indexDir)
+    if (takedownToken.exists(mixTakedownCommitted(indexDir, _)))
+      return Map("deleted_docs" -> 0L, "docs" -> meta.docs,
+        "batches" -> meta.batches.toLong, "replayed" -> 1L)
     // a delete is an append of the negated frame — it claims its batch
-    // number through the same cross-process lease
+    // number through the same cross-process lease (and sweeps an
+    // interrupted compaction's stranded claims the same way)
     locally {
       val (fs, _) = mixMetaPath(s, indexDir)
       val root = new org.apache.hadoop.fs.Path(indexDir)
       graft.stream.PointerCommit.sweepClaims(fs, root, meta.batches)
+      if (mixHistory(indexDir).lastOption.exists(_._2 == "compact"))
+        graft.stream.PointerCommit.sweepResetDebris(fs, root, meta.batches)
       graft.stream.PointerCommit.claimBatch(fs, root, meta.batches)
     }
     val nDocs = deleted.count()
@@ -613,7 +657,8 @@ object Pipeline {
     }
     writeMixMeta(s, indexDir,
       MixMeta(meta.batches + 1, meta.docs - nDocs, meta.countsDir,
-        meta.lastStreamBatch), kind = "delete")
+        meta.lastStreamBatch), kind = "delete",
+      extra = takedownToken.map("takedown" -> _).toMap)
     graft.stream.PointerCommit.releaseClaim(
       new org.apache.hadoop.fs.Path(indexDir), meta.batches)
     Map("deleted_docs" -> nDocs, "docs" -> (meta.docs - nDocs),

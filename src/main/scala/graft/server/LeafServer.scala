@@ -539,11 +539,21 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     withStream(id) { h =>
       val attached = h.attachedIndexes.values.map(_._2).toSet
       val admin = c.trusted || c.did.exists(moduleAdmins.contains)
-      for (d <- Seq(vDir, lDir, dDir, mDir).flatten)
-        if (!attached.contains(d) && !admin)
+      for (d <- Seq(vDir, lDir, dDir, mDir).flatten if !admin) {
+        if (!attached.contains(d))
           throw new LeafAuthException(s"index dir $d is not attached to " +
             s"stream $id — forgetting from arbitrary index dirs requires " +
             "a trusted/admin connection")
+        // attachment is a READ grant an admin made — it must not mint
+        // delete authority over a SHARED index (r16 ADVICE): if the same
+        // dir is attached to any other stream, one tenant's owner could
+        // tombstone rows other tenants serve. Exclusive attachment is
+        // the owner-keyed boundary; shared corpora stay admin-only.
+        if (store.indexAttachedElsewhere(id, d))
+          throw new LeafAuthException(s"index dir $d is attached to " +
+            "other streams — forgetting from a shared index requires a " +
+            "trusted/admin connection (its rows may serve other tenants)")
+      }
       // the same lifecycle-managed registration the individual RPCs do
       vDir.foreach(managedIndexes.add); lDir.foreach(managedLexical.add)
       dDir.foreach(managedDedup.add); mDir.foreach(managedMixture.add)
@@ -555,9 +565,20 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
               val m = d.asInstanceOf[Map[String, Any]]
               (m("source").toString, m("text").toString)
             }.toDF("source", "text")
-          case _ => store.spark.read.parquet(str(args, "src"))
-            .select(org.apache.spark.sql.functions.col("source"),
-              org.apache.spark.sql.functions.col("text"))
+          case _ =>
+            // the src-path branch reads an arbitrary server-side path —
+            // the same read /admin/mixture_stats_delete confines to
+            // admins. Gate it explicitly (r16 ADVICE): today no
+            // 'mixture' attachment kind exists so the dir check above
+            // already fails non-admins first, but the protection must
+            // not depend on that accident staying true.
+            if (!admin) throw new LeafAuthException(
+              "mixture docs must be supplied inline (`docs`) — reading " +
+                "a server-side `src` path requires a trusted/admin " +
+                "connection")
+            store.spark.read.parquet(str(args, "src"))
+              .select(org.apache.spark.sql.functions.col("source"),
+                org.apache.spark.sql.functions.col("text"))
         }
       }
       val users = args.get("users") match {
@@ -581,10 +602,13 @@ class LeafServer(private[server] val store: StreamStore, port: Int,
     // the takedown ledger, served: each line names one forget's five
     // commits (stream redact_seq + family history seqs) — the
     // family history RPCs hold the per-commit detail
+    // status `pending` marks an INTERRUPTED (or in-flight) takedown —
+    // the operator's cue to re-run it (the legs are idempotent and the
+    // re-run resumes the same intent seq)
     requireOwner(c.did, str(args, "id"), "read its forget audit")
     withStream(str(args, "id")) { h =>
-      Map("entries" -> h.forgetAudit.map { case (seq, summary) =>
-        Map("seq" -> seq.toLong, "summary" -> summary) })
+      Map("entries" -> h.forgetAudit.map { case (seq, status, summary) =>
+        Map("seq" -> seq.toLong, "status" -> status, "summary" -> summary) })
     }
   }
 

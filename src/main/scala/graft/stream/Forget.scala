@@ -19,18 +19,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   4. `Dedup.deleteFromDedupIndex`,
   *   5. `Pipeline.deleteMixtureStats` (the negated monoid batch),
   *
-  * then appends ONE audit line to the stream's `FORGET_AUDIT` log naming
-  * every surface's commit (each family's own META_HISTORY/HISTORY seq —
-  * the per-family logs stay the source of detail; the audit line is the
-  * index into them) and returns per-surface counts.
+  * bracketed by the stream's `FORGET_AUDIT` intent ledger (round 17,
+  * verdict r16 item 2): a `pending` line with the targets lands BEFORE
+  * leg 1, and the `committed` line naming every surface's commit (each
+  * family's own META_HISTORY/HISTORY seq — the per-family logs stay the
+  * source of detail; the audit line is the index into them) closes the
+  * same seq after the last leg. Returns per-surface counts.
   *
   * Failure contract: each leg is an independently atomic commit (its
   * family's pointer flip), applied in the order above, so a crash
-  * mid-forget leaves a PREFIX of the legs applied — re-running the same
-  * forget is idempotent on every leg (redaction retries are no-ops,
-  * family deletes semi-join against live rows, the mixture leg is guarded
-  * by the caller supplying the same doc set) and the audit line is only
-  * written when every requested leg committed.
+  * mid-forget leaves a PREFIX of the legs applied — and the open
+  * `pending` intent makes that state DISCOVERABLE from the ledger
+  * (round 16 recorded completions only, so an operator had to KNOW to
+  * re-run). Re-running the same forget resumes the open intent's seq
+  * and is idempotent on every leg: redaction retries are no-ops, the
+  * vector/lexical/dedup deletes semi-join against live rows, and the
+  * mixture leg — a monoid append with no membership state, which a
+  * blind re-run WOULD double-negate — carries a takedown token keyed to
+  * the intent seq into its META_HISTORY commit, so a replay provably
+  * no-ops (r16 ADVICE).
   *
   * Reference seam: the reference has no composed takedown (no redaction,
   * no index deletes — this engine added both); the audit-line discipline
@@ -58,9 +65,25 @@ object Forget {
       mixtureDocs: Option[DataFrame] = None,
       rematerialize: Boolean = false)
 
-  /** Drive every requested leg in order; ONE audit line when all have
-    * committed. Returns per-surface counts plus the audit seq and the
-    * commit tokens the line records. */
+  /** The targets line the intent ledger records — also the resume key:
+    * a re-run of an interrupted forget matches its open pending intent
+    * by this exact text. */
+  private def targetsSummary(t: Targets): String = {
+    val legs = Seq(
+      if (t.idx.nonEmpty || t.users.nonEmpty)
+        Some("redact" + (if (t.rematerialize) "+remat" else "")) else None,
+      t.vectorDir.map(d => s"vector:$d"),
+      t.lexicalDir.map(d => s"lexical:$d"),
+      t.dedupDir.map(d => s"dedup:$d"),
+      t.mixtureDir.map(d => s"mixture:$d")).flatten
+    Seq(s"idx=${t.idx.size}", s"users=${t.users.size}",
+      s"vec_ids=${t.vecIds.size}", s"doc_ids=${t.docIds.size}",
+      s"legs=${legs.mkString(",")}").mkString(" ")
+  }
+
+  /** Drive every requested leg in order inside one pending→committed
+    * intent. Returns per-surface counts plus the audit seq and the
+    * commit tokens the committed line records. */
   def apply(s: SparkSession, h: StreamHandle,
       t: Targets): Map[String, Any] = {
     require(t.mixtureDir.isEmpty == t.mixtureDocs.isEmpty,
@@ -70,7 +93,19 @@ object Forget {
       "vector leg requested with no vec_ids")
     require((t.lexicalDir.isEmpty && t.dedupDir.isEmpty) || t.docIds.nonEmpty,
       "lexical/dedup leg requested with no doc_ids")
+    val targets = targetsSummary(t)
+    require(t.idx.nonEmpty || t.users.nonEmpty || t.vectorDir.nonEmpty ||
+      t.lexicalDir.nonEmpty || t.dedupDir.nonEmpty || t.mixtureDir.nonEmpty,
+      "forget with nothing to forget")
     import s.implicits._
+    // the INTENT: pending before leg 1 — a crash anywhere below leaves
+    // this line open in the ledger. A re-run of the SAME takedown (the
+    // documented recovery) resumes the open intent instead of opening a
+    // second one, so the mixture replay token stays stable across the
+    // retry and the ledger reads one takedown, not two.
+    val seq = h.forgetAudit.reverse.collectFirst {
+      case (q, "pending", tg) if tg == targets => q
+    }.getOrElse(h.beginForgetAudit(targets))
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Any]
     val commits = scala.collection.mutable.ArrayBuffer.empty[String]
     if (t.idx.nonEmpty || t.users.nonEmpty) {
@@ -98,15 +133,17 @@ object Forget {
       commits += s"dedup:$d@seq=${graft.queries.Dedup.dedupHistory(d).size}"
     }
     t.mixtureDir.foreach { d =>
-      val r = graft.queries.Pipeline.deleteMixtureStats(s, t.mixtureDocs.get, d)
+      // the replay token: keyed to THIS intent's seq (and the stream —
+      // one mixture dir can serve several), so a resumed re-run no-ops
+      // a mixture leg that already committed, while a genuinely new
+      // takedown of the same docs (new intent, new seq) negates again
+      val r = graft.queries.Pipeline.deleteMixtureStats(
+        s, t.mixtureDocs.get, d,
+        takedownToken = Some(s"${h.id}#forget#$seq"))
       out("mixture_deleted_docs") = r("deleted_docs")
       commits += s"mixture:$d@seq=${graft.queries.Pipeline.mixHistory(d).size}"
     }
-    require(commits.nonEmpty, "forget with nothing to forget")
-    val seq = h.appendForgetAudit(
-      (Seq(s"idx=${t.idx.size}", s"users=${t.users.size}",
-        s"vec_ids=${t.vecIds.size}",
-        s"doc_ids=${t.docIds.size}") ++ commits).mkString(" "))
+    h.completeForgetAudit(seq, (targets +: commits).mkString(" "))
     out("audit_seq") = seq
     out("commits") = commits.toVector
     out.toMap

@@ -422,6 +422,30 @@ class StreamStore(val spark: SparkSession, val root: String,
     finally dirs.close()
   }
 
+  /** Is `indexDir` attached (under any prefix) to a stream OTHER than
+    * `exceptId`? The /stream/forget exclusivity check (r16 ADVICE): an
+    * owner-keyed takedown may delete from an attached index only when
+    * no other tenant serves it. Normalized-path comparison (the
+    * WriterLocks key — `file:` prefixes, `..`, trailing slashes cannot
+    * alias past it); reads each stream's persisted attachment table
+    * directly, no handle opens. O(streams) directory scan at takedown
+    * rate, not a hot path. */
+  def indexAttachedElsewhere(exceptId: String, indexDir: String): Boolean =
+      synchronized {
+    val want = graft.queries.WriterLocks.key(indexDir)
+    listStreams().filterNot(_ == exceptId).exists { sid =>
+      val p = Paths.get(root, dbNameFor(sid), "vector_attachments.tsv")
+      Files.exists(p) && new String(Files.readAllBytes(p), UTF_8)
+        .linesIterator.filter(_.nonEmpty).exists { l =>
+          l.split("\t") match {
+            case Array(_, _, d) => graft.queries.WriterLocks.key(d) == want
+            case Array(_, d) => graft.queries.WriterLocks.key(d) == want
+            case _ => false
+          }
+        }
+    }
+  }
+
   def dbNameFor(id: String): String = {
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest(id.getBytes(UTF_8)).take(8).map("%02x".format(_)).mkString
@@ -772,39 +796,70 @@ class StreamHandle(val store: StreamStore, val id: String) {
 
   // ---------------- composed-forget audit log ----------------
   //
-  // One line per Forget invocation: `<seq> <summary> crc=<crc32>` where
-  // the summary names every surface's commit (stream redact_seq + each
-  // family's history seq). The per-family META_HISTORY/HISTORY logs stay
-  // the source of DETAIL; this line is the stream-level index tying one
-  // takedown's five commits together. Same torn-tail discipline as the
-  // family histories: newline-prefixed appends, crc-verified parse,
-  // seq contiguity asserted.
+  // TWO lines per Forget invocation (round 17, verdict r16 item 2 — the
+  // ledger records INTENTS, not just completions):
+  //
+  //   `<seq> pending <targets> crc=<crc32>`   BEFORE the first leg,
+  //   `<seq> committed <summary> crc=<crc32>` after the last leg,
+  //
+  // where the committed summary names every surface's commit (stream
+  // redact_seq + each family's history seq). A crash mid-forget leaves
+  // the pending line with no committed twin — DISCOVERABLE from the
+  // ledger itself (an operator reads "pending" and re-runs; the legs are
+  // idempotent), where the round-16 completions-only ledger recorded
+  // nothing for an interrupted takedown. The per-family META_HISTORY /
+  // HISTORY logs stay the source of DETAIL; these lines are the
+  // stream-level index tying one takedown's five commits together. Same
+  // torn-tail discipline as the family histories: newline-prefixed
+  // appends, crc-verified parse, seq contiguity asserted. Legacy lines
+  // without a status token read as committed (they were only ever
+  // written after every leg).
 
   private def forgetAuditFile: Path = dir.resolve("FORGET_AUDIT")
 
-  /** Append one audit line; returns its seq. Called by [[Forget]] after
-    * every requested leg committed — observability metadata written
-    * OUTSIDE the legs' atomic commits on purpose (a crash between the
-    * last leg and this append loses one audit line, never a commit). */
-  def appendForgetAudit(summary: String): Int = lock.synchronized {
-    require(!summary.contains("\n"), "audit summary must be one line")
-    val seq = forgetAudit.size + 1
-    val body = s"$seq $summary"
+  private def writeForgetAuditLine(seq: Int, status: String,
+      text: String): Unit = {
+    require(!text.contains("\n"), "audit text must be one line")
+    val body = s"$seq $status $text"
     val crc = new java.util.zip.CRC32()
     crc.update(body.getBytes(UTF_8))
     Files.write(forgetAuditFile,
       ("\n" + body + " crc=" + crc.getValue).getBytes(UTF_8),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  /** Open a takedown INTENT: append the pending line BEFORE the first
+    * leg commits, so an interrupted forget is discoverable from the
+    * ledger. Returns the intent's seq — [[completeForgetAudit]] closes
+    * it after the last leg. */
+  def beginForgetAudit(targets: String): Int = lock.synchronized {
+    val seq = forgetAudit.size + 1
+    writeForgetAuditLine(seq, "pending", targets)
     seq
   }
 
-  /** The stream's takedown audit: (seq, summary) oldest first. A torn
-    * final line drops; a gap refuses loudly. */
-  def forgetAudit: Seq[(Int, String)] = {
+  /** Close intent `seq`: append its committed line naming every
+    * surface's commit. Called by [[Forget]] after every requested leg
+    * committed — observability metadata written OUTSIDE the legs'
+    * atomic commits on purpose (a crash between the last leg and this
+    * append leaves a re-runnable pending intent, never a lost commit). */
+  def completeForgetAudit(seq: Int, summary: String): Unit =
+      lock.synchronized {
+    require(forgetAudit.exists(e => e._1 == seq && e._2 == "pending"),
+      s"no pending forget intent with seq $seq to complete")
+    writeForgetAuditLine(seq, "committed", summary)
+  }
+
+  /** The stream's takedown audit: (seq, status, text) oldest first,
+    * one entry per intent — status `committed` once the closing line
+    * landed (its text is then the commit summary), `pending` for an
+    * intent still open (interrupted or in flight; its text is the
+    * targets). A torn final line drops; a gap refuses loudly. */
+  def forgetAudit: Seq[(Int, String, String)] = {
     if (!Files.exists(forgetAuditFile)) return Seq.empty
     import scala.jdk.CollectionConverters._
-    val parsed = Files.readAllLines(forgetAuditFile).asScala.toSeq
+    val lines = Files.readAllLines(forgetAuditFile).asScala.toSeq
       .filter(_.nonEmpty).flatMap { l =>
         l.lastIndexOf(" crc=") match {
           case -1 => None // torn (every line ships with a crc)
@@ -814,13 +869,27 @@ class StreamHandle(val store: StreamStore, val id: String) {
             val c = new java.util.zip.CRC32()
             c.update(body.getBytes(UTF_8))
             if (!want.contains(c.getValue)) None
-            else body.split(" ", 2) match {
-              case Array(seq, rest) if seq.toIntOption.isDefined =>
-                Some(seq.toInt -> rest)
-              case _ => None
+            else body.split(" ", 3) match {
+              case Array(seq, st, rest) if seq.toIntOption.isDefined &&
+                  (st == "pending" || st == "committed") =>
+                Some((seq.toInt, st, rest))
+              case _ => body.split(" ", 2) match {
+                // legacy completions-only line: no status token
+                case Array(seq, rest) if seq.toIntOption.isDefined =>
+                  Some((seq.toInt, "committed", rest))
+                case _ => None
+              }
             }
         }
       }
+    // fold pending/committed pairs into one entry per seq (committed
+    // wins — it is the intent's terminal state and carries the summary)
+    val parsed = lines.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (seq, ls) =>
+        ls.find(_._2 == "committed").getOrElse(ls.head) match {
+          case (_, st, text) => (seq, st, text)
+        }
+    }
     require(parsed.map(_._1) == parsed.indices.map(_ + 1),
       s"FORGET_AUDIT of $id is corrupted: seqs " +
         s"${parsed.map(_._1).mkString(",")} are not contiguous from 1")
@@ -851,9 +920,22 @@ class StreamHandle(val store: StreamStore, val id: String) {
     stateVer = num("stateVer")
     redactionsDir = "\"redactionsDir\":\"([^\"]*)\"".r.findFirstMatchIn(s)
       .map(_.group(1)).getOrElse("")
-    // legacy metas (pre-exposure-counter) load as (0, 0): no recorded
-    // redactions, so "not stale" is the truthful reading
     redactSeq = num("redactSeq"); rematSeq = num("rematSeq")
+    // legacy metas (pre-exposure-counter) load as (0, 0) — truthful only
+    // when NO redaction ever committed. A pre-upgrade stream that DID
+    // redact carries a non-empty redactionsDir: loading it as redactSeq=0
+    // would tell BackupService's re-export gate (curRedact >
+    // archivedRedact, 0 > 0 never fires) that archives exported before
+    // that redaction may keep the forgotten payloads forever, and
+    // module_tables_predate_redaction would report converged when it
+    // is not (r16 ADVICE). Seed redactSeq to 1 (rematSeq stays 0 — the
+    // conservative "tables may predate it" reading); the next backup
+    // tick re-exports once and the exposure signal turns truthful.
+    if (redactSeq == 0L && !s.contains("\"redactSeq\":") &&
+        redactionsDir.nonEmpty) {
+      redactSeq = 1L
+      saveMeta()
+    }
     moduleCid = "\"moduleCid\":\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1))
     // self-heal metas written before the id field existed: the catalog
     // (listStreams) recovers ids from meta.json, so a legacy stream would

@@ -165,6 +165,51 @@ class RedactionSpec extends AnyFunSuite {
       "the pre-takedown bucket must not keep the forgotten payloads")
   }
 
+  test("legacy metas with recorded redactions seed redactSeq=1 on load " +
+    "(r16 ADVICE): the exposure signal turns truthful and a pre-upgrade " +
+    "archive re-exports its forgotten payloads away") {
+    val root = graft.TempDirs.create("graft-redact-legacy").toString
+    val s1 = new StreamStore(spark, root)
+    val h1 = s1.open("did:redact:legacy")
+    h1.setModule(module)
+    h1.addEvents((1 to 6).map(i => IncomingEvent("u", payload(s"c$i", i))))
+    // the archive predates the takedown (exported at redactSeq 0)
+    val bak = "file:" + graft.TempDirs.create("graft-redact-legacy-bak")
+    BackupService.backup(h1, bak)
+    h1.redactEvents(Seq(5L))
+    h1.close()
+    // simulate the PRE-UPGRADE meta: redactions on disk, no exposure
+    // counters recorded (the shape every stream redacted before the
+    // counters existed carries)
+    val metaP = java.nio.file.Paths.get(root,
+      s1.dbNameFor("did:redact:legacy"), "meta.json")
+    val body = new String(java.nio.file.Files.readAllBytes(metaP),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(body.contains("\"redactSeq\":1"), body)
+    java.nio.file.Files.write(metaP,
+      body.replace(",\"redactSeq\":1,\"rematSeq\":0", "")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val s2 = new StreamStore(spark, root)
+    val h2 = s2.open("did:redact:legacy")
+    // the comment's old premise — "legacy = no recorded redactions" — is
+    // false here: the non-empty redactions dir seeds redactSeq to 1, so
+    // the exposure signal reads STALE (truthful) instead of converged
+    assert(h2.redactionExposure == ((0L, 1L)),
+      s"legacy redactions must seed the exposure counter: ${
+        h2.redactionExposure}")
+    assert(h2.moduleTablesPredateRedaction,
+      "module tables materialized before the redaction must read stale")
+    // and the next ordinary backup tick re-exports the pre-upgrade
+    // archive: without the seed, 0 > 0 never fires and the archived
+    // payload survives the takedown forever
+    BackupService.backup(h2, bak)
+    val s3 = new StreamStore(spark,
+      graft.TempDirs.create("graft-redact-legacy-rest").toString)
+    val restored = BackupService.restore(s3, "did:redact:legacy-rest", bak)
+    assert(restored.rawGetEvents(5, 5).collect()(0).isNullAt(2),
+      "the pre-upgrade archive must re-export payload-nulled")
+  }
+
   test("reference-bucket export/import round-trip preserves redaction") {
     val h = freshStream("did:redact:refbak")
     h.redactEvents(Seq(1L, 12L))
@@ -234,6 +279,107 @@ class RedactionSpec extends AnyFunSuite {
     poller.join(30000)
     assert(errors.isEmpty, s"live polls failed: ${errors.peek()}")
     assert(polls.get() >= 3, "the poller never actually overlapped the flips")
+  }
+
+  test("subscription under takedown (verdict r16 item 6): a live " +
+    "subscriber backfilling through a user-keyed forget sees only " +
+    "pre-commit rows or nulled payloads — never torn state — and " +
+    "has_more math stays exact across the module-table replay") {
+    import graft.types.SqlValue._
+    val subModule = ModuleDef(
+      initSql = """CREATE TABLE IF NOT EXISTS notes
+                   |(idx BIGINT, author STRING, content STRING, n BIGINT)
+                   |USING PARQUET""".stripMargin,
+      materializer = """INSERT INTO notes
+                        |SELECT idx, user, drisl_extract(payload, '.content'),
+                        |       drisl_extract_long(payload, '.n') FROM event""".stripMargin,
+      queries = Map("win" -> QueryDef(
+        """SELECT idx, author, content, n FROM notes
+          |WHERE idx BETWEEN $start AND $start + $limit - 1
+          |ORDER BY idx""".stripMargin)))
+    val h = store.open("did:redact:subsoak")
+    h.setModule(subModule)
+    assert(h.addEvents((1 to 60).map(i =>
+      IncomingEvent(s"u${i % 3}", payload(s"c$i", i)))).isRight)
+
+    val engine = new SubscriptionEngine(h)
+    @volatile var room = true
+    val pages = scala.collection.mutable.ArrayBuffer
+      .empty[Vector[Map[String, SqlValue]]]
+    val more = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    // backpressure-paged backfill: exactly one 5-row window per pump, so
+    // the takedown genuinely lands MID-backfill
+    val sid = engine.subscribe(None,
+      LeafQuery("win", start = Some(1), limit = 5), () => room) { d =>
+      pages += d.rows; more += d.hasMore; room = false
+    }
+    val errors = scala.collection.mutable.ArrayBuffer.empty[Throwable]
+    val forgetter = new Thread(() => {
+      // the user-keyed takedown, module tables replayed in the commit —
+      // the exact verb /stream/forget drives at the store of record
+      try h.redactFor(Seq.empty, Seq("u1"), rematerialize = true)
+      catch { case t: Throwable => errors.synchronized(errors += t) }
+    })
+    var kicked = false
+    val deadline = System.nanoTime() + 300L * 1000000000L
+    while (pages.size < 12 && errors.isEmpty &&
+        System.nanoTime() < deadline) {
+      room = true
+      engine.resume(sid)
+      try engine.drain()
+      catch { case t: Throwable => errors.synchronized(errors += t) }
+      if (!kicked && pages.size >= 4) { forgetter.start(); kicked = true }
+    }
+    forgetter.join(120000)
+    assert(errors.isEmpty, s"no read or takedown may fail mid-soak: " +
+      s"${errors.headOption}")
+    // has_more math exact across the replay: 12 full 5-row windows,
+    // has_more true on every page but the last
+    assert(pages.size == 12 && pages.forall(_.size == 5),
+      s"windows: ${pages.map(_.size)}")
+    assert(more.toVector == Vector.fill(11)(true) :+ false, more.toString)
+    // exactly-once, in-order delivery: idx 1..60 across the pages
+    val idxs = pages.flatten.map(_("idx")).collect {
+      case SqlInteger(i) => i }
+    assert(idxs.toVector == (1L to 60L).toVector,
+      "backfill must deliver every event exactly once, in order")
+    // never torn: every delivered row is EITHER the original payload or
+    // the properly nulled takedown shape — u1 rows may be pre-commit
+    // (original) or post-commit (null), everyone else's stay intact
+    pages.flatten.foreach { row =>
+      val i = row("idx") match { case SqlInteger(v) => v; case _ => -1L }
+      val author = row("author")
+      assert(author == SqlText(s"u${i % 3}"),
+        s"authorship must survive the takedown: $row")
+      (row("content"), row("n")) match {
+        case (SqlText(c), SqlInteger(n)) =>
+          assert(c == s"c$i" && n == i, s"torn row: $row")
+        case (SqlNull, SqlNull) =>
+          assert(i % 3 == 1, s"only the forgotten user's rows null: $row")
+        case other => fail(s"torn row (half-redacted): $row -> $other")
+      }
+    }
+    engine.unsubscribe(sid)
+    // a FRESH backfill after the commit: the same exact window math, u1
+    // now null on every page — the replayed module table serves the
+    // subscription surface identically to a never-redacted layout
+    val pages2 = scala.collection.mutable.ArrayBuffer
+      .empty[Vector[Map[String, SqlValue]]]
+    val more2 = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    @volatile var room2 = true
+    val sid2 = engine.subscribe(None,
+      LeafQuery("win", start = Some(1), limit = 5), () => room2) { d =>
+      pages2 += d.rows; more2 += d.hasMore; room2 = false
+    }
+    while (pages2.size < 12) { room2 = true; engine.resume(sid2); engine.drain() }
+    assert(pages2.forall(_.size == 5) &&
+      more2.toVector == Vector.fill(11)(true) :+ false)
+    pages2.flatten.foreach { row =>
+      val i = row("idx") match { case SqlInteger(v) => v; case _ => -1L }
+      if (i % 3 == 1) assert(row("content") == SqlNull, s"must be null: $row")
+      else assert(row("content") == SqlText(s"c$i"), s"must survive: $row")
+    }
+    engine.unsubscribe(sid2)
   }
 
   test("appends after redaction are untouched by the set") {

@@ -2061,10 +2061,12 @@ class ServerSpec extends AnyFunSuite {
     assert(out("mixture_deleted_docs") == 2L, out.toString)
     assert(out("audit_seq") == 1L, out.toString)
 
-    // ONE audit line enumerating the FIVE commits (stream + 4 families)
+    // ONE committed audit entry enumerating the FIVE commits (stream +
+    // 4 families); the pending intent line folded into it
     val audit = store.open(sid).forgetAudit
-    assert(audit.size == 1 && audit.head._1 == 1, audit.toString)
-    val line = audit.head._2
+    assert(audit.size == 1 && audit.head._1 == 1 &&
+      audit.head._2 == "committed", audit.toString)
+    val line = audit.head._3
     for (tok <- Seq("stream:redact_seq=1+remat", s"vector:$vidx@seq=",
         s"lexical:$lidx@seq=", s"dedup:$didx@seq=", s"mixture:$midx@seq="))
       assert(line.contains(tok), s"audit line missing '$tok': $line")
@@ -2167,6 +2169,262 @@ class ServerSpec extends AnyFunSuite {
       Map("id" -> sid, "users" -> Vector("u"))))
     assert(out3("redacted") == 12L && out3("audit_seq") == 3L,
       out3.toString)
-    assert(store.open(sid).forgetAudit.last._2.contains("users=1"))
+    assert(store.open(sid).forgetAudit.last._3.contains("users=1"))
+  }
+
+  test("forget intent ledger (round 17, verdict r16 item 2): a forget " +
+    "killed between legs leaves a PENDING intent discoverable over RPC; " +
+    "re-running the same forget resumes the seq, rides the idempotent " +
+    "legs, and completes with survivor-only answers") {
+    import org.apache.spark.sql.functions._
+    val cid = ok(post("/module/upload", Map("module" -> Map(
+      "init_sql" -> "CREATE TABLE IF NOT EXISTS fc (idx BIGINT, t STRING) USING PARQUET",
+      "materializer" ->
+        "INSERT INTO fc SELECT idx, drisl_extract(payload, '.t') FROM event",
+      "queries" -> Map("all" -> Map(
+        "sql" -> "SELECT idx, t FROM fc ORDER BY idx"))))))(
+      "cid").asInstanceOf[String]
+    val sid = ok(post("/stream/create",
+      Map("id" -> "did:graft:forget-crash", "module_cid" -> cid)))(
+      "id").toString
+    val evs = (1 to 8).map(i => Map("user" -> "u",
+      "payload_b64" -> Base64.getEncoder.encodeToString(
+        graft.drisl.Drisl.encode(graft.drisl.DValue.obj(
+          "t" -> graft.drisl.DValue.text(s"v$i"))))))
+    ok(post("/stream/event_batch", Map("id" -> sid, "events" -> evs.toVector)))
+
+    val docsDf = spark.range(60).select(col("id").as("doc_id"),
+      concat(lit("src"), (col("id") % 4).cast("string")).as("source"),
+      concat_ws(" ", (0 until 10).map(i =>
+        md5(concat(col("id"), lit(i)))): _*).as("text"))
+    val didx = TempDirs.create("graft-fcrash-dedup").toString
+    graft.queries.Dedup.buildDedupIndex(spark,
+      docsDf.select("doc_id", "text"), didx)
+    val midx = TempDirs.create("graft-fcrash-mix").toString
+    graft.queries.Pipeline.buildMixtureStatsDf(spark,
+      docsDf.select("source", "text"), midx)
+
+    // the injected kill: the mixture leg's doc frame throws while the
+    // flag file exists — exactly a crash AFTER the redact + dedup legs
+    // committed and BEFORE the mixture commit (a family boundary)
+    val flag = java.nio.file.Files.createTempFile("graft-fcrash", ".flag")
+    val flagPath = flag.toString
+    val boom = udf((id: Long) => {
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(flagPath)))
+        throw new RuntimeException("injected mid-forget crash")
+      true
+    })
+    val deleted = docsDf.filter(col("doc_id").isin(5L, 10L))
+    val h = store.open(sid)
+    val t = graft.stream.Forget.Targets(idx = Seq(3L),
+      docIds = Seq(5L, 10L), dedupDir = Some(didx),
+      mixtureDir = Some(midx),
+      mixtureDocs = Some(deleted.filter(boom(col("doc_id")))
+        .select("source", "text")))
+    intercept[Throwable](graft.stream.Forget(spark, h, t))
+
+    // the prefix applied (redact + dedup committed, mixture did not) and
+    // the ledger KNOWS: one open pending intent, served over RPC
+    val pend = ok(post("/stream/forget_audit", Map("id" -> sid)))(
+      "entries").asInstanceOf[Vector[Any]]
+      .map(_.asInstanceOf[Map[String, Any]])
+    assert(pend.size == 1 && pend.head("status") == "pending" &&
+      pend.head("seq") == 1L, pend.toString)
+    assert(pend.head("summary").toString.contains(s"mixture:$midx"),
+      pend.toString)
+
+    // the operator's documented recovery: re-run the SAME forget — it
+    // resumes intent seq 1, the committed legs no-op, the mixture leg
+    // commits once, and the intent closes
+    java.nio.file.Files.delete(flag)
+    val out = graft.stream.Forget(spark, h, t.copy(
+      mixtureDocs = Some(deleted.select("source", "text"))))
+    assert(out("audit_seq") == 1L, out.toString)
+    assert(out("dedup_deleted") == 0L,
+      s"the dedup leg committed before the kill and must no-op: $out")
+    assert(out("mixture_deleted_docs") == 2L, out.toString)
+    val done = ok(post("/stream/forget_audit", Map("id" -> sid)))(
+      "entries").asInstanceOf[Vector[Any]]
+      .map(_.asInstanceOf[Map[String, Any]])
+    assert(done.size == 1 && done.head("status") == "committed" &&
+      done.head("summary").toString.contains(s"dedup:$didx@seq="),
+      done.toString)
+
+    // survivor-only on every touched surface: raw payload nulled, a
+    // clone of a forgotten doc classifies NEW, and the mixture weights
+    // equal a from-scratch survivor recompute (negated exactly ONCE)
+    assert(h.rawGetEvents(3, 3).head().isNullAt(2))
+    import spark.implicits._
+    val probe = docsDf.filter(col("doc_id") === 5L)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    assert(graft.queries.Dedup.incrementVsIndex(spark, probe, didx)
+      .head().getString(1) == "new")
+    val midx2 = TempDirs.create("graft-fcrash-mix2").toString
+    graft.queries.Pipeline.buildMixtureStatsDf(spark,
+      docsDf.filter(!col("doc_id").isin(5L, 10L)).select("source", "text"),
+      midx2)
+    def weights(d: String): Map[String, Any] =
+      graft.queries.Pipeline.mixtureWeights(spark, d).collect()
+        .map(r => r.getString(0) -> r.get(1)).toMap
+    assert(weights(midx) == weights(midx2),
+      "the resumed mixture leg must negate exactly once")
+
+    // the replay token itself, unit-level: the OTHER crash window (the
+    // mixture commit landed, the audit append did not) — a repeat
+    // delete with the same token provably no-ops
+    val more = docsDf.filter(col("doc_id").isin(20L, 21L))
+      .select("source", "text")
+    val tok = s"$sid#forget#99"
+    val d1 = graft.queries.Pipeline.deleteMixtureStats(
+      spark, more, midx, Some(tok))
+    assert(d1("deleted_docs") == 2L && !d1.contains("replayed"))
+    val w1 = weights(midx)
+    val d2 = graft.queries.Pipeline.deleteMixtureStats(
+      spark, more, midx, Some(tok))
+    assert(d2("deleted_docs") == 0L && d2("replayed") == 1L, d2.toString)
+    assert(weights(midx) == w1,
+      "a token replay must not double-negate the monoid")
+  }
+
+  test("forget authority is owner-scoped, not attachment-scoped (r16 " +
+    "ADVICE): a non-admin owner forgets only from indexes EXCLUSIVELY " +
+    "attached to their stream — shared and unattached dirs refuse, and " +
+    "the mixture src-path read stays admin-gated") {
+    import org.apache.spark.sql.functions._
+    // a VERIFIED (non-trusted) owner: ES256 JWT auth, the JwtAuthSpec
+    // token construction
+    val kpg = java.security.KeyPairGenerator.getInstance("EC")
+    kpg.initialize(new java.security.spec.ECGenParameterSpec("secp256r1"))
+    val ownerKey = kpg.generateKeyPair()
+    val serverDid = "did:web:graft.test"
+    val auth = new graft.server.JwtAuth(serverDid, did =>
+      if (did == "did:plc:owner")
+        Some(graft.server.JwtAuth.P256(ownerKey.getPublic)) else None)
+    def b64url(b: Array[Byte]): String =
+      Base64.getUrlEncoder.withoutPadding.encodeToString(b)
+    def derToJose(der: Array[Byte]): Array[Byte] = {
+      def readInt(at: Int): (Array[Byte], Int) = {
+        val len = der(at + 1) & 0xff
+        (der.slice(at + 2, at + 2 + len).dropWhile(_ == 0), at + 2 + len)
+      }
+      val (r, next) = readInt(2)
+      val (s, _) = readInt(next)
+      def pad(b: Array[Byte]) = Array.fill[Byte](32 - b.length)(0) ++ b
+      pad(r) ++ pad(s)
+    }
+    def ownerJwt(): String = {
+      val h = b64url(Json.render(
+        Map("alg" -> "ES256", "typ" -> "JWT")).getBytes("UTF-8"))
+      val c = b64url(Json.render(Map(
+        "iss" -> "did:plc:owner", "aud" -> serverDid,
+        "lxm" -> "town.muni.leaf.authenticate",
+        "exp" -> (System.currentTimeMillis() / 1000 + 600))).getBytes("UTF-8"))
+      val signer = java.security.Signature.getInstance("SHA256withECDSA")
+      signer.initSign(ownerKey.getPrivate)
+      signer.update(s"$h.$c".getBytes("UTF-8"))
+      s"$h.$c.${b64url(derToJose(signer.sign()))}"
+    }
+
+    val store2 = new StreamStore(spark,
+      TempDirs.create("graft-authz-store").toString)
+    val jwtSrv = new LeafServer(store2, 0, jwt = Some(auth))
+    jwtSrv.start()
+    val admSrv = new LeafServer(store2, 0, authToken = Some("admtok"))
+    admSrv.start()
+    def postAs(srv: LeafServer, bearer: String, path: String,
+        body: Map[String, Any], did: Option[String] = None): Map[String, Any] = {
+      val b = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${srv.boundPort}$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(Json.render(body)))
+        .header("Authorization", s"Bearer $bearer")
+      did.foreach(d => b.header("X-Graft-Did", d))
+      Json.parse(client.send(b.build(),
+        HttpResponse.BodyHandlers.ofString()).body())
+        .asInstanceOf[Map[String, Any]]
+    }
+    try {
+      // corpus + two vector indexes: one attached to BOTH streams (a
+      // shared serving index), one exclusively to the owner's stream
+      val src = TempDirs.create("graft-authz-src").toString
+      spark.range(100)
+        .select(col("id").as("vec_id"), (col("id") % 5).cast("int").as("label"))
+        .select(col("vec_id"), expr(
+          "transform(sequence(0, 15), i -> CAST(" +
+            "(pmod(hash(label, i), 2001) - 1000) / 1000.0 AS FLOAT))")
+          .as("embedding"), col("label"))
+        .write.mode("overwrite").parquet(s"$src/embeddings.parquet")
+      spark.range(100).select(col("id").as("doc_id"),
+          concat(lit("src"), (col("id") % 4).cast("string")).as("source"),
+          concat_ws(" ", (0 until 10).map(i =>
+            md5(concat(col("id"), lit(i)))): _*).as("text"))
+        .write.mode("overwrite").parquet(s"$src/documents.parquet")
+      val vShared = TempDirs.create("graft-authz-vshared").toString
+      val vOwn = TempDirs.create("graft-authz-vown").toString
+      graft.queries.Similarity.buildVectorIndex(spark, src, vShared)
+      graft.queries.Similarity.buildVectorIndex(spark, src, vOwn)
+      val cid = ok(postAs(admSrv, "admtok", "/module/upload", Map(
+        "module" -> Map(
+          "init_sql" -> "CREATE TABLE IF NOT EXISTS az (idx BIGINT) USING PARQUET",
+          "materializer" -> "INSERT INTO az SELECT idx FROM event"))))(
+        "cid").asInstanceOf[String]
+      def create(id: String, did: String): String = {
+        val b = HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${admSrv.boundPort}/stream/create"))
+          .POST(HttpRequest.BodyPublishers.ofString(Json.render(
+            Map("id" -> id, "module_cid" -> cid))))
+          .header("Authorization", "Bearer admtok")
+          .header("X-Graft-Did", did)
+        ok(Json.parse(client.send(b.build(),
+          HttpResponse.BodyHandlers.ofString()).body())
+          .asInstanceOf[Map[String, Any]])("id").toString
+      }
+      val sa = create("did:graft:authz-a", "did:plc:owner")
+      val sb = create("did:graft:authz-b", "did:plc:other")
+      ok(postAs(admSrv, "admtok", "/admin/vector_index_attach",
+        Map("id" -> sa, "prefix" -> "sh", "dir" -> vShared)))
+      ok(postAs(admSrv, "admtok", "/admin/vector_index_attach",
+        Map("id" -> sb, "prefix" -> "sh", "dir" -> vShared)))
+      ok(postAs(admSrv, "admtok", "/admin/vector_index_attach",
+        Map("id" -> sa, "prefix" -> "own", "dir" -> vOwn)))
+
+      // the VERIFIED owner of stream A:
+      // 1. an unattached dir refuses (the r16 rule, still in force)
+      val r1 = postAs(jwtSrv, ownerJwt(), "/stream/forget", Map(
+        "id" -> sa, "vec_ids" -> Vector(1L),
+        "vector_dir" -> TempDirs.create("graft-authz-foreign").toString))
+      assert(r1.get("err").exists(_.toString.contains("not attached")),
+        r1.toString)
+      // 2. a SHARED attached dir refuses — attachment (a read grant) must
+      //    not mint delete authority over rows other tenants serve
+      val r2 = postAs(jwtSrv, ownerJwt(), "/stream/forget", Map(
+        "id" -> sa, "vec_ids" -> Vector(1L), "vector_dir" -> vShared))
+      assert(r2.get("err").exists(_.toString.contains(
+        "attached to other streams")), r2.toString)
+      assert(graft.queries.Similarity.vectorIndexInfo(spark, vShared)(
+        "live") == 100L, "the refused forget must tombstone nothing")
+      // 3. an EXCLUSIVELY attached dir is the owner's to forget from
+      val r3 = ok(postAs(jwtSrv, ownerJwt(), "/stream/forget", Map(
+        "id" -> sa, "vec_ids" -> Vector(1L), "vector_dir" -> vOwn)))
+      assert(r3("vector_tombstones") == 1L, r3.toString)
+      // 4. the mixture src-path read refuses non-admins explicitly even
+      //    with an attached-dir bypass hypothetically gone — inline docs
+      //    are the owner-keyed shape (today the dir check fires first;
+      //    the admin gate is the defense in depth behind it)
+      val midx = TempDirs.create("graft-authz-mix").toString
+      graft.queries.Pipeline.buildMixtureStats(spark, src, midx)
+      val r4 = postAs(jwtSrv, ownerJwt(), "/stream/forget", Map(
+        "id" -> sa, "doc_ids" -> Vector(1L),
+        "mixture_dir" -> midx, "src" -> s"$src/documents.parquet"))
+      assert(r4.get("err").exists(e =>
+        e.toString.contains("not attached") ||
+          e.toString.contains("trusted/admin")), r4.toString)
+      // ... while a TRUSTED caller (claiming the owner identity — the
+      // user_override channel) may drive the src-path branch
+      val r5 = ok(postAs(admSrv, "admtok", "/stream/forget", Map(
+        "id" -> sa, "doc_ids" -> Vector(1L),
+        "mixture_dir" -> midx, "src" -> s"$src/documents.parquet"),
+        did = Some("did:plc:owner")))
+      assert(r5("mixture_deleted_docs") == 100L, r5.toString)
+    } finally { jwtSrv.stop(); admSrv.stop() }
   }
 }
