@@ -67,7 +67,17 @@ object Forget {
 
   /** The targets line the intent ledger records — also the resume key:
     * a re-run of an interrupted forget matches its open pending intent
-    * by this exact text. */
+    * by this exact text. The `key` token digests the ACTUAL sorted
+    * target values (not just their counts): a DIFFERENT takedown that
+    * happens to share counts and dirs must open its own intent, not
+    * resume a crashed one — resuming would hand it the crashed
+    * takedown's mixture replay token and silently skip its own mixture
+    * delete. Digested rather than inlined so a million-doc takedown
+    * does not put a million ids on one audit line. The mixture docs'
+    * CONTENT digests too (an order-independent one-aggregate Spark job,
+    * O(takedown), no collect) — a mixture leg's identity is its doc
+    * frame, and the id sets alone can be empty for a mixture-only
+    * takedown. */
   private def targetsSummary(t: Targets): String = {
     val legs = Seq(
       if (t.idx.nonEmpty || t.users.nonEmpty)
@@ -76,9 +86,23 @@ object Forget {
       t.lexicalDir.map(d => s"lexical:$d"),
       t.dedupDir.map(d => s"dedup:$d"),
       t.mixtureDir.map(d => s"mixture:$d")).flatten
+    val mixDigest = t.mixtureDocs.map { df =>
+      import org.apache.spark.sql.functions._
+      df.select(xxhash64(col("source"), col("text"))
+          .cast("decimal(38,0)").as("h"))
+        .agg(coalesce(sum(col("h")), lit(0)).cast("string"))
+        .head().getString(0)
+    }.getOrElse("-")
+    val canonical = Seq(
+      t.idx.sorted.mkString(","), t.users.sorted.mkString(","),
+      t.vecIds.sorted.mkString(","), t.docIds.sorted.mkString(","),
+      mixDigest, legs.mkString(",")).mkString("|")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(16)
     Seq(s"idx=${t.idx.size}", s"users=${t.users.size}",
       s"vec_ids=${t.vecIds.size}", s"doc_ids=${t.docIds.size}",
-      s"legs=${legs.mkString(",")}").mkString(" ")
+      s"key=$key", s"legs=${legs.mkString(",")}").mkString(" ")
   }
 
   /** Drive every requested leg in order inside one pending→committed

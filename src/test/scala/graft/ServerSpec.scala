@@ -2204,23 +2204,18 @@ class ServerSpec extends AnyFunSuite {
     graft.queries.Pipeline.buildMixtureStatsDf(spark,
       docsDf.select("source", "text"), midx)
 
-    // the injected kill: the mixture leg's doc frame throws while the
-    // flag file exists — exactly a crash AFTER the redact + dedup legs
-    // committed and BEFORE the mixture commit (a family boundary)
-    val flag = java.nio.file.Files.createTempFile("graft-fcrash", ".flag")
-    val flagPath = flag.toString
-    val boom = udf((id: Long) => {
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(flagPath)))
-        throw new RuntimeException("injected mid-forget crash")
-      true
-    })
+    // the injected kill: hide the mixture family's meta so its leg
+    // throws a clean refusal — exactly a crash AFTER the redact + dedup
+    // legs committed and BEFORE the mixture commit (a family boundary)
+    val mixMeta = java.nio.file.Paths.get(midx, "meta.json")
+    val mixHidden = java.nio.file.Paths.get(midx, "meta.json.hidden")
     val deleted = docsDf.filter(col("doc_id").isin(5L, 10L))
     val h = store.open(sid)
     val t = graft.stream.Forget.Targets(idx = Seq(3L),
       docIds = Seq(5L, 10L), dedupDir = Some(didx),
       mixtureDir = Some(midx),
-      mixtureDocs = Some(deleted.filter(boom(col("doc_id")))
-        .select("source", "text")))
+      mixtureDocs = Some(deleted.select("source", "text")))
+    java.nio.file.Files.move(mixMeta, mixHidden)
     intercept[Throwable](graft.stream.Forget(spark, h, t))
 
     // the prefix applied (redact + dedup committed, mixture did not) and
@@ -2233,12 +2228,25 @@ class ServerSpec extends AnyFunSuite {
     assert(pend.head("summary").toString.contains(s"mixture:$midx"),
       pend.toString)
 
+    // a DIFFERENT takedown with identical counts and dirs must open its
+    // OWN intent, not resume the crashed one (the resume key digests
+    // the actual target values) — resuming would hand it the crashed
+    // takedown's replay token and skip its own legs
+    java.nio.file.Files.move(mixHidden, mixMeta)
+    val other = docsDf.filter(col("doc_id").isin(20L, 21L))
+    val outOther = graft.stream.Forget(spark, h,
+      graft.stream.Forget.Targets(idx = Seq(4L),
+        docIds = Seq(20L, 21L), dedupDir = Some(didx),
+        mixtureDir = Some(midx),
+        mixtureDocs = Some(other.select("source", "text"))))
+    assert(outOther("audit_seq") == 2L,
+      s"a distinct takedown must not resume a crashed intent: $outOther")
+    assert(outOther("mixture_deleted_docs") == 2L, outOther.toString)
+
     // the operator's documented recovery: re-run the SAME forget — it
     // resumes intent seq 1, the committed legs no-op, the mixture leg
     // commits once, and the intent closes
-    java.nio.file.Files.delete(flag)
-    val out = graft.stream.Forget(spark, h, t.copy(
-      mixtureDocs = Some(deleted.select("source", "text"))))
+    val out = graft.stream.Forget(spark, h, t)
     assert(out("audit_seq") == 1L, out.toString)
     assert(out("dedup_deleted") == 0L,
       s"the dedup leg committed before the kill and must no-op: $out")
@@ -2246,7 +2254,7 @@ class ServerSpec extends AnyFunSuite {
     val done = ok(post("/stream/forget_audit", Map("id" -> sid)))(
       "entries").asInstanceOf[Vector[Any]]
       .map(_.asInstanceOf[Map[String, Any]])
-    assert(done.size == 1 && done.head("status") == "committed" &&
+    assert(done.size == 2 && done.forall(_("status") == "committed") &&
       done.head("summary").toString.contains(s"dedup:$didx@seq="),
       done.toString)
 
@@ -2261,8 +2269,8 @@ class ServerSpec extends AnyFunSuite {
       .head().getString(1) == "new")
     val midx2 = TempDirs.create("graft-fcrash-mix2").toString
     graft.queries.Pipeline.buildMixtureStatsDf(spark,
-      docsDf.filter(!col("doc_id").isin(5L, 10L)).select("source", "text"),
-      midx2)
+      docsDf.filter(!col("doc_id").isin(5L, 10L, 20L, 21L))
+        .select("source", "text"), midx2)
     def weights(d: String): Map[String, Any] =
       graft.queries.Pipeline.mixtureWeights(spark, d).collect()
         .map(r => r.getString(0) -> r.get(1)).toMap
@@ -2272,7 +2280,7 @@ class ServerSpec extends AnyFunSuite {
     // the replay token itself, unit-level: the OTHER crash window (the
     // mixture commit landed, the audit append did not) — a repeat
     // delete with the same token provably no-ops
-    val more = docsDf.filter(col("doc_id").isin(20L, 21L))
+    val more = docsDf.filter(col("doc_id").isin(22L, 23L))
       .select("source", "text")
     val tok = s"$sid#forget#99"
     val d1 = graft.queries.Pipeline.deleteMixtureStats(
