@@ -847,7 +847,10 @@ class StreamHandle(val store: StreamStore, val id: String) {
   def completeForgetAudit(seq: Int, summary: String): Unit =
       lock.synchronized {
     require(forgetAudit.exists(e => e._1 == seq && e._2 == "pending"),
-      s"no pending forget intent with seq $seq to complete")
+      s"forget intent $seq is not pending — either it was never begun, " +
+        "or a concurrent recovery of the same takedown already " +
+        "completed it (every leg is committed in that case; nothing " +
+        "was lost)")
     writeForgetAuditLine(seq, "committed", summary)
   }
 
