@@ -2218,6 +2218,13 @@ class ServerSpec extends AnyFunSuite {
     java.nio.file.Files.move(mixMeta, mixHidden)
     intercept[Throwable](graft.stream.Forget(spark, h, t))
 
+    // REOPEN before discovery — the crashed process is gone; the open
+    // intent must come off disk, not off any in-memory state
+    h.close()
+    val h2 = store.open(sid)
+    assert(h2.forgetAudit.map(e => (e._1, e._2)) == Seq((1, "pending")),
+      h2.forgetAudit.toString)
+
     // the prefix applied (redact + dedup committed, mixture did not) and
     // the ledger KNOWS: one open pending intent, served over RPC
     val pend = ok(post("/stream/forget_audit", Map("id" -> sid)))(
@@ -2234,7 +2241,7 @@ class ServerSpec extends AnyFunSuite {
     // takedown's replay token and skip its own legs
     java.nio.file.Files.move(mixHidden, mixMeta)
     val other = docsDf.filter(col("doc_id").isin(20L, 21L))
-    val outOther = graft.stream.Forget(spark, h,
+    val outOther = graft.stream.Forget(spark, h2,
       graft.stream.Forget.Targets(idx = Seq(4L),
         docIds = Seq(20L, 21L), dedupDir = Some(didx),
         mixtureDir = Some(midx),
@@ -2246,7 +2253,7 @@ class ServerSpec extends AnyFunSuite {
     // the operator's documented recovery: re-run the SAME forget — it
     // resumes intent seq 1, the committed legs no-op, the mixture leg
     // commits once, and the intent closes
-    val out = graft.stream.Forget(spark, h, t)
+    val out = graft.stream.Forget(spark, h2, t)
     assert(out("audit_seq") == 1L, out.toString)
     assert(out("dedup_deleted") == 0L,
       s"the dedup leg committed before the kill and must no-op: $out")
@@ -2261,7 +2268,7 @@ class ServerSpec extends AnyFunSuite {
     // survivor-only on every touched surface: raw payload nulled, a
     // clone of a forgotten doc classifies NEW, and the mixture weights
     // equal a from-scratch survivor recompute (negated exactly ONCE)
-    assert(h.rawGetEvents(3, 3).head().isNullAt(2))
+    assert(h2.rawGetEvents(3, 3).head().isNullAt(2))
     import spark.implicits._
     val probe = docsDf.filter(col("doc_id") === 5L)
       .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
