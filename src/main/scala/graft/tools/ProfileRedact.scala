@@ -12,6 +12,14 @@ import graft.stream.StreamStore
   * payload-nulling join is a broadcast against a metadata-sized set),
   * and the compaction purge is the log rewrite compaction already paid.
   *
+  * Round 17 adds the COMPOSED takedown's own column: one
+  * `graft.stream.Forget` call (user-keyed redact + dedup + mixture legs
+  * + the pending→committed intent ledger) with a FIXED takedown size
+  * over a log and family indexes that grow together — the verb must
+  * stay flat like its legs: the resolution scan is pushdown-filtered,
+  * the family deletes are O(deleted), the ledger is two O(1) appends,
+  * and the resume-key digest is one aggregate over the takedown frame.
+  *
   *   runMain graft.tools.ProfileRedact
   */
 object ProfileRedact {
@@ -26,7 +34,7 @@ object ProfileRedact {
       val r = body
       (r, (System.nanoTime() - t0) / 1e9)
     }
-    println("events  redact50_s  byuser_s(rows)  scan_pre_s  scan_post_s  compact_s  scan_purged_s")
+    println("events  redact50_s  byuser_s(rows)  forget_s  scan_pre_s  scan_post_s  compact_s  scan_purged_s")
     Seq(20000L, 60000L, 200000L, 600000L).foreach { n =>
       val store = new StreamStore(spark,
         graft.TempDirs.create("graft-profredact").toString)
@@ -47,10 +55,29 @@ object ProfileRedact {
       // user-keyed takedown (round 16): resolve one author's ~n/97
       // events through the pushdown-filtered raw-log scan, same commit
       val (ru, tByUser) = timed(h.redactEventsByUser(Seq("u13")))
+      // the composed verb over family indexes that GROW with the log
+      // (docs = n/10): fixed takedown (one author + 2 docs), dedup +
+      // mixture legs, intent ledger bracketing — builds untimed
+      val docs = spark.range(n / 10).select(col("id").as("doc_id"),
+        concat(lit("src"), pmod(col("id"), lit(4))).as("source"),
+        concat_ws(" ", (0 until 10).map(i =>
+          md5(concat(col("id"), lit(i)))): _*).as("text"))
+      val dIdx = graft.TempDirs.create(s"graft-profforget-d$n").toString
+      graft.queries.Dedup.buildDedupIndex(spark,
+        docs.select("doc_id", "text"), dIdx)
+      val mIdx = graft.TempDirs.create(s"graft-profforget-m$n").toString
+      graft.queries.Pipeline.buildMixtureStatsDf(spark,
+        docs.select("source", "text"), mIdx)
+      val fDocs = docs.filter(col("doc_id").isin(5L, 10L))
+      val (_, tForget) = timed(graft.stream.Forget(spark, h,
+        graft.stream.Forget.Targets(users = Seq("u17"),
+          docIds = Seq(5L, 10L), dedupDir = Some(dIdx),
+          mixtureDir = Some(mIdx),
+          mixtureDocs = Some(fDocs.select("source", "text")))))
       val (_, tPost) = timed(h.rawGetEvents(1, n).count())
       val (_, tCompact) = timed(h.compactLog())
       val (_, tPurged) = timed(h.rawGetEvents(1, n).count())
-      println(f"$n%7d  $tRedact%9.2f  $tByUser%8.2f(${ru("redacted")}%5d)  $tPre%9.2f  $tPost%10.2f  $tCompact%8.2f  $tPurged%12.2f")
+      println(f"$n%7d  $tRedact%9.2f  $tByUser%8.2f(${ru("redacted")}%5d)  $tForget%7.2f  $tPre%9.2f  $tPost%10.2f  $tCompact%8.2f  $tPurged%12.2f")
     }
     spark.stop()
   }
