@@ -18,6 +18,26 @@ object Tables {
     else spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Scale-adaptive parallelism guard for CPU-heavy in-row kernels
+    * (tokenizing, shingle/feature hashing, codec encode/decode): a scan
+    * whose file set yields fewer splits than the session's parallelism
+    * runs every kernel above it nearly serially — the one-big-gzip
+    * input-skew case of the optimization playbook, which a parquet file
+    * with a single row group reproduces exactly (row groups are the
+    * split unit, so `maxPartitionBytes` cannot help). When the scan is
+    * under-parallel, spread rows round-robin across the cores BEFORE the
+    * kernel; when the input already carries enough splits (any
+    * production-sized table), this is the identity — no exchange enters
+    * the plan, so the added shuffle can never tax at-scale runs. Only
+    * wrap CPU-heavy producers: for scan-bound aggregates the exchange
+    * costs more than the kernel.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
+
   /** Schema-tolerant events reader. Testdata regenerations have shipped
     * `ts` under different parquet encodings — TIMESTAMP(NANOS) (which
     * Spark 4 only reads as long via `nanosAsLong`), TIMESTAMP(MICROS)

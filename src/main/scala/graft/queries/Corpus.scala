@@ -51,8 +51,9 @@ import graft.queries.Relational.Q
   */
 object Corpus {
 
+  // spread: tokenize/hash kernels dominate these gates (Tables.spread)
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.df(s, dir, "documents")
+    Tables.spread(Tables.df(s, dir, "documents"))
 
   private def h60(s: SparkSession, c: Column): Column =
     graft.functions.VectorExpressions.md5_60(s, c)

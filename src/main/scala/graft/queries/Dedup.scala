@@ -149,7 +149,7 @@ object Dedup {
   private def sigs(s: SparkSession, dir: String): DataFrame = {
     val minhash = udaf(new graft.functions.MinHashAgg(
       K, (0 until K).map(xorConst).toArray))
-    shingles(corpus(s, dir), 5)
+    shingles(Tables.spread(corpus(s, dir)), 5)
       .select(col("doc_id"),
         graft.functions.VectorExpressions.md5_60(s, col("sh")).as("h"))
       .groupBy("doc_id").agg(minhash(col("h")).as("sig"))
@@ -944,7 +944,10 @@ object Dedup {
         // bounded to one run per (session, corpus) instead of growing with
         // every execution.
         lshCaches.evict(s, dir)
-        val shArr = shingleHashArr(s, 5, stride = 2)(corpus(s, dir))
+        // spread the scan-rooted kernel input (Tables.spread): the per-doc
+        // shingle-hash build is the gate's dominant compute
+        val shArr = shingleHashArr(s, 5, stride = 2)(
+            Tables.spread(corpus(s, dir)))
           .persist()
         shArr.count() // materialize NOW: three consumers below (two broadcast
         // threads + the main stage) would otherwise race to build the cache
@@ -1067,7 +1070,7 @@ object Dedup {
           val arr = shingleHashArr(s, 5, stride = 2)(c)
           (arr, bandsFromArr(arr, r))
         }
-        val (priorArr, priorBands) = arrAndBands(prior)
+        val (priorArr, priorBands) = arrAndBands(Tables.spread(prior))
         val (restArr, restBands) = arrAndBands(rest)
         val cand = restBands.as("x").join(priorBands.as("y"),
             col("x.band_id") === col("y.band_id") && col("x.bh") === col("y.bh"))
@@ -1341,10 +1344,12 @@ object Dedup {
     // ---- simhash: 32-bit per-doc signature from per-token hash bits ----
     "q_dedup_simhash" -> Q(
       (s, dir) => {
-        val tok = corpus(s, dir)
+        val tok = Tables.spread(corpus(s, dir))
           .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
           .select(col("doc_id"),
-            conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("v"))
+            // first 8 hex digits of md5 = top 32 of the 60-bit prefix:
+            // one digest call per TOKEN instead of hex render + conv parse
+            shiftright(graft.functions.VectorExpressions.md5_60(s, col("tok")), 28).as("v"))
         val bitSums = (0 until 32).map(j =>
           sum(shiftright(col("v"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$j"))
         val folded = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
@@ -1373,10 +1378,12 @@ object Dedup {
     // never O(N²) pairs.
     "q_dedup_simhash_pairs" -> Q(
       (s, dir) => {
-        val tok = corpus(s, dir)
+        val tok = Tables.spread(corpus(s, dir))
           .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
           .select(col("doc_id"),
-            conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("v"))
+            // first 8 hex digits of md5 = top 32 of the 60-bit prefix:
+            // one digest call per TOKEN instead of hex render + conv parse
+            shiftright(graft.functions.VectorExpressions.md5_60(s, col("tok")), 28).as("v"))
         val bitSums = (0 until 32).map(j =>
           sum(shiftright(col("v"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$j"))
         val folded = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)

@@ -86,13 +86,18 @@ object LeafOps {
     h.setModule(demoModule)
     val enc = udf((etype: String, value: Double, k: Long) =>
       Drisl.encode(obj("type" -> text(etype), "value" -> DFloat(value), "k" -> int(k))))
-    val ev = Tables.df(s, dir, "events")
+    // spread BEFORE the CBOR-encode UDF (the ingest's dominant kernel —
+    // Tables.spread), then range-partition the encoded rows by idx so the
+    // imported log files stay idx-disjoint and min/max file pruning on
+    // raw range scans keeps working exactly as before
+    val ev = Tables.spread(Tables.df(s, dir, "events"))
       .select(
         (col("event_id") + 1).as("idx"),
         concat(lit("u"), col("user_id")).as("user"),
         enc(col("event_type"), col("value"),
           get_json_object(col("props"), "$.k").cast("long")).as("payload"),
         lit(Array.empty[Byte]).as("signature"))
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("idx"))
     h.bulkImport(ev)
     h
   }

@@ -49,8 +49,10 @@ import graft.queries.Relational.Q
   */
 object Retrieval {
 
+  // spread: the tokenize/posting explode above this scan dominates the
+  // lexical builds and BM25 probes (Tables.spread)
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.df(s, dir, "documents")
+    Tables.spread(Tables.df(s, dir, "documents"))
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.df(s, dir, "embeddings")
   private def dec(c: Column): Column = c.cast(DecimalType(25, 10))

@@ -27,8 +27,9 @@ object TextAnalysis {
   private[queries] def splitOf(h: Column): Column =
     when(h % 10 < 8, "train").when(h % 10 === 8, "val").otherwise("test")
 
+  // spread: tokenize/hash kernels dominate these gates (Tables.spread)
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.df(s, dir, "documents")
+    Tables.spread(Tables.df(s, dir, "documents"))
 
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 
