@@ -27,7 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_JVM_FLAGS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))
 // `sbt run` / the packaged jar's manifest boot the server CLI; the
 // bench/verify mains stay reachable via runMain (the driver invokes
 // them explicitly).

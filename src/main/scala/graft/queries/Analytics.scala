@@ -153,7 +153,7 @@ object Analytics {
     // seen >= 5 times, ties broken lexicographically.
     "q_text_collocations" -> Q(
       (s, dir) => {
-        val toks = t(s, dir, "documents")
+        val toks = Tables.spread(t(s, dir, "documents"))
           .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("ts"))
         // bigrams build as zip(ts[0..n-2], ts[1..n-1]) INSIDE the array
         // before the explode — the exploded rows carry one 2-field struct
@@ -328,7 +328,7 @@ object Analytics {
         gateFrames.evict(s, s"$dir#held_lp") // pre-persist (shared-entry rule)
         val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
           .cast("long")
-        val inst = t(s, dir, "documents")
+        val inst = Tables.spread(t(s, dir, "documents"))
           .select(col("doc_id"), (h % 10 < 8).as("is_train"),
             explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
           .persist()
@@ -384,15 +384,20 @@ object Analytics {
     // corpus-sized); V is one scalar cross join.
     "q_text_bigram_lp" -> Q(
       (s, dir) => {
-        val toks = t(s, dir, "documents")
+        val toks = Tables.spread(t(s, dir, "documents"))
           .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("ts"))
         gateFrames.evict(s, s"$dir#bigram_lp") // pre-persist (shared-entry rule)
+        // bigrams build INSIDE the array before the explode (the
+        // collocations discipline): the posexplode formulation dragged the
+        // whole token array through every exploded row — O(doc_len**2)
+        // bytes per doc — just to element_at the next token
         val inst = toks
-          .select(col("doc_id"), posexplode(col("ts")).as(Seq("i", "w")),
-            col("ts"), size(col("ts")).as("n"))
-          .filter(col("i") < col("n") - 1)
-          .select(col("doc_id"), col("w").as("w1"),
-            element_at(col("ts"), col("i") + 2).as("w2"))
+          .filter(size(col("ts")) >= 2)
+          .select(col("doc_id"), explode(zip_with(
+            slice(col("ts"), lit(1), size(col("ts")) - 1),
+            slice(col("ts"), lit(2), size(col("ts")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
           .persist()
         inst.count() // three consumers: c12, c1, the instance join
         gateFrames.put(s, s"$dir#bigram_lp", inst)
@@ -446,7 +451,7 @@ object Analytics {
     "q_text_entropy" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val chars = t(s, dir, "documents")
+        val chars = Tables.spread(t(s, dir, "documents"))
           .select(col("doc_id"),
             explode(sequence(lit(1), length(col("text")))).as("i"), col("text"))
           .select(col("doc_id"), col("text").substr(col("i"), lit(1)).as("c"))
@@ -484,15 +489,20 @@ object Analytics {
 
     "q_text_novelty" -> Q(
       (s, dir) => {
-        val toks = t(s, dir, "documents")
+        val toks = Tables.spread(t(s, dir, "documents"))
           .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("ts"))
         gateFrames.evict(s, s"$dir#novelty") // pre-persist (shared-entry rule)
+        // bigrams build INSIDE the array before the explode (the
+        // collocations discipline): the posexplode formulation dragged the
+        // whole token array through every exploded row — O(doc_len**2)
+        // bytes per doc — just to element_at the next token
         val inst = toks
-          .select(col("doc_id"), posexplode(col("ts")).as(Seq("i", "w")),
-            col("ts"), size(col("ts")).as("n"))
-          .filter(col("i") < col("n") - 1)
-          .select(col("doc_id"), col("w").as("w1"),
-            element_at(col("ts"), col("i") + 2).as("w2"))
+          .filter(size(col("ts")) >= 2)
+          .select(col("doc_id"), explode(zip_with(
+            slice(col("ts"), lit(1), size(col("ts")) - 1),
+            slice(col("ts"), lit(2), size(col("ts")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
           .persist()
         inst.count() // two consumers: corpus counts + the instance join
         gateFrames.put(s, s"$dir#novelty", inst)
@@ -917,11 +927,16 @@ object Analytics {
         val nodes = edges.select(col("src").as("nk"))
           .unionAll(edges.select(col("dst").as("nk"))).distinct().persist()
         val n = nodes.count() // one action settles edges + nodes
-        prCaches.put(s, dir, Seq(edges, nodes))
+        // (edges JOIN wout) is superstep-INVARIANT: hoist and pin it so
+        // the three unrolled iterations read one |edges|-bounded cached
+        // frame instead of re-deriving the join inside each superstep
         val wout = edges.groupBy("src").agg(sum(col("w")).as("wout"))
+        val ew = edges.join(wout, "src").persist()
+        ew.count() // settle before the supersteps fork it
+        prCaches.put(s, dir, Seq(edges, nodes, ew))
         var ranks = nodes.select(col("nk"), lit(1000000000000L / n).as("r"))
         for (_ <- 1 to 3) {
-          val contrib = edges.join(wout, "src")
+          val contrib = ew
             .join(ranks, col("src") === col("nk"))
             .select(col("dst"), expr("(r * w) DIV wout").as("c"))
             .groupBy("dst").agg(sum(col("c")).as("c"))

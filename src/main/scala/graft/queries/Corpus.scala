@@ -52,8 +52,10 @@ import graft.queries.Relational.Q
 object Corpus {
 
   // spread: tokenize/hash kernels dominate these gates (Tables.spread)
+  // NOT spread wholesale: several Corpus gates carry map-only plan pins
+  // (gopher). Heavy kernels spread surgically at their call sites.
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.df(s, dir, "documents"))
+    Tables.df(s, dir, "documents")
 
   private def h60(s: SparkSession, c: Column): Column =
     graft.functions.VectorExpressions.md5_60(s, c)
@@ -166,7 +168,7 @@ object Corpus {
         // one extra full pass over documents at 100 TB and would bake N
         // into the plan as a literal, making it unreusable across corpora
         val nTotal = d.select(count(lit(1)).cast("double").as("corpus_n"))
-        val tf = d
+        val tf = Tables.spread(d)
           .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
           .select(col("doc_id"), lower(col("term")).as("term"))
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -324,7 +326,8 @@ object Corpus {
     // the same count, so the gate stays hash-exact.
     "q_decontaminate_bloom" -> Q(
       (s, dir) => {
-        val d = docs(s, dir).select(col("doc_id"), trim(col("text")).as("t"))
+        val d = Tables.spread(docs(s, dir))
+          .select(col("doc_id"), trim(col("text")).as("t"))
           .filter(length(col("t")) >= 20)
         val g = grams20(s, d)
         val evalG = g.filter(col("doc_id") % 97 === 0).select("h").distinct()

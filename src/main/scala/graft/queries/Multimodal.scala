@@ -488,8 +488,11 @@ object Multimodal {
     * text. The stats + frame-sampling gates treat media as uninterpreted
     * bytes (the video case), and this mapping is byte-expressible in the
     * oracle dialect, so `q_mm_stats` hash-checks it end to end. */
+  // NOT spread: this builder is pure byte expressions (no codec) and its
+  // consumers are scan-bound aggregates — an exchange would cost more
+  // than the map work it spreads
   private def media(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.df(s, dir, "documents")).select(
+    Tables.df(s, dir, "documents").select(
       col("doc_id").as("media_id"),
       element_at(lit(Array("jpeg", "png", "webp")), (col("doc_id") % 3 + 1).cast("int")).as("fmt"),
       encode(col("text"), "utf-8").as("data"))

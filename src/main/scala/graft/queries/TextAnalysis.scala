@@ -27,9 +27,11 @@ object TextAnalysis {
   private[queries] def splitOf(h: Column): Column =
     when(h % 10 < 8, "train").when(h % 10 === 8, "val").otherwise("test")
 
-  // spread: tokenize/hash kernels dominate these gates (Tables.spread)
+  // NOT spread wholesale: these gates are map-only scans + one final
+  // order (q_quality_gopher's plan is pinned to exactly that shape).
+  // The one per-position kernel (winnow) spreads at its call site.
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.df(s, dir, "documents"))
+    Tables.df(s, dir, "documents")
 
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 
@@ -154,7 +156,7 @@ object TextAnalysis {
     "q_text_winnow" -> Q(
       (s, dir) => {
         val win = 4
-        docs(s, dir)
+        Tables.spread(docs(s, dir))
           .select(col("doc_id"), trim(col("text")).as("t"))
           .filter(length(col("t")) >= 5)
           .select(col("doc_id"),
