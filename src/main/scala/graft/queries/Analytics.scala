@@ -384,7 +384,7 @@ object Analytics {
     // corpus-sized); V is one scalar cross join.
     "q_text_bigram_lp" -> Q(
       (s, dir) => {
-        val toks = Tables.spread(t(s, dir, "documents"))
+        val toks = t(s, dir, "documents")
           .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("ts"))
         gateFrames.evict(s, s"$dir#bigram_lp") // pre-persist (shared-entry rule)
         // bigrams build INSIDE the array before the explode (the
@@ -489,7 +489,7 @@ object Analytics {
 
     "q_text_novelty" -> Q(
       (s, dir) => {
-        val toks = Tables.spread(t(s, dir, "documents"))
+        val toks = t(s, dir, "documents")
           .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("ts"))
         gateFrames.evict(s, s"$dir#novelty") // pre-persist (shared-entry rule)
         // bigrams build INSIDE the array before the explode (the

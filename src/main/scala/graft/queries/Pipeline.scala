@@ -45,10 +45,13 @@ import graft.queries.Relational.Q
   */
 object Pipeline {
 
-  // spread: the text kernels above this scan (tokenize, bigram hash,
-  // n-gram md5) are the gates' dominant compute — see Tables.spread
+  // NOT spread wholesale (measured: the exchange taxes the light gates,
+  // the mixture/doremi fixtures and the artifact-writing builds more
+  // than it buys). The heavy one-shot kernels spread at their call
+  // sites: dsirScores, nbClassifierScores, the funnel's stage-1 bigram
+  // pass, q_decontaminate's gram passes.
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.df(s, dir, "documents"))
+    Tables.df(s, dir, "documents")
 
   // the component table is consumed by BOTH q_dedup_cluster and
   // q_split_leakage_safe; the BSP loop ends in an eager localCheckpoint,
@@ -855,7 +858,8 @@ object Pipeline {
     // doc; the gate reports the distinct shared-gram count per doc.
     "q_decontaminate" -> Q(
       (s, dir) => {
-        val d = docs(s, dir).select(col("doc_id"), trim(col("text")).as("t"))
+        val d = Tables.spread(docs(s, dir))
+          .select(col("doc_id"), trim(col("text")).as("t"))
           .filter(length(col("t")) >= 20)
         def grams(df: DataFrame) = df
           .select(col("doc_id"),
@@ -1544,8 +1548,10 @@ object Pipeline {
         val d = docs(s, dir).select(col("doc_id"), trim(col("text")).as("t"))
         // stage 1: quality — enough words, not bigram-stuffed (exploded
         // bigram counts collapse in partial aggregation: the shuffle is
-        // one row per (doc, distinct bigram), linear in doc length)
-        val withWords = d.withColumn("ws", split(lower(col("t")), "\\s+"))
+        // one row per (doc, distinct bigram), linear in doc length).
+        // The bigram kernel is the funnel's dominant compute — spread it.
+        val withWords = Tables.spread(d)
+          .withColumn("ws", split(lower(col("t")), "\\s+"))
           .filter(size(col("ws")) >= 20)
         val topBg = withWords
           .select(col("doc_id"), explode(expr(
@@ -2154,8 +2160,9 @@ object Pipeline {
       target: Seq[String] = Seq("src0", "src1")): DataFrame = {
     val B = 256
     val sp = TextAnalysis.splitOf(TextAnalysis.docSplitHash)
-    val toks = docs(s, dir).select(col("doc_id"), col("source"),
-      split(trim(lower(col("text"))), "\\s+").as("ts"))
+    val toks = Tables.spread(docs(s, dir))
+      .select(col("doc_id"), col("source"),
+        split(trim(lower(col("text"))), "\\s+").as("ts"))
     nbCaches.evict(s, dir)
     val occ0 = toks.filter(size(col("ts")) >= 2)
       .select(col("doc_id"), col("source"), explode(zip_with(
@@ -2458,8 +2465,9 @@ object Pipeline {
   def dsirScores(s: SparkSession, dir: String,
       target: Seq[String] = Seq("src0", "src1")): DataFrame = {
     val B = 256 // hashed feature buckets
-    val toks = docs(s, dir).select(col("doc_id"), col("source"),
-      split(trim(lower(col("text"))), "\\s+").as("ts"))
+    val toks = Tables.spread(docs(s, dir))
+      .select(col("doc_id"), col("source"),
+        split(trim(lower(col("text"))), "\\s+").as("ts"))
     // bigrams build inside the array before the explode (the
     // collocations discipline: exploded rows carry one string, never
     // the whole token array)

@@ -49,10 +49,12 @@ import graft.queries.Relational.Q
   */
 object Retrieval {
 
-  // spread: the tokenize/posting explode above this scan dominates the
-  // lexical builds and BM25 probes (Tables.spread)
+  // NOT spread wholesale: the lexical index builds write map-only
+  // artifacts (a spread input writes one tiny file per core, taxing
+  // every later committed-batch scan). Heavy non-writing kernels
+  // spread at their call sites.
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.df(s, dir, "documents"))
+    Tables.df(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.df(s, dir, "embeddings")
   private def dec(c: Column): Column = c.cast(DecimalType(25, 10))

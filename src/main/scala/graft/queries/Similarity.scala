@@ -32,8 +32,7 @@ object Similarity {
   private def dec(c: Column): Column = c.cast(DecimalType(25, 10))
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.df(s, dir, "embeddings"))
-      .select(col("vec_id"), col("label"), col("embedding"))
+    Tables.df(s, dir, "embeddings").select(col("vec_id"), col("label"), col("embedding"))
 
   /** 1-row DataFrame with the query vector (vec_id = 0) and its norm. */
   private def queryVec(s: SparkSession, dir: String): DataFrame =
