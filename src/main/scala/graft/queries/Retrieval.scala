@@ -213,7 +213,7 @@ object Retrieval {
     graft.stream.PointerCommit.clearClaims(fs,
       new org.apache.hadoop.fs.Path(indexDir))
     java.nio.file.Files.deleteIfExists(lexHistoryFile(indexDir))
-    writeLexBatch(s, corpus, indexDir, batch = 0)
+    writeLexBatch(s, corpus, indexDir, batch = 0, spreadKernel = true)
     val posted = s.read.parquet(s"$indexDir/terms/batch=0")
     posted.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/df.v1")
@@ -614,13 +614,24 @@ object Retrieval {
 
   private def writeLexBatch(s: SparkSession, corpus: DataFrame,
       indexDir: String, batch: Int,
-      termsDir: String = "terms", docsDir: String = "docs"): Unit = {
+      termsDir: String = "terms", docsDir: String = "docs",
+      spreadKernel: Boolean = false): Unit = {
     import org.apache.spark.sql.SaveMode
     val t = split(trim(lower(col("text"))), "\\s+")
     corpus.select(col("doc_id"), size(t).cast("long").as("dl"))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$indexDir/$docsDir/batch=$batch")
-    corpus.select(col("doc_id"), explode(t).as("term"))
+    // spread the postings pass (tokenize + explode, the build's dominant
+    // kernel — Tables.spread): safe because this write sits above the
+    // (term, doc_id) aggregation exchange, so the artifact's file count
+    // is the post-shuffle layout either way. BUILD-only (scan-rooted
+    // corpus): append inputs can be shuffle-rooted (tombstone
+    // anti-join, streaming micro-batches), where the guard's partition
+    // probe would execute the upstream stages. The dl pass above stays
+    // on the bare scan — its write is map-only, and a spread input
+    // would write one tiny file per core.
+    (if (spreadKernel) Tables.spread(corpus) else corpus)
+      .select(col("doc_id"), explode(t).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).cast("long").as("tf"))
