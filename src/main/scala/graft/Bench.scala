@@ -79,11 +79,20 @@ object Bench {
     // Sentinel pins (round-15, verdict r14 item 6): the load_before gate
     // catches a run that LAUNCHES dirty, but co-tenant load arriving
     // MID-run still poisoned two recorded rounds. A handful of queries
-    // with pinned steady-state costs (sf0.1, ~1.2x-slow-box headroom
-    // already included in the 1.5x margin) self-identify that case: any
+    // with pinned steady-state costs (sf0.1) self-identify that case: any
     // sentinel above 1.5x its pin re-runs ONCE on the spot (transient
     // co-tenancy heals; the re-run replaces the poisoned number), and a
     // sentinel that still breaches stamps the record tainted.
+    //
+    // Round-18 (verdict r17 item 1b): the pins are NORMALIZED by the
+    // sweep's own median gate time. An absolute pin conflates "this gate
+    // spiked" (co-tenancy — what the sentinel exists to catch) with "this
+    // box is uniformly 1.2x slower" (calibration drift — which must NOT
+    // taint the record, or the taint becomes self-sustaining and the
+    // driver flies blind, as it did in r16 AND r17). The median of 205
+    // gates is insensitive to any one gate spiking, so breach =
+    // value > 1.5 x pin x max(1, median/medianPin) fires exactly on
+    // disproportionate per-gate inflation.
     case class Sentinel(query: String, phase: Option[String], pinSec: Double)
     val sentinels =
       if (!sfDir.stripSuffix("/").endsWith("sf0.1")) Seq.empty
@@ -91,6 +100,11 @@ object Bench {
         Sentinel("q_dedup_incremental2", Some("increment2"), 2.1),
         Sentinel("leaf_backup_reference", None, 4.5),
         Sentinel("q_dedup_lsh", None, 4.5))
+    // quiet-box median gate seconds at sf0.1/32 cpus (measured r18; the
+    // same provenance as the pins themselves)
+    val medianPin = 0.30
+    def medianOf(xs: Seq[Double]): Double =
+      if (xs.isEmpty) 0.0 else xs.sorted.apply(xs.size / 2)
     def sentinelValue(s: Sentinel, res: Map[String, Double]): Option[Double] =
       s.phase match {
         case Some(p) => PhaseTimings.snapshot.get(s.query)
@@ -108,12 +122,15 @@ object Bench {
       val (results0, failed) = runAll(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1))
       var results = results0
       var reruns = 0
+      // uniform-slow-box normalization: see the sentinel comment above
+      val speedFactor = math.max(1.0, medianOf(results0.map(_._2)) / medianPin)
+      def margin(s: Sentinel): Double = 1.5 * s.pinSec * speedFactor
       val stillBreached = scala.collection.mutable.ArrayBuffer.empty[String]
       sentinels.foreach { s =>
         val resMap = results.toMap
-        sentinelValue(s, resMap).filter(_ > 1.5 * s.pinSec).foreach { v =>
+        sentinelValue(s, resMap).filter(_ > margin(s)).foreach { v =>
           System.err.println(f"BENCH: sentinel ${s.query}${s.phase.fold("")("/" + _)} " +
-            f"at $v%.2fs breaches pin ${s.pinSec}%.1fs x1.5 — re-running once")
+            f"at $v%.2fs breaches pin ${s.pinSec}%.1fs x1.5 x speed $speedFactor%.2f — re-running once")
           try { spark.catalog.clearCache(); System.gc() } catch { case _: Throwable => }
           val (rr, _) = runAll(spark, sfDir,
             Seq(s.query -> SparkEntry.queries(s.query)))
@@ -125,7 +142,7 @@ object Bench {
             case Some(nv) =>
               results = results.map { case (k, t) =>
                 if (k == s.query) k -> math.min(t, nv) else k -> t }
-              if (sentinelValue(s, results.toMap).exists(_ > 1.5 * s.pinSec))
+              if (sentinelValue(s, results.toMap).exists(_ > margin(s)))
                 stillBreached += s.query
             case None =>
               System.err.println(s"BENCH: sentinel re-run of ${s.query} FAILED — keeping original timing, stamping tainted")
@@ -135,32 +152,85 @@ object Bench {
       }
       Attempt(results, failed, loadBefore, reruns, stillBreached.toSeq)
     }
-    // Round-17 (verdict r16 finding 1 / item 3): a tainted record must not
-    // ship as the round's artifact while a clean run is obtainable. The
-    // round-16 mechanism retried the FULL sweep once — and the co-tenant
-    // persisted through the single retry, so the artifact still shipped
-    // tainted. The retry budget is now configurable
-    // (SPARK_GRAFT_BENCH_ATTEMPTS, default 3): re-run the full sweep,
-    // each attempt behind the same bounded load-settle wait, and record
-    // the FIRST untainted attempt; every discarded attempt's total is
-    // kept in the record (attemptN_total) so cross-round comparison can
-    // see this record IS a retry and what it replaced. Tainted ships
-    // only when every attempt breached; a failed query is an engine
-    // problem, not co-tenancy, so it never triggers a retry.
+    // Round-18 (verdict r17 item 1a): a tainted record must not ship as
+    // the round's artifact while a clean run is obtainable — but the
+    // round-17 mechanism retried the full sweep IN THE SAME JVM, where
+    // GateCache memos, disk fixtures and the JIT stay warm, so retry
+    // attempts were not cold-comparable and the shipped record was
+    // useless either way. Retries now run in a FRESH CHILD JVM each
+    // (same java, same flags, same classpath, SPARK_GRAFT_BENCH_ATTEMPTS
+    // forced to 1 in the child): every attempt is a true cold sweep, and
+    // whichever one ships is like-for-like with any other round's cold
+    // attempt. The parent keeps the FIRST untainted attempt and records
+    // every discarded attempt's total (attemptN_total) so cross-round
+    // comparison can see the record is a retry and what it replaced.
+    // Tainted ships only when every attempt breached; a failed query is
+    // an engine problem, not co-tenancy, so it never triggers a retry.
     val maxAttempts = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_ATTEMPTS").flatMap(_.toIntOption)
         .getOrElse(3))
-    var att = attempt()
+    val att = attempt()
     var attempts = 1
     val discardedTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
-    while (att.tainted && att.failed.isEmpty && attempts < maxAttempts) {
-      System.err.println(s"BENCH: attempt $attempts tainted by co-tenant " +
-        s"load — retrying the full sweep (budget $maxAttempts) after a " +
-        "load-settle wait")
+    if (att.tainted && att.failed.isEmpty && attempts < maxAttempts) {
       discardedTotals += att.results.map(_._2).sum
-      try { spark.catalog.clearCache(); System.gc() } catch { case _: Throwable => }
-      att = attempt()
-      attempts += 1
+      spark.stop()
+      val javaBin = new java.io.File(new java.io.File(
+        System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments
+      var shipped: Option[String] = None
+      while (shipped.isEmpty && attempts < maxAttempts) {
+        attempts += 1
+        System.err.println(s"BENCH: attempt ${attempts - 1} tainted by " +
+          s"co-tenant load — retrying the full sweep in a fresh JVM " +
+          s"(attempt $attempts of $maxAttempts)")
+        val cmd = new java.util.ArrayList[String]()
+        cmd.add(javaBin)
+        jvmArgs.forEach(a => cmd.add(a))
+        cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
+        cmd.add("graft.Bench")
+        val pb = new ProcessBuilder(cmd)
+        pb.environment().put("SPARK_GRAFT_BENCH_ATTEMPTS", "1")
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val proc = pb.start()
+        val childOut = new String(proc.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val rc = proc.waitFor()
+        val record = childOut.linesIterator.toSeq.reverseIterator
+          .find(_.startsWith("{\"metric\":"))
+        record match {
+          case Some(line) =>
+            val parsed = try graft.server.Json.parse(line)
+              .asInstanceOf[Map[String, Any]] catch { case _: Throwable => Map.empty[String, Any] }
+            val childTainted = parsed.get("tainted").contains(true)
+            def total = parsed.get("value") match {
+              case Some(d: Double) => d
+              case Some(l: Long) => l.toDouble
+              case _ => 0.0
+            }
+            if (rc != 0 || !childTainted || attempts >= maxAttempts) {
+              // ship this child's record, augmented with the history of
+              // every discarded attempt (same keys the in-JVM retry wrote)
+              val history = discardedTotals.zipWithIndex.map { case (t, i) =>
+                s""","attempt${i + 1}_total":$t,"attempt${i + 1}_tainted":true"""
+              }.mkString
+              shipped = Some(line.replace("\"attempts\":1,\"tainted\":",
+                s""""attempts":$attempts$history,"tainted":"""))
+              if (rc != 0) {
+                println(shipped.get)
+                System.err.println(s"BENCH: fresh-JVM attempt failed (rc=$rc)")
+                sys.exit(rc)
+              }
+            } else discardedTotals += total
+          case None =>
+            System.err.println(s"BENCH: fresh-JVM attempt printed no record (rc=$rc) — aborting retries")
+            println(childOut)
+            sys.exit(if (rc != 0) rc else 1)
+        }
+      }
+      println(shipped.get)
+      return
     }
     val Attempt(results, failed, loadBefore, reruns, stillBreached) = att
     val loadAfter = loadAvg()

@@ -34,7 +34,17 @@ object Tables {
     */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
+    // structural guard (r18, per ADVICE): probing .rdd.getNumPartitions
+    // on a shuffle-rooted plan under AQE EXECUTES its upstream stages —
+    // the probe itself would double the work. spread's contract is
+    // scan-rooted producers only; enforce it by inspecting the physical
+    // plan for exchanges (planning only, nothing executes) instead of
+    // trusting call-site comments: an exchange-bearing caller gets the
+    // identity, never a double execution.
+    val shuffleRooted = df.queryExecution.sparkPlan.find(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]).isDefined
+    if (shuffleRooted) df
+    else if (df.rdd.getNumPartitions >= target) df
     else df.repartition(target)
   }
 

@@ -450,25 +450,50 @@ object Analytics {
     // text — then one doc_id window ----
     "q_text_entropy" -> Q(
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val chars = Tables.spread(t(s, dir, "documents"))
-          .select(col("doc_id"),
-            explode(sequence(lit(1), length(col("text")))).as("i"), col("text"))
-          .select(col("doc_id"), col("text").substr(col("i"), lit(1)).as("c"))
-        val counts = chars.groupBy(col("doc_id"), col("c"))
-          .agg(count(lit(1)).as("cnt"))
-        val withN = counts.withColumn("n",
-          sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
-        withN.groupBy("doc_id")
-          .agg(min(col("n")).as("n_chars"),
-            count(lit(1)).as("n_distinct"),
-            sum(col("cnt") * round(log(col("n").cast("double") /
-              col("cnt").cast("double")), 6)
-              .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("s"))
-          .select(col("doc_id"), col("n_chars"), col("n_distinct"),
-            (col("s").cast("double") / col("n_chars") /
+        import org.apache.spark.sql.types.DecimalType
+        // In-row per-doc histogram (r18, verdict item 7): the old shape
+        // exploded one row per CHARACTER into a hash aggregate, a second
+        // exchange and a doc window — all to count runs of equal chars.
+        // Sorting the doc's char array in-row and run-length-encoding it
+        // yields the identical (char, cnt) multiset with zero exchanges:
+        // the whole gate is one map-only projection plus the final sort.
+        // Determinism is unchanged: the per-term decimal products and
+        // their exact decimal sum are the same terms in a different
+        // order, and decimal addition is exact (no float-sum ordering),
+        // so the gate hash is bit-identical (oracle-verified at all SFs).
+        val arr = array_sort(transform(
+          sequence(lit(1), length(col("text"))),
+          i => col("text").substr(i, lit(1))))
+        val docs = Tables.spread(t(s, dir, "documents"))
+          // a null text produced no exploded rows (and so no output row)
+          // in the old shape — preserve that exactly
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), arr.as("cs"))
+          .select(col("doc_id"), col("cs"),
+            size(col("cs")).cast("long").as("n"),
+            // run starts: positions whose char differs from its neighbor
+            filter(sequence(lit(1), size(col("cs"))),
+              i => i === 1 ||
+                element_at(col("cs"), i) =!= element_at(col("cs"), i - 1))
+              .as("starts"))
+          .select(col("doc_id"), col("n"),
+            size(col("starts")).cast("long").as("n_distinct"),
+            // run lengths = gaps between consecutive starts (last run
+            // closed by n+1), each contributing cnt * round6(ln(n/cnt))
+            // to the exact decimal sum — the same terms the old
+            // per-(doc, char) aggregate summed
+            aggregate(
+              zip_with(col("starts"),
+                concat(slice(col("starts"), lit(2), size(col("starts"))),
+                  array(col("n") + 1)),
+                (a, b) => b - a),
+              lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 6)),
+              (acc, cnt) => acc + cnt * round(log(col("n").cast("double") /
+                cnt.cast("double")), 6).cast(DecimalType(18, 6))).as("s"))
+          .select(col("doc_id"), col("n").as("n_chars"), col("n_distinct"),
+            (col("s").cast("double") / col("n") /
               lit(0.6931471805599453)).as("entropy_bits"))
-          .orderBy(col("doc_id"))
+        docs.orderBy(col("doc_id"))
       },
       Some("""WITH chars AS (
              |  SELECT doc_id, substr(text, i, 1) AS c

@@ -74,6 +74,15 @@ object Dedup {
        |  SELECT doc_id, substr(trim(text), unnest(generate_series(1, length(trim(text))-${n - 1}, $stride)), $n) AS sh
        |  FROM corpus WHERE length(trim(text)) >= $n)""".stripMargin
 
+  /** The in-row shingle-hash-array expression over a (trimmed) text
+    * column — callers must guard `length(t) >= n` themselves (a bare
+    * `sequence(1, len-(n-1))` throws on shorter rows). */
+  private def shingleArrExpr(s: SparkSession, n: Int, stride: Int)(
+      t: Column): Column =
+    sort_array(array_distinct(transform(
+      sequence(lit(1), length(t) - (n - 1), lit(stride)),
+      i => graft.functions.VectorExpressions.md5_60(s, t.substr(i, lit(n))))))
+
   /** Per-doc sorted distinct 60-bit shingle-hash array, built ENTIRELY
     * in-row (transform + md5_60 + array_distinct + sort_array): the
     * grouping key is the doc itself, so exploding shingles through a
@@ -85,10 +94,7 @@ object Dedup {
     c.select(col("doc_id"), trim(col("text")).as("t"))
       .filter(length(col("t")) >= n)
       .select(col("doc_id"),
-        sort_array(array_distinct(transform(
-          sequence(lit(1), length(col("t")) - (n - 1), lit(stride)),
-          i => graft.functions.VectorExpressions.md5_60(s, col("t").substr(i, lit(n))))))
-          .as("shs"))
+        shingleArrExpr(s, n, stride)(col("t")).as("shs"))
 
   // minhash signature width; the LSH banding over it is DERIVED from the
   // corpus size (see lshRowsPerBand) — K=12 factors as 4x3, 3x4, and 2x6,
@@ -544,36 +550,55 @@ object Dedup {
     (historical ++ Seq(meta.bandsDir, meta.delDir)).filter(_.nonEmpty).toSet
   }
 
-  /** Write one batch of docs into the index artifacts at the given r.
-    * Every artifact derives from THIS batch only (lineage, not a re-read
-    * of the artifact dirs — an append must not re-band prior batches),
-    * so the cost of an append is O(batch). */
+  /** Write one batch of docs into the index artifacts, deriving r from
+    * the batch's own (cached) count via `rOf`. Every artifact derives
+    * from THIS batch only (lineage, not a re-read of the artifact dirs —
+    * an append must not re-band prior batches), so the cost of an append
+    * is O(batch). Returns (batch doc count, r).
+    *
+    * ONE corpus scan (r18, verdict item 3): fp and the shingle arrays
+    * are computed in the same in-row projection and persisted together,
+    * so the batch text is read and tokenized once instead of once per
+    * artifact — and the batch count folds into the same cached frame
+    * instead of a separate scan (the build's count() and the append's
+    * post-anti-join count() were each a full extra pass). fp rows cover
+    * EVERY doc; shingle/band rows only docs of shingle length (the `when`
+    * guard reproduces shingleHashArr's length filter exactly). */
   private def writeIndexParts(s: SparkSession, docs: DataFrame,
-      indexDir: String, r: Int, batch: Int,
-      bandsDir: String = "bands"): Unit = {
+      indexDir: String, rOf: Long => Int, batch: Int,
+      bandsDir: String = "bands"): (Long, Int) = {
     graft.functions.VectorExpressions.register(s)
     // every artifact writes into a BATCH-SCOPED subdir (batch=N), each in
     // Overwrite mode: a retry of an append whose previous attempt died
     // mid-way replaces the partial batch instead of doubling rows, and
     // the batch set is what the meta commit validates at load
-    // per-DOC fingerprint rows (not per-group min): a targeted delete of
-    // a content group's representative must fall back to the group's
-    // surviving members, which a min-compressed artifact cannot express —
-    // the exact lookup takes min over LIVE rows at probe time instead
-    docs.select(md5(col("text")).as("fp"), col("doc_id"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$indexDir/fp/batch=$batch")
-    // persist the batch's shingle arrays across the two writes: doc-level
-    // fixed-width long arrays (the frame class persist pays for) — else
-    // the band write re-shingles the batch text
-    val batchArr = shingleHashArr(s, 5, stride = 2)(docs).persist()
+    val batchAll = docs
+      .select(col("doc_id"), md5(col("text")).as("fp"),
+        trim(col("text")).as("t"))
+      .select(col("doc_id"), col("fp"),
+        when(length(col("t")) >= 5,
+          shingleArrExpr(s, 5, stride = 2)(col("t"))).as("shs"))
+      .persist()
     try {
+      // per-DOC fingerprint rows (not per-group min): a targeted delete
+      // of a content group's representative must fall back to the
+      // group's surviving members, which a min-compressed artifact
+      // cannot express — the exact lookup takes min over LIVE rows at
+      // probe time instead
+      batchAll.select(col("fp"), col("doc_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$indexDir/fp/batch=$batch")
+      val batchArr = batchAll.filter(col("shs").isNotNull)
+        .select(col("doc_id"), col("shs"))
       batchArr.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$indexDir/shingles/batch=$batch")
+      val n = batchAll.count() // cached — no extra pass over the text
+      val r = rOf(n)
       bandsFromArr(batchArr, r)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$indexDir/$bandsDir/batch=$batch")
-    } finally batchArr.unpersist(false)
+      (n, r)
+    } finally batchAll.unpersist(false)
   }
 
   /** Build the persisted dedup index of `corpus` under `indexDir`:
@@ -583,8 +608,6 @@ object Dedup {
     * derivation mismatch. */
   def buildDedupIndex(s: SparkSession, corpus: DataFrame,
       indexDir: String): Int = WriterLocks.lockFor(indexDir).synchronized {
-    val n = corpus.count()
-    val r = lshRowsPerBand(n)
     val (fs, p) = indexMetaPath(s, indexDir)
     // meta is the commit marker: DELETED first (a rebuild dying mid-way
     // must not leave the previous build's meta validating a mixed
@@ -604,7 +627,8 @@ object Dedup {
     bandsGenerations(fs, indexDir)
       .foreach(d => fs.delete(d, true))
     java.nio.file.Files.deleteIfExists(dedupHistoryFile(indexDir))
-    writeIndexParts(s, corpus, indexDir, r, batch = 0)
+    val (n, r) = writeIndexParts(s, corpus, indexDir, lshRowsPerBand,
+      batch = 0)
     writeIndexMeta(s, indexDir, r, batches = 1, count = n, kind = "build")
     r
   }
@@ -647,9 +671,8 @@ object Dedup {
       if (meta.delDir.isEmpty) docs
       else docs.join(dedupDelDf(s, indexDir, meta),
         Seq("doc_id"), "left_anti")
-    val n = incoming.count()
-    writeIndexParts(s, incoming, indexDir, meta.r, batch = meta.batches,
-      bandsDir = meta.bandsDir)
+    val (n, _) = writeIndexParts(s, incoming, indexDir, _ => meta.r,
+      batch = meta.batches, bandsDir = meta.bandsDir)
     // fence, then publish, then release (see PointerCommit.verifyClaim)
     graft.stream.PointerCommit.verifyClaim(fs, root, meta.batches)
     writeIndexMeta(s, indexDir, meta.r, meta.batches + 1, meta.count + n,

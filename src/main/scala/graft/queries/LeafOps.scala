@@ -86,18 +86,23 @@ object LeafOps {
     h.setModule(demoModule)
     val enc = udf((etype: String, value: Double, k: Long) =>
       Drisl.encode(obj("type" -> text(etype), "value" -> DFloat(value), "k" -> int(k))))
-    // spread BEFORE the CBOR-encode UDF (the ingest's dominant kernel —
-    // Tables.spread), then range-partition the encoded rows by idx so the
+    // range-partition the RAW rows BEFORE the CBOR-encode select (r18,
+    // per ADVICE): the RangePartitioner's reservoir sampling re-evaluates
+    // its input projection, so sampling the cheap raw columns instead of
+    // the encode UDF stops the ingest's dominant kernel running an extra
+    // time — and the range exchange now doubles as the parallelism
+    // spread (one exchange where r17 had two: spread + post-encode
+    // range). event_id order IS idx order (idx = event_id + 1), so the
     // imported log files stay idx-disjoint and min/max file pruning on
-    // raw range scans keeps working exactly as before
-    val ev = Tables.spread(Tables.df(s, dir, "events"))
+    // raw range scans keeps working exactly as before.
+    val ev = Tables.df(s, dir, "events")
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("event_id"))
       .select(
         (col("event_id") + 1).as("idx"),
         concat(lit("u"), col("user_id")).as("user"),
         enc(col("event_type"), col("value"),
           get_json_object(col("props"), "$.k").cast("long")).as("payload"),
         lit(Array.empty[Byte]).as("signature"))
-      .repartitionByRange(s.sparkContext.defaultParallelism, col("idx"))
     h.bulkImport(ev)
     h
   }

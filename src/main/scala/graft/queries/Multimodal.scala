@@ -451,6 +451,13 @@ object Multimodal {
   // construction shared by every gate of a family — the lexical
   // deleted-fixture discipline; whichever gate runs first pays it, the
   // rest parse the same persisted bytes. Decode stays per-gate work.
+  // LIFETIME (r17 ADVICE): keyed by (session, dir) with no gate-entry
+  // eviction — REGENERATING the testdata under the same dir serves the
+  // previous corpus's frames until the session restarts. The round
+  // driver builds a fresh session per run, so this is a documented
+  // assumption, not a hazard; a long-lived server that re-points at
+  // regenerated data must restart (the same restart-on-regenerate rule
+  // every (session, dir)-keyed fixture memo in this repo carries).
   private val videoCache = GateCache.frame()
   private val audioCache = GateCache.frame()
   private val imageCache = GateCache.frame()

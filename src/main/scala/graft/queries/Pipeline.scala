@@ -2144,6 +2144,11 @@ object Pipeline {
   // and the scoring join; one retained generation per (session, corpus)
   private val dsirCaches = GateCache.frame()
 
+  /** Test hook (GateCacheReviveSpec): the memoized DSIR count frame for
+    * (session, dir), if already built. */
+  private[graft] def dsirMemoForTest(s: SparkSession,
+      dir: String): Option[DataFrame] = dsirCaches.peek(s, dir)
+
   // the quality classifier's per-(doc, bucket) presence frame — forked by
   // the train-split count tables and the held-out scoring join, so the
   // tokenize→explode→distinct pass runs once, not per consumer

@@ -44,9 +44,13 @@ class FanoutSoakSpec extends AnyFunSuite {
   private lazy val client = HttpClient.newHttpClient()
 
   private def post(path: String, body: Map[String, Any]): Map[String, Any] = {
+    // bounded request time: a co-tenant-stalled request must fail the
+    // poll (caught, surfaced) rather than wedge its thread past the
+    // soak's join timeout and leak into later suites / session teardown
     val b = HttpRequest.newBuilder(
         URI.create(s"http://127.0.0.1:${server.boundPort}$path"))
       .POST(HttpRequest.BodyPublishers.ofString(Json.render(body)))
+      .timeout(java.time.Duration.ofSeconds(120))
       .header("Authorization", "Bearer testtoken")
     Json.parse(client.send(b.build(),
       HttpResponse.BodyHandlers.ofString()).body()).asInstanceOf[Map[String, Any]]
@@ -56,6 +60,16 @@ class FanoutSoakSpec extends AnyFunSuite {
     assert(!r.contains("err"), r.toString)
     r("ok").asInstanceOf[Map[String, Any]]
   }
+
+  /** Fixed pool of DAEMON threads: a wedged task must never pin the JVM
+    * open past the suite (see the r17 driver-box shutdown signature). */
+  private def daemonPool(n: Int): java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(n,
+      new java.util.concurrent.ThreadFactory {
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r); t.setDaemon(true); t
+        }
+      })
 
   private def payloadB64(k: Long): String =
     Base64.getEncoder.encodeToString(Drisl.encode(obj("n" -> int(k))))
@@ -186,7 +200,7 @@ class FanoutSoakSpec extends AnyFunSuite {
     // idle subs — the earliest registrations would be evicted before the
     // first event. Concurrent registration is also the realistic shape.
     def subscribeMany(n: Int, q: Map[String, Any]): Vector[Long] = {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      val pool = daemonPool(16)
       try {
         import scala.jdk.CollectionConverters._
         pool.invokeAll(Vector.fill(n)(new java.util.concurrent.Callable[Long] {
@@ -297,7 +311,7 @@ class FanoutSoakSpec extends AnyFunSuite {
     val sid = ok(post("/stream/create",
       Map("id" -> "did:fanout:sustained", "module_cid" -> cid)))("id").toString
 
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
+    val pool = daemonPool(32)
     import scala.jdk.CollectionConverters._
     val subs = pool.invokeAll(Vector.fill(nSubs)(
       new java.util.concurrent.Callable[Long] {
@@ -313,11 +327,19 @@ class FanoutSoakSpec extends AnyFunSuite {
     // nanoTime; terminates once it has seen idx=nAppends
     val arrivals = new java.util.concurrent.ConcurrentHashMap[(Long, Long), Long]
     val sequences = new java.util.concurrent.ConcurrentHashMap[Long, Vector[Long]]
-    val drainPool = java.util.concurrent.Executors.newFixedThreadPool(nSubs)
+    // daemon drain threads with a hard deadline: a wedged drain (server
+    // stalled under co-tenant load, or an earlier assert aborting the
+    // append loop) must fail this test loudly, not spin its loop forever
+    // and hang the JVM into the harness kill window
+    val drainPool = daemonPool(nSubs)
+    val drainDeadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
     val drains = subs.map(id => drainPool.submit(new Runnable {
       def run(): Unit = {
         var seen = Vector.empty[Long]
         while (!seen.lastOption.contains(nAppends.toLong)) {
+          if (System.nanoTime() > drainDeadline)
+            throw new IllegalStateException(
+              s"sub $id drain deadline: saw ${seen.size} of $nAppends")
           val ds = ok(post("/stream/poll", Map("id" -> sid, "sub_id" -> id)))(
             "deliveries").asInstanceOf[Vector[Any]]
           val at = System.nanoTime()
@@ -339,20 +361,23 @@ class FanoutSoakSpec extends AnyFunSuite {
 
     val appendStart = new Array[Long](nAppends + 1)
     val probeSubs = subs.take(5)
-    for (k <- 1 to nAppends) {
-      appendStart(k) = System.nanoTime()
-      val r = ok(post("/stream/event_batch", Map("id" -> sid,
-        "events" -> Vector(Map("user" -> "u", "payload_b64" -> payloadB64(k))))))
-      assert(r("latest_idx") == k.toLong)
-      // steady state means the backlog never approaches the park cap —
-      // a creep here is the leak this soak exists to catch
-      probeSubs.foreach { id =>
-        val buf = server.bufferedDeliveries(sid, id)
-        assert(buf <= 12, s"append $k: sub $id backlog $buf")
+    try {
+      for (k <- 1 to nAppends) {
+        appendStart(k) = System.nanoTime()
+        val r = ok(post("/stream/event_batch", Map("id" -> sid,
+          "events" -> Vector(Map("user" -> "u", "payload_b64" -> payloadB64(k))))))
+        assert(r("latest_idx") == k.toLong)
+        // steady state means the backlog never approaches the park cap —
+        // a creep here is the leak this soak exists to catch
+        probeSubs.foreach { id =>
+          val buf = server.bufferedDeliveries(sid, id)
+          assert(buf <= 12, s"append $k: sub $id backlog $buf")
+        }
       }
+      drains.foreach(_.get(360, java.util.concurrent.TimeUnit.SECONDS))
+    } finally {
+      pool.shutdownNow(); drainPool.shutdownNow()
     }
-    drains.foreach(_.get())
-    pool.shutdown(); drainPool.shutdown()
 
     // completeness + order, every subscriber, whole run
     subs.foreach { id =>
@@ -398,7 +423,7 @@ class FanoutSoakSpec extends AnyFunSuite {
     }
     // 500 identical wide-window HTTP subscriptions: one delivery per sub
     // per append, the drain-memoization hot-stream shape
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
+    val pool = daemonPool(32)
     import scala.jdk.CollectionConverters._
     val subs = pool.invokeAll(Vector.fill(500)(
       new java.util.concurrent.Callable[Long] {
@@ -517,20 +542,28 @@ class FanoutSoakSpec extends AnyFunSuite {
         }
       })
     }
+    pollers.foreach(_.setDaemon(true))
     pollers.foreach(_.start())
-    // let the pollers see the pre-delete world (twins present)
-    Thread.sleep(1500)
-    val del = ok(post("/admin/vector_index_delete",
-      Map("dir" -> idx, "ids" -> victims.toVector.map(v => v: Any))))
-    deletedAt.set(System.nanoTime())
-    assert(del("tombstones") == victims.size.toLong, del.toString)
-    Thread.sleep(1500)
-    // the physical purge mid-poll: same answers, empty tombstone set
-    val info = ok(post("/admin/vector_index_compact", Map("dir" -> idx)))
-    assert(info("tombstones") == 0L, info.toString)
-    Thread.sleep(1500)
-    running.set(false)
-    pollers.foreach(_.join(30000))
+    // poller shutdown is unconditional: an assertion throwing mid-soak
+    // must not leak live pollers into later tests / session teardown
+    // (leaked pollers keep submitting jobs and die noisily against the
+    // stopping executor pool — the r17 driver-box signature)
+    try {
+      // let the pollers see the pre-delete world (twins present)
+      Thread.sleep(1500)
+      val del = ok(post("/admin/vector_index_delete",
+        Map("dir" -> idx, "ids" -> victims.toVector.map(v => v: Any))))
+      deletedAt.set(System.nanoTime())
+      assert(del("tombstones") == victims.size.toLong, del.toString)
+      Thread.sleep(1500)
+      // the physical purge mid-poll: same answers, empty tombstone set
+      val info = ok(post("/admin/vector_index_compact", Map("dir" -> idx)))
+      assert(info("tombstones") == 0L, info.toString)
+      Thread.sleep(1500)
+    } finally {
+      running.set(false)
+      pollers.foreach(_.join(30000))
+    }
     assert(failure.get() == null, String.valueOf(failure.get()))
     assert(polls.get() >= 6, s"only ${polls.get()} polls — soak too short")
     // final state: the twins are gone from the serving path
@@ -627,18 +660,26 @@ class FanoutSoakSpec extends AnyFunSuite {
         }
       })
     }
+    pollers.foreach(_.setDaemon(true))
     pollers.foreach(_.start())
 
-    def landStream = spark.readStream.schema(emb.schema)
-      .option("maxFilesPerTrigger", "1").parquet(land)
-    val ckpt = graft.TempDirs.create("graft-vecsoak-ckpt").toString
-    val t0 = System.nanoTime()
-    val q = graft.streaming.EventStreamPipeline
-      .vectorIndexIngestStream(landStream, idx, ckpt)
-    q.awaitTermination()
-    val ingestSec = (System.nanoTime() - t0) / 1e9
-    running.set(false)
-    pollers.foreach(_.join(30000))
+    // poller shutdown is unconditional: a failed/stalled ingest stream
+    // must not leak live pollers into later tests / session teardown
+    // (the r17 driver-box failure signature: tasks rejected from a
+    // shutting-down executor pool while leaked pollers kept submitting)
+    val ingestSec = try {
+      def landStream = spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(land)
+      val ckpt = graft.TempDirs.create("graft-vecsoak-ckpt").toString
+      val t0 = System.nanoTime()
+      val q = graft.streaming.EventStreamPipeline
+        .vectorIndexIngestStream(landStream, idx, ckpt)
+      q.awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    } finally {
+      running.set(false)
+      pollers.foreach(_.join(30000))
+    }
     assert(failure.get() == null, String.valueOf(failure.get()))
 
     // the index grew by every wave; the final top-5 is ALL distance-0
@@ -726,6 +767,7 @@ class FanoutSoakSpec extends AnyFunSuite {
         }
       })
     }
+    pollers.foreach(_.setDaemon(true))
     pollers.foreach(_.start())
 
     // three full maintenance cycles under load: append a twin wave, then
@@ -832,6 +874,7 @@ class FanoutSoakSpec extends AnyFunSuite {
         }
       })
     }
+    pollers.foreach(_.setDaemon(true))
     pollers.foreach(_.start())
 
     // three cycles: append a 20-doc wave (cloned text + a wave token),
@@ -1086,6 +1129,7 @@ class FanoutSoakSpec extends AnyFunSuite {
         }
       })
       var wave = 1
+      poller.setDaemon(true)
       poller.start()
       try {
         // let the policy settle the freshly built index first (a build's
@@ -1273,6 +1317,7 @@ class FanoutSoakSpec extends AnyFunSuite {
             failure.set(s"increment read failed: $e") }
         }
       })
+      poller.setDaemon(true)
       poller.start()
       try {
         // appends march the count across the knee (3800 → 4400); the
